@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Engine-portable deterministic hashing.
+  *
+  * Correctness of the dedup / fingerprint operators is verified against a
+  * DuckDB oracle, so every hash they use must be computable bit-identically
+  * in both engines. We derive a 60-bit integer from the md5 hex digest
+  * (md5 is identical everywhere), then run small affine permutations mod a
+  * 30-bit prime for MinHash, exactly like classic MinHash literature
+  * (Broder '97). Constants live here — the single source of truth for both
+  * the Spark Column builders and the generated oracle SQL.
+  */
+object Portable {
+  /** 30-bit prime modulus: products a*h stay far below 2^63. */
+  val P: Long = 1073741789L
+
+  /** Number of MinHash permutations (4 LSH bands x 4 rows). */
+  val NumPerms = 16
+  val BandSize = 4
+  val NumBands: Int = NumPerms / BandSize
+
+  /** Affine permutation constants; deterministic, co-prime with P. */
+  val A: IndexedSeq[Long] = (0 until NumPerms).map(j => 2L * j + 3L)
+  val B: IndexedSeq[Long] = (0 until NumPerms).map(j => 5L * j + 7L)
+
+  /** Simhash width in bits (fingerprint fits in an int). */
+  val SimhashBits = 16
+
+  /** Modulus for the additive content fingerprint. */
+  val FpMod: Long = 1000003L
+
+  // ---- Spark Column builders ----
+
+  /** 60-bit portable hash of a string column: first 15 hex chars of md5. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** hash60 reduced mod P (the MinHash universe). */
+  def hashP(c: Column): Column = hash60(c) % P
+
+  /** MinHash permutation j applied to an already-mod-P hash column. */
+  def perm(j: Int, h: Column): Column = (h * A(j) + B(j)) % P
+
+  // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
+
+  /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */
+  def hash60Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  def hashPSql(e: String): String = s"(${hash60Sql(e)} % $P)"
+
+  def permSql(j: Int, h: String): String = s"(($h * ${A(j)} + ${B(j)}) % $P)"
+}

@@ -1,0 +1,408 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** The reference-surface relational operators (SURVEY.md §2.5 checklist):
+  * projection incl. pruning, filter, string funcs, date funcs, explode,
+  * hash aggregation (partial+final), sort/limit, union, joins (the host
+  * engines' contribution in the reference), windowing, and the ObjectId
+  * scalar functions of §2.6.
+  *
+  * Each query is declarative DataFrame code — Catalyst handles pushdown,
+  * partial aggregation and join strategy; small dimensions are broadcast
+  * explicitly so the plan stays shuffle-free where a 1000-executor cluster
+  * would want it.
+  */
+object RelationalQueries {
+  import Exact._
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // Pricing-summary aggregation (TPC-H Q1 shape). Reference analog:
+    // treasury-yield group-by with COUNT/AVG/SUM
+    // (examples/treasury_yield/.../TreasuryYieldReducer.java:48-71).
+    CatalogQuery(
+      "q01_group_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            sum(dec($"l_extendedprice") * (lit(1).cast("decimal(15,4)") - dec($"l_discount")))
+              .cast("double").as("sum_disc_price"),
+            davg($"l_quantity").as("avg_qty"),
+            davg($"l_extendedprice").as("avg_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""
+        |SELECT l_returnflag, l_linestatus,
+        |  ${dsumSql("l_quantity")} AS sum_qty,
+        |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+        |  CAST(sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(15,4)) - ${decSql("l_discount")})) AS DOUBLE) AS sum_disc_price,
+        |  ${davgSql("l_quantity")} AS avg_qty,
+        |  ${davgSql("l_extendedprice")} AS avg_price,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus
+        |""".stripMargin)),
+
+    // Filter + projection pushdown to the scan. Reference analog: Hive
+    // `WHERE i > 20` pushdown (hive/.../HiveQueryTest.java:33-62) and
+    // mongo.input.query (core/.../MongoInputSplit.java:281).
+    CatalogQuery(
+      "q02_filter_pushdown",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .filter($"event_type" === "click" && $"value" > 100.0)
+          .select($"event_id", $"ts", $"user_id", $"value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        |SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'click' AND value > 100.0
+        |ORDER BY event_id
+        |""".stripMargin)),
+
+    // Column pruning: 3 of 11 lineitem columns should reach the parquet
+    // scan's ReadSchema. Reference analog: mongo.input.fields projection
+    // (core/.../MongoConfigUtil.java:108,734-750).
+    CatalogQuery(
+      "q03_project_prune",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_orderkey" % 100 === 0)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber
+        |""".stripMargin)),
+
+    // Date-extraction group-by: the treasury-yield canonical query
+    // (examples/treasury_yield/.../TreasuryYieldMapper.java:47-53).
+    CatalogQuery(
+      "q04_year_group",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum($"o_totalprice").as("sum_price"),
+            davg($"o_totalprice").as("avg_price"))
+          .orderBy($"o_year")
+      },
+      Some(s"""
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders,
+        |  ${dsumSql("o_totalprice")} AS sum_price,
+        |  ${davgSql("o_totalprice")} AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // Tokenize + flatten + count: the enron mail query
+    // (examples/enron/.../EnronMailMapper.java:26-56 — split To on ",",
+    // trim, flatten, group-by, count).
+    CatalogQuery(
+      "q05_explode_tokens",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("t0"))
+          .select(trim($"t0").as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"token")
+      },
+      Some("""
+        |SELECT token, count(*) AS n FROM (
+        |  SELECT trim(t0) AS token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t0 FROM documents))
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY token
+        |""".stripMargin)),
+
+    // Group + collect_list: the sensors device grouping
+    // (examples/sensors/.../DeviceReducer.java:28-40 builds the id array
+    // per (owner,type) key). Array emitted as sorted CSV for a stable hash.
+    CatalogQuery(
+      "q06_group_collect",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .groupBy($"c_nationkey", $"c_mktsegment")
+          .agg(
+            expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> cast(x AS string)), ',')").as("ids"),
+            count(lit(1)).as("n"))
+          .orderBy($"c_nationkey", $"c_mktsegment")
+      },
+      Some("""
+        |SELECT c_nationkey, c_mktsegment,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS ids,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin)),
+
+    // Count per key with map-side partial agg — the sensors log-count
+    // workload incl. combiner (examples/sensors/.../LogReducer.java:31-49,
+    // LogCombiner.java). Catalyst's partial/final agg is the combiner.
+    CatalogQuery(
+      "q07_count_per_key",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+          .orderBy($"user_id")
+      },
+      Some("SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY 1")),
+
+    // Union of collections — the multi-collection scan
+    // (core/.../splitter/MultiMongoCollectionSplitter.java:47-141).
+    CatalogQuery(
+      "q08_union_collections",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+          .select($"c_name".as("name"), $"c_nationkey".cast(IntegerType).as("nationkey"),
+            $"c_acctbal".as("acctbal"), lit("customer").as("kind"))
+        val p = Tables.supplier(s, d)
+          .select($"s_name".as("name"), $"s_nationkey".cast(IntegerType).as("nationkey"),
+            $"s_acctbal".as("acctbal"), lit("supplier").as("kind"))
+        c.unionByName(p).orderBy($"name")
+      },
+      Some("""
+        |SELECT c_name AS name, c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name, s_nationkey, s_acctbal, 'supplier' FROM supplier
+        |ORDER BY name
+        |""".stripMargin)),
+
+    // Global sort + limit (top-k). The reference can only push
+    // sort/limit per-split (MongoInputSplit.java:281-296); Spark's
+    // TakeOrderedAndProject gives the global semantics.
+    CatalogQuery(
+      "q09_topk_orders",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        |""".stripMargin)),
+
+    // Join + aggregate with an explicitly broadcast dimension.
+    CatalogQuery(
+      "q10_join_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum($"o_totalprice").as("sum_price"),
+            davg($"o_totalprice").as("avg_price"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  ${dsumSql("o_totalprice")} AS sum_price,
+        |  ${davgSql("o_totalprice")} AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // Multi-way star join (TPC-H Q5 shape): fact table joined to a chain
+    // of broadcast dims; revenue per nation within one region/date range.
+    CatalogQuery(
+      "q11_join_multi",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(
+            sum(dec($"l_extendedprice") * (lit(1).cast("decimal(15,4)") - dec($"l_discount")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some(s"""
+        |SELECT n_name,
+        |  CAST(sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(15,4)) - ${decSql("l_discount")})) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name
+        |""".stripMargin)),
+
+    // Regex extraction + cast — the treasury Pig year-extract
+    // (examples/treasury_yield/pig/pig_mongo_test.pig:8-16).
+    CatalogQuery(
+      "q12_regexp_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select(regexp_extract($"o_orderpriority", "^([0-9]+)", 1).cast(IntegerType).as("prio"))
+          .groupBy($"prio").agg(count(lit(1)).as("n"))
+          .orderBy($"prio")
+      },
+      Some("""
+        |SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT) AS prio, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // Anti join: keys on one side absent from the other (NOT EXISTS).
+    CatalogQuery(
+      "q13_anti_join",
+      (s, d) => {
+        import s.implicits._
+        val bigSpenders = Tables.orders(s, d).filter($"o_totalprice" > 300000.0)
+        Tables.customer(s, d)
+          .join(bigSpenders, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey
+        |""".stripMargin)),
+
+    // DISTINCT (hash de-duplication of a projection).
+    CatalogQuery(
+      "q14_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_returnflag", $"l_linestatus").distinct()
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        |SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus
+        |""".stripMargin)),
+
+    // Aggregate + HAVING filter over groups.
+    CatalogQuery(
+      "q15_having",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_parts"), davg($"p_retailprice").as("avg_price"))
+          .filter($"n_parts" >= 5)
+          .orderBy($"p_brand")
+      },
+      Some(s"""
+        |SELECT p_brand, count(*) AS n_parts, ${davgSql("p_retailprice")} AS avg_price
+        |FROM part GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1
+        |""".stripMargin)),
+
+    // Window function: top-3 orders per market segment by price.
+    CatalogQuery(
+      "q16_window_topn",
+      (s, d) => {
+        import s.implicits._
+        val j = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        j.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"c_mktsegment", $"rnk", $"o_orderkey", $"o_totalprice")
+          .orderBy($"c_mktsegment", $"rnk")
+      },
+      Some("""
+        |SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+        |""".stripMargin)),
+
+    // ObjectId scalar functions (SURVEY.md §2.6): synthesize a canonical
+    // ObjectId hex from the order key, then extract its embedded unix
+    // seconds via the native Catalyst expression.
+    CatalogQuery(
+      "q17_objectid",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .filter($"o_orderkey" % 1000 === 0)
+          .select($"o_orderkey",
+            GraftFunctions.to_objectid(lpad(lower(hex($"o_orderkey")), 24, "0")).as("oid"))
+          .select($"o_orderkey", $"oid",
+            GraftFunctions.objectid_to_seconds($"oid").as("oid_seconds"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        |SELECT o_orderkey, oid,
+        |  CAST(concat('0x', substr(oid, 1, 8)) AS BIGINT) AS oid_seconds
+        |FROM (SELECT o_orderkey, lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid FROM orders
+        |      WHERE o_orderkey % 1000 = 0)
+        |ORDER BY o_orderkey
+        |""".stripMargin)),
+
+    // Sessionization via window lag: 30-minute inactivity gap opens a new
+    // session (events table; deterministic integer-second arithmetic).
+    CatalogQuery(
+      "q18_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_s",
+            when($"prev_ts".isNull ||
+              ($"ts".cast("long") - $"prev_ts".cast("long")) > 1800L, 1).otherwise(0))
+          .groupBy($"user_id")
+          .agg(sum($"new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id
+        |""".stripMargin))
+  )
+}
