@@ -138,15 +138,20 @@ object RelationalQueries {
     // Group + collect_list: the sensors device grouping
     // (examples/sensors/.../DeviceReducer.java:28-40 builds the id array
     // per (owner,type) key). Array emitted as sorted CSV for a stable hash.
+    // Two-phase (salted) aggregation: phase 1 collects per (key, salt) so no
+    // single aggregation buffer holds a whole hot key's ids; phase 2 merges
+    // the ≤16 sub-arrays per key. Same answer, skew-safe at 100 TB.
     CatalogQuery(
       "q06_group_collect",
       (s, d) => {
         import s.implicits._
         Tables.customer(s, d)
+          .groupBy($"c_nationkey", $"c_mktsegment", ($"c_custkey" % 16).as("salt"))
+          .agg(collect_list($"c_custkey").as("part_ids"), count(lit(1)).as("pn"))
           .groupBy($"c_nationkey", $"c_mktsegment")
           .agg(
-            expr("array_join(transform(sort_array(collect_list(c_custkey)), x -> cast(x AS string)), ',')").as("ids"),
-            count(lit(1)).as("n"))
+            expr("array_join(transform(sort_array(flatten(collect_list(part_ids))), x -> cast(x AS string)), ',')").as("ids"),
+            sum($"pn").as("n"))
           .orderBy($"c_nationkey", $"c_mktsegment")
       },
       Some("""
@@ -332,15 +337,26 @@ object RelationalQueries {
         |""".stripMargin)),
 
     // Window function: top-3 orders per market segment by price.
+    // Two-phase top-n: a local window over (segment, spark_partition_id)
+    // prunes to ≤3 rows per segment per input partition WITHOUT a shuffle,
+    // so the global window (5-value partition key — a single-task sort at
+    // 100 TB if run raw) only sees ≤3×P survivors. Same answer: the global
+    // top-3 is a subset of every partition's local top-3.
     CatalogQuery(
       "q16_window_topn",
       (s, d) => {
         import s.implicits._
         val j = Tables.orders(s, d)
           .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        val wLocal = Window.partitionBy($"c_mktsegment", $"__pid")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        val pruned = j.withColumn("__pid", spark_partition_id())
+          .withColumn("__lrnk", row_number().over(wLocal))
+          .filter($"__lrnk" <= 3)
+          .drop("__pid", "__lrnk")
         val w = Window.partitionBy($"c_mktsegment")
           .orderBy($"o_totalprice".desc, $"o_orderkey")
-        j.withColumn("rnk", row_number().over(w))
+        pruned.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 3)
           .select($"c_mktsegment", $"rnk", $"o_orderkey", $"o_totalprice")
           .orderBy($"c_mktsegment", $"rnk")
