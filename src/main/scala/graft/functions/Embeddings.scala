@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable embedding arithmetic for the similarity/dedup operators.
+  *
+  * Floats are quantized to integers (`floor(x*1000)`) so every dot product
+  * and norm is exact 64-bit integer arithmetic — order-independent and
+  * bit-identical between Spark and the DuckDB oracle. Cosine is then ONE
+  * double division + sqrt over exact integers, which IEEE-754 defines
+  * exactly, so even the floating-point outputs hash-match.
+  *
+  * The random-hyperplane LSH (SimHash-for-vectors, Charikar '02) uses a
+  * deterministic ±1 coefficient matrix derived from md5, embedded as
+  * literals in both the Spark plan and the generated oracle SQL. All
+  * builders are row-local SQL expressions — they stay inside whole-stage
+  * codegen and need no shuffle.
+  */
+object Embeddings {
+  val Dims = 64
+  val Scale = 1000
+
+  /** 16 hyperplanes = 4 LSH tables x 4 planes each (banding boosts recall
+    * exactly like MinHash bands).
+    */
+  val NumPlanes = 16
+  val PlanesPerTable = 4
+  val NumTables: Int = NumPlanes / PlanesPerTable
+
+  /** Deterministic Rademacher (+1/-1) coefficients from md5 parity. */
+  lazy val planeCoef: IndexedSeq[IndexedSeq[Int]] = {
+    (0 until NumPlanes).map { p =>
+      (0 until Dims).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"hp${p}_$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  // ---- Spark expression builders (args are column names) ----
+
+  /** array<float> column -> array<bigint> quantized. */
+  def quant(c: String): Column =
+    expr(s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0) AS BIGINT))")
+
+  /** Squared norm of a quantized vector column (exact integer). */
+  def norm2(q: String): Column =
+    expr(s"aggregate(transform($q, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+  /** Exact integer dot product of two quantized vector columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+  /** Dot with hyperplane p (literal ±1 array; stays inside codegen). */
+  def planeDot(q: String, p: Int): Column = {
+    val lits = planeCoef(p).map(c => s"CAST($c AS BIGINT)").mkString("array(", ", ", ")")
+    expr(s"aggregate(zip_with($q, $lits, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+  }
+
+  /** LSH bucket id for table t: sign bits of its 4 plane dots. */
+  def bucket(q: String, t: Int): Column =
+    (0 until PlanesPerTable).map { r =>
+      val p = t * PlanesPerTable + r
+      when(planeDot(q, p) > 0, lit(1 << r)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact cosine from integer dot + norms, as the one double op. */
+  def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt((na * nb).cast("double"))
+
+  // ---- DuckDB SQL mirrors (args are SQL expressions) ----
+
+  def quantSql(e: String): String =
+    s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0) AS BIGINT))"
+
+  def norm2Sql(q: String): String =
+    s"CAST(list_sum(list_transform($q, x -> x * x)) AS BIGINT)"
+
+  /** Positional dot of two list columns (1-based DuckDB indexing). */
+  def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  def planeDotSql(q: String, p: Int): String = {
+    val lits = planeCoef(p).mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> $q[i] * ($lits)[i])) AS BIGINT)"
+  }
+
+  def bucketSql(q: String, t: Int): String =
+    (0 until PlanesPerTable).map { r =>
+      val p = t * PlanesPerTable + r
+      s"(CASE WHEN ${planeDotSql(q, p)} > 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def cosineSql(dot: String, na: String, nb: String): String =
+    s"(CAST($dot AS DOUBLE) / sqrt(CAST(($na * $nb) AS DOUBLE)))"
+}

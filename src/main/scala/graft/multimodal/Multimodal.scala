@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media travels as an opaque `binary` column
+  * plus a typed metadata struct; decode / feature-extract / resize run as
+  * typed `mapPartitions` over the binary payload (the Scala analog of
+  * `mapInPandas` batches — partition-at-a-time, no per-row driver hops).
+  *
+  * ==STUB BOUNDARY==
+  * This container has no image/audio codecs, so [[FakeDecoder.decode]] is a
+  * clearly-marked deterministic fake: it derives "decoded" dimensions and a
+  * feature from the raw bytes. Everything AROUND the stub — the schema, the
+  * binary column plumbing, partition-wise batching, the typed Encoder
+  * surface, and downstream relational use of the features — is real and is
+  * what these classes test.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded/extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      width: Long,
+      height: Long,
+      resized_w: Long,
+      resized_h: Long,
+      byte_len: Long,
+      byte_sum: Long,
+      feature: Long)
+
+  /** STUB: stands in for a real image/audio/video decoder. Deterministic
+    * arithmetic over the payload so the DuckDB oracle can mirror it.
+    */
+  object FakeDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = r.payload
+      val first = if (bytes.nonEmpty) bytes(0) & 0xffL else 0L
+      val second = if (bytes.length > 1) bytes(1) & 0xffL else 0L
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+      val w = 16L + first % 64
+      val h = 16L + second % 64
+      MediaFeatures(
+        doc_id = r.doc_id,
+        kind = r.kind,
+        width = w,
+        height = h,
+        resized_w = math.min(w, 32L),
+        resized_h = math.min(h, 32L),
+        byte_len = bytes.length.toLong,
+        byte_sum = sum,
+        feature = sum % 997L)
+    }
+  }
+
+  /** Decode + feature-extract, partition-at-a-time. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(FakeDecoder.decode))
+  }
+
+  /** Build a media table from `documents` (payload = UTF-8 text bytes; a
+    * real pipeline would read image/audio files into the same shape).
+    */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** The registered end-to-end pipeline: binary column in, features out. */
+  def featuresQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaFromDocuments(s, dir))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+}

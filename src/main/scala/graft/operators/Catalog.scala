@@ -5,7 +5,11 @@ package graft.operators
   */
 object Catalog {
   def all: Seq[CatalogQuery] =
-    RelationalQueries.all
+    RelationalQueries.all ++
+      DedupQueries.all ++
+      TextQueries.all ++
+      SimilarityQueries.all ++
+      MultimodalQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(

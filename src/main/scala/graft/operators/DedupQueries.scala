@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Embeddings, Portable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content-hash), MinHash + banded LSH, SimHash, n-gram Jaccard via
+  * an inverted-index join, and embedding-cosine near-dup via hyperplane LSH.
+  *
+  * Scale design: every candidate-generation step is a bucket join (band
+  * hash, shingle inverted index, LSH bucket) — never an all-pairs product —
+  * so each operator's shuffles are keyed and bounded at 100 TB. All hashing
+  * is the md5-derived portable scheme in [[Portable]], so the DuckDB oracle
+  * reproduces the results bit-for-bit.
+  */
+object DedupQueries {
+  import Portable._
+
+  /** Distinct 3-token shingles per document (the MinHash/Jaccard universe). */
+  private def shingles3(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[shingles3]] as a WITH-clause body named `shd`. */
+  private val shinglesSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (
+      |  SELECT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS sh
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      |shd AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
+
+  /** 16-permutation MinHash signature per doc (one shuffle: min per doc). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val h = shingles3(s, d).select(col("doc_id"), hashP(col("sh")).as("hp"))
+    val aggs = (0 until NumPerms).map(j => min(perm(j, col("hp"))).as(s"m$j"))
+    h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val signaturesSql: String = {
+    val mins = (0 until NumPerms)
+      .map(j => s"CAST(min(${permSql(j, "hp")}) AS BIGINT) AS m$j").mkString(", ")
+    s"""$shinglesSql,
+       |h AS (SELECT doc_id, ${hashPSql("sh")} AS hp FROM shd),
+       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // Exact dedup: one shuffle on the content hash; min-id canonicalization.
+    // The reference has no dedup surface; shape follows the `_id`-merge
+    // convention of its write path (core/.../output/MongoRecordWriter.java:91-120)
+    // where the key IS the content identity.
+    CatalogQuery(
+      "q19_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        val h = Tables.documents(s, d).select($"doc_id", md5($"text").as("content_hash"))
+        val canon = h.groupBy($"content_hash").agg(min($"doc_id").as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        h.join(canon, "content_hash")
+          .select($"doc_id", $"content_hash", $"canonical_id",
+            ($"doc_id" =!= $"canonical_id").as("is_dup"), $"n_copies")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |canon AS (SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |          FROM h GROUP BY content_hash)
+        |SELECT doc_id, h.content_hash, canonical_id,
+        |       doc_id <> canonical_id AS is_dup, n_copies
+        |FROM h JOIN canon USING (content_hash)
+        |ORDER BY doc_id
+        |""".stripMargin)),
+
+    // MinHash + banded LSH near-dup: 16 perms, 4 bands x 4 rows; candidate
+    // pairs ONLY from band-bucket collisions (never all-pairs), then the
+    // signature-agreement estimate filters at 0.5.
+    CatalogQuery(
+      "q20_dedup_minhash",
+      (s, d) => {
+        import s.implicits._
+        val sig = signatures(s, d).cache()
+        val bands = (0 until NumBands).map { b =>
+          val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}").cast("string"))
+          sig.select($"doc_id", lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))
+        }.reduce(_ unionByName _)
+        val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+          .filter($"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+          .distinct()
+        val sa = sig.toDF("doc_id" +: (0 until NumPerms).map(j => s"a$j"): _*)
+        val sb = sig.toDF("doc_id" +: (0 until NumPerms).map(j => s"b$j"): _*)
+        val nEq = (0 until NumPerms)
+          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .join(sa, cand("doc_a") === sa("doc_id")).drop(sa("doc_id"))
+          .join(sb, cand("doc_b") === sb("doc_id")).drop(sb("doc_id"))
+          .withColumn("est_sim", nEq.cast("double") / NumPerms.toDouble)
+          .filter($"est_sim" >= 0.5)
+          .select($"doc_a", $"doc_b", $"est_sim")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some {
+        val bandRows = (0 until NumBands).map { b =>
+          val cols = (0 until BandSize).map(r => s"m${b * BandSize + r}::VARCHAR").mkString(", ")
+          s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+        s"""
+          |WITH $signaturesSql,
+          |bands AS (
+          |  $bandRows),
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+          |  WHERE x.doc_id < y.doc_id)
+          |SELECT doc_a, doc_b, est_sim FROM (
+          |  SELECT doc_a, doc_b, CAST($eqSum AS DOUBLE) / $NumPerms.0 AS est_sim
+          |  FROM cand
+          |  JOIN sig sa ON sa.doc_id = cand.doc_a
+          |  JOIN sig sb ON sb.doc_id = cand.doc_b)
+          |WHERE est_sim >= 0.5
+          |ORDER BY doc_a, doc_b
+          |""".stripMargin
+      }),
+
+    // SimHash: 16-bit fingerprint from token-hash bit votes; docs sharing a
+    // fingerprint are near-dup candidates (single shuffle on doc, then on fp).
+    CatalogQuery(
+      "q21_dedup_simhash",
+      (s, d) => {
+        import s.implicits._
+        val tok = Tables.documents(s, d)
+          .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+          .filter($"tok" =!= "")
+          .select($"doc_id", hashP($"tok").as("hp"))
+        val votes = (0 until SimhashBits).map(b =>
+          sum(when(shiftright($"hp", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+        val fp = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+          .select($"doc_id",
+            (0 until SimhashBits).map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+              .reduce(_ + _).cast("long").as("simhash"))
+        val sizes = fp.groupBy($"simhash").agg(count(lit(1)).as("n_bucket"))
+        fp.join(sizes, "simhash")
+          .select($"doc_id", $"simhash", $"n_bucket")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val votes = (0 until SimhashBits).map(b =>
+          s"sum(CASE WHEN (hp >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+        val bits = (0 until SimhashBits).map(b =>
+          s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+        s"""
+          |WITH tok AS (
+          |  SELECT DISTINCT doc_id, tok FROM (
+          |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          |  WHERE tok <> ''),
+          |h AS (SELECT doc_id, ${hashPSql("tok")} AS hp FROM tok),
+          |votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+          |fp AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes),
+          |sizes AS (SELECT simhash, count(*) AS n_bucket FROM fp GROUP BY simhash)
+          |SELECT doc_id, simhash, n_bucket FROM fp JOIN sizes USING (simhash)
+          |ORDER BY doc_id
+          |""".stripMargin
+      }),
+
+    // Exact n-gram Jaccard via shingle inverted-index join. Stop-shingles
+    // (document frequency > 50) are dropped from the universe first — the
+    // standard trick that keeps the candidate join bounded at 100 TB.
+    CatalogQuery(
+      "q22_dedup_ngram",
+      (s, d) => {
+        import s.implicits._
+        val shd = shingles3(s, d)
+        val rare = shd.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 50)
+        val shf = shd.join(rare.select($"sh"), "sh").cache()
+        val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val shared = shf.as("a").join(shf.as("b"), Seq("sh"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.toDF("doc_a", "na"), "doc_a")
+          .join(sizes.toDF("doc_b", "nb"), "doc_b")
+          .withColumn("jaccard", $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+          .filter($"jaccard" >= 0.5)
+          .select($"doc_a", $"doc_b", $"jaccard")
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some(s"""
+        |WITH $shinglesSql,
+        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shd GROUP BY sh)
+        |         WHERE df <= 50),
+        |shf AS (SELECT doc_id, sh FROM shd JOIN rare USING (sh)),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM shf GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(shared AS DOUBLE) / (na.nsh + nb.nsh - shared) AS jaccard
+        |  FROM shared
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b)
+        |WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b
+        |""".stripMargin)),
+
+    // Embedding-cosine near-dup: candidates ONLY from hyperplane-LSH bucket
+    // collisions (4 tables x 4 planes), exact integer cosine >= 0.4.
+    CatalogQuery(
+      "q23_dedup_embed",
+      (s, d) => {
+        import s.implicits._
+        val v = Tables.embeddings(s, d)
+          .select($"vec_id", Embeddings.quant("embedding").as("q"))
+          .withColumn("nrm", Embeddings.norm2("q"))
+        val buckets = (0 until Embeddings.NumTables).map { t =>
+          v.select($"vec_id", lit(t).as("tbl"), Embeddings.bucket("q", t).as("bkt"))
+        }.reduce(_ unionByName _)
+        val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bkt"))
+          .filter($"x.vec_id" < $"y.vec_id")
+          .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+          .distinct()
+        val va = v.toDF("vec_a", "qa", "na")
+        val vb = v.toDF("vec_b", "qb", "nb")
+        cand.join(va, "vec_a").join(vb, "vec_b")
+          .withColumn("cos",
+            Embeddings.cosine(Embeddings.dot("qa", "qb"), $"na", $"nb"))
+          .filter($"cos" >= 0.4)
+          .select($"vec_a", $"vec_b", $"cos")
+          .orderBy($"vec_a", $"vec_b")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val bucketRows = (0 until Embeddings.NumTables).map { t =>
+          s"SELECT vec_id, $t AS tbl, ${Embeddings.bucketSql("q", t)} AS bkt FROM v"
+        }.mkString("\n  UNION ALL ")
+        s"""
+          |WITH v AS (
+          |  SELECT vec_id, $q AS q FROM embeddings),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |buckets AS (
+          |  $bucketRows),
+          |cand AS (
+          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          |  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bkt = y.bkt
+          |  WHERE x.vec_id < y.vec_id)
+          |SELECT vec_a, vec_b, cos FROM (
+          |  SELECT vec_a, vec_b,
+          |    ${Embeddings.cosineSql(Embeddings.dotSql("a.q", "b.q"), "a.nrm", "b.nrm")} AS cos
+          |  FROM cand
+          |  JOIN vn a ON a.vec_id = cand.vec_a
+          |  JOIN vn b ON b.vec_id = cand.vec_b)
+          |WHERE cos >= 0.4
+          |ORDER BY vec_a, vec_b
+          |""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + regex token classes), quality scoring (length / stopword /
+  * diversity ratios), corpus-profile language identification, and a
+  * positional rolling-hash document fingerprint.
+  *
+  * All are single-pass, shuffle-light (per-doc row-local expressions plus
+  * one keyed aggregation where needed) and mirrored exactly in DuckDB SQL.
+  */
+object TextQueries {
+  import Portable._
+
+  /** Stopword list used by the quality score + language profiles. */
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in")
+  private def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Rolling-hash constants: positional multipliers 13^(i mod 8) mod FpMod. */
+  private val FpBase = 13L
+  private val FpCycle = 8
+  private val fpPow: IndexedSeq[Long] =
+    (0 until FpCycle).scanLeft(1L)((acc, _) => (acc * FpBase) % Portable.FpMod).take(FpCycle).toIndexedSeq
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // Token counting: whitespace tokens, regex word tokens (BPE-ish class
+    // split), distinct tokens. Row-local; the scan reads only (doc_id, text).
+    CatalogQuery(
+      "q24_text_tokens",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("n_ws"),
+            size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast("long").as("n_word"),
+            size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"),
+            length($"text").cast("long").as("n_chars_m"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Quality scoring: stopword ratio, lexical diversity, mean token
+    // length. Ratios are single double divisions over exact integers and
+    // the score mirrors the identical expression tree in DuckDB.
+    CatalogQuery(
+      "q25_text_quality",
+      (s, d) => {
+        import s.implicits._
+        val stopArr = array(Stopwords.map(lit): _*)
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", split($"text", " ").as("t"), length($"text").as("len"))
+          .select($"doc_id", $"lang",
+            size($"t").cast("long").as("n_tok"),
+            size(array_distinct($"t")).cast("long").as("n_uniq"),
+            size(filter($"t", x => array_contains(stopArr, x))).cast("long").as("n_stop"),
+            $"len".cast("long").as("n_chars_m"))
+          .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tok")
+          .withColumn("diversity", $"n_uniq".cast("double") / $"n_tok")
+          .withColumn("mean_tok_len",
+            ($"n_chars_m" - ($"n_tok" - 1)).cast("double") / $"n_tok")
+          .withColumn("quality",
+            lit(0.4) * $"diversity" + lit(0.4) * (lit(1.0) - $"stop_ratio")
+              + lit(0.2) * least($"mean_tok_len" / lit(8.0), lit(1.0)))
+          .select($"doc_id", $"lang", $"n_tok", $"n_uniq", $"n_stop",
+            $"stop_ratio", $"diversity", $"mean_tok_len", $"quality")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |SELECT doc_id, lang, n_tok, n_uniq, n_stop, stop_ratio, diversity,
+        |       mean_tok_len,
+        |       0.4 * diversity + 0.4 * (1.0 - stop_ratio)
+        |         + 0.2 * least(mean_tok_len / 8.0, 1.0) AS quality
+        |FROM (
+        |  SELECT doc_id, lang, n_tok, n_uniq, n_stop,
+        |    CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+        |    CAST(n_uniq AS DOUBLE) / n_tok AS diversity,
+        |    CAST(n_chars_m - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(t) AS BIGINT) AS n_tok,
+        |      CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+        |      CAST(len(list_filter(t, x -> x IN $stopSqlList)) AS BIGINT) AS n_stop,
+        |      CAST(length(text) AS BIGINT) AS n_chars_m
+        |    FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)))
+        |ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Language ID, corpus-profile n-gram heuristic: build a top-10 token
+    // profile per language from the labeled corpus (train), then classify
+    // each doc by profile-hit count (argmax, alphabetical tiebreak). The
+    // profile is tiny -> broadcast join; scoring is one aggregation.
+    CatalogQuery(
+      "q26_text_langid",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tok = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+          .filter($"tok" =!= "")
+        // train: top-10 tokens per language (freq desc, token asc)
+        val freq = tok.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+        val wP = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
+        val profile = freq.withColumn("rk", row_number().over(wP)).filter($"rk" <= 10)
+          .select($"lang".as("p_lang"), $"tok")
+        // score each (doc, candidate lang) by token instances hitting the profile
+        val hits = tok.join(broadcast(profile), Seq("tok"))
+          .groupBy($"doc_id", $"p_lang").agg(count(lit(1)).as("score"))
+        val grid = docs.select($"doc_id", $"lang")
+          .crossJoin(broadcast(profile.select($"p_lang").distinct()))
+        val scored = grid.join(hits, Seq("doc_id", "p_lang"), "left")
+          .withColumn("score", coalesce($"score", lit(0L)))
+        val wD = Window.partitionBy($"doc_id").orderBy($"score".desc, $"p_lang")
+        scored.withColumn("rk", row_number().over(wD)).filter($"rk" === 1)
+          .select($"doc_id", $"lang".as("true_lang"), $"p_lang".as("pred_lang"),
+            $"score", ($"p_lang" === $"lang").as("correct"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |freq AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |profile AS (
+        |  SELECT lang AS p_lang, tok FROM (
+        |    SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+        |    FROM freq)
+        |  WHERE rk <= 10),
+        |hits AS (
+        |  SELECT doc_id, p_lang, count(*) AS score
+        |  FROM tok JOIN profile USING (tok) GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, d.lang, p.p_lang
+        |  FROM documents d CROSS JOIN (SELECT DISTINCT p_lang FROM profile) p),
+        |scored AS (
+        |  SELECT g.doc_id, g.lang, g.p_lang, coalesce(h.score, 0) AS score
+        |  FROM grid g LEFT JOIN hits h ON h.doc_id = g.doc_id AND h.p_lang = g.p_lang)
+        |SELECT doc_id, true_lang, pred_lang, score, pred_lang = true_lang AS correct
+        |FROM (
+        |  SELECT doc_id, lang AS true_lang, p_lang AS pred_lang, CAST(score AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+        |  FROM scored)
+        |WHERE rk = 1 ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Document fingerprint: positional rolling hash — sum over tokens of
+    // hash(token) * 13^(pos mod 8), mod 1000003. Exact integer arithmetic,
+    // order-independent sum of positional terms -> identical in DuckDB.
+    CatalogQuery(
+      "q27_text_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val powExpr = fpPow.zipWithIndex
+          .map { case (p, j) => s"WHEN $j THEN ${p}L" }
+          .mkString("CASE CAST(pos % 8 AS INT) ", " ", " END")
+        Tables.documents(s, d)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+          .filter($"tok" =!= "")
+          .select($"doc_id",
+            ((hashP($"tok") % Portable.FpMod) * expr(powExpr) % Portable.FpMod).as("term"))
+          .groupBy($"doc_id")
+          .agg((sum($"term") % Portable.FpMod).as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val powCase = fpPow.zipWithIndex
+          .map { case (p, j) => s"WHEN $j THEN $p" }
+          .mkString("CASE (pos % 8) ", " ", " END")
+        s"""
+          |WITH tok AS (
+          |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+          |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+          |  WHERE t[i] <> '')
+          |SELECT doc_id,
+          |  CAST(sum((${hashPSql("tok")} % ${Portable.FpMod}) * ($powCase) % ${Portable.FpMod})
+          |       % ${Portable.FpMod} AS BIGINT) AS fingerprint
+          |FROM tok GROUP BY doc_id ORDER BY doc_id
+          |""".stripMargin
+      })
+  )
+}
