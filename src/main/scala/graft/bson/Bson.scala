@@ -1,0 +1,296 @@
+package graft.bson
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+/** A minimal BSON value ADT (document model of the reference engine).
+  *
+  * The wire encoding below follows the public BSON spec (bsonspec.org):
+  * little-endian, int32-length-prefixed documents, 1-byte type tags,
+  * cstring field names. Only the types the reference actually round-trips
+  * are implemented (SURVEY.md §1.3 inventory).
+  */
+sealed trait BsonValue {
+  /** Canonical type order for cross-type comparison — the MongoDB sort
+    * order reimplemented from its published semantics (reference:
+    * core/src/main/java/com/mongodb/hadoop/util/BSONComparator.java:56-92).
+    */
+  def typeOrder: Int = this match {
+    case BMinKey => 0
+    case BNull => 1
+    case _: BInt32 | _: BInt64 | _: BDouble => 2
+    case _: BString | _: BSymbol => 3
+    case _: BDoc => 4
+    case _: BArray => 5
+    case _: BBinary => 6
+    case _: BObjectId => 7
+    case _: BBool => 8
+    case _: BDate | _: BTimestamp => 9
+    case _: BRegex => 10
+    case BMaxKey => 12
+  }
+}
+
+case object BMinKey extends BsonValue
+case object BMaxKey extends BsonValue
+case object BNull extends BsonValue
+final case class BInt32(v: Int) extends BsonValue
+final case class BInt64(v: Long) extends BsonValue
+final case class BDouble(v: Double) extends BsonValue
+final case class BString(v: String) extends BsonValue
+final case class BSymbol(v: String) extends BsonValue
+final case class BBool(v: Boolean) extends BsonValue
+final case class BDate(millis: Long) extends BsonValue
+final case class BTimestamp(seconds: Int, ordinal: Int) extends BsonValue
+final case class BObjectId(hex: String) extends BsonValue {
+  require(hex.length == 24, s"ObjectId must be 24 hex chars, got $hex")
+}
+final case class BBinary(bytes: Array[Byte]) extends BsonValue {
+  override def equals(o: Any): Boolean = o match {
+    case BBinary(b) => java.util.Arrays.equals(bytes, b)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
+}
+final case class BRegex(pattern: String, options: String) extends BsonValue
+final case class BArray(items: Vector[BsonValue]) extends BsonValue
+final case class BDoc(fields: ListMap[String, BsonValue]) extends BsonValue {
+  def get(name: String): Option[BsonValue] = fields.get(name)
+
+  /** Dotted-path field retrieval (the reference's key-extraction rule,
+    * core/.../util/MongoPathRetriever.java:11-23).
+    */
+  def getPath(path: String): Option[BsonValue] = {
+    path.split('.').foldLeft(Option[BsonValue](this)) {
+      case (Some(BDoc(f)), seg) => f.get(seg)
+      case _ => None
+    }
+  }
+}
+
+object BDoc {
+  val empty: BDoc = BDoc(ListMap.empty[String, BsonValue])
+  def apply(kvs: (String, BsonValue)*): BDoc = BDoc(ListMap(kvs: _*))
+}
+
+/** Cross-type total ordering: MinKey < Null < numbers < string < doc <
+  * array < binary < ObjectId < bool < date < regex < MaxKey; numbers of
+  * different widths compare as doubles.
+  */
+object BsonOrdering extends Ordering[BsonValue] {
+  override def compare(a: BsonValue, b: BsonValue): Int = {
+    val ta = a.typeOrder
+    val tb = b.typeOrder
+    if (ta != tb) return Integer.compare(ta, tb)
+    (a, b) match {
+      case (BMinKey, BMinKey) | (BMaxKey, BMaxKey) | (BNull, BNull) => 0
+      case (x: BsonValue, y: BsonValue) if ta == 2 =>
+        java.lang.Double.compare(numeric(x), numeric(y))
+      case (BString(x), BString(y)) => x.compareTo(y)
+      case (BSymbol(x), BSymbol(y)) => x.compareTo(y)
+      case (BString(x), BSymbol(y)) => x.compareTo(y)
+      case (BSymbol(x), BString(y)) => x.compareTo(y)
+      case (BBool(x), BBool(y)) => java.lang.Boolean.compare(x, y)
+      case (BDate(x), BDate(y)) => java.lang.Long.compare(x, y)
+      case (BTimestamp(xs, xo), BTimestamp(ys, yo)) =>
+        val c = Integer.compare(xs, ys)
+        if (c != 0) c else Integer.compare(xo, yo)
+      case (BDate(x), BTimestamp(ys, _)) => java.lang.Long.compare(x, ys * 1000L)
+      case (BTimestamp(xs, _), BDate(y)) => java.lang.Long.compare(xs * 1000L, y)
+      case (BObjectId(x), BObjectId(y)) => x.compareTo(y)
+      case (BRegex(xp, xo), BRegex(yp, yo)) =>
+        val c = xp.compareTo(yp)
+        if (c != 0) c else xo.compareTo(yo)
+      case (BBinary(x), BBinary(y)) =>
+        val c = Integer.compare(x.length, y.length)
+        if (c != 0) c
+        else java.util.Arrays.compareUnsigned(x, y)
+      case (BArray(x), BArray(y)) => compareSeq(x, y)
+      case (BDoc(x), BDoc(y)) =>
+        // structural: compare (name, value) pairs in document order
+        val xi = x.iterator
+        val yi = y.iterator
+        while (xi.hasNext && yi.hasNext) {
+          val (xn, xv) = xi.next()
+          val (yn, yv) = yi.next()
+          val cn = xn.compareTo(yn)
+          if (cn != 0) return cn
+          val cv = compare(xv, yv)
+          if (cv != 0) return cv
+        }
+        java.lang.Boolean.compare(xi.hasNext, yi.hasNext)
+      case _ => 0
+    }
+  }
+
+  private def compareSeq(x: Vector[BsonValue], y: Vector[BsonValue]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = compare(x(i), y(i))
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(x.length, y.length)
+  }
+
+  def numeric(v: BsonValue): Double = v match {
+    case BInt32(x) => x.toDouble
+    case BInt64(x) => x.toDouble
+    case BDouble(x) => x
+    case _ => Double.NaN
+  }
+}
+
+/** BSON wire codec (spec subset; public bsonspec.org layout). */
+object BsonCodec {
+  // type tags per the BSON spec
+  private val TDouble: Byte = 0x01
+  private val TString: Byte = 0x02
+  private val TDoc: Byte = 0x03
+  private val TArray: Byte = 0x04
+  private val TBinary: Byte = 0x05
+  private val TObjectId: Byte = 0x07
+  private val TBool: Byte = 0x08
+  private val TDate: Byte = 0x09
+  private val TNull: Byte = 0x0a
+  private val TRegex: Byte = 0x0b
+  private val TSymbol: Byte = 0x0e
+  private val TInt32: Byte = 0x10
+  private val TTimestamp: Byte = 0x11
+  private val TInt64: Byte = 0x12
+  private val TMinKey: Byte = 0xff.toByte
+  private val TMaxKey: Byte = 0x7f
+
+  def encode(doc: BDoc): Array[Byte] = {
+    val out = new mutable.ArrayBuilder.ofByte
+    writeDoc(out, doc)
+    out.result()
+  }
+
+  private def writeDoc(out: mutable.ArrayBuilder.ofByte, doc: BDoc): Unit = {
+    val body = new mutable.ArrayBuilder.ofByte
+    doc.fields.foreach { case (name, v) => writeElement(body, name, v) }
+    val bodyBytes = body.result()
+    val total = 4 + bodyBytes.length + 1
+    out ++= int32(total)
+    out ++= bodyBytes
+    out += 0x00
+  }
+
+  private def writeElement(out: mutable.ArrayBuilder.ofByte, name: String, v: BsonValue): Unit = {
+    def header(tag: Byte): Unit = {
+      out += tag
+      out ++= name.getBytes(StandardCharsets.UTF_8)
+      out += 0x00
+    }
+    v match {
+      case BDouble(x) => header(TDouble); out ++= int64(java.lang.Double.doubleToLongBits(x))
+      case BString(x) => header(TString); writeString(out, x)
+      case BSymbol(x) => header(TSymbol); writeString(out, x)
+      case d: BDoc => header(TDoc); writeDoc(out, d)
+      case BArray(items) =>
+        header(TArray)
+        writeDoc(out, BDoc(ListMap(items.zipWithIndex.map { case (it, i) => i.toString -> it }: _*)))
+      case BBinary(bytes) =>
+        header(TBinary); out ++= int32(bytes.length); out += 0x00; out ++= bytes
+      case BObjectId(hex) =>
+        header(TObjectId)
+        out ++= hex.sliding(2, 2).map(h => Integer.parseInt(h, 16).toByte).toArray
+      case BBool(x) => header(TBool); out += (if (x) 1 else 0).toByte
+      case BDate(ms) => header(TDate); out ++= int64(ms)
+      case BNull => header(TNull)
+      case BRegex(p, o) =>
+        header(TRegex)
+        out ++= p.getBytes(StandardCharsets.UTF_8); out += 0x00
+        out ++= o.getBytes(StandardCharsets.UTF_8); out += 0x00
+      case BInt32(x) => header(TInt32); out ++= int32(x)
+      case BTimestamp(s, ord) => header(TTimestamp); out ++= int32(ord); out ++= int32(s)
+      case BInt64(x) => header(TInt64); out ++= int64(x)
+      case BMinKey => header(TMinKey)
+      case BMaxKey => header(TMaxKey)
+    }
+  }
+
+  private def writeString(out: mutable.ArrayBuilder.ofByte, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    out ++= int32(b.length + 1)
+    out ++= b
+    out += 0x00
+  }
+
+  private def int32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def int64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  def decode(bytes: Array[Byte], offset: Int = 0): BDoc = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(offset)
+    readDoc(buf)
+  }
+
+  /** Decode a document at the buffer's current position (advances it). */
+  def readDoc(buf: ByteBuffer): BDoc = {
+    val start = buf.position()
+    val len = buf.getInt
+    val fields = ListMap.newBuilder[String, BsonValue]
+    while (buf.position() < start + len - 1) {
+      val tag = buf.get()
+      val name = readCString(buf)
+      fields += name -> readValue(buf, tag)
+    }
+    require(buf.get() == 0x00, "document not 0x00-terminated")
+    BDoc(fields.result())
+  }
+
+  private def readValue(buf: ByteBuffer, tag: Byte): BsonValue = tag match {
+    case TDouble => BDouble(java.lang.Double.longBitsToDouble(buf.getLong))
+    case TString => BString(readString(buf))
+    case TSymbol => BSymbol(readString(buf))
+    case TDoc => readDoc(buf)
+    case TArray =>
+      val d = readDoc(buf)
+      BArray(d.fields.values.toVector)
+    case TBinary =>
+      val len = buf.getInt
+      buf.get() // subtype
+      val arr = new Array[Byte](len)
+      buf.get(arr)
+      BBinary(arr)
+    case TObjectId =>
+      val arr = new Array[Byte](12)
+      buf.get(arr)
+      BObjectId(arr.map(b => f"${b & 0xff}%02x").mkString)
+    case TBool => BBool(buf.get() != 0)
+    case TDate => BDate(buf.getLong)
+    case TNull => BNull
+    case TRegex => BRegex(readCString(buf), readCString(buf))
+    case TInt32 => BInt32(buf.getInt)
+    case TTimestamp =>
+      val ord = buf.getInt
+      val sec = buf.getInt
+      BTimestamp(sec, ord)
+    case TInt64 => BInt64(buf.getLong)
+    case TMinKey => BMinKey
+    case TMaxKey => BMaxKey
+    case other => throw new IllegalArgumentException(f"unsupported BSON tag 0x$other%02x")
+  }
+
+  private def readString(buf: ByteBuffer): String = {
+    val len = buf.getInt
+    val arr = new Array[Byte](len - 1)
+    buf.get(arr)
+    buf.get() // trailing 0
+    new String(arr, StandardCharsets.UTF_8)
+  }
+
+  private def readCString(buf: ByteBuffer): String = {
+    val sb = new mutable.ArrayBuilder.ofByte
+    var b = buf.get()
+    while (b != 0) { sb += b; b = buf.get() }
+    new String(sb.result(), StandardCharsets.UTF_8)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.bson
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.immutable.ListMap
+
+/** InternalRow ⇄ BDoc bridge for a declared StructType, plus dynamic-schema
+  * inference by sampling (SURVEY.md §1.2-§1.3 mapping table). Lossy choices
+  * mirror the reference's: ObjectId -> hex string, BSON date -> timestamp
+  * (millisecond precision), Symbol -> string, Regex -> pattern string.
+  */
+object RowCodec {
+
+  // ---- BDoc -> InternalRow ----
+
+  def toRow(doc: BDoc, schema: StructType): InternalRow = {
+    val values = schema.fields.map { f =>
+      doc.get(f.name).map(v => toCatalyst(v, f.dataType)).orNull
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  private def toCatalyst(v: BsonValue, dt: DataType): Any = (v, dt) match {
+    case (BNull, _) => null
+    case (BInt32(x), IntegerType) => x
+    case (BInt32(x), LongType) => x.toLong
+    case (BInt32(x), DoubleType) => x.toDouble
+    case (BInt64(x), LongType) => x
+    case (BInt64(x), DoubleType) => x.toDouble
+    case (BDouble(x), DoubleType) => x
+    case (BString(x), StringType) => UTF8String.fromString(x)
+    case (BSymbol(x), StringType) => UTF8String.fromString(x)
+    case (BObjectId(x), StringType) => UTF8String.fromString(x)
+    case (BRegex(p, _), StringType) => UTF8String.fromString(p)
+    case (BBool(x), BooleanType) => x
+    case (BDate(ms), TimestampType) => ms * 1000L // micros
+    case (BDate(ms), LongType) => ms
+    case (BTimestamp(s, _), TimestampType) => s.toLong * 1000000L
+    case (BBinary(b), BinaryType) => b
+    case (BArray(items), ArrayType(et, _)) =>
+      new GenericArrayData(items.map(i => toCatalyst(i, et)).toArray)
+    case (d: BDoc, st: StructType) => toRow(d, st)
+    case (other, t) =>
+      throw new IllegalArgumentException(s"cannot read BSON $other as Spark type $t")
+  }
+
+  // ---- InternalRow -> BDoc ----
+
+  def toBson(row: InternalRow, schema: StructType): BDoc = {
+    val fields = ListMap.newBuilder[String, BsonValue]
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val v =
+        if (row.isNullAt(i)) BNull
+        else fromCatalyst(row.get(i, f.dataType), f.dataType)
+      fields += f.name -> v
+    }
+    BDoc(fields.result())
+  }
+
+  private def fromCatalyst(v: Any, dt: DataType): BsonValue = (v, dt) match {
+    case (null, _) => BNull
+    case (x: Int, IntegerType) => BInt32(x)
+    case (x: Long, LongType) => BInt64(x)
+    case (x: Double, DoubleType) => BDouble(x)
+    case (x: Float, FloatType) => BDouble(x.toDouble)
+    case (x: UTF8String, StringType) => BString(x.toString)
+    case (x: Boolean, BooleanType) => BBool(x)
+    case (x: Long, TimestampType) => BDate(Math.floorDiv(x, 1000L)) // micros -> millis
+    case (x: Array[Byte], BinaryType) => BBinary(x)
+    case (x: ArrayData, ArrayType(et, _)) =>
+      BArray(x.toObjectArray(et).map(e => fromCatalyst(e, et)).toVector)
+    case (r: InternalRow, st: StructType) => toBson(r, st)
+    case (x: org.apache.spark.sql.types.Decimal, _: DecimalType) => BDouble(x.toDouble)
+    case (other, t) =>
+      throw new IllegalArgumentException(s"cannot write Spark $t value $other as BSON")
+  }
+
+  // ---- dynamic schema inference (sampling) ----
+
+  /** Infer a StructType from sample docs. Conflict rules: numeric types
+    * widen (int32 -> int64 -> double), anything vs string -> string,
+    * struct fields union recursively; a field missing from some docs is
+    * simply nullable (all fields are nullable).
+    */
+  def inferSchema(docs: Iterator[BDoc], maxSample: Int = 1000): StructType = {
+    var merged: Map[String, DataType] = ListMap.empty
+    var order: Vector[String] = Vector.empty
+    var n = 0
+    while (docs.hasNext && n < maxSample) {
+      val d = docs.next()
+      d.fields.foreach { case (name, v) =>
+        val dt = typeOf(v)
+        merged.get(name) match {
+          case None =>
+            if (dt != NullType) { merged += name -> dt; order :+= name }
+            else if (!order.contains(name)) { merged += name -> NullType; order :+= name }
+          case Some(prev) => merged += name -> mergeTypes(prev, dt)
+        }
+      }
+      n += 1
+    }
+    StructType(order.map(name => StructField(name,
+      merged(name) match { case NullType => StringType; case t => t },
+      nullable = true)))
+  }
+
+  def typeOf(v: BsonValue): DataType = v match {
+    case BNull | BMinKey | BMaxKey => NullType
+    case _: BInt32 => IntegerType
+    case _: BInt64 => LongType
+    case _: BDouble => DoubleType
+    case _: BString | _: BSymbol | _: BObjectId | _: BRegex => StringType
+    case _: BBool => BooleanType
+    case _: BDate | _: BTimestamp => TimestampType
+    case _: BBinary => BinaryType
+    case BArray(items) =>
+      val et = items.map(typeOf).foldLeft[DataType](NullType)(mergeTypes)
+      ArrayType(if (et == NullType) StringType else et, containsNull = true)
+    case d: BDoc =>
+      StructType(d.fields.toSeq.map { case (n2, v2) =>
+        StructField(n2, typeOf(v2) match { case NullType => StringType; case t => t }, nullable = true)
+      })
+  }
+
+  def mergeTypes(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, x) => x
+    case (x, NullType) => x
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (ArrayType(x, _), ArrayType(y, _)) =>
+      ArrayType(mergeTypes(x, y), containsNull = true)
+    case (x: StructType, y: StructType) =>
+      val yMap = y.fields.map(f => f.name -> f.dataType).toMap
+      val merged = x.fields.map(f =>
+        StructField(f.name, yMap.get(f.name).map(mergeTypes(f.dataType, _)).getOrElse(f.dataType), nullable = true))
+      val extra = y.fields.filterNot(f => x.fieldNames.contains(f.name))
+        .map(f => StructField(f.name, f.dataType, nullable = true))
+      StructType(merged ++ extra)
+    case _ => StringType // incompatible -> string (dynamic-mode fallback)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.files
+
+import graft.bson.{BDoc, BsonCodec}
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+
+/** BSON dump-file IO: sequential doc writer with an optional `.splits`
+  * side file of doc-boundary offsets, and a reader that can open at an
+  * arbitrary byte offset and resync to the next document boundary.
+  *
+  * Behavior modeled on the reference's BSON split machinery
+  * (core/.../splitter/BSONSplitter.java:222-437 — boundary snapping,
+  * side-file cache; core/.../input/BSONFileRecordReader.java:95-223 —
+  * positioned reads), re-expressed as plain JVM IO for Spark partitions.
+  */
+object BsonFiles {
+
+  val MaxDocSize: Int = 16 * 1024 * 1024 // BSON spec document cap
+  val MinDocSize: Int = 5
+
+  /** Write docs to `path`; returns doc-boundary offsets. Side file
+    * `.{name}.splits` stores one offset per `splitsEvery` docs.
+    */
+  def write(path: String, docs: Iterator[BDoc], splitsEvery: Int = 64): Long = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
+    val offsets = Vector.newBuilder[Long]
+    var pos = 0L
+    var n = 0L
+    try {
+      docs.foreach { d =>
+        if (n % splitsEvery == 0) offsets += pos
+        val bytes = BsonCodec.encode(d)
+        out.write(bytes)
+        pos += bytes.length
+        n += 1
+      }
+    } finally out.close()
+    writeSplitsFile(path, offsets.result())
+    n
+  }
+
+  private def splitsPath(path: String): Path = {
+    val p = Paths.get(path)
+    p.resolveSibling("." + p.getFileName.toString + ".splits")
+  }
+
+  private def writeSplitsFile(path: String, offsets: Vector[Long]): Unit = {
+    val buf = ByteBuffer.allocate(offsets.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    offsets.foreach(buf.putLong)
+    Files.write(splitsPath(path), buf.array())
+  }
+
+  def readSplitsFile(path: String): Option[Vector[Long]] = {
+    val sp = splitsPath(path)
+    if (!Files.exists(sp)) None
+    else {
+      val bytes = Files.readAllBytes(sp)
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val out = Vector.newBuilder[Long]
+      while (buf.remaining() >= 8) out += buf.getLong
+      Some(out.result())
+    }
+  }
+
+  /** First document boundary at or after `target`: prefer the side file,
+    * else scan-and-validate (the resync heuristic — a plausible int32
+    * length, 0x00 terminator, and a plausible following header).
+    */
+  def startingPosition(path: String, target: Long): Long = {
+    val fileLen = Files.size(Paths.get(path))
+    if (target <= 0) return 0L
+    if (target >= fileLen) return fileLen
+    readSplitsFile(path) match {
+      case Some(offsets) =>
+        // first cached boundary >= target, then walk doc-by-doc from the
+        // previous cached boundary for the exact one
+        val prev = offsets.takeWhile(_ < target).lastOption.getOrElse(0L)
+        walkToBoundary(path, prev, target, fileLen)
+      case None =>
+        walkToBoundary(path, 0L, target, fileLen)
+    }
+  }
+
+  private def walkToBoundary(path: String, from: Long, target: Long, fileLen: Long): Long = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      var pos = from
+      val lenBuf = new Array[Byte](4)
+      while (pos < target) {
+        raf.seek(pos)
+        raf.readFully(lenBuf)
+        val len = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(len >= MinDocSize && len <= MaxDocSize && pos + len <= fileLen,
+          s"corrupt BSON doc header at $pos in $path (len=$len)")
+        pos += len
+      }
+      pos
+    } finally raf.close()
+  }
+
+  /** Iterate docs whose START offset lies in [start, end). The reader may
+    * read past `end` to finish the last document (standard split rule).
+    */
+  def readRange(path: String, start: Long, end: Long): Iterator[BDoc] = {
+    val fileLen = Files.size(Paths.get(path))
+    val begin = startingPosition(path, start)
+    new Iterator[BDoc] {
+      private val raf = new RandomAccessFile(path, "r")
+      private var pos = begin
+      private var closed = false
+      override def hasNext: Boolean = {
+        val more = !closed && pos < math.min(end, fileLen)
+        if (!more && !closed) { raf.close(); closed = true }
+        more
+      }
+      override def next(): BDoc = {
+        raf.seek(pos)
+        val lenBuf = new Array[Byte](4)
+        raf.readFully(lenBuf)
+        val len = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        val bytes = new Array[Byte](len)
+        raf.seek(pos)
+        raf.readFully(bytes)
+        pos += len
+        BsonCodec.decode(bytes)
+      }
+    }
+  }
+
+  def readAll(path: String): Iterator[BDoc] =
+    readRange(path, 0L, Files.size(Paths.get(path)))
+
+  /** Byte-range splits at `targetSize`, ends snapped later by the reader's
+    * boundary resync (split rule: a doc belongs to the split containing
+    * its first byte).
+    */
+  def planByteSplits(path: String, targetSize: Long): Seq[(Long, Long)] = {
+    val len = Files.size(Paths.get(path))
+    if (len == 0) Seq.empty
+    else {
+      val n = math.max(1L, (len + targetSize - 1) / targetSize)
+      (0L until n).map(i => (i * targetSize, math.min((i + 1) * targetSize, len)))
+    }
+  }
+}

@@ -9,7 +9,8 @@ object Catalog {
       DedupQueries.all ++
       TextQueries.all ++
       SimilarityQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++
+      ConnectorQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(

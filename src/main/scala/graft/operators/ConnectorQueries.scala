@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Queries that run through the graftbson DSv2 connector end-to-end —
+  * write path (insert / upsert+$inc / update+$set) then read back through
+  * the source with pushdown. Each invocation uses a fresh temp collection,
+  * so results are deterministic and the DuckDB oracle (which never sees the
+  * collection, only the parquet inputs) pins the final state.
+  */
+object ConnectorQueries {
+  import Exact._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-conn").toString
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // Round-trip: parquet -> BSON collection (insert, _id merge) -> DSv2
+    // scan with filter+projection pushdown -> aggregate.
+    CatalogQuery(
+      "q31_bson_source_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+          .write.format("graftbson").option("id_column", "c_custkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson").load(dir)
+          .filter($"c_acctbal" > 0.0)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""
+        |SELECT c_mktsegment, count(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // Sensors log-count shape: per-key counts upserted with $inc into an
+    // empty collection (examples/sensors/.../LogReducer.java:31-49), then
+    // read back through the source.
+    CatalogQuery(
+      "q32_write_upsert_inc",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.events(s, d)
+          .groupBy($"user_id".as("_id")).agg(count(lit(1)).as("n"))
+          .write.format("graftbson")
+          .option("mode", "upsert").option("update_op", "inc")
+          .mode("append").save(dir)
+        s.read.format("graftbson").load(dir)
+          .select($"_id", $"n")
+          .orderBy($"_id")
+      },
+      Some("SELECT user_id AS _id, count(*) AS n FROM events GROUP BY 1 ORDER BY 1")),
+
+    // Treasury update shape: insert per-year base rows, then $set the
+    // aggregated average back onto them keyed by _id
+    // (examples/treasury_yield/.../TreasuryYieldUpdateReducer.java:46-80).
+    CatalogQuery(
+      "q33_write_update_set",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val byYear = Tables.orders(s, d)
+          .groupBy(year($"o_orderdate").as("_id"))
+        byYear.agg(count(lit(1)).as("n_orders"))
+          .write.format("graftbson").mode("append").save(dir)
+        byYear.agg(davg($"o_totalprice").as("avg_price"))
+          .write.format("graftbson")
+          .option("mode", "update").option("update_op", "set")
+          .mode("append").save(dir)
+        s.read.format("graftbson").load(dir)
+          .select($"_id", $"n_orders", $"avg_price")
+          .orderBy($"_id")
+      },
+      Some(s"""
+        |SELECT CAST(year(o_orderdate) AS INT) AS _id, count(*) AS n_orders,
+        |  ${davgSql("o_totalprice")} AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin))
+  )
+}

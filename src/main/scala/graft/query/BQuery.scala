@@ -1,0 +1,186 @@
+package graft.query
+
+import graft.bson._
+import org.apache.spark.sql.sources._
+
+/** Source-level query AST — the pushdown document of the reference engine
+  * (semantics of hive/.../input/HiveMongoInputFormat.java:70-77,129-182:
+  * =, <, <=, >, >= on dotted paths, AND-composed with an option-level
+  * query via $and — reimplemented, not translated).
+  */
+sealed trait BQuery {
+  def matches(doc: BDoc): Boolean
+}
+
+object BQuery {
+  /** Comparisons follow MongoDB semantics: only values in the same type
+    * bracket compare (numbers cross-width); missing fields match nothing.
+    */
+  private def cmp(doc: BDoc, path: String, v: BsonValue)(test: Int => Boolean): Boolean =
+    doc.getPath(path) match {
+      case Some(actual) if actual.typeOrder == v.typeOrder =>
+        test(BsonOrdering.compare(actual, v))
+      case _ => false
+    }
+
+  final case class Eq(path: String, v: BsonValue) extends BQuery {
+    def matches(d: BDoc): Boolean = cmp(d, path, v)(_ == 0)
+  }
+  final case class Lt(path: String, v: BsonValue) extends BQuery {
+    def matches(d: BDoc): Boolean = cmp(d, path, v)(_ < 0)
+  }
+  final case class Lte(path: String, v: BsonValue) extends BQuery {
+    def matches(d: BDoc): Boolean = cmp(d, path, v)(_ <= 0)
+  }
+  final case class Gt(path: String, v: BsonValue) extends BQuery {
+    def matches(d: BDoc): Boolean = cmp(d, path, v)(_ > 0)
+  }
+  final case class Gte(path: String, v: BsonValue) extends BQuery {
+    def matches(d: BDoc): Boolean = cmp(d, path, v)(_ >= 0)
+  }
+  final case class In(path: String, vs: Seq[BsonValue]) extends BQuery {
+    def matches(d: BDoc): Boolean = vs.exists(v => cmp(d, path, v)(_ == 0))
+  }
+  final case class Exists(path: String, yes: Boolean) extends BQuery {
+    def matches(d: BDoc): Boolean = d.getPath(path).exists(_ != BNull) == yes
+  }
+  final case class And(qs: Seq[BQuery]) extends BQuery {
+    def matches(d: BDoc): Boolean = qs.forall(_.matches(d))
+  }
+  final case class Or(qs: Seq[BQuery]) extends BQuery {
+    def matches(d: BDoc): Boolean = qs.exists(_.matches(d))
+  }
+  case object True extends BQuery {
+    def matches(d: BDoc): Boolean = true
+  }
+
+  /** Range bound for a partition: lo <= key < hi (the reference's
+    * range-query split composition, MongoCollectionSplitter.java:243-295).
+    */
+  final case class KeyRange(path: String, lo: Option[BsonValue], hi: Option[BsonValue]) extends BQuery {
+    def matches(d: BDoc): Boolean =
+      lo.forall(l => Gte(path, l).matches(d)) &&
+        hi.forall(h => Lt(path, h).matches(d))
+  }
+
+  def and(a: BQuery, b: BQuery): BQuery = (a, b) match {
+    case (True, x) => x
+    case (x, True) => x
+    case (And(xs), And(ys)) => And(xs ++ ys)
+    case (And(xs), y) => And(xs :+ y)
+    case (x, And(ys)) => And(x +: ys)
+    case (x, y) => And(Seq(x, y))
+  }
+}
+
+/** Catalyst `Filter` -> BQuery translator with residual split: the DSv2
+  * contract is (accepted = evaluated at the source, residual = re-checked
+  * by Spark). Unlike the reference — which silently DROPS untranslatable
+  * predicates and relies on the host engine re-checking everything
+  * (HiveMongoInputFormat.java:162-178) — untranslatable filters are
+  * returned as residuals explicitly.
+  */
+object FilterTranslator {
+
+  def toBson(v: Any): Option[BsonValue] = v match {
+    case null => Some(BNull)
+    case x: Int => Some(BInt32(x))
+    case x: Long => Some(BInt64(x))
+    case x: Short => Some(BInt32(x.toInt))
+    case x: Byte => Some(BInt32(x.toInt))
+    case x: Double => Some(BDouble(x))
+    case x: Float => Some(BDouble(x.toDouble))
+    case x: String => Some(BString(x))
+    case x: Boolean => Some(BBool(x))
+    case x: java.sql.Timestamp => Some(BDate(x.getTime))
+    case x: java.time.Instant => Some(BDate(x.toEpochMilli))
+    case x: java.sql.Date => Some(BDate(x.getTime))
+    case x: Array[Byte] => Some(BBinary(x))
+    case _ => None
+  }
+
+  /** Translate one filter; None = not pushable (becomes residual). */
+  def translate(f: Filter): Option[BQuery] = f match {
+    case EqualTo(a, v) => toBson(v).map(BQuery.Eq(a, _))
+    case EqualNullSafe(a, null) => Some(BQuery.Exists(a, yes = false))
+    case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(a, _))
+    case GreaterThan(a, v) => toBson(v).map(BQuery.Gt(a, _))
+    case GreaterThanOrEqual(a, v) => toBson(v).map(BQuery.Gte(a, _))
+    case LessThan(a, v) => toBson(v).map(BQuery.Lt(a, _))
+    case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(a, _))
+    case In(a, vs) =>
+      val bs = vs.toSeq.map(toBson)
+      if (bs.forall(_.isDefined)) Some(BQuery.In(a, bs.flatten)) else None
+    case IsNull(a) => Some(BQuery.Exists(a, yes = false))
+    case IsNotNull(a) => Some(BQuery.Exists(a, yes = true))
+    case And(l, r) =>
+      (translate(l), translate(r)) match {
+        case (Some(x), Some(y)) => Some(BQuery.and(x, y))
+        case _ => None // partial AND push would need care; keep whole as residual
+      }
+    case Or(l, r) =>
+      for (x <- translate(l); y <- translate(r)) yield BQuery.Or(Seq(x, y))
+    case Not(EqualTo(a, v)) =>
+      toBson(v).map(b => BQuery.Or(Seq(BQuery.Lt(a, b), BQuery.Gt(a, b))))
+    case _ => None
+  }
+
+  /** Split filters into (pushed query, accepted filters, residual filters). */
+  def split(filters: Array[Filter]): (BQuery, Array[Filter], Array[Filter]) = {
+    val results = filters.map(f => f -> translate(f))
+    val accepted = results.collect { case (f, Some(_)) => f }
+    val residual = results.collect { case (f, None) => f }
+    val query = results.flatMap(_._2).foldLeft[BQuery](BQuery.True)(BQuery.and)
+    (query, accepted, residual)
+  }
+}
+
+/** Tiny JSON query parser for the option-level `query` (the analog of
+  * `mongo.input.query`, MongoConfigUtil.java:717-733). Supports
+  * {"field": value} equality and {"field": {"$gt": v, ...}} operators,
+  * plus {"$and"/"$or": [...]}. Uses json4s (ships with Spark).
+  */
+object BQueryJson {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def parse(json: String): BQuery = fromJObject(JsonMethods.parse(json).asInstanceOf[JObject])
+
+  private def fromJObject(o: JObject): BQuery = {
+    val parts = o.obj.map {
+      case ("$and", JArray(items)) =>
+        BQuery.And(items.map(i => fromJObject(i.asInstanceOf[JObject])))
+      case ("$or", JArray(items)) =>
+        BQuery.Or(items.map(i => fromJObject(i.asInstanceOf[JObject])))
+      case (field, ops: JObject) if ops.obj.nonEmpty && ops.obj.forall(_._1.startsWith("$")) =>
+        BQuery.And(ops.obj.map {
+          case ("$gt", v) => BQuery.Gt(field, value(v))
+          case ("$gte", v) => BQuery.Gte(field, value(v))
+          case ("$lt", v) => BQuery.Lt(field, value(v))
+          case ("$lte", v) => BQuery.Lte(field, value(v))
+          case ("$eq", v) => BQuery.Eq(field, value(v))
+          case ("$in", JArray(vs)) => BQuery.In(field, vs.map(value))
+          case ("$exists", JBool(b)) => BQuery.Exists(field, b)
+          case (op, _) => throw new IllegalArgumentException(s"unsupported operator $op")
+        })
+      case (field, v) => BQuery.Eq(field, value(v))
+    }
+    parts match {
+      case Nil => BQuery.True
+      case one :: Nil => one
+      case many => BQuery.And(many)
+    }
+  }
+
+  private def value(j: JValue): BsonValue = j match {
+    case JInt(x) if x.isValidInt => BInt32(x.toInt)
+    case JInt(x) => BInt64(x.toLong)
+    case JLong(x) => BInt64(x)
+    case JDouble(x) => BDouble(x)
+    case JDecimal(x) => BDouble(x.toDouble)
+    case JString(x) => BString(x)
+    case JBool(x) => BBool(x)
+    case JNull => BNull
+    case other => throw new IllegalArgumentException(s"unsupported literal $other")
+  }
+}

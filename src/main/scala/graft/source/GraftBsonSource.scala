@@ -1,0 +1,350 @@
+package graft.source
+
+import graft.bson._
+import graft.files.BsonFiles
+import graft.query.{BQuery, BQueryJson, FilterTranslator, UpdateModel}
+import graft.store.BsonCollection
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector for BSON dump collections: schema inference by
+  * sampling (dynamic mode), filter + projection pushdown with residual
+  * split, pluggable partition planning, and a batched keyed write path
+  * with insert / replace / update / upsert (+multi) modes.
+  *
+  * Structure mirrors the reference's connector responsibilities
+  * (MongoInputFormat / splitters / MongoOutputCommitter) re-expressed on
+  * the DSv2 interfaces; storage is the file-backed [[BsonCollection]].
+  *
+  * Read options: `path`, `query` (option-level JSON, AND-composed with
+  * pushed filters like mongo.input.query), `splitter`
+  * (bytes|single|size|sample|paginating), `split_size`, `key`, `min_docs`,
+  * `filter_empty`. Write options: `mode` (insert|replace|update|upsert),
+  * `update_op` (set|inc|push|pushAll), `keys`, `multi`, `id_column`,
+  * `ensure_index`.
+  */
+class GraftBsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftbson"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = GraftBsonSource.dataFiles(options.get("path"))
+    val sample = files.iterator.flatMap(f => BsonFiles.readAll(f)).take(1000)
+    val inferred = RowCodec.inferSchema(sample)
+    if (inferred.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot infer schema: no documents under ${options.get("path")}")
+    inferred
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTable(schema, properties.asScala.toMap)
+}
+
+object GraftBsonSource {
+  /** BSON data files under a path; dot-files skipped (the BSONPathFilter
+    * rule, core/.../BSONPathFilter.java:38).
+    */
+  def dataFiles(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      Files.list(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .filter(_.getFileName.toString.endsWith(".bson"))
+        .map(_.toString).toSeq.sorted
+    } else if (Files.exists(p)) Seq(path)
+    else Seq.empty
+  }
+}
+
+final class GraftTable(tableSchema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graftbson:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableSchema, properties ++ options.asScala)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(info.schema(), properties ++ info.options().asScala)
+}
+
+final class GraftScanBuilder(tableSchema: StructType, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushedQuery: BQuery = BQuery.True
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (query, accepted, residual) = FilterTranslator.split(filters)
+    pushedQuery = query
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    // AND-compose with the option-level query (mongo.input.query analog;
+    // $and composition semantics of HiveMongoInputFormat.java:104-123)
+    val optionQuery = options.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
+    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options)
+  }
+}
+
+final class GraftScan(requiredSchema: StructType, query: BQuery,
+    options: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftScan PushedQuery: $query, ReadSchema: ${requiredSchema.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftBsonSource.dataFiles(options.getOrElse("path",
+      throw new IllegalArgumentException("path option required")))
+    val strategy = options.getOrElse("splitter", "bytes")
+    val splitSize = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
+    strategy match {
+      case "bytes" =>
+        files.flatMap { f =>
+          BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
+            GraftInputPartition(f, s, e, query): InputPartition
+          }
+        }.toArray
+      case "single" =>
+        files.map(f => GraftInputPartition(f, 0L, Long.MaxValue, query): InputPartition).toArray
+      case other =>
+        // key-range strategies via the pure planners + file-backed stats
+        val key = options.getOrElse("key", "_id")
+        val minDocs = options.get("min_docs").map(_.toLong).getOrElse(1000L)
+        val filterEmpty = options.get("filter_empty").exists(_.toBoolean)
+        files.flatMap { f =>
+          val stats = new FileStats(f, key)
+          Planners.plan(stats, key, other, query,
+            targetSplitBytes = splitSize, minDocs = minDocs,
+            filterEmpty = filterEmpty)
+            .map { case (q, _) =>
+              GraftInputPartition(f, 0L, Long.MaxValue, q): InputPartition
+            }
+        }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(requiredSchema)
+}
+
+/** File-backed [[Planners.CollectionStats]] (driver-side planning only). */
+final class FileStats(path: String, key: String) extends Planners.CollectionStats {
+  private lazy val docs: Vector[BDoc] = BsonFiles.readAll(path).toVector
+  private lazy val sortedKeys: Vector[BsonValue] =
+    docs.flatMap(_.getPath(key)).sorted(BsonOrdering)
+
+  override def count: Long = docs.size.toLong
+  override def avgObjSizeBytes: Long = {
+    val total = Files.size(Paths.get(path))
+    if (docs.isEmpty) 0L else math.max(1L, total / docs.size)
+  }
+  override def sampleKeys(n: Int): Seq[BsonValue] =
+    if (sortedKeys.isEmpty || n <= 0) Seq.empty
+    else {
+      val step = math.max(1, sortedKeys.size / n)
+      sortedKeys.grouped(step).map(_.head).take(n).toSeq
+    }
+  override def keyAtSkip(query: BQuery, skip: Long): Option[BsonValue] = {
+    val matching = docs.filter(query.matches)
+      .flatMap(_.getPath(key)).sorted(BsonOrdering)
+    if (skip < matching.size) Some(matching(skip.toInt)) else None
+  }
+  override def hasAny(query: BQuery): Boolean = docs.exists(query.matches)
+}
+
+final case class GraftInputPartition(path: String, start: Long, end: Long,
+    query: BQuery) extends InputPartition
+
+final class GraftReaderFactory(requiredSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p, requiredSchema)
+  }
+}
+
+final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val docs = BsonFiles.readRange(p.path, p.start, p.end)
+    .filter(p.query.matches)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (docs.hasNext) { current = RowCodec.toRow(docs.next(), requiredSchema); true }
+    else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ---------------- write path ----------------
+
+final class GraftWriteBuilder(writeSchema: StructType, options: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(writeSchema, options, truncateFirst)
+  }
+}
+
+final case class GraftCommitMessage(partitionId: Int, tempFile: String, n: Long)
+    extends WriterCommitMessage
+
+/** Task writers serialize write-model docs to task-local temp files; the
+  * driver-side commit replays them in partition order as one ordered bulk
+  * (the temp-file-then-commit protocol of MongoRecordWriter.java:49-120 +
+  * MongoOutputCommitter.commitTask:91-186, which makes task retries safe
+  * for non-idempotent $inc/$push updates).
+  */
+final class GraftBatchWrite(writeSchema: StructType, options: Map[String, String],
+    truncateFirst: Boolean) extends BatchWrite {
+
+  private val path = options.getOrElse("path",
+    throw new IllegalArgumentException("path option required"))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDataWriterFactory(writeSchema, options)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val coll = new BsonCollection(path)
+    options.get("ensure_index").foreach(ix => coll.ensureIndex(ix.split(',').toSeq))
+    if (truncateFirst) {
+      // overwrite semantics: start from an empty collection
+      val dataFile = Paths.get(path, "data.bson")
+      Files.deleteIfExists(dataFile)
+      Files.deleteIfExists(dataFile.resolveSibling(".data.bson.splits"))
+    }
+    val ordered = messages.collect { case m: GraftCommitMessage => m }
+      .sortBy(_.partitionId)
+    val models = ordered.iterator.flatMap(m => BsonFiles.readAll(m.tempFile))
+      .map(WriteModels.fromDoc(coll, _))
+    coll.bulkWrite(models)
+    ordered.foreach { m =>
+      Files.deleteIfExists(Paths.get(m.tempFile))
+      val tf = Paths.get(m.tempFile)
+      Files.deleteIfExists(tf.resolveSibling("." + tf.getFileName + ".splits"))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftCommitMessage => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(m.tempFile)))
+}
+
+/** Write-model wire shape: insert docs as-is; update ops wrapped as
+  * {"__op": mode, "q": {...}, "u": {...}, "upsert": b, "multi": b}.
+  */
+object WriteModels {
+  def toDoc(mode: String, row: BDoc, keys: Seq[String], updateOp: String,
+      multi: Boolean, idColumn: Option[String]): BDoc = {
+    val doc = idColumn match {
+      case Some(c) if row.get(c).isDefined && c != "_id" =>
+        BDoc(ListMap("_id" -> row.get(c).get) ++ row.fields.removed(c))
+      case _ => row
+    }
+    mode match {
+      case "insert" => doc
+      case m =>
+        val q = BDoc(ListMap(keys.map(k => k -> doc.get(k).getOrElse(BNull)): _*))
+        val rest = BDoc(doc.fields.filterNot { case (k, _) => keys.contains(k) })
+        val u = (m, updateOp) match {
+          case ("replace", _) => rest
+          case (_, "set") => BDoc("$set" -> rest)
+          case (_, "inc") => BDoc("$inc" -> rest)
+          case (_, "push") => BDoc("$push" -> rest)
+          case (_, "pushAll") => BDoc("$pushAll" -> rest)
+          case (_, other) => throw new IllegalArgumentException(s"unknown update_op $other")
+        }
+        BDoc(
+          "__op" -> BString(m), "q" -> q, "u" -> u,
+          "upsert" -> BBool(m == "upsert"),
+          "multi" -> BBool(multi))
+    }
+  }
+
+  def fromDoc(coll: BsonCollection, d: BDoc): coll.WriteModel = d.get("__op") match {
+    case None => coll.InsertOne(d)
+    case Some(BString(mode)) =>
+      val q = d.get("q").collect { case qd: BDoc => qd }.getOrElse(BDoc.empty)
+      val u = d.get("u").collect { case ud: BDoc => ud }.getOrElse(BDoc.empty)
+      val upsert = d.get("upsert").contains(BBool(true))
+      val multi = d.get("multi").contains(BBool(true))
+      val query = q.fields.foldLeft[BQuery](BQuery.True) {
+        case (acc, (k, v)) => BQuery.and(acc, BQuery.Eq(k, v))
+      }
+      coll.UpdateOp(UpdateModel(query, u, upsert = upsert, multi = multi,
+        replace = mode == "replace"))
+    case other => throw new IllegalArgumentException(s"bad __op $other")
+  }
+}
+
+final class GraftDataWriterFactory(writeSchema: StructType, options: Map[String, String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(partitionId, taskId, writeSchema, options)
+}
+
+final class GraftDataWriter(partitionId: Int, taskId: Long,
+    writeSchema: StructType, options: Map[String, String])
+    extends DataWriter[InternalRow] {
+
+  private val mode = options.getOrElse("mode", "insert")
+  private val keys = options.getOrElse("keys", "_id").split(',').toSeq
+  private val updateOp = options.getOrElse("update_op", "set")
+  private val multi = options.get("multi").exists(_.toBoolean)
+  private val idColumn = options.get("id_column")
+
+  private val tempFile = Files.createTempFile(s"graft-w$partitionId-$taskId", ".bson").toString
+  private val buffer = Vector.newBuilder[BDoc]
+  private var n = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val doc = RowCodec.toBson(record, writeSchema)
+    buffer += WriteModels.toDoc(mode, doc, keys, updateOp, multi, idColumn)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    BsonFiles.write(tempFile, buffer.result().iterator)
+    GraftCommitMessage(partitionId, tempFile, n)
+  }
+
+  override def abort(): Unit = Files.deleteIfExists(Paths.get(tempFile))
+  override def close(): Unit = ()
+}

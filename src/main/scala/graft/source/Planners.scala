@@ -1,0 +1,160 @@
+package graft.source
+
+import graft.bson.{BDoc, BsonValue}
+import graft.query.BQuery
+
+/** Pure partition-planning strategies — the Spark-side analog of the
+  * reference's splitter family (core/.../splitter/): size-based bounds
+  * (splitVector analog), sample-based bounds, chunk-per-partition with
+  * locality, shard-direct, single, filter-aware pagination, range-query
+  * composition and empty-split pruning. All pure functions over a
+  * [[CollectionStats]] provider so they unit-test without a server and
+  * plug into `Batch.planInputPartitions`.
+  */
+object Planners {
+
+  /** Planning-time stats interface (collstats / splitVector / $sample /
+    * config.chunks stand-ins; the file-backed provider computes them from
+    * the data, a server-backed one would issue the commands).
+    */
+  trait CollectionStats {
+    def count: Long
+    def avgObjSizeBytes: Long
+    /** Sorted sample of n split-key values. */
+    def sampleKeys(n: Int): Seq[BsonValue]
+    /** Split-key value of the `skip`-th doc matching `query` in key order
+      * (None = fewer matching docs) — the paginating splitter's probe.
+      */
+    def keyAtSkip(query: BQuery, skip: Long): Option[BsonValue]
+    /** Does any doc match (used by empty-split pruning)? */
+    def hasAny(query: BQuery): Boolean
+  }
+
+  /** A planned partition: key range + preferred locations. */
+  final case class KeySplit(
+      range: BQuery.KeyRange,
+      preferredLocations: Seq[String] = Seq.empty)
+
+  /** Whole collection as one split (SingleMongoSplitter.java:52). */
+  def single(key: String): Seq[KeySplit] =
+    Seq(KeySplit(BQuery.KeyRange(key, None, None)))
+
+  /** Boundary list -> splits: (None,b0], [b0,b1) ... [bn,None) —
+    * MongoCollectionSplitter.createSplitFromBounds:182-229.
+    */
+  def fromBoundaries(key: String, bounds: Seq[BsonValue]): Seq[KeySplit] = {
+    val sorted = bounds.distinct
+    val los = None +: sorted.map(Some(_))
+    val his = sorted.map(Some(_)) :+ None
+    los.zip(his).map { case (lo, hi) => KeySplit(BQuery.KeyRange(key, lo, hi)) }
+  }
+
+  /** Size-based: number of splits from collection bytes / target split
+    * size (default 8 MB, the reference's mongo.input.split_size —
+    * MongoConfigUtil.java:155), boundaries from evenly spaced sampled keys
+    * (the splitVector-index-walk stand-in, StandaloneMongoSplitter.java:66-209).
+    */
+  def sizeBased(stats: CollectionStats, key: String,
+      targetSplitBytes: Long = 8L * 1024 * 1024): Seq[KeySplit] = {
+    val totalBytes = stats.count * stats.avgObjSizeBytes
+    val nSplits = math.max(1L, (totalBytes + targetSplitBytes - 1) / targetSplitBytes)
+    if (nSplits == 1) single(key)
+    else {
+      // oversample then take every k-th as a boundary
+      val oversample = math.min(stats.count, nSplits * 10).toInt
+      val sample = stats.sampleKeys(oversample)
+      val step = math.max(1, sample.size / nSplits.toInt)
+      val bounds = sample.grouped(step).map(_.head).drop(1).toSeq
+      fromBoundaries(key, bounds)
+    }
+  }
+
+  /** Sample-based: samplesPerSplit samples per target split, every
+    * samplesPerSplit-th sampled key is a boundary (SampleSplitter.java:43-106).
+    */
+  def sampleBased(stats: CollectionStats, key: String,
+      targetSplitBytes: Long = 8L * 1024 * 1024,
+      samplesPerSplit: Int = 10): Seq[KeySplit] = {
+    val totalBytes = stats.count * stats.avgObjSizeBytes
+    val nSplits = math.max(1L, (totalBytes + targetSplitBytes - 1) / targetSplitBytes).toInt
+    if (nSplits == 1) single(key)
+    else {
+      val sample = stats.sampleKeys(nSplits * samplesPerSplit)
+      val bounds = sample.zipWithIndex.collect {
+        case (k, i) if i > 0 && i % samplesPerSplit == 0 => k
+      }
+      fromBoundaries(key, bounds)
+    }
+  }
+
+  /** Filter-aware pagination: walk matching docs with skip probes so each
+    * split holds >= minDocs MATCHING docs (MongoPaginatingSplitter.java:44-117).
+    */
+  def paginating(stats: CollectionStats, key: String, query: BQuery,
+      minDocs: Long = 1000L): Seq[KeySplit] = {
+    val bounds = Iterator.from(1)
+      .map(i => stats.keyAtSkip(query, i.toLong * minDocs))
+      .takeWhile(_.isDefined)
+      .flatten
+      .toSeq
+    fromBoundaries(key, bounds)
+  }
+
+  /** One partition per pre-existing chunk, carrying shard locality
+    * (ShardChunkMongoSplitter.java:59-148).
+    */
+  final case class Chunk(min: Option[BsonValue], max: Option[BsonValue], shard: String)
+
+  def fromChunks(key: String, chunks: Seq[Chunk],
+      shardHosts: Map[String, Seq[String]]): Seq[KeySplit] =
+    chunks.map { c =>
+      KeySplit(BQuery.KeyRange(key, c.min, c.max),
+        shardHosts.getOrElse(c.shard, Seq.empty))
+    }
+
+  /** One partition per shard (ShardMongoSplitter.java:46-69). */
+  def perShard(key: String, shardHosts: Map[String, Seq[String]]): Seq[KeySplit] =
+    shardHosts.toSeq.sortBy(_._1).map { case (_, hosts) =>
+      KeySplit(BQuery.KeyRange(key, None, None), hosts)
+    }
+
+  /** Compose a user/pushed query into each split's range — the range-query
+    * split (MongoCollectionSplitter.createRangeQuerySplit:243-295). The
+    * reference rejects conflicts between the query and the split key; here
+    * the AND composition is always sound.
+    */
+  def withQuery(splits: Seq[KeySplit], query: BQuery): Seq[(BQuery, Seq[String])] =
+    splits.map(s => (BQuery.and(s.range, query), s.preferredLocations))
+
+  /** Empty-split pruning (MongoSplitter.filterEmptySplits:54-67; off by
+    * default in the reference because it costs one probe per split).
+    */
+  def pruneEmpty(splits: Seq[KeySplit], stats: CollectionStats,
+      query: BQuery = BQuery.True): Seq[KeySplit] =
+    splits.filter(s => stats.hasAny(BQuery.and(s.range, query)))
+
+  /** Strategy selection (MongoSplitterFactory.java:54-129): chunks if a
+    * shard map exists, else the requested strategy, else size-based.
+    */
+  def plan(
+      stats: CollectionStats,
+      key: String,
+      strategy: String,
+      query: BQuery = BQuery.True,
+      chunks: Seq[Chunk] = Seq.empty,
+      shardHosts: Map[String, Seq[String]] = Map.empty,
+      targetSplitBytes: Long = 8L * 1024 * 1024,
+      minDocs: Long = 1000L,
+      filterEmpty: Boolean = false): Seq[(BQuery, Seq[String])] = {
+    val splits = strategy match {
+      case _ if chunks.nonEmpty => fromChunks(key, chunks, shardHosts)
+      case "single" => single(key)
+      case "sample" => sampleBased(stats, key, targetSplitBytes)
+      case "paginating" => paginating(stats, key, query, minDocs)
+      case "shard" if shardHosts.nonEmpty => perShard(key, shardHosts)
+      case _ => sizeBased(stats, key, targetSplitBytes)
+    }
+    val pruned = if (filterEmpty) pruneEmpty(splits, stats, query) else splits
+    withQuery(pruned, query)
+  }
+}

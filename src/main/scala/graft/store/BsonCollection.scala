@@ -1,0 +1,133 @@
+package graft.store
+
+import graft.bson._
+import graft.files.BsonFiles
+import graft.query.{BQuery, UpdateModel, Updates}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+
+/** A file-backed "collection": one BSON dump file keyed by `_id`, with
+  * bulk-write semantics (insert / replace / update / upsert / multi) and
+  * commit-time atomicity (write temp, atomic rename) — the sandbox stand-in
+  * for a live server, behind which the same writer/reader code would talk
+  * to a real backend. Write semantics follow the reference's bulk commit
+  * (core/.../output/MongoOutputCommitter.java:91-186).
+  */
+final class BsonCollection(val dir: String) {
+  private def dataPath: Path = Paths.get(dir, "data.bson")
+  private def indexPath: Path = Paths.get(dir, "indexes.txt")
+
+  def exists: Boolean = Files.exists(dataPath)
+
+  def readAll(): Iterator[BDoc] =
+    if (!exists) Iterator.empty else BsonFiles.readAll(dataPath.toString)
+
+  def count(): Long = readAll().size.toLong
+
+  /** Declared indexes (ensure-index parity: recorded, used as metadata). */
+  def ensureIndex(fields: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val existing = indexes()
+    if (!existing.contains(fields)) {
+      val all = existing :+ fields
+      Files.writeString(indexPath, all.map(_.mkString(",")).mkString("\n"))
+    }
+  }
+
+  def indexes(): Seq[Seq[String]] =
+    if (!Files.exists(indexPath)) Seq.empty
+    else Files.readString(indexPath).split('\n').filter(_.nonEmpty).toSeq.map(_.split(',').toSeq)
+
+  sealed trait WriteModel
+  final case class InsertOne(doc: BDoc) extends WriteModel
+  final case class UpdateOp(model: UpdateModel) extends WriteModel
+
+  final case class BulkResult(inserted: Long, matched: Long, modified: Long, upserted: Long)
+
+  /** Apply a bulk of write models in order and commit atomically. */
+  def bulkWrite(models: Iterator[WriteModel]): BulkResult = {
+    Files.createDirectories(Paths.get(dir))
+    // load current state: insertion-ordered, keyed by _id where present
+    val byId = mutable.LinkedHashMap[BsonValue, BDoc]()
+    val anonymous = mutable.ArrayBuffer[BDoc]()
+    readAll().foreach { d =>
+      d.get("_id") match {
+        case Some(id) => byId(id) = d
+        case None => anonymous += d
+      }
+    }
+    var inserted = 0L
+    var matched = 0L
+    var modified = 0L
+    var upserted = 0L
+
+    def allDocs: Iterator[BDoc] = byId.valuesIterator ++ anonymous.iterator
+
+    models.foreach {
+      case InsertOne(doc) =>
+        doc.get("_id") match {
+          case Some(id) =>
+            if (byId.contains(id))
+              throw new IllegalStateException(s"duplicate key _id=$id on insert")
+            byId(id) = doc
+          case None => anonymous += doc
+        }
+        inserted += 1
+
+      case UpdateOp(UpdateModel(query, update, upsert, multi, replace)) =>
+        val hits = allDocs.filter(query.matches).toVector
+        val targets = if (multi) hits else hits.take(1)
+        if (targets.isEmpty) {
+          if (upsert) {
+            val seed = Updates.upsertSeed(query, update)
+            val withId = if (seed.get("_id").isEmpty)
+              BDoc(ListMap("_id" -> BObjectId(freshObjectId())) ++ seed.fields)
+            else seed
+            byId(withId.get("_id").get) = withId
+            upserted += 1
+          }
+        } else {
+          targets.foreach { old =>
+            matched += 1
+            val next =
+              if (replace || !Updates.isModifierUpdate(update)) {
+                // replacement preserves the matched doc's _id
+                old.get("_id") match {
+                  case Some(id) => BDoc(ListMap("_id" -> id) ++ update.fields.removed("_id"))
+                  case None => update
+                }
+              } else Updates.applyModifiers(old, update)
+            if (next != old) modified += 1
+            old.get("_id") match {
+              case Some(id) => byId(id) = next
+              case None =>
+                val idx = anonymous.indexOf(old)
+                if (idx >= 0) anonymous(idx) = next
+            }
+          }
+        }
+    }
+
+    // atomic commit: write (data + .splits side file) under a temp name in
+    // the same directory, then rename both into place
+    val finalDocs = allDocs.toVector
+    val tmpName = dataPath.toString + ".commit-tmp"
+    BsonFiles.write(tmpName, finalDocs.iterator)
+    val tmpPath = Paths.get(tmpName)
+    val tmpSide = tmpPath.resolveSibling("." + tmpPath.getFileName + ".splits")
+    val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
+    Files.move(tmpPath, dataPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(tmpSide))
+      Files.move(tmpSide, side, StandardCopyOption.REPLACE_EXISTING)
+    BulkResult(inserted, matched, modified, upserted)
+  }
+
+  private var oidCounter = 0L
+  private def freshObjectId(): String = {
+    oidCounter += 1
+    f"${(System.currentTimeMillis() / 1000).toInt}%08x${oidCounter}%016x"
+  }
+}

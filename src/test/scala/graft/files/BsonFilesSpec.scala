@@ -1,0 +1,62 @@
+package graft.files
+
+import graft.bson._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+class BsonFilesSpec extends AnyFunSuite {
+
+  private def mkDocs(n: Int): Seq[BDoc] =
+    (0 until n).map(i => BDoc(
+      "_id" -> BInt64(i.toLong),
+      "name" -> BString(s"doc-$i-" + ("x" * (i % 37))),
+      "v" -> BDouble(i * 0.5)))
+
+  private def tempFile(): String =
+    Files.createTempFile("bsonfiles", ".bson").toString
+
+  test("write + readAll round-trips; splits side file written") {
+    val path = tempFile()
+    val docs = mkDocs(500)
+    assert(BsonFiles.write(path, docs.iterator) == 500)
+    assert(BsonFiles.readAll(path).toSeq == docs)
+    assert(BsonFiles.readSplitsFile(path).exists(_.nonEmpty))
+  }
+
+  test("byte splits cover every doc exactly once (boundary resync via side file)") {
+    val path = tempFile()
+    val docs = mkDocs(1000)
+    BsonFiles.write(path, docs.iterator)
+    for (splitSize <- Seq(256L, 1024L, 4096L, 1 << 20)) {
+      val splits = BsonFiles.planByteSplits(path, splitSize)
+      val all = splits.flatMap { case (s, e) => BsonFiles.readRange(path, s, e) }
+      assert(all == docs, s"splitSize=$splitSize lost or duplicated docs")
+    }
+  }
+
+  test("boundary resync works WITHOUT the side file (scan-and-validate)") {
+    val path = tempFile()
+    val docs = mkDocs(300)
+    BsonFiles.write(path, docs.iterator)
+    val p = Paths.get(path)
+    Files.delete(p.resolveSibling("." + p.getFileName + ".splits"))
+    val splits = BsonFiles.planByteSplits(path, 512L)
+    val all = splits.flatMap { case (s, e) => BsonFiles.readRange(path, s, e) }
+    assert(all == docs)
+  }
+
+  test("startingPosition lands exactly on doc boundaries") {
+    val path = tempFile()
+    val docs = mkDocs(50)
+    BsonFiles.write(path, docs.iterator)
+    // reconstruct true boundaries
+    var bounds = Vector(0L)
+    BsonFiles.readAll(path).foreach(d => bounds :+= bounds.last + BsonCodec.encode(d).length)
+    for (target <- 1L until Files.size(Paths.get(path)) by 97L) {
+      val pos = BsonFiles.startingPosition(path, target)
+      assert(bounds.contains(pos), s"resync at $target gave non-boundary $pos")
+      assert(pos >= target)
+    }
+  }
+}

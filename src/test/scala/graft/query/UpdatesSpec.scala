@@ -1,0 +1,53 @@
+package graft.query
+
+import graft.bson._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Update-modifier semantics (MongoUpdateWritable / JSONPigReplace
+  * behavioral surface, reimplemented).
+  */
+class UpdatesSpec extends AnyFunSuite {
+
+  test("$set sets and overwrites, including dotted paths") {
+    val d = BDoc("_id" -> BInt32(1), "a" -> BInt32(2))
+    val u = Updates.applyModifiers(d, BDoc("$set" -> BDoc("a" -> BInt32(9), "b.c" -> BString("x"))))
+    assert(u.get("a").contains(BInt32(9)))
+    assert(u.getPath("b.c").contains(BString("x")))
+  }
+
+  test("$inc adds with numeric widening; missing field starts from the increment") {
+    val d = BDoc("n32" -> BInt32(5), "n64" -> BInt64(10L), "d" -> BDouble(0.5))
+    val u = Updates.applyModifiers(d, BDoc("$inc" -> BDoc(
+      "n32" -> BInt32(3), "n64" -> BInt32(1), "d" -> BDouble(0.25), "fresh" -> BInt32(7))))
+    assert(u.get("n32").contains(BInt32(8)))
+    assert(u.get("n64").contains(BInt64(11L)))
+    assert(u.get("d").contains(BDouble(0.75)))
+    assert(u.get("fresh").contains(BInt32(7)))
+  }
+
+  test("$unset removes; $push appends; $pushAll appends many") {
+    val d = BDoc("a" -> BInt32(1), "tags" -> BArray(Vector(BString("x"))))
+    val u1 = Updates.applyModifiers(d, BDoc("$unset" -> BDoc("a" -> BInt32(1))))
+    assert(u1.get("a").isEmpty)
+    val u2 = Updates.applyModifiers(d, BDoc("$push" -> BDoc("tags" -> BString("y"))))
+    assert(u2.get("tags").contains(BArray(Vector(BString("x"), BString("y")))))
+    val u3 = Updates.applyModifiers(d, BDoc("$pushAll" -> BDoc(
+      "tags" -> BArray(Vector(BString("y"), BString("z"))))))
+    assert(u3.get("tags").contains(BArray(Vector(BString("x"), BString("y"), BString("z")))))
+  }
+
+  test("upsert seed: equality fields of the query become the base doc") {
+    val q = BQuery.And(Seq(BQuery.Eq("_id", BInt32(7)), BQuery.Eq("grp", BString("g"))))
+    val seeded = Updates.upsertSeed(q, BDoc("$inc" -> BDoc("n" -> BInt32(1))))
+    assert(seeded.get("_id").contains(BInt32(7)))
+    assert(seeded.get("grp").contains(BString("g")))
+    assert(seeded.get("n").contains(BInt32(1)))
+  }
+
+  test("replacement upsert carries the query _id") {
+    val q = BQuery.Eq("_id", BInt32(3))
+    val seeded = Updates.upsertSeed(q, BDoc("v" -> BString("new")))
+    assert(seeded.get("_id").contains(BInt32(3)))
+    assert(seeded.get("v").contains(BString("new")))
+  }
+}
