@@ -17,9 +17,17 @@ object RowCodec {
 
   // ---- BDoc -> InternalRow ----
 
-  def toRow(doc: BDoc, schema: StructType): InternalRow = {
+  /** `mapping` renames Spark columns to (dotted) document fields — the
+    * mongo.columns.mapping analog applied at read time.
+    */
+  def toRow(doc: BDoc, schema: StructType,
+      mapping: Map[String, String] = Map.empty): InternalRow = {
     val values = schema.fields.map { f =>
-      doc.get(f.name).map(v => toCatalyst(v, f.dataType)).orNull
+      val v = mapping.get(f.name) match {
+        case Some(path) => doc.getPath(path)
+        case None => doc.get(f.name)
+      }
+      v.map(x => toCatalyst(x, f.dataType)).orNull
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }

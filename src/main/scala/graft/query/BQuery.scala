@@ -99,35 +99,42 @@ object FilterTranslator {
     case _ => None
   }
 
-  /** Translate one filter; None = not pushable (becomes residual). */
-  def translate(f: Filter): Option[BQuery] = f match {
-    case EqualTo(a, v) => toBson(v).map(BQuery.Eq(a, _))
-    case EqualNullSafe(a, null) => Some(BQuery.Exists(a, yes = false))
-    case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(a, _))
-    case GreaterThan(a, v) => toBson(v).map(BQuery.Gt(a, _))
-    case GreaterThanOrEqual(a, v) => toBson(v).map(BQuery.Gte(a, _))
-    case LessThan(a, v) => toBson(v).map(BQuery.Lt(a, _))
-    case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(a, _))
-    case In(a, vs) =>
-      val bs = vs.toSeq.map(toBson)
-      if (bs.forall(_.isDefined)) Some(BQuery.In(a, bs.flatten)) else None
-    case IsNull(a) => Some(BQuery.Exists(a, yes = false))
-    case IsNotNull(a) => Some(BQuery.Exists(a, yes = true))
-    case And(l, r) =>
-      (translate(l), translate(r)) match {
-        case (Some(x), Some(y)) => Some(BQuery.and(x, y))
-        case _ => None // partial AND push would need care; keep whole as residual
-      }
-    case Or(l, r) =>
-      for (x <- translate(l); y <- translate(r)) yield BQuery.Or(Seq(x, y))
-    case Not(EqualTo(a, v)) =>
-      toBson(v).map(b => BQuery.Or(Seq(BQuery.Lt(a, b), BQuery.Gt(a, b))))
-    case _ => None
+  /** Translate one filter; None = not pushable (becomes residual).
+    * `m` remaps Spark column names to document field paths
+    * (mongo.columns.mapping analog, HiveMongoInputFormat.java:211-240).
+    */
+  def translate(f: Filter, m: Map[String, String] = Map.empty): Option[BQuery] = {
+    def col(a: String): String = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
+      case EqualNullSafe(a, null) => Some(BQuery.Exists(col(a), yes = false))
+      case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
+      case GreaterThan(a, v) => toBson(v).map(BQuery.Gt(col(a), _))
+      case GreaterThanOrEqual(a, v) => toBson(v).map(BQuery.Gte(col(a), _))
+      case LessThan(a, v) => toBson(v).map(BQuery.Lt(col(a), _))
+      case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(col(a), _))
+      case In(a, vs) =>
+        val bs = vs.toSeq.map(toBson)
+        if (bs.forall(_.isDefined)) Some(BQuery.In(col(a), bs.flatten)) else None
+      case IsNull(a) => Some(BQuery.Exists(col(a), yes = false))
+      case IsNotNull(a) => Some(BQuery.Exists(col(a), yes = true))
+      case And(l, r) =>
+        (translate(l, m), translate(r, m)) match {
+          case (Some(x), Some(y)) => Some(BQuery.and(x, y))
+          case _ => None // partial AND push would need care; keep whole as residual
+        }
+      case Or(l, r) =>
+        for (x <- translate(l, m); y <- translate(r, m)) yield BQuery.Or(Seq(x, y))
+      case Not(EqualTo(a, v)) =>
+        toBson(v).map(b => BQuery.Or(Seq(BQuery.Lt(col(a), b), BQuery.Gt(col(a), b))))
+      case _ => None
+    }
   }
 
   /** Split filters into (pushed query, accepted filters, residual filters). */
-  def split(filters: Array[Filter]): (BQuery, Array[Filter], Array[Filter]) = {
-    val results = filters.map(f => f -> translate(f))
+  def split(filters: Array[Filter],
+      mapping: Map[String, String] = Map.empty): (BQuery, Array[Filter], Array[Filter]) = {
+    val results = filters.map(f => f -> translate(f, mapping))
     val accepted = results.collect { case (f, Some(_)) => f }
     val residual = results.collect { case (f, None) => f }
     val query = results.flatMap(_._2).foldLeft[BQuery](BQuery.True)(BQuery.and)

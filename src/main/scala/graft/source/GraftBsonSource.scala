@@ -89,14 +89,22 @@ final class GraftTable(tableSchema: StructType, properties: Map[String, String])
 }
 
 final class GraftScanBuilder(tableSchema: StructType, options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  /** Column-name remapping: Spark column -> (dotted) document field, the
+    * `mongo.columns.mapping` analog (HiveMongoInputFormat.java:211-240).
+    */
+  private val mapping: Map[String, String] =
+    options.get("column_mapping").map(ColumnMapping.parse).getOrElse(Map.empty)
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (query, accepted, residual) = FilterTranslator.split(filters)
+    val (query, accepted, residual) = FilterTranslator.split(filters, mapping)
     pushedQuery = query
     pushed = accepted
     residual
@@ -107,16 +115,37 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Per-partition limit (the reference pushes limit per split,
+    * MongoInputSplit.java:291-296, which is only globally correct with one
+    * partition — so report partial and let Spark re-apply the global one).
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = {
     // AND-compose with the option-level query (mongo.input.query analog;
     // $and composition semantics of HiveMongoInputFormat.java:104-123)
     val optionQuery = options.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
-    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options)
+    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, limit, mapping)
+  }
+}
+
+object ColumnMapping {
+  /** Parse {"sparkCol": "doc.field", ...}. */
+  def parse(json: String): Map[String, String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json).asInstanceOf[JObject].obj.map {
+      case (k, JString(v)) => k -> v
+      case (k, other) => throw new IllegalArgumentException(
+        s"column_mapping value for $k must be a string, got $other")
+    }.toMap
   }
 }
 
 final class GraftScan(requiredSchema: StructType, query: BQuery,
-    options: Map[String, String]) extends Scan with Batch {
+    options: Map[String, String], limit: Option[Int] = None,
+    mapping: Map[String, String] = Map.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -133,11 +162,12 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       case "bytes" =>
         files.flatMap { f =>
           BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
-            GraftInputPartition(f, s, e, query): InputPartition
+            GraftInputPartition(f, s, e, query, limit, mapping): InputPartition
           }
         }.toArray
       case "single" =>
-        files.map(f => GraftInputPartition(f, 0L, Long.MaxValue, query): InputPartition).toArray
+        files.map(f =>
+          GraftInputPartition(f, 0L, Long.MaxValue, query, limit, mapping): InputPartition).toArray
       case other =>
         // key-range strategies via the pure planners + file-backed stats
         val key = options.getOrElse("key", "_id")
@@ -149,7 +179,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
             targetSplitBytes = splitSize, minDocs = minDocs,
             filterEmpty = filterEmpty)
             .map { case (q, _) =>
-              GraftInputPartition(f, 0L, Long.MaxValue, q): InputPartition
+              GraftInputPartition(f, 0L, Long.MaxValue, q, limit, mapping): InputPartition
             }
         }.toArray
     }
@@ -185,7 +215,8 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,
-    query: BQuery) extends InputPartition
+    query: BQuery, limit: Option[Int] = None,
+    mapping: Map[String, String] = Map.empty) extends InputPartition
 
 final class GraftReaderFactory(requiredSchema: StructType)
     extends PartitionReaderFactory {
@@ -197,13 +228,15 @@ final class GraftReaderFactory(requiredSchema: StructType)
 
 final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructType)
     extends PartitionReader[InternalRow] {
-  private val docs = BsonFiles.readRange(p.path, p.start, p.end)
+  private val base = BsonFiles.readRange(p.path, p.start, p.end)
     .filter(p.query.matches)
+  private val docs = p.limit.map(base.take).getOrElse(base)
   private var current: InternalRow = _
 
   override def next(): Boolean =
-    if (docs.hasNext) { current = RowCodec.toRow(docs.next(), requiredSchema); true }
-    else false
+    if (docs.hasNext) {
+      current = RowCodec.toRow(docs.next(), requiredSchema, p.mapping); true
+    } else false
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
@@ -329,6 +362,10 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
   private val updateOp = options.getOrElse("update_op", "set")
   private val multi = options.get("multi").exists(_.toBoolean)
   private val idColumn = options.get("id_column")
+  // templated update DSL (JSONPigReplace analog): overrides keys/update_op
+  private val templates: Option[(graft.query.UpdateDsl.Template, graft.query.UpdateDsl.Template)] =
+    for (q <- options.get("query_template"); u <- options.get("update_template"))
+      yield (graft.query.UpdateDsl.parse(q), graft.query.UpdateDsl.parse(u))
 
   private val tempFile = Files.createTempFile(s"graft-w$partitionId-$taskId", ".bson").toString
   private val buffer = Vector.newBuilder[BDoc]
@@ -336,7 +373,16 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
 
   override def write(record: InternalRow): Unit = {
     val doc = RowCodec.toBson(record, writeSchema)
-    buffer += WriteModels.toDoc(mode, doc, keys, updateOp, multi, idColumn)
+    buffer += (templates match {
+      case Some((qt, ut)) =>
+        BDoc(
+          "__op" -> BString(mode),
+          "q" -> qt.bind(doc),
+          "u" -> ut.bind(doc),
+          "upsert" -> BBool(mode == "upsert"),
+          "multi" -> BBool(multi))
+      case None => WriteModels.toDoc(mode, doc, keys, updateOp, multi, idColumn)
+    })
     n += 1
   }
 

@@ -1,0 +1,137 @@
+package graft.source
+
+import graft.SparkSpec
+import graft.bson._
+import graft.files.BsonFiles
+import graft.functions.BsonFunctions
+import graft.query.UpdateDsl
+import graft.store.BsonCollection
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+class GridFsAndExtrasSpec extends SparkSpec {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-extra").toString
+
+  test("gridfs binary mode: chunk rows reassemble the original file") {
+    val dir = freshDir()
+    val payload = (0 until 100000).map(i => (i % 251).toByte).toArray
+    Files.write(Paths.get(dir, "blob.bin"), payload)
+    val df = spark.read.format("graftgridfs")
+      .option("mode", "binary").option("chunk_size", "16384").load(dir)
+    val rows = df.orderBy("chunk_id").collect()
+    assert(rows.length == 7, s"100000/16384 -> 7 chunks, got ${rows.length}")
+    val reassembled = rows.flatMap(_.getAs[Array[Byte]]("content"))
+    assert(java.util.Arrays.equals(reassembled, payload))
+    assert(rows.map(_.getAs[Long]("length")).sum == 100000L)
+  }
+
+  test("gridfs text mode: boundary-spanning tokens are neither lost nor duplicated") {
+    val dir = freshDir()
+    val lines = (0 until 5000).map(i => s"line-$i-${"x" * (i % 13)}")
+    Files.write(Paths.get(dir, "text.txt"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("graftgridfs")
+      .option("mode", "text").option("chunk_size", "4096").load(dir)
+    val got = df.select("token").collect().map(_.getString(0)).toSeq
+    assert(got.sorted == lines.sorted, s"got ${got.length} tokens, want ${lines.length}")
+  }
+
+  test("gridfs text mode: custom multi-byte delimiter") {
+    val dir = freshDir()
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    Files.write(Paths.get(dir, "t.txt"), toks.mkString("::").getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("graftgridfs")
+      .option("mode", "text").option("delimiter", "::").load(dir)
+    assert(df.select("token").collect().map(_.getString(0)).toSeq == toks)
+  }
+
+  test("limit pushdown: per-partition limit reaches the reader, global result exact") {
+    val dir = freshDir()
+    val docs = (0 until 2000).map(i => BDoc("_id" -> BInt32(i)))
+    BsonFiles.write(s"$dir/data.bson", docs.iterator)
+    val df = spark.read.format("graftbson").option("split_size", "4096").load(dir).limit(7)
+    assert(df.count() == 7)
+  }
+
+  test("column-name remapping: spark column reads a dotted doc field, pushdown remapped") {
+    val dir = freshDir()
+    val docs = (0 until 100).map(i => BDoc(
+      "_id" -> BInt32(i),
+      "meta" -> BDoc("score" -> BInt32(i * 2))))
+    BsonFiles.write(s"$dir/data.bson", docs.iterator)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_id", IntegerType), StructField("score", IntegerType)))
+    val df = spark.read.format("graftbson")
+      .schema(schema)
+      .option("column_mapping", """{"score": "meta.score"}""")
+      .load(dir)
+    assert(df.filter(df("score") > 100).count() == 49) // i*2>100 -> i in 51..99
+    val scan = df.filter(df("score") > 100).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    assert(scan.contains("Gt(meta.score,BInt32(100))"), s"scan: $scan")
+  }
+
+  test("update DSL: $name placeholders bind per row (JSONPigReplace parity)") {
+    val row = BDoc("id" -> BInt32(7), "avg" -> BDouble(4.25), "who" -> BString("x"))
+    val q = UpdateDsl.parse("""{"_id": "$id"}""").bind(row)
+    assert(q == BDoc("_id" -> BInt32(7)))
+    val u = UpdateDsl.parse("""{"$set": {"bc10Year": "$avg", "tag": "lit", "esc": "$$avg"}}""").bind(row)
+    assert(u.getPath("$set.bc10Year").contains(BDouble(4.25)))
+    assert(u.getPath("$set.tag").contains(BString("lit")))
+    assert(u.getPath("$set.esc").contains(BString("$avg")))
+  }
+
+  test("writer honors query/update templates end-to-end") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1, "a", 0), (2, "b", 0)).toDF("_id", "name", "hits")
+      .write.format("graftbson").mode("append").save(dir)
+    // template update: bump hits for the row's key
+    Seq((1, 10), (1, 5), (2, 3)).toDF("k", "delta")
+      .write.format("graftbson")
+      .option("mode", "update")
+      .option("query_template", """{"_id": "$k"}""")
+      .option("update_template", """{"$inc": {"hits": "$delta"}}""")
+      .mode("append").save(dir)
+    val docs = new BsonCollection(dir).readAll().toSeq
+    def hits(id: Int) = docs.find(_.get("_id").contains(BInt32(id))).get.get("hits")
+    assert(hits(1).contains(BInt32(15)))
+    assert(hits(2).contains(BInt32(3)))
+  }
+
+  test("to_binary and to_dbref column functions") {
+    import spark.implicits._
+    val df = Seq(("abc", "users", "42")).toDF("s", "ref", "id")
+      .select(
+        BsonFunctions.to_binary($"s").as("b"),
+        BsonFunctions.to_dbref($"ref", $"id").as("d"))
+    val r = df.collect().head
+    assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("b"), "abc".getBytes("UTF-8")))
+    val dbref = r.getStruct(1)
+    assert(dbref.getString(0) == "users" && dbref.getString(1) == "42")
+  }
+
+  test("streaming sink: micro-batches accumulate via upsert+$inc (flume-sink parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val dir = freshDir()
+    val input = MemoryStream[(Long, Long)]
+    val counts = input.toDF().toDF("_id", "n")
+    val q = graft.streaming.GraftStreaming.startCollectionSink(
+      counts, dir, Map("mode" -> "upsert", "update_op" -> "inc"),
+      outputMode = "append")
+    input.addData((1L, 2L), (2L, 5L))
+    q.processAllAvailable()
+    input.addData((1L, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graftbson").load(dir)
+      .selectExpr("_id", "n").as[(Long, Long)].collect().toMap
+    assert(back == Map(1L -> 5L, 2L -> 5L), s"got $back")
+  }
+}
