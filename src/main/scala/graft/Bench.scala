@@ -26,6 +26,14 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // warmup: JVM/codegen/parquet-footer costs land here, not on the first
+    // timed query
+    try {
+      Tables.lineitem(spark, sfDir).limit(1000)
+        .groupBy("l_returnflag").count().count()
+      Tables.events(spark, sfDir).limit(1000).count()
+    } catch { case _: Throwable => () }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

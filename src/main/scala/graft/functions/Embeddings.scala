@@ -45,18 +45,23 @@ object Embeddings {
   def quant(c: String): Column =
     expr(s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0) AS BIGINT))")
 
-  /** Squared norm of a quantized vector column (exact integer). */
-  def norm2(q: String): Column =
-    expr(s"aggregate(transform($q, x -> x * x), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+  private def dotExpr(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(LongArrayDot(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
 
-  /** Exact integer dot product of two quantized vector columns. */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+  /** Squared norm of a quantized vector column (exact integer). */
+  def norm2(q: String): Column = dotExpr(expr(q), expr(q))
+
+  /** Exact integer dot product of two quantized vector columns — a native
+    * codegen'd expression ([[LongArrayDot]]), not an interpreted lambda.
+    */
+  def dot(a: String, b: String): Column = dotExpr(expr(a), expr(b))
 
   /** Dot with hyperplane p (literal ±1 array; stays inside codegen). */
   def planeDot(q: String, p: Int): Column = {
     val lits = planeCoef(p).map(c => s"CAST($c AS BIGINT)").mkString("array(", ", ", ")")
-    expr(s"aggregate(zip_with($q, $lits, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    dotExpr(expr(q), expr(lits))
   }
 
   /** LSH bucket id for table t: sign bits of its 4 plane dots. */

@@ -85,6 +85,29 @@ object ConnectorQueries {
         |SELECT CAST(year(o_orderdate) AS INT) AS _id, count(*) AS n_orders,
         |  ${davgSql("o_totalprice")} AS avg_price
         |FROM orders GROUP BY 1 ORDER BY 1
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    // GridFS-style text scan (shakespeare-prep shape,
+    // examples/shakespeare/.../PrepareShakespeare.java:22+): documents
+    // dumped as tab-separated text lines, re-read as per-chunk token rows
+    // through the graftgridfs source, parsed and length-checked.
+    CatalogQuery(
+      "q34_gridfs_text_scan",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select(concat($"doc_id".cast("string"), lit("\t"), $"text"))
+          .write.mode("overwrite").text(s"$dir/txt")
+        s.read.format("graftgridfs")
+          .option("mode", "text").option("chunk_size", "65536")
+          .load(s"$dir/txt")
+          .filter(length($"token") > 0)
+          .select(
+            split($"token", "\t").getItem(0).cast("long").as("doc_id"),
+            length(split($"token", "\t").getItem(1)).cast("long").as("n_chars_m"))
+          .orderBy($"doc_id")
+      },
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m FROM documents ORDER BY doc_id"))
   )
 }

@@ -223,12 +223,15 @@ object DedupQueries {
       "q23_dedup_embed",
       (s, d) => {
         import s.implicits._
+        // cache: quantized vectors feed 4 bucket branches + 2 join probes
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
+          .cache()
         val buckets = (0 until Embeddings.NumTables).map { t =>
           v.select($"vec_id", lit(t).as("tbl"), Embeddings.bucket("q", t).as("bkt"))
         }.reduce(_ unionByName _)
+          .cache()
         val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bkt"))
           .filter($"x.vec_id" < $"y.vec_id")
           .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))

@@ -29,6 +29,7 @@ object SimilarityQueries {
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
+          .cache()
         val queries = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
         val scored = v.join(broadcast(queries), $"vec_id" =!= $"qid")
           .withColumn("cos", Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
@@ -67,9 +68,11 @@ object SimilarityQueries {
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
+          .cache()
         val buckets = (0 until Embeddings.NumTables).map { t =>
           v.select($"vec_id", lit(t).as("tbl"), Embeddings.bucket("q", t).as("bkt"))
         }.reduce(_ unionByName _)
+          .cache()
         val qb = buckets.filter($"vec_id" < NumQueries).toDF("qid", "tbl", "bkt")
         val cand = buckets.join(broadcast(qb), Seq("tbl", "bkt"))
           .filter($"vec_id" =!= $"qid")
