@@ -41,7 +41,10 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = GraftBsonSource.dataFiles(options.get("path"))
+    val files = Option(options.get("collections")) match {
+      case Some(json) => MultiCollections.parse(json).flatMap(c => GraftBsonSource.dataFiles(c.path))
+      case None => GraftBsonSource.dataFiles(options.get("path"))
+    }
     val sample = files.iterator.flatMap(f => BsonFiles.readAll(f)).take(1000)
     val inferred = RowCodec.inferSchema(sample)
     if (inferred.isEmpty)
@@ -130,6 +133,25 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   }
 }
 
+object MultiCollections {
+  final case class CollectionConf(path: String, query: BQuery)
+
+  /** Parse [{"path": "...", "query": {...}?}, ...]. */
+  def parse(json: String): Seq[CollectionConf] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json).asInstanceOf[JArray].arr.map { item =>
+      val o = item.asInstanceOf[JObject]
+      val path = o.obj.collectFirst { case ("path", JString(p)) => p }
+        .getOrElse(throw new IllegalArgumentException("collection entry needs a path"))
+      val q = o.obj.collectFirst { case ("query", qo: JObject) =>
+        BQueryJson.parse(JsonMethods.compact(JsonMethods.render(qo)))
+      }.getOrElse(BQuery.True)
+      CollectionConf(path, q)
+    }
+  }
+}
+
 object ColumnMapping {
   /** Parse {"sparkCol": "doc.field", ...}. */
   def parse(json: String): Map[String, String] = {
@@ -154,6 +176,23 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     s"GraftScan PushedQuery: $query, ReadSchema: ${requiredSchema.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // multi-collection mode: per-collection {path, query} configs, each
+    // planned independently then unioned (MultiMongoCollectionSplitter
+    // .calculateSplits:47-141 / MultiCollectionSplitBuilder semantics)
+    options.get("collections") match {
+      case Some(json) =>
+        return MultiCollections.parse(json).flatMap { c =>
+          val q = BQuery.and(query, c.query)
+          GraftBsonSource.dataFiles(c.path).flatMap { f =>
+            BsonFiles.planByteSplits(f,
+              options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024))
+              .map { case (s, e) =>
+                GraftInputPartition(f, s, e, q, limit, mapping): InputPartition
+              }
+          }
+        }.toArray
+      case None => ()
+    }
     val files = GraftBsonSource.dataFiles(options.getOrElse("path",
       throw new IllegalArgumentException("path option required")))
     val strategy = options.getOrElse("splitter", "bytes")
