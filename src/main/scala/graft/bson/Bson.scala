@@ -246,6 +246,47 @@ object BsonCodec {
     BDoc(fields.result())
   }
 
+  /** Projected decode: top-level fields failing `needed` are SKIPPED
+    * byte-wise without materializing values — the file-scan analog of the
+    * reference's cursor projection / lazy decoding
+    * (core/.../input/BSONFileRecordReader.java:117-123 LazyBSONDecoder).
+    */
+  def readDocProjected(buf: ByteBuffer, needed: String => Boolean): BDoc = {
+    val start = buf.position()
+    val len = buf.getInt
+    val fields = ListMap.newBuilder[String, BsonValue]
+    while (buf.position() < start + len - 1) {
+      val tag = buf.get()
+      val name = readCString(buf)
+      if (needed(name)) fields += name -> readValue(buf, tag)
+      else skipValue(buf, tag)
+    }
+    require(buf.get() == 0x00, "document not 0x00-terminated")
+    BDoc(fields.result())
+  }
+
+  /** Advance past one value without decoding it. */
+  private def skipValue(buf: ByteBuffer, tag: Byte): Unit = tag match {
+    case TDouble | TDate | TInt64 => buf.position(buf.position() + 8)
+    case TInt32 => buf.position(buf.position() + 4)
+    case TTimestamp => buf.position(buf.position() + 8)
+    case TBool => buf.position(buf.position() + 1)
+    case TNull | TMinKey | TMaxKey => ()
+    case TObjectId => buf.position(buf.position() + 12)
+    case TString | TSymbol =>
+      val n = buf.getInt
+      buf.position(buf.position() + n)
+    case TBinary =>
+      val n = buf.getInt
+      buf.position(buf.position() + 1 + n)
+    case TDoc | TArray =>
+      val n = buf.getInt
+      buf.position(buf.position() + n - 4)
+    case TRegex =>
+      readCString(buf); readCString(buf); ()
+    case other => throw new IllegalArgumentException(f"unsupported BSON tag 0x$other%02x")
+  }
+
   private def readValue(buf: ByteBuffer, tag: Byte): BsonValue = tag match {
     case TDouble => BDouble(java.lang.Double.longBitsToDouble(buf.getLong))
     case TString => BString(readString(buf))

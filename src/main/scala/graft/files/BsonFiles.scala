@@ -102,8 +102,11 @@ object BsonFiles {
 
   /** Iterate docs whose START offset lies in [start, end). The reader may
     * read past `end` to finish the last document (standard split rule).
+    * With `fields` set, non-listed top-level fields are byte-skipped
+    * during decode (projection pushdown into the decoder).
     */
-  def readRange(path: String, start: Long, end: Long): Iterator[BDoc] = {
+  def readRange(path: String, start: Long, end: Long,
+      fields: Option[Set[String]] = None): Iterator[BDoc] = {
     val fileLen = Files.size(Paths.get(path))
     val begin = startingPosition(path, start)
     new Iterator[BDoc] {
@@ -124,7 +127,11 @@ object BsonFiles {
         raf.seek(pos)
         raf.readFully(bytes)
         pos += len
-        BsonCodec.decode(bytes)
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        fields match {
+          case Some(need) => BsonCodec.readDocProjected(buf, need.contains)
+          case None => BsonCodec.readDoc(buf)
+        }
       }
     }
   }

@@ -63,6 +63,21 @@ object BQuery {
         hi.forall(h => Lt(path, h).matches(d))
   }
 
+  /** Top-level field heads referenced by a query (for projected decode). */
+  def fieldHeads(q: BQuery): Set[String] = q match {
+    case Eq(p, _) => Set(p.split('.').head)
+    case Lt(p, _) => Set(p.split('.').head)
+    case Lte(p, _) => Set(p.split('.').head)
+    case Gt(p, _) => Set(p.split('.').head)
+    case Gte(p, _) => Set(p.split('.').head)
+    case In(p, _) => Set(p.split('.').head)
+    case Exists(p, _) => Set(p.split('.').head)
+    case KeyRange(p, _, _) => Set(p.split('.').head)
+    case And(qs) => qs.flatMap(fieldHeads).toSet
+    case Or(qs) => qs.flatMap(fieldHeads).toSet
+    case True => Set.empty
+  }
+
   def and(a: BQuery, b: BQuery): BQuery = (a, b) match {
     case (True, x) => x
     case (x, True) => x

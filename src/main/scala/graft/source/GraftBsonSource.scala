@@ -267,7 +267,13 @@ final class GraftReaderFactory(requiredSchema: StructType)
 
 final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructType)
     extends PartitionReader[InternalRow] {
-  private val base = BsonFiles.readRange(p.path, p.start, p.end)
+  // projected decode: only required columns, remapped paths and query
+  // fields are materialized; everything else is byte-skipped
+  private val needed: Set[String] =
+    requiredSchema.fieldNames.toSet ++
+      p.mapping.values.map(_.split('.').head) ++
+      BQuery.fieldHeads(p.query)
+  private val base = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
     .filter(p.query.matches)
   private val docs = p.limit.map(base.take).getOrElse(base)
   private var current: InternalRow = _
@@ -326,7 +332,13 @@ final class GraftBatchWrite(writeSchema: StructType, options: Map[String, String
       .sortBy(_.partitionId)
     val models = ordered.iterator.flatMap(m => BsonFiles.readAll(m.tempFile))
       .map(WriteModels.fromDoc(coll, _))
-    coll.bulkWrite(models)
+    val bulkOrdered = !options.get("bulk_ordered").contains("false")
+    val result = coll.bulkWrite(models, ordered = bulkOrdered)
+    if (result.errors.nonEmpty)
+      System.err.println(
+        s"[graftbson] unordered bulk completed with ${result.errors.size} error(s): " +
+          result.errors.take(5).mkString("; "))
+
     ordered.foreach { m =>
       Files.deleteIfExists(Paths.get(m.tempFile))
       val tf = Paths.get(m.tempFile)

@@ -44,10 +44,15 @@ final class BsonCollection(val dir: String) {
   final case class InsertOne(doc: BDoc) extends WriteModel
   final case class UpdateOp(model: UpdateModel) extends WriteModel
 
-  final case class BulkResult(inserted: Long, matched: Long, modified: Long, upserted: Long)
+  final case class BulkResult(inserted: Long, matched: Long, modified: Long,
+      upserted: Long, errors: Seq[String] = Seq.empty)
 
-  /** Apply a bulk of write models in order and commit atomically. */
-  def bulkWrite(models: Iterator[WriteModel]): BulkResult = {
+  /** Apply a bulk of write models in order and commit atomically.
+    * `ordered = false` continues past per-model errors (duplicate keys)
+    * and reports them in the result — the reference's unordered-bulk
+    * semantics (MongoConfigUtil.isBulkOrdered:645-647).
+    */
+  def bulkWrite(models: Iterator[WriteModel], ordered: Boolean = true): BulkResult = {
     Files.createDirectories(Paths.get(dir))
     // load current state: insertion-ordered, keyed by _id where present
     val byId = mutable.LinkedHashMap[BsonValue, BDoc]()
@@ -62,6 +67,7 @@ final class BsonCollection(val dir: String) {
     var matched = 0L
     var modified = 0L
     var upserted = 0L
+    val errors = Seq.newBuilder[String]
 
     def allDocs: Iterator[BDoc] = byId.valuesIterator ++ anonymous.iterator
 
@@ -69,12 +75,17 @@ final class BsonCollection(val dir: String) {
       case InsertOne(doc) =>
         doc.get("_id") match {
           case Some(id) =>
-            if (byId.contains(id))
-              throw new IllegalStateException(s"duplicate key _id=$id on insert")
-            byId(id) = doc
-          case None => anonymous += doc
+            if (byId.contains(id)) {
+              if (ordered) throw new IllegalStateException(s"duplicate key _id=$id on insert")
+              else errors += s"duplicate key _id=$id"
+            } else {
+              byId(id) = doc
+              inserted += 1
+            }
+          case None =>
+            anonymous += doc
+            inserted += 1
         }
-        inserted += 1
 
       case UpdateOp(UpdateModel(query, update, upsert, multi, replace)) =>
         val hits = allDocs.filter(query.matches).toVector
@@ -122,7 +133,7 @@ final class BsonCollection(val dir: String) {
       StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(tmpSide))
       Files.move(tmpSide, side, StandardCopyOption.REPLACE_EXISTING)
-    BulkResult(inserted, matched, modified, upserted)
+    BulkResult(inserted, matched, modified, upserted, errors.result())
   }
 
   private var oidCounter = 0L
