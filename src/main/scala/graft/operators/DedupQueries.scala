@@ -174,18 +174,23 @@ object DedupQueries {
           |""".stripMargin
       }),
 
-    // Exact n-gram Jaccard via shingle inverted-index join. Stop-shingles
-    // (document frequency > 50) are dropped from the universe first — the
-    // standard trick that keeps the candidate join bounded at 100 TB.
+    // Exact n-gram Jaccard via shingle inverted-index join. Shingles are
+    // hashed to 8-byte keys FIRST (the shuffle/join key is a long, not a
+    // ~20-byte string — materially smaller exchanges at 100 TB), and
+    // stop-shingles (document frequency > 50) are dropped from the
+    // universe — the standard trick that keeps the candidate join bounded.
+    // Jaccard is over hashed shingle sets (identical definition in the
+    // oracle; md5 collisions are deterministic in both engines).
     CatalogQuery(
       "q22_dedup_ngram",
       (s, d) => {
         import s.implicits._
         val shd = shingles3(s, d)
-        val rare = shd.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= 50)
-        val shf = shd.join(rare.select($"sh"), "sh").cache()
+          .select($"doc_id", hashP($"sh").as("hp")).distinct()
+        val rare = shd.groupBy($"hp").agg(count(lit(1)).as("df")).filter($"df" <= 50)
+        val shf = shd.join(rare.select($"hp"), "hp").cache()
         val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-        val shared = shf.as("a").join(shf.as("b"), Seq("sh"))
+        val shared = shf.as("a").join(shf.as("b"), Seq("hp"))
           .filter($"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .agg(count(lit(1)).as("shared"))
@@ -199,13 +204,14 @@ object DedupQueries {
       },
       Some(s"""
         |WITH $shinglesSql,
-        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shd GROUP BY sh)
+        |shh AS (SELECT DISTINCT doc_id, ${hashPSql("sh")} AS hp FROM shd),
+        |rare AS (SELECT hp FROM (SELECT hp, count(*) AS df FROM shh GROUP BY hp)
         |         WHERE df <= 50),
-        |shf AS (SELECT doc_id, sh FROM shd JOIN rare USING (sh)),
+        |shf AS (SELECT doc_id, hp FROM shh JOIN rare USING (hp)),
         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shf GROUP BY doc_id),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM shf a JOIN shf b ON a.hp = b.hp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, jaccard FROM (
         |  SELECT doc_a, doc_b,

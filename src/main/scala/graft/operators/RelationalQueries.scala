@@ -337,26 +337,21 @@ object RelationalQueries {
         |""".stripMargin)),
 
     // Window function: top-3 orders per market segment by price.
-    // Two-phase top-n: a local window over (segment, spark_partition_id)
-    // prunes to ≤3 rows per segment per input partition WITHOUT a shuffle,
-    // so the global window (5-value partition key — a single-task sort at
-    // 100 TB if run raw) only sees ≤3×P survivors. Same answer: the global
-    // top-3 is a subset of every partition's local top-3.
+    // Scale note: the 5-value partition key would be a single-task sort at
+    // 100 TB if the window ran raw, but Spark's rank-limit pushdown
+    // (WindowGroupLimit, applied because of the rnk <= 3 filter) prunes to
+    // ≤3 rows per segment per input partition map-side BEFORE the shuffle —
+    // the two-phase top-n, done by the optimizer with a single exchange
+    // (verified in PLANS_r02.md).
     CatalogQuery(
       "q16_window_topn",
       (s, d) => {
         import s.implicits._
         val j = Tables.orders(s, d)
           .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
-        val wLocal = Window.partitionBy($"c_mktsegment", $"__pid")
-          .orderBy($"o_totalprice".desc, $"o_orderkey")
-        val pruned = j.withColumn("__pid", spark_partition_id())
-          .withColumn("__lrnk", row_number().over(wLocal))
-          .filter($"__lrnk" <= 3)
-          .drop("__pid", "__lrnk")
         val w = Window.partitionBy($"c_mktsegment")
           .orderBy($"o_totalprice".desc, $"o_orderkey")
-        pruned.withColumn("rnk", row_number().over(w))
+        j.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 3)
           .select($"c_mktsegment", $"rnk", $"o_orderkey", $"o_totalprice")
           .orderBy($"c_mktsegment", $"rnk")

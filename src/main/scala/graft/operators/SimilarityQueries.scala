@@ -33,13 +33,11 @@ object SimilarityQueries {
         val queries = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
         val scored = v.join(broadcast(queries), $"vec_id" =!= $"qid")
           .withColumn("cos", Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
-        // two-phase top-k: local prune per input partition, then global
-        val wL = Window.partitionBy($"qid", $"__pid").orderBy($"cos".desc, $"vec_id")
-        val pruned = scored.withColumn("__pid", spark_partition_id())
-          .withColumn("__lrk", row_number().over(wL)).filter($"__lrk" <= TopK)
-          .drop("__pid", "__lrk")
+        // top-k per query: the rk <= TopK filter triggers Spark's
+        // WindowGroupLimit rank-limit pushdown, pruning map-side to TopK
+        // rows per query per partition before the single shuffle
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-        pruned.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
+        scored.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
           .select($"qid", $"rk", $"vec_id".as("neighbor"), $"cos")
           .orderBy($"qid", $"rk")
       },
