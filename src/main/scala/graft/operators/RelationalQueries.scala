@@ -414,6 +414,35 @@ object RelationalQueries {
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id
+        |""".stripMargin)),
+
+    // Nested / semi-structured access: parse the JSON props column with a
+    // declared schema and aggregate the extracted field — the dotted-path
+    // document access of the reference (MongoPathRetriever.java:11-23,
+    // nested Hive STRUCT access BSONSerDe.java:294-333) over a dynamic
+    // payload column.
+    CatalogQuery(
+      "q35_nested_json",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("k",
+            from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"k").cast("long").as("sum_k"),
+            min($"k").cast("int").as("min_k"),
+            max($"k").cast("int").as("max_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1
         |""".stripMargin))
   )
 }

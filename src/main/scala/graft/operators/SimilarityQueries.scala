@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   private val NumQueries = 10
   private val TopK = 5
+  private val NumCentroids = 16
+  private val NProbe = 2
 
   val all: Seq[CatalogQuery] = Seq(
 
@@ -100,6 +102,85 @@ object SimilarityQueries {
           |  SELECT DISTINCT qb.qid, b.vec_id
           |  FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bkt = qb.bkt
           |  WHERE b.vec_id <> qb.qid),
+          |scored AS (
+          |  SELECT cand.qid, cand.vec_id,
+          |    ${Embeddings.cosineSql(Embeddings.dotSql("a.q", "b.q"), "a.nrm", "b.nrm")} AS cos
+          |  FROM cand
+          |  JOIN vn a ON a.vec_id = cand.qid
+          |  JOIN vn b ON b.vec_id = cand.vec_id)
+          |SELECT qid, CAST(rk AS INT) AS rk, vec_id AS neighbor, cos FROM (
+          |  SELECT qid, vec_id, cos,
+          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |  FROM scored)
+          |WHERE rk <= $TopK ORDER BY qid, rk
+          |""".stripMargin
+      }),
+
+    // IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    // first NumCentroids vectors) partitions the collection into inverted
+    // lists by nearest-centroid (exact integer L2: |v|² + |c|² - 2·v·c);
+    // queries probe only their NProbe nearest lists, then rerank by exact
+    // cosine. At 100 TB the assignment is one broadcast pass and each
+    // query touches ~NProbe/NumCentroids of the data.
+    CatalogQuery(
+      "q36_knn_ivf",
+      (s, d) => {
+        import s.implicits._
+        val v = Tables.embeddings(s, d)
+          .select($"vec_id", Embeddings.quant("embedding").as("q"))
+          .withColumn("nrm", Embeddings.norm2("q"))
+          .cache()
+        val cent = v.filter($"vec_id" < NumCentroids).toDF("cid", "cq", "cn")
+        // nearest-centroid assignment (argmin by exact integer distance)
+        val wA = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+        val assign = v.crossJoin(broadcast(cent))
+          .withColumn("dist", $"nrm" + $"cn" - lit(2L) * Embeddings.dot("q", "cq"))
+          .withColumn("ar", row_number().over(wA)).filter($"ar" === 1)
+          .select($"vec_id", $"cid")
+        // queries probe their NProbe nearest lists
+        val wP = Window.partitionBy($"qid").orderBy($"dist", $"cid")
+        val probes = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", $"qn" + $"cn" - lit(2L) * Embeddings.dot("qq", "cq"))
+          .withColumn("pr", row_number().over(wP)).filter($"pr" <= NProbe)
+          .select($"qid", $"cid")
+        val va = v.toDF("qid", "qq", "qn")
+        val cand = probes.join(assign, "cid")
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id").distinct()
+        val scored = cand
+          .join(broadcast(va), "qid")
+          .join(v, "vec_id")
+          .withColumn("cos", Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        scored.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
+          .select($"qid", $"rk", $"vec_id".as("neighbor"), $"cos")
+          .orderBy($"qid", $"rk")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM vn WHERE vec_id < $NumCentroids),
+          |assign AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vn.vec_id, cent.cid,
+          |      row_number() OVER (PARTITION BY vn.vec_id
+          |        ORDER BY vn.nrm + cent.cn - 2 * ${Embeddings.dotSql("vn.q", "cent.cq")}, cent.cid) AS ar
+          |    FROM vn CROSS JOIN cent)
+          |  WHERE ar = 1),
+          |probes AS (
+          |  SELECT qid, cid FROM (
+          |    SELECT qs.vec_id AS qid, cent.cid,
+          |      row_number() OVER (PARTITION BY qs.vec_id
+          |        ORDER BY qs.nrm + cent.cn - 2 * ${Embeddings.dotSql("qs.q", "cent.cq")}, cent.cid) AS pr
+          |    FROM (SELECT * FROM vn WHERE vec_id < $NumQueries) qs CROSS JOIN cent)
+          |  WHERE pr <= $NProbe),
+          |cand AS (
+          |  SELECT DISTINCT probes.qid, assign.vec_id
+          |  FROM probes JOIN assign USING (cid)
+          |  WHERE assign.vec_id <> probes.qid),
           |scored AS (
           |  SELECT cand.qid, cand.vec_id,
           |    ${Embeddings.cosineSql(Embeddings.dotSql("a.q", "b.q"), "a.nrm", "b.nrm")} AS cos
