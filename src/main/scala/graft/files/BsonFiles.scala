@@ -107,6 +107,10 @@ object BsonFiles {
     */
   def readRange(path: String, start: Long, end: Long,
       fields: Option[Set[String]] = None): Iterator[BDoc] = {
+    if (isCompressed(path)) {
+      require(start == 0L, s"compressed BSON is unsplittable, got start=$start")
+      return readCompressed(path)
+    }
     val fileLen = Files.size(Paths.get(path))
     val begin = startingPosition(path, start)
     new Iterator[BDoc] {
@@ -137,7 +141,40 @@ object BsonFiles {
   }
 
   def readAll(path: String): Iterator[BDoc] =
-    readRange(path, 0L, Files.size(Paths.get(path)))
+    if (isCompressed(path)) readCompressed(path)
+    else readRange(path, 0L, Files.size(Paths.get(path)))
+
+  def isCompressed(path: String): Boolean = path.endsWith(".gz")
+
+  /** Sequential decode of a gzip'd dump. Compressed files are
+    * UNSPLITTABLE — always one split covering the whole stream (the
+    * reference's rule, BSONFileInputFormat.java:56-64,106-113).
+    */
+  def readCompressed(path: String): Iterator[BDoc] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.BufferedInputStream(Files.newInputStream(Paths.get(path)), 1 << 20))
+    new Iterator[BDoc] {
+      private var nextDoc: BDoc = advance()
+      private def advance(): BDoc = {
+        val lenBuf = new Array[Byte](4)
+        val first = in.readNBytes(lenBuf, 0, 4)
+        if (first < 4) { in.close(); return null }
+        val len = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        val rest = new Array[Byte](len - 4)
+        if (in.readNBytes(rest, 0, len - 4) < len - 4) { in.close(); return null }
+        val all = new Array[Byte](len)
+        System.arraycopy(lenBuf, 0, all, 0, 4)
+        System.arraycopy(rest, 0, all, 4, len - 4)
+        BsonCodec.decode(all)
+      }
+      override def hasNext: Boolean = nextDoc != null
+      override def next(): BDoc = {
+        val d = nextDoc
+        nextDoc = advance()
+        d
+      }
+    }
+  }
 
   /** Byte-range splits at `targetSize`, ends snapped later by the reader's
     * boundary resync (split rule: a doc belongs to the split containing
@@ -146,6 +183,7 @@ object BsonFiles {
   def planByteSplits(path: String, targetSize: Long): Seq[(Long, Long)] = {
     val len = Files.size(Paths.get(path))
     if (len == 0) Seq.empty
+    else if (isCompressed(path)) Seq((0L, Long.MaxValue)) // unsplittable
     else {
       val n = math.max(1L, (len + targetSize - 1) / targetSize)
       (0L until n).map(i => (i * targetSize, math.min((i + 1) * targetSize, len)))

@@ -68,7 +68,10 @@ object GraftBsonSource {
       Files.list(p).iterator().asScala
         .filter(f => Files.isRegularFile(f))
         .filterNot(_.getFileName.toString.startsWith("."))
-        .filter(_.getFileName.toString.endsWith(".bson"))
+        .filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".bson") || n.endsWith(".bson.gz")
+        }
         .map(_.toString).toSeq.sorted
     } else if (Files.exists(p)) Seq(path)
     else Seq.empty

@@ -59,4 +59,18 @@ class BsonFilesSpec extends AnyFunSuite {
       assert(pos >= target)
     }
   }
+  test("compressed dumps read sequentially; compressed = unsplittable") {
+    val path = tempFile()
+    val docs = mkDocs(400)
+    BsonFiles.write(path, docs.iterator)
+    // gzip it
+    val gzPath = path + ".gz"
+    val gz = new java.util.zip.GZIPOutputStream(Files.newOutputStream(Paths.get(gzPath)))
+    try gz.write(Files.readAllBytes(Paths.get(path))) finally gz.close()
+    assert(BsonFiles.readAll(gzPath).toSeq == docs)
+    assert(BsonFiles.planByteSplits(gzPath, 1024) == Seq((0L, Long.MaxValue)))
+    intercept[IllegalArgumentException] {
+      BsonFiles.readRange(gzPath, 100L, 200L)
+    }
+  }
 }
