@@ -443,6 +443,75 @@ object RelationalQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // ROLLUP hierarchy totals (region -> nation -> grand total). One of the
+    // operator classes the reference lacks entirely (SURVEY §2.8) that the
+    // Spark rebuild gets natively.
+    CatalogQuery(
+      "q37_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+          .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+      },
+      Some(s"""
+        |SELECT r_name, n_name, count(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // As-of style event join: for every click, the most recent preceding
+    // purchase by the same user — last_value(..., ignoreNulls) over an
+    // unbounded-preceding window, the compose-existing-ops answer to an
+    // operator Spark has no physical node for.
+    CatalogQuery(
+      "q38_asof_event",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("last_purchase_ts",
+            last(when($"event_type" === "purchase", $"ts"), ignoreNulls = true).over(w))
+          .filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts", $"last_purchase_ts")
+          .orderBy($"event_id")
+      },
+      Some("""
+        |SELECT event_id, user_id, ts, last_purchase_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+        |  FROM events)
+        |WHERE event_type = 'click'
+        |ORDER BY event_id
+        |""".stripMargin)),
+
+    // Semi join (EXISTS): customers who placed at least one urgent order.
+    CatalogQuery(
+      "q39_semi_join",
+      (s, d) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+        Tables.customer(s, d)
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        |SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey
         |""".stripMargin))
   )
 }
