@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.ObjectIdRangeRule)
     ext.injectFunction((
       FunctionIdentifier("objectid_to_seconds"),
       new ExpressionInfo(classOf[ObjectIdToSeconds].getName, "objectid_to_seconds"),
