@@ -1,0 +1,65 @@
+package graft.query
+
+import graft.bson._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Option-level query parsing (MongoConfigUtilTest analog) and partition
+  * task-serializability (MongoInputSplitTest analog — a split must survive
+  * the driver->executor hop).
+  */
+class BQueryJsonSpec extends AnyFunSuite {
+
+  test("equality, operator docs, $and/$or parse and evaluate") {
+    val q = BQueryJson.parse(
+      """{"j": 0, "i": {"$gt": 20, "$lte": 100}, "name": {"$in": ["a", "b"]}}""")
+    assert(q.matches(BDoc("j" -> BInt32(0), "i" -> BInt32(50), "name" -> BString("a"))))
+    assert(!q.matches(BDoc("j" -> BInt32(1), "i" -> BInt32(50), "name" -> BString("a"))))
+    assert(!q.matches(BDoc("j" -> BInt32(0), "i" -> BInt32(101), "name" -> BString("a"))))
+    assert(!q.matches(BDoc("j" -> BInt32(0), "i" -> BInt32(50), "name" -> BString("z"))))
+
+    val or = BQueryJson.parse("""{"$or": [{"a": 1}, {"b": {"$exists": true}}]}""")
+    assert(or.matches(BDoc("a" -> BInt32(1))))
+    assert(or.matches(BDoc("b" -> BString("x"))))
+    assert(!or.matches(BDoc("c" -> BInt32(9))))
+  }
+
+  test("numeric literals keep width; doubles and bools parse") {
+    val q = BQueryJson.parse("""{"big": 5000000000, "d": 1.5, "f": true}""")
+    assert(q.matches(BDoc("big" -> BInt64(5000000000L), "d" -> BDouble(1.5), "f" -> BBool(true))))
+  }
+
+  test("unsupported operator is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      BQueryJson.parse("""{"a": {"$regex": "x"}}""")
+    }
+  }
+
+  test("input partitions and queries survive Java serialization (task hop)") {
+    def roundTrip[A <: AnyRef](a: A): A = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.ObjectOutputStream(bos)
+      out.writeObject(a); out.close()
+      val in = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      in.readObject().asInstanceOf[A]
+    }
+    val query = BQuery.And(Seq(
+      BQuery.Gt("i", BInt32(20)),
+      BQuery.KeyRange("_id", Some(BInt64(0L)), Some(BInt64(100L))),
+      BQuery.In("s", Seq(BString("a"), BString("b"))),
+      BQuery.Or(Seq(BQuery.Exists("x", yes = true), BQuery.Eq("b", BBinary(Array[Byte](1, 2)))))))
+    val back = roundTrip(query)
+    assert(back == query)
+    assert(back.matches(BDoc("i" -> BInt32(21), "_id" -> BInt64(5L),
+      "s" -> BString("a"), "x" -> BInt32(1))))
+
+    val p = graft.source.GraftInputPartition("/tmp/x.bson", 0L, 1000L, query,
+      limit = Some(7), mapping = Map("a" -> "b.c"))
+    val pBack = roundTrip(p)
+    assert(pBack == p)
+
+    val um = UpdateModel(query, BDoc("$set" -> BDoc("v" -> BInt32(1))),
+      upsert = true, multi = true)
+    assert(roundTrip(um) == um)
+  }
+}
