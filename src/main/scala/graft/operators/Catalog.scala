@@ -10,7 +10,8 @@ object Catalog {
       TextQueries.all ++
       SimilarityQueries.all ++
       MultimodalQueries.all ++
-      ConnectorQueries.all
+      ConnectorQueries.all ++
+      FunctionQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(

@@ -170,13 +170,29 @@ object ColumnMapping {
 
 final class GraftScan(requiredSchema: StructType, query: BQuery,
     options: Map[String, String], limit: Option[Int] = None,
-    mapping: Map[String, String] = Map.empty) extends Scan with Batch {
+    mapping: Map[String, String] = Map.empty)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
   override def description(): String =
     s"GraftScan PushedQuery: $query, ReadSchema: ${requiredSchema.simpleString}"
+
+  /** Size estimate from the data files so Catalyst can pick broadcast
+    * joins for small collections (the stats role collstats plays in the
+    * reference's planning, MongoSplitterFactory.java:66-83).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = allFiles.map(f => Files.size(Paths.get(f))).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  private def allFiles: Seq[String] = options.get("collections") match {
+    case Some(json) => MultiCollections.parse(json).flatMap(c => GraftBsonSource.dataFiles(c.path))
+    case None => options.get("path").map(GraftBsonSource.dataFiles).getOrElse(Seq.empty)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // multi-collection mode: per-collection {path, query} configs, each
