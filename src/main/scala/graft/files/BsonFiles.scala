@@ -20,25 +20,44 @@ object BsonFiles {
   val MaxDocSize: Int = 16 * 1024 * 1024 // BSON spec document cap
   val MinDocSize: Int = 5
 
-  /** Write docs to `path`; returns doc-boundary offsets. Side file
+  /** Incremental dump writer: append docs one at a time with bounded
+    * memory (the write path must never buffer a partition's worth of rows
+    * — reference: MongoRecordWriter streams to its temp file,
+    * core/.../output/MongoRecordWriter.java:49-120). `close()` finalizes
+    * the `.splits` side file.
+    */
+  final class Appender(path: String, splitsEvery: Int = 64) {
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
+    private val offsets = Vector.newBuilder[Long]
+    private var pos = 0L
+    private var n = 0L
+
+    def append(d: BDoc): Unit = {
+      if (n % splitsEvery == 0) offsets += pos
+      val bytes = BsonCodec.encode(d)
+      out.write(bytes)
+      pos += bytes.length
+      n += 1
+    }
+
+    def count: Long = n
+
+    def close(): Long = {
+      out.close()
+      writeSplitsFile(path, offsets.result())
+      n
+    }
+  }
+
+  /** Write docs to `path`; returns the doc count. Side file
     * `.{name}.splits` stores one offset per `splitsEvery` docs.
     */
   def write(path: String, docs: Iterator[BDoc], splitsEvery: Int = 64): Long = {
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
-    val offsets = Vector.newBuilder[Long]
-    var pos = 0L
-    var n = 0L
-    try {
-      docs.foreach { d =>
-        if (n % splitsEvery == 0) offsets += pos
-        val bytes = BsonCodec.encode(d)
-        out.write(bytes)
-        pos += bytes.length
-        n += 1
-      }
-    } finally out.close()
-    writeSplitsFile(path, offsets.result())
-    n
+    val app = new Appender(path, splitsEvery)
+    try docs.foreach(app.append)
+    finally app.close()
+    app.count
   }
 
   private def splitsPath(path: String): Path = {

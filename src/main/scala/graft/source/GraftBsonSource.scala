@@ -438,12 +438,14 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
       yield (graft.query.UpdateDsl.parse(q), graft.query.UpdateDsl.parse(u))
 
   private val tempFile = Files.createTempFile(s"graft-w$partitionId-$taskId", ".bson").toString
-  private val buffer = Vector.newBuilder[BDoc]
-  private var n = 0L
+  // stream write-models to the task temp file as they arrive — bounded
+  // memory per task regardless of partition size
+  private val appender = new BsonFiles.Appender(tempFile)
+  private var closed = false
 
   override def write(record: InternalRow): Unit = {
     val doc = RowCodec.toBson(record, writeSchema)
-    buffer += (templates match {
+    appender.append(templates match {
       case Some((qt, ut)) =>
         BDoc(
           "__op" -> BString(mode),
@@ -453,14 +455,21 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
           "multi" -> BBool(multi))
       case None => WriteModels.toDoc(mode, doc, keys, updateOp, multi, idColumn)
     })
-    n += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    BsonFiles.write(tempFile, buffer.result().iterator)
+    val n = appender.close()
+    closed = true
     GraftCommitMessage(partitionId, tempFile, n)
   }
 
-  override def abort(): Unit = Files.deleteIfExists(Paths.get(tempFile))
-  override def close(): Unit = ()
+  override def abort(): Unit = {
+    if (!closed) { appender.close(); closed = true }
+    Files.deleteIfExists(Paths.get(tempFile))
+    val tf = Paths.get(tempFile)
+    Files.deleteIfExists(tf.resolveSibling("." + tf.getFileName + ".splits"))
+  }
+
+  override def close(): Unit =
+    if (!closed) { appender.close(); closed = true }
 }
