@@ -11,7 +11,8 @@ object Catalog {
       SimilarityQueries.all ++
       MultimodalQueries.all ++
       ConnectorQueries.all ++
-      FunctionQueries.all
+      FunctionQueries.all ++
+      PipelineQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(

@@ -19,7 +19,7 @@ object DedupQueries {
   import Portable._
 
   /** Distinct 3-token shingles per document (the MinHash/Jaccard universe). */
-  private def shingles3(s: SparkSession, d: String): DataFrame = {
+  private[operators] def shingles3(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -29,7 +29,7 @@ object DedupQueries {
   }
 
   /** DuckDB mirror of [[shingles3]] as a WITH-clause body named `shd`. */
-  private val shinglesSql: String =
+  private[operators] val shinglesSql: String =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
@@ -39,13 +39,13 @@ object DedupQueries {
       |shd AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
 
   /** 16-permutation MinHash signature per doc (one shuffle: min per doc). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private[operators] def signatures(s: SparkSession, d: String): DataFrame = {
     val h = shingles3(s, d).select(col("doc_id"), hashP(col("sh")).as("hp"))
     val aggs = (0 until NumPerms).map(j => min(perm(j, col("hp"))).as(s"m$j"))
     h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  private val signaturesSql: String = {
+  private[operators] val signaturesSql: String = {
     val mins = (0 until NumPerms)
       .map(j => s"CAST(min(${permSql(j, "hp")}) AS BIGINT) AS m$j").mkString(", ")
     s"""$shinglesSql,
