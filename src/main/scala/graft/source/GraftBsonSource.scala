@@ -194,6 +194,12 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     case None => options.get("path").map(GraftBsonSource.dataFiles).getOrElse(Seq.empty)
   }
 
+  /** Per-PARTITION sort key (`sort` option): cursor.sort parity with the
+    * reference (MongoInputSplit.java:281) — NOT a global order across
+    * partitions, exactly as in the reference; use Spark's orderBy for that.
+    */
+  private val sortKey: Option[String] = options.get("sort")
+
   override def planInputPartitions(): Array[InputPartition] = {
     // multi-collection mode: per-collection {path, query} configs, each
     // planned independently then unioned (MultiMongoCollectionSplitter
@@ -206,7 +212,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
             BsonFiles.planByteSplits(f,
               options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024))
               .map { case (s, e) =>
-                GraftInputPartition(f, s, e, q, limit, mapping): InputPartition
+                GraftInputPartition(f, s, e, q, limit, mapping, sortKey): InputPartition
               }
           }
         }.toArray
@@ -220,12 +226,12 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       case "bytes" =>
         files.flatMap { f =>
           BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
-            GraftInputPartition(f, s, e, query, limit, mapping): InputPartition
+            GraftInputPartition(f, s, e, query, limit, mapping, sortKey): InputPartition
           }
         }.toArray
       case "single" =>
         files.map(f =>
-          GraftInputPartition(f, 0L, Long.MaxValue, query, limit, mapping): InputPartition).toArray
+          GraftInputPartition(f, 0L, Long.MaxValue, query, limit, mapping, sortKey): InputPartition).toArray
       case other =>
         // key-range strategies via the pure planners + file-backed stats
         val key = options.getOrElse("key", "_id")
@@ -237,7 +243,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
             targetSplitBytes = splitSize, minDocs = minDocs,
             filterEmpty = filterEmpty)
             .map { case (q, _) =>
-              GraftInputPartition(f, 0L, Long.MaxValue, q, limit, mapping): InputPartition
+              GraftInputPartition(f, 0L, Long.MaxValue, q, limit, mapping, sortKey): InputPartition
             }
         }.toArray
     }
@@ -274,7 +280,8 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,
     query: BQuery, limit: Option[Int] = None,
-    mapping: Map[String, String] = Map.empty) extends InputPartition
+    mapping: Map[String, String] = Map.empty,
+    sortKey: Option[String] = None) extends InputPartition
 
 final class GraftReaderFactory(requiredSchema: StructType)
     extends PartitionReaderFactory {
@@ -291,10 +298,19 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
   private val needed: Set[String] =
     requiredSchema.fieldNames.toSet ++
       p.mapping.values.map(_.split('.').head) ++
-      BQuery.fieldHeads(p.query)
+      BQuery.fieldHeads(p.query) ++
+      p.sortKey.map(_.split('.').head)
   private val base = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
     .filter(p.query.matches)
-  private val docs = p.limit.map(base.take).getOrElse(base)
+  // per-PARTITION sort (the reference's cursor.sort semantics,
+  // MongoInputSplit.java:281 — explicitly NOT a global order; use
+  // Spark's own orderBy for that)
+  private val sorted = p.sortKey match {
+    case Some(key) =>
+      base.toVector.sortBy(d => d.getPath(key).getOrElse(BNull))(BsonOrdering).iterator
+    case None => base
+  }
+  private val docs = p.limit.map(sorted.take).getOrElse(sorted)
   private var current: InternalRow = _
 
   override def next(): Boolean =

@@ -134,4 +134,25 @@ class GridFsAndExtrasSpec extends SparkSpec {
       .selectExpr("_id", "n").as[(Long, Long)].collect().toMap
     assert(back == Map(1L -> 5L, 2L -> 5L), s"got $back")
   }
+  test("per-partition sort option orders within each partition (reference cursor.sort parity)") {
+    val dir = freshDir()
+    // deliberately unsorted docs
+    val docs = Seq(5, 1, 9, 3, 7, 2, 8, 4, 6, 0).map(i => BDoc("_id" -> BInt32(i)))
+    BsonFiles.write(s"$dir/data.bson", docs.iterator)
+    val df = spark.read.format("graftbson").option("sort", "_id").load(dir)
+    // single file below split size -> one partition -> fully sorted
+    val got = df.selectExpr("_id").collect().map(_.getInt(0)).toSeq
+    assert(got == (0 to 9), s"per-partition sort not applied: $got")
+    // multi-partition: each partition individually sorted (non-decreasing runs)
+    val big = (0 until 2000).map(i => BDoc("_id" -> BInt32((i * 7919) % 2000)))
+    BsonFiles.write(s"$dir/big.bson", big.iterator)
+    val df2 = spark.read.format("graftbson").option("sort", "_id")
+      .option("split_size", "4096").load(dir)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val rows = df2.select(spark_partition_id().as("p"), org.apache.spark.sql.functions.col("_id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val byPart = rows.groupBy(_._1).values
+    assert(byPart.forall(part => part.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1))),
+      "a partition emitted out-of-order rows")
+  }
 }
