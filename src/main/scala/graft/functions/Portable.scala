@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.graft.Bridge
 
 /** Engine-portable deterministic hashing.
   *
@@ -30,14 +29,23 @@ object Portable {
   /** Simhash width in bits (fingerprint fits in an int). */
   val SimhashBits = 16
 
+  /** Max docs per LSH band/plane bucket: larger buckets are degenerate
+    * (near-constant content) and would make the candidate self-join
+    * quadratic in the hot key; the standard df-cap trick bounds it.
+    * Mirrored in the oracle SQL — both engines drop the same buckets.
+    */
+  val BucketCap = 50
+
   /** Modulus for the additive content fingerprint. */
   val FpMod: Long = 1000003L
 
   // ---- Spark Column builders ----
 
-  /** 60-bit portable hash of a string column: first 15 hex chars of md5. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** 60-bit portable hash of a string column: first 15 hex chars of md5,
+    * computed natively (codegen'd [[Md5Prefix60]] — no hex/conv round-trip;
+    * bit-identical to the SQL mirror below).
+    */
+  def hash60(c: Column): Column = Bridge.column(Md5Prefix60(Bridge.expression(c)))
 
   /** hash60 reduced mod P (the MinHash universe). */
   def hashP(c: Column): Column = hash60(c) % P

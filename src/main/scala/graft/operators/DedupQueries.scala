@@ -18,29 +18,34 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   import Portable._
 
-  /** Distinct 3-token shingles per document (the MinHash/Jaccard universe). */
-  private[operators] def shingles3(s: SparkSession, d: String): DataFrame = {
+  /** Distinct hashed 3-token shingles per document (the MinHash/Jaccard
+    * universe). Shingles are hashed to mod-P longs BEFORE the distinct — the
+    * dedup shuffle then carries 8-byte keys instead of ~20-byte strings
+    * (2.5x smaller exchanges; downstream only ever consumes the hash).
+    */
+  private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .select(col("doc_id"), hashP(col("sh")).as("hp"))
       .distinct()
   }
 
-  /** DuckDB mirror of [[shingles3]] as a WITH-clause body named `shd`. */
+  /** DuckDB mirror of [[hashedShingles]] as a WITH-clause body named `shh`. */
   private[operators] val shinglesSql: String =
-    """toks AS (
+    s"""toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |sh0 AS (
       |  SELECT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS sh
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
-      |shd AS (SELECT DISTINCT doc_id, sh FROM sh0)""".stripMargin
+      |shh AS (SELECT DISTINCT doc_id, ${hashPSql("sh")} AS hp FROM sh0)""".stripMargin
 
   /** 16-permutation MinHash signature per doc (one shuffle: min per doc). */
   private[operators] def signatures(s: SparkSession, d: String): DataFrame = {
-    val h = shingles3(s, d).select(col("doc_id"), hashP(col("sh")).as("hp"))
+    val h = hashedShingles(s, d)
     val aggs = (0 until NumPerms).map(j => min(perm(j, col("hp"))).as(s"m$j"))
     h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -49,8 +54,39 @@ object DedupQueries {
     val mins = (0 until NumPerms)
       .map(j => s"CAST(min(${permSql(j, "hp")}) AS BIGINT) AS m$j").mkString(", ")
     s"""$shinglesSql,
-       |h AS (SELECT doc_id, ${hashPSql("sh")} AS hp FROM shd),
-       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id)""".stripMargin
+       |sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** LSH band buckets from a MinHash signature frame: (doc_id, band, bh)
+    * where bh is the 60-bit hash of the band's 4 signature values. Hot
+    * buckets (> [[Portable.BucketCap]] docs — degenerate near-constant
+    * content) are dropped so the candidate self-join can never go quadratic
+    * on one key at 100 TB. Mirrored exactly by [[bandsSql]].
+    */
+  private[operators] def bandBuckets(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}").cast("string"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        hash60(concat_ws(",", cols: _*)).as("bh"))
+    }.reduce(_ unionByName _).cache()
+    val keep = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("nb")).filter(col("nb") <= BucketCap).drop("nb")
+    bands.join(keep, Seq("band", "bh"))
+  }
+
+  /** DuckDB mirror of [[bandBuckets]]: WITH-clause body named `bands`,
+    * reading from a CTE named `sig`. */
+  private[operators] val bandsSql: String = {
+    val bandRows = (0 until NumBands).map { b =>
+      val cols = (0 until BandSize).map(r => s"m${b * BandSize + r}::VARCHAR").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${hash60Sql(s"concat_ws(',', $cols)")} AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""bands0 AS (
+       |  $bandRows),
+       |bkeep AS (
+       |  SELECT band, bh FROM (SELECT band, bh, count(*) AS nb FROM bands0 GROUP BY 1, 2)
+       |  WHERE nb <= $BucketCap),
+       |bands AS (SELECT doc_id, band, bh FROM bands0 JOIN bkeep USING (band, bh))""".stripMargin
   }
 
   val all: Seq[CatalogQuery] = Seq(
@@ -89,10 +125,7 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val sig = signatures(s, d).cache()
-        val bands = (0 until NumBands).map { b =>
-          val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}").cast("string"))
-          sig.select($"doc_id", lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))
-        }.reduce(_ unionByName _)
+        val bands = bandBuckets(sig)
         val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
           .filter($"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
@@ -111,15 +144,10 @@ object DedupQueries {
           .orderBy($"doc_a", $"doc_b")
       },
       Some {
-        val bandRows = (0 until NumBands).map { b =>
-          val cols = (0 until BandSize).map(r => s"m${b * BandSize + r}::VARCHAR").mkString(", ")
-          s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
-        }.mkString("\n  UNION ALL ")
         val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
         s"""
           |WITH $signaturesSql,
-          |bands AS (
-          |  $bandRows),
+          |$bandsSql,
           |cand AS (
           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
@@ -185,9 +213,8 @@ object DedupQueries {
       "q22_dedup_ngram",
       (s, d) => {
         import s.implicits._
-        val shd = shingles3(s, d)
-          .select($"doc_id", hashP($"sh").as("hp")).distinct()
-        val rare = shd.groupBy($"hp").agg(count(lit(1)).as("df")).filter($"df" <= 50)
+        val shd = hashedShingles(s, d)
+        val rare = shd.groupBy($"hp").agg(count(lit(1)).as("df")).filter($"df" <= BucketCap)
         val shf = shd.join(rare.select($"hp"), "hp").cache()
         val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
         val shared = shf.as("a").join(shf.as("b"), Seq("hp"))
@@ -204,9 +231,8 @@ object DedupQueries {
       },
       Some(s"""
         |WITH $shinglesSql,
-        |shh AS (SELECT DISTINCT doc_id, ${hashPSql("sh")} AS hp FROM shd),
         |rare AS (SELECT hp FROM (SELECT hp, count(*) AS df FROM shh GROUP BY hp)
-        |         WHERE df <= 50),
+        |         WHERE df <= $BucketCap),
         |shf AS (SELECT doc_id, hp FROM shh JOIN rare USING (hp)),
         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shf GROUP BY doc_id),
         |shared AS (
@@ -234,10 +260,15 @@ object DedupQueries {
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
           .cache()
-        val buckets = (0 until Embeddings.NumTables).map { t =>
+        val buckets0 = (0 until Embeddings.NumTables).map { t =>
           v.select($"vec_id", lit(t).as("tbl"), Embeddings.bucket("q", t).as("bkt"))
         }.reduce(_ unionByName _)
           .cache()
+        // cap hot buckets (degenerate directions) — candidate join stays
+        // bounded per key even on adversarial inputs; mirrored in oracle
+        val bkeep = buckets0.groupBy($"tbl", $"bkt")
+          .agg(count(lit(1)).as("nb")).filter($"nb" <= BucketCap).drop("nb")
+        val buckets = buckets0.join(bkeep, Seq("tbl", "bkt"))
         val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bkt"))
           .filter($"x.vec_id" < $"y.vec_id")
           .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
@@ -260,8 +291,12 @@ object DedupQueries {
           |WITH v AS (
           |  SELECT vec_id, $q AS q FROM embeddings),
           |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
-          |buckets AS (
+          |buckets0 AS (
           |  $bucketRows),
+          |bkeep AS (
+          |  SELECT tbl, bkt FROM (SELECT tbl, bkt, count(*) AS nb FROM buckets0 GROUP BY 1, 2)
+          |  WHERE nb <= $BucketCap),
+          |buckets AS (SELECT vec_id, tbl, bkt FROM buckets0 JOIN bkeep USING (tbl, bkt)),
           |cand AS (
           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           |  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bkt = y.bkt

@@ -40,10 +40,7 @@ object PipelineQueries {
           .drop("h", "canon")
         // 3. near-dup removal: LSH candidate pairs, drop the higher id
         val sig = DedupQueries.signatures(s, d).cache()
-        val bands = (0 until NumBands).map { b =>
-          val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}").cast("string"))
-          sig.select($"doc_id", lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bh"))
-        }.reduce(_ unionByName _)
+        val bands = DedupQueries.bandBuckets(sig)
         val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
           .filter($"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
@@ -67,10 +64,6 @@ object PipelineQueries {
           .orderBy($"lang")
       },
       Some {
-        val bandRows = (0 until NumBands).map { b =>
-          val cols = (0 until BandSize).map(r => s"m${b * BandSize + r}::VARCHAR").mkString(", ")
-          s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bh FROM sig"
-        }.mkString("\n  UNION ALL ")
         val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
         s"""
           |WITH ${DedupQueries.signaturesSql},
@@ -86,8 +79,7 @@ object PipelineQueries {
           |  SELECT doc_id, lang, n_chars, n_tok FROM (
           |    SELECT *, min(doc_id) OVER (PARTITION BY h) AS canon FROM quality)
           |  WHERE doc_id = canon),
-          |bands AS (
-          |  $bandRows),
+          |${DedupQueries.bandsSql},
           |cand AS (
           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
