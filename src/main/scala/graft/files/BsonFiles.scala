@@ -119,26 +119,33 @@ object BsonFiles {
     } finally raf.close()
   }
 
+  /** Doc iterator that owns an OS resource: callers that may stop early
+    * (limit pushdown, task kill) must call `close()` — exhaustion also
+    * closes, so fully-drained iterators need no extra handling.
+    */
+  trait CloseableDocIterator extends Iterator[BDoc] with AutoCloseable
+
   /** Iterate docs whose START offset lies in [start, end). The reader may
     * read past `end` to finish the last document (standard split rule).
     * With `fields` set, non-listed top-level fields are byte-skipped
     * during decode (projection pushdown into the decoder).
     */
   def readRange(path: String, start: Long, end: Long,
-      fields: Option[Set[String]] = None): Iterator[BDoc] = {
+      fields: Option[Set[String]] = None): CloseableDocIterator = {
     if (isCompressed(path)) {
       require(start == 0L, s"compressed BSON is unsplittable, got start=$start")
       return readCompressed(path)
     }
     val fileLen = Files.size(Paths.get(path))
     val begin = startingPosition(path, start)
-    new Iterator[BDoc] {
+    new CloseableDocIterator {
       private val raf = new RandomAccessFile(path, "r")
-      private var pos = begin
       private var closed = false
+      private var pos = begin
+      override def close(): Unit = if (!closed) { raf.close(); closed = true }
       override def hasNext: Boolean = {
         val more = !closed && pos < math.min(end, fileLen)
-        if (!more && !closed) { raf.close(); closed = true }
+        if (!more) close()
         more
       }
       override def next(): BDoc = {
@@ -159,7 +166,7 @@ object BsonFiles {
     }
   }
 
-  def readAll(path: String): Iterator[BDoc] =
+  def readAll(path: String): CloseableDocIterator =
     if (isCompressed(path)) readCompressed(path)
     else readRange(path, 0L, Files.size(Paths.get(path)))
 
@@ -169,18 +176,20 @@ object BsonFiles {
     * UNSPLITTABLE — always one split covering the whole stream (the
     * reference's rule, BSONFileInputFormat.java:56-64,106-113).
     */
-  def readCompressed(path: String): Iterator[BDoc] = {
+  def readCompressed(path: String): CloseableDocIterator = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.BufferedInputStream(Files.newInputStream(Paths.get(path)), 1 << 20))
-    new Iterator[BDoc] {
+    new CloseableDocIterator {
+      private var closed = false
       private var nextDoc: BDoc = advance()
+      override def close(): Unit = if (!closed) { in.close(); closed = true }
       private def advance(): BDoc = {
         val lenBuf = new Array[Byte](4)
         val first = in.readNBytes(lenBuf, 0, 4)
-        if (first < 4) { in.close(); return null }
+        if (first < 4) { close(); return null }
         val len = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
         val rest = new Array[Byte](len - 4)
-        if (in.readNBytes(rest, 0, len - 4) < len - 4) { in.close(); return null }
+        if (in.readNBytes(rest, 0, len - 4) < len - 4) { close(); return null }
         val all = new Array[Byte](len)
         System.arraycopy(lenBuf, 0, all, 0, 4)
         System.arraycopy(rest, 0, all, 4, len - 4)

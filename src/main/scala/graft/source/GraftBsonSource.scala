@@ -91,7 +91,8 @@ final class GraftTable(tableSchema: StructType, properties: Map[String, String])
     new GraftScanBuilder(tableSchema, properties ++ options.asScala)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(info.schema(), properties ++ info.options().asScala)
+    new GraftWriteBuilder(info.schema(), info.queryId(),
+      properties ++ info.options().asScala)
 }
 
 final class GraftScanBuilder(tableSchema: StructType, options: Map[String, String])
@@ -242,8 +243,9 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           Planners.plan(stats, key, other, query,
             targetSplitBytes = splitSize, minDocs = minDocs,
             filterEmpty = filterEmpty)
-            .map { case (q, _) =>
-              GraftInputPartition(f, 0L, Long.MaxValue, q, limit, mapping, sortKey): InputPartition
+            .map { case (q, locs) =>
+              GraftInputPartition(f, 0L, Long.MaxValue, q, limit, mapping, sortKey,
+                locations = locs): InputPartition
             }
         }.toArray
     }
@@ -281,7 +283,13 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
 final case class GraftInputPartition(path: String, start: Long, end: Long,
     query: BQuery, limit: Option[Int] = None,
     mapping: Map[String, String] = Map.empty,
-    sortKey: Option[String] = None) extends InputPartition
+    sortKey: Option[String] = None,
+    locations: Seq[String] = Seq.empty) extends InputPartition {
+  /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
+    * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
+    */
+  override def preferredLocations(): Array[String] = locations.toArray
+}
 
 final class GraftReaderFactory(requiredSchema: StructType)
     extends PartitionReaderFactory {
@@ -300,8 +308,10 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
       p.mapping.values.map(_.split('.').head) ++
       BQuery.fieldHeads(p.query) ++
       p.sortKey.map(_.split('.').head)
-  private val base = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
-    .filter(p.query.matches)
+  // keep the raw handle: with limit pushdown / early task kill the iterator
+  // is never drained, so close() must release the file descriptor
+  private val raw = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
+  private val base = raw.filter(p.query.matches)
   // per-PARTITION sort (the reference's cursor.sort semantics,
   // MongoInputSplit.java:281 — explicitly NOT a global order; use
   // Spark's own orderBy for that)
@@ -319,12 +329,13 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = raw.close()
 }
 
 // ---------------- write path ----------------
 
-final class GraftWriteBuilder(writeSchema: StructType, options: Map[String, String])
+final class GraftWriteBuilder(writeSchema: StructType, queryId: String,
+    options: Map[String, String])
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
@@ -332,27 +343,43 @@ final class GraftWriteBuilder(writeSchema: StructType, options: Map[String, Stri
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(writeSchema, options, truncateFirst)
+      new GraftBatchWrite(writeSchema, queryId, options, truncateFirst)
   }
 }
 
-final case class GraftCommitMessage(partitionId: Int, tempFile: String, n: Long)
+final case class GraftCommitMessage(partitionId: Int, segment: String, n: Long)
     extends WriterCommitMessage
 
-/** Task writers serialize write-model docs to task-local temp files; the
-  * driver-side commit replays them in partition order as one ordered bulk
-  * (the temp-file-then-commit protocol of MongoRecordWriter.java:49-120 +
-  * MongoOutputCommitter.commitTask:91-186, which makes task retries safe
-  * for non-idempotent $inc/$push updates).
+/** Two-phase write commit on SHARED storage (cluster-safe — the driver
+  * never touches executor-local disk):
+  *
+  *  1. each task streams its write-model docs to a job-scoped temp file
+  *     UNDER the collection directory (`<path>/.graft-pending/<queryId>/`),
+  *     which on a real deployment is the shared filesystem the collection
+  *     itself lives on;
+  *  2. `DataWriter.commit()` (task side) atomically renames the temp file
+  *     to a durable segment — only segments of successfully-committed
+  *     tasks ever carry the final name;
+  *  3. `BatchWrite.commit` (driver) replays the committed segments in
+  *     partition order as one bulk, failing fast if a named segment is
+  *     missing, then removes the whole job directory.
+  *
+  * This is the reference's task-attempt-path protocol
+  * (MongoRecordWriter.java:49-120 writes to the Hadoop FileSystem work
+  * path; MongoOutputCommitter.commitTask:91-186 replays on task commit),
+  * which makes task retries safe for non-idempotent $inc/$push updates:
+  * an aborted attempt's temp file is never renamed, so it is never
+  * replayed.
   */
-final class GraftBatchWrite(writeSchema: StructType, options: Map[String, String],
-    truncateFirst: Boolean) extends BatchWrite {
+final class GraftBatchWrite(writeSchema: StructType, queryId: String,
+    options: Map[String, String], truncateFirst: Boolean) extends BatchWrite {
 
   private val path = options.getOrElse("path",
     throw new IllegalArgumentException("path option required"))
+  private val jobDir = Paths.get(path, ".graft-pending", queryId)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftDataWriterFactory(writeSchema, options)
+    new GraftDataWriterFactory(writeSchema, options, jobDir.toString)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val coll = new BsonCollection(path)
@@ -365,7 +392,14 @@ final class GraftBatchWrite(writeSchema: StructType, options: Map[String, String
     }
     val ordered = messages.collect { case m: GraftCommitMessage => m }
       .sortBy(_.partitionId)
-    val models = ordered.iterator.flatMap(m => BsonFiles.readAll(m.tempFile))
+    // fail fast: a missing segment means lost task output — silently
+    // writing the rest would be data loss masquerading as success
+    val missing = ordered.filterNot(m => Files.exists(Paths.get(m.segment)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"committed task segment(s) missing at job commit: " +
+          missing.map(_.segment).mkString(", "))
+    val models = ordered.iterator.flatMap(m => BsonFiles.readAll(m.segment))
       .map(WriteModels.fromDoc(coll, _))
     val bulkOrdered = !options.get("bulk_ordered").contains("false")
     val result = coll.bulkWrite(models, ordered = bulkOrdered)
@@ -373,17 +407,21 @@ final class GraftBatchWrite(writeSchema: StructType, options: Map[String, String
       System.err.println(
         s"[graftbson] unordered bulk completed with ${result.errors.size} error(s): " +
           result.errors.take(5).mkString("; "))
-
-    ordered.foreach { m =>
-      Files.deleteIfExists(Paths.get(m.tempFile))
-      val tf = Paths.get(m.tempFile)
-      Files.deleteIfExists(tf.resolveSibling("." + tf.getFileName + ".splits"))
-    }
+    GraftBatchWrite.deleteRecursively(jobDir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftCommitMessage => m }
-      .foreach(m => Files.deleteIfExists(Paths.get(m.tempFile)))
+    GraftBatchWrite.deleteRecursively(jobDir)
+}
+
+object GraftBatchWrite {
+  private[source] def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
 }
 
 /** Write-model wire shape: insert docs as-is; update ops wrapped as
@@ -433,14 +471,15 @@ object WriteModels {
   }
 }
 
-final class GraftDataWriterFactory(writeSchema: StructType, options: Map[String, String])
+final class GraftDataWriterFactory(writeSchema: StructType,
+    options: Map[String, String], jobDir: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(partitionId, taskId, writeSchema, options)
+    new GraftDataWriter(partitionId, taskId, writeSchema, options, jobDir)
 }
 
 final class GraftDataWriter(partitionId: Int, taskId: Long,
-    writeSchema: StructType, options: Map[String, String])
+    writeSchema: StructType, options: Map[String, String], jobDir: String)
     extends DataWriter[InternalRow] {
 
   private val mode = options.getOrElse("mode", "insert")
@@ -453,10 +492,16 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
     for (q <- options.get("query_template"); u <- options.get("update_template"))
       yield (graft.query.UpdateDsl.parse(q), graft.query.UpdateDsl.parse(u))
 
-  private val tempFile = Files.createTempFile(s"graft-w$partitionId-$taskId", ".bson").toString
-  // stream write-models to the task temp file as they arrive — bounded
+  // attempt temp file lives in the job dir on the SHARED collection path
+  // (never executor-local java.io.tmpdir — the driver must be able to read
+  // the committed segment on a real cluster); the `_tmp-` prefix marks it
+  // uncommitted until the task-side rename in commit()
+  private val segFile = Paths.get(jobDir, s"seg-p$partitionId-t$taskId.bson")
+  private val tmpFile = segFile.resolveSibling(s"_tmp-${segFile.getFileName}")
+  Files.createDirectories(tmpFile.getParent)
+  // stream write-models to the attempt file as they arrive — bounded
   // memory per task regardless of partition size
-  private val appender = new BsonFiles.Appender(tempFile)
+  private val appender = new BsonFiles.Appender(tmpFile.toString)
   private var closed = false
 
   override def write(record: InternalRow): Unit = {
@@ -473,17 +518,28 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
     })
   }
 
+  /** TASK-side commit: atomically promote the attempt file to its durable
+    * segment name (MongoOutputCommitter.commitTask semantics) — only then
+    * can the driver ever see it.
+    */
   override def commit(): WriterCommitMessage = {
     val n = appender.close()
     closed = true
-    GraftCommitMessage(partitionId, tempFile, n)
+    Files.deleteIfExists(
+      tmpFile.resolveSibling("." + tmpFile.getFileName + ".splits"))
+    try Files.move(tmpFile, segFile, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmpFile, segFile)
+    }
+    GraftCommitMessage(partitionId, segFile.toString, n)
   }
 
   override def abort(): Unit = {
     if (!closed) { appender.close(); closed = true }
-    Files.deleteIfExists(Paths.get(tempFile))
-    val tf = Paths.get(tempFile)
-    Files.deleteIfExists(tf.resolveSibling("." + tf.getFileName + ".splits"))
+    Files.deleteIfExists(tmpFile)
+    Files.deleteIfExists(
+      tmpFile.resolveSibling("." + tmpFile.getFileName + ".splits"))
   }
 
   override def close(): Unit =

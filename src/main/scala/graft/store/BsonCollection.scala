@@ -88,7 +88,15 @@ final class BsonCollection(val dir: String) {
         }
 
       case UpdateOp(UpdateModel(query, update, upsert, multi, replace)) =>
-        val hits = allDocs.filter(query.matches).toVector
+        // point-update fast path: an _id-equality conjunct routes through
+        // the byId map (O(1)) instead of scanning every doc per model —
+        // the write path's keyed update/upsert modes all hit this
+        val hits = BsonCollection.idEquality(query) match {
+          case Some(id) =>
+            BsonCollection.idLookups(id).flatMap(byId.get)
+              .filter(query.matches).toVector
+          case None => allDocs.filter(query.matches).toVector
+        }
         val targets = if (multi) hits else hits.take(1)
         if (targets.isEmpty) {
           if (upsert) {
@@ -140,5 +148,34 @@ final class BsonCollection(val dir: String) {
   private def freshObjectId(): String = {
     oidCounter += 1
     f"${(System.currentTimeMillis() / 1000).toInt}%08x${oidCounter}%016x"
+  }
+}
+
+object BsonCollection {
+  /** The `_id`-equality conjunct of a query, if any. */
+  private[store] def idEquality(q: BQuery): Option[BsonValue] = q match {
+    case BQuery.Eq("_id", v) => Some(v)
+    case BQuery.And(qs) => qs.iterator.map(idEquality).collectFirst { case Some(v) => v }
+    case _ => None
+  }
+
+  /** Map keys that could hold a doc whose `_id` EQUALS `v` under BSON
+    * comparison semantics: numbers compare cross-width (BInt32(5) ==
+    * BInt64(5)), so a point lookup must probe every exactly-equal-valued
+    * width; non-numeric ids are exact.
+    */
+  private[store] def idLookups(v: BsonValue): Seq[BsonValue] = {
+    val variants = v match {
+      case BInt32(x) => Seq(BInt64(x.toLong), BDouble(x.toDouble))
+      case BInt64(x) =>
+        (if (x >= Int.MinValue && x <= Int.MaxValue) Seq(BInt32(x.toInt)) else Nil) ++
+          (if (x.toDouble.toLong == x) Seq(BDouble(x.toDouble)) else Nil)
+      case BDouble(x) if x.isWhole =>
+        (if (x >= Int.MinValue && x <= Int.MaxValue) Seq(BInt32(x.toInt)) else Nil) ++
+          (if (x >= Long.MinValue.toDouble && x <= Long.MaxValue.toDouble)
+            Seq(BInt64(x.toLong)) else Nil)
+      case _ => Nil
+    }
+    v +: variants
   }
 }
