@@ -157,10 +157,14 @@ object BsonCodec {
   private val TDate: Byte = 0x09
   private val TNull: Byte = 0x0a
   private val TRegex: Byte = 0x0b
+  private val TDbPointer: Byte = 0x0c
+  private val TCode: Byte = 0x0d
   private val TSymbol: Byte = 0x0e
+  private val TCodeWScope: Byte = 0x0f
   private val TInt32: Byte = 0x10
   private val TTimestamp: Byte = 0x11
   private val TInt64: Byte = 0x12
+  private val TDecimal128: Byte = 0x13
   private val TMinKey: Byte = 0xff.toByte
   private val TMaxKey: Byte = 0x7f
 
@@ -284,6 +288,16 @@ object BsonCodec {
       buf.position(buf.position() + n - 4)
     case TRegex =>
       readCString(buf); readCString(buf); ()
+    case TDbPointer =>
+      val n = buf.getInt
+      buf.position(buf.position() + n + 12)
+    case TCode =>
+      val n = buf.getInt
+      buf.position(buf.position() + n)
+    case TCodeWScope =>
+      val n = buf.getInt
+      buf.position(buf.position() + n - 4)
+    case TDecimal128 => buf.position(buf.position() + 16)
     case other => throw new IllegalArgumentException(f"unsupported BSON tag 0x$other%02x")
   }
 
@@ -315,9 +329,50 @@ object BsonCodec {
       val sec = buf.getInt
       BTimestamp(sec, ord)
     case TInt64 => BInt64(buf.getLong)
+    // Foreign-tag tolerance: real mongodump output can contain stored JS,
+    // DBPointers, and Decimal128 even when the pipeline never writes them;
+    // a scan must degrade gracefully, not crash. Conversions follow the
+    // reference (hive/.../BSONSerDe.java:427-435 maps Code/CodeWScope to
+    // their code string dropping scope; pig/.../BSONLoader.java:252-256
+    // maps DBRef to a {$ref,$id} map).
+    case TDbPointer =>
+      val ns = readString(buf)
+      val arr = new Array[Byte](12)
+      buf.get(arr)
+      BDoc("$ref" -> BString(ns),
+        "$id" -> BObjectId(arr.map(b => f"${b & 0xff}%02x").mkString))
+    case TCode => BString(readString(buf))
+    case TCodeWScope =>
+      val start = buf.position()
+      val total = buf.getInt
+      val code = readString(buf)
+      buf.position(start + total) // drop the scope document
+      BString(code)
+    case TDecimal128 =>
+      val low = buf.getLong
+      val high = buf.getLong
+      BDouble(decimal128ToDouble(low, high))
     case TMinKey => BMinKey
     case TMaxKey => BMaxKey
     case other => throw new IllegalArgumentException(f"unsupported BSON tag 0x$other%02x")
+  }
+
+  /** IEEE 754-2008 decimal128 (BID encoding, the BSON variant) to double —
+    * lossy by design: Decimal128 degrades to the nearest double, like any
+    * engine without a native decimal column. Non-canonical encodings (the
+    * `11` combination prefix) represent zero per the spec.
+    */
+  private[bson] def decimal128ToDouble(low: Long, high: Long): Double = {
+    val neg = (high & 0x8000000000000000L) != 0
+    val combination = ((high >>> 58) & 0x1f).toInt
+    if (combination == 0x1f) return Double.NaN
+    if (combination == 0x1e) return if (neg) Double.NegativeInfinity else Double.PositiveInfinity
+    if (((high >>> 61) & 0x3) == 0x3) return if (neg) -0.0 else 0.0
+    val exponent = ((high >>> 49) & 0x3fff).toInt - 6176
+    val sigHigh = high & 0x0001ffffffffffffL
+    val sig = (BigInt(sigHigh) << 64) | (BigInt(low) & ((BigInt(1) << 64) - 1))
+    val signed = if (neg) -sig else sig
+    BigDecimal(signed, -exponent).toDouble
   }
 
   private def readString(buf: ByteBuffer): String = {

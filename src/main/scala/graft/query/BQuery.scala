@@ -41,6 +41,32 @@ object BQuery {
   final case class In(path: String, vs: Seq[BsonValue]) extends BQuery {
     def matches(d: BDoc): Boolean = vs.exists(v => cmp(d, path, v)(_ == 0))
   }
+  /** Mongo `$ne` semantics: matches when the field differs — INCLUDING
+    * missing fields and other type brackets (unlike Spark's `!=`, which is
+    * null-filtered; that is why [[FilterTranslator]] never produces Ne).
+    */
+  final case class Ne(path: String, v: BsonValue) extends BQuery {
+    def matches(d: BDoc): Boolean = !cmp(d, path, v)(_ == 0)
+  }
+  /** Mongo `$nin`: the negation of In, also matching missing fields. */
+  final case class Nin(path: String, vs: Seq[BsonValue]) extends BQuery {
+    def matches(d: BDoc): Boolean = !vs.exists(v => cmp(d, path, v)(_ == 0))
+  }
+  /** Mongo `$regex` (partial match over string fields; options i/m/s/x). */
+  final case class Regex(path: String, pattern: String, opts: String = "") extends BQuery {
+    @transient private lazy val compiled: java.util.regex.Pattern = {
+      var flags = 0
+      if (opts.contains('i')) flags |= java.util.regex.Pattern.CASE_INSENSITIVE
+      if (opts.contains('m')) flags |= java.util.regex.Pattern.MULTILINE
+      if (opts.contains('s')) flags |= java.util.regex.Pattern.DOTALL
+      if (opts.contains('x')) flags |= java.util.regex.Pattern.COMMENTS
+      java.util.regex.Pattern.compile(pattern, flags)
+    }
+    def matches(d: BDoc): Boolean = d.getPath(path) match {
+      case Some(BString(s)) => compiled.matcher(s).find()
+      case _ => false
+    }
+  }
   final case class Exists(path: String, yes: Boolean) extends BQuery {
     def matches(d: BDoc): Boolean = d.getPath(path).exists(_ != BNull) == yes
   }
@@ -71,6 +97,9 @@ object BQuery {
     case Gt(p, _) => Set(p.split('.').head)
     case Gte(p, _) => Set(p.split('.').head)
     case In(p, _) => Set(p.split('.').head)
+    case Ne(p, _) => Set(p.split('.').head)
+    case Nin(p, _) => Set(p.split('.').head)
+    case Regex(p, _, _) => Set(p.split('.').head)
     case Exists(p, _) => Set(p.split('.').head)
     case KeyRange(p, _, _) => Set(p.split('.').head)
     case And(qs) => qs.flatMap(fieldHeads).toSet
@@ -107,8 +136,13 @@ object FilterTranslator {
     case x: Float => Some(BDouble(x.toDouble))
     case x: String => Some(BString(x))
     case x: Boolean => Some(BBool(x))
-    case x: java.sql.Timestamp => Some(BDate(x.getTime))
-    case x: java.time.Instant => Some(BDate(x.toEpochMilli))
+    // BDate stores whole milliseconds, and accepted filters are NOT
+    // re-checked by Spark — so a sub-millisecond literal must stay residual
+    // (truncating it would return rows Spark semantics exclude)
+    case x: java.sql.Timestamp =>
+      if (x.getNanos % 1000000 == 0) Some(BDate(x.getTime)) else None
+    case x: java.time.Instant =>
+      if (x.getNano % 1000000 == 0) Some(BDate(x.toEpochMilli)) else None
     case x: java.sql.Date => Some(BDate(x.getTime))
     case x: Array[Byte] => Some(BBinary(x))
     case _ => None
@@ -121,6 +155,10 @@ object FilterTranslator {
   def translate(f: Filter, m: Map[String, String] = Map.empty): Option[BQuery] = {
     def col(a: String): String = m.getOrElse(a, a)
     f match {
+      // Spark's `a = NULL` is never true (null-valued predicate filters the
+      // row) — push a match-nothing query, not Eq(BNull) which would match
+      // docs holding an explicit null
+      case EqualTo(_, null) => Some(BQuery.In("_", Seq.empty))
       case EqualTo(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case EqualNullSafe(a, null) => Some(BQuery.Exists(col(a), yes = false))
       case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
@@ -129,10 +167,22 @@ object FilterTranslator {
       case LessThan(a, v) => toBson(v).map(BQuery.Lt(col(a), _))
       case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(col(a), _))
       case In(a, vs) =>
-        val bs = vs.toSeq.map(toBson)
+        // Spark: `a IN (..., NULL)` can never be satisfied BY the null —
+        // drop nulls from the list (empty list = matches nothing, which is
+        // exactly Spark's result for an all-null list)
+        val bs = vs.toSeq.filter(_ != null).map(toBson)
         if (bs.forall(_.isDefined)) Some(BQuery.In(col(a), bs.flatten)) else None
       case IsNull(a) => Some(BQuery.Exists(col(a), yes = false))
       case IsNotNull(a) => Some(BQuery.Exists(col(a), yes = true))
+      // string predicates as anchored regexes (\A/\z, not ^/$ — `$` would
+      // also match before a trailing newline, unlike endsWith); missing
+      // fields don't match, same as Spark's null-filtering
+      case StringStartsWith(a, v) =>
+        Some(BQuery.Regex(col(a), "\\A" + java.util.regex.Pattern.quote(v)))
+      case StringEndsWith(a, v) =>
+        Some(BQuery.Regex(col(a), java.util.regex.Pattern.quote(v) + "\\z"))
+      case StringContains(a, v) =>
+        Some(BQuery.Regex(col(a), java.util.regex.Pattern.quote(v)))
       case And(l, r) =>
         (translate(l, m), translate(r, m)) match {
           case (Some(x), Some(y)) => Some(BQuery.and(x, y))
@@ -181,7 +231,13 @@ object BQueryJson {
           case ("$lt", v) => BQuery.Lt(field, value(v))
           case ("$lte", v) => BQuery.Lte(field, value(v))
           case ("$eq", v) => BQuery.Eq(field, value(v))
+          case ("$ne", v) => BQuery.Ne(field, value(v))
           case ("$in", JArray(vs)) => BQuery.In(field, vs.map(value))
+          case ("$nin", JArray(vs)) => BQuery.Nin(field, vs.map(value))
+          case ("$regex", JString(p)) =>
+            val opts = ops.obj.collectFirst { case ("$options", JString(o)) => o }
+            BQuery.Regex(field, p, opts.getOrElse(""))
+          case ("$options", _) => BQuery.True // consumed by the $regex case
           case ("$exists", JBool(b)) => BQuery.Exists(field, b)
           case (op, _) => throw new IllegalArgumentException(s"unsupported operator $op")
         })

@@ -97,7 +97,8 @@ final class GraftTable(tableSchema: StructType, properties: Map[String, String])
 
 final class GraftScanBuilder(tableSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownOffset {
 
   /** Column-name remapping: Spark column -> (dotted) document field, the
     * `mongo.columns.mapping` analog (HiveMongoInputFormat.java:211-240).
@@ -129,11 +130,26 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Offset (skip) pushdown — the mongo.input.skip analog
+    * (MongoInputSplit.java:291-296 applies cursor skip per split). Unlike
+    * limit, Spark removes an accepted OFFSET from the plan entirely, so it
+    * is only accepted when the scan is provably ONE partition (the same
+    * single-split caveat the reference's skip has).
+    */
+  private var offset: Option[Int] = None
+  private def provablySinglePartition: Boolean =
+    !options.contains("collections") &&
+      options.get("splitter").contains("single") &&
+      options.get("path").exists(p => GraftBsonSource.dataFiles(p).size == 1)
+  override def pushOffset(n: Int): Boolean =
+    if (provablySinglePartition) { offset = Some(n); true } else false
+
   override def build(): Scan = {
     // AND-compose with the option-level query (mongo.input.query analog;
     // $and composition semantics of HiveMongoInputFormat.java:104-123)
     val optionQuery = options.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
-    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, limit, mapping)
+    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, limit, mapping,
+      offset)
   }
 }
 
@@ -171,7 +187,8 @@ object ColumnMapping {
 
 final class GraftScan(requiredSchema: StructType, query: BQuery,
     options: Map[String, String], limit: Option[Int] = None,
-    mapping: Map[String, String] = Map.empty)
+    mapping: Map[String, String] = Map.empty,
+    offset: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
@@ -232,7 +249,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         }.toArray
       case "single" =>
         files.map(f =>
-          GraftInputPartition(f, 0L, Long.MaxValue, query, limit, mapping, sortKey): InputPartition).toArray
+          GraftInputPartition(f, 0L, Long.MaxValue, query, limit, mapping, sortKey,
+            offset = offset): InputPartition).toArray
       case other =>
         // key-range strategies via the pure planners + file-backed stats
         val key = options.getOrElse("key", "_id")
@@ -255,36 +273,130 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     new GraftReaderFactory(requiredSchema)
 }
 
-/** File-backed [[Planners.CollectionStats]] (driver-side planning only). */
+/** File-backed [[Planners.CollectionStats]] with BOUNDED planning IO — the
+  * driver must never materialize the collection to plan it (the reference's
+  * planners issue O(#splits) server commands: splitVector / $sample /
+  * collstats, not a full scan). Sources of cheap truth, in order:
+  *
+  *  - the `.splits` side file (doc-boundary offsets every 64 docs) gives
+  *    count and sample positions at zero data IO;
+  *  - without it, one header-only walk reads 4 bytes per doc (seeking over
+  *    bodies), still a tiny fraction of the file;
+  *  - `sampleKeys` decodes exactly n docs at evenly spaced boundaries
+  *    (projected to the key field) — the $sample stand-in.
+  *
+  * Only the paginating strategy's `keyAtSkip`/`hasAny` probes stream the
+  * file (projected decode, no materialization) — the same cost class as the
+  * reference's skip-probe queries, which also walk matching docs server-side.
+  * `bytesTouched` accounts all planning IO so tests can bound it.
+  */
 final class FileStats(path: String, key: String) extends Planners.CollectionStats {
-  private lazy val docs: Vector[BDoc] = BsonFiles.readAll(path).toVector
-  private lazy val sortedKeys: Vector[BsonValue] =
-    docs.flatMap(_.getPath(key)).sorted(BsonOrdering)
+  private val fileLen = Files.size(Paths.get(path))
+  private val compressed = BsonFiles.isCompressed(path)
 
-  override def count: Long = docs.size.toLong
-  override def avgObjSizeBytes: Long = {
-    val total = Files.size(Paths.get(path))
-    if (docs.isEmpty) 0L else math.max(1L, total / docs.size)
-  }
-  override def sampleKeys(n: Int): Seq[BsonValue] =
-    if (sortedKeys.isEmpty || n <= 0) Seq.empty
-    else {
-      val step = math.max(1, sortedKeys.size / n)
-      sortedKeys.grouped(step).map(_.head).take(n).toSeq
+  private var _bytesTouched = 0L
+  /** Total bytes of the data file this provider actually read. */
+  def bytesTouched: Long = _bytesTouched
+
+  /** (stride, doc-start offsets of every stride-th doc). */
+  private lazy val bounds: (Int, Vector[Long]) =
+    BsonFiles.readSplitsFile(path) match {
+      case Some(offs) if offs.nonEmpty => (64, offs)
+      case _ => (1, headerWalk(0L, Long.MaxValue))
     }
+
+  /** Doc-start offsets from `from`, reading ONLY the 4-byte length headers. */
+  private def headerWalk(from: Long, maxDocs: Long): Vector[Long] = {
+    val out = Vector.newBuilder[Long]
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val lenBuf = new Array[Byte](4)
+      var pos = from
+      var n = 0L
+      while (pos < fileLen && n < maxDocs) {
+        raf.seek(pos)
+        raf.readFully(lenBuf)
+        _bytesTouched += 4
+        out += pos
+        pos += java.nio.ByteBuffer.wrap(lenBuf)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        n += 1
+      }
+    } finally raf.close()
+    out.result()
+  }
+
+  override lazy val count: Long =
+    if (compressed) { // no random access into gzip: one streaming pass
+      _bytesTouched += fileLen
+      val it = BsonFiles.readAll(path)
+      try it.size.toLong finally it.close()
+    } else bounds match {
+      case (1, offs) => offs.size.toLong
+      case (stride, offs) =>
+        (offs.size - 1).toLong * stride + headerWalk(offs.last, Long.MaxValue).size
+    }
+
+  override def avgObjSizeBytes: Long =
+    if (count == 0) 0L else math.max(1L, fileLen / count)
+
+  override def sampleKeys(n: Int): Seq[BsonValue] =
+    if (n <= 0 || count == 0) Seq.empty
+    else if (compressed) {
+      val all = streamKeys(BQuery.True).sorted(BsonOrdering)
+      val step = math.max(1, all.size / n)
+      all.grouped(step).map(_.head).take(n).toSeq
+    } else {
+      val (_, offs) = bounds
+      val step = math.max(1, offs.size / n)
+      val picks = offs.grouped(step).map(_.head).take(n)
+      val raf = new java.io.RandomAccessFile(path, "r")
+      val keyHead = key.split('.').head
+      try {
+        picks.flatMap { pos =>
+          raf.seek(pos)
+          val lenBuf = new Array[Byte](4)
+          raf.readFully(lenBuf)
+          val len = java.nio.ByteBuffer.wrap(lenBuf)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          val bytes = new Array[Byte](len)
+          raf.seek(pos)
+          raf.readFully(bytes)
+          _bytesTouched += len + 4
+          BsonCodec.readDocProjected(
+            java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN),
+            Set(keyHead).contains).getPath(key)
+        }.toVector.sorted(BsonOrdering)
+      } finally raf.close()
+    }
+
+  /** Streaming projected key scan (paginating/pruning probes only). */
+  private def streamKeys(query: BQuery): Vector[BsonValue] = {
+    _bytesTouched += fileLen
+    val fields = Some(Set(key.split('.').head) ++ BQuery.fieldHeads(query))
+    val it = BsonFiles.readRange(path, 0L, Long.MaxValue, fields)
+    try it.filter(query.matches).flatMap(_.getPath(key)).toVector
+    finally it.close()
+  }
+
   override def keyAtSkip(query: BQuery, skip: Long): Option[BsonValue] = {
-    val matching = docs.filter(query.matches)
-      .flatMap(_.getPath(key)).sorted(BsonOrdering)
+    val matching = streamKeys(query).sorted(BsonOrdering)
     if (skip < matching.size) Some(matching(skip.toInt)) else None
   }
-  override def hasAny(query: BQuery): Boolean = docs.exists(query.matches)
+
+  override def hasAny(query: BQuery): Boolean = {
+    val fields = Some(Set(key.split('.').head) ++ BQuery.fieldHeads(query))
+    val it = BsonFiles.readRange(path, 0L, Long.MaxValue, fields)
+    try it.exists(query.matches) finally it.close()
+  }
 }
 
 final case class GraftInputPartition(path: String, start: Long, end: Long,
     query: BQuery, limit: Option[Int] = None,
     mapping: Map[String, String] = Map.empty,
     sortKey: Option[String] = None,
-    locations: Seq[String] = Seq.empty) extends InputPartition {
+    locations: Seq[String] = Seq.empty,
+    offset: Option[Int] = None) extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
     */
@@ -320,7 +432,10 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
       base.toVector.sortBy(d => d.getPath(key).getOrElse(BNull))(BsonOrdering).iterator
     case None => base
   }
-  private val docs = p.limit.map(sorted.take).getOrElse(sorted)
+  // offset (skip) BEFORE limit — planInputPartitions only carries offset on
+  // provably-single-partition scans, where skip-then-take is globally exact
+  private val afterOffset = p.offset.map(sorted.drop).getOrElse(sorted)
+  private val docs = p.limit.map(afterOffset.take).getOrElse(afterOffset)
   private var current: InternalRow = _
 
   override def next(): Boolean =

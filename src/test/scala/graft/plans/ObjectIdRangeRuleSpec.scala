@@ -66,6 +66,34 @@ class ObjectIdRangeRuleSpec extends SparkSpec {
     }
   }
 
+  test("uppercase ObjectIds are not silently filtered by the derived range") {
+    import spark.implicits._
+    withRule {
+      // objectid_to_seconds accepts any case, so the derived string range
+      // must too: a raw-column conjunct would drop "DEADBEEF..." ('F' < 'f')
+      val df = Seq("DEADBEEF" + "00" * 8, "deadbeef" + "00" * 8, "00000001" + "00" * 8)
+        .toDF("oid")
+      val got = df.filter(GraftFunctions.objectid_to_seconds($"oid") >= 2L)
+        .collect().map(_.getString(0)).toSet
+      assert(got === Set("DEADBEEF" + "00" * 8, "deadbeef" + "00" * 8))
+    }
+  }
+
+  test("assume_canonical opt-in restores the raw-column (pushable) conjunct") {
+    import spark.implicits._
+    withRule {
+      spark.conf.set(ObjectIdRangeRule.AssumeCanonicalKey, "true")
+      try {
+        val df = Seq("0000000a" + "00" * 8, "00000001" + "00" * 8).toDF("oid")
+          .filter(GraftFunctions.objectid_to_seconds($"oid") >= 10L)
+        assert(df.count() === 1)
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(!optimized.toLowerCase.contains("lower("),
+          s"canonical mode must not wrap the column:\n$optimized")
+      } finally spark.conf.unset(ObjectIdRangeRule.AssumeCanonicalKey)
+    }
+  }
+
   test("rule is idempotent (no conjunct explosion at fixed point)") {
     import spark.implicits._
     withRule {

@@ -30,8 +30,35 @@ class BQueryJsonSpec extends AnyFunSuite {
 
   test("unsupported operator is rejected loudly") {
     intercept[IllegalArgumentException] {
-      BQueryJson.parse("""{"a": {"$regex": "x"}}""")
+      BQueryJson.parse("""{"a": {"$where": "x"}}""")
     }
+  }
+
+  test("$ne and $nin match missing fields (mongo semantics, not Spark's)") {
+    val ne = BQueryJson.parse("""{"a": {"$ne": 1}}""")
+    assert(!ne.matches(BDoc("a" -> BInt32(1))))
+    assert(ne.matches(BDoc("a" -> BInt32(2))))
+    assert(ne.matches(BDoc("b" -> BInt32(1)))) // missing field: $ne matches
+    assert(ne.matches(BDoc("a" -> BString("1")))) // other type bracket
+
+    val nin = BQueryJson.parse("""{"a": {"$nin": [1, 2]}}""")
+    assert(!nin.matches(BDoc("a" -> BInt32(2))))
+    assert(nin.matches(BDoc("a" -> BInt32(3))))
+    assert(nin.matches(BDoc.empty))
+  }
+
+  test("$regex is a partial match honoring $options") {
+    val q = BQueryJson.parse("""{"name": {"$regex": "^ab.*z$"}}""")
+    assert(q.matches(BDoc("name" -> BString("abcz"))))
+    assert(!q.matches(BDoc("name" -> BString("Abcz"))))
+    assert(!q.matches(BDoc("name" -> BInt32(5)))) // non-string never matches
+    assert(!q.matches(BDoc.empty))
+
+    val qi = BQueryJson.parse("""{"name": {"$regex": "^ab", "$options": "i"}}""")
+    assert(qi.matches(BDoc("name" -> BString("ABX"))))
+
+    val partial = BQueryJson.parse("""{"name": {"$regex": "bc"}}""")
+    assert(partial.matches(BDoc("name" -> BString("xabcy"))), "mongo $regex is find(), not full match")
   }
 
   test("input partitions and queries survive Java serialization (task hop)") {

@@ -1,0 +1,67 @@
+package graft.query
+
+import graft.bson._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pushdown soundness edges: every accepted filter is REMOVED from Spark's
+  * post-scan evaluation, so a translation that widens the match set returns
+  * wrong rows with no second line of defense. These cases pin the
+  * refuse-or-exact rules.
+  */
+class TranslatorEdgeSpec extends AnyFunSuite {
+
+  test("sub-millisecond timestamp literals stay residual") {
+    val exact = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123")
+    assert(FilterTranslator.translate(GreaterThan("ts", exact)).isDefined)
+
+    val sub = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.1234567")
+    assert(FilterTranslator.translate(GreaterThan("ts", sub)).isEmpty,
+      "BDate is whole-ms; pushing a truncated bound would return extra rows")
+    assert(FilterTranslator.translate(EqualTo("ts", sub)).isEmpty)
+
+    val instSub = java.time.Instant.parse("2024-01-02T03:04:05.000123Z")
+    assert(FilterTranslator.translate(LessThan("ts", instSub)).isEmpty)
+    val instExact = java.time.Instant.parse("2024-01-02T03:04:05.123Z")
+    assert(FilterTranslator.translate(LessThan("ts", instExact)).isDefined)
+  }
+
+  test("IN lists drop nulls; all-null IN and a = NULL match nothing") {
+    val q = FilterTranslator.translate(In("a", Array(1, null, 2))).get
+    assert(q === BQuery.In("a", Seq(BInt32(1), BInt32(2))))
+    // a doc with explicit null must NOT match (Spark: IN with null is never true)
+    assert(!q.matches(BDoc("a" -> BNull)))
+
+    val allNull = FilterTranslator.translate(In("a", Array(null))).get
+    assert(!allNull.matches(BDoc("a" -> BNull)) && !allNull.matches(BDoc("a" -> BInt32(1))))
+
+    val eqNull = FilterTranslator.translate(EqualTo("a", null)).get
+    assert(!eqNull.matches(BDoc("a" -> BNull)))
+    assert(!eqNull.matches(BDoc.empty))
+  }
+
+  test("string predicates push as anchored regexes with exact semantics") {
+    val sw = FilterTranslator.translate(StringStartsWith("s", "ab")).get
+    assert(sw.matches(BDoc("s" -> BString("abc"))))
+    assert(!sw.matches(BDoc("s" -> BString("xab"))))
+    assert(!sw.matches(BDoc.empty))
+
+    val ew = FilterTranslator.translate(StringEndsWith("s", "bc")).get
+    assert(ew.matches(BDoc("s" -> BString("abc"))))
+    assert(!ew.matches(BDoc("s" -> BString("bca"))))
+    assert(!ew.matches(BDoc("s" -> BString("abc\n"))),
+      "endsWith must not match before a trailing newline ($ would; \\z does not)")
+
+    val ct = FilterTranslator.translate(StringContains("s", "b.c")).get
+    assert(ct.matches(BDoc("s" -> BString("ab.cd"))))
+    assert(!ct.matches(BDoc("s" -> BString("abxcd"))), "literal must be quoted, not regex-interpreted")
+  }
+
+  test("accepted/residual split reports string predicates as accepted") {
+    val (q, accepted, residual) = FilterTranslator.split(Array(
+      StringStartsWith("s", "a"),
+      GreaterThan("ts", java.sql.Timestamp.valueOf("2024-01-02 03:04:05.1234567"))))
+    assert(accepted.length === 1 && residual.length === 1)
+    assert(q.isInstanceOf[BQuery.Regex])
+  }
+}
