@@ -23,9 +23,15 @@ import scala.jdk.CollectionConverters._
   * chunks or regex-delimited text tokens), re-expressed as a DSv2 source.
   *
   * Options: `path`, `mode` (binary|text), `chunk_size` (bytes, default
-  * 1 MiB), `delimiter` (text mode, default "\n"). Text tokens that span a
-  * chunk boundary belong to the chunk containing their first byte (the
-  * standard record-split rule), so no token is lost or duplicated.
+  * 1 MiB), `delimiter` (text mode literal, default "\n"),
+  * `delimiter_regex` (text mode regex — GridFSInputFormat.java:284-320's
+  * delimiter pattern; overrides `delimiter`), `whole_file` (one partition
+  * per file, GridFSInputFormat.java:55-63). Text tokens that span a chunk
+  * boundary belong to the chunk containing their first byte (the standard
+  * record-split rule), so no token is lost or duplicated — including a
+  * MULTI-BYTE delimiter straddling the boundary, which the regex reader
+  * handles with a bounded backward window (the reference drops the
+  * following token in that case).
   */
 class GraftGridFsSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftgridfs"
@@ -84,31 +90,42 @@ final class GridFsTable(tableSchema: StructType, properties: Map[String, String]
 final class GridFsScan(options: Map[String, String]) extends Scan with Batch {
   private val mode = options.getOrElse("mode", "binary")
   private val chunkSize = options.get("chunk_size").map(_.toLong).getOrElse(1L << 20)
+  private val wholeFile = options.get("whole_file").exists(_.toBoolean)
 
   override def readSchema(): StructType = GraftGridFsSource.schemaFor(mode)
   override def toBatch: Batch = this
-  override def description(): String = s"GridFsScan mode=$mode chunk=$chunkSize"
+  override def description(): String =
+    s"GridFsScan mode=$mode chunk=$chunkSize wholeFile=$wholeFile"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = GraftGridFsSource.listFiles(options.getOrElse("path",
       throw new IllegalArgumentException("path option required")))
     files.flatMap { f =>
       val len = Files.size(Paths.get(f))
-      val n = math.max(1L, (len + chunkSize - 1) / chunkSize)
-      (0L until n).map(i => GridFsPartition(f, i.toInt,
-        i * chunkSize, math.min((i + 1) * chunkSize, len)): InputPartition)
+      if (wholeFile) // one split per file (GridFSInputFormat.java:55-63)
+        Seq(GridFsPartition(f, 0, 0L, len): InputPartition)
+      else {
+        val n = math.max(1L, (len + chunkSize - 1) / chunkSize)
+        (0L until n).map(i => GridFsPartition(f, i.toInt,
+          i * chunkSize, math.min((i + 1) * chunkSize, len)): InputPartition)
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GridFsReaderFactory(mode, options.getOrElse("delimiter", "\n"))
+    new GridFsReaderFactory(mode, options.getOrElse("delimiter", "\n"),
+      options.get("delimiter_regex"))
 }
 
-final class GridFsReaderFactory(mode: String, delimiter: String)
+final class GridFsReaderFactory(mode: String, delimiter: String,
+    delimiterRegex: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GridFsPartition]
-    if (mode == "text") new GridFsTextReader(p, delimiter)
+    if (mode == "text") delimiterRegex match {
+      case Some(re) => new GridFsRegexTextReader(p, re)
+      case None => new GridFsTextReader(p, delimiter)
+    }
     else new GridFsBinaryReader(p)
   }
 }
@@ -136,6 +153,76 @@ final class GridFsBinaryReader(p: GridFsPartition) extends PartitionReader[Inter
     done = true
     true
   }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Regex-delimited text tokens (the GridFSTextRecordReader pattern mode,
+  * GridFSInputFormat.java:232-320), with the same ownership rule as the
+  * literal reader: the chunk containing a token's first byte owns it.
+  *
+  * Offsets are byte-exact: the window decodes as ISO-8859-1 (1 byte = 1
+  * char, lossless) for matching, and owned token byte-ranges re-decode as
+  * UTF-8 for the row. A delimiter match straddling the chunk START is seen
+  * whole via a `BackWindow`-byte backward extension — fixed-length
+  * delimiters up to that size split exactly across boundaries (where the
+  * reference's forward-only matcher drops the token after the boundary).
+  */
+final class GridFsRegexTextReader(p: GridFsPartition, pattern: String)
+    extends PartitionReader[InternalRow] {
+  private val Lookahead = 8L << 20
+  private val BackWindow = 1 << 10
+  private val fileLen = Files.size(Paths.get(p.path))
+
+  private val bufStart = math.max(0L, p.start - BackWindow)
+  private val bufEnd = math.min(fileLen, p.end + Lookahead)
+  private val buf: Array[Byte] = {
+    val raf = new RandomAccessFile(p.path, "r")
+    try {
+      val arr = new Array[Byte]((bufEnd - bufStart).toInt)
+      raf.seek(bufStart)
+      raf.readFully(arr)
+      arr
+    } finally raf.close()
+  }
+
+  /** Token (startRel, endRel) ranges owned by this chunk. */
+  private val tokens: Iterator[(Int, Int)] = {
+    val text = new String(buf, StandardCharsets.ISO_8859_1)
+    val m = java.util.regex.Pattern.compile(pattern).matcher(text)
+    def owned(startAbs: Long): Boolean =
+      (startAbs == 0 && p.start == 0) || (startAbs > p.start && startAbs <= p.end)
+    val out = Vector.newBuilder[(Int, Int)]
+    var lastEnd = 0
+    var stop = false
+    while (!stop && m.find()) { // find() self-advances past zero-width matches
+      if (owned(bufStart + lastEnd)) out += ((lastEnd, m.start))
+      lastEnd = m.end
+      if (bufStart + lastEnd > p.end) stop = true // next token starts beyond us
+    }
+    // tail token (no further delimiter): only complete if the window
+    // reached EOF — same truncation bound as the reference's lookahead
+    if (!stop && bufEnd == fileLen && owned(bufStart + lastEnd) && lastEnd < buf.length)
+      out += ((lastEnd, buf.length))
+    out.result().iterator
+  }
+
+  private var tokenIndex = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!tokens.hasNext) false
+    else {
+      val (s, e) = tokens.next()
+      current = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(Paths.get(p.path).getFileName.toString),
+        p.chunkId, tokenIndex,
+        UTF8String.fromString(new String(
+          java.util.Arrays.copyOfRange(buf, s, e), StandardCharsets.UTF_8))))
+      tokenIndex += 1
+      true
+    }
 
   override def get(): InternalRow = current
   override def close(): Unit = ()
