@@ -606,6 +606,23 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
   private val templates: Option[(graft.query.UpdateDsl.Template, graft.query.UpdateDsl.Template)] =
     for (q <- options.get("query_template"); u <- options.get("update_template"))
       yield (graft.query.UpdateDsl.parse(q), graft.query.UpdateDsl.parse(u))
+  // write-side column remapping (the reverse of the read-side
+  // mongo.columns.mapping analog): Spark column -> (possibly dotted)
+  // document field, applied BEFORE key extraction so `keys`/`id_column`
+  // address document-space names
+  private val writeMapping: Map[String, String] =
+    options.get("column_mapping").map(ColumnMapping.parse).getOrElse(Map.empty)
+
+  private def remap(d: BDoc): BDoc =
+    if (writeMapping.isEmpty) d
+    else writeMapping.foldLeft(d) { case (acc, (sparkCol, path)) =>
+      acc.get(sparkCol) match {
+        case Some(v) if sparkCol != path =>
+          graft.query.Updates.setField(
+            BDoc(acc.fields.removed(sparkCol)), path, v)
+        case _ => acc
+      }
+    }
 
   // attempt temp file lives in the job dir on the SHARED collection path
   // (never executor-local java.io.tmpdir — the driver must be able to read
@@ -620,7 +637,7 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
   private var closed = false
 
   override def write(record: InternalRow): Unit = {
-    val doc = RowCodec.toBson(record, writeSchema)
+    val doc = remap(RowCodec.toBson(record, writeSchema))
     appender.append(templates match {
       case Some((qt, ut)) =>
         BDoc(
