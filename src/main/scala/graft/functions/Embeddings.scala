@@ -41,9 +41,13 @@ object Embeddings {
 
   // ---- Spark expression builders (args are column names) ----
 
-  /** array<float> column -> array<bigint> quantized. */
+  /** array<float> column -> array<bigint> quantized (codegen'd
+    * [[QuantFloats]] kernel — same floor(x*scale) definition as the
+    * list_transform oracle mirror, no interpreted per-element lambda).
+    */
   def quant(c: String): Column =
-    expr(s"transform($c, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale.0) AS BIGINT))")
+    org.apache.spark.sql.graft.Bridge.column(QuantFloats(
+      org.apache.spark.sql.graft.Bridge.expression(expr(c)), Scale.toDouble))
 
   private def dotExpr(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(LongArrayDot(

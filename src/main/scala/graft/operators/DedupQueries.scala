@@ -24,12 +24,15 @@ object DedupQueries {
     * (2.5x smaller exchanges; downstream only ever consumes the hash).
     */
   private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame = {
+    // codegen'd ShingleHashes kernel, not transform+concat_ws: the
+    // interpreted per-element lambda was the dominant cost of every
+    // shingle-based query (~0.4 ms/doc); values are bit-identical
+    import org.apache.spark.sql.graft.Bridge
+    val hashes = Bridge.column(graft.functions.ShingleHashes(
+      Bridge.expression(split(col("text"), " "))))
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
-      .select(col("doc_id"), hashP(col("sh")).as("hp"))
+      .select(col("doc_id"), explode(hashes).as("h60"))
+      .select(col("doc_id"), (col("h60") % P).as("hp"))
       .distinct()
   }
 
