@@ -71,10 +71,15 @@ object DedupQueries {
       val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}").cast("string"))
       sig.select(col("doc_id"), lit(b).as("band"),
         hash60(concat_ws(",", cols: _*)).as("bh"))
-    }.reduce(_ unionByName _).cache()
-    val keep = bands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("nb")).filter(col("nb") <= BucketCap).drop("nb")
-    bands.join(keep, Seq("band", "bh"))
+    }.reduce(_ unionByName _)
+    // cap via a window count over (band, bh): ONE exchange that the
+    // candidate self-join then reuses (same keys, already sorted) —
+    // an aggregate+join formulation would add two more exchanges of the
+    // full bands frame at 100 TB
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
+    bands.withColumn("nb", count(lit(1)).over(w))
+      .filter(col("nb") <= BucketCap).drop("nb")
+      .cache()
   }
 
   /** DuckDB mirror of [[bandBuckets]]: WITH-clause body named `bands`,
@@ -86,10 +91,11 @@ object DedupQueries {
     }.mkString("\n  UNION ALL ")
     s"""bands0 AS (
        |  $bandRows),
-       |bkeep AS (
-       |  SELECT band, bh FROM (SELECT band, bh, count(*) AS nb FROM bands0 GROUP BY 1, 2)
-       |  WHERE nb <= $BucketCap),
-       |bands AS (SELECT doc_id, band, bh FROM bands0 JOIN bkeep USING (band, bh))""".stripMargin
+       |bands AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS nb
+       |    FROM bands0)
+       |  WHERE nb <= $BucketCap)""".stripMargin
   }
 
   val all: Seq[CatalogQuery] = Seq(
@@ -217,8 +223,11 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val shd = hashedShingles(s, d)
-        val rare = shd.groupBy($"hp").agg(count(lit(1)).as("df")).filter($"df" <= BucketCap)
-        val shf = shd.join(rare.select($"hp"), "hp").cache()
+        // stop-shingle cap (df <= BucketCap) as a window count: the
+        // inverted-index self-join reuses the same (hp) exchange + sort
+        val wH = org.apache.spark.sql.expressions.Window.partitionBy($"hp")
+        val shf = shd.withColumn("df", count(lit(1)).over(wH))
+          .filter($"df" <= BucketCap).drop("df").cache()
         val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
         val shared = shf.as("a").join(shf.as("b"), Seq("hp"))
           .filter($"a.doc_id" < $"b.doc_id")
@@ -234,9 +243,10 @@ object DedupQueries {
       },
       Some(s"""
         |WITH $shinglesSql,
-        |rare AS (SELECT hp FROM (SELECT hp, count(*) AS df FROM shh GROUP BY hp)
-        |         WHERE df <= $BucketCap),
-        |shf AS (SELECT doc_id, hp FROM shh JOIN rare USING (hp)),
+        |shf AS (
+        |  SELECT doc_id, hp FROM (
+        |    SELECT doc_id, hp, count(*) OVER (PARTITION BY hp) AS df FROM shh)
+        |  WHERE df <= $BucketCap),
         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shf GROUP BY doc_id),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -263,15 +273,16 @@ object DedupQueries {
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
           .cache()
-        val buckets0 = (0 until Embeddings.NumTables).map { t =>
+        // cap hot buckets (degenerate directions) via a window count the
+        // candidate self-join's exchange then reuses — bounded per key
+        // even on adversarial inputs; mirrored in oracle
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy($"tbl", $"bkt")
+        val buckets = (0 until Embeddings.NumTables).map { t =>
           v.select($"vec_id", lit(t).as("tbl"), Embeddings.bucket("q", t).as("bkt"))
         }.reduce(_ unionByName _)
+          .withColumn("nb", count(lit(1)).over(wB))
+          .filter($"nb" <= BucketCap).drop("nb")
           .cache()
-        // cap hot buckets (degenerate directions) — candidate join stays
-        // bounded per key even on adversarial inputs; mirrored in oracle
-        val bkeep = buckets0.groupBy($"tbl", $"bkt")
-          .agg(count(lit(1)).as("nb")).filter($"nb" <= BucketCap).drop("nb")
-        val buckets = buckets0.join(bkeep, Seq("tbl", "bkt"))
         val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bkt"))
           .filter($"x.vec_id" < $"y.vec_id")
           .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
@@ -296,10 +307,11 @@ object DedupQueries {
           |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
           |buckets0 AS (
           |  $bucketRows),
-          |bkeep AS (
-          |  SELECT tbl, bkt FROM (SELECT tbl, bkt, count(*) AS nb FROM buckets0 GROUP BY 1, 2)
+          |buckets AS (
+          |  SELECT vec_id, tbl, bkt FROM (
+          |    SELECT vec_id, tbl, bkt, count(*) OVER (PARTITION BY tbl, bkt) AS nb
+          |    FROM buckets0)
           |  WHERE nb <= $BucketCap),
-          |buckets AS (SELECT vec_id, tbl, bkt FROM buckets0 JOIN bkeep USING (tbl, bkt)),
           |cand AS (
           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           |  FROM buckets x JOIN buckets y ON x.tbl = y.tbl AND x.bkt = y.bkt

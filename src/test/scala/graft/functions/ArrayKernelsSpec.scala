@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** The codegen'd kernels must stay bit-identical to the declarative
+  * formulations they replaced — those are what the DuckDB oracle mirrors.
+  */
+class ArrayKernelsSpec extends SparkSpec {
+
+  test("ShingleHashes equals hash of transform-generated shingle strings") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c",
+      "one two",            // < 3 tokens -> no shingles
+      "",
+      "x  y z w",           // double space -> empty token, kept identically
+      "héllo wörld ünïcode test").toDF("text")
+    val kernel = docs
+      .select(explode(Bridge.column(ShingleHashes(
+        Bridge.expression(split($"text", " "))))).as("h"))
+    val legacy = docs
+      .select(split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .select(Portable.hash60($"sh").as("h"))
+    assert(kernel.collect().map(_.getLong(0)).sorted.toSeq ===
+      legacy.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("QuantFloats equals the transform-lambda quantizer on floats") {
+    import spark.implicits._
+    val df = Seq(
+      Array(0.1f, -0.5f, 1.9999f, 0.0f, -1.0001f, Float.MinPositiveValue),
+      Array.empty[Float]).toDF("v")
+    val kernel = df.select(Bridge.column(QuantFloats(
+      Bridge.expression($"v"), 1000.0)).as("q"))
+    val legacy = df.select(expr(
+      "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("q"))
+    assert(kernel.collect().map(_.getSeq[Long](0)).toSeq ===
+      legacy.collect().map(_.getSeq[Long](0)).toSeq)
+  }
+
+  test("QuantFloats handles array<double> input") {
+    import spark.implicits._
+    val df = Seq(Array(0.1, -2.5)).toDF("v")
+    val got = df.select(Bridge.column(QuantFloats(
+      Bridge.expression($"v"), 1000.0)).as("q")).head.getSeq[Long](0)
+    assert(got === Seq(100L, -2500L))
+  }
+}
