@@ -12,7 +12,8 @@ object Catalog {
       MultimodalQueries.all ++
       ConnectorQueries.all ++
       FunctionQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      SamplingQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(
