@@ -172,6 +172,45 @@ object MultiCollections {
   }
 }
 
+/** Option-level shard metadata: `chunks` = [{"min": v?, "max": v?,
+  * "shard": "s"}] (missing bound = unbounded), `shard_hosts` =
+  * {"shard": ["host", ...]}.
+  */
+object ShardMaps {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def bound(v: JValue): Option[graft.bson.BsonValue] = v match {
+    case JNothing | JNull => None
+    case JInt(x) if x.isValidInt => Some(graft.bson.BInt32(x.toInt))
+    case JInt(x) => Some(graft.bson.BInt64(x.toLong))
+    case JLong(x) => Some(graft.bson.BInt64(x))
+    case JDouble(x) => Some(graft.bson.BDouble(x))
+    case JString(x) => Some(graft.bson.BString(x))
+    case other => throw new IllegalArgumentException(s"unsupported chunk bound $other")
+  }
+
+  def parseChunks(json: String): Seq[Planners.Chunk] =
+    JsonMethods.parse(json).asInstanceOf[JArray].arr.map { item =>
+      val o = item.asInstanceOf[JObject]
+      Planners.Chunk(
+        bound(o \ "min"), bound(o \ "max"),
+        (o \ "shard") match {
+          case JString(s) => s
+          case _ => throw new IllegalArgumentException("chunk entry needs a shard")
+        })
+    }
+
+  def parseHosts(json: String): Map[String, Seq[String]] =
+    JsonMethods.parse(json).asInstanceOf[JObject].obj.map {
+      case (shard, JArray(hosts)) =>
+        shard -> hosts.map { case JString(h) => h; case other =>
+          throw new IllegalArgumentException(s"bad host $other") }
+      case (shard, other) =>
+        throw new IllegalArgumentException(s"shard $shard hosts must be an array, got $other")
+    }.toMap
+}
+
 object ColumnMapping {
   /** Parse {"sparkCol": "doc.field", ...}. */
   def parse(json: String): Map[String, String] = {
@@ -252,13 +291,19 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           GraftInputPartition(f, 0L, Long.MaxValue, query, limit, mapping, sortKey,
             offset = offset): InputPartition).toArray
       case other =>
-        // key-range strategies via the pure planners + file-backed stats
+        // key-range strategies via the pure planners + file-backed stats;
+        // chunk/shard maps arrive as option-level JSON (the config.chunks /
+        // shard-host metadata a live deployment would read from the server,
+        // MongoSplitterFactory.java:54-129)
         val key = options.getOrElse("key", "_id")
         val minDocs = options.get("min_docs").map(_.toLong).getOrElse(1000L)
         val filterEmpty = options.get("filter_empty").exists(_.toBoolean)
+        val chunks = options.get("chunks").map(ShardMaps.parseChunks).getOrElse(Seq.empty)
+        val shardHosts = options.get("shard_hosts").map(ShardMaps.parseHosts).getOrElse(Map.empty)
         files.flatMap { f =>
           val stats = new FileStats(f, key)
           Planners.plan(stats, key, other, query,
+            chunks = chunks, shardHosts = shardHosts,
             targetSplitBytes = splitSize, minDocs = minDocs,
             filterEmpty = filterEmpty)
             .map { case (q, locs) =>
