@@ -85,4 +85,44 @@ object Multimodal {
       .toDF()
       .orderBy($"doc_id")
   }
+
+  /** One sampled "video frame": fixed-size byte window of the payload. */
+  final case class FrameSample(
+      doc_id: Long,
+      kind: String,
+      frame_id: Long,
+      frame_len: Long,
+      frame_sum: Long,
+      feature: Long)
+
+  /** Frame sampling: slice the payload into `frameBytes` windows and keep
+    * every `every`-th one, emitting a per-frame feature — the video
+    * frame-sample shape (decode stubbed as byte arithmetic like
+    * [[FakeDecoder]]; the slicing, fan-out and partition-wise batching are
+    * the real pattern). Each input row fans out locally; no shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRecord],
+      frameBytes: Int = 64, every: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val len = r.payload.length
+      val nFrames = (len + frameBytes - 1) / frameBytes
+      (0 until nFrames).iterator.filter(_ % every == 0).map { f =>
+        val start = f * frameBytes
+        val end = math.min(start + frameBytes, len)
+        var sum = 0L
+        var i = start
+        while (i < end) { sum += r.payload(i) & 0xff; i += 1 }
+        FrameSample(r.doc_id, r.kind, f.toLong, (end - start).toLong, sum, sum % 997L)
+      }
+    })
+  }
+
+  /** Registered frame-sampling pipeline (q47). */
+  def framesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(mediaFromDocuments(s, dir))
+      .toDF()
+      .orderBy($"doc_id", $"frame_id")
+  }
 }

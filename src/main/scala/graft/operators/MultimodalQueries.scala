@@ -31,6 +31,31 @@ object MultimodalQueries {
         |  least(16 + second % 64, 32) AS resized_h,
         |  byte_len, byte_sum, byte_sum % 997 AS feature
         |FROM b ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Frame sampling: payload sliced into 64-byte frames, every 4th kept,
+    // per-frame feature emitted. Row-local fan-out (no shuffle); decode is
+    // the same stubbed byte arithmetic the oracle mirrors.
+    CatalogQuery(
+      "q47_multimodal_frames",
+      (s, d) => Multimodal.framesQuery(s, d),
+      Some("""
+        |WITH f AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    length(text) AS len, text,
+        |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_id
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT doc_id, kind, frame_id,
+        |    least(64, len - frame_id * 64) AS frame_len,
+        |    CAST(list_sum(list_transform(range(1, least(64, len - frame_id * 64) + 1),
+        |                                 i -> ascii(substr(text, frame_id * 64 + i, 1)))) AS BIGINT) AS frame_sum
+        |  FROM f WHERE frame_id % 4 = 0)
+        |SELECT doc_id, kind, CAST(frame_id AS BIGINT) AS frame_id,
+        |  CAST(frame_len AS BIGINT) AS frame_len, frame_sum,
+        |  frame_sum % 997 AS feature
+        |FROM sampled ORDER BY doc_id, frame_id
         |""".stripMargin))
   )
 }
