@@ -325,6 +325,72 @@ object DedupQueries {
           |WHERE cos >= 0.4
           |ORDER BY vec_a, vec_b
           |""".stripMargin
-      })
+      }),
+
+    // Near-dup CLUSTERING: connected components over the MinHash candidate
+    // pairs (pair lists over-delete chains A~B~C; real pipelines cluster
+    // first, then keep one canonical doc per component). Min-label
+    // propagation in DataFrames — the Pregel pattern: each round every doc
+    // takes the min label in its neighborhood; converges in O(cluster
+    // diameter) rounds (near-dup clusters are shallow), each round ONE
+    // keyed shuffle, nothing driver-side but the per-round convergence
+    // count. Mirrored by a recursive CTE in the oracle.
+    CatalogQuery(
+      "q48_dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val sig = signatures(s, d).cache()
+        val bands = bandBuckets(sig)
+        val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+          .filter($"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+          .distinct()
+          .cache()
+        val nodes = pairs.select($"doc_a".as("doc_id"))
+          .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+        // undirected edge list (both directions)
+        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+          .cache()
+        var labels = nodes.select($"doc_id", $"doc_id".as("label")).cache()
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+            .groupBy($"src").agg(min($"label").as("nmin"))
+          val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+            .select($"doc_id", least($"label", coalesce($"nmin", $"label")).as("label"))
+            .cache()
+          converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter($"label" =!= $"old").isEmpty
+          labels = next
+          rounds += 1
+        }
+        val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+        labels.join(sizes, "label")
+          .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |WITH RECURSIVE $signaturesSql,
+        |$bandsSql,
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+        |  WHERE x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |walk(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id),
+        |cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT doc_id, cluster_id, cluster_size
+        |FROM cc JOIN sizes USING (cluster_id)
+        |ORDER BY doc_id
+        |""".stripMargin))
   )
 }
