@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   import Portable._
 
+  /** Max candidate-pair edges solved by exact driver-side union-find in
+    * q48; larger graphs fall through to distributed label propagation.
+    * 4M edges ≈ 64 MB of longs — trivially driver-safe.
+    */
+  private val DriverCCMaxEdges = 4L * 1000 * 1000
+
   /** Distinct hashed 3-token shingles per document (the MinHash/Jaccard
     * universe). Shingles are hashed to mod-P longs BEFORE the distinct — the
     * dedup shuffle then carries 8-byte keys instead of ~20-byte strings
@@ -96,6 +102,72 @@ object DedupQueries {
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS nb
        |    FROM bands0)
        |  WHERE nb <= $BucketCap)""".stripMargin
+  }
+
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * result = (doc_id, label) with label = min doc_id of the component.
+    *
+    * The candidate graph is orders of magnitude smaller than the corpus
+    * (only docs sharing a capped band bucket appear), so:
+    *  - under `maxDriverEdges`, solve EXACTLY with union-find on the
+    *    collected edge list — one job, no iteration; tens of MB of driver
+    *    memory at the bound;
+    *  - beyond it, distributed min-label propagation (the GraphX-CC
+    *    Pregel shape): 4 unrolled rounds per job, lineage truncated by
+    *    localCheckpoint (each round references `next` twice, so the
+    *    logical tree would otherwise double per round), converging in
+    *    O(cluster diameter) rounds with only the changed-row count on
+    *    the driver.
+    */
+  private[operators] def connectedComponents(pairs: DataFrame,
+      maxDriverEdges: Long = DriverCCMaxEdges): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    if (pairs.count() <= maxDriverEdges) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val resolved = (parent.keySet ++ parent.values).toSeq
+        .map(x => (x, find(x))).distinct
+      s.createDataFrame(resolved).toDF("doc_id", "label")
+    } else {
+      val nodes = pairs.select($"doc_a".as("doc_id"))
+        .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .cache()
+      var lbl = nodes.select($"doc_id", $"doc_id".as("label"))
+        .localCheckpoint(true)
+      var converged = false
+      var block = 0
+      while (!converged && block < 8) {
+        var next = lbl
+        for (_ <- 0 until 4) {
+          val nm = edges.join(next, edges("dst") === next("doc_id"))
+            .groupBy($"src").agg(min($"label").as("nmin"))
+          next = next.join(nm, next("doc_id") === nm("src"), "left")
+            .select(next("doc_id"), least(next("label"),
+              coalesce($"nmin", next("label"))).as("label"))
+        }
+        next = next.localCheckpoint(true)
+        val changed = next.join(lbl.withColumnRenamed("label", "old"), "doc_id")
+          .filter($"label" =!= $"old").count()
+        lbl = next
+        converged = changed == 0
+        block += 1
+      }
+      lbl
+    }
   }
 
   val all: Seq[CatalogQuery] = Seq(
@@ -346,26 +418,7 @@ object DedupQueries {
           .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
           .distinct()
           .cache()
-        val nodes = pairs.select($"doc_a".as("doc_id"))
-          .union(pairs.select($"doc_b".as("doc_id"))).distinct()
-        // undirected edge list (both directions)
-        val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-          .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-          .cache()
-        var labels = nodes.select($"doc_id", $"doc_id".as("label")).cache()
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 20) {
-          val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-            .groupBy($"src").agg(min($"label").as("nmin"))
-          val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-            .select($"doc_id", least($"label", coalesce($"nmin", $"label")).as("label"))
-            .cache()
-          converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter($"label" =!= $"old").isEmpty
-          labels = next
-          rounds += 1
-        }
+        val labels = connectedComponents(pairs)
         val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "label")
           .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
