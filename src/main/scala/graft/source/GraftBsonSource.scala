@@ -50,7 +50,19 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
     if (inferred.isEmpty)
       throw new IllegalArgumentException(
         s"cannot infer schema: no documents under ${options.get("path")}")
-    inferred
+    // option-level projection (mongo.input.fields analog,
+    // MongoConfigUtil.getFields): restricts the table schema itself, on
+    // top of whatever per-query pruning Spark later pushes
+    Option(options.get("fields")) match {
+      case Some(fields) =>
+        val keep = fields.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val pruned = StructType(inferred.filter(f => keep.contains(f.name)))
+        if (pruned.isEmpty)
+          throw new IllegalArgumentException(
+            s"fields option [$fields] matches no inferred column of ${inferred.fieldNames.mkString(",")}")
+        pruned
+      case None => inferred
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -148,7 +160,15 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // AND-compose with the option-level query (mongo.input.query analog;
     // $and composition semantics of HiveMongoInputFormat.java:104-123)
     val optionQuery = options.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
-    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, limit, mapping,
+    // option-level PER-PARTITION limit (mongo.input.limit analog — a
+    // cursor limit per split, explicitly not a global row bound; compose
+    // with Spark's own .limit for the global semantic)
+    val optionLimit = options.get("limit").map(_.toInt)
+    val effLimit = (limit, optionLimit) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
       offset)
   }
 }
