@@ -444,6 +444,54 @@ object DedupQueries {
         |SELECT doc_id, cluster_id, cluster_size
         |FROM cc JOIN sizes USING (cluster_id)
         |ORDER BY doc_id
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    // INCREMENTAL dedup: a new batch checked against the existing corpus
+    // index — the production ingest shape: the corpus side's signatures
+    // are computed once and persisted (here: the doc_id < 400 partition
+    // stands in for the stored index), each incoming batch only hashes
+    // ITSELF and bucket-joins the index. Cost per batch is O(batch), not
+    // O(corpus); only cross (index x batch) bucket pairs are generated.
+    CatalogQuery(
+      "q49_dedup_incremental",
+      (s, d) => {
+        import s.implicits._
+        val CorpusMax = 400L
+        val sig = signatures(s, d).cache()
+        val bands = bandBuckets(sig)
+        val idx = bands.filter($"doc_id" < CorpusMax)
+        val batch = bands.filter($"doc_id" >= CorpusMax)
+        val cand = idx.as("x").join(batch.as("y"), Seq("band", "bh"))
+          .select($"x.doc_id".as("corpus_id"), $"y.doc_id".as("new_id"))
+          .distinct()
+        val sa = sig.toDF("corpus_id" +: (0 until NumPerms).map(j => s"a$j"): _*)
+        val sb = sig.toDF("new_id" +: (0 until NumPerms).map(j => s"b$j"): _*)
+        val nEq = (0 until NumPerms)
+          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(sa, "corpus_id").join(sb, "new_id")
+          .withColumn("est_sim", nEq.cast("double") / NumPerms.toDouble)
+          .filter($"est_sim" >= 0.5)
+          .select($"new_id", $"corpus_id", $"est_sim")
+          .orderBy($"new_id", $"corpus_id")
+      },
+      Some {
+        val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+        s"""
+          |WITH $signaturesSql,
+          |$bandsSql,
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS new_id
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+          |  WHERE x.doc_id < 400 AND y.doc_id >= 400)
+          |SELECT new_id, corpus_id, est_sim FROM (
+          |  SELECT new_id, corpus_id, CAST($eqSum AS DOUBLE) / $NumPerms.0 AS est_sim
+          |  FROM cand
+          |  JOIN sig sa ON sa.doc_id = cand.corpus_id
+          |  JOIN sig sb ON sb.doc_id = cand.new_id)
+          |WHERE est_sim >= 0.5
+          |ORDER BY new_id, corpus_id
+          |""".stripMargin
+      })
   )
 }
