@@ -96,6 +96,79 @@ object SamplingQueries {
         |    (${hashPSql("'smpl:' || CAST(doc_id AS VARCHAR)")} % 1000) < 100 AS sampled
         |  FROM documents)
         |GROUP BY lang ORDER BY lang
+        |""".stripMargin)),
+
+    // Sequence packing: assign docs to fixed token-budget bins (context
+    // windows) per language — deterministic next-fit by doc_id order via
+    // a window cumulative sum, so the packing is reproducible at any
+    // cluster size. One exchange per stratum; the running sum is the
+    // standard Spark shape for packing/chunking assignments.
+    CatalogQuery(
+      "q50_pack_sequences",
+      (s, d) => {
+        import s.implicits._
+        val budget = 2048L
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum($"n_tok").over(w))
+          // floor(), not a bare cast: `/` is double division in both
+          // engines but DuckDB's CAST(x AS BIGINT) rounds while Spark's
+          // truncates — floor() agrees everywhere for non-negative input
+          .withColumn("bin", floor(($"cum" - $"n_tok") / budget).cast("long"))
+          .select($"doc_id", $"lang", $"n_tok", $"bin",
+            ($"cum" - $"n_tok" - $"bin" * budget).as("bin_offset"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |SELECT doc_id, lang, n_tok,
+        |  CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
+        |  (cum - n_tok) - CAST(floor((cum - n_tok) / 2048) AS BIGINT) * 2048 AS bin_offset
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Decontamination: flag TRAIN docs sharing any rare shingle with the
+    // held-out TEST split (doc_id % 97 = 0) — the n-gram-overlap check
+    // run before training. Reuses the hashed-shingle inverted index:
+    // candidates come only from shared rare-shingle buckets (df cap keeps
+    // boilerplate n-grams from flagging everything), never all-pairs.
+    CatalogQuery(
+      "q51_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val sh = DedupQueries.hashedShingles(s, d)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy($"hp")))
+          .filter($"df" <= graft.functions.Portable.BucketCap).drop("df")
+          .cache()
+        val test = sh.filter($"doc_id" % 97 === 0)
+        val train = sh.filter($"doc_id" % 97 =!= 0)
+        train.as("tr").join(test.as("te"), Seq("hp"))
+          .groupBy($"tr.doc_id".as("doc_id"))
+          .agg(countDistinct($"te.doc_id").as("n_test_docs"),
+            count(lit(1)).as("n_shared_shingles"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |WITH ${DedupQueries.shinglesSql},
+        |shf AS (
+        |  SELECT doc_id, hp FROM (
+        |    SELECT doc_id, hp, count(*) OVER (PARTITION BY hp) AS df FROM shh)
+        |  WHERE df <= ${graft.functions.Portable.BucketCap}),
+        |te AS (SELECT doc_id, hp FROM shf WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, hp FROM shf WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id AS doc_id,
+        |  CAST(count(DISTINCT te.doc_id) AS BIGINT) AS n_test_docs,
+        |  count(*) AS n_shared_shingles
+        |FROM tr JOIN te USING (hp)
+        |GROUP BY tr.doc_id ORDER BY doc_id
         |""".stripMargin))
   )
 }
