@@ -60,11 +60,15 @@ object Bench {
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            // a transient failure on a RETRY must not discard an earlier
+            // valid timing — only record an error if no run ever succeeded
+            if (best == Double.MaxValue)
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            else i = Int.MaxValue - 1 // stop retrying, keep the timing
         }
         i += 1
       }
-      if (!errors.contains(name)) timings(name) = best
+      if (!errors.contains(name) && best != Double.MaxValue) timings(name) = best
     }
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

@@ -36,14 +36,17 @@ object ArrayKernels {
   }
 
   /** floor(x * scale) per element — identical to the transform-lambda
-    * quantizer and its DuckDB list_transform mirror.
+    * quantizer and its DuckDB list_transform mirror, INCLUDING null
+    * elements passing through as null (ArrayData.getFloat would silently
+    * unbox a null to 0.0).
     */
   def quantFloats(arr: ArrayData, scale: Double): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = math.floor(arr.getFloat(i).toDouble * scale).toLong
+      if (!arr.isNullAt(i))
+        out(i) = math.floor(arr.getFloat(i).toDouble * scale).toLong
       i += 1
     }
     new GenericArrayData(out)
@@ -51,10 +54,11 @@ object ArrayKernels {
 
   def quantDoubles(arr: ArrayData, scale: Double): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Long](n)
+    val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      out(i) = math.floor(arr.getDouble(i) * scale).toLong
+      if (!arr.isNullAt(i))
+        out(i) = math.floor(arr.getDouble(i) * scale).toLong
       i += 1
     }
     new GenericArrayData(out)
@@ -93,7 +97,11 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 
 /** array<float|double> -> array<bigint> quantized by floor(x * scale). */
 case class QuantFloats(child: Expression, scale: Double) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
   override def nullable: Boolean = child.nullable
 
   private def elemIsDouble: Boolean = child.dataType match {

@@ -166,6 +166,12 @@ object DedupQueries {
         converged = changed == 0
         block += 1
       }
+      // fail LOUDLY on a pathological graph (eccentricity > 32 from the
+      // component min) rather than silently returning split clusters
+      if (!converged)
+        throw new IllegalStateException(
+          "connected-components label propagation did not converge in 32 rounds; " +
+            "graph has a component with eccentricity > 32 — raise the block cap")
       lbl
     }
   }

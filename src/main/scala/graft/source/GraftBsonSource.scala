@@ -45,8 +45,16 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
       case Some(json) => MultiCollections.parse(json).flatMap(c => GraftBsonSource.dataFiles(c.path))
       case None => GraftBsonSource.dataFiles(options.get("path"))
     }
-    val sample = files.iterator.flatMap(f => BsonFiles.readAll(f)).take(1000)
-    val inferred = RowCodec.inferSchema(sample)
+    // close each file's iterator explicitly: take(1000) abandons the last
+    // one mid-file, which would leak its descriptor on the driver
+    val sample = Vector.newBuilder[graft.bson.BDoc]
+    var sampled = 0
+    files.iterator.takeWhile(_ => sampled < 1000).foreach { f =>
+      val it = BsonFiles.readAll(f)
+      try while (it.hasNext && sampled < 1000) { sample += it.next(); sampled += 1 }
+      finally it.close()
+    }
+    val inferred = RowCodec.inferSchema(sample.result().iterator)
     if (inferred.isEmpty)
       throw new IllegalArgumentException(
         s"cannot infer schema: no documents under ${options.get("path")}")
@@ -363,12 +371,38 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
   /** Total bytes of the data file this provider actually read. */
   def bytesTouched: Long = _bytesTouched
 
-  /** (stride, doc-start offsets of every stride-th doc). */
+  /** (stride, doc-start offsets of every stride-th doc). The side file's
+    * stride is not recorded in it, so it is DERIVED by header-walking the
+    * first segment (bounded: exactly stride headers) — a writer using a
+    * non-default splitsEvery must not silently halve/double the count.
+    */
   private lazy val bounds: (Int, Vector[Long]) =
     BsonFiles.readSplitsFile(path) match {
-      case Some(offs) if offs.nonEmpty => (64, offs)
+      case Some(offs) if offs.size >= 2 =>
+        val stride = countDocsBetween(offs(0), offs(1))
+        (stride, offs)
+      case Some(offs) if offs.nonEmpty => (64, offs) // single segment: walk covers it
       case _ => (1, headerWalk(0L, Long.MaxValue))
     }
+
+  /** Number of docs in [from, to) by header walk (4 bytes per doc). */
+  private def countDocsBetween(from: Long, to: Long): Int = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val lenBuf = new Array[Byte](4)
+      var pos = from
+      var n = 0
+      while (pos < to) {
+        raf.seek(pos)
+        raf.readFully(lenBuf)
+        _bytesTouched += 4
+        pos += java.nio.ByteBuffer.wrap(lenBuf)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        n += 1
+      }
+      n
+    } finally raf.close()
+  }
 
   /** Doc-start offsets from `from`, reading ONLY the 4-byte length headers. */
   private def headerWalk(from: Long, maxDocs: Long): Vector[Long] = {

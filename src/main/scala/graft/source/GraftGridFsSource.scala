@@ -102,8 +102,13 @@ final class GridFsScan(options: Map[String, String]) extends Scan with Batch {
       throw new IllegalArgumentException("path option required")))
     files.flatMap { f =>
       val len = Files.size(Paths.get(f))
-      if (wholeFile) // one split per file (GridFSInputFormat.java:55-63)
+      if (wholeFile) { // one split per file (GridFSInputFormat.java:55-63)
+        // readers materialize one buffer/row for the whole split — a JVM
+        // array caps at 2 GiB, so refuse loudly instead of overflowing
+        require(len < Int.MaxValue.toLong,
+          s"whole_file=true cannot read $f (${len}B >= 2GiB); use chunked mode")
         Seq(GridFsPartition(f, 0, 0L, len): InputPartition)
+      }
       else {
         val n = math.max(1L, (len + chunkSize - 1) / chunkSize)
         (0L until n).map(i => GridFsPartition(f, i.toInt,

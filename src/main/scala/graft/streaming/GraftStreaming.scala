@@ -60,16 +60,24 @@ object GraftStreaming {
     var w: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{coalesce, lit}
+        // null timestamps route to a dead-letter bucket instead of NPE-ing
+        // the query (or writing to a literal "null" path); persist because
+        // foreachBatch frames are NOT cached — without it the batch plan
+        // re-evaluates once per bucket
         val bucketed = batch.withColumn("__bucket",
-          date_format(col(timestampColumn), bucketFormat))
-        val buckets = bucketed.select("__bucket").distinct()
-          .collect().map(_.getString(0)).sorted
-        buckets.foreach { b =>
-          var bw = bucketed.filter(col("__bucket") === b).drop("__bucket")
-            .write.format("graftbson").mode("append")
-          writerOptions.foreach { case (k, v) => bw = bw.option(k, v) }
-          bw.save(s"$basePath/$b")
-        }
+          coalesce(date_format(col(timestampColumn), bucketFormat),
+            lit("unbucketed"))).persist()
+        try {
+          val buckets = bucketed.select("__bucket").distinct()
+            .collect().map(_.getString(0)).sorted
+          buckets.foreach { b =>
+            var bw = bucketed.filter(col("__bucket") === b).drop("__bucket")
+              .write.format("graftbson").mode("append")
+            writerOptions.foreach { case (k, v) => bw = bw.option(k, v) }
+            bw.save(s"$basePath/$b")
+          }
+        } finally bucketed.unpersist()
       }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     trigger.foreach(t => w = w.trigger(t))

@@ -44,6 +44,19 @@ class ArrayKernelsSpec extends SparkSpec {
       legacy.collect().map(_.getSeq[Long](0)).toSeq)
   }
 
+  test("QuantFloats preserves null elements like the lambda and the oracle") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x").select(
+      expr("array(CAST(0.1 AS FLOAT), CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT))").as("v"))
+    val kernel = df.select(Bridge.column(QuantFloats(
+      Bridge.expression($"v"), 1000.0)).as("q")).head.getSeq[Any](0)
+    val legacy = df.select(expr(
+      "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))").as("q"))
+      .head.getSeq[Any](0)
+    assert(kernel === legacy)
+    assert(kernel(1) == null, "null element must stay null, not quantize to 0")
+  }
+
   test("QuantFloats handles array<double> input") {
     import spark.implicits._
     val df = Seq(Array(0.1, -2.5)).toDF("v")

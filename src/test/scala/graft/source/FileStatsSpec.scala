@@ -38,8 +38,17 @@ class FileStatsSpec extends AnyFunSuite {
     val stats = new FileStats(path, "_id")
     assert(stats.count === 1000)
     assert(stats.avgObjSizeBytes === size / 1000)
-    // count = side-file offsets + a tail header walk (<= 64 headers)
-    assert(stats.bytesTouched <= 64 * 4)
+    // count = stride probe (<= 64 headers) + tail walk (<= 64 headers)
+    assert(stats.bytesTouched <= 2 * 64 * 4)
+  }
+
+  test("count stays exact for a side file written at a non-default stride") {
+    val dir = Files.createTempDirectory("graft-stats").toString
+    val path = s"$dir/data.bson"
+    graft.files.BsonFiles.write(path,
+      (0 until 900).iterator.map(i => BDoc("_id" -> BInt32(i))), splitsEvery = 128)
+    val stats = new FileStats(path, "_id")
+    assert(stats.count === 900, "stride must be derived, not assumed 64")
   }
 
   test("count is exact via header walk when the side file is missing") {
