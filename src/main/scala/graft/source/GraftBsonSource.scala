@@ -85,7 +85,8 @@ object GraftBsonSource {
   def dataFiles(path: String): Seq[String] = {
     val p = Paths.get(path)
     if (Files.isDirectory(p)) {
-      Files.list(p).iterator().asScala
+      val stream = Files.list(p)
+      try stream.iterator().asScala
         .filter(f => Files.isRegularFile(f))
         .filterNot(_.getFileName.toString.startsWith("."))
         .filter { f =>
@@ -93,6 +94,7 @@ object GraftBsonSource {
           n.endsWith(".bson") || n.endsWith(".bson.gz")
         }
         .map(_.toString).toSeq.sorted
+      finally stream.close()
     } else if (Files.exists(p)) Seq(path)
     else Seq.empty
   }
@@ -396,8 +398,12 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
         raf.seek(pos)
         raf.readFully(lenBuf)
         _bytesTouched += 4
-        pos += java.nio.ByteBuffer.wrap(lenBuf)
+        val len = java.nio.ByteBuffer.wrap(lenBuf)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        require(len >= BsonFiles.MinDocSize && len <= BsonFiles.MaxDocSize &&
+          pos + len <= fileLen,
+          s"corrupt BSON doc header at $pos in $path (len=$len)")
+        pos += len
         n += 1
       }
       n
@@ -417,8 +423,14 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
         raf.readFully(lenBuf)
         _bytesTouched += 4
         out += pos
-        pos += java.nio.ByteBuffer.wrap(lenBuf)
+        val len = java.nio.ByteBuffer.wrap(lenBuf)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        // same validation as BsonFiles.walkToBoundary — a stale side file
+        // landing mid-document must fail, not hang on len == 0
+        require(len >= BsonFiles.MinDocSize && len <= BsonFiles.MaxDocSize &&
+          pos + len <= fileLen,
+          s"corrupt BSON doc header at $pos in $path (len=$len)")
+        pos += len
         n += 1
       }
     } finally raf.close()
@@ -478,8 +490,18 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
     finally it.close()
   }
 
+  // the paginating splitter probes keyAtSkip O(#splits) times with the
+  // SAME query — one scan+sort serves every probe
+  private var sortedKeysCache: Option[(BQuery, Vector[BsonValue])] = None
+
   override def keyAtSkip(query: BQuery, skip: Long): Option[BsonValue] = {
-    val matching = streamKeys(query).sorted(BsonOrdering)
+    val matching = sortedKeysCache match {
+      case Some((q, ks)) if q == query => ks
+      case _ =>
+        val ks = streamKeys(query).sorted(BsonOrdering)
+        sortedKeysCache = Some((query, ks))
+        ks
+    }
     if (skip < matching.size) Some(matching(skip.toInt)) else None
   }
 
@@ -617,10 +639,19 @@ final class GraftBatchWrite(writeSchema: StructType, queryId: String,
       .map(WriteModels.fromDoc(coll, _))
     val bulkOrdered = !options.get("bulk_ordered").contains("false")
     val result = coll.bulkWrite(models, ordered = bulkOrdered)
-    if (result.errors.nonEmpty)
-      System.err.println(
-        s"[graftbson] unordered bulk completed with ${result.errors.size} error(s): " +
-          result.errors.take(5).mkString("; "))
+    if (result.errors.nonEmpty) {
+      // mongo's unordered bulk attempts everything, then THROWS the
+      // accumulated errors — a "successful" Spark write must not hide
+      // dropped rows; opt out explicitly with ignore_write_errors
+      val msg = s"unordered bulk completed with ${result.errors.size} error(s): " +
+        result.errors.take(5).mkString("; ")
+      if (options.get("ignore_write_errors").exists(_.toBoolean))
+        System.err.println(s"[graftbson] $msg")
+      else {
+        GraftBatchWrite.deleteRecursively(jobDir)
+        throw new IllegalStateException(msg)
+      }
+    }
     GraftBatchWrite.deleteRecursively(jobDir)
   }
 
@@ -646,16 +677,24 @@ object WriteModels {
       multi: Boolean, idColumn: Option[String]): BDoc = {
     val doc = idColumn match {
       case Some(c) if row.get(c).isDefined && c != "_id" =>
-        BDoc(ListMap("_id" -> row.get(c).get) ++ row.fields.removed(c))
+        // id_column WINS over a pre-existing _id column (the key-merge
+        // convention: the chosen key IS the identity)
+        BDoc(ListMap("_id" -> row.get(c).get) ++
+          row.fields.removed(c).removed("_id"))
       case _ => row
     }
     mode match {
       case "insert" => doc
       case m =>
-        val q = BDoc(ListMap(keys.map(k => k -> doc.get(k).getOrElse(BNull)): _*))
+        // getPath, not get: keys may be dotted document-space paths
+        // (column_mapping nests fields before key extraction)
+        val q = BDoc(ListMap(keys.map(k => k -> doc.getPath(k).getOrElse(BNull)): _*))
         val rest = BDoc(doc.fields.filterNot { case (k, _) => keys.contains(k) })
         val u = (m, updateOp) match {
-          case ("replace", _) => rest
+          // replace stores the FULL doc (keys included) — mongo replaceOne
+          // semantics; stripping key fields would lose them permanently
+          // since the store's replace keeps only the matched _id
+          case ("replace", _) => doc
           case (_, "set") => BDoc("$set" -> rest)
           case (_, "inc") => BDoc("$inc" -> rest)
           case (_, "push") => BDoc("$push" -> rest)
@@ -669,6 +708,30 @@ object WriteModels {
     }
   }
 
+  /** One field of a write-model query: plain values mean equality, an
+    * all-`$` operator document carries comparison operators — a
+    * `query_template` like `{"qty": {"$lt": "$threshold"}}` must become a
+    * Lt, not an Eq against the literal operator doc (which compares a BDoc
+    * to a number and silently matches nothing).
+    */
+  private def fieldQuery(k: String, v: BsonValue): BQuery = v match {
+    case d: BDoc if d.fields.nonEmpty && d.fields.keys.forall(_.startsWith("$")) =>
+      d.fields.foldLeft[BQuery](BQuery.True) {
+        case (acc, ("$eq", x)) => BQuery.and(acc, BQuery.Eq(k, x))
+        case (acc, ("$gt", x)) => BQuery.and(acc, BQuery.Gt(k, x))
+        case (acc, ("$gte", x)) => BQuery.and(acc, BQuery.Gte(k, x))
+        case (acc, ("$lt", x)) => BQuery.and(acc, BQuery.Lt(k, x))
+        case (acc, ("$lte", x)) => BQuery.and(acc, BQuery.Lte(k, x))
+        case (acc, ("$ne", x)) => BQuery.and(acc, BQuery.Ne(k, x))
+        case (acc, ("$in", BArray(xs))) => BQuery.and(acc, BQuery.In(k, xs))
+        case (acc, ("$nin", BArray(xs))) => BQuery.and(acc, BQuery.Nin(k, xs))
+        case (acc, ("$exists", BBool(b))) => BQuery.and(acc, BQuery.Exists(k, b))
+        case (_, (op, _)) => throw new IllegalArgumentException(
+          s"unsupported operator $op in keyed write query for field $k")
+      }
+    case _ => BQuery.Eq(k, v)
+  }
+
   def fromDoc(coll: BsonCollection, d: BDoc): coll.WriteModel = d.get("__op") match {
     case None => coll.InsertOne(d)
     case Some(BString(mode)) =>
@@ -677,7 +740,7 @@ object WriteModels {
       val upsert = d.get("upsert").contains(BBool(true))
       val multi = d.get("multi").contains(BBool(true))
       val query = q.fields.foldLeft[BQuery](BQuery.True) {
-        case (acc, (k, v)) => BQuery.and(acc, BQuery.Eq(k, v))
+        case (acc, (k, v)) => BQuery.and(acc, fieldQuery(k, v))
       }
       coll.UpdateOp(UpdateModel(query, u, upsert = upsert, multi = multi,
         replace = mode == "replace"))

@@ -62,12 +62,14 @@ object GraftGridFsSource {
 
   def listFiles(path: String): Seq[String] = {
     val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala
         .filter(Files.isRegularFile(_))
         .filterNot(_.getFileName.toString.startsWith("."))
         .map(_.toString).toSeq.sorted
-    else if (Files.exists(p)) Seq(path)
+      finally stream.close()
+    } else if (Files.exists(p)) Seq(path)
     else Seq.empty
   }
 }
@@ -91,6 +93,11 @@ final class GridFsScan(options: Map[String, String]) extends Scan with Batch {
   private val mode = options.getOrElse("mode", "binary")
   private val chunkSize = options.get("chunk_size").map(_.toLong).getOrElse(1L << 20)
   private val wholeFile = options.get("whole_file").exists(_.toBoolean)
+  // readers materialize chunk (+ lookahead) as one JVM array — refuse a
+  // chunk_size that would overflow the Int cast instead of silently
+  // truncating the buffer
+  require(chunkSize > 0 && chunkSize <= Int.MaxValue.toLong - (16L << 20),
+    s"chunk_size $chunkSize out of range (must fit a JVM array with lookahead)")
 
   override def readSchema(): StructType = GraftGridFsSource.schemaFor(mode)
   override def toBatch: Batch = this
@@ -206,10 +213,15 @@ final class GridFsRegexTextReader(p: GridFsPartition, pattern: String)
       lastEnd = m.end
       if (bufStart + lastEnd > p.end) stop = true // next token starts beyond us
     }
-    // tail token (no further delimiter): only complete if the window
-    // reached EOF — same truncation bound as the reference's lookahead
-    if (!stop && bufEnd == fileLen && owned(bufStart + lastEnd) && lastEnd < buf.length)
-      out += ((lastEnd, buf.length))
+    // tail token (no further delimiter): complete only if the window
+    // reached EOF; an owned token running past the lookahead must FAIL,
+    // not be silently dropped
+    if (!stop && owned(bufStart + lastEnd) && lastEnd < buf.length) {
+      if (bufEnd == fileLen) out += ((lastEnd, buf.length))
+      else throw new IllegalStateException(
+        s"token starting at byte ${bufStart + lastEnd} of ${p.path} exceeds the " +
+          s"${Lookahead}B lookahead; raise chunk_size or use whole_file=true")
+    }
     out.result().iterator
   }
 
@@ -287,6 +299,12 @@ final class GridFsTextReader(p: GridFsPartition, delimiter: String)
     val abs = bufStart + cur
     if (abs >= fileLen || abs > p.end || cur >= buf.length) return false
     val hit = indexOfDelim(cur)
+    // a token running past the lookahead window must FAIL, not be
+    // silently emitted truncated (the rest would never appear anywhere)
+    if (hit == -1 && bufEnd < fileLen)
+      throw new IllegalStateException(
+        s"token starting at byte $abs of ${p.path} exceeds the ${Lookahead}B " +
+          "lookahead; raise chunk_size or use whole_file=true")
     val tokenEnd = if (hit == -1) buf.length else hit
     current = new GenericInternalRow(Array[Any](
       UTF8String.fromString(Paths.get(p.path).getFileName.toString),
