@@ -35,14 +35,19 @@ object SamplingQueries {
           .filter($"tok" =!= "")
           .select($"lang", hashP($"tok").as("hp"))
           .distinct()
-        val wN = Window.partitionBy($"lang")
+        // n_exact as a pre-aggregated broadcast join, NOT a full-partition
+        // count window: the rank branch gets WindowGroupLimit map-side
+        // pruning to K rows/key, the count branch gets partial aggregation,
+        // and both reuse the one distinct exchange (ReusedExchange in the
+        // plan) — one fewer full Window pass over every distinct token.
+        val nExact = tok.groupBy($"lang").agg(count(lit(1)).as("n_exact"))
         val wR = Window.partitionBy($"lang").orderBy($"hp")
         tok
-          .withColumn("n_exact", count(lit(1)).over(wN))
           .withColumn("rk", row_number().over(wR))
           .filter($"rk" <= K)
-          .groupBy($"lang", $"n_exact")
+          .groupBy($"lang")
           .agg(max($"hp").as("kth"))
+          .join(broadcast(nExact), Seq("lang"))
           .select($"lang", $"n_exact",
             when($"n_exact" < K, $"n_exact".cast("double"))
               .otherwise(lit((K - 1).toDouble * P) / $"kth".cast("double"))
@@ -117,22 +122,30 @@ object SamplingQueries {
           // engines but DuckDB's CAST(x AS BIGINT) rounds while Spark's
           // truncates — floor() agrees everywhere for non-negative input
           .withColumn("bin", floor(($"cum" - $"n_tok") / budget).cast("long"))
-          .select($"doc_id", $"lang", $"n_tok", $"bin",
-            ($"cum" - $"n_tok" - $"bin" * budget).as("bin_offset"))
-          .orderBy($"doc_id")
+          // every output column explicitly typed (long/long/long/long/long
+          // + string) so both engines hand the comparator identical types:
+          // DuckDB's sum(BIGINT) is HUGEINT (int128), and a HUGEINT-derived
+          // column survives to the output unless cast — some fetch paths
+          // (pandas/arrow) then render it as float64 and hash-mismatch.
+          .select($"doc_id".cast("long").as("doc_id"), $"lang",
+            $"n_tok".cast("long").as("n_tok"), $"bin".cast("long").as("bin"),
+            ($"cum" - $"n_tok" - $"bin" * budget).cast("long").as("bin_offset"))
+          .orderBy($"doc_id", $"lang")
       },
       Some("""
-        |SELECT doc_id, lang, n_tok,
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(n_tok AS BIGINT) AS n_tok,
         |  CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
-        |  (cum - n_tok) - CAST(floor((cum - n_tok) / 2048) AS BIGINT) * 2048 AS bin_offset
+        |  CAST((cum - n_tok) - CAST(floor((cum - n_tok) / 2048) AS BIGINT) * 2048
+        |       AS BIGINT) AS bin_offset
         |FROM (
         |  SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
         |      OVER (PARTITION BY lang ORDER BY doc_id
-        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM documents)
-        |ORDER BY doc_id
+        |ORDER BY doc_id, lang
         |""".stripMargin)),
 
     // Decontamination: flag TRAIN docs sharing any rare shingle with the

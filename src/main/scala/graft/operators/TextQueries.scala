@@ -116,14 +116,25 @@ object TextQueries {
         // score each (doc, candidate lang) by token instances hitting the profile
         val hits = tok.join(broadcast(profile), Seq("tok"))
           .groupBy($"doc_id", $"p_lang").agg(count(lit(1)).as("score"))
-        val grid = docs.select($"doc_id", $"lang")
-          .crossJoin(broadcast(profile.select($"p_lang").distinct()))
-        val scored = grid.join(hits, Seq("doc_id", "p_lang"), "left")
-          .withColumn("score", coalesce($"score", lit(0L)))
-        val wD = Window.partitionBy($"doc_id").orderBy($"score".desc, $"p_lang")
-        scored.withColumn("rk", row_number().over(wD)).filter($"rk" === 1)
-          .select($"doc_id", $"lang".as("true_lang"), $"p_lang".as("pred_lang"),
-            $"score", ($"p_lang" === $"lang").as("correct"))
+        // argmax per doc as ONE aggregate (min over (-score, p_lang) struct =
+        // score desc, lang asc tiebreak) — not a docs x langs crossJoin grid
+        // + window: at 100 TB the grid multiplies the doc table by #langs
+        // before sorting, while this shape aggregates hits per doc first.
+        // Docs with zero profile hits fall back to the alphabetically first
+        // language at score 0 (what the grid's all-zero row_number picked),
+        // via a one-row broadcast of min(p_lang).
+        val best = hits
+          .groupBy($"doc_id")
+          .agg(min(struct((-$"score").as("ns"), $"p_lang")).as("b"))
+          .select($"doc_id", (-$"b.ns").as("score"), $"b.p_lang".as("p_lang"))
+        val minLang = profile.agg(min($"p_lang").as("min_lang"))
+        docs.select($"doc_id", $"lang")
+          .join(best, Seq("doc_id"), "left")
+          .crossJoin(broadcast(minLang))
+          .select($"doc_id", $"lang".as("true_lang"),
+            coalesce($"p_lang", $"min_lang").as("pred_lang"),
+            coalesce($"score", lit(0L)).as("score"))
+          .withColumn("correct", $"pred_lang" === $"true_lang")
           .orderBy($"doc_id")
       },
       Some("""
