@@ -583,29 +583,37 @@ final class GraftWriteBuilder(writeSchema: StructType, queryId: String,
   }
 }
 
-final case class GraftCommitMessage(partitionId: Int, segment: String, n: Long)
+final case class GraftCommitMessage(partitionId: Int,
+    routed: Map[Int, String], broadcast: Option[String], n: Long)
     extends WriterCommitMessage
 
-/** Two-phase write commit on SHARED storage (cluster-safe — the driver
-  * never touches executor-local disk):
+/** Two-phase write commit on SHARED storage where the driver only ever
+  * coordinates — document bytes never pass through it:
   *
-  *  1. each task streams its write-model docs to a job-scoped temp file
-  *     UNDER the collection directory (`<path>/.graft-pending/<queryId>/`),
-  *     which on a real deployment is the shared filesystem the collection
-  *     itself lives on;
-  *  2. `DataWriter.commit()` (task side) atomically renames the temp file
-  *     to a durable segment — only segments of successfully-committed
-  *     tasks ever carry the final name;
-  *  3. `BatchWrite.commit` (driver) replays the committed segments in
-  *     partition order as one bulk, failing fast if a named segment is
-  *     missing, then removes the whole job directory.
+  *  1. each task ROUTES its write-model docs into per-shard temp files
+  *     under the job dir (`<path>/.graft-pending/<queryId>/`) on the
+  *     shared filesystem the collection lives on — inserts and
+  *     `_id`-keyed updates to the owning shard, multi-updates to a
+  *     broadcast file (ShardRouting mirrors a sharded server's rules);
+  *  2. `DataWriter.commit()` (task side) atomically renames the temp
+  *     files to durable segments — only segments of successfully-
+  *     committed tasks ever carry the final name;
+  *  3. `BatchWrite.commit` (driver) verifies every named segment exists
+  *     (fail fast: a missing segment is lost task output), then runs the
+  *     APPLY AS A DISTRIBUTED JOB — one task per shard, each merging its
+  *     shard's segments in (partitionId, seq) order against its own
+  *     shard file (ShardApply.run). The driver holds only segment names,
+  *     O(#segments) state, never documents.
   *
   * This is the reference's task-attempt-path protocol
   * (MongoRecordWriter.java:49-120 writes to the Hadoop FileSystem work
   * path; MongoOutputCommitter.commitTask:91-186 replays on task commit),
   * which makes task retries safe for non-idempotent $inc/$push updates:
   * an aborted attempt's temp file is never renamed, so it is never
-  * replayed.
+  * replayed. Where the reference's task commit hands its bulk to a mongod
+  * that serializes concurrent writers, here each shard file is touched by
+  * exactly ONE apply task, so the commit job needs no locks and scales
+  * with the shard count.
   */
 final class GraftBatchWrite(writeSchema: StructType, queryId: String,
     options: Map[String, String], truncateFirst: Boolean) extends BatchWrite {
@@ -614,31 +622,55 @@ final class GraftBatchWrite(writeSchema: StructType, queryId: String,
     throw new IllegalArgumentException("path option required"))
   private val jobDir = Paths.get(path, ".graft-pending", queryId)
 
+  // shard count resolved once, driver-side: explicit `shards` option wins,
+  // else the collection's declared layout (legacy collections = 1)
+  private val shardCount: Int =
+    options.get("shards").map(_.toInt)
+      .getOrElse(new BsonCollection(path).shardCount)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftDataWriterFactory(writeSchema, options, jobDir.toString)
+    new GraftDataWriterFactory(writeSchema, options, jobDir.toString, shardCount)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val coll = new BsonCollection(path)
+    if (truncateFirst) coll.truncate()
+    // declares the layout; refuses shard-count conflicts with existing data
+    coll.create(shardCount)
     options.get("ensure_index").foreach(ix => coll.ensureIndex(ix.split(',').toSeq))
-    if (truncateFirst) {
-      // overwrite semantics: start from an empty collection
-      val dataFile = Paths.get(path, "data.bson")
-      Files.deleteIfExists(dataFile)
-      Files.deleteIfExists(dataFile.resolveSibling(".data.bson.splits"))
-    }
     val ordered = messages.collect { case m: GraftCommitMessage => m }
       .sortBy(_.partitionId)
     // fail fast: a missing segment means lost task output — silently
     // writing the rest would be data loss masquerading as success
-    val missing = ordered.filterNot(m => Files.exists(Paths.get(m.segment)))
+    val referenced = ordered.flatMap(m => m.routed.values ++ m.broadcast)
+    val missing = referenced.filterNot(s => Files.exists(Paths.get(s)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"committed task segment(s) missing at job commit: " +
-          missing.map(_.segment).mkString(", "))
-    val models = ordered.iterator.flatMap(m => BsonFiles.readAll(m.segment))
-      .map(WriteModels.fromDoc(coll, _))
+          missing.mkString(", "))
     val bulkOrdered = !options.get("bulk_ordered").contains("false")
-    val result = coll.bulkWrite(models, ordered = bulkOrdered)
+    val bcastSegs = ordered.collect {
+      case m if m.broadcast.isDefined => m.partitionId -> m.broadcast.get
+    }.toSeq
+    val tasks: Seq[graft.store.ShardTask] = (0 until shardCount).flatMap { k =>
+      val routedSegs = ordered.collect {
+        case m if m.routed.contains(k) => m.partitionId -> m.routed(k)
+      }.toSeq
+      if (routedSegs.isEmpty && bcastSegs.isEmpty) None
+      else Some(graft.store.ShardTask(
+        BsonCollection.shardPath(path, shardCount, k).toString, k,
+        routedSegs, bcastSegs, bulkOrdered))
+    }
+    // the apply runs WHERE the data is big: as a Spark job, one task per
+    // shard (each bounded by its shard's size). Outside an active session
+    // (unit-level callers) it degrades to a local loop.
+    val results: Seq[graft.store.BulkResult] =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) if tasks.size > 1 =>
+          s.sparkContext.parallelize(tasks, tasks.size)
+            .map(graft.store.ShardApply.run).collect().toSeq
+        case _ => tasks.map(graft.store.ShardApply.run)
+      }
+    val result = results.foldLeft(graft.store.BulkResult.empty)(_ merge _)
     if (result.errors.nonEmpty) {
       // mongo's unordered bulk attempts everything, then THROWS the
       // accumulated errors — a "successful" Spark write must not hide
@@ -669,95 +701,18 @@ object GraftBatchWrite {
     }
 }
 
-/** Write-model wire shape: insert docs as-is; update ops wrapped as
-  * {"__op": mode, "q": {...}, "u": {...}, "upsert": b, "multi": b}.
-  */
-object WriteModels {
-  def toDoc(mode: String, row: BDoc, keys: Seq[String], updateOp: String,
-      multi: Boolean, idColumn: Option[String]): BDoc = {
-    val doc = idColumn match {
-      case Some(c) if row.get(c).isDefined && c != "_id" =>
-        // id_column WINS over a pre-existing _id column (the key-merge
-        // convention: the chosen key IS the identity)
-        BDoc(ListMap("_id" -> row.get(c).get) ++
-          row.fields.removed(c).removed("_id"))
-      case _ => row
-    }
-    mode match {
-      case "insert" => doc
-      case m =>
-        // getPath, not get: keys may be dotted document-space paths
-        // (column_mapping nests fields before key extraction)
-        val q = BDoc(ListMap(keys.map(k => k -> doc.getPath(k).getOrElse(BNull)): _*))
-        val rest = BDoc(doc.fields.filterNot { case (k, _) => keys.contains(k) })
-        val u = (m, updateOp) match {
-          // replace stores the FULL doc (keys included) — mongo replaceOne
-          // semantics; stripping key fields would lose them permanently
-          // since the store's replace keeps only the matched _id
-          case ("replace", _) => doc
-          case (_, "set") => BDoc("$set" -> rest)
-          case (_, "inc") => BDoc("$inc" -> rest)
-          case (_, "push") => BDoc("$push" -> rest)
-          case (_, "pushAll") => BDoc("$pushAll" -> rest)
-          case (_, other) => throw new IllegalArgumentException(s"unknown update_op $other")
-        }
-        BDoc(
-          "__op" -> BString(m), "q" -> q, "u" -> u,
-          "upsert" -> BBool(m == "upsert"),
-          "multi" -> BBool(multi))
-    }
-  }
-
-  /** One field of a write-model query: plain values mean equality, an
-    * all-`$` operator document carries comparison operators — a
-    * `query_template` like `{"qty": {"$lt": "$threshold"}}` must become a
-    * Lt, not an Eq against the literal operator doc (which compares a BDoc
-    * to a number and silently matches nothing).
-    */
-  private def fieldQuery(k: String, v: BsonValue): BQuery = v match {
-    case d: BDoc if d.fields.nonEmpty && d.fields.keys.forall(_.startsWith("$")) =>
-      d.fields.foldLeft[BQuery](BQuery.True) {
-        case (acc, ("$eq", x)) => BQuery.and(acc, BQuery.Eq(k, x))
-        case (acc, ("$gt", x)) => BQuery.and(acc, BQuery.Gt(k, x))
-        case (acc, ("$gte", x)) => BQuery.and(acc, BQuery.Gte(k, x))
-        case (acc, ("$lt", x)) => BQuery.and(acc, BQuery.Lt(k, x))
-        case (acc, ("$lte", x)) => BQuery.and(acc, BQuery.Lte(k, x))
-        case (acc, ("$ne", x)) => BQuery.and(acc, BQuery.Ne(k, x))
-        case (acc, ("$in", BArray(xs))) => BQuery.and(acc, BQuery.In(k, xs))
-        case (acc, ("$nin", BArray(xs))) => BQuery.and(acc, BQuery.Nin(k, xs))
-        case (acc, ("$exists", BBool(b))) => BQuery.and(acc, BQuery.Exists(k, b))
-        case (_, (op, _)) => throw new IllegalArgumentException(
-          s"unsupported operator $op in keyed write query for field $k")
-      }
-    case _ => BQuery.Eq(k, v)
-  }
-
-  def fromDoc(coll: BsonCollection, d: BDoc): coll.WriteModel = d.get("__op") match {
-    case None => coll.InsertOne(d)
-    case Some(BString(mode)) =>
-      val q = d.get("q").collect { case qd: BDoc => qd }.getOrElse(BDoc.empty)
-      val u = d.get("u").collect { case ud: BDoc => ud }.getOrElse(BDoc.empty)
-      val upsert = d.get("upsert").contains(BBool(true))
-      val multi = d.get("multi").contains(BBool(true))
-      val query = q.fields.foldLeft[BQuery](BQuery.True) {
-        case (acc, (k, v)) => BQuery.and(acc, fieldQuery(k, v))
-      }
-      coll.UpdateOp(UpdateModel(query, u, upsert = upsert, multi = multi,
-        replace = mode == "replace"))
-    case other => throw new IllegalArgumentException(s"bad __op $other")
-  }
-}
-
 final class GraftDataWriterFactory(writeSchema: StructType,
-    options: Map[String, String], jobDir: String)
+    options: Map[String, String], jobDir: String, shardCount: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(partitionId, taskId, writeSchema, options, jobDir)
+    new GraftDataWriter(partitionId, taskId, writeSchema, options, jobDir, shardCount)
 }
 
 final class GraftDataWriter(partitionId: Int, taskId: Long,
-    writeSchema: StructType, options: Map[String, String], jobDir: String)
+    writeSchema: StructType, options: Map[String, String], jobDir: String,
+    shardCount: Int)
     extends DataWriter[InternalRow] {
+  import graft.store.{ShardRouting, WriteModels}
 
   private val mode = options.getOrElse("mode", "insert")
   private val keys = options.getOrElse("keys", "_id").split(',').toSeq
@@ -786,21 +741,32 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
       }
     }
 
-  // attempt temp file lives in the job dir on the SHARED collection path
-  // (never executor-local java.io.tmpdir — the driver must be able to read
-  // the committed segment on a real cluster); the `_tmp-` prefix marks it
-  // uncommitted until the task-side rename in commit()
-  private val segFile = Paths.get(jobDir, s"seg-p$partitionId-t$taskId.bson")
-  private val tmpFile = segFile.resolveSibling(s"_tmp-${segFile.getFileName}")
-  Files.createDirectories(tmpFile.getParent)
-  // stream write-models to the attempt file as they arrive — bounded
-  // memory per task regardless of partition size
-  private val appender = new BsonFiles.Appender(tmpFile.toString)
+  // attempt temp files live in the job dir on the SHARED collection path
+  // (never executor-local java.io.tmpdir — the apply tasks must be able to
+  // read any committed segment on a real cluster); the `_tmp-` prefix
+  // marks them uncommitted until the task-side rename in commit().
+  // One file per target shard this task actually touches (lazily opened),
+  // plus one broadcast file for multi-update models that every shard
+  // replays; shard -1 keys the broadcast file.
+  Files.createDirectories(Paths.get(jobDir))
+  private val appenders = scala.collection.mutable.LinkedHashMap[Int, BsonFiles.Appender]()
   private var closed = false
+  // per-model sequence: lets the apply phase interleave a partition's
+  // routed and broadcast models back into original write order
+  private var seq = 0L
+
+  private def suffix(k: Int): String =
+    if (k < 0) "sall" else f"s$k%05d"
+  private def tmpFile(k: Int): java.nio.file.Path =
+    Paths.get(jobDir, s"_tmp-seg-p$partitionId-t$taskId-${suffix(k)}.bson")
+  private def segFile(k: Int): java.nio.file.Path =
+    Paths.get(jobDir, s"seg-p$partitionId-t$taskId-${suffix(k)}.bson")
+  private def appender(k: Int): BsonFiles.Appender =
+    appenders.getOrElseUpdate(k, new BsonFiles.Appender(tmpFile(k).toString))
 
   override def write(record: InternalRow): Unit = {
     val doc = remap(RowCodec.toBson(record, writeSchema))
-    appender.append(templates match {
+    val model = templates match {
       case Some((qt, ut)) =>
         BDoc(
           "__op" -> BString(mode),
@@ -809,33 +775,51 @@ final class GraftDataWriter(partitionId: Int, taskId: Long,
           "upsert" -> BBool(mode == "upsert"),
           "multi" -> BBool(multi))
       case None => WriteModels.toDoc(mode, doc, keys, updateOp, multi, idColumn)
-    })
+    }
+    seq += 1
+    // route through the SAME decision the store's local bulkWrite uses —
+    // one routing truth, no writer/apply divergence
+    val shard = ShardRouting.route(WriteModels.fromDoc(model), shardCount,
+      (partitionId.toLong << 32) + seq)
+    appender(shard.getOrElse(-1))
+      .append(BDoc(model.fields.updated("__seq", BInt64(seq))))
   }
 
-  /** TASK-side commit: atomically promote the attempt file to its durable
-    * segment name (MongoOutputCommitter.commitTask semantics) — only then
-    * can the driver ever see it.
+  /** TASK-side commit: atomically promote every attempt file to its
+    * durable segment name (MongoOutputCommitter.commitTask semantics) —
+    * only then can the apply phase ever see it.
     */
   override def commit(): WriterCommitMessage = {
-    val n = appender.close()
+    var total = 0L
+    appenders.valuesIterator.foreach(a => total += a.close())
     closed = true
-    Files.deleteIfExists(
-      tmpFile.resolveSibling("." + tmpFile.getFileName + ".splits"))
-    try Files.move(tmpFile, segFile, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmpFile, segFile)
+    val routed = Map.newBuilder[Int, String]
+    var bcast: Option[String] = None
+    appenders.keysIterator.foreach { k =>
+      val tmp = tmpFile(k)
+      val seg = segFile(k)
+      Files.deleteIfExists(
+        tmp.resolveSibling("." + tmp.getFileName + ".splits"))
+      try Files.move(tmp, seg, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, seg)
+      }
+      if (k < 0) bcast = Some(seg.toString) else routed += k -> seg.toString
     }
-    GraftCommitMessage(partitionId, segFile.toString, n)
+    GraftCommitMessage(partitionId, routed.result(), bcast, total)
   }
 
   override def abort(): Unit = {
-    if (!closed) { appender.close(); closed = true }
-    Files.deleteIfExists(tmpFile)
-    Files.deleteIfExists(
-      tmpFile.resolveSibling("." + tmpFile.getFileName + ".splits"))
+    if (!closed) { appenders.valuesIterator.foreach(_.close()); closed = true }
+    appenders.keysIterator.foreach { k =>
+      val tmp = tmpFile(k)
+      Files.deleteIfExists(tmp)
+      Files.deleteIfExists(
+        tmp.resolveSibling("." + tmp.getFileName + ".splits"))
+    }
   }
 
   override def close(): Unit =
-    if (!closed) { appender.close(); closed = true }
+    if (!closed) { appenders.valuesIterator.foreach(_.close()); closed = true }
 }

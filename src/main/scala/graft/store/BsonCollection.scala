@@ -2,29 +2,87 @@ package graft.store
 
 import graft.bson._
 import graft.files.BsonFiles
-import graft.query.{BQuery, UpdateModel, Updates}
+import graft.query.BQuery
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.collection.immutable.ListMap
-import scala.collection.mutable
+import java.nio.file.{Files, Path, Paths}
 
-/** A file-backed "collection": one BSON dump file keyed by `_id`, with
-  * bulk-write semantics (insert / replace / update / upsert / multi) and
-  * commit-time atomicity (write temp, atomic rename) — the sandbox stand-in
-  * for a live server, behind which the same writer/reader code would talk
-  * to a real backend. Write semantics follow the reference's bulk commit
+/** A file-backed "collection" on shared storage: the sandbox stand-in for
+  * a live server, behind which the same writer/reader code would talk to
+  * a real backend. Write semantics follow the reference's bulk commit
   * (core/.../output/MongoOutputCommitter.java:91-186).
+  *
+  * Layout — either legacy single-file or sharded:
+  *  - legacy: `<dir>/data.bson` (one shard, full ordering guarantees);
+  *  - sharded: `<dir>/_collmeta.json` declaring `shards = S` plus
+  *    `<dir>/shard-00000.bson … shard-<S-1>.bson`, documents placed by
+  *    `ShardRouting.idShard(_id) mod S`.
+  *
+  * Sharding is what makes the write path scale: a bulk apply loads and
+  * rewrites ONE shard (bounded by shard size), shards apply in parallel
+  * on executors at job commit, and no process ever materializes the whole
+  * collection. The shard count plays the role of the reference
+  * deployment's chunk/shard topology (SURVEY §2.2), fixed per collection
+  * so routing is stable across jobs.
   */
 final class BsonCollection(val dir: String) {
-  private def dataPath: Path = Paths.get(dir, "data.bson")
-  private def indexPath: Path = Paths.get(dir, "indexes.txt")
+  private def metaPath: Path = Paths.get(dir, BsonCollection.MetaFile)
 
-  def exists: Boolean = Files.exists(dataPath)
+  /** Declared shard count: meta file if present, else legacy single file. */
+  def shardCount: Int =
+    if (Files.exists(metaPath)) BsonCollection.parseMeta(Files.readString(metaPath))
+    else 1
+
+  def shardPath(k: Int): Path = BsonCollection.shardPath(dir, shardCount, k)
+
+  def shardPaths: Seq[Path] = {
+    val s = shardCount
+    (0 until s).map(BsonCollection.shardPath(dir, s, _))
+  }
+
+  /** Declare a sharded layout (no-op when the same count is already
+    * declared; resharding an existing collection in place is refused —
+    * routing of existing documents would silently break).
+    */
+  def create(shards: Int): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val existing = if (Files.exists(metaPath)) Some(shardCount) else None
+    existing match {
+      case Some(s) if s != shards =>
+        throw new IllegalStateException(
+          s"collection at $dir already declared with $s shard(s); " +
+            s"cannot re-declare as $shards — truncate first")
+      case Some(_) => ()
+      case None =>
+        if (shards > 1 && exists)
+          throw new IllegalStateException(
+            s"collection at $dir has existing unsharded data; " +
+              "truncate before declaring a sharded layout")
+        Files.createDirectories(Paths.get(dir))
+        if (shards > 1)
+          Files.writeString(metaPath, s"""{"shards": $shards}""")
+    }
+  }
+
+  def exists: Boolean = shardPaths.exists(Files.exists(_))
 
   def readAll(): Iterator[BDoc] =
-    if (!exists) Iterator.empty else BsonFiles.readAll(dataPath.toString)
+    shardPaths.iterator.filter(Files.exists(_))
+      .flatMap(p => BsonFiles.readAll(p.toString))
 
   def count(): Long = readAll().size.toLong
+
+  /** Delete all data and the shard layout; index declarations survive
+    * (truncate-for-overwrite semantics — the rewrite re-declares layout).
+    */
+  def truncate(): Unit = {
+    shardPaths.foreach { p =>
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".splits"))
+    }
+    Files.deleteIfExists(metaPath)
+  }
+
+  private def indexPath: Path = Paths.get(dir, "indexes.txt")
 
   /** Declared indexes (ensure-index parity: recorded, used as metadata). */
   def ensureIndex(fields: Seq[String]): Unit = {
@@ -40,118 +98,59 @@ final class BsonCollection(val dir: String) {
     if (!Files.exists(indexPath)) Seq.empty
     else Files.readString(indexPath).split('\n').filter(_.nonEmpty).toSeq.map(_.split(',').toSeq)
 
-  sealed trait WriteModel
-  final case class InsertOne(doc: BDoc) extends WriteModel
-  final case class UpdateOp(model: UpdateModel) extends WriteModel
-
-  final case class BulkResult(inserted: Long, matched: Long, modified: Long,
-      upserted: Long, errors: Seq[String] = Seq.empty)
+  // path-dependent aliases: call sites use `coll.InsertOne(...)` /
+  // `coll.WriteModel`; the types themselves are package-level so write
+  // models serialize independently of any collection handle
+  type WriteModel = graft.store.WriteModel
+  val InsertOne = graft.store.InsertOne
+  val UpdateOp = graft.store.UpdateOp
+  type BulkResult = graft.store.BulkResult
 
   /** Apply a bulk of write models in order and commit atomically.
-    * `ordered = false` continues past per-model errors (duplicate keys)
-    * and reports them in the result — the reference's unordered-bulk
-    * semantics (MongoConfigUtil.isBulkOrdered:645-647).
+    *
+    * This is the LOCAL convenience entry (streaming sink micro-batches,
+    * tests, single-process callers): models are routed in memory and each
+    * shard applied serially. The batch write path does NOT come through
+    * here — it routes models into per-shard segment files task-side and
+    * applies shards in parallel on executors (GraftBatchWrite.commit).
     */
   def bulkWrite(models: Iterator[WriteModel], ordered: Boolean = true): BulkResult = {
-    Files.createDirectories(Paths.get(dir))
-    // load current state: insertion-ordered, keyed by _id where present
-    val byId = mutable.LinkedHashMap[BsonValue, BDoc]()
-    val anonymous = mutable.ArrayBuffer[BDoc]()
-    readAll().foreach { d =>
-      d.get("_id") match {
-        case Some(id) => byId(id) = d
-        case None => anonymous += d
+    val s = shardCount
+    if (s == 1)
+      ShardApply.applyModels(shardPath(0), models, ordered)
+    else {
+      val routed = Array.fill(s)(Vector.newBuilder[WriteModel])
+      var anonSeq = 0L
+      models.foreach { m =>
+        anonSeq += 1
+        ShardRouting.route(m, s, anonSeq) match {
+          case Some(k) => routed(k) += m
+          case None => routed.foreach(_ += m)
+        }
       }
+      (0 until s).map { k =>
+        ShardApply.applyModels(BsonCollection.shardPath(dir, s, k),
+          routed(k).result().iterator, ordered, k)
+      }.foldLeft(BulkResult.empty)(_ merge _)
     }
-    var inserted = 0L
-    var matched = 0L
-    var modified = 0L
-    var upserted = 0L
-    val errors = Seq.newBuilder[String]
-
-    def allDocs: Iterator[BDoc] = byId.valuesIterator ++ anonymous.iterator
-
-    models.foreach {
-      case InsertOne(doc) =>
-        doc.get("_id") match {
-          case Some(id) =>
-            if (byId.contains(id)) {
-              if (ordered) throw new IllegalStateException(s"duplicate key _id=$id on insert")
-              else errors += s"duplicate key _id=$id"
-            } else {
-              byId(id) = doc
-              inserted += 1
-            }
-          case None =>
-            anonymous += doc
-            inserted += 1
-        }
-
-      case UpdateOp(UpdateModel(query, update, upsert, multi, replace)) =>
-        // point-update fast path: an _id-equality conjunct routes through
-        // the byId map (O(1)) instead of scanning every doc per model —
-        // the write path's keyed update/upsert modes all hit this
-        val hits = BsonCollection.idEquality(query) match {
-          case Some(id) =>
-            BsonCollection.idLookups(id).flatMap(byId.get)
-              .filter(query.matches).toVector
-          case None => allDocs.filter(query.matches).toVector
-        }
-        val targets = if (multi) hits else hits.take(1)
-        if (targets.isEmpty) {
-          if (upsert) {
-            val seed = Updates.upsertSeed(query, update)
-            val withId = if (seed.get("_id").isEmpty)
-              BDoc(ListMap("_id" -> BObjectId(freshObjectId())) ++ seed.fields)
-            else seed
-            byId(withId.get("_id").get) = withId
-            upserted += 1
-          }
-        } else {
-          targets.foreach { old =>
-            matched += 1
-            val next =
-              if (replace || !Updates.isModifierUpdate(update)) {
-                // replacement preserves the matched doc's _id
-                old.get("_id") match {
-                  case Some(id) => BDoc(ListMap("_id" -> id) ++ update.fields.removed("_id"))
-                  case None => update
-                }
-              } else Updates.applyModifiers(old, update)
-            if (next != old) modified += 1
-            old.get("_id") match {
-              case Some(id) => byId(id) = next
-              case None =>
-                val idx = anonymous.indexOf(old)
-                if (idx >= 0) anonymous(idx) = next
-            }
-          }
-        }
-    }
-
-    // atomic commit: write (data + .splits side file) under a temp name in
-    // the same directory, then rename both into place
-    val finalDocs = allDocs.toVector
-    val tmpName = dataPath.toString + ".commit-tmp"
-    BsonFiles.write(tmpName, finalDocs.iterator)
-    val tmpPath = Paths.get(tmpName)
-    val tmpSide = tmpPath.resolveSibling("." + tmpPath.getFileName + ".splits")
-    val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
-    Files.move(tmpPath, dataPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(tmpSide))
-      Files.move(tmpSide, side, StandardCopyOption.REPLACE_EXISTING)
-    BulkResult(inserted, matched, modified, upserted, errors.result())
-  }
-
-  private var oidCounter = 0L
-  private def freshObjectId(): String = {
-    oidCounter += 1
-    f"${(System.currentTimeMillis() / 1000).toInt}%08x${oidCounter}%016x"
   }
 }
 
 object BsonCollection {
+  val MetaFile = "_collmeta.json"
+
+  private[store] def parseMeta(json: String): Int = {
+    val m = """"shards"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    m.map(_.group(1).toInt).getOrElse(1)
+  }
+
+  /** Shard k's data file: the single shard of a legacy collection keeps
+    * the historical `data.bson` name so existing dumps stay readable.
+    */
+  def shardPath(dir: String, shardCount: Int, k: Int): Path =
+    if (shardCount == 1) Paths.get(dir, "data.bson")
+    else Paths.get(dir, f"shard-$k%05d.bson")
+
   /** The `_id`-equality conjunct of a query, if any. */
   private[store] def idEquality(q: BQuery): Option[BsonValue] = q match {
     case BQuery.Eq("_id", v) => Some(v)

@@ -27,7 +27,7 @@ class WriteCommitSpec extends SparkSpec {
   test("task attempt file lives under the collection dir; commit promotes it") {
     val dir = freshDir()
     val jobDir = Paths.get(dir, ".graft-pending", "q-test-1").toString
-    val w = new GraftDataWriter(3, 7L, schema, Map("path" -> dir), jobDir)
+    val w = new GraftDataWriter(3, 7L, schema, Map("path" -> dir), jobDir, 1)
     w.write(InternalRow(1L, 10L))
     w.write(InternalRow(2L, 20L))
     // before task commit: only an uncommitted _tmp- attempt file, in jobDir
@@ -40,17 +40,18 @@ class WriteCommitSpec extends SparkSpec {
     assert(sawTmp, "attempt file must be under the collection's job dir")
     val msg = w.commit().asInstanceOf[GraftCommitMessage]
     assert(msg.n === 2)
-    assert(msg.segment.startsWith(jobDir),
+    val seg = msg.routed(0)
+    assert(seg.startsWith(jobDir),
       "committed segment must be inside the shared job dir")
-    assert(Files.exists(Paths.get(msg.segment)))
-    assert(!Files.exists(Paths.get(jobDir, "_tmp-seg-p3-t7.bson")),
+    assert(Files.exists(Paths.get(seg)))
+    assert(!Files.exists(Paths.get(jobDir, "_tmp-seg-p3-t7-s00000.bson")),
       "attempt file must be renamed away by task commit")
   }
 
   test("aborted task leaves no segment behind") {
     val dir = freshDir()
     val jobDir = Paths.get(dir, ".graft-pending", "q-test-2").toString
-    val w = new GraftDataWriter(0, 1L, schema, Map("path" -> dir), jobDir)
+    val w = new GraftDataWriter(0, 1L, schema, Map("path" -> dir), jobDir, 1)
     w.write(InternalRow(1L, 10L))
     w.abort()
     val left = Files.list(Paths.get(jobDir)).count()
@@ -60,7 +61,8 @@ class WriteCommitSpec extends SparkSpec {
   test("driver commit fails fast when a committed segment is missing") {
     val dir = freshDir()
     val bw = new GraftBatchWrite(schema, "q-test-3", Map("path" -> dir), false)
-    val missing = GraftCommitMessage(0, s"$dir/.graft-pending/q-test-3/seg-p0-t0.bson", 1)
+    val missing = GraftCommitMessage(0,
+      Map(0 -> s"$dir/.graft-pending/q-test-3/seg-p0-t0-s00000.bson"), None, 1)
     val e = intercept[IllegalStateException] {
       bw.commit(Array(missing))
     }
@@ -132,5 +134,106 @@ class WriteCommitSpec extends SparkSpec {
     }
     assert(parts.map(_.preferredLocations().toSeq) ===
       Seq(Seq("host1", "host2"), Seq("host3")))
+  }
+
+  test("sharded multi-partition write: apply is per-shard, driver holds no docs") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1L to 2000L).map(i => (i, i * 10)).toDF("_id", "v")
+      .repartition(8)
+      .write.format("graftbson").mode("append").option("shards", "4").save(dir)
+    // layout: 4 shard files + meta, NO monolithic data.bson
+    val coll = new BsonCollection(dir)
+    assert(coll.shardCount === 4)
+    assert(!Files.exists(Paths.get(dir, "data.bson")))
+    val sizes = coll.shardPaths.map(p => graft.files.BsonFiles.readAll(p.toString).size)
+    assert(sizes.sum === 2000)
+    assert(sizes.forall(_ > 0), s"routing should spread ids, got $sizes")
+    val back = spark.read.format("graftbson").load(dir)
+    assert(back.count() === 2000)
+
+    // keyed $inc update through the DSv2 write path: inherits the declared
+    // shard layout, routes each model to its owning shard
+    (1L to 2000L).map(i => (i, i)).toDF("_id", "v")
+      .repartition(8)
+      .write.format("graftbson").mode("append")
+      .option("mode", "update").option("update_op", "inc").save(dir)
+    val m = coll.readAll().map(d => d.get("_id").get -> d.get("v").get).toMap
+    assert(m(BInt64(7L)) === BInt64(77L))
+    assert(m(BInt64(2000L)) === BInt64(22000L))
+    assert(!Files.exists(Paths.get(dir, ".graft-pending")) ||
+      Files.list(Paths.get(dir, ".graft-pending")).count() === 0)
+  }
+
+  test("cross-width numeric ids route to the same shard") {
+    import graft.store.ShardRouting
+    for (s <- Seq(2, 4, 7, 32)) {
+      assert(ShardRouting.idShard(BInt32(5), s) === ShardRouting.idShard(BInt64(5L), s))
+      assert(ShardRouting.idShard(BInt64(5L), s) === ShardRouting.idShard(BDouble(5.0), s))
+    }
+  }
+
+  test("multi-update without _id broadcasts to every shard; updateOne throws") {
+    val dir = freshDir()
+    val coll = new BsonCollection(dir)
+    coll.create(4)
+    coll.bulkWrite((1 to 100).iterator.map(i =>
+      coll.InsertOne(BDoc("_id" -> BInt32(i), "x" -> BInt32(i % 10)))))
+    // broadcast multi-update: matches docs in every shard
+    val res = coll.bulkWrite(Iterator(
+      coll.UpdateOp(UpdateModel(BQuery.Eq("x", BInt32(3)),
+        BDoc("$set" -> BDoc("hit" -> BBool(true))), multi = true))))
+    assert(res.matched === 10)
+    // updateOne / upsert without a routable _id mirrors the sharded-server
+    // restriction: loud failure, not a wrong-shard guess
+    val e = intercept[IllegalArgumentException] {
+      coll.bulkWrite(Iterator(
+        coll.UpdateOp(UpdateModel(BQuery.Eq("x", BInt32(3)),
+          BDoc("$set" -> BDoc("y" -> BInt32(1)))))))
+    }
+    assert(e.getMessage.contains("_id equality"))
+  }
+
+  test("ordered insert + broadcast multi-update interleave in write order") {
+    import spark.implicits._
+    val dir = freshDir()
+    // seed sharded collection
+    (1L to 100L).map(i => (i, 0L)).toDF("_id", "v")
+      .write.format("graftbson").mode("append").option("shards", "3").save(dir)
+    // one partition emits: multi $set v=1 (broadcast) THEN inserts 101..110
+    // (routed). The late inserts must NOT see the earlier broadcast update.
+    val coll = new BsonCollection(dir)
+    coll.bulkWrite(Iterator[graft.store.WriteModel](
+      graft.store.UpdateOp(UpdateModel(BQuery.Gte("_id", BInt64(1L)),
+        BDoc("$set" -> BDoc("v" -> BInt64(1L))), multi = true)) ) ++
+      (101L to 110L).iterator.map(i =>
+        graft.store.InsertOne(BDoc("_id" -> BInt64(i), "v" -> BInt64(0L)))))
+    val m = coll.readAll().map(d => d.get("_id").get -> d.get("v").get).toMap
+    assert(m(BInt64(50L)) === BInt64(1L))
+    assert(m(BInt64(105L)) === BInt64(0L),
+      "insert after the multi-update must keep its own value")
+  }
+
+  test("DSv2 broadcast update: multi on non-_id key reaches every shard") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1L to 300L).map(i => (i, i % 7, 0L)).toDF("_id", "grp", "v")
+      .repartition(4)
+      .write.format("graftbson").mode("append").option("shards", "3").save(dir)
+    // multi-update keyed on grp (not _id): writer emits broadcast models,
+    // every shard's apply task replays them against its own docs
+    Seq((3L, 1L)).toDF("grp", "v")
+      .write.format("graftbson").mode("append")
+      .option("mode", "update").option("keys", "grp")
+      .option("multi", "true").save(dir)
+    val coll = new BsonCollection(dir)
+    val updated = coll.readAll()
+      .filter(_.get("grp").contains(BInt64(3L)))
+      .map(_.get("v").get).toSeq
+    assert(updated.nonEmpty && updated.forall(_ === BInt64(1L)))
+    val untouched = coll.readAll()
+      .filter(_.get("grp").contains(BInt64(4L)))
+      .map(_.get("v").get).toSeq
+    assert(untouched.forall(_ === BInt64(0L)))
   }
 }
