@@ -170,14 +170,40 @@ object BsonFiles {
     if (isCompressed(path)) readCompressed(path)
     else readRange(path, 0L, Files.size(Paths.get(path)))
 
-  def isCompressed(path: String): Boolean = path.endsWith(".gz")
+  /** Compression codecs by file extension — the CompressionCodecFactory
+    * analog (reference: BSONFileInputFormat.java:56-64 detects any
+    * configured Hadoop codec). All are JVM-local decoders: gzip/deflate
+    * from the JDK, bzip2/snappy/lz4/xz from commons-compress, zstd via
+    * zstd-jni — every codec a standard Spark distribution ships.
+    */
+  val codecExtensions: Seq[String] =
+    Seq(".gz", ".bz2", ".snappy", ".lz4", ".zst", ".zstd", ".xz", ".deflate")
 
-  /** Sequential decode of a gzip'd dump. Compressed files are
+  def isCompressed(path: String): Boolean =
+    codecExtensions.exists(path.endsWith)
+
+  private def codecStream(path: String, raw: java.io.InputStream): java.io.InputStream = {
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
+    import org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream
+    import org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorInputStream
+    import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
+    import org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream
+    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+    else if (path.endsWith(".bz2")) new BZip2CompressorInputStream(raw, true)
+    else if (path.endsWith(".snappy")) new FramedSnappyCompressorInputStream(raw)
+    else if (path.endsWith(".lz4")) new FramedLZ4CompressorInputStream(raw, true)
+    else if (path.endsWith(".zst") || path.endsWith(".zstd")) new ZstdCompressorInputStream(raw)
+    else if (path.endsWith(".xz")) new XZCompressorInputStream(raw, true)
+    else if (path.endsWith(".deflate")) new java.util.zip.InflaterInputStream(raw)
+    else throw new IllegalArgumentException(s"no codec for $path")
+  }
+
+  /** Sequential decode of a compressed dump. Compressed files are
     * UNSPLITTABLE — always one split covering the whole stream (the
     * reference's rule, BSONFileInputFormat.java:56-64,106-113).
     */
   def readCompressed(path: String): CloseableDocIterator = {
-    val in = new java.util.zip.GZIPInputStream(
+    val in = codecStream(path,
       new java.io.BufferedInputStream(Files.newInputStream(Paths.get(path)), 1 << 20))
     new CloseableDocIterator {
       private var closed = false

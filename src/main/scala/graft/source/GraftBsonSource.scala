@@ -45,14 +45,35 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
       case Some(json) => MultiCollections.parse(json).flatMap(c => GraftBsonSource.dataFiles(c.path))
       case None => GraftBsonSource.dataFiles(options.get("path"))
     }
-    // close each file's iterator explicitly: take(1000) abandons the last
-    // one mid-file, which would leak its descriptor on the driver
+    // UNIFORM sampling across the whole corpus, not the first 1000 docs of
+    // the first file: the reference samples server-side with $sample
+    // (core/.../splitter/SampleSplitter.java:72-77), uniform over the
+    // collection. Head-biased sampling mis-infers any field that only
+    // appears later (schema drift). Budget is spread over files by size;
+    // within a file, docs are decoded at evenly spaced offsets snapped to
+    // doc boundaries by the .splits/resync machinery. Compressed files
+    // (unseekable) fall back to head sampling of their share.
+    val budget = 1000
+    val sizes = files.map(f => f -> Files.size(Paths.get(f)))
+    val totalBytes = math.max(1L, sizes.map(_._2).sum)
     val sample = Vector.newBuilder[graft.bson.BDoc]
-    var sampled = 0
-    files.iterator.takeWhile(_ => sampled < 1000).foreach { f =>
-      val it = BsonFiles.readAll(f)
-      try while (it.hasNext && sampled < 1000) { sample += it.next(); sampled += 1 }
-      finally it.close()
+    sizes.foreach { case (f, sz) =>
+      val want = math.max(1L, budget.toLong * sz / totalBytes).toInt
+      if (BsonFiles.isCompressed(f)) {
+        val it = BsonFiles.readAll(f)
+        try {
+          var k = 0
+          while (it.hasNext && k < want) { sample += it.next(); k += 1 }
+        } finally it.close()
+      } else {
+        val positions = (0 until want)
+          .map(k => BsonFiles.startingPosition(f, k.toLong * sz / want))
+          .distinct.filter(_ < sz)
+        positions.foreach { pos =>
+          val it = BsonFiles.readRange(f, pos, pos + 1)
+          try { if (it.hasNext) sample += it.next() } finally it.close()
+        }
+      }
     }
     val inferred = RowCodec.inferSchema(sample.result().iterator)
     if (inferred.isEmpty)
@@ -79,24 +100,62 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftBsonSource {
-  /** BSON data files under a path; dot-files skipped (the BSONPathFilter
-    * rule, core/.../BSONPathFilter.java:38).
+  private val GlobChars = Set('*', '?', '[', '{')
+
+  private def isDataFile(n: String): Boolean =
+    n.endsWith(".bson") ||
+      BsonFiles.codecExtensions.exists(e => n.endsWith(".bson" + e))
+
+  /** Hidden-path rule: dot- and underscore-prefixed names are skipped at
+    * every tree level (the BSONPathFilter rule, core/.../BSONPathFilter
+    * .java:38, atop FileInputFormat's hidden-file convention) — this is
+    * also what keeps `.graft-pending` job dirs and `_collmeta.json`
+    * invisible to scans.
+    */
+  private def hidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  private def walkTree(dir: java.nio.file.Path, keep: String => Boolean): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def rec(d: java.nio.file.Path): Unit = {
+      val stream = Files.list(d)
+      try stream.iterator().asScala.toVector.foreach { f =>
+        val n = f.getFileName.toString
+        if (!hidden(n)) {
+          if (Files.isDirectory(f)) rec(f)
+          else if (Files.isRegularFile(f) && keep(n)) out += f.toString
+        }
+      } finally stream.close()
+    }
+    rec(dir)
+    out.result().sorted
+  }
+
+  /** BSON data files for a path spec, FileInputFormat-style: a file is
+    * itself; a directory is walked RECURSIVELY (real dump layouts nest,
+    * `dump/<db>/<collection>.bson`); a spec containing glob characters
+    * (star, `?`, `[`, `{` — e.g. a star.bson pattern under `dump/db`)
+    * matches against the tree under its deepest fixed prefix. Hidden
+    * (dot/underscore) files and directories are skipped in every mode.
     */
   def dataFiles(path: String): Seq[String] = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p)) {
-      val stream = Files.list(p)
-      try stream.iterator().asScala
-        .filter(f => Files.isRegularFile(f))
-        .filterNot(_.getFileName.toString.startsWith("."))
-        .filter { f =>
-          val n = f.getFileName.toString
-          n.endsWith(".bson") || n.endsWith(".bson.gz")
-        }
-        .map(_.toString).toSeq.sorted
-      finally stream.close()
-    } else if (Files.exists(p)) Seq(path)
-    else Seq.empty
+    if (path.exists(GlobChars.contains)) {
+      val idx = path.indexWhere(GlobChars.contains)
+      val slash = path.lastIndexOf('/', idx)
+      val base = if (slash <= 0) "." else path.substring(0, slash)
+      val basePath = Paths.get(base)
+      if (!Files.isDirectory(basePath)) Seq.empty
+      else {
+        val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + path)
+        // the glob itself decides the extension — no .bson filter on top
+        walkTree(basePath, _ => true).filter(f => matcher.matches(Paths.get(f)))
+      }
+    } else {
+      val p = Paths.get(path)
+      if (Files.isDirectory(p)) walkTree(p, isDataFile)
+      else if (Files.exists(p)) Seq(path)
+      else Seq.empty
+    }
   }
 }
 
@@ -184,20 +243,44 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
 }
 
 object MultiCollections {
-  final case class CollectionConf(path: String, query: BQuery)
+  /** One collection of a multi-collection scan, with optional per-entry
+    * overrides of the scan-level planning options — the
+    * MultiCollectionSplitBuilder surface (per-entry splitter class,
+    * query, fields, limit, notimeout;
+    * core/.../splitter/MultiCollectionSplitBuilder.java:1-148).
+    */
+  final case class CollectionConf(path: String, query: BQuery,
+      splitter: Option[String] = None, splitSize: Option[Long] = None,
+      key: Option[String] = None, minDocs: Option[Long] = None,
+      filterEmpty: Option[Boolean] = None, limit: Option[Int] = None,
+      sort: Option[String] = None)
 
-  /** Parse [{"path": "...", "query": {...}?}, ...]. */
+  /** Parse [{"path": "...", "query": {...}?, "splitter": "..."?,
+    * "split_size": n?, "key": "..."?, "min_docs": n?, "filter_empty": b?,
+    * "limit": n?, "sort": "..."?}, ...].
+    */
   def parse(json: String): Seq[CollectionConf] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parse(json).asInstanceOf[JArray].arr.map { item =>
       val o = item.asInstanceOf[JObject]
-      val path = o.obj.collectFirst { case ("path", JString(p)) => p }
+      def str(k: String): Option[String] =
+        o.obj.collectFirst { case (`k`, JString(v)) => v }
+      def num(k: String): Option[Long] =
+        o.obj.collectFirst { case (`k`, JInt(v)) => v.toLong
+                             case (`k`, JLong(v)) => v }
+      def bool(k: String): Option[Boolean] =
+        o.obj.collectFirst { case (`k`, JBool(v)) => v }
+      val path = str("path")
         .getOrElse(throw new IllegalArgumentException("collection entry needs a path"))
       val q = o.obj.collectFirst { case ("query", qo: JObject) =>
         BQueryJson.parse(JsonMethods.compact(JsonMethods.render(qo)))
       }.getOrElse(BQuery.True)
-      CollectionConf(path, q)
+      CollectionConf(path, q,
+        splitter = str("splitter"), splitSize = num("split_size"),
+        key = str("key"), minDocs = num("min_docs"),
+        filterEmpty = bool("filter_empty"),
+        limit = num("limit").map(_.toInt), sort = str("sort"))
     }
   }
 }
@@ -287,60 +370,76 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     */
   private val sortKey: Option[String] = options.get("sort")
 
+  /** Plan one collection's partitions under a given strategy — shared by
+    * the single-collection path and each entry of multi-collection mode
+    * (which may override the strategy per collection, matching
+    * MultiCollectionSplitBuilder's per-entry splitter/options,
+    * core/.../splitter/MultiCollectionSplitBuilder.java:1-148).
+    */
+  private def planCollection(files: Seq[String], strategy: String,
+      splitSize: Long, key: String, minDocs: Long, filterEmpty: Boolean,
+      q: BQuery, lim: Option[Int], sort: Option[String],
+      off: Option[Int]): Seq[InputPartition] = strategy match {
+    case "bytes" =>
+      files.flatMap { f =>
+        BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
+          GraftInputPartition(f, s, e, q, lim, mapping, sort): InputPartition
+        }
+      }
+    case "single" =>
+      files.map(f =>
+        GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
+          offset = off): InputPartition)
+    case other =>
+      // key-range strategies via the pure planners + file-backed stats;
+      // chunk/shard maps arrive as option-level JSON (the config.chunks /
+      // shard-host metadata a live deployment would read from the server,
+      // MongoSplitterFactory.java:54-129)
+      val chunks = options.get("chunks").map(ShardMaps.parseChunks).getOrElse(Seq.empty)
+      val shardHosts = options.get("shard_hosts").map(ShardMaps.parseHosts).getOrElse(Map.empty)
+      files.flatMap { f =>
+        val stats = new FileStats(f, key)
+        Planners.plan(stats, key, other, q,
+          chunks = chunks, shardHosts = shardHosts,
+          targetSplitBytes = splitSize, minDocs = minDocs,
+          filterEmpty = filterEmpty)
+          .map { case (pq, locs) =>
+            GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
+              locations = locs): InputPartition
+          }
+      }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // multi-collection mode: per-collection {path, query} configs, each
-    // planned independently then unioned (MultiMongoCollectionSplitter
+    val defStrategy = options.getOrElse("splitter", "bytes")
+    val defSplitSize = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
+    val defKey = options.getOrElse("key", "_id")
+    val defMinDocs = options.get("min_docs").map(_.toLong).getOrElse(1000L)
+    val defFilterEmpty = options.get("filter_empty").exists(_.toBoolean)
+    // multi-collection mode: per-collection configs, each planned
+    // independently with its own splitter/options (falling back to the
+    // scan-level defaults) then unioned (MultiMongoCollectionSplitter
     // .calculateSplits:47-141 / MultiCollectionSplitBuilder semantics)
     options.get("collections") match {
       case Some(json) =>
-        return MultiCollections.parse(json).flatMap { c =>
-          val q = BQuery.and(query, c.query)
-          GraftBsonSource.dataFiles(c.path).flatMap { f =>
-            BsonFiles.planByteSplits(f,
-              options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024))
-              .map { case (s, e) =>
-                GraftInputPartition(f, s, e, q, limit, mapping, sortKey): InputPartition
-              }
-          }
+        MultiCollections.parse(json).flatMap { c =>
+          planCollection(
+            GraftBsonSource.dataFiles(c.path),
+            c.splitter.getOrElse(defStrategy),
+            c.splitSize.getOrElse(defSplitSize),
+            c.key.getOrElse(defKey),
+            c.minDocs.getOrElse(defMinDocs),
+            c.filterEmpty.getOrElse(defFilterEmpty),
+            BQuery.and(query, c.query),
+            c.limit.orElse(limit),
+            c.sort.orElse(sortKey),
+            off = None)
         }.toArray
-      case None => ()
-    }
-    val files = GraftBsonSource.dataFiles(options.getOrElse("path",
-      throw new IllegalArgumentException("path option required")))
-    val strategy = options.getOrElse("splitter", "bytes")
-    val splitSize = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
-    strategy match {
-      case "bytes" =>
-        files.flatMap { f =>
-          BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
-            GraftInputPartition(f, s, e, query, limit, mapping, sortKey): InputPartition
-          }
-        }.toArray
-      case "single" =>
-        files.map(f =>
-          GraftInputPartition(f, 0L, Long.MaxValue, query, limit, mapping, sortKey,
-            offset = offset): InputPartition).toArray
-      case other =>
-        // key-range strategies via the pure planners + file-backed stats;
-        // chunk/shard maps arrive as option-level JSON (the config.chunks /
-        // shard-host metadata a live deployment would read from the server,
-        // MongoSplitterFactory.java:54-129)
-        val key = options.getOrElse("key", "_id")
-        val minDocs = options.get("min_docs").map(_.toLong).getOrElse(1000L)
-        val filterEmpty = options.get("filter_empty").exists(_.toBoolean)
-        val chunks = options.get("chunks").map(ShardMaps.parseChunks).getOrElse(Seq.empty)
-        val shardHosts = options.get("shard_hosts").map(ShardMaps.parseHosts).getOrElse(Map.empty)
-        files.flatMap { f =>
-          val stats = new FileStats(f, key)
-          Planners.plan(stats, key, other, query,
-            chunks = chunks, shardHosts = shardHosts,
-            targetSplitBytes = splitSize, minDocs = minDocs,
-            filterEmpty = filterEmpty)
-            .map { case (q, locs) =>
-              GraftInputPartition(f, 0L, Long.MaxValue, q, limit, mapping, sortKey,
-                locations = locs): InputPartition
-            }
-        }.toArray
+      case None =>
+        val files = GraftBsonSource.dataFiles(options.getOrElse("path",
+          throw new IllegalArgumentException("path option required")))
+        planCollection(files, defStrategy, defSplitSize, defKey, defMinDocs,
+          defFilterEmpty, query, limit, sortKey, offset).toArray
     }
   }
 

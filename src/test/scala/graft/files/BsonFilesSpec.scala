@@ -73,4 +73,38 @@ class BsonFilesSpec extends AnyFunSuite {
       BsonFiles.readRange(gzPath, 100L, 200L)
     }
   }
+
+  test("non-gzip codecs: bz2 / zstd / snappy / lz4 dumps round-trip, unsplittable") {
+    import org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream
+    import org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream
+    import org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorOutputStream
+    import org.apache.commons.compress.compressors.zstandard.ZstdCompressorOutputStream
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-codec").toString
+    val docs = (1 to 200).map(i => BDoc("_id" -> BInt32(i), "s" -> BString("x" * i)))
+    val plain = s"$dir/plain.bson"
+    BsonFiles.write(plain, docs.iterator)
+    val raw = Files.readAllBytes(Paths.get(plain))
+    def emit(ext: String, wrap: java.io.OutputStream => java.io.OutputStream): String = {
+      val out = s"$dir/dump.bson$ext"
+      val os = wrap(Files.newOutputStream(Paths.get(out)))
+      os.write(raw); os.close(); out
+    }
+    val files = Seq(
+      emit(".bz2", new BZip2CompressorOutputStream(_)),
+      emit(".zst", new ZstdCompressorOutputStream(_)),
+      emit(".snappy", new FramedSnappyCompressorOutputStream(_)),
+      emit(".lz4", new FramedLZ4CompressorOutputStream(_)))
+    files.foreach { f =>
+      assert(BsonFiles.isCompressed(f), f)
+      val got = BsonFiles.readAll(f).toSeq
+      assert(got === docs, s"round-trip mismatch for $f")
+      assert(BsonFiles.planByteSplits(f, 1024L) === Seq((0L, Long.MaxValue)),
+        s"compressed file must be one unsplittable split: $f")
+    }
+    // a dumped directory mixing codecs is picked up by the source listing
+    Files.delete(Paths.get(plain))
+    Files.deleteIfExists(Paths.get(s"$dir/.plain.bson.splits"))
+    assert(graft.source.GraftBsonSource.dataFiles(dir).size === 4)
+  }
 }

@@ -188,4 +188,51 @@ class GraftSourceSpec extends SparkSpec {
       .mode("append").save(dir)
     assert(new BsonCollection(dir).indexes() == Seq(Seq("x")))
   }
+
+  test("nested dump layout: dump/<db>/<collection>.bson is read recursively") {
+    val base = freshDir()
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/dump/db1"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/dump/db2"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/dump/.hiddendb"))
+    BsonFiles.write(s"$base/dump/db1/users.bson",
+      (1 to 10).iterator.map(i => BDoc("_id" -> BInt32(i))))
+    BsonFiles.write(s"$base/dump/db2/events.bson",
+      (11 to 30).iterator.map(i => BDoc("_id" -> BInt32(i))))
+    BsonFiles.write(s"$base/dump/.hiddendb/x.bson",
+      Iterator(BDoc("_id" -> BInt32(99))))
+    assert(GraftBsonSource.dataFiles(s"$base/dump") ===
+      Seq(s"$base/dump/db1/users.bson", s"$base/dump/db2/events.bson"))
+    val df = spark.read.format("graftbson").load(s"$base/dump")
+    assert(df.count() === 30, "hidden-dir docs must not leak into the scan")
+  }
+
+  test("glob path spec: dump/db*/events.bson selects by pattern") {
+    val base = freshDir()
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/dump/db1"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/dump/db2"))
+    BsonFiles.write(s"$base/dump/db1/events.bson",
+      (1 to 5).iterator.map(i => BDoc("_id" -> BInt32(i))))
+    BsonFiles.write(s"$base/dump/db1/users.bson",
+      Iterator(BDoc("_id" -> BInt32(100))))
+    BsonFiles.write(s"$base/dump/db2/events.bson",
+      (6 to 8).iterator.map(i => BDoc("_id" -> BInt32(i))))
+    assert(GraftBsonSource.dataFiles(s"$base/dump/db*/events.bson") ===
+      Seq(s"$base/dump/db1/events.bson", s"$base/dump/db2/events.bson"))
+    val df = spark.read.format("graftbson").load(s"$base/dump/db*/events.bson")
+    assert(df.count() === 8)
+  }
+
+  test("schema inference samples uniformly: late-file-only field is inferred") {
+    val dir = freshDir()
+    // 4000 docs; field `late` exists ONLY in the last quarter — head-biased
+    // sampling (first 1000 docs) would never see it
+    val docs = (0 until 4000).map { i =>
+      if (i < 3000) BDoc("_id" -> BInt32(i), "x" -> BInt32(i))
+      else BDoc("_id" -> BInt32(i), "x" -> BInt32(i), "late" -> BString(s"v$i"))
+    }
+    BsonFiles.write(s"$dir/data.bson", docs.iterator)
+    val df = spark.read.format("graftbson").load(dir)
+    assert(df.schema.fieldNames.contains("late"),
+      s"uniform sampling must see tail-only fields; got ${df.schema.fieldNames.mkString(",")}")
+  }
 }

@@ -26,6 +26,41 @@ class MultiCollectionSpec extends SparkSpec {
     assert(bySrc == Map("A" -> 10L, "B" -> 10L))
   }
 
+  test("per-collection splitter/options: two collections plan differently") {
+    val dirA = Files.createTempDirectory("collA2").toString
+    val dirB = Files.createTempDirectory("collB2").toString
+    BsonFiles.write(s"$dirA/data.bson",
+      (0 until 500).map(i => BDoc("_id" -> BInt32(i), "src" -> BString("A"))).iterator)
+    BsonFiles.write(s"$dirB/data.bson",
+      (0 until 500).map(i => BDoc("_id" -> BInt32(i), "src" -> BString("B"))).iterator)
+    // A: size-based key-range splits on _id; B: one unsplit partition with
+    // a per-collection limit — per-entry splitter + options, the
+    // MultiCollectionSplitBuilder surface
+    val df = spark.read.format("graftbson")
+      .option("collections",
+        s"""[{"path": "$dirA", "splitter": "size", "split_size": 4096, "min_docs": 50},
+            |{"path": "$dirB", "splitter": "single", "limit": 7}]""".stripMargin)
+      .load()
+    val scan = new GraftScanBuilder(df.schema,
+      Map("collections" ->
+        s"""[{"path": "$dirA", "splitter": "size", "split_size": 4096, "min_docs": 50},
+            |{"path": "$dirB", "splitter": "single", "limit": 7}]""".stripMargin))
+      .build().toBatch
+    val parts = scan.planInputPartitions().collect { case p: GraftInputPartition => p }
+    val aParts = parts.filter(_.path.startsWith(dirA))
+    val bParts = parts.filter(_.path.startsWith(dirB))
+    assert(aParts.length > 1, "size splitter must produce multiple key-range splits")
+    assert(aParts.forall(p => !(p.query == graft.query.BQuery.True)),
+      "size splits carry key-range queries")
+    assert(bParts.length === 1 && bParts.head.limit === Some(7),
+      "single splitter with per-collection limit")
+    // end-to-end: A contributes all 500, B is limited to 7
+    val bySrc = df.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("A") === 500L)
+    assert(bySrc("B") === 7L)
+  }
+
   test("SparkSessionExtensions injection registers both functions") {
     // NOTE: spark.sql.extensions only takes effect for a brand-new
     // SparkSession; the shared test JVM already has one, so assert the
