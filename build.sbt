@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // under cached frames + 32 shuffle buffers (observed 10x timing swings);
   // the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 51 queries' worth of whole-stage-codegen classes overflow the default
+  // 240 MB JIT code cache mid-run; once full the compiler shuts off and
+  // every later query runs interpreted (~3x slower, observed as a
+  // progressive slowdown across the bench). Headroom + flushing keeps the
+  // JIT alive for the whole run.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

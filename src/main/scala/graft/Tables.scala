@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Schema cache: every spark.read.parquet without an explicit schema
+  // re-reads footers to infer one — tens of ms per call that multiply
+  // across a 51-query bench and, on a real cluster, per-job driver RPCs.
+  // The testdata files are immutable, so infer once per (dir, table).
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark 4.x refuses to
     * read natively (PARQUET_TYPE_ILLEGAL). Read the ns value as a long and

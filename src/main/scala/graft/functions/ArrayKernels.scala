@@ -18,6 +18,28 @@ import org.apache.spark.unsafe.types.UTF8String
 object ArrayKernels {
   private val Space = UTF8String.fromString(" ")
 
+
+  /** Split on one ASCII byte, keeping empties — see [[CharSplit]]. */
+  def splitByte(s: UTF8String, sep: Byte): ArrayData = {
+    val bytes = s.getBytes
+    var count = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == sep) count += 1; i += 1 }
+    val out = new Array[Any](count)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == sep) {
+        out(k) = UTF8String.fromBytes(bytes, start, i - start)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** hash60 of every 3-token shingle "t[i] t[i+1] t[i+2]" — identical to
     * mapping [[Md5Util.prefix60]] over concat_ws(' ', ...) triples.
     */
@@ -133,5 +155,44 @@ case class QuantFloats(child: Expression, scale: Double) extends UnaryExpression
   }
 
   override protected def withNewChildInternal(newChild: Expression): QuantFloats =
+    copy(child = newChild)
+}
+
+/** string -> array<string> split on a single ASCII byte, bit-identical to
+  * Spark's regex `split(str, " ", -1)` / DuckDB's `string_split` for a
+  * one-char separator (every occurrence splits; leading/trailing/adjacent
+  * separators yield empty strings). An ASCII byte never occurs inside a
+  * UTF-8 multi-byte sequence, so the byte-level scan is encoding-safe.
+  * Exists because Spark's StringSplit always goes through java.util.regex
+  * even for a literal one-char pattern — the regex engine dominated every
+  * tokenization query in profiles.
+  */
+case class CharSplit(child: Expression, sep: Byte) extends UnaryExpression {
+  require(sep >= 0, "separator must be ASCII")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_split expects string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.splitByte(v.asInstanceOf[UTF8String], sep)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.splitByte($c, (byte) $sep);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharSplit =
     copy(child = newChild)
 }

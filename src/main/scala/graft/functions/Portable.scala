@@ -53,6 +53,13 @@ object Portable {
   /** MinHash permutation j applied to an already-mod-P hash column. */
   def perm(j: Int, h: Column): Column = (h * A(j) + B(j)) % P
 
+  /** Whitespace tokenization via the codegen'd [[CharSplit]] kernel —
+    * bit-identical to `split(c, " ")` / DuckDB `string_split(c, ' ')`
+    * (empties kept) without the per-row java.util.regex cost.
+    */
+  def spaceSplit(c: Column): Column =
+    Bridge.column(CharSplit(Bridge.expression(c), ' '.toByte))
+
   // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
 
   /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */

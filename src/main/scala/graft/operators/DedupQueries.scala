@@ -35,7 +35,7 @@ object DedupQueries {
     // shingle-based query (~0.4 ms/doc); values are bit-identical
     import org.apache.spark.sql.graft.Bridge
     val hashes = Bridge.column(graft.functions.ShingleHashes(
-      Bridge.expression(split(col("text"), " "))))
+      Bridge.expression(graft.functions.Portable.spaceSplit(col("text")))))
     Tables.documents(s, d)
       .select(col("doc_id"), explode(hashes).as("h60"))
       .select(col("doc_id"), (col("h60") % P).as("hp"))
@@ -256,7 +256,7 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val tok = Tables.documents(s, d)
-          .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+          .select($"doc_id", explode(array_distinct(graft.functions.Portable.spaceSplit($"text"))).as("tok"))
           .filter($"tok" =!= "")
           .select($"doc_id", hashP($"tok").as("hp"))
         val votes = (0 until SimhashBits).map(b =>

@@ -27,7 +27,7 @@ object PipelineQueries {
         val docs = Tables.documents(s, d)
         // 1. quality gate
         val quality = docs
-          .withColumn("t", split($"text", " "))
+          .withColumn("t", graft.functions.Portable.spaceSplit($"text"))
           .withColumn("n_tok", size($"t").cast("long"))
           .withColumn("n_uniq", size(array_distinct($"t")).cast("long"))
           .filter($"n_tok" >= 20 && $"n_uniq".cast("double") / $"n_tok" >= 0.25)

@@ -121,7 +121,7 @@ object RelationalQueries {
       (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
-          .select($"doc_id", explode(split($"text", " ")).as("t0"))
+          .select($"doc_id", explode(graft.functions.Portable.spaceSplit($"text")).as("t0"))
           .select(trim($"t0").as("token"))
           .filter($"token" =!= "")
           .groupBy($"token").agg(count(lit(1)).as("n"))

@@ -31,7 +31,7 @@ object SamplingQueries {
       (s, d) => {
         import s.implicits._
         val tok = Tables.documents(s, d)
-          .select($"lang", explode(split($"text", " ")).as("tok"))
+          .select($"lang", explode(spaceSplit($"text")).as("tok"))
           .filter($"tok" =!= "")
           .select($"lang", hashP($"tok").as("hp"))
           .distinct()
@@ -116,7 +116,7 @@ object SamplingQueries {
         val w = Window.partitionBy($"lang").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.documents(s, d)
-          .select($"doc_id", $"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+          .select($"doc_id", $"lang", size(spaceSplit($"text")).cast("long").as("n_tok"))
           .withColumn("cum", sum($"n_tok").over(w))
           // floor(), not a bare cast: `/` is double division in both
           // engines but DuckDB's CAST(x AS BIGINT) rounds while Spark's

@@ -36,9 +36,9 @@ object TextQueries {
         import s.implicits._
         Tables.documents(s, d)
           .select($"doc_id",
-            size(split($"text", " ")).cast("long").as("n_ws"),
+            size(Portable.spaceSplit($"text")).cast("long").as("n_ws"),
             size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast("long").as("n_word"),
-            size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"),
+            size(array_distinct(Portable.spaceSplit($"text"))).cast("long").as("n_distinct"),
             length($"text").cast("long").as("n_chars_m"))
           .orderBy($"doc_id")
       },
@@ -60,7 +60,7 @@ object TextQueries {
         import s.implicits._
         val stopArr = array(Stopwords.map(lit): _*)
         Tables.documents(s, d)
-          .select($"doc_id", $"lang", split($"text", " ").as("t"), length($"text").as("len"))
+          .select($"doc_id", $"lang", Portable.spaceSplit($"text").as("t"), length($"text").as("len"))
           .select($"doc_id", $"lang",
             size($"t").cast("long").as("n_tok"),
             size(array_distinct($"t")).cast("long").as("n_uniq"),
@@ -106,7 +106,7 @@ object TextQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val tok = docs.select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+        val tok = docs.select($"doc_id", $"lang", explode(Portable.spaceSplit($"text")).as("tok"))
           .filter($"tok" =!= "")
         // train: top-10 tokens per language (freq desc, token asc)
         val freq = tok.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
@@ -176,7 +176,7 @@ object TextQueries {
           .map { case (p, j) => s"WHEN $j THEN ${p}L" }
           .mkString("CASE CAST(pos % 8 AS INT) ", " ", " END")
         Tables.documents(s, d)
-          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+          .select($"doc_id", posexplode(Portable.spaceSplit($"text")).as(Seq("pos", "tok")))
           .filter($"tok" =!= "")
           .select($"doc_id",
             ((hashP($"tok") % Portable.FpMod) * expr(powExpr) % Portable.FpMod).as("term"))

