@@ -22,15 +22,53 @@ final case class CatalogQuery(
   */
 object Exact {
   private val D = DecimalType(15, 4)
+  import org.apache.spark.sql.graft.Bridge
+  import org.apache.spark.sql.catalyst.expressions.{MakeDecimal, UnscaledValue}
 
   /** Operand cast: double -> exact decimal(15,4). */
   def dec(c: Column): Column = c.cast(D)
 
-  /** Order-independent exact sum of a double column, returned as double. */
-  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** Unscaled view of a decimal column (value * 10^scale as long). */
+  private def unscaled(c: Column): Column =
+    Bridge.column(UnscaledValue(Bridge.expression(c)))
+
+  /** Exact decimal of an already-summed unscaled long at `scale`. */
+  private def rescale(c: Column, scale: Int): Column =
+    Bridge.column(MakeDecimal(Bridge.expression(c), 38, scale,
+      nullOnOverflow = false))
+
+  /** Order-independent exact sum of a double column, returned as double.
+    *
+    * Implemented as a LONG sum over the decimal's unscaled value + one
+    * MakeDecimal at the end — the same rewrite Spark's DecimalAggregates
+    * rule applies for precision <= 8, extended here to decimal(15,4):
+    * a decimal(25,4) accumulator leaves the compact-long representation
+    * and pays BigDecimal per row, which dominated every Exact-helper
+    * aggregate in profiles. Values are bit-identical (the final
+    * decimal -> double conversion is the single correctly-rounded step,
+    * matching DuckDB's CAST(sum(DECIMAL) AS DOUBLE)). Range: exact while
+    * a group's sum stays under 2^63 / 10^4 ~ 9.2e14 in value units —
+    * beyond any TPC-H scale's per-group sums; callers with wider groups
+    * should use [[dsumWide]].
+    */
+  def dsum(c: Column): Column = rescale(sum(unscaled(dec(c))), 4).cast(DoubleType)
+
+  /** The decimal-accumulator sum for value ranges beyond [[dsum]]'s. */
+  def dsumWide(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
   /** Exact average: decimal sum as double, IEEE-divided by count. */
-  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Exact sum of `price * (1 - discount)` (the TPC-H disc-price shape),
+    * computed entirely in unscaled longs: UnscaledValue(dec(p)) *
+    * (10^4 - UnscaledValue(dec(d))) is the scale-8 unscaled product, so
+    * per-row work is two long ops instead of a precision-32 BigDecimal
+    * multiply. Bit-identical to
+    * CAST(sum(dec(p) * (1 - dec(d))) AS DOUBLE) in both engines.
+    */
+  def dsumDiscPrice(p: Column, d: Column): Column =
+    rescale(sum(unscaled(dec(p)) * (lit(10000L) - unscaled(dec(d)))), 8)
+      .cast(DoubleType)
 
   /** DuckDB mirror of `dec`. */
   def decSql(e: String): String = s"CAST($e AS DECIMAL(15,4))"

@@ -29,7 +29,12 @@ object DedupQueries {
     * dedup shuffle then carries 8-byte keys instead of ~20-byte strings
     * (2.5x smaller exchanges; downstream only ever consumes the hash).
     */
-  private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc shingle hashes WITH duplicates (row-local only, no exchange)
+    * — enough for any consumer whose aggregate is duplicate-insensitive
+    * (MinHash's min); [[hashedShingles]] adds the distinct for set
+    * semantics.
+    */
+  private[operators] def hashedShinglesRaw(s: SparkSession, d: String): DataFrame = {
     // codegen'd ShingleHashes kernel, not transform+concat_ws: the
     // interpreted per-element lambda was the dominant cost of every
     // shingle-based query (~0.4 ms/doc); values are bit-identical
@@ -39,8 +44,10 @@ object DedupQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), explode(hashes).as("h60"))
       .select(col("doc_id"), (col("h60") % P).as("hp"))
-      .distinct()
   }
+
+  private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame =
+    hashedShinglesRaw(s, d).distinct()
 
   /** DuckDB mirror of [[hashedShingles]] as a WITH-clause body named `shh`. */
   private[operators] val shinglesSql: String =
@@ -54,7 +61,10 @@ object DedupQueries {
 
   /** 16-permutation MinHash signature per doc (one shuffle: min per doc). */
   private[operators] def signatures(s: SparkSession, d: String): DataFrame = {
-    val h = hashedShingles(s, d)
+    // raw (non-distinct) shingles: min() is duplicate-insensitive, so the
+    // set-dedup exchange would only re-shuffle the same rows the signature
+    // aggregate is about to shuffle anyway — one exchange, not two
+    val h = hashedShinglesRaw(s, d)
     val aggs = (0 until NumPerms).map(j => min(perm(j, col("hp"))).as(s"m$j"))
     h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -83,9 +93,12 @@ object DedupQueries {
     // an aggregate+join formulation would add two more exchanges of the
     // full bands frame at 100 TB
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
+    // no cache: both sides of the candidate self-join share this exact
+    // subplan, so ReuseExchange materializes the window's exchange once;
+    // a cache would pay the columnar write on top (measured slower, and
+    // cold-run pathological under memory pressure)
     bands.withColumn("nb", count(lit(1)).over(w))
       .filter(col("nb") <= BucketCap).drop("nb")
-      .cache()
   }
 
   /** DuckDB mirror of [[bandBuckets]]: WITH-clause body named `bands`,
@@ -211,7 +224,7 @@ object DedupQueries {
       "q20_dedup_minhash",
       (s, d) => {
         import s.implicits._
-        val sig = signatures(s, d).cache()
+        val sig = signatures(s, d)
         val bands = bandBuckets(sig)
         val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
           .filter($"x.doc_id" < $"y.doc_id")
@@ -305,7 +318,7 @@ object DedupQueries {
         // inverted-index self-join reuses the same (hp) exchange + sort
         val wH = org.apache.spark.sql.expressions.Window.partitionBy($"hp")
         val shf = shd.withColumn("df", count(lit(1)).over(wH))
-          .filter($"df" <= BucketCap).drop("df").cache()
+          .filter($"df" <= BucketCap).drop("df")
         val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
         val shared = shf.as("a").join(shf.as("b"), Seq("hp"))
           .filter($"a.doc_id" < $"b.doc_id")
@@ -417,7 +430,7 @@ object DedupQueries {
       "q48_dedup_clusters",
       (s, d) => {
         import s.implicits._
-        val sig = signatures(s, d).cache()
+        val sig = signatures(s, d)
         val bands = bandBuckets(sig)
         val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
           .filter($"x.doc_id" < $"y.doc_id")
@@ -463,7 +476,7 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val CorpusMax = 400L
-        val sig = signatures(s, d).cache()
+        val sig = signatures(s, d)
         val bands = bandBuckets(sig)
         val idx = bands.filter($"doc_id" < CorpusMax)
         val batch = bands.filter($"doc_id" >= CorpusMax)

@@ -39,7 +39,7 @@ object PipelineQueries {
           .filter($"doc_id" === $"canon")
           .drop("h", "canon")
         // 3. near-dup removal: LSH candidate pairs, drop the higher id
-        val sig = DedupQueries.signatures(s, d).cache()
+        val sig = DedupQueries.signatures(s, d)
         val bands = DedupQueries.bandBuckets(sig)
         val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
           .filter($"x.doc_id" < $"y.doc_id")

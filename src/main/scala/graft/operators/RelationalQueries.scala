@@ -35,8 +35,7 @@ object RelationalQueries {
           .agg(
             dsum($"l_quantity").as("sum_qty"),
             dsum($"l_extendedprice").as("sum_base_price"),
-            sum(dec($"l_extendedprice") * (lit(1).cast("decimal(15,4)") - dec($"l_discount")))
-              .cast("double").as("sum_disc_price"),
+            dsumDiscPrice($"l_extendedprice", $"l_discount").as("sum_disc_price"),
             davg($"l_quantity").as("avg_qty"),
             davg($"l_extendedprice").as("avg_price"),
             count(lit(1)).as("n_rows"))
@@ -252,8 +251,7 @@ object RelationalQueries {
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .groupBy($"n_name")
           .agg(
-            sum(dec($"l_extendedprice") * (lit(1).cast("decimal(15,4)") - dec($"l_discount")))
-              .cast("double").as("revenue"),
+            dsumDiscPrice($"l_extendedprice", $"l_discount").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy($"n_name")
       },

@@ -160,7 +160,6 @@ object SamplingQueries {
         val sh = DedupQueries.hashedShingles(s, d)
           .withColumn("df", count(lit(1)).over(Window.partitionBy($"hp")))
           .filter($"df" <= graft.functions.Portable.BucketCap).drop("df")
-          .cache()
         val test = sh.filter($"doc_id" % 97 === 0)
         val train = sh.filter($"doc_id" % 97 =!= 0)
         train.as("tr").join(test.as("te"), Seq("hp"))
