@@ -39,7 +39,10 @@ object Bench {
     // is the standard way to report achievable time under external noise.
     // Caches are cleared before EVERY run, so each timing is still a full
     // cold execution of the query.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // 3 cold runs by default: the shared host's noise phases regularly
+    // spike one run 3-10x, and with only two samples a spike spanning both
+    // records a phantom regression
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // a query whose best-of-N is still above this threshold gets ONE
     // extra attempt: a noise burst spanning both runs otherwise records a
     // 10x phantom (observed: identical sub-second queries at 14-16 s)

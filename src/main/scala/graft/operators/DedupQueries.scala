@@ -136,7 +136,13 @@ object DedupQueries {
       maxDriverEdges: Long = DriverCCMaxEdges): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    if (pairs.count() <= maxDriverEdges) {
+    // size probe and edge fetch in ONE job: collect at most max+1 rows —
+    // if the graph fits the driver bound we already hold its edges (no
+    // separate count() pass over the candidate join), and on a large
+    // graph the limit stops the collection at the bound
+    val probeLimit = (maxDriverEdges + 1).min(Int.MaxValue.toLong).toInt
+    val probe = pairs.limit(probeLimit).collect()
+    if (probe.length <= maxDriverEdges) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -145,7 +151,7 @@ object DedupQueries {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.collect().foreach { row =>
+      probe.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
@@ -154,6 +160,8 @@ object DedupQueries {
         .map(x => (x, find(x))).distinct
       s.createDataFrame(resolved).toDF("doc_id", "label")
     } else {
+      // only the distributed path re-reads the pair list across actions
+      pairs.cache()
       val nodes = pairs.select($"doc_a".as("doc_id"))
         .union(pairs.select($"doc_b".as("doc_id"))).distinct()
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
@@ -436,7 +444,6 @@ object DedupQueries {
           .filter($"x.doc_id" < $"y.doc_id")
           .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
           .distinct()
-          .cache()
         val labels = connectedComponents(pairs)
         val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "label")

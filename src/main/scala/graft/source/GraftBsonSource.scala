@@ -28,12 +28,14 @@ import scala.jdk.CollectionConverters._
   * (MongoInputFormat / splitters / MongoOutputCommitter) re-expressed on
   * the DSv2 interfaces; storage is the file-backed [[BsonCollection]].
   *
-  * Read options: `path`, `query` (option-level JSON, AND-composed with
-  * pushed filters like mongo.input.query), `splitter`
-  * (bytes|single|size|sample|paginating), `split_size`, `key`, `min_docs`,
-  * `filter_empty`. Write options: `mode` (insert|replace|update|upsert),
-  * `update_op` (set|inc|push|pushAll), `keys`, `multi`, `id_column`,
-  * `ensure_index`.
+  * Read options: `path` (file, directory tree, or glob), `query`
+  * (option-level JSON, AND-composed with pushed filters like
+  * mongo.input.query), `splitter` (bytes|single|size|sample|paginating),
+  * `split_size`, `key`, `min_docs`, `filter_empty`, `collections`
+  * (per-entry overrides of all of the above). Write options: `mode`
+  * (insert|replace|update|upsert), `update_op` (set|inc|push|pushAll),
+  * `keys`, `multi`, `id_column`, `ensure_index`, `shards` (sharded store
+  * layout; see [[graft.store.BsonCollection]]), `bulk_ordered`.
   */
 class GraftBsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftbson"
@@ -464,6 +466,14 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   * reference's skip-probe queries, which also walk matching docs server-side.
   * `bytesTouched` accounts all planning IO so tests can bound it.
   */
+object FileStats {
+  /** Planner-memory bound for the paginating splitter's sorted key set
+    * (~10M keys x ~16 B = a few hundred MB worst case). Beyond it the
+    * probe fails loudly with a pointer at the O(1)-memory splitters.
+    */
+  val MaxPlannerKeys: Int = 10 * 1000 * 1000
+}
+
 final class FileStats(path: String, key: String) extends Planners.CollectionStats {
   private val fileLen = Files.size(Paths.get(path))
   private val compressed = BsonFiles.isCompressed(path)
@@ -598,6 +608,15 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
       case Some((q, ks)) if q == query => ks
       case _ =>
         val ks = streamKeys(query).sorted(BsonOrdering)
+        // the reference's paginating probes run server-side on an index;
+        // here the sorted key set sits in planner memory. Fail LOUDLY at
+        // the documented bound instead of creeping toward a planner OOM —
+        // above it, size/sample splitters plan the same file in O(1).
+        if (ks.size > FileStats.MaxPlannerKeys)
+          throw new IllegalStateException(
+            s"paginating splitter needs ${ks.size} in-memory keys for $path " +
+              s"(bound ${FileStats.MaxPlannerKeys}); use splitter=size or " +
+              "splitter=sample for collections this large")
         sortedKeysCache = Some((query, ks))
         ks
     }
