@@ -40,6 +40,27 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+
+  /** Space-joined n-grams of a token array: ["a","b","c"], n=2 ->
+    * ["a b", "b c"]. One JVM call per row — the declarative spellings
+    * (posexplode self-join, transform over sequence) either shuffle or
+    * run an interpreted lambda per element.
+    */
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** hash60 of every 3-token shingle "t[i] t[i+1] t[i+2]" — identical to
     * mapping [[Md5Util.prefix60]] over concat_ws(' ', ...) triples.
     */
@@ -194,5 +215,36 @@ case class CharSplit(child: Expression, sep: Byte) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharSplit =
+    copy(child = newChild)
+}
+
+/** array<string> tokens -> array<string> of space-joined n-grams. */
+case class NGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngrams expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.ngrams(v.asInstanceOf[ArrayData], n)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.ngrams($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
     copy(child = newChild)
 }

@@ -13,7 +13,8 @@ object Catalog {
       ConnectorQueries.all ++
       FunctionQueries.all ++
       PipelineQueries.all ++
-      SamplingQueries.all
+      SamplingQueries.all ++
+      CorpusStatsQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators a training-data pipeline runs before a crawl
+  * snapshot is admitted: n-gram repetition rules (the Gopher-style
+  * "repetitious document" filters), dictionary-based term scrubbing (the
+  * same shape as PII / bad-word scrubbing: a term list joined against
+  * token occurrences), tf-idf keyword extraction, and a length-
+  * distribution audit.
+  *
+  * Cross-engine parity notes: tf-idf deliberately uses the rational
+  * `tf * N / df` (two IEEE ops, bit-identical everywhere) instead of
+  * `ln(N/df)` — libm `ln` differs between engines; the length histogram
+  * buckets by DIGIT COUNT (`length(CAST(x AS VARCHAR))`), exact in both
+  * engines, instead of `log`-based buckets.
+  */
+object CorpusStatsQueries {
+  import Portable._
+
+  /** Scrub dictionary (the PII/blocklist stand-in — the synthetic corpus
+    * has no emails/phones, so the list holds terms that actually occur).
+    */
+  private val ScrubTerms = Seq("key", "hash", "value")
+  private def scrubSqlList: String = ScrubTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // Repetition rules: fraction of all 2-grams taken by the most frequent
+    // one, and fraction of 3-grams that are duplicates — the two cheap
+    // signals that catch boilerplate/spam docs. Row-local token work plus
+    // one per-(doc, gram) aggregate; thresholds mirror the published
+    // Gopher-style cuts.
+    CatalogQuery(
+      "q52_quality_repetition",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        // 2-grams via the codegen'd NGrams kernel — row-local, one JVM
+        // call per doc (a posexplode self-join would shuffle; a
+        // transform-over-sequence lambda runs interpreted per element)
+        import org.apache.spark.sql.graft.Bridge
+        val grams = Bridge.column(graft.functions.NGrams(
+          Bridge.expression(spaceSplit($"text")), 2))
+        val bigrams = docs.select($"doc_id", explode(grams).as("g"))
+        val gramCounts = bigrams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        val byDoc = gramCounts.groupBy($"doc_id").agg(
+          max($"c").as("top_c"),
+          sum($"c").as("n_gram"),
+          count(lit(1)).as("n_distinct"))
+        byDoc
+          .select($"doc_id",
+            ($"top_c".cast("double") / $"n_gram").as("top_bigram_frac"),
+            (lit(1.0) - $"n_distinct".cast("double") / $"n_gram").as("dup_bigram_frac"))
+          .withColumn("repetitious",
+            $"top_bigram_frac" > 0.18 || $"dup_bigram_frac" > 0.6)
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, concat(t[i], ' ', t[i+1]) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |byDoc AS (
+        |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_gram,
+        |         count(*) AS n_distinct
+        |  FROM gc GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(top_c AS DOUBLE) / n_gram AS top_bigram_frac,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_gram AS dup_bigram_frac,
+        |  (CAST(top_c AS DOUBLE) / n_gram > 0.18)
+        |    OR (1.0 - CAST(n_distinct AS DOUBLE) / n_gram > 0.6) AS repetitious
+        |FROM byDoc ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Dictionary scrub: per-language counts of docs containing blocked
+    // terms and total hits — the term list is tiny (broadcast literal
+    // array), the scan is one row-local filter + one keyed aggregate.
+    CatalogQuery(
+      "q53_term_scrub",
+      (s, d) => {
+        import s.implicits._
+        val termArr = array(ScrubTerms.map(lit): _*)
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            size(filter(spaceSplit($"text"), x => array_contains(termArr, x)))
+              .cast("long").as("n_hits"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"n_hits" > 0, 1L).otherwise(0L)).as("n_flagged"),
+            sum($"n_hits").as("total_hits"),
+            max($"n_hits").as("max_hits"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+        |  max(n_hits) AS max_hits
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |                         x -> x IN $scrubSqlList)) AS BIGINT) AS n_hits
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang
+        |""".stripMargin)),
+
+    // tf-idf keywords: top-3 tokens per doc scored tf * N / df. The rank
+    // filter gets map-side WindowGroupLimit pruning; df and N are exact
+    // integers so the only floating-point is the one multiply + divide.
+    CatalogQuery(
+      "q54_tfidf_keywords",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tok = docs.select($"doc_id", explode(spaceSplit($"text")).as("tok"))
+          .filter($"tok" =!= "")
+        val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val wR = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+        tf.join(df, "tok")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            ($"tf".cast("double") * $"n_docs") / $"df")
+          .withColumn("rk", row_number().over(wR))
+          .filter($"rk" <= 3)
+          .select($"doc_id", $"rk".cast("long").as("rk"), $"tok",
+            $"tf".cast("long").as("tf"), $"df".cast("long").as("df"), $"score")
+          .orderBy($"doc_id", $"rk")
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    (CAST(tf AS DOUBLE) * n_docs) / df AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok,
+        |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, tok) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk
+        |""".stripMargin)),
+
+    // Length-distribution audit: per (lang, token-count digit bucket)
+    // counts and token totals. Digit count is exact in both engines —
+    // log-based buckets would inherit libm differences.
+    CatalogQuery(
+      "q55_length_audit",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang", size(spaceSplit($"text")).cast("long").as("n_tok"))
+          .withColumn("bucket", length($"n_tok".cast("string")).cast("long"))
+          .groupBy($"lang", $"bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_tok").as("total_tok"),
+            min($"n_tok").as("min_tok"),
+            max($"n_tok").as("max_tok"))
+          .orderBy($"lang", $"bucket")
+      },
+      Some("""
+        |SELECT lang,
+        |  CAST(length(CAST(n_tok AS VARCHAR)) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |  min(n_tok) AS min_tok,
+        |  max(n_tok) AS max_tok
+        |FROM (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |GROUP BY lang, bucket ORDER BY lang, bucket
+        |""".stripMargin))
+  )
+}
