@@ -83,6 +83,56 @@ object BsonFiles {
     }
   }
 
+  /** Every document-start offset of an uncompressed dump: the `.splits`
+    * side file when present (stride-sampled boundaries — exact starts,
+    * just not all of them), else ONE buffered sequential header skim
+    * (read 4-byte length, skip payload). O(file) sequential IO, never
+    * O(samples x docs) random walks.
+    */
+  def docOffsets(path: String): Vector[Long] = {
+    readSplitsFile(path) match {
+      case Some(offs) if offs.nonEmpty => offs
+      case _ =>
+        val len = Files.size(Paths.get(path))
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          Files.newInputStream(Paths.get(path)), 1 << 20))
+        val out = Vector.newBuilder[Long]
+        try {
+          var pos = 0L
+          while (pos + 4 <= len) {
+            out += pos
+            val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+            val dlen = (b0 & 0xff) | ((b1 & 0xff) << 8) | ((b2 & 0xff) << 16) | ((b3 & 0xff) << 24)
+            require(dlen >= MinDocSize && dlen <= MaxDocSize && pos + dlen <= len,
+              s"corrupt BSON doc header at $pos in $path (len=$dlen)")
+            in.skipNBytes(dlen - 4)
+            pos += dlen
+          }
+        } finally in.close()
+        out.result()
+    }
+  }
+
+  /** Decode the single document starting at a KNOWN boundary offset (no
+    * resync walk — callers must pass an offset from [[docOffsets]] /
+    * the side file).
+    */
+  def readDocAt(path: String, offset: Long): BDoc = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      raf.seek(offset)
+      val lenBuf = new Array[Byte](4)
+      raf.readFully(lenBuf)
+      val dlen = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(dlen >= MinDocSize && dlen <= MaxDocSize,
+        s"corrupt BSON doc header at $offset in $path (len=$dlen)")
+      val bytes = new Array[Byte](dlen)
+      raf.seek(offset)
+      raf.readFully(bytes)
+      BsonCodec.decode(bytes)
+    } finally raf.close()
+  }
+
   /** First document boundary at or after `target`: prefer the side file,
     * else scan-and-validate (the resync heuristic — a plausible int32
     * length, 0x00 terminator, and a plausible following header).

@@ -224,8 +224,10 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
+  // containsNull = false required: concatWs silently DROPS null parts, so
+  // a null-element input would yield grams with fewer than n tokens
   override def checkInputDataTypes() = child.dataType match {
-    case ArrayType(StringType, _) =>
+    case ArrayType(StringType, false) =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

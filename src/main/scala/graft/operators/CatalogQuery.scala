@@ -59,15 +59,18 @@ object Exact {
   /** Exact average: decimal sum as double, IEEE-divided by count. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** Exact sum of `price * (1 - discount)` (the TPC-H disc-price shape),
-    * computed entirely in unscaled longs: UnscaledValue(dec(p)) *
-    * (10^4 - UnscaledValue(dec(d))) is the scale-8 unscaled product, so
-    * per-row work is two long ops instead of a precision-32 BigDecimal
-    * multiply. Bit-identical to
-    * CAST(sum(dec(p) * (1 - dec(d))) AS DOUBLE) in both engines.
+  /** Exact sum of `price * (1 - discount)` (the TPC-H disc-price shape).
+    * The per-ROW product is two long ops — UnscaledValue(dec(p)) *
+    * (10^4 - UnscaledValue(dec(d))) is the scale-8 unscaled product,
+    * bounded by ~10^13 per row — instead of a precision-32 BigDecimal
+    * multiply; the SUM accumulates as decimal(38,8), because a long
+    * accumulator at scale 8 wraps silently once a group's sum passes
+    * 2^63/10^8 ~ 9.2e10 value units (TPC-H Q1 groups cross that around
+    * SF 3). Bit-identical to CAST(sum(dec(p) * (1 - dec(d))) AS DOUBLE)
+    * in both engines at any scale.
     */
   def dsumDiscPrice(p: Column, d: Column): Column =
-    rescale(sum(unscaled(dec(p)) * (lit(10000L) - unscaled(dec(d)))), 8)
+    sum(rescale(unscaled(dec(p)) * (lit(10000L) - unscaled(dec(d))), 8))
       .cast(DoubleType)
 
   /** DuckDB mirror of `dec`. */

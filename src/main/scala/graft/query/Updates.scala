@@ -63,7 +63,8 @@ object Updates {
             case d: BDoc if d.fields.keySet == Set("$each") =>
               d.get("$each") match {
                 case Some(BArray(items)) => items
-                case other => Vector(other.getOrElse(BNull))
+                case other => throw new IllegalArgumentException(
+                  s"$$addToSet $$each for $k must be an array, got $other")
               }
             case other => Vector(other)
           }

@@ -68,12 +68,27 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
           while (it.hasNext && k < want) { sample += it.next(); k += 1 }
         } finally it.close()
       } else {
-        val positions = (0 until want)
-          .map(k => BsonFiles.startingPosition(f, k.toLong * sz / want))
-          .distinct.filter(_ < sz)
-        positions.foreach { pos =>
-          val it = BsonFiles.readRange(f, pos, pos + 1)
-          try { if (it.hasNext) sample += it.next() } finally it.close()
+        // ONE boundary pass (side file or sequential header skim), then
+        // decodes at evenly spaced known offsets — never a random resync
+        // walk per sample (O(samples x docs) on files without a side file)
+        val offs = BsonFiles.docOffsets(f)
+        if (offs.size >= want) {
+          (0 until want)
+            .map(k => offs((k.toLong * offs.size / want).toInt.min(offs.size - 1)))
+            .distinct
+            .foreach(pos => sample += BsonFiles.readDocAt(f, pos))
+        } else if (offs.nonEmpty) {
+          // side-file boundaries are stride-sampled (not every doc): read a
+          // run of consecutive docs from each boundary to fill the budget —
+          // still uniform, still sequential
+          val per = math.max(1L, want.toLong / offs.size).toInt
+          offs.foreach { off =>
+            val it = BsonFiles.readRange(f, off, Long.MaxValue)
+            try {
+              var k = 0
+              while (it.hasNext && k < per) { sample += it.next(); k += 1 }
+            } finally it.close()
+          }
         }
       }
     }
@@ -144,13 +159,21 @@ object GraftBsonSource {
     if (path.exists(GlobChars.contains)) {
       val idx = path.indexWhere(GlobChars.contains)
       val slash = path.lastIndexOf('/', idx)
-      val base = if (slash <= 0) "." else path.substring(0, slash)
+      // base = deepest fixed prefix; the PATTERN is the remainder, matched
+      // against paths RELATIVIZED to the base — matching the full string
+      // would silently miss whenever base is "." (walked paths carry the
+      // "./" prefix) or the pattern is relative while the walk is not
+      val (base, pattern) =
+        if (slash < 0) (".", path)
+        else if (slash == 0) ("/", path.substring(1))
+        else (path.substring(0, slash), path.substring(slash + 1))
       val basePath = Paths.get(base)
       if (!Files.isDirectory(basePath)) Seq.empty
       else {
-        val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + path)
+        val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + pattern)
         // the glob itself decides the extension — no .bson filter on top
-        walkTree(basePath, _ => true).filter(f => matcher.matches(Paths.get(f)))
+        walkTree(basePath, _ => true)
+          .filter(f => matcher.matches(basePath.relativize(Paths.get(f))))
       }
     } else {
       val p = Paths.get(path)
@@ -780,15 +803,28 @@ final class GraftBatchWrite(writeSchema: StructType, queryId: String,
     }
     // the apply runs WHERE the data is big: as a Spark job, one task per
     // shard (each bounded by its shard's size). Outside an active session
-    // (unit-level callers) it degrades to a local loop.
-    val results: Seq[graft.store.BulkResult] =
-      org.apache.spark.sql.SparkSession.getActiveSession match {
-        case Some(s) if tasks.size > 1 =>
-          s.sparkContext.parallelize(tasks, tasks.size)
-            .map(graft.store.ShardApply.run).collect().toSeq
-        case _ => tasks.map(graft.store.ShardApply.run)
+    // (unit-level callers) it degrades to a local loop. Two-phase: every
+    // task STAGES its shard's new contents against the unchanged base
+    // (retry/speculation-safe — attempts never mutate live files and
+    // write attempt-unique stage names), then the driver promotes all
+    // stages with metadata-only renames only after every shard succeeded.
+    val jobTag = queryId.replaceAll("[^A-Za-z0-9_-]", "_")
+    val stagedResults: Seq[graft.store.ShardApply.Staged] =
+      try {
+        org.apache.spark.sql.SparkSession.getActiveSession match {
+          case Some(s) if tasks.size > 1 =>
+            s.sparkContext.parallelize(tasks, tasks.size)
+              .map(t => graft.store.ShardApply.runStaged(t, jobTag)).collect().toSeq
+          case _ => tasks.map(t => graft.store.ShardApply.runStaged(t, jobTag))
+        }
+      } catch {
+        case e: Throwable =>
+          graft.store.ShardApply.cleanupStages(path, jobTag)
+          GraftBatchWrite.deleteRecursively(jobDir)
+          throw e
       }
-    val result = results.foldLeft(graft.store.BulkResult.empty)(_ merge _)
+    val result = stagedResults.map(_.result)
+      .foldLeft(graft.store.BulkResult.empty)(_ merge _)
     if (result.errors.nonEmpty) {
       // mongo's unordered bulk attempts everything, then THROWS the
       // accumulated errors — a "successful" Spark write must not hide
@@ -798,10 +834,17 @@ final class GraftBatchWrite(writeSchema: StructType, queryId: String,
       if (options.get("ignore_write_errors").exists(_.toBoolean))
         System.err.println(s"[graftbson] $msg")
       else {
+        // nothing was promoted: the failed job leaves every shard exactly
+        // as it was
+        graft.store.ShardApply.cleanupStages(path, jobTag)
         GraftBatchWrite.deleteRecursively(jobDir)
         throw new IllegalStateException(msg)
       }
     }
+    // all shards staged successfully: promote (metadata-only renames in
+    // shard order), then sweep losing speculative attempts' stages
+    stagedResults.foreach(graft.store.ShardApply.promote)
+    graft.store.ShardApply.cleanupStages(path, jobTag)
     GraftBatchWrite.deleteRecursively(jobDir)
   }
 

@@ -128,10 +128,31 @@ final class BsonCollection(val dir: String) {
           case None => routed.foreach(_ += m)
         }
       }
-      (0 until s).map { k =>
-        ShardApply.applyModels(BsonCollection.shardPath(dir, s, k),
-          routed(k).result().iterator, ordered, k)
-      }.foldLeft(BulkResult.empty)(_ merge _)
+      // two-phase: stage EVERY shard's new contents against its unchanged
+      // base, promote only after all succeeded — an ordered abort (e.g. a
+      // duplicate key) in shard k must not leave shards 0..k-1 durably
+      // committed (the single-file path's all-or-nothing behavior)
+      val staged = Seq.newBuilder[ShardApply.Staged]
+      try {
+        (0 until s).foreach { k =>
+          val p = BsonCollection.shardPath(dir, s, k)
+          val st = p.resolveSibling(s".apply-bulk-$k-${p.getFileName}")
+          val res = ShardApply.applyToStage(p, st,
+            routed(k).result().iterator, ordered, k)
+          staged += ShardApply.Staged(k, p.toString, st.toString, res)
+        }
+      } catch {
+        case e: Throwable =>
+          staged.result().foreach { st =>
+            Files.deleteIfExists(Paths.get(st.stagedFile))
+            Files.deleteIfExists(Paths.get(st.stagedFile)
+              .resolveSibling("." + Paths.get(st.stagedFile).getFileName + ".splits"))
+          }
+          throw e
+      }
+      val all = staged.result()
+      all.foreach(ShardApply.promote)
+      all.map(_.result).foldLeft(BulkResult.empty)(_ merge _)
     }
   }
 }

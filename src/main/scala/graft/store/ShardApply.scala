@@ -104,12 +104,26 @@ final case class ShardTask(shardFile: String, shard: Int,
   */
 object ShardApply {
 
-  /** Run one shard's apply: merge the shard's routed segments with the
-    * broadcast segments partition-by-partition (interleaved by the
-    * per-model `__seq` written by the task writer, so routed and
-    * broadcast models from one partition replay in original order).
+  /** One shard's apply outcome: the bulk counters plus the staged (not
+    * yet promoted) result file — shipped back to the coordinator, which
+    * promotes every stage only after ALL shards succeeded.
     */
-  def run(t: ShardTask): BulkResult = {
+  final case class Staged(shard: Int, shardFile: String, stagedFile: String,
+      result: BulkResult) extends Serializable
+
+  /** Run one shard's apply TO A STAGE FILE: merge the shard's routed
+    * segments with the broadcast segments partition-by-partition
+    * (interleaved by the per-model `__seq` written by the task writer, so
+    * routed and broadcast models from one partition replay in original
+    * order) against the UNMODIFIED base shard, writing the new shard
+    * contents under an attempt-unique dot-prefixed name. Retry-safe by
+    * construction: a re-executed or speculative attempt reads the same
+    * base (nothing is promoted until every shard reports success) and
+    * writes its own stage file, so attempts never double-apply
+    * non-idempotent models or clobber each other — the coordinator
+    * promotes exactly the winning attempt's stage.
+    */
+  def runStaged(t: ShardTask, jobTag: String): Staged = {
     val routedByPid = t.routedSegs.groupBy(_._1)
     val bcastByPid = t.broadcastSegs.groupBy(_._1)
     val pids = (routedByPid.keySet ++ bcastByPid.keySet).toSeq.sorted
@@ -121,7 +135,49 @@ object ShardApply {
       mergeBySeq(r.buffered, b.buffered)
         .map { case (_, d) => WriteModels.fromDoc(d) }
     }
-    applyModels(Paths.get(t.shardFile), models, t.ordered, t.shard)
+    val shardPath = Paths.get(t.shardFile)
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"${tc.stageId()}-${tc.taskAttemptId()}")
+      .getOrElse("local")
+    val staged = shardPath.resolveSibling(
+      s".apply-$jobTag-$attempt-${shardPath.getFileName}")
+    val res = applyToStage(shardPath, staged, models, t.ordered, t.shard)
+    Staged(t.shard, t.shardFile, staged.toString, res)
+  }
+
+  /** Promote a staged shard file (and its .splits side file) over the
+    * live shard — metadata-only renames, run by the coordinator once
+    * every shard's apply has succeeded.
+    */
+  def promote(st: Staged): Unit = {
+    val staged = Paths.get(st.stagedFile)
+    val dataPath = Paths.get(st.shardFile)
+    val stagedSide = staged.resolveSibling("." + staged.getFileName + ".splits")
+    val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
+    Files.move(staged, dataPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(stagedSide))
+      Files.move(stagedSide, side, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete every stage file of a job (losing speculative attempts,
+    * failed applies) under the collection dir.
+    */
+  def cleanupStages(collectionDir: String, jobTag: String): Unit = {
+    val dir = Paths.get(collectionDir)
+    if (Files.isDirectory(dir)) {
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if (n.startsWith(s".apply-$jobTag-") ||
+              n.startsWith(s"..apply-$jobTag-")) // stage .splits side files
+            Files.deleteIfExists(f)
+        }
+      } finally stream.close()
+    }
   }
 
   private def readSeg(f: String): Iterator[(Long, BDoc)] =
@@ -148,12 +204,28 @@ object ShardApply {
     }
 
   /** Apply a bulk of write models in order against one shard file and
-    * commit atomically. `ordered = false` continues past per-model errors
-    * (duplicate keys) and reports them in the result — the reference's
-    * unordered-bulk semantics (MongoConfigUtil.isBulkOrdered:645-647).
+    * commit atomically (single-caller convenience: stage + promote).
+    * `ordered = false` continues past per-model errors (duplicate keys)
+    * and reports them in the result — the reference's unordered-bulk
+    * semantics (MongoConfigUtil.isBulkOrdered:645-647).
     */
   def applyModels(dataPath: Path, models: Iterator[WriteModel],
       ordered: Boolean, shardTag: Int = 0): BulkResult = {
+    val staged = dataPath.resolveSibling(
+      s".apply-local-${stageCounter.incrementAndGet()}-${dataPath.getFileName}")
+    val res = applyToStage(dataPath, staged, models, ordered, shardTag)
+    promote(Staged(shardTag, dataPath.toString, staged.toString, res))
+    res
+  }
+
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The core apply: read the base shard, fold the models, write the new
+    * contents to `staged` (plus its .splits side file) WITHOUT touching
+    * the base. On any thrown error the partial stage file is deleted.
+    */
+  def applyToStage(dataPath: Path, staged: Path, models: Iterator[WriteModel],
+      ordered: Boolean, shardTag: Int): BulkResult = try {
     Files.createDirectories(dataPath.getParent)
     // load current shard state: insertion-ordered, keyed by _id where present
     val byId = mutable.LinkedHashMap[BsonValue, BDoc]()
@@ -231,26 +303,28 @@ object ShardApply {
         }
     }
 
-    // atomic commit: write (data + .splits side file) under a temp name in
-    // the same directory, then rename both into place
-    val tmpName = dataPath.toString + ".commit-tmp"
-    BsonFiles.write(tmpName, allDocs)
-    val tmpPath = Paths.get(tmpName)
-    val tmpSide = tmpPath.resolveSibling("." + tmpPath.getFileName + ".splits")
-    val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
-    Files.move(tmpPath, dataPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(tmpSide))
-      Files.move(tmpSide, side, StandardCopyOption.REPLACE_EXISTING)
+    BsonFiles.write(staged.toString, allDocs)
     BulkResult(inserted, matched, modified, upserted, errors.result())
+  } catch {
+    case e: Throwable =>
+      Files.deleteIfExists(staged)
+      Files.deleteIfExists(staged.resolveSibling("." + staged.getFileName + ".splits"))
+      throw e
   }
 
   private val oidCounter = new java.util.concurrent.atomic.AtomicLong()
-  /** Generated upsert ids embed the shard index so concurrent per-shard
-    * applies can never collide.
+  // 5-byte per-process random, the published ObjectId layout's
+  // machine/process component: two JVMs generating upsert ids in the same
+  // second can never collide (the old shard-index-only discriminator
+  // collided across processes)
+  private val processRandom: Long =
+    new java.security.SecureRandom().nextLong() & 0xffffffffffL
+
+  /** Generated upsert ids follow the ObjectId layout: 4-byte seconds +
+    * 5-byte process random + 3-byte counter.
     */
   private def freshObjectId(shard: Int): String = {
-    val c = oidCounter.incrementAndGet()
-    f"${(System.currentTimeMillis() / 1000).toInt}%08x${shard & 0xffff}%04x$c%012x"
+    val c = oidCounter.incrementAndGet() & 0xffffffL
+    f"${(System.currentTimeMillis() / 1000).toInt}%08x$processRandom%010x$c%06x"
   }
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.catalyst.InternalRow
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Cluster-realism of the write path: task attempt files must live on the
   * SHARED collection path (never executor-local java.io.tmpdir), be
@@ -235,5 +236,59 @@ class WriteCommitSpec extends SparkSpec {
       .filter(_.get("grp").contains(BInt64(4L)))
       .map(_.get("v").get).toSeq
     assert(untouched.forall(_ === BInt64(0L)))
+  }
+
+  test("shard apply is staged: a retried attempt never double-applies $inc") {
+    import graft.store.{ShardApply, ShardTask, BsonCollection => BC}
+    val dir = freshDir()
+    val coll = new BsonCollection(dir)
+    coll.bulkWrite((1 to 10).iterator.map(i =>
+      coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(100L)))))
+    // a committed segment of $inc models
+    val jobDir = Paths.get(dir, ".graft-pending", "q-retry").toString
+    Files.createDirectories(Paths.get(jobDir))
+    val seg = s"$jobDir/seg-p0-t0-s00000.bson"
+    graft.files.BsonFiles.write(seg, (1 to 10).iterator.map(i => BDoc(
+      "__op" -> BString("update"),
+      "q" -> BDoc("_id" -> BInt32(i)),
+      "u" -> BDoc("$inc" -> BDoc("v" -> BInt64(1L))),
+      "upsert" -> BBool(false), "multi" -> BBool(false),
+      "__seq" -> BInt64(i.toLong))))
+    val task = ShardTask(coll.shardPath(0).toString, 0, Seq(0 -> seg), Nil, true)
+    // first attempt stages; a RETRY stages again from the SAME base
+    val st1 = ShardApply.runStaged(task, "jobA")
+    val st2 = ShardApply.runStaged(task, "jobA")
+    // only the winning attempt is promoted
+    ShardApply.promote(st2)
+    ShardApply.cleanupStages(dir, "jobA")
+    val m = coll.readAll().map(d => d.get("_id").get -> d.get("v").get).toMap
+    assert(m(BInt32(5)) === BInt64(101L),
+      "a re-executed apply attempt must not double-apply $inc")
+    assert(st1.result.matched === 10 && st2.result.matched === 10)
+    // no stage litter left behind
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.contains("apply-jobA")))
+  }
+
+  test("ordered sharded bulk is all-or-nothing: dup key aborts every shard") {
+    val dir = freshDir()
+    val coll = new BsonCollection(dir)
+    coll.create(4)
+    coll.bulkWrite((1 to 40).iterator.map(i =>
+      coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(0L)))))
+    val before = coll.readAll().toVector
+    // a bulk whose models route to MANY shards but which contains one
+    // duplicate-key insert: NOTHING may be durably committed
+    intercept[IllegalStateException] {
+      coll.bulkWrite(
+        (41 to 60).iterator.map(i =>
+          coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(1L)))) ++
+        Iterator(coll.InsertOne(BDoc("_id" -> BInt32(7), "v" -> BInt64(9L)))))
+    }
+    assert(coll.readAll().toVector === before,
+      "failed ordered bulk must leave every shard exactly as it was")
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.contains(".apply-")),
+      "failed bulk must not leave stage files behind")
   }
 }
