@@ -83,4 +83,82 @@ object GraftStreaming {
     trigger.foreach(t => w = w.trigger(t))
     w.start()
   }
+
+  /** Streaming EXACT-dedup ingest: drop every document whose content hash
+    * was already seen within the watermark horizon, then append the
+    * survivors to the collection — the streaming form of the batch
+    * exact-dedup operator (DedupQueries q19), with state bounded by the
+    * watermark instead of growing forever. The Spark-native shape:
+    * `withWatermark` + `dropDuplicatesWithinWatermark` keeps one state row
+    * per distinct hash inside the horizon, evicted automatically.
+    *
+    * @param hashInput column whose md5 defines document identity
+    * @param timestampColumn event-time column the watermark rides on
+    */
+  def startDedupIngest(
+      df: DataFrame,
+      path: String,
+      hashInput: String,
+      timestampColumn: String,
+      watermarkDelay: String = "10 minutes",
+      writerOptions: Map[String, String] = Map.empty,
+      checkpoint: Option[String] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, md5}
+    val deduped = df
+      .withColumn("content_hash", md5(col(hashInput)))
+      .withWatermark(timestampColumn, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+    startCollectionSink(deduped, path, writerOptions,
+      outputMode = "append", checkpoint = checkpoint, trigger = trigger)
+  }
+
+  /** A dedup event for [[startStatefulDedupIngest]]: `key` is the
+    * identity (content hash, URL, …), `payload` the document body.
+    */
+  final case class DedupEvent(key: String, payload: String)
+
+  /** First-seen/duplicate accounting per key. */
+  final case class DedupVerdict(key: String, payload: String,
+      isFirst: Boolean, nSeen: Long)
+
+  /** Streaming stateful dedup with DUPLICATE ACCOUNTING: unlike
+    * [[startDedupIngest]] (which silently drops repeats), every event is
+    * emitted with `isFirst` and the running per-key occurrence count —
+    * the shape a training-data pipeline needs to both keep the first copy
+    * and measure duplication rates at ingest. Custom state via
+    * `flatMapGroupsWithState` (one Long per key, ProcessingTime timeout
+    * evicts idle keys after `stateTtl`).
+    */
+  def statefulDedup(
+      events: org.apache.spark.sql.Dataset[DedupEvent],
+      stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[DedupVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ProcessingTimeTimeout only when a TTL is requested: the timeout
+    // machinery schedules extra no-data micro-batches to fire evictions,
+    // which a bounded-key stream doesn't need
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, DedupVerdict](
+        OutputMode.Append(), timeout) {
+        (key: String, rows: Iterator[DedupEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(0L)
+            val out = rows.map { e =>
+              seen += 1
+              DedupVerdict(key, e.payload, isFirst = seen == 1, nSeen = seen)
+            }.toVector
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
 }
