@@ -186,6 +186,102 @@ object CorpusStatsQueries {
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents)
         |GROUP BY lang, bucket ORDER BY lang, bucket
+        |""".stripMargin)),
+
+    // Per-source corpus health: how much of each ingestion source is
+    // exact-duplicate content, and how many languages it spans — the
+    // first report a crawl operator pulls when deciding which sources to
+    // keep. One hash aggregate + one broadcast-sized canon join.
+    CatalogQuery(
+      "q56_source_stats",
+      (s, d) => {
+        import s.implicits._
+        val h = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"lang", md5($"text").as("ch"))
+        val canon = h.groupBy($"ch").agg(min($"doc_id").as("canonical_id"))
+        h.join(canon, "ch")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"doc_id" =!= $"canonical_id", 1L).otherwise(0L)).as("n_dups"),
+            countDistinct($"lang").as("n_langs"))
+          .withColumn("dup_rate", $"n_dups".cast("double") / $"n_docs")
+          .select($"source", $"n_docs", $"n_dups", $"n_langs", $"dup_rate")
+          .orderBy($"source")
+      },
+      Some("""
+        |WITH h AS (
+        |  SELECT doc_id, source, lang, md5(text) AS ch FROM documents),
+        |canon AS (SELECT ch, min(doc_id) AS canonical_id FROM h GROUP BY ch)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_rate
+        |FROM h JOIN canon USING (ch)
+        |GROUP BY source ORDER BY source
+        |""".stripMargin)),
+
+    // Embedding-space label audit: distance of every vector to its
+    // label's QUANTIZED centroid (floor(sum/count) per dimension), all in
+    // exact 64-bit integers — d2 = |q|^2 - 2 q.m + |m|^2 over quantized
+    // values, so the audit is bit-identical in the oracle and safe at any
+    // scale (per-dim differences stay ~Scale-sized regardless of corpus
+    // size, unlike exact-rational centroid math whose numerators grow
+    // with count^2). Centroids are label-count sized -> broadcast.
+    CatalogQuery(
+      "q57_centroid_audit",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Embeddings
+        val q = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", Embeddings.quant("embedding").as("q"))
+        val sums = q.select($"label", posexplode($"q").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos").agg(sum($"v").as("s"))
+        val counts = q.groupBy($"label").agg(count(lit(1)).as("cnt"))
+        val cent = sums.join(counts, "label")
+          .withColumn("m", floor($"s".cast("double") / $"cnt").cast("long"))
+          .groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+            x => x.getField("m")).as("m"))
+        val joined = q.join(broadcast(cent), "label")
+          .withColumn("d2",
+            Embeddings.norm2("q") - lit(2L) * Embeddings.dot("q", "m")
+              + Embeddings.norm2("m"))
+        joined.groupBy($"label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            min($"d2").as("min_d2"),
+            max($"d2").as("max_d2"),
+            (sum($"d2").cast("double") / count(lit(1))).as("avg_d2"))
+          .select($"label".cast("long").as("label"), $"n_vecs",
+            $"min_d2", $"max_d2", $"avg_d2")
+          .orderBy($"label")
+      },
+      Some(s"""
+        |WITH q AS (
+        |  SELECT vec_id, label, ${graft.functions.Embeddings.quantSql("embedding")} AS q
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS s
+        |  FROM q, (SELECT unnest(range(1, ${graft.functions.Embeddings.Dims + 1})) AS i)
+        |  GROUP BY label, i),
+        |counts AS (SELECT label, count(*) AS cnt FROM q GROUP BY label),
+        |cent AS (
+        |  SELECT label,
+        |    list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS m
+        |  FROM sums JOIN counts USING (label) GROUP BY label),
+        |d AS (
+        |  SELECT q.label,
+        |    ${graft.functions.Embeddings.norm2Sql("q")}
+        |      - 2 * ${graft.functions.Embeddings.dotSql("q", "m")}
+        |      + ${graft.functions.Embeddings.norm2Sql("m")} AS d2
+        |  FROM q JOIN cent ON q.label = cent.label)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        |  min(d2) AS min_d2, max(d2) AS max_d2,
+        |  CAST(CAST(sum(d2) AS BIGINT) AS DOUBLE) / count(*) AS avg_d2
+        |FROM d GROUP BY label ORDER BY label
         |""".stripMargin))
   )
 }
