@@ -366,10 +366,32 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     options: Map[String, String], limit: Option[Int] = None,
     mapping: Map[String, String] = Map.empty,
     offset: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Report the per-partition cursor sort (`sort` option) to Catalyst so
+    * a downstream `sortWithinPartitions` on the same key is elided —
+    * SupportsReportOrdering's contract is exactly the reference's
+    * per-split cursor.sort guarantee (order within a partition, not
+    * global). Only reported when the sort key survives projection under
+    * its SPARK column name (column_mapping may rename it) — the reader
+    * sorts ascending with BSON null-first semantics, Spark's ASC
+    * NULLS_FIRST.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    options.get("sort") match {
+      case Some(docKey) =>
+        val sparkCol = mapping.find(_._2 == docKey).map(_._1).getOrElse(docKey)
+        if (requiredSchema.fieldNames.contains(sparkCol))
+          Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(sparkCol),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        else Array.empty
+      case None => Array.empty
+    }
 
   override def description(): String =
     s"GraftScan PushedQuery: $query, ReadSchema: ${requiredSchema.simpleString}"

@@ -155,4 +155,22 @@ class GridFsAndExtrasSpec extends SparkSpec {
     assert(byPart.forall(part => part.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1))),
       "a partition emitted out-of-order rows")
   }
+
+  test("reported per-partition ordering elides a redundant sortWithinPartitions") {
+    val dir = freshDir()
+    BsonFiles.write(s"$dir/data.bson",
+      Seq(5, 1, 9, 3).map(i => BDoc("_id" -> BInt32(i))).iterator)
+    val sorted = spark.read.format("graftbson").option("sort", "_id").load(dir)
+      .sortWithinPartitions("_id")
+    sorted.collect()
+    val planSorted = sorted.queryExecution.executedPlan.toString
+    assert(!planSorted.contains("Sort ["),
+      s"reported ordering should elide the sortWithinPartitions, plan: $planSorted")
+    // without the option, the sort must stay
+    val unsorted = spark.read.format("graftbson").load(dir)
+      .sortWithinPartitions("_id")
+    unsorted.collect()
+    assert(unsorted.queryExecution.executedPlan.toString.contains("Sort ["),
+      "without a reported ordering the sort must remain")
+  }
 }
