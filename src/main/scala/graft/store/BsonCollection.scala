@@ -136,18 +136,14 @@ final class BsonCollection(val dir: String) {
       try {
         (0 until s).foreach { k =>
           val p = BsonCollection.shardPath(dir, s, k)
-          val st = p.resolveSibling(s".apply-bulk-$k-${p.getFileName}")
+          val st = ShardApply.newStagePath(p)
           val res = ShardApply.applyToStage(p, st,
             routed(k).result().iterator, ordered, k)
           staged += ShardApply.Staged(k, p.toString, st.toString, res)
         }
       } catch {
         case e: Throwable =>
-          staged.result().foreach { st =>
-            Files.deleteIfExists(Paths.get(st.stagedFile))
-            Files.deleteIfExists(Paths.get(st.stagedFile)
-              .resolveSibling("." + Paths.get(st.stagedFile).getFileName + ".splits"))
-          }
+          staged.result().foreach(st => ShardApply.discardStage(Paths.get(st.stagedFile)))
           throw e
       }
       val all = staged.result()

@@ -211,14 +211,26 @@ object ShardApply {
     */
   def applyModels(dataPath: Path, models: Iterator[WriteModel],
       ordered: Boolean, shardTag: Int = 0): BulkResult = {
-    val staged = dataPath.resolveSibling(
-      s".apply-local-${stageCounter.incrementAndGet()}-${dataPath.getFileName}")
+    val staged = newStagePath(dataPath)
     val res = applyToStage(dataPath, staged, models, ordered, shardTag)
     promote(Staged(shardTag, dataPath.toString, staged.toString, res))
     res
   }
 
   private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** A process-unique stage-file name next to `dataPath` (counter-based,
+    * so concurrent local applies on the same shard never clobber).
+    */
+  def newStagePath(dataPath: Path): Path =
+    dataPath.resolveSibling(
+      s".apply-local-${stageCounter.incrementAndGet()}-${dataPath.getFileName}")
+
+  /** Delete a stage file and its .splits side file. */
+  def discardStage(staged: Path): Unit = {
+    Files.deleteIfExists(staged)
+    Files.deleteIfExists(staged.resolveSibling("." + staged.getFileName + ".splits"))
+  }
 
   /** The core apply: read the base shard, fold the models, write the new
     * contents to `staged` (plus its .splits side file) WITHOUT touching
@@ -307,8 +319,7 @@ object ShardApply {
     BulkResult(inserted, matched, modified, upserted, errors.result())
   } catch {
     case e: Throwable =>
-      Files.deleteIfExists(staged)
-      Files.deleteIfExists(staged.resolveSibling("." + staged.getFileName + ".splits"))
+      discardStage(staged)
       throw e
   }
 
