@@ -61,6 +61,33 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+
+  /** 16-permutation MinHash signature of an h60 shingle-hash array, in
+    * one row-local JVM call: hp = h60 mod P, sig[j] = min over shingles
+    * of (hp * A(j) + B(j)) mod P — identical values to the batch
+    * groupBy-min formulation (DedupQueries.signatures), computable
+    * row-locally because a whole document's shingles arrive in one row.
+    * Empty input (doc under 3 tokens) yields null (no signature).
+    */
+  def minhashSig(arr: ArrayData): ArrayData = {
+    import graft.functions.{Portable => Pf}
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(Pf.NumPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = arr.getLong(i) % Pf.P
+      var j = 0
+      while (j < Pf.NumPerms) {
+        val v = (hp * Pf.A(j) + Pf.B(j)) % Pf.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** hash60 of every 3-token shingle "t[i] t[i+1] t[i+2]" — identical to
     * mapping [[Md5Util.prefix60]] over concat_ws(' ', ...) triples.
     */
@@ -248,5 +275,40 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
+/** array<bigint> h60 shingle hashes -> array<bigint> MinHash signature
+  * (null for shingle-less docs).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, false) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<bigint> (no nulls), got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.minhashSig(v.asInstanceOf[ArrayData])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $k.minhashSig($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }

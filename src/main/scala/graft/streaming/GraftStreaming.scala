@@ -14,6 +14,35 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object GraftStreaming {
 
+  /** Write one micro-batch through the collection writer, exactly once
+    * per (query, batch): Structured Streaming re-runs a failed batch with
+    * the SAME batchId, so a non-idempotent sink would double-apply
+    * `$inc`/insert models on recovery. The last committed batchId per
+    * query is recorded in a marker file next to the collection (shared
+    * storage, written atomically AFTER the batch's own commit) and
+    * replayed batches are skipped — the standard foreachBatch
+    * exactly-once recipe, kept outside user code.
+    */
+  private[streaming] def writeBatchIdempotent(
+      batch: DataFrame, path: String, writerOptions: Map[String, String],
+      queryKey: String, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val marker = Paths.get(path, s"_streaming-commit-$queryKey")
+    val last: Long =
+      if (Files.exists(marker))
+        try Files.readString(marker).trim.toLong catch { case _: NumberFormatException => -1L }
+      else -1L
+    if (batchId <= last) return // replayed batch: already durably applied
+    var bw = batch.write.format("graftbson").mode("append")
+    writerOptions.foreach { case (k, v) => bw = bw.option(k, v) }
+    bw.save(path)
+    val tmp = marker.resolveSibling(s"._tmp-${marker.getFileName}")
+    Files.createDirectories(marker.getParent)
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, marker, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Start a streaming write of `df` into the collection at `path`.
     *
     * @param writerOptions options for the batch writer (mode, update_op,
@@ -26,12 +55,15 @@ object GraftStreaming {
       outputMode: String = "update",
       checkpoint: Option[String] = None,
       trigger: Option[Trigger] = None): StreamingQuery = {
+    // one marker per logical sink query: checkpoint identifies the query
+    // across restarts; fall back to a name-less constant for ad-hoc runs
+    val queryKey = checkpoint.map(c =>
+      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(c) & 0xffffffffL))
+      .getOrElse("default")
     var w: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
       .outputMode(outputMode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        var bw = batch.write.format("graftbson").mode("append")
-        writerOptions.foreach { case (k, v) => bw = bw.option(k, v) }
-        bw.save(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, path, writerOptions, queryKey, batchId)
       }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     trigger.foreach(t => w = w.trigger(t))
@@ -159,6 +191,71 @@ object GraftStreaming {
             stateTtl.foreach(state.setTimeoutDuration)
             out.iterator
           }
+      }
+  }
+
+  /** A streaming document for near-dup detection. */
+  final case class NearDupDoc(docId: Long, text: String)
+
+  /** An emitted near-dup candidate: two docs sharing an LSH band bucket
+    * (same semantics as the batch q20 candidate generator, incremental).
+    */
+  final case class NearDupCandidate(docA: Long, docB: Long, band: Int)
+
+  /** Streaming MinHash+LSH near-dup candidate generation: each incoming
+    * doc's 16-permutation signature is computed ROW-LOCALLY (one whole
+    * doc per row — the codegen'd MinHashSig kernel, same values as the
+    * batch groupBy-min), its 4 band-bucket hashes are keyed into
+    * flatMapGroupsWithState, and a new arrival emits a candidate pair
+    * against every doc already resident in its bucket. State per bucket
+    * is the resident doc-id list, CAPPED at [[Portable.BucketCap]]
+    * exactly like the batch df-cap — a degenerate bucket stops emitting
+    * (and stops growing) instead of going quadratic. The incremental
+    * form of DedupQueries q20/q49.
+    */
+  def streamingNearDupCandidates(
+      docs: org.apache.spark.sql.Dataset[NearDupDoc])
+      : org.apache.spark.sql.Dataset[NearDupCandidate] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{Portable, ShingleHashes, MinHashSig}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = Bridge.column(MinHashSig(Bridge.expression(
+      Bridge.column(ShingleHashes(Bridge.expression(
+        Portable.spaceSplit(col("text"))))))))
+    val bands = docs.toDF()
+      .withColumn("sig", sig)
+      .filter(col("sig").isNotNull)
+      .select(col("docId"), explode(array((0 until Portable.NumBands).map { b =>
+        val cols = (b * Portable.BandSize until (b + 1) * Portable.BandSize)
+          .map(j => col("sig").getItem(j).cast("string"))
+        struct(lit(b).as("band"), Portable.hash60(concat_ws(",", cols: _*)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("docId"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .as[(Long, Int, Long)]
+    bands.groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[Seq[Long], NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+            state: GroupState[Seq[Long]]) =>
+          var resident = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupCandidate]
+          rows.foreach { case (docId, band, _) =>
+            if (!resident.contains(docId)) {
+              if (resident.size < Portable.BucketCap) {
+                resident.foreach { other =>
+                  val (a, b) = if (other < docId) (other, docId) else (docId, other)
+                  out += NearDupCandidate(a, b, band)
+                }
+                resident = resident :+ docId
+              }
+              // at the cap: degenerate bucket — emit nothing, grow nothing
+            }
+          }
+          state.update(resident)
+          out.result().iterator
       }
   }
 }

@@ -71,4 +71,79 @@ class StreamingDedupSpec extends SparkSpec {
       "state must carry the per-key count across micro-batches")
     assert(rows.filter(_.key == "h2").map(_.isFirst) === Seq(true))
   }
+
+  test("sink is idempotent under micro-batch replay (same batchId skipped)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val batch = Seq((1L, 10L), (2L, 20L)).toDF("_id", "v")
+    GraftStreaming.writeBatchIdempotent(batch, dir,
+      Map("mode" -> "upsert", "update_op" -> "inc", "keys" -> "_id"),
+      queryKey = "qk", batchId = 0L)
+    // a recovery replays batch 0: must be a no-op, not a second $inc
+    GraftStreaming.writeBatchIdempotent(batch, dir,
+      Map("mode" -> "upsert", "update_op" -> "inc", "keys" -> "_id"),
+      queryKey = "qk", batchId = 0L)
+    // the NEXT batch applies normally
+    GraftStreaming.writeBatchIdempotent(batch, dir,
+      Map("mode" -> "upsert", "update_op" -> "inc", "keys" -> "_id"),
+      queryKey = "qk", batchId = 1L)
+    val m = new BsonCollection(dir).readAll()
+      .map(d => d.get("_id").get -> d.get("v").get).toMap
+    assert(m(BInt64(1L)) === BInt64(20L),
+      s"replayed batch must not double-apply the increment, got $m")
+  }
+
+  test("streaming near-dup candidates: same-bucket docs pair across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[GraftStreaming.NearDupDoc]
+    val cands = GraftStreaming.streamingNearDupCandidates(input.toDS())
+    val q = cands.writeStream.format("memory")
+      .queryName("neardup_cands").outputMode(OutputMode.Append()).start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    input.addData(
+      GraftStreaming.NearDupDoc(1L, base),
+      GraftStreaming.NearDupDoc(2L, "totally different words entirely here now ok yes"))
+    q.processAllAvailable()
+    // an identical doc arrives in a LATER batch: must pair with doc 1
+    // (every band), not with doc 2
+    input.addData(GraftStreaming.NearDupDoc(3L, base))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("neardup_cands")
+      .as[GraftStreaming.NearDupCandidate].collect().toSeq
+    assert(rows.nonEmpty, "identical docs must collide in band buckets")
+    assert(rows.forall(c => c.docA == 1L && c.docB == 3L),
+      s"only the identical pair may be emitted, got $rows")
+    assert(rows.map(_.band).distinct.sorted ===
+      (0 until graft.functions.Portable.NumBands),
+      "identical docs collide in every band")
+    // a short doc (no 3-token shingles) produces no signature and no pairs
+    assert(!rows.exists(c => c.docA == 2L || c.docB == 2L))
+  }
+
+  test("row-local MinHashSig matches the batch groupBy-min signature") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{Portable, ShingleHashes, MinHashSig}
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "one two three four")).toDF("doc_id", "text")
+    val sigKernel = docs.withColumn("sig",
+      Bridge.column(MinHashSig(Bridge.expression(
+        Bridge.column(ShingleHashes(Bridge.expression(
+          Portable.spaceSplit(col("text")))))))))
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    // batch formulation: explode -> hp -> min per perm
+    val batch = docs
+      .select($"doc_id", explode(Bridge.column(ShingleHashes(Bridge.expression(
+        Portable.spaceSplit(col("text")))))).as("h60"))
+      .select($"doc_id", ($"h60" % Portable.P).as("hp"))
+      .groupBy($"doc_id")
+      .agg(array((0 until Portable.NumPerms).map(j =>
+        min(Portable.perm(j, col("hp")))): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigKernel === batch)
+  }
 }
