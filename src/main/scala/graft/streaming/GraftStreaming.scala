@@ -55,11 +55,14 @@ object GraftStreaming {
       outputMode: String = "update",
       checkpoint: Option[String] = None,
       trigger: Option[Trigger] = None): StreamingQuery = {
-    // one marker per logical sink query: checkpoint identifies the query
-    // across restarts; fall back to a name-less constant for ad-hoc runs
+    // one marker per logical sink query: the checkpoint path identifies
+    // the query across restarts. Without a checkpoint there IS no
+    // cross-restart replay, so a fresh key per start() suffices — a
+    // shared constant would let two ad-hoc queries on the same
+    // collection skip each other's batch ids
     val queryKey = checkpoint.map(c =>
       java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(c) & 0xffffffffL))
-      .getOrElse("default")
+      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
     var w: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
