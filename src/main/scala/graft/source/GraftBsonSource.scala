@@ -383,14 +383,22 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     options.get("sort") match {
-      case Some(docKey) =>
-        val sparkCol = mapping.find(_._2 == docKey).map(_._1).getOrElse(docKey)
-        if (requiredSchema.fieldNames.contains(sparkCol))
-          Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-            org.apache.spark.sql.connector.expressions.Expressions.column(sparkCol),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-        else Array.empty
-      case None => Array.empty
+      // multi-collection entries may override sort per entry — a single
+      // scan-level ordering claim would be wrong for those partitions
+      case Some(docKey) if !options.contains("collections") =>
+        // the Spark column that READS doc field docKey: an explicit
+        // mapping entry wins; the bare name is only valid when that
+        // column is not itself remapped to a different doc field
+        val sparkCol = mapping.find(_._2 == docKey).map(_._1)
+          .orElse(if (mapping.contains(docKey)) None else Some(docKey))
+        sparkCol match {
+          case Some(c) if requiredSchema.fieldNames.contains(c) =>
+            Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          case _ => Array.empty
+        }
+      case _ => Array.empty
     }
 
   override def description(): String =

@@ -14,20 +14,25 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object GraftStreaming {
 
-  /** Write one micro-batch through the collection writer, exactly once
+  /** Write one micro-batch through the collection writer at most once
     * per (query, batch): Structured Streaming re-runs a failed batch with
     * the SAME batchId, so a non-idempotent sink would double-apply
-    * `$inc`/insert models on recovery. The last committed batchId per
-    * query is recorded in a marker file next to the collection (shared
-    * storage, written atomically AFTER the batch's own commit) and
-    * replayed batches are skipped — the standard foreachBatch
-    * exactly-once recipe, kept outside user code.
+    * `$inc`/insert models on every recovery. The last committed batchId
+    * is recorded in a marker file (written atomically AFTER the batch's
+    * own commit) and replayed batches are skipped — the standard
+    * foreachBatch idempotence recipe, kept outside user code. The
+    * marker lives in `markerDir` — the CHECKPOINT directory when the
+    * query has one, so wiping the checkpoint to reprocess also resets
+    * the marker. Honest limits: a crash in the narrow window between
+    * the batch's commit and the marker write replays that one batch
+    * (at-least-once for that window; true exactly-once would need the
+    * data commit and marker to be one atomic operation).
     */
   private[streaming] def writeBatchIdempotent(
       batch: DataFrame, path: String, writerOptions: Map[String, String],
-      queryKey: String, batchId: Long): Unit = {
+      markerDir: String, queryKey: String, batchId: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val marker = Paths.get(path, s"_streaming-commit-$queryKey")
+    val marker = Paths.get(markerDir, s"_streaming-commit-$queryKey")
     val last: Long =
       if (Files.exists(marker))
         try Files.readString(marker).trim.toLong catch { case _: NumberFormatException => -1L }
@@ -55,18 +60,18 @@ object GraftStreaming {
       outputMode: String = "update",
       checkpoint: Option[String] = None,
       trigger: Option[Trigger] = None): StreamingQuery = {
-    // one marker per logical sink query: the checkpoint path identifies
-    // the query across restarts. Without a checkpoint there IS no
-    // cross-restart replay, so a fresh key per start() suffices — a
-    // shared constant would let two ad-hoc queries on the same
-    // collection skip each other's batch ids
-    val queryKey = checkpoint.map(c =>
-      java.lang.Long.toHexString(scala.util.hashing.MurmurHash3.stringHash(c) & 0xffffffffL))
-      .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+    // the marker lives inside the checkpoint dir (the thing that defines
+    // "the same query across restarts" — wiping it to reprocess wipes the
+    // marker too). Without a checkpoint there is no cross-restart replay,
+    // so a per-start key in the collection dir suffices
+    val markerDir = checkpoint.getOrElse(path)
+    val queryKey =
+      if (checkpoint.isDefined) "sink"
+      else java.util.UUID.randomUUID().toString.take(8)
     var w: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatchIdempotent(batch, path, writerOptions, queryKey, batchId)
+        writeBatchIdempotent(batch, path, writerOptions, markerDir, queryKey, batchId)
       }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     trigger.foreach(t => w = w.trigger(t))
@@ -92,9 +97,13 @@ object GraftStreaming {
       checkpoint: Option[String] = None,
       trigger: Option[Trigger] = None): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, date_format}
+    val bucketMarkerDir = checkpoint.getOrElse(basePath)
+    val bucketQueryKey =
+      if (checkpoint.isDefined) "sink"
+      else java.util.UUID.randomUUID().toString.take(8)
     var w: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
       .outputMode(outputMode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.{coalesce, lit}
         // null timestamps route to a dead-letter bucket instead of NPE-ing
         // the query (or writing to a literal "null" path); persist because
@@ -107,10 +116,16 @@ object GraftStreaming {
           val buckets = bucketed.select("__bucket").distinct()
             .collect().map(_.getString(0)).sorted
           buckets.foreach { b =>
-            var bw = bucketed.filter(col("__bucket") === b).drop("__bucket")
-              .write.format("graftbson").mode("append")
-            writerOptions.foreach { case (k, v) => bw = bw.option(k, v) }
-            bw.save(s"$basePath/$b")
+            // per-(bucket, batch) idempotence — one marker PER BUCKET: a
+            // replayed batch resumes at the first bucket whose commit
+            // didn't finish instead of re-appending completed ones (a
+            // shared marker would skip the batch's remaining buckets as
+            // soon as its first bucket committed)
+            val safe = b.replaceAll("[^A-Za-z0-9_-]", "_")
+            writeBatchIdempotent(
+              bucketed.filter(col("__bucket") === b).drop("__bucket"),
+              s"$basePath/$b", writerOptions, bucketMarkerDir,
+              s"bucket-$bucketQueryKey-$safe", batchId)
           }
         } finally bucketed.unpersist()
       }
@@ -140,10 +155,14 @@ object GraftStreaming {
       checkpoint: Option[String] = None,
       trigger: Option[Trigger] = None): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, md5}
+    // internal working column, dropped before the sink — it must neither
+    // pollute the persisted schema nor clobber a user column
+    val hashCol = "__graft_dedup_hash"
     val deduped = df
-      .withColumn("content_hash", md5(col(hashInput)))
+      .withColumn(hashCol, md5(col(hashInput)))
       .withWatermark(timestampColumn, watermarkDelay)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark(hashCol)
+      .drop(hashCol)
     startCollectionSink(deduped, path, writerOptions,
       outputMode = "append", checkpoint = checkpoint, trigger = trigger)
   }
@@ -211,13 +230,20 @@ object GraftStreaming {
     * batch groupBy-min), its 4 band-bucket hashes are keyed into
     * flatMapGroupsWithState, and a new arrival emits a candidate pair
     * against every doc already resident in its bucket. State per bucket
-    * is the resident doc-id list, CAPPED at [[Portable.BucketCap]]
-    * exactly like the batch df-cap — a degenerate bucket stops emitting
-    * (and stops growing) instead of going quadratic. The incremental
-    * form of DedupQueries q20/q49.
+    * is the resident doc-id list, CAPPED at [[Portable.BucketCap]] so a
+    * degenerate bucket stops emitting (and stops growing) instead of
+    * going quadratic. NOTE the cap semantics differ from the batch
+    * df-cap by necessity: batch EXCLUDES an over-cap bucket entirely,
+    * while a stream cannot retract pairs already emitted — the first
+    * BucketCap residents' pairs stand and later arrivals are dropped
+    * (prefix-bounded). `stateTtl` evicts idle buckets (processing-time
+    * timeout); without it state grows with the number of DISTINCT
+    * buckets, which is unbounded on an open-ended stream. The
+    * incremental form of DedupQueries q20/q49.
     */
   def streamingNearDupCandidates(
-      docs: org.apache.spark.sql.Dataset[NearDupDoc])
+      docs: org.apache.spark.sql.Dataset[NearDupDoc],
+      stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[NearDupCandidate] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -238,27 +264,36 @@ object GraftStreaming {
       }: _*)).as("bb"))
       .select(col("docId"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .as[(Long, Int, Long)]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bands.groupByKey { case (_, band, bh) => (band, bh) }
       .flatMapGroupsWithState[Seq[Long], NearDupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeout) {
         (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
             state: GroupState[Seq[Long]]) =>
-          var resident = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearDupCandidate]
-          rows.foreach { case (docId, band, _) =>
-            if (!resident.contains(docId)) {
-              if (resident.size < Portable.BucketCap) {
-                resident.foreach { other =>
-                  val (a, b) = if (other < docId) (other, docId) else (docId, other)
-                  out += NearDupCandidate(a, b, band)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var resident = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupCandidate]
+            rows.foreach { case (docId, band, _) =>
+              if (!resident.contains(docId)) {
+                if (resident.size < Portable.BucketCap) {
+                  resident.foreach { other =>
+                    val (a, b) = if (other < docId) (other, docId) else (docId, other)
+                    out += NearDupCandidate(a, b, band)
+                  }
+                  resident = resident :+ docId
                 }
-                resident = resident :+ docId
+                // at the cap: degenerate bucket — emit nothing, grow nothing
               }
-              // at the cap: degenerate bucket — emit nothing, grow nothing
             }
+            state.update(resident)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(resident)
-          out.result().iterator
       }
   }
 }

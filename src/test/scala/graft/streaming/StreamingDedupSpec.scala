@@ -76,21 +76,28 @@ class StreamingDedupSpec extends SparkSpec {
     import spark.implicits._
     val dir = freshDir()
     val batch = Seq((1L, 10L), (2L, 20L)).toDF("_id", "v")
+    val ckpt = freshDir()
     GraftStreaming.writeBatchIdempotent(batch, dir,
       Map("mode" -> "upsert", "update_op" -> "inc", "keys" -> "_id"),
-      queryKey = "qk", batchId = 0L)
+      markerDir = ckpt, queryKey = "qk", batchId = 0L)
     // a recovery replays batch 0: must be a no-op, not a second $inc
     GraftStreaming.writeBatchIdempotent(batch, dir,
       Map("mode" -> "upsert", "update_op" -> "inc", "keys" -> "_id"),
-      queryKey = "qk", batchId = 0L)
+      markerDir = ckpt, queryKey = "qk", batchId = 0L)
     // the NEXT batch applies normally
     GraftStreaming.writeBatchIdempotent(batch, dir,
       Map("mode" -> "upsert", "update_op" -> "inc", "keys" -> "_id"),
-      queryKey = "qk", batchId = 1L)
+      markerDir = ckpt, queryKey = "qk", batchId = 1L)
+    // wiping the "checkpoint" resets the marker: batch 0 applies again
+    // (the reprocess-from-scratch ops flow)
+    val ckpt2 = freshDir()
+    GraftStreaming.writeBatchIdempotent(batch, dir,
+      Map("mode" -> "upsert", "update_op" -> "inc", "keys" -> "_id"),
+      markerDir = ckpt2, queryKey = "qk", batchId = 0L)
     val m = new BsonCollection(dir).readAll()
       .map(d => d.get("_id").get -> d.get("v").get).toMap
-    assert(m(BInt64(1L)) === BInt64(20L),
-      s"replayed batch must not double-apply the increment, got $m")
+    assert(m(BInt64(1L)) === BInt64(30L),
+      s"two committed batches + one post-reset batch = 3 increments, got $m")
   }
 
   test("streaming near-dup candidates: same-bucket docs pair across batches") {
