@@ -57,7 +57,10 @@ object Bench {
       .foreach { case (name, fn) =>
       var best = Double.MaxValue
       var i = 0
-      val maxRuns = () => if (best > retryAboveSec) runs + 1 else runs
+      // up to TWO extra attempts while the best is still above the noise
+      // threshold: a single retry was observed to lose to host-noise
+      // bursts spanning all runs (a 0.2 s query recorded at 4 s)
+      val maxRuns = () => if (best > retryAboveSec) runs + 2 else runs
       while (i < maxRuns() && !errors.contains(name)) {
         // drop caches left by the previous run so storage-memory churn
         // from one operator never distorts another's timing
