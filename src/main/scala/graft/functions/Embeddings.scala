@@ -62,6 +62,15 @@ object Embeddings {
     */
   def dot(a: String, b: String): Column = dotExpr(expr(a), expr(b))
 
+  /** Dot with a literal quantized vector (e.g. a collected centroid) —
+    * the literal array is embedded in the plan so the product stays
+    * row-local inside whole-stage codegen.
+    */
+  def dotLit(q: String, v: Seq[Long]): Column = {
+    val lits = v.map(x => s"CAST($x AS BIGINT)").mkString("array(", ", ", ")")
+    dotExpr(expr(q), expr(lits))
+  }
+
   /** Dot with hyperplane p (literal ±1 array; stays inside codegen). */
   def planeDot(q: String, p: Int): Column = {
     val lits = planeCoef(p).map(c => s"CAST($c AS BIGINT)").mkString("array(", ", ", ")")
