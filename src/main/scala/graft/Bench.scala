@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // experiment knob: AQE's per-stage re-optimization adds fixed
+      // latency per exchange, measurable at bench scale
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

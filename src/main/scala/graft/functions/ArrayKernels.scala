@@ -88,6 +88,31 @@ object ArrayKernels {
     new GenericArrayData(mins)
   }
 
+  /** Distinct values of (x mod p), sorted ascending — the row-local form
+    * of `SELECT DISTINCT doc_id, hp` when a whole document's shingle
+    * hashes arrive in one array: dedup within the doc IS the global
+    * distinct (doc_id is unique per row), so the set-semantics exchange
+    * disappears from every inverted-index consumer. The dedup must run
+    * AFTER the mod (two distinct h60 values can collide mod p — the
+    * oracle distincts on the modded value).
+    */
+  def distinctModP(arr: ArrayData, p: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val vs = new Array[Long](n)
+    var i = 0
+    while (i < n) { vs(i) = arr.getLong(i) % p; i += 1 }
+    java.util.Arrays.sort(vs)
+    var m = 1
+    i = 1
+    while (i < n) {
+      if (vs(i) != vs(i - 1)) { vs(m) = vs(i); m += 1 }
+      i += 1
+    }
+    if (m == n) new GenericArrayData(vs)
+    else new GenericArrayData(java.util.Arrays.copyOf(vs, m))
+  }
+
   /** hash60 of every 3-token shingle "t[i] t[i+1] t[i+2]" — identical to
     * mapping [[Md5Util.prefix60]] over concat_ws(' ', ...) triples.
     */
@@ -281,6 +306,38 @@ case class NGrams(child: Expression, n: Int) extends UnaryExpression {
 /** array<bigint> h60 shingle hashes -> array<bigint> MinHash signature
   * (null for shingle-less docs).
   */
+/** array<bigint> -> sorted distinct array of (x mod p) — see
+  * [[ArrayKernels.distinctModP]].
+  */
+case class DistinctModP(child: Expression, p: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, false) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"distinct_mod_p expects array<bigint> (no nulls), got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.distinctModP(v.asInstanceOf[ArrayData], p)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.distinctModP($c, ${p}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctModP =
+    copy(child = newChild)
+}
+
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Embeddings, Portable}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -29,25 +29,20 @@ object DedupQueries {
     * dedup shuffle then carries 8-byte keys instead of ~20-byte strings
     * (2.5x smaller exchanges; downstream only ever consumes the hash).
     */
-  /** Per-doc shingle hashes WITH duplicates (row-local only, no exchange)
-    * — enough for any consumer whose aggregate is duplicate-insensitive
-    * (MinHash's min); [[hashedShingles]] adds the distinct for set
-    * semantics.
+  /** Distinct per-doc shingle hashes, entirely row-local: the codegen'd
+    * ShingleHashes kernel emits the doc's h60 array and [[graft.functions.DistinctModP]]
+    * dedups the modded values INSIDE the row — since doc_id is unique per
+    * input row, per-doc dedup IS `SELECT DISTINCT doc_id, hp`, so set
+    * semantics cost zero exchanges (the old formulation shuffled the full
+    * shingle frame through a global distinct).
     */
-  private[operators] def hashedShinglesRaw(s: SparkSession, d: String): DataFrame = {
-    // codegen'd ShingleHashes kernel, not transform+concat_ws: the
-    // interpreted per-element lambda was the dominant cost of every
-    // shingle-based query (~0.4 ms/doc); values are bit-identical
+  private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val hashes = Bridge.column(graft.functions.ShingleHashes(
-      Bridge.expression(graft.functions.Portable.spaceSplit(col("text")))))
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(hashes).as("h60"))
-      .select(col("doc_id"), (col("h60") % P).as("hp"))
+    val hps = Bridge.column(graft.functions.DistinctModP(
+      Bridge.expression(Bridge.column(graft.functions.ShingleHashes(
+        Bridge.expression(graft.functions.Portable.spaceSplit(col("text")))))), P))
+    Tables.documents(s, d).select(col("doc_id"), explode(hps).as("hp"))
   }
-
-  private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame =
-    hashedShinglesRaw(s, d).distinct()
 
   /** DuckDB mirror of [[hashedShingles]] as a WITH-clause body named `shh`. */
   private[operators] val shinglesSql: String =
@@ -59,15 +54,25 @@ object DedupQueries {
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
       |shh AS (SELECT DISTINCT doc_id, ${hashPSql("sh")} AS hp FROM sh0)""".stripMargin
 
-  /** 16-permutation MinHash signature per doc (one shuffle: min per doc). */
-  private[operators] def signatures(s: SparkSession, d: String): DataFrame = {
-    // raw (non-distinct) shingles: min() is duplicate-insensitive, so the
-    // set-dedup exchange would only re-shuffle the same rows the signature
-    // aggregate is about to shuffle anyway — one exchange, not two
-    val h = hashedShinglesRaw(s, d)
-    val aggs = (0 until NumPerms).map(j => min(perm(j, col("hp"))).as(s"m$j"))
-    h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** (doc_id, sig) with the 16-permutation MinHash signature as an array,
+    * computed entirely row-local by the codegen'd [[graft.functions.MinHashSig]]
+    * kernel (a whole document's shingles arrive in one row, so the
+    * per-permutation min folds inside the row — ZERO exchanges, where the
+    * old explode+groupBy formulation shuffled the full shingle frame).
+    * Docs with < 3 tokens have no shingles and are dropped, exactly like
+    * the groupBy formulation; values are verified identical by
+    * StreamingDedupSpec.
+    */
+  private[operators] def sigRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val sig = Bridge.column(graft.functions.MinHashSig(
+      Bridge.expression(Bridge.column(graft.functions.ShingleHashes(
+        Bridge.expression(graft.functions.Portable.spaceSplit(col("text"))))))))
+    df.select(col("doc_id"), sig.as("sig")).filter(col("sig").isNotNull)
   }
+
+  private[operators] def sigRows(s: SparkSession, d: String): DataFrame =
+    sigRows(Tables.documents(s, d))
 
   private[operators] val signaturesSql: String = {
     val mins = (0 until NumPerms)
@@ -76,29 +81,70 @@ object DedupQueries {
        |sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id)""".stripMargin
   }
 
-  /** LSH band buckets from a MinHash signature frame: (doc_id, band, bh)
-    * where bh is the 60-bit hash of the band's 4 signature values. Hot
-    * buckets (> [[Portable.BucketCap]] docs — degenerate near-constant
-    * content) are dropped so the candidate self-join can never go quadratic
-    * on one key at 100 TB. Mirrored exactly by [[bandsSql]].
+  /** Near-dup candidate pairs with their signature-agreement estimate:
+    * distinct (doc_a, doc_b, est_sim) from banded-LSH bucket collisions
+    * over a [[sigRows]] frame.
+    *
+    * Scale shape — the packed inverted index: band rows (4 per doc, all
+    * row-local from the in-row signature) are aggregated ONCE per
+    * (band, bh) into `struct(count, collect_list(doc_id, sig))`; the cap
+    * decision rides the count in the SAME aggregate, and candidate pairs
+    * + est_sim are then generated row-locally by a bounded double-explode
+    * (≤ BucketCap² rows per bucket, inside whole-stage codegen). Total
+    * exchanges: the index groupBy and the final pair distinct — where the
+    * window-cap + self-join + two signature join-backs this replaces cost
+    * a full sort+shuffle of the band frame plus two corpus-sized signature
+    * shuffles. Kept buckets carry ≤ BucketCap packed entries; hot buckets
+    * (degenerate content) accumulate before the filter drops them, but the
+    * object-aggregate falls back to sort-and-spill rather than OOM — the
+    * same disk profile the old full-frame window sort always paid, now
+    * only on hot keys.
+    *
+    * `pairCond` picks the pair orientation (a < b for self-dedup; a
+    * corpus/batch split predicate for incremental ingest); `minEst`
+    * filters on agreement BEFORE the distinct so the exchange only
+    * carries surviving pairs. Results are identical to the oracle's
+    * window-cap + self-join + join-back formulation ([[bandsSql]]).
     */
-  private[operators] def bandBuckets(sig: DataFrame): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
-      val cols = (0 until BandSize).map(r => col(s"m${b * BandSize + r}").cast("string"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        hash60(concat_ws(",", cols: _*)).as("bh"))
-    }.reduce(_ unionByName _)
-    // cap via a window count over (band, bh): ONE exchange that the
-    // candidate self-join then reuses (same keys, already sorted) —
-    // an aggregate+join formulation would add two more exchanges of the
-    // full bands frame at 100 TB
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
-    // no cache: both sides of the candidate self-join share this exact
-    // subplan, so ReuseExchange materializes the window's exchange once;
-    // a cache would pay the columnar write on top (measured slower, and
-    // cold-run pathological under memory pressure)
-    bands.withColumn("nb", count(lit(1)).over(w))
-      .filter(col("nb") <= BucketCap).drop("nb")
+  private[operators] def lshPairs(sr: DataFrame, minEst: Option[Double],
+      pairCond: (Column, Column) => Column = _ < _): DataFrame = {
+    val s = sr.sparkSession
+    // keep the packed index in the hash aggregate (the default 128-key
+    // fallback would sort nearly every partition)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 21).toString)
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until BandSize)
+        .map(r => element_at(col("sig"), b * BandSize + r + 1).cast("string"))
+      hash60(concat_ws(",", parts: _*))
+    }
+    val bands = sr.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val inv = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("nb"),
+        collect_list(struct(col("doc_id").as("i"), col("sig").as("g"))).as("ds"))
+      .filter(col("nb") <= BucketCap)
+    val est = (0 until NumPerms)
+      .map(j => when(element_at(col("a.g"), j + 1) === element_at(col("b.g"), j + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _).cast("double") / NumPerms.toDouble
+    val pairs = inv.select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(pairCond(col("a.i"), col("b.i")))
+      .select(col("a.i").as("doc_a"), col("b.i").as("doc_b"), est.as("est_sim"))
+    minEst.fold(pairs)(m => pairs.filter(col("est_sim") >= m)).distinct()
+  }
+
+  /** Capped (hp → packed doc list) shingle inverted index: (hp, df, ds).
+    * Same packed-index shape as [[lshPairs]] — one exchange builds it,
+    * consumers explode row-locally.
+    */
+  private[operators] def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 21).toString)
+    hashedShingles(s, d).groupBy(col("hp"))
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ds"))
+      .filter(col("df") <= BucketCap)
   }
 
   /** DuckDB mirror of [[bandBuckets]]: WITH-clause body named `bands`,
@@ -232,22 +278,7 @@ object DedupQueries {
       "q20_dedup_minhash",
       (s, d) => {
         import s.implicits._
-        val sig = signatures(s, d)
-        val bands = bandBuckets(sig)
-        val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
-          .filter($"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-          .distinct()
-        val sa = sig.toDF("doc_id" +: (0 until NumPerms).map(j => s"a$j"): _*)
-        val sb = sig.toDF("doc_id" +: (0 until NumPerms).map(j => s"b$j"): _*)
-        val nEq = (0 until NumPerms)
-          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand
-          .join(sa, cand("doc_a") === sa("doc_id")).drop(sa("doc_id"))
-          .join(sb, cand("doc_b") === sb("doc_id")).drop(sb("doc_id"))
-          .withColumn("est_sim", nEq.cast("double") / NumPerms.toDouble)
-          .filter($"est_sim" >= 0.5)
+        lshPairs(sigRows(s, d), Some(0.5))
           .select($"doc_a", $"doc_b", $"est_sim")
           .orderBy($"doc_a", $"doc_b")
       },
@@ -321,16 +352,18 @@ object DedupQueries {
       "q22_dedup_ngram",
       (s, d) => {
         import s.implicits._
-        val shd = hashedShingles(s, d)
-        // stop-shingle cap (df <= BucketCap) as a window count: the
-        // inverted-index self-join reuses the same (hp) exchange + sort
-        val wH = org.apache.spark.sql.expressions.Window.partitionBy($"hp")
-        val shf = shd.withColumn("df", count(lit(1)).over(wH))
-          .filter($"df" <= BucketCap).drop("df")
-        val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-        val shared = shf.as("a").join(shf.as("b"), Seq("hp"))
-          .filter($"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        // packed inverted index: ONE exchange builds (hp -> doc list)
+        // with the df cap riding the same aggregate; per-doc sizes and
+        // shared counts are then generated by row-local explodes (the
+        // window-cap + SMJ self-join this replaces re-sorted the full
+        // shingle frame twice)
+        val inv = shingleIndex(s, d)
+        val sizes = inv.select(explode($"ds").as("doc_id"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val shared = inv.select(explode($"ds").as("da"), $"ds")
+          .select($"da", explode($"ds").as("db"))
+          .filter($"da" < $"db")
+          .groupBy($"da".as("doc_a"), $"db".as("doc_b"))
           .agg(count(lit(1)).as("shared"))
         shared
           .join(sizes.toDF("doc_a", "na"), "doc_a")
@@ -438,12 +471,7 @@ object DedupQueries {
       "q48_dedup_clusters",
       (s, d) => {
         import s.implicits._
-        val sig = signatures(s, d)
-        val bands = bandBuckets(sig)
-        val pairs = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
-          .filter($"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-          .distinct()
+        val pairs = lshPairs(sigRows(s, d), None).select($"doc_a", $"doc_b")
         val labels = connectedComponents(pairs)
         val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
         labels.join(sizes, "label")
@@ -483,22 +511,11 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val CorpusMax = 400L
-        val sig = signatures(s, d)
-        val bands = bandBuckets(sig)
-        val idx = bands.filter($"doc_id" < CorpusMax)
-        val batch = bands.filter($"doc_id" >= CorpusMax)
-        val cand = idx.as("x").join(batch.as("y"), Seq("band", "bh"))
-          .select($"x.doc_id".as("corpus_id"), $"y.doc_id".as("new_id"))
-          .distinct()
-        val sa = sig.toDF("corpus_id" +: (0 until NumPerms).map(j => s"a$j"): _*)
-        val sb = sig.toDF("new_id" +: (0 until NumPerms).map(j => s"b$j"): _*)
-        val nEq = (0 until NumPerms)
-          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand.join(sa, "corpus_id").join(sb, "new_id")
-          .withColumn("est_sim", nEq.cast("double") / NumPerms.toDouble)
-          .filter($"est_sim" >= 0.5)
-          .select($"new_id", $"corpus_id", $"est_sim")
+        // same packed index; the pair condition orients (corpus, batch)
+        // instead of (low, high) — only cross pairs are generated
+        lshPairs(sigRows(s, d), Some(0.5),
+            (a, b) => a < CorpusMax && b >= CorpusMax)
+          .select($"doc_b".as("new_id"), $"doc_a".as("corpus_id"), $"est_sim")
           .orderBy($"new_id", $"corpus_id")
       },
       Some {

@@ -38,22 +38,10 @@ object PipelineQueries {
             org.apache.spark.sql.expressions.Window.partitionBy($"h")))
           .filter($"doc_id" === $"canon")
           .drop("h", "canon")
-        // 3. near-dup removal: LSH candidate pairs, drop the higher id
-        val sig = DedupQueries.signatures(s, d)
-        val bands = DedupQueries.bandBuckets(sig)
-        val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
-          .filter($"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-          .distinct()
-        val sa = sig.toDF("doc_id" +: (0 until NumPerms).map(j => s"a$j"): _*)
-        val sb = sig.toDF("doc_id" +: (0 until NumPerms).map(j => s"b$j"): _*)
-        val nEq = (0 until NumPerms)
-          .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0))
-          .reduce(_ + _)
-        val dupIds = cand
-          .join(sa, cand("doc_a") === sa("doc_id")).drop(sa("doc_id"))
-          .join(sb, cand("doc_b") === sb("doc_id")).drop(sb("doc_id"))
-          .filter(nEq.cast("double") / NumPerms.toDouble >= 0.5)
+        // 3. near-dup removal: LSH candidate pairs from the packed band
+        // index (row-local signatures + est_sim — see DedupQueries.lshPairs),
+        // drop the higher id
+        val dupIds = DedupQueries.lshPairs(DedupQueries.sigRows(s, d), Some(0.5))
           .select($"doc_b".as("doc_id")).distinct()
         val clean = exact.join(dupIds, Seq("doc_id"), "left_anti")
         // 4. surviving-corpus stats

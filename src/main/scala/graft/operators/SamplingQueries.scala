@@ -157,14 +157,16 @@ object SamplingQueries {
       "q51_decontaminate",
       (s, d) => {
         import s.implicits._
-        val sh = DedupQueries.hashedShingles(s, d)
-          .withColumn("df", count(lit(1)).over(Window.partitionBy($"hp")))
-          .filter($"df" <= graft.functions.Portable.BucketCap).drop("df")
-        val test = sh.filter($"doc_id" % 97 === 0)
-        val train = sh.filter($"doc_id" % 97 =!= 0)
-        train.as("tr").join(test.as("te"), Seq("hp"))
-          .groupBy($"tr.doc_id".as("doc_id"))
-          .agg(countDistinct($"te.doc_id").as("n_test_docs"),
+        // packed inverted index (one exchange, df cap in the aggregate);
+        // (train, test) co-occurrences generated by a row-local bounded
+        // double-explode instead of re-sorting the shingle frame for a
+        // window cap + SMJ self-join
+        val inv = DedupQueries.shingleIndex(s, d)
+        inv.select(explode($"ds").as("tr"), $"ds")
+          .select($"tr", explode($"ds").as("te"))
+          .filter($"tr" % 97 =!= 0 && $"te" % 97 === 0)
+          .groupBy($"tr".as("doc_id"))
+          .agg(countDistinct($"te").as("n_test_docs"),
             count(lit(1)).as("n_shared_shingles"))
           .orderBy($"doc_id")
       },

@@ -65,6 +65,35 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(got === Seq(100L, -2500L))
   }
 
+  test("DistinctModP equals explode + mod + global distinct") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the quick brown fox"),
+      (2L, "a b c a b c a b c"),     // repeated shingles -> must dedup
+      (3L, "one two"),               // no shingles -> empty array
+      (4L, "x y z")).toDF("doc_id", "text")
+    val sh = Bridge.column(ShingleHashes(
+      Bridge.expression(split($"text", " "))))
+    val kernel = docs
+      .select($"doc_id", explode(Bridge.column(DistinctModP(
+        Bridge.expression(sh), Portable.P))).as("hp"))
+    val legacy = docs
+      .select($"doc_id", explode(sh).as("h60"))
+      .select($"doc_id", ($"h60" % Portable.P).as("hp"))
+      .distinct()
+    assert(kernel.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      legacy.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("DistinctModP dedups values that collide only after the mod") {
+    import spark.implicits._
+    val p = 7L
+    val df = Seq(Array(3L, 10L, 17L, 5L)).toDF("v") // 3,10,17 ≡ 3 (mod 7)
+    val got = df.select(Bridge.column(DistinctModP(
+      Bridge.expression($"v"), p)).as("d")).head.getSeq[Long](0)
+    assert(got === Seq(3L, 5L))
+  }
+
   test("CharSplit is bit-identical to regex split(str, \" \") incl. empties/unicode") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{split => resplit, col}

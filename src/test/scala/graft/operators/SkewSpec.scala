@@ -25,20 +25,9 @@ class SkewSpec extends SparkSpec {
     df.createOrReplaceTempView("skew_docs")
 
     // replicate q20's candidate generation over this frame
-    val hashes = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.ShingleHashes(
-        org.apache.spark.sql.graft.Bridge.expression(split($"text", " "))))
-    val shingles = df.select($"doc_id", explode(hashes).as("h60"))
-      .select($"doc_id", ($"h60" % Portable.P).as("hp")).distinct()
-    val aggs = (0 until Portable.NumPerms)
-      .map(j => min(Portable.perm(j, col("hp"))).as(s"m$j"))
-    val sig = shingles.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-
     val t0 = System.nanoTime()
-    val cand = DedupQueries.bandBuckets(sig)
-      .as("x").join(DedupQueries.bandBuckets(sig).as("y"), Seq("band", "bh"))
-      .filter($"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    val cand = DedupQueries.lshPairs(DedupQueries.sigRows(df), None)
+      .select($"doc_a", $"doc_b")
       .collect()
     val sec = (System.nanoTime() - t0) / 1e9
 
