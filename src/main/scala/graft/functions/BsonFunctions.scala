@@ -28,8 +28,20 @@ object BsonFunctions {
   def minKey: BsonValue = BMinKey
   def maxKey: BsonValue = BMaxKey
 
+  /** SQL registration routes through the SAME Column builders as the
+    * Scala API (expression-based, stays in codegen) — a Scala-UDF
+    * registration here would silently de-optimize `spark.sql` callers
+    * relative to the Column API.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("to_binary", (s: String) =>
-      if (s == null) null else s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Encode, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.StringType
+    Bridge.registerFunction(spark, "to_binary",
+      args => new Encode(Cast(args.head, StringType), Literal("UTF-8")))
+    Bridge.registerFunction(spark, "to_dbref",
+      args => CreateNamedStruct(Seq(
+        Literal("ref"), Cast(args(0), StringType),
+        Literal("id"), Cast(args(1), StringType))))
   }
 }

@@ -177,8 +177,12 @@ object GraftBsonSource {
       }
     } else {
       val p = Paths.get(path)
-      if (Files.isDirectory(p)) walkTree(p, isDataFile)
-      else if (Files.exists(p)) Seq(path)
+      if (Files.isDirectory(p)) {
+        // a scan over a collection dir must not read a torn promote a
+        // crashed writer left behind — roll it forward first
+        graft.store.ShardApply.recoverPromote(path)
+        walkTree(p, isDataFile)
+      } else if (Files.exists(p)) Seq(path)
       else Seq.empty
     }
   }
@@ -872,8 +876,9 @@ final class GraftBatchWrite(writeSchema: StructType, queryId: String,
       }
     }
     // all shards staged successfully: promote (metadata-only renames in
-    // shard order), then sweep losing speculative attempts' stages
-    stagedResults.foreach(graft.store.ShardApply.promote)
+    // shard order, manifest-guarded so a coordinator crash mid-loop rolls
+    // forward at next open), then sweep losing speculative attempts' stages
+    graft.store.ShardApply.promoteAll(path, stagedResults)
     graft.store.ShardApply.cleanupStages(path, jobTag)
     GraftBatchWrite.deleteRecursively(jobDir)
   }

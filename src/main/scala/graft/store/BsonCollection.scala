@@ -25,6 +25,10 @@ import java.nio.file.{Files, Path, Paths}
   * so routing is stable across jobs.
   */
 final class BsonCollection(val dir: String) {
+  // roll forward any promote a crashed coordinator left half-applied —
+  // one manifest stat on the happy path (see ShardApply.recoverPromote)
+  ShardApply.recoverPromote(dir)
+
   private def metaPath: Path = Paths.get(dir, BsonCollection.MetaFile)
 
   /** Declared shard count: meta file if present, else legacy single file. */
@@ -147,7 +151,7 @@ final class BsonCollection(val dir: String) {
           throw e
       }
       val all = staged.result()
-      all.foreach(ShardApply.promote)
+      ShardApply.promoteAll(dir, all)
       all.map(_.result).foldLeft(BulkResult.empty)(_ merge _)
     }
   }

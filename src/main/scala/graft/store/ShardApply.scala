@@ -160,6 +160,87 @@ object ShardApply {
       Files.move(stagedSide, side, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Crash-safe promote of a whole job: write the `_promote.json`
+    * manifest (atomic tmp+rename) BEFORE the first shard rename, run
+    * every rename, then remove the manifest. A coordinator crash
+    * anywhere inside the loop leaves the manifest on shared storage, and
+    * [[recoverPromote]] rolls the remaining renames forward at the next
+    * collection open — so a promote is all-or-nothing: either no shard
+    * was renamed and no manifest exists (pre-crash cleanup removes the
+    * stages), or every shard's rename is eventually applied.
+    */
+  def promoteAll(collectionDir: String, staged: Seq[Staged]): Unit = {
+    if (staged.isEmpty) return
+    val manifest = writeManifest(collectionDir, staged)
+    staged.foreach(promote)
+    Files.deleteIfExists(manifest)
+  }
+
+  private[graft] def writeManifest(collectionDir: String, staged: Seq[Staged]): Path = {
+    val dir = Paths.get(collectionDir)
+    val manifest = dir.resolve(PromoteManifest)
+    val tmp = dir.resolve("." + PromoteManifest + ".tmp")
+    val body = staged.map(st =>
+      s"""{"data":"${jesc(st.shardFile)}","stage":"${jesc(st.stagedFile)}"}""")
+      .mkString("[", ",\n ", "]")
+    Files.writeString(tmp, body)
+    try Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING)
+    }
+    manifest
+  }
+
+  /** Roll an interrupted promote forward. For each manifest entry: a
+    * still-existing stage file means its rename never ran — complete it;
+    * a missing stage file means that shard already promoted (the rename
+    * is atomic, there is no third state). A staged `.splits` side file
+    * surviving alone (crash between the data and side renames) is also
+    * moved into place. Idempotent, and safe under concurrent recovery: a
+    * lost race on any rename means another recoverer just promoted that
+    * shard. Returns true when a manifest was found and processed.
+    */
+  def recoverPromote(collectionDir: String): Boolean = {
+    val manifest = Paths.get(collectionDir).resolve(PromoteManifest)
+    if (!Files.exists(manifest)) return false
+    val body =
+      try Files.readString(manifest)
+      catch { case _: java.nio.file.NoSuchFileException => return false }
+    Entry.findAllMatchIn(body).foreach { m =>
+      val data = junesc(m.group(1))
+      val stage = junesc(m.group(2))
+      val st = Paths.get(stage)
+      if (Files.exists(st)) {
+        try promote(Staged(-1, data, stage, BulkResult.empty))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      } else {
+        // data rename done; a crash may still have orphaned the side file
+        val stagedSide = st.resolveSibling("." + st.getFileName + ".splits")
+        val dataPath = Paths.get(data)
+        val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
+        if (Files.exists(stagedSide))
+          try Files.move(stagedSide, side, StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
+    Files.deleteIfExists(manifest)
+    true
+  }
+
+  val PromoteManifest = "_promote.json"
+
+  private val Entry =
+    """\{"data":"((?:[^"\\]|\\.)*)","stage":"((?:[^"\\]|\\.)*)"\}""".r
+
+  private def jesc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  private def junesc(s: String): String =
+    """\\(.)""".r.replaceAllIn(s,
+      m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+
   /** Delete every stage file of a job (losing speculative attempts,
     * failed applies) under the collection dir.
     */

@@ -102,6 +102,24 @@ class GridFsAndExtrasSpec extends SparkSpec {
     assert(hits(2).contains(BInt32(3)))
   }
 
+  test("to_binary SQL registration is expression-based and matches the Column API") {
+    import spark.implicits._
+    BsonFunctions.register(spark)
+    val df = Seq(("hello", "coll", "42")).toDF("s", "ref", "id")
+    df.createOrReplaceTempView("tb_reg")
+    val viaSql = spark.sql(
+      "SELECT to_binary(s) AS b, to_dbref(ref, id) AS d FROM tb_reg")
+    val viaCol = df.select(
+      BsonFunctions.to_binary($"s").as("b"),
+      BsonFunctions.to_dbref($"ref", $"id").as("d"))
+    def render(rows: Seq[org.apache.spark.sql.Row]): Seq[(Seq[Byte], String)] =
+      rows.map(r => (r.getAs[Array[Byte]]("b").toSeq, r.getStruct(1).toString))
+    assert(render(viaSql.collect().toSeq) === render(viaCol.collect().toSeq))
+    // expression-based: no ScalaUDF node in the SQL path's plan
+    assert(!viaSql.queryExecution.executedPlan.toString.contains("UDF"),
+      "to_binary must not register as a Scala UDF")
+  }
+
   test("to_binary and to_dbref column functions") {
     import spark.implicits._
     val df = Seq(("abc", "users", "42")).toDF("s", "ref", "id")

@@ -270,6 +270,41 @@ class WriteCommitSpec extends SparkSpec {
       .exists(_.getFileName.toString.contains("apply-jobA")))
   }
 
+  test("promote interrupted mid-loop rolls forward to all-or-nothing on next open") {
+    import graft.store.{ShardApply, BsonCollection => BC}
+    val dir = freshDir()
+    val coll = new BsonCollection(dir)
+    coll.create(4)
+    coll.bulkWrite((1 to 40).iterator.map(i =>
+      coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(0L)))))
+    // stage a full overwrite of every shard (v -> 1), as a job commit would
+    val staged = (0 until 4).map { k =>
+      val p = coll.shardPath(k)
+      val st = ShardApply.newStagePath(p)
+      val models = (1 to 40).iterator
+        .filter(i => graft.store.ShardRouting.idShard(BInt32(i), 4) == k)
+        .map(i => graft.store.UpdateOp(graft.query.UpdateModel(
+          BQuery.Eq("_id", BInt32(i)), graft.bson.BDoc("$set" -> BDoc("v" -> BInt64(1L))),
+          upsert = false, multi = false)): graft.store.WriteModel)
+      val res = ShardApply.applyToStage(p, st, models, ordered = true, shardTag = k)
+      ShardApply.Staged(k, p.toString, st.toString, res)
+    }
+    // simulate the coordinator crash: manifest written, only shards 0-1
+    // renamed, then the process dies before finishing the loop
+    ShardApply.writeManifest(dir, staged)
+    staged.take(2).foreach(ShardApply.promote)
+    assert(Files.exists(Paths.get(dir, ShardApply.PromoteManifest)))
+    // next open rolls the remaining renames forward
+    val reopened = new BsonCollection(dir)
+    assert(!Files.exists(Paths.get(dir, ShardApply.PromoteManifest)),
+      "recovery must consume the manifest")
+    val vs = reopened.readAll().map(d => d.get("v").get).toVector
+    assert(vs.size === 40 && vs.forall(_ === BInt64(1L)),
+      s"torn promote must roll forward to the fully-applied state, got $vs")
+    // recovery is idempotent: a second open is a no-op
+    assert(!ShardApply.recoverPromote(dir))
+  }
+
   test("ordered sharded bulk is all-or-nothing: dup key aborts every shard") {
     val dir = freshDir()
     val coll = new BsonCollection(dir)
