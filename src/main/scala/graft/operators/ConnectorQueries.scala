@@ -108,6 +108,35 @@ object ConnectorQueries {
             length(split($"token", "\t").getItem(1)).cast("long").as("n_chars_m"))
           .orderBy($"doc_id")
       },
-      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m FROM documents ORDER BY doc_id"))
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m FROM documents ORDER BY doc_id")),
+
+    // Scan-level aggregate pushdown (SupportsPushDownAggregates): the
+    // collstats analog — COUNT(*) answered from the collection's .splits
+    // side files without reading document bodies, MIN/MAX from one
+    // projected single-field pass per file; Spark's final aggregate folds
+    // the per-file partial rows. The plan's scan reports
+    // PushedAggregates: [COUNT(*), MIN(...), MAX(...)]
+    // (AggPushdownSpec pins the plan shape and the zero-body-IO count).
+    CatalogQuery(
+      "q58_agg_pushdown",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftbson").option("id_column", "o_orderkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson").load(dir)
+          .agg(
+            count(lit(1)).as("n"),
+            min($"o_custkey").as("min_cust"),
+            max($"o_custkey").as("max_cust"),
+            max($"o_totalprice").as("max_price"))
+      },
+      Some("""
+        |SELECT count(*) AS n, min(o_custkey) AS min_cust,
+        |  max(o_custkey) AS max_cust, max(o_totalprice) AS max_price
+        |FROM orders
+        |""".stripMargin))
   )
 }

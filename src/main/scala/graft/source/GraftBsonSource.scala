@@ -8,6 +8,8 @@ import graft.store.BsonCollection
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -205,10 +207,30 @@ final class GraftTable(tableSchema: StructType, properties: Map[String, String])
       properties ++ info.options().asScala)
 }
 
+/** A scan-level aggregate accepted by [[GraftScanBuilder.pushAggregation]]
+  * — the collstats/$sample analog (SURVEY §4): COUNT(*) is answered from
+  * `.splits` side files / 4-byte header walks without touching document
+  * bodies; MIN/MAX stream one single-field projected decode.
+  */
+sealed trait AggPush extends Serializable
+object AggPush {
+  case object RowCount extends AggPush {
+    override def toString = "COUNT(*)"
+  }
+  final case class MinOf(col: String, dt: org.apache.spark.sql.types.DataType)
+      extends AggPush {
+    override def toString = s"MIN($col)"
+  }
+  final case class MaxOf(col: String, dt: org.apache.spark.sql.types.DataType)
+      extends AggPush {
+    override def toString = s"MAX($col)"
+  }
+}
+
 final class GraftScanBuilder(tableSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset with SupportsPushDownAggregates {
 
   /** Column-name remapping: Spark column -> (dotted) document field, the
     * `mongo.columns.mapping` analog (HiveMongoInputFormat.java:211-240).
@@ -254,6 +276,47 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pushOffset(n: Int): Boolean =
     if (provablySinglePartition) { offset = Some(n); true } else false
 
+  /** Aggregate pushdown (SupportsPushDownAggregates): global (no group-by)
+    * COUNT(*)/MIN/MAX only, and only when the ENTIRE filter surface is
+    * empty — a pushed or option-level query would make the side-file doc
+    * count wrong. Reported as PARTIAL: each data file emits its one
+    * (count|min|max) row and Spark's final aggregate folds them, which
+    * keeps the pushdown correct for any number of files and partitions.
+    */
+  private var aggPushed: Option[Seq[AggPush]] = None
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val eligible = aggregation.groupByExpressions.isEmpty &&
+      pushedQuery == BQuery.True && !options.contains("query") &&
+      limit.isEmpty && offset.isEmpty && !options.contains("collections")
+    if (!eligible) return false
+    def named(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[(String, org.apache.spark.sql.types.DataType)] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames.head)
+          .filter(f => AggPushTypes.contains(f.dataType))
+          .map(f => (f.name, f.dataType))
+      case _ => None
+    }
+    val items = aggregation.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(AggPush.RowCount)
+      case m: aggregate.Min => named(m.column).map { case (c, t) => AggPush.MinOf(c, t) }
+      case m: aggregate.Max => named(m.column).map { case (c, t) => AggPush.MaxOf(c, t) }
+      case _ => None
+    }
+    if (items.isEmpty || items.contains(None)) false
+    else { aggPushed = Some(items.flatten); true }
+  }
+
+  /** Spark-type domains where the fold in [[AggPartitionReader]] is
+    * exactly Spark's own Min/Max ordering (TypeUtils interpreted ordering).
+    */
+  private val AggPushTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, DoubleType, FloatType, StringType)
+  }
+
   override def build(): Scan = {
     // AND-compose with the option-level query (mongo.input.query analog;
     // $and composition semantics of HiveMongoInputFormat.java:104-123)
@@ -267,7 +330,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       case (a, b) => a.orElse(b)
     }
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
-      offset)
+      offset, aggPushed)
   }
 }
 
@@ -369,11 +432,21 @@ object ColumnMapping {
 final class GraftScan(requiredSchema: StructType, query: BQuery,
     options: Map[String, String], limit: Option[Int] = None,
     mapping: Map[String, String] = Map.empty,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    pushedAgg: Option[Seq[AggPush]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering {
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType = pushedAgg match {
+    case Some(items) =>
+      import org.apache.spark.sql.types._
+      StructType(items.map {
+        case AggPush.RowCount => StructField("count(*)", LongType, nullable = false)
+        case AggPush.MinOf(c, t) => StructField(s"min($c)", t)
+        case AggPush.MaxOf(c, t) => StructField(s"max($c)", t)
+      })
+    case None => requiredSchema
+  }
   override def toBatch: Batch = this
 
   /** Report the per-partition cursor sort (`sort` option) to Catalyst so
@@ -406,7 +479,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     }
 
   override def description(): String =
-    s"GraftScan PushedQuery: $query, ReadSchema: ${requiredSchema.simpleString}"
+    s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
+      pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("")
 
   /** Size estimate from the data files so Catalyst can pick broadcast
     * joins for small collections (the stats role collstats plays in the
@@ -470,6 +544,15 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    pushedAgg match {
+      case Some(items) =>
+        // one partial-aggregate row per data file; bodies only read when a
+        // MIN/MAX needs the projected field
+        val files = GraftBsonSource.dataFiles(options.getOrElse("path",
+          throw new IllegalArgumentException("path option required")))
+        return files.map(f => AggInputPartition(f, items, mapping): InputPartition).toArray
+      case None => ()
+    }
     val defStrategy = options.getOrElse("splitter", "bytes")
     val defSplitSize = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
     val defKey = options.getOrElse("key", "_id")
@@ -504,6 +587,79 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(requiredSchema)
+}
+
+final case class AggInputPartition(path: String, items: Seq[AggPush],
+    mapping: Map[String, String]) extends InputPartition
+
+/** One partial-aggregate row per file. COUNT(*)-only pushes touch zero
+  * document bytes (side-file / header-walk count via [[FileStats]]); a
+  * MIN/MAX makes one projected single-field pass through the existing
+  * reader so null handling and value decoding are byte-identical to a
+  * row scan, with the fold running under Spark's own interpreted
+  * ordering for the column type.
+  */
+final class AggPartitionReader(p: AggInputPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.types._
+
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val scanCols: Seq[(String, DataType)] = p.items.collect {
+      case AggPush.MinOf(c, t) => (c, t)
+      case AggPush.MaxOf(c, t) => (c, t)
+    }.distinct
+    val values: Seq[Any] =
+      if (scanCols.isEmpty) {
+        val n = new FileStats(p.path, "_id").count
+        p.items.map(_ => n)
+      } else {
+        val schema = StructType(scanCols.map { case (c, t) => StructField(c, t) })
+        val idx = scanCols.map(_._1).zipWithIndex.toMap
+        val ords = scanCols.map { case (_, t) =>
+          org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(t)
+        }
+        val mins = Array.fill[Any](scanCols.size)(null)
+        val maxs = Array.fill[Any](scanCols.size)(null)
+        var n = 0L
+        val reader = new GraftPartitionReader(
+          GraftInputPartition(p.path, 0L, Long.MaxValue, BQuery.True,
+            mapping = p.mapping), schema)
+        try {
+          while (reader.next()) {
+            val r = reader.get()
+            n += 1
+            var i = 0
+            while (i < scanCols.size) {
+              if (!r.isNullAt(i)) {
+                val v = r.get(i, scanCols(i)._2) match {
+                  // copy unsafe-backed values that outlive the iteration
+                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+                  case other => other
+                }
+                if (mins(i) == null || ords(i).compare(v, mins(i)) < 0) mins(i) = v
+                if (maxs(i) == null || ords(i).compare(v, maxs(i)) > 0) maxs(i) = v
+              }
+              i += 1
+            }
+          }
+        } finally reader.close()
+        p.items.map {
+          case AggPush.RowCount => n
+          case AggPush.MinOf(c, _) => mins(idx(c))
+          case AggPush.MaxOf(c, _) => maxs(idx(c))
+        }
+      }
+    row = InternalRow.fromSeq(values)
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** File-backed [[Planners.CollectionStats]] with BOUNDED planning IO — the
@@ -701,10 +857,11 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
 
 final class GraftReaderFactory(requiredSchema: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p, requiredSchema)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case a: AggInputPartition => new AggPartitionReader(a)
+      case p: GraftInputPartition => new GraftPartitionReader(p, requiredSchema)
+    }
 }
 
 final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructType)
