@@ -157,7 +157,14 @@ object GraftBsonSource {
     * matches against the tree under its deepest fixed prefix. Hidden
     * (dot/underscore) files and directories are skipped in every mode.
     */
-  def dataFiles(path: String): Seq[String] = {
+  /** Catalog-qualified paths arrive as `file:` URIs (the session catalog
+    * qualifies the `path` option on `CREATE TABLE ... USING graftbson`);
+    * the store is local/shared-filesystem-backed, so strip the scheme.
+    */
+  def normalizePath(p: String): String = p.replaceFirst("^file:(//)?", "")
+
+  def dataFiles(rawPath: String): Seq[String] = {
+    val path = normalizePath(rawPath)
     if (path.exists(GlobChars.contains)) {
       val idx = path.indexWhere(GlobChars.contains)
       val slash = path.lastIndexOf('/', idx)
@@ -288,7 +295,9 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val eligible = aggregation.groupByExpressions.isEmpty &&
       pushedQuery == BQuery.True && !options.contains("query") &&
-      limit.isEmpty && offset.isEmpty && !options.contains("collections")
+      limit.isEmpty && offset.isEmpty && !options.contains("collections") &&
+      // the option-level PER-PARTITION cursor limit changes row counts
+      !options.contains("limit")
     if (!eligible) return false
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[(String, org.apache.spark.sql.types.DataType)] = e match {
@@ -950,8 +959,8 @@ final case class GraftCommitMessage(partitionId: Int,
 final class GraftBatchWrite(writeSchema: StructType, queryId: String,
     options: Map[String, String], truncateFirst: Boolean) extends BatchWrite {
 
-  private val path = options.getOrElse("path",
-    throw new IllegalArgumentException("path option required"))
+  private val path = GraftBsonSource.normalizePath(options.getOrElse("path",
+    throw new IllegalArgumentException("path option required")))
   private val jobDir = Paths.get(path, ".graft-pending", queryId)
 
   // shard count resolved once, driver-side: explicit `shards` option wins,
