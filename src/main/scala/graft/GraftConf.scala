@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level tuning the graft operators are designed for. Applied at
+  * session CONSTRUCTION by every entry point (Bench/Verify/Prof/PlanDump,
+  * the test fixture) — never mutated from inside a query builder, so
+  * building a graft query has no side effect on unrelated work sharing
+  * the session. Queries stay correct without these; they only run the
+  * packed-index aggregates through the sort-based fallback path.
+  */
+object GraftConf {
+
+  /** The packed inverted indexes (band → doc list, shingle → doc list)
+    * hold far more than the default 128 in-memory keys per partition;
+    * the default threshold would sort-spill nearly every partition of an
+    * aggregate whose whole point is to stay hash-shaped. 2^21 keys of
+    * packed lists is well inside executor memory at 32 shuffle
+    * partitions per core-32 host.
+    */
+  val PackedIndexFallbackThreshold: Int = 1 << 21
+
+  def tuned(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      PackedIndexFallbackThreshold.toString)
+
+  /** For sessions built elsewhere (e.g. a user session passed straight
+    * into the query registry): apply the same tuning explicitly, by
+    * choice rather than as a hidden side effect of building a query.
+    */
+  def tune(s: SparkSession): Unit =
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      PackedIndexFallbackThreshold.toString)
+}

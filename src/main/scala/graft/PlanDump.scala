@@ -8,8 +8,8 @@ import graft.operators.Catalog
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = GraftConf.tuned(SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -108,11 +108,10 @@ object DedupQueries {
     */
   private[operators] def lshPairs(sr: DataFrame, minEst: Option[Double],
       pairCond: (Column, Column) => Column = _ < _): DataFrame = {
-    val s = sr.sparkSession
-    // keep the packed index in the hash aggregate (the default 128-key
-    // fallback would sort nearly every partition)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 21).toString)
+    // the packed index wants the hash aggregate to hold >128 keys —
+    // that's session construction's job ([[graft.GraftConf.tuned]]), not a
+    // query builder's: mutating the shared session here would silently
+    // change every unrelated ObjectHashAggregate's memory profile
     val bandCols = (0 until NumBands).map { b =>
       val parts = (0 until BandSize)
         .map(r => element_at(col("sig"), b * BandSize + r + 1).cast("string"))
@@ -140,8 +139,8 @@ object DedupQueries {
     * consumers explode row-locally.
     */
   private[operators] def shingleIndex(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 21).toString)
+    // packed-index fallback threshold comes from session construction
+    // ([[graft.GraftConf.tuned]]); see lshPairs
     hashedShingles(s, d).groupBy(col("hp"))
       .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ds"))
       .filter(col("df") <= BucketCap)

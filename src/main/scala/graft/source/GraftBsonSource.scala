@@ -181,8 +181,18 @@ object GraftBsonSource {
       else {
         val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + pattern)
         // the glob itself decides the extension — no .bson filter on top
-        walkTree(basePath, _ => true)
+        val matched = walkTree(basePath, _ => true)
           .filter(f => matcher.matches(basePath.relativize(Paths.get(f))))
+        // a glob can land inside a collection dir mid-torn-promote just
+        // like the directory branch — roll forward per parent dir, then
+        // re-walk so the promoted names are what the scan reads
+        val parents = matched.map(f => Paths.get(f).getParent).distinct
+        val recovered = parents.exists(d =>
+          d != null && graft.store.ShardApply.recoverPromote(d.toString))
+        if (recovered)
+          walkTree(basePath, _ => true)
+            .filter(f => matcher.matches(basePath.relativize(Paths.get(f))))
+        else matched
       }
     } else {
       val p = Paths.get(path)
@@ -469,6 +479,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     options.get("sort") match {
+      // a pushed aggregate replaces the scan output with the agg schema
+      // (count(*)/min/max) — reporting the sort column would hand Spark
+      // a SortOrder it cannot resolve against this scan
+      case Some(_) if pushedAgg.isDefined => Array.empty
       // multi-collection entries may override sort per entry — a single
       // scan-level ordering claim would be wrong for those partitions
       case Some(docKey) if !options.contains("collections") =>

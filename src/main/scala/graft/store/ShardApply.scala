@@ -168,11 +168,32 @@ object ShardApply {
     * collection open — so a promote is all-or-nothing: either no shard
     * was renamed and no manifest exists (pre-crash cleanup removes the
     * stages), or every shard's rename is eventually applied.
+    *
+    * Tolerates a CONCURRENT recoverer: a reader that opens the
+    * collection mid-loop sees the manifest, rolls the remaining renames
+    * forward itself, and deletes the manifest — each of this loop's
+    * remaining renames then finds its stage file gone. A missing stage
+    * means exactly "someone already promoted this shard" (the rename is
+    * atomic; there is no third state), so it is swallowed per shard —
+    * the commit must not abort after its data reached the live files.
     */
   def promoteAll(collectionDir: String, staged: Seq[Staged]): Unit = {
     if (staged.isEmpty) return
     val manifest = writeManifest(collectionDir, staged)
-    staged.foreach(promote)
+    staged.foreach { st =>
+      try promote(st)
+      catch { case _: java.nio.file.NoSuchFileException =>
+        // promoted by a concurrent recoverer; its data rename is done,
+        // but a side-file rename may have been orphaned between the two
+        val staged = Paths.get(st.stagedFile)
+        val stagedSide = staged.resolveSibling("." + staged.getFileName + ".splits")
+        val dataPath = Paths.get(st.shardFile)
+        val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
+        if (Files.exists(stagedSide))
+          try Files.move(stagedSide, side, StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    }
     Files.deleteIfExists(manifest)
   }
 
@@ -183,15 +204,39 @@ object ShardApply {
     val body = staged.map(st =>
       s"""{"data":"${jesc(st.shardFile)}","stage":"${jesc(st.stagedFile)}"}""")
       .mkString("[", ",\n ", "]")
-    Files.writeString(tmp, body)
+    // durability, not just atomicity: force the manifest bytes and the
+    // directory entry to stable storage BEFORE any shard rename runs, so
+    // a power loss mid-promote cannot reorder "some renames persisted"
+    // ahead of "the manifest persisted" (which would leave a torn
+    // promote with no roll-forward record)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     try Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.nio.file.AtomicMoveNotSupportedException =>
         Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING)
     }
+    fsyncDir(dir)
     manifest
   }
+
+  /** Best-effort fsync of a directory so a just-completed rename's entry
+    * is durable (POSIX requires the parent-dir fsync; some filesystems
+    * refuse to open a directory channel — treat that as a no-op).
+    */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
 
   /** Roll an interrupted promote forward. For each manifest entry: a
     * still-existing stage file means its rename never ran — complete it;

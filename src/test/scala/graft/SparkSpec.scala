@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for specs (one per suite, UTC, tiny shuffle). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  @transient protected lazy val spark: SparkSession = SparkSession.builder()
+  @transient protected lazy val spark: SparkSession = GraftConf.tuned(SparkSession.builder())
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")

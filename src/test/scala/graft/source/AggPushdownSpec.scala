@@ -84,6 +84,25 @@ class AggPushdownSpec extends SparkSpec {
     assert(optionQ.head.getLong(0) === 1L)
   }
 
+  test("global aggregate over a sort-option table plans (no stale ordering claim)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((3L, 30L), (1L, 10L), (2L, 20L)).toDF("_id", "k")
+      .write.format("graftbson").mode("append").save(dir)
+    // with an aggregate pushed, readSchema() is the agg schema — the scan
+    // must stop reporting the `sort` column or Spark fails to resolve the
+    // SortOrder against the scan output at planning time
+    val df = spark.read.format("graftbson").option("sort", "k").load(dir)
+      .agg(count(lit(1)).as("n"), max($"k").as("mx"))
+    assert(plan(df).contains("PushedAggregates"))
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 30L)))
+    // the ordering claim itself still works when no aggregate is pushed
+    val sorted = spark.read.format("graftbson").option("sort", "k").load(dir)
+      .sortWithinPartitions($"k")
+    assert(sorted.select($"k").as[Long].collect().toSeq === Seq(10L, 20L, 30L))
+  }
+
   test("min/max skip missing fields exactly like a row scan") {
     import spark.implicits._
     val dir = freshDir()

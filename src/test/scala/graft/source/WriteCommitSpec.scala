@@ -305,6 +305,66 @@ class WriteCommitSpec extends SparkSpec {
     assert(!ShardApply.recoverPromote(dir))
   }
 
+  test("promoteAll tolerates a concurrent recoverer having finished its renames") {
+    import graft.store.ShardApply
+    val dir = freshDir()
+    val coll = new BsonCollection(dir)
+    coll.create(4)
+    coll.bulkWrite((1 to 40).iterator.map(i =>
+      coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(0L)))))
+    val staged = (0 until 4).map { k =>
+      val p = coll.shardPath(k)
+      val st = ShardApply.newStagePath(p)
+      val models = (1 to 40).iterator
+        .filter(i => graft.store.ShardRouting.idShard(BInt32(i), 4) == k)
+        .map(i => graft.store.UpdateOp(UpdateModel(
+          BQuery.Eq("_id", BInt32(i)), BDoc("$set" -> BDoc("v" -> BInt64(1L))),
+          upsert = false, multi = false)): graft.store.WriteModel)
+      val res = ShardApply.applyToStage(p, st, models, ordered = true, shardTag = k)
+      ShardApply.Staged(k, p.toString, st.toString, res)
+    }
+    // a reader racing the coordinator rolls the whole manifest forward
+    // and deletes it before the coordinator's own loop reaches shards
+    // 2-3: their stage files are gone. The coordinator's promoteAll must
+    // treat "stage missing" as already-promoted, not abort a commit
+    // whose data reached the live files.
+    staged.drop(2).foreach(ShardApply.promote)
+    ShardApply.promoteAll(dir, staged) // must not throw
+    assert(!Files.exists(Paths.get(dir, ShardApply.PromoteManifest)))
+    val vs = new BsonCollection(dir).readAll().map(_.get("v").get).toVector
+    assert(vs.size === 40 && vs.forall(_ === BInt64(1L)))
+  }
+
+  test("glob-path scan also rolls a torn promote forward") {
+    import graft.store.ShardApply
+    val dir = freshDir()
+    val coll = new BsonCollection(dir)
+    coll.create(2)
+    coll.bulkWrite((1 to 10).iterator.map(i =>
+      coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(0L)))))
+    val staged = (0 until 2).map { k =>
+      val p = coll.shardPath(k)
+      val st = ShardApply.newStagePath(p)
+      val models = (1 to 10).iterator
+        .filter(i => graft.store.ShardRouting.idShard(BInt32(i), 2) == k)
+        .map(i => graft.store.UpdateOp(UpdateModel(
+          BQuery.Eq("_id", BInt32(i)), BDoc("$set" -> BDoc("v" -> BInt64(1L))),
+          upsert = false, multi = false)): graft.store.WriteModel)
+      val res = ShardApply.applyToStage(p, st, models, ordered = true, shardTag = k)
+      ShardApply.Staged(k, p.toString, st.toString, res)
+    }
+    // crash: manifest durable, only shard 0 renamed
+    ShardApply.writeManifest(dir, staged)
+    ShardApply.promote(staged.head)
+    val files = GraftBsonSource.dataFiles(s"$dir/shard-*.bson")
+    assert(!Files.exists(Paths.get(dir, ShardApply.PromoteManifest)),
+      "glob scan must consume the manifest like a directory scan")
+    val vs = files.flatMap(f => graft.files.BsonFiles.readAll(f))
+      .map(_.get("v").get).toVector
+    assert(vs.size === 10 && vs.forall(_ === BInt64(1L)),
+      s"glob scan must observe the rolled-forward state, got $vs")
+  }
+
   test("ordered sharded bulk is all-or-nothing: dup key aborts every shard") {
     val dir = freshDir()
     val coll = new BsonCollection(dir)
