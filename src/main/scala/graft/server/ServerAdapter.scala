@@ -1,0 +1,231 @@
+package graft.server
+
+import graft.bson._
+import graft.query.BQuery
+import graft.source.Planners
+import graft.store.{BsonCollection, BulkResult, WriteModel}
+
+import scala.collection.immutable.ListMap
+
+/** One server read: filter + projection + per-cursor sort + skip/limit —
+  * exactly the knobs the reference sets on its per-split cursor
+  * (core/src/main/java/com/mongodb/hadoop/input/MongoInputSplit.java:272-299:
+  * find(query).projection(fields).sort(sort).skip(n).limit(n)).
+  */
+final case class Find(
+    query: BQuery = BQuery.True,
+    projection: Option[Seq[String]] = None,
+    sortAscBy: Option[String] = None,
+    skip: Long = 0L,
+    limit: Long = -1L)
+
+/** The live-server surface the engine needs, as a transport-agnostic
+  * trait: every method is one public MongoDB command/driver call, so a
+  * production binding is a thin class wrapping the mongo-java-driver
+  * (none is linked here — this sandbox has no driver jar and no server;
+  * see `docs` in [[ServerClient$]] for the 1:1 mapping). The file-backed
+  * engine is unchanged: [[ServerStats]] plugs this into the SAME
+  * [[Planners.CollectionStats]] planning interface the file provider
+  * implements, and [[ServerCollection]] mirrors the per-split cursor
+  * read and bulk-write entry points.
+  */
+trait ServerClient {
+
+  /** collStats essentials (count + avgObjSize), the reference's sizing
+    * input (core/.../splitter/MongoSplitterFactory.java:66-83).
+    */
+  def collStats(ns: String): ServerClient.CollStats
+
+  /** Server-side cursor. Implementations MUST stream (driver cursor →
+    * iterator), never materialize: a split read is unbounded.
+    */
+  def find(ns: String, q: Find): Iterator[BDoc]
+
+  /** `aggregate([{$sample: {size: n}}, {$project: {key: 1}}])` — the
+    * sample-based splitter's boundary source
+    * (core/.../splitter/SampleSplitter.java:79-88). Values need not be
+    * sorted; the planner sorts.
+    */
+  def sampleKeys(ns: String, key: String, n: Int): Seq[BsonValue]
+
+  /** `splitVector` admin command: index-walk boundaries at maxChunkBytes
+    * (core/.../splitter/StandaloneMongoSplitter.java:94-101). None when
+    * the deployment refuses it (mongos, no privileges) — callers fall
+    * back to [[sampleKeys]], like the reference falls back to the
+    * sample splitter.
+    */
+  def splitVector(ns: String, key: String, maxChunkBytes: Long): Option[Seq[BsonValue]]
+
+  /** config.chunks + shard host lookup for shard-chunk planning
+    * (core/.../splitter/ShardChunkMongoSplitter.java): (lo, hi, hosts)
+    * per chunk. Empty for unsharded deployments.
+    */
+  def chunkRanges(ns: String, key: String): Seq[(Option[BsonValue], Option[BsonValue], Seq[String])]
+
+  /** Ordered/unordered bulkWrite, same models the batch write path
+    * streams shard-side. */
+  def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult
+}
+
+object ServerClient {
+  final case class CollStats(count: Long, avgObjSizeBytes: Long)
+}
+
+/** [[Planners.CollectionStats]] over a live server: the planners
+  * (size-based, sample-based, paginating, pruning) run unmodified against
+  * either this or the file-backed `FileStats` — planning is the same
+  * bounded probe sequence, only the transport differs. Every method is a
+  * single bounded server round-trip (no full scans):
+  *
+  *  - count / avgObjSizeBytes: one collStats
+  *  - sampleKeys: one \$sample aggregate
+  *  - keyAtSkip: `find(query).sort(key).skip(n).limit(1).projection(key)`
+  *    — the server walks the index, one doc crosses the wire
+  *  - hasAny: `find(query).limit(1)`
+  */
+final class ServerStats(client: ServerClient, ns: String, key: String)
+    extends Planners.CollectionStats {
+
+  private lazy val stats = client.collStats(ns)
+
+  override def count: Long = stats.count
+  override def avgObjSizeBytes: Long = stats.avgObjSizeBytes
+
+  override def sampleKeys(n: Int): Seq[BsonValue] =
+    client.sampleKeys(ns, key, n).sorted(BsonOrdering)
+
+  override def keyAtSkip(query: BQuery, skip: Long): Option[BsonValue] =
+    client.find(ns, Find(query, projection = Some(Seq(key)),
+        sortAscBy = Some(key), skip = skip, limit = 1L))
+      .toSeq.headOption.flatMap(_.getPath(key))
+
+  override def hasAny(query: BQuery): Boolean =
+    client.find(ns, Find(query, projection = Some(Seq("_id")), limit = 1L)).hasNext
+}
+
+/** Server-backed collection handle: split planning via the shared
+  * planner strategies, per-split cursor reads, and bulk writes. The
+  * executor-side analog: a PartitionReader holds one [[readSplit]]
+  * cursor, exactly like the reference's split holds one server cursor.
+  */
+final class ServerCollection(client: ServerClient, ns: String) {
+
+  def stats(key: String): ServerStats = new ServerStats(client, ns, key)
+
+  /** Plan splits with the same strategy factory the file source uses;
+    * `splitVector` boundaries win when the server grants them, sampling
+    * otherwise (the reference's splitter-factory fallback chain,
+    * core/.../splitter/MongoSplitterFactory.java:49-106).
+    */
+  def planSplits(key: String, targetSplitBytes: Long = 8L * 1024 * 1024): Seq[Planners.KeySplit] = {
+    val chunks = client.chunkRanges(ns, key)
+    if (chunks.nonEmpty)
+      chunks.map { case (lo, hi, hosts) =>
+        Planners.KeySplit(BQuery.KeyRange(key, lo, hi), hosts)
+      }
+    else client.splitVector(ns, key, targetSplitBytes) match {
+      case Some(bounds) => Planners.fromBoundaries(key, bounds.sorted(BsonOrdering))
+      case None => Planners.sizeBased(stats(key), key, targetSplitBytes)
+    }
+  }
+
+  /** One split's cursor: range ∧ residual query, with the scan's
+    * projection and per-partition sort pushed to the server.
+    */
+  def readSplit(split: Planners.KeySplit, residual: BQuery = BQuery.True,
+      projection: Option[Seq[String]] = None,
+      sortAscBy: Option[String] = None): Iterator[BDoc] =
+    client.find(ns, Find(BQuery.and(split.range, residual), projection, sortAscBy))
+
+  def bulkWrite(models: Iterator[WriteModel], ordered: Boolean = true): BulkResult =
+    client.bulkWrite(ns, models, ordered)
+}
+
+/** In-memory/test double for [[ServerClient]]: each namespace is backed
+  * by a real [[BsonCollection]] under a temp dir, so bulk writes get the
+  * store's full update/upsert/replace semantics and `find` evaluates the
+  * same [[BQuery.matches]] the per-shard apply uses — the trait-level
+  * tests exercise real behavior, only the network is fake. Sampling is
+  * DETERMINISTIC (every count/n-th doc in key order) so planner tests
+  * are reproducible.
+  */
+final class FakeServerClient extends ServerClient {
+  private val root = java.nio.file.Files.createTempDirectory("graft-fakeserver")
+  private val colls = scala.collection.mutable.Map.empty[String, BsonCollection]
+
+  private def coll(ns: String): BsonCollection =
+    colls.getOrElseUpdate(ns, {
+      val dir = root.resolve(ns.replace('.', '_'))
+      val c = new BsonCollection(dir.toString)
+      c.create(1)
+      c
+    })
+
+  /** Round-trips observed per method — lets tests assert planning IO is
+    * bounded (the server analog of FileStats.bytesTouched). */
+  val callCounts: scala.collection.mutable.Map[String, Int] =
+    scala.collection.mutable.Map.empty.withDefaultValue(0)
+  private def tick(m: String): Unit = callCounts(m) = callCounts(m) + 1
+
+  override def collStats(ns: String): ServerClient.CollStats = {
+    tick("collStats")
+    val docs = coll(ns).readAll().toVector
+    val bytes = docs.map(d => BsonCodec.encode(d).length.toLong).sum
+    ServerClient.CollStats(docs.size.toLong,
+      if (docs.isEmpty) 0L else bytes / docs.size)
+  }
+
+  override def find(ns: String, q: Find): Iterator[BDoc] = {
+    tick("find")
+    var docs = coll(ns).readAll().filter(q.query.matches).toVector
+    for (k <- q.sortAscBy)
+      docs = docs.sortBy(d => d.getPath(k).getOrElse(BNull))(BsonOrdering)
+    var it: Iterator[BDoc] = docs.iterator.drop(
+      math.min(q.skip, Int.MaxValue.toLong).toInt)
+    if (q.limit >= 0) it = it.take(math.min(q.limit, Int.MaxValue.toLong).toInt)
+    q.projection match {
+      case Some(fields) => it.map { d =>
+        BDoc(ListMap(fields.flatMap(f => d.getPath(f).map(f -> _)): _*))
+      }
+      case None => it
+    }
+  }
+
+  override def sampleKeys(ns: String, key: String, n: Int): Seq[BsonValue] = {
+    tick("sampleKeys")
+    val keys = coll(ns).readAll().flatMap(_.getPath(key)).toVector
+      .sorted(BsonOrdering)
+    if (keys.isEmpty || n <= 0) Seq.empty
+    else {
+      val stride = math.max(1, keys.size / n)
+      (keys.indices by stride).take(n).map(keys)
+    }
+  }
+
+  /** The fake grants splitVector only when asked to (tests cover both
+    * arms of the fallback chain). */
+  var splitVectorGranted: Boolean = false
+  override def splitVector(ns: String, key: String, maxChunkBytes: Long): Option[Seq[BsonValue]] =
+    if (!splitVectorGranted) None
+    else {
+      tick("splitVector")
+      val docs = coll(ns).readAll().toVector
+        .sortBy(d => d.getPath(key).getOrElse(BNull))(BsonOrdering)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[BsonValue]
+      var acc = 0L
+      for (d <- docs) {
+        acc += BsonCodec.encode(d).length.toLong
+        if (acc >= maxChunkBytes) { d.getPath(key).foreach(bounds += _); acc = 0L }
+      }
+      Some(bounds.toSeq)
+    }
+
+  var shardChunks: Map[String, Seq[(Option[BsonValue], Option[BsonValue], Seq[String])]] = Map.empty
+  override def chunkRanges(ns: String, key: String): Seq[(Option[BsonValue], Option[BsonValue], Seq[String])] =
+    shardChunks.getOrElse(ns, Seq.empty)
+
+  override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {
+    tick("bulkWrite")
+    coll(ns).bulkWrite(models, ordered)
+  }
+}
