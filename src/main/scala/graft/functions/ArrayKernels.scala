@@ -41,6 +41,42 @@ object ArrayKernels {
   }
 
 
+  /** Row-local term frequency: split on one ASCII byte, drop empty
+    * tokens, count occurrences — array<struct<tok,cnt>> in first-seen
+    * order. A whole document's tokens arrive in one row, so per-doc
+    * `GROUP BY doc_id, tok` semantics cost ZERO exchanges: this collapses
+    * the token-instance frame (docs × tokens-per-doc rows) to docs ×
+    * DISTINCT-tokens-per-doc before anything shuffles — the exchange
+    * that dominated tf-idf carried every token instance as a string.
+    */
+  def tokenCounts(s: UTF8String, sep: Byte): ArrayData = {
+    val bytes = s.getBytes
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == sep) {
+        if (i > start) {
+          val tok = UTF8String.fromBytes(bytes, start, i - start)
+          val c = counts.get(tok)
+          if (c == null) counts.put(tok, Array(1L)) else c(0) += 1L
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Space-joined n-grams of a token array: ["a","b","c"], n=2 ->
     * ["a b", "b c"]. One JVM call per row — the declarative spellings
     * (posexplode self-join, transform over sequence) either shuffle or
@@ -267,6 +303,43 @@ case class CharSplit(child: Expression, sep: Byte) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharSplit =
+    copy(child = newChild)
+}
+
+/** string -> array<struct<tok:string,cnt:bigint>> row-local term
+  * frequency (empty tokens dropped) — see [[ArrayKernels.tokenCounts]].
+  */
+case class TokenCounts(child: Expression, sep: Byte) extends UnaryExpression {
+  require(sep >= 0, "separator must be ASCII")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tok", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_counts expects string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.tokenCounts(v.asInstanceOf[UTF8String], sep)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.tokenCounts($c, (byte) $sep);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
     copy(child = newChild)
 }
 

@@ -60,6 +60,13 @@ object Portable {
   def spaceSplit(c: Column): Column =
     Bridge.column(CharSplit(Bridge.expression(c), ' '.toByte))
 
+  /** Row-local per-doc term frequency: array<struct<tok,cnt>> over
+    * space-separated tokens, empties dropped — `GROUP BY doc, tok`
+    * without shuffling token instances.
+    */
+  def tokenCounts(c: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(c), ' '.toByte))
+
   // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
 
   /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */

@@ -124,7 +124,12 @@ object ConnectorQueries {
         val dir = freshDir()
         Tables.orders(s, d)
           .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          // sharded store: the staged applies run as one executor task per
+          // shard in parallel (a single-shard collection serializes the
+          // whole apply through one task — the write, not the pushed
+          // aggregate, dominates this query's wall time)
           .write.format("graftbson").option("id_column", "o_orderkey")
+          .option("shards", "8")
           .mode("append").save(dir)
         s.read.format("graftbson").load(dir)
           .agg(

@@ -120,9 +120,13 @@ object CorpusStatsQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val tok = docs.select($"doc_id", explode(spaceSplit($"text")).as("tok"))
-          .filter($"tok" =!= "")
-        val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        // per-doc tf is ROW-LOCAL (a doc's tokens live in its row): the
+        // TokenCounts kernel collapses token instances to distinct-token
+        // counts before anything shuffles — the groupBy(doc_id, tok)
+        // this replaces exchanged every token instance as a string
+        val tf = docs
+          .select($"doc_id", explode(Portable.tokenCounts($"text")).as("tc"))
+          .select($"doc_id", $"tc.tok".as("tok"), $"tc.cnt".as("tf"))
         val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val wR = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")

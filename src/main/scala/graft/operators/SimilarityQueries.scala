@@ -139,9 +139,13 @@ object SimilarityQueries {
       "q36_knn_ivf",
       (s, d) => {
         import s.implicits._
+        // cache: v feeds TWO actions (the bounded head collect below and
+        // the main query, which scans it twice more for assign + scoring)
+        // — quantization would otherwise re-run per consumer
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
+          .cache()
         // ONE bounded collect (max(NumCentroids, NumQueries) rows, filter
         // pushed to the parquet scan) yields both the coarse quantizer and
         // the query batch; NOT a driver-side loop over data-sized state

@@ -106,16 +106,21 @@ object TextQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val tok = docs.select($"doc_id", $"lang", explode(Portable.spaceSplit($"text")).as("tok"))
-          .filter($"tok" =!= "")
+        // row-local per-doc tf (TokenCounts kernel): both the training
+        // aggregate and the scoring join consume distinct-token rows
+        // instead of every token instance — the instance frame never
+        // exists, let alone shuffles
+        val tfd = docs
+          .select($"doc_id", $"lang", explode(Portable.tokenCounts($"text")).as("tc"))
+          .select($"doc_id", $"lang", $"tc.tok".as("tok"), $"tc.cnt".as("cnt"))
         // train: top-10 tokens per language (freq desc, token asc)
-        val freq = tok.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+        val freq = tfd.groupBy($"lang", $"tok").agg(sum($"cnt").as("cnt"))
         val wP = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
         val profile = freq.withColumn("rk", row_number().over(wP)).filter($"rk" <= 10)
           .select($"lang".as("p_lang"), $"tok")
         // score each (doc, candidate lang) by token instances hitting the profile
-        val hits = tok.join(broadcast(profile), Seq("tok"))
-          .groupBy($"doc_id", $"p_lang").agg(count(lit(1)).as("score"))
+        val hits = tfd.join(broadcast(profile), Seq("tok"))
+          .groupBy($"doc_id", $"p_lang").agg(sum($"cnt").as("score"))
         // argmax per doc as ONE aggregate (min over (-score, p_lang) struct =
         // score desc, lang asc tiebreak) — not a docs x langs crossJoin grid
         // + window: at 100 TB the grid multiplies the doc table by #langs

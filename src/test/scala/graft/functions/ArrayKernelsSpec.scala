@@ -111,4 +111,30 @@ class ArrayKernelsSpec extends SparkSpec {
       org.apache.spark.sql.graft.Bridge.expression(col("s")), ' '.toByte)
     assert(expr.dataType.toString.contains("StringType"))
   }
+
+  test("TokenCounts equals explode+filter+groupBy term frequency") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      (1L, "a b a  c b a"), (2L, ""), (3L, "   "), (4L, "solo"),
+      (5L, " lead trail "), (6L, "café café 中文"),
+      (7L, "x x x x x x x x"))
+    val df = cases.toDF("doc_id", "s")
+    val got = df
+      .select($"doc_id", explode(Portable.tokenCounts($"s")).as("tc"))
+      .select($"doc_id", $"tc.tok", $"tc.cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = df
+      .select($"doc_id", explode(Portable.spaceSplit($"s")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    // docs with no tokens contribute nothing (not an empty-string token)
+    assert(!got.exists(_._1 == 2L) && !got.exists(_._1 == 3L))
+    // null text -> null array (not a crash), matching CharSplit
+    val n = Seq((8L, null: String)).toDF("doc_id", "s")
+      .select(Portable.tokenCounts($"s").as("tc")).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
