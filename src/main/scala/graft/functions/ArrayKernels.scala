@@ -77,6 +77,26 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Collapse runs of consecutive identical elements, keeping the first
+    * of each run: ["the","the","cat"] -> ["the","cat"]. One JVM call per
+    * row — the `filter((x, i) -> ...)` spelling runs an interpreted
+    * lambda per ELEMENT plus an element_at probe per step.
+    */
+  def collapseRuns(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](n)
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (i == 0 || !t.equals(prev)) out.add(t)
+      prev = t
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Space-joined n-grams of a token array: ["a","b","c"], n=2 ->
     * ["a b", "b c"]. One JVM call per row — the declarative spellings
     * (posexplode self-join, transform over sequence) either shuffle or
@@ -303,6 +323,38 @@ case class CharSplit(child: Expression, sep: Byte) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharSplit =
+    copy(child = newChild)
+}
+
+/** array<string> -> array<string> with consecutive duplicate runs
+  * collapsed — see [[ArrayKernels.collapseRuns]].
+  */
+case class CollapseRuns(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, false) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"collapse_runs expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.collapseRuns(v.asInstanceOf[ArrayData])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.collapseRuns($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseRuns =
     copy(child = newChild)
 }
 

@@ -67,6 +67,12 @@ object Portable {
   def tokenCounts(c: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(c), ' '.toByte))
 
+  /** Collapse consecutive identical tokens, keeping the first of each
+    * run (span-level repetition scrub), row-locally.
+    */
+  def collapseRuns(c: Column): Column =
+    Bridge.column(CollapseRuns(Bridge.expression(c)))
+
   // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
 
   /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */

@@ -291,6 +291,95 @@ object CorpusStatsQueries {
         |  min(d2) AS min_d2, max(d2) AS max_d2,
         |  CAST(CAST(sum(d2) AS BIGINT) AS DOUBLE) / count(*) AS avg_d2
         |FROM d GROUP BY label ORDER BY label
+        |""".stripMargin)),
+
+    // Per-source length-distribution audit: discrete p50/p90/p99 of
+    // n_chars, the report that catches a crawl source drifting toward
+    // truncated or bloated documents. EXACT quantiles with explicit
+    // integer rank math — rank_p = ceil(p*n)-1 into the per-source sort
+    // order — mirrored verbatim in the oracle, so there is no float
+    // interpolation to diverge between engines and the outputs are
+    // actual observed BIGINT lengths. Shape: ONE exchange (the window's
+    // partition-by-source sort); the needed-rank frame derives from a
+    // 20-row count aggregate and broadcasts. This is the exact-audit
+    // path — at 100 TB the same report comes from approx_percentile
+    // over the identical grouping, trading the per-source sort for a
+    // mergeable sketch.
+    CatalogQuery(
+      "q59_length_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+        val ranked = docs.select($"source", $"n_chars", $"doc_id")
+          .withColumn("rn", row_number().over(w).cast("long") - 1L)
+        val need = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+          .select($"source", $"n",
+            (ceil($"n" * 0.5) - 1L).as("r50"),
+            (ceil($"n" * 0.9) - 1L).as("r90"),
+            (ceil($"n" * 0.99) - 1L).as("r99"))
+        ranked.join(broadcast(need), "source")
+          .filter($"rn" === $"r50" || $"rn" === $"r90" || $"rn" === $"r99")
+          .groupBy($"source", $"n")
+          .agg(
+            min(when($"rn" === $"r50", $"n_chars")).as("p50"),
+            min(when($"rn" === $"r90", $"n_chars")).as("p90"),
+            min(when($"rn" === $"r99", $"n_chars")).as("p99"))
+          .select($"source", $"n".as("n_docs"), $"p50", $"p90", $"p99")
+          .orderBy($"source")
+      },
+      Some("""
+        |WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) - 1 AS rn
+        |  FROM documents),
+        |need AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(ceil(count(*) * 0.5) AS BIGINT) - 1 AS r50,
+        |    CAST(ceil(count(*) * 0.9) AS BIGINT) - 1 AS r90,
+        |    CAST(ceil(count(*) * 0.99) AS BIGINT) - 1 AS r99
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  min(CASE WHEN rn = r50 THEN n_chars END) AS p50,
+        |  min(CASE WHEN rn = r90 THEN n_chars END) AS p90,
+        |  min(CASE WHEN rn = r99 THEN n_chars END) AS p99
+        |FROM ranked JOIN need USING (source)
+        |WHERE rn = r50 OR rn = r90 OR rn = r99
+        |GROUP BY source, n ORDER BY source
+        |""".stripMargin)),
+
+    // Span-level repetition scrub: collapse runs of consecutive
+    // identical tokens ("the the the" -> "the"), a standard corpus-prep
+    // cleanup between exact dedup and quality filtering. Entirely
+    // row-local in BOTH engines (a doc's tokens live in its row): Spark
+    // filters the token array with an index lambda, DuckDB mirrors with
+    // list_filter's (x, i) form — no shuffle anywhere but the final
+    // presentation sort, so the operator is embarrassingly parallel at
+    // any scale.
+    CatalogQuery(
+      "q60_repeat_scrub",
+      (s, d) => {
+        import s.implicits._
+        val toks = spaceSplit($"text")
+        // codegen kernel: one JVM call per row vs an interpreted lambda
+        // per element (the filter((x, i) -> ...) spelling measured 1.8 s
+        // vs 0.3 s at sf0.1)
+        val kept = Portable.collapseRuns(toks)
+        Tables.documents(s, d)
+          .select($"doc_id",
+            concat_ws(" ", kept).as("cleaned"),
+            (size(toks) - size(kept)).cast("long").as("n_removed"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |SELECT doc_id,
+        |  array_to_string(list_filter(l, (x, i) -> i = 1 OR l[i-1] <> x), ' ')
+        |    AS cleaned,
+        |  CAST(len(l) - len(list_filter(l, (x, i) -> i = 1 OR l[i-1] <> x))
+        |    AS BIGINT) AS n_removed
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |ORDER BY doc_id
         |""".stripMargin))
   )
 }

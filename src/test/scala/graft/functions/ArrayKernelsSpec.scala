@@ -112,6 +112,24 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(expr.dataType.toString.contains("StringType"))
   }
 
+  test("CollapseRuns equals the indexed-filter HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      "the the cat", "a a a", "", " ", "a  a", "x", "a b a b", "b b  b b",
+      "café café ok")
+    val df = cases.toDF("s")
+    val toks = Portable.spaceSplit($"s")
+    val got = df.select(Portable.collapseRuns(toks).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val want = df.select(filter(toks, (t, i) =>
+        when(i === 0, lit(true)).otherwise(t =!= element_at(toks, i))).as("t"))
+      .collect().map(_.getSeq[String](0))
+    got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g === w, s"mismatch on <$c>")
+    }
+  }
+
   test("TokenCounts equals explode+filter+groupBy term frequency") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
