@@ -335,6 +335,48 @@ class WriteCommitSpec extends SparkSpec {
     assert(vs.size === 40 && vs.forall(_ === BInt64(1L)))
   }
 
+  test("promoteAll races a concurrent recoverer without losing a commit (stress)") {
+    import graft.store.ShardApply
+    // the advice scenario: a reader opens the collection mid-promote,
+    // recovers the manifest, and deletes it while the coordinator is
+    // still inside its rename loop. 20 iterations of a genuinely
+    // concurrent recoverer thread; the commit must never throw and the
+    // final state must always be fully promoted.
+    for (iter <- 1 to 20) {
+      val dir = freshDir()
+      val coll = new BsonCollection(dir)
+      coll.create(8)
+      coll.bulkWrite((1 to 80).iterator.map(i =>
+        coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(0L)))))
+      val staged = (0 until 8).map { k =>
+        val p = coll.shardPath(k)
+        val st = ShardApply.newStagePath(p)
+        val models = (1 to 80).iterator
+          .filter(i => graft.store.ShardRouting.idShard(BInt32(i), 8) == k)
+          .map(i => graft.store.UpdateOp(UpdateModel(
+            BQuery.Eq("_id", BInt32(i)), BDoc("$set" -> BDoc("v" -> BInt64(1L))),
+            upsert = false, multi = false)): graft.store.WriteModel)
+        val res = ShardApply.applyToStage(p, st, models, ordered = true, shardTag = k)
+        ShardApply.Staged(k, p.toString, st.toString, res)
+      }
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val recovererFailed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val recoverer = new Thread(() => {
+        try while (!stop.get()) ShardApply.recoverPromote(dir)
+        catch { case t: Throwable => recovererFailed.set(t) }
+      })
+      recoverer.start()
+      try ShardApply.promoteAll(dir, staged) // must not throw mid-race
+      finally { stop.set(true); recoverer.join() }
+      assert(recovererFailed.get() === null,
+        s"iter $iter: recoverer threw ${recovererFailed.get()}")
+      assert(!Files.exists(Paths.get(dir, ShardApply.PromoteManifest)))
+      val vs = new BsonCollection(dir).readAll().map(_.get("v").get).toVector
+      assert(vs.size === 80 && vs.forall(_ === BInt64(1L)),
+        s"iter $iter: torn state after racing promote, got ${vs.count(_ == BInt64(1L))}/80")
+    }
+  }
+
   test("glob-path scan also rolls a torn promote forward") {
     import graft.store.ShardApply
     val dir = freshDir()
