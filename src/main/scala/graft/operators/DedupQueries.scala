@@ -534,6 +534,57 @@ object DedupQueries {
           |WHERE est_sim >= 0.5
           |ORDER BY new_id, corpus_id
           |""".stripMargin
-      })
+      }),
+
+    // Dedup APPLY: the step that actually produces the deduplicated
+    // corpus. q48 labels near-dup clusters with the component's min
+    // doc_id, so the representative IS the label: every doc off the pair
+    // graph survives, every clustered doc survives iff it is its
+    // cluster's label. Reported as the per-source keep/drop audit a
+    // pipeline operator signs off on before retraining. Scale shape: the
+    // dropped set is pair-graph-bounded (usually ≪ corpus) and joins the
+    // corpus as a broadcast/shuffle LEFT join on doc_id — never a scan
+    // of docs × clusters.
+    CatalogQuery(
+      "q61_dedup_apply",
+      (s, d) => {
+        import s.implicits._
+        val pairs = lshPairs(sigRows(s, d), None).select($"doc_a", $"doc_b")
+        val dropped = connectedComponents(pairs)
+          .filter($"doc_id" =!= $"label")
+          .select($"doc_id", lit(1L).as("is_dup"))
+        Tables.documents(s, d)
+          .join(dropped, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(coalesce($"is_dup", lit(0L))).cast("long").as("n_dropped"))
+          .select($"source", $"n_docs",
+            ($"n_docs" - $"n_dropped").as("n_kept"), $"n_dropped")
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH RECURSIVE $signaturesSql,
+        |$bandsSql,
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+        |  WHERE x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |walk(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id),
+        |cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+        |dropped AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) - count(dr.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(count(dr.doc_id) AS BIGINT) AS n_dropped
+        |FROM documents LEFT JOIN dropped dr USING (doc_id)
+        |GROUP BY source ORDER BY source
+        |""".stripMargin))
   )
 }
