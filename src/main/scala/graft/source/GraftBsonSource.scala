@@ -187,8 +187,11 @@ object GraftBsonSource {
         // like the directory branch — roll forward per parent dir, then
         // re-walk so the promoted names are what the scan reads
         val parents = matched.map(f => Paths.get(f).getParent).distinct
-        val recovered = parents.exists(d =>
-          d != null && graft.store.ShardApply.recoverPromote(d.toString))
+        // map-then-exists, NOT exists: every parent dir must recover,
+        // not just the first one holding a manifest
+        val recovered = parents
+          .map(d => d != null && graft.store.ShardApply.recoverPromote(d.toString))
+          .exists(identity)
         if (recovered)
           walkTree(basePath, _ => true)
             .filter(f => matcher.matches(basePath.relativize(Paths.get(f))))

@@ -407,6 +407,37 @@ class WriteCommitSpec extends SparkSpec {
       s"glob scan must observe the rolled-forward state, got $vs")
   }
 
+  test("glob spanning several torn collections recovers every parent dir") {
+    import graft.store.ShardApply
+    val root = freshDir()
+    val dirs = Seq("ca", "cb").map { sub =>
+      val dir = Paths.get(root, sub).toString
+      val coll = new BsonCollection(dir)
+      coll.create(1)
+      coll.bulkWrite((1 to 5).iterator.map(i =>
+        coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(0L)))))
+      val p = coll.shardPath(0)
+      val st = ShardApply.newStagePath(p)
+      val models = (1 to 5).iterator.map(i =>
+        graft.store.UpdateOp(UpdateModel(
+          BQuery.Eq("_id", BInt32(i)), BDoc("$set" -> BDoc("v" -> BInt64(1L))),
+          upsert = false, multi = false)): graft.store.WriteModel)
+      val res = ShardApply.applyToStage(p, st, models, ordered = true, shardTag = 0)
+      // crash after the manifest, before ANY rename, in BOTH collections
+      ShardApply.writeManifest(dir, Seq(
+        ShardApply.Staged(0, p.toString, st.toString, res)))
+      dir
+    }
+    val files = GraftBsonSource.dataFiles(s"$root/*/*.bson")
+    dirs.foreach { dir =>
+      assert(!Files.exists(Paths.get(dir, ShardApply.PromoteManifest)),
+        s"every globbed parent must recover, $dir did not")
+    }
+    val vs = files.flatMap(f => graft.files.BsonFiles.readAll(f))
+      .map(_.get("v").get)
+    assert(vs.size === 10 && vs.forall(_ === BInt64(1L)))
+  }
+
   test("ordered sharded bulk is all-or-nothing: dup key aborts every shard") {
     val dir = freshDir()
     val coll = new BsonCollection(dir)
