@@ -154,43 +154,6 @@ object SamplingQueries {
     // candidates come only from shared rare-shingle buckets (df cap keeps
     // boilerplate n-grams from flagging everything), never all-pairs.
     CatalogQuery(
-      "q62_mixture_weights",
-      (s, d) => {
-        import s.implicits._
-        // temperature-sampled source mixing (alpha = 0.5): w_s ∝ n_s^0.5,
-        // the standard upweighting of small sources when composing a
-        // training mix. Cross-engine float discipline: sqrt is IEEE
-        // correctly-rounded in both engines, but a SUM of doubles is
-        // order-dependent — so weights are fixed-point floor(sqrt(n)*1e8)
-        // BIGINTs, the normalizer is an exact integer sum, and only the
-        // final ratios divide as doubles (single op, no reassociation).
-        // Scale shape: one count aggregate (pre-aggregated map-side),
-        // a one-row broadcast normalizer — the corpus is scanned once.
-        val n = Tables.documents(s, d)
-          .groupBy($"source").agg(count(lit(1)).as("n_docs"))
-          .withColumn("w", floor(sqrt($"n_docs") * lit(1e8)).cast("long"))
-        val tot = n.agg(sum($"w").cast("long").as("tot"))
-        n.crossJoin(broadcast(tot))
-          .select($"source", $"n_docs",
-            ($"w".cast("double") / $"tot".cast("double")).as("weight"),
-            (($"w" * lit(100000L)).cast("double") / $"tot".cast("double"))
-              .as("expected_docs_per_100k"))
-          .orderBy($"source")
-      },
-      Some("""
-        |WITH n AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(floor(sqrt(count(*)) * 1e8) AS BIGINT) AS w
-        |  FROM documents GROUP BY source),
-        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM n)
-        |SELECT source, n_docs,
-        |  CAST(w AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
-        |  CAST(w * 100000 AS DOUBLE) / CAST(tot AS DOUBLE)
-        |    AS expected_docs_per_100k
-        |FROM n, tot ORDER BY source
-        |""".stripMargin)),
-
-    CatalogQuery(
       "q51_decontaminate",
       (s, d) => {
         import s.implicits._
@@ -220,6 +183,45 @@ object SamplingQueries {
         |  count(*) AS n_shared_shingles
         |FROM tr JOIN te USING (hp)
         |GROUP BY tr.doc_id ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Temperature-sampled source mixing (alpha = 0.5): w_s ∝ n_s^0.5,
+    // the standard upweighting of small sources when composing a
+    // training mix. Cross-engine float discipline: sqrt is IEEE
+    // correctly-rounded in both engines, but a SUM of doubles is
+    // order-dependent — so weights are fixed-point floor(sqrt(n)*1e8)
+    // BIGINTs, the normalizer is an exact integer sum, and the final
+    // ratios are computed in DOUBLE space with the identical op order in
+    // both engines (never w*100000 in Long: at extreme corpus sizes that
+    // product overflows, wrapping in Spark and erroring in DuckDB).
+    // Scale shape: one count aggregate (pre-aggregated map-side), a
+    // one-row broadcast normalizer — the corpus is scanned once.
+    CatalogQuery(
+      "q62_mixture_weights",
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.documents(s, d)
+          .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", floor(sqrt($"n_docs") * lit(1e8)).cast("long"))
+        val tot = n.agg(sum($"w").cast("long").as("tot"))
+        n.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs",
+            ($"w".cast("double") / $"tot".cast("double")).as("weight"),
+            (($"w".cast("double") * lit(100000.0)) / $"tot".cast("double"))
+              .as("expected_docs_per_100k"))
+          .orderBy($"source")
+      },
+      Some("""
+        |WITH n AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*)) * 1e8) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM n)
+        |SELECT source, n_docs,
+        |  CAST(w AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+        |  (CAST(w AS DOUBLE) * 100000.0) / CAST(tot AS DOUBLE)
+        |    AS expected_docs_per_100k
+        |FROM n, tot ORDER BY source
         |""".stripMargin))
   )
 }

@@ -141,7 +141,11 @@ object SimilarityQueries {
         import s.implicits._
         // cache: v feeds TWO actions (the bounded head collect below and
         // the main query, which scans it twice more for assign + scoring)
-        // — quantization would otherwise re-run per consumer
+        // — quantization would otherwise re-run per consumer. Lifetime:
+        // a query builder cannot unpersist what its caller hasn't run
+        // yet; both harnesses (Bench, Verify) clearCache() per query, and
+        // a long-lived session reclaims it under storage-memory pressure
+        // (MEMORY_AND_DISK eviction), so the pin is bounded
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))

@@ -149,9 +149,24 @@ final class ServerCollection(client: ServerClient, ns: String) {
   * DETERMINISTIC (every count/n-th doc in key order) so planner tests
   * are reproducible.
   */
-final class FakeServerClient extends ServerClient {
+final class FakeServerClient extends ServerClient with AutoCloseable {
   private val root = java.nio.file.Files.createTempDirectory("graft-fakeserver")
   private val colls = scala.collection.mutable.Map.empty[String, BsonCollection]
+
+  /** Delete the backing temp tree; also registered as a JVM shutdown
+    * hook so spec instances that never close() don't accrete /tmp
+    * garbage across runs.
+    */
+  override def close(): Unit = {
+    import java.nio.file.{Files => F}
+    if (F.exists(root)) {
+      val stream = F.walk(root)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => F.deleteIfExists(p))
+      finally stream.close()
+    }
+  }
+  Runtime.getRuntime.addShutdownHook(new Thread(() => close()))
 
   private def coll(ns: String): BsonCollection =
     colls.getOrElseUpdate(ns, {

@@ -185,16 +185,25 @@ object ShardApply {
       catch { case _: java.nio.file.NoSuchFileException =>
         // promoted by a concurrent recoverer; its data rename is done,
         // but a side-file rename may have been orphaned between the two
-        val staged = Paths.get(st.stagedFile)
-        val stagedSide = staged.resolveSibling("." + staged.getFileName + ".splits")
-        val dataPath = Paths.get(st.shardFile)
-        val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
-        if (Files.exists(stagedSide))
-          try Files.move(stagedSide, side, StandardCopyOption.REPLACE_EXISTING)
-          catch { case _: java.nio.file.NoSuchFileException => () }
+        moveOrphanedSideFile(st.shardFile, st.stagedFile)
       }
     }
     Files.deleteIfExists(manifest)
+  }
+
+  /** Complete the side-file half of a promote whose data rename already
+    * ran (crash or race between the two renames): move the staged
+    * `.splits` into place if it still exists. Shared by the coordinator's
+    * race tolerance and the recoverer.
+    */
+  private def moveOrphanedSideFile(dataFile: String, stageFile: String): Unit = {
+    val stage = Paths.get(stageFile)
+    val stagedSide = stage.resolveSibling("." + stage.getFileName + ".splits")
+    val dataPath = Paths.get(dataFile)
+    val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
+    if (Files.exists(stagedSide))
+      try Files.move(stagedSide, side, StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.NoSuchFileException => () }
   }
 
   private[graft] def writeManifest(collectionDir: String, staged: Seq[Staged]): Path = {
@@ -246,35 +255,65 @@ object ShardApply {
     * moved into place. Idempotent, and safe under concurrent recovery: a
     * lost race on any rename means another recoverer just promoted that
     * shard. Returns true when a manifest was found and processed.
+    *
+    * CLAIM-then-process, never read-then-delete: a recoverer first
+    * atomically renames the canonical manifest to `.recovering` and only
+    * ever deletes the file it processed. Deleting by canonical name
+    * after an unguarded read would race a NEWER commit: read manifest A,
+    * stall, coordinator finishes A and writes commit B's manifest,
+    * resume, delete — destroying B's roll-forward record while B's
+    * rename loop is still running. With the claim, a stale recoverer
+    * holds (and later deletes) only its claimed copy of A. A recoverer
+    * that crashes mid-processing leaves the `.recovering` file, which
+    * the next call rolls forward FIRST — the record survives until
+    * whoever deletes it has completed every entry.
     */
   def recoverPromote(collectionDir: String): Boolean = {
     val manifest = Paths.get(collectionDir).resolve(PromoteManifest)
-    if (!Files.exists(manifest)) return false
+    val claimed = Paths.get(collectionDir).resolve(RecoveringManifest)
+    // 1. finish (or assist) a previously interrupted recovery
+    var did = processManifestFile(claimed)
+    // 2. claim the canonical manifest, then process the claimed copy; a
+    //    lost rename race means another recoverer owns it — not ours
+    if (Files.exists(manifest)) {
+      val won =
+        try { Files.move(manifest, claimed, StandardCopyOption.ATOMIC_MOVE); true }
+        catch {
+          case _: java.nio.file.NoSuchFileException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (won) did = processManifestFile(claimed) || did
+    }
+    did
+  }
+
+  /** Roll every entry of one manifest file forward, then delete it.
+    * Concurrency-safe: entries tolerate lost rename races, and the file
+    * is deleted only after ALL entries completed, so a record never
+    * disappears before its renames are done.
+    */
+  private def processManifestFile(f: Path): Boolean = {
+    if (!Files.exists(f)) return false
     val body =
-      try Files.readString(manifest)
+      try Files.readString(f)
       catch { case _: java.nio.file.NoSuchFileException => return false }
     Entry.findAllMatchIn(body).foreach { m =>
       val data = junesc(m.group(1))
       val stage = junesc(m.group(2))
-      val st = Paths.get(stage)
-      if (Files.exists(st)) {
+      if (Files.exists(Paths.get(stage))) {
         try promote(Staged(-1, data, stage, BulkResult.empty))
         catch { case _: java.nio.file.NoSuchFileException => () }
       } else {
         // data rename done; a crash may still have orphaned the side file
-        val stagedSide = st.resolveSibling("." + st.getFileName + ".splits")
-        val dataPath = Paths.get(data)
-        val side = dataPath.resolveSibling("." + dataPath.getFileName + ".splits")
-        if (Files.exists(stagedSide))
-          try Files.move(stagedSide, side, StandardCopyOption.REPLACE_EXISTING)
-          catch { case _: java.nio.file.NoSuchFileException => () }
+        moveOrphanedSideFile(data, stage)
       }
     }
-    Files.deleteIfExists(manifest)
+    Files.deleteIfExists(f)
     true
   }
 
   val PromoteManifest = "_promote.json"
+  val RecoveringManifest = "_promote.json.recovering"
 
   private val Entry =
     """\{"data":"((?:[^"\\]|\\.)*)","stage":"((?:[^"\\]|\\.)*)"\}""".r

@@ -407,6 +407,38 @@ class WriteCommitSpec extends SparkSpec {
       s"glob scan must observe the rolled-forward state, got $vs")
   }
 
+  test("a recoverer that crashed after claiming the manifest leaves a recoverable record") {
+    import graft.store.{ShardApply, BsonCollection => _}
+    val dir = freshDir()
+    val coll = new BsonCollection(dir)
+    coll.create(2)
+    coll.bulkWrite((1 to 10).iterator.map(i =>
+      coll.InsertOne(BDoc("_id" -> BInt32(i), "v" -> BInt64(0L)))))
+    val staged = (0 until 2).map { k =>
+      val p = coll.shardPath(k)
+      val st = ShardApply.newStagePath(p)
+      val models = (1 to 10).iterator
+        .filter(i => graft.store.ShardRouting.idShard(BInt32(i), 2) == k)
+        .map(i => graft.store.UpdateOp(UpdateModel(
+          BQuery.Eq("_id", BInt32(i)), BDoc("$set" -> BDoc("v" -> BInt64(1L))),
+          upsert = false, multi = false)): graft.store.WriteModel)
+      val res = ShardApply.applyToStage(p, st, models, ordered = true, shardTag = k)
+      ShardApply.Staged(k, p.toString, st.toString, res)
+    }
+    // coordinator crashed after one rename; a recoverer then claimed the
+    // manifest (canonical -> .recovering) and ALSO crashed before
+    // processing — the record must survive under the claimed name
+    ShardApply.writeManifest(dir, staged)
+    ShardApply.promote(staged.head)
+    java.nio.file.Files.move(
+      Paths.get(dir, ShardApply.PromoteManifest),
+      Paths.get(dir, ShardApply.RecoveringManifest))
+    assert(ShardApply.recoverPromote(dir), "claimed record must be processed")
+    assert(!Files.exists(Paths.get(dir, ShardApply.RecoveringManifest)))
+    val vs = new BsonCollection(dir).readAll().map(_.get("v").get).toVector
+    assert(vs.size === 10 && vs.forall(_ === BInt64(1L)))
+  }
+
   test("glob spanning several torn collections recovers every parent dir") {
     import graft.store.ShardApply
     val root = freshDir()

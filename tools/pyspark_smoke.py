@@ -106,7 +106,12 @@ try:
     sql_n = spark.sql("SELECT count(*) AS n FROM pysmoke_customers").collect()[0]["n"]
     check("CREATE TABLE USING graftbson + count(*)", sql_n == n_cust)
 finally:
-    spark.sql("DROP TABLE IF EXISTS pysmoke_customers")
+    # a broken session must not let cleanup mask the real failure or skip
+    # stop()/rmtree
+    try:
+        spark.sql("DROP TABLE IF EXISTS pysmoke_customers")
+    except Exception:
+        pass
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
 
