@@ -604,9 +604,30 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
             off = None)
         }.toArray
       case None =>
-        val files = GraftBsonSource.dataFiles(options.getOrElse("path",
-          throw new IllegalArgumentException("path option required")))
-        planCollection(files, defStrategy, defSplitSize, defKey, defMinDocs,
+        val rawPath = options.getOrElse("path",
+          throw new IllegalArgumentException("path option required"))
+        val files = GraftBsonSource.dataFiles(rawPath)
+        // mongos-parity query routing: a pushed `_id` equality can only
+        // match inside its owning shard (ShardRouting co-locates every
+        // cross-width equal value), so the scan plans exactly that one
+        // shard file instead of all of them — the read-side mirror of
+        // the write path's model routing
+        val routed = {
+          val dir = GraftBsonSource.normalizePath(rawPath)
+          val nShards =
+            if (Files.isDirectory(Paths.get(dir)))
+              new graft.store.BsonCollection(dir).shardCount
+            else 1
+          if (nShards <= 1) files
+          else graft.store.BsonCollection.idEquality(query) match {
+            case Some(v) =>
+              val owner = graft.store.BsonCollection.shardPath(dir, nShards,
+                graft.store.ShardRouting.idShard(v, nShards)).toString
+              files.filter(_ == owner)
+            case None => files
+          }
+        }
+        planCollection(routed, defStrategy, defSplitSize, defKey, defMinDocs,
           defFilterEmpty, query, limit, sortKey, offset).toArray
     }
   }

@@ -173,7 +173,7 @@ object BsonCollection {
     else Paths.get(dir, f"shard-$k%05d.bson")
 
   /** The `_id`-equality conjunct of a query, if any. */
-  private[store] def idEquality(q: BQuery): Option[BsonValue] = q match {
+  private[graft] def idEquality(q: BQuery): Option[BsonValue] = q match {
     case BQuery.Eq("_id", v) => Some(v)
     case BQuery.And(qs) => qs.iterator.map(idEquality).collectFirst { case Some(v) => v }
     case _ => None

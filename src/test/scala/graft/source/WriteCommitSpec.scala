@@ -470,6 +470,28 @@ class WriteCommitSpec extends SparkSpec {
     assert(vs.size === 10 && vs.forall(_ === BInt64(1L)))
   }
 
+  test("pushed _id equality scans only the owning shard (mongos routing parity)") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1L to 400L).map(i => (i, i * 10)).toDF("_id", "v")
+      .repartition(4)
+      .write.format("graftbson").mode("append").option("shards", "4").save(dir)
+    val point = spark.read.format("graftbson").load(dir).filter($"_id" === 7L)
+    assert(point.rdd.getNumPartitions === 1,
+      "an _id point query must plan exactly the owning shard's partition")
+    assert(point.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((7L, 70L)))
+    // conjuncts still route; non-_id predicates still fan out to all shards
+    val conj = spark.read.format("graftbson").load(dir)
+      .filter($"_id" === 7L && $"v" > 0L)
+    assert(conj.rdd.getNumPartitions === 1)
+    assert(conj.count() === 1)
+    val full = spark.read.format("graftbson").load(dir).filter($"v" === 70L)
+    assert(full.rdd.getNumPartitions === 4,
+      "a non-_id predicate must still scan every shard")
+    assert(full.count() === 1)
+  }
+
   test("ordered sharded bulk is all-or-nothing: dup key aborts every shard") {
     val dir = freshDir()
     val coll = new BsonCollection(dir)
