@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Portable
+import graft.functions.{Portable, TopK}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,32 +113,38 @@ object CorpusStatsQueries {
         |GROUP BY lang ORDER BY lang
         |""".stripMargin)),
 
-    // tf-idf keywords: top-3 tokens per doc scored tf * N / df. The rank
-    // filter gets map-side WindowGroupLimit pruning; df and N are exact
-    // integers so the only floating-point is the one multiply + divide.
+    // tf-idf keywords: top-3 tokens per doc scored tf * N / df. df and N
+    // are exact integers so the only floating-point is the one multiply
+    // + divide. Per-doc tf is ROW-LOCAL (a doc's tokens live in its row:
+    // the TokenCounts kernel), the df join broadcasts (AQE falls back to
+    // a token-keyed shuffle join if the vocabulary ever outgrows one),
+    // and the per-doc top-3 is the bounded [[graft.functions.TopKMin]]
+    // aggregate — no docs×vocab frame is ever sorted: the map-side
+    // partial keeps ≤3 rows per doc, and since a doc's tokens are
+    // generated inside one input partition the partial IS the final
+    // answer and the doc-keyed exchange carries only ≤3 rows per doc.
+    // Descending score = ascending negated score (exact for doubles).
     CatalogQuery(
       "q54_tfidf_keywords",
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        // per-doc tf is ROW-LOCAL (a doc's tokens live in its row): the
-        // TokenCounts kernel collapses token instances to distinct-token
-        // counts before anything shuffles — the groupBy(doc_id, tok)
-        // this replaces exchanged every token instance as a string
         val tf = docs
           .select($"doc_id", explode(Portable.tokenCounts($"text")).as("tc"))
           .select($"doc_id", $"tc.tok".as("tok"), $"tc.cnt".as("tf"))
         val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-        val wR = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
         tf.join(df, "tok")
           .crossJoin(broadcast(nDocs))
-          .withColumn("score",
-            ($"tf".cast("double") * $"n_docs") / $"df")
-          .withColumn("rk", row_number().over(wR))
-          .filter($"rk" <= 3)
-          .select($"doc_id", $"rk".cast("long").as("rk"), $"tok",
-            $"tf".cast("long").as("tf"), $"df".cast("long").as("df"), $"score")
+          .select($"doc_id", struct(
+            (-($"tf".cast("double") * $"n_docs") / $"df").as("neg_score"),
+            $"tok", $"tf".cast("long").as("tf"), $"df").as("item"))
+          .groupBy($"doc_id")
+          .agg(TopK.topkMin($"item", 3).as("top"))
+          .select($"doc_id", posexplode($"top"))
+          .select($"doc_id", ($"pos" + 1).cast("long").as("rk"),
+            $"col.tok".as("tok"), $"col.tf".as("tf"), $"col.df".as("df"),
+            (-$"col.neg_score").as("score"))
           .orderBy($"doc_id", $"rk")
       },
       Some("""
