@@ -510,6 +510,117 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey
+        |""".stripMargin)),
+
+    // Interval (range) join, binned: flag events that fall inside any
+    // 10-minute incident window opened by an error event of the same
+    // user. Spark has no inequality-join physical operator — a naive
+    // spelling becomes a per-user cross join (quadratic on hot users).
+    // The scale-safe shape: bin the time axis at the window length, so a
+    // window overlaps AT MOST TWO bins and the join becomes an
+    // equi-join on (user_id, bin) plus a residual range filter — shuffle
+    // keyed on bounded buckets, never all-pairs. The DuckDB oracle
+    // spells the same semantics as a correlated EXISTS (its IEJoin
+    // handles inequality joins natively).
+    CatalogQuery(
+      "q63_interval_join",
+      (s, d) => {
+        import s.implicits._
+        val winSec = 600L
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"user_id", $"event_type",
+            $"ts".cast("long").as("sec"))
+        val inc = ev.filter($"event_type" === "error")
+          .select($"user_id", $"sec".as("st"))
+        // each window [st, st+600) covers bins st div 600 and
+        // (st+599) div 600 — array_distinct collapses the aligned case
+        val bins = inc.select($"user_id", $"st",
+          explode(array_distinct(array(
+            expr("st div 600"), expr("(st + 599) div 600")))).as("bin"))
+        val flagged = ev.as("e")
+          .join(bins.as("i"),
+            $"e.user_id" === $"i.user_id" && expr("e.sec div 600") === $"i.bin" &&
+              $"e.sec" >= $"i.st" && $"e.sec" < $"i.st" + winSec,
+            "left_semi")
+        val tot = ev.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
+        val flg = flagged.groupBy($"event_type").agg(count(lit(1)).as("n_flagged"))
+        tot.join(flg, Seq("event_type"), "left")
+          .select($"event_type", $"n_events",
+            coalesce($"n_flagged", lit(0L)).as("n_flagged"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        |WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |inc AS (SELECT user_id, sec AS st FROM ev WHERE event_type = 'error')
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN EXISTS (
+        |    SELECT 1 FROM inc i
+        |    WHERE i.user_id = e.user_id AND e.sec >= i.st AND e.sec < i.st + 600)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM ev e GROUP BY event_type ORDER BY event_type
+        |""".stripMargin)),
+
+    // Salted fact-to-fact join: enrich every event with its user's total
+    // event count. The dimension here is itself user-keyed BIG data (an
+    // aggregate of the fact table), so at 100 TB neither side broadcasts
+    // and a hot user would pin one shuffle task. Salting bounds that:
+    // the per-user rows replicate across 8 salt values and each fact row
+    // picks one deterministically, so a hot key's rows spread over 8
+    // tasks. Results are identical to the unsalted join (the oracle IS
+    // the unsalted join). AQE's skew-split covers the probe side of a
+    // sort-merge join automatically; explicit salting is the portable
+    // form that also splits the build side and survives hash joins.
+    CatalogQuery(
+      "q64_salted_join",
+      (s, d) => {
+        import s.implicits._
+        val saltN = 8L
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"user_id", $"event_type")
+        val userN = ev.groupBy($"user_id").agg(count(lit(1)).as("user_n"))
+        val salted = userN.select($"user_id", $"user_n",
+          explode(sequence(lit(0L), lit(saltN - 1L))).as("salt"))
+        ev.withColumn("salt", pmod($"event_id", lit(saltN)))
+          .join(salted, Seq("user_id", "salt"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"), sum($"user_n").as("sum_user_n"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        |WITH un AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(user_n) AS BIGINT) AS sum_user_n
+        |FROM events JOIN un USING (user_id)
+        |GROUP BY event_type ORDER BY event_type
+        |""".stripMargin)),
+
+    // CUBE over order status × priority with per-dimension GROUPING
+    // flags — completes the grouping-sets family next to q37's ROLLUP
+    // (both operator classes the reference lacks, SURVEY §2.8). The
+    // grouping flags disambiguate rolled-up NULLs from data NULLs.
+    CatalogQuery(
+      "q65_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"),
+            grouping($"o_orderstatus").cast("long").as("g_status"),
+            grouping($"o_orderpriority").cast("long").as("g_prio"))
+          .orderBy($"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+      },
+      Some(s"""
+        |SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  ${dsumSql("o_totalprice")} AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         |""".stripMargin))
   )
 }
