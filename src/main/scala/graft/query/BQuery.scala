@@ -13,13 +13,38 @@ sealed trait BQuery {
 }
 
 object BQuery {
-  /** Comparisons follow MongoDB semantics: only values in the same type
-    * bracket compare (numbers cross-width); missing fields match nothing.
+  /** The string Spark READS for a stored value, when it reads as one
+    * (RowCodec.toCatalyst: BString/BSymbol text, BObjectId hex, BRegex
+    * pattern source).
+    */
+  private[query] def readString(v: BsonValue): Option[String] = v match {
+    case BString(s) => Some(s)
+    case BSymbol(s) => Some(s)
+    case BObjectId(h) => Some(h)
+    case BRegex(p, _) => Some(p)
+    case _ => None
+  }
+
+  /** Comparisons follow MongoDB semantics — only values in the same type
+    * bracket compare (numbers cross-width); missing fields match nothing —
+    * with ONE deliberate departure: a string-literal comparison also sees
+    * stored ObjectId/Regex values as the hex/pattern string Spark reads
+    * them as. Accepted pushed filters are never re-checked by Spark, so
+    * they must hold SPARK semantics over the scan's OUTPUT column: a
+    * foreign dump's ObjectId `_id` reads as its hex string, and a pushed
+    * `_id = '<hex>'` (or an `_id` hex range from [[graft.plans.ObjectIdRangeRule]])
+    * must match exactly the rows the post-read comparison would keep —
+    * bracketed semantics silently dropped them.
     */
   private def cmp(doc: BDoc, path: String, v: BsonValue)(test: Int => Boolean): Boolean =
     doc.getPath(path) match {
-      case Some(actual) if actual.typeOrder == v.typeOrder =>
-        test(BsonOrdering.compare(actual, v))
+      case Some(actual0) =>
+        val actual = v match {
+          case _: BString | _: BSymbol =>
+            readString(actual0).map(BString.apply).getOrElse(actual0)
+          case _ => actual0
+        }
+        actual.typeOrder == v.typeOrder && test(BsonOrdering.compare(actual, v))
       case _ => false
     }
 
@@ -62,9 +87,12 @@ object BQuery {
       if (opts.contains('x')) flags |= java.util.regex.Pattern.COMMENTS
       java.util.regex.Pattern.compile(pattern, flags)
     }
-    def matches(d: BDoc): Boolean = d.getPath(path) match {
-      case Some(BString(s)) => compiled.matcher(s).find()
-      case _ => false
+    // matches the READ-string (see cmp): a pushed startsWith/contains on a
+    // column backed by ObjectId/Symbol/Regex storage must behave like
+    // Spark's own predicate over the string the scan outputs
+    def matches(d: BDoc): Boolean = d.getPath(path).flatMap(readString) match {
+      case Some(s) => compiled.matcher(s).find()
+      case None => false
     }
   }
   final case class Exists(path: String, yes: Boolean) extends BQuery {
@@ -80,13 +108,30 @@ object BQuery {
     def matches(d: BDoc): Boolean = true
   }
 
-  /** Range bound for a partition: lo <= key < hi (the reference's
-    * range-query split composition, MongoCollectionSplitter.java:243-295).
+  /** Range bound for a partition: lo <= key < hi under the CROSS-TYPE
+    * total order (BsonOrdering), with a missing key treated as null —
+    * the semantics of the reference's default `$min`/`$max` cursor
+    * bounds (MongoInputSplit.java:272-299), which walk the index's
+    * cross-type order, NOT the type-bracketed `$gte`/`$lt` of a user
+    * range query (MongoCollectionSplitter.java:243-295). Bracketed
+    * semantics here would silently drop every doc whose key type
+    * differs from a boundary's bracket (or is absent) from ALL
+    * partitions, since split boundaries are sampled in BsonOrdering
+    * order and each partition re-checks its range.
     */
   final case class KeyRange(path: String, lo: Option[BsonValue], hi: Option[BsonValue]) extends BQuery {
-    def matches(d: BDoc): Boolean =
-      lo.forall(l => Gte(path, l).matches(d)) &&
-        hi.forall(h => Lt(path, h).matches(d))
+    def matches(d: BDoc): Boolean = {
+      val k = d.getPath(path).getOrElse(BNull)
+      lo.forall(l => BsonOrdering.compare(k, l) >= 0) &&
+        hi.forall(h => BsonOrdering.compare(k, h) < 0)
+    }
+
+    /** Would a doc whose key is `v` land in this range? (partition
+      * pruning against runtime IN-sets — no doc construction needed).
+      */
+    def containsValue(v: BsonValue): Boolean =
+      lo.forall(l => BsonOrdering.compare(v, l) >= 0) &&
+        hi.forall(h => BsonOrdering.compare(v, h) < 0)
   }
 
   /** Top-level field heads referenced by a query (for projected decode). */

@@ -64,4 +64,32 @@ class TranslatorEdgeSpec extends AnyFunSuite {
     assert(accepted.length === 1 && residual.length === 1)
     assert(q.isInstanceOf[BQuery.Regex])
   }
+
+  test("pushed string predicates see ObjectId/Symbol/Regex storage as the read-string") {
+    // a foreign dump's ObjectId _id reads as its hex string — a pushed
+    // equality/range on that string must keep exactly the rows Spark's
+    // post-read comparison would (accepted filters are never re-checked)
+    val hex = "6578616d706c65206f696431"
+    val eq = FilterTranslator.translate(EqualTo("_id", hex)).get
+    assert(eq.matches(BDoc("_id" -> BObjectId(hex))))
+    assert(eq.matches(BDoc("_id" -> BString(hex))))
+    assert(eq.matches(BDoc("_id" -> BSymbol(hex))))
+    assert(!eq.matches(BDoc("_id" -> BObjectId("0" * 24))))
+
+    val range = FilterTranslator.translate(GreaterThanOrEqual("_id", "60" + "0" * 22)).get
+    assert(range.matches(BDoc("_id" -> BObjectId(hex))))
+    assert(!range.matches(BDoc("_id" -> BObjectId("5f" + "0" * 22))))
+
+    // regex storage reads as the pattern source string
+    val sw = FilterTranslator.translate(StringStartsWith("p", "ab")).get
+    assert(sw.matches(BDoc("p" -> BRegex("abc.*", "i"))))
+    assert(!sw.matches(BDoc("p" -> BRegex("zbc", ""))))
+    val peq = FilterTranslator.translate(EqualTo("p", "abc.*")).get
+    assert(peq.matches(BDoc("p" -> BRegex("abc.*", "i"))))
+
+    // typed (option-level JSON) queries keep Mongo bracket semantics: an
+    // explicit $oid value matches ONLY ObjectId storage
+    assert(BQuery.Eq("_id", BObjectId(hex)).matches(BDoc("_id" -> BObjectId(hex))))
+    assert(!BQuery.Eq("_id", BObjectId(hex)).matches(BDoc("_id" -> BString(hex))))
+  }
 }

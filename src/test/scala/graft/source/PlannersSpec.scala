@@ -111,4 +111,22 @@ class PlannersSpec extends AnyFunSuite {
     assert(Planners.plan(stats, "_id", "single").size == 1)
     assert(Planners.plan(stats, "_id", "size", targetSplitBytes = 1 << 20).size >= 8)
   }
+
+  test("ranges partition mixed-type and missing keys exactly once ($min/$max cross-type semantics)") {
+    // split boundaries are sampled in BsonOrdering (cross-type) order, so
+    // the ranges must use the same total order: a doc whose key sits in a
+    // different type bracket than a boundary (or is absent) still belongs
+    // to exactly one partition — bracketed $gte/$lt semantics dropped it
+    // from ALL of them
+    val keys: Seq[BsonValue] = Seq(
+      BNull, BInt64(1), BDouble(2.5), BInt32(7),
+      BString("a"), BString("z"), BBool(true), BDate(123L))
+    val sorted = keys.sorted(BsonOrdering)
+    val splits = Planners.fromBoundaries("_id", Seq(sorted(2), sorted(5)))
+    for (k <- keys)
+      assert(splits.count(_.range.matches(BDoc("_id" -> k))) == 1,
+        s"key $k must land in exactly one partition")
+    assert(splits.count(_.range.matches(BDoc("other" -> BInt64(9)))) == 1,
+      "a doc with no split key belongs to the null-bracket partition")
+  }
 }
