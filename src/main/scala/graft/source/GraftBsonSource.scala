@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -438,6 +439,55 @@ object ShardMaps {
     }.toMap
 }
 
+/** V2 `Predicate` -> (column, IN values) for runtime (dynamic)
+  * filtering. Only `IN` / `=` over one column with literal values are
+  * used; anything else is ignored — pruning is an optimization, an
+  * unparsed predicate just scans more. Literal conversion mirrors
+  * [[graft.query.FilterTranslator.toBson]] over Catalyst INTERNAL values
+  * (strings arrive as UTF8String, timestamps as microseconds).
+  */
+object RuntimeFilters {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  def parse(p: Predicate): Option[(String, Seq[BsonValue])] = {
+    if (p.name() != "IN" && p.name() != "=") return None
+    val kids = p.children()
+    if (kids.length < 2) return None
+    val col = kids.head match {
+      case r: NamedReference => r.fieldNames().mkString(".")
+      case _ => return None
+    }
+    val vs = kids.tail.toSeq.map {
+      case l: V2Literal[_] => toBson(l)
+      case _ => None
+    }
+    // one unconvertible value poisons the whole set: a partial IN-list
+    // would prune partitions holding the missing value's rows
+    if (vs.exists(_.isEmpty)) None else Some(col -> vs.flatten)
+  }
+
+  private def toBson(l: V2Literal[_]): Option[BsonValue] = {
+    import org.apache.spark.sql.types._
+    (l.dataType, l.value.asInstanceOf[Any]) match {
+      case (_, null) => None
+      case (StringType, v) => Some(BString(v.toString))
+      case (IntegerType, v: java.lang.Integer) => Some(BInt32(v))
+      case (LongType, v: java.lang.Long) => Some(BInt64(v))
+      case (ShortType, v: java.lang.Short) => Some(BInt32(v.toInt))
+      case (ByteType, v: java.lang.Byte) => Some(BInt32(v.toInt))
+      case (DoubleType, v: java.lang.Double) => Some(BDouble(v))
+      case (FloatType, v: java.lang.Float) => Some(BDouble(v.toDouble))
+      case (BooleanType, v: java.lang.Boolean) => Some(BBool(v))
+      // BDate stores whole milliseconds (translator parity: sub-ms
+      // values are never pushed, so they never prune)
+      case (TimestampType, v: java.lang.Long) =>
+        if (v % 1000L == 0) Some(BDate(v / 1000L)) else None
+      case _ => None
+    }
+  }
+}
+
 object ColumnMapping {
   /** Parse {"sparkCol": "doc.field", ...}. */
   def parse(json: String): Map[String, String] = {
@@ -457,7 +507,48 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     offset: Option[Int] = None,
     pushedAgg: Option[Seq[AggPush]] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportOrdering {
+    with SupportsReportOrdering with SupportsRuntimeV2Filtering {
+
+  /** Runtime IN-sets from Spark's dynamic filtering (join-key values
+    * observed on the other side at execution time), keyed by DOC field.
+    * Used at plan level only — shard routing and key-range partition
+    * pruning plus a row-level `$in` — all safe under the runtime-filter
+    * contract (rows the filter would drop are dropped by the join anyway,
+    * and pruning uses [[Planners.rangeMayHoldReadEq]], which never drops
+    * a partition that could hold a matching row). The reference has no
+    * analog — its filter-aware splits are static; this is the DSv2 form
+    * of re-planning them under the join's observed keys.
+    */
+  @volatile private var runtimeIn: Map[String, Seq[BsonValue]] = Map.empty
+
+  /** The Spark column that READS doc field `f` (column_mapping aware). */
+  private def sparkColFor(f: String): Option[String] =
+    mapping.find(_._2 == f).map(_._1)
+      .orElse(if (mapping.contains(f)) None else Some(f))
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // a pushed limit/offset counts rows of the UNFILTERED stream — any
+    // runtime narrowing under it would change which rows it keeps
+    if (pushedAgg.isDefined || options.contains("collections") ||
+        limit.isDefined || offset.isDefined) Array.empty
+    else Seq(options.getOrElse("key", "_id"), "_id").distinct
+      .flatMap(sparkColFor)
+      .filter(readSchema().fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val parsed = predicates.toSeq.flatMap(RuntimeFilters.parse)
+    val merged = parsed.groupBy(_._1).map { case (col, vs) =>
+      // spark column -> doc field (column_mapping analog of the pushed
+      // filter translator)
+      mapping.getOrElse(col, col) -> vs.flatMap(_._2).distinct
+    }
+    // a degenerate giant IN-set would cost more to evaluate per row /
+    // per split than it prunes; scan everything instead
+    runtimeIn =
+      if (merged.valuesIterator.map(_.size).sum > 10000) Map.empty else merged
+  }
 
   override def readSchema(): StructType = pushedAgg match {
     case Some(items) =>
@@ -538,7 +629,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   private def planCollection(files: Seq[String], strategy: String,
       splitSize: Long, key: String, minDocs: Long, filterEmpty: Boolean,
       q: BQuery, lim: Option[Int], sort: Option[String],
-      off: Option[Int]): Seq[InputPartition] = strategy match {
+      off: Option[Int],
+      runtimeKeyValues: Option[Seq[BsonValue]] = None): Seq[InputPartition] = strategy match {
     case "bytes" =>
       files.flatMap { f =>
         BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
@@ -561,7 +653,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         Planners.plan(stats, key, other, q,
           chunks = chunks, shardHosts = shardHosts,
           targetSplitBytes = splitSize, minDocs = minDocs,
-          filterEmpty = filterEmpty)
+          filterEmpty = filterEmpty, runtimeKeyValues = runtimeKeyValues)
           .map { case (pq, locs) =>
             GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
               locations = locs): InputPartition
@@ -607,11 +699,17 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         val rawPath = options.getOrElse("path",
           throw new IllegalArgumentException("path option required"))
         val files = GraftBsonSource.dataFiles(rawPath)
-        // mongos-parity query routing: a pushed `_id` equality can only
-        // match inside its owning shard (ShardRouting co-locates every
-        // cross-width equal value), so the scan plans exactly that one
-        // shard file instead of all of them — the read-side mirror of
-        // the write path's model routing
+        // belt-and-suspenders with filterAttributes: never let a runtime
+        // filter narrow a scan that carries a pushed limit/offset
+        val rt = if (limit.isDefined || offset.isDefined) Map.empty[String, Seq[BsonValue]]
+          else runtimeIn
+        // mongos-parity query routing: a pushed `_id` equality — or a
+        // runtime `_id` IN-set from dynamic filtering — can only match
+        // inside the owning shards (ShardRouting co-locates every
+        // cross-width equal value; a hex string also probes its ObjectId
+        // representation, which reads as the same Spark string), so the
+        // scan plans exactly those shard files instead of all of them —
+        // the read-side mirror of the write path's model routing
         val routed = {
           val dir = GraftBsonSource.normalizePath(rawPath)
           val nShards =
@@ -619,16 +717,34 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
               new graft.store.BsonCollection(dir).shardCount
             else 1
           if (nShards <= 1) files
-          else graft.store.BsonCollection.idEquality(query) match {
-            case Some(v) =>
-              val owner = graft.store.BsonCollection.shardPath(dir, nShards,
-                graft.store.ShardRouting.idShard(v, nShards)).toString
-              files.filter(_ == owner)
-            case None => files
+          else {
+            def owners(v: BsonValue): Seq[String] = {
+              val probes = v +: (v match {
+                case BString(s) if s.length == 24 &&
+                    s.forall(c => Character.digit(c, 16) >= 0) =>
+                  Seq(BObjectId(s))
+                case _ => Seq.empty
+              })
+              probes.map(p => graft.store.BsonCollection.shardPath(dir, nShards,
+                graft.store.ShardRouting.idShard(p, nShards)).toString).distinct
+            }
+            val eqOwned = graft.store.BsonCollection.idEquality(query)
+              .map(v => owners(v).toSet)
+            val rtOwned = rt.get("_id").map(_.flatMap(owners).toSet)
+            Seq(eqOwned, rtOwned).flatten
+              .foldLeft(files)((fs, owned) => fs.filter(owned))
           }
         }
+        // row-level runtime narrowing: the IN-set joins AND-composed into
+        // the per-partition query (rows it drops are exactly the rows the
+        // join above would drop); the split-key values additionally prune
+        // whole key-range partitions inside Planners.plan
+        val rtQuery = rt.foldLeft(BQuery.True: BQuery) { case (acc, (f, vs)) =>
+          BQuery.and(acc, BQuery.In(f, vs))
+        }
         planCollection(routed, defStrategy, defSplitSize, defKey, defMinDocs,
-          defFilterEmpty, query, limit, sortKey, offset).toArray
+          defFilterEmpty, BQuery.and(query, rtQuery), limit, sortKey, offset,
+          runtimeKeyValues = rt.get(defKey)).toArray
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.source
 
-import graft.bson.{BDoc, BsonValue}
+import graft.bson.{BDoc, BObjectId, BRegex, BString, BsonOrdering, BsonValue}
 import graft.query.BQuery
 
 /** Pure partition-planning strategies — the Spark-side analog of the
@@ -133,6 +133,32 @@ object Planners {
       query: BQuery = BQuery.True): Seq[KeySplit] =
     splits.filter(s => stats.hasAny(BQuery.and(s.range, query)))
 
+  /** Could a doc whose SPARK-READ key value equals `v` live in range `r`?
+    * A string value probes every storage that READS as that string
+    * (BString/BSymbol share the string bracket; BObjectId hex; the whole
+    * BRegex(s, *) options interval), mirroring BQuery's read-string
+    * comparison semantics — pruning must never drop a partition holding a
+    * row the join would keep.
+    */
+  def rangeMayHoldReadEq(r: BQuery.KeyRange, v: BsonValue): Boolean = v match {
+    case BString(s) =>
+      r.containsValue(v) ||
+        (s.length == 24 && s.forall(c => Character.digit(c, 16) >= 0) &&
+          r.containsValue(BObjectId(s))) ||
+        (r.lo.forall(l => BsonOrdering.compare(l, BRegex(s, "\uffff")) <= 0) &&
+          r.hi.forall(h => BsonOrdering.compare(h, BRegex(s, "")) > 0))
+    case other => r.containsValue(other)
+  }
+
+  /** Partition pruning against a runtime IN-set of key values (dynamic
+    * filtering: the join-key values observed on the other side). The
+    * planning-time analog of the reference's filter-aware splits — a
+    * partition whose key range cannot hold any of the values is never
+    * scanned.
+    */
+  def pruneByValues(splits: Seq[KeySplit], values: Seq[BsonValue]): Seq[KeySplit] =
+    splits.filter(s => values.exists(v => rangeMayHoldReadEq(s.range, v)))
+
   /** Strategy selection (MongoSplitterFactory.java:54-129): chunks if a
     * shard map exists, else the requested strategy, else size-based.
     */
@@ -145,7 +171,8 @@ object Planners {
       shardHosts: Map[String, Seq[String]] = Map.empty,
       targetSplitBytes: Long = 8L * 1024 * 1024,
       minDocs: Long = 1000L,
-      filterEmpty: Boolean = false): Seq[(BQuery, Seq[String])] = {
+      filterEmpty: Boolean = false,
+      runtimeKeyValues: Option[Seq[BsonValue]] = None): Seq[(BQuery, Seq[String])] = {
     val splits = strategy match {
       case _ if chunks.nonEmpty => fromChunks(key, chunks, shardHosts)
       case "single" => single(key)
@@ -154,7 +181,11 @@ object Planners {
       case "shard" if shardHosts.nonEmpty => perShard(key, shardHosts)
       case _ => sizeBased(stats, key, targetSplitBytes)
     }
-    val pruned = if (filterEmpty) pruneEmpty(splits, stats, query) else splits
+    val valuePruned = runtimeKeyValues match {
+      case Some(vs) => pruneByValues(splits, vs)
+      case None => splits
+    }
+    val pruned = if (filterEmpty) pruneEmpty(valuePruned, stats, query) else valuePruned
     withQuery(pruned, query)
   }
 }

@@ -14,6 +14,14 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A connector-level (DSv2) literal — `LiteralValue` is private[sql];
+    * specs exercising `SupportsRuntimeV2Filtering` build predicates with
+    * the same internal-value literals Spark's dynamic filtering sends.
+    */
+  def v2Literal(value: Any, dataType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[Any] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dataType)
+
   /** Register a native expression builder as a SQL function on a session. */
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
