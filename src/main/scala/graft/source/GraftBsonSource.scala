@@ -251,7 +251,8 @@ object AggPush {
 final class GraftScanBuilder(tableSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownOffset with SupportsPushDownAggregates {
+    with SupportsPushDownOffset with SupportsPushDownAggregates
+    with SupportsPushDownTopN {
 
   /** Column-name remapping: Spark column -> (dotted) document field, the
     * `mongo.columns.mapping` analog (HiveMongoInputFormat.java:211-240).
@@ -264,10 +265,13 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
 
+  private var residualFilters: Array[Filter] = Array.empty
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (query, accepted, residual) = FilterTranslator.split(filters, mapping)
     pushedQuery = query
     pushed = accepted
+    residualFilters = residual
     residual
   }
 
@@ -282,6 +286,49 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** TopN (ORDER BY k LIMIT n) pushdown — the reference's per-split
+    * `cursor.sort().limit()` (MongoInputSplit.java:281-296), reported
+    * PARTIAL: each partition returns its own sorted top-n and Spark's
+    * global sort+limit folds them, which is exact because a partition's
+    * local top-n is a superset of its contribution to the global one.
+    * Accepted only for a single ASC NULLS FIRST order over a column whose
+    * reader-side order (BsonOrdering over stored values) provably equals
+    * Spark's ascending order over the READ values: numeric / boolean /
+    * timestamp brackets (missing/null sorts first in both). String
+    * columns are refused — ObjectId/Regex storage reads as a string but
+    * sorts in its own BSON bracket, so the local top-n could drop a row
+    * the global order needs. Residual filters also refuse: they run ABOVE
+    * the scan, and a pre-filter top-n might not survive them.
+    */
+  private var topN: Option[(String, Int)] = None
+
+  private val TopNTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, DoubleType, FloatType, BooleanType, TimestampType)
+  }
+
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val eligible = orders.length == 1 && residualFilters.isEmpty &&
+      aggPushed.isEmpty && offset.isEmpty &&
+      !options.contains("sort") && !options.contains("collections")
+    if (!eligible) return false
+    val o = orders.head
+    if (o.direction != SortDirection.ASCENDING ||
+        o.nullOrdering != NullOrdering.NULLS_FIRST) return false
+    o.expression match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        val col = nr.fieldNames.head
+        tableSchema.fields.find(_.name == col).filter(f => TopNTypes.contains(f.dataType)) match {
+          case Some(_) => topN = Some((mapping.getOrElse(col, col), n)); true
+          case None => false
+        }
+      case _ => false
+    }
+  }
 
   /** Offset (skip) pushdown — the mongo.input.skip analog
     * (MongoInputSplit.java:291-296 applies cursor skip per split). Unlike
@@ -309,7 +356,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     val eligible = aggregation.groupByExpressions.isEmpty &&
       pushedQuery == BQuery.True && !options.contains("query") &&
-      limit.isEmpty && offset.isEmpty && !options.contains("collections") &&
+      limit.isEmpty && offset.isEmpty && topN.isEmpty &&
+      !options.contains("collections") &&
       // the option-level PER-PARTITION cursor limit changes row counts
       !options.contains("limit")
     if (!eligible) return false
@@ -348,12 +396,9 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // cursor limit per split, explicitly not a global row bound; compose
     // with Spark's own .limit for the global semantic)
     val optionLimit = options.get("limit").map(_.toInt)
-    val effLimit = (limit, optionLimit) match {
-      case (Some(a), Some(b)) => Some(math.min(a, b))
-      case (a, b) => a.orElse(b)
-    }
+    val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
-      offset, aggPushed)
+      offset, aggPushed, topNSort = topN.map(_._1))
   }
 }
 
@@ -505,7 +550,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     options: Map[String, String], limit: Option[Int] = None,
     mapping: Map[String, String] = Map.empty,
     offset: Option[Int] = None,
-    pushedAgg: Option[Seq[AggPush]] = None)
+    pushedAgg: Option[Seq[AggPush]] = None,
+    topNSort: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
 
@@ -597,7 +643,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
 
   override def description(): String =
     s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
-      pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("")
+      pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
+      topNSort.map(k => s", PushedTopN: $k ASC LIMIT ${limit.getOrElse(-1)}").getOrElse("")
 
   /** Size estimate from the data files so Catalyst can pick broadcast
     * joins for small collections (the stats role collstats plays in the
@@ -614,11 +661,12 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     case None => options.get("path").map(GraftBsonSource.dataFiles).getOrElse(Seq.empty)
   }
 
-  /** Per-PARTITION sort key (`sort` option): cursor.sort parity with the
-    * reference (MongoInputSplit.java:281) — NOT a global order across
-    * partitions, exactly as in the reference; use Spark's orderBy for that.
+  /** Per-PARTITION sort key: a pushed TopN's order, else the `sort`
+    * option — cursor.sort parity with the reference
+    * (MongoInputSplit.java:281) — NOT a global order across partitions,
+    * exactly as in the reference; use Spark's orderBy for that.
     */
-  private val sortKey: Option[String] = options.get("sort")
+  private val sortKey: Option[String] = topNSort.orElse(options.get("sort"))
 
   /** Plan one collection's partitions under a given strategy — shared by
     * the single-collection path and each entry of multi-collection mode
