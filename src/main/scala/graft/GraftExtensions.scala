@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{ObjectIdToSeconds, ToObjectId}
+import graft.functions.{ObjectIdToSeconds, ToObjectId, TopKMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions hook: enables the engine's native SQL functions
   * for every session in a cluster via
@@ -22,5 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("to_objectid"),
       new ExpressionInfo(classOf[ToObjectId].getName, "to_objectid"),
       (children: Seq[Expression]) => ToObjectId(children.head)))
+    // bounded per-group top-k for SQL callers: topk_min(item, k); the
+    // analyzer wraps the returned AggregateFunction itself
+    ext.injectFunction((
+      FunctionIdentifier("topk_min"),
+      new ExpressionInfo(classOf[TopKMin].getName, "topk_min"),
+      (children: Seq[Expression]) => children match {
+        case Seq(child, Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+          TopKMin(child, k)
+        case _ => throw new IllegalArgumentException(
+          "topk_min(expr, k) requires a literal integer k")
+      }))
   }
 }

@@ -58,6 +58,25 @@ class TopKSpec extends SparkSpec {
     assert(merged.toArray.toSeq === Seq(1L, 2L, 4L))
   }
 
+  test("topk_min is SQL-callable through the extensions builder shape") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.IntegerType
+    // same builder GraftExtensions injects (shared test session cannot
+    // re-run spark.sql.extensions, so register it directly)
+    Bridge.registerFunction(spark, "topk_min", {
+      case Seq(child: Expression, Literal(k: Int, IntegerType)) => TopKMin(child, k)
+      case _ => throw new IllegalArgumentException("topk_min(expr, k)")
+    })
+    Seq((1, 9L), (1, 2L), (1, 7L), (2, 4L)).toDF("g", "v")
+      .createOrReplaceTempView("topk_in")
+    val out = spark.sql(
+      "SELECT g, topk_min(v, 2) AS top FROM topk_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(out(0).getSeq[Long](1) === Seq(2L, 7L))
+    assert(out(1).getSeq[Long](1) === Seq(4L))
+  }
+
   test("ties broken by later struct fields deterministically") {
     val df = Seq((1, 5, "b"), (1, 5, "a"), (1, 5, "c"), (1, 4, "z"))
       .toDF("g", "s", "t")
