@@ -142,6 +142,38 @@ object ConnectorQueries {
         |SELECT count(*) AS n, min(o_custkey) AS min_cust,
         |  max(o_custkey) AS max_cust, max(o_totalprice) AS max_price
         |FROM orders
+        |""".stripMargin)),
+
+    // Runtime (dynamic) filtering through the connector: a sharded
+    // collection joined against a SELECTIVELY filtered dim — the shape
+    // where Spark's PartitionPruning hands the scan the dim's join-key
+    // IN-set (SupportsRuntimeV2Filtering) so only the owning shards /
+    // key ranges are read (RuntimeFilterSpec pins the injection and the
+    // partition counts; the oracle pins the values either way).
+    CatalogQuery(
+      "q66_runtime_prune",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+          .write.format("graftbson").option("id_column", "c_custkey")
+          .option("shards", "8").mode("append").save(dir)
+        val hot = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 400000.0)
+          .select($"o_custkey").distinct()
+        val fact = s.read.format("graftbson").load(dir)
+        fact.join(hot, fact("_id") === hot("o_custkey"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some(s"""
+        |WITH hot AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
+        |SELECT c_mktsegment, count(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal
+        |FROM customer JOIN hot ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1
         |""".stripMargin))
   )
 }
