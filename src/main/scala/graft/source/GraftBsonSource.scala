@@ -311,9 +311,13 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    // option-level `limit` is a PER-PARTITION cursor limit over cursor
+    // order; a pushed top-n would re-sort before it and change which
+    // rows it keeps — refuse rather than reorder an explicit option
     val eligible = orders.length == 1 && residualFilters.isEmpty &&
       aggPushed.isEmpty && offset.isEmpty &&
-      !options.contains("sort") && !options.contains("collections")
+      !options.contains("sort") && !options.contains("collections") &&
+      !options.contains("limit")
     if (!eligible) return false
     val o = orders.head
     if (o.direction != SortDirection.ASCENDING ||
