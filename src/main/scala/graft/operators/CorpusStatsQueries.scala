@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Portable, TopK}
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 

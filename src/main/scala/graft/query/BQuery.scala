@@ -25,26 +25,16 @@ object BQuery {
     case _ => None
   }
 
-  /** Comparisons follow MongoDB semantics — only values in the same type
-    * bracket compare (numbers cross-width); missing fields match nothing —
-    * with ONE deliberate departure: a string-literal comparison also sees
-    * stored ObjectId/Regex values as the hex/pattern string Spark reads
-    * them as. Accepted pushed filters are never re-checked by Spark, so
-    * they must hold SPARK semantics over the scan's OUTPUT column: a
-    * foreign dump's ObjectId `_id` reads as its hex string, and a pushed
-    * `_id = '<hex>'` (or an `_id` hex range from [[graft.plans.ObjectIdRangeRule]])
-    * must match exactly the rows the post-read comparison would keep —
-    * bracketed semantics silently dropped them.
+  /** Comparisons follow MongoDB semantics: only values in the same type
+    * bracket compare (numbers cross-width); missing fields match nothing.
+    * These are the OPTION-LEVEL query semantics (mongo.input.query parity).
+    * Pushed Spark filters instead compile to the [[ReadStr]] nodes below,
+    * which carry Spark's post-read semantics.
     */
   private def cmp(doc: BDoc, path: String, v: BsonValue)(test: Int => Boolean): Boolean =
     doc.getPath(path) match {
-      case Some(actual0) =>
-        val actual = v match {
-          case _: BString | _: BSymbol =>
-            readString(actual0).map(BString.apply).getOrElse(actual0)
-          case _ => actual0
-        }
-        actual.typeOrder == v.typeOrder && test(BsonOrdering.compare(actual, v))
+      case Some(actual) if actual.typeOrder == v.typeOrder =>
+        test(BsonOrdering.compare(actual, v))
       case _ => false
     }
 
@@ -87,12 +77,12 @@ object BQuery {
       if (opts.contains('x')) flags |= java.util.regex.Pattern.COMMENTS
       java.util.regex.Pattern.compile(pattern, flags)
     }
-    // matches the READ-string (see cmp): a pushed startsWith/contains on a
-    // column backed by ObjectId/Symbol/Regex storage must behave like
-    // Spark's own predicate over the string the scan outputs
-    def matches(d: BDoc): Boolean = d.getPath(path).flatMap(readString) match {
-      case Some(s) => compiled.matcher(s).find()
-      case None => false
+    // Mongo $regex semantics: string/symbol fields only (option-level
+    // queries); pushed Spark string predicates use ReadStrRegex instead
+    def matches(d: BDoc): Boolean = d.getPath(path) match {
+      case Some(BString(s)) => compiled.matcher(s).find()
+      case Some(BSymbol(s)) => compiled.matcher(s).find()
+      case _ => false
     }
   }
   final case class Exists(path: String, yes: Boolean) extends BQuery {
@@ -134,6 +124,70 @@ object BQuery {
         hi.forall(h => BsonOrdering.compare(v, h) < 0)
   }
 
+  /** Spark-read-semantics string comparison: the stored value is compared
+    * AS THE STRING SPARK READS it (BString/BSymbol text, BObjectId hex,
+    * BRegex pattern source — [[readString]]; other brackets read as
+    * non-strings and never match). Produced ONLY by [[FilterTranslator]]
+    * and the runtime-filter path: accepted pushed filters are never
+    * re-checked by Spark, so they must hold SPARK semantics over the
+    * scan's OUTPUT column — a foreign dump's ObjectId `_id` reads as its
+    * hex string, and a pushed `_id = '<hex>'` (or an `_id` hex range from
+    * [[graft.plans.ObjectIdRangeRule]]) must keep exactly the rows the
+    * post-read comparison would. Option-level JSON queries keep Mongo
+    * bracket semantics via the plain nodes above.
+    */
+  final case class ReadStrCmp(path: String, s: String, op: ReadStrOp) extends BQuery {
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).flatMap(readString).exists { rs =>
+        val c = rs.compareTo(s)
+        op match {
+          case ReadStrOp.Eq => c == 0
+          case ReadStrOp.Lt => c < 0
+          case ReadStrOp.Lte => c <= 0
+          case ReadStrOp.Gt => c > 0
+          case ReadStrOp.Gte => c >= 0
+        }
+      }
+  }
+  sealed trait ReadStrOp
+  object ReadStrOp {
+    case object Eq extends ReadStrOp
+    case object Lt extends ReadStrOp
+    case object Lte extends ReadStrOp
+    case object Gt extends ReadStrOp
+    case object Gte extends ReadStrOp
+  }
+
+  /** Spark-read-semantics IN over strings (see [[ReadStrCmp]]). */
+  final case class ReadStrIn(path: String, ss: Seq[String]) extends BQuery {
+    @transient private lazy val set = ss.toSet
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).flatMap(readString).exists(set.contains)
+  }
+
+  /** Spark-read-semantics regex (startsWith/endsWith/contains pushdowns)
+    * over the READ-string (see [[ReadStrCmp]]).
+    */
+  final case class ReadStrRegex(path: String, pattern: String) extends BQuery {
+    @transient private lazy val compiled =
+      java.util.regex.Pattern.compile(pattern)
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).flatMap(readString).exists(s => compiled.matcher(s).find())
+  }
+
+  /** True when `s` could be the hex of an ObjectId (24 hex digits). */
+  def isHex24(s: String): Boolean =
+    s.length == 24 && s.forall(c => Character.digit(c, 16) >= 0)
+
+  /** Every stored value whose READ-string equals `s`, as probe values for
+    * shard routing / partition pruning. BRegex is deliberately absent:
+    * its options field makes the probe set unbounded — range callers use
+    * the BRegex(s, *) interval instead, and `_id` routing relies on the
+    * BSON rule that `_id` may not hold a regex (or array/undefined).
+    */
+  def readEqProbes(s: String): Seq[BsonValue] =
+    Seq(BString(s), BSymbol(s)) ++ (if (isHex24(s)) Seq(BObjectId(s)) else Nil)
+
   /** Top-level field heads referenced by a query (for projected decode). */
   def fieldHeads(q: BQuery): Set[String] = q match {
     case Eq(p, _) => Set(p.split('.').head)
@@ -147,6 +201,9 @@ object BQuery {
     case Regex(p, _, _) => Set(p.split('.').head)
     case Exists(p, _) => Set(p.split('.').head)
     case KeyRange(p, _, _) => Set(p.split('.').head)
+    case ReadStrCmp(p, _, _) => Set(p.split('.').head)
+    case ReadStrIn(p, _) => Set(p.split('.').head)
+    case ReadStrRegex(p, _) => Set(p.split('.').head)
     case And(qs) => qs.flatMap(fieldHeads).toSet
     case Or(qs) => qs.flatMap(fieldHeads).toSet
     case True => Set.empty
@@ -199,35 +256,52 @@ object FilterTranslator {
     */
   def translate(f: Filter, m: Map[String, String] = Map.empty): Option[BQuery] = {
     def col(a: String): String = m.getOrElse(a, a)
+    import BQuery.{ReadStrCmp, ReadStrOp}
+    // String comparisons carry SPARK read semantics (ReadStr* nodes): the
+    // scan's string column may be backed by BString/BSymbol/BObjectId/
+    // BRegex storage, and an accepted filter must keep exactly the rows
+    // Spark's own comparison over the READ value would. Non-string values
+    // use the Mongo-bracket nodes (numbers already compare cross-width).
     f match {
       // Spark's `a = NULL` is never true (null-valued predicate filters the
       // row) — push a match-nothing query, not Eq(BNull) which would match
       // docs holding an explicit null
       case EqualTo(_, null) => Some(BQuery.In("_", Seq.empty))
+      case EqualTo(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Eq))
       case EqualTo(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case EqualNullSafe(a, null) => Some(BQuery.Exists(col(a), yes = false))
+      case EqualNullSafe(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Eq))
       case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
+      case GreaterThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gt))
       case GreaterThan(a, v) => toBson(v).map(BQuery.Gt(col(a), _))
+      case GreaterThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gte))
       case GreaterThanOrEqual(a, v) => toBson(v).map(BQuery.Gte(col(a), _))
+      case LessThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lt))
       case LessThan(a, v) => toBson(v).map(BQuery.Lt(col(a), _))
+      case LessThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lte))
       case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(col(a), _))
       case In(a, vs) =>
         // Spark: `a IN (..., NULL)` can never be satisfied BY the null —
         // drop nulls from the list (empty list = matches nothing, which is
         // exactly Spark's result for an all-null list)
-        val bs = vs.toSeq.filter(_ != null).map(toBson)
-        if (bs.forall(_.isDefined)) Some(BQuery.In(col(a), bs.flatten)) else None
+        val nonNull = vs.toSeq.filter(_ != null)
+        if (nonNull.forall(_.isInstanceOf[String]))
+          Some(BQuery.ReadStrIn(col(a), nonNull.map(_.asInstanceOf[String])))
+        else {
+          val bs = nonNull.map(toBson)
+          if (bs.forall(_.isDefined)) Some(BQuery.In(col(a), bs.flatten)) else None
+        }
       case IsNull(a) => Some(BQuery.Exists(col(a), yes = false))
       case IsNotNull(a) => Some(BQuery.Exists(col(a), yes = true))
       // string predicates as anchored regexes (\A/\z, not ^/$ — `$` would
       // also match before a trailing newline, unlike endsWith); missing
       // fields don't match, same as Spark's null-filtering
       case StringStartsWith(a, v) =>
-        Some(BQuery.Regex(col(a), "\\A" + java.util.regex.Pattern.quote(v)))
+        Some(BQuery.ReadStrRegex(col(a), "\\A" + java.util.regex.Pattern.quote(v)))
       case StringEndsWith(a, v) =>
-        Some(BQuery.Regex(col(a), java.util.regex.Pattern.quote(v) + "\\z"))
+        Some(BQuery.ReadStrRegex(col(a), java.util.regex.Pattern.quote(v) + "\\z"))
       case StringContains(a, v) =>
-        Some(BQuery.Regex(col(a), java.util.regex.Pattern.quote(v)))
+        Some(BQuery.ReadStrRegex(col(a), java.util.regex.Pattern.quote(v)))
       case And(l, r) =>
         (translate(l, m), translate(r, m)) match {
           case (Some(x), Some(y)) => Some(BQuery.and(x, y))
@@ -235,6 +309,9 @@ object FilterTranslator {
         }
       case Or(l, r) =>
         for (x <- translate(l, m); y <- translate(r, m)) yield BQuery.Or(Seq(x, y))
+      case Not(EqualTo(a, v: String)) =>
+        Some(BQuery.Or(Seq(ReadStrCmp(col(a), v, ReadStrOp.Lt),
+          ReadStrCmp(col(a), v, ReadStrOp.Gt))))
       case Not(EqualTo(a, v)) =>
         toBson(v).map(b => BQuery.Or(Seq(BQuery.Lt(col(a), b), BQuery.Gt(col(a), b))))
       case _ => None

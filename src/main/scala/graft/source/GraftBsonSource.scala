@@ -292,20 +292,23 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     * PARTIAL: each partition returns its own sorted top-n and Spark's
     * global sort+limit folds them, which is exact because a partition's
     * local top-n is a superset of its contribution to the global one.
-    * Accepted only for a single ASC NULLS FIRST order over a column whose
-    * reader-side order (BsonOrdering over stored values) provably equals
-    * Spark's ascending order over the READ values: numeric / boolean /
-    * timestamp brackets (missing/null sorts first in both). String
-    * columns are refused — ObjectId/Regex storage reads as a string but
-    * sorts in its own BSON bracket, so the local top-n could drop a row
-    * the global order needs. Residual filters also refuse: they run ABOVE
-    * the scan, and a pre-filter top-n might not survive them.
+    * Accepted only for a single ASC NULLS FIRST order; the reader selects
+    * by the value AS SPARK READS it (exact long/µs/double keys — NOT the
+    * BSON cross-type order, whose double-widened long comparison ties
+    * distinct values above 2^53 and sorts date-storage in the wrong
+    * bracket for a LongType read). String columns are refused: a string
+    * read can come from four storage brackets and the read-string order
+    * is not a cursor order any server could produce. Residual filters
+    * also refuse: they run ABOVE the scan, and a pre-filter top-n might
+    * not survive them.
     */
-  private var topN: Option[(String, Int)] = None
+  private var topN: Option[(String, Int, org.apache.spark.sql.types.DataType)] = None
 
+  // FloatType deliberately absent: RowCodec has no BSON -> FloatType read,
+  // so a FloatType column cannot be scanned at all
   private val TopNTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(IntegerType, LongType, DoubleType, FloatType, BooleanType, TimestampType)
+    Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType)
   }
 
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -327,7 +330,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
           if nr.fieldNames.length == 1 =>
         val col = nr.fieldNames.head
         tableSchema.fields.find(_.name == col).filter(f => TopNTypes.contains(f.dataType)) match {
-          case Some(_) => topN = Some((mapping.getOrElse(col, col), n)); true
+          case Some(f) => topN = Some((mapping.getOrElse(col, col), n, f.dataType)); true
           case None => false
         }
       case _ => false
@@ -402,7 +405,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val optionLimit = options.get("limit").map(_.toInt)
     val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
-      offset, aggPushed, topNSort = topN.map(_._1))
+      offset, aggPushed, topNSort = topN.map(t => (t._1, t._3)))
   }
 }
 
@@ -555,7 +558,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     mapping: Map[String, String] = Map.empty,
     offset: Option[Int] = None,
     pushedAgg: Option[Seq[AggPush]] = None,
-    topNSort: Option[String] = None)
+    topNSort: Option[(String, org.apache.spark.sql.types.DataType)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
 
@@ -648,7 +651,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   override def description(): String =
     s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
       pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
-      topNSort.map(k => s", PushedTopN: $k ASC LIMIT ${limit.getOrElse(-1)}").getOrElse("")
+      topNSort.map { case (k, _) =>
+        s", PushedTopN: $k ASC LIMIT ${limit.getOrElse(-1)}" }.getOrElse("")
 
   /** Size estimate from the data files so Catalyst can pick broadcast
     * joins for small collections (the stats role collstats plays in the
@@ -670,7 +674,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     * (MongoInputSplit.java:281) — NOT a global order across partitions,
     * exactly as in the reference; use Spark's orderBy for that.
     */
-  private val sortKey: Option[String] = topNSort.orElse(options.get("sort"))
+  private val sortKey: Option[String] = topNSort.map(_._1).orElse(options.get("sort"))
 
   /** Plan one collection's partitions under a given strategy — shared by
     * the single-collection path and each entry of multi-collection mode
@@ -682,17 +686,22 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       splitSize: Long, key: String, minDocs: Long, filterEmpty: Boolean,
       q: BQuery, lim: Option[Int], sort: Option[String],
       off: Option[Int],
-      runtimeKeyValues: Option[Seq[BsonValue]] = None): Seq[InputPartition] = strategy match {
+      runtimeKeyValues: Option[Seq[BsonValue]] = None): Seq[InputPartition] = {
+    // a pushed TopN selects by the READ value of its order column; plain
+    // `sort`-option partitions keep the BSON cursor order
+    val readType = topNSort.collect { case (k, dt) if sort.contains(k) => dt }
+    strategy match {
     case "bytes" =>
       files.flatMap { f =>
         BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
-          GraftInputPartition(f, s, e, q, lim, mapping, sort): InputPartition
+          GraftInputPartition(f, s, e, q, lim, mapping, sort,
+            topNType = readType): InputPartition
         }
       }
     case "single" =>
       files.map(f =>
         GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
-          offset = off): InputPartition)
+          offset = off, topNType = readType): InputPartition)
     case other =>
       // key-range strategies via the pure planners + file-backed stats;
       // chunk/shard maps arrive as option-level JSON (the config.chunks /
@@ -708,9 +717,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           filterEmpty = filterEmpty, runtimeKeyValues = runtimeKeyValues)
           .map { case (pq, locs) =>
             GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
-              locations = locs): InputPartition
+              locations = locs, topNType = readType): InputPartition
           }
       }
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -770,19 +780,23 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
             else 1
           if (nShards <= 1) files
           else {
-            def owners(v: BsonValue): Seq[String] = {
-              val probes = v +: (v match {
-                case BString(s) if s.length == 24 &&
-                    s.forall(c => Character.digit(c, 16) >= 0) =>
-                  Seq(BObjectId(s))
-                case _ => Seq.empty
-              })
-              probes.map(p => graft.store.BsonCollection.shardPath(dir, nShards,
-                graft.store.ShardRouting.idShard(p, nShards)).toString).distinct
+            // every stored _id a point value could equal: a read-semantics
+            // string probes all string-reading storages (BSON forbids a
+            // regex _id, so the probe set is complete); a typed Mongo
+            // string also matches symbol storage (same bracket)
+            def probesOf(v: BsonValue): Seq[BsonValue] = v match {
+              case BString(s) => BQuery.readEqProbes(s)
+              case other => Seq(other)
             }
+            def owners(probes: Seq[BsonValue]): Set[String] =
+              probes.map(p => graft.store.BsonCollection.shardPath(dir, nShards,
+                graft.store.ShardRouting.idShard(p, nShards)).toString).toSet
             val eqOwned = graft.store.BsonCollection.idEquality(query)
-              .map(v => owners(v).toSet)
-            val rtOwned = rt.get("_id").map(_.flatMap(owners).toSet)
+              .map(v => owners(probesOf(v)))
+              .orElse(graft.store.BsonCollection.idReadEquality(query)
+                .map(s => owners(BQuery.readEqProbes(s))))
+            val rtOwned = rt.get("_id").map(vs => vs.flatMap(probesOf))
+              .map(owners)
             Seq(eqOwned, rtOwned).flatten
               .foldLeft(files)((fs, owned) => fs.filter(owned))
           }
@@ -790,9 +804,13 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         // row-level runtime narrowing: the IN-set joins AND-composed into
         // the per-partition query (rows it drops are exactly the rows the
         // join above would drop); the split-key values additionally prune
-        // whole key-range partitions inside Planners.plan
+        // whole key-range partitions inside Planners.plan. String values
+        // use Spark-read semantics (the join compares READ values)
         val rtQuery = rt.foldLeft(BQuery.True: BQuery) { case (acc, (f, vs)) =>
-          BQuery.and(acc, BQuery.In(f, vs))
+          val strs = vs.collect { case BString(s) => s }
+          BQuery.and(acc,
+            if (strs.size == vs.size) BQuery.ReadStrIn(f, strs)
+            else BQuery.In(f, vs))
         }
         planCollection(routed, defStrategy, defSplitSize, defKey, defMinDocs,
           defFilterEmpty, BQuery.and(query, rtQuery), limit, sortKey, offset,
@@ -1063,7 +1081,10 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
     mapping: Map[String, String] = Map.empty,
     sortKey: Option[String] = None,
     locations: Seq[String] = Seq.empty,
-    offset: Option[Int] = None) extends InputPartition {
+    offset: Option[Int] = None,
+    /** Set for a pushed TopN: order by the value AS SPARK READS it (this
+      * Spark type), with a limit-bounded selection buffer. */
+    topNType: Option[org.apache.spark.sql.types.DataType] = None) extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
     */
@@ -1094,11 +1115,18 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
   private val base = raw.filter(p.query.matches)
   // per-PARTITION sort (the reference's cursor.sort semantics,
   // MongoInputSplit.java:281 — explicitly NOT a global order; use
-  // Spark's own orderBy for that)
-  private val sorted = p.sortKey match {
-    case Some(key) =>
+  // Spark's own orderBy for that). A pushed TopN instead selects by the
+  // READ value with a limit-bounded heap — BsonOrdering's cross-type
+  // order would tie distinct longs above 2^53 (double-widened compare)
+  // and mis-bracket date storage read as long, and a full sort would
+  // materialize the partition when only `limit` rows survive.
+  private val sorted = (p.sortKey, p.topNType) match {
+    case (Some(key), Some(dt)) =>
+      GraftPartitionReader.topNSelect(base, key, dt,
+        p.limit.getOrElse(Int.MaxValue))
+    case (Some(key), None) =>
       base.toVector.sortBy(d => d.getPath(key).getOrElse(BNull))(BsonOrdering).iterator
-    case None => base
+    case _ => base
   }
   // offset (skip) BEFORE limit — planInputPartitions only carries offset on
   // provably-single-partition scans, where skip-then-take is globally exact
@@ -1113,6 +1141,69 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
 
   override def get(): InternalRow = current
   override def close(): Unit = raw.close()
+}
+
+object GraftPartitionReader {
+  import org.apache.spark.sql.types._
+
+  /** The sort key AS SPARK READS the stored value (mirrors RowCodec's
+    * conversions for the TopN-eligible types); None sorts first (ASC
+    * NULLS FIRST). Storage RowCodec would reject throws here too — the
+    * read was going to fail on the same doc anyway.
+    */
+  private def readKey(v: BsonValue, dt: DataType): Any = (dt: @unchecked) match {
+    case DoubleType => v match {
+      case BInt32(x) => x.toDouble
+      case BInt64(x) => x.toDouble
+      case BDouble(x) => x
+      case other => throw new IllegalArgumentException(
+        s"cannot read BSON $other as Spark type $dt")
+    }
+    case IntegerType | LongType | BooleanType | TimestampType => v match {
+      case BInt32(x) => x.toLong
+      case BInt64(x) if dt == LongType => x
+      case BDate(ms) if dt == LongType => ms
+      case BDate(ms) if dt == TimestampType => ms * 1000L
+      case BTimestamp(s, _) if dt == TimestampType => s.toLong * 1000000L
+      case BBool(b) if dt == BooleanType => if (b) 1L else 0L
+      case other => throw new IllegalArgumentException(
+        s"cannot read BSON $other as Spark type $dt")
+    }
+  }
+
+  private def cmpKeys(dt: DataType, a: Option[Any], b: Option[Any]): Int = (a, b) match {
+    case (None, None) => 0
+    case (None, _) => -1
+    case (_, None) => 1
+    case (Some(x), Some(y)) =>
+      if (dt == DoubleType)
+        java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double])
+      else java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  }
+
+  /** Bounded top-n selection: O(m log n) time, O(n) memory — never
+    * materializes the partition the way a full sort would.
+    */
+  private[source] def topNSelect(docs: Iterator[BDoc], key: String,
+      dt: DataType, n: Int): Iterator[BDoc] = {
+    val heap = new java.util.PriorityQueue[(Option[Any], BDoc)](
+      math.max(1, math.min(n, 1024)),
+      (a: (Option[Any], BDoc), b: (Option[Any], BDoc)) =>
+        cmpKeys(dt, b._1, a._1)) // max-heap: worst kept element on top
+    docs.foreach { d =>
+      val k = d.getPath(key) match {
+        case None | Some(BNull) => None
+        case Some(v) => Some(readKey(v, dt))
+      }
+      if (heap.size < n) heap.add((k, d))
+      else if (cmpKeys(dt, k, heap.peek()._1) < 0) { heap.poll(); heap.add((k, d)) }
+    }
+    val out = new Array[(Option[Any], BDoc)](heap.size)
+    var i = 0
+    while (!heap.isEmpty) { out(i) = heap.poll(); i += 1 }
+    // heap drains worst-first; reverse-in-place gives ascending order
+    out.reverse.iterator.map(_._2)
+  }
 }
 
 // ---------------- write path ----------------

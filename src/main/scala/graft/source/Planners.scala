@@ -142,9 +142,7 @@ object Planners {
     */
   def rangeMayHoldReadEq(r: BQuery.KeyRange, v: BsonValue): Boolean = v match {
     case BString(s) =>
-      r.containsValue(v) ||
-        (s.length == 24 && s.forall(c => Character.digit(c, 16) >= 0) &&
-          r.containsValue(BObjectId(s))) ||
+      BQuery.readEqProbes(s).exists(r.containsValue) ||
         (r.lo.forall(l => BsonOrdering.compare(l, BRegex(s, "\uffff")) <= 0) &&
           r.hi.forall(h => BsonOrdering.compare(h, BRegex(s, "")) > 0))
     case other => r.containsValue(other)

@@ -179,6 +179,15 @@ object BsonCollection {
     case _ => None
   }
 
+  /** The Spark-read-semantics `_id` string-equality conjunct (produced by
+    * the pushed-filter translator), if any.
+    */
+  private[graft] def idReadEquality(q: BQuery): Option[String] = q match {
+    case BQuery.ReadStrCmp("_id", s, BQuery.ReadStrOp.Eq) => Some(s)
+    case BQuery.And(qs) => qs.iterator.map(idReadEquality).collectFirst { case Some(s) => s }
+    case _ => None
+  }
+
   /** Map keys that could hold a doc whose `_id` EQUALS `v` under BSON
     * comparison semantics: numbers compare cross-width (BInt32(5) ==
     * BInt64(5)), so a point lookup must probe every exactly-equal-valued

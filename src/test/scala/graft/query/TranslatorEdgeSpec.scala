@@ -62,7 +62,7 @@ class TranslatorEdgeSpec extends AnyFunSuite {
       StringStartsWith("s", "a"),
       GreaterThan("ts", java.sql.Timestamp.valueOf("2024-01-02 03:04:05.1234567"))))
     assert(accepted.length === 1 && residual.length === 1)
-    assert(q.isInstanceOf[BQuery.Regex])
+    assert(q.isInstanceOf[BQuery.ReadStrRegex])
   }
 
   test("pushed string predicates see ObjectId/Symbol/Regex storage as the read-string") {
@@ -88,8 +88,12 @@ class TranslatorEdgeSpec extends AnyFunSuite {
     assert(peq.matches(BDoc("p" -> BRegex("abc.*", "i"))))
 
     // typed (option-level JSON) queries keep Mongo bracket semantics: an
-    // explicit $oid value matches ONLY ObjectId storage
+    // explicit $oid value matches ONLY ObjectId storage, and a plain
+    // string value matches ONLY string/symbol storage (the read-string
+    // departure lives in the ReadStr* nodes only the TRANSLATOR emits)
     assert(BQuery.Eq("_id", BObjectId(hex)).matches(BDoc("_id" -> BObjectId(hex))))
     assert(!BQuery.Eq("_id", BObjectId(hex)).matches(BDoc("_id" -> BString(hex))))
+    assert(!BQuery.Eq("_id", BString(hex)).matches(BDoc("_id" -> BObjectId(hex))))
+    assert(!BQuery.Regex("p", "ab").matches(BDoc("p" -> BRegex("abc", ""))))
   }
 }

@@ -59,6 +59,27 @@ class TopNPushdownSpec extends SparkSpec {
     assert(optSorted.count() == 5)
   }
 
+  test("longs above 2^53 keep exact order (no double-widened compare)") {
+    import graft.bson._
+    import graft.files.BsonFiles
+    val dir = freshDir()
+    // distinct longs that COMPARE EQUAL as doubles — the BSON cross-type
+    // order widens longs to double, so selecting with it could keep the
+    // wrong row; the pushed top-n must select by the exact read value
+    val big = 1L << 53
+    val docs = Seq(
+      BDoc("_id" -> BInt64(1L), "v" -> BInt64(big + 1L)),
+      BDoc("_id" -> BInt64(2L), "v" -> BInt64(big)),
+      BDoc("_id" -> BInt64(3L), "v" -> BInt64(big + 3L)))
+    BsonFiles.write(s"$dir/data.bson", docs.iterator)
+    import spark.implicits._
+    val df = spark.read.format("graftbson").load(dir)
+    val q = df.orderBy($"v").limit(1).select($"_id", $"v")
+    assert(planOf(q).contains("PushedTopN"), planOf(q))
+    val row = q.head()
+    assert((row.getLong(0), row.getLong(1)) == (2L, big), row.toString)
+  }
+
   test("nulls-first semantics: missing keys come first, matching Spark") {
     import graft.bson._
     import graft.files.BsonFiles
