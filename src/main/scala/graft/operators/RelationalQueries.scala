@@ -532,19 +532,7 @@ object RelationalQueries {
             $"ts".cast("long").as("sec"))
         val inc = ev.filter($"event_type" === "error")
           .select($"user_id", $"sec".as("st"))
-        // each window [st, st+W) covers bins st div W and (st+W-1) div W —
-        // array_distinct collapses the aligned case; the bin width MUST
-        // stay the window length or windows span >2 bins
-        val bins = inc.select($"user_id", $"st",
-          explode(array_distinct(array(
-            expr(s"st div $winSec"),
-            expr(s"(st + ${winSec - 1}) div $winSec")))).as("bin"))
-        val flagged = ev.as("e")
-          .join(bins.as("i"),
-            $"e.user_id" === $"i.user_id" &&
-              expr(s"e.sec div $winSec") === $"i.bin" &&
-              $"e.sec" >= $"i.st" && $"e.sec" < $"i.st" + winSec,
-            "left_semi")
+        val flagged = IntervalJoin.flag(ev, inc, winSec)
         val tot = ev.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
         val flg = flagged.groupBy($"event_type").agg(count(lit(1)).as("n_flagged"))
         tot.join(flg, Seq("event_type"), "left")

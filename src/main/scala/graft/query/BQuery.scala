@@ -137,9 +137,16 @@ object BQuery {
     * bracket semantics via the plain nodes above.
     */
   final case class ReadStrCmp(path: String, s: String, op: ReadStrOp) extends BQuery {
+    // Spark orders strings by UTF-8 BYTES (code-point order); Java's
+    // String.compareTo is UTF-16 code-unit order and disagrees for
+    // supplementary characters vs U+E000..U+FFFF — an accepted filter
+    // compared the Java way would silently keep/drop the wrong rows
+    @transient private lazy val target =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
     def matches(d: BDoc): Boolean =
       d.getPath(path).flatMap(readString).exists { rs =>
-        val c = rs.compareTo(s)
+        val c = org.apache.spark.unsafe.types.UTF8String.fromString(rs)
+          .compareTo(target)
         op match {
           case ReadStrOp.Eq => c == 0
           case ReadStrOp.Lt => c < 0
@@ -175,6 +182,46 @@ object BQuery {
       d.getPath(path).flatMap(readString).exists(s => compiled.matcher(s).find())
   }
 
+  /** The long Spark READS for a stored value under a LongType column
+    * (RowCodec.toCatalyst: int/long widths and BDate milliseconds; other
+    * storage is unreadable as long and never matches).
+    */
+  private[query] def readLong(v: BsonValue): Option[Long] = v match {
+    case BInt32(x) => Some(x.toLong)
+    case BInt64(x) => Some(x)
+    case BDate(ms) => Some(ms)
+    case _ => None
+  }
+
+  /** Spark-read-semantics comparison for LONG literals: a LongType
+    * column may be backed by int/long OR BDate storage (RowCodec reads
+    * BDate as its milliseconds), and date storage sits in a different
+    * BSON bracket than numbers — a bracketed `Eq(BInt64)` silently
+    * drops the date-backed rows an accepted filter must keep. Produced
+    * ONLY by [[FilterTranslator]] / the runtime-filter path, like
+    * [[ReadStrCmp]].
+    */
+  final case class ReadLongCmp(path: String, x: Long, op: ReadStrOp) extends BQuery {
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).flatMap(readLong).exists { rl =>
+        val c = java.lang.Long.compare(rl, x)
+        op match {
+          case ReadStrOp.Eq => c == 0
+          case ReadStrOp.Lt => c < 0
+          case ReadStrOp.Lte => c <= 0
+          case ReadStrOp.Gt => c > 0
+          case ReadStrOp.Gte => c >= 0
+        }
+      }
+  }
+
+  /** Spark-read-semantics IN over longs (see [[ReadLongCmp]]). */
+  final case class ReadLongIn(path: String, xs: Seq[Long]) extends BQuery {
+    @transient private lazy val set = xs.toSet
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).flatMap(readLong).exists(set.contains)
+  }
+
   /** True when `s` could be the hex of an ObjectId (24 hex digits). */
   def isHex24(s: String): Boolean =
     s.length == 24 && s.forall(c => Character.digit(c, 16) >= 0)
@@ -204,6 +251,8 @@ object BQuery {
     case ReadStrCmp(p, _, _) => Set(p.split('.').head)
     case ReadStrIn(p, _) => Set(p.split('.').head)
     case ReadStrRegex(p, _) => Set(p.split('.').head)
+    case ReadLongCmp(p, _, _) => Set(p.split('.').head)
+    case ReadLongIn(p, _) => Set(p.split('.').head)
     case And(qs) => qs.flatMap(fieldHeads).toSet
     case Or(qs) => qs.flatMap(fieldHeads).toSet
     case True => Set.empty
@@ -256,29 +305,38 @@ object FilterTranslator {
     */
   def translate(f: Filter, m: Map[String, String] = Map.empty): Option[BQuery] = {
     def col(a: String): String = m.getOrElse(a, a)
-    import BQuery.{ReadStrCmp, ReadStrOp}
-    // String comparisons carry SPARK read semantics (ReadStr* nodes): the
-    // scan's string column may be backed by BString/BSymbol/BObjectId/
-    // BRegex storage, and an accepted filter must keep exactly the rows
-    // Spark's own comparison over the READ value would. Non-string values
-    // use the Mongo-bracket nodes (numbers already compare cross-width).
+    import BQuery.{ReadLongCmp, ReadStrCmp, ReadStrOp}
+    // String and LONG comparisons carry SPARK read semantics (ReadStr*/
+    // ReadLong* nodes): a string column may be backed by BString/BSymbol/
+    // BObjectId/BRegex storage and a LongType column by int/long OR BDate
+    // storage, and an accepted filter must keep exactly the rows Spark's
+    // own comparison over the READ value would. Other values use the
+    // Mongo-bracket nodes (int/double literals: every readable storage is
+    // in the number bracket, which compares cross-width; timestamp
+    // literals: BDate compares against both date-bracket storages).
     f match {
       // Spark's `a = NULL` is never true (null-valued predicate filters the
       // row) — push a match-nothing query, not Eq(BNull) which would match
       // docs holding an explicit null
       case EqualTo(_, null) => Some(BQuery.In("_", Seq.empty))
       case EqualTo(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Eq))
+      case EqualTo(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Eq))
       case EqualTo(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case EqualNullSafe(a, null) => Some(BQuery.Exists(col(a), yes = false))
       case EqualNullSafe(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Eq))
+      case EqualNullSafe(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Eq))
       case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case GreaterThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gt))
+      case GreaterThan(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Gt))
       case GreaterThan(a, v) => toBson(v).map(BQuery.Gt(col(a), _))
       case GreaterThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gte))
+      case GreaterThanOrEqual(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Gte))
       case GreaterThanOrEqual(a, v) => toBson(v).map(BQuery.Gte(col(a), _))
       case LessThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lt))
+      case LessThan(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Lt))
       case LessThan(a, v) => toBson(v).map(BQuery.Lt(col(a), _))
       case LessThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lte))
+      case LessThanOrEqual(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Lte))
       case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(col(a), _))
       case In(a, vs) =>
         // Spark: `a IN (..., NULL)` can never be satisfied BY the null —
@@ -287,6 +345,8 @@ object FilterTranslator {
         val nonNull = vs.toSeq.filter(_ != null)
         if (nonNull.forall(_.isInstanceOf[String]))
           Some(BQuery.ReadStrIn(col(a), nonNull.map(_.asInstanceOf[String])))
+        else if (nonNull.forall(_.isInstanceOf[Long]))
+          Some(BQuery.ReadLongIn(col(a), nonNull.map(_.asInstanceOf[Long])))
         else {
           val bs = nonNull.map(toBson)
           if (bs.forall(_.isDefined)) Some(BQuery.In(col(a), bs.flatten)) else None
@@ -312,6 +372,9 @@ object FilterTranslator {
       case Not(EqualTo(a, v: String)) =>
         Some(BQuery.Or(Seq(ReadStrCmp(col(a), v, ReadStrOp.Lt),
           ReadStrCmp(col(a), v, ReadStrOp.Gt))))
+      case Not(EqualTo(a, v: Long)) =>
+        Some(BQuery.Or(Seq(ReadLongCmp(col(a), v, ReadStrOp.Lt),
+          ReadLongCmp(col(a), v, ReadStrOp.Gt))))
       case Not(EqualTo(a, v)) =>
         toBson(v).map(b => BQuery.Or(Seq(BQuery.Lt(col(a), b), BQuery.Gt(col(a), b))))
       case _ => None

@@ -185,14 +185,32 @@ object GraftBsonSource {
         val matched = walkTree(basePath, _ => true)
           .filter(f => matcher.matches(basePath.relativize(Paths.get(f))))
         // a glob can land inside a collection dir mid-torn-promote just
-        // like the directory branch — roll forward per parent dir, then
-        // re-walk so the promoted names are what the scan reads
-        val parents = matched.map(f => Paths.get(f).getParent).distinct
-        // map-then-exists, NOT exists: every parent dir must recover,
-        // not just the first one holding a manifest
-        val recovered = parents
-          .map(d => d != null && graft.store.ShardApply.recoverPromote(d.toString))
-          .exists(identity)
+        // like the directory branch — roll forward EVERY (non-hidden)
+        // directory under the base, then re-walk so the promoted names
+        // are what the scan reads. Recovering only the parents of
+        // already-matched files would miss a collection whose crash
+        // predates its first visible data file (first-ever commit died
+        // before any shard rename): it has a manifest but zero matches
+        val recovered = {
+          def hiddenUnder(p: java.nio.file.Path): Boolean = {
+            val rel = basePath.relativize(p)
+            (0 until rel.getNameCount).exists { i =>
+              val n = rel.getName(i).toString
+              n.startsWith(".") || n.startsWith("_")
+            }
+          }
+          val s = Files.walk(basePath)
+          try {
+            val it = s.iterator()
+            var any = false
+            while (it.hasNext) {
+              val p = it.next()
+              if (Files.isDirectory(p) && !hiddenUnder(p))
+                any = graft.store.ShardApply.recoverPromote(p.toString) || any
+            }
+            any
+          } finally s.close()
+        }
         if (recovered)
           walkTree(basePath, _ => true)
             .filter(f => matcher.matches(basePath.relativize(Paths.get(f))))
@@ -794,7 +812,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
             val eqOwned = graft.store.BsonCollection.idEquality(query)
               .map(v => owners(probesOf(v)))
               .orElse(graft.store.BsonCollection.idReadEquality(query)
-                .map(s => owners(BQuery.readEqProbes(s))))
+                .map(v => owners(probesOf(v))))
             val rtOwned = rt.get("_id").map(vs => vs.flatMap(probesOf))
               .map(owners)
             Seq(eqOwned, rtOwned).flatten
@@ -808,8 +826,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         // use Spark-read semantics (the join compares READ values)
         val rtQuery = rt.foldLeft(BQuery.True: BQuery) { case (acc, (f, vs)) =>
           val strs = vs.collect { case BString(s) => s }
+          val longs = vs.collect { case BInt64(x) => x }
           BQuery.and(acc,
             if (strs.size == vs.size) BQuery.ReadStrIn(f, strs)
+            else if (longs.size == vs.size) BQuery.ReadLongIn(f, longs)
             else BQuery.In(f, vs))
         }
         planCollection(routed, defStrategy, defSplitSize, defKey, defMinDocs,
@@ -1159,13 +1179,21 @@ object GraftPartitionReader {
       case other => throw new IllegalArgumentException(
         s"cannot read BSON $other as Spark type $dt")
     }
-    case IntegerType | LongType | BooleanType | TimestampType => v match {
+    case IntegerType | LongType => v match {
       case BInt32(x) => x.toLong
       case BInt64(x) if dt == LongType => x
       case BDate(ms) if dt == LongType => ms
-      case BDate(ms) if dt == TimestampType => ms * 1000L
-      case BTimestamp(s, _) if dt == TimestampType => s.toLong * 1000000L
-      case BBool(b) if dt == BooleanType => if (b) 1L else 0L
+      case other => throw new IllegalArgumentException(
+        s"cannot read BSON $other as Spark type $dt")
+    }
+    case TimestampType => v match {
+      case BDate(ms) => ms * 1000L
+      case BTimestamp(s, _) => s.toLong * 1000000L
+      case other => throw new IllegalArgumentException(
+        s"cannot read BSON $other as Spark type $dt")
+    }
+    case BooleanType => v match {
+      case BBool(b) => if (b) 1L else 0L
       case other => throw new IllegalArgumentException(
         s"cannot read BSON $other as Spark type $dt")
     }

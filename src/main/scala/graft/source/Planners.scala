@@ -1,6 +1,6 @@
 package graft.source
 
-import graft.bson.{BDoc, BObjectId, BRegex, BString, BsonOrdering, BsonValue}
+import graft.bson.{BDate, BDoc, BInt64, BObjectId, BRegex, BString, BsonOrdering, BsonValue}
 import graft.query.BQuery
 
 /** Pure partition-planning strategies — the Spark-side analog of the
@@ -145,6 +145,10 @@ object Planners {
       BQuery.readEqProbes(s).exists(r.containsValue) ||
         (r.lo.forall(l => BsonOrdering.compare(l, BRegex(s, "\uffff")) <= 0) &&
           r.hi.forall(h => BsonOrdering.compare(h, BRegex(s, "")) > 0))
+    // a LongType runtime value may match BDate storage (RowCodec reads a
+    // date as its milliseconds under a LongType column) \u2014 probe both
+    // brackets
+    case BInt64(x) => r.containsValue(BInt64(x)) || r.containsValue(BDate(x))
     case other => r.containsValue(other)
   }
 

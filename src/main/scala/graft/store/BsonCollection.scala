@@ -179,12 +179,16 @@ object BsonCollection {
     case _ => None
   }
 
-  /** The Spark-read-semantics `_id` string-equality conjunct (produced by
-    * the pushed-filter translator), if any.
+  /** The Spark-read-semantics `_id` equality conjunct (produced by the
+    * pushed-filter translator), if any, as a representative value — the
+    * caller derives the storage probe set (a read-long equality routes by
+    * BInt64: BDate storage hashes identically in ShardRouting.idShard,
+    * both by the raw long).
     */
-  private[graft] def idReadEquality(q: BQuery): Option[String] = q match {
-    case BQuery.ReadStrCmp("_id", s, BQuery.ReadStrOp.Eq) => Some(s)
-    case BQuery.And(qs) => qs.iterator.map(idReadEquality).collectFirst { case Some(s) => s }
+  private[graft] def idReadEquality(q: BQuery): Option[BsonValue] = q match {
+    case BQuery.ReadStrCmp("_id", s, BQuery.ReadStrOp.Eq) => Some(BString(s))
+    case BQuery.ReadLongCmp("_id", x, BQuery.ReadStrOp.Eq) => Some(BInt64(x))
+    case BQuery.And(qs) => qs.iterator.map(idReadEquality).collectFirst { case Some(v) => v }
     case _ => None
   }
 

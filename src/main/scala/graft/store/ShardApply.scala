@@ -256,35 +256,59 @@ object ShardApply {
     * lost race on any rename means another recoverer just promoted that
     * shard. Returns true when a manifest was found and processed.
     *
-    * CLAIM-then-process, never read-then-delete: a recoverer first
-    * atomically renames the canonical manifest to `.recovering` and only
-    * ever deletes the file it processed. Deleting by canonical name
-    * after an unguarded read would race a NEWER commit: read manifest A,
-    * stall, coordinator finishes A and writes commit B's manifest,
-    * resume, delete — destroying B's roll-forward record while B's
-    * rename loop is still running. With the claim, a stale recoverer
-    * holds (and later deletes) only its claimed copy of A. A recoverer
-    * that crashes mid-processing leaves the `.recovering` file, which
-    * the next call rolls forward FIRST — the record survives until
-    * whoever deletes it has completed every entry.
+    * CLAIM-then-process with UNIQUE claim names, never read-then-delete:
+    * a recoverer atomically renames the record it will process to its
+    * OWN `.recovering.<nonce>` file and only ever deletes that file —
+    * so no recoverer can delete a record another one is processing.
+    * (A fixed `.recovering` name was still racy one level down: a stale
+    * recoverer that had read the shared claim could delete it by name
+    * AFTER a newer commit's manifest had been claimed into it, erasing
+    * that commit's roll-forward record.) A claim abandoned by a crashed
+    * — or merely slow — recoverer is taken over the same way: the
+    * atomic rename guarantees one owner per record, entries are
+    * idempotent under re-processing, and the slow owner's eventual
+    * delete of its own (now gone) file is a harmless no-op. A record is
+    * deleted only by an owner that completed every entry.
     */
   def recoverPromote(collectionDir: String): Boolean = {
-    val manifest = Paths.get(collectionDir).resolve(PromoteManifest)
-    val claimed = Paths.get(collectionDir).resolve(RecoveringManifest)
-    // 1. finish (or assist) a previously interrupted recovery
-    var did = processManifestFile(claimed)
-    // 2. claim the canonical manifest, then process the claimed copy; a
-    //    lost rename race means another recoverer owns it — not ours
-    if (Files.exists(manifest)) {
-      val won =
-        try { Files.move(manifest, claimed, StandardCopyOption.ATOMIC_MOVE); true }
-        catch {
-          case _: java.nio.file.NoSuchFileException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      if (won) did = processManifestFile(claimed) || did
-    }
+    val dir = Paths.get(collectionDir)
+    val manifest = dir.resolve(PromoteManifest)
+    var did = false
+    // 1. take over abandoned (or in-flight) claims
+    val leftovers =
+      try {
+        val s = Files.list(dir)
+        try {
+          val it = s.iterator()
+          val buf = List.newBuilder[Path]
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.startsWith(RecoveringManifest)) buf += p
+          }
+          buf.result()
+        } finally s.close()
+      } catch { case _: java.io.IOException => Nil }
+    for (p <- leftovers; own <- claimTo(p, dir))
+      did = processManifestFile(own) || did
+    // 2. claim the canonical manifest; a lost rename race means another
+    //    recoverer owns it — not ours
+    if (Files.exists(manifest))
+      for (own <- claimTo(manifest, dir))
+        did = processManifestFile(own) || did
     did
+  }
+
+  /** Atomically take ownership of a promote record under a fresh unique
+    * name; None = someone else won the race (or it was already gone).
+    */
+  private def claimTo(src: Path, dir: Path): Option[Path] = {
+    val own = dir.resolve(
+      RecoveringManifest + "." + java.util.UUID.randomUUID().toString.take(8))
+    try { Files.move(src, own, StandardCopyOption.ATOMIC_MOVE); Some(own) }
+    catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.nio.file.FileAlreadyExistsException => None
+    }
   }
 
   /** Roll every entry of one manifest file forward, then delete it.

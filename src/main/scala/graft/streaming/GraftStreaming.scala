@@ -218,31 +218,16 @@ object GraftStreaming {
 
   /** A streaming document for near-dup detection. */
   /** Streaming form of the batch binned interval join (q63): flag each
-    * incoming event that falls inside any STATIC incident window
-    * [st, st+winSec) of the same user. The time axis is binned at the
-    * window length, so a window covers at most two bins and the
-    * stream-static join stays a LEFT SEMI EQUI-join on (user_id, bin)
-    * with the range test as a residual condition — an inequality-only
-    * spelling would nested-loop the static side every micro-batch.
-    * `events` needs columns (user_id, sec); `incidents` (user_id, st).
+    * incoming event (user_id, sec) that falls inside any STATIC incident
+    * window [st, st+winSec) of the same user. Delegates to the shared
+    * [[graft.operators.IntervalJoin]] — the stream-static LEFT SEMI
+    * equi-join never nested-loops the static side per micro-batch.
     */
   def streamingIntervalFlag(
       events: org.apache.spark.sql.DataFrame,
       incidents: org.apache.spark.sql.DataFrame,
-      winSec: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val bins = incidents.select(
-      col("user_id").as("i_user"), col("st"),
-      explode(array_distinct(array(
-        expr(s"st div $winSec"),
-        expr(s"(st + ${winSec - 1}) div $winSec")))).as("i_bin"))
-    val binned = events.withColumn("bin", expr(s"sec div $winSec"))
-    binned.join(bins,
-      binned("user_id") === bins("i_user") && binned("bin") === bins("i_bin") &&
-        binned("sec") >= bins("st") && binned("sec") < bins("st") + lit(winSec),
-      "left_semi")
-      .drop("bin")
-  }
+      winSec: Long): org.apache.spark.sql.DataFrame =
+    graft.operators.IntervalJoin.flag(events, incidents, winSec)
 
   final case class NearDupDoc(docId: Long, text: String)
 

@@ -87,6 +87,28 @@ class TranslatorEdgeSpec extends AnyFunSuite {
     val peq = FilterTranslator.translate(EqualTo("p", "abc.*")).get
     assert(peq.matches(BDoc("p" -> BRegex("abc.*", "i"))))
 
+    // long literals read-match BDate storage (RowCodec reads a date as
+    // its milliseconds under a LongType column) alongside the int widths
+    val leq = FilterTranslator.translate(EqualTo("t", 12345L)).get
+    assert(leq.matches(BDoc("t" -> BDate(12345L))))
+    assert(leq.matches(BDoc("t" -> BInt64(12345L))))
+    assert(leq.matches(BDoc("t" -> BInt32(12345))))
+    assert(!leq.matches(BDoc("t" -> BDate(1L))))
+    val lgt = FilterTranslator.translate(GreaterThan("t", 100L)).get
+    assert(lgt.matches(BDoc("t" -> BDate(150L))))
+    assert(!lgt.matches(BDoc("t" -> BDate(50L))))
+    assert(!lgt.matches(BDoc("t" -> BDouble(150.0))),
+      "double storage is unreadable as long — read semantics never match it")
+
+    // string ranges compare in UTF-8 BYTE order (Spark's), not Java's
+    // UTF-16 code-unit order: U+FFFD < U+1F600 by code point although
+    // 0xFFFD > 0xD83D by code unit
+    val sup = "😀" // U+1F600
+    val sgt = FilterTranslator.translate(GreaterThan("s", sup)).get
+    assert(!sgt.matches(BDoc("s" -> BString("�"))))
+    val slt = FilterTranslator.translate(LessThan("s", sup)).get
+    assert(slt.matches(BDoc("s" -> BString("�"))))
+
     // typed (option-level JSON) queries keep Mongo bracket semantics: an
     // explicit $oid value matches ONLY ObjectId storage, and a plain
     // string value matches ONLY string/symbol storage (the read-string

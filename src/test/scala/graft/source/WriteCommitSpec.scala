@@ -439,6 +439,54 @@ class WriteCommitSpec extends SparkSpec {
     assert(vs.size === 10 && vs.forall(_ === BInt64(1L)))
   }
 
+  test("glob scan recovers a collection that crashed before its FIRST shard rename") {
+    import graft.store.{BulkResult, ShardApply}
+    val root = freshDir()
+    val dir = s"$root/fresh"
+    Files.createDirectories(Paths.get(dir))
+    // first-ever commit: stage written and manifest durable, crash before
+    // ANY rename — no shard file exists, so a glob matches NOTHING and
+    // parent-of-matched-files recovery could never find this collection
+    val data = s"$dir/shard-00000.bson"
+    val stage = s"$dir/.graft-stage-test.bson"
+    graft.files.BsonFiles.write(stage,
+      Iterator(BDoc("_id" -> BInt32(1), "v" -> BInt64(7L))))
+    ShardApply.writeManifest(dir,
+      Seq(ShardApply.Staged(0, data, stage, BulkResult.empty)))
+    val files = GraftBsonSource.dataFiles(s"$root/*/shard-*.bson")
+    assert(files == Seq(data),
+      s"zero-match glob must still roll the fresh collection forward, got $files")
+    assert(!Files.exists(Paths.get(dir, ShardApply.PromoteManifest)))
+  }
+
+  test("a stale recoverer cannot delete a newer claimed record (unique claim names)") {
+    import graft.store.{BulkResult, ShardApply}
+    val dir = freshDir()
+    // an abandoned claim under the legacy fixed name AND a new canonical
+    // manifest coexist; recovery must process BOTH without either's
+    // deletion erasing the other (claims are taken over under unique
+    // names, so no two owners ever share a path)
+    val dataA = s"$dir/shard-00000.bson"
+    val stageA = s"$dir/.graft-stage-a.bson"
+    graft.files.BsonFiles.write(stageA,
+      Iterator(BDoc("_id" -> BInt32(1), "v" -> BInt64(1L))))
+    Files.writeString(Paths.get(dir, ShardApply.RecoveringManifest),
+      s"""[{"data":"$dataA","stage":"$stageA"}]""")
+    val dataB = s"$dir/shard-00001.bson"
+    val stageB = s"$dir/.graft-stage-b.bson"
+    graft.files.BsonFiles.write(stageB,
+      Iterator(BDoc("_id" -> BInt32(2), "v" -> BInt64(2L))))
+    ShardApply.writeManifest(dir,
+      Seq(ShardApply.Staged(1, dataB, stageB, BulkResult.empty)))
+    assert(ShardApply.recoverPromote(dir))
+    assert(Files.exists(Paths.get(dataA)) && Files.exists(Paths.get(dataB)))
+    val leftover = Files.list(Paths.get(dir)).iterator()
+    var names = List.empty[String]
+    while (leftover.hasNext) names ::= leftover.next().getFileName.toString
+    assert(!names.exists(_.startsWith(ShardApply.PromoteManifest)),
+      s"all promote records must be consumed, saw $names")
+  }
+
   test("glob spanning several torn collections recovers every parent dir") {
     import graft.store.ShardApply
     val root = freshDir()
