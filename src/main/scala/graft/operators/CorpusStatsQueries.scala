@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{Portable, TopK}
+import graft.functions.{MisraGries, Portable, TopK}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -386,6 +386,46 @@ object CorpusStatsQueries {
         |    AS BIGINT) AS n_removed
         |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
         |ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Corpus-wide heavy hitters (top-20 tokens), sketch-then-verify: the
+    // CANDIDATE pass is a mergeable Misra-Gries summary (capacity 1024)
+    // that never shuffles the vocabulary — each partition contributes one
+    // ≤1024-counter sketch and the merge preserves the guarantee that
+    // every token above totalTokens/1025 of the corpus is present. The
+    // ≤1024 candidates (a bounded driver collect, same class as q36's
+    // centroid batch) are then recounted EXACTLY with a candidate-
+    // filtered aggregate, and the bounded TopKMin picks the final 20 —
+    // so the output is exact whenever the 20th hitter clears the sketch
+    // bound (any realistic corpus; below it, grow the capacity). At
+    // 100 TB the exact GROUP BY token shuffles billions of distinct
+    // tokens; this plan shuffles 32 sketches plus the candidate rows.
+    CatalogQuery(
+      "q67_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val tf = Tables.documents(s, d)
+          .select(explode(Portable.tokenCounts($"text")).as("tc"))
+          .select($"tc.tok".as("tok"), $"tc.cnt".as("w"))
+        val cands = tf
+          .agg(MisraGries.sketch($"tok", $"w", 1024).as("sk"))
+          .select(explode($"sk.tok").as("tok"))
+          .as[String].collect()
+        tf.filter($"tok".isin(cands.toSeq: _*))
+          .groupBy($"tok").agg(sum($"w").as("cnt"))
+          .agg(TopK.topkMin(struct((-$"cnt").as("neg"), $"tok"), 20).as("top"))
+          .select(posexplode($"top"))
+          .select(($"pos" + 1).cast("long").as("rk"),
+            $"col.tok".as("tok"), (-$"col.neg").as("cnt"))
+          .orderBy($"rk")
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY tok)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk,
+        |  tok, CAST(cnt AS BIGINT) AS cnt
+        |FROM tc ORDER BY cnt DESC, tok LIMIT 20
         |""".stripMargin))
   )
 }
