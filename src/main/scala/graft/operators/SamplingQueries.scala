@@ -222,6 +222,42 @@ object SamplingQueries {
         |  (CAST(w AS DOUBLE) * 100000.0) / CAST(tot AS DOUBLE)
         |    AS expected_docs_per_100k
         |FROM n, tot ORDER BY source
+        |""".stripMargin)),
+
+    // Bloom-prefiltered decontamination, sketch-then-verify: build a
+    // mergeable Bloom filter over the TEST set's shingle hashes (keys
+    // never shuffle — one ≤sketch-size partial per partition, bit-or
+    // merge, one-row collect bounded like q67's candidate batch), probe
+    // every train shingle ROW-LOCALLY inside codegen, and exact-confirm
+    // the survivors with a broadcast join against the true test set — so
+    // false positives affect only intermediate volume, never the answer.
+    // Contrast with q51's packed inverted index, which exchanges the FULL
+    // train shingle frame once: here the corpus side never shuffles
+    // (survivors ≈ contaminated docs' shingles + fpp·corpus stream into a
+    // broadcast hash join, and only those reach the final doc_id agg). At
+    // 100 TB against a benchmark suite of ~1e8 shingles, the sketch is
+    // ~120 MB at 1% fpp — broadcastable where the exact hash set is not.
+    CatalogQuery(
+      "q68_bloom_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val sh = DedupQueries.hashedShingles(s, d)
+        val te = sh.filter($"doc_id" % 97 === 0).select($"hp").distinct()
+        val tr = sh.filter($"doc_id" % 97 =!= 0)
+        val bf = te.agg(graft.functions.Bloom.agg($"hp", 20000L, 0.001)
+          .as("bf")).head().getAs[Array[Byte]](0)
+        tr.filter(graft.functions.Bloom.mightContain($"hp", lit(bf)))
+          .join(broadcast(te), Seq("hp"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_shingles"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |WITH ${DedupQueries.shinglesSql},
+        |te AS (SELECT DISTINCT hp FROM shh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, hp FROM shh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id AS doc_id, count(*) AS n_shared_shingles
+        |FROM tr JOIN te USING (hp)
+        |GROUP BY tr.doc_id ORDER BY doc_id
         |""".stripMargin))
   )
 }
