@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ObjectIdToSeconds, ToObjectId, TopKMin}
+import graft.functions.{MisraGriesSketch, ObjectIdToSeconds, ToObjectId, TopKMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,6 +32,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           TopKMin(child, k)
         case _ => throw new IllegalArgumentException(
           "topk_min(expr, k) requires a literal integer k")
+      }))
+    // mergeable heavy-hitters summary for SQL callers:
+    // misra_gries(key, weight, capacity)
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesSketch].getName, "misra_gries"),
+      (children: Seq[Expression]) => children match {
+        case Seq(key, w, Literal(cap: Int, org.apache.spark.sql.types.IntegerType)) =>
+          MisraGriesSketch(key, w, cap)
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(key, weight, capacity) requires a literal integer capacity")
       }))
   }
 }

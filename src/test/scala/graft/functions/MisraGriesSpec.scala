@@ -44,6 +44,27 @@ class MisraGriesSpec extends SparkSpec {
     assert(out == Map("a" -> 9L, "b" -> 2L))
   }
 
+  test("misra_gries is SQL-callable through the extensions builder shape") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.IntegerType
+    // same builder GraftExtensions injects (shared test session cannot
+    // re-run spark.sql.extensions, so register it directly)
+    Bridge.registerFunction(spark, "misra_gries", {
+      case Seq(k: Expression, w: Expression, Literal(c: Int, IntegerType)) =>
+        MisraGriesSketch(k, w, c)
+      case _ => throw new IllegalArgumentException(
+        "misra_gries(key, weight, capacity)")
+    })
+    Seq(("a", 5L), ("b", 2L), ("a", 4L)).toDF("tok", "w")
+      .createOrReplaceTempView("mg_in")
+    val out = spark.sql(
+      "SELECT explode(misra_gries(tok, w, 8)) AS e FROM mg_in")
+      .select("e.tok", "e.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 9L, "b" -> 2L))
+  }
+
   test("serialize/deserialize round-trips the summary (spill/exchange path)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
