@@ -308,4 +308,70 @@ object GraftStreaming {
           }
       }
   }
+
+  /** One counter of a streaming heavy-hitters summary. */
+  final case class TokenCount(token: String, count: Long)
+
+  /** A bucket's current Misra–Gries summary, re-emitted every batch the
+    * bucket receives data (Update-mode semantics). `totalWeight` is the
+    * cumulative weight the bucket has absorbed — it defines the summary's
+    * error bound (every counter under-estimates by at most
+    * totalWeight/(capacity+1)) and orders emissions by recency.
+    */
+  final case class BucketHitters(bucket: Int, totalWeight: Long,
+      counters: Seq[TokenCount])
+
+  /** Streaming heavy hitters with BOUNDED state — the streaming form of
+    * the q67 batch sketch ([[graft.functions.MisraGriesSketch]], same
+    * decrement-by-min algorithm on the same guarantee). Tokens hash to
+    * one of `numBuckets` groups; each group folds its micro-batch
+    * (token, count) rows into a Misra–Gries summary of `capacity`
+    * counters held in `GroupState`, so TOTAL state is numBuckets×capacity
+    * counters at any stream length, and — because a token's entire weight
+    * lands in exactly one bucket — every token whose cumulative weight
+    * exceeds its bucket's total/(capacity+1) is guaranteed present. The
+    * per-batch shuffle carries only that batch's pre-counted rows; the
+    * global top-k is a tiny downstream merge over numBuckets×capacity
+    * counters, and an exact recount of the emitted candidates (the batch
+    * q67 verify step) turns the stream summary into exact counts.
+    */
+  def streamingHeavyHitters(
+      tokens: org.apache.spark.sql.Dataset[TokenCount],
+      numBuckets: Int,
+      capacity: Int): org.apache.spark.sql.Dataset[BucketHitters] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numBuckets >= 1 && capacity >= 1, "buckets and capacity must be >= 1")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.groupByKey(t => math.floorMod(t.token.hashCode, numBuckets))
+      .flatMapGroupsWithState[(Seq[TokenCount], Long), BucketHitters](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[TokenCount],
+            state: GroupState[(Seq[TokenCount], Long)]) =>
+          val (prev, prevTotal) = state.getOption.getOrElse((Seq.empty, 0L))
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          prev.foreach(tc => buf.update(tc.token, tc.count))
+          var total = prevTotal
+          rows.foreach { t =>
+            if (t.count > 0) {
+              total += t.count
+              if (buf.contains(t.token)) buf(t.token) += t.count
+              else {
+                buf.update(t.token, t.count)
+                // decrement-by-min trim back to `capacity` counters
+                while (buf.size > capacity) {
+                  val m = buf.valuesIterator.min
+                  buf.filterInPlace((_, c) => c - m > 0)
+                    .mapValuesInPlace((_, c) => c - m)
+                }
+              }
+            }
+          }
+          val summary = buf.toSeq
+            .sortBy { case (tok, c) => (-c, tok) }
+            .map { case (tok, c) => TokenCount(tok, c) }
+          state.update((summary, total))
+          Iterator.single(BucketHitters(bucket, total, summary))
+      }
+  }
 }
