@@ -404,6 +404,10 @@ object CorpusStatsQueries {
       "q67_heavy_hitters",
       (s, d) => {
         import s.implicits._
+        // tf feeds two actions (sketch collect + exact recount) but is
+        // deliberately NOT cached: re-tokenizing beats materializing the
+        // token frame (measured at 100x: 2.98 s uncached vs 3.82 s
+        // cached — the PLANS_r04 columnar-write tax again)
         val tf = Tables.documents(s, d)
           .select(explode(Portable.tokenCounts($"text")).as("tc"))
           .select($"tc.tok".as("tok"), $"tc.cnt".as("w"))
