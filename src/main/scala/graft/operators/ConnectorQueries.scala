@@ -174,6 +174,38 @@ object ConnectorQueries {
         |SELECT c_mktsegment, count(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal
         |FROM customer JOIN hot ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // Live-server transport end-to-end (graftserver DSv2 over
+    // ServerClient): distributed write through per-task batched
+    // bulkWrites, then a cursor-per-split read — size-bounded split
+    // planning, filter + projection pushdown on the server cursor —
+    // the reference's primary mongod mode re-expressed
+    // (core/.../input/MongoInputSplit.java:272-299, splitter chain
+    // core/.../splitter/MongoSplitterFactory.java:49-106).
+    CatalogQuery(
+      "q69_server_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.orders")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .option("split_size", (256L * 1024).toString)
+          .load()
+          .filter($"o_totalprice" > 1000.0)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""
+        |SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+        |FROM orders WHERE o_totalprice > 1000.0
+        |GROUP BY 1 ORDER BY 1
         |""".stripMargin))
   )
 }

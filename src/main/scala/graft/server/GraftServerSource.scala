@@ -1,0 +1,314 @@
+package graft.server
+
+import graft.bson._
+import graft.query.{BQuery, BQueryJson, FilterTranslator}
+import graft.source.Planners
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector over the LIVE-SERVER transport
+  * ([[ServerClient]]): the `spark.read.format("graftserver")` face of the
+  * reference's primary mode — a network cursor per split against
+  * mongod/mongos (core/src/main/java/com/mongodb/hadoop/input/
+  * MongoInputSplit.java:272-299) with splitVector / \$sample / shard-chunk
+  * planning (core/.../splitter/MongoSplitterFactory.java:49-106).
+  *
+  * Same planning strategies, query translator, and row codec as the
+  * file-backed `graftbson` source — only the transport differs:
+  *
+  *  - split planning runs on the driver through [[ServerCollection
+  *    .planSplits]] (shard chunks → splitVector → sampled-size fallback,
+  *    each a bounded probe sequence, never a scan);
+  *  - each partition reader reconstructs its own client from the options
+  *    via [[ServerClientFactory]] (the connection never serializes) and
+  *    holds exactly one server cursor: range ∧ pushed filters ∧
+  *    option-level `query`, with projection and a partial limit pushed to
+  *    the server;
+  *  - shard-chunk splits carry their chunk's hosts as Spark preferred
+  *    locations, the reference's mongos-bypass locality
+  *    (core/.../splitter/ShardChunkMongoSplitter.java:59-148).
+  *
+  * Read options: `ns` (namespace), `client_factory` (FQCN of a
+  * [[ServerClientFactory]]; defaults to the sandbox [[DirServerFactory]]),
+  * `key` (split key, default `_id`), `split_size` (target bytes/split),
+  * `query` (option-level JSON, AND-composed with pushed filters),
+  * `filter_empty` (probe-and-prune empty splits, off by default like the
+  * reference's filterEmptySplits), `sample_size` (schema-inference doc
+  * budget). Write options: `mode` (insert|replace|update|upsert),
+  * `update_op`, `keys`, `multi`, `id_column`, `bulk_ordered`,
+  * `batch_size` (models per bulkWrite round-trip).
+  *
+  * Writes stream batched bulkWrites from each task as it runs — the
+  * reference's MongoRecordWriter does the same (MongoOutputCommitter's
+  * server-side commitTask is a no-op), so a retried task re-sends its
+  * batch: keyed upsert/update modes are idempotent, plain insert is
+  * at-least-once. The file-backed `graftbson` source is the engine's
+  * exactly-once path (two-phase staged commit); this one is wire parity.
+  */
+class GraftServerSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftserver"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Schema by server-side sampling — the \$sample analog of the file
+    * source's uniform corpus sampling. The fake transport's sample is
+    * deterministic; a production binding would aggregate
+    * `[{$sample: {size: n}}]`.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = options.asScala.toMap
+    val n = opts.get("sample_size").map(_.toInt).getOrElse(1000)
+    val inferred = GraftServerSource.withClient(opts) { (client, ns) =>
+      RowCodec.inferSchema(client.find(ns, Find(limit = n.toLong)), n)
+    }
+    if (inferred.isEmpty)
+      throw new IllegalArgumentException(
+        s"cannot infer schema: no documents in ${GraftServerSource.ns(opts)}")
+    inferred
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftServerTable(schema, properties.asScala.toMap)
+}
+
+object GraftServerSource {
+  def ns(opts: Map[String, String]): String =
+    opts.getOrElse("ns",
+      throw new IllegalArgumentException("graftserver: ns option required"))
+
+  def factory(opts: Map[String, String]): ServerClientFactory =
+    Class.forName(opts.getOrElse("client_factory", classOf[DirServerFactory].getName))
+      .getDeclaredConstructor().newInstance().asInstanceOf[ServerClientFactory]
+
+  /** Option-level JSON query (mongo.input.query analog). */
+  def optionQuery(opts: Map[String, String]): BQuery =
+    opts.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
+
+  def withClient[A](opts: Map[String, String])(f: (ServerClient, String) => A): A = {
+    val client = factory(opts).create(opts)
+    try f(client, ns(opts))
+    finally client match { case c: AutoCloseable => c.close(); case _ => () }
+  }
+}
+
+final class GraftServerTable(tableSchema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    s"graftserver:${properties.getOrElse("ns", "?")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftServerScanBuilder(tableSchema, properties ++ options.asScala)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftServerWriteBuilder(info.schema(),
+      properties ++ info.options().asScala)
+}
+
+/** Filter + projection + partial-limit pushdown, all translated to the
+  * per-cursor knobs a server accepts ([[Find]]). Residual filters Spark
+  * keeps are re-checked above the scan, exactly like the file source.
+  */
+final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: StructType = tableSchema
+  private var pushedQuery: BQuery = BQuery.True
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (query, accepted, residual) = FilterTranslator.split(filters, Map.empty)
+    pushedQuery = query
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Pushed per cursor (MongoInputSplit.java:291-296) — globally correct
+    * only with one partition, so reported partial; Spark re-applies the
+    * global limit.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan =
+    new GraftServerScan(required,
+      BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
+      limit, options)
+}
+
+final class GraftServerScan(requiredSchema: StructType, query: BQuery,
+    limit: Option[Int], options: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftserver ns=${options.getOrElse("ns", "?")} query=$query"
+
+  /** Driver-side planning: one bounded probe sequence through the shared
+    * strategy chain (chunks → splitVector → sampled size bounds). Optional
+    * empty-split pruning costs one `find(limit=1)` per split, the
+    * reference's opt-in filterEmptySplits trade.
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftServerSource.withClient(options) { (client, ns) =>
+      val key = options.getOrElse("key", "_id")
+      val target = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
+      val coll = new ServerCollection(client, ns)
+      var splits = coll.planSplits(key, target)
+      if (options.get("filter_empty").exists(_.toBoolean) && query != BQuery.True)
+        splits = Planners.pruneEmpty(splits, coll.stats(key), query)
+      splits.map(s => GraftServerPartition(s.range, s.preferredLocations): InputPartition).toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftServerReaderFactory(requiredSchema, query, limit, options)
+}
+
+/** One planned split: its key range plus the owning chunk's hosts as
+  * preferred locations. [[BQuery.KeyRange]] is a plain case class — the
+  * split serializes as data, the cursor is re-opened executor-side.
+  */
+final case class GraftServerPartition(range: BQuery.KeyRange, hosts: Seq[String])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts.toArray
+}
+
+final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
+    limit: Option[Int], options: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftServerPartitionReader(p.asInstanceOf[GraftServerPartition],
+      requiredSchema, query, limit, options)
+}
+
+/** Holds exactly one server cursor for its split — the executor-side
+  * mirror of the reference's per-split cursor, with the split range,
+  * pushed query, projection, and partial limit all applied server-side.
+  */
+final class GraftServerPartitionReader(p: GraftServerPartition,
+    requiredSchema: StructType, query: BQuery, limit: Option[Int],
+    options: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val client = GraftServerSource.factory(options).create(options)
+  private val cursor: Iterator[BDoc] =
+    client.find(GraftServerSource.ns(options),
+      Find(BQuery.and(p.range, query),
+        projection = Some(requiredSchema.fieldNames.toSeq),
+        limit = limit.map(_.toLong).getOrElse(-1L)))
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (cursor.hasNext) { row = RowCodec.toRow(cursor.next(), requiredSchema); true }
+    else false
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = client match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
+}
+
+// ---- write path ----
+
+final class GraftServerWriteBuilder(writeSchema: StructType,
+    options: Map[String, String]) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftServerBatchWrite(writeSchema, options)
+  }
+}
+
+/** Tasks stream batched bulkWrites directly to the server as they run;
+  * job commit/abort are no-ops because a server write has no staging area
+  * — MongoOutputCommitter parity (its server-side commitTask does
+  * nothing). Retries re-send a task's models: idempotent under keyed
+  * upsert/update, at-least-once under insert. Exactly-once belongs to the
+  * file-backed source's staged two-phase commit.
+  */
+final class GraftServerBatchWrite(writeSchema: StructType,
+    options: Map[String, String]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftServerWriterFactory(writeSchema, options)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftServerWriterFactory(writeSchema: StructType,
+    options: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftServerDataWriter(partitionId, writeSchema, options)
+}
+
+final case class ServerWriteCommit(partitionId: Int, written: Long)
+    extends WriterCommitMessage
+
+/** Buffers write models and flushes one bulkWrite per `batch_size` — the
+  * reference's batched MongoRecordWriter round-trips. Model construction
+  * (insert / keyed update envelope) is the SAME [[graft.store.WriteModels]]
+  * path the file source's task writers use.
+  */
+final class GraftServerDataWriter(partitionId: Int, writeSchema: StructType,
+    options: Map[String, String]) extends DataWriter[InternalRow] {
+  import graft.store.WriteModels
+
+  private val client = GraftServerSource.factory(options).create(options)
+  private val ns = GraftServerSource.ns(options)
+  private val mode = options.getOrElse("mode", "insert")
+  private val keys = options.getOrElse("keys", "_id").split(',').toSeq
+  private val updateOp = options.getOrElse("update_op", "set")
+  private val multi = options.get("multi").exists(_.toBoolean)
+  private val idColumn = options.get("id_column")
+  private val ordered = options.get("bulk_ordered").forall(_.toBoolean)
+  private val batchSize = options.get("batch_size").map(_.toInt).getOrElse(512)
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[graft.store.WriteModel]
+  private var written = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val doc = RowCodec.toBson(row, writeSchema)
+    buf += WriteModels.fromDoc(
+      WriteModels.toDoc(mode, doc, keys, updateOp, multi, idColumn))
+    written += 1
+    if (buf.size >= batchSize) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    client.bulkWrite(ns, buf.iterator, ordered)
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    ServerWriteCommit(partitionId, written)
+  }
+
+  override def abort(): Unit = ()
+
+  override def close(): Unit = client match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
+}

@@ -141,23 +141,59 @@ final class ServerCollection(client: ServerClient, ns: String) {
     client.bulkWrite(ns, models, ordered)
 }
 
+/** Builds a [[ServerClient]] from connector options. Resolved by FQCN on
+  * the driver AND inside each partition reader/writer — the connection
+  * itself never serializes; every task reconstructs its own client from
+  * the options, exactly like the reference rebuilding a `MongoClient`
+  * from the input URI inside each mapper's split
+  * (core/src/main/java/com/mongodb/hadoop/input/MongoInputSplit.java:243-276).
+  * A production binding is one class wrapping the mongo-java-driver
+  * (`create` = `MongoClients.create(options("uri"))`).
+  */
+trait ServerClientFactory {
+  def create(options: Map[String, String]): ServerClient
+}
+
+/** Sandbox factory: a [[FakeServerClient]] rooted at `server_dir`. Stands
+  * in for the driver binding (no driver jar / live server here); every
+  * task opens the same file-backed store, so the DSv2 plumbing above it —
+  * serializable splits, per-task client construction, cursor streaming —
+  * runs the real code path.
+  */
+final class DirServerFactory extends ServerClientFactory {
+  override def create(options: Map[String, String]): ServerClient =
+    new FakeServerClient(Some(options.getOrElse("server_dir",
+      throw new IllegalArgumentException("graftserver: server_dir option required"))))
+}
+
 /** In-memory/test double for [[ServerClient]]: each namespace is backed
-  * by a real [[BsonCollection]] under a temp dir, so bulk writes get the
-  * store's full update/upsert/replace semantics and `find` evaluates the
-  * same [[BQuery.matches]] the per-shard apply uses — the trait-level
-  * tests exercise real behavior, only the network is fake. Sampling is
+  * by a real [[BsonCollection]] under a temp dir (or a caller-provided
+  * `rootDir`, shared by many client instances — the executor-side mode of
+  * [[DirServerFactory]]), so bulk writes get the store's full
+  * update/upsert/replace semantics and `find` evaluates the same
+  * [[BQuery.matches]] the per-shard apply uses — the trait-level tests
+  * exercise real behavior, only the network is fake. Sampling is
   * DETERMINISTIC (every count/n-th doc in key order) so planner tests
   * are reproducible.
   */
-final class FakeServerClient extends ServerClient with AutoCloseable {
-  private val root = java.nio.file.Files.createTempDirectory("graft-fakeserver")
+final class FakeServerClient(rootDir: Option[String] = None)
+    extends ServerClient with AutoCloseable {
+  private val ownsRoot = rootDir.isEmpty
+  private val root = rootDir match {
+    case Some(d) =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      p
+    case None => java.nio.file.Files.createTempDirectory("graft-fakeserver")
+  }
   private val colls = scala.collection.mutable.Map.empty[String, BsonCollection]
 
   /** Delete the backing temp tree; also registered as a JVM shutdown
     * hook so spec instances that never close() don't accrete /tmp
-    * garbage across runs.
+    * garbage across runs. A shared (caller-provided) root is never
+    * deleted — its lifetime belongs to the caller.
     */
-  override def close(): Unit = {
+  override def close(): Unit = if (ownsRoot) {
     import java.nio.file.{Files => F}
     if (F.exists(root)) {
       val stream = F.walk(root)
@@ -166,15 +202,16 @@ final class FakeServerClient extends ServerClient with AutoCloseable {
       finally stream.close()
     }
   }
-  Runtime.getRuntime.addShutdownHook(new Thread(() => close()))
+  if (ownsRoot) Runtime.getRuntime.addShutdownHook(new Thread(() => close()))
 
-  private def coll(ns: String): BsonCollection =
+  private def coll(ns: String): BsonCollection = colls.synchronized {
     colls.getOrElseUpdate(ns, {
       val dir = root.resolve(ns.replace('.', '_'))
       val c = new BsonCollection(dir.toString)
       c.create(1)
       c
     })
+  }
 
   /** Round-trips observed per method — lets tests assert planning IO is
     * bounded (the server analog of FileStats.bytesTouched). */
@@ -239,8 +276,23 @@ final class FakeServerClient extends ServerClient with AutoCloseable {
   override def chunkRanges(ns: String, key: String): Seq[(Option[BsonValue], Option[BsonValue], Seq[String])] =
     shardChunks.getOrElse(ns, Seq.empty)
 
+  /** A real server serializes concurrent client bulkWrites server-side;
+    * the file-backed double serializes in-JVM per namespace directory
+    * (sound under local[k], where all "executors" share this JVM — the
+    * double is a transport stand-in, not a storage engine).
+    */
   override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {
     tick("bulkWrite")
-    coll(ns).bulkWrite(models, ordered)
+    val c = coll(ns)
+    FakeServerClient.lockFor(c.dir).synchronized {
+      c.bulkWrite(models, ordered)
+    }
   }
+}
+
+object FakeServerClient {
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[server] def lockFor(dir: String): Object =
+    writeLocks.computeIfAbsent(dir, _ => new Object)
 }

@@ -1,0 +1,137 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** The `graftserver` DSv2 source end-to-end over the file-rooted fake
+  * transport: distributed write (batched bulkWrites per task), schema
+  * inference by server sampling, split planning through the shared
+  * strategy chain, filter/projection/limit pushdown reaching the cursor,
+  * and keyed upsert semantics surviving a second pass.
+  */
+class GraftServerSourceSpec extends SparkSpec {
+
+  private def serverOpts(dir: String, ns: String): Map[String, String] =
+    Map("server_dir" -> dir, "ns" -> ns)
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-server-spec").toString
+
+  test("write then read round-trips through the server transport") {
+    import spark.implicits._
+    val dir = freshDir()
+    val df = graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    df.write.format("graftserver")
+      .options(serverOpts(dir, "db.cust")).option("id_column", "c_custkey")
+      .mode("append").save()
+
+    val back = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.cust")).load()
+    assert(back.count() === df.count())
+    // id_column key-merge: c_custkey became _id
+    assert(back.columns.toSet === Set("_id", "c_name", "c_acctbal"))
+    val expect = df.select(sum($"c_acctbal")).as[Double].first()
+    val got = back.select(sum($"c_acctbal")).as[Double].first()
+    assert(math.abs(expect - got) < 1e-6)
+  }
+
+  test("small split_size plans multiple partitions; union is complete") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.orders")).option("id_column", "o_orderkey")
+      .mode("append").save()
+
+    val back = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.orders")).option("split_size", "4096")
+      .load()
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected several splits, got ${back.rdd.getNumPartitions}")
+    val n = graft.Tables.orders(spark, sf0001).count()
+    assert(back.count() === n)
+    assert(back.select(countDistinct($"_id")).as[Long].first() === n)
+  }
+
+  test("filter and projection pushdown reach the server cursor") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.cust2")).option("id_column", "c_custkey")
+      .mode("append").save()
+
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.cust2")).load()
+      .filter($"c_acctbal" > 1000.0)
+      .select($"_id", $"c_acctbal")
+    val planned = q.queryExecution.executedPlan.toString
+    assert(planned.contains("PushedFilters") || planned.contains("c_acctbal"),
+      s"no pushdown evidence in plan:\n$planned")
+    // correctness of the pushed read
+    val expect = graft.Tables.customer(spark, sf0001)
+      .filter($"c_acctbal" > 1000.0).count()
+    assert(q.count() === expect)
+    // the scan-level schema shows only the required columns
+    val scanSchemas = q.queryExecution.executedPlan.collectLeaves().map(_.schema)
+    assert(scanSchemas.exists(_.fieldNames.toSet == Set("_id", "c_acctbal")),
+      s"projection not pruned at scan: ${scanSchemas.mkString(";")}")
+  }
+
+  test("option-level query composes with pushed filters") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.nation(spark, sf0001)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.nation")).option("id_column", "n_nationkey")
+      .mode("append").save()
+
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.nation"))
+      .option("query", """{"n_regionkey": {"$lt": 3}}""")
+      .load()
+      .filter($"n_regionkey" >= 1)
+    val expect = graft.Tables.nation(spark, sf0001)
+      .filter($"n_regionkey" >= 1 && $"n_regionkey" < 3).count()
+    assert(q.count() === expect)
+  }
+
+  test("keyed upsert with $inc accumulates across two write passes") {
+    import spark.implicits._
+    val dir = freshDir()
+    val counts = graft.Tables.events(spark, sf0001)
+      .groupBy($"user_id".as("_id")).agg(count(lit(1)).as("n"))
+    for (_ <- 1 to 2)
+      counts.write.format("graftserver")
+        .options(serverOpts(dir, "db.counts"))
+        .option("mode", "upsert").option("update_op", "inc")
+        .mode("append").save()
+
+    val back = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.counts")).load()
+    assert(back.count() === counts.count())
+    val doubled = back.join(counts.withColumnRenamed("n", "n1"), "_id")
+      .filter($"n" =!= $"n1" * 2).count()
+    assert(doubled === 0, "every upserted count should be exactly doubled")
+  }
+
+  test("global limit is pushed partially and stays correct") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.supplier(spark, sf0001)
+      .select($"s_suppkey", $"s_name")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.supp")).option("id_column", "s_suppkey")
+      .mode("append").save()
+    val got = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.supp")).option("split_size", "2048")
+      .load().limit(5)
+    assert(got.count() === 5)
+  }
+}
