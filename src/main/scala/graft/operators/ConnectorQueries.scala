@@ -194,8 +194,12 @@ object ConnectorQueries {
           .write.format("graftserver").options(opts)
           .option("id_column", "o_orderkey")
           .mode("append").save()
+        // 2 MB target splits: several cursor partitions at sf0.01+ without
+        // asking the file-rooted fake transport (whose every cursor is a
+        // full-store scan, unlike a real server's index-ranged cursors)
+        // for dozens of passes
         s.read.format("graftserver").options(opts)
-          .option("split_size", (256L * 1024).toString)
+          .option("split_size", (2L * 1024 * 1024).toString)
           .load()
           .filter($"o_totalprice" > 1000.0)
           .groupBy($"o_orderstatus")

@@ -3,7 +3,7 @@ package graft.server
 import graft.bson._
 import graft.query.BQuery
 import graft.source.Planners
-import graft.store.{BsonCollection, BulkResult, WriteModel}
+import graft.store.{BsonCollection, BulkResult, InsertOne, WriteModel}
 
 import scala.collection.immutable.ListMap
 
@@ -229,10 +229,17 @@ final class FakeServerClient(rootDir: Option[String] = None)
 
   override def find(ns: String, q: Find): Iterator[BDoc] = {
     tick("find")
-    var docs = coll(ns).readAll().filter(q.query.matches).toVector
-    for (k <- q.sortAscBy)
-      docs = docs.sortBy(d => d.getPath(k).getOrElse(BNull))(BsonOrdering)
-    var it: Iterator[BDoc] = docs.iterator.drop(
+    // stream unless a sort forces materialization — a cursor read must not
+    // hold the collection in memory (the contract [[ServerClient.find]]
+    // states), and a scan's per-split cursors would otherwise each
+    // materialize the whole store
+    val matching = coll(ns).readAll().filter(q.query.matches)
+    val docs: Iterator[BDoc] = q.sortAscBy match {
+      case Some(k) => matching.toVector
+        .sortBy(d => d.getPath(k).getOrElse(BNull))(BsonOrdering).iterator
+      case None => matching
+    }
+    var it: Iterator[BDoc] = docs.drop(
       math.min(q.skip, Int.MaxValue.toLong).toInt)
     if (q.limit >= 0) it = it.take(math.min(q.limit, Int.MaxValue.toLong).toInt)
     q.projection match {
@@ -280,13 +287,66 @@ final class FakeServerClient(rootDir: Option[String] = None)
     * the file-backed double serializes in-JVM per namespace directory
     * (sound under local[k], where all "executors" share this JVM — the
     * double is a transport stand-in, not a storage engine).
+    *
+    * Pure-insert batches APPEND, like a server does — the store's staged
+    * read-fold-rewrite apply is all-or-nothing per call, which is both
+    * stronger than mongo bulk semantics (documents before an ordered
+    * failure stay inserted there) and quadratic when a write job streams
+    * hundreds of batches at one collection. Duplicate-key detection uses
+    * a JVM-wide per-collection `_id` set — the unique-index stand-in —
+    * seeded by one file read and invalidated whenever the staged path
+    * (updates/upserts, which can mint ids) runs.
     */
   override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {
     tick("bulkWrite")
     val c = coll(ns)
     FakeServerClient.lockFor(c.dir).synchronized {
-      c.bulkWrite(models, ordered)
+      val batch = models.toVector
+      if (c.shardCount == 1 && batch.forall(_.isInstanceOf[InsertOne]))
+        appendInserts(c, batch.asInstanceOf[Vector[InsertOne]], ordered)
+      else {
+        FakeServerClient.knownIds.remove(c.dir)
+        c.bulkWrite(batch.iterator, ordered)
+      }
     }
+  }
+
+  private def appendInserts(c: BsonCollection, inserts: Vector[InsertOne],
+      ordered: Boolean): BulkResult = {
+    import java.nio.file.{Files => F}
+    val dataPath = BsonCollection.shardPath(c.dir, 1, 0)
+    val ids = FakeServerClient.knownIds.computeIfAbsent(c.dir, _ => {
+      val s = scala.collection.mutable.HashSet.empty[BsonValue]
+      if (F.exists(dataPath))
+        graft.files.BsonFiles.readAll(dataPath.toString)
+          .foreach(d => d.get("_id").foreach(s += _))
+      s
+    })
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(dataPath.toString, true), 1 << 20)
+    var inserted = 0L
+    val errors = Seq.newBuilder[String]
+    try {
+      inserts.foreach { case InsertOne(doc) =>
+        doc.get("_id") match {
+          case Some(id) if ids.contains(id) =>
+            if (ordered)
+              throw new IllegalStateException(s"duplicate key _id=$id on insert")
+            else errors += s"duplicate key _id=$id"
+          case idOpt =>
+            out.write(BsonCodec.encode(doc))
+            idOpt.foreach(ids += _)
+            inserted += 1
+        }
+      }
+    } finally {
+      out.close()
+      // the .splits side file (written by staged applies) no longer covers
+      // the appended tail — drop it; readers fall back to header walks
+      F.deleteIfExists(
+        dataPath.resolveSibling("." + dataPath.getFileName + ".splits"))
+    }
+    BulkResult(inserted, 0, 0, 0, errors.result())
   }
 }
 
@@ -295,4 +355,11 @@ object FakeServerClient {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[server] def lockFor(dir: String): Object =
     writeLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** Unique-index stand-in: `_id`s present per collection dir, shared
+    * JVM-wide so every client instance (one per task) sees one index —
+    * valid under local[k] exactly like the write lock above.
+    */
+  private[server] val knownIds =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.collection.mutable.HashSet[BsonValue]]()
 }
