@@ -30,7 +30,19 @@ object GraftStreaming {
     */
   private[streaming] def writeBatchIdempotent(
       batch: DataFrame, path: String, writerOptions: Map[String, String],
-      markerDir: String, queryKey: String, batchId: Long): Unit = {
+      markerDir: String, queryKey: String, batchId: Long): Unit =
+    withBatchMarker(markerDir, queryKey, batchId) {
+      var bw = batch.write.format("graftbson").mode("append")
+      writerOptions.foreach { case (k, v) => bw = bw.option(k, v) }
+      bw.save(path)
+    }
+
+  /** Run `body` at most once per (query, batch): skip when the marker
+    * already records this batchId, write the marker atomically after the
+    * body commits.
+    */
+  private def withBatchMarker(markerDir: String, queryKey: String,
+      batchId: Long)(body: => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val marker = Paths.get(markerDir, s"_streaming-commit-$queryKey")
     val last: Long =
@@ -38,9 +50,7 @@ object GraftStreaming {
         try Files.readString(marker).trim.toLong catch { case _: NumberFormatException => -1L }
       else -1L
     if (batchId <= last) return // replayed batch: already durably applied
-    var bw = batch.write.format("graftbson").mode("append")
-    writerOptions.foreach { case (k, v) => bw = bw.option(k, v) }
-    bw.save(path)
+    body
     val tmp = marker.resolveSibling(s"._tmp-${marker.getFileName}")
     Files.createDirectories(marker.getParent)
     Files.writeString(tmp, batchId.toString)
@@ -72,6 +82,44 @@ object GraftStreaming {
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchIdempotent(batch, path, writerOptions, markerDir, queryKey, batchId)
+      }
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    trigger.foreach(t => w = w.trigger(t))
+    w.start()
+  }
+
+  /** Streaming write into a live-server namespace through the
+    * `graftserver` sink — the reference's continuous server ingest
+    * (flume/.../MongoDBSink.java:56-72 appends events to a live
+    * collection; the spark module's saveToMongoDB streams batches the
+    * same way). Each micro-batch goes through the graftserver batch
+    * writer, so every write mode applies; on a real server the keyed
+    * upsert/update modes are the idempotent ones (the transport has no
+    * staging area), and the replay marker is belt-and-braces on top.
+    * The marker lives in the checkpoint dir when given (the unit of
+    * cross-restart replay); without one replays only happen within this
+    * process, so a per-start temp dir suffices.
+    */
+  def startServerCollectionSink(
+      df: DataFrame,
+      serverOptions: Map[String, String],
+      writerOptions: Map[String, String] = Map.empty,
+      outputMode: String = "update",
+      checkpoint: Option[String] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val markerDir = checkpoint.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-server-sink").toString)
+    val queryKey =
+      if (checkpoint.isDefined) "server-sink"
+      else java.util.UUID.randomUUID().toString.take(8)
+    var w: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withBatchMarker(markerDir, queryKey, batchId) {
+          var bw = batch.write.format("graftserver").mode("append")
+          (serverOptions ++ writerOptions).foreach { case (k, v) => bw = bw.option(k, v) }
+          bw.save()
+        }
       }
     checkpoint.foreach(c => w = w.option("checkpointLocation", c))
     trigger.foreach(t => w = w.trigger(t))

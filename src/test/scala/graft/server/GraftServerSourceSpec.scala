@@ -121,6 +121,24 @@ class GraftServerSourceSpec extends SparkSpec {
     assert(doubled === 0, "every upserted count should be exactly doubled")
   }
 
+  test("CREATE TABLE ... USING graftserver registers a SQL catalog table") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.nation(spark, sf0001)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.nation_ddl")).option("id_column", "n_nationkey")
+      .mode("append").save()
+    try {
+      spark.sql(s"""CREATE TABLE server_nation USING graftserver
+        OPTIONS (server_dir '$dir', ns 'db.nation_ddl')""")
+      val n = spark.sql("SELECT count(*) AS n FROM server_nation WHERE n_regionkey < 3")
+        .head.getLong(0)
+      val expect = graft.Tables.nation(spark, sf0001).filter($"n_regionkey" < 3).count()
+      assert(n === expect)
+    } finally spark.sql("DROP TABLE IF EXISTS server_nation")
+  }
+
   test("global limit is pushed partially and stays correct") {
     import spark.implicits._
     val dir = freshDir()

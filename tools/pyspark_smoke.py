@@ -105,6 +105,28 @@ try:
     )
     sql_n = spark.sql("SELECT count(*) AS n FROM pysmoke_customers").collect()[0]["n"]
     check("CREATE TABLE USING graftbson + count(*)", sql_n == n_cust)
+
+    # 5. live-server transport from Python: write + filtered read through
+    # format("graftserver") (sandbox file-rooted transport)
+    server_dir = os.path.join(work, "server")
+    (
+        cust.write.format("graftserver")
+        .option("server_dir", server_dir)
+        .option("ns", "db.cust")
+        .option("id_column", "c_custkey")
+        .mode("append")
+        .save()
+    )
+    sback = (
+        spark.read.format("graftserver")
+        .option("server_dir", server_dir)
+        .option("ns", "db.cust")
+        .load()
+    )
+    check("graftserver roundtrip row count", sback.count() == n_cust)
+    want_pos = cust.filter(F.col("c_acctbal") > 0.0).count()
+    got_pos = sback.filter(F.col("c_acctbal") > 0.0).count()
+    check("graftserver filtered read", got_pos == want_pos, f"({want_pos} rows)")
 finally:
     # a broken session must not let cleanup mask the real failure or skip
     # stop()/rmtree
