@@ -7,6 +7,8 @@ import graft.source.Planners
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -120,17 +122,22 @@ final class GraftServerTable(tableSchema: StructType, properties: Map[String, St
 }
 
 /** Filter + projection + partial-limit pushdown, all translated to the
-  * per-cursor knobs a server accepts ([[Find]]). Residual filters Spark
-  * keeps are re-checked above the scan, exactly like the file source.
+  * per-cursor knobs a server accepts ([[Find]]); a bare COUNT(*) is
+  * answered from one collStats round-trip (the reference's count source,
+  * core/.../splitter/MongoSplitterFactory.java:66-83) without opening a
+  * single cursor. Residual filters Spark keeps are re-checked above the
+  * scan, exactly like the file source.
   */
 final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countCols: Int = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (query, accepted, residual) = FilterTranslator.split(filters, Map.empty)
@@ -150,19 +157,42 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Bare COUNT(*) only: any filter, option query, limit, group-by, or
+    * other aggregate makes collStats the wrong answer. Reported partial
+    * (one row), so Spark's own global aggregate folds it — same protocol
+    * as the file source's per-file partials.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val exprs = aggregation.aggregateExpressions.toSeq
+    val eligible = aggregation.groupByExpressions.isEmpty &&
+      pushedQuery == BQuery.True && !options.contains("query") &&
+      limit.isEmpty && exprs.nonEmpty &&
+      exprs.forall(_.isInstanceOf[aggregate.CountStar])
+    if (eligible) { countCols = exprs.size; true } else false
+  }
+
   override def build(): Scan =
     new GraftServerScan(required,
       BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-      limit, options)
+      limit, options, countCols)
 }
 
 final class GraftServerScan(requiredSchema: StructType, query: BQuery,
-    limit: Option[Int], options: Map[String, String]) extends Scan with Batch {
+    limit: Option[Int], options: Map[String, String], countCols: Int = 0)
+    extends Scan with Batch {
 
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    if (countCols == 0) requiredSchema
+    else {
+      import org.apache.spark.sql.types._
+      StructType((0 until countCols).map(i =>
+        StructField(if (i == 0) "count(*)" else s"count(*)_$i",
+          LongType, nullable = false)))
+    }
   override def toBatch: Batch = this
   override def description(): String =
-    s"graftserver ns=${options.getOrElse("ns", "?")} query=$query"
+    s"graftserver ns=${options.getOrElse("ns", "?")} query=$query" +
+      (if (countCols > 0) " PushedAggregates: [COUNT(*) via collStats]" else "")
 
   /** Driver-side planning: one bounded probe sequence through the shared
     * strategy chain (chunks → splitVector → sampled size bounds). Optional
@@ -170,7 +200,11 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     * reference's opt-in filterEmptySplits trade.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    GraftServerSource.withClient(options) { (client, ns) =>
+    if (countCols > 0)
+      // one partition, one collStats round-trip — no splits, no cursors
+      Array(GraftServerPartition(
+        BQuery.KeyRange(options.getOrElse("key", "_id"), None, None), Seq.empty))
+    else GraftServerSource.withClient(options) { (client, ns) =>
       val key = options.getOrElse("key", "_id")
       val target = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
       val coll = new ServerCollection(client, ns)
@@ -181,7 +215,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftServerReaderFactory(requiredSchema, query, limit, options)
+    new GraftServerReaderFactory(requiredSchema, query, limit, options, countCols)
 }
 
 /** One planned split: its key range plus the owning chunk's hosts as
@@ -194,11 +228,40 @@ final case class GraftServerPartition(range: BQuery.KeyRange, hosts: Seq[String]
 }
 
 final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
-    limit: Option[Int], options: Map[String, String])
+    limit: Option[Int], options: Map[String, String], countCols: Int = 0)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftServerPartitionReader(p.asInstanceOf[GraftServerPartition],
+    if (countCols > 0) new CollStatsCountReader(options, countCols)
+    else new GraftServerPartitionReader(p.asInstanceOf[GraftServerPartition],
       requiredSchema, query, limit, options)
+}
+
+/** The pushed-COUNT(*) reader: one collStats call, one row, zero cursors
+  * — what the reference reads when it sizes a collection
+  * (core/.../splitter/MongoSplitterFactory.java:66-83).
+  */
+final class CollStatsCountReader(options: Map[String, String], countCols: Int)
+    extends PartitionReader[InternalRow] {
+  private val client = GraftServerSource.factory(options).create(options)
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (done) false
+    else {
+      val n = client.collStats(GraftServerSource.ns(options)).count
+      row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array.fill[Any](countCols)(n))
+      done = true
+      true
+    }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = client match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
 }
 
 /** Holds exactly one server cursor for its split — the executor-side

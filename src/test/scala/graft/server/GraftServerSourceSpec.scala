@@ -121,6 +121,30 @@ class GraftServerSourceSpec extends SparkSpec {
     assert(doubled === 0, "every upserted count should be exactly doubled")
   }
 
+  test("bare COUNT(*) is answered from collStats without cursors") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.supplier(spark, sf0001)
+      .select($"s_suppkey", $"s_name")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.supp_count")).option("id_column", "s_suppkey")
+      .mode("append").save()
+
+    val df = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.supp_count")).load()
+    val counted = df.agg(count(lit(1)).as("n"))
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*) via collStats]"),
+      s"aggregate not pushed:\n$plan")
+    assert(counted.as[Long].first() ===
+      graft.Tables.supplier(spark, sf0001).count())
+    // a filter must refuse the pushdown (collStats is unfiltered)
+    val filtered = df.filter($"_id" > 10).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("collStats"))
+    assert(filtered.as[Long].first() ===
+      graft.Tables.supplier(spark, sf0001).filter($"s_suppkey" > 10).count())
+  }
+
   test("CREATE TABLE ... USING graftserver registers a SQL catalog table") {
     import spark.implicits._
     val dir = freshDir()
