@@ -137,7 +137,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private var pushedQuery: BQuery = BQuery.True
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var countCols: Int = 0
+  private var aggPushed: Option[Seq[graft.source.AggPush]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (query, accepted, residual) = FilterTranslator.split(filters, Map.empty)
@@ -157,42 +157,77 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** Bare COUNT(*) only: any filter, option query, limit, group-by, or
-    * other aggregate makes collStats the wrong answer. Reported partial
-    * (one row), so Spark's own global aggregate folds it — same protocol
-    * as the file source's per-file partials.
+  /** Whole-collection COUNT(*)/MIN/MAX only: any filter, option query,
+    * limit, group-by, or other aggregate makes the probes the wrong
+    * answer. COUNT(*) is one collStats; MIN/MAX are one sorted limit-1
+    * cursor each — the index walk a server runs for them. Types are the
+    * cursor-order-safe set the TopN pushdown uses (a string read spans
+    * four storage brackets whose BSON order is not the read-string
+    * order). Reported partial (one row), so Spark's own global aggregate
+    * folds it — same protocol as the file source's per-file partials.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val exprs = aggregation.aggregateExpressions.toSeq
+    import graft.source.AggPush
     val eligible = aggregation.groupByExpressions.isEmpty &&
-      pushedQuery == BQuery.True && !options.contains("query") &&
-      limit.isEmpty && exprs.nonEmpty &&
-      exprs.forall(_.isInstanceOf[aggregate.CountStar])
-    if (eligible) { countCols = exprs.size; true } else false
+      pushedQuery == BQuery.True && !options.contains("query") && limit.isEmpty
+    if (!eligible) return false
+    def named(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[(String, org.apache.spark.sql.types.DataType)] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames.head)
+          .filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
+          .map(f => (f.name, f.dataType))
+      case _ => None
+    }
+    val items = aggregation.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(AggPush.RowCount)
+      case m: aggregate.Min => named(m.column).map { case (c, t) => AggPush.MinOf(c, t) }
+      case m: aggregate.Max => named(m.column).map { case (c, t) => AggPush.MaxOf(c, t) }
+      case _ => None
+    }
+    if (items.isEmpty || items.contains(None)) false
+    else { aggPushed = Some(items.flatten); true }
   }
 
   override def build(): Scan =
     new GraftServerScan(required,
       BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-      limit, options, countCols)
+      limit, options, aggPushed)
+}
+
+object GraftServerScanBuilder {
+  /** Spark-type domains where the server's cursor order over the stored
+    * values IS Spark's order over the read values (same reasoning as the
+    * file source's TopN pushdown: exact long/µs/double keys; strings and
+    * floats refused).
+    */
+  val AggTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType)
+  }
 }
 
 final class GraftServerScan(requiredSchema: StructType, query: BQuery,
-    limit: Option[Int], options: Map[String, String], countCols: Int = 0)
+    limit: Option[Int], options: Map[String, String],
+    pushedAgg: Option[Seq[graft.source.AggPush]] = None)
     extends Scan with Batch {
+  import graft.source.AggPush
 
-  override def readSchema(): StructType =
-    if (countCols == 0) requiredSchema
-    else {
+  override def readSchema(): StructType = pushedAgg match {
+    case Some(items) =>
       import org.apache.spark.sql.types._
-      StructType((0 until countCols).map(i =>
-        StructField(if (i == 0) "count(*)" else s"count(*)_$i",
-          LongType, nullable = false)))
-    }
+      StructType(items.map {
+        case AggPush.RowCount => StructField("count(*)", LongType, nullable = false)
+        case AggPush.MinOf(c, t) => StructField(s"min($c)", t)
+        case AggPush.MaxOf(c, t) => StructField(s"max($c)", t)
+      })
+    case None => requiredSchema
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$query" +
-      (if (countCols > 0) " PushedAggregates: [COUNT(*) via collStats]" else "")
+      pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("")
 
   /** Driver-side planning: one bounded probe sequence through the shared
     * strategy chain (chunks → splitVector → sampled size bounds). Optional
@@ -200,8 +235,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     * reference's opt-in filterEmptySplits trade.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    if (countCols > 0)
-      // one partition, one collStats round-trip — no splits, no cursors
+    if (pushedAgg.isDefined)
+      // one partition, a handful of bounded probes — no splits, no scans
       Array(GraftServerPartition(
         BQuery.KeyRange(options.getOrElse("key", "_id"), None, None), Seq.empty))
     else GraftServerSource.withClient(options) { (client, ns) =>
@@ -215,7 +250,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftServerReaderFactory(requiredSchema, query, limit, options, countCols)
+    new GraftServerReaderFactory(requiredSchema, query, limit, options, pushedAgg)
 }
 
 /** One planned split: its key range plus the owning chunk's hosts as
@@ -228,30 +263,57 @@ final case class GraftServerPartition(range: BQuery.KeyRange, hosts: Seq[String]
 }
 
 final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
-    limit: Option[Int], options: Map[String, String], countCols: Int = 0)
+    limit: Option[Int], options: Map[String, String],
+    pushedAgg: Option[Seq[graft.source.AggPush]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    if (countCols > 0) new CollStatsCountReader(options, countCols)
-    else new GraftServerPartitionReader(p.asInstanceOf[GraftServerPartition],
-      requiredSchema, query, limit, options)
+    pushedAgg match {
+      case Some(items) => new ServerAggReader(options, items)
+      case None => new GraftServerPartitionReader(
+        p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit, options)
+    }
 }
 
-/** The pushed-COUNT(*) reader: one collStats call, one row, zero cursors
-  * — what the reference reads when it sizes a collection
-  * (core/.../splitter/MongoSplitterFactory.java:66-83).
+/** The pushed-aggregate reader: COUNT(*) from one collStats call (what
+  * the reference reads when it sizes a collection,
+  * core/.../splitter/MongoSplitterFactory.java:66-83); MIN/MAX from one
+  * sorted limit-1 cursor each — the server walks the index, one doc
+  * crosses the wire. Explicit nulls and missing fields are excluded from
+  * the probe (Spark's Min/Max ignore nulls; BSON sorts them first), so
+  * an all-null column folds to NULL via the empty probe.
   */
-final class CollStatsCountReader(options: Map[String, String], countCols: Int)
+final class ServerAggReader(options: Map[String, String],
+    items: Seq[graft.source.AggPush])
     extends PartitionReader[InternalRow] {
+  import graft.source.AggPush
+
   private val client = GraftServerSource.factory(options).create(options)
+  private val ns = GraftServerSource.ns(options)
   private var done = false
   private var row: InternalRow = _
+
+  private def probeEdge(col: String,
+      dt: org.apache.spark.sql.types.DataType, descending: Boolean): Any = {
+    val nonNull = BQuery.and(
+      BQuery.Exists(col, yes = true), BQuery.Ne(col, BNull))
+    client.find(ns, Find(nonNull, projection = Some(Seq(col)),
+        sortAscBy = Some(col), limit = 1L, sortDescending = descending))
+      .toSeq.headOption
+      .map(d => RowCodec.toRow(d,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(col, dt)))).get(0, dt))
+      .orNull
+  }
 
   override def next(): Boolean =
     if (done) false
     else {
-      val n = client.collStats(GraftServerSource.ns(options)).count
-      row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array.fill[Any](countCols)(n))
+      val values: Array[Any] = items.map {
+        case AggPush.RowCount => client.collStats(ns).count: Any
+        case AggPush.MinOf(c, t) => probeEdge(c, t, descending = false)
+        case AggPush.MaxOf(c, t) => probeEdge(c, t, descending = true)
+      }.toArray
+      row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       done = true
       true
     }

@@ -17,7 +17,10 @@ final case class Find(
     projection: Option[Seq[String]] = None,
     sortAscBy: Option[String] = None,
     skip: Long = 0L,
-    limit: Long = -1L)
+    limit: Long = -1L,
+    /** Reverse the `sortAscBy` order — `cursor.sort({k: -1})`, the
+      * index-walk-backwards a server runs for MAX(k). */
+    sortDescending: Boolean = false)
 
 /** The live-server surface the engine needs, as a transport-agnostic
   * trait: every method is one public MongoDB command/driver call, so a
@@ -235,8 +238,10 @@ final class FakeServerClient(rootDir: Option[String] = None)
     // materialize the whole store
     val matching = coll(ns).readAll().filter(q.query.matches)
     val docs: Iterator[BDoc] = q.sortAscBy match {
-      case Some(k) => matching.toVector
-        .sortBy(d => d.getPath(k).getOrElse(BNull))(BsonOrdering).iterator
+      case Some(k) =>
+        val sorted = matching.toVector
+          .sortBy(d => d.getPath(k).getOrElse(BNull))(BsonOrdering)
+        (if (q.sortDescending) sorted.reverse else sorted).iterator
       case None => matching
     }
     var it: Iterator[BDoc] = docs.drop(

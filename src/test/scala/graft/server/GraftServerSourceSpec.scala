@@ -134,15 +134,47 @@ class GraftServerSourceSpec extends SparkSpec {
       .options(serverOpts(dir, "db.supp_count")).load()
     val counted = df.agg(count(lit(1)).as("n"))
     val plan = counted.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedAggregates: [COUNT(*) via collStats]"),
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"),
       s"aggregate not pushed:\n$plan")
     assert(counted.as[Long].first() ===
       graft.Tables.supplier(spark, sf0001).count())
-    // a filter must refuse the pushdown (collStats is unfiltered)
+    // a filter must refuse the pushdown (the probes are unfiltered)
     val filtered = df.filter($"_id" > 10).agg(count(lit(1)).as("n"))
-    assert(!filtered.queryExecution.executedPlan.toString.contains("collStats"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
     assert(filtered.as[Long].first() ===
       graft.Tables.supplier(spark, sf0001).filter($"s_suppkey" > 10).count())
+  }
+
+  test("MIN/MAX are answered by sorted limit-1 probes; nulls excluded") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice",
+        // null for odd keys: the probe must skip nulls (BSON sorts them
+        // FIRST ascending — an unfiltered sorted cursor would return one)
+        when($"o_orderkey" % 2 === 0, $"o_totalprice").as("maybe"))
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.minmax")).option("id_column", "o_orderkey")
+      .mode("append").save()
+
+    val df = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.minmax")).load()
+    val agg = df.agg(
+      min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"),
+      count(lit(1)).as("n"), min($"maybe").as("m"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("MIN(o_totalprice)") && plan.contains("MAX(o_totalprice)")
+        && plan.contains("MIN(maybe)"),
+      s"min/max not pushed:\n$plan")
+    val row = agg.first()
+    val base = graft.Tables.orders(spark, sf0001)
+      .agg(min($"o_totalprice"), max($"o_totalprice"), count(lit(1)),
+        min(when($"o_orderkey" % 2 === 0, $"o_totalprice"))).first()
+    assert(row.getDouble(0) === base.getDouble(0))
+    assert(row.getDouble(1) === base.getDouble(1))
+    assert(row.getLong(2) === base.getLong(2))
+    assert(row.getDouble(3) === base.getDouble(3),
+      "min over a half-null column must skip the nulls")
   }
 
   test("CREATE TABLE ... USING graftserver registers a SQL catalog table") {
