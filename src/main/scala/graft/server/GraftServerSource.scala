@@ -69,9 +69,12 @@ class GraftServerSource extends TableProvider with DataSourceRegister {
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = options.asScala.toMap
+    val nss = GraftServerSource.nsList(opts)
     val n = opts.get("sample_size").map(_.toInt).getOrElse(1000)
-    val inferred = GraftServerSource.withClient(opts) { (client, ns) =>
-      RowCodec.inferSchema(client.find(ns, Find(limit = n.toLong)), n)
+    val per = math.max(1, n / nss.size)
+    val inferred = GraftServerSource.withClient(opts) { (client, _) =>
+      RowCodec.inferSchema(
+        nss.iterator.flatMap(ns => client.find(ns, Find(limit = per.toLong))), n)
     }
     if (inferred.isEmpty)
       throw new IllegalArgumentException(
@@ -88,6 +91,15 @@ object GraftServerSource {
   def ns(opts: Map[String, String]): String =
     opts.getOrElse("ns",
       throw new IllegalArgumentException("graftserver: ns option required"))
+
+  /** `ns` accepts a comma list of namespaces — the server form of the
+    * multi-collection scan (the reference reads several collections as
+    * one input via MultiCollectionSplitBuilder,
+    * core/.../splitter/MultiCollectionSplitBuilder.java): each namespace
+    * plans its own splits and the scan is their union.
+    */
+  def nsList(opts: Map[String, String]): Seq[String] =
+    ns(opts).split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   def factory(opts: Map[String, String]): ServerClientFactory =
     Class.forName(opts.getOrElse("client_factory", classOf[DirServerFactory].getName))
@@ -234,31 +246,36 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     * empty-split pruning costs one `find(limit=1)` per split, the
     * reference's opt-in filterEmptySplits trade.
     */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val key = options.getOrElse("key", "_id")
     if (pushedAgg.isDefined)
       // one partition, a handful of bounded probes — no splits, no scans
       Array(GraftServerPartition(
-        BQuery.KeyRange(options.getOrElse("key", "_id"), None, None), Seq.empty))
-    else GraftServerSource.withClient(options) { (client, ns) =>
-      val key = options.getOrElse("key", "_id")
+        GraftServerSource.ns(options), BQuery.KeyRange(key, None, None), Seq.empty))
+    else GraftServerSource.withClient(options) { (client, _) =>
       val target = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
-      val coll = new ServerCollection(client, ns)
-      var splits = coll.planSplits(key, target)
-      if (options.get("filter_empty").exists(_.toBoolean) && query != BQuery.True)
-        splits = Planners.pruneEmpty(splits, coll.stats(key), query)
-      splits.map(s => GraftServerPartition(s.range, s.preferredLocations): InputPartition).toArray
+      GraftServerSource.nsList(options).flatMap { ns =>
+        val coll = new ServerCollection(client, ns)
+        var splits = coll.planSplits(key, target)
+        if (options.get("filter_empty").exists(_.toBoolean) && query != BQuery.True)
+          splits = Planners.pruneEmpty(splits, coll.stats(key), query)
+        splits.map(s =>
+          GraftServerPartition(ns, s.range, s.preferredLocations): InputPartition)
+      }.toArray
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, query, limit, options, pushedAgg)
 }
 
-/** One planned split: its key range plus the owning chunk's hosts as
-  * preferred locations. [[BQuery.KeyRange]] is a plain case class — the
-  * split serializes as data, the cursor is re-opened executor-side.
+/** One planned split: its namespace, key range, and the owning chunk's
+  * hosts as preferred locations. [[BQuery.KeyRange]] is a plain case
+  * class — the split serializes as data, the cursor is re-opened
+  * executor-side.
   */
-final case class GraftServerPartition(range: BQuery.KeyRange, hosts: Seq[String])
-    extends InputPartition {
+final case class GraftServerPartition(ns: String, range: BQuery.KeyRange,
+    hosts: Seq[String]) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts.toArray
 }
 
@@ -288,11 +305,11 @@ final class ServerAggReader(options: Map[String, String],
   import graft.source.AggPush
 
   private val client = GraftServerSource.factory(options).create(options)
-  private val ns = GraftServerSource.ns(options)
+  private val nss = GraftServerSource.nsList(options)
   private var done = false
   private var row: InternalRow = _
 
-  private def probeEdge(col: String,
+  private def probeEdge(ns: String, col: String,
       dt: org.apache.spark.sql.types.DataType, descending: Boolean): Any = {
     val nonNull = BQuery.and(
       BQuery.Exists(col, yes = true), BQuery.Ne(col, BNull))
@@ -305,13 +322,32 @@ final class ServerAggReader(options: Map[String, String],
       .orNull
   }
 
+  /** Spark-order comparison over the read values of the AggTypes set
+    * (each column's probes share one Spark type, so no cross-type arms).
+    */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Int, y: Int) => x < y
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: Boolean, y: Boolean) => !x && y
+    case _ => false
+  }
+
+  private def fold(vs: Seq[Any], keepLeft: (Any, Any) => Boolean): Any = {
+    val present = vs.filter(_ != null)
+    if (present.isEmpty) null
+    else present.reduce((a, b) => if (keepLeft(a, b)) a else b)
+  }
+
   override def next(): Boolean =
     if (done) false
     else {
       val values: Array[Any] = items.map {
-        case AggPush.RowCount => client.collStats(ns).count: Any
-        case AggPush.MinOf(c, t) => probeEdge(c, t, descending = false)
-        case AggPush.MaxOf(c, t) => probeEdge(c, t, descending = true)
+        case AggPush.RowCount => nss.map(n => client.collStats(n).count).sum: Any
+        case AggPush.MinOf(c, t) =>
+          fold(nss.map(n => probeEdge(n, c, t, descending = false)), lt)
+        case AggPush.MaxOf(c, t) =>
+          fold(nss.map(n => probeEdge(n, c, t, descending = true)), (a, b) => lt(b, a))
       }.toArray
       row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       done = true
@@ -337,7 +373,7 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
 
   private val client = GraftServerSource.factory(options).create(options)
   private val cursor: Iterator[BDoc] =
-    client.find(GraftServerSource.ns(options),
+    client.find(p.ns,
       Find(BQuery.and(p.range, query),
         projection = Some(requiredSchema.fieldNames.toSeq),
         limit = limit.map(_.toLong).getOrElse(-1L)))
@@ -360,9 +396,14 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
 
 final class GraftServerWriteBuilder(writeSchema: StructType,
     options: Map[String, String]) extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftServerBatchWrite(writeSchema, options)
+  override def build(): Write = {
+    // the comma form of `ns` is a read-side union; a write needs one target
+    require(GraftServerSource.nsList(options).size == 1,
+      s"graftserver write requires a single namespace, got '${GraftServerSource.ns(options)}'")
+    new Write {
+      override def toBatch: BatchWrite =
+        new GraftServerBatchWrite(writeSchema, options)
+    }
   }
 }
 

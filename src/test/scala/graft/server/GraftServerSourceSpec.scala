@@ -177,6 +177,40 @@ class GraftServerSourceSpec extends SparkSpec {
       "min over a half-null column must skip the nulls")
   }
 
+  test("comma ns reads a union of namespaces; COUNT(*) sums collStats") {
+    import spark.implicits._
+    val dir = freshDir()
+    val cust = graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_acctbal")
+    val lo = cust.filter($"c_custkey" % 2 === 0)
+    val hi = cust.filter($"c_custkey" % 2 =!= 0)
+    lo.write.format("graftserver").options(serverOpts(dir, "db.even"))
+      .option("id_column", "c_custkey").mode("append").save()
+    hi.write.format("graftserver").options(serverOpts(dir, "db.odd"))
+      .option("id_column", "c_custkey").mode("append").save()
+
+    val union = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.even,db.odd")).load()
+    assert(union.count() === cust.count())
+    assert(union.select(countDistinct($"_id")).as[Long].first() === cust.count())
+    // pushed COUNT(*) sums per-namespace collStats
+    val counted = union.agg(count(lit(1)).as("n"))
+    assert(counted.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: [COUNT(*)]"))
+    assert(counted.as[Long].first() === cust.count())
+    // MIN folds across namespaces
+    val m = union.agg(min($"c_acctbal").as("m"))
+    assert(m.queryExecution.executedPlan.toString.contains("MIN(c_acctbal)"))
+    assert(m.as[Double].first() ===
+      cust.agg(min($"c_acctbal")).as[Double].first())
+    // writes refuse the union form
+    val err = intercept[Exception] {
+      cust.write.format("graftserver").options(serverOpts(dir, "db.a,db.b"))
+        .mode("append").save()
+    }
+    assert(err.getMessage.contains("single namespace"))
+  }
+
   test("CREATE TABLE ... USING graftserver registers a SQL catalog table") {
     import spark.implicits._
     val dir = freshDir()
