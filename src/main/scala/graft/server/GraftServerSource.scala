@@ -223,8 +223,49 @@ object GraftServerScanBuilder {
 final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None)
-    extends Scan with Batch {
-  import graft.source.AggPush
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  import graft.source.{AggPush, RuntimeFilters}
+
+  /** Runtime IN-sets from Spark's dynamic filtering, keyed by column.
+    * Split-key values prune whole key-range partitions
+    * ([[Planners.pruneByValues]] — never drops a partition that could
+    * hold a matching read value); all values AND-compose into the cursor
+    * query, so the server also drops the rows (sound under the
+    * runtime-filter contract: the join would drop them anyway).
+    */
+  @volatile private var runtimeIn: Map[String, Seq[BsonValue]] = Map.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // a pushed limit counts rows of the unnarrowed stream; a pushed
+    // aggregate's probes never scan at all
+    if (pushedAgg.isDefined || limit.isDefined) Array.empty
+    else Seq(options.getOrElse("key", "_id"), "_id").distinct
+      .filter(requiredSchema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val parsed = predicates.toSeq.flatMap(RuntimeFilters.parse)
+    val merged = parsed.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.flatMap(_._2).distinct
+    }
+    // a degenerate giant IN-set costs more per row than it prunes
+    runtimeIn =
+      if (merged.valuesIterator.map(_.size).sum > 10000) Map.empty else merged
+  }
+
+  /** The cursor query with runtime IN-sets AND-composed, read-semantics
+    * string/long forms first (the join compares READ values).
+    */
+  private def queryWithRuntime: BQuery =
+    runtimeIn.foldLeft(query) { case (acc, (f, vs)) =>
+      val strs = vs.collect { case BString(s) => s }
+      val longs = vs.collect { case BInt64(x) => x }
+      BQuery.and(acc,
+        if (strs.size == vs.size) BQuery.ReadStrIn(f, strs)
+        else if (longs.size == vs.size) BQuery.ReadLongIn(f, longs)
+        else BQuery.In(f, vs))
+    }
 
   override def readSchema(): StructType = pushedAgg match {
     case Some(items) =>
@@ -257,6 +298,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
       GraftServerSource.nsList(options).flatMap { ns =>
         val coll = new ServerCollection(client, ns)
         var splits = coll.planSplits(key, target)
+        runtimeIn.get(key).foreach(vs =>
+          splits = Planners.pruneByValues(splits, vs))
         if (options.get("filter_empty").exists(_.toBoolean) && query != BQuery.True)
           splits = Planners.pruneEmpty(splits, coll.stats(key), query)
         splits.map(s =>
@@ -266,7 +309,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftServerReaderFactory(requiredSchema, query, limit, options, pushedAgg)
+    new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options, pushedAgg)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's

@@ -229,6 +229,48 @@ class GraftServerSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS server_nation")
   }
 
+  test("runtime IN-set prunes server splits and narrows the cursor query") {
+    import graft.bson._
+    import graft.query.BQuery
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+
+    val dir = freshDir()
+    graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.rt")).option("id_column", "o_orderkey")
+      .mode("append").save()
+
+    val schema = StructType(Seq(
+      StructField("_id", LongType), StructField("o_totalprice", DoubleType)))
+    val scan = new GraftServerScan(schema, BQuery.True, None,
+      serverOpts(dir, "db.rt") + ("split_size" -> "4096"))
+    val before = scan.planInputPartitions().length
+    assert(before > 2, s"need several key-range partitions, got $before")
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("_id"))
+
+    val keys = Seq(1L, 2L)
+    scan.filter(Array(new Predicate("IN",
+      (Expressions.column("_id") +: keys.map(v => Bridge.v2Literal(v, LongType))).toArray)))
+    val after = scan.planInputPartitions()
+    assert(after.length < before, s"no pruning: $before -> ${after.length}")
+    // the kept partitions' ranges can hold the runtime values
+    assert(after.map(_.asInstanceOf[GraftServerPartition]).exists(p =>
+      graft.source.Planners.rangeMayHoldReadEq(p.range, BInt64(1L))))
+    // cursor narrowing: the reader-factory query carries the IN-set
+    val factory = scan.createReaderFactory().asInstanceOf[GraftServerReaderFactory]
+    val reader = factory.createReader(after.head)
+    try {
+      var n = 0
+      while (reader.next()) n += 1
+      assert(n <= keys.size, s"cursor returned $n rows for a ${keys.size}-key IN-set")
+    } finally reader.close()
+  }
+
   test("global limit is pushed partially and stays correct") {
     import spark.implicits._
     val dir = freshDir()
