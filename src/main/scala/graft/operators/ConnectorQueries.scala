@@ -210,6 +210,35 @@ object ConnectorQueries {
         |SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
         |FROM orders WHERE o_totalprice > 1000.0
         |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // Server-side aggregate probes: COUNT(*) from one collStats, MIN/MAX
+    // from one sorted limit-1 index walk each — zero documents scanned
+    // after the write (the reference's collstats sizing,
+    // core/.../splitter/MongoSplitterFactory.java:66-83). The plan shows
+    // PushedAggregates on the graftserver scan.
+    CatalogQuery(
+      "q70_server_agg_probes",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.orders")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts).load()
+          .agg(
+            count(lit(1)).as("n"),
+            min($"o_custkey").as("min_cust"),
+            max($"o_custkey").as("max_cust"),
+            max($"o_totalprice").as("max_price"))
+      },
+      Some("""
+        |SELECT count(*) AS n, min(o_custkey) AS min_cust,
+        |  max(o_custkey) AS max_cust, max(o_totalprice) AS max_price
+        |FROM orders
         |""".stripMargin))
   )
 }

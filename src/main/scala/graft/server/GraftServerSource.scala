@@ -143,18 +143,21 @@ final class GraftServerTable(tableSchema: StructType, properties: Map[String, St
 final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
   private var pushed: Array[Filter] = Array.empty
+  private var residuals: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Int)] = None // col, descending, n
   private var aggPushed: Option[Seq[graft.source.AggPush]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (query, accepted, residual) = FilterTranslator.split(filters, Map.empty)
     pushedQuery = query
     pushed = accepted
+    residuals = residual
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -168,6 +171,54 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY k LIMIT n per cursor (`cursor.sort().limit()`,
+    * MongoInputSplit.java:281-296), reported PARTIAL: each partition
+    * returns its local sorted top-n, a superset of its contribution to
+    * the global one, and Spark folds them. The server sorts in BSON
+    * STORAGE order, so this is sound only for Spark types all of whose
+    * readable storages share one consistently-ordered BSON bracket:
+    * Int/Double (numeric bracket, numeric order) and Boolean always;
+    * Long and Timestamp only under `assume_uniform_storage=true` (a
+    * BDate reads as a LongType's milliseconds but sorts in the date
+    * bracket; BTimestamp and BDate both read as TimestampType micros but
+    * sort in different brackets) — collections written by THIS engine
+    * are uniform (RowCodec.fromCatalyst: Long→int64, Timestamp→date),
+    * so the opt-in is honest for round-trip pipelines. Strings are
+    * refused outright (four storage brackets read as one string).
+    * Null ordering must match BSON's (nulls/missing first ascending,
+    * last descending — Spark's defaults). Residual filters refuse: they
+    * run above the scan and a pre-filter top-n might not survive them.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    import org.apache.spark.sql.types._
+    if (orders.length != 1 || aggPushed.isDefined || limit.isDefined ||
+        residuals.nonEmpty) return false
+    val o = orders.head
+    o.expression match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val col = nr.fieldNames.head
+        tableSchema.fields.find(_.name == col) match {
+          case Some(f) =>
+            val always = Set[DataType](IntegerType, DoubleType, BooleanType)
+            val uniform = Set[DataType](LongType, TimestampType)
+            val typeOk = always.contains(f.dataType) ||
+              (uniform.contains(f.dataType) &&
+                options.get("assume_uniform_storage").exists(_.toBoolean))
+            val desc = o.direction == SortDirection.DESCENDING
+            val nullsOk =
+              if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
+              else o.nullOrdering == NullOrdering.NULLS_FIRST
+            if (typeOk && nullsOk) { topN = Some((col, desc, n)); true }
+            else false
+          case None => false
+        }
+      case _ => false
+    }
+  }
 
   /** Whole-collection COUNT(*)/MIN/MAX only: any filter, option query,
     * limit, group-by, or other aggregate makes the probes the wrong
@@ -205,7 +256,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def build(): Scan =
     new GraftServerScan(required,
       BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-      limit, options, aggPushed)
+      limit, options, aggPushed, topN)
 }
 
 object GraftServerScanBuilder {
@@ -222,7 +273,8 @@ object GraftServerScanBuilder {
 
 final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
-    pushedAgg: Option[Seq[graft.source.AggPush]] = None)
+    pushedAgg: Option[Seq[graft.source.AggPush]] = None,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
   import graft.source.{AggPush, RuntimeFilters}
 
@@ -237,8 +289,10 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // a pushed limit counts rows of the unnarrowed stream; a pushed
+    // top-n keeps DIFFERENT rows over a narrowed stream (the sort+limit
+    // sits below the join the runtime filter came from); a pushed
     // aggregate's probes never scan at all
-    if (pushedAgg.isDefined || limit.isDefined) Array.empty
+    if (pushedAgg.isDefined || limit.isDefined || topN.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
       .filter(requiredSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -280,7 +334,10 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
   override def toBatch: Batch = this
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$query" +
-      pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("")
+      pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
+      topN.map { case (c, d, n) =>
+        s" PushedTopN: ORDER BY $c ${if (d) "DESC" else "ASC"} LIMIT $n"
+      }.getOrElse("")
 
   /** Driver-side planning: one bounded probe sequence through the shared
     * strategy chain (chunks → splitVector → sampled size bounds). Optional
@@ -309,7 +366,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options, pushedAgg)
+    new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
+      pushedAgg, topN)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -324,13 +382,15 @@ final case class GraftServerPartition(ns: String, range: BQuery.KeyRange,
 
 final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
-    pushedAgg: Option[Seq[graft.source.AggPush]] = None)
+    pushedAgg: Option[Seq[graft.source.AggPush]] = None,
+    topN: Option[(String, Boolean, Int)] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     pushedAgg match {
       case Some(items) => new ServerAggReader(options, items)
       case None => new GraftServerPartitionReader(
-        p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit, options)
+        p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
+        options, topN)
     }
 }
 
@@ -411,7 +471,8 @@ final class ServerAggReader(options: Map[String, String],
   */
 final class GraftServerPartitionReader(p: GraftServerPartition,
     requiredSchema: StructType, query: BQuery, limit: Option[Int],
-    options: Map[String, String])
+    options: Map[String, String],
+    topN: Option[(String, Boolean, Int)] = None)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
@@ -419,7 +480,10 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
         projection = Some(requiredSchema.fieldNames.toSeq),
-        limit = limit.map(_.toLong).getOrElse(-1L)))
+        sortAscBy = topN.map(_._1),
+        limit = topN.map(_._3.toLong)
+          .orElse(limit.map(_.toLong)).getOrElse(-1L),
+        sortDescending = topN.exists(_._2)))
 
   private var row: InternalRow = _
 

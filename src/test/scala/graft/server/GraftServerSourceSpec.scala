@@ -271,6 +271,40 @@ class GraftServerSourceSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("ORDER BY + LIMIT pushes a per-cursor top-n under uniform storage") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.topn")).option("id_column", "o_orderkey")
+      .mode("append").save()
+
+    def read(extra: Map[String, String]) = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.topn") ++ extra)
+      .option("split_size", "8192").load()
+
+    // DoubleType sorts are always safe (one numeric bracket)
+    val top = read(Map.empty).orderBy($"o_totalprice".desc).limit(5)
+    assert(top.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      s"no PushedTopN in:\n${top.queryExecution.executedPlan}")
+    val expect = graft.Tables.orders(spark, sf0001)
+      .orderBy($"o_totalprice".desc).limit(5)
+      .select($"o_totalprice").as[Double].collect().toSeq
+    assert(top.select($"o_totalprice").as[Double].collect().toSeq === expect)
+
+    // LongType (_id) refuses without the uniform-storage opt-in...
+    val refused = read(Map.empty).orderBy($"_id").limit(3)
+    assert(!refused.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    // ...and pushes with it (this engine writes Long as int64, uniformly)
+    val granted = read(Map("assume_uniform_storage" -> "true"))
+      .orderBy($"_id").limit(3)
+    assert(granted.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(granted.select($"_id").as[Long].collect().toSeq ===
+      graft.Tables.orders(spark, sf0001).orderBy($"o_orderkey").limit(3)
+        .select($"o_orderkey").as[Long].collect().toSeq)
+  }
+
   test("global limit is pushed partially and stays correct") {
     import spark.implicits._
     val dir = freshDir()
