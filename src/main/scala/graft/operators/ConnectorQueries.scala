@@ -222,23 +222,23 @@ object ConnectorQueries {
       (s, d) => {
         import s.implicits._
         val dir = freshDir()
-        val opts = Map("server_dir" -> dir, "ns" -> "db.orders")
-        Tables.orders(s, d)
-          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val opts = Map("server_dir" -> dir, "ns" -> "db.cust")
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
           .write.format("graftserver").options(opts)
-          .option("id_column", "o_orderkey")
+          .option("id_column", "c_custkey")
           .mode("append").save()
         s.read.format("graftserver").options(opts).load()
           .agg(
             count(lit(1)).as("n"),
-            min($"o_custkey").as("min_cust"),
-            max($"o_custkey").as("max_cust"),
-            max($"o_totalprice").as("max_price"))
+            min($"c_nationkey").as("min_nat"),
+            max($"c_nationkey").as("max_nat"),
+            max($"c_acctbal").as("max_bal"))
       },
       Some("""
-        |SELECT count(*) AS n, min(o_custkey) AS min_cust,
-        |  max(o_custkey) AS max_cust, max(o_totalprice) AS max_price
-        |FROM orders
+        |SELECT count(*) AS n, min(c_nationkey) AS min_nat,
+        |  max(c_nationkey) AS max_nat, max(c_acctbal) AS max_bal
+        |FROM customer
         |""".stripMargin))
   )
 }
