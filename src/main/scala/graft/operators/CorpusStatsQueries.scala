@@ -430,6 +430,58 @@ object CorpusStatsQueries {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk,
         |  tok, CAST(cnt AS BIGINT) AS cnt
         |FROM tc ORDER BY cnt DESC, tok LIMIT 20
+        |""".stripMargin)),
+
+    // Corpus-LM quality filter (the KenLM-perplexity-filter shape from
+    // the published pipeline recipes, made integer-exact): a document
+    // whose bigrams are mostly RARE in the corpus-wide bigram table is
+    // machine-garbled or off-distribution. True log-prob scoring needs
+    // libm (engine-divergent); the rare-mass RATE — what fraction of a
+    // doc's bigram occurrences have corpus frequency < MinCount — ranks
+    // the same tail and is exact in both engines (integer counts, one
+    // integer-scaled compare). Plan: row-local NGrams kernel, bigrams
+    // hashed to 8-byte keys before any exchange (q22's trick — the
+    // shuffle key is a long, not a ~20-byte string), one pre-aggregated
+    // (doc, hp) frame feeds BOTH the corpus table and the per-doc join,
+    // so the corpus-wide LM table costs one keyed exchange over distinct
+    // (doc, bigram) pairs, never the raw occurrence stream. At 100 TB
+    // every stage is a bounded keyed shuffle — the same cost class as
+    // tf-idf (q54), no driver state.
+    CatalogQuery(
+      "q71_rare_bigram_filter",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.Bridge
+        val grams = Bridge.column(graft.functions.NGrams(
+          Bridge.expression(spaceSplit($"text")), 2))
+        val occ = Tables.documents(s, d)
+          .select($"doc_id", explode(grams).as("g"))
+          .select($"doc_id", hashP($"g").as("hp"))
+          .groupBy($"doc_id", $"hp").agg(count(lit(1)).as("c"))
+        val lm = occ.groupBy($"hp").agg(sum($"c").as("corpus_c"))
+        occ.join(lm, "hp")
+          .groupBy($"doc_id").agg(
+            sum($"c").as("n_bi"),
+            sum(when($"corpus_c" < 3, $"c").otherwise(lit(0L))).as("n_rare"))
+          .select($"doc_id", $"n_bi", $"n_rare",
+            ($"n_rare" * 5 > $"n_bi").as("lowq"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        |WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, concat(t[i], ' ', t[i+1]) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |occ AS (
+        |  SELECT doc_id, ${hashPSql("g")} AS hp, count(*) AS c
+        |  FROM grams GROUP BY 1, 2),
+        |lm AS (SELECT hp, sum(c) AS corpus_c FROM occ GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+        |    CAST(sum(CASE WHEN corpus_c < 3 THEN c ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM occ JOIN lm USING (hp) GROUP BY 1)
+        |SELECT doc_id, n_bi, n_rare, n_rare * 5 > n_bi AS lowq
+        |FROM agg ORDER BY doc_id
         |""".stripMargin))
   )
 }
