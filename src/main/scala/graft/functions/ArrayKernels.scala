@@ -214,6 +214,25 @@ object ArrayKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** [[shingleHashes60]] generalized to any gram width: 60-bit hash of
+    * each space-joined n-gram, fused — no intermediate n-gram string
+    * column ever exists in the plan.
+    */
+  def ngramHashes60(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](len - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = Md5Util.prefix60(UTF8String.concatWs(Space, parts: _*).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<string> tokens -> array<bigint> of 60-bit shingle hashes. */
@@ -243,6 +262,41 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** array<string> tokens -> array<bigint> of 60-bit n-gram hashes —
+  * [[ShingleHashes]] for any gram width (bit-identical to
+  * `Md5Prefix60(NGrams(tokens, n))` element-wise, without the n-gram
+  * string array ever materializing).
+  */
+case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_hashes expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.ngramHashes60(v.asInstanceOf[ArrayData], n)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.ngramHashes60($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramHashes =
     copy(child = newChild)
 }
 

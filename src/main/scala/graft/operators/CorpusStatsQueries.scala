@@ -439,49 +439,64 @@ object CorpusStatsQueries {
     // libm (engine-divergent); the rare-mass RATE — what fraction of a
     // doc's bigram occurrences have corpus frequency < MinCount — ranks
     // the same tail and is exact in both engines (integer counts, one
-    // integer-scaled compare). Plan: row-local NGrams kernel, bigrams
-    // hashed to 8-byte keys before any exchange (q22's trick — the
-    // shuffle key is a long, not a ~20-byte string), one pre-aggregated
-    // (doc, hp) frame feeds BOTH the corpus table and the per-doc join,
-    // so the corpus-wide LM table costs one keyed exchange over distinct
-    // (doc, bigram) pairs, never the raw occurrence stream. At 100 TB
-    // every stage is a bounded keyed shuffle — the same cost class as
-    // tf-idf (q54), no driver state.
+    // integer-scaled compare). Plan: per-doc bigram totals are ROW-LOCAL
+    // (the NGrams kernel's array size — they never touch an exchange);
+    // bigram occurrences hash to 8-byte keys (q22's trick) and their ONE
+    // hp-keyed exchange is shared by the LM-table build and the rare-set
+    // semi-join (ReusedExchange); only RARE occurrences — the tail, by
+    // construction — reach the doc-keyed aggregate, and the final join
+    // against the per-doc frame carries #docs rows. At 100 TB the
+    // occurrence stream crosses the wire once; everything after is
+    // tail-sized or doc-sized.
     CatalogQuery(
       "q71_rare_bigram_filter",
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.graft.Bridge
-        val grams = Bridge.column(graft.functions.NGrams(
+        val docs = Tables.documents(s, d)
+        // n_bi = tokens - 1, WITHOUT building bigram strings: this branch
+        // is consumed twice (occurrence stream + final per-doc frame) and
+        // re-running the n-gram kernel just to take the array size would
+        // double the corpus tokenization
+        val base = docs
+          .select($"doc_id",
+            (size(spaceSplit($"text")) - 1).cast("long").as("n_bi"))
+          .filter($"n_bi" > 0)
+        // fused NGramHashes: hash60 per bigram straight off the token
+        // array — the bigram string column never exists in the plan
+        val h60 = Bridge.column(graft.functions.NGramHashes(
           Bridge.expression(spaceSplit($"text")), 2))
-        val occ = Tables.documents(s, d)
-          .select($"doc_id", explode(grams).as("g"))
-          .select($"doc_id", hashP($"g").as("hp"))
-          .groupBy($"doc_id", $"hp").agg(count(lit(1)).as("c"))
-        val lm = occ.groupBy($"hp").agg(sum($"c").as("corpus_c"))
-        occ.join(lm, "hp")
-          .groupBy($"doc_id").agg(
-            sum($"c").as("n_bi"),
-            sum(when($"corpus_c" < 3, $"c").otherwise(lit(0L))).as("n_rare"))
-          .select($"doc_id", $"n_bi", $"n_rare",
-            ($"n_rare" * 5 > $"n_bi").as("lowq"))
+        val occ = docs.select($"doc_id", explode(h60).as("h"))
+          .select($"doc_id", ($"h" % Portable.P).as("hp"))
+        val rare = occ.groupBy($"hp").agg(count(lit(1)).as("corpus_c"))
+          .filter($"corpus_c" < 3).select($"hp")
+        val rareCounts = occ.join(rare, Seq("hp"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_rare"))
+        base.select($"doc_id", $"n_bi")
+          .join(rareCounts, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_bi",
+            coalesce($"n_rare", lit(0L)).as("n_rare"))
+          .withColumn("lowq", $"n_rare" * 5 > $"n_bi")
           .orderBy($"doc_id")
       },
       Some(s"""
         |WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, concat(t[i], ' ', t[i+1]) AS g
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |base AS (
+        |  SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bi, t
+        |  FROM toks WHERE len(t) >= 2),
         |occ AS (
-        |  SELECT doc_id, ${hashPSql("g")} AS hp, count(*) AS c
-        |  FROM grams GROUP BY 1, 2),
-        |lm AS (SELECT hp, sum(c) AS corpus_c FROM occ GROUP BY 1),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
-        |    CAST(sum(CASE WHEN corpus_c < 3 THEN c ELSE 0 END) AS BIGINT) AS n_rare
-        |  FROM occ JOIN lm USING (hp) GROUP BY 1)
-        |SELECT doc_id, n_bi, n_rare, n_rare * 5 > n_bi AS lowq
-        |FROM agg ORDER BY doc_id
+        |  SELECT doc_id, ${hashPSql("concat(t[i], ' ', t[i+1])")} AS hp
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base)),
+        |rare AS (
+        |  SELECT hp FROM (SELECT hp, count(*) AS corpus_c FROM occ GROUP BY 1)
+        |  WHERE corpus_c < 3),
+        |rc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare
+        |  FROM occ WHERE hp IN (SELECT hp FROM rare) GROUP BY 1)
+        |SELECT b.doc_id, b.n_bi,
+        |  coalesce(rc.n_rare, 0) AS n_rare,
+        |  coalesce(rc.n_rare, 0) * 5 > b.n_bi AS lowq
+        |FROM base b LEFT JOIN rc USING (doc_id) ORDER BY doc_id
         |""".stripMargin))
   )
 }

@@ -31,6 +31,26 @@ class ArrayKernelsSpec extends SparkSpec {
       legacy.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("NGramHashes equals Md5Prefix60 over NGrams strings for widths 1-3") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c", "one two", "solo", "",
+      "x  y z w",
+      "héllo wörld ünïcode test").toDF("text")
+    for (n <- 1 to 3) {
+      val kernel = docs
+        .select(explode(Bridge.column(NGramHashes(
+          Bridge.expression(split($"text", " ")), n))).as("h"))
+      val legacy = docs
+        .select(explode(Bridge.column(NGrams(
+          Bridge.expression(split($"text", " ")), n))).as("g"))
+        .select(Portable.hash60($"g").as("h"))
+      assert(kernel.collect().map(_.getLong(0)).sorted.toSeq ===
+        legacy.collect().map(_.getLong(0)).sorted.toSeq, s"width $n")
+    }
+  }
+
   test("QuantFloats equals the transform-lambda quantizer on floats") {
     import spark.implicits._
     val df = Seq(
