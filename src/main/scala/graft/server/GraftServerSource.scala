@@ -203,11 +203,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         val col = nr.fieldNames.head
         tableSchema.fields.find(_.name == col) match {
           case Some(f) =>
-            val always = Set[DataType](IntegerType, DoubleType, BooleanType)
-            val uniform = Set[DataType](LongType, TimestampType)
-            val typeOk = always.contains(f.dataType) ||
-              (uniform.contains(f.dataType) &&
-                options.get("assume_uniform_storage").exists(_.toBoolean))
+            val typeOk = GraftServerScanBuilder.cursorOrderSafe(f.dataType, options)
             val desc = o.direction == SortDirection.DESCENDING
             val nullsOk =
               if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
@@ -269,14 +265,68 @@ object GraftServerScanBuilder {
     import org.apache.spark.sql.types._
     Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType)
   }
+
+  /** Can a server cursor sorted on a column of this Spark type be
+    * trusted as Spark order over READ values? Int/Double share one
+    * consistently-ordered numeric bracket, Boolean its own; Long and
+    * Timestamp span two brackets (date vs numeric / date vs timestamp)
+    * unless the caller asserts uniform storage — true for every
+    * collection this engine wrote (RowCodec stores Long→int64,
+    * Timestamp→date, always).
+    */
+  def cursorOrderSafe(dt: org.apache.spark.sql.types.DataType,
+      options: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.types._
+    val always = Set[DataType](IntegerType, DoubleType, BooleanType)
+    val uniform = Set[DataType](LongType, TimestampType)
+    always.contains(dt) || (uniform.contains(dt) &&
+      options.get("assume_uniform_storage").exists(_.toBoolean))
+  }
 }
 
 final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
     topN: Option[(String, Boolean, Int)] = None)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
+
+  /** collStats-based size report — the stats role collstats plays in the
+    * reference's planning (MongoSplitterFactory.java:66-83), surfaced to
+    * Catalyst so small server collections auto-broadcast in joins. One
+    * bounded round-trip per namespace at plan time. numRows only when no
+    * query narrows the scan (collStats counts the whole collection).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val stats = GraftServerSource.withClient(options) { (client, _) =>
+      GraftServerSource.nsList(options).map(n => client.collStats(n))
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(stats.map(s => s.count * s.avgObjSizeBytes).sum)
+    override def numRows(): java.util.OptionalLong =
+      if (query == BQuery.True && limit.isEmpty)
+        java.util.OptionalLong.of(stats.map(_.count).sum)
+      else java.util.OptionalLong.empty()
+  }
+
+  /** Per-partition cursor sort (`sort` option — cursor.sort parity,
+    * order within a partition, never global). Reported ONLY when the
+    * cursor's BSON order provably equals Spark's order over the read
+    * values ([[GraftServerScanBuilder.cursorOrderSafe]]); an unsafe type
+    * still sorts the cursor (server semantics) but makes no claim to
+    * Catalyst.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    options.get("sort") match {
+      case Some(c) if pushedAgg.isEmpty && topN.isEmpty &&
+          requiredSchema.fields.exists(f => f.name == c &&
+            GraftServerScanBuilder.cursorOrderSafe(f.dataType, options)) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   /** Runtime IN-sets from Spark's dynamic filtering, keyed by column.
     * Split-key values prune whole key-range partitions
@@ -480,7 +530,8 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
         projection = Some(requiredSchema.fieldNames.toSeq),
-        sortAscBy = topN.map(_._1),
+        // a pushed top-n's order wins; else the option-level cursor sort
+        sortAscBy = topN.map(_._1).orElse(options.get("sort")),
         limit = topN.map(_._3.toLong)
           .orElse(limit.map(_.toLong)).getOrElse(-1L),
         sortDescending = topN.exists(_._2)))

@@ -305,6 +305,51 @@ class GraftServerSourceSpec extends SparkSpec {
         .select($"o_orderkey").as[Long].collect().toSeq)
   }
 
+  test("sort option orders each cursor; reported to Catalyst only when safe") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_acctbal", $"c_name")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.sorted")).option("id_column", "c_custkey")
+      .mode("append").save()
+
+    // DoubleType sort reported: sortWithinPartitions on the same key is elided
+    val sorted = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.sorted")).option("sort", "c_acctbal")
+      .load().sortWithinPartitions($"c_acctbal")
+    assert(!sorted.queryExecution.executedPlan.toString.contains("Sort "),
+      s"redundant sort survived:\n${sorted.queryExecution.executedPlan}")
+    // rows really are ordered within the partition
+    val vals = sorted.select($"c_acctbal").as[Double].collect()
+    assert(vals.sameElements(vals.sorted), "cursor did not sort")
+
+    // a string sort still sorts the cursor but claims nothing
+    val s2 = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.sorted")).option("sort", "c_name")
+      .load().sortWithinPartitions($"c_name")
+    assert(s2.queryExecution.executedPlan.toString.contains("Sort "),
+      "unsafe type must not be reported as ordered")
+  }
+
+  test("scan reports collStats size so small server collections broadcast") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.nation(spark, sf0001)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.dim")).option("id_column", "n_nationkey")
+      .mode("append").save()
+    val dim = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.dim")).load()
+    val fact = graft.Tables.customer(spark, sf0001)
+    val joined = fact.join(dim, fact("c_nationkey") === dim("_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"25-row server dim should broadcast:\n$plan")
+    assert(joined.count() === fact.count())
+  }
+
   test("global limit is pushed partially and stays correct") {
     import spark.implicits._
     val dir = freshDir()
