@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-behavior analytics over the `events` stream: funnel conversion
+  * and cohort retention — the product-analytics queries a pipeline runs
+  * next to sessionization (q18) and interval joins (q63). Both are
+  * single-exchange shapes: all per-user logic runs inside one user-keyed
+  * partitioning, and only tiny per-user / per-cohort rows leave it.
+  */
+object BehaviorQueries {
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // Ordered-stage funnel: first view -> first click AFTER that view ->
+    // first purchase AFTER that click, converting within 7 days of the
+    // first view. The three stage timestamps are windowed mins over ONE
+    // user partitioning (chained, because each stage's predicate needs
+    // the previous stage's result): Catalyst plans a single user-keyed
+    // exchange feeding three back-to-back Window operators — the sort is
+    // paid once and reused, and the per-user reduction that follows is
+    // partial-aggregated map-side. At 100 TB the only full-data exchange
+    // is the one the semantics require (events co-located by user); the
+    // final summary is a one-row aggregate.
+    CatalogQuery(
+      "q72_funnel",
+      (s, d) => {
+        import s.implicits._
+        val wu = Window.partitionBy($"user_id")
+        val horizon = $"fv" + expr("INTERVAL 7 DAYS")
+        Tables.events(s, d)
+          .withColumn("fv", min(when($"event_type" === "view", $"ts")).over(wu))
+          .withColumn("fc",
+            min(when($"event_type" === "click" && $"ts" >= $"fv", $"ts")).over(wu))
+          .withColumn("fp",
+            min(when($"event_type" === "purchase" && $"ts" >= $"fc", $"ts")).over(wu))
+          .groupBy($"user_id")
+          .agg(max($"fv").as("fv"), max($"fc").as("fc"), max($"fp").as("fp"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            count($"fv").as("n_viewed"),
+            count(when($"fc" <= horizon, 1)).as("n_clicked"),
+            count(when($"fp" <= horizon, 1)).as("n_purchased"))
+          .select($"n_users", $"n_viewed", $"n_clicked", $"n_purchased",
+            ($"n_clicked".cast("double") / $"n_viewed").as("click_rate"),
+            ($"n_purchased".cast("double") / $"n_viewed").as("purchase_rate"))
+      },
+      Some("""
+        |WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS fv
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= fv THEN ts END)
+        |      OVER (PARTITION BY user_id) AS fc
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END)
+        |      OVER (PARTITION BY user_id) AS fp
+        |  FROM s2),
+        |u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
+        |      FROM s3 GROUP BY user_id),
+        |f AS (
+        |  SELECT count(*) AS n_users,
+        |    count(fv) AS n_viewed,
+        |    count(CASE WHEN fc <= fv + INTERVAL 7 DAY THEN 1 END) AS n_clicked,
+        |    count(CASE WHEN fp <= fv + INTERVAL 7 DAY THEN 1 END) AS n_purchased
+        |  FROM u)
+        |SELECT n_users, n_viewed, n_clicked, n_purchased,
+        |  CAST(n_clicked AS DOUBLE) / n_viewed AS click_rate,
+        |  CAST(n_purchased AS DOUBLE) / n_viewed AS purchase_rate
+        |FROM f
+        |""".stripMargin)),
+
+    // Weekly cohort retention triangle: users grouped by the week of
+    // their first event, counted active per week offset. Week bounds are
+    // date_trunc('week') in both engines (ISO Monday), so the day
+    // difference between two week starts is an exact multiple of 7 and
+    // the offset division is exact. Shape: one user-keyed window (first
+    // event), a row-local offset projection, then distinct + count over
+    // the tiny (user, cohort, offset) frame — the second exchange carries
+    // at most users x active-weeks rows, never raw events.
+    CatalogQuery(
+      "q73_retention",
+      (s, d) => {
+        import s.implicits._
+        val wu = Window.partitionBy($"user_id")
+        Tables.events(s, d)
+          .withColumn("first_ts", min($"ts").over(wu))
+          .select($"user_id",
+            date_trunc("week", $"first_ts").cast("date").as("cohort_week"),
+            (datediff(date_trunc("week", $"ts").cast("date"),
+              date_trunc("week", $"first_ts").cast("date")) / 7)
+              .cast("long").as("week_offset"))
+          .distinct()
+          .groupBy($"cohort_week", $"week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""
+        |WITH f AS (
+        |  SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events),
+        |w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+        |    CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+        |                   CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT)
+        |      AS week_offset
+        |  FROM f)
+        |SELECT cohort_week, week_offset, count(*) AS n_active
+        |FROM w GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset
+        |""".stripMargin)))
+}

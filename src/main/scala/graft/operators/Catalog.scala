@@ -14,7 +14,8 @@ object Catalog {
       FunctionQueries.all ++
       PipelineQueries.all ++
       SamplingQueries.all ++
-      CorpusStatsQueries.all
+      CorpusStatsQueries.all ++
+      BehaviorQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(

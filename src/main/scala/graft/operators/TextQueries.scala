@@ -204,6 +204,130 @@ object TextQueries {
           |       % ${Portable.FpMod} AS BIGINT) AS fingerprint
           |FROM tok GROUP BY doc_id ORDER BY doc_id
           |""".stripMargin
-      })
+      }),
+
+    // PII scrubbing: redact emails, phone numbers, and IPv4 addresses
+    // with class tokens and count each redaction — the privacy pass every
+    // training pipeline runs before tokenization. The synthetic corpus
+    // carries no PII, so the fixture embeds deterministic doc_id-derived
+    // PII identically in both engines; the OPERATOR under test is the
+    // three-stage regex scrub kernel (patterns restricted to the
+    // Java-regex ∩ RE2 common dialect so both engines match identically;
+    // counts taken per stage BEFORE that stage's scrub). Entirely
+    // row-local — projection-only plan, no exchange before the output
+    // sort; at 100 TB this is a pure map stage.
+    CatalogQuery(
+      "q74_pii_scrub",
+      (s, d) => {
+        import s.implicits._
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        Tables.documents(s, d)
+          .select($"doc_id", concat($"text",
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail.example.com or +1-555-"),
+            lpad(($"doc_id" * 7 % 10000).cast("string"), 4, "0"),
+            lit(" ip 10."), ($"doc_id" % 256).cast("string"),
+            lit(".0."), ($"doc_id" * 3 % 256).cast("string")).as("profile"))
+          .select($"doc_id",
+            regexp_count($"profile", lit(emailRe)).cast("long").as("n_emails"),
+            regexp_replace($"profile", emailRe, "<EMAIL>").as("t1"))
+          .select($"doc_id", $"n_emails",
+            regexp_count($"t1", lit(phoneRe)).cast("long").as("n_phones"),
+            regexp_replace($"t1", phoneRe, "<PHONE>").as("t2"))
+          .select($"doc_id", $"n_emails", $"n_phones",
+            regexp_count($"t2", lit(ipRe)).cast("long").as("n_ips"),
+            md5(regexp_replace($"t2", ipRe, "<IP>")).as("scrub_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        |WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or +1-555-'
+        |    || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+        |    || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id * 3 % 256 AS VARCHAR) AS profile
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(profile,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_emails,
+        |    regexp_replace(profile,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |      AS t1
+        |  FROM p),
+        |ph AS (
+        |  SELECT doc_id, n_emails,
+        |    CAST(len(regexp_extract_all(t1, '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT)
+        |      AS n_phones,
+        |    regexp_replace(t1, '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS t2
+        |  FROM e)
+        |SELECT doc_id, n_emails, n_phones,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(t2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_md5
+        |FROM ph ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Out-of-vocabulary audit: per-source token coverage against the
+    // corpus's top-20 vocabulary — the tokenizer-coverage report run
+    // before committing a vocab. Per-doc term frequencies are row-local
+    // (TokenCounts kernel, as q54), the vocabulary is a 20-row
+    // TakeOrdered broadcast, and zero-token docs are preserved by the
+    // left join back to the documents table. Exchanges carry only the
+    // distinct-token frame and per-doc totals — never token instances.
+    CatalogQuery(
+      "q75_oov_rate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tc = docs
+          .select($"doc_id", explode(Portable.tokenCounts($"text")).as("t"))
+          .select($"doc_id", $"t.tok".as("tok"), $"t.cnt".as("cnt"))
+        val vocab = tc.groupBy($"tok").agg(sum($"cnt").cast("long").as("n"))
+          .orderBy($"n".desc, $"tok").limit(20)
+          .select($"tok", lit(1).as("iv"))
+        val perDoc = tc.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy($"doc_id")
+          .agg(sum($"cnt").cast("long").as("n_tok"),
+            sum(when($"iv".isNotNull, $"cnt").otherwise(0L)).cast("long").as("n_in"))
+        docs.select($"doc_id", $"source")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select($"source", coalesce($"n_tok", lit(0L)).as("n_tok"),
+            coalesce($"n_tok" - $"n_in", lit(0L)).as("n_oov"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").cast("long").as("total_tok"),
+            sum($"n_oov").cast("long").as("total_oov"))
+          .withColumn("oov_rate", $"total_oov".cast("double") / $"total_tok")
+          .orderBy($"source")
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, tok, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, CAST(sum(cnt) AS BIGINT) AS n FROM tok GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 20)),
+        |pd AS (
+        |  SELECT t.doc_id, CAST(sum(t.cnt) AS BIGINT) AS n_tok,
+        |    CAST(sum(CASE WHEN v.tok IS NOT NULL THEN t.cnt ELSE 0 END) AS BIGINT)
+        |      AS n_in
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id),
+        |pj AS (
+        |  SELECT d.source, coalesce(pd.n_tok, 0) AS n_tok,
+        |    coalesce(pd.n_tok - pd.n_in, 0) AS n_oov
+        |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |  CAST(sum(n_oov) AS BIGINT) AS total_oov,
+        |  CAST(sum(n_oov) AS DOUBLE) / sum(n_tok) AS oov_rate
+        |FROM pj GROUP BY source ORDER BY source
+        |""".stripMargin))
   )
 }
