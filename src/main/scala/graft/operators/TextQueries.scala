@@ -328,6 +328,80 @@ object TextQueries {
         |  CAST(sum(n_oov) AS BIGINT) AS total_oov,
         |  CAST(sum(n_oov) AS DOUBLE) / sum(n_tok) AS oov_rate
         |FROM pj GROUP BY source ORDER BY source
+        |""".stripMargin)),
+
+    // BPE-ish pretokenizer budget: per-source token accounting under a
+    // GPT-2-style pretokenizer regex (contraction suffixes | letter runs
+    // | digit runs | punctuation runs), restricted to the Java-regex ∩
+    // RE2 common dialect (no lookahead — RE2 has none; alternation
+    // branches are disjoint at their first character so leftmost-first
+    // picks identically in both engines). The synthetic corpus is
+    // space-separated lowercase words, so the fixture appends
+    // deterministic doc_id-derived mixed content (contractions, version
+    // numbers, hashtags) to make every class fire. Class counts come
+    // from the one tokenized array (first-char classification), never a
+    // second scan. Shape: scan → row-local regex project → partial agg →
+    // ONE ~20-row source-keyed exchange → final agg; at 100 TB this is
+    // the token-budget report a pipeline runs before mixing sources, and
+    // it is a pure map stage plus a constant-size shuffle.
+    CatalogQuery(
+      "q76_bpe_tokens",
+      (s, d) => {
+        import s.implicits._
+        val pat = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+        val aug = concat($"text",
+          lit(" it's v"), ($"doc_id" % 9).cast("string"),
+          lit("."), ($"doc_id" * 3 % 10).cast("string"),
+          lit(" #t"), ($"doc_id" % 100).cast("string"),
+          lit(" don't stop-2024"))
+        Tables.documents(s, d)
+          .select($"source",
+            regexp_extract_all(aug, lit(pat), lit(0)).as("toks"))
+          .select($"source",
+            size($"toks").cast("long").as("n_tok"),
+            size(filter($"toks", t => t.rlike("^[A-Za-z]"))).cast("long").as("n_alpha"),
+            size(filter($"toks", t => t.rlike("^[0-9]"))).cast("long").as("n_num"),
+            size(filter($"toks", t => t.startsWith("'"))).cast("long").as("n_contr"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").cast("long").as("total_tok"),
+            sum($"n_alpha").cast("long").as("total_alpha"),
+            sum($"n_num").cast("long").as("total_num"),
+            sum($"n_contr").cast("long").as("total_contr"))
+          .select($"source", $"n_docs", $"total_tok", $"total_alpha",
+            $"total_num", $"total_contr",
+            ($"total_tok" - $"total_alpha" - $"total_num" - $"total_contr")
+              .as("total_punct"),
+            ($"total_tok".cast("double") / $"n_docs").as("tok_per_doc"))
+          .orderBy($"source")
+      },
+      Some("""
+        |WITH a AS (
+        |  SELECT source, text || ' it''s v' || CAST(doc_id % 9 AS VARCHAR)
+        |    || '.' || CAST(doc_id * 3 % 10 AS VARCHAR)
+        |    || ' #t' || CAST(doc_id % 100 AS VARCHAR)
+        |    || ' don''t stop-2024' AS aug
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, regexp_extract_all(aug,
+        |    '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS toks
+        |  FROM a),
+        |c AS (
+        |  SELECT source,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num,
+        |    CAST(len(list_filter(toks, x -> x LIKE '''%')) AS BIGINT) AS n_contr
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        |  CAST(sum(n_alpha) AS BIGINT) AS total_alpha,
+        |  CAST(sum(n_num) AS BIGINT) AS total_num,
+        |  CAST(sum(n_contr) AS BIGINT) AS total_contr,
+        |  CAST(sum(n_tok) - sum(n_alpha) - sum(n_num) - sum(n_contr) AS BIGINT)
+        |    AS total_punct,
+        |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS tok_per_doc
+        |FROM c GROUP BY source ORDER BY source
         |""".stripMargin))
   )
 }
