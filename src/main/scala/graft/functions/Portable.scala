@@ -73,6 +73,19 @@ object Portable {
   def collapseRuns(c: Column): Column =
     Bridge.column(CollapseRuns(Bridge.expression(c)))
 
+  /** Single-pass PII scrub: struct<n_emails,n_phones,n_ips,scrubbed>,
+    * exactly the email→phone→IPv4 sequential regex-chain semantics
+    * (see [[ScrubPii]]; `PiiScrubSpec` pins the equivalence).
+    */
+  def scrubPii(c: Column): Column =
+    Bridge.column(ScrubPii(Bridge.expression(c)))
+
+  /** One-pass BPE-ish pretokenizer stats —
+    * struct<n_tok,n_alpha,n_num,n_contr> (see [[BpeTokenStats]]).
+    */
+  def bpeTokenStats(c: Column): Column =
+    Bridge.column(BpeTokenStats(Bridge.expression(c)))
+
   // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
 
   /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */

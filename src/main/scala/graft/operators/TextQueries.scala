@@ -220,9 +220,11 @@ object TextQueries {
       "q74_pii_scrub",
       (s, d) => {
         import s.implicits._
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
-        val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        // One codegen'd pass over the document ([[graft.functions.ScrubPii]])
+        // instead of six java.util.regex passes — same sequential
+        // email→phone→IPv4 semantics the oracle's regex chain runs
+        // (PiiScrubSpec pins the equivalence property-wise; the gate
+        // checks it end-to-end against RE2).
         Tables.documents(s, d)
           .select($"doc_id", concat($"text",
             lit(" contact user"), $"doc_id".cast("string"),
@@ -230,15 +232,12 @@ object TextQueries {
             lpad(($"doc_id" * 7 % 10000).cast("string"), 4, "0"),
             lit(" ip 10."), ($"doc_id" % 256).cast("string"),
             lit(".0."), ($"doc_id" * 3 % 256).cast("string")).as("profile"))
+          .select($"doc_id", Portable.scrubPii($"profile").as("p"))
           .select($"doc_id",
-            regexp_count($"profile", lit(emailRe)).cast("long").as("n_emails"),
-            regexp_replace($"profile", emailRe, "<EMAIL>").as("t1"))
-          .select($"doc_id", $"n_emails",
-            regexp_count($"t1", lit(phoneRe)).cast("long").as("n_phones"),
-            regexp_replace($"t1", phoneRe, "<PHONE>").as("t2"))
-          .select($"doc_id", $"n_emails", $"n_phones",
-            regexp_count($"t2", lit(ipRe)).cast("long").as("n_ips"),
-            md5(regexp_replace($"t2", ipRe, "<IP>")).as("scrub_md5"))
+            $"p.n_emails".as("n_emails"),
+            $"p.n_phones".as("n_phones"),
+            $"p.n_ips".as("n_ips"),
+            md5($"p.scrubbed").as("scrub_md5"))
           .orderBy($"doc_id")
       },
       Some("""
@@ -348,20 +347,20 @@ object TextQueries {
       "q76_bpe_tokens",
       (s, d) => {
         import s.implicits._
-        val pat = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+        // One codegen'd pass per doc ([[graft.functions.BpeTokenStats]])
+        // instead of regexp_extract_all + per-token classification — the
+        // alternation the oracle runs reduces to ordered run-scanning
+        // (BpeTokenStatsSpec pins the equivalence property-wise).
         val aug = concat($"text",
           lit(" it's v"), ($"doc_id" % 9).cast("string"),
           lit("."), ($"doc_id" * 3 % 10).cast("string"),
           lit(" #t"), ($"doc_id" % 100).cast("string"),
           lit(" don't stop-2024"))
         Tables.documents(s, d)
+          .select($"source", Portable.bpeTokenStats(aug).as("t"))
           .select($"source",
-            regexp_extract_all(aug, lit(pat), lit(0)).as("toks"))
-          .select($"source",
-            size($"toks").cast("long").as("n_tok"),
-            size(filter($"toks", t => t.rlike("^[A-Za-z]"))).cast("long").as("n_alpha"),
-            size(filter($"toks", t => t.rlike("^[0-9]"))).cast("long").as("n_num"),
-            size(filter($"toks", t => t.startsWith("'"))).cast("long").as("n_contr"))
+            $"t.n_tok".as("n_tok"), $"t.n_alpha".as("n_alpha"),
+            $"t.n_num".as("n_num"), $"t.n_contr".as("n_contr"))
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_tok").cast("long").as("total_tok"),

@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[PiiKernels.scrubPii]] to the reference semantics it replaces:
+  * the SEQUENTIAL java.util.regex chain (count emails → scrub emails →
+  * count phones → scrub phones → count IPv4s → scrub IPv4s), with the
+  * exact patterns the DuckDB oracle runs. The property test drives the
+  * scanner through the regex engine's corner cases: class-run absorption
+  * (digits/dots flowing into an email's local part), domain backtracking
+  * for the TLD, \b flips caused by earlier replacements, 4-digit runs,
+  * and non-ASCII bytes.
+  */
+class PiiScrubSpec extends AnyFunSuite {
+
+  private val email =
+    Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val phone = Pattern.compile("\\+\\d{1,2}-\\d{3}-\\d{4}")
+  private val ip = Pattern.compile(
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  private def count(p: Pattern, s: String): Long = {
+    val m = p.matcher(s)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
+
+  private def ref(s: String): (Long, Long, Long, String) = {
+    val ne = count(email, s)
+    val t1 = email.matcher(s).replaceAll("<EMAIL>")
+    val np = count(phone, t1)
+    val t2 = phone.matcher(t1).replaceAll("<PHONE>")
+    val ni = count(ip, t2)
+    val t3 = ip.matcher(t2).replaceAll("<IP>")
+    (ne, np, ni, t3)
+  }
+
+  private def kernel(s: String): (Long, Long, Long, String) = {
+    val r = PiiKernels.scrubPii(UTF8String.fromString(s))
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getUTF8String(3).toString)
+  }
+
+  private val cases = Seq(
+    "",
+    "plain words only",
+    "bob@example.com",
+    "a@b.co",
+    "a@.com",                       // empty first domain part: no match
+    "a@b.c-om",                     // 1-letter TLD candidates only: no match
+    "b@x.com@y.com",                // second @ outside domain class
+    "a@b.comx@y.com",               // greedy TLD eats 'comx'
+    "bob@x.com1.2.3.4",             // digits absorbed into local? no — after
+                                    // scrub, '>' enables the \b for the IP
+    "1.2.3.4bob@x.com",             // email's local class absorbs the IP
+    "x%y+z._w@sub.domain-x.org!",
+    "+1-555-0123",
+    "+12-345-6789",
+    "+123-456-7890",                // 3-digit country code: no match
+    "+1-5555-0123",                 // 4-digit middle: no match
+    "+1-555-01234",                 // trailing digit after the 4: matches
+    "+1-555-0123bob@x.com",         // email consumes the phone's digits
+    "10.0.0.1",
+    "10.0.0.1a",                    // trailing \b fails
+    "10.0.0.1_3",                   // underscore is a word char: \b fails
+    "1234.5.6.7",                   // 4-digit first segment: no match
+    "1.2.3.4.5",                    // match then leftover '.5'
+    "1.2.3.4+1-555-0123",
+    "x@y.com1.2.3.4 and 9.9.9.9",
+    "''s césar naïve@café.fr",      // non-ASCII bytes in local/domain
+    " contact user3@mail.example.com or +1-555-0021 ip 10.3.0.9")
+
+  test("kernel equals the sequential regex chain on curated edges") {
+    for (s <- cases) assert(kernel(s) === ref(s), s"input: '$s'")
+  }
+
+  private val alphabet: Gen[Char] = Gen.frequency(
+    6 -> Gen.oneOf('a', 'b', 'X', 'm', 'o', 'c'),
+    5 -> Gen.oneOf('0', '1', '5', '9', '2'),
+    6 -> Gen.oneOf('@', '.', '-', '+', '_', '%'),
+    3 -> Gen.const(' '),
+    1 -> Gen.oneOf('<', '>', '!', 'é'))
+
+  test("kernel equals the sequential regex chain on random strings") {
+    val strs = Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, alphabet))
+    val params = Gen.Parameters.default
+    (1 to 4000).foreach { trial =>
+      val s = strs.pureApply(params, Seed(trial.toLong * 104729L))
+      assert(kernel(s) === ref(s), s"input: '$s' (trial $trial)")
+    }
+  }
+}
