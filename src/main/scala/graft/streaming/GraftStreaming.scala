@@ -422,4 +422,85 @@ object GraftStreaming {
           Iterator.single(BucketHitters(bucket, total, summary))
       }
   }
+
+  /** One behavioral event for the streaming funnel. */
+  final case class FunnelEvent(userId: Long, eventType: String, sec: Long)
+
+  /** Per-user funnel state: first view + the bufferCap earliest click
+    * and purchase timestamps (see [[streamingFunnel]]).
+    */
+  final case class FunnelState(fv: Option[Long], clicks: Seq[Long],
+      purchases: Seq[Long])
+
+  /** A user's funnel progress: first view, first qualifying click
+    * (>= fv), first qualifying purchase (>= fc) — absent stages are
+    * None. Emitted whenever the triple changes.
+    */
+  final case class FunnelProgress(userId: Long, fv: Option[Long],
+      fc: Option[Long], fp: Option[Long])
+
+  /** Streaming form of the batch ordered-stage funnel (q72): per-user
+    * state tracks the first view, the first click at-or-after it, and
+    * the first purchase at-or-after that, CONVERGING to the batch
+    * window-min answer under out-of-order arrival. Chained stages can't
+    * be folded into plain running mins (a late, earlier view can
+    * re-qualify clicks that predate the old first view), so the state
+    * holds the `bufferCap` EARLIEST click and purchase timestamps and
+    * re-derives the qualifying mins per batch. The bound is one-sided,
+    * BucketCap-style: a reported stage time is always exact (eviction
+    * only drops timestamps later than everything retained), and a stage
+    * can only be under-reported (None) when more than `bufferCap` of a
+    * user's clicks precede their final first view. State per user is
+    * O(bufferCap); `stateTtl` evicts idle users via processing-time
+    * timeout. At 1000 executors the per-batch shuffle carries only that
+    * batch's events, user-keyed — the same one exchange the batch plan
+    * pays.
+    */
+  def streamingFunnel(
+      events: org.apache.spark.sql.Dataset[FunnelEvent],
+      bufferCap: Int = 16,
+      stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bufferCap >= 1, "bufferCap must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), timeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val FunnelState(fv0, clicks0, purchases0) =
+              state.getOption.getOrElse(FunnelState(None, Seq.empty, Seq.empty))
+            var fv = fv0
+            val clicks = scala.collection.mutable.ArrayBuffer(clicks0: _*)
+            val purchases = scala.collection.mutable.ArrayBuffer(purchases0: _*)
+            rows.foreach { e =>
+              e.eventType match {
+                case "view" => if (fv.forall(e.sec < _)) fv = Some(e.sec)
+                case "click" => clicks += e.sec
+                case "purchase" => purchases += e.sec
+                case _ => ()
+              }
+            }
+            val ck = clicks.sorted.take(bufferCap).toSeq
+            val pk = purchases.sorted.take(bufferCap).toSeq
+            def minFrom(buf: Seq[Long], lo: Option[Long]): Option[Long] =
+              lo.flatMap(l => buf.find(_ >= l)) // buf sorted ascending
+            val fc = minFrom(ck, fv)
+            val fp = minFrom(pk, fc)
+            state.update(FunnelState(fv, ck, pk))
+            stateTtl.foreach(state.setTimeoutDuration)
+            val progressed = fv != fv0 ||
+              fc != minFrom(clicks0, fv0) || fp != minFrom(purchases0, minFrom(clicks0, fv0))
+            if (progressed) Iterator.single(FunnelProgress(user, fv, fc, fp))
+            else Iterator.empty
+          }
+      }
+  }
 }
