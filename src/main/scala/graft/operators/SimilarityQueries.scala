@@ -21,6 +21,8 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumCentroids = 16
   private val NProbe = 2
+  private val PqM = 4  // PQ subspaces (q77)
+  private val PqK = 16 // PQ codewords per subspace (q77)
 
   val all: Seq[CatalogQuery] = Seq(
 
@@ -227,6 +229,87 @@ object SimilarityQueries {
           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
           |  FROM scored)
           |WHERE rk <= $TopK ORDER BY qid, rk
+          |""".stripMargin
+      }),
+
+    // Product-quantization audit: the PQ compression step of an IVF-PQ
+    // index (Jégou et al. '11 — the standard way an embedding corpus
+    // fits in memory at 100 TB: 64 dims × 4 B → M codes × 1 B). Each
+    // vector splits into M=4 subvectors; each subvector is assigned its
+    // nearest of K=16 codewords (deterministic codebook: the subvectors
+    // of the first K vectors — the same sampled-codebook convention as
+    // q36's coarse quantizer, so the oracle can mirror it). Output is
+    // the per-(subspace, code) usage histogram + total exact-integer
+    // reconstruction error — the balance/distortion report that decides
+    // whether a codebook is usable. Plan shape: the codebook is ONE
+    // bounded collect embedded as literals, assignment is a row-local
+    // array_min over per-codeword distance structs (same zero-shuffle
+    // shape as q36's fixed assignment), the subspace fan-out is a
+    // row-local 4-way explode, and the only exchange carries ≤ M×K
+    // partially-aggregated rows. At 100 TB: pure map + constant shuffle.
+    CatalogQuery(
+      "q77_pq_audit",
+      (s, d) => {
+        import s.implicits._
+        val B = Embeddings.Dims / PqM
+        val v = Tables.embeddings(s, d)
+          .select($"vec_id", Embeddings.quant("embedding").as("q"))
+        // ONE bounded collect (K rows, filter pushed to the scan) yields
+        // the whole codebook; subvector norms precomputed driver-side
+        val cw: Map[Int, Seq[(Long, Seq[Long], Long)]] =
+          v.filter($"vec_id" < PqK).collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1)))
+            .flatMap { case (k, q) =>
+              (0 until PqM).map { m =>
+                val sub = q.slice(m * B, (m + 1) * B)
+                (m, (k, sub, sub.map(x => x * x).sum))
+              }
+            }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+        val subbed = v.select(
+          $"vec_id" +: (0 until PqM).map(m =>
+            slice($"q", m * B + 1, B).as(s"s$m")): _*)
+        val best = subbed.select(
+          $"vec_id" +: (0 until PqM).map { m =>
+            val nrm = Embeddings.norm2(s"s$m")
+            array_min(array(cw(m).map { case (k, sub, cn) =>
+              struct((nrm + lit(cn) - lit(2L) * Embeddings.dotLit(s"s$m", sub)).as("d2"),
+                lit(k).as("code"))
+            }: _*)).as(s"b$m")
+          }: _*)
+        best
+          .select(explode(array((0 until PqM).map(m =>
+            struct(lit(m).as("subspace"),
+              col(s"b$m").getField("code").as("code"),
+              col(s"b$m").getField("d2").as("qerr"))): _*)).as("r"))
+          .select($"r.subspace", $"r.code", $"r.qerr")
+          .groupBy($"subspace", $"code")
+          .agg(count(lit(1)).as("n_assigned"),
+            sum($"qerr").cast("long").as("total_qerr"))
+          .orderBy($"subspace", $"code")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val b = Embeddings.Dims / PqM
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |sub AS (
+          |  SELECT vec_id, m, q[m*$b+1 : m*$b+$b] AS s
+          |  FROM v, (SELECT unnest(range(0, $PqM)) AS m)),
+          |cw AS (SELECT m, vec_id AS k, s AS cs FROM sub WHERE vec_id < $PqK),
+          |d AS (
+          |  SELECT sub.vec_id, sub.m, cw.k,
+          |    CAST(list_sum(list_transform(range(1, ${b + 1}),
+          |      i -> (sub.s[i] - cw.cs[i]) * (sub.s[i] - cw.cs[i]))) AS BIGINT) AS d2
+          |  FROM sub JOIN cw ON sub.m = cw.m),
+          |a AS (
+          |  SELECT vec_id, m, k, d2,
+          |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+          |  FROM d)
+          |SELECT CAST(m AS INT) AS subspace, k AS code,
+          |  count(*) AS n_assigned, CAST(sum(d2) AS BIGINT) AS total_qerr
+          |FROM a WHERE rk = 1
+          |GROUP BY m, k ORDER BY subspace, code
           |""".stripMargin
       })
   )
