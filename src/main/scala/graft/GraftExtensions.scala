@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MisraGriesSketch, ObjectIdToSeconds, ToObjectId, TopKMin}
+import graft.functions.{BpeTokenStats, MisraGriesSketch, ObjectIdToSeconds, ScrubPii, ToObjectId, TopKMin}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -44,5 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "misra_gries(key, weight, capacity) requires a literal integer capacity")
       }))
+    // single-pass text kernels for SQL callers (same Expressions as the
+    // Column API — codegen'd in both surfaces)
+    ext.injectFunction((
+      FunctionIdentifier("scrub_pii"),
+      new ExpressionInfo(classOf[ScrubPii].getName, "scrub_pii"),
+      (children: Seq[Expression]) => ScrubPii(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_stats"),
+      new ExpressionInfo(classOf[BpeTokenStats].getName, "bpe_token_stats"),
+      (children: Seq[Expression]) => BpeTokenStats(children.head)))
   }
 }
