@@ -88,6 +88,21 @@ object Embeddings {
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt((na * nb).cast("double"))
 
+  /** PQ nearest-codeword assignment over a flattened literal codebook
+    * (m·k·b longs, subspace-major) — one tight codegen'd loop per row
+    * (see [[PqAssign]]).
+    */
+  def pqAssign(q: String, cbFlat: Array[Long], m: Int, b: Int, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(PqAssign(
+      org.apache.spark.sql.graft.Bridge.expression(expr(q)), cbFlat, m, b, k))
+
+  /** ADC distance of PQ codes against one query's m·k lookup table
+    * (see [[PqAdc]]).
+    */
+  def pqAdc(codes: Column, lut: Array[Long], k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(PqAdc(
+      org.apache.spark.sql.graft.Bridge.expression(codes), lut, k))
+
   // ---- DuckDB SQL mirrors (args are SQL expressions) ----
 
   def quantSql(e: String): String =

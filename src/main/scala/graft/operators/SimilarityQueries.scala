@@ -255,34 +255,16 @@ object SimilarityQueries {
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
         // ONE bounded collect (K rows, filter pushed to the scan) yields
-        // the whole codebook; subvector norms precomputed driver-side
-        val cw: Map[Int, Seq[(Long, Seq[Long], Long)]] =
-          v.filter($"vec_id" < PqK).collect()
-            .map(r => (r.getLong(0), r.getSeq[Long](1)))
-            .flatMap { case (k, q) =>
-              (0 until PqM).map { m =>
-                val sub = q.slice(m * B, (m + 1) * B)
-                (m, (k, sub, sub.map(x => x * x).sum))
-              }
-            }
-            .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
-        val subbed = v.select(
-          $"vec_id" +: (0 until PqM).map(m =>
-            slice($"q", m * B + 1, B).as(s"s$m")): _*)
-        val best = subbed.select(
-          $"vec_id" +: (0 until PqM).map { m =>
-            val nrm = Embeddings.norm2(s"s$m")
-            array_min(array(cw(m).map { case (k, sub, cn) =>
-              struct((nrm + lit(cn) - lit(2L) * Embeddings.dotLit(s"s$m", sub)).as("d2"),
-                lit(k).as("code"))
-            }: _*)).as(s"b$m")
-          }: _*)
-        best
-          .select(explode(array((0 until PqM).map(m =>
-            struct(lit(m).as("subspace"),
-              col(s"b$m").getField("code").as("code"),
-              col(s"b$m").getField("d2").as("qerr"))): _*)).as("r"))
-          .select($"r.subspace", $"r.code", $"r.qerr")
+        // the whole codebook, flattened subspace-major for the kernel
+        val rows = v.filter($"vec_id" < PqK).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+        val cbFlat: Array[Long] = (0 until PqM).flatMap { m =>
+          rows.flatMap { case (_, q) => q.slice(m * B, (m + 1) * B) }
+        }.toArray
+        v.select($"vec_id",
+            posexplode(Embeddings.pqAssign("q", cbFlat, PqM, B, PqK)))
+          .select($"pos".cast("int").as("subspace"),
+            $"col.code".as("code"), $"col.d2".as("qerr"))
           .groupBy($"subspace", $"code")
           .agg(count(lit(1)).as("n_assigned"),
             sum($"qerr").cast("long").as("total_qerr"))
@@ -310,6 +292,134 @@ object SimilarityQueries {
           |  count(*) AS n_assigned, CAST(sum(d2) AS BIGINT) AS total_qerr
           |FROM a WHERE rk = 1
           |GROUP BY m, k ORDER BY subspace, code
+          |""".stripMargin
+      }),
+
+    // PQ-ADC search + recall audit: the query path of an IVF-PQ index.
+    // Each vector is reduced to its M=4 codes (q77's assignment); a
+    // query's distance to a vector is the ASYMMETRIC sum of
+    // per-subspace lookup-table entries d2(query_sub, codeword) — the
+    // vector's floats are never touched at query time. Approximate
+    // top-5 per query is then compared against the exact integer-L2
+    // top-5 → per-query recall@5, the measurement that validates a
+    // codebook before deployment. Plan shape: codebook + query batch
+    // are ONE bounded collect; the per-query LUTs (10×4×16 integers)
+    // are computed driver-side and embedded as literal arrays, so ADC
+    // scoring is a row-local element_at sum; both top-5s use the
+    // bounded topk_min aggregate (≤5 rows per query through each
+    // exchange, never a sorted frame); the recall join is 10 rows.
+    // At 100 TB the ADC side is the production search path (row-local
+    // over codes) and the exact side is run on a sampled query set —
+    // exactly what this fixture models.
+    CatalogQuery(
+      "q78_pq_adc_recall",
+      (s, d) => {
+        import s.implicits._
+        val B = Embeddings.Dims / PqM
+        val v = Tables.embeddings(s, d)
+          .select($"vec_id", Embeddings.quant("embedding").as("q"))
+        val head = v.filter($"vec_id" < math.max(PqK, NumQueries)).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+        def subs(q: Seq[Long]): IndexedSeq[Seq[Long]] =
+          (0 until PqM).map(m => q.slice(m * B, (m + 1) * B))
+        def sqd(a: Seq[Long], b: Seq[Long]): Long =
+          a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+        val cb: IndexedSeq[IndexedSeq[(Long, Seq[Long])]] =
+          (0 until PqM).map { m =>
+            head.filter(_._1 < PqK).map { case (k, q) => (k, subs(q)(m)) }.toIndexedSeq
+          }
+        val cbFlat: Array[Long] =
+          (0 until PqM).flatMap(m => cb(m).sortBy(_._1).flatMap(_._2)).toArray
+        val queries = head.filter(_._1 < NumQueries)
+        // ONE corpus pass computes both sides: codes via the PqAssign
+        // kernel (one tight loop over the flattened literal codebook),
+        // then per query the ADC sum (PqAdc kernel over the query's
+        // precomputed m·k lookup table — no join) AND the exact integer
+        // L2, in the same exploded row; both top-5s are bounded
+        // topk_min aggregates sharing one qid-keyed exchange (≤2×5 rows
+        // per query through it)
+        val scored = v
+          .select($"vec_id", $"q", Embeddings.norm2("q").as("nrm"),
+            Embeddings.pqAssign("q", cbFlat, PqM, B, PqK).as("codes"))
+          .select($"vec_id", explode(array(queries.map { case (qid, qq) =>
+            val qsubs = subs(qq)
+            val lut: Array[Long] = (0 until PqM).flatMap { m =>
+              cb(m).sortBy(_._1).map { case (_, sub) => sqd(qsubs(m), sub) }
+            }.toArray
+            struct(lit(qid).as("qid"),
+              Embeddings.pqAdc($"codes", lut, PqK).as("adc"),
+              ($"nrm" + lit(qq.map(x => x * x).sum) -
+                lit(2L) * Embeddings.dotLit("q", qq)).as("d2"))
+          }: _*)).as("r"))
+          .select($"r.qid".as("qid"), $"vec_id", $"r.adc".as("adc"), $"r.d2".as("d2"))
+          .filter($"vec_id" =!= $"qid")
+        scored.groupBy($"qid")
+          .agg(
+            graft.functions.TopK.topkMin(struct($"adc", $"vec_id"), TopK).as("apTop"),
+            graft.functions.TopK.topkMin(struct($"d2", $"vec_id"), TopK).as("exTop"))
+          .select($"qid",
+            size(array_intersect(
+              transform($"apTop", t => t.getField("vec_id")),
+              transform($"exTop", t => t.getField("vec_id")))).cast("long").as("n_hits"))
+          .withColumn("recall", $"n_hits".cast("double") / lit(TopK.toDouble))
+          .orderBy($"qid")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val b = Embeddings.Dims / PqM
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |sub AS (
+          |  SELECT vec_id, m, q[m*$b+1 : m*$b+$b] AS s
+          |  FROM v, (SELECT unnest(range(0, $PqM)) AS m)),
+          |cw AS (SELECT m, vec_id AS k, s AS cs FROM sub WHERE vec_id < $PqK),
+          |dd AS (
+          |  SELECT sub.vec_id, sub.m, cw.k,
+          |    CAST(list_sum(list_transform(range(1, ${b + 1}),
+          |      i -> (sub.s[i] - cw.cs[i]) * (sub.s[i] - cw.cs[i]))) AS BIGINT) AS d2
+          |  FROM sub JOIN cw ON sub.m = cw.m),
+          |codes AS (
+          |  SELECT vec_id, m, k FROM (
+          |    SELECT vec_id, m, k,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rk
+          |    FROM dd)
+          |  WHERE rk = 1),
+          |qsub AS (SELECT vec_id AS qid, m, s AS qs FROM sub WHERE vec_id < $NumQueries),
+          |lut AS (
+          |  SELECT qsub.qid, qsub.m, cw.k,
+          |    CAST(list_sum(list_transform(range(1, ${b + 1}),
+          |      i -> (qsub.qs[i] - cw.cs[i]) * (qsub.qs[i] - cw.cs[i]))) AS BIGINT) AS qd2
+          |  FROM qsub JOIN cw ON qsub.m = cw.m),
+          |adc AS (
+          |  SELECT l.qid, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adc
+          |  FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.k
+          |  WHERE c.vec_id <> l.qid
+          |  GROUP BY l.qid, c.vec_id),
+          |ap AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+          |    FROM adc)
+          |  WHERE rk <= $TopK),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM vn WHERE vec_id < $NumQueries),
+          |exd AS (
+          |  SELECT qid, vn.vec_id,
+          |    vn.nrm + qs.qn - 2 * ${Embeddings.dotSql("qs.qq", "vn.q")} AS d2
+          |  FROM vn CROSS JOIN qs WHERE vn.vec_id <> qs.qid),
+          |ex AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+          |    FROM exd)
+          |  WHERE rk <= $TopK),
+          |hits AS (
+          |  SELECT e.qid, count(a.vec_id) AS n_hits
+          |  FROM ex e LEFT JOIN ap a ON a.qid = e.qid AND a.vec_id = e.vec_id
+          |  GROUP BY e.qid)
+          |SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+          |  CAST(n_hits AS DOUBLE) / $TopK AS recall
+          |FROM hits ORDER BY qid
           |""".stripMargin
       })
   )
