@@ -503,4 +503,65 @@ object GraftStreaming {
           }
       }
   }
+
+  /** One event for streaming cohort retention: the user and the
+    * already-truncated activity week (epoch days of the week start —
+    * `date_trunc('week', ts)` upstream, same convention as batch q73).
+    */
+  final case class CohortEvent(userId: Long, weekDays: Long)
+
+  /** A user's corrected cohort assignment: cohort week + active week
+    * offsets. LATEST-state semantics: each emission REPLACES the user's
+    * previous one (keyed upsert downstream), because a late, earlier
+    * first event moves the whole cohort — increments could never be
+    * retracted, assignments can.
+    */
+  final case class CohortAssignment(userId: Long, cohortWeekDays: Long,
+      offsets: Seq[Long])
+
+  /** Streaming form of the batch cohort retention (q73): per-user state
+    * is (min week, active-week set) and each change emits the user's
+    * full corrected assignment — the downstream collection sink upserts
+    * by user key, so the namespace always equals latest state and the
+    * retention triangle is a GROUP BY over it (the same
+    * "state-maintenance by keyed upsert" contract as the repo's other
+    * streaming sinks). Out-of-order arrival is total: a late earlier
+    * week lowers the cohort and re-derives every offset. State is
+    * bounded by `maxOffsetWeeks` (weeks beyond cohort + horizon are
+    * dropped from the set, the standard retention-triangle horizon),
+    * so a user's state never grows past horizon/7 entries.
+    */
+  def streamingCohorts(
+      events: org.apache.spark.sql.Dataset[CohortEvent],
+      maxOffsetWeeks: Long = 52,
+      stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[CohortAssignment] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxOffsetWeeks >= 0, "maxOffsetWeeks must be >= 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[Seq[Long], CohortAssignment](
+        OutputMode.Append(), timeout) {
+        (user: Long, rows: Iterator[CohortEvent], state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val weeks0 = state.getOption.getOrElse(Seq.empty[Long])
+            val weeks = (weeks0 ++ rows.map(_.weekDays)).distinct.sorted
+            val bounded =
+              if (weeks.isEmpty) weeks
+              else weeks.takeWhile(_ <= weeks.head + maxOffsetWeeks * 7)
+            state.update(bounded)
+            stateTtl.foreach(state.setTimeoutDuration)
+            if (bounded != weeks0)
+              Iterator.single(CohortAssignment(user, bounded.head,
+                bounded.map(w => (w - bounded.head) / 7)))
+            else Iterator.empty
+          }
+      }
+  }
 }

@@ -103,4 +103,35 @@ class StreamingBehaviorSpec extends SparkSpec {
       spark.table("funnel_cap").as[FunnelProgress].collect().toSeq)
     assert(finals(5L) === ((Some(5L), Some(10L), None)))
   }
+
+  test("streamingCohorts corrects the whole assignment when a late earlier week lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import GraftStreaming.{CohortAssignment, CohortEvent}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[CohortEvent]
+    val q = GraftStreaming.streamingCohorts(input.toDS(), maxOffsetWeeks = 4)
+      .writeStream.format("memory").queryName("cohort_updates")
+      .outputMode(OutputMode.Append()).start()
+    // weeks as epoch-day multiples of 7 for readability
+    input.addData(CohortEvent(1, 700), CohortEvent(1, 714), CohortEvent(2, 707))
+    q.processAllAvailable()
+    // late earlier week for user 1: cohort moves 714->700... then ->686,
+    // every offset re-derives; duplicate week for user 2: no emission
+    input.addData(CohortEvent(1, 686), CohortEvent(2, 707))
+    q.processAllAvailable()
+    // horizon: week 686 + 4*7 = 714 retained; 721+ would be dropped
+    input.addData(CohortEvent(1, 721))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("cohort_updates").as[CohortAssignment].collect().toSeq
+    val u1 = rows.filter(_.userId == 1L)
+    assert(u1.map(a => (a.cohortWeekDays, a.offsets)) ===
+      Seq((700L, Seq(0L, 2L)), (686L, Seq(0L, 2L, 4L))),
+      "assignment must be re-derived from the new cohort, horizon applied")
+    assert(rows.count(_.userId == 2L) === 1, "duplicate week must not re-emit")
+  }
 }
