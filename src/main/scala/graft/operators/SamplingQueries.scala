@@ -258,6 +258,68 @@ object SamplingQueries {
         |SELECT tr.doc_id AS doc_id, count(*) AS n_shared_shingles
         |FROM tr JOIN te USING (hp)
         |GROUP BY tr.doc_id ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Temperature-mixture sample MATERIALIZATION: q62 computes the
+    // alpha=0.5 per-source weights; this produces the actual mixed
+    // sample — per-source quotas (floor(w·N/tot), exact-in-double fixed
+    // point, identical IEEE ops in both engines) filled by the
+    // deterministically hash-ranked first quota docs of each source.
+    // Scale shape: quotas come off one tiny partial-aggregated exchange
+    // and broadcast back; per-source selection is the bounded topk_min
+    // aggregate (≤N rows per source through the exchange, map-side
+    // partials — never a per-source sort of the corpus); the final
+    // slice/posexplode is row-local over ≤N-element arrays. At 100 TB:
+    // two map passes + two constant-size exchanges.
+    CatalogQuery(
+      "q79_mixture_sample",
+      (s, d) => {
+        import s.implicits._
+        val SampleN = 500
+        val docs = Tables.documents(s, d)
+        val n = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", floor(sqrt($"n_docs") * lit(1e8)).cast("long"))
+        val tot = n.agg(sum($"w").cast("long").as("tot"))
+        val quota = n.crossJoin(broadcast(tot))
+          .select($"source",
+            floor(($"w" * lit(SampleN.toLong)).cast("double") /
+              $"tot".cast("double")).cast("long").as("q"))
+        docs
+          .select($"source",
+            hashP(concat(lit("mix:"), $"doc_id".cast("string"))).as("hv"),
+            $"doc_id")
+          .groupBy($"source")
+          .agg(graft.functions.TopK.topkMin(struct($"hv", $"doc_id"), SampleN).as("top"))
+          .join(broadcast(quota), "source")
+          .select($"source",
+            posexplode(slice(transform($"top", t => t.getField("doc_id")),
+              lit(1), $"q".cast("int"))))
+          .select($"source", ($"pos" + 1).cast("long").as("rk"),
+            $"col".as("doc_id"))
+          .orderBy($"source", $"rk")
+      },
+      Some(s"""
+        |WITH n AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*)) * 1e8) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM n),
+        |quota AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(w * 500 AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS q
+        |  FROM n, tot),
+        |h AS (
+        |  SELECT source, doc_id,
+        |    ${hashPSql("'mix:' || CAST(doc_id AS VARCHAR)")} AS hv
+        |  FROM documents),
+        |rked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+        |  FROM h)
+        |SELECT rked.source AS source, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM rked JOIN quota ON rked.source = quota.source
+        |WHERE rk <= quota.q
+        |ORDER BY rked.source, rk
         |""".stripMargin))
   )
 }
