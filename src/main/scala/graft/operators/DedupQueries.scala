@@ -585,6 +585,75 @@ object DedupQueries {
         |  CAST(count(dr.doc_id) AS BIGINT) AS n_dropped
         |FROM documents LEFT JOIN dropped dr USING (doc_id)
         |GROUP BY source ORDER BY source
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    // MinHash estimator-quality audit: for every LSH candidate pair (NO
+    // agreement threshold — the estimator itself is under audit), the
+    // 16-permutation signature estimate next to the EXACT shingle-set
+    // Jaccard and the absolute error — the dedup-side analog of q78's
+    // recall audit (both validate a sketch against ground truth before
+    // trusting it at scale). Exact Jaccard is row-local: each doc's
+    // distinct shingle hashes ride along as ONE array (no shingle
+    // explode, no hp-keyed exchange) and `array_intersect` computes the
+    // overlap inside codegen; the candidate set is bounded by the capped
+    // buckets, so the two doc-keyed joins carry candidate×array rows
+    // only. At 100 TB: the audit costs two bounded joins on top of the
+    // capped candidate generator — never an all-pairs or a shingle-frame
+    // shuffle.
+    CatalogQuery(
+      "q80_minhash_precision",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.Bridge
+        val cand = lshPairs(sigRows(s, d), None)
+        val hcol = Bridge.column(graft.functions.DistinctModP(
+          Bridge.expression(Bridge.column(graft.functions.ShingleHashes(
+            Bridge.expression(graft.functions.Portable.spaceSplit(col("text")))))), P))
+        val arrs = Tables.documents(s, d)
+          .select($"doc_id", hcol.as("hs")).filter(size($"hs") > 0)
+        cand
+          .join(arrs.select($"doc_id".as("doc_a"), $"hs".as("ha")), "doc_a")
+          .join(arrs.select($"doc_id".as("doc_b"), $"hs".as("hb")), "doc_b")
+          .select($"doc_a", $"doc_b", $"est_sim",
+            size(array_intersect($"ha", $"hb")).as("inter"),
+            (size($"ha") + size($"hb")).as("ab"))
+          .select($"doc_a", $"doc_b", $"est_sim",
+            ($"inter".cast("double") / ($"ab" - $"inter").cast("double"))
+              .as("exact_jac"))
+          .withColumn("abs_err", abs($"est_sim" - $"exact_jac"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some {
+        val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+        s"""
+          |WITH $signaturesSql,
+          |$bandsSql,
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+          |  WHERE x.doc_id < y.doc_id),
+          |est AS (
+          |  SELECT doc_a, doc_b, CAST($eqSum AS DOUBLE) / $NumPerms.0 AS est_sim
+          |  FROM cand
+          |  JOIN sig sa ON sa.doc_id = cand.doc_a
+          |  JOIN sig sb ON sb.doc_id = cand.doc_b),
+          |nd AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+          |iv AS (
+          |  SELECT e.doc_a, e.doc_b, count(b.hp) AS inter
+          |  FROM est e
+          |  JOIN shh a ON a.doc_id = e.doc_a
+          |  LEFT JOIN shh b ON b.doc_id = e.doc_b AND b.hp = a.hp
+          |  GROUP BY e.doc_a, e.doc_b)
+          |SELECT e.doc_a, e.doc_b, est_sim,
+          |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS exact_jac,
+          |  abs(est_sim - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE))
+          |    AS abs_err
+          |FROM est e
+          |JOIN iv ON iv.doc_a = e.doc_a AND iv.doc_b = e.doc_b
+          |JOIN nd na ON na.doc_id = e.doc_a
+          |JOIN nd nb ON nb.doc_id = e.doc_b
+          |ORDER BY e.doc_a, e.doc_b
+          |""".stripMargin
+      })
   )
 }
