@@ -36,13 +36,19 @@ object DedupQueries {
     * semantics cost zero exchanges (the old formulation shuffled the full
     * shingle frame through a global distinct).
     */
-  private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc DISTINCT shingle-hash array as one row-local column — the
+    * single source of the shingle-hash definition ([[hashedShingles]]
+    * explodes it; q80 intersects it).
+    */
+  private[operators] def shingleArrayCol: Column = {
     import org.apache.spark.sql.graft.Bridge
-    val hps = Bridge.column(graft.functions.DistinctModP(
+    Bridge.column(graft.functions.DistinctModP(
       Bridge.expression(Bridge.column(graft.functions.ShingleHashes(
         Bridge.expression(graft.functions.Portable.spaceSplit(col("text")))))), P))
-    Tables.documents(s, d).select(col("doc_id"), explode(hps).as("hp"))
   }
+
+  private[operators] def hashedShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), explode(shingleArrayCol).as("hp"))
 
   /** DuckDB mirror of [[hashedShingles]] as a WITH-clause body named `shh`. */
   private[operators] val shinglesSql: String =
@@ -604,13 +610,9 @@ object DedupQueries {
       "q80_minhash_precision",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.graft.Bridge
         val cand = lshPairs(sigRows(s, d), None)
-        val hcol = Bridge.column(graft.functions.DistinctModP(
-          Bridge.expression(Bridge.column(graft.functions.ShingleHashes(
-            Bridge.expression(graft.functions.Portable.spaceSplit(col("text")))))), P))
         val arrs = Tables.documents(s, d)
-          .select($"doc_id", hcol.as("hs")).filter(size($"hs") > 0)
+          .select($"doc_id", shingleArrayCol.as("hs")).filter(size($"hs") > 0)
         cand
           .join(arrs.select($"doc_id".as("doc_a"), $"hs".as("ha")), "doc_a")
           .join(arrs.select($"doc_id".as("doc_b"), $"hs".as("hb")), "doc_b")

@@ -258,6 +258,12 @@ object SimilarityQueries {
         // the whole codebook, flattened subspace-major for the kernel
         val rows = v.filter($"vec_id" < PqK).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+        // codebook convention (same as q36's coarse quantizer): codeword
+        // id == vec_id, which the kernel's dense 0..K-1 code indices and
+        // the oracle's raw vec_ids both rely on — fail loudly rather
+        // than silently mis-code against a sparse fixture
+        require(rows.map(_._1).sameElements(0L until PqK.toLong),
+          s"PQ codebook requires contiguous vec_ids 0..${PqK - 1} in $d")
         val cbFlat: Array[Long] = (0 until PqM).flatMap { m =>
           rows.flatMap { case (_, q) => q.slice(m * B, (m + 1) * B) }
         }.toArray
@@ -328,6 +334,10 @@ object SimilarityQueries {
           (0 until PqM).map { m =>
             head.filter(_._1 < PqK).map { case (k, q) => (k, subs(q)(m)) }.toIndexedSeq
           }
+        // same contiguous-id contract as q77 (kernel codes are dense
+        // 0..K-1 positions, the oracle's are raw vec_ids)
+        require(cb.head.map(_._1).sameElements(0L until PqK.toLong),
+          s"PQ codebook requires contiguous vec_ids 0..${PqK - 1} in $d")
         val cbFlat: Array[Long] =
           (0 until PqM).flatMap(m => cb(m).sortBy(_._1).flatMap(_._2)).toArray
         val queries = head.filter(_._1 < NumQueries)

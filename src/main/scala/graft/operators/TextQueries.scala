@@ -351,11 +351,14 @@ object TextQueries {
         // instead of regexp_extract_all + per-token classification — the
         // alternation the oracle runs reduces to ordered run-scanning
         // (BpeTokenStatsSpec pins the equivalence property-wise).
+        // the fixture includes STRAY apostrophes (possessive-plural na',
+        // quoted ''x) so the gate distinguishes true contraction-branch
+        // tokens from apostrophe-led punctuation runs in both engines
         val aug = concat($"text",
           lit(" it's v"), ($"doc_id" % 9).cast("string"),
           lit("."), ($"doc_id" * 3 % 10).cast("string"),
           lit(" #t"), ($"doc_id" % 100).cast("string"),
-          lit(" don't stop-2024"))
+          lit(" don't stop-2024 na' ''x"))
         Tables.documents(s, d)
           .select($"source", Portable.bpeTokenStats(aug).as("t"))
           .select($"source",
@@ -379,7 +382,7 @@ object TextQueries {
         |  SELECT source, text || ' it''s v' || CAST(doc_id % 9 AS VARCHAR)
         |    || '.' || CAST(doc_id * 3 % 10 AS VARCHAR)
         |    || ' #t' || CAST(doc_id % 100 AS VARCHAR)
-        |    || ' don''t stop-2024' AS aug
+        |    || ' don''t stop-2024 na'' ''''x' AS aug
         |  FROM documents),
         |t AS (
         |  SELECT source, regexp_extract_all(aug,
@@ -390,7 +393,9 @@ object TextQueries {
         |    CAST(len(toks) AS BIGINT) AS n_tok,
         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))) AS BIGINT) AS n_alpha,
         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) AS n_num,
-        |    CAST(len(list_filter(toks, x -> x LIKE '''%')) AS BIGINT) AS n_contr
+        |    CAST(len(list_filter(toks, x -> x IN
+        |      ('''s', '''t', '''re', '''ve', '''m', '''ll', '''d'))) AS BIGINT)
+        |      AS n_contr
         |  FROM t)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
