@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Portable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Text-analysis operators for training-data pipelines: token counting
   * (whitespace + regex token classes), quality scoring (length / stopword /
@@ -273,34 +274,37 @@ object TextQueries {
 
     // Out-of-vocabulary audit: per-source token coverage against the
     // corpus's top-20 vocabulary — the tokenizer-coverage report run
-    // before committing a vocab. Per-doc term frequencies are row-local
-    // (TokenCounts kernel, as q54), the vocabulary is a 20-row
-    // TakeOrdered broadcast, and zero-token docs are preserved by the
-    // left join back to the documents table. Exchanges carry only the
-    // distinct-token frame and per-doc totals — never token instances.
+    // before committing a vocab. Two passes, both row-local off the
+    // TokenCounts kernel: pass 1 derives the vocabulary (distinct-token
+    // frame through one exchange, top-20 via a BOUNDED 20-row collect —
+    // the q36/q77 codebook convention); pass 2 scores every doc against
+    // the vocabulary as a LITERAL array (array_contains over the in-row
+    // token-count array — no join, and zero-token docs keep their row
+    // because the array form never explodes) and partial-aggregates
+    // straight to the ~20-row source frame. Exchanges: one distinct-token
+    // frame + one ~20-row final — never token instances, never a doc join.
     CatalogQuery(
       "q75_oov_rate",
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val tc = docs
-          .select($"doc_id", explode(Portable.tokenCounts($"text")).as("t"))
-          .select($"doc_id", $"t.tok".as("tok"), $"t.cnt".as("cnt"))
-        val vocab = tc.groupBy($"tok").agg(sum($"cnt").cast("long").as("n"))
+        val vocab: Seq[String] = docs
+          .select(explode(Portable.tokenCounts($"text")).as("t"))
+          .groupBy($"t.tok".as("tok")).agg(sum($"t.cnt").cast("long").as("n"))
           .orderBy($"n".desc, $"tok").limit(20)
-          .select($"tok", lit(1).as("iv"))
-        val perDoc = tc.join(broadcast(vocab), Seq("tok"), "left")
-          .groupBy($"doc_id")
-          .agg(sum($"cnt").cast("long").as("n_tok"),
-            sum(when($"iv".isNotNull, $"cnt").otherwise(0L)).cast("long").as("n_in"))
-        docs.select($"doc_id", $"source")
-          .join(perDoc, Seq("doc_id"), "left")
-          .select($"source", coalesce($"n_tok", lit(0L)).as("n_tok"),
-            coalesce($"n_tok" - $"n_in", lit(0L)).as("n_oov"))
+          .collect().map(_.getString(0)).toSeq
+        val vocabArr = array(vocab.map(lit): _*)
+        val cnt = (acc: Column, x: Column) => acc + x.getField("cnt")
+        docs
+          .select($"source", Portable.tokenCounts($"text").as("tc"))
+          .select($"source",
+            aggregate($"tc", lit(0L), cnt).as("n_tok"),
+            aggregate(filter($"tc", x => array_contains(vocabArr, x.getField("tok"))),
+              lit(0L), cnt).as("n_in"))
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_tok").cast("long").as("total_tok"),
-            sum($"n_oov").cast("long").as("total_oov"))
+            sum($"n_tok" - $"n_in").cast("long").as("total_oov"))
           .withColumn("oov_rate", $"total_oov".cast("double") / $"total_tok")
           .orderBy($"source")
       },
