@@ -497,6 +497,56 @@ object CorpusStatsQueries {
         |  coalesce(rc.n_rare, 0) AS n_rare,
         |  coalesce(rc.n_rare, 0) * 5 > b.n_bi AS lowq
         |FROM base b LEFT JOIN rc USING (doc_id) ORDER BY doc_id
+        |""".stripMargin)),
+
+    // Zipf / vocabulary-head audit: corpus token-frequency mass by rank
+    // bucket (head 1-10, torso 11-100, tail 101+) — the distribution
+    // report that catches template/spam corpora (head mass too high) and
+    // tokenizer blowups (tail mass too high) before training. Shape: ONE
+    // corpus pass (TokenCounts kernel pre-collapses per-doc counts
+    // row-locally, so the map-side partial of the token aggregate emits
+    // distinct tokens per task, not occurrences) → token-keyed exchange
+    // carrying ≤ |vocab| rows per task → the rank window and bucket agg
+    // run on the VOCAB frame, which is bounded by the token domain, not
+    // the corpus. The single-partition rank sort is over that bounded
+    // frame only — at 100 TB the corpus crosses the wire once, as
+    // (token, count) partials.
+    CatalogQuery(
+      "q82_zipf_audit",
+      (s, d) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, d)
+          .select(explode(Portable.tokenCounts($"text")).as("t"))
+          .groupBy($"t.tok".as("tok")).agg(sum($"t.cnt").cast("long").as("c"))
+        val ranked = vocab.withColumn("rank",
+          row_number().over(Window.orderBy($"c".desc, $"tok")))
+        ranked
+          .withColumn("bucket",
+            when($"rank" <= 10, "01-10")
+              .when($"rank" <= 100, "11-100")
+              .otherwise("101+"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_types"), sum($"c").cast("long").as("mass"))
+          .withColumn("mass_frac",
+            $"mass".cast("double") / sum($"mass").over(Window.partitionBy()))
+          .orderBy($"bucket")
+      },
+      Some("""
+        |WITH v AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY tok),
+        |r AS (
+        |  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM v),
+        |b AS (
+        |  SELECT CASE WHEN rank <= 10 THEN '01-10'
+        |              WHEN rank <= 100 THEN '11-100'
+        |              ELSE '101+' END AS bucket,
+        |         count(*) AS n_types, CAST(sum(c) AS BIGINT) AS mass
+        |  FROM r GROUP BY 1)
+        |SELECT bucket, n_types, mass,
+        |  CAST(mass AS DOUBLE) / sum(mass) OVER () AS mass_frac
+        |FROM b ORDER BY bucket
         |""".stripMargin))
   )
 }

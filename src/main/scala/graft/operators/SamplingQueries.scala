@@ -320,6 +320,44 @@ object SamplingQueries {
         |FROM rked JOIN quota ON rked.source = quota.source
         |WHERE rk <= quota.q
         |ORDER BY rked.source, rk
+        |""".stripMargin)),
+
+    // Deterministic train/valid/test split assignment: every doc lands in
+    // exactly one split via a salted content-independent hash of its id
+    // (80/10/10), and the report audits the realized proportions per
+    // source — the standard "is my split leaking / skewed" check before
+    // training. The hash (not `rand()`) makes the assignment reproducible
+    // across runs, partitionings, and engines, and new docs never move
+    // existing ones between splits. Shape: scan → row-local hash bucket →
+    // map-side partial agg → ONE (source, split)-keyed exchange carrying
+    // ≤ 3 × |sources| rows. No joins; at 100 TB the only data-scale work
+    // is the scan.
+    CatalogQuery(
+      "q83_split_assign",
+      (s, d) => {
+        import s.implicits._
+        val b = hash60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
+        Tables.documents(s, d)
+          .select($"source", $"n_chars",
+            when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+              .as("split"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").cast("long").as("n_chars_total"))
+          .orderBy($"source", $"split")
+      },
+      Some(s"""
+        |WITH a AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+        |           THEN 'train'
+        |         WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+        |           THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM a GROUP BY source, split ORDER BY source, split
         |""".stripMargin))
   )
 }

@@ -410,6 +410,79 @@ object TextQueries {
         |    AS total_punct,
         |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS tok_per_doc
         |FROM c GROUP BY source ORDER BY source
+        |""".stripMargin)),
+
+    // Gopher-style composite quality gate: four independent per-doc rules
+    // (token-count bounds, mean-token-length bounds, minimum stopword
+    // hits, minimum lexical diversity — the published rule families from
+    // the Gopher/C4 data-cleaning recipes, thresholds tuned so every rule
+    // fires on this corpus) scored in ONE row-local pass, then a
+    // per-source verdict report: pass counts plus a per-rule failure
+    // histogram, the report an operator reads before dropping a source.
+    // Shape: scan → row-local flags (whole-stage codegen; the four rules
+    // share the single tokenized array) → map-side partial agg → ONE
+    // ~20-row source-keyed exchange. No joins, no windows; at 100 TB the
+    // only data-scale work is the scan itself.
+    CatalogQuery(
+      "q81_quality_gate",
+      (s, d) => {
+        import s.implicits._
+        val stopArr = array(Stopwords.map(lit): _*)
+        val flags = Tables.documents(s, d)
+          .select($"source", Portable.spaceSplit($"text").as("t"),
+            length($"text").cast("long").as("n_chars_m"))
+          .select($"source",
+            size($"t").cast("long").as("n_tok"),
+            size(array_distinct($"t")).cast("long").as("n_uniq"),
+            size(filter($"t", x => array_contains(stopArr, x))).cast("long").as("n_stop"),
+            $"n_chars_m")
+          .select($"source",
+            ($"n_tok" >= 25 && $"n_tok" <= 90).as("ok_tok"),
+            (($"n_chars_m" - ($"n_tok" - 1)).cast("double") / $"n_tok")
+              .between(4.0, 5.0).as("ok_len"),
+            ($"n_stop" >= 2).as("ok_stop"),
+            ($"n_uniq".cast("double") / $"n_tok" >= 0.5).as("ok_div"))
+        flags.groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"ok_tok" && $"ok_len" && $"ok_stop" && $"ok_div", 1L)
+              .otherwise(0L)).as("n_pass"),
+            sum(when(!$"ok_tok", 1L).otherwise(0L)).as("fail_tok"),
+            sum(when(!$"ok_len", 1L).otherwise(0L)).as("fail_len"),
+            sum(when(!$"ok_stop", 1L).otherwise(0L)).as("fail_stop"),
+            sum(when(!$"ok_div", 1L).otherwise(0L)).as("fail_div"))
+          .withColumn("pass_rate", $"n_pass".cast("double") / $"n_docs")
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH m AS (
+        |  SELECT source,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+        |    CAST(len(list_filter(t, x -> x IN $stopSqlList)) AS BIGINT) AS n_stop,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m
+        |  FROM (SELECT source, text, string_split(text, ' ') AS t FROM documents)),
+        |f AS (
+        |  SELECT source,
+        |    (n_tok BETWEEN 25 AND 90) AS ok_tok,
+        |    (CAST(n_chars_m - (n_tok - 1) AS DOUBLE) / n_tok BETWEEN 4.0 AND 5.0)
+        |      AS ok_len,
+        |    (n_stop >= 2) AS ok_stop,
+        |    (CAST(n_uniq AS DOUBLE) / n_tok >= 0.5) AS ok_div
+        |  FROM m)
+        |SELECT source, n_docs, n_pass, fail_tok, fail_len, fail_stop, fail_div,
+        |  CAST(n_pass AS DOUBLE) / n_docs AS pass_rate
+        |FROM (
+        |  SELECT source,
+        |    count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN ok_tok AND ok_len AND ok_stop AND ok_div
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |    CAST(sum(CASE WHEN NOT ok_tok THEN 1 ELSE 0 END) AS BIGINT) AS fail_tok,
+        |    CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+        |    CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+        |    CAST(sum(CASE WHEN NOT ok_div THEN 1 ELSE 0 END) AS BIGINT) AS fail_div
+        |  FROM f GROUP BY source)
+        |ORDER BY source
         |""".stripMargin))
   )
 }
