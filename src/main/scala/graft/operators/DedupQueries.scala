@@ -656,6 +656,60 @@ object DedupQueries {
           |JOIN nd nb ON nb.doc_id = e.doc_b
           |ORDER BY e.doc_a, e.doc_b
           |""".stripMargin
+      }),
+
+    // Cross-source near-dup overlap matrix: which ingestion sources copy
+    // from each other — q20's capped LSH candidate pairs rolled up to an
+    // unordered (source_a, source_b) matrix with pair counts and mean
+    // estimated similarity. The report an operator reads before dropping
+    // a mirror/scraper source wholesale. mean_sim is exact cross-engine:
+    // est_sim values are multiples of 1/16, so double sums are exact and
+    // order-independent. Scale shape: pairs are candidate-bounded (band
+    // buckets capped at BucketCap — never all-pairs); the two doc→source
+    // enrichment joins key on doc_id with the TINY pair frame on the
+    // build side (AQE broadcasts it), and the final matrix exchange
+    // carries ≤ |sources|² rows.
+    CatalogQuery(
+      "q84_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val pairs = lshPairs(sigRows(s, d), Some(0.5))
+        val src = Tables.documents(s, d).select($"doc_id", $"source")
+        pairs
+          .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+          .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+          .select(least($"sa", $"sb").as("source_a"),
+            greatest($"sa", $"sb").as("source_b"), $"est_sim")
+          .groupBy($"source_a", $"source_b")
+          .agg(count(lit(1)).as("n_pairs"), avg($"est_sim").as("mean_sim"))
+          .orderBy($"source_a", $"source_b")
+      },
+      Some {
+        val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+        s"""
+          |WITH $signaturesSql,
+          |$bandsSql,
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+          |  WHERE x.doc_id < y.doc_id),
+          |p AS (
+          |  SELECT doc_a, doc_b, est_sim FROM (
+          |    SELECT doc_a, doc_b, CAST($eqSum AS DOUBLE) / $NumPerms.0 AS est_sim
+          |    FROM cand
+          |    JOIN sig sa ON sa.doc_id = cand.doc_a
+          |    JOIN sig sb ON sb.doc_id = cand.doc_b)
+          |  WHERE est_sim >= 0.5),
+          |m AS (
+          |  SELECT least(da.source, db.source) AS source_a,
+          |         greatest(da.source, db.source) AS source_b, est_sim
+          |  FROM p
+          |  JOIN documents da ON da.doc_id = p.doc_a
+          |  JOIN documents db ON db.doc_id = p.doc_b)
+          |SELECT source_a, source_b, count(*) AS n_pairs,
+          |  avg(est_sim) AS mean_sim
+          |FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b
+          |""".stripMargin
       })
   )
 }

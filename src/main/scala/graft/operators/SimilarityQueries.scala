@@ -431,6 +431,57 @@ object SimilarityQueries {
           |  CAST(n_hits AS DOUBLE) / $TopK AS recall
           |FROM hits ORDER BY qid
           |""".stripMargin
-      })
+      }),
+
+    // Embedding-norm outlier audit: the "garbage vector detector" an
+    // embedding pipeline runs before indexing — per-label vector count,
+    // mean squared norm, and the count of vectors whose squared norm
+    // deviates from the label mean by more than 0.2% (the vectors are
+    // unit-normalized, so drift shows up in per-mille, not percent). All
+    // comparisons are exact integers over the quantized vectors: the
+    // outlier predicate is spelled 500·|n2·n_vecs − Σn2| > Σn2 (the mean
+    // never exists as a float in the predicate), exact while
+    // max_n2 × n_vecs × 500 < 2^63 — ~1.8e10 vectors per label at this
+    // corpus's n2 ≈ 1e6. Shape: ONE
+    // vector-scale pass computes norms (codegen'd LongArrayDot), a
+    // label-keyed partial agg builds the ≤|labels|-row stats frame,
+    // which broadcasts back for the flag pass — the corpus crosses the
+    // wire only as (label, n2) partials, twice.
+    CatalogQuery(
+      "q85_norm_audit",
+      (s, d) => {
+        import s.implicits._
+        val n = Tables.embeddings(s, d)
+          .select($"label", Embeddings.quant("embedding").as("q"))
+          .select($"label", Embeddings.norm2("q").as("n2"))
+        val stats = n.groupBy($"label").agg(
+          count(lit(1)).as("n_vecs"), sum($"n2").cast("long").as("sum_n2"))
+        val outliers = n.join(broadcast(stats), "label")
+          .select($"label",
+            (abs($"n2" * $"n_vecs" - $"sum_n2") * 500 > $"sum_n2").as("out"))
+          .groupBy($"label")
+          .agg(sum(when($"out", 1L).otherwise(0L)).as("n_outliers"))
+        stats.join(outliers, "label")
+          .select($"label", $"n_vecs",
+            ($"sum_n2".cast("double") / $"n_vecs").as("mean_norm2"),
+            $"n_outliers")
+          .orderBy($"label")
+      },
+      Some(s"""
+        |WITH n AS (
+        |  SELECT label, ${Embeddings.norm2Sql(Embeddings.quantSql("embedding"))} AS n2
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT label, count(*) AS n_vecs, CAST(sum(n2) AS BIGINT) AS sum_n2
+        |  FROM n GROUP BY label),
+        |fl AS (
+        |  SELECT n.label,
+        |    CAST(sum(CASE WHEN abs(n2 * n_vecs - sum_n2) * 500 > sum_n2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM n JOIN st ON n.label = st.label GROUP BY n.label)
+        |SELECT st.label AS label, n_vecs,
+        |  CAST(sum_n2 AS DOUBLE) / n_vecs AS mean_norm2, n_outliers
+        |FROM st JOIN fl ON st.label = fl.label ORDER BY label
+        |""".stripMargin))
   )
 }
