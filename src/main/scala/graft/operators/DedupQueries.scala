@@ -710,6 +710,81 @@ object DedupQueries {
           |  avg(est_sim) AS mean_sim
           |FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b
           |""".stripMargin
+      }),
+
+    // Train/eval split-leakage audit: near-dup pairs that CROSS q83's
+    // deterministic 80/10/10 hash split — a train doc whose near-duplicate
+    // landed in valid/test silently inflates eval scores, and this is the
+    // check that catches it before training. Pairs where exactly one side
+    // is train are oriented to their eval doc and rolled up per
+    // (eval source, eval split). Same bounded machinery as q84: candidate
+    // pairs from capped LSH buckets, split assignment is a row-local hash
+    // (no second corpus pass beyond the doc→(source, split) enrichment),
+    // final exchange ≤ |sources|×2 rows.
+    CatalogQuery(
+      "q86_split_leak",
+      (s, d) => {
+        import s.implicits._
+        val b = hash60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
+        val meta = Tables.documents(s, d).select($"doc_id", $"source",
+          when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+            .as("split"))
+        val e = lshPairs(sigRows(s, d), Some(0.5))
+          .join(meta.select($"doc_id".as("doc_a"), $"source".as("src_a"),
+            $"split".as("sp_a")), "doc_a")
+          .join(meta.select($"doc_id".as("doc_b"), $"source".as("src_b"),
+            $"split".as("sp_b")), "doc_b")
+        e.filter(($"sp_a" === "train") =!= ($"sp_b" === "train"))
+          .select(
+            when($"sp_a" === "train", $"src_b").otherwise($"src_a").as("eval_source"),
+            when($"sp_a" === "train", $"sp_b").otherwise($"sp_a").as("eval_split"),
+            when($"sp_a" === "train", $"doc_b").otherwise($"doc_a").as("eval_doc"))
+          .groupBy($"eval_source", $"eval_split")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"eval_doc").as("n_eval_docs"))
+          .orderBy($"eval_source", $"eval_split")
+      },
+      Some {
+        val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+        val splitCase =
+          s"""CASE WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+             |           THEN 'train'
+             |         WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+             |           THEN 'valid'
+             |         ELSE 'test' END""".stripMargin
+        s"""
+          |WITH $signaturesSql,
+          |$bandsSql,
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+          |  WHERE x.doc_id < y.doc_id),
+          |p AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT doc_a, doc_b, CAST($eqSum AS DOUBLE) / $NumPerms.0 AS est_sim
+          |    FROM cand
+          |    JOIN sig sa ON sa.doc_id = cand.doc_a
+          |    JOIN sig sb ON sb.doc_id = cand.doc_b)
+          |  WHERE est_sim >= 0.5),
+          |meta AS (
+          |  SELECT doc_id, source, $splitCase AS split FROM documents),
+          |o AS (
+          |  SELECT
+          |    CASE WHEN ma.split = 'train' THEN mb.source ELSE ma.source END
+          |      AS eval_source,
+          |    CASE WHEN ma.split = 'train' THEN mb.split ELSE ma.split END
+          |      AS eval_split,
+          |    CASE WHEN ma.split = 'train' THEN p.doc_b ELSE p.doc_a END
+          |      AS eval_doc
+          |  FROM p
+          |  JOIN meta ma ON ma.doc_id = p.doc_a
+          |  JOIN meta mb ON mb.doc_id = p.doc_b
+          |  WHERE (ma.split = 'train') <> (mb.split = 'train'))
+          |SELECT eval_source, eval_split, count(*) AS n_pairs,
+          |  CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs
+          |FROM o GROUP BY eval_source, eval_split
+          |ORDER BY eval_source, eval_split
+          |""".stripMargin
       })
   )
 }
