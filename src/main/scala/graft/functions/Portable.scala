@@ -86,6 +86,20 @@ object Portable {
   def bpeTokenStats(c: Column): Column =
     Bridge.column(BpeTokenStats(Bridge.expression(c)))
 
+  /** Deterministic 80/10/10 train/valid/test split of a doc-id column —
+    * the salted content-independent hash shared by q83 (assignment
+    * audit), q86 (batch leak audit) and the streaming leak monitor.
+    * Append-stable: a doc's split never depends on the rest of the
+    * corpus (pinned by `AuditSpec`).
+    */
+  def splitAssign(idCol: Column): Column = {
+    val b = hash60(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("split:"), idCol.cast("string"))) % 100
+    org.apache.spark.sql.functions.when(b < 80, "train")
+      .when(b < 90, "valid").otherwise("test")
+  }
+
   // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
 
   /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */
@@ -95,4 +109,12 @@ object Portable {
   def hashPSql(e: String): String = s"(${hash60Sql(e)} % $P)"
 
   def permSql(j: Int, h: String): String = s"(($h * ${A(j)} + ${B(j)}) % $P)"
+
+  /** DuckDB mirror of [[splitAssign]] over a doc-id SQL expression. */
+  def splitAssignSql(id: String): String = {
+    val b = s"${hash60Sql(s"'split:' || CAST($id AS VARCHAR)")} % 100"
+    s"""CASE WHEN $b < 80 THEN 'train'
+       |         WHEN $b < 90 THEN 'valid'
+       |         ELSE 'test' END""".stripMargin
+  }
 }

@@ -725,10 +725,8 @@ object DedupQueries {
       "q86_split_leak",
       (s, d) => {
         import s.implicits._
-        val b = hash60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
         val meta = Tables.documents(s, d).select($"doc_id", $"source",
-          when(b < 80, "train").when(b < 90, "valid").otherwise("test")
-            .as("split"))
+          Portable.splitAssign($"doc_id").as("split"))
         val e = lshPairs(sigRows(s, d), Some(0.5))
           .join(meta.select($"doc_id".as("doc_a"), $"source".as("src_a"),
             $"split".as("sp_a")), "doc_a")
@@ -746,12 +744,7 @@ object DedupQueries {
       },
       Some {
         val eqSum = (0 until NumPerms).map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
-        val splitCase =
-          s"""CASE WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
-             |           THEN 'train'
-             |         WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
-             |           THEN 'valid'
-             |         ELSE 'test' END""".stripMargin
+        val splitCase = Portable.splitAssignSql("doc_id")
         s"""
           |WITH $signaturesSql,
           |$bandsSql,

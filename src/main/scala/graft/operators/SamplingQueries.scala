@@ -336,11 +336,9 @@ object SamplingQueries {
       "q83_split_assign",
       (s, d) => {
         import s.implicits._
-        val b = hash60(concat(lit("split:"), $"doc_id".cast("string"))) % 100
         Tables.documents(s, d)
           .select($"source", $"n_chars",
-            when(b < 80, "train").when(b < 90, "valid").otherwise("test")
-              .as("split"))
+            graft.functions.Portable.splitAssign($"doc_id").as("split"))
           .groupBy($"source", $"split")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_chars").cast("long").as("n_chars_total"))
@@ -349,11 +347,7 @@ object SamplingQueries {
       Some(s"""
         |WITH a AS (
         |  SELECT source, n_chars,
-        |    CASE WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
-        |           THEN 'train'
-        |         WHEN ${hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
-        |           THEN 'valid'
-        |         ELSE 'test' END AS split
+        |    ${graft.functions.Portable.splitAssignSql("doc_id")} AS split
         |  FROM documents)
         |SELECT source, split, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total

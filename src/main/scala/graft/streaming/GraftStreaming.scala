@@ -357,6 +357,45 @@ object GraftStreaming {
       }
   }
 
+  /** A split-crossing near-dup candidate: a train doc whose near-dup
+    * landed in valid/test (oriented to the eval side, batch-q86
+    * convention).
+    */
+  final case class LeakCandidate(trainDoc: Long, evalDoc: Long,
+      evalSplit: String, band: Int)
+
+  /** Streaming form of the batch split-leakage audit (q86): flags, AT
+    * INGEST TIME, candidate pairs that cross the deterministic 80/10/10
+    * hash split — so eval contamination is caught when the duplicate
+    * ARRIVES, not at the next full-corpus audit. A stateless row-local
+    * map over [[streamingNearDupCandidates]] (the split is a pure
+    * function of the doc id — [[graft.functions.Portable.splitAssign]],
+    * shared verbatim with q83/q86), so it adds no state and no shuffle
+    * beyond the candidate generator's own, and inherits its bounded
+    * bucket semantics.
+    */
+  def streamingSplitLeaks(
+      cands: org.apache.spark.sql.Dataset[NearDupCandidate])
+      : org.apache.spark.sql.Dataset[LeakCandidate] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Portable
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.toDF()
+      .withColumn("spA", Portable.splitAssign(col("docA")))
+      .withColumn("spB", Portable.splitAssign(col("docB")))
+      .filter((col("spA") === "train") =!= (col("spB") === "train"))
+      .select(
+        when(col("spA") === "train", col("docA")).otherwise(col("docB"))
+          .as("trainDoc"),
+        when(col("spA") === "train", col("docB")).otherwise(col("docA"))
+          .as("evalDoc"),
+        when(col("spA") === "train", col("spB")).otherwise(col("spA"))
+          .as("evalSplit"),
+        col("band"))
+      .as[LeakCandidate]
+  }
+
   /** One counter of a streaming heavy-hitters summary. */
   final case class TokenCount(token: String, count: Long)
 

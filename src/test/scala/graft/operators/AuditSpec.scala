@@ -17,12 +17,7 @@ class AuditSpec extends SparkSpec {
   private def splitOf(docIds: Seq[Long]): Map[Long, String] = {
     import spark.implicits._
     docIds.toDF("doc_id")
-      .select($"doc_id",
-        (Portable.hash60(concat(lit("split:"), $"doc_id".cast("string"))) % 100)
-          .as("b"))
-      .select($"doc_id",
-        when($"b" < 80, "train").when($"b" < 90, "valid").otherwise("test")
-          .as("split"))
+      .select($"doc_id", Portable.splitAssign($"doc_id").as("split"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
   }
 

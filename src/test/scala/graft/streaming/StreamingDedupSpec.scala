@@ -153,4 +153,46 @@ class StreamingDedupSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(sigKernel === batch)
   }
+
+  test("streaming split leaks: cross-split dup flagged at ingest, oriented to eval") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // resolve the deterministic split of candidate ids with the SAME
+    // helper the monitor uses, then pick one train/eval pair and one
+    // train/train pair
+    val splits = (0L until 60L).toDF("id")
+      .select($"id", graft.functions.Portable.splitAssign($"id").as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainIds = splits.collect { case (i, "train") => i }.toSeq.sorted
+    val evalId = splits.collect { case (i, sp) if sp != "train" => i }.min
+    val (trainA, trainB) = (trainIds(0), trainIds(1))
+
+    val baseX = "alpha beta gamma delta epsilon zeta eta theta"
+    val baseY = "one two three four five six seven eight nine"
+    val input = MemoryStream[GraftStreaming.NearDupDoc]
+    val leaks = GraftStreaming.streamingSplitLeaks(
+      GraftStreaming.streamingNearDupCandidates(input.toDS()))
+    val q = leaks.writeStream.format("memory")
+      .queryName("split_leaks").outputMode(OutputMode.Append()).start()
+    input.addData(
+      GraftStreaming.NearDupDoc(trainA, baseX),
+      GraftStreaming.NearDupDoc(trainB, baseY))
+    q.processAllAvailable()
+    // the eval-side duplicate of baseX arrives later: must be flagged,
+    // oriented (trainDoc, evalDoc) regardless of id order
+    input.addData(
+      GraftStreaming.NearDupDoc(evalId, baseX),
+      // second train dup of baseY: candidates emitted, but NOT a leak
+      GraftStreaming.NearDupDoc(trainIds(2), baseY))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("split_leaks")
+      .as[GraftStreaming.LeakCandidate].collect().toSeq
+    assert(rows.nonEmpty, "cross-split duplicate must be flagged")
+    assert(rows.forall(l => l.trainDoc == trainA && l.evalDoc == evalId
+      && l.evalSplit == splits(evalId)), s"bad orientation: $rows")
+  }
 }
