@@ -588,6 +588,43 @@ object RelationalQueries {
         |GROUP BY event_type ORDER BY event_type
         |""".stripMargin)),
 
+    // Join-key skew diagnosis: per event_type, how concentrated the
+    // user_id key is — max-key share vs the uniform mean, and whether a
+    // shuffle join on it should be salted (the report that decides when
+    // to reach for q64's salting, or to let AQE's skew-join handle it).
+    // skew_ratio = max_user_rows / (n_rows / n_users): 1.0 = perfectly
+    // uniform; the > 1.7 threshold splits this corpus. Two keyed
+    // aggregates, the first collapsing (type, user) map-side — the
+    // events stream crosses the wire once as pre-counted partials, and
+    // the second exchange carries ≤ types × users rows.
+    CatalogQuery(
+      "q87_skew_report",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+          .groupBy($"event_type")
+          .agg(sum($"n").cast("long").as("n_rows"),
+            count(lit(1)).as("n_users"),
+            max($"n").as("max_user_rows"))
+          .withColumn("skew_ratio",
+            ($"max_user_rows" * $"n_users").cast("double") / $"n_rows")
+          .withColumn("salt_recommended", $"skew_ratio" > 1.7)
+          .orderBy($"event_type")
+      },
+      Some("""
+        |WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  count(*) AS n_users,
+        |  max(n) AS max_user_rows,
+        |  CAST(max(n) * count(*) AS DOUBLE) / sum(n) AS skew_ratio,
+        |  CAST(max(n) * count(*) AS DOUBLE) / sum(n) > 1.7 AS salt_recommended
+        |FROM c GROUP BY event_type ORDER BY event_type
+        |""".stripMargin)),
+
     // CUBE over order status × priority with per-dimension GROUPING
     // flags — completes the grouping-sets family next to q37's ROLLUP
     // (both operator classes the reference lacks, SURVEY §2.8). The
