@@ -22,24 +22,44 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
-  }
+  /** Scheme prefix routing a table load through the live-server DSv2
+    * transport instead of parquet: `graftserver:<server_dir>` resolves
+    * table `name` to namespace `db.<name>` on that server. Every catalog
+    * operator takes its data dir as an opaque string, so ANY query runs
+    * unchanged against a live collection this way (`ServerParitySpec`
+    * pins value parity for a sample) — the reference's "same job over
+    * mongod instead of BSON dumps" story, one prefix away.
+    */
+  val ServerScheme = "graftserver:"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (dir.startsWith(ServerScheme)) {
+      spark.read.format("graftserver")
+        .option("server_dir", dir.stripPrefix(ServerScheme))
+        .option("ns", s"db.$name").load()
+    } else {
+      val path = s"$dir/$name.parquet"
+      val schema = schemaCache.computeIfAbsent(path,
+        p => spark.read.parquet(p).schema)
+      spark.read.schema(schema).parquet(path)
+    }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark 4.x refuses to
     * read natively (PARQUET_TYPE_ILLEGAL). Read the ns value as a long and
     * truncate to microseconds — the same truncation DuckDB applies when it
     * reads the file, so oracle comparisons stay bit-identical.
     */
-  private def loadEvents(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+  private def loadEvents(s: SparkSession, d: String): DataFrame =
+    if (d.startsWith(ServerScheme)) {
+      // server-held events already carry a proper timestamp column (BSON
+      // datetime, ms precision) — no parquet nanos workaround to apply
+      load(s, d, "events")
+    } else {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      load(s, d, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
