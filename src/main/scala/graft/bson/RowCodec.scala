@@ -46,6 +46,8 @@ object RowCodec {
     case (BRegex(p, _), StringType) => UTF8String.fromString(p)
     case (BBool(x), BooleanType) => x
     case (BDate(ms), TimestampType) => ms * 1000L // micros
+    case (BDate(ms), TimestampNTZType) => ms * 1000L // same wall-clock, micros
+    case (BDate(ms), DateType) => Math.floorDiv(ms, 86400000L).toInt // epoch days
     case (BDate(ms), LongType) => ms
     case (BTimestamp(s, _), TimestampType) => s.toLong * 1000000L
     case (BBinary(b), BinaryType) => b
@@ -78,6 +80,12 @@ object RowCodec {
     case (x: UTF8String, StringType) => BString(x.toString)
     case (x: Boolean, BooleanType) => BBool(x)
     case (x: Long, TimestampType) => BDate(Math.floorDiv(x, 1000L)) // micros -> millis
+    // BSON's only datetime is UTC millis: a tz-less timestamp is stored
+    // as its wall-clock micros truncated to ms and reads back as the
+    // same wall-clock (lossless for date-resolution values); DATE maps
+    // to midnight-UTC millis, the reference's java.util.Date convention
+    case (x: Long, TimestampNTZType) => BDate(Math.floorDiv(x, 1000L))
+    case (x: Int, DateType) => BDate(x.toLong * 86400000L)
     case (x: Array[Byte], BinaryType) => BBinary(x)
     case (x: ArrayData, ArrayType(et, _)) =>
       BArray(x.toObjectArray(et).map(e => fromCatalyst(e, et)).toVector)

@@ -87,6 +87,21 @@ class BsonSpec extends AnyFunSuite {
     }
   }
 
+  test("Row bridge: tz-less timestamps and dates round-trip via BSON datetime") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ntz", TimestampNTZType), StructField("d", DateType)))
+    val micros = 853286400000000L // 1997-01-14T00:00 wall clock, micros
+    val days = 10000 // 1997-05-19, epoch days
+    val doc = RowCodec.toBson(InternalRow(micros, days), schema)
+    assert(doc.get("ntz").contains(BDate(853286400000L)), s"got $doc")
+    assert(doc.get("d").contains(BDate(10000L * 86400000L)), s"got $doc")
+    val back = RowCodec.toRow(doc, schema)
+    assert(back.getLong(0) == micros, "ntz wall clock must survive")
+    assert(back.getInt(1) == days, "epoch day must survive")
+  }
+
   test("dotted-path retrieval") {
     val d = BDoc("a" -> BDoc("b" -> BDoc("c" -> BInt32(7))), "x" -> BInt32(1))
     assert(d.getPath("a.b.c").contains(BInt32(7)))

@@ -18,17 +18,20 @@ class ServerParitySpec extends SparkSpec {
 
   private val paritySample = Seq(
     "q19_dedup_exact", "q24_text_tokens", "q81_quality_gate",
-    "q83_split_assign")
+    "q83_split_assign", "q39_semi_join")
 
-  test("documents-table operators return identical values via graftserver") {
+  test("catalog operators return identical values via graftserver") {
     val dir = Files.createTempDirectory("graft-parity").toString
-    // no id_column: doc_id stays a document FIELD (the server assigns its
-    // own _id), so the served schema is the parquet schema plus _id —
-    // catalog queries project explicitly, so the extra column is inert
-    Tables.documents(spark, sf0001)
-      .write.format("graftserver")
-      .option("server_dir", dir).option("ns", "db.documents")
-      .mode("append").save()
+    // no id_column: the natural key stays a document FIELD (the server
+    // assigns its own _id), so the served schema is the parquet schema
+    // plus _id — catalog queries project explicitly, so the extra column
+    // is inert. customer/orders exercise decimal + date round-trips
+    // through the BSON codec, not just int64/string.
+    for (t <- Seq("documents", "customer", "orders"))
+      Tables.load(spark, sf0001, t)
+        .write.format("graftserver")
+        .option("server_dir", dir).option("ns", s"db.$t")
+        .mode("append").save()
 
     for (name <- paritySample) {
       val q = Catalog.byName(name)
