@@ -18,7 +18,8 @@ class ServerParitySpec extends SparkSpec {
 
   private val paritySample = Seq(
     "q19_dedup_exact", "q24_text_tokens", "q81_quality_gate",
-    "q83_split_assign", "q39_semi_join")
+    "q83_split_assign", "q39_semi_join", "q07_count_per_key",
+    "q87_skew_report")
 
   test("catalog operators return identical values via graftserver") {
     val dir = Files.createTempDirectory("graft-parity").toString
@@ -27,11 +28,17 @@ class ServerParitySpec extends SparkSpec {
     // plus _id — catalog queries project explicitly, so the extra column
     // is inert. customer/orders exercise decimal + date round-trips
     // through the BSON codec, not just int64/string.
+    // events go through Tables.events (parquet nanos → µs) so the served
+    // datetime is the µs wall clock the queries see, ms-truncated by BSON
     for (t <- Seq("documents", "customer", "orders"))
       Tables.load(spark, sf0001, t)
         .write.format("graftserver")
         .option("server_dir", dir).option("ns", s"db.$t")
         .mode("append").save()
+    Tables.events(spark, sf0001)
+      .write.format("graftserver")
+      .option("server_dir", dir).option("ns", "db.events")
+      .mode("append").save()
 
     for (name <- paritySample) {
       val q = Catalog.byName(name)
