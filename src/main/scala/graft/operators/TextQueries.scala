@@ -483,6 +483,48 @@ object TextQueries {
         |    CAST(sum(CASE WHEN NOT ok_div THEN 1 ELSE 0 END) AS BIGINT) AS fail_div
         |  FROM f GROUP BY source)
         |ORDER BY source
+        |""".stripMargin)),
+
+    // Fixed-window chunking with overlap (window 32 tokens, stride 24 —
+    // the split-documents-into-training/RAG-chunks op; q50 PACKS whole
+    // docs into budgets, this SPLITS docs into windows). Each chunk
+    // carries its token count and a portable content hash, so downstream
+    // chunk-level dedup/indexing needs no second tokenization pass.
+    // Shape: row-local offset sequence + slice + hash (one fan-out
+    // proportional to tokens/stride, like the shingle explode), no
+    // joins; the only exchange is the output sort at this scale and
+    // nothing at all when consumed unsorted at 100 TB.
+    CatalogQuery(
+      "q88_chunk_docs",
+      (s, d) => {
+        import s.implicits._
+        val W = 32
+        val S = 24
+        Tables.documents(s, d)
+          .select($"doc_id", Portable.spaceSplit($"text").as("t"))
+          .filter(size($"t") > 0)
+          .select($"doc_id", $"t",
+            posexplode(sequence(lit(0), size($"t") - 1, lit(S)))
+              .as(Seq("chunk_idx", "off")))
+          .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+            least(size($"t") - $"off", lit(W)).cast("long").as("n_tok_chunk"),
+            Portable.hash60(concat_ws(" ", slice($"t", $"off" + 1, lit(W))))
+              .as("chunk_hash"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    CAST(i / 24 AS BIGINT) AS chunk_idx, CAST(i AS BIGINT) AS off
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS i FROM toks))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(len(t) - off, 32) AS BIGINT) AS n_tok_chunk,
+        |  ${hash60Sql("array_to_string(list_slice(t, off + 1, off + 32), ' ')")}
+        |    AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx
         |""".stripMargin))
   )
 }

@@ -19,7 +19,7 @@ class ServerParitySpec extends SparkSpec {
   private val paritySample = Seq(
     "q19_dedup_exact", "q24_text_tokens", "q81_quality_gate",
     "q83_split_assign", "q39_semi_join", "q07_count_per_key",
-    "q87_skew_report")
+    "q87_skew_report", "q88_chunk_docs")
 
   test("catalog operators return identical values via graftserver") {
     val dir = Files.createTempDirectory("graft-parity").toString
