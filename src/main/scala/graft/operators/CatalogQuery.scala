@@ -45,8 +45,15 @@ object Exact {
     * a decimal(25,4) accumulator leaves the compact-long representation
     * and pays BigDecimal per row, which dominated every Exact-helper
     * aggregate in profiles. Values are bit-identical (the final
-    * decimal -> double conversion is the single correctly-rounded step,
-    * matching DuckDB's CAST(sum(DECIMAL) AS DOUBLE)). Range: exact while
+    * decimal -> double conversion is the single correctly-rounded step;
+    * the DuckDB mirror converts through the decimal's exact digit string
+    * because DuckDB's direct DECIMAL->DOUBLE cast double-rounds — it
+    * converts the int128 unscaled value to double FIRST and divides by
+    * 10^scale after, so any unscaled sum past 2^53 can land one ULP off.
+    * Caught by the round-7 self-gate at sf0.1: q01's scale-8 disc-price
+    * sum (unscaled 2.7e17) came back 2706323975.3560996 from DuckDB vs
+    * the correctly-rounded 2706323975.3561, while an exact HUGEINT
+    * recomputation sided with Spark). Range: exact while
     * a group's sum stays under 2^63 / 10^4 ~ 9.2e14 in value units —
     * beyond any TPC-H scale's per-group sums; callers with wider groups
     * should use [[dsumWide]].
@@ -66,8 +73,9 @@ object Exact {
     * multiply; the SUM accumulates as decimal(38,8), because a long
     * accumulator at scale 8 wraps silently once a group's sum passes
     * 2^63/10^8 ~ 9.2e10 value units (TPC-H Q1 groups cross that around
-    * SF 3). Bit-identical to CAST(sum(dec(p) * (1 - dec(d))) AS DOUBLE)
-    * in both engines at any scale.
+    * SF 3). Bit-identical in both engines at any scale, with the oracle
+    * converting via the digit string for the same reason as [[dsumSql]]
+    * (scale-8 sums pass 2^53 unscaled around sf0.1 already).
     */
   def dsumDiscPrice(p: Column, d: Column): Column =
     sum(rescale(unscaled(dec(p)) * (lit(10000L) - unscaled(dec(d))), 8))
@@ -77,7 +85,8 @@ object Exact {
   def decSql(e: String): String = s"CAST($e AS DECIMAL(15,4))"
 
   /** DuckDB mirror of `dsum`. */
-  def dsumSql(e: String): String = s"CAST(sum(${decSql(e)}) AS DOUBLE)"
+  def dsumSql(e: String): String =
+    s"CAST(CAST(sum(${decSql(e)}) AS VARCHAR) AS DOUBLE)"
 
   /** DuckDB mirror of `davg`. */
   def davgSql(e: String): String = s"(${dsumSql(e)} / count($e))"

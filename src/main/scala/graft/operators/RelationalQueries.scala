@@ -45,7 +45,7 @@ object RelationalQueries {
         |SELECT l_returnflag, l_linestatus,
         |  ${dsumSql("l_quantity")} AS sum_qty,
         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-        |  CAST(sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(15,4)) - ${decSql("l_discount")})) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(15,4)) - ${decSql("l_discount")})) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         |  ${davgSql("l_quantity")} AS avg_qty,
         |  ${davgSql("l_extendedprice")} AS avg_price,
         |  count(*) AS n_rows
@@ -257,7 +257,7 @@ object RelationalQueries {
       },
       Some(s"""
         |SELECT n_name,
-        |  CAST(sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(15,4)) - ${decSql("l_discount")})) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(15,4)) - ${decSql("l_discount")})) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
