@@ -100,6 +100,15 @@ object Portable {
       .when(b < 90, "valid").otherwise("test")
   }
 
+  /** Integer floor division of non-negative long expressions — Catalyst's
+    * `DIV` (IntegralDivide), mirrored by DuckDB's `//`. Both truncate
+    * toward zero, which equals floor for the non-negative operands the
+    * fixed-point scoring queries (q89 BM25) feed it.
+    */
+  def idiv(a: Column, b: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(a), Bridge.expression(b)))
+
   // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
 
   /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */

@@ -388,18 +388,24 @@ object CorpusStatsQueries {
         |ORDER BY doc_id
         |""".stripMargin)),
 
-    // Corpus-wide heavy hitters (top-20 tokens), sketch-then-verify: the
-    // CANDIDATE pass is a mergeable Misra-Gries summary (capacity 1024)
-    // that never shuffles the vocabulary — each partition contributes one
-    // ≤1024-counter sketch and the merge preserves the guarantee that
-    // every token above totalTokens/1025 of the corpus is present. The
-    // ≤1024 candidates (a bounded driver collect, same class as q36's
-    // centroid batch) are then recounted EXACTLY with a candidate-
-    // filtered aggregate, and the bounded TopKMin picks the final 20 —
-    // so the output is exact whenever the 20th hitter clears the sketch
-    // bound (any realistic corpus; below it, grow the capacity). At
-    // 100 TB the exact GROUP BY token shuffles billions of distinct
-    // tokens; this plan shuffles 32 sketches plus the candidate rows.
+    // Corpus-wide heavy hitters (top-20 tokens), sketch-then-verify-then-
+    // FALLBACK: the CANDIDATE pass is a mergeable Misra-Gries summary
+    // (capacity 1024) that never shuffles the vocabulary — each partition
+    // contributes one ≤1024-counter sketch and the merge preserves the
+    // guarantee that every token above totalWeight/1025 of the corpus is
+    // present. The ≤1024 candidates (a bounded driver collect, same class
+    // as q36's centroid batch) are then recounted EXACTLY, and the sketch
+    // guarantee is VERIFIED post-hoc: the result is provably the true
+    // top-20 iff the exact 20th candidate count clears the MG bound
+    // (c20·1025 > W, integer-exact — any non-candidate's true count is
+    // ≤ W/1025). When an adversarial distribution breaks the bound (e.g.
+    // a salt-flattened head where hundreds of tokens tie just below it —
+    // the round-7 big-scale self-gate caught exactly this), the operator
+    // falls back to the exact vocabulary GROUP BY instead of returning a
+    // plausibly-wrong boundary row. At 100 TB the happy path shuffles 32
+    // sketches plus ≤1024 candidate rows; the fallback pays the same
+    // vocabulary shuffle the oracle always pays, only when correctness
+    // actually requires it.
     CatalogQuery(
       "q67_heavy_hitters",
       (s, d) => {
@@ -411,17 +417,32 @@ object CorpusStatsQueries {
         val tf = Tables.documents(s, d)
           .select(explode(Portable.tokenCounts($"text")).as("tc"))
           .select($"tc.tok".as("tok"), $"tc.cnt".as("w"))
-        val cands = tf
-          .agg(MisraGries.sketch($"tok", $"w", 1024).as("sk"))
-          .select(explode($"sk.tok").as("tok"))
-          .as[String].collect()
-        tf.filter($"tok".isin(cands.toSeq: _*))
-          .groupBy($"tok").agg(sum($"w").as("cnt"))
+        val exactTail = (counts: org.apache.spark.sql.DataFrame) => counts
           .agg(TopK.topkMin(struct((-$"cnt").as("neg"), $"tok"), 20).as("top"))
           .select(posexplode($"top"))
           .select(($"pos" + 1).cast("long").as("rk"),
             $"col.tok".as("tok"), (-$"col.neg").as("cnt"))
           .orderBy($"rk")
+        // ONE action: the merged sketch + the exact total weight W
+        val skRow = tf.agg(MisraGries.sketch($"tok", $"w", 1024).as("sk"),
+          sum($"w").cast("long").as("w")).collect()(0)
+        val cands = skRow.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sk")
+          .map(_.getString(0)).toSeq
+        val totalW = skRow.getLong(1)
+        // exact recount of the bounded candidate set (<= 1024 rows)
+        val recount = tf.filter($"tok".isin(cands: _*))
+          .groupBy($"tok").agg(sum($"w").cast("long").as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val top = recount.sortBy { case (tok, c) => (-c, tok) }.take(20)
+        val c20 = if (top.length < 20) 0L else top.last._2
+        if (c20 * 1025L > totalW) {
+          // guarantee holds: no non-candidate can reach rank 20
+          top.zipWithIndex.toSeq
+            .map { case ((tok, c), i) => (i + 1L, tok, c) }
+            .toDF("rk", "tok", "cnt")
+        } else {
+          exactTail(tf.groupBy($"tok").agg(sum($"w").as("cnt")))
+        }
       },
       Some("""
         |WITH tok AS (

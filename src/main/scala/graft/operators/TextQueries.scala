@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Portable
+import graft.functions.{Portable, TopK}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
@@ -525,6 +525,148 @@ object TextQueries {
         |  ${hash60Sql("array_to_string(list_slice(t, off + 1, off + 32), ' ')")}
         |    AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx
+        |""".stripMargin)),
+
+    // BM25 top-k retrieval (Robertson-Spärck Jones, k1 = 1.2, b = 0.75)
+    // for a bounded query batch: queries are the first NumQ docs (q36's
+    // head-rows convention), each query's terms the TermsPerQ
+    // alphabetically-first distinct tokens (order-free, so the SQL
+    // mirror is a plain window — and pure-ASCII tokens collate the same
+    // in both engines). Scoring is FIXED-POINT integer arithmetic:
+    // rational idf (2(N-df)+1)/(2df+1) and the k1/b tf-saturation term
+    // are each scaled by 1e5 and floor-divided, so the summed per-term
+    // scores are exact 64-bit integers — no libm, no order-dependent
+    // double accumulation, bit-identical across engines (ANSI mode
+    // would fail loudly on overflow; operands stay < 2^60 for any
+    // corpus with <= ~1e9 docs x 1e3-token docs).
+    //
+    // Shape, and why it holds at 100 TB: three bounded collects (query
+    // batch via pushed doc_id filter; one stats row; <= NumQ x TermsPerQ
+    // df rows off a ~40-key exchange) turn the whole scoring pass into a
+    // ROW-LOCAL expression over the in-row TokenCounts array — tf
+    // lookups never explode, docs never join, no doc-keyed exchange
+    // exists. Per-query candidates flow straight into the bounded
+    // topk_min aggregate (map-side partials keep <= TopN rows per query
+    // per partition), so the only data-scale work is corpus map passes.
+    CatalogQuery(
+      "q89_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val NumQ = 5L
+        val TermsPerQ = 8
+        val TopN = 10
+        val Fx = 100000L // fixed-point scale for idf and tf parts
+        val docs = Tables.documents(s, d)
+        val cnt = (acc: Column, x: Column) => acc + x.getField("cnt")
+        // bounded collect #1: the query batch = the NumQ smallest doc_ids
+        // (TakeOrderedAndProject — map-side partial top-N, robust to
+        // fixtures whose ids don't start at 0)
+        val qterms: Seq[(Long, Seq[String])] = docs
+          .select($"doc_id", $"text").orderBy($"doc_id").limit(NumQ.toInt)
+          .collect().sortBy(_.getLong(0))
+          .map(r => (r.getLong(0),
+            r.getString(1).split(' ').filter(_.nonEmpty)
+              .distinct.sorted.take(TermsPerQ).toSeq)).toSeq
+        val qtNE = qterms.filter(_._2.nonEmpty)
+        val allTerms = qtNE.flatMap(_._2).distinct.sorted
+        if (qtNE.isEmpty)
+          // degenerate batch (no docs, or all-empty texts): the oracle's
+          // join form yields zero rows too
+          Seq.empty[(Long, Long, Long, Long)].toDF("qid", "rk", "doc_id", "score")
+        else {
+        // bounded collect #2: corpus stats (N docs, T total tokens) — one row
+        val st = docs
+          .select(aggregate(tokenCounts($"text"), lit(0L), cnt).as("dl"))
+          .agg(count(lit(1)).cast("long"), coalesce(sum($"dl"), lit(0L)).cast("long"))
+          .collect()(0)
+        val n = st.getLong(0)
+        val t = st.getLong(1)
+        // bounded collect #3: df for the query terms only (<= 40 keys)
+        val dfMap: Map[String, Long] = docs
+          .select(explode(filter(tokenCounts($"text"),
+            x => x.getField("tok").isin(allTerms: _*))).as("tc"))
+          .groupBy($"tc.tok".as("tok")).agg(count(lit(1)).cast("long").as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // fixed-point idf per term, computed driver-side over the bounded
+        // df map — floor((1e5 * (2(N-df)+1)) / (2df+1)), same floor the
+        // oracle's // takes
+        val idfFx: Map[String, Long] = allTerms.map { term =>
+          val df = dfMap.getOrElse(term, 0L)
+          term -> (Fx * (2L * (n - df) + 1L)) / (2L * df + 1L)
+        }.toMap
+        // row-local scoring: tf from the in-row token-count array;
+        // tf-part = floor(1e5 * 44*tf*T / (20*tf*T + 6*T + 18*dl*N))
+        // (k1 = 6/5, b = 3/4 cleared to integers over denominator 20T)
+        def tf(term: String): Column =
+          aggregate(filter($"tc", x => x.getField("tok") === term), lit(0L), cnt)
+        def score(terms: Seq[String]): Column = terms.map { term =>
+          val tfc = tf(term)
+          val tfFx = Portable.idiv(lit(Fx * 44L) * tfc * lit(t),
+            lit(20L) * tfc * lit(t) + lit(6L * t) + lit(18L * n) * $"dl")
+          Portable.idiv(lit(idfFx(term)) * tfFx, lit(Fx))
+        }.reduce(_ + _)
+        val cands = qtNE.map { case (qid, terms) =>
+          struct(lit(qid).as("qid"),
+            struct((-score(terms)).as("neg_score"), $"doc_id").as("item"))
+        }
+        docs
+          .select($"doc_id", tokenCounts($"text").as("tc"))
+          .withColumn("dl", aggregate($"tc", lit(0L), cnt))
+          .select(explode(array(cands: _*)).as("c"))
+          // score >= 1 keeps the candidate sets identical to the oracle's
+          // (its join form never sees docs with no query term)
+          .filter($"c.item.neg_score" < 0 && $"c.item.doc_id" =!= $"c.qid")
+          .groupBy($"c.qid".as("qid"))
+          .agg(TopK.topkMin($"c.item", TopN).as("top"))
+          .select($"qid", posexplode($"top"))
+          .select($"qid", ($"pos" + 1).cast("long").as("rk"),
+            $"col.doc_id".as("doc_id"), (-$"col.neg_score").as("score"))
+          .orderBy($"qid", $"rk")
+        }
+      },
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST((SELECT coalesce(sum(tf), 0) FROM tok) AS BIGINT) AS t
+        |       FROM documents),
+        |qt AS (
+        |  SELECT qid, tok FROM (
+        |    SELECT doc_id AS qid, tok,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS rk
+        |    FROM tok
+        |    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5))
+        |  WHERE rk <= 8),
+        |df AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok
+        |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok),
+        |scored AS (
+        |  SELECT qt.qid, tk.doc_id,
+        |    CAST(sum(
+        |      ((100000 * (2 * (st.n - df.df) + 1)) // (2 * df.df + 1))
+        |      * ((4400000 * tk.tf * st.t)
+        |         // (20 * tk.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))
+        |      // 100000) AS BIGINT) AS score
+        |  FROM qt
+        |  JOIN tok tk ON tk.tok = qt.tok
+        |  JOIN df ON df.tok = qt.tok
+        |  JOIN dl ON dl.doc_id = tk.doc_id
+        |  CROSS JOIN st
+        |  WHERE tk.doc_id <> qt.qid
+        |  GROUP BY qt.qid, tk.doc_id
+        |  HAVING sum(
+        |      ((100000 * (2 * (st.n - df.df) + 1)) // (2 * df.df + 1))
+        |      * ((4400000 * tk.tf * st.t)
+        |         // (20 * tk.tf * st.t + 6 * st.t + 18 * dl.dl * st.n))
+        |      // 100000) >= 1)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, doc_id, score FROM (
+        |  SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 10 ORDER BY qid, rk
         |""".stripMargin))
   )
 }
