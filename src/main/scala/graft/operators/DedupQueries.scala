@@ -778,6 +778,98 @@ object DedupQueries {
           |FROM o GROUP BY eval_source, eval_split
           |ORDER BY eval_source, eval_split
           |""".stripMargin
+      }),
+
+    // SemDeDup-style semantic dedup (the Abbas et al. '23 recipe shape):
+    // partition the embedding space with the q36 coarse quantizer
+    // (centroids = the first NumCentroids vectors, collected once and
+    // embedded as literals, so nearest-centroid assignment is a
+    // row-local array_min — zero shuffle), then inside each cluster
+    // compare every member against the cluster's CANON PREFIX (its
+    // CanonCap smallest vec_ids) and count members within cosine >= 0.4
+    // of a smaller-id prefix vector as droppable duplicates. The prefix
+    // cap is the same bounded-candidate discipline as BucketCap:
+    // candidate pairs are <= CanonCap x cluster size, never
+    // cluster-quadratic, and the prefix itself comes from a bounded
+    // topk_min aggregate (map-side partials keep <= CanonCap ids per
+    // cluster per partition) — NOT a NumCentroids-partition window sort
+    // of the corpus. Three corpus map passes (prefix build +
+    // prefix-vector attach + member scoring), two broadcast joins of a
+    // <= NumCentroids x CanonCap frame, per-cluster aggregates; nothing
+    // data-scale crosses an exchange.
+    CatalogQuery(
+      "q90_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val NumCentroids = 16
+        val CanonCap = 20
+        val v = Tables.embeddings(s, d)
+          .select($"vec_id", Embeddings.quant("embedding").as("q"))
+          .withColumn("nrm", Embeddings.norm2("q"))
+        // bounded collect (q36 convention): the coarse quantizer
+        val centroids = v.filter($"vec_id" < NumCentroids).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+          .sortBy(_._1)
+        val distStructs = array(centroids.map { case (cid, cq, cn) =>
+          struct(($"nrm" + lit(cn) - lit(2L) * Embeddings.dotLit("q", cq)).as("dist"),
+            lit(cid).as("cid"))
+        }: _*)
+        val assigned = v
+          .withColumn("best", array_min(distStructs))
+          .select($"vec_id", $"q", $"nrm", $"best.cid".as("cid"))
+        // per-cluster member count + canon prefix off ONE tiny exchange
+        val byCluster = assigned.groupBy($"cid").agg(
+          count(lit(1)).as("n_members"),
+          graft.functions.TopK.topkMin($"vec_id", CanonCap).as("pfx"))
+        val pfx = byCluster.select($"cid", explode($"pfx").as("pvec"))
+        val pfxV = pfx.join(
+          assigned.select($"vec_id".as("pvec"), $"q".as("pq"), $"nrm".as("pn")),
+          "pvec")
+        val dropped = assigned.join(broadcast(pfxV), "cid")
+          .filter($"pvec" < $"vec_id")
+          .withColumn("cos",
+            Embeddings.cosine(Embeddings.dot("q", "pq"), $"nrm", $"pn"))
+          .filter($"cos" >= 0.4)
+          .select($"cid", $"vec_id").distinct()
+          .groupBy($"cid").agg(count(lit(1)).as("n_dup"))
+        byCluster.select($"cid", $"n_members")
+          .join(dropped, Seq("cid"), "left")
+          .select($"cid", $"n_members",
+            coalesce($"n_dup", lit(0L)).as("n_dup"))
+          .orderBy($"cid")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM vn WHERE vec_id < 16),
+          |assign AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT vn.vec_id, cent.cid,
+          |      row_number() OVER (PARTITION BY vn.vec_id
+          |        ORDER BY vn.nrm + cent.cn - 2 * ${Embeddings.dotSql("vn.q", "cent.cq")}, cent.cid) AS ar
+          |    FROM vn CROSS JOIN cent)
+          |  WHERE ar = 1),
+          |pfx AS (
+          |  SELECT cid, vec_id AS pvec FROM (
+          |    SELECT cid, vec_id,
+          |      row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk
+          |    FROM assign)
+          |  WHERE rk <= 20),
+          |hits AS (
+          |  SELECT DISTINCT m.cid, m.vec_id
+          |  FROM assign m
+          |  JOIN pfx p ON p.cid = m.cid AND p.pvec < m.vec_id
+          |  JOIN vn a ON a.vec_id = m.vec_id
+          |  JOIN vn b ON b.vec_id = p.pvec
+          |  WHERE ${Embeddings.cosineSql(Embeddings.dotSql("a.q", "b.q"), "a.nrm", "b.nrm")} >= 0.4),
+          |dropped AS (SELECT cid, count(*) AS n_dup FROM hits GROUP BY cid),
+          |members AS (SELECT cid, count(*) AS n_members FROM assign GROUP BY cid)
+          |SELECT m.cid, m.n_members, CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup
+          |FROM members m LEFT JOIN dropped d ON d.cid = m.cid
+          |ORDER BY m.cid
+          |""".stripMargin
       })
   )
 }
