@@ -44,21 +44,30 @@ object Tables {
       spark.read.schema(schema).parquet(path)
     }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4.x refuses to
-    * read natively (PARQUET_TYPE_ILLEGAL). Read the ns value as a long and
-    * truncate to microseconds — the same truncation DuckDB applies when it
-    * reads the file, so oracle comparisons stay bit-identical.
+  /** events.parquet's `ts` has shipped as either TIMESTAMP(NANOS) — which
+    * Spark 4.x only reads via the nanosAsLong legacy long — or plain
+    * TIMESTAMP_NTZ(us). Normalize both to session-zoned TimestampType at
+    * microsecond precision: all sessions here pin UTC, so the NTZ cast and
+    * the nanos->micros truncation yield the identical micros DuckDB sees
+    * reading the same file, keeping oracle comparisons bit-identical.
     */
   private def loadEvents(s: SparkSession, d: String): DataFrame =
     if (d.startsWith(ServerScheme)) {
       // server-held events already carry a proper timestamp column (BSON
-      // datetime, ms precision) — no parquet nanos workaround to apply
+      // datetime, ms precision) — nothing to normalize
       load(s, d, "events")
     } else {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(s, d, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = load(s, d, "events")
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => // legacy nanos-as-long file
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => // micros file, tz-less: same wall == same instant under UTC
+          df.withColumn("ts", df.col("ts").cast("timestamp"))
+        case _ => df
+      }
     }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
