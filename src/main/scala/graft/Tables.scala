@@ -57,14 +57,37 @@ object Tables {
       // datetime, ms precision) — nothing to normalize
       load(s, d, "events")
     } else {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = load(s, d, "events")
+      // Only flip the session-global nanosAsLong legacy flag when this
+      // events file actually IS TIMESTAMP(NANOS) — Spark 4.x refuses to
+      // infer a schema for one otherwise. Current driver files are
+      // NTZ(us), so the common path never touches session conf; when the
+      // flag is needed it must STAY set for the frame's lifetime (the
+      // scan re-reads it at execution), which is then a genuine session
+      // requirement, not a silent side effect.
+      val df =
+        try load(s, d, "events")
+        catch {
+          case e: Exception
+              if e.getMessage != null &&
+                (e.getMessage.contains("TIMESTAMP(NANOS") ||
+                  e.getMessage.contains("nanosAsLong")) =>
+            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            load(s, d, "events")
+        }
       import org.apache.spark.sql.functions.{expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       df.schema("ts").dataType match {
         case LongType => // legacy nanos-as-long file
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType => // micros file, tz-less: same wall == same instant under UTC
+          // The cast below reads the NTZ wall time in the SESSION zone;
+          // oracle parity (DuckDB reads the same file as naive micros)
+          // holds only under UTC. Every entrypoint pins it; fail loudly
+          // if a caller built a session without the pin instead of
+          // silently shifting every event timestamp.
+          require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+            s"events NTZ->timestamp normalization requires spark.sql.session.timeZone=UTC " +
+              s"(got '${s.conf.get("spark.sql.session.timeZone")}')")
           df.withColumn("ts", df.col("ts").cast("timestamp"))
         case _ => df
       }
