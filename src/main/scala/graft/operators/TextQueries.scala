@@ -574,19 +574,30 @@ object TextQueries {
           // join form yields zero rows too
           Seq.empty[(Long, Long, Long, Long)].toDF("qid", "rk", "doc_id", "score")
         else {
-        // bounded collect #2: corpus stats (N docs, T total tokens) — one row
-        val st = docs
-          .select(aggregate(tokenCounts($"text"), lit(0L), cnt).as("dl"))
-          .agg(count(lit(1)).cast("long"), coalesce(sum($"dl"), lit(0L)).cast("long"))
-          .collect()(0)
-        val n = st.getLong(0)
-        val t = st.getLong(1)
-        // bounded collect #3: df for the query terms only (<= 40 keys)
-        val dfMap: Map[String, Long] = docs
-          .select(explode(filter(tokenCounts($"text"),
-            x => x.getField("tok").isin(allTerms: _*))).as("tc"))
-          .groupBy($"tc.tok".as("tok")).agg(count(lit(1)).cast("long").as("df"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // bounded collect #2: corpus stats (N docs, T total tokens) AND
+        // per-term df in ONE corpus pass — each doc emits a sentinel
+        // token plus its distinct matched query terms, so one ~40-key
+        // aggregate carries everything. The sentinel is the empty string,
+        // which TokenCounts can never emit (empties are dropped at
+        // tokenization), so no real token can merge with it. Folding the
+        // old separate stats pass in here removes an entire corpus scan —
+        // at 100 TB that is a whole extra read of the corpus.
+        val statRows = docs
+          .select(tokenCounts($"text").as("tc"))
+          .withColumn("dl", aggregate($"tc", lit(0L), cnt))
+          .select($"dl",
+            explode(concat(array(lit("")),
+              transform(filter($"tc", x => x.getField("tok").isin(allTerms: _*)),
+                x => x.getField("tok")))).as("tok"))
+          .groupBy($"tok")
+          .agg(count(lit(1)).cast("long").as("c"),
+            coalesce(sum($"dl"), lit(0L)).cast("long").as("sdl"))
+          .collect()
+        val n = statRows.find(_.getString(0) == "").map(_.getLong(1)).getOrElse(0L)
+        val t = statRows.find(_.getString(0) == "").map(_.getLong(2)).getOrElse(0L)
+        val dfMap: Map[String, Long] = statRows
+          .filter(_.getString(0).nonEmpty)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
         // fixed-point idf per term, computed driver-side over the bounded
         // df map — floor((1e5 * (2(N-df)+1)) / (2df+1)), same floor the
         // oracle's // takes
@@ -594,11 +605,15 @@ object TextQueries {
           val df = dfMap.getOrElse(term, 0L)
           term -> (Fx * (2L * (n - df) + 1L)) / (2L * df + 1L)
         }.toMap
-        // row-local scoring: tf from the in-row token-count array;
+        // row-local scoring: tf via ONE filtered pass over the in-row
+        // token-count array materialized as a term->tf map (<= NumQ x
+        // TermsPerQ keys), then O(1) lookups — the per-term
+        // filter+aggregate spelling traversed the whole tc array once
+        // per (query, term), i.e. up to 40 passes per doc;
         // tf-part = floor(1e5 * 44*tf*T / (20*tf*T + 6*T + 18*dl*N))
         // (k1 = 6/5, b = 3/4 cleared to integers over denominator 20T)
         def tf(term: String): Column =
-          aggregate(filter($"tc", x => x.getField("tok") === term), lit(0L), cnt)
+          coalesce(element_at($"tfm", term), lit(0L))
         def score(terms: Seq[String]): Column = terms.map { term =>
           val tfc = tf(term)
           val tfFx = Portable.idiv(lit(Fx * 44L) * tfc * lit(t),
@@ -612,6 +627,8 @@ object TextQueries {
         docs
           .select($"doc_id", tokenCounts($"text").as("tc"))
           .withColumn("dl", aggregate($"tc", lit(0L), cnt))
+          .withColumn("tfm", map_from_entries(
+            filter($"tc", x => x.getField("tok").isin(allTerms: _*))))
           .select(explode(array(cands: _*)).as("c"))
           // score >= 1 keeps the candidate sets identical to the oracle's
           // (its join form never sees docs with no query term)
