@@ -870,6 +870,159 @@ object DedupQueries {
           |FROM members m LEFT JOIN dropped d ON d.cid = m.cid
           |ORDER BY m.cid
           |""".stripMargin
-      })
+      }),
+
+    // Substring-level duplication audit (the exact-substring dedup signal
+    // of Lee et al. '22 "Deduplicating Training Data Makes Language
+    // Models Better", re-expressed hash-first): a 16-token window is
+    // "duplicated" when its content hash appears in more than one
+    // document; each doc reports how much of its distinct-window mass is
+    // shared, and docs with > 50% shared mass are flagged (boilerplate /
+    // mirrored pages that doc-level MinHash misses because the REST of
+    // the page differs). Windows are hashed row-locally by the fused
+    // NGramHashes kernel (stride 1, the n-gram string never materializes)
+    // and deduped INSIDE the row by array_distinct, so the only
+    // data-scale exchanges are (a) the window-hash df aggregate and
+    // (b) one semi join of the occurrence frame against the (much
+    // smaller) duplicated-hash set — both keyed and linear, never a
+    // pair join. At 100 TB this is the same cost class as the shingle
+    // family: the corpus crosses the wire once as 8-byte hash partials.
+    // A true Lee-style suffix-array would find arbitrary-length repeats;
+    // fixed-W windows are the bounded-state Spark-native spelling (any
+    // repeat >= W tokens is caught by its windows).
+    CatalogQuery(
+      "q91_substring_dup",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.Bridge
+        val W = 16
+        val wh = Bridge.column(graft.functions.NGramHashes(
+          Bridge.expression(spaceSplit($"text")), W))
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"source", array_distinct(wh).as("ws"))
+          .filter(size($"ws") > 0)
+          .select($"doc_id", $"source",
+            size($"ws").cast("long").as("n_win"), $"ws")
+        val occ = base.select($"doc_id", explode($"ws").as("wh"))
+        val dup = occ.groupBy($"wh").agg(count(lit(1)).as("df"))
+          .filter($"df" >= 2).select($"wh")
+        val dupCounts = occ.join(dup, Seq("wh"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+        base
+          .join(dupCounts, Seq("doc_id"), "left")
+          .select($"source", $"n_win",
+            coalesce($"n_dup", lit(0L)).as("n_dup"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"n_dup" * 2 > $"n_win", 1L).otherwise(0L))
+              .cast("long").as("n_flagged"),
+            sum($"n_win").cast("long").as("total_windows"),
+            sum($"n_dup").cast("long").as("dup_windows"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 16),
+        |occ AS (
+        |  SELECT DISTINCT doc_id,
+        |    ${hash60Sql("array_to_string(list_slice(t, i, i + 15), ' ')")} AS wh
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 14)) AS i FROM toks)),
+        |base AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_win FROM occ GROUP BY 1),
+        |dup AS (
+        |  SELECT wh FROM (SELECT wh, count(*) AS df FROM occ GROUP BY 1)
+        |  WHERE df >= 2),
+        |dc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |  FROM occ WHERE wh IN (SELECT wh FROM dup) GROUP BY 1)
+        |SELECT d.source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(dc.n_dup, 0) * 2 > b.n_win
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(b.n_win) AS BIGINT) AS total_windows,
+        |  CAST(sum(coalesce(dc.n_dup, 0)) AS BIGINT) AS dup_windows
+        |FROM base b
+        |JOIN documents d USING (doc_id)
+        |LEFT JOIN dc USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source
+        |""".stripMargin)),
+
+    // Quality-ranked cluster representative selection — q61 keeps each
+    // near-dup cluster's min-id doc; production pipelines keep the BEST
+    // doc (here: most content, n_chars desc, doc_id as the deterministic
+    // tie-break). The cluster frame is pair-graph-bounded (orders of
+    // magnitude below the corpus), so the representative argmax is a
+    // min(struct) aggregate over a bounded frame and the corpus is only
+    // touched by one LEFT join against the (bounded) dropped set — the
+    // same scale shape as q61 with the representative rule upgraded.
+    // kept_chars reports how much content survives the dedup.
+    CatalogQuery(
+      "q92_cluster_keep_best",
+      (s, d) => {
+        import s.implicits._
+        val pairs = lshPairs(sigRows(s, d), None).select($"doc_a", $"doc_b")
+        val meta = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"n_chars")
+        val cmeta = connectedComponents(pairs).join(meta, "doc_id")
+        val reps = cmeta.groupBy($"label")
+          .agg(min(struct((-$"n_chars").as("neg"), $"doc_id".as("doc_id")))
+            .as("best"))
+          .select($"label", $"best.doc_id".as("rep_doc"))
+        val dropped = cmeta.join(reps, "label")
+          .filter($"doc_id" =!= $"rep_doc")
+          .select($"doc_id", lit(1L).as("is_dup"))
+        meta
+          .join(dropped, Seq("doc_id"), "left")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(coalesce($"is_dup", lit(0L))).cast("long").as("n_dropped"),
+            sum(when($"is_dup".isNull, $"n_chars").otherwise(0L))
+              .cast("long").as("kept_chars"))
+          .select($"source", $"n_docs",
+            ($"n_docs" - $"n_dropped").as("n_kept"),
+            $"n_dropped", $"kept_chars")
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH RECURSIVE $signaturesSql,
+        |$bandsSql,
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+        |  WHERE x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |walk(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id),
+        |cc AS (SELECT doc_id, min(label) AS cluster_id FROM walk GROUP BY doc_id),
+        |cm AS (
+        |  SELECT cc.doc_id, cc.cluster_id, d.n_chars
+        |  FROM cc JOIN documents d USING (doc_id)),
+        |reps AS (
+        |  SELECT cluster_id, doc_id AS rep_doc FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY n_chars DESC, doc_id) AS rk
+        |    FROM cm)
+        |  WHERE rk = 1),
+        |dropped AS (
+        |  SELECT cm.doc_id FROM cm
+        |  JOIN reps USING (cluster_id)
+        |  WHERE cm.doc_id <> reps.rep_doc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) - count(dr.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS kept_chars
+        |FROM documents LEFT JOIN dropped dr USING (doc_id)
+        |GROUP BY source ORDER BY source
+        |""".stripMargin))
   )
 }

@@ -352,6 +352,61 @@ object SamplingQueries {
         |SELECT source, split, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM a GROUP BY source, split ORDER BY source, split
+        |""".stripMargin)),
+
+    // Range-shard layout planner: derive R=8 range boundaries over a sort
+    // key (per-doc token count) from the key's EXACT histogram, assign
+    // every doc a shard row-locally, and report the realized balance
+    // (n_docs, min/max key per shard) — the planning step behind writing
+    // globally-ordered output shards (repartitionByRange) without ever
+    // globally sorting the corpus. shard(v) = floor(R * cum_before(v) /
+    // N): identical-key docs always co-locate (a range shard can't split
+    // a key), and the rank math is exact integer arithmetic shared with
+    // the q59 quantile convention — no sampling nondeterminism, so the
+    // oracle mirrors it bit-for-bit. Shape: one corpus pass pre-collapses
+    // to the (key → count) histogram (map-side partials emit ≤ |key
+    // domain| rows per task); the boundary window runs on that bounded
+    // frame only; assignment is a broadcast join back on the key. At
+    // 100 TB with a high-cardinality key the histogram step becomes a
+    // sample (Spark's RangePartitioner reservoir) — the deliberate trade
+    // here is the token-count domain's boundedness for exactness.
+    CatalogQuery(
+      "q94_range_shard_plan",
+      (s, d) => {
+        import s.implicits._
+        val R = 8L
+        val v = Tables.documents(s, d)
+          .select($"doc_id", size(spaceSplit($"text")).cast("long").as("n_tok"))
+        val h = v.groupBy($"n_tok").agg(count(lit(1)).as("c"))
+        val wBefore = Window.orderBy($"n_tok")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.orderBy($"n_tok")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val shards = h
+          .withColumn("cumb", coalesce(sum($"c").over(wBefore), lit(0L)))
+          .withColumn("tot", sum($"c").over(wAll))
+          .select($"n_tok", idiv(lit(R) * $"cumb", $"tot").as("shard_id"))
+        v.join(broadcast(shards), "n_tok")
+          .groupBy($"shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"))
+          .orderBy($"shard_id")
+      },
+      Some("""
+        |WITH v AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |h AS (SELECT n_tok, count(*) AS c FROM v GROUP BY 1),
+        |b AS (
+        |  SELECT n_tok,
+        |    CAST((8 * coalesce(sum(c) OVER (ORDER BY n_tok
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      // (sum(c) OVER ()) AS BIGINT) AS shard_id
+        |  FROM h)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM v JOIN b USING (n_tok)
+        |GROUP BY shard_id ORDER BY shard_id
         |""".stripMargin))
   )
 }

@@ -684,6 +684,60 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
         |  FROM scored)
         |WHERE rk <= 10 ORDER BY qid, rk
+        |""".stripMargin)),
+
+    // Hashed-bigram linear quality classifier — the fastText/CCNet-style
+    // "score every doc with a linear model over hashed n-gram features"
+    // ENGINE pass (the model here is a deterministic hash-derived weight
+    // table, a stand-in for offline-trained weights: what the engine owns
+    // is the scoring shape, not the training). Each doc's score is the
+    // integer sum of per-bigram weights w(g) = hash60("w:" || (g mod P))
+    // mod 2001 - 1000 ∈ [-1000, 1000] — exact 64-bit arithmetic, so
+    // cross-engine results are bit-identical (no sigmoid/libm; the sign
+    // is the verdict). Shape: ONE corpus pass, entirely row-local
+    // (fused NGramHashes kernel → per-element weight → in-row sum), then
+    // a ~|sources|-row aggregate. Zero joins, zero data-scale exchanges —
+    // the classifier cost is pure map work at any corpus size (the md5
+    // per bigram dominates; a production model would memoize a weight
+    // array, which is the q36/q77 broadcast-literal convention).
+    CatalogQuery(
+      "q93_quality_classifier",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.Bridge
+        val grams = Bridge.column(graft.functions.NGramHashes(
+          Bridge.expression(spaceSplit($"text")), 2))
+        val weight: Column => Column = h =>
+          (Portable.hash60(concat(lit("w:"), (h % P).cast("string")))
+            % 2001L) - 1000L
+        Tables.documents(s, d)
+          .select($"source", grams.as("g"))
+          .filter(size($"g") > 0)
+          .select($"source",
+            aggregate($"g", lit(0L), (acc, x) => acc + weight(x)).as("score"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"score" > 0, 1L).otherwise(0L)).cast("long").as("n_pos"),
+            sum($"score").cast("long").as("sum_score"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |occ AS (
+        |  SELECT doc_id, source,
+        |    (${hash60Sql(s"'w:' || CAST(${hashPSql("concat(t[i], ' ', t[i+1])")} AS VARCHAR)")}
+        |      % 2001) - 1000 AS w
+        |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i FROM toks)),
+        |sc AS (
+        |  SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score
+        |  FROM occ GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM sc GROUP BY source ORDER BY source
         |""".stripMargin))
   )
 }

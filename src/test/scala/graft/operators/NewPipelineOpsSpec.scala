@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Fixture-driven contract pins for the round-8 pipeline operators:
+  * q91 substring-dup audit, q92 quality-ranked cluster representative,
+  * q93 hashed-bigram classifier, q94 range-shard layout planner. Each
+  * test builds a documents table whose expected outcome is computable by
+  * hand, writes it as parquet (the queries' own input path), and checks
+  * the catalog query end-to-end — the properties the oracle gate can't
+  * see (flag thresholds firing, representative choice, shard contiguity).
+  */
+class NewPipelineOpsSpec extends SparkSpec {
+
+  /** Write a documents table to a temp dir and return the dir. */
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ops_spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    Catalog.byName(name).run(spark, dir)
+
+  test("q91 flags a doc whose whole content is a shared 16-token span") {
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    val dir = docsDir(Seq(
+      // doc 0: the span plus a 3-token unique tail -> 4 windows, 1 shared
+      (0L, span + " u1 u2 u3", "en", "a", 1L),
+      // doc 1: exactly the span -> 1 window, shared -> flagged (2*1 > 1)
+      (1L, span, "en", "a", 1L),
+      // doc 2: 16 unique tokens -> 1 window, unshared
+      (2L, (1 to 16).map(i => s"z$i").mkString(" "), "en", "b", 1L),
+      // doc 3: too short for any window -> excluded entirely
+      (3L, "tiny doc", "en", "b", 1L)))
+    val out = run("q91_substring_dup", dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // source a: 2 docs with windows; doc1 flagged, doc0 not (1 of 4 shared)
+    assert(out("a") == ((2L, 1L, 5L, 2L)), s"source a got ${out("a")}")
+    // source b: only doc2 counts (doc3 has no window), nothing shared
+    assert(out("b") == ((1L, 0L, 1L, 0L)), s"source b got ${out("b")}")
+  }
+
+  test("q92 keeps the highest-n_chars doc of a near-dup cluster, tie on id") {
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = docsDir(Seq(
+      // identical texts -> same MinHash signature -> one cluster
+      (10L, body, "en", "a", 40L),
+      (11L, body, "en", "a", 90L), // most content -> the representative
+      (12L, body, "en", "b", 90L), // ties 11 on n_chars; 11 wins on id
+      // unclustered doc survives untouched
+      (13L, "totally different content entirely unrelated words here", "en", "b", 7L)))
+    val out = run("q92_cluster_keep_best", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // source a: doc 11 kept (rep), doc 10 dropped -> kept_chars = 90
+    assert(out("a") == ((2L, 1L, 1L, 90L)), s"source a got ${out("a")}")
+    // source b: doc 12 dropped (cluster rep is 11), doc 13 kept
+    assert(out("b") == ((2L, 1L, 1L, 7L)), s"source b got ${out("b")}")
+  }
+
+  test("q93 scores identical texts identically and skips sub-bigram docs") {
+    val text = "one two three four five six"
+    val dir = docsDir(Seq(
+      (0L, text, "en", "a", 1L),
+      (1L, text, "en", "b", 1L), // same text, other source
+      (2L, "solo", "en", "b", 1L))) // < 2 tokens -> not scored
+    val out = run("q93_quality_classifier", dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("a")._1 == 1L && out("b")._1 == 1L, s"got $out")
+    // identical text -> identical integer score, wherever it lives
+    assert(out("a")._3 == out("b")._3, s"same text scored differently: $out")
+    // weights are bounded: |score| <= 1000 * n_bigrams = 5000
+    assert(math.abs(out("a")._3) <= 5000L)
+  }
+
+  test("q94 shards are contiguous, exhaustive, and key-colocated") {
+    val rows = run("q94_range_shard_plan", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(t => t._1 >= 0 && t._1 < 8))
+    // every doc assigned exactly once
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._2).sum == total, s"assigned ${rows.map(_._2).sum} of $total")
+    // ranges are non-overlapping and ordered: a shard's max key is
+    // strictly below the next shard's min key (a key never splits)
+    for (w <- rows.sliding(2) if w.length == 2)
+      assert(w(0)._4 < w(1)._3, s"shards overlap: ${w(0)} vs ${w(1)}")
+    // the planner actually spreads the data (>1 shard at 600 docs)
+    assert(rows.length > 1)
+  }
+}
