@@ -898,20 +898,28 @@ object DedupQueries {
         val W = 16
         val wh = Bridge.column(graft.functions.NGramHashes(
           Bridge.expression(spaceSplit($"text")), W))
-        val base = Tables.documents(s, d)
-          .select($"doc_id", $"source", array_distinct(wh).as("ws"))
-          .filter(size($"ws") > 0)
+        // ONE occurrence subtree: a doc's distinct window hashes with its
+        // source attached. Every downstream consumer derives from this —
+        // the obvious spelling (per-doc base frame + df aggregate +
+        // semi-join probe) re-runs the tokenize+hash+distinct kernel
+        // three times, and the md5-per-window is the dominant map cost.
+        val occ = Tables.documents(s, d)
           .select($"doc_id", $"source",
-            size($"ws").cast("long").as("n_win"), $"ws")
-        val occ = base.select($"doc_id", explode($"ws").as("wh"))
+            explode(array_distinct(wh)).as("wh"))
         val dup = occ.groupBy($"wh").agg(count(lit(1)).as("df"))
-          .filter($"df" >= 2).select($"wh")
-        val dupCounts = occ.join(dup, Seq("wh"), "left_semi")
-          .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
-        base
-          .join(dupCounts, Seq("doc_id"), "left")
-          .select($"source", $"n_win",
-            coalesce($"n_dup", lit(0L)).as("n_dup"))
+          .filter($"df" >= 2).select($"wh", lit(1L).as("isdup"))
+        // LEFT join against the (small — only duplicated hashes survive)
+        // dup set marks each occurrence in place, so ONE doc-keyed
+        // aggregate computes n_win and n_dup together: occ is computed
+        // twice total (df build + probe), and the doc-keyed exchange
+        // carries map-side-combined partials only. AQE broadcasts the
+        // dup side while it fits; beyond that it's a keyed join — never
+        // a pair product.
+        occ
+          .join(dup, Seq("wh"), "left")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_win"),
+            sum(coalesce($"isdup", lit(0L))).as("n_dup"))
           .groupBy($"source")
           .agg(
             count(lit(1)).as("n_docs"),
