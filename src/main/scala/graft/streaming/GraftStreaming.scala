@@ -264,6 +264,92 @@ object GraftStreaming {
       }
   }
 
+  /** A document entering the streaming chunk-level dedup. */
+  final case class ChunkedDoc(docId: Long, text: String)
+
+  /** One chunk occurrence: emitted by the chunk-state pass. */
+  final case class ChunkHit(docId: Long, chunkHash: Long, isDup: Boolean)
+
+  /** Per-doc chunk-dedup verdict: how much of the doc's chunk mass was
+    * already seen (by any earlier doc, or an earlier repeat inside the
+    * same doc). `flagged` = more than half the chunks are duplicates.
+    */
+  final case class ChunkDedupVerdict(docId: Long, nChunks: Long,
+      nDupChunks: Long, flagged: Boolean)
+
+  /** Row-local q88 chunking of a doc: hash60 of each `window`-token
+    * slice at `stride` offsets — the SAME chunk identity as the batch
+    * operator (q88's chunk_hash), so a chunk index built in batch and
+    * the streaming state agree on what a chunk IS.
+    */
+  private[streaming] def chunkHashes(text: String, window: Int, stride: Int): Seq[Long] = {
+    val t = text.split(' ') // empties kept — CharSplit/string_split parity
+    (0 until t.length by stride).map { off =>
+      graft.functions.Md5Util.prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          t.slice(off, math.min(off + window, t.length)).mkString(" ")))
+    }
+  }
+
+  /** Streaming CHUNK-level dedup at ingest — the streaming form of the
+    * q88→q91 batch pair: each document fans out row-locally into its
+    * fixed-window chunk hashes, per-chunk first-seen state marks repeats
+    * (the chunk-hash keyed `flatMapGroupsWithState` — state is ONE Long
+    * per distinct chunk inside the TTL horizon), and per-chunk hits are
+    * emitted for the caller to roll up (see [[chunkVerdicts]]) or sink
+    * chunk-filtered. Deterministic at any parallelism: within a
+    * micro-batch the smallest docId owns a chunk's first occurrence, so
+    * replays and different shuffle layouts produce identical verdicts.
+    * The doc-level rollup is deliberately NOT a second stateful operator
+    * in the same query (chained flatMapGroupsWithState is outside
+    * Spark's supported multi-stateful set); a doc's chunks all live in
+    * one micro-batch, so the rollup is a batch-local aggregate in the
+    * sink — [[chunkVerdicts]] applied inside foreachBatch.
+    */
+  def streamingChunkDedup(
+      docs: org.apache.spark.sql.Dataset[ChunkedDoc],
+      window: Int = 32,
+      stride: Int = 24,
+      stateTtl: Option[String] = None): org.apache.spark.sql.Dataset[ChunkHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs
+      .flatMap(d => chunkHashes(d.text, window, stride)
+        .map(h => ChunkHit(d.docId, h, isDup = false)))
+      .groupByKey(_.chunkHash)
+      .flatMapGroupsWithState[Long, ChunkHit](OutputMode.Append(), timeout) {
+        (hash: Long, rows: Iterator[ChunkHit], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(0L)
+            val out = rows.toVector.sortBy(_.docId).map { r =>
+              seen += 1
+              r.copy(isDup = seen > 1)
+            }
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch-local doc rollup of [[streamingChunkDedup]] hits — apply to
+    * each foreachBatch frame (a doc's chunks always share a micro-batch).
+    */
+  def chunkVerdicts(hits: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    hits.groupBy(col("docId"))
+      .agg(count(lit(1)).as("nChunks"),
+        sum(when(col("isDup"), 1L).otherwise(0L)).as("nDupChunks"))
+      .withColumn("flagged", col("nDupChunks") * 2 > col("nChunks"))
+  }
+
   /** A streaming document for near-dup detection. */
   /** Streaming form of the batch binned interval join (q63): flag each
     * incoming event (user_id, sec) that falls inside any STATIC incident
