@@ -24,28 +24,69 @@ object SimilarityQueries {
   private val PqM = 4  // PQ subspaces (q77)
   private val PqK = 16 // PQ codewords per subspace (q77)
 
+  /** (vec_id, q, nrm): the quantized corpus every ANN query starts from. */
+  private def quantized(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", Embeddings.quant("embedding").as("q"))
+      .withColumn("nrm", Embeddings.norm2("q"))
+  }
+
+  /** q28's exact brute-force top-k, factored so the recall audit (q95)
+    * consumes the identical frame. */
+  private def bruteTopK(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    // no .cache(): both consumers run inside ONE action, where AQE
+    // ReuseExchange already shares work and a cache only adds a
+    // columnar write (PLANS_r04 measured 9.3 s cached vs 1.9 s not)
+    val v = quantized(s, d)
+    val queries = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
+    val scored = v.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .withColumn("cos", Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
+    // top-k per query: the rk <= TopK filter triggers Spark's
+    // WindowGroupLimit rank-limit pushdown, pruning map-side to TopK
+    // rows per query per partition before the single shuffle
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
+      .select($"qid", $"rk", $"vec_id".as("neighbor"), $"cos")
+  }
+
+  /** q29's hyperplane-LSH approximate top-k, factored for q95. */
+  private def lshTopK(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    // single-action plan: no caches (see q28 note)
+    val v = quantized(s, d)
+    // all NumTables bucket ids in ONE pass over the corpus: a
+    // row-local posexplode of the per-table bucket array (pos = table
+    // id). The previous union-of-4-selects shape read the embedding
+    // column NumTables times per consumer at scale
+    val buckets = v.select($"vec_id", posexplode(array(
+      (0 until Embeddings.NumTables).map(t => Embeddings.bucket("q", t)): _*
+    )).as(Seq("tbl", "bkt")))
+    val qb = buckets.filter($"vec_id" < NumQueries).toDF("qid", "tbl", "bkt")
+    val cand = buckets.join(broadcast(qb), Seq("tbl", "bkt"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id").distinct()
+    // only the QUERY vectors get broadcast — broadcasting the full
+    // (renamed) table here would ship the whole corpus to every
+    // executor at 100 TB even though only qids ever match
+    val va = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
+    val scored = cand
+      .join(broadcast(va), "qid")
+      .join(v, "vec_id")
+      .withColumn("cos", Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
+      .select($"qid", $"rk", $"vec_id".as("neighbor"), $"cos")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     CatalogQuery(
       "q28_knn_brute",
       (s, d) => {
         import s.implicits._
-        // no .cache(): both consumers run inside ONE action, where AQE
-        // ReuseExchange already shares work and a cache only adds a
-        // columnar write (PLANS_r04 measured 9.3 s cached vs 1.9 s not)
-        val v = Tables.embeddings(s, d)
-          .select($"vec_id", Embeddings.quant("embedding").as("q"))
-          .withColumn("nrm", Embeddings.norm2("q"))
-        val queries = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
-        val scored = v.join(broadcast(queries), $"vec_id" =!= $"qid")
-          .withColumn("cos", Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
-        // top-k per query: the rk <= TopK filter triggers Spark's
-        // WindowGroupLimit rank-limit pushdown, pruning map-side to TopK
-        // rows per query per partition before the single shuffle
-        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-        scored.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
-          .select($"qid", $"rk", $"vec_id".as("neighbor"), $"cos")
-          .orderBy($"qid", $"rk")
+        bruteTopK(s, d).orderBy($"qid", $"rk")
       },
       Some {
         val q = Embeddings.quantSql("embedding")
@@ -69,33 +110,7 @@ object SimilarityQueries {
       "q29_knn_lsh",
       (s, d) => {
         import s.implicits._
-        // single-action plan: no caches (see q28 note)
-        val v = Tables.embeddings(s, d)
-          .select($"vec_id", Embeddings.quant("embedding").as("q"))
-          .withColumn("nrm", Embeddings.norm2("q"))
-        // all NumTables bucket ids in ONE pass over the corpus: a
-        // row-local posexplode of the per-table bucket array (pos = table
-        // id). The previous union-of-4-selects shape read the embedding
-        // column NumTables times per consumer at scale
-        val buckets = v.select($"vec_id", posexplode(array(
-          (0 until Embeddings.NumTables).map(t => Embeddings.bucket("q", t)): _*
-        )).as(Seq("tbl", "bkt")))
-        val qb = buckets.filter($"vec_id" < NumQueries).toDF("qid", "tbl", "bkt")
-        val cand = buckets.join(broadcast(qb), Seq("tbl", "bkt"))
-          .filter($"vec_id" =!= $"qid")
-          .select($"qid", $"vec_id").distinct()
-        // only the QUERY vectors get broadcast — broadcasting the full
-        // (renamed) table here would ship the whole corpus to every
-        // executor at 100 TB even though only qids ever match
-        val va = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
-        val scored = cand
-          .join(broadcast(va), "qid")
-          .join(v, "vec_id")
-          .withColumn("cos", Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
-        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-        scored.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
-          .select($"qid", $"rk", $"vec_id".as("neighbor"), $"cos")
-          .orderBy($"qid", $"rk")
+        lshTopK(s, d).orderBy($"qid", $"rk")
       },
       Some {
         val q = Embeddings.quantSql("embedding")
@@ -482,6 +497,79 @@ object SimilarityQueries {
         |SELECT st.label AS label, n_vecs,
         |  CAST(sum_n2 AS DOUBLE) / n_vecs AS mean_norm2, n_outliers
         |FROM st JOIN fl ON st.label = fl.label ORDER BY label
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    // ANN recall audit: per-query recall@5 of the SHIPPED LSH index (q29)
+    // against the exact brute-force top-5 (q28) — the ground-truth check
+    // a pipeline runs before trusting the approximate index at scale
+    // (q78 audits the PQ-ADC index the same way; q80 the MinHash
+    // estimator). Both sides are deterministic (cos desc, vec_id
+    // tie-break), so the recall values are exact cross-engine. Scale
+    // shape: both top-k frames are NumQueries × TopK rows off their own
+    // bounded machinery (WindowGroupLimit partials / capped buckets);
+    // the intersection join and rollup touch only those ≤ 50-row frames
+    // — the audit adds nothing data-scale beyond the two searches it
+    // audits, and the corpus passes they share are AQE-reusable.
+    CatalogQuery(
+      "q95_ann_recall",
+      (s, d) => {
+        import s.implicits._
+        val ex = bruteTopK(s, d).select($"qid", $"neighbor")
+        val ap = lshTopK(s, d).select($"qid", $"neighbor")
+        val hits = ex.join(ap, Seq("qid", "neighbor"))
+          .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+        ex.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select($"qid", coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .withColumn("recall", $"n_hit" / lit(TopK.toDouble))
+          .orderBy($"qid")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val bucketRows = (0 until Embeddings.NumTables).map { t =>
+          s"SELECT vec_id, $t AS tbl, ${Embeddings.bucketSql("q", t)} AS bkt FROM v"
+        }.mkString("\n  UNION ALL ")
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM vn WHERE vec_id < $NumQueries),
+          |ex AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |    FROM (
+          |      SELECT qid, vec_id,
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("qq", "q"), "qn", "nrm")} AS cos
+          |      FROM vn CROSS JOIN qs WHERE vec_id <> qid))
+          |  WHERE rk <= $TopK),
+          |buckets AS (
+          |  $bucketRows),
+          |qb AS (SELECT vec_id AS qid, tbl, bkt FROM buckets WHERE vec_id < $NumQueries),
+          |cand AS (
+          |  SELECT DISTINCT qb.qid, b.vec_id
+          |  FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bkt = qb.bkt
+          |  WHERE b.vec_id <> qb.qid),
+          |ap AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |    FROM (
+          |      SELECT cand.qid, cand.vec_id,
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("a.q", "b.q"), "a.nrm", "b.nrm")} AS cos
+          |      FROM cand
+          |      JOIN vn a ON a.vec_id = cand.qid
+          |      JOIN vn b ON b.vec_id = cand.vec_id))
+          |  WHERE rk <= $TopK),
+          |hits AS (
+          |  SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+          |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+          |  GROUP BY ex.qid)
+          |SELECT q.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |  coalesce(h.n_hit, 0) / $TopK.0 AS recall
+          |FROM (SELECT DISTINCT qid FROM ex) q
+          |LEFT JOIN hits h USING (qid)
+          |ORDER BY q.qid
+          |""".stripMargin
+      })
   )
 }
