@@ -738,6 +738,83 @@ object TextQueries {
         |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM sc GROUP BY source ORDER BY source
+        |""".stripMargin)),
+
+    // Chunk-level dedup APPLY (the materialization step after q88/q91:
+    // Lee '22 keep-first-occurrence): every chunk instance whose content
+    // hash appeared earlier — globally ordered by (doc_id, chunk_idx) —
+    // is dropped; the report accounts surviving chunk/token mass per
+    // source. Shape: chunks fan out row-locally (q88's machinery with
+    // source and token count riding along), ONE chunk-hash-keyed
+    // aggregate computes each hash's winner as min(struct(doc_id,
+    // chunk_idx, source, n_tok)) — map-side combinable, no window sort
+    // of the chunk frame, and NO join back: the winners ARE the kept
+    // set, so per-source kept mass aggregates straight off the winner
+    // structs while totals aggregate off the pre-explode frame. Two
+    // corpus map passes + one keyed exchange + two ~|sources|-row
+    // aggregates; deterministic at any parallelism (struct min is
+    // order-free).
+    CatalogQuery(
+      "q96_chunk_dedup_apply",
+      (s, d) => {
+        import s.implicits._
+        val W = 32
+        val S = 24
+        val chunks = Tables.documents(s, d)
+          .select($"doc_id", $"source", Portable.spaceSplit($"text").as("t"))
+          .filter(size($"t") > 0)
+          .select($"doc_id", $"source", $"t",
+            posexplode(sequence(lit(0), size($"t") - 1, lit(S)))
+              .as(Seq("chunk_idx", "off")))
+          .select($"doc_id", $"source", $"chunk_idx",
+            least(size($"t") - $"off", lit(W)).cast("long").as("n_tok"),
+            Portable.hash60(concat_ws(" ", slice($"t", $"off" + 1, lit(W))))
+              .as("chunk_hash"))
+        val totals = chunks.groupBy($"source")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"n_tok").cast("long").as("tok_total"))
+        val kept = chunks
+          .groupBy($"chunk_hash")
+          .agg(min(struct($"doc_id", $"chunk_idx", $"source", $"n_tok")).as("f"))
+          .groupBy($"f.source".as("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"f.n_tok").cast("long").as("tok_kept"))
+        totals.join(kept, Seq("source"), "left")
+          .select($"source", $"n_chunks",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            $"tok_total", coalesce($"tok_kept", lit(0L)).as("tok_kept"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(i / 24 AS BIGINT) AS chunk_idx,
+        |    CAST(least(len(t) - i, 32) AS BIGINT) AS n_tok,
+        |    ${hash60Sql("array_to_string(list_slice(t, i + 1, i + 32), ' ')")}
+        |      AS chunk_hash
+        |  FROM (SELECT doc_id, source, t, unnest(range(0, len(t), 24)) AS i FROM toks)),
+        |w AS (
+        |  SELECT source, n_tok FROM (
+        |    SELECT source, n_tok,
+        |      row_number() OVER (PARTITION BY chunk_hash
+        |        ORDER BY doc_id, chunk_idx) AS rk
+        |    FROM c)
+        |  WHERE rk = 1),
+        |tot AS (
+        |  SELECT source, count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS tok_total
+        |  FROM c GROUP BY source),
+        |kp AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(n_tok) AS BIGINT) AS tok_kept
+        |  FROM w GROUP BY source)
+        |SELECT tot.source, n_chunks,
+        |  coalesce(kp.n_kept, 0) AS n_kept,
+        |  tok_total, coalesce(kp.tok_kept, 0) AS tok_kept
+        |FROM tot LEFT JOIN kp ON kp.source = tot.source
+        |ORDER BY tot.source
         |""".stripMargin))
   )
 }

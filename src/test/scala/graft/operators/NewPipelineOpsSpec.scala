@@ -80,6 +80,24 @@ class NewPipelineOpsSpec extends SparkSpec {
     assert(math.abs(out("a")._3) <= 5000L)
   }
 
+  test("q96 keeps a duplicated chunk only at its first (doc, idx) occurrence") {
+    // window 32 / stride 24: a 32-token doc is exactly 2 chunks (the
+    // second covering tokens 25..32, 8 tokens)
+    val body = (1 to 32).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, body, "en", "a", 1L),
+      (1L, body, "en", "b", 1L), // full copy, later doc -> both chunks dropped
+      (2L, (1 to 32).map(i => s"u$i").mkString(" "), "en", "b", 1L)))
+    val out = run("q96_chunk_dedup_apply", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // source a: doc 0 wins both its chunks (32 + 8 tokens)
+    assert(out("a") == ((2L, 2L, 40L, 40L)), s"source a got ${out("a")}")
+    // source b: doc 1 keeps nothing, doc 2 keeps everything
+    assert(out("b") == ((4L, 2L, 80L, 40L)), s"source b got ${out("b")}")
+  }
+
   test("q94 shards are contiguous, exhaustive, and key-colocated") {
     val rows = run("q94_range_shard_plan", sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
