@@ -77,6 +77,31 @@ object Embeddings {
     dotExpr(expr(q), expr(lits))
   }
 
+  /** JL (Johnson–Lindenstrauss) sign-projection width: 64 → 16 dims. */
+  val JlDims = 16
+
+  /** Deterministic Rademacher projection rows for the JL audit — same
+    * md5-parity scheme as [[planeCoef]], separate seed family ("jl") so
+    * the projection is independent of the LSH planes.
+    */
+  lazy val jlCoef: IndexedSeq[IndexedSeq[Int]] = {
+    (0 until JlDims).map { k =>
+      (0 until Dims).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"jl${k}_$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Projected coordinate k of a quantized vector (exact integer dot
+    * with the literal ±1 row; row-local, inside codegen).
+    */
+  def jlDot(q: String, k: Int): Column = {
+    val lits = jlCoef(k).map(c => s"CAST($c AS BIGINT)").mkString("array(", ", ", ")")
+    dotExpr(expr(q), expr(lits))
+  }
+
   /** LSH bucket id for table t: sign bits of its 4 plane dots. */
   def bucket(q: String, t: Int): Column =
     (0 until PlanesPerTable).map { r =>
@@ -117,6 +142,12 @@ object Embeddings {
 
   def planeDotSql(q: String, p: Int): String = {
     val lits = planeCoef(p).mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> $q[i] * ($lits)[i])) AS BIGINT)"
+  }
+
+  /** DuckDB mirror of [[jlDot]]. */
+  def jlDotSql(q: String, k: Int): String = {
+    val lits = jlCoef(k).mkString("[", ", ", "]")
     s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> $q[i] * ($lits)[i])) AS BIGINT)"
   }
 

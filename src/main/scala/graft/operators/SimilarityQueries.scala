@@ -570,6 +570,67 @@ object SimilarityQueries {
           |LEFT JOIN hits h USING (qid)
           |ORDER BY q.qid
           |""".stripMargin
+      }),
+
+    // JL (Johnson–Lindenstrauss) sign-projection distortion audit:
+    // project 64-dim vectors to 16 dims with a deterministic Rademacher
+    // matrix (the dimensionality-reduction step before a cheaper ANN
+    // index) and report, for a bounded sample of consecutive-id pairs,
+    // the exact squared distance before and after plus the distortion
+    // ratio d2_proj / (K · d2_orig) (E[ratio] = 1 for Rademacher rows).
+    // Projection is the ENGINE op: 16 literal ±1 dots per row, pure
+    // codegen map work, integer-exact — at 100 TB materializing the
+    // projected corpus costs one scan and nothing crosses an exchange.
+    // The audit itself touches only the NumPairs sample rows (pushed
+    // vec_id range filter) and the ratio is one IEEE division of exact
+    // integers, so values are bit-identical cross-engine.
+    CatalogQuery(
+      "q97_jl_distortion",
+      (s, d) => {
+        import s.implicits._
+        val NumPairs = 20
+        val proj = array((0 until Embeddings.JlDims)
+          .map(k => Embeddings.jlDot("q", k)): _*)
+        val v = quantized(s, d)
+          .filter($"vec_id" <= NumPairs)
+          .withColumn("p", proj)
+        val a = v.filter($"vec_id" < NumPairs).toDF("ida", "qa", "na", "pa")
+        val b = v.toDF("idb", "qb", "nb", "pb")
+        a.join(b, $"idb" === $"ida" + 1)
+          .withColumn("d2_orig",
+            $"na" + $"nb" - lit(2L) * Embeddings.dot("qa", "qb"))
+          .withColumn("d2_proj",
+            aggregate(zip_with($"pa", $"pb", (x, y) => (x - y) * (x - y)),
+              lit(0L), _ + _))
+          .select($"ida".as("pair_id"), $"d2_orig", $"d2_proj",
+            when($"d2_orig" > 0,
+              $"d2_proj".cast("double") /
+                ($"d2_orig" * Embeddings.JlDims).cast("double")).as("ratio"))
+          .orderBy($"pair_id")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val projCols = (0 until Embeddings.JlDims)
+          .map(k => Embeddings.jlDotSql("q", k)).mkString("[", ",\n      ", "]")
+        val k = Embeddings.JlDims
+        s"""
+          |WITH v AS (
+          |  SELECT vec_id, $q AS q FROM embeddings WHERE vec_id <= 20),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm,
+          |    $projCols AS p
+          |  FROM v),
+          |pr AS (
+          |  SELECT a.vec_id AS pair_id,
+          |    a.nrm + b.nrm - 2 * ${Embeddings.dotSql("a.q", "b.q")} AS d2_orig,
+          |    CAST(list_sum(list_transform(range(1, ${k + 1}),
+          |      i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))) AS BIGINT) AS d2_proj
+          |  FROM vn a JOIN vn b ON b.vec_id = a.vec_id + 1
+          |  WHERE a.vec_id < 20)
+          |SELECT pair_id, CAST(d2_orig AS BIGINT) AS d2_orig, d2_proj,
+          |  CASE WHEN d2_orig > 0
+          |    THEN CAST(d2_proj AS DOUBLE) / CAST(d2_orig * $k AS DOUBLE) END AS ratio
+          |FROM pr ORDER BY pair_id
+          |""".stripMargin
       })
   )
 }

@@ -98,6 +98,18 @@ class NewPipelineOpsSpec extends SparkSpec {
     assert(out("b") == ((4L, 2L, 80L, 40L)), s"source b got ${out("b")}")
   }
 
+  test("q97 JL projection preserves distances in expectation") {
+    val rows = run("q97_jl_distortion", sf0001).collect()
+    assert(rows.length == 20)
+    val ratios = rows.filter(!_.isNullAt(3)).map(_.getDouble(3))
+    assert(ratios.nonEmpty)
+    // E[ratio] = 1 for Rademacher rows; a degenerate projection (all-equal
+    // signs, wrong scaling) lands far outside this band
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 1.5, s"mean distortion ratio $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0), s"extreme ratio in ${ratios.toSeq}")
+  }
+
   test("q94 shards are contiguous, exhaustive, and key-colocated") {
     val rows = run("q94_range_shard_plan", sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
