@@ -631,6 +631,110 @@ object SimilarityQueries {
           |    THEN CAST(d2_proj AS DOUBLE) / CAST(d2_orig * $k AS DOUBLE) END AS ratio
           |FROM pr ORDER BY pair_id
           |""".stripMargin
+      }),
+
+    // JL-filtered ANN + recall audit: the q97 projection plugged into
+    // retrieval — coarse-filter candidates by PROJECTED 16-dim distance
+    // (a quarter of the arithmetic of full 64-dim scoring; the
+    // production win at 100 TB is scanning the materialized 16-dim
+    // corpus instead of the 64-dim one), keep the top-C=50 per query
+    // (WindowGroupLimit bounds it map-side), exact-rerank only those,
+    // and report recall@5 against the exact q28 ground truth. Shape:
+    // one projected-corpus pass (queries broadcast, row-local zip_with
+    // distance), the ≤ C×queries candidate frame broadcasts back onto
+    // the corpus for the exact rerank, then everything downstream
+    // touches ≤50-row frames. Recall on this corpus: reported per
+    // query — the honest verdict on C=50 under a 4× compression.
+    CatalogQuery(
+      "q99_jl_ann_recall",
+      (s, d) => {
+        import s.implicits._
+        val C = 50
+        val proj = array((0 until Embeddings.JlDims)
+          .map(kk => Embeddings.jlDot("q", kk)): _*)
+        val v = quantized(s, d).withColumn("p", proj)
+        val qs = v.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"p".as("pq"))
+        // coarse pass: projected distance only — the 64-dim vector is
+        // never touched after projection
+        val d2p = aggregate(zip_with($"p", $"pq", (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _)
+        val wc = Window.partitionBy($"qid").orderBy($"d2p", $"vec_id")
+        val cand = v.select($"vec_id", $"p")
+          .join(broadcast(qs), $"vec_id" =!= $"qid")
+          .withColumn("d2p", d2p)
+          .withColumn("crk", row_number().over(wc)).filter($"crk" <= C)
+          .select($"qid", $"vec_id")
+        // exact rerank of the bounded candidate set
+        val va = quantized(s, d).filter($"vec_id" < NumQueries)
+          .toDF("qid", "qq", "qn")
+        val rer = cand
+          .join(broadcast(va), "qid")
+          .join(quantized(s, d), "vec_id")
+          .withColumn("cos",
+            Embeddings.cosine(Embeddings.dot("qq", "q"), $"qn", $"nrm"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val ap = rer.withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
+          .select($"qid", $"vec_id".as("neighbor"))
+        val ex = bruteTopK(s, d).select($"qid", $"neighbor")
+        val hits = ex.join(ap, Seq("qid", "neighbor"))
+          .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+        ex.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select($"qid", coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .withColumn("recall", $"n_hit" / lit(TopK.toDouble))
+          .orderBy($"qid")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val projCols = (0 until Embeddings.JlDims)
+          .map(kk => Embeddings.jlDotSql("q", kk)).mkString("[", ",\n      ", "]")
+        val jd = Embeddings.JlDims
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm,
+          |    $projCols AS p
+          |  FROM v),
+          |qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn, p AS pq
+          |  FROM vn WHERE vec_id < $NumQueries),
+          |cand AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qs.qid, vn.vec_id,
+          |      row_number() OVER (PARTITION BY qs.qid ORDER BY
+          |        CAST(list_sum(list_transform(range(1, ${jd + 1}),
+          |          i -> (vn.p[i] - qs.pq[i]) * (vn.p[i] - qs.pq[i]))) AS BIGINT),
+          |        vn.vec_id) AS crk
+          |    FROM vn CROSS JOIN qs WHERE vn.vec_id <> qs.qid)
+          |  WHERE crk <= 50),
+          |ap AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT cand.qid, cand.vec_id,
+          |      row_number() OVER (PARTITION BY cand.qid ORDER BY
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("a.q", "b.q"), "a.nrm", "b.nrm")} DESC,
+          |        cand.vec_id) AS rk
+          |    FROM cand
+          |    JOIN vn a ON a.vec_id = cand.qid
+          |    JOIN vn b ON b.vec_id = cand.vec_id)
+          |  WHERE rk <= $TopK),
+          |ex AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |    FROM (
+          |      SELECT qid, vec_id,
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("qq", "q"), "qn", "nrm")} AS cos
+          |      FROM vn CROSS JOIN qs WHERE vec_id <> qid))
+          |  WHERE rk <= $TopK),
+          |hits AS (
+          |  SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+          |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+          |  GROUP BY ex.qid)
+          |SELECT q2.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |  coalesce(h.n_hit, 0) / $TopK.0 AS recall
+          |FROM (SELECT DISTINCT qid FROM ex) q2
+          |LEFT JOIN hits h USING (qid)
+          |ORDER BY q2.qid
+          |""".stripMargin
       })
   )
 }

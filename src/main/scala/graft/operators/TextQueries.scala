@@ -815,6 +815,91 @@ object TextQueries {
         |  tok_total, coalesce(kp.tok_kept, 0) AS tok_kept
         |FROM tot LEFT JOIN kp ON kp.source = tot.source
         |ORDER BY tot.source
+        |""".stripMargin)),
+
+    // Dataset card — the per-(source, split) manifest a pipeline signs
+    // off on before training: doc and token counts, quality-gate pass
+    // count (q81's four rules, same expressions), and exact-duplicate
+    // count (q19's content-hash identity; a doc is a duplicate when its
+    // hash's FIRST owner — min doc_id, q96's winner convention — is a
+    // different doc, wherever that owner lives). Composition shape: one
+    // row-local pass computes split/tokens/flags/hash; totals aggregate
+    // straight off it; the dup side is a q96-style winner aggregate
+    // (Catalyst prunes the tokenization out of that branch — it only
+    // needs the hash), so the corpus crosses one content-hash exchange
+    // as winner structs and one (source, split) exchange as partials.
+    // No windows; the only join is (source, split)-keyed and tiny.
+    CatalogQuery(
+      "q98_dataset_card",
+      (s, d) => {
+        import s.implicits._
+        val stopArr = array(Stopwords.map(lit): _*)
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"source",
+            Portable.splitAssign($"doc_id").as("split"),
+            Portable.spaceSplit($"text").as("t"),
+            length($"text").cast("long").as("nc"),
+            Portable.hash60($"text").as("h"))
+          .select($"doc_id", $"source", $"split", $"h",
+            size($"t").cast("long").as("n_tok"),
+            size(array_distinct($"t")).cast("long").as("n_uniq"),
+            size(filter($"t", x => array_contains(stopArr, x))).cast("long").as("n_stop"),
+            $"nc")
+          .withColumn("pass",
+            $"n_tok".between(25L, 90L) &&
+              (($"nc" - ($"n_tok" - 1)).cast("double") / $"n_tok").between(4.0, 5.0) &&
+              $"n_stop" >= 2 &&
+              $"n_uniq".cast("double") / $"n_tok" >= 0.5)
+        val totals = base.groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").cast("long").as("tok_total"),
+            sum(when($"pass", 1L).otherwise(0L)).cast("long").as("n_pass"))
+        val firsts = base
+          .groupBy($"h")
+          .agg(min(struct($"doc_id", $"source", $"split")).as("f"))
+          .groupBy($"f.source".as("source"), $"f.split".as("split"))
+          .agg(count(lit(1)).as("n_first"))
+        totals.join(firsts, Seq("source", "split"), "left")
+          .select($"source", $"split", $"n_docs", $"tok_total", $"n_pass",
+            ($"n_docs" - coalesce($"n_first", lit(0L))).as("n_dup"))
+          .orderBy($"source", $"split")
+      },
+      Some(s"""
+        |WITH b AS (
+        |  SELECT doc_id, source, ${Portable.splitAssignSql("doc_id")} AS split,
+        |    string_split(text, ' ') AS t,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    ${hash60Sql("text")} AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, split, h, n_tok,
+        |    ((n_tok BETWEEN 25 AND 90)
+        |      AND (CAST(nc - (n_tok - 1) AS DOUBLE) / n_tok BETWEEN 4.0 AND 5.0)
+        |      AND n_stop >= 2
+        |      AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.5) AS pass
+        |  FROM (
+        |    SELECT doc_id, source, split, h, nc,
+        |      CAST(len(t) AS BIGINT) AS n_tok,
+        |      CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+        |      CAST(len(list_filter(t, x -> x IN $stopSqlList)) AS BIGINT) AS n_stop
+        |    FROM b)),
+        |tot AS (
+        |  SELECT source, split, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS tok_total,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM f GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, split, CAST(count(*) AS BIGINT) AS n_first FROM (
+        |    SELECT source, split FROM (
+        |      SELECT source, split,
+        |        row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+        |      FROM f)
+        |    WHERE rk = 1)
+        |  GROUP BY 1, 2)
+        |SELECT tot.source, tot.split, n_docs, tok_total, n_pass,
+        |  CAST(n_docs - coalesce(w.n_first, 0) AS BIGINT) AS n_dup
+        |FROM tot LEFT JOIN w ON w.source = tot.source AND w.split = tot.split
+        |ORDER BY tot.source, tot.split
         |""".stripMargin))
   )
 }

@@ -110,6 +110,29 @@ class NewPipelineOpsSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0.05 && r < 5.0), s"extreme ratio in ${ratios.toSeq}")
   }
 
+  test("q98 dataset card is internally consistent and covers the corpus") {
+    val rows = run("q98_dataset_card", sf0001).collect()
+    assert(rows.nonEmpty)
+    var nDocs = 0L
+    for (r <- rows) {
+      val (docs, pass, dup) = (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(pass <= docs && dup >= 0 && dup <= docs, s"inconsistent row $r")
+      assert(Set("train", "valid", "test")(r.getString(1)))
+      nDocs += docs
+    }
+    assert(nDocs == graft.Tables.documents(spark, sf0001).count())
+  }
+
+  test("q99 recall is bounded and ground-truth-joined per query") {
+    val rows = run("q99_jl_ann_recall", sf0001).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val (nHit, recall) = (r.getLong(1), r.getDouble(2))
+      assert(nHit >= 0 && nHit <= 5)
+      assert(recall == nHit / 5.0)
+    }
+  }
+
   test("q94 shards are contiguous, exhaustive, and key-colocated") {
     val rows = run("q94_range_shard_plan", sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
