@@ -239,6 +239,55 @@ object ConnectorQueries {
         |SELECT count(*) AS n, min(c_nationkey) AS min_nat,
         |  max(c_nationkey) AS max_nat, max(c_acctbal) AS max_bal
         |FROM customer
+        |""".stripMargin)),
+
+    // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
+    // rules) + exact-dedup keep-first (q96's winner convention), then
+    // MATERIALIZE the surviving corpus into a 4-shard collection through
+    // the distributed write path (per-shard apply tasks, two-phase
+    // commit) and report per-source kept counts READ BACK THROUGH THE
+    // STORE — so the oracle (which never sees the collection) pins that
+    // the full clean→dedup→shard-write→scan cycle loses and invents
+    // nothing. Shape: one row-local scoring pass; the dedup winner
+    // aggregate is the only content-keyed exchange (Catalyst prunes
+    // tokenization out of that branch); the write applies one task per
+    // shard; the read-back aggregate pushes its scan through the DSv2
+    // source.
+    CatalogQuery(
+      "q100_clean_corpus_build",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"source", $"text",
+            TextQueries.qualityPass(
+              graft.functions.Portable.spaceSplit($"text"),
+              length($"text").cast("long")).as("pass"),
+            graft.functions.Portable.hash60($"text").as("h"))
+        val winners = base.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+        val kept = base
+          .join(winners, Seq("h", "doc_id"))
+          .filter($"pass")
+          .select($"doc_id", $"source", $"text")
+        kept.write.format("graftbson")
+          .option("id_column", "doc_id").option("shards", "4")
+          .mode("append").save(dir)
+        s.read.format("graftbson").load(dir)
+          .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH b AS (
+        |  SELECT doc_id, source,
+        |    ${TextQueries.qualityPassSql("string_split(text, ' ')",
+               "CAST(length(text) AS BIGINT)")} AS pass,
+        |    ${graft.functions.Portable.hash60Sql("text")} AS h
+        |  FROM documents),
+        |w AS (SELECT h, min(doc_id) AS doc_id FROM b GROUP BY h)
+        |SELECT source, count(*) AS n_kept
+        |FROM b JOIN w USING (h, doc_id)
+        |WHERE pass
+        |GROUP BY source ORDER BY source
         |""".stripMargin))
   )
 }

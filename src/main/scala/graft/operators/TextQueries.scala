@@ -21,6 +21,30 @@ object TextQueries {
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in")
   private def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** q81's four-rule quality gate as ONE row-local conjunction over the
+    * token array + char count — the single source q98/q100 score with
+    * (q81 itself keeps the rules separate for its per-rule failure
+    * histogram; these expressions must stay in sync with its flags).
+    */
+  private[operators] def qualityPass(t: Column, nc: Column): Column = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nTok = size(t).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val nStop = size(filter(t, x => array_contains(stopArr, x))).cast("long")
+    nTok.between(25L, 90L) &&
+      ((nc - (nTok - 1)).cast("double") / nTok).between(4.0, 5.0) &&
+      nStop >= 2 &&
+      nUniq.cast("double") / nTok >= 0.5
+  }
+
+  /** DuckDB mirror of [[qualityPass]]; `t` is a list expression, `nc` a
+    * BIGINT char count. */
+  private[operators] def qualityPassSql(t: String, nc: String): String =
+    s"""((len($t) BETWEEN 25 AND 90)
+       |      AND (CAST($nc - (len($t) - 1) AS DOUBLE) / len($t) BETWEEN 4.0 AND 5.0)
+       |      AND len(list_filter($t, x -> x IN $stopSqlList)) >= 2
+       |      AND CAST(len(list_distinct($t)) AS DOUBLE) / len($t) >= 0.5)""".stripMargin
+
   /** Rolling-hash constants: positional multipliers 13^(i mod 8) mod FpMod. */
   private val FpBase = 13L
   private val FpCycle = 8
@@ -833,7 +857,6 @@ object TextQueries {
       "q98_dataset_card",
       (s, d) => {
         import s.implicits._
-        val stopArr = array(Stopwords.map(lit): _*)
         val base = Tables.documents(s, d)
           .select($"doc_id", $"source",
             Portable.splitAssign($"doc_id").as("split"),
@@ -842,14 +865,7 @@ object TextQueries {
             Portable.hash60($"text").as("h"))
           .select($"doc_id", $"source", $"split", $"h",
             size($"t").cast("long").as("n_tok"),
-            size(array_distinct($"t")).cast("long").as("n_uniq"),
-            size(filter($"t", x => array_contains(stopArr, x))).cast("long").as("n_stop"),
-            $"nc")
-          .withColumn("pass",
-            $"n_tok".between(25L, 90L) &&
-              (($"nc" - ($"n_tok" - 1)).cast("double") / $"n_tok").between(4.0, 5.0) &&
-              $"n_stop" >= 2 &&
-              $"n_uniq".cast("double") / $"n_tok" >= 0.5)
+            qualityPass($"t", $"nc").as("pass"))
         val totals = base.groupBy($"source", $"split")
           .agg(count(lit(1)).as("n_docs"),
             sum($"n_tok").cast("long").as("tok_total"),
@@ -872,17 +888,10 @@ object TextQueries {
         |    ${hash60Sql("text")} AS h
         |  FROM documents),
         |f AS (
-        |  SELECT doc_id, source, split, h, n_tok,
-        |    ((n_tok BETWEEN 25 AND 90)
-        |      AND (CAST(nc - (n_tok - 1) AS DOUBLE) / n_tok BETWEEN 4.0 AND 5.0)
-        |      AND n_stop >= 2
-        |      AND CAST(n_uniq AS DOUBLE) / n_tok >= 0.5) AS pass
-        |  FROM (
-        |    SELECT doc_id, source, split, h, nc,
-        |      CAST(len(t) AS BIGINT) AS n_tok,
-        |      CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
-        |      CAST(len(list_filter(t, x -> x IN $stopSqlList)) AS BIGINT) AS n_stop
-        |    FROM b)),
+        |  SELECT doc_id, source, split, h,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    ${qualityPassSql("t", "nc")} AS pass
+        |  FROM b),
         |tot AS (
         |  SELECT source, split, count(*) AS n_docs,
         |    CAST(sum(n_tok) AS BIGINT) AS tok_total,
