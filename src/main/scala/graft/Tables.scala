@@ -64,13 +64,22 @@ object Tables {
       // flag is needed it must STAY set for the frame's lifetime (the
       // scan re-reads it at execution), which is then a genuine session
       // requirement, not a silent side effect.
+      def mentionsNanos(t: Throwable): Boolean = {
+        var c = t
+        while (c != null) {
+          val m = c.getMessage
+          if (m != null && (m.contains("TIMESTAMP(NANOS") || m.contains("nanosAsLong")))
+            return true
+          c = if (c.getCause eq c) null else c.getCause
+        }
+        false
+      }
       val df =
         try load(s, d, "events")
         catch {
-          case e: Exception
-              if e.getMessage != null &&
-                (e.getMessage.contains("TIMESTAMP(NANOS") ||
-                  e.getMessage.contains("nanosAsLong")) =>
+          // walk the cause chain — Spark wraps inference errors, and the
+          // top-level message alone may not carry the NANOS marker
+          case e: Exception if mentionsNanos(e) =>
             s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             load(s, d, "events")
         }
@@ -78,6 +87,11 @@ object Tables {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       df.schema("ts").dataType match {
         case LongType => // legacy nanos-as-long file
+          // re-assert the flag: a LATER session in the same JVM can reach
+          // here via the static schemaCache without ever hitting the
+          // inference exception above, and the scan re-reads the flag
+          // from ITS session conf at execution
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType => // micros file, tz-less: same wall == same instant under UTC
           // The cast below reads the NTZ wall time in the SESSION zone;

@@ -23,6 +23,8 @@ object SimilarityQueries {
   private val NProbe = 2
   private val PqM = 4  // PQ subspaces (q77)
   private val PqK = 16 // PQ codewords per subspace (q77)
+  private val JlNumPairs = 20 // q97 distortion-audit pair sample
+  private val JlCandC = 50    // q99 coarse-filter candidates per query
 
   /** (vec_id, q, nrm): the quantized corpus every ANN query starts from. */
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -588,7 +590,7 @@ object SimilarityQueries {
       "q97_jl_distortion",
       (s, d) => {
         import s.implicits._
-        val NumPairs = 20
+        val NumPairs = JlNumPairs
         val proj = array((0 until Embeddings.JlDims)
           .map(k => Embeddings.jlDot("q", k)): _*)
         val v = quantized(s, d)
@@ -615,7 +617,7 @@ object SimilarityQueries {
         val k = Embeddings.JlDims
         s"""
           |WITH v AS (
-          |  SELECT vec_id, $q AS q FROM embeddings WHERE vec_id <= 20),
+          |  SELECT vec_id, $q AS q FROM embeddings WHERE vec_id <= $JlNumPairs),
           |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm,
           |    $projCols AS p
           |  FROM v),
@@ -625,7 +627,7 @@ object SimilarityQueries {
           |    CAST(list_sum(list_transform(range(1, ${k + 1}),
           |      i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))) AS BIGINT) AS d2_proj
           |  FROM vn a JOIN vn b ON b.vec_id = a.vec_id + 1
-          |  WHERE a.vec_id < 20)
+          |  WHERE a.vec_id < $JlNumPairs)
           |SELECT pair_id, CAST(d2_orig AS BIGINT) AS d2_orig, d2_proj,
           |  CASE WHEN d2_orig > 0
           |    THEN CAST(d2_proj AS DOUBLE) / CAST(d2_orig * $k AS DOUBLE) END AS ratio
@@ -649,7 +651,7 @@ object SimilarityQueries {
       "q99_jl_ann_recall",
       (s, d) => {
         import s.implicits._
-        val C = 50
+        val C = JlCandC
         val proj = array((0 until Embeddings.JlDims)
           .map(kk => Embeddings.jlDot("q", kk)): _*)
         val v = quantized(s, d).withColumn("p", proj)
@@ -705,7 +707,7 @@ object SimilarityQueries {
           |          i -> (vn.p[i] - qs.pq[i]) * (vn.p[i] - qs.pq[i]))) AS BIGINT),
           |        vn.vec_id) AS crk
           |    FROM vn CROSS JOIN qs WHERE vn.vec_id <> qs.qid)
-          |  WHERE crk <= 50),
+          |  WHERE crk <= $JlCandC),
           |ap AS (
           |  SELECT qid, vec_id FROM (
           |    SELECT cand.qid, cand.vec_id,

@@ -45,6 +45,28 @@ object TextQueries {
        |      AND len(list_filter($t, x -> x IN $stopSqlList)) >= 2
        |      AND CAST(len(list_distinct($t)) AS DOUBLE) / len($t) >= 0.5)""".stripMargin
 
+  /** Fixed-window chunk frame — THE chunk identity (window `w`, stride
+    * `st`, hash60 of the space-joined slice), single source for q88, q96
+    * and the streaming chunk dedup (whose Scala mirror
+    * [[graft.streaming.GraftStreaming.chunkHashes]] is pinned equal by
+    * `StreamingChunkDedupSpec`). Returns (doc_id, source, chunk_idx,
+    * n_tok_chunk, chunk_hash); row-local fan-out, no joins.
+    */
+  private[graft] def chunkFrame(docs: org.apache.spark.sql.DataFrame,
+      w: Int, st: Int): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", $"source", Portable.spaceSplit($"text").as("t"))
+      .filter(size($"t") > 0)
+      .select($"doc_id", $"source", $"t",
+        posexplode(sequence(lit(0), size($"t") - 1, lit(st)))
+          .as(Seq("chunk_idx", "off")))
+      .select($"doc_id", $"source", $"chunk_idx".cast("long").as("chunk_idx"),
+        least(size($"t") - $"off", lit(w)).cast("long").as("n_tok_chunk"),
+        Portable.hash60(concat_ws(" ", slice($"t", $"off" + 1, lit(w))))
+          .as("chunk_hash"))
+  }
+
   /** Rolling-hash constants: positional multipliers 13^(i mod 8) mod FpMod. */
   private val FpBase = 13L
   private val FpCycle = 8
@@ -522,18 +544,8 @@ object TextQueries {
       "q88_chunk_docs",
       (s, d) => {
         import s.implicits._
-        val W = 32
-        val S = 24
-        Tables.documents(s, d)
-          .select($"doc_id", Portable.spaceSplit($"text").as("t"))
-          .filter(size($"t") > 0)
-          .select($"doc_id", $"t",
-            posexplode(sequence(lit(0), size($"t") - 1, lit(S)))
-              .as(Seq("chunk_idx", "off")))
-          .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
-            least(size($"t") - $"off", lit(W)).cast("long").as("n_tok_chunk"),
-            Portable.hash60(concat_ws(" ", slice($"t", $"off" + 1, lit(W))))
-              .as("chunk_hash"))
+        chunkFrame(Tables.documents(s, d), 32, 24)
+          .select($"doc_id", $"chunk_idx", $"n_tok_chunk", $"chunk_hash")
           .orderBy($"doc_id", $"chunk_idx")
       },
       Some(s"""
@@ -589,7 +601,7 @@ object TextQueries {
           .select($"doc_id", $"text").orderBy($"doc_id").limit(NumQ.toInt)
           .collect().sortBy(_.getLong(0))
           .map(r => (r.getLong(0),
-            r.getString(1).split(' ').filter(_.nonEmpty)
+            Option(r.getString(1)).getOrElse("").split(' ').filter(_.nonEmpty)
               .distinct.sorted.take(TermsPerQ).toSeq)).toSeq
         val qtNE = qterms.filter(_._2.nonEmpty)
         val allTerms = qtNE.flatMap(_._2).distinct.sorted
@@ -606,8 +618,11 @@ object TextQueries {
         // tokenization), so no real token can merge with it. Folding the
         // old separate stats pass in here removes an entire corpus scan —
         // at 100 TB that is a whole extra read of the corpus.
+        // coalesce: a NULL text must still emit its sentinel (N counts
+        // every doc, like the oracle's count(*) FROM documents) — a null
+        // tc would null the concat and explode would drop the row
         val statRows = docs
-          .select(tokenCounts($"text").as("tc"))
+          .select(tokenCounts(coalesce($"text", lit(""))).as("tc"))
           .withColumn("dl", aggregate($"tc", lit(0L), cnt))
           .select($"dl",
             explode(concat(array(lit("")),
@@ -782,18 +797,8 @@ object TextQueries {
       "q96_chunk_dedup_apply",
       (s, d) => {
         import s.implicits._
-        val W = 32
-        val S = 24
-        val chunks = Tables.documents(s, d)
-          .select($"doc_id", $"source", Portable.spaceSplit($"text").as("t"))
-          .filter(size($"t") > 0)
-          .select($"doc_id", $"source", $"t",
-            posexplode(sequence(lit(0), size($"t") - 1, lit(S)))
-              .as(Seq("chunk_idx", "off")))
-          .select($"doc_id", $"source", $"chunk_idx",
-            least(size($"t") - $"off", lit(W)).cast("long").as("n_tok"),
-            Portable.hash60(concat_ws(" ", slice($"t", $"off" + 1, lit(W))))
-              .as("chunk_hash"))
+        val chunks = chunkFrame(Tables.documents(s, d), 32, 24)
+          .withColumnRenamed("n_tok_chunk", "n_tok")
         val totals = chunks.groupBy($"source")
           .agg(count(lit(1)).as("n_chunks"),
             sum($"n_tok").cast("long").as("tok_total"))

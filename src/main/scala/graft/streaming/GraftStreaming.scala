@@ -283,7 +283,10 @@ object GraftStreaming {
     * the streaming state agree on what a chunk IS.
     */
   private[streaming] def chunkHashes(text: String, window: Int, stride: Int): Seq[Long] = {
-    val t = text.split(' ') // empties kept — CharSplit/string_split parity
+    // limit -1 keeps trailing empty tokens — Scala's split(char) drops
+    // them, which would silently diverge from CharSplit/string_split on
+    // any text ending in a separator (parity pinned by spec)
+    val t = text.split(" ", -1)
     (0 until t.length by stride).map { off =>
       graft.functions.Md5Util.prefix60(
         org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -65,17 +65,17 @@ class StreamingChunkDedupSpec extends SparkSpec {
   test("streaming chunk identity equals the batch q88 chunk hash") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val text = tokens(40, "w") // 2 chunks at q88's window 32 / stride 24
+    // trailing space: the batch tokenizer keeps the empty token, so the
+    // streaming side must too (a trailing separator once silently
+    // diverged the two — Scala's split(char) drops trailing empties)
+    val text = tokens(40, "w") + " " // 2 chunks at q88's window 32 / stride 24
     val streamingHashes =
       GraftStreaming.chunkHashes(text, window = 32, stride = 24)
-    // q88's column spelling over the same doc
-    val batchHashes = Seq(text).toDF("text")
-      .select(graft.functions.Portable.spaceSplit($"text").as("t"))
-      .select(posexplode(sequence(lit(0), size($"t") - 1, lit(24))).as(Seq("i", "off")),
-        $"t")
-      .select(graft.functions.Portable.hash60(
-        concat_ws(" ", slice($"t", $"off" + 1, lit(32)))).as("h"))
-      .as[Long].collect().toSeq
+    // THE batch chunk frame (q88/q96's single source) over the same doc
+    val batchHashes = graft.operators.TextQueries
+      .chunkFrame(Seq((1L, "s", text)).toDF("doc_id", "source", "text"), 32, 24)
+      .orderBy($"chunk_idx")
+      .select($"chunk_hash").as[Long].collect().toSeq
     assert(streamingHashes == batchHashes,
       s"stream $streamingHashes != batch $batchHashes")
   }
