@@ -817,14 +817,26 @@ object DedupQueries {
         val assigned = v
           .withColumn("best", array_min(distStructs))
           .select($"vec_id", $"q", $"nrm", $"best.cid".as("cid"))
-        // per-cluster member count + canon prefix off ONE tiny exchange
+        // bounded collect #2: per-cluster member count + the canon prefix
+        // WITH its vectors, off one tiny exchange — the topk struct
+        // carries (vec_id, q, nrm) so the prefix vectors ride the same
+        // aggregate (≤ NumCentroids × CanonCap structs total) instead of
+        // joining back into the corpus. Collecting here cuts the main
+        // action from three assignment passes (byCluster + prefix join
+        // probe + final members re-aggregate) to ONE: the driver holds
+        // 16 member counts and ≤320 prefix vectors, both re-entering the
+        // plan as local relations.
         val byCluster = assigned.groupBy($"cid").agg(
           count(lit(1)).as("n_members"),
-          graft.functions.TopK.topkMin($"vec_id", CanonCap).as("pfx"))
-        val pfx = byCluster.select($"cid", explode($"pfx").as("pvec"))
-        val pfxV = pfx.join(
-          assigned.select($"vec_id".as("pvec"), $"q".as("pq"), $"nrm".as("pn")),
-          "pvec")
+          graft.functions.TopK.topkMin(
+            struct($"vec_id", $"q", $"nrm"), CanonCap).as("pfx"))
+          .collect()
+        val members = byCluster
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("cid", "n_members")
+        val pfxV = byCluster.flatMap { r =>
+          r.getSeq[org.apache.spark.sql.Row](2).map(p =>
+            (r.getLong(0), p.getLong(0), p.getSeq[Long](1), p.getLong(2)))
+        }.toSeq.toDF("cid", "pvec", "pq", "pn")
         val dropped = assigned.join(broadcast(pfxV), "cid")
           .filter($"pvec" < $"vec_id")
           .withColumn("cos",
@@ -832,7 +844,7 @@ object DedupQueries {
           .filter($"cos" >= 0.4)
           .select($"cid", $"vec_id").distinct()
           .groupBy($"cid").agg(count(lit(1)).as("n_dup"))
-        byCluster.select($"cid", $"n_members")
+        members
           .join(dropped, Seq("cid"), "left")
           .select($"cid", $"n_members",
             coalesce($"n_dup", lit(0L)).as("n_dup"))
