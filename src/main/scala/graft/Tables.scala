@@ -65,12 +65,16 @@ object Tables {
       // scan re-reads it at execution), which is then a genuine session
       // requirement, not a silent side effect.
       def mentionsNanos(t: Throwable): Boolean = {
+        // visited-set guard: cause chains can cycle (not just self-refer),
+        // and a cyclic chain must not hang the guard
+        val seen = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
         var c = t
-        while (c != null) {
+        while (c != null && seen.add(c)) {
           val m = c.getMessage
           if (m != null && (m.contains("TIMESTAMP(NANOS") || m.contains("nanosAsLong")))
             return true
-          c = if (c.getCause eq c) null else c.getCause
+          c = c.getCause
         }
         false
       }

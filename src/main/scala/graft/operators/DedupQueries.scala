@@ -791,12 +791,13 @@ object DedupQueries {
     // cap is the same bounded-candidate discipline as BucketCap:
     // candidate pairs are <= CanonCap x cluster size, never
     // cluster-quadratic, and the prefix itself comes from a bounded
-    // topk_min aggregate (map-side partials keep <= CanonCap ids per
+    // topk_min aggregate (map-side partials keep <= CanonCap entries per
     // cluster per partition) — NOT a NumCentroids-partition window sort
-    // of the corpus. Three corpus map passes (prefix build +
-    // prefix-vector attach + member scoring), two broadcast joins of a
-    // <= NumCentroids x CanonCap frame, per-cluster aggregates; nothing
-    // data-scale crosses an exchange.
+    // of the corpus. TWO corpus map passes (the bounded byCluster
+    // collect, whose topk structs carry the prefix VECTORS, + member
+    // scoring), ONE broadcast join of the <= NumCentroids x CanonCap
+    // local prefix frame, per-cluster aggregates; nothing data-scale
+    // crosses an exchange.
     CatalogQuery(
       "q90_semdedup",
       (s, d) => {
