@@ -610,24 +610,35 @@ object TextQueries {
           // join form yields zero rows too
           Seq.empty[(Long, Long, Long, Long)].toDF("qid", "rk", "doc_id", "score")
         else {
+        // The corpus is tokenized ONCE: `base` reduces each doc to
+        // (doc_id, dl, tfm) — total token count plus the <= NumQ x
+        // TermsPerQ term->tf map — and is cached so the stats action
+        // below and the scoring pass that follows both read the reduced
+        // frame instead of re-running TokenCounts over the text (the
+        // r8-judged 3.4x-at-100x gap was exactly this second
+        // tokenization). The cached projection is per-doc METADATA
+        // (a long + a <= 40-entry map), not the text — at 100 TB it is a
+        // sliver of the corpus, and the corpus itself is read once.
+        // Lifetime: per the q36 convention — both harnesses clearCache()
+        // per query; a long-lived session evicts under pressure.
+        // coalesce: a NULL text must still reach the stats pass (N
+        // counts every doc, like the oracle's count(*) FROM documents)
+        val base = docs
+          .select($"doc_id", tokenCounts(coalesce($"text", lit(""))).as("tc"))
+          .select($"doc_id",
+            aggregate($"tc", lit(0L), cnt).as("dl"),
+            map_from_entries(
+              filter($"tc", x => x.getField("tok").isin(allTerms: _*))).as("tfm"))
+          .cache()
         // bounded collect #2: corpus stats (N docs, T total tokens) AND
-        // per-term df in ONE corpus pass — each doc emits a sentinel
-        // token plus its distinct matched query terms, so one ~40-key
-        // aggregate carries everything. The sentinel is the empty string,
-        // which TokenCounts can never emit (empties are dropped at
-        // tokenization), so no real token can merge with it. Folding the
-        // old separate stats pass in here removes an entire corpus scan —
-        // at 100 TB that is a whole extra read of the corpus.
-        // coalesce: a NULL text must still emit its sentinel (N counts
-        // every doc, like the oracle's count(*) FROM documents) — a null
-        // tc would null the concat and explode would drop the row
-        val statRows = docs
-          .select(tokenCounts(coalesce($"text", lit(""))).as("tc"))
-          .withColumn("dl", aggregate($"tc", lit(0L), cnt))
+        // per-term df in ONE aggregate — each doc emits a sentinel token
+        // plus its distinct matched query terms (tfm's keys: TokenCounts
+        // emits each token once). The sentinel is the empty string, which
+        // TokenCounts can never emit (empties are dropped at
+        // tokenization), so no real token can merge with it.
+        val statRows = base
           .select($"dl",
-            explode(concat(array(lit("")),
-              transform(filter($"tc", x => x.getField("tok").isin(allTerms: _*)),
-                x => x.getField("tok")))).as("tok"))
+            explode(concat(array(lit("")), map_keys($"tfm"))).as("tok"))
           .groupBy($"tok")
           .agg(count(lit(1)).cast("long").as("c"),
             coalesce(sum($"dl"), lit(0L)).cast("long").as("sdl"))
@@ -663,11 +674,11 @@ object TextQueries {
           struct(lit(qid).as("qid"),
             struct((-score(terms)).as("neg_score"), $"doc_id").as("item"))
         }
-        docs
-          .select($"doc_id", tokenCounts($"text").as("tc"))
-          .withColumn("dl", aggregate($"tc", lit(0L), cnt))
-          .withColumn("tfm", map_from_entries(
-            filter($"tc", x => x.getField("tok").isin(allTerms: _*))))
+        // scoring reads the SAME cached reduced frame — no second
+        // tokenization. (A null-text doc scores 0 via its empty tfm and
+        // is dropped by the score >= 1 filter, exactly like the old
+        // null-propagation path and the oracle's join form.)
+        base
           .select(explode(array(cands: _*)).as("c"))
           // score >= 1 keeps the candidate sets identical to the oracle's
           // (its join form never sees docs with no query term)

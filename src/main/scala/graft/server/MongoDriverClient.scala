@@ -1,0 +1,396 @@
+package graft.server
+
+import graft.bson._
+import graft.query.BQuery
+import graft.store.{BulkResult, InsertOne, UpdateOp, WriteModel}
+
+import java.lang.reflect.{InvocationTargetException, Method}
+
+/** [[ServerClient]] over the official `mongodb-driver-sync`, bound by
+  * REFLECTION: this sandbox cannot add the driver artifact (offline
+  * resolver, fixed dependency set), so the binding resolves
+  * `com.mongodb.client.*` / `org.bson.*` by name on first use and fails
+  * with a clear message when the driver is absent. The file compiles and
+  * is unit-covered without the driver; at runtime it works iff
+  * `org.mongodb:mongodb-driver-sync` (4.x+) is on the classpath — drop
+  * the jar in, point `client_factory` at [[MongoDriverFactory]] with a
+  * `uri` option, and every engine path (split planning, per-split
+  * cursors, pushdown, two-phase bulk write) runs against the live
+  * server.
+  *
+  * Document traffic never touches driver codecs: every doc crossing the
+  * boundary rides the engine's own [[BsonCodec]] as `org.bson.RawBsonDocument`
+  * bytes (the driver treats raw documents as opaque), so read/write
+  * semantics are byte-identical to the file-backed engine and the
+  * reflection surface stays a dozen methods.
+  *
+  * Operation mapping (reference semantics cited per method):
+  *  - collStats      → `db.runCommand({collStats: coll})`
+  *                     (core/.../splitter/MongoSplitterFactory.java:66-83)
+  *  - find           → `coll.find(query).projection(p).sort(s).skip(n).limit(n)`
+  *                     with KeyRange conjuncts as `min`/`max` cursor
+  *                     bounds + index hint, never `$gte`/`$lt`
+  *                     (core/.../input/MongoInputSplit.java:272-299)
+  *  - sampleKeys     → `coll.aggregate([{$sample},{$project}])`
+  *                     (core/.../splitter/SampleSplitter.java:79-88)
+  *  - splitVector    → `admin.runCommand({splitVector: ns, ...})`, None on
+  *                     refusal (core/.../splitter/StandaloneMongoSplitter.java:94-101)
+  *  - chunkRanges    → `config.chunks` + `config.shards` host lookup
+  *                     (core/.../splitter/ShardChunkMongoSplitter.java)
+  *  - bulkWrite      → `coll.bulkWrite(models, ordered)`
+  *                     (core/.../output/MongoOutputCommitter.java:127-183)
+  *
+  * Queries the server cannot evaluate with the engine's exact semantics
+  * (see [[QueryDocs.plan]]) are re-checked client-side on the cursor —
+  * the server then also keeps skip/limit/projection duties client-side
+  * so residual filtering composes in the same order as the engine's own
+  * [[Find]] evaluation.
+  */
+final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseable {
+  import MongoDriverClient.Rf
+
+  private val client = Rf.createClient(uri)
+
+  override def close(): Unit = Rf.close(client)
+
+  private def collection(ns: String): Object = {
+    val (db, coll) = QueryDocs.nsParts(ns)
+    Rf.getCollection(Rf.getDatabase(client, db), coll)
+  }
+
+  override def collStats(ns: String): ServerClient.CollStats = {
+    val (db, coll) = QueryDocs.nsParts(ns)
+    val res = Rf.runCommand(Rf.getDatabase(client, db), QueryDocs.collStatsCmd(coll))
+    ServerClient.CollStats(
+      res.get("count").flatMap(QueryDocs.asLong).getOrElse(0L),
+      res.get("avgObjSize").flatMap(QueryDocs.asLong).getOrElse(0L))
+  }
+
+  override def find(ns: String, q: Find): Iterator[BDoc] = {
+    val coll = collection(ns)
+    val p = QueryDocs.plan(q.query)
+    val it = Rf.find(coll, p.serverQuery)
+    p.keyBounds.foreach { case (key, lo, hi) =>
+      // min/max walk the index's cross-type order — the KeyRange
+      // semantics; modern servers require the hint alongside them
+      lo.foreach(v => Rf.fluent(it, "min", BDoc(key -> v)))
+      hi.foreach(v => Rf.fluent(it, "max", BDoc(key -> v)))
+      Rf.fluent(it, "hint", BDoc(key -> BInt32(1)))
+    }
+    q.sortAscBy.foreach(k =>
+      Rf.fluent(it, "sort", QueryDocs.sortDoc(k, q.sortDescending)))
+    if (p.isExact) {
+      // exact server evaluation: push projection/skip/limit too
+      q.projection.foreach(f => Rf.fluent(it, "projection", QueryDocs.projectionDoc(f)))
+      if (q.skip > 0) Rf.fluentInt(it, "skip", clampInt(q.skip))
+      if (q.limit >= 0) Rf.fluentInt(it, "limit", clampInt(q.limit))
+      Rf.cursor(it)
+    } else {
+      // residual re-check client-side; skip/limit/projection must apply
+      // AFTER the residual filter, so they stay client-side as well
+      val residual = p.residual.get
+      var out = Rf.cursor(it).filter(residual.matches)
+      out = out.drop(clampInt(q.skip))
+      if (q.limit >= 0) out = out.take(clampInt(q.limit))
+      q.projection match {
+        case Some(fields) => out.map(QueryDocs.projectClient(_, fields))
+        case None => out
+      }
+    }
+  }
+
+  private def clampInt(x: Long): Int = math.min(x, Int.MaxValue.toLong).toInt
+
+  override def sampleKeys(ns: String, key: String, n: Int): Seq[BsonValue] = {
+    if (n <= 0) return Seq.empty
+    val coll = collection(ns)
+    Rf.cursor(Rf.aggregate(coll, QueryDocs.sampleStages(key, n)))
+      .flatMap(_.getPath(key)).toVector
+  }
+
+  override def splitVector(ns: String, key: String, maxChunkBytes: Long): Option[Seq[BsonValue]] =
+    try {
+      val admin = Rf.getDatabase(client, "admin")
+      val res = Rf.runCommand(admin, QueryDocs.splitVectorCmd(ns, key, maxChunkBytes))
+      res.get("splitKeys") match {
+        case Some(BArray(keys)) =>
+          Some(keys.flatMap { case d: BDoc => d.getPath(key); case v => Some(v) })
+        case _ => Some(Seq.empty)
+      }
+    } catch {
+      // mongos / unprivileged deployments refuse the command — the caller
+      // falls back to sampling, the reference's own fallback chain
+      case e: RuntimeException if Rf.isCommandFailure(e) => None
+    }
+
+  override def chunkRanges(ns: String, key: String): Seq[(Option[BsonValue], Option[BsonValue], Seq[String])] = {
+    val config = Rf.getDatabase(client, "config")
+    val chunksColl = Rf.getCollection(config, "chunks")
+    // pre-5.0 servers key config.chunks by ns string; 5.0+ by collection
+    // uuid. The uuid is subtype-4 binary and the engine's BBinary is
+    // subtype-blind (re-encoding would write subtype 0 and miss), so the
+    // uuid arm filters CLIENT-side on byte equality — config.chunks is
+    // cluster metadata, bounded by chunk count, not data size.
+    val byNs = Rf.cursor(Rf.find(chunksColl, BDoc("ns" -> BString(ns)))).toVector
+    val chunks =
+      if (byNs.nonEmpty) byNs
+      else {
+        val collMeta = Rf.cursor(Rf.find(
+          Rf.getCollection(config, "collections"),
+          BDoc("_id" -> BString(ns)))).toVector.headOption
+        collMeta.flatMap(_.get("uuid")) match {
+          case Some(uuid) =>
+            Rf.cursor(Rf.find(chunksColl, BDoc.empty))
+              .filter(_.get("uuid").contains(uuid)).toVector
+          case None => Vector.empty
+        }
+      }
+    if (chunks.isEmpty) return Seq.empty
+    val shardHosts: Map[String, Seq[String]] =
+      Rf.cursor(Rf.find(Rf.getCollection(config, "shards"), BDoc.empty))
+        .flatMap { d =>
+          (d.get("_id"), d.get("host")) match {
+            case (Some(BString(id)), Some(BString(host))) =>
+              Some(id -> QueryDocs.hostList(host))
+            case _ => None
+          }
+        }.toMap
+    chunks.map { c =>
+      val lo = c.getPath(s"min.$key").filter(_ != BMinKey)
+      val hi = c.getPath(s"max.$key").filter(_ != BMaxKey)
+      val hosts = c.get("shard") match {
+        case Some(BString(sid)) => shardHosts.getOrElse(sid, Seq.empty)
+        case _ => Seq.empty
+      }
+      (lo, hi, hosts)
+    }
+  }
+
+  override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {
+    val coll = collection(ns)
+    val jmodels = new java.util.ArrayList[Object]()
+    models.foreach {
+      case InsertOne(doc) => jmodels.add(Rf.insertOneModel(doc))
+      case UpdateOp(m) =>
+        val filter = QueryDocs.render(m.query).getOrElse(throw new IllegalArgumentException(
+          s"bulkWrite filter not expressible as a server query: ${m.query}"))
+        if (m.replace) jmodels.add(Rf.replaceOneModel(filter, m.update, m.upsert))
+        else jmodels.add(Rf.updateModel(filter, QueryDocs.updateDoc(m.update), m.upsert, m.multi))
+    }
+    if (jmodels.isEmpty) return BulkResult(0, 0, 0, 0)
+    Rf.bulkWrite(coll, jmodels, ordered)
+  }
+}
+
+/** Factory binding for connector options:
+  * `client_factory=graft.server.MongoDriverFactory`, `uri=mongodb://...`.
+  * One client per task, like the reference rebuilding its `MongoClient`
+  * from the input URI inside each split (MongoInputSplit.java:243-276).
+  */
+final class MongoDriverFactory extends ServerClientFactory {
+  override def create(options: Map[String, String]): ServerClient =
+    new MongoDriverClient(options.getOrElse("uri",
+      throw new IllegalArgumentException("graftserver: MongoDriverFactory requires a 'uri' option")))
+}
+
+object MongoDriverClient {
+
+  /** The whole reflection surface, resolved lazily per-JVM. Every driver
+    * object stays `Object`-typed here; documents cross as raw BSON bytes
+    * through [[BsonCodec]].
+    */
+  private[server] object Rf {
+    private def cls(name: String): Class[_] =
+      try Class.forName(name)
+      catch {
+        case e: ClassNotFoundException => throw new IllegalStateException(
+          "graftserver: MongoDriverFactory requires org.mongodb:mongodb-driver-sync " +
+            s"(4.x+) on the classpath — class ${e.getMessage} not found. In this " +
+            "sandbox use client_factory=graft.server.DirServerFactory instead.", e)
+      }
+
+    private lazy val bsonIface = cls("org.bson.conversions.Bson")
+    private lazy val rawDocCls = cls("org.bson.RawBsonDocument")
+    private lazy val rawCtor = rawDocCls.getConstructor(classOf[Array[Byte]])
+    private lazy val getByteBuffer = rawDocCls.getMethod("getByteBuffer")
+    private lazy val clientsCls = cls("com.mongodb.client.MongoClients")
+    private lazy val clientIface = cls("com.mongodb.client.MongoClient")
+    private lazy val dbIface = cls("com.mongodb.client.MongoDatabase")
+    private lazy val collIface = cls("com.mongodb.client.MongoCollection")
+    private lazy val iterableIface = cls("com.mongodb.client.MongoIterable")
+    private lazy val findIterIface = cls("com.mongodb.client.FindIterable")
+    private lazy val insertOneCls = cls("com.mongodb.client.model.InsertOneModel")
+    private lazy val replaceOneCls = cls("com.mongodb.client.model.ReplaceOneModel")
+    private lazy val updateOneCls = cls("com.mongodb.client.model.UpdateOneModel")
+    private lazy val updateManyCls = cls("com.mongodb.client.model.UpdateManyModel")
+    private lazy val replaceOptsCls = cls("com.mongodb.client.model.ReplaceOptions")
+    private lazy val updateOptsCls = cls("com.mongodb.client.model.UpdateOptions")
+    private lazy val bulkOptsCls = cls("com.mongodb.client.model.BulkWriteOptions")
+
+    private def toRaw(d: BDoc): Object =
+      rawCtor.newInstance(BsonCodec.encode(d)).asInstanceOf[Object]
+
+    private def fromRaw(o: Object): BDoc = {
+      val buf = getByteBuffer.invoke(o) // org.bson.ByteBuf
+      val nio = buf.getClass.getMethod("asNIO").invoke(buf)
+        .asInstanceOf[java.nio.ByteBuffer]
+      val bytes = new Array[Byte](nio.remaining())
+      nio.get(bytes)
+      BsonCodec.decode(bytes)
+    }
+
+    private def unwrap[T](body: => T): T =
+      try body
+      catch { case e: InvocationTargetException =>
+        e.getCause match {
+          case re: RuntimeException => throw re
+          case other => throw new RuntimeException(other)
+        }
+      }
+
+    def createClient(uri: String): Object = unwrap {
+      clientsCls.getMethod("create", classOf[String])
+        .invoke(null, uri)
+    }
+
+    def close(client: Object): Unit = unwrap {
+      clientIface.getMethod("close").invoke(client)
+    }
+
+    def getDatabase(client: Object, name: String): Object = unwrap {
+      clientIface.getMethod("getDatabase", classOf[String]).invoke(client, name)
+    }
+
+    /** Collection handle reading/writing `RawBsonDocument` — all codec
+      * work stays in [[BsonCodec]]. */
+    def getCollection(db: Object, name: String): Object = unwrap {
+      dbIface.getMethod("getCollection", classOf[String], classOf[Class[_]])
+        .invoke(db, name, rawDocCls)
+    }
+
+    def runCommand(db: Object, cmd: BDoc): BDoc = unwrap {
+      fromRaw(dbIface.getMethod("runCommand", bsonIface, classOf[Class[_]])
+        .invoke(db, toRaw(cmd), rawDocCls))
+    }
+
+    def find(coll: Object, filter: BDoc): Object = unwrap {
+      collIface.getMethod("find", bsonIface).invoke(coll, toRaw(filter))
+    }
+
+    def aggregate(coll: Object, stages: Seq[BDoc]): Object = unwrap {
+      val list = new java.util.ArrayList[Object]()
+      stages.foreach(s => list.add(toRaw(s)))
+      collIface.getMethod("aggregate", classOf[java.util.List[_]]).invoke(coll, list)
+    }
+
+    /** Invoke a fluent FindIterable option taking a Bson (sort,
+      * projection, min, max, hint) — returns the iterable, discarded
+      * (the driver mutates in place and returns `this`).
+      */
+    def fluent(it: Object, method: String, doc: BDoc): Unit = unwrap {
+      val _ = findIterIface.getMethod(method, bsonIface).invoke(it, toRaw(doc))
+    }
+
+    def fluentInt(it: Object, method: String, v: Int): Unit = unwrap {
+      val _ = findIterIface.getMethod(method, classOf[Int]).invoke(it, Int.box(v))
+    }
+
+    /** Stream a MongoIterable as BDocs — the driver cursor IS a
+      * `java.util.Iterator`; never materializes.
+      */
+    def cursor(iterable: Object): Iterator[BDoc] = unwrap {
+      val jit = iterableIface.getMethod("iterator").invoke(iterable)
+        .asInstanceOf[java.util.Iterator[Object]]
+      new Iterator[BDoc] {
+        override def hasNext: Boolean = jit.hasNext
+        override def next(): BDoc = fromRaw(jit.next())
+      }
+    }
+
+    def insertOneModel(doc: BDoc): Object = unwrap {
+      insertOneCls.getConstructor(classOf[Object])
+        .newInstance(toRaw(doc)).asInstanceOf[Object]
+    }
+
+    def replaceOneModel(filter: BDoc, doc: BDoc, upsert: Boolean): Object = unwrap {
+      val opts = replaceOptsCls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[Object]
+      replaceOptsCls.getMethod("upsert", classOf[Boolean]).invoke(opts, Boolean.box(upsert))
+      replaceOneCls.getConstructor(bsonIface, classOf[Object], replaceOptsCls)
+        .newInstance(toRaw(filter), toRaw(doc), opts).asInstanceOf[Object]
+    }
+
+    def updateModel(filter: BDoc, update: BDoc, upsert: Boolean, multi: Boolean): Object = unwrap {
+      val opts = updateOptsCls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[Object]
+      updateOptsCls.getMethod("upsert", classOf[Boolean]).invoke(opts, Boolean.box(upsert))
+      val target = if (multi) updateManyCls else updateOneCls
+      target.getConstructor(bsonIface, bsonIface, updateOptsCls)
+        .newInstance(toRaw(filter), toRaw(update), opts).asInstanceOf[Object]
+    }
+
+    def bulkWrite(coll: Object, models: java.util.List[Object], ordered: Boolean): BulkResult = {
+      val opts = unwrap {
+        val o = bulkOptsCls.getDeclaredConstructor().newInstance().asInstanceOf[Object]
+        bulkOptsCls.getMethod("ordered", classOf[Boolean]).invoke(o, Boolean.box(ordered))
+        o
+      }
+      val m = collIface.getMethod("bulkWrite", classOf[java.util.List[_]], bulkOptsCls)
+      try {
+        toBulkResult(m.invoke(coll, models, opts))
+      } catch {
+        case e: InvocationTargetException
+            if e.getCause != null &&
+              e.getCause.getClass.getName == "com.mongodb.MongoBulkWriteException" =>
+          // partial result + per-item errors, the unordered-continue shape
+          val cause = e.getCause
+          val partial = toBulkResult(
+            cause.getClass.getMethod("getWriteResult").invoke(cause))
+          val errs = cause.getClass.getMethod("getWriteErrors").invoke(cause)
+            .asInstanceOf[java.util.List[Object]]
+          val msgs = scala.jdk.CollectionConverters.ListHasAsScala(errs).asScala
+            .map(we => we.getClass.getMethod("getMessage").invoke(we).toString)
+          partial.copy(errors = msgs.toSeq)
+        case e: InvocationTargetException => e.getCause match {
+          case re: RuntimeException => throw re
+          case other => throw new RuntimeException(other)
+        }
+      }
+    }
+
+    private def toBulkResult(r: Object): BulkResult = {
+      def count(m: String): Long =
+        r.getClass.getMethod(m).invoke(r).asInstanceOf[java.lang.Integer].toLong
+      val upserts = r.getClass.getMethod("getUpserts").invoke(r)
+        .asInstanceOf[java.util.List[_]].size().toLong
+      BulkResult(count("getInsertedCount"), count("getMatchedCount"),
+        count("getModifiedCount"), upserts)
+    }
+
+    /** Is this a driver command failure (the splitVector-refused arm)?
+      * Matched by class-name walk so the check works without the driver
+      * types linked.
+      */
+    def isCommandFailure(e: RuntimeException): Boolean = {
+      var c: Class[_] = e.getClass
+      while (c != null) {
+        if (c.getName == "com.mongodb.MongoCommandException" ||
+          c.getName == "com.mongodb.MongoException") return true
+        c = c.getSuperclass
+      }
+      false
+    }
+
+    /** Compile-time-invisible classes this binding touches, for the spec
+      * that pins the reflection surface. */
+    private[server] val surface: Seq[String] = Seq(
+      "org.bson.conversions.Bson", "org.bson.RawBsonDocument",
+      "com.mongodb.client.MongoClients", "com.mongodb.client.MongoClient",
+      "com.mongodb.client.MongoDatabase", "com.mongodb.client.MongoCollection",
+      "com.mongodb.client.MongoIterable", "com.mongodb.client.FindIterable",
+      "com.mongodb.client.model.InsertOneModel", "com.mongodb.client.model.ReplaceOneModel",
+      "com.mongodb.client.model.UpdateOneModel", "com.mongodb.client.model.UpdateManyModel",
+      "com.mongodb.client.model.ReplaceOptions", "com.mongodb.client.model.UpdateOptions",
+      "com.mongodb.client.model.BulkWriteOptions", "com.mongodb.client.model.WriteModel")
+  }
+}

@@ -1,0 +1,216 @@
+package graft.server
+
+import graft.bson._
+import graft.query.BQuery
+
+import scala.collection.immutable.ListMap
+
+/** Pure renderers from the engine's query/write model to the wire-shape
+  * documents a live MongoDB server expects — the document-construction
+  * half of a driver binding, kept driver-free so it is fully
+  * spec-testable in this sandbox. [[MongoDriverClient]] is the
+  * reflection-bound transport that ships these documents.
+  *
+  * The renderer is deliberately PARTIAL, split by semantics authority:
+  *
+  *  - Plain mongo-bracket nodes (Eq/Lt/../In/Nin/Regex/Exists/And/Or —
+  *    the nodes option-level JSON queries parse to) RENDER and the
+  *    server's evaluation is authoritative, exactly like the reference
+  *    shipping `mongo.input.query` verbatim (core/src/main/java/com/
+  *    mongodb/hadoop/input/MongoInputSplit.java:272-299). The engine's
+  *    file-backed [[BQuery.matches]] approximates server semantics and
+  *    is known to diverge on: array-field traversal (`{p: 5}` matching
+  *    `p=[5]`), `{p: null}` matching missing fields, `$exists` on a
+  *    null-valued field, and PCRE-vs-java regex dialect — on a live
+  *    server those follow the server, which is what a reference user
+  *    already gets.
+  *  - Spark-read-semantics `ReadStr*` / `ReadLong*` nodes (compiled
+  *    pushed filters — Spark never re-checks them, so their cross-
+  *    bracket read semantics MUST hold exactly) never render: they stay
+  *    client-side residuals re-checked on the cursor. The rendered part
+  *    of such a query is a superset pre-filter at worst.
+  *  - [[BQuery.KeyRange]] split bounds become `$min`/`$max` cursor
+  *    bounds with an index hint — the index's cross-type order IS the
+  *    range's semantics; a `$gte`/`$lt` spelling would bracket by type
+  *    and drop docs (see the KeyRange scaladoc).
+  */
+object QueryDocs {
+
+  /** The server/client split of one [[Find]]'s query:
+    *  - `keyBounds`: a top-level [[BQuery.KeyRange]] conjunct, to become
+    *    `min`/`max` cursor bounds with an index hint (cross-type order is
+    *    the INDEX's order, exactly the range's semantics) — never a
+    *    `$gte`/`$lt` query, which would bracket by type and drop docs.
+    *  - `serverQuery`: the renderable conjuncts, as a mongo query doc.
+    *  - `residual`: conjuncts the server cannot evaluate faithfully;
+    *    `None` means the server result needs no re-check.
+    */
+  final case class ServerPlan(
+      keyBounds: Option[(String, Option[BsonValue], Option[BsonValue])],
+      serverQuery: BDoc,
+      residual: Option[BQuery]) {
+    def isExact: Boolean = residual.isEmpty
+  }
+
+  def plan(q: BQuery): ServerPlan = {
+    val conjuncts = flattenAnd(q)
+    // first top-level KeyRange becomes cursor bounds; any further range
+    // conjunct stays residual (one min/max pair per cursor)
+    val rangeIdx = conjuncts.indexWhere(_.isInstanceOf[BQuery.KeyRange])
+    val (bounds, rest) =
+      if (rangeIdx < 0) (None, conjuncts)
+      else {
+        val r = conjuncts(rangeIdx).asInstanceOf[BQuery.KeyRange]
+        (Some((r.path, r.lo, r.hi)), conjuncts.patch(rangeIdx, Nil, 1))
+      }
+    val (rendered, unrendered) = rest.partition(c => render(c).isDefined)
+    val serverDoc = andDoc(rendered.flatMap(render))
+    val residual = unrendered match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(BQuery.And(many))
+    }
+    ServerPlan(bounds, serverDoc, residual)
+  }
+
+  private def flattenAnd(q: BQuery): Seq[BQuery] = q match {
+    case BQuery.And(qs) => qs.flatMap(flattenAnd)
+    case BQuery.True => Seq.empty
+    case other => Seq(other)
+  }
+
+  /** Render one node to its mongo query document, or None when the
+    * server's evaluation would not match the engine's. An `Or` renders
+    * only when EVERY branch renders — a disjunction cannot be split into
+    * a server part and a residual part soundly.
+    */
+  def render(q: BQuery): Option[BDoc] = q match {
+    case BQuery.True => Some(BDoc.empty)
+    case BQuery.Eq(p, v: BDoc) if v.fields.keys.exists(_.startsWith("$")) =>
+      // a literal doc whose keys look like operators must be wrapped, or
+      // the server would interpret it as an operator expression
+      Some(BDoc(p -> BDoc("$eq" -> v)))
+    case BQuery.Eq(p, v) => Some(BDoc(p -> v))
+    case BQuery.Lt(p, v) => Some(BDoc(p -> BDoc("$lt" -> v)))
+    case BQuery.Lte(p, v) => Some(BDoc(p -> BDoc("$lte" -> v)))
+    case BQuery.Gt(p, v) => Some(BDoc(p -> BDoc("$gt" -> v)))
+    case BQuery.Gte(p, v) => Some(BDoc(p -> BDoc("$gte" -> v)))
+    case BQuery.Ne(p, v) => Some(BDoc(p -> BDoc("$ne" -> v)))
+    case BQuery.In(p, vs) => Some(BDoc(p -> BDoc("$in" -> BArray(vs.toVector))))
+    case BQuery.Nin(p, vs) => Some(BDoc(p -> BDoc("$nin" -> BArray(vs.toVector))))
+    case BQuery.Regex(p, pat, opts) =>
+      val body =
+        if (opts.isEmpty) BDoc("$regex" -> BString(pat))
+        else BDoc("$regex" -> BString(pat), "$options" -> BString(opts))
+      Some(BDoc(p -> body))
+    case BQuery.Exists(p, yes) => Some(BDoc(p -> BDoc("$exists" -> BBool(yes))))
+    case BQuery.And(qs) =>
+      val parts = qs.map(render)
+      if (parts.forall(_.isDefined)) Some(andDoc(parts.flatten)) else None
+    case BQuery.Or(qs) =>
+      val parts = qs.map(render)
+      if (parts.exists(_.isEmpty)) None
+      else Some(BDoc("$or" -> BArray(parts.flatten.toVector)))
+    case _ => None // KeyRange (cursor-bound concern), ReadStr*/ReadLong*
+  }
+
+  private def andDoc(docs: Seq[BDoc]): BDoc = {
+    val nonEmpty = docs.filter(_.fields.nonEmpty)
+    nonEmpty match {
+      case Seq() => BDoc.empty
+      case Seq(one) => one
+      case many =>
+        // merge disjoint-keyed conjuncts flat; $and only on key collision
+        // (e.g. two predicates on the same field)
+        val allKeys = many.flatMap(_.fields.keys)
+        if (allKeys.distinct.size == allKeys.size)
+          BDoc(ListMap(many.flatMap(_.fields): _*))
+        else BDoc("$and" -> BArray(many.toVector))
+    }
+  }
+
+  /** Update doc for the wire: `$pushAll` (a long-removed legacy op the
+    * engine still accepts for reference parity, core/.../io/
+    * MongoUpdateWritable.java) becomes the modern `$push`+`$each`.
+    */
+  def updateDoc(u: BDoc): BDoc = u.fields.get("$pushAll") match {
+    case Some(BDoc(pushes)) =>
+      val each = pushes.map { case (f, v) =>
+        f -> (v match {
+          case a: BArray => BDoc("$each" -> a)
+          case single => BDoc("$each" -> BArray(Vector(single)))
+        })
+      }
+      val merged = u.fields.get("$push") match {
+        case Some(BDoc(existing)) => existing ++ each
+        case _ => each
+      }
+      BDoc((u.fields.removed("$pushAll").removed("$push") +
+        ("$push" -> BDoc(ListMap(merged.toSeq: _*)))).toSeq: _*)
+    case _ => u
+  }
+
+  /** `db.coll` → (db, coll); the collection part may itself be dotted
+    * (`db.system.profile`), so split at the FIRST dot only.
+    */
+  def nsParts(ns: String): (String, String) = {
+    val i = ns.indexOf('.')
+    require(i > 0 && i < ns.length - 1, s"namespace must be db.collection, got '$ns'")
+    (ns.substring(0, i), ns.substring(i + 1))
+  }
+
+  def collStatsCmd(coll: String): BDoc = BDoc("collStats" -> BString(coll))
+
+  def splitVectorCmd(ns: String, key: String, maxChunkBytes: Long): BDoc =
+    BDoc(
+      "splitVector" -> BString(ns),
+      "keyPattern" -> BDoc(key -> BInt32(1)),
+      "maxChunkSizeBytes" -> BInt64(maxChunkBytes))
+
+  /** `[{$sample: {size: n}}, {$project: {key: 1}}]` — the sample
+    * splitter's pipeline (core/.../splitter/SampleSplitter.java:79-88).
+    */
+  def sampleStages(key: String, n: Int): Seq[BDoc] = Seq(
+    BDoc("$sample" -> BDoc("size" -> BInt32(n))),
+    BDoc("$project" -> (
+      if (key == "_id") BDoc("_id" -> BInt32(1))
+      else BDoc("_id" -> BInt32(0), key -> BInt32(1)))))
+
+  /** Projection doc matching the engine's projection semantics (ONLY the
+    * listed fields — `_id` comes back only when asked for).
+    */
+  def projectionDoc(fields: Seq[String]): BDoc = {
+    val incl = fields.map(f => f -> BInt32(1))
+    BDoc(ListMap(
+      (if (fields.contains("_id")) incl else ("_id" -> BInt32(0)) +: incl): _*))
+  }
+
+  def sortDoc(key: String, descending: Boolean): BDoc =
+    BDoc(key -> BInt32(if (descending) -1 else 1))
+
+  /** Apply a projection client-side (the residual-query path cannot push
+    * the server projection: the residual may read unprojected fields).
+    */
+  def projectClient(d: BDoc, fields: Seq[String]): BDoc =
+    BDoc(ListMap(fields.flatMap(f => d.getPath(f).map(f -> _)): _*))
+
+  /** `rs0/h1:27017,h2:27017` → `Seq(h1:27017, h2:27017)` — strip the
+    * replica-set prefix of a `config.shards` host string, the reference's
+    * convention when mapping chunk shards to preferred locations
+    * (core/.../splitter/ShardChunkMongoSplitter.java).
+    */
+  def hostList(host: String): Seq[String] = {
+    val stripped = host.indexOf('/') match {
+      case -1 => host
+      case i => host.substring(i + 1)
+    }
+    stripped.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  def asLong(v: BsonValue): Option[Long] = v match {
+    case BInt32(x) => Some(x.toLong)
+    case BInt64(x) => Some(x)
+    case BDouble(x) => Some(x.toLong)
+    case _ => None
+  }
+}

@@ -1,0 +1,251 @@
+package graft.server
+
+import graft.bson._
+import graft.query.BQuery
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-free half of the mongodb-driver binding: every document
+  * [[QueryDocs]] constructs is pinned here, and the renderable subset is
+  * property-checked for matches-parity by round-tripping rendered docs
+  * through [[BQuery.parse]] (the engine's own mongo-JSON reader) — if the
+  * rendered doc parses back to a query that keeps/drops different docs,
+  * the server would too. The reflection transport itself
+  * ([[MongoDriverClient]]) cannot run in this sandbox (no driver jar);
+  * its absence-failure mode and its class surface are pinned instead, so
+  * a classpath typo fails THIS suite, not a user's first live run.
+  */
+class MongoDriverSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(41L + i)))
+
+  // --- render: one pinned doc per operator ---------------------------------
+
+  test("render pins the wire shape of every renderable operator") {
+    import BQuery._
+    assert(QueryDocs.render(True).contains(BDoc.empty))
+    assert(QueryDocs.render(Eq("a", BInt32(1))).contains(BDoc("a" -> BInt32(1))))
+    assert(QueryDocs.render(Lt("a", BInt32(1)))
+      .contains(BDoc("a" -> BDoc("$lt" -> BInt32(1)))))
+    assert(QueryDocs.render(Lte("a", BInt32(1)))
+      .contains(BDoc("a" -> BDoc("$lte" -> BInt32(1)))))
+    assert(QueryDocs.render(Gt("a", BInt32(1)))
+      .contains(BDoc("a" -> BDoc("$gt" -> BInt32(1)))))
+    assert(QueryDocs.render(Gte("a", BInt32(1)))
+      .contains(BDoc("a" -> BDoc("$gte" -> BInt32(1)))))
+    assert(QueryDocs.render(Ne("a", BInt32(1)))
+      .contains(BDoc("a" -> BDoc("$ne" -> BInt32(1)))))
+    assert(QueryDocs.render(In("a", Seq(BInt32(1), BInt32(2))))
+      .contains(BDoc("a" -> BDoc("$in" -> BArray(Vector(BInt32(1), BInt32(2)))))))
+    assert(QueryDocs.render(Nin("a", Seq(BInt32(1))))
+      .contains(BDoc("a" -> BDoc("$nin" -> BArray(Vector(BInt32(1)))))))
+    assert(QueryDocs.render(Regex("a", "^x", "i"))
+      .contains(BDoc("a" -> BDoc("$regex" -> BString("^x"), "$options" -> BString("i")))))
+    assert(QueryDocs.render(Regex("a", "^x"))
+      .contains(BDoc("a" -> BDoc("$regex" -> BString("^x")))))
+    assert(QueryDocs.render(Exists("a", yes = true))
+      .contains(BDoc("a" -> BDoc("$exists" -> BBool(true)))))
+    assert(QueryDocs.render(Or(Seq(Eq("a", BInt32(1)), Eq("b", BInt32(2)))))
+      .contains(BDoc("$or" -> BArray(Vector(
+        BDoc("a" -> BInt32(1)), BDoc("b" -> BInt32(2)))))))
+  }
+
+  test("And merges disjoint keys flat, keeps $and on key collision") {
+    import BQuery._
+    assert(QueryDocs.render(And(Seq(Eq("a", BInt32(1)), Gt("b", BInt32(2)))))
+      .contains(BDoc("a" -> BInt32(1), "b" -> BDoc("$gt" -> BInt32(2)))))
+    // two predicates on ONE field cannot merge (the second key would
+    // overwrite the first in a flat doc) — must nest under $and
+    assert(QueryDocs.render(And(Seq(Gt("a", BInt32(1)), Lt("a", BInt32(9)))))
+      .contains(BDoc("$and" -> BArray(Vector(
+        BDoc("a" -> BDoc("$gt" -> BInt32(1))),
+        BDoc("a" -> BDoc("$lt" -> BInt32(9))))))))
+  }
+
+  test("Eq against an operator-shaped literal doc wraps in $eq") {
+    val lit = BDoc("$gt" -> BInt32(5))
+    assert(QueryDocs.render(BQuery.Eq("a", lit))
+      .contains(BDoc("a" -> BDoc("$eq" -> lit))))
+  }
+
+  test("Spark-read-semantics nodes and nested KeyRange refuse to render") {
+    import BQuery._
+    assert(QueryDocs.render(ReadStrCmp("a", "x", ReadStrOp.Eq)).isEmpty)
+    assert(QueryDocs.render(ReadLongCmp("a", 1L, ReadStrOp.Lt)).isEmpty)
+    assert(QueryDocs.render(ReadStrIn("a", Seq("x"))).isEmpty)
+    assert(QueryDocs.render(ReadLongIn("a", Seq(1L))).isEmpty)
+    assert(QueryDocs.render(ReadStrRegex("a", "^x")).isEmpty)
+    assert(QueryDocs.render(KeyRange("k", Some(BInt32(1)), None)).isEmpty)
+    // an Or with one unrenderable branch cannot be split soundly
+    assert(QueryDocs.render(Or(Seq(
+      Eq("a", BInt32(1)), ReadStrCmp("b", "x", ReadStrOp.Eq)))).isEmpty)
+  }
+
+  // --- plan: the server/client split ---------------------------------------
+
+  test("plan splits range ∧ renderable ∧ residual the way find() composes them") {
+    import BQuery._
+    val q = and(and(
+      KeyRange("k", Some(BInt32(10)), Some(BInt32(20))),
+      Eq("status", BString("A"))),
+      ReadStrCmp("_id", "0" * 24, ReadStrOp.Gte))
+    val p = QueryDocs.plan(q)
+    assert(p.keyBounds.contains(("k", Some(BInt32(10)), Some(BInt32(20)))))
+    assert(p.serverQuery === BDoc("status" -> BString("A")))
+    assert(p.residual.contains(ReadStrCmp("_id", "0" * 24, ReadStrOp.Gte)))
+    assert(!p.isExact)
+  }
+
+  test("plan keeps only the FIRST KeyRange as cursor bounds") {
+    import BQuery._
+    val r1 = KeyRange("k", Some(BInt32(1)), None)
+    val r2 = KeyRange("k", None, Some(BInt32(9)))
+    val p = QueryDocs.plan(And(Seq(r1, r2)))
+    assert(p.keyBounds.contains(("k", Some(BInt32(1)), None)))
+    assert(p.residual.contains(r2))
+  }
+
+  test("plan of a fully-renderable query is exact") {
+    val p = QueryDocs.plan(BQuery.Eq("a", BInt32(1)))
+    assert(p.isExact && p.keyBounds.isEmpty)
+    assert(p.serverQuery === BDoc("a" -> BInt32(1)))
+  }
+
+  // --- matches-parity: rendered docs parse back to the same query ----------
+
+  private def toJson(v: BsonValue): String = v match {
+    case BDoc(fs) =>
+      fs.map { case (k, x) => "\"" + k + "\":" + toJson(x) }.mkString("{", ",", "}")
+    case BArray(xs) => xs.map(toJson).mkString("[", ",", "]")
+    case BString(s) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case BInt32(x) => x.toString
+    case BInt64(x) => x.toString
+    case BDouble(x) => x.toString
+    case BBool(b) => b.toString
+    case BNull => "null"
+    case other => fail(s"scalar-subset writer got $other")
+  }
+
+  private val scalarGen: Gen[BsonValue] = Gen.oneOf(
+    Gen.choose(-5, 5).map(BInt32(_)),
+    Gen.oneOf("a", "b", "zz").map(BString(_)),
+    Gen.oneOf(true, false).map(BBool(_)))
+
+  private val queryGen: Gen[BQuery] = {
+    val field = Gen.oneOf("x", "y", "z")
+    val leaf: Gen[BQuery] = for {
+      f <- field
+      v <- scalarGen
+      q <- Gen.oneOf[BsonValue => BQuery](
+        BQuery.Eq(f, _), BQuery.Ne(f, _), BQuery.Lt(f, _), BQuery.Lte(f, _),
+        BQuery.Gt(f, _), BQuery.Gte(f, _),
+        (x: BsonValue) => BQuery.In(f, Seq(x)),
+        (x: BsonValue) => BQuery.Nin(f, Seq(x)))
+    } yield q(v)
+    for {
+      a <- leaf; b <- leaf; c <- leaf
+      combine <- Gen.oneOf[Seq[BQuery] => BQuery](BQuery.And(_), BQuery.Or(_))
+    } yield combine(Seq(a, b, c))
+  }
+
+  private val docGen: Gen[BDoc] = for {
+    xs <- Gen.listOfN(3, scalarGen)
+    present <- Gen.listOfN(3, Gen.oneOf(true, false))
+  } yield BDoc(scala.collection.immutable.ListMap(
+    Seq("x", "y", "z").zip(xs).zip(present).collect {
+      case ((k, v), true) => k -> v
+    }: _*))
+
+  test("rendered query docs round-trip through BQuery.parse with matches-parity") {
+    val docs = samples(docGen, 60)
+    samples(queryGen, 200).foreach { q =>
+      val rendered = QueryDocs.render(q)
+        .getOrElse(fail(s"scalar query must render: $q"))
+      val parsed = graft.query.BQueryJson.parse(toJson(rendered))
+      docs.foreach { d =>
+        assert(parsed.matches(d) === q.matches(d),
+          s"parity broke for $q on $d via $rendered")
+      }
+    }
+  }
+
+  // --- the remaining wire docs ---------------------------------------------
+
+  test("command and cursor-option docs are pinned") {
+    assert(QueryDocs.collStatsCmd("docs") === BDoc("collStats" -> BString("docs")))
+    assert(QueryDocs.splitVectorCmd("db.docs", "k", 8L << 20) === BDoc(
+      "splitVector" -> BString("db.docs"),
+      "keyPattern" -> BDoc("k" -> BInt32(1)),
+      "maxChunkSizeBytes" -> BInt64(8L << 20)))
+    assert(QueryDocs.sampleStages("k", 7) === Seq(
+      BDoc("$sample" -> BDoc("size" -> BInt32(7))),
+      BDoc("$project" -> BDoc("_id" -> BInt32(0), "k" -> BInt32(1)))))
+    // sampling on _id must not suppress _id
+    assert(QueryDocs.sampleStages("_id", 3)(1) ===
+      BDoc("$project" -> BDoc("_id" -> BInt32(1))))
+    assert(QueryDocs.sortDoc("k", descending = false) === BDoc("k" -> BInt32(1)))
+    assert(QueryDocs.sortDoc("k", descending = true) === BDoc("k" -> BInt32(-1)))
+    // engine projection semantics: ONLY listed fields — _id suppressed
+    // unless asked for (the fake client and RowCodec read the same way)
+    assert(QueryDocs.projectionDoc(Seq("a", "b")) ===
+      BDoc("_id" -> BInt32(0), "a" -> BInt32(1), "b" -> BInt32(1)))
+    assert(QueryDocs.projectionDoc(Seq("_id", "a")) ===
+      BDoc("_id" -> BInt32(1), "a" -> BInt32(1)))
+  }
+
+  test("updateDoc rewrites legacy $pushAll to $push + $each") {
+    val u = BDoc(
+      "$set" -> BDoc("a" -> BInt32(1)),
+      "$pushAll" -> BDoc("tags" -> BArray(Vector(BString("x"), BString("y")))))
+    assert(QueryDocs.updateDoc(u) === BDoc(
+      "$set" -> BDoc("a" -> BInt32(1)),
+      "$push" -> BDoc("tags" -> BDoc("$each" -> BArray(Vector(BString("x"), BString("y")))))))
+    // merges with an existing $push instead of dropping it
+    val both = BDoc(
+      "$push" -> BDoc("log" -> BString("e")),
+      "$pushAll" -> BDoc("tags" -> BArray(Vector(BString("x")))))
+    assert(QueryDocs.updateDoc(both) === BDoc(
+      "$push" -> BDoc(
+        "log" -> BString("e"),
+        "tags" -> BDoc("$each" -> BArray(Vector(BString("x")))))))
+    // no $pushAll → untouched
+    val plain = BDoc("$inc" -> BDoc("n" -> BInt32(1)))
+    assert(QueryDocs.updateDoc(plain) eq plain)
+  }
+
+  test("nsParts splits at the FIRST dot; hostList strips the replica-set prefix") {
+    assert(QueryDocs.nsParts("db.coll") === ("db", "coll"))
+    assert(QueryDocs.nsParts("db.system.profile") === ("db", "system.profile"))
+    intercept[IllegalArgumentException](QueryDocs.nsParts("nodot"))
+    intercept[IllegalArgumentException](QueryDocs.nsParts("db."))
+    assert(QueryDocs.hostList("rs0/h1:27017,h2:27017") === Seq("h1:27017", "h2:27017"))
+    assert(QueryDocs.hostList("h1:27017") === Seq("h1:27017"))
+  }
+
+  // --- the reflection transport's sandbox behavior -------------------------
+
+  test("MongoDriverFactory fails loudly (and only at use) without the driver jar") {
+    val factory = new MongoDriverFactory
+    intercept[IllegalArgumentException](factory.create(Map.empty)) // uri required
+    val e = intercept[IllegalStateException](
+      factory.create(Map("uri" -> "mongodb://localhost:27017")))
+    assert(e.getMessage.contains("mongodb-driver-sync"))
+    assert(e.getMessage.contains("DirServerFactory"),
+      "the error must name the sandbox alternative")
+  }
+
+  test("the reflection surface names only public driver/bson classes") {
+    MongoDriverClient.Rf.surface.foreach { name =>
+      assert(name.startsWith("com.mongodb.") || name.startsWith("org.bson."),
+        s"unexpected class in the reflection surface: $name")
+    }
+    // and none of them is resolvable here — the suite above really did
+    // exercise the absent-driver path
+    MongoDriverClient.Rf.surface.foreach { name =>
+      intercept[ClassNotFoundException](Class.forName(name))
+    }
+  }
+}

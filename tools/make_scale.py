@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Salted scale-up fixtures (the PLANS_r07 protocol, now a tool):
+disjoint copies of an SF dir's documents/embeddings tables.
+
+- documents: copy i offsets doc_id by i*10M and suffixes every token
+  with `_s<i>` (copy 0 verbatim), so token/shingle df distributions are
+  scale-invariant — duplicate RATES stay constant as the corpus grows.
+  n_chars is recomputed for salted copies.
+- embeddings: copy i offsets vec_id by i*10M and perturbs each float by
+  a small deterministic value-dependent amount (copy 0 verbatim), so
+  within-copy cosine structure is preserved but copies are not
+  bit-identical.
+- every other table is symlinked from the source dir so engine warmups
+  and unrelated Tables.* loads resolve.
+
+Usage: make_scale.py SFDIR OUTDIR FACTOR
+"""
+import os
+import sys
+
+import duckdb
+
+
+def main():
+    sfdir, outdir, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(outdir, exist_ok=True)
+    con = duckdb.connect()
+    salted = ("CASE WHEN c.i = 0 OR d.text IS NULL OR d.text = '' THEN d.text "
+              "ELSE replace(d.text, ' ', '_s' || c.i || ' ') || '_s' || c.i END")
+    con.execute(f"""
+      COPY (
+        SELECT d.doc_id + c.i * 10000000 AS doc_id,
+               {salted} AS text,
+               d.lang, d.source,
+               CAST(coalesce(length({salted}), d.n_chars) AS BIGINT) AS n_chars
+        FROM read_parquet('{sfdir}/documents.parquet') d, range({factor}) c(i)
+        ORDER BY doc_id
+      ) TO '{outdir}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (
+        SELECT e.vec_id + c.i * 10000000 AS vec_id,
+               CASE WHEN c.i = 0 THEN e.embedding
+                    ELSE list_transform(e.embedding,
+                      x -> CAST(x + 0.0005 * c.i * sin(x * 97.0) AS FLOAT))
+               END AS embedding,
+               e.label
+        FROM read_parquet('{sfdir}/embeddings.parquet') e, range({factor}) c(i)
+        ORDER BY vec_id
+      ) TO '{outdir}/embeddings.parquet' (FORMAT PARQUET)""")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        src, dst = f"{sfdir}/{t}.parquet", f"{outdir}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{outdir}/documents.parquet')"
+    ).fetchone()[0]
+    print(f"wrote {outdir}: {n} docs ({factor}x)")
+
+
+if __name__ == "__main__":
+    main()
