@@ -815,9 +815,20 @@ object DedupQueries {
           struct(($"nrm" + lit(cn) - lit(2L) * Embeddings.dotLit("q", cq)).as("dist"),
             lit(cid).as("cid"))
         }: _*)
+        // cache: assigned feeds TWO actions (the byCluster collect below
+        // fills it, the member-scoring join reads it), so the corpus is
+        // scanned and centroid-assigned ONCE — and, as important, the
+        // scoring join's generated code stays SMALL: inlining the 16x64
+        // literal assignment expression into the join stage produced a
+        // generated method past the JIT's huge-method limit, leaving the
+        // whole probe side interpreted (~6 s for a 20 K-row join at 10x;
+        // measured, not theorized). Same lifetime rules as q36's corpus
+        // cache: harnesses clearCache() per query, eviction bounds a
+        // long-lived session.
         val assigned = v
           .withColumn("best", array_min(distStructs))
           .select($"vec_id", $"q", $"nrm", $"best.cid".as("cid"))
+          .cache()
         // bounded collect #2: per-cluster member count + the canon prefix
         // WITH its vectors, off one tiny exchange — the topk struct
         // carries (vec_id, q, nrm) so the prefix vectors ride the same

@@ -595,10 +595,16 @@ object TextQueries {
         val docs = Tables.documents(s, d)
         val cnt = (acc: Column, x: Column) => acc + x.getField("cnt")
         // bounded collect #1: the query batch = the NumQ smallest doc_ids
-        // (TakeOrderedAndProject — map-side partial top-N, robust to
-        // fixtures whose ids don't start at 0)
+        // (robust to fixtures whose ids don't start at 0). Two scans on
+        // purpose: the id probe reads ONLY the doc_id column (a
+        // TakeOrdered over (doc_id, text) would drag the whole text
+        // column through the scan), then the text fetch pushes an IN
+        // filter so parquet row-group stats skip everything else.
+        val qids: Seq[Long] = docs
+          .select($"doc_id").orderBy($"doc_id").limit(NumQ.toInt)
+          .collect().map(_.getLong(0)).toSeq
         val qterms: Seq[(Long, Seq[String])] = docs
-          .select($"doc_id", $"text").orderBy($"doc_id").limit(NumQ.toInt)
+          .filter($"doc_id".isin(qids: _*)).select($"doc_id", $"text")
           .collect().sortBy(_.getLong(0))
           .map(r => (r.getLong(0),
             Option(r.getString(1)).getOrElse("").split(' ').filter(_.nonEmpty)
@@ -611,43 +617,46 @@ object TextQueries {
           Seq.empty[(Long, Long, Long, Long)].toDF("qid", "rk", "doc_id", "score")
         else {
         // The corpus is tokenized ONCE: `base` reduces each doc to
-        // (doc_id, dl, tfm) — total token count plus the <= NumQ x
-        // TermsPerQ term->tf map — and is cached so the stats action
-        // below and the scoring pass that follows both read the reduced
-        // frame instead of re-running TokenCounts over the text (the
-        // r8-judged 3.4x-at-100x gap was exactly this second
-        // tokenization). The cached projection is per-doc METADATA
-        // (a long + a <= 40-entry map), not the text — at 100 TB it is a
-        // sliver of the corpus, and the corpus itself is read once.
-        // Lifetime: per the q36 convention — both harnesses clearCache()
-        // per query; a long-lived session evicts under pressure.
+        // (doc_id, dl, tf0..tf39) — total token count plus one flat
+        // INTEGER column per query term (allTerms is driver-known and
+        // <= NumQ x TermsPerQ) — and is cached so the stats action below
+        // and the scoring pass that follows both read the reduced frame
+        // instead of re-running TokenCounts over the text (the r8-judged
+        // 3.4x-at-100x gap was exactly this second tokenization). Flat
+        // primitive columns, deliberately NOT a term->tf map: MapType
+        // defeats the columnar cache and codegen, and a first cut that
+        // cached the map measured SLOWER than tokenizing twice. The
+        // cached projection is ~42 longs per doc, not the text — at
+        // 100 TB it is a sliver of the corpus, read once. Lifetime: per
+        // the q36 convention — both harnesses clearCache() per query; a
+        // long-lived session evicts under pressure.
         // coalesce: a NULL text must still reach the stats pass (N
         // counts every doc, like the oracle's count(*) FROM documents)
+        val tfIdx: Map[String, Int] = allTerms.zipWithIndex.toMap
         val base = docs
           .select($"doc_id", tokenCounts(coalesce($"text", lit(""))).as("tc"))
           .select($"doc_id",
             aggregate($"tc", lit(0L), cnt).as("dl"),
             map_from_entries(
               filter($"tc", x => x.getField("tok").isin(allTerms: _*))).as("tfm"))
+          .select($"doc_id" +: $"dl" +: allTerms.map(term =>
+            coalesce(element_at($"tfm", term), lit(0L)).as(s"tf${tfIdx(term)}")): _*)
           .cache()
         // bounded collect #2: corpus stats (N docs, T total tokens) AND
-        // per-term df in ONE aggregate — each doc emits a sentinel token
-        // plus its distinct matched query terms (tfm's keys: TokenCounts
-        // emits each token once). The sentinel is the empty string, which
-        // TokenCounts can never emit (empties are dropped at
-        // tokenization), so no real token can merge with it.
-        val statRows = base
-          .select($"dl",
-            explode(concat(array(lit("")), map_keys($"tfm"))).as("tok"))
-          .groupBy($"tok")
-          .agg(count(lit(1)).cast("long").as("c"),
-            coalesce(sum($"dl"), lit(0L)).cast("long").as("sdl"))
-          .collect()
-        val n = statRows.find(_.getString(0) == "").map(_.getLong(1)).getOrElse(0L)
-        val t = statRows.find(_.getString(0) == "").map(_.getLong(2)).getOrElse(0L)
-        val dfMap: Map[String, Long] = statRows
-          .filter(_.getString(0).nonEmpty)
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // per-term df in ONE global aggregate over the cached frame —
+        // df(term) = docs with tf > 0 (TokenCounts only emits counts
+        // >= 1, so map-presence and tf > 0 are the same predicate). No
+        // explode, no keyed exchange: one partial-agg row per partition.
+        val statAggs: Seq[Column] =
+          count(lit(1)).cast("long").as("n") +:
+          coalesce(sum($"dl"), lit(0L)).cast("long").as("t") +:
+          allTerms.map(term => sum(when(col(s"tf${tfIdx(term)}") > 0, 1L)
+            .otherwise(0L)).cast("long").as(s"df${tfIdx(term)}"))
+        val statRow = base.agg(statAggs.head, statAggs.tail: _*).collect().head
+        val n = statRow.getLong(0)
+        val t = statRow.getLong(1)
+        val dfMap: Map[String, Long] = allTerms.map(term =>
+          term -> statRow.getLong(2 + tfIdx(term))).toMap
         // fixed-point idf per term, computed driver-side over the bounded
         // df map — floor((1e5 * (2(N-df)+1)) / (2df+1)), same floor the
         // oracle's // takes
@@ -655,15 +664,11 @@ object TextQueries {
           val df = dfMap.getOrElse(term, 0L)
           term -> (Fx * (2L * (n - df) + 1L)) / (2L * df + 1L)
         }.toMap
-        // row-local scoring: tf via ONE filtered pass over the in-row
-        // token-count array materialized as a term->tf map (<= NumQ x
-        // TermsPerQ keys), then O(1) lookups — the per-term
-        // filter+aggregate spelling traversed the whole tc array once
-        // per (query, term), i.e. up to 40 passes per doc;
+        // row-local scoring: tf is a plain cached integer column —
+        // whole-stage codegen, no map lookup, no array traversal;
         // tf-part = floor(1e5 * 44*tf*T / (20*tf*T + 6*T + 18*dl*N))
         // (k1 = 6/5, b = 3/4 cleared to integers over denominator 20T)
-        def tf(term: String): Column =
-          coalesce(element_at($"tfm", term), lit(0L))
+        def tf(term: String): Column = col(s"tf${tfIdx(term)}")
         def score(terms: Seq[String]): Column = terms.map { term =>
           val tfc = tf(term)
           val tfFx = Portable.idiv(lit(Fx * 44L) * tfc * lit(t),
