@@ -23,6 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Round-gate hook for the Python surface: packages the connector jar and
+// runs tools/pyspark_smoke.py against sf0.001, failing the task (and any
+// gate that invokes it) on a smoke failure. One command: `sbt pysparkSmoke`.
+lazy val pysparkSmoke = taskKey[Unit]("Package the jar and run tools/pyspark_smoke.py")
+pysparkSmoke := {
+  val _ = (Compile / packageBin).value
+  val repo = baseDirectory.value
+  val exit = scala.sys.process.Process(
+    Seq("python3", (repo / "tools" / "pyspark_smoke.py").getAbsolutePath),
+    repo).!
+  if (exit != 0) sys.error(s"pyspark_smoke.py failed with exit $exit")
+}
+
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -118,6 +118,11 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** REQUIRES `spark.sql.session.timeZone=UTC` for parquet-backed dirs:
+    * the NTZ→timestamp normalization fails loudly under any other zone
+    * (see [[loadEvents]]) rather than silently shifting every event
+    * timestamp. Embedders must pin the zone before touching events.
+    */
   def events(s: SparkSession, d: String): DataFrame    = loadEvents(s, d)
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -14,8 +14,32 @@ import java.nio.file.Files
 object ConnectorQueries {
   import Exact._
 
-  private def freshDir(): String =
-    Files.createTempDirectory("graft-conn").toString
+  /** Every temp collection this JVM creates, deleted recursively at JVM
+    * exit: a query builder cannot delete after its caller's action (the
+    * returned frame is consumed later, and Bench's cold runs re-invoke
+    * the builder), so without the hook each bench round leaked 3+ full
+    * corpus copies under /tmp — q100's kept corpus being the largest.
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (Files.exists(p)) {
+          val stream = Files.walk(p)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.deleteIfExists(q))
+          finally stream.close()
+        }
+      }
+    }))
+  }
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-conn").toString
+    tempDirs.add(d)
+    d
+  }
 
   val all: Seq[CatalogQuery] = Seq(
 

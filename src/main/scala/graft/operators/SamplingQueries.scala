@@ -366,27 +366,26 @@ object SamplingQueries {
     // oracle mirrors it bit-for-bit. Shape: one corpus pass pre-collapses
     // to the (key → count) histogram (map-side partials emit ≤ |key
     // domain| rows per task); the boundary window runs on that bounded
-    // frame only; assignment is a broadcast join back on the key. At
-    // 100 TB with a high-cardinality key the histogram step becomes a
-    // sample (Spark's RangePartitioner reservoir) — the deliberate trade
-    // here is the token-count domain's boundedness for exactness.
+    // frame only; assignment is a broadcast join back on the key. The
+    // planning lives in [[RangeShard.assign]], which swaps the exact
+    // histogram for a deterministic reservoir-style sample when the key
+    // domain outgrows a bounded exchange (RangeShardSpec pins the
+    // sampled path's invariants on a high-cardinality key); the
+    // token-count domain here stays under the threshold, so the oracle
+    // pins the exact arm bit-for-bit. coalesce(text, ''): a NULL text
+    // must tokenize like the empty string on BOTH sides — a NULL n_tok
+    // sorts NULLS FIRST in Spark's window but NULLS LAST in DuckDB's,
+    // shifting every boundary, and the equi-join back would silently
+    // drop the doc, breaking "every doc assigned exactly once".
     CatalogQuery(
       "q94_range_shard_plan",
       (s, d) => {
         import s.implicits._
         val R = 8L
         val v = Tables.documents(s, d)
-          .select($"doc_id", size(spaceSplit($"text")).cast("long").as("n_tok"))
-        val h = v.groupBy($"n_tok").agg(count(lit(1)).as("c"))
-        val wBefore = Window.orderBy($"n_tok")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wAll = Window.orderBy($"n_tok")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val shards = h
-          .withColumn("cumb", coalesce(sum($"c").over(wBefore), lit(0L)))
-          .withColumn("tot", sum($"c").over(wAll))
-          .select($"n_tok", idiv(lit(R) * $"cumb", $"tot").as("shard_id"))
-        v.join(broadcast(shards), "n_tok")
+          .select($"doc_id",
+            size(spaceSplit(coalesce($"text", lit("")))).cast("long").as("n_tok"))
+        RangeShard.assign(v, "n_tok", "doc_id", R)
           .groupBy($"shard_id")
           .agg(count(lit(1)).as("n_docs"),
             min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"))
@@ -394,7 +393,8 @@ object SamplingQueries {
       },
       Some("""
         |WITH v AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  SELECT doc_id,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |h AS (SELECT n_tok, count(*) AS c FROM v GROUP BY 1),
         |b AS (

@@ -308,6 +308,17 @@ object GraftStreaming {
     * Spark's supported multi-stateful set); a doc's chunks all live in
     * one micro-batch, so the rollup is a batch-local aggregate in the
     * sink — [[chunkVerdicts]] applied inside foreachBatch.
+    *
+    * ==State growth — set `stateTtl` in production==
+    * `stateTtl = None` (the default, used by the batch-parity specs)
+    * keeps one first-seen entry per DISTINCT chunk hash FOREVER: on a
+    * real ingest stream the state store grows without bound. Any
+    * long-running deployment should pass a TTL sized to its dedup
+    * horizon — e.g. `Some("7 days")` dedups against the trailing week
+    * and lets the store shed older chunks; with ~16 B per entry, state
+    * then caps near (distinct chunks per TTL window) × 16 B per
+    * executor share. `None` is only sound for bounded replays/backfills
+    * whose distinct-chunk count is known to fit.
     */
   def streamingChunkDedup(
       docs: org.apache.spark.sql.Dataset[ChunkedDoc],
