@@ -82,6 +82,12 @@ object RangeShard {
     * `maxExactKeys` marks where the histogram frame stops being a
     * bounded exchange (default 64 K distinct keys ≈ a few MB of
     * (key, count) pairs — comfortably broadcastable).
+    *
+    * Callers must coalesce NULL keys first (q94 coalesces text before
+    * tokenizing): the two arms cannot treat them identically — the
+    * exact arm's equi-join DROPS a null-keyed row while the sampled
+    * arm's comparison chain sends it to shard 0 — so null keys would
+    * make the arm choice observable.
     */
   def assign(v: DataFrame, key: String, idCol: String, r: Long,
       maxExactKeys: Long = 1L << 16, targetSample: Int = 4096): DataFrame = {

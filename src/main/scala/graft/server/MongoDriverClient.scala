@@ -80,11 +80,20 @@ final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseab
     q.sortAscBy.foreach(k =>
       Rf.fluent(it, "sort", QueryDocs.sortDoc(k, q.sortDescending)))
     if (p.isExact) {
-      // exact server evaluation: push projection/skip/limit too
-      q.projection.foreach(f => Rf.fluent(it, "projection", QueryDocs.projectionDoc(f)))
+      // exact server evaluation: push projection/skip/limit too. An
+      // EMPTY projection list cannot be expressed server-side ({_id: 0}
+      // alone means "everything but _id", not "nothing") — apply it
+      // client-side like the residual path does.
+      q.projection.filter(_.nonEmpty)
+        .foreach(f => Rf.fluent(it, "projection", QueryDocs.projectionDoc(f)))
       if (q.skip > 0) Rf.fluentInt(it, "skip", clampInt(q.skip))
       if (q.limit >= 0) Rf.fluentInt(it, "limit", clampInt(q.limit))
-      Rf.cursor(it)
+      val base = Rf.cursor(it)
+      q.projection match {
+        case Some(fields) if fields.isEmpty =>
+          base.map(QueryDocs.projectClient(_, fields))
+        case _ => base
+      }
     } else {
       // residual re-check client-side; skip/limit/projection must apply
       // AFTER the residual filter, so they stay client-side as well
