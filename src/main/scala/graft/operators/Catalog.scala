@@ -15,7 +15,8 @@ object Catalog {
       PipelineQueries.all ++
       SamplingQueries.all ++
       CorpusStatsQueries.all ++
-      BehaviorQueries.all
+      BehaviorQueries.all ++
+      CurationQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(
