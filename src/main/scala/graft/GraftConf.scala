@@ -20,15 +20,35 @@ object GraftConf {
     */
   val PackedIndexFallbackThreshold: Int = 1 << 21
 
+  /** Scan-split open-cost floor. The corpus operators run CPU-dense text
+    * kernels (tokenize, rolling window hashes, MD5 shingles) whose work
+    * per parquet BYTE is 10-100x a plain relational scan, so the default
+    * 4 MiB floor — sized for IO-bound scans — leaves a compressed text
+    * table of a few dozen MB in a handful of splits and most cores idle.
+    * With the floor at 128 KiB the split size is governed by
+    * totalBytes / defaultParallelism (the `minPartitionNum` term), i.e.
+    * every core gets a slice of even a small corpus file; large corpora
+    * are unaffected (their size/parallelism term already dominates).
+    * The trade — fewer small files packed per partition — costs only
+    * task-launch overhead, which local[32] and any real cluster absorb.
+    * Parallelism stays bounded by the file's row-group count; the scale
+    * fixture writer (tools/make_scale.py) writes 8192-row groups for the
+    * same reason.
+    */
+  val ScanOpenCostBytes: Long = 128L * 1024
+
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       PackedIndexFallbackThreshold.toString)
+      .config("spark.sql.files.openCostInBytes", ScanOpenCostBytes.toString)
 
   /** For sessions built elsewhere (e.g. a user session passed straight
     * into the query registry): apply the same tuning explicitly, by
     * choice rather than as a hidden side effect of building a query.
     */
-  def tune(s: SparkSession): Unit =
+  def tune(s: SparkSession): Unit = {
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       PackedIndexFallbackThreshold.toString)
+    s.conf.set("spark.sql.files.openCostInBytes", ScanOpenCostBytes.toString)
+  }
 }

@@ -16,7 +16,8 @@ object Catalog {
       SamplingQueries.all ++
       CorpusStatsQueries.all ++
       BehaviorQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++
+      OpsQueries.all
 
   def byName(name: String): CatalogQuery =
     all.find(_.name == name).getOrElse(

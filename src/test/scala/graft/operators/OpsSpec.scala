@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Fixture pins for the corpus-operations layer: q104 BPE merge-pair
+  * induction (hand-computed pair counts, deterministic tie-break,
+  * single-char words contribute nothing), q105 CDC snapshot merge
+  * (upsert wins over base, deleted keys vanish, untouched keys
+  * survive), and q106 compaction planning (next-fit bin arithmetic,
+  * every file in exactly one bin).
+  */
+class OpsSpec extends SparkSpec {
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ops_spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(name: String, dir: String): DataFrame =
+    Catalog.byName(name).run(spark, dir)
+
+  test("q104 counts weighted char pairs with deterministic tie-break") {
+    // vocab: "abab" freq 2, "ab" freq 3, "z" freq 1 (no pairs).
+    // pairs: "abab" -> ab, ba, ab (weight 2 each instance);
+    //        "ab"   -> ab (weight 3).
+    // counts: ab = 2*2 + 3 = 7, ba = 2.
+    val dir = docsDir(Seq(
+      (0L, "abab ab z", "en", "s", 9L),
+      (1L, "abab ab ab", "en", "s", 10L)))
+    val out = run("q104_bpe_merge", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ab", 7L), ("ba", 2L)), s"got ${out.toSeq}")
+  }
+
+  test("q104 top-K cut is deterministic under count ties") {
+    // All pairs distinct with equal weight: the cut must be the K
+    // lexicographically-smallest pairs, stable across partitionings.
+    val words = ('a' to 'z').flatMap(a => Seq(s"${a}0")) // 26 words, pairs a0,b0,...
+    val dir = docsDir(words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, w, "en", "s", w.length.toLong)
+    })
+    val out = run("q104_bpe_merge", dir).collect().map(_.getString(0))
+    assert(out.length == 20 && out.toSeq == out.toSeq.sorted,
+      s"expected the 20 smallest pairs in order, got ${out.toSeq}")
+  }
+
+  test("q105 merge semantics: upsert wins, delete removes, base survives") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val orders = graft.Tables.orders(spark, dir)
+    val cdc = graft.functions.Portable.hash60(
+      concat(lit("cdc:"), col("o_orderkey").cast("string"))) % 5
+    val nBase = orders.count()
+    val nUp = orders.filter(cdc < 2).count()
+    val nDel = orders.filter(cdc === 2).count()
+    val out = run("q105_snapshot_merge", dir)
+    val total = out.agg(sum("n_orders")).collect().head.getLong(0)
+    // every non-deleted key exactly once
+    assert(total == nBase - nDel, s"got $total, want ${nBase - nDel}")
+    // upserted keys all carry the 'U' status
+    val uRow = out.filter(col("st") === "U").collect()
+    assert(uRow.length == 1 && uRow.head.getLong(1) == nUp,
+      s"expected $nUp upserted orders, got ${uRow.toSeq}")
+  }
+
+  test("q106 next-fit packing: every file in exactly one bin, bins ordered") {
+    import org.apache.spark.sql.functions._
+    val dir = sf0001
+    val out = run("q106_compaction_plan", dir).collect()
+    // inventory size: every (source, file) appears in exactly one bin
+    val nFiles = out.map(_.getLong(2)).sum
+    val inv = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        (graft.functions.Portable.hash60(
+          concat(lit("file:"), col("doc_id").cast("string"))) % 16)
+          .as("file_id"))
+      .distinct().count()
+    assert(nFiles == inv, s"planned $nFiles files, inventory has $inv")
+    // bin ids contiguous from 0 within each source
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted.toSeq
+      assert(bins == (0L until bins.length.toLong),
+        s"bins not contiguous from 0: $bins")
+    }
+    // total bytes conserved
+    val planned = out.map(_.getLong(3)).sum
+    val corpus = graft.Tables.documents(spark, dir)
+      .agg(sum(coalesce(col("n_chars"), lit(0L)))).collect().head.getLong(0)
+    assert(planned == corpus, s"planned $planned bytes, corpus has $corpus")
+  }
+
+  test("q106 next-fit overflow bound: no bin exceeds target + largest file") {
+    import org.apache.spark.sql.functions._
+    val dir = sf001
+    val out = run("q106_compaction_plan", dir).collect()
+    val maxFile = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        (graft.functions.Portable.hash60(
+          concat(lit("file:"), col("doc_id").cast("string"))) % 16)
+          .as("file_id"),
+        coalesce(col("n_chars"), lit(0L)).as("b"))
+      .groupBy("source", "file_id").agg(sum("b").as("bytes"))
+      .agg(max("bytes")).collect().head.getLong(0)
+    // a bin holds files whose cum_before lies in [k*T, (k+1)*T); only its
+    // last file can extend past the boundary, by at most its own size
+    out.foreach { r =>
+      assert(r.getLong(3) <= 32768L + maxFile,
+        s"bin ${r.getLong(1)} of ${r.getString(0)} too large: ${r.getLong(3)}")
+    }
+  }
+}

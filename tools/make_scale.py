@@ -12,6 +12,13 @@ disjoint copies of an SF dir's documents/embeddings tables.
   bit-identical.
 - every other table is symlinked from the source dir so engine warmups
   and unrelated Tables.* loads resolve.
+- both written tables use ROW_GROUP_SIZE 8192: parquet scans (Spark AND
+  DuckDB) parallelize at row-group granularity, and DuckDB's default
+  122880-row groups left a 50K-doc fixture with ONE row group — every
+  corpus pass measured on such a fixture is a single-thread scan no
+  matter the engine, which models nothing about a 100 TB corpus
+  (millions of row groups). Small groups make the scale ratios measure
+  the engines, not the writer's defaults.
 
 Usage: make_scale.py SFDIR OUTDIR FACTOR
 """
@@ -35,7 +42,8 @@ def main():
                CAST(coalesce(length({salted}), d.n_chars) AS BIGINT) AS n_chars
         FROM read_parquet('{sfdir}/documents.parquet') d, range({factor}) c(i)
         ORDER BY doc_id
-      ) TO '{outdir}/documents.parquet' (FORMAT PARQUET)""")
+      ) TO '{outdir}/documents.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
     con.execute(f"""
       COPY (
         SELECT e.vec_id + c.i * 10000000 AS vec_id,
@@ -46,7 +54,8 @@ def main():
                e.label
         FROM read_parquet('{sfdir}/embeddings.parquet') e, range({factor}) c(i)
         ORDER BY vec_id
-      ) TO '{outdir}/embeddings.parquet' (FORMAT PARQUET)""")
+      ) TO '{outdir}/embeddings.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events"]:
         src, dst = f"{sfdir}/{t}.parquet", f"{outdir}/{t}.parquet"
