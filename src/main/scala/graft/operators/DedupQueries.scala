@@ -357,18 +357,29 @@ object DedupQueries {
       "q22_dedup_ngram",
       (s, d) => {
         import s.implicits._
-        // packed inverted index: ONE exchange builds (hp -> doc list)
-        // with the df cap riding the same aggregate; per-doc sizes and
-        // shared counts are then generated by row-local explodes (the
-        // window-cap + SMJ self-join this replaces re-sorted the full
-        // shingle frame twice)
-        val inv = shingleIndex(s, d)
-        val sizes = inv.select(explode($"ds").as("doc_id"))
-          .groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-        val shared = inv.select(explode($"ds").as("da"), $"ds")
-          .select($"da", explode($"ds").as("db"))
-          .filter($"da" < $"db")
-          .groupBy($"da".as("doc_a"), $"db".as("doc_b"))
+        // df-capped self-join on the hashed-shingle occurrence frame.
+        // Round-9 respell: the packed-index double-explode carried the
+        // doc array through the first Generate and emitted sum(df^2)
+        // rows (28M at 10x for this 3-gram distribution — few distinct
+        // keys, high df) before the da<db filter halved them; the
+        // self-join emits only the da<db half, its rows are two bare
+        // longs, and ONE hp-keyed exchange of the kept occurrences is
+        // reused by the df cap, the sizes aggregate and both join sides
+        // (ReusedExchange). Cap semantics identical: only buckets with
+        // df <= BucketCap enter the candidate join, so nothing is
+        // quadratic on a degenerate key at 100 TB. (The packed index
+        // remains the right shape where the fan-out is singleton-
+        // dominated or metadata must ride each pair — q103, lshPairs.)
+        val occ = hashedShingles(s, d)
+        val dfk = occ.groupBy($"hp").agg(count(lit(1)).as("df"))
+          .filter($"df" <= BucketCap)
+          .select($"hp")
+        val kept = occ.join(dfk, "hp")
+        val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val shared = kept.as("a")
+          .join(kept.as("b"),
+            $"a.hp" === $"b.hp" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .agg(count(lit(1)).as("shared"))
         shared
           .join(sizes.toDF("doc_a", "na"), "doc_a")
