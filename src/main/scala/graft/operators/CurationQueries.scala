@@ -282,10 +282,21 @@ object CurationQueries {
           .select($"doc_id", $"source", array_distinct(wh).as("whs"))
           .select($"doc_id", $"source",
             size($"whs").cast("long").as("n_win"), explode($"whs").as("wh"))
-        val idx = occ.groupBy($"wh").agg(
-          count(lit(1)).as("df"),
-          collect_list(struct($"doc_id", $"n_win", $"source")).as("ds"))
+        // df-first: 16-token windows are singleton-dominated (99% of the
+        // 18.7M distinct hashes at 100x have df = 1), so building packed
+        // lists for every group wastes the ObjectHashAggregate on rows
+        // the df filter then discards. The narrow codegen'd df aggregate
+        // finds the <=1% shared windows first; the semi-join leaves the
+        // list aggregate only those buckets — and the join's wh
+        // partitioning is exactly what the groupBy needs, so the
+        // collect_list adds NO further exchange.
+        val dfk = occ.select($"wh")
+          .groupBy($"wh").agg(count(lit(1)).as("df"))
           .filter($"df".between(2, BucketCap))
+          .select($"wh")
+        val idx = occ.join(dfk, "wh")
+          .groupBy($"wh").agg(
+            collect_list(struct($"doc_id", $"n_win", $"source")).as("ds"))
         val pairs = idx
           .select($"ds", explode($"ds").as("a"))
           .select($"a", explode($"ds").as("b"))
