@@ -215,6 +215,48 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing selection (Schleimer '03): the DISTINCT set of
+    * sliding-window minima over a long array — window w, step 1, fewer
+    * than w elements selects nothing. One pass, no per-window slice
+    * allocation (the HOF spelling `transform(sequence, i ->
+    * array_min(slice(h, i, w)))` this replaces allocated an array per
+    * window and ran interpreted — 9-11x DuckDB at scale); dedup via one
+    * sort of the ~tokens/1 window-min buffer. Value-set identical to the
+    * oracle's `list_distinct(list_transform(...))` (order of a distinct
+    * set is irrelevant to every consumer: size + explode).
+    */
+  def winnowMins(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val m = n - w + 1
+    val mins = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var mn = arr.getLong(i)
+      var j = 1
+      while (j < w) {
+        val v = arr.getLong(i + j)
+        if (v < mn) mn = v
+        j += 1
+      }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var distinct = 1
+    i = 1
+    while (i < m) { if (mins(i) != mins(i - 1)) distinct += 1; i += 1 }
+    val out = new Array[Long](distinct)
+    out(0) = mins(0)
+    var k = 1
+    i = 1
+    while (i < m) {
+      if (mins(i) != mins(i - 1)) { out(k) = mins(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[shingleHashes60]] generalized to any gram width: 60-bit hash of
     * each space-joined n-gram, fused — no intermediate n-gram string
     * column ever exists in the plan.
@@ -297,6 +339,37 @@ case class NGramHashes(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): NGramHashes =
+    copy(child = newChild)
+}
+
+/** array<bigint> -> distinct sliding-window-min set ([[ArrayKernels.winnowMins]]). */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"w must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, false) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_mins expects array<bigint> without nulls, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.winnowMins(v.asInstanceOf[ArrayData], w)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.winnowMins($c, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
     copy(child = newChild)
 }
 

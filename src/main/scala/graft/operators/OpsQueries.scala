@@ -30,6 +30,16 @@ object OpsQueries {
   /** Simulated files per source in the compaction inventory. */
   private val FilesPerSource = 16
 
+  /** Per-source document quota for the domain cap. */
+  private val CapN = 30
+
+  /** Winnowing: k-gram width and selection-window size. Any shared run
+    * of at least WinnowW + WinnowK - 1 = 6 tokens is guaranteed to share
+    * a selected fingerprint (Schleimer '03's winnowing guarantee).
+    */
+  private val WinnowK = 3
+  private val WinnowW = 4
+
   val all: Seq[CatalogQuery] = Seq(
 
     // Tokenizer-vocabulary induction: one BPE merge iteration at corpus
@@ -204,6 +214,149 @@ object OpsQueries {
         |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
         |  CAST(sum(n_docs) AS BIGINT) AS n_docs
         |FROM plan GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin)),
+
+    // Per-domain quota cap — the C4/RefinedWeb recipe step that stops a
+    // single domain from dominating the mixture: keep at most CapN docs
+    // per source, quality-gated docs first (the shared q81 conjunction),
+    // then a salted content-independent hash so the cut is deterministic
+    // and append-stable within each priority class. The report shows,
+    // per source, what survives the cap and how much of it is
+    // quality-passing.
+    //
+    // Scale shape: priority is row-local; the per-source selection is
+    // ONE bounded TopKMin aggregate (map-side partials carry <= CapN
+    // entries per source — never a window sort over the corpus, never
+    // more than #sources x CapN rows after the cut). The oracle spells
+    // it row_number() because oracles don't have to scale.
+    CatalogQuery(
+      "q107_domain_cap",
+      (s, d) => {
+        import s.implicits._
+        val t = spaceSplit(coalesce($"text", lit("")))
+        val ranked = Tables.documents(s, d)
+          .select($"source",
+            when(TextQueries.qualityPass(t, length(coalesce($"text", lit("")))
+              .cast("long")), 0L).otherwise(1L).as("fail"),
+            (hash60(concat(lit("cap:"), $"doc_id".cast("string")))).as("hp"),
+            $"doc_id", size(t).cast("long").as("n_tok"))
+        ranked
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            graft.functions.TopK.topkMin(
+              struct($"fail", $"hp", $"doc_id", $"n_tok"), CapN).as("top"))
+          .select($"source", $"n_docs", explode($"top").as("k"))
+          .groupBy($"source", $"n_docs")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(when($"k.fail" === 0L, 1L).otherwise(0L)).as("n_kept_pass"),
+            sum($"k.n_tok").as("kept_tokens"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH r AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN ${TextQueries.qualityPassSql(
+               "string_split(coalesce(text, ''), ' ')",
+               "CAST(length(coalesce(text, '')) AS BIGINT)")}
+        |      THEN 0 ELSE 1 END AS fail,
+        |    ${hash60Sql("'cap:' || CAST(doc_id AS VARCHAR)")} AS hp,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, fail, n_tok,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY fail, hp, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_docs
+        |  FROM r)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN fail = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept_pass,
+        |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+        |FROM k WHERE rk <= $CapN
+        |GROUP BY source, n_docs ORDER BY source
+        |""".stripMargin)),
+
+    // Winnowing fingerprint selection (Schleimer '03) — the
+    // detection-guaranteed sub-document fingerprinting that plagiarism /
+    // overlap pipelines use where q27's whole-doc rolling hash can't
+    // localize a match: slide a W-window over the doc's k-gram hashes,
+    // select each window's minimum, and the selected set (the
+    // fingerprint) provably shares a value with any other doc that
+    // shares a token run of length >= W + K - 1. The audit reports, per
+    // source, selection density (n_fp vs n_kgrams) and how many
+    // selected occurrences are shared with another document.
+    //
+    // Scale shape: selection is entirely row-local (sequence + slice +
+    // array_min over the in-row hash array — O(tokens x W) with W = 4;
+    // the hash array itself comes from the codegen'd NGramHashes
+    // kernel). The only corpus-scale exchange carries (fp, df) partials
+    // (fingerprint-vocab-bounded, the q91 discipline), and the shared
+    // flag joins doc occurrences against the DF-FILTERED shared set,
+    // never doc-against-doc.
+    CatalogQuery(
+      "q108_winnowing",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.Bridge
+        val h = Bridge.column(graft.functions.NGramHashes(
+          Bridge.expression(spaceSplit(coalesce($"text", lit("")))), WinnowK))
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"source", h.as("h"))
+          .filter(size($"h") >= 1)
+          .select($"doc_id", $"source", size($"h").cast("long").as("n_kg"),
+            Bridge.column(graft.functions.WinnowMins(
+              Bridge.expression($"h"), WinnowW)).as("fps"))
+        val occ = base.select($"doc_id", $"source", explode($"fps").as("fp"))
+        val sharedFp = occ.groupBy($"fp").agg(count(lit(1)).as("df"))
+          .filter($"df" >= 2).select($"fp")
+        val sharedOcc = occ.join(sharedFp, Seq("fp"), "left_semi")
+          .groupBy($"source").agg(count(lit(1)).as("n_shared_occ"))
+        base.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_kg").as("n_kgrams"),
+            sum(size($"fps")).cast("long").as("n_fp"))
+          .join(sharedOcc, Seq("source"), "left")
+          .select($"source", $"n_docs", $"n_kgrams", $"n_fp",
+            coalesce($"n_shared_occ", lit(0L)).as("n_shared_occ"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(coalesce(text, ''), ' ')) >= $WinnowK),
+        |hh AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, len(t) - ${WinnowK - 2}),
+        |      i -> ${hash60Sql(
+               s"array_to_string(list_slice(t, i, i + ${WinnowK - 1}), ' ')")})
+        |      AS h
+        |  FROM toks),
+        |base AS (
+        |  SELECT doc_id, source, CAST(len(h) AS BIGINT) AS n_kg,
+        |    CASE WHEN len(h) >= $WinnowW THEN
+        |      list_distinct(list_transform(range(1, len(h) - ${WinnowW - 2}),
+        |        i -> list_min(list_slice(h, i, i + ${WinnowW - 1}))))
+        |    ELSE [] END AS fps
+        |  FROM hh),
+        |occ AS (
+        |  SELECT doc_id, source, unnest(fps) AS fp FROM base),
+        |shared AS (
+        |  SELECT fp FROM (SELECT fp, count(*) AS df FROM occ GROUP BY 1)
+        |  WHERE df >= 2),
+        |so AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_shared_occ
+        |  FROM occ WHERE fp IN (SELECT fp FROM shared) GROUP BY 1),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_kg) AS BIGINT) AS n_kgrams,
+        |    CAST(sum(len(fps)) AS BIGINT) AS n_fp
+        |  FROM base GROUP BY 1)
+        |SELECT a.source, a.n_docs, a.n_kgrams, a.n_fp,
+        |  coalesce(so.n_shared_occ, 0) AS n_shared_occ
+        |FROM agg a LEFT JOIN so ON so.source = a.source
+        |ORDER BY a.source
         |""".stripMargin))
   )
 }

@@ -175,4 +175,30 @@ class ArrayKernelsSpec extends SparkSpec {
       .select(Portable.tokenCounts($"s").as("tc")).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("WinnowMins equals the distinct slice-min HOF formulation") {
+    import spark.implicits._
+    val cases = Seq(
+      Seq(5L, 3L, 8L, 1L, 9L, 2L, 7L, 4L),   // mixed
+      Seq(1L, 1L, 1L, 1L, 1L),               // all equal -> one fp
+      Seq(9L, 8L, 7L, 6L, 5L, 4L),           // descending
+      Seq(1L, 2L, 3L, 4L),                   // exactly one window
+      Seq(1L, 2L, 3L),                       // n < w -> empty
+      Seq.empty[Long])
+    val df = cases.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "h")
+    val kernel = df.select($"id",
+      Bridge.column(WinnowMins(Bridge.expression($"h"), 4)).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val hof = df
+      .select($"id",
+        when(size($"h") >= 4,
+          array_distinct(expr(
+            "transform(sequence(1, size(h) - 3), i -> array_min(slice(h, i, 4)))")))
+          .otherwise(typedLit(Seq.empty[Long])).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(kernel === hof)
+    // hand check: windows of [5,3,8,1,9,2,7,4] -> mins 1,1,1,1,2 -> {1,2}
+    assert(kernel(0L) === Seq(1L, 2L))
+    assert(kernel(4L).isEmpty && kernel(5L).isEmpty)
+  }
 }

@@ -93,6 +93,57 @@ class OpsSpec extends SparkSpec {
     assert(planned == corpus, s"planned $planned bytes, corpus has $corpus")
   }
 
+  test("q107 cap keeps quality-passing docs first, then cuts at the quota") {
+    // One source, 35 docs: 5 pass the q81 gate (25 tokens incl. two
+    // stopwords, avg clean word length 4.8, all distinct), 30 fail it
+    // (3 tokens). Cap = 30 -> all 5 passers survive, 25 failers fill
+    // the rest, and n_docs reports the uncapped 35.
+    val passing = ("the of" +: (1 to 23).map(i => f"wrd$i%02d")).mkString(" ")
+    val rows =
+      (0L until 5L).map(i => (i, passing, "en", "s", passing.length.toLong)) ++
+      (5L until 35L).map(i => (i, "aa bb cc", "en", "s", 8L))
+    val out = run("q107_domain_cap", docsDir(rows)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((35L, 30L, 5L)),
+      s"got ${(r.getLong(1), r.getLong(2), r.getLong(3))}")
+  }
+
+  test("q108 winnowing guarantee: docs sharing a 6+-token run share a fingerprint") {
+    // Doc A and doc B share an 8-token run (>= W + K - 1 = 6) embedded in
+    // otherwise-disjoint token streams; doc C is fully disjoint. The
+    // winnowing guarantee forces A and B to share at least one selected
+    // fingerprint, so both contribute shared occurrences; C contributes
+    // none.
+    val runTokens = (1 to 8).map(i => s"run$i").mkString(" ")
+    val a = ((1 to 10).map(i => s"a$i") :+ runTokens).mkString(" ")
+    val b = (runTokens +: (1 to 10).map(i => s"b$i")).mkString(" ")
+    val c = (1 to 20).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, a, "en", "sa", a.length.toLong),
+      (1L, b, "en", "sb", b.length.toLong),
+      (2L, c, "en", "sc", c.length.toLong)))
+    val out = run("q108_winnowing", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("sa") >= 1L && out("sb") >= 1L, s"guarantee violated: $out")
+    assert(out("sc") == 0L, s"disjoint doc flagged: $out")
+  }
+
+  test("q108 hand-computed selection on a single-window doc") {
+    // 6 tokens -> 4 k-gram hashes -> exactly one W=4 window -> one
+    // fingerprint per doc; two identical docs share it (2 shared
+    // occurrences), and density n_fp/n_kgrams = 1/4 per doc.
+    val text = "t1 t2 t3 t4 t5 t6"
+    val dir = docsDir(Seq(
+      (0L, text, "en", "s", text.length.toLong),
+      (1L, text, "en", "s", text.length.toLong)))
+    val out = run("q108_winnowing", dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 8L, 2L, 2L)), s"got $r")
+  }
+
   test("q106 next-fit overflow bound: no bin exceeds target + largest file") {
     import org.apache.spark.sql.functions._
     val dir = sf001
