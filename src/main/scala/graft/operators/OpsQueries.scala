@@ -357,6 +357,93 @@ object OpsQueries {
         |  coalesce(so.n_shared_occ, 0) AS n_shared_occ
         |FROM agg a LEFT JOIN so ON so.source = a.source
         |ORDER BY a.source
+        |""".stripMargin)),
+
+    // Snapshot DIFF report: given two corpus snapshots, classify every
+    // document as added / removed / changed / unchanged and report the
+    // per-source counts — the audit a lake runs between ingest versions
+    // (what did this crawl refresh actually do?) before promoting v2.
+    // The v2 snapshot here is DERIVED deterministically from the base
+    // fixture (hash bucket 0 removed, bucket 1 text-revised, bucket 2
+    // additionally spawning a brand-new doc id) so the oracle can mirror
+    // it; the OPERATOR is everything after the derivation and assumes
+    // nothing about it.
+    //
+    // Scale shape: each snapshot reduces row-locally to (doc_id, source,
+    // md5-fingerprint) — the diff never moves text, only 24-byte-ish
+    // fingerprint rows. The classify step is ONE doc_id-keyed full-outer
+    // sort-merge join of those reduced frames (unique keys both sides,
+    // no fan-out), and the report is a map-side-combinable per-source
+    // count aggregate. At 100 TB a stored snapshot would persist the
+    // fingerprint column at write time, making the diff scan-free on
+    // the text; nothing here is driver-side at any size.
+    CatalogQuery(
+      "q109_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val bucket = hashP(concat(lit("snap:"), $"doc_id".cast("string"))) % 10
+        val base = docs.select($"doc_id", $"source", md5($"text").as("fp"))
+        val bk = docs.withColumn("b", bucket)
+        val v2 = bk.filter($"b" =!= 0)
+          .select($"doc_id", $"source",
+            md5(when($"b" === 1, concat($"text", lit(" [rev2]")))
+              .otherwise($"text")).as("fp"))
+          .unionByName(bk.filter($"b" === 2)
+            .select(($"doc_id" + 100000000L).as("doc_id"), $"source",
+              md5(concat($"text", lit(" [new]"))).as("fp")))
+        val joined = base.select($"doc_id", $"source".as("src_a"), $"fp".as("fp_a"))
+          .join(v2.select($"doc_id", $"source".as("src_b"), $"fp".as("fp_b")),
+            Seq("doc_id"), "full_outer")
+        val status = when($"fp_b".isNull, "removed")
+          .when($"fp_a".isNull, "added")
+          .when($"fp_a" === $"fp_b", "unchanged")
+          .otherwise("changed")
+        joined
+          .select(coalesce($"src_a", $"src_b").as("source"), status.as("status"))
+          .groupBy($"source")
+          .agg(
+            sum(when($"status" === "added", 1L).otherwise(0L)).cast("long")
+              .as("n_added"),
+            sum(when($"status" === "removed", 1L).otherwise(0L)).cast("long")
+              .as("n_removed"),
+            sum(when($"status" === "changed", 1L).otherwise(0L)).cast("long")
+              .as("n_changed"),
+            sum(when($"status" === "unchanged", 1L).otherwise(0L)).cast("long")
+              .as("n_unchanged"))
+          .orderBy($"source")
+      },
+      Some(s"""
+        |WITH base AS (
+        |  SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |bk AS (
+        |  SELECT doc_id, source, text,
+        |    ${hashPSql("'snap:' || CAST(doc_id AS VARCHAR)")} % 10 AS b
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN b = 1 THEN text || ' [rev2]' ELSE text END) AS fp
+        |  FROM bk WHERE b <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, source, md5(text || ' [new]')
+        |  FROM bk WHERE b = 2),
+        |j AS (
+        |  SELECT coalesce(base.source, v2.source) AS source,
+        |    CASE WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN base.doc_id IS NULL THEN 'added'
+        |         WHEN base.fp = v2.fp THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM base FULL OUTER JOIN v2 ON base.doc_id = v2.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source
         |""".stripMargin))
   )
 }

@@ -163,4 +163,35 @@ class OpsSpec extends SparkSpec {
         s"bin ${r.getLong(1)} of ${r.getString(0)} too large: ${r.getLong(3)}")
     }
   }
+
+  test("q109 diff classification matches the per-bucket derivation") {
+    // Bucket of each doc computed locally with the same portable hash the
+    // query uses: 0 -> removed, 1 -> changed, 2 -> unchanged + spawns an
+    // added doc, else unchanged.
+    val rows = (0L until 60L).map(i => (i, s"text of doc $i", "en", s"s${i % 3}", 10L))
+    val dir = docsDir(rows)
+    def bucket(id: Long): Long =
+      (graft.functions.Md5Util.prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"snap:$id")) %
+        graft.functions.Portable.P) % 10
+    val expected = rows.groupBy(_._4).map { case (src, rs) =>
+      val bs = rs.map(r => bucket(r._1))
+      src -> (bs.count(_ == 2).toLong, bs.count(_ == 0).toLong,
+        bs.count(_ == 1).toLong, bs.count(b => b != 0 && b != 1).toLong)
+    }
+    val out = run("q109_snapshot_diff", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == expected, s"got $out expected $expected")
+  }
+
+  test("q109 identical snapshots diff to all-unchanged totals") {
+    // Global invariant: n_added = #bucket2, n_removed = #bucket0, and
+    // every base doc is accounted for exactly once across statuses.
+    val out = run("q109_snapshot_diff", sf001).collect()
+    val nBase = graft.Tables.documents(spark, sf001).count()
+    val accounted = out.map(r => r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+    assert(accounted == nBase,
+      s"removed+changed+unchanged = $accounted should equal base count $nBase")
+  }
 }
