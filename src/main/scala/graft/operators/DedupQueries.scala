@@ -1066,6 +1066,83 @@ object DedupQueries {
         |    AS BIGINT) AS kept_chars
         |FROM documents LEFT JOIN dropped dr USING (doc_id)
         |GROUP BY source ORDER BY source
+        |""".stripMargin)),
+
+    // Cluster-aware train/valid/test split — the leak-free-by-construction
+    // complement to q83 (per-doc hash split) and q86 (the audit that
+    // CATCHES near-dup pairs straddling splits): assign every document the
+    // split of its near-dup CLUSTER root (component min doc_id; docs off
+    // the pair graph are their own root), so no near-dup pair can ever
+    // straddle a split boundary. Reports per split: docs, distinct
+    // clusters, and the computed (not asserted) count of leaked candidate
+    // pairs — zero by construction, and the query proves it.
+    //
+    // Scale shape: the label frame is pair-graph-bounded (≪ corpus); the
+    // corpus touches ONE left join on doc_id and a row-local hash split
+    // of the root; per-split stats are map-side-combinable (the distinct-
+    // root count carries (split, root) partials, corpus-bounded 8-byte
+    // keys). The leak audit joins only the bounded pairs frame against
+    // the assignment — never corpus × corpus.
+    CatalogQuery(
+      "q111_cluster_split",
+      (s, d) => {
+        import s.implicits._
+        val pairs = lshPairs(sigRows(s, d), None).select($"doc_a", $"doc_b")
+        val labels = connectedComponents(pairs)
+        val assigned = Tables.documents(s, d).select($"doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"label", $"doc_id").as("root"))
+          .withColumn("split", splitAssign($"root"))
+        val stats = assigned.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"root").as("n_clusters"))
+        val sa = assigned.select($"doc_id".as("doc_a"), $"split".as("split_a"))
+        val sb = assigned.select($"doc_id".as("doc_b"), $"split".as("split_b"))
+        val leaks = pairs.join(sa, "doc_a").join(sb, "doc_b")
+          .filter($"split_a" =!= $"split_b")
+          .groupBy($"split_a".as("split"))
+          .agg(count(lit(1)).as("n_leaked"))
+        stats.join(leaks, Seq("split"), "left")
+          .select($"split", $"n_docs", $"n_clusters",
+            coalesce($"n_leaked", lit(0L)).as("n_leaked_pairs"))
+          .orderBy($"split")
+      },
+      Some(s"""
+        |WITH RECURSIVE $signaturesSql,
+        |$bandsSql,
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+        |  WHERE x.doc_id < y.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |walk(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.src, w.label FROM walk w JOIN edges e ON e.dst = w.doc_id),
+        |cc AS (SELECT doc_id, min(label) AS label FROM walk GROUP BY doc_id),
+        |asg AS (
+        |  SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS root,
+        |    ${graft.functions.Portable.splitAssignSql(
+               "coalesce(cc.label, d.doc_id)")} AS split
+        |  FROM documents d LEFT JOIN cc USING (doc_id)),
+        |stats AS (
+        |  SELECT split, count(*) AS n_docs,
+        |    count(DISTINCT root) AS n_clusters
+        |  FROM asg GROUP BY split),
+        |leaks AS (
+        |  SELECT x.split AS split, count(*) AS n_leaked
+        |  FROM pairs p
+        |  JOIN asg x ON x.doc_id = p.doc_a
+        |  JOIN asg y ON y.doc_id = p.doc_b
+        |  WHERE x.split <> y.split GROUP BY x.split)
+        |SELECT st.split, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked_pairs
+        |FROM stats st LEFT JOIN leaks l USING (split)
+        |ORDER BY st.split
         |""".stripMargin))
   )
 }

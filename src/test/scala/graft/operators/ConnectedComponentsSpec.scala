@@ -42,4 +42,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size === 21)
     assert(got.values.toSet === Set(100L))
   }
+
+  test("q111 cluster-aware split: zero leaks, full coverage, clusters intact") {
+    // Near-dup clusters get duplicated texts so lshPairs links them; the
+    // per-DOC hash split (q83's rule) would scatter some cluster across
+    // splits, and the cluster-aware assignment must not.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = (0L until 40L).map { i =>
+      val text = if (i < 8) dupText // one 8-doc near-dup cluster
+        else s"unique document body number $i with its own tail ${i * 31}"
+      (i, text, "en", s"s${i % 2}", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_q111").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.byName("q111_cluster_split").run(spark, dir).collect()
+    assert(out.map(_.getLong(3)).forall(_ == 0L), "cluster split leaked pairs")
+    assert(out.map(_.getLong(1)).sum == 40L, "every doc assigned exactly once")
+    // all 8 cluster members carry the root's split: recompute assignment
+    val asg = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Portable.splitAssign(
+          org.apache.spark.sql.functions.lit(0L)).as("root_split"))
+      .filter(col("doc_id") < 8).collect()
+    assert(asg.map(_.getString(1)).toSet.size == 1,
+      "near-dup cluster members must share one split")
+  }
 }
