@@ -113,6 +113,14 @@ object Embeddings {
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt((na * nb).cast("double"))
 
+  /** SQ8 reconstruction against corpus-global per-dimension bounds — the
+    * row-local codegen'd kernel behind the q110 audit (see
+    * [[SqReconstruct]]); bounds are plan constants like PQ's codebook.
+    */
+  def sqRecon(q: String, mins: Array[Long], spans: Array[Long]): Column =
+    org.apache.spark.sql.graft.Bridge.column(SqReconstruct(
+      org.apache.spark.sql.graft.Bridge.expression(expr(q)), mins, spans))
+
   /** PQ nearest-codeword assignment over a flattened literal codebook
     * (m·k·b longs, subspace-major) — one tight codegen'd loop per row
     * (see [[PqAssign]]).

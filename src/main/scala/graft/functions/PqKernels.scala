@@ -135,3 +135,71 @@ case class PqAdc(child: Expression, lut: Array[Long], k: Int)
   override protected def withNewChildInternal(newChild: Expression): PqAdc =
     copy(child = newChild)
 }
+
+/** Scalar-quantization (SQ8) kernels — the int8-per-dimension compression
+  * audit (q110). Each dimension d of a quantized vector is coded into
+  * [0, 255] against the corpus-global [min_d, max_d] and reconstructed to
+  * the code's representative value, all in exact integer arithmetic
+  * (truncating division on non-negative operands == floor — mirrored by
+  * DuckDB's `//`), so the audit's distances are bit-identical
+  * cross-engine.
+  */
+object SqKernels {
+  /** Reconstruct: r_d = min_d + ((q_d - min_d)*255 / span_d) * span_d / 255
+    * (span 0 → the constant min_d). One tight loop per row; the bounds
+    * arrays are plan constants.
+    */
+  def reconstruct(q: ArrayData, mins: Array[Long], spans: Array[Long]): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val mn = mins(i)
+      val sp = spans(i)
+      out(i) =
+        if (sp == 0L) mn
+        else mn + ((q.getLong(i) - mn) * 255L / sp) * sp / 255L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** array<bigint> (quantized vector) -> array<bigint> SQ8-reconstructed
+  * vector against corpus-global per-dimension bounds — see
+  * [[SqKernels.reconstruct]]. Bounds are plan constants (reference
+  * objects), like [[PqAssign]]'s codebook.
+  */
+case class SqReconstruct(child: Expression, mins: Array[Long],
+    spans: Array[Long]) extends UnaryExpression {
+  require(mins.length == spans.length, "mins/spans must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_reconstruct expects array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SqKernels.reconstruct(v.asInstanceOf[ArrayData], mins, spans)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = SqKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val mnRef = ctx.addReferenceObj("sqMins", mins, "long[]")
+    val spRef = ctx.addReferenceObj("sqSpans", spans, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kn.reconstruct($c, $mnRef, $spRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqReconstruct =
+    copy(child = newChild)
+}

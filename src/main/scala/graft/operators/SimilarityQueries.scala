@@ -787,6 +787,108 @@ object SimilarityQueries {
           |LEFT JOIN hits h USING (qid)
           |ORDER BY q2.qid
           |""".stripMargin
+      }),
+
+    // SQ8 scalar-quantization recall audit: compress each dimension to an
+    // 8-bit code against corpus-global per-dimension [min, max] bounds
+    // (the cheapest vector-compression tier — 8x smaller than float64
+    // and, unlike PQ, decodable without a codebook scan), then measure
+    // per-query recall@5 of top-k-by-reconstructed-distance against the
+    // exact float top-k. The production question it answers: can the ANN
+    // index serve from SQ8-compressed vectors?
+    //
+    // Scale shape: the bounds pass is ONE map-side-combinable aggregate
+    // returning a single 128-value row (the only driver touch); encode/
+    // reconstruct is the row-local codegen'd [[graft.functions.SqReconstruct]]
+    // kernel with the bounds embedded as plan constants (the PqAssign
+    // convention); scoring broadcasts only the NumQueries exact query
+    // vectors against the reconstructed corpus stream, and both top-k
+    // windows prune map-side (WindowGroupLimit). All arithmetic is exact
+    // integer + one IEEE division, so recall values are bit-identical
+    // cross-engine.
+    CatalogQuery(
+      "q110_sq8_recall",
+      (s, d) => {
+        import s.implicits._
+        val v = quantized(s, d)
+        // single bounded collect: one row of per-dim mins/maxs
+        val boundsRow = v.agg(
+          min($"q"(0)).as("b0"),
+          (1 until Embeddings.Dims).map(i => min($"q"(i)).as(s"b$i")) ++
+            (0 until Embeddings.Dims).map(i => max($"q"(i)).as(s"t$i")): _*)
+          .head()
+        val mins = Array.tabulate(Embeddings.Dims)(i => boundsRow.getLong(i))
+        val spans = Array.tabulate(Embeddings.Dims)(i =>
+          boundsRow.getLong(Embeddings.Dims + i) - mins(i))
+        val vr = v
+          .withColumn("r", Embeddings.sqRecon("q", mins, spans))
+          .withColumn("rn", Embeddings.norm2("r"))
+        val qs = v.filter($"vec_id" < NumQueries).toDF("qid", "qq", "qn")
+        val scored = vr.join(broadcast(qs), $"vec_id" =!= $"qid")
+          .withColumn("cos",
+            Embeddings.cosine(Embeddings.dot("qq", "r"), $"qn", $"rn"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val ap = scored.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= TopK).select($"qid", $"vec_id".as("neighbor"))
+        val ex = bruteTopK(s, d).select($"qid", $"neighbor")
+        val hits = ex.join(ap, Seq("qid", "neighbor"))
+          .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+        ex.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select($"qid", coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .withColumn("recall", $"n_hit" / lit(TopK.toDouble))
+          .orderBy($"qid")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val D = Embeddings.Dims
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |dim AS (SELECT unnest(range(1, ${D + 1})) AS i),
+          |bounds AS (
+          |  SELECT i, min(q[i]) AS mn, max(q[i]) - min(q[i]) AS sp
+          |  FROM v CROSS JOIN dim GROUP BY i),
+          |bl AS (SELECT list(mn ORDER BY i) AS mns, list(sp ORDER BY i) AS sps
+          |  FROM bounds),
+          |vr AS (
+          |  SELECT vec_id, q,
+          |    list_transform(range(1, ${D + 1}), i ->
+          |      CASE WHEN sps[i] = 0 THEN mns[i]
+          |           ELSE mns[i] + ((((q[i] - mns[i]) * 255) // sps[i]) * sps[i]) // 255
+          |      END) AS r
+          |  FROM v CROSS JOIN bl),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |vrn AS (SELECT vec_id, r, ${Embeddings.norm2Sql("r")} AS rn FROM vr),
+          |qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM vn
+          |  WHERE vec_id < $NumQueries),
+          |ap AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |    FROM (
+          |      SELECT qid, vec_id,
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("qq", "r"), "qn", "rn")} AS cos
+          |      FROM vrn CROSS JOIN qs WHERE vec_id <> qid))
+          |  WHERE rk <= $TopK),
+          |ex AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |    FROM (
+          |      SELECT qid, vec_id,
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("qq", "q"), "qn", "nrm")} AS cos
+          |      FROM vn CROSS JOIN qs WHERE vec_id <> qid))
+          |  WHERE rk <= $TopK),
+          |hits AS (
+          |  SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+          |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+          |  GROUP BY ex.qid)
+          |SELECT q2.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |  coalesce(h.n_hit, 0) / $TopK.0 AS recall
+          |FROM (SELECT DISTINCT qid FROM ex) q2
+          |LEFT JOIN hits h USING (qid)
+          |ORDER BY q2.qid
+          |""".stripMargin
       })
   )
 }
