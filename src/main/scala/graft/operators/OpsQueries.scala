@@ -370,37 +370,53 @@ object OpsQueries {
     // nothing about it.
     //
     // Scale shape: each snapshot reduces row-locally to (doc_id, source,
-    // md5-fingerprint) — the diff never moves text, only 24-byte-ish
-    // fingerprint rows. The classify step is ONE doc_id-keyed full-outer
-    // sort-merge join of those reduced frames (unique keys both sides,
-    // no fan-out), and the report is a map-side-combinable per-source
-    // count aggregate. At 100 TB a stored snapshot would persist the
-    // fingerprint column at write time, making the diff scan-free on
-    // the text; nothing here is driver-side at any size.
+    // 60-bit content fingerprint) — the diff never moves text, only
+    // 24-byte fixed-width rows. The fingerprint is the portable md5-
+    // prefix LONG (collision odds for n docs ~ n²/2^61 — ~4e-7 at a
+    // million docs, negligible for a diff report and documented here).
+    // Long fingerprints matter for the fold: the two snapshots are
+    // tagged, unioned, and folded by ONE (doc_id, source)-keyed
+    // aggregate whose buffer is all-primitive, so Spark keeps it in
+    // fixed-width HashAggregate — a string-valued max() buffer would
+    // silently fall back to sort-based aggregation (measured 12-22 s at
+    // the 100x fixture vs ~1 s for this shape). A full-outer join
+    // spelling measures the same ~1 s there (FO can't hash, so SMJ
+    // sorts both sides — n log n per partition where this fold stays
+    // linear, which is why the aggregate spelling is kept). The report
+    // is then a map-side-combinable
+    // per-source count aggregate. At 100 TB a stored snapshot would
+    // persist the fingerprint column at write time, making the diff
+    // scan-free on the text; nothing here is driver-side at any size.
+
     CatalogQuery(
       "q109_snapshot_diff",
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val bucket = hashP(concat(lit("snap:"), $"doc_id".cast("string"))) % 10
-        val base = docs.select($"doc_id", $"source", md5($"text").as("fp"))
+        val base = docs.select($"doc_id", $"source",
+          hash60($"text").as("fp"), lit(0).as("side"))
         val bk = docs.withColumn("b", bucket)
-        val v2 = bk.filter($"b" =!= 0)
-          .select($"doc_id", $"source",
-            md5(when($"b" === 1, concat($"text", lit(" [rev2]")))
-              .otherwise($"text")).as("fp"))
+        val tagged = base
+          .unionByName(bk.filter($"b" =!= 0)
+            .select($"doc_id", $"source",
+              hash60(when($"b" === 1, concat($"text", lit(" [rev2]")))
+                .otherwise($"text")).as("fp"), lit(1).as("side")))
           .unionByName(bk.filter($"b" === 2)
             .select(($"doc_id" + 100000000L).as("doc_id"), $"source",
-              md5(concat($"text", lit(" [new]"))).as("fp")))
-        val joined = base.select($"doc_id", $"source".as("src_a"), $"fp".as("fp_a"))
-          .join(v2.select($"doc_id", $"source".as("src_b"), $"fp".as("fp_b")),
-            Seq("doc_id"), "full_outer")
+              hash60(concat($"text", lit(" [new]"))).as("fp"),
+              lit(1).as("side")))
+        // source rides the GROUP KEY (identical across a doc's rows by
+        // construction), keeping every aggregation buffer primitive
+        val folded = tagged.groupBy($"doc_id", $"source")
+          .agg(max(when($"side" === 0, $"fp")).as("fp_a"),
+            max(when($"side" === 1, $"fp")).as("fp_b"))
         val status = when($"fp_b".isNull, "removed")
           .when($"fp_a".isNull, "added")
           .when($"fp_a" === $"fp_b", "unchanged")
           .otherwise("changed")
-        joined
-          .select(coalesce($"src_a", $"src_b").as("source"), status.as("status"))
+        folded
+          .select($"source", status.as("status"))
           .groupBy($"source")
           .agg(
             sum(when($"status" === "added", 1L).otherwise(0L)).cast("long")
@@ -414,26 +430,34 @@ object OpsQueries {
           .orderBy($"source")
       },
       Some(s"""
-        |WITH base AS (
-        |  SELECT doc_id, source, md5(text) AS fp FROM documents),
-        |bk AS (
+        |WITH bk AS (
         |  SELECT doc_id, source, text,
         |    ${hashPSql("'snap:' || CAST(doc_id AS VARCHAR)")} % 10 AS b
         |  FROM documents),
-        |v2 AS (
+        |tagged AS (
+        |  SELECT doc_id, source, ${hash60Sql("text")} AS fp, 0 AS side
+        |  FROM documents
+        |  UNION ALL
         |  SELECT doc_id, source,
-        |    md5(CASE WHEN b = 1 THEN text || ' [rev2]' ELSE text END) AS fp
+        |    ${hash60Sql("CASE WHEN b = 1 THEN text || ' [rev2]' ELSE text END")}
+        |      AS fp, 1 AS side
         |  FROM bk WHERE b <> 0
         |  UNION ALL
-        |  SELECT doc_id + 100000000, source, md5(text || ' [new]')
+        |  SELECT doc_id + 100000000, source, ${hash60Sql("text || ' [new]'")},
+        |    1 AS side
         |  FROM bk WHERE b = 2),
+        |folded AS (
+        |  SELECT doc_id, source,
+        |    max(CASE WHEN side = 0 THEN fp END) AS fp_a,
+        |    max(CASE WHEN side = 1 THEN fp END) AS fp_b
+        |  FROM tagged GROUP BY doc_id, source),
         |j AS (
-        |  SELECT coalesce(base.source, v2.source) AS source,
-        |    CASE WHEN v2.doc_id IS NULL THEN 'removed'
-        |         WHEN base.doc_id IS NULL THEN 'added'
-        |         WHEN base.fp = v2.fp THEN 'unchanged'
+        |  SELECT source,
+        |    CASE WHEN fp_b IS NULL THEN 'removed'
+        |         WHEN fp_a IS NULL THEN 'added'
+        |         WHEN fp_a = fp_b THEN 'unchanged'
         |         ELSE 'changed' END AS status
-        |  FROM base FULL OUTER JOIN v2 ON base.doc_id = v2.doc_id)
+        |  FROM folded)
         |SELECT source,
         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_added,
