@@ -77,6 +77,26 @@ object ArrayKernels {
     new GenericArrayData(out)
   }
 
+  /** All adjacent character pairs of a string: "abc" -> ["ab","bc"],
+    * under-2-char strings -> []. Bit-identical to the
+    * `transform(sequence(1, length-1), i -> substr(tok, i, 2))` HOF
+    * spelling (positions are codepoint-based via substringSQL, exactly
+    * like Column.substr / DuckDB substr) without the per-element
+    * interpreted lambda — the q104 vocab pass runs this once per
+    * distinct token.
+    */
+  def charPairs(s: UTF8String): ArrayData = {
+    val n = s.numChars()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 1
+    while (i < n) {
+      out(i - 1) = s.substringSQL(i, 2)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Collapse runs of consecutive identical elements, keeping the first
     * of each run: ["the","the","cat"] -> ["the","cat"]. One JVM call per
     * row — the `filter((x, i) -> ...)` spelling runs an interpreted
@@ -450,6 +470,38 @@ case class CharSplit(child: Expression, sep: Byte) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharSplit =
+    copy(child = newChild)
+}
+
+/** string -> array<string> of adjacent character pairs — see
+  * [[ArrayKernels.charPairs]].
+  */
+case class CharPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_pairs expects string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayKernels.charPairs(v.asInstanceOf[UTF8String])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ArrayKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.charPairs($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharPairs =
     copy(child = newChild)
 }
 

@@ -65,10 +65,13 @@ object OpsQueries {
           .select(explode(tokenCounts(coalesce($"text", lit("")))).as("t"))
           .groupBy($"t.tok".as("tok"))
           .agg(sum($"t.cnt").as("freq"))
-        val pairs = when(length($"tok") >= 2,
-          transform(sequence(lit(1), length($"tok") - 1),
-            i => $"tok".substr(i, lit(2))))
-          .otherwise(typedLit(Seq.empty[String]))
+        // codegen'd kernel, not transform(sequence(...), substr) — the
+        // HOF spelling runs an interpreted lambda per character over
+        // every distinct token (the q108 lesson; salted 100x fixtures
+        // carry a 100x vocabulary, so the vocab pass is hot there)
+        val pairs = org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.CharPairs(
+            org.apache.spark.sql.graft.Bridge.expression($"tok")))
         cf.select(explode(pairs).as("pair"), $"freq")
           .groupBy($"pair")
           .agg(sum($"freq").as("cnt"))

@@ -201,4 +201,23 @@ class ArrayKernelsSpec extends SparkSpec {
     assert(kernel(0L) === Seq(1L, 2L))
     assert(kernel(4L).isEmpty && kernel(5L).isEmpty)
   }
+
+  test("CharPairs equals the transform(sequence, substr) HOF formulation") {
+    import spark.implicits._
+    val toks = Seq("abab", "ab", "a", "", "héllo", "日本語テスト", "xy z")
+      .toDF("tok")
+    val kernel = toks
+      .select($"tok", Bridge.column(CharPairs(Bridge.expression($"tok"))).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val hof = toks
+      .select($"tok", expr(
+        """CASE WHEN length(tok) >= 2
+          |THEN transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))
+          |ELSE array() END""".stripMargin).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(kernel === hof)
+    assert(kernel("abab") === List("ab", "ba", "ab"))
+    assert(kernel("a").isEmpty && kernel("").isEmpty)
+    assert(kernel("日本語テスト") === List("日本", "本語", "語テ", "テス", "スト"))
+  }
 }
