@@ -93,43 +93,46 @@ object OpsQueries {
         |FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT $MergeTopK
         |""".stripMargin)),
 
-    // CDC snapshot merge — MERGE INTO re-expressed shuffle-minimally:
-    // base snapshot ∪ upsert batch → ONE key-partitioned argmax picks
-    // the latest version of every key (max(struct(version, payload)):
-    // map-side combinable, no window sort over the snapshot), then the
-    // delete set drops keys by anti-join. The change batch here is
-    // derived deterministically from the orders table (hash-threshold
+    // CDC snapshot merge — MERGE INTO re-expressed as SET ALGEBRA:
+    // merged = upserts ∪ (base ANTI upserts) then ANTI deletes. With a
+    // change batch carrying one version per key (any real CDC batch
+    // after its own in-batch compaction), keep-latest IS that algebra —
+    // no aggregate at all. The change batch here is derived
+    // deterministically from the orders table (hash-threshold
     // membership, the q79 convention) so the oracle sees the same CDC
     // stream without a fixture table.
     //
-    // Scale shape: the only corpus-scale exchange is the argmax's key
-    // partitioning, which the anti-join then REUSES (both sides hash on
-    // the key; the delete side is the small one). A window-sort spelling
-    // (row_number OVER key ORDER BY version) would sort every snapshot
-    // partition instead — the oracle uses it because oracles don't have
-    // to scale. Versions: base = 0, upsert = 1; a real ingest would
-    // carry a change-log sequence number in the same slot.
+    // Scale shape: the snapshot only streams through key-equi anti-joins
+    // — all-long keys, hash-joinable, and when the batch is small
+    // (the production case) BOTH anti-joins broadcast, making the merge
+    // a zero-shuffle map pass over the snapshot. The first spelling
+    // here was a key-partitioned max(struct(version, payload)) argmax:
+    // correct, but a STRING inside the struct buffer silently demotes
+    // HashAggregate to sort-based aggregation (the q109 lesson) — at
+    // the 15M-order 100x fixture it measured 18.6 s against 3.3 s for
+    // this shape. A window-sort spelling (row_number OVER key ORDER BY
+    // version) would sort every snapshot partition instead — the oracle
+    // uses it because oracles don't have to scale.
     CatalogQuery(
       "q105_snapshot_merge",
       (s, d) => {
         import s.implicits._
         val cdc = hash60(concat(lit("cdc:"), $"o_orderkey".cast("string"))) % 5
         val base = Tables.orders(s, d)
-          .select($"o_orderkey".as("k"), lit(0L).as("v"),
+          .select($"o_orderkey".as("k"),
             $"o_orderstatus".as("st"), $"o_totalprice".as("price"))
         val upserts = Tables.orders(s, d)
           .filter(cdc < 2)
-          .select($"o_orderkey".as("k"), lit(1L).as("v"),
+          .select($"o_orderkey".as("k"),
             lit("U").as("st"), ($"o_totalprice" + 1.5).as("price"))
         val deletes = Tables.orders(s, d)
           .filter(cdc === 2)
           .select($"o_orderkey".as("k"))
-        base.unionByName(upserts)
-          .groupBy($"k")
-          .agg(max(struct($"v", $"st", $"price")).as("w"))
+        upserts
+          .unionByName(base.join(upserts.select($"k"), Seq("k"), "left_anti"))
           .join(deletes, Seq("k"), "left_anti")
-          .groupBy($"w.st".as("st"))
-          .agg(count(lit(1)).as("n_orders"), Exact.dsum($"w.price").as("sum_price"))
+          .groupBy($"st")
+          .agg(count(lit(1)).as("n_orders"), Exact.dsum($"price").as("sum_price"))
           .orderBy($"st")
       },
       Some {

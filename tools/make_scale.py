@@ -56,8 +56,19 @@ def main():
         ORDER BY vec_id
       ) TO '{outdir}/embeddings.parquet'
         (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
+    # orders: copy i offsets o_orderkey by i*10M, everything else verbatim
+    # — the CDC-merge measurements (q105) key on o_orderkey, and a
+    # symlinked orders table would leave their input FIXED at every
+    # factor (measuring nothing about scale).
+    con.execute(f"""
+      COPY (
+        SELECT o.* REPLACE (o.o_orderkey + c.i * 10000000 AS o_orderkey)
+        FROM read_parquet('{sfdir}/orders.parquet') o, range({factor}) c(i)
+        ORDER BY o_orderkey
+      ) TO '{outdir}/orders.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "lineitem", "events"]:
         src, dst = f"{sfdir}/{t}.parquet", f"{outdir}/{t}.parquet"
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(os.path.abspath(src), dst)
