@@ -36,6 +36,12 @@ object CurationQueries {
   /** Containment chunk window (tokens), the q91 window length. */
   private val ContW = 16
 
+  /** Bigram-surprisal vocabulary cap (q112): bigram tables are larger
+    * than unigram, so the pair vocab gets 4x the unigram budget; both
+    * broadcasts stay constant-bounded at any corpus size.
+    */
+  private val BiSurpV = 4096
+
   /** Exact floor division for possibly-negative exact sums, mirrored by
     * the SQL `(s - (((s % n) + n) % n)) // n` spelling (the numerator is
     * exactly divisible, so DuckDB's `//` truncation equals floor).
@@ -364,6 +370,104 @@ object CurationQueries {
         |  CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(count(DISTINCT doc_contained) AS BIGINT) AS n_contained_docs
         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        |""".stripMargin)),
+
+    // BIGRAM conditional surprisal — q102's perplexity proxy upgraded
+    // from unigram to a first-order LM (the actual CCNet signal class:
+    // score token_i by how surprising it is GIVEN its predecessor).
+    // Per bigram instance: surprisal ≈ bits(cf(prev)) - bits(bf(pair))
+    // (integer log2 via binary-string length, no libm; clamped at 0 so
+    // vocabulary-cap fallbacks can't go negative), a document scores
+    // the floor-mean over its bigram instances, and the output is the
+    // per-source histogram of mean-bit buckets. Out-of-vocabulary
+    // unigrams/bigrams fall back to count 1 — the add-one floor.
+    //
+    // Scale shape: bigrams never exist as strings — the codegen'd
+    // NGramHashes kernel emits 60-bit hashes row-locally and the
+    // (prev, pair) instance frame is an explode of a row-local zip.
+    // Stats collapse FIRST to the (h1, h12) pair-vocabulary (map-side
+    // partials; the exchange is pair-vocab-bounded, never instances);
+    // both frequency tables then aggregate off that small cached frame
+    // (cache justified: pair-vocab-bounded, read by the cf AND bf
+    // consumers — uncached each would replay a corpus tokenize pass;
+    // same clearCache()-per-query lifetime as q36/q102). Vocabularies
+    // are capped top-V (TakeOrdered) so the scoring joins broadcast ≤V
+    // rows at any corpus size; scoring is one more corpus pass with a
+    // single doc-keyed exchange of map-side-combined partials. All-long
+    // join keys and all-primitive aggregation buffers throughout (the
+    // q105/q109 buffer lesson).
+
+    CatalogQuery(
+      "q112_bigram_surprisal",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.Bridge
+        val docs = Tables.documents(s, d)
+        def toks = spaceSplit(coalesce($"text", lit("")))
+        def uni = Bridge.column(graft.functions.NGramHashes(
+          Bridge.expression(toks), 1))
+        def bi = Bridge.column(graft.functions.NGramHashes(
+          Bridge.expression(toks), 2))
+        def inst = docs.select($"doc_id", $"source",
+            explode(arrays_zip(slice(uni, lit(1), size(bi)), bi)).as("z"))
+          .select($"doc_id", $"source",
+            $"z".getField("0").as("h1"), $"z".getField("1").as("h12"))
+        val ps = inst.groupBy($"h1", $"h12")
+          .agg(count(lit(1)).as("c")).cache()
+        val vu = ps.groupBy($"h1").agg(sum($"c").cast("long").as("cf"))
+          .orderBy($"cf".desc, $"h1").limit(SurpV)
+          .select($"h1", length(bin($"cf")).cast("long").as("wu"))
+        val vb = ps.groupBy($"h12").agg(sum($"c").cast("long").as("bf"))
+          .orderBy($"bf".desc, $"h12").limit(BiSurpV)
+          .select($"h12", length(bin($"bf")).cast("long").as("wb"))
+        inst
+          .join(broadcast(vu), Seq("h1"), "left")
+          .join(broadcast(vb), Seq("h12"), "left")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_bg"),
+            sum(greatest(coalesce($"wu", lit(1L)) - coalesce($"wb", lit(1L)),
+              lit(0L))).as("surp"))
+          .select($"source", idiv($"surp", $"n_bg").as("mean_bits"))
+          .groupBy($"source", $"mean_bits")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"source", $"mean_bits")
+      },
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS t
+        |  FROM documents),
+        |inst AS (
+        |  SELECT doc_id, source,
+        |    ${hash60Sql("t[i]")} AS h1,
+        |    ${hash60Sql("t[i] || ' ' || t[i+1]")} AS h12
+        |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+        |        FROM t)),
+        |ps AS (
+        |  SELECT h1, h12, CAST(count(*) AS BIGINT) AS c
+        |  FROM inst GROUP BY 1, 2),
+        |cf AS (SELECT h1, CAST(sum(c) AS BIGINT) AS cf FROM ps GROUP BY 1),
+        |bf AS (SELECT h12, CAST(sum(c) AS BIGINT) AS bf FROM ps GROUP BY 1),
+        |vu AS (
+        |  SELECT h1, CAST(length(bin(cf)) AS BIGINT) AS wu FROM (
+        |    SELECT h1, cf, row_number() OVER (ORDER BY cf DESC, h1) AS rk
+        |    FROM cf)
+        |  WHERE rk <= $SurpV),
+        |vb AS (
+        |  SELECT h12, CAST(length(bin(bf)) AS BIGINT) AS wb FROM (
+        |    SELECT h12, bf, row_number() OVER (ORDER BY bf DESC, h12) AS rk
+        |    FROM bf)
+        |  WHERE rk <= $BiSurpV),
+        |doc AS (
+        |  SELECT i.doc_id, i.source, CAST(count(*) AS BIGINT) AS n_bg,
+        |    CAST(sum(greatest(coalesce(vu.wu, 1) - coalesce(vb.wb, 1), 0))
+        |      AS BIGINT) AS surp
+        |  FROM inst i
+        |  LEFT JOIN vu USING (h1)
+        |  LEFT JOIN vb USING (h12)
+        |  GROUP BY 1, 2)
+        |SELECT source, surp // n_bg AS mean_bits,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM doc GROUP BY 1, 2 ORDER BY 1, 2
         |""".stripMargin))
   )
 }

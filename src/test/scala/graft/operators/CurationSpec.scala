@@ -103,4 +103,33 @@ class CurationSpec extends SparkSpec {
     val out = run("q103_containment", docsDir(rows)).collect()
     assert(out.isEmpty, s"expected no flagged pairs, got ${out.length}")
   }
+
+  test("q112 hand-computed conditional surprisal histogram") {
+    // Corpus: "x y", "x z", "x y". Prev-token counts: cf(x) = 3 ('11',
+    // 2 bits). Bigram counts: bf(x y) = 2 ('10', 2 bits), bf(x z) = 1
+    // ('1', 1 bit). Instance scores: (x,"x y") -> 2-2 = 0; (x,"x z") ->
+    // 2-1 = 1. Docs 0/2 mean 0; doc 1 mean 1.
+    val rows = Seq(
+      (0L, "x y", "en", "a", 3L),
+      (1L, "x z", "en", "a", 3L),
+      (2L, "x y", "en", "b", 3L))
+    val out = run("q112_bigram_surprisal", docsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 0L, 1L), ("a", 1L, 1L), ("b", 0L, 1L)),
+      s"got $out")
+  }
+
+  test("q112 drops docs without bigrams and clamps OOV scores at zero") {
+    // One-token and empty docs produce no bigram instances -> no row;
+    // scores never go negative even when the unigram falls out of the
+    // vocab while the bigram stays (clamp at 0).
+    val rows = Seq(
+      (0L, "solo", "en", "a", 4L),
+      (1L, "", "en", "a", 0L),
+      (2L, "p q p q", "en", "a", 7L))
+    val out = run("q112_bigram_surprisal", docsDir(rows)).collect()
+    assert(out.forall(_.getLong(1) >= 0L), "mean_bits must be >= 0")
+    assert(out.map(_.getLong(2)).sum == 1L,
+      s"only the bigram-bearing doc may appear, got ${out.toSeq}")
+  }
 }
