@@ -474,6 +474,116 @@ object OpsQueries {
         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_unchanged
         |FROM j GROUP BY source ORDER BY source
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    // Table PROFILE — the lake's ANALYZE step: per column (across
+    // tables), row count, null count, exact distinct count, and the
+    // deterministic KMV distinct ESTIMATE (q45's estimator, portable
+    // md5 hashing so both engines compute the identical sketch). The
+    // exact count rides along to exhibit the estimator's error; a real
+    // deployment keeps only the sketch, which is mergeable across
+    // partitions and snapshots. Profiles feed the planners (q94 range
+    // shards, q106 compaction) and regression-detect schema drift
+    // between ingest versions.
+    //
+    // Scale shape: row/null counts come from ONE narrow aggregate per
+    // table (count + a sum-of-nulls per column — no unpivot, no string
+    // casts; the single result row reshapes to per-column rows with a
+    // metadata-size explode). The distinct branch unpivots each table
+    // row-locally into (col, hash) pairs (a generated explode — fan-out
+    // x #cols of skinny rows, never a per-column pass) and reuses ONE
+    // (col, hash)-distinct exchange for both the KMV rank
+    // (WindowGroupLimit prunes to K rows per column map-side) and the
+    // exact count (partial aggregation) — the q45 ReusedExchange
+    // discipline, keyed by column name instead of language. Only
+    // cast-portable column types enter (BIGINT/VARCHAR; doubles and
+    // timestamps render differently across engines and would need the
+    // sketch to hash a normalized encoding first).
+    CatalogQuery(
+      "q113_table_profile",
+      (s, d) => {
+        import s.implicits._
+        val K = 64
+        def unpivot(df: org.apache.spark.sql.DataFrame, table: String,
+            cols: Seq[String]) =
+          df.select(explode(array(cols.map(c =>
+              struct(lit(s"$table.$c").as("c"),
+                col(c).cast("string").as("v"))): _*)).as("p"))
+            .select($"p.c".as("c"), $"p.v".as("v"))
+        def tableCounts(df: org.apache.spark.sql.DataFrame, table: String,
+            cols: Seq[String]) = {
+          val aggs = count(lit(1)).as("n") +: cols.map(c =>
+            sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+              .as(s"nn_$c"))
+          df.agg(aggs.head, aggs.tail: _*)
+            .select(explode(array(cols.map(c =>
+              struct(lit(s"$table.$c").as("c"), $"n".as("n_rows"),
+                col(s"nn_$c").as("n_null"))): _*)).as("p"))
+            .select($"p.c".as("c"), $"p.n_rows".as("n_rows"),
+              $"p.n_null".as("n_null"))
+        }
+        val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus")
+        val docCols = Seq("lang", "source", "text")
+        val counts = tableCounts(Tables.lineitem(s, d), "lineitem", liCols)
+          .unionByName(tableCounts(Tables.documents(s, d), "documents",
+            docCols))
+        val up = unpivot(Tables.lineitem(s, d), "lineitem", liCols)
+          .unionByName(unpivot(Tables.documents(s, d), "documents", docCols))
+        val dist = up.filter($"v".isNotNull)
+          .select($"c", hashP($"v").as("hp")).distinct()
+        val nExact = dist.groupBy($"c").agg(count(lit(1)).as("n_exact"))
+        val wR = org.apache.spark.sql.expressions.Window
+          .partitionBy($"c").orderBy($"hp")
+        dist
+          .withColumn("rk", row_number().over(wR))
+          .filter($"rk" <= K)
+          .groupBy($"c").agg(max($"hp").as("kth"))
+          .join(broadcast(nExact), Seq("c"))
+          .join(broadcast(counts), Seq("c"))
+          .select($"c".as("column"), $"n_rows", $"n_null", $"n_exact",
+            when($"n_exact" < K, $"n_exact".cast("double"))
+              .otherwise(lit((K - 1).toDouble * P) / $"kth".cast("double"))
+              .as("est_distinct"))
+          .orderBy($"column")
+      },
+      Some {
+        val K = 64
+        val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus")
+        val docCols = Seq("lang", "source", "text")
+        val up = (liCols.map(c =>
+            s"SELECT 'lineitem.$c' AS c, CAST($c AS VARCHAR) AS v FROM lineitem") ++
+          docCols.map(c =>
+            s"SELECT 'documents.$c' AS c, CAST($c AS VARCHAR) AS v FROM documents"))
+          .mkString("\n  UNION ALL ")
+        s"""
+          |WITH up AS (
+          |  $up),
+          |counts AS (
+          |  SELECT c, CAST(count(*) AS BIGINT) AS n_rows,
+          |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_null
+          |  FROM up GROUP BY c),
+          |dist AS (
+          |  SELECT DISTINCT c, ${hashPSql("v")} AS hp FROM up
+          |  WHERE v IS NOT NULL),
+          |ranked AS (
+          |  SELECT c, hp,
+          |    count(*) OVER (PARTITION BY c) AS n_exact,
+          |    row_number() OVER (PARTITION BY c ORDER BY hp) AS rk
+          |  FROM dist),
+          |kmv AS (
+          |  SELECT c, CAST(n_exact AS BIGINT) AS n_exact, max(hp) AS kth
+          |  FROM ranked WHERE rk <= $K GROUP BY c, n_exact)
+          |SELECT kmv.c AS "column", counts.n_rows, counts.n_null,
+          |  kmv.n_exact,
+          |  CASE WHEN kmv.n_exact < $K THEN CAST(kmv.n_exact AS DOUBLE)
+          |       ELSE ${(K - 1).toDouble} * $P / CAST(kth AS DOUBLE)
+          |  END AS est_distinct
+          |FROM kmv JOIN counts ON counts.c = kmv.c
+          |ORDER BY "column"
+          |""".stripMargin
+      })
   )
 }

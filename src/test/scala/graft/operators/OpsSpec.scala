@@ -185,6 +185,29 @@ class OpsSpec extends SparkSpec {
     assert(out == expected, s"got $out expected $expected")
   }
 
+  test("q113 profile counts nulls exactly and bounds the KMV estimate") {
+    // documents fixture with known nulls and known distincts per column.
+    val rows = (0L until 200L).map { i =>
+      val lang = if (i % 10 == 0) null else s"l${i % 4}"
+      (i, s"tok${i % 50}", lang, s"s${i % 7}", 5L)
+    }
+    val dir = docsDir(rows.map(r => (r._1, r._2, r._3, r._4, r._5)))
+    // the profile also scans lineitem — borrow the tiny sf0.001 one
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/lineitem.parquet"))
+    val out = Catalog.byName("q113_table_profile").run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (nRows, nNull, nExact, est) = out("documents.lang")
+    assert(nRows == 200L && nNull == 20L && nExact == 4L)
+    assert(est == 4.0, "below-K estimates must be exact")
+    val (_, tn, tExact, tEst) = out("documents.text")
+    assert(tn == 0L && tExact == 50L && tEst == 50.0)
+    // sources: 7 distinct, no nulls
+    assert(out("documents.source")._3 == 7L)
+  }
+
   test("q109 identical snapshots diff to all-unchanged totals") {
     // Global invariant: n_added = #bucket2, n_removed = #bucket0, and
     // every base doc is accounted for exactly once across statuses.
