@@ -121,5 +121,68 @@ object BehaviorQueries {
         |SELECT cohort_week, week_offset, count(*) AS n_active
         |FROM w GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset
+        |""".stripMargin)),
+
+    // Event-disorder / watermark-planning audit: before configuring a
+    // Structured Streaming watermark, measure HOW out-of-order the
+    // stream actually is — per event type: how many events arrive after
+    // a later-timestamped event of the same user (disordered), how many
+    // arrive more than the candidate watermark delay behind the user's
+    // high-water mark (these a watermark of D would DROP), and the worst
+    // observed lateness. The fixture's events carry no arrival column
+    // (they are perfectly ordered by event_id), so arrival order is
+    // SYNTHESIZED by a deterministic hash jitter of the event id — the
+    // q105/q109 derivation convention, mirrored exactly in the oracle;
+    // the OPERATOR is everything downstream of the arrival column.
+    //
+    // Scale shape: one user-keyed exchange; the running high-water mark
+    // is an incremental window (running max, O(1) per row — never a
+    // per-frame re-scan) inside each user partition, and the report is a
+    // map-side-combinable per-type aggregate. Timestamps compare in
+    // whole seconds (the epoch()-floor convention of q18/q72).
+    CatalogQuery(
+      "q114_disorder_audit",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Portable.hash60
+        val D = 60L // candidate watermark: 1 minute
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type",
+            $"ts".cast("long").as("sec"),
+            ($"event_id" +
+              (hash60(concat(lit("arr:"), $"event_id".cast("string"))) % 7)
+              - 3).as("arr"))
+        val w = Window.partitionBy($"user_id").orderBy($"arr", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("late_s", max($"sec").over(w) - $"sec")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"late_s" > 0, 1L).otherwise(0L)).cast("long")
+              .as("n_disordered"),
+            sum(when($"late_s" > D, 1L).otherwise(0L)).cast("long")
+              .as("n_dropped_at_watermark"),
+            max($"late_s").as("max_late_s"))
+          .orderBy($"event_type")
+      },
+      Some(s"""
+        |WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    event_id +
+        |      (${graft.functions.Portable.hash60Sql(
+               "'arr:' || CAST(event_id AS VARCHAR)")} % 7) - 3 AS arr
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    max(sec) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |      ROWS UNBOUNDED PRECEDING) - sec AS late_s
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_disordered,
+        |  CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped_at_watermark,
+        |  CAST(max(late_s) AS BIGINT) AS max_late_s
+        |FROM h GROUP BY event_type ORDER BY event_type
         |""".stripMargin)))
 }

@@ -64,4 +64,40 @@ class BehaviorSkewSpec extends SparkSpec {
     // hot user: one row per active week; cold users: 2 weeks each
     assert(total > 150L && total < 250L, s"implausible total $total")
   }
+
+  test("q114 disorder audit matches an independent local replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-disorder-events").toString
+    // deliberately out-of-order timestamps so the jittered arrival order
+    // produces real disorder; two users so the partitioning matters
+    val evs = (0 until 400).map { i =>
+      val uid = (i % 2).toLong + 1L
+      val secs = ((i / 2) * 30L + (if (i % 10 == 3) -120L else 0L)).max(0L)
+      (i.toLong, secs * 1000000000L, uid,
+        Seq("view", "click")(i % 2), 1.0, "{}")
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // local replay with the same portable jitter
+    def arr(e: Long): Long =
+      e + (graft.functions.Md5Util.prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"arr:$e")) % 7) - 3
+    val expected = evs.groupBy(_._3).values.flatMap { rows =>
+      var hwm = Long.MinValue
+      rows.sortBy(r => (arr(r._1), r._1)).map { r =>
+        val sec = r._2 / 1000000000L
+        hwm = math.max(hwm, sec)
+        (r._4, hwm - sec)
+      }
+    }.toSeq.groupBy(_._1).map { case (ty, ls) =>
+      ty -> (ls.size.toLong, ls.count(_._2 > 0).toLong,
+        ls.count(_._2 > 60).toLong, ls.map(_._2).max)
+    }
+    val out = Catalog.byName("q114_disorder_audit").run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == expected, s"got $out expected $expected")
+    assert(out.values.exists(_._2 > 0), "fixture must exhibit disorder")
+  }
 }
