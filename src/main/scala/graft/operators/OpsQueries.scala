@@ -535,14 +535,19 @@ object OpsQueries {
         val nExact = dist.groupBy($"c").agg(count(lit(1)).as("n_exact"))
         val wR = org.apache.spark.sql.expressions.Window
           .partitionBy($"c").orderBy($"hp")
-        dist
+        val kmv = dist
           .withColumn("rk", row_number().over(wR))
           .filter($"rk" <= K)
           .groupBy($"c").agg(max($"hp").as("kth"))
           .join(broadcast(nExact), Seq("c"))
-          .join(broadcast(counts), Seq("c"))
-          .select($"c".as("column"), $"n_rows", $"n_null", $"n_exact",
-            when($"n_exact" < K, $"n_exact".cast("double"))
+        // counts is the base (one row per profiled column by
+        // construction) — an all-null column has no distinct hashes and
+        // must still appear in the report, not silently vanish
+        counts.join(broadcast(kmv), Seq("c"), "left")
+          .select($"c".as("column"), $"n_rows", $"n_null",
+            coalesce($"n_exact", lit(0L)).as("n_exact"),
+            when(coalesce($"n_exact", lit(0L)) < K,
+              coalesce($"n_exact", lit(0L)).cast("double"))
               .otherwise(lit((K - 1).toDouble * P) / $"kth".cast("double"))
               .as("est_distinct"))
           .orderBy($"column")
@@ -576,12 +581,13 @@ object OpsQueries {
           |kmv AS (
           |  SELECT c, CAST(n_exact AS BIGINT) AS n_exact, max(hp) AS kth
           |  FROM ranked WHERE rk <= $K GROUP BY c, n_exact)
-          |SELECT kmv.c AS "column", counts.n_rows, counts.n_null,
-          |  kmv.n_exact,
-          |  CASE WHEN kmv.n_exact < $K THEN CAST(kmv.n_exact AS DOUBLE)
+          |SELECT counts.c AS "column", counts.n_rows, counts.n_null,
+          |  CAST(coalesce(kmv.n_exact, 0) AS BIGINT) AS n_exact,
+          |  CASE WHEN coalesce(kmv.n_exact, 0) < $K
+          |       THEN CAST(coalesce(kmv.n_exact, 0) AS DOUBLE)
           |       ELSE ${(K - 1).toDouble} * $P / CAST(kth AS DOUBLE)
           |  END AS est_distinct
-          |FROM kmv JOIN counts ON counts.c = kmv.c
+          |FROM counts LEFT JOIN kmv ON kmv.c = counts.c
           |ORDER BY "column"
           |""".stripMargin
       })

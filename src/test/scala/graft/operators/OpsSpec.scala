@@ -208,6 +208,22 @@ class OpsSpec extends SparkSpec {
     assert(out("documents.source")._3 == 7L)
   }
 
+  test("q113 keeps a 100%-null column in the report") {
+    val rows = (0L until 50L).map(i =>
+      (i, s"t$i", null.asInstanceOf[String], s"s${i % 3}", 2L))
+    val dir = docsDir(rows)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "lineitem.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/lineitem.parquet"))
+    val out = Catalog.byName("q113_table_profile").run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.contains("documents.lang"),
+      "an all-null column must not vanish from the profile")
+    assert(out("documents.lang") == ((50L, 50L, 0L, 0.0)),
+      s"got ${out("documents.lang")}")
+  }
+
   test("q109 identical snapshots diff to all-unchanged totals") {
     // Global invariant: n_added = #bucket2, n_removed = #bucket0, and
     // every base doc is accounted for exactly once across statuses.

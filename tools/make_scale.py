@@ -67,8 +67,19 @@ def main():
         ORDER BY o_orderkey
       ) TO '{outdir}/orders.parquet'
         (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
+    # events: copy i offsets event_id and user_id per copy (disjoint user
+    # populations, same temporal shape) — event-stream audits (q114,
+    # q63/q72/q73) need an input that actually grows with the factor.
+    con.execute(f"""
+      COPY (
+        SELECT e.* REPLACE (e.event_id + c.i * 10000000 AS event_id,
+                            e.user_id + c.i * 1000000 AS user_id)
+        FROM read_parquet('{sfdir}/events.parquet') e, range({factor}) c(i)
+        ORDER BY event_id
+      ) TO '{outdir}/events.parquet'
+        (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
     for t in ["region", "nation", "customer", "supplier", "part",
-              "lineitem", "events"]:
+              "lineitem"]:
         src, dst = f"{sfdir}/{t}.parquet", f"{outdir}/{t}.parquet"
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(os.path.abspath(src), dst)
