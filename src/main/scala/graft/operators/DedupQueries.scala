@@ -1143,6 +1143,110 @@ object DedupQueries {
         |  CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked_pairs
         |FROM stats st LEFT JOIN leaks l USING (split)
         |ORDER BY st.split
-        |""".stripMargin))
+        |""".stripMargin)),
+
+    // Dedup ROI threshold sweep — the planning query run BEFORE choosing
+    // a dedup cutoff: for each candidate similarity threshold, how many
+    // near-dup pairs survive, how many clusters form, how many documents
+    // the min-id keep rule would drop, and how many tokens that saves.
+    // Thresholds are exact sixteenths (est_sim is k/16), so the sweep
+    // grid is bit-representable in both engines.
+    //
+    // Scale shape: the corpus is touched exactly TWICE regardless of how
+    // many thresholds are swept — once to build signatures (the shared
+    // lshPairs machinery, bucket-capped) and once to fetch token counts
+    // for the pair-graph members only (a semi-join against the bounded
+    // node set). Every per-threshold computation (components, drop set,
+    // token rollup) runs on those two BOUNDED frames; both are cached
+    // with the multi-action justification (read once per threshold;
+    // uncached each sweep step would replay the corpus pass). The
+    // components come from the same probe-bounded union-find /
+    // label-propagation fallback as q48.
+    CatalogQuery(
+      "q116_dedup_roi",
+      (s, d) => {
+        import s.implicits._
+        val thresholds = Seq(8, 10, 12, 14).map(_ / 16.0)
+        // bounded: candidate pairs at the loosest threshold, reread per
+        // sweep step (cache justified above)
+        val pairs = lshPairs(sigRows(s, d), Some(thresholds.min))
+          .select($"doc_a", $"doc_b", $"est_sim").cache()
+        val nodes = pairs.select($"doc_a".as("doc_id"))
+          .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+        // bounded: token counts only for pair-graph members
+        val toks = Tables.documents(s, d)
+          .select($"doc_id",
+            size(spaceSplit(coalesce($"text", lit("")))).cast("long")
+              .as("n_tok"))
+          .join(nodes, "doc_id").cache()
+        val perT = thresholds.map { t =>
+          val pt = pairs.filter($"est_sim" >= t)
+          val labels = connectedComponents(pt.select($"doc_a", $"doc_b"))
+          val dropped = labels.filter($"doc_id" =!= $"label")
+          val saved = dropped.join(toks, "doc_id")
+            .agg(coalesce(sum($"n_tok"), lit(0L)).as("tokens_saved"))
+          val stats = pt.agg(count(lit(1)).as("n_pairs")).crossJoin(
+            labels.agg(countDistinct($"label").as("n_clusters"),
+              count(lit(1)).as("n_docs_in_clusters")))
+          stats.crossJoin(saved)
+            .select(lit(t).as("threshold"), $"n_pairs", $"n_clusters",
+              ($"n_docs_in_clusters" - $"n_clusters").as("n_dropped"),
+              $"tokens_saved".cast("long").as("tokens_saved"))
+        }
+        perT.reduce(_ unionByName _).orderBy($"threshold")
+      },
+      Some {
+        val eqSum = (0 until NumPerms)
+          .map(j => s"(sa.m$j = sb.m$j)::INT").mkString(" + ")
+        def sweep(t: Int): String = {
+          val tv = t / 16.0
+          s"""e$t AS (
+             |  SELECT doc_a AS src, doc_b AS dst FROM scored
+             |  WHERE est_sim >= $tv
+             |  UNION ALL
+             |  SELECT doc_b, doc_a FROM scored WHERE est_sim >= $tv),
+             |n$t AS (SELECT DISTINCT src AS doc_id FROM e$t),
+             |w$t(doc_id, label) AS (
+             |  SELECT doc_id, doc_id FROM n$t
+             |  UNION
+             |  SELECT e.src, w.label FROM w$t w JOIN e$t e ON e.dst = w.doc_id),
+             |cc$t AS (SELECT doc_id, min(label) AS label FROM w$t
+             |  GROUP BY doc_id),
+             |r$t AS (
+             |  SELECT CAST($tv AS DOUBLE) AS threshold,
+             |    (SELECT count(*) FROM scored WHERE est_sim >= $tv)
+             |      AS n_pairs,
+             |    (SELECT count(DISTINCT label) FROM cc$t) AS n_clusters,
+             |    (SELECT count(*) - count(DISTINCT label) FROM cc$t)
+             |      AS n_dropped,
+             |    CAST(coalesce((SELECT sum(tk.n_tok) FROM cc$t c
+             |      JOIN tk ON tk.doc_id = c.doc_id
+             |      WHERE c.doc_id <> c.label), 0) AS BIGINT)
+             |      AS tokens_saved)""".stripMargin
+        }
+        val ts = Seq(8, 10, 12, 14)
+        s"""
+          |WITH RECURSIVE $signaturesSql,
+          |$bandsSql,
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+          |  WHERE x.doc_id < y.doc_id),
+          |scored AS (
+          |  SELECT doc_a, doc_b,
+          |    CAST($eqSum AS DOUBLE) / $NumPerms.0 AS est_sim
+          |  FROM cand
+          |  JOIN sig sa ON sa.doc_id = cand.doc_a
+          |  JOIN sig sb ON sb.doc_id = cand.doc_b),
+          |tk AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+          |      AS n_tok
+          |  FROM documents),
+          |${ts.map(sweep).mkString(",\n")}
+          |${ts.map(t => s"SELECT * FROM r$t").mkString("\nUNION ALL ")}
+          |ORDER BY threshold
+          |""".stripMargin
+      })
   )
 }

@@ -70,4 +70,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(asg.map(_.getString(1)).toSet.size == 1,
       "near-dup cluster members must share one split")
   }
+
+  test("q116 ROI sweep is monotone in the threshold") {
+    val rows = Catalog.byName("q116_dedup_roi")
+      .run(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length == 4)
+    // tightening the threshold can only shrink pairs, drops, and savings
+    rows.toSeq.sliding(2).foreach { w =>
+      val (lo, hi) = (w.head, w.last)
+      assert(hi._2 <= lo._2, s"n_pairs must not grow: $lo -> $hi")
+      assert(hi._4 <= lo._4, s"n_dropped must not grow: $lo -> $hi")
+      assert(hi._5 <= lo._5, s"tokens_saved must not grow: $lo -> $hi")
+    }
+    // every cluster keeps exactly one representative
+    rows.foreach { r =>
+      assert(r._4 >= 0 && r._5 >= 0)
+    }
+  }
 }
