@@ -486,19 +486,21 @@ object OpsQueries {
     // shards, q106 compaction) and regression-detect schema drift
     // between ingest versions.
     //
-    // Scale shape: row/null counts come from ONE narrow aggregate per
-    // table (count + a sum-of-nulls per column — no unpivot, no string
-    // casts; the single result row reshapes to per-column rows with a
-    // metadata-size explode). The distinct branch unpivots each table
-    // row-locally into (col, hash) pairs (a generated explode — fan-out
-    // x #cols of skinny rows, never a per-column pass) and reuses ONE
-    // (col, hash)-distinct exchange for both the KMV rank
-    // (WindowGroupLimit prunes to K rows per column map-side) and the
-    // exact count (partial aggregation) — the q45 ReusedExchange
-    // discipline, keyed by column name instead of language. Only
-    // cast-portable column types enter (BIGINT/VARCHAR; doubles and
-    // timestamps render differently across engines and would need the
-    // sketch to hash a normalized encoding first).
+    // Scale shape: ONE corpus pass total. Each table unpivots
+    // row-locally into (col, hash) pairs (hash NULL marks a null value
+    // — md5 of NULL is NULL in both engines), and a single
+    // (col, hash)-keyed count aggregate is the only corpus-scale
+    // exchange (distinct-value-bounded after map-side partials). Every
+    // report column then derives from that small frame: row count =
+    // sum of counts, null count = the null-hash bucket, exact distinct
+    // = non-null group count, and the KMV rank runs its
+    // WindowGroupLimit-pruned window over the same frame — three
+    // consumers of ONE exchange (the q45 ReusedExchange discipline,
+    // keyed by column name). An earlier spelling ran a separate narrow
+    // counts pass per table (two corpus passes); this shape halves the
+    // scan work. Only cast-portable column types enter (BIGINT/VARCHAR;
+    // doubles and timestamps render differently across engines and
+    // would need the sketch to hash a normalized encoding first).
     CatalogQuery(
       "q113_table_profile",
       (s, d) => {
@@ -510,28 +512,20 @@ object OpsQueries {
               struct(lit(s"$table.$c").as("c"),
                 col(c).cast("string").as("v"))): _*)).as("p"))
             .select($"p.c".as("c"), $"p.v".as("v"))
-        def tableCounts(df: org.apache.spark.sql.DataFrame, table: String,
-            cols: Seq[String]) = {
-          val aggs = count(lit(1)).as("n") +: cols.map(c =>
-            sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
-              .as(s"nn_$c"))
-          df.agg(aggs.head, aggs.tail: _*)
-            .select(explode(array(cols.map(c =>
-              struct(lit(s"$table.$c").as("c"), $"n".as("n_rows"),
-                col(s"nn_$c").as("n_null"))): _*)).as("p"))
-            .select($"p.c".as("c"), $"p.n_rows".as("n_rows"),
-              $"p.n_null".as("n_null"))
-        }
         val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_returnflag", "l_linestatus")
         val docCols = Seq("lang", "source", "text")
-        val counts = tableCounts(Tables.lineitem(s, d), "lineitem", liCols)
-          .unionByName(tableCounts(Tables.documents(s, d), "documents",
-            docCols))
         val up = unpivot(Tables.lineitem(s, d), "lineitem", liCols)
           .unionByName(unpivot(Tables.documents(s, d), "documents", docCols))
-        val dist = up.filter($"v".isNotNull)
-          .select($"c", hashP($"v").as("hp")).distinct()
+        // the one corpus-scale aggregate: per (column, value-hash)
+        // instance counts; hp NULL is the null-value bucket
+        val vc = up.select($"c", hashP($"v").as("hp"))
+          .groupBy($"c", $"hp").agg(count(lit(1)).as("cnt"))
+        val counts = vc.groupBy($"c")
+          .agg(sum($"cnt").cast("long").as("n_rows"),
+            coalesce(sum(when($"hp".isNull, $"cnt")), lit(0L)).cast("long")
+              .as("n_null"))
+        val dist = vc.filter($"hp".isNotNull).select($"c", $"hp")
         val nExact = dist.groupBy($"c").agg(count(lit(1)).as("n_exact"))
         val wR = org.apache.spark.sql.expressions.Window
           .partitionBy($"c").orderBy($"hp")
@@ -540,9 +534,9 @@ object OpsQueries {
           .filter($"rk" <= K)
           .groupBy($"c").agg(max($"hp").as("kth"))
           .join(broadcast(nExact), Seq("c"))
-        // counts is the base (one row per profiled column by
-        // construction) — an all-null column has no distinct hashes and
-        // must still appear in the report, not silently vanish
+        // counts is the base (one row per profiled column with any
+        // rows) — an all-null column has no distinct hashes and must
+        // still appear in the report, not silently vanish
         counts.join(broadcast(kmv), Seq("c"), "left")
           .select($"c".as("column"), $"n_rows", $"n_null",
             coalesce($"n_exact", lit(0L)).as("n_exact"),
@@ -565,14 +559,16 @@ object OpsQueries {
         s"""
           |WITH up AS (
           |  $up),
+          |vc AS (
+          |  SELECT c, ${hashPSql("v")} AS hp, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM up GROUP BY 1, 2),
           |counts AS (
-          |  SELECT c, CAST(count(*) AS BIGINT) AS n_rows,
-          |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-          |      AS n_null
-          |  FROM up GROUP BY c),
+          |  SELECT c, CAST(sum(cnt) AS BIGINT) AS n_rows,
+          |    CAST(coalesce(sum(CASE WHEN hp IS NULL THEN cnt END), 0)
+          |      AS BIGINT) AS n_null
+          |  FROM vc GROUP BY c),
           |dist AS (
-          |  SELECT DISTINCT c, ${hashPSql("v")} AS hp FROM up
-          |  WHERE v IS NOT NULL),
+          |  SELECT c, hp FROM vc WHERE hp IS NOT NULL),
           |ranked AS (
           |  SELECT c, hp,
           |    count(*) OVER (PARTITION BY c) AS n_exact,
