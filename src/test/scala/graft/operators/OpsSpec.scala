@@ -208,6 +208,27 @@ class OpsSpec extends SparkSpec {
     assert(out("documents.source")._3 == 7L)
   }
 
+  test("q113 KMV sketch is mergeable: min-K of partition unions == whole") {
+    // The scale claim behind the estimator: each partition keeps its K
+    // smallest distinct hashes; the merged sketch (min-K of the union)
+    // must equal the sketch computed over the whole corpus in one pass.
+    val K = 64
+    val values = (0 until 5000).map(i => s"v${i % 1300}")
+    def hash(v: String): Long =
+      graft.functions.Md5Util.prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v)) %
+        graft.functions.Portable.P
+    val whole = values.map(hash).distinct.sorted.take(K)
+    val parts = values.grouped(700).toSeq.map(
+      _.map(hash).distinct.sorted.take(K))
+    val merged = parts.flatten.distinct.sorted.take(K)
+    assert(merged == whole, "partition-wise min-K must merge losslessly")
+    // and the estimate derived from the merged kth value matches
+    val est = (K - 1).toDouble * graft.functions.Portable.P / merged.last
+    val estWhole = (K - 1).toDouble * graft.functions.Portable.P / whole.last
+    assert(est == estWhole)
+  }
+
   test("q113 keeps a 100%-null column in the report") {
     val rows = (0L until 50L).map(i =>
       (i, s"t$i", null.asInstanceOf[String], s"s${i % 3}", 2L))
