@@ -119,6 +119,32 @@ class CurationSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("q112 stays correct under celebrity-bigram skew") {
+    // One bigram dominates the corpus (boilerplate header). Conditional
+    // surprisal must score DETERMINISTIC continuations at 0 (the
+    // boilerplate is perfectly predictable) and rank docs where a
+    // common context precedes diverse continuations (high cf(prev),
+    // bf(pair)=1) strictly above it — the signal a perplexity gate
+    // keys on, robust to 97% of the corpus being one hot bigram.
+    val header = "the quick brown fox"
+    val rows = (0L until 300L).map { i =>
+      val body = if (i < 290) header // 97% boilerplate docs
+        else s"the rare${i}a the rare${i}b the rare${i}c"
+      (i, body, "en", if (i < 290) "boiler" else "tail", 20L)
+    }
+    val out = run("q112_bigram_surprisal", docsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val boiler = out.filter(_._1 == "boiler")
+    val tail = out.filter(_._1 == "tail")
+    assert(boiler.nonEmpty && tail.nonEmpty)
+    // boilerplate: every bigram is deterministic -> mean bits exactly 0;
+    // tail: (the -> rareNx) pairs pay bits(cf(the)) - 1 each
+    assert(boiler.map(_._2).forall(_ == 0L),
+      s"deterministic boilerplate must score 0: ${boiler.toSeq}")
+    assert(tail.map(_._2).min > 0L,
+      s"common-context diverse continuations must score > 0: ${tail.toSeq}")
+  }
+
   test("q112 drops docs without bigrams and clamps OOV scores at zero") {
     // One-token and empty docs produce no bigram instances -> no row;
     // scores never go negative even when the unigram falls out of the
