@@ -586,6 +586,84 @@ object OpsQueries {
           |FROM counts LEFT JOIN kmv ON kmv.c = counts.c
           |ORDER BY "column"
           |""".stripMargin
+      }),
+
+    // Referential-integrity audit — the lake's FK checker: for each
+    // declared child→parent relationship, count child rows whose key
+    // has no parent (orphans) and the orphan rate. The fixture is
+    // referentially CLEAN, so 2% of each child's keys are corrupted
+    // deterministically (hash-bucket offset, the q109/q114 derivation
+    // convention, mirrored in the oracle) — the OPERATOR is the audit
+    // downstream of the key column.
+    //
+    // Scale shape: one LEFT ANTI equi-join per relationship on bare
+    // long keys (the semantics-required exchange; Catalyst broadcasts
+    // small parents — nation, customer at fixture scale — and SMJ/
+    // shuffled-hash handles corpus-scale ones), with the count a
+    // one-row aggregate per relationship. Nothing driver-side, no
+    // strings in any buffer; at 100 TB each check is one keyed pass
+    // over the child table.
+    CatalogQuery(
+      "q117_fk_audit",
+      (s, d) => {
+        import s.implicits._
+        def corrupt(key: org.apache.spark.sql.Column, salt: String) =
+          when(hash60(concat(lit(salt), key.cast("string"))) % 50 === 0,
+            key + 900000000L).otherwise(key)
+        def check(name: String, child: org.apache.spark.sql.DataFrame,
+            parent: org.apache.spark.sql.DataFrame) = {
+          val orphans = child.join(parent, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+            .select(lit(name).as("relationship"), $"n_child", $"n_orphans",
+              ($"n_orphans".cast("double") / $"n_child").as("orphan_rate"))
+        }
+        val li = Tables.lineitem(s, d)
+          .select(corrupt($"l_orderkey", "fk1:").as("k"))
+        val ord = Tables.orders(s, d)
+          .select(corrupt($"o_custkey", "fk2:").as("k"))
+        val r1 = check("lineitem.l_orderkey -> orders.o_orderkey",
+          li, Tables.orders(s, d).select($"o_orderkey".as("k")))
+        val r2 = check("orders.o_custkey -> customer.c_custkey",
+          ord, Tables.customer(s, d).select($"c_custkey".as("k")))
+        val r3 = check("customer.c_nationkey -> nation.n_nationkey",
+          Tables.customer(s, d).select($"c_nationkey".as("k")),
+          Tables.nation(s, d).select($"n_nationkey".as("k")))
+        r1.unionByName(r2).unionByName(r3).orderBy($"relationship")
+      },
+      Some {
+        def corrupt(key: String, salt: String) =
+          s"""CASE WHEN ${hash60Sql(s"'$salt' || CAST($key AS VARCHAR)")} % 50 = 0
+             |THEN $key + 900000000 ELSE $key END""".stripMargin
+        s"""
+          |WITH li AS (SELECT ${corrupt("l_orderkey", "fk1:")} AS k
+          |            FROM lineitem),
+          |ord AS (SELECT ${corrupt("o_custkey", "fk2:")} AS k FROM orders),
+          |r1 AS (
+          |  SELECT 'lineitem.l_orderkey -> orders.o_orderkey'
+          |      AS relationship,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_child,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM li
+          |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                       WHERE o.o_orderkey = li.k)) AS n_orphans),
+          |r2 AS (
+          |  SELECT 'orders.o_custkey -> customer.c_custkey',
+          |    (SELECT CAST(count(*) AS BIGINT) FROM ord),
+          |    (SELECT CAST(count(*) AS BIGINT) FROM ord
+          |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+          |                       WHERE c.c_custkey = ord.k))),
+          |r3 AS (
+          |  SELECT 'customer.c_nationkey -> nation.n_nationkey',
+          |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+          |    (SELECT CAST(count(*) AS BIGINT) FROM customer
+          |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+          |                       WHERE n.n_nationkey = customer.c_nationkey)))
+          |SELECT relationship, n_child, n_orphans,
+          |  CAST(n_orphans AS DOUBLE) / n_child AS orphan_rate
+          |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          |      UNION ALL SELECT * FROM r3)
+          |ORDER BY relationship
+          |""".stripMargin
       })
   )
 }

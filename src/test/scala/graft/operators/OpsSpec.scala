@@ -208,6 +208,21 @@ class OpsSpec extends SparkSpec {
     assert(out("documents.source")._3 == 7L)
   }
 
+  test("q117 flags corrupted relationships and clears the intact one") {
+    val out = Catalog.byName("q117_fk_audit").run(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val (nc, no, rate) = out("customer.c_nationkey -> nation.n_nationkey")
+    assert(no == 0L && rate == 0.0, "intact FK must audit clean")
+    Seq("lineitem.l_orderkey -> orders.o_orderkey",
+      "orders.o_custkey -> customer.c_custkey").foreach { rel =>
+      val (n, orph, r) = out(rel)
+      assert(orph > 0L && r > 0.0 && r < 0.05,
+        s"$rel: ~2% hash-corrupted keys must surface as orphans, got $r")
+      assert(r == orph.toDouble / n)
+    }
+  }
+
   test("q113 KMV sketch is mergeable: min-K of partition unions == whole") {
     // The scale claim behind the estimator: each partition keeps its K
     // smallest distinct hashes; the merged sketch (min-K of the union)
