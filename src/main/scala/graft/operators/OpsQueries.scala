@@ -664,6 +664,54 @@ object OpsQueries {
           |      UNION ALL SELECT * FROM r3)
           |ORDER BY relationship
           |""".stripMargin
-      })
+      }),
+
+    // k-anonymity audit for metadata release — the governance check run
+    // before publishing per-document metadata (dataset cards, corpus
+    // manifests): bucket every document by its quasi-identifier tuple
+    // (language, source, length bucket) and report, per source, how
+    // many metadata cells exist, how many fall below the k=5 anonymity
+    // floor, and how many documents those small cells expose. A small
+    // cell means the released metadata narrows a document to fewer
+    // than k candidates — the standard re-identification risk measure.
+    //
+    // Scale shape: the cell aggregate is ONE map-side-combinable
+    // exchange keyed by the quasi-identifier tuple (cell-vocabulary-
+    // bounded); the per-source rollup then aggregates the CELL frame,
+    // not the corpus. Two bounded exchanges, no joins, no strings in
+    // any aggregation buffer (counts only — the identifiers are group
+    // KEYS).
+    CatalogQuery(
+      "q118_k_anonymity",
+      (s, d) => {
+        import s.implicits._
+        val KAnon = 5L
+        val cells = Tables.documents(s, d)
+          .select($"lang", $"source",
+            (coalesce($"n_chars", lit(0L)) / 100L).cast("long").as("len_b"))
+          .groupBy($"lang", $"source", $"len_b")
+          .agg(count(lit(1)).as("n"))
+        cells.groupBy($"source")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when($"n" < KAnon, 1L).otherwise(0L)).cast("long")
+              .as("n_small_cells"),
+            sum(when($"n" < KAnon, $"n").otherwise(0L)).cast("long")
+              .as("n_docs_at_risk"),
+            min($"n").as("min_cell"))
+          .orderBy($"source")
+      },
+      Some("""
+        |WITH cells AS (
+        |  SELECT lang, source, coalesce(n_chars, 0) // 100 AS len_b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_cells,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_docs_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_cell
+        |FROM cells GROUP BY source ORDER BY source
+        |""".stripMargin))
   )
 }

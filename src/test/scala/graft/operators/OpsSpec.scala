@@ -223,6 +223,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q118 flags cells below the anonymity floor and safe cells pass") {
+    // cell A: 10 docs (safe, >= 5); cell B: 3 docs (at risk);
+    // cell C: 1 doc in its own source (at risk, min_cell = 1)
+    val rows =
+      (0L until 10L).map(i => (i, "t", "en", "big", 150L)) ++
+      (10L until 13L).map(i => (i, "t", "en", "small", 150L)) ++
+      Seq((13L, "t", "de", "solo", 50L))
+    val out = Catalog.byName("q118_k_anonymity").run(spark, docsDir(rows))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("big") == ((1L, 0L, 0L, 10L)), s"got ${out("big")}")
+    assert(out("small") == ((1L, 1L, 3L, 3L)), s"got ${out("small")}")
+    assert(out("solo") == ((1L, 1L, 1L, 1L)), s"got ${out("solo")}")
+  }
+
   test("q113 KMV sketch is mergeable: min-K of partition unions == whole") {
     // The scale claim behind the estimator: each partition keeps its K
     // smallest distinct hashes; the merged sketch (min-K of the union)
