@@ -111,9 +111,15 @@ object Portable {
 
   // ---- DuckDB SQL builders (must mirror the Column builders exactly) ----
 
-  /** 60-bit portable hash of a string SQL expression, DuckDB dialect. */
+  /** 60-bit portable hash of a string SQL expression, DuckDB dialect.
+    * `||` (not `concat`) so NULL propagates: DuckDB's `concat` SKIPS
+    * NULL arguments, so `concat('0x', NULL)` is `'0x'` and the CAST
+    * errors — whereas `'0x' || NULL` is NULL, matching the Spark side
+    * where [[Md5Prefix60]] of NULL is NULL. Identical for non-null
+    * inputs.
+    */
   def hash60Sql(e: String): String =
-    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
   def hashPSql(e: String): String = s"(${hash60Sql(e)} % $P)"
 

@@ -215,7 +215,7 @@ object OpsQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS cum_before
         |  FROM inv)
-        |SELECT source, cum_before // $CompactTarget AS bin,
+        |SELECT source, CAST(cum_before // $CompactTarget AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
         |  CAST(sum(n_docs) AS BIGINT) AS n_docs
@@ -400,17 +400,22 @@ object OpsQueries {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val bucket = hashP(concat(lit("snap:"), $"doc_id".cast("string"))) % 10
+        // fingerprint coalesce(text, '') — the q112 convention — so a
+        // NULL-text doc present in both snapshots folds to equal
+        // non-null fingerprints ('unchanged'), not NULL fp_a/fp_b that
+        // the status CASE would misread as 'removed'
+        val txt = coalesce($"text", lit(""))
         val base = docs.select($"doc_id", $"source",
-          hash60($"text").as("fp"), lit(0).as("side"))
+          hash60(txt).as("fp"), lit(0).as("side"))
         val bk = docs.withColumn("b", bucket)
         val tagged = base
           .unionByName(bk.filter($"b" =!= 0)
             .select($"doc_id", $"source",
-              hash60(when($"b" === 1, concat($"text", lit(" [rev2]")))
-                .otherwise($"text")).as("fp"), lit(1).as("side")))
+              hash60(when($"b" === 1, concat(txt, lit(" [rev2]")))
+                .otherwise(txt)).as("fp"), lit(1).as("side")))
           .unionByName(bk.filter($"b" === 2)
             .select(($"doc_id" + 100000000L).as("doc_id"), $"source",
-              hash60(concat($"text", lit(" [new]"))).as("fp"),
+              hash60(concat(txt, lit(" [new]"))).as("fp"),
               lit(1).as("side")))
         // source rides the GROUP KEY (identical across a doc's rows by
         // construction), keeping every aggregation buffer primitive
@@ -437,19 +442,20 @@ object OpsQueries {
       },
       Some(s"""
         |WITH bk AS (
-        |  SELECT doc_id, source, text,
+        |  SELECT doc_id, source, coalesce(text, '') AS txt,
         |    ${hashPSql("'snap:' || CAST(doc_id AS VARCHAR)")} % 10 AS b
         |  FROM documents),
         |tagged AS (
-        |  SELECT doc_id, source, ${hash60Sql("text")} AS fp, 0 AS side
+        |  SELECT doc_id, source, ${hash60Sql("coalesce(text, '')")} AS fp,
+        |    0 AS side
         |  FROM documents
         |  UNION ALL
         |  SELECT doc_id, source,
-        |    ${hash60Sql("CASE WHEN b = 1 THEN text || ' [rev2]' ELSE text END")}
+        |    ${hash60Sql("CASE WHEN b = 1 THEN txt || ' [rev2]' ELSE txt END")}
         |      AS fp, 1 AS side
         |  FROM bk WHERE b <> 0
         |  UNION ALL
-        |  SELECT doc_id + 100000000, source, ${hash60Sql("text || ' [new]'")},
+        |  SELECT doc_id + 100000000, source, ${hash60Sql("txt || ' [new]'")},
         |    1 AS side
         |  FROM bk WHERE b = 2),
         |folded AS (
@@ -688,7 +694,7 @@ object OpsQueries {
         val KAnon = 5L
         val cells = Tables.documents(s, d)
           .select($"lang", $"source",
-            (coalesce($"n_chars", lit(0L)) / 100L).cast("long").as("len_b"))
+            idiv(coalesce($"n_chars", lit(0L)), lit(100L)).as("len_b"))
           .groupBy($"lang", $"source", $"len_b")
           .agg(count(lit(1)).as("n"))
         cells.groupBy($"source")

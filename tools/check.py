@@ -50,6 +50,39 @@ def main():
             sp_rows, sp_cols = sp.fetchall(), [d[0] for d in sp.description]
             du = con.execute(oracle[name])
             du_rows, du_cols = du.fetchall(), [d[0] for d in du.description]
+            # Type gate: the driver's hasher renders oracle values through
+            # column TYPES, so a values-equal result can still hash-mismatch.
+            # Two classes this replica must reject loudly (the r9 q106
+            # lesson — an uncast HUGEINT window-sum derivative was the only
+            # red driver row while this script's int-stringification
+            # passed it):
+            #   1. HUGEINT/UHUGEINT oracle columns (DuckDB sum(BIGINT) et
+            #      al.) — the driver coerces them via float64.
+            #   2. float-typed oracle columns where the Spark side is
+            #      integral — repr(float) vs str(int) diverge.
+            sp_ty = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{resdir}/*.parquet')"
+            ).fetchall()}
+            du_ty = {r[0]: r[1]
+                     for r in con.execute(f"DESCRIBE {oracle[name]}").fetchall()}
+            INTEGRAL = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+            FLOATY = {"FLOAT", "DOUBLE", "REAL"}
+            ty_bad = []
+            for c, t in du_ty.items():
+                if t in ("HUGEINT", "UHUGEINT"):
+                    ty_bad.append(f"{c}: oracle {t} (CAST it to BIGINT)")
+                elif t in FLOATY and sp_ty.get(c) in INTEGRAL:
+                    ty_bad.append(
+                        f"{c}: oracle {t} but spark {sp_ty.get(c)}")
+            for c, t in sp_ty.items():
+                if t in FLOATY and du_ty.get(c) in INTEGRAL:
+                    ty_bad.append(f"{c}: spark {t} but oracle {du_ty.get(c)}")
+            if ty_bad:
+                print(f"FAIL {name}: result types unsafe for the driver "
+                      f"hasher: {'; '.join(ty_bad)}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"ERR  {name}: {e}")
             n_fail += 1
