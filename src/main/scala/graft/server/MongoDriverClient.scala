@@ -209,14 +209,29 @@ object MongoDriverClient {
     * through [[BsonCodec]].
     */
   private[server] object Rf {
-    private def cls(name: String): Class[_] =
-      try Class.forName(name)
-      catch {
-        case e: ClassNotFoundException => throw new IllegalStateException(
-          "graftserver: MongoDriverFactory requires org.mongodb:mongodb-driver-sync " +
-            s"(4.x+) on the classpath — class ${e.getMessage} not found. In this " +
-            "sandbox use client_factory=graft.server.DirServerFactory instead.", e)
+    /** Resolve via the thread context classloader first: on an executor,
+      * a `spark.jars`-delivered driver lands in the task's context
+      * classloader, NOT necessarily in the loader that defined this
+      * class — plain `Class.forName` would miss it. Falls back to the
+      * defining loader (driver JVM / tests with the jar on the app
+      * classpath).
+      */
+    private def cls(name: String): Class[_] = {
+      def fromDefiningLoader(): Class[_] =
+        try Class.forName(name)
+        catch {
+          case e: ClassNotFoundException => throw new IllegalStateException(
+            "graftserver: MongoDriverFactory requires org.mongodb:mongodb-driver-sync " +
+              s"(4.x+) on the classpath — class ${e.getMessage} not found. In this " +
+              "sandbox use client_factory=graft.server.DirServerFactory instead.", e)
+        }
+      Thread.currentThread.getContextClassLoader match {
+        case null => fromDefiningLoader()
+        case tccl =>
+          try Class.forName(name, true, tccl)
+          catch { case _: ClassNotFoundException => fromDefiningLoader() }
       }
+    }
 
     private lazy val bsonIface = cls("org.bson.conversions.Bson")
     private lazy val rawDocCls = cls("org.bson.RawBsonDocument")
@@ -400,6 +415,11 @@ object MongoDriverClient {
       "com.mongodb.client.model.InsertOneModel", "com.mongodb.client.model.ReplaceOneModel",
       "com.mongodb.client.model.UpdateOneModel", "com.mongodb.client.model.UpdateManyModel",
       "com.mongodb.client.model.ReplaceOptions", "com.mongodb.client.model.UpdateOptions",
-      "com.mongodb.client.model.BulkWriteOptions", "com.mongodb.client.model.WriteModel")
+      "com.mongodb.client.model.BulkWriteOptions", "com.mongodb.client.model.WriteModel",
+      // touched structurally (casts / name-matched exceptions / result
+      // reflection), not via cls():
+      "com.mongodb.client.MongoCursor", "com.mongodb.client.AggregateIterable",
+      "com.mongodb.MongoException", "com.mongodb.MongoCommandException",
+      "com.mongodb.MongoBulkWriteException", "com.mongodb.bulk.BulkWriteResult")
   }
 }

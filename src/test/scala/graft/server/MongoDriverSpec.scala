@@ -243,9 +243,165 @@ class MongoDriverSpec extends AnyFunSuite {
         s"unexpected class in the reflection surface: $name")
     }
     // and none of them is resolvable here — the suite above really did
-    // exercise the absent-driver path
+    // exercise the absent-driver path. (The stub tests below compile the
+    // driver surface into an ISOLATED loader, so plain Class.forName
+    // stays unresolvable even after they run.)
     MongoDriverClient.Rf.surface.foreach { name =>
       intercept[ClassNotFoundException](Class.forName(name))
+    }
+  }
+
+  // --- the resolved-driver path: runtime-compiled stub driver --------------
+  //
+  // ORDER MATTERS: these tests must stay AFTER the absent-driver tests
+  // above. Rf caches resolved classes per JVM (lazy vals), so once the
+  // stub loader resolves them the absence path cannot fail again here.
+  // The stub classes mirror the public mongodb-driver-sync 4.x
+  // signatures exactly (see src/test/resources/mongostub/), so a wrong
+  // getMethod erasure in Rf fails THESE tests instead of a user's first
+  // live run; behavior behind the stubs is the engine's own
+  // FakeServerClient store.
+
+  import graft.store.{BulkResult, InsertOne, UpdateOp}
+  import graft.query.UpdateModel
+
+  private def withDriver[T](body: (MongoDriverClient, FakeServerClient,
+      StubDriverBackend) => T): T = {
+    val fake = new FakeServerClient()
+    try MongoStubLoader.withStubDriver(fake) { backend =>
+      val client = new MongoDriverClient("mongodb://stub-host:27017/test")
+      try body(client, fake, backend)
+      finally client.close()
+    } finally fake.close()
+  }
+
+  private val Ns = "db.people"
+
+  private def seed(client: MongoDriverClient): Unit = {
+    val docs = (1 to 20).map(i => BDoc(
+      "_id" -> BInt32(i), "k" -> BInt32(i),
+      "status" -> BString(if (i % 2 == 0) "A" else "B"),
+      "name" -> BString(f"n$i%02d")))
+    val r = client.bulkWrite(Ns, docs.map(InsertOne(_)).iterator, ordered = true)
+    assert(r === BulkResult(20, 0, 0, 0))
+  }
+
+  test("stub driver: insert + collStats + exact find push the full cursor surface") {
+    withDriver { (client, fake, _) =>
+      seed(client)
+      val st = client.collStats(Ns)
+      assert(st.count === 20 && st.avgObjSizeBytes > 0)
+      // exact plan: filter, projection, sort (desc), skip, limit all
+      // server-side — parity against the fake evaluated directly
+      val q = Find(BQuery.Eq("status", BString("A")),
+        projection = Some(Seq("_id", "name")), sortAscBy = Some("_id"),
+        skip = 2, limit = 3, sortDescending = true)
+      val got = client.find(Ns, q).toVector
+      assert(got === fake.find(Ns, q).toVector)
+      assert(got.size === 3 && got.forall(_.fields.keySet == Set("_id", "name")))
+      // the empty-projection special case stays client-side
+      val empty = client.find(Ns,
+        Find(BQuery.Eq("_id", BInt32(3)), projection = Some(Seq.empty))).toVector
+      assert(empty === Vector(BDoc.empty))
+    }
+    assert(MongoStubBridge.closedCount >= 1)
+  }
+
+  test("stub driver: KeyRange rides min/max cursor bounds with the index hint") {
+    withDriver { (client, fake, backend) =>
+      seed(client)
+      val q = BQuery.and(
+        BQuery.KeyRange("k", Some(BInt32(5)), Some(BInt32(15))),
+        BQuery.Eq("status", BString("B")))
+      val got = client.find(Ns, Find(q, sortAscBy = Some("k"))).toVector
+      assert(got === fake.find(Ns, Find(q, sortAscBy = Some("k"))).toVector)
+      assert(got.nonEmpty)
+      assert(backend.lastHint.contains(BDoc("k" -> BInt32(1))),
+        "min/max bounds must carry the index hint modern servers require")
+    }
+  }
+
+  test("stub driver: unrenderable residual re-checks client-side, then skip/limit/projection") {
+    withDriver { (client, fake, _) =>
+      seed(client)
+      val q = BQuery.and(BQuery.Eq("status", BString("B")),
+        BQuery.ReadStrCmp("name", "n05", BQuery.ReadStrOp.Gte))
+      val find = Find(q, projection = Some(Seq("name")), skip = 1, limit = 3)
+      val got = client.find(Ns, find).toVector
+      assert(got === fake.find(Ns, find).toVector)
+      assert(got.size === 3 && got.forall(_.fields.keySet == Set("name")))
+    }
+  }
+
+  test("stub driver: sampleKeys via $sample aggregate; splitVector granted and refused") {
+    withDriver { (client, fake, backend) =>
+      seed(client)
+      assert(client.sampleKeys(Ns, "k", 5) === fake.sampleKeys(Ns, "k", 5))
+      backend.grantSplitVector = true
+      val sv = client.splitVector(Ns, "k", maxChunkBytes = 100L)
+      assert(sv.exists(_.nonEmpty), s"expected boundaries, got $sv")
+      backend.grantSplitVector = false
+      assert(client.splitVector(Ns, "k", 100L) === None,
+        "a refused splitVector must map to None (sampling fallback), not throw")
+    }
+  }
+
+  test("stub driver: chunkRanges walks config.chunks + config.shards") {
+    withDriver { (client, fake, _) =>
+      fake.bulkWrite("config.chunks", Iterator(
+        InsertOne(BDoc("_id" -> BString("c1"), "ns" -> BString(Ns),
+          "min" -> BDoc("k" -> BMinKey), "max" -> BDoc("k" -> BInt32(10)),
+          "shard" -> BString("s0"))),
+        InsertOne(BDoc("_id" -> BString("c2"), "ns" -> BString(Ns),
+          "min" -> BDoc("k" -> BInt32(10)), "max" -> BDoc("k" -> BMaxKey),
+          "shard" -> BString("s1")))), ordered = true)
+      fake.bulkWrite("config.shards", Iterator(
+        InsertOne(BDoc("_id" -> BString("s0"),
+          "host" -> BString("rs0/h1:27017,h2:27017"))),
+        InsertOne(BDoc("_id" -> BString("s1"),
+          "host" -> BString("h3:27017")))), ordered = true)
+      assert(client.chunkRanges(Ns, "k") === Seq(
+        (None, Some(BInt32(10)), Seq("h1:27017", "h2:27017")),
+        (Some(BInt32(10)), None, Seq("h3:27017"))))
+    }
+  }
+
+  test("stub driver: bulkWrite covers replace/update/multi/upsert and reads back") {
+    withDriver { (client, fake, _) =>
+      seed(client)
+      val r = client.bulkWrite(Ns, Iterator(
+        UpdateOp(UpdateModel(BQuery.Eq("_id", BInt32(1)),
+          BDoc("_id" -> BInt32(1), "status" -> BString("R")), replace = true)),
+        UpdateOp(UpdateModel(BQuery.Eq("_id", BInt32(2)),
+          BDoc("$set" -> BDoc("status" -> BString("U"))))),
+        UpdateOp(UpdateModel(BQuery.Eq("status", BString("B")),
+          BDoc("$set" -> BDoc("flag" -> BBool(true))), multi = true)),
+        UpdateOp(UpdateModel(BQuery.Eq("_id", BInt32(99)),
+          BDoc("$set" -> BDoc("status" -> BString("N"))), upsert = true))),
+        ordered = true)
+      assert(r.errors.isEmpty && r.upserted === 1)
+      def one(q: BQuery) = client.find(Ns, Find(q)).toVector
+      assert(one(BQuery.Eq("_id", BInt32(1))).head.get("status")
+        .contains(BString("R")))
+      assert(one(BQuery.Eq("_id", BInt32(2))).head.get("status")
+        .contains(BString("U")))
+      // _id=1 left "B" via the replace, so 9 of the 10 odd ids remain
+      assert(one(BQuery.Eq("flag", BBool(true))).size === 9)
+      assert(one(BQuery.Eq("_id", BInt32(99))).head.get("status")
+        .contains(BString("N")))
+    }
+  }
+
+  test("stub driver: unordered duplicate-key insert returns the partial-result shape") {
+    withDriver { (client, _, _) =>
+      seed(client)
+      val r = client.bulkWrite(Ns, Iterator(
+        InsertOne(BDoc("_id" -> BInt32(1000), "k" -> BInt32(1000))),
+        InsertOne(BDoc("_id" -> BInt32(1), "k" -> BInt32(1)))),
+        ordered = false)
+      assert(r.inserted === 1, "the non-duplicate insert must survive")
+      assert(r.errors.exists(_.contains("duplicate key")),
+        s"expected a per-item duplicate-key error, got ${r.errors}")
     }
   }
 }

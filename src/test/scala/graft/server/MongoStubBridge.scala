@@ -1,0 +1,246 @@
+package graft.server
+
+import graft.bson._
+import graft.query.{BQuery, UpdateModel}
+import graft.store.{InsertOne, UpdateOp, WriteModel}
+
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+/** Marker thrown by the stub backend for refused commands; the
+  * child-loaded Java stub rethrows it as com.mongodb.MongoCommandException
+  * (top-level class so javac can reference it without `$` binary names).
+  */
+class StubCommandRefused(msg: String) extends RuntimeException(msg)
+
+/** Partial bulk failure crossing the loader boundary: counts + per-item
+  * messages; the Java stub converts it to MongoBulkWriteException.
+  */
+class StubBulkErrors(cs: Array[Long], msgs: java.util.List[String])
+    extends RuntimeException(s"bulk errors: ${msgs.size}") {
+  def counts(): Array[Long] = cs
+  def messages(): java.util.List[String] = msgs
+}
+
+/** Parent-classloader bridge the runtime-compiled driver stub calls into
+  * (static forwarders — the Java side calls
+  * `graft.server.MongoStubBridge.find(...)` etc). Everything crosses as
+  * bytes / primitives, so neither loader needs the other's classes. The
+  * backend wraps a [[FakeServerClient]], which means a MongoDriverSpec
+  * round-trip exercises the ENTIRE chain: MongoDriverClient reflection →
+  * stub driver classes → this bridge → the engine's own store semantics.
+  */
+object MongoStubBridge {
+
+  @volatile var backend: StubDriverBackend = _
+  @volatile var closedCount: Int = 0
+
+  def clientClosed(): Unit = synchronized { closedCount += 1 }
+
+  def runCommand(db: String, cmd: Array[Byte]): Array[Byte] =
+    backend.runCommand(db, cmd)
+
+  def find(db: String, coll: String, filter: Array[Byte], min: Array[Byte],
+      max: Array[Byte], hint: Array[Byte], sort: Array[Byte],
+      projection: Array[Byte], skip: Int, limit: Int): java.util.List[Array[Byte]] =
+    backend.find(db, coll, filter, min, max, hint, sort, projection, skip, limit)
+
+  def aggregate(db: String, coll: String,
+      stages: java.util.List[Array[Byte]]): java.util.List[Array[Byte]] =
+    backend.aggregate(db, coll, stages)
+
+  def bulkWrite(db: String, coll: String, ops: java.util.List[Array[Object]],
+      ordered: Boolean): Array[Long] =
+    backend.bulkWrite(db, coll, ops, ordered)
+}
+
+/** The fake "server" behind the stub driver: a [[FakeServerClient]]
+  * speaking the driver wire shapes — command docs in, result docs out,
+  * filters as mongo query documents. Query docs are parsed back through
+  * the inverse of [[QueryDocs.render]], so what the binding renders is
+  * what gets evaluated (matches-parity with the engine's [[BQuery]]).
+  */
+final class StubDriverBackend(val fake: FakeServerClient) {
+
+  /** Both arms of the splitVector fallback chain are testable. */
+  @volatile var grantSplitVector: Boolean = true
+  /** Last hint doc seen on a find — asserts KeyRange bounds carry the
+    * index hint modern servers require alongside min/max. */
+  @volatile var lastHint: Option[BDoc] = None
+
+  private def dec(b: Array[Byte]): Option[BDoc] = Option(b).map(BsonCodec.decode(_))
+
+  def runCommand(db: String, cmdBytes: Array[Byte]): Array[Byte] = {
+    val cmd = BsonCodec.decode(cmdBytes)
+    cmd.fields.headOption match {
+      case Some(("collStats", BString(coll))) =>
+        val st = fake.collStats(s"$db.$coll")
+        BsonCodec.encode(BDoc(ListMap(
+          "count" -> BInt64(st.count), "avgObjSize" -> BInt64(st.avgObjSizeBytes))))
+      case Some(("splitVector", BString(ns))) =>
+        if (!grantSplitVector)
+          throw new StubCommandRefused("splitVector: not authorized")
+        val key = cmd.get("keyPattern").collect { case BDoc(fs) => fs.keys.head }
+          .getOrElse(throw new StubCommandRefused("splitVector: no keyPattern"))
+        val maxBytes = cmd.get("maxChunkSizeBytes").flatMap(QueryDocs.asLong)
+          .getOrElse(8L << 20)
+        fake.splitVectorGranted = true
+        val keys = fake.splitVector(ns, key, maxBytes).getOrElse(Seq.empty)
+        BsonCodec.encode(BDoc(ListMap(
+          "splitKeys" -> BArray(keys.map(v => BDoc(key -> v): BsonValue).toVector),
+          "ok" -> BDouble(1.0))))
+      case other =>
+        throw new StubCommandRefused(s"unsupported command: $other")
+    }
+  }
+
+  def find(db: String, coll: String, filter: Array[Byte], min: Array[Byte],
+      max: Array[Byte], hint: Array[Byte], sort: Array[Byte],
+      projection: Array[Byte], skip: Int, limit: Int): java.util.List[Array[Byte]] = {
+    val ns = s"$db.$coll"
+    lastHint = dec(hint)
+    var q: BQuery = StubDriverBackend.parseQueryDoc(
+      dec(filter).getOrElse(BDoc.empty))
+    val lo = dec(min).flatMap(_.fields.headOption)
+    val hi = dec(max).flatMap(_.fields.headOption)
+    lo.map(_._1).orElse(hi.map(_._1)).foreach { key =>
+      q = BQuery.and(BQuery.KeyRange(key, lo.map(_._2), hi.map(_._2)), q)
+    }
+    val (sortKey, desc) = dec(sort).flatMap(_.fields.headOption) match {
+      case Some((k, v)) => (Some(k), QueryDocs.asLong(v).contains(-1L))
+      case None => (None, false)
+    }
+    val proj = dec(projection).map(_.fields.collect {
+      case (k, v) if QueryDocs.asLong(v).contains(1L) => k
+    }.toSeq)
+    fake.find(ns, Find(q, proj, sortKey, skip.toLong, limit.toLong, desc))
+      .map(BsonCodec.encode(_)).toSeq.asJava
+  }
+
+  def aggregate(db: String, coll: String,
+      stages: java.util.List[Array[Byte]]): java.util.List[Array[Byte]] = {
+    val st = stages.asScala.map(BsonCodec.decode(_)).toSeq
+    require(st.nonEmpty && st.head.fields.keys.headOption.contains("$sample"),
+      s"stub server only speaks [$$sample, $$project], got $st")
+    val n = st.head.getPath("$sample.size").flatMap(QueryDocs.asLong)
+      .getOrElse(0L).toInt
+    val key = st(1).get("$project").collect { case BDoc(fs) =>
+      fs.collectFirst { case (k, v) if QueryDocs.asLong(v).contains(1L) => k }
+    }.flatten.getOrElse(throw new StubCommandRefused("no projected sample key"))
+    fake.sampleKeys(s"$db.$coll", key, n)
+      .map(v => BsonCodec.encode(BDoc(key -> v))).asJava
+  }
+
+  def bulkWrite(db: String, coll: String, ops: java.util.List[Array[Object]],
+      ordered: Boolean): Array[Long] = {
+    def qOf(row: Array[Object]) = StubDriverBackend.parseQueryDoc(
+      BsonCodec.decode(row(1).asInstanceOf[Array[Byte]]))
+    def docOf(row: Array[Object]) =
+      BsonCodec.decode(row(2).asInstanceOf[Array[Byte]])
+    def boolAt(row: Array[Object], i: Int) =
+      row(i).asInstanceOf[java.lang.Boolean].booleanValue()
+    val models: Seq[WriteModel] = ops.asScala.toSeq.map { row =>
+      row(0).asInstanceOf[String] match {
+        case "insert" => InsertOne(docOf(row))
+        case "replace" => UpdateOp(UpdateModel(qOf(row), docOf(row),
+          upsert = boolAt(row, 3), multi = false, replace = true))
+        case "update" => UpdateOp(UpdateModel(qOf(row), docOf(row),
+          upsert = boolAt(row, 3), multi = boolAt(row, 4), replace = false))
+        case other => throw new IllegalArgumentException(s"bad op kind $other")
+      }
+    }
+    val r = fake.bulkWrite(s"$db.$coll", models.iterator, ordered)
+    val counts = Array(r.inserted, r.matched, r.modified, r.upserted)
+    if (r.errors.nonEmpty) throw new StubBulkErrors(counts, r.errors.asJava)
+    counts
+  }
+}
+
+object StubDriverBackend {
+
+  /** Inverse of [[QueryDocs.render]]: mongo query document → [[BQuery]].
+    * Covers exactly the operator set render emits (equality, $lt/$lte/
+    * $gt/$gte/$eq/$ne/$in/$nin/$regex+$options/$exists, $and/$or).
+    */
+  def parseQueryDoc(d: BDoc): BQuery = {
+    val parts: Seq[BQuery] = d.fields.toSeq.map {
+      case ("$and", BArray(items)) =>
+        BQuery.And(items.map { case i: BDoc => parseQueryDoc(i) })
+      case ("$or", BArray(items)) =>
+        BQuery.Or(items.map { case i: BDoc => parseQueryDoc(i) })
+      case (f, ops: BDoc)
+          if ops.fields.nonEmpty && ops.fields.keys.forall(_.startsWith("$")) =>
+        BQuery.And(ops.fields.toSeq.map {
+          case ("$lt", v) => BQuery.Lt(f, v)
+          case ("$lte", v) => BQuery.Lte(f, v)
+          case ("$gt", v) => BQuery.Gt(f, v)
+          case ("$gte", v) => BQuery.Gte(f, v)
+          case ("$eq", v) => BQuery.Eq(f, v)
+          case ("$ne", v) => BQuery.Ne(f, v)
+          case ("$in", BArray(vs)) => BQuery.In(f, vs)
+          case ("$nin", BArray(vs)) => BQuery.Nin(f, vs)
+          case ("$regex", BString(p)) =>
+            val o = ops.fields.collectFirst { case ("$options", BString(x)) => x }
+            BQuery.Regex(f, p, o.getOrElse(""))
+          case ("$options", _) => BQuery.True // consumed by the $regex case
+          case ("$exists", BBool(b)) => BQuery.Exists(f, b)
+          case (op, _) =>
+            throw new IllegalArgumentException(s"stub server: unsupported $op")
+        })
+      case (f, v) => BQuery.Eq(f, v)
+    }
+    parts match {
+      case Seq() => BQuery.True
+      case Seq(one) => one
+      case many => BQuery.And(many)
+    }
+  }
+}
+
+/** Compiles the Java sources under `src/test/resources/mongostub` with
+  * the in-process JDK compiler into a temp dir and serves them from a child
+  * URLClassLoader. The stub classes are NEVER on a build classpath:
+  * plain `Class.forName` still fails (the absent-driver tests stay
+  * honest) while a thread that installs [[loader]] as its context
+  * classloader sees a resolvable driver — exactly how a real deployment
+  * delivers the driver jar via `spark.jars` into the executor's context
+  * classloader.
+  */
+object MongoStubLoader {
+
+  lazy val loader: ClassLoader = {
+    val res = getClass.getResource("/mongostub")
+    require(res != null, "mongostub resources missing from test classpath")
+    val srcDir = java.nio.file.Paths.get(res.toURI)
+    val sources = java.nio.file.Files.list(srcDir).iterator().asScala
+      .filter(_.toString.endsWith(".java")).map(_.toString).toSeq.sorted
+    require(sources.nonEmpty, s"no .java sources under $srcDir")
+    val out = java.nio.file.Files.createTempDirectory("graft-mongostub")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val stream = java.nio.file.Files.walk(out)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally stream.close()
+    }))
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    require(javac != null, "JDK compiler unavailable in the test JVM")
+    val args = Seq("-d", out.toString, "-encoding", "UTF-8",
+      "-classpath", sys.props("java.class.path")) ++ sources
+    val rc = javac.run(null, null, null, args: _*)
+    require(rc == 0, s"mongostub javac failed with rc=$rc")
+    new java.net.URLClassLoader(
+      Array(out.toUri.toURL), getClass.getClassLoader)
+  }
+
+  /** Run `body` with the stub-driver loader installed as the context
+    * classloader (restored after), a fresh backend over `fake`. */
+  def withStubDriver[T](fake: FakeServerClient)(body: StubDriverBackend => T): T = {
+    val backend = new StubDriverBackend(fake)
+    MongoStubBridge.backend = backend
+    val t = Thread.currentThread
+    val prev = t.getContextClassLoader
+    t.setContextClassLoader(loader)
+    try body(backend)
+    finally t.setContextClassLoader(prev)
+  }
+}
