@@ -285,4 +285,26 @@ class OpsSpec extends SparkSpec {
     assert(accounted == nBase,
       s"removed+changed+unchanged = $accounted should equal base count $nBase")
   }
+
+  test("q119 stored-manifest diff equals the inline diff and reuses the manifests") {
+    val inline = run("q109_snapshot_diff", sf001).collect().toSeq
+    val stored1 = run("q119_snapshot_diff_stored", sf001).collect().toSeq
+    assert(stored1 == inline,
+      "diffing stored fingerprints must reproduce the inline result exactly")
+    // second invocation must read the persisted manifests, not rewrite
+    // them — the amortized deployment cost a repeated run measures
+    val before = manifestMtime(sf001)
+    val stored2 = run("q119_snapshot_diff_stored", sf001).collect().toSeq
+    assert(stored2 == inline)
+    assert(manifestMtime(sf001) == before,
+      "a repeated q119 run must not rewrite the stored manifests")
+  }
+
+  private def manifestMtime(dir: String): Long = {
+    val key = math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      new java.io.File(dir).getAbsolutePath))
+    new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_snapman_$key"),
+      "b/_SUCCESS").lastModified()
+  }
 }
