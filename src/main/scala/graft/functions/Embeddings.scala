@@ -102,6 +102,42 @@ object Embeddings {
     dotExpr(expr(q), expr(lits))
   }
 
+  /** PCA-rotated prefix width and coefficient scale for the q120 audit.
+    * Scale 128 keeps every quantity exactly representable: |coord| <=
+    * 64·128·2047 ~ 1.7e7, prefix norms <= 16·coord² ~ 4.6e15 < 2^53, and
+    * prefix dots <= 4.6e15 — all exact in BIGINT and in DOUBLE, so both
+    * engines compute bit-identical cosines (via [[cosineBig]], which
+    * multiplies the norms in double because their 64-bit product would
+    * overflow).
+    */
+  val PcaDims = 16
+  val PcaScale = 128
+
+  /** Trained PCA rotation rows (PcaDims × Dims, coefficients scaled by
+    * [[PcaScale]]): the top principal axes of the quantized sf0.1
+    * embedding sample (vec_id < 1024), computed OFFLINE by
+    * `tools/make_pca.py` and shipped as a fixed resource — the
+    * deployment shape for a learned rotation (train once on a bounded
+    * sample, serve as constants), exactly how [[jlCoef]] ships its
+    * data-free counterpart.
+    */
+  lazy val pcaCoef: IndexedSeq[IndexedSeq[Long]] = {
+    val in = getClass.getResourceAsStream("/graft/pca16x64.txt")
+    require(in != null, "pca16x64.txt resource missing (run tools/make_pca.py)")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val rows = src.getLines().filter(_.nonEmpty)
+        .map(_.trim.split("\\s+").toIndexedSeq.map(_.toLong)).toIndexedSeq
+      require(rows.size == PcaDims && rows.forall(_.size == Dims),
+        s"pca16x64.txt must be ${PcaDims}x$Dims")
+      rows
+    } finally src.close()
+  }
+
+  /** Rotated coordinate k of a quantized vector: exact integer dot with
+    * the literal PCA row (row-local, inside codegen). */
+  def pcaDot(q: String, k: Int): Column = dotLit(q, pcaCoef(k))
+
   /** LSH bucket id for table t: sign bits of its 4 plane dots. */
   def bucket(q: String, t: Int): Column =
     (0 until PlanesPerTable).map { r =>
@@ -112,6 +148,14 @@ object Embeddings {
   /** Exact cosine from integer dot + norms, as the one double op. */
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt((na * nb).cast("double"))
+
+  /** Cosine for big norms (PCA-rotated prefixes): multiplies the norms
+    * in DOUBLE because na·nb would overflow 64 bits. All inputs are
+    * < 2^53 (see [[PcaScale]]), so the conversion is exact and the
+    * result IEEE-identical across engines.
+    */
+  def cosineBig(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
   /** SQ8 reconstruction against corpus-global per-dimension bounds — the
     * row-local codegen'd kernel behind the q110 audit (see
@@ -167,4 +211,14 @@ object Embeddings {
 
   def cosineSql(dot: String, na: String, nb: String): String =
     s"(CAST($dot AS DOUBLE) / sqrt(CAST(($na * $nb) AS DOUBLE)))"
+
+  /** DuckDB mirror of [[pcaDot]]. */
+  def pcaDotSql(q: String, k: Int): String = {
+    val lits = pcaCoef(k).mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> $q[i] * ($lits)[i])) AS BIGINT)"
+  }
+
+  /** DuckDB mirror of [[cosineBig]]. */
+  def cosineBigSql(dot: String, na: String, nb: String): String =
+    s"(CAST($dot AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)))"
 }

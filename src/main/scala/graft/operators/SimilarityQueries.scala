@@ -901,8 +901,10 @@ object SimilarityQueries {
     // meaningful; on generic embeddings this audit tells you whether
     // they happen to be — here it answers NO: mean recall@5 at sf0.1 is
     // 0.12, vs 0.98 for SQ8 (q110), 0.74 for hybrid-JL candidates
-    // (q99), 0.24 for JL-only — naive prefixes are the one compression
-    // tier this corpus cannot serve from, and the audit is what tells
+    // (q99), 0.24 for JL-only, 0.08 for the PCA-rotated prefix (q120,
+    // the learned remedy — which can't help either: the spectrum is
+    // flat) — prefixes are the one compression tier this corpus cannot
+    // serve from, and the audit is what tells
     // you before you build the index) and measure per-query recall@5 of
     // truncated-cosine top-k against the exact full-dimension top-k.
     // Truncation is symmetric (query and corpus both sliced) — the way
@@ -963,6 +965,106 @@ object SimilarityQueries {
           |    SELECT a.vec_id AS qid, b.vec_id,
           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
           |        ${Embeddings.cosineSql(pdot, "a.pn", "b.pn")} DESC,
+          |        b.vec_id) AS rk
+          |    FROM (SELECT * FROM vp WHERE vec_id < $NumQueries) a
+          |    CROSS JOIN vp b WHERE b.vec_id <> a.vec_id)
+          |  WHERE rk <= $TopK),
+          |ex AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT qid, vec_id,
+          |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+          |    FROM (
+          |      SELECT qid, vec_id,
+          |        ${Embeddings.cosineSql(Embeddings.dotSql("qq", "q"), "qn", "nrm")} AS cos
+          |      FROM vn CROSS JOIN qs WHERE vec_id <> qid))
+          |  WHERE rk <= $TopK),
+          |hits AS (
+          |  SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+          |  FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+          |  GROUP BY ex.qid)
+          |SELECT q2.qid, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |  coalesce(h.n_hit, 0) / $TopK.0 AS recall
+          |FROM (SELECT DISTINCT qid FROM ex) q2
+          |LEFT JOIN hits h USING (qid)
+          |ORDER BY q2.qid
+          |""".stripMargin
+      }),
+
+    // PCA-ROTATED prefix recall — the fifth compression tier, and the
+    // literature's one cheap remedy for q115's finding (naive prefixes
+    // recall 0.12 on this corpus: untrained embeddings put no special
+    // mass in their leading dims). Rotate every vector by the top-16
+    // principal axes of a bounded training sample (trained OFFLINE by
+    // tools/make_pca.py, shipped as the fixed integer-literal artifact
+    // Embeddings.pcaCoef — the deployment shape for a learned rotation)
+    // and serve from the rotated prefix exactly as q115 serves from the
+    // naive one. The audit reports what the rotation buys NEXT TO the
+    // other tiers (SQ8 0.98, hybrid-JL 0.74, JL-only 0.24, naive prefix
+    // 0.12, PCA prefix 0.08 at sf0.1) — and here the answer is the
+    // finding: this synthetic corpus's spectrum is FLAT (top eigenvalue
+    // 2.3% of trace vs 1.6% uniform; top-16 axes hold 34% of variance
+    // vs 25% for any 16 dims), so NO rotation can beat an arbitrary
+    // 16-dim projection, and the 0.08-vs-0.12 gap is binomial noise on
+    // 50 hit samples. Rotation helps exactly as much as the spectrum
+    // concentrates; the audit quantifies that before you build the
+    // index. (Centered and uncentered second-moment axes measure
+    // identically here — verified offline in tools/make_pca.py's
+    // protocol.)
+    //
+    // Scale shape: rotation is 16 literal-coefficient integer dots per
+    // row (the jlDot discipline — row-local, inside codegen, exact);
+    // scoring/top-k is q115's audited shape (queries broadcast, both
+    // windows WindowGroupLimit-pruned map-side). Norms of rotated
+    // prefixes exceed what a 64-bit norm PRODUCT can hold, so cosine
+    // multiplies the norms in double (cosineBig; all inputs < 2^53 —
+    // exact, IEEE-identical across engines).
+    CatalogQuery(
+      "q120_pca_prefix_recall",
+      (s, d) => {
+        import s.implicits._
+        val M = Embeddings.PcaDims
+        val v = quantized(s, d)
+          .withColumn("p", array((0 until M).map(k =>
+            Embeddings.pcaDot("q", k)): _*))
+          .withColumn("pn", Embeddings.norm2("p"))
+        val queries = v.filter($"vec_id" < NumQueries)
+          .select($"vec_id".as("qid"), $"p".as("pq"), $"pn".as("pqn"))
+        val scored = v.join(broadcast(queries), $"vec_id" =!= $"qid")
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        val ap = scored
+          .withColumn("cos",
+            Embeddings.cosineBig(Embeddings.dot("pq", "p"), $"pqn", $"pn"))
+          .withColumn("rk", row_number().over(w)).filter($"rk" <= TopK)
+          .select($"qid", $"vec_id".as("neighbor"))
+        val ex = bruteTopK(s, d).select($"qid", $"neighbor")
+        val hits = ex.join(ap, Seq("qid", "neighbor"))
+          .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+        ex.select($"qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select($"qid", coalesce($"n_hit", lit(0L)).as("n_hit"))
+          .withColumn("recall", $"n_hit" / lit(TopK.toDouble))
+          .orderBy($"qid")
+      },
+      Some {
+        val q = Embeddings.quantSql("embedding")
+        val M = Embeddings.PcaDims
+        val rot = (0 until M).map(k => Embeddings.pcaDotSql("q", k))
+          .mkString("[", ",\n    ", "]")
+        val pdot = s"CAST(list_sum(list_transform(range(1, ${M + 1}), " +
+          s"i -> a.p[i] * b.p[i])) AS BIGINT)"
+        s"""
+          |WITH v AS (SELECT vec_id, $q AS q FROM embeddings),
+          |vn AS (SELECT vec_id, q, ${Embeddings.norm2Sql("q")} AS nrm FROM v),
+          |vp AS (
+          |  SELECT vec_id, p, ${Embeddings.norm2Sql("p")} AS pn
+          |  FROM (SELECT vec_id, $rot AS p FROM v)),
+          |qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM vn
+          |  WHERE vec_id < $NumQueries),
+          |ap AS (
+          |  SELECT qid, vec_id FROM (
+          |    SELECT a.vec_id AS qid, b.vec_id,
+          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          |        ${Embeddings.cosineBigSql(pdot, "a.pn", "b.pn")} DESC,
           |        b.vec_id) AS rk
           |    FROM (SELECT * FROM vp WHERE vec_id < $NumQueries) a
           |    CROSS JOIN vp b WHERE b.vec_id <> a.vec_id)

@@ -133,6 +133,30 @@ class NewPipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q120 PCA rotation artifact is well-formed and the audit stays bounded") {
+    import graft.functions.Embeddings
+    // the trained artifact: 16x64 rows, |coef| <= PcaScale (so every
+    // rotated coord/norm/dot stays inside the exactness bounds the
+    // cosineBig analysis assumes), and rows are near-unit at the scale
+    // (a degenerate all-zero row would silently zero a prefix dim)
+    assert(Embeddings.pcaCoef.size == Embeddings.PcaDims)
+    for (row <- Embeddings.pcaCoef) {
+      assert(row.size == Embeddings.Dims)
+      assert(row.forall(c => math.abs(c) <= Embeddings.PcaScale))
+      val n2 = row.map(c => c * c).sum.toDouble
+      val unit = Embeddings.PcaScale.toDouble * Embeddings.PcaScale
+      assert(n2 > 0.8 * unit && n2 < 1.2 * unit,
+        s"rotation row norm ${n2 / unit} should be ~1 at PcaScale")
+    }
+    val rows = run("q120_pca_prefix_recall", sf0001).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val (nHit, recall) = (r.getLong(1), r.getDouble(2))
+      assert(nHit >= 0 && nHit <= 5)
+      assert(recall == nHit / 5.0)
+    }
+  }
+
   test("q94 shards are contiguous, exhaustive, and key-colocated") {
     val rows = run("q94_range_shard_plan", sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
