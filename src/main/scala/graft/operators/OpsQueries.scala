@@ -568,8 +568,15 @@ object OpsQueries {
           .select(corrupt($"l_orderkey", "fk1:").as("k"))
         val ord = Tables.orders(s, d)
           .select(corrupt($"o_custkey", "fk2:").as("k"))
+        // the one data-scale parent: orders' key set outgrows the
+        // broadcast threshold, and the default SMJ would sort BOTH the
+        // 60M-row child and the parent — a shuffled hash join builds a
+        // per-partition parent map and probes, no sorts (measured at
+        // 100x: 1.16 -> 0.86 s). The small parents below stay on the
+        // planner's auto-broadcast.
         val r1 = check("lineitem.l_orderkey -> orders.o_orderkey",
-          li, Tables.orders(s, d).select($"o_orderkey".as("k")))
+          li, Tables.orders(s, d).select($"o_orderkey".as("k"))
+            .hint("shuffle_hash"))
         val r2 = check("orders.o_custkey -> customer.c_custkey",
           ord, Tables.customer(s, d).select($"c_custkey".as("k")))
         val r3 = check("customer.c_nationkey -> nation.n_nationkey",
