@@ -366,6 +366,37 @@ class MongoDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("stub driver: chunkRanges falls back to the 5.0+ uuid arm client-side") {
+    withDriver { (client, fake, _) =>
+      // 5.0+ layout: config.chunks keyed by collection uuid (subtype-4
+      // binary), no ns field; config.collections maps ns -> uuid. The
+      // uuid filter must run CLIENT-side on byte equality (the engine's
+      // BBinary is subtype-blind; re-encoding would write subtype 0).
+      val uuid = BBinary(Array.tabulate[Byte](16)(_.toByte))
+      val otherUuid = BBinary(Array.fill[Byte](16)(0x7f.toByte))
+      fake.bulkWrite("config.collections", Iterator(
+        InsertOne(BDoc("_id" -> BString(Ns), "uuid" -> uuid))), ordered = true)
+      fake.bulkWrite("config.chunks", Iterator(
+        InsertOne(BDoc("_id" -> BString("u1"), "uuid" -> uuid,
+          "min" -> BDoc("k" -> BMinKey), "max" -> BDoc("k" -> BInt32(7)),
+          "shard" -> BString("s0"))),
+        InsertOne(BDoc("_id" -> BString("u2"), "uuid" -> otherUuid,
+          "min" -> BDoc("k" -> BMinKey), "max" -> BDoc("k" -> BMaxKey),
+          "shard" -> BString("s9"))),
+        InsertOne(BDoc("_id" -> BString("u3"), "uuid" -> uuid,
+          "min" -> BDoc("k" -> BInt32(7)), "max" -> BDoc("k" -> BMaxKey),
+          "shard" -> BString("s1")))), ordered = true)
+      fake.bulkWrite("config.shards", Iterator(
+        InsertOne(BDoc("_id" -> BString("s0"), "host" -> BString("h1:27017"))),
+        InsertOne(BDoc("_id" -> BString("s1"),
+          "host" -> BString("rs1/h2:27017")))), ordered = true)
+      assert(client.chunkRanges(Ns, "k") === Seq(
+        (None, Some(BInt32(7)), Seq("h1:27017")),
+        (Some(BInt32(7)), None, Seq("h2:27017"))),
+        "only this collection's uuid chunks, in cursor order, hosts resolved")
+    }
+  }
+
   test("stub driver: bulkWrite covers replace/update/multi/upsert and reads back") {
     withDriver { (client, fake, _) =>
       seed(client)
