@@ -172,6 +172,28 @@ class MongoDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("the stub backend's doc parser inverts render with matches-parity") {
+    // the fake "server" must evaluate exactly what the binding rendered,
+    // or the resolved-driver tests would compare Spark against a
+    // different query than a real server would run
+    val docs = samples(docGen, 60)
+    samples(queryGen, 200).foreach { q =>
+      val rendered = QueryDocs.render(q)
+        .getOrElse(fail(s"scalar query must render: $q"))
+      val parsed = StubDriverBackend.parseQueryDoc(rendered)
+      docs.foreach { d =>
+        assert(parsed.matches(d) === q.matches(d),
+          s"stub-parser parity broke for $q on $d via $rendered")
+      }
+    }
+    // the operator-doc corner cases render() emits
+    assert(StubDriverBackend.parseQueryDoc(BDoc.empty) === BQuery.True)
+    val wrapped = QueryDocs.render(
+      BQuery.Eq("a", BDoc("$gt" -> BInt32(5)))).get
+    assert(StubDriverBackend.parseQueryDoc(wrapped)
+      .matches(BDoc("a" -> BDoc("$gt" -> BInt32(5)))))
+  }
+
   // --- the remaining wire docs ---------------------------------------------
 
   test("command and cursor-option docs are pinned") {
