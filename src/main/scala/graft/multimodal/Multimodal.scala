@@ -38,7 +38,9 @@ object Multimodal {
     */
   object FakeDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
-      val bytes = r.payload
+      // defensive: a decoder must treat a missing payload as empty, not
+      // throw mid-partition (real codec bindings get fed nulls too)
+      val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
       val first = if (bytes.nonEmpty) bytes(0) & 0xffL else 0L
       val second = if (bytes.length > 1) bytes(1) & 0xffL else 0L
       var sum = 0L
@@ -74,7 +76,10 @@ object Multimodal {
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
+        // a media row's payload is bytes, never NULL: a NULL-text doc
+        // derives an EMPTY payload (0 frames, zero features) in both
+        // engines instead of NPE-ing the decoder
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRecord]
   }
 

@@ -120,8 +120,12 @@ object ConnectorQueries {
       (s, d) => {
         import s.implicits._
         val dir = freshDir()
+        // a dump line cannot carry NULL — a NULL-text doc dumps as an
+        // empty payload (and the oracle mirrors with coalesce), else the
+        // whole line vanishes from the text file and the doc from the scan
         Tables.documents(s, d)
-          .select(concat($"doc_id".cast("string"), lit("\t"), $"text"))
+          .select(concat($"doc_id".cast("string"), lit("\t"),
+            coalesce($"text", lit(""))))
           .write.mode("overwrite").text(s"$dir/txt")
         s.read.format("graftgridfs")
           .option("mode", "text").option("chunk_size", "65536")
@@ -132,7 +136,7 @@ object ConnectorQueries {
             length(split($"token", "\t").getItem(1)).cast("long").as("n_chars_m"))
           .orderBy($"doc_id")
       },
-      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m FROM documents ORDER BY doc_id")),
+      Some("SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_m FROM documents ORDER BY doc_id")),
 
     // Scan-level aggregate pushdown (SupportsPushDownAggregates): the
     // collstats analog — COUNT(*) answered from the collection's .splits

@@ -316,8 +316,12 @@ object CorpusStatsQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
+        // coalesce(n_chars, 0) — the q106/q118 convention — BEFORE the
+        // rank: a NULL length would sort NULLS FIRST here but NULLS
+        // LAST in the oracle, shifting every quantile row
         val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
-        val ranked = docs.select($"source", $"n_chars", $"doc_id")
+        val ranked = docs.select($"source",
+            coalesce($"n_chars", lit(0L)).as("n_chars"), $"doc_id")
           .withColumn("rn", row_number().over(w).cast("long") - 1L)
         val need = docs.groupBy($"source").agg(count(lit(1)).as("n"))
           .select($"source", $"n",
@@ -336,9 +340,9 @@ object CorpusStatsQueries {
       },
       Some("""
         |WITH ranked AS (
-        |  SELECT source, n_chars,
+        |  SELECT source, coalesce(n_chars, 0) AS n_chars,
         |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY n_chars, doc_id) AS BIGINT) - 1 AS rn
+        |      ORDER BY coalesce(n_chars, 0), doc_id) AS BIGINT) - 1 AS rn
         |  FROM documents),
         |need AS (
         |  SELECT source, count(*) AS n,
@@ -367,7 +371,10 @@ object CorpusStatsQueries {
       "q60_repeat_scrub",
       (s, d) => {
         import s.implicits._
-        val toks = spaceSplit($"text")
+        // coalesce(text, '') — NULL text must scrub to an empty cleaned
+        // doc in BOTH engines (Spark's concat_ws renders a NULL array
+        // as '', DuckDB's array_to_string propagates NULL)
+        val toks = spaceSplit(coalesce($"text", lit("")))
         // codegen kernel: one JVM call per row vs an interpreted lambda
         // per element (the filter((x, i) -> ...) spelling measured 1.8 s
         // vs 0.3 s at sf0.1)
@@ -384,7 +391,8 @@ object CorpusStatsQueries {
         |    AS cleaned,
         |  CAST(len(l) - len(list_filter(l, (x, i) -> i = 1 OR l[i-1] <> x))
         |    AS BIGINT) AS n_removed
-        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        |      FROM documents)
         |ORDER BY doc_id
         |""".stripMargin)),
 

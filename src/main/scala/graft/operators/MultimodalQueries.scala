@@ -18,12 +18,13 @@ object MultimodalQueries {
         |WITH b AS (
         |  SELECT doc_id,
         |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CAST(length(text) AS BIGINT) AS byte_len,
-        |    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first,
-        |    CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS second,
-        |    CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |                                 i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
-        |  FROM documents)
+        |    CAST(length(txt) AS BIGINT) AS byte_len,
+        |    CAST(ascii(substr(txt, 1, 1)) AS BIGINT) AS first,
+        |    CAST(ascii(substr(txt, 2, 1)) AS BIGINT) AS second,
+        |    CAST(coalesce(list_sum(list_transform(range(1, length(txt) + 1),
+        |                           i -> ascii(substr(txt, i, 1)))), 0)
+        |      AS BIGINT) AS byte_sum
+        |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents))
         |SELECT doc_id, kind,
         |  16 + first % 64 AS width,
         |  16 + second % 64 AS height,
@@ -43,9 +44,9 @@ object MultimodalQueries {
         |WITH f AS (
         |  SELECT doc_id,
         |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    length(text) AS len, text,
-        |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS frame_id
-        |  FROM documents),
+        |    length(txt) AS len, txt AS text,
+        |    unnest(range(0, CAST(ceil(length(txt) / 64.0) AS BIGINT))) AS frame_id
+        |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents)),
         |sampled AS (
         |  SELECT doc_id, kind, frame_id,
         |    least(64, len - frame_id * 64) AS frame_len,

@@ -47,7 +47,12 @@ object SamplingQueries {
           .filter($"rk" <= K)
           .groupBy($"lang")
           .agg(max($"hp").as("kth"))
-          .join(broadcast(nExact), Seq("lang"))
+          // null-safe key: a NULL-lang group is a real group in both
+          // engines' aggregates, but a plain equi-join would silently
+          // drop it here (NULL never equals NULL in a join key) while
+          // the oracle's window shape keeps it
+          .join(broadcast(nExact.withColumnRenamed("lang", "lang_e")),
+            $"lang" <=> $"lang_e")
           .select($"lang", $"n_exact",
             when($"n_exact" < K, $"n_exact".cast("double"))
               .otherwise(lit((K - 1).toDouble * P) / $"kth".cast("double"))

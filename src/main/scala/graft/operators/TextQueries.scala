@@ -160,8 +160,14 @@ object TextQueries {
         val tfd = docs
           .select($"doc_id", $"lang", explode(Portable.tokenCounts($"text")).as("tc"))
           .select($"doc_id", $"lang", $"tc.tok".as("tok"), $"tc.cnt".as("cnt"))
-        // train: top-10 tokens per language (freq desc, token asc)
-        val freq = tfd.groupBy($"lang", $"tok").agg(sum($"cnt").as("cnt"))
+        // train: top-10 tokens per language (freq desc, token asc).
+        // Unlabeled (NULL-lang) docs are excluded from TRAINING — they
+        // cannot label a profile, and a NULL p_lang candidate would
+        // also diverge between the engines' NULL orderings (Spark
+        // sorts NULLS FIRST, DuckDB NULLS LAST); they still get SCORED
+        // and predicted like every other doc.
+        val freq = tfd.filter($"lang".isNotNull)
+          .groupBy($"lang", $"tok").agg(sum($"cnt").as("cnt"))
         val wP = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
         val profile = freq.withColumn("rk", row_number().over(wP)).filter($"rk" <= 10)
           .select($"lang".as("p_lang"), $"tok")
@@ -194,7 +200,8 @@ object TextQueries {
         |  SELECT doc_id, lang, tok FROM (
         |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
         |  WHERE tok <> ''),
-        |freq AS (SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |freq AS (SELECT lang, tok, count(*) AS cnt FROM tok
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
         |profile AS (
         |  SELECT lang AS p_lang, tok FROM (
         |    SELECT lang, tok, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
