@@ -300,7 +300,10 @@ object ConnectorQueries {
         kept.write.format("graftbson")
           .option("id_column", "doc_id").option("shards", "4")
           .mode("append").save(dir)
-        s.read.format("graftbson").load(dir)
+        // read back with the writer's schema: schema inference over a
+        // possibly-EMPTY collection (everything gated out) has nothing
+        // to sample — the deployment pattern is to carry the schema
+        s.read.format("graftbson").schema(kept.schema).load(dir)
           .groupBy($"source").agg(count(lit(1)).as("n_kept"))
           .orderBy($"source")
       },

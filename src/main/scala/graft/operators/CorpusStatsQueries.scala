@@ -436,7 +436,9 @@ object CorpusStatsQueries {
           sum($"w").cast("long").as("w")).collect()(0)
         val cands = skRow.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sk")
           .map(_.getString(0)).toSeq
-        val totalW = skRow.getLong(1)
+        // sum over an EMPTY corpus is NULL; zero weight sends the c20
+        // guarantee check to the exact fallback, which yields 0 rows
+        val totalW = if (skRow.isNullAt(1)) 0L else skRow.getLong(1)
         // exact recount of the bounded candidate set (<= 1024 rows)
         val recount = tf.filter($"tok".isin(cands: _*))
           .groupBy($"tok").agg(sum($"w").cast("long").as("cnt"))

@@ -89,11 +89,17 @@ object CurationQueries {
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
           .cache()
-        // bounded collect #1 (K rows): deterministic init centroids
+        // bounded collect #1 (K rows): deterministic init centroids; on
+        // an EMPTY corpus substitute one zero centroid (Lloyd passes see
+        // no members, the final aggregate is empty — oracle parity)
         var cents: IndexedSeq[(Long, IndexedSeq[Long])] = v
           .filter($"vec_id" < KmK).select($"vec_id", $"q").collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
-          .sortBy(_._1).toIndexedSeq
+          .sortBy(_._1).toIndexedSeq match {
+          case e if e.isEmpty =>
+            IndexedSeq((0L, IndexedSeq.fill(dims)(0L)))
+          case cs => cs
+        }
         def assigned: DataFrame = {
           val distStructs = array(cents.map { case (cid, cq) =>
             val cn = cq.map(x => x * x).sum

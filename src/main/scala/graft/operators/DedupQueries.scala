@@ -818,10 +818,17 @@ object DedupQueries {
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
           .withColumn("nrm", Embeddings.norm2("q"))
-        // bounded collect (q36 convention): the coarse quantizer
+        // bounded collect (q36 convention): the coarse quantizer; on an
+        // EMPTY corpus substitute one zero centroid so the literal
+        // assignment expression still types (the plan then yields an
+        // empty result, matching the oracle)
         val centroids = v.filter($"vec_id" < NumCentroids).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-          .sortBy(_._1)
+          .sortBy(_._1) match {
+          case e if e.isEmpty =>
+            Array((0L, Seq.fill(Embeddings.Dims)(0L): Seq[Long], 0L))
+          case cs => cs
+        }
         val distStructs = array(centroids.map { case (cid, cq, cn) =>
           struct(($"nrm" + lit(cn) - lit(2L) * Embeddings.dotLit("q", cq)).as("dist"),
             lit(cid).as("cid"))

@@ -185,7 +185,15 @@ object SimilarityQueries {
         val head = v.filter($"vec_id" < math.max(NumCentroids, NumQueries)).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
           .sortBy(_._1)
-        val centroids = head.filter(_._1 < NumCentroids)
+        // EMPTY-CORPUS degradation: with no head rows the centroid list
+        // would be empty and array() of zero structs types as VOID,
+        // failing analysis — substitute one zero centroid; the empty
+        // corpus then flows through the normal plan to an empty result
+        val centroids = head.filter(_._1 < NumCentroids) match {
+          case e if e.isEmpty =>
+            Array((0L, Seq.fill(Embeddings.Dims)(0L): Seq[Long], 0L))
+          case cs => cs
+        }
         // array of struct(dist, cid), one entry per centroid; array_min
         // orders structs lexicographically = (dist ASC, cid ASC), the
         // exact tie-break the windowed oracle uses
@@ -283,8 +291,14 @@ object SimilarityQueries {
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
         // ONE bounded collect (K rows, filter pushed to the scan) yields
         // the whole codebook, flattened subspace-major for the kernel
-        val rows = v.filter($"vec_id" < PqK).collect()
+        val collected = v.filter($"vec_id" < PqK).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+        // EMPTY-CORPUS degradation: a zero codebook lets the normal plan
+        // run to an empty result instead of failing the require below
+        val rows =
+          if (collected.isEmpty) (0L until PqK.toLong)
+            .map(k => (k, Seq.fill(Embeddings.Dims)(0L): Seq[Long])).toArray
+          else collected
         // codebook convention (same as q36's coarse quantizer): codeword
         // id == vec_id, which the kernel's dense 0..K-1 code indices and
         // the oracle's raw vec_ids both rely on — fail loudly rather
@@ -351,8 +365,15 @@ object SimilarityQueries {
         val B = Embeddings.Dims / PqM
         val v = Tables.embeddings(s, d)
           .select($"vec_id", Embeddings.quant("embedding").as("q"))
-        val head = v.filter($"vec_id" < math.max(PqK, NumQueries)).collect()
+        val collected = v.filter($"vec_id" < math.max(PqK, NumQueries)).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+        // EMPTY-CORPUS degradation: zero codebook + zero query batch —
+        // the literal arrays stay non-empty (analysis needs concrete
+        // types) and the empty corpus flows through to an empty result
+        val head =
+          if (collected.isEmpty) (0L until math.max(PqK, NumQueries).toLong)
+            .map(k => (k, Seq.fill(Embeddings.Dims)(0L): Seq[Long])).toArray
+          else collected
         def subs(q: Seq[Long]): IndexedSeq[Seq[Long]] =
           (0 until PqM).map(m => q.slice(m * B, (m + 1) * B))
         def sqd(a: Seq[Long], b: Seq[Long]): Long =
@@ -820,9 +841,13 @@ object SimilarityQueries {
           (1 until Embeddings.Dims).map(i => min($"q"(i)).as(s"b$i")) ++
             (0 until Embeddings.Dims).map(i => max($"q"(i)).as(s"t$i")): _*)
           .head()
-        val mins = Array.tabulate(Embeddings.Dims)(i => boundsRow.getLong(i))
+        // EMPTY-CORPUS degradation: min/max over zero rows are NULL —
+        // zero bounds let the normal plan run to an empty result
+        def bnd(i: Int): Long =
+          if (boundsRow.isNullAt(i)) 0L else boundsRow.getLong(i)
+        val mins = Array.tabulate(Embeddings.Dims)(bnd)
         val spans = Array.tabulate(Embeddings.Dims)(i =>
-          boundsRow.getLong(Embeddings.Dims + i) - mins(i))
+          bnd(Embeddings.Dims + i) - mins(i))
         val vr = v
           .withColumn("r", Embeddings.sqRecon("q", mins, spans))
           .withColumn("rn", Embeddings.norm2("r"))
