@@ -316,25 +316,35 @@ object CorpusStatsQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        // coalesce(n_chars, 0) — the q106/q118 convention — BEFORE the
-        // rank: a NULL length would sort NULLS FIRST here but NULLS
-        // LAST in the oracle, shifting every quantile row
-        val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
-        val ranked = docs.select($"source",
-            coalesce($"n_chars", lit(0L)).as("n_chars"), $"doc_id")
-          .withColumn("rn", row_number().over(w).cast("long") - 1L)
-        val need = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+        // VALUE-HISTOGRAM quantiles, not a corpus window: row_number()
+        // OVER (PARTITION BY source ORDER BY n_chars) sorts every
+        // source's docs inside ONE task — a hot source (skew) serializes
+        // 90% of the corpus through a single sort. The value at rank r
+        // depends only on the LENGTH multiset, so aggregate to a
+        // (source, length) histogram first (map-side-combinable, bounded
+        // by the length domain per source) and run the cumulative window
+        // over that tiny frame: p_q = min length whose cumulative count
+        // reaches ceil(n·q). Identical output (the old doc_id tie-break
+        // never changed the value at a rank), zero corpus-scale sorts.
+        // coalesce(n_chars, 0) — the q106/q118 convention — a NULL
+        // length would sort NULLS FIRST here but LAST in the oracle.
+        val hist = docs
+          .groupBy($"source", coalesce($"n_chars", lit(0L)).as("len"))
+          .agg(count(lit(1)).as("c"))
+        val wC = Window.partitionBy($"source").orderBy($"len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum($"c").over(wC))
+        val need = hist.groupBy($"source").agg(sum($"c").cast("long").as("n"))
           .select($"source", $"n",
-            (ceil($"n" * 0.5) - 1L).as("r50"),
-            (ceil($"n" * 0.9) - 1L).as("r90"),
-            (ceil($"n" * 0.99) - 1L).as("r99"))
-        ranked.join(broadcast(need), "source")
-          .filter($"rn" === $"r50" || $"rn" === $"r90" || $"rn" === $"r99")
+            ceil($"n" * 0.5).cast("long").as("r50"),
+            ceil($"n" * 0.9).cast("long").as("r90"),
+            ceil($"n" * 0.99).cast("long").as("r99"))
+        cum.join(broadcast(need), "source")
           .groupBy($"source", $"n")
           .agg(
-            min(when($"rn" === $"r50", $"n_chars")).as("p50"),
-            min(when($"rn" === $"r90", $"n_chars")).as("p90"),
-            min(when($"rn" === $"r99", $"n_chars")).as("p99"))
+            min(when($"cum" >= $"r50", $"len")).as("p50"),
+            min(when($"cum" >= $"r90", $"len")).as("p90"),
+            min(when($"cum" >= $"r99", $"len")).as("p99"))
           .select($"source", $"n".as("n_docs"), $"p50", $"p90", $"p99")
           .orderBy($"source")
       },
