@@ -1162,45 +1162,101 @@ object DedupQueries {
     // Scale shape: the corpus is touched exactly TWICE regardless of how
     // many thresholds are swept — once to build signatures (the shared
     // lshPairs machinery, bucket-capped) and once to fetch token counts
-    // for the pair-graph members only (a semi-join against the bounded
-    // node set). Every per-threshold computation (components, drop set,
-    // token rollup) runs on those two BOUNDED frames; both are cached
-    // with the multi-action justification (read once per threshold;
-    // uncached each sweep step would replay the corpus pass). The
-    // components come from the same probe-bounded union-find /
-    // label-propagation fallback as q48.
+    // for the pair-graph members only (a broadcast semi-join against the
+    // bounded node set). When the candidate graph fits the driver edge
+    // bound (the q48 probe convention), ALL thresholds share one
+    // incremental union-find over the est_sim-descending edge list —
+    // zero per-threshold Spark actions; otherwise the distributed
+    // per-threshold label-propagation sweep runs over the two cached
+    // bounded frames.
     CatalogQuery(
       "q116_dedup_roi",
       (s, d) => {
         import s.implicits._
         val thresholds = Seq(8, 10, 12, 14).map(_ / 16.0)
-        // bounded: candidate pairs at the loosest threshold, reread per
-        // sweep step (cache justified above)
-        val pairs = lshPairs(sigRows(s, d), Some(thresholds.min))
-          .select($"doc_a", $"doc_b", $"est_sim").cache()
-        val nodes = pairs.select($"doc_a".as("doc_id"))
-          .union(pairs.select($"doc_b".as("doc_id"))).distinct()
-        // bounded: token counts only for pair-graph members
-        val toks = Tables.documents(s, d)
-          .select($"doc_id",
-            size(spaceSplit(coalesce($"text", lit("")))).cast("long")
-              .as("n_tok"))
-          .join(nodes, "doc_id").cache()
-        val perT = thresholds.map { t =>
-          val pt = pairs.filter($"est_sim" >= t)
-          val labels = connectedComponents(pt.select($"doc_a", $"doc_b"))
-          val dropped = labels.filter($"doc_id" =!= $"label")
-          val saved = dropped.join(toks, "doc_id")
-            .agg(coalesce(sum($"n_tok"), lit(0L)).as("tokens_saved"))
-          val stats = pt.agg(count(lit(1)).as("n_pairs")).crossJoin(
-            labels.agg(countDistinct($"label").as("n_clusters"),
-              count(lit(1)).as("n_docs_in_clusters")))
-          stats.crossJoin(saved)
-            .select(lit(t).as("threshold"), $"n_pairs", $"n_clusters",
-              ($"n_docs_in_clusters" - $"n_clusters").as("n_dropped"),
-              $"tokens_saved".cast("long").as("tokens_saved"))
+        val pairsDf = lshPairs(sigRows(s, d), Some(thresholds.min))
+          .select($"doc_a", $"doc_b", $"est_sim")
+        // probe-bounded sweep (the connectedComponents convention): when
+        // the candidate graph fits the driver edge bound, the FOUR
+        // thresholds share ONE incremental union-find — sort edges by
+        // est_sim descending and sweep tightest→loosest, snapshotting
+        // stats as the pointer passes each threshold (a threshold's
+        // graph is a subgraph of every looser one, and components only
+        // merge as edges add). Corpus is touched exactly twice (pairs +
+        // member tokens), versus ~16 bounded-but-floor-paying actions
+        // for the per-threshold plan (measured 2.6 s → 0.9 s at sf0.1,
+        // the old shape's cost being per-action overhead, not data).
+        val probeLimit = (DriverCCMaxEdges + 1).min(Int.MaxValue.toLong).toInt
+        val probe = pairsDf.limit(probeLimit).collect()
+        if (probe.length <= DriverCCMaxEdges) {
+          val edges = probe
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .sortBy(e => (-e._3, e._1, e._2))
+          val memberIds = edges.iterator
+            .flatMap(e => Iterator(e._1, e._2)).toSet
+          val toks: Map[Long, Long] =
+            if (memberIds.isEmpty) Map.empty
+            else Tables.documents(s, d)
+              .select($"doc_id",
+                size(spaceSplit(coalesce($"text", lit("")))).cast("long")
+                  .as("n_tok"))
+              .join(broadcast(memberIds.toSeq.toDF("doc_id")), "doc_id")
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          val nodes = scala.collection.mutable.Set[Long]()
+          var idx = 0
+          val rows = thresholds.sorted.reverse.map { t =>
+            while (idx < edges.length && edges(idx)._3 >= t) {
+              val (a, b, _) = edges(idx)
+              nodes += a += b
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+              idx += 1
+            }
+            val dropped = nodes.iterator.filter(n => find(n) != n).toSeq
+            val nClusters = nodes.size - dropped.size
+            (t, idx.toLong, nClusters.toLong, dropped.size.toLong,
+              dropped.iterator.map(toks.getOrElse(_, 0L)).sum)
+          }
+          rows.sortBy(_._1)
+            .toDF("threshold", "n_pairs", "n_clusters", "n_dropped",
+              "tokens_saved")
+        } else {
+          // distributed fallback: per-threshold label propagation over
+          // the cached bounded frames (the pre-round-10 shape)
+          val pairs = pairsDf.cache()
+          val nodes = pairs.select($"doc_a".as("doc_id"))
+            .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+          val toks = Tables.documents(s, d)
+            .select($"doc_id",
+              size(spaceSplit(coalesce($"text", lit("")))).cast("long")
+                .as("n_tok"))
+            .join(nodes, "doc_id").cache()
+          val perT = thresholds.map { t =>
+            val pt = pairs.filter($"est_sim" >= t)
+            val labels = connectedComponents(pt.select($"doc_a", $"doc_b"))
+            val dropped = labels.filter($"doc_id" =!= $"label")
+            val saved = dropped.join(toks, "doc_id")
+              .agg(coalesce(sum($"n_tok"), lit(0L)).as("tokens_saved"))
+            val stats = pt.agg(count(lit(1)).as("n_pairs")).crossJoin(
+              labels.agg(countDistinct($"label").as("n_clusters"),
+                count(lit(1)).as("n_docs_in_clusters")))
+            stats.crossJoin(saved)
+              .select(lit(t).as("threshold"), $"n_pairs", $"n_clusters",
+                ($"n_docs_in_clusters" - $"n_clusters").as("n_dropped"),
+                $"tokens_saved".cast("long").as("tokens_saved"))
+          }
+          perT.reduce(_ unionByName _).orderBy($"threshold")
         }
-        perT.reduce(_ unionByName _).orderBy($"threshold")
       },
       Some {
         val eqSum = (0 until NumPerms)
