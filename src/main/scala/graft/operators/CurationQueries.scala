@@ -91,12 +91,18 @@ object CurationQueries {
           .cache()
         // bounded collect #1 (K rows): deterministic init centroids; on
         // an EMPTY corpus substitute one zero centroid (Lloyd passes see
-        // no members, the final aggregate is empty — oracle parity)
+        // no members, the final aggregate is empty — oracle parity).
+        // Gated on the corpus being empty: a non-empty table with no
+        // vec_id < KmK must fail loudly rather than cluster everything
+        // onto a fabricated centroid the oracle doesn't have.
         var cents: IndexedSeq[(Long, IndexedSeq[Long])] = v
           .filter($"vec_id" < KmK).select($"vec_id", $"q").collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
           .sortBy(_._1).toIndexedSeq match {
           case e if e.isEmpty =>
+            require(v.isEmpty, s"q101_kmeans: corpus is non-empty but has " +
+              s"no vec_id < $KmK to seed the centroids; refusing a " +
+              "fabricated centroid that would silently diverge from the oracle")
             IndexedSeq((0L, IndexedSeq.fill(dims)(0L)))
           case cs => cs
         }

@@ -821,11 +821,19 @@ object DedupQueries {
         // bounded collect (q36 convention): the coarse quantizer; on an
         // EMPTY corpus substitute one zero centroid so the literal
         // assignment expression still types (the plan then yields an
-        // empty result, matching the oracle)
+        // empty result, matching the oracle). The substitution is gated
+        // on the CORPUS being empty, not merely the head: a non-empty
+        // table whose ids all exceed NumCentroids would otherwise have
+        // every vector silently assigned to a fabricated centroid 0
+        // while the oracle's empty centroid set yields nothing — fail
+        // loudly instead (the codebook convention requires dense ids).
         val centroids = v.filter($"vec_id" < NumCentroids).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
           .sortBy(_._1) match {
           case e if e.isEmpty =>
+            require(v.isEmpty, s"q90_semdedup: corpus is non-empty but has " +
+              s"no vec_id < $NumCentroids to seed the codebook; refusing a " +
+              "fabricated centroid that would silently diverge from the oracle")
             Array((0L, Seq.fill(Embeddings.Dims)(0L): Seq[Long], 0L))
           case cs => cs
         }

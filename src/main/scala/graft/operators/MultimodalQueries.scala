@@ -2,11 +2,14 @@ package graft.operators
 
 import graft.multimodal.Multimodal
 
-/** Multimodal-column operators (SURVEY.md north-star family). The decode
-  * step is a deterministic stub (no codecs in this container) — the oracle
-  * mirrors its arithmetic over the same bytes, so the whole Spark-side
-  * pipeline (binary column, typed Encoders, mapPartitions batching) is
-  * verified end-to-end.
+/** Multimodal-column operators (SURVEY.md north-star family). Image rows
+  * carry REAL PNG bytes decoded with the JDK's javax.imageio (dimensions
+  * and fill derive from doc_id, so the oracle predicts the DECODED values
+  * arithmetically while the engine earns them by actually decompressing
+  * the stream); audio/video rows stay behind the deterministic stub the
+  * oracle mirrors byte-for-byte. Either way the Spark-side pipeline
+  * (binary column, typed Encoders, mapPartitions batching) is verified
+  * end-to-end.
   */
 object MultimodalQueries {
 
@@ -24,29 +27,48 @@ object MultimodalQueries {
         |    CAST(coalesce(list_sum(list_transform(range(1, length(txt) + 1),
         |                           i -> ascii(substr(txt, i, 1)))), 0)
         |      AS BIGINT) AS byte_sum
-        |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents))
-        |SELECT doc_id, kind,
-        |  16 + first % 64 AS width,
-        |  16 + second % 64 AS height,
-        |  least(16 + first % 64, 32) AS resized_w,
-        |  least(16 + second % 64, 32) AS resized_h,
-        |  byte_len, byte_sum, byte_sum % 997 AS feature
-        |FROM b ORDER BY doc_id
+        |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents)),
+        |img AS (
+        |  -- the PNG fixture's derivation: w/h/fill are doc_id arithmetic,
+        |  -- so the DECODED pixel statistics are predictable here while
+        |  -- the engine recovers them from a genuine PNG round-trip
+        |  SELECT doc_id,
+        |    16 + doc_id % 40 AS w, 16 + (doc_id // 7) % 40 AS h,
+        |    (doc_id % 251) + (doc_id % 241) + (doc_id % 239) AS fill
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT b.doc_id, kind,
+        |  CASE WHEN kind = 'image' THEN w ELSE 16 + first % 64 END AS width,
+        |  CASE WHEN kind = 'image' THEN h ELSE 16 + second % 64 END AS height,
+        |  CASE WHEN kind = 'image' THEN least(w, 32)
+        |       ELSE least(16 + first % 64, 32) END AS resized_w,
+        |  CASE WHEN kind = 'image' THEN least(h, 32)
+        |       ELSE least(16 + second % 64, 32) END AS resized_h,
+        |  CAST(CASE WHEN kind = 'image' THEN w * h * 3 ELSE byte_len END
+        |    AS BIGINT) AS byte_len,
+        |  CAST(CASE WHEN kind = 'image' THEN w * h * fill ELSE byte_sum END
+        |    AS BIGINT) AS byte_sum,
+        |  CAST(CASE WHEN kind = 'image' THEN (w * h * fill) % 997
+        |       ELSE byte_sum % 997 END AS BIGINT) AS feature
+        |FROM b LEFT JOIN img ON b.doc_id = img.doc_id
+        |ORDER BY b.doc_id
         |""".stripMargin)),
 
     // Frame sampling: payload sliced into 64-byte frames, every 4th kept,
-    // per-frame feature emitted. Row-local fan-out (no shuffle); decode is
-    // the same stubbed byte arithmetic the oracle mirrors.
+    // per-frame feature emitted. Row-local fan-out (no shuffle); runs over
+    // audio/video rows only (images are compressed PNG streams handled by
+    // the q30 codec, not frame-addressable byte windows); decode is the
+    // same stubbed byte arithmetic the oracle mirrors.
     CatalogQuery(
       "q47_multimodal_frames",
       (s, d) => Multimodal.framesQuery(s, d),
       Some("""
         |WITH f AS (
         |  SELECT doc_id,
-        |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE (doc_id % 3) WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    length(txt) AS len, txt AS text,
         |    unnest(range(0, CAST(ceil(length(txt) / 64.0) AS BIGINT))) AS frame_id
-        |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents)),
+        |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents
+        |        WHERE doc_id % 3 <> 0)),
         |sampled AS (
         |  SELECT doc_id, kind, frame_id,
         |    least(64, len - frame_id * 64) AS frame_len,

@@ -417,14 +417,37 @@ object OpsQueries {
     CatalogQuery(
       "q119_snapshot_diff_stored",
       (s, d) => {
-        val (pa, pb) = storedManifestPaths(d)
-        val marker = new java.io.File(pb, "_SUCCESS")
-        if (!marker.exists()) {
+        val root = storedManifestRoot(d)
+        manifestDirs.add(root.toString)
+        if (!new java.io.File(root, "_DONE").exists()) {
+          // Stage into a sibling temp dir and ATOMIC_MOVE into place:
+          // a concurrent JVM computing the same (path, content) key
+          // either wins the rename or discards its staging dir, so a
+          // reader can never observe a half-written manifest. The key
+          // itself folds the snapshot files' (name, size, mtime) — see
+          // storedManifestRoot — so regenerated data under an unchanged
+          // path lands on a NEW key and stale reuse is impossible.
+          val staging = java.nio.file.Files.createTempDirectory(
+            root.getParentFile.toPath, root.getName + ".tmp").toFile
+          manifestDirs.add(staging.toString)
           val (a, b) = snapshotManifests(s, d)
-          a.write.mode("overwrite").parquet(pa.toString)
-          b.write.mode("overwrite").parquet(pb.toString)
+          a.write.mode("overwrite").parquet(new java.io.File(staging, "a").toString)
+          b.write.mode("overwrite").parquet(new java.io.File(staging, "b").toString)
+          java.nio.file.Files.createFile(new java.io.File(staging, "_DONE").toPath)
+          try java.nio.file.Files.move(staging.toPath, root.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // lost the publish race to an identical-content writer;
+            // their manifest is byte-equivalent — keep theirs
+            case _: java.nio.file.FileAlreadyExistsException =>
+            case e: java.nio.file.FileSystemException
+              if root.exists() && new java.io.File(root, "_DONE").exists() =>
+              val _ = e // same race, surfaced as a generic FS error
+          }
         }
-        diffManifests(s.read.parquet(pa.toString), s.read.parquet(pb.toString))
+        diffManifests(
+          s.read.parquet(new java.io.File(root, "a").toString),
+          s.read.parquet(new java.io.File(root, "b").toString))
       },
       Some(SnapshotDiffOracle)),
 
@@ -731,13 +754,15 @@ object OpsQueries {
       .orderBy($"source")
   }
 
-  /** Stable per-input-dir manifest locations under the JVM temp dir:
-    * q119 reuses them across invocations in one JVM (and across JVMs on
-    * the same host while /tmp survives), so repeated runs measure the
-    * diff alone — the amortized cost a deployment pays. Registered for
-    * deletion at JVM exit via the shared temp-cleanup hook convention
-    * (ConnectorQueries); deleting at exit rather than per-run keeps the
-    * reuse while never accreting garbage across bench rounds.
+  /** Manifest cache locations under the JVM temp dir. Reuse is
+    * per-JVM-lifetime: roots are deleted at JVM exit by the hook below,
+    * so repeated q119 runs inside one process measure the diff alone —
+    * the amortized cost a deployment pays. A leftover root from a
+    * KILLED JVM may be reused by the next process, which is safe
+    * because the cache key is content-derived (path + snapshot file
+    * sizes/mtimes, see storedManifestRoot) and publication is atomic
+    * (_DONE only exists inside a fully-staged dir) — a stale or
+    * half-written manifest can never be served.
     */
   private val manifestDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   locally {
@@ -754,15 +779,47 @@ object OpsQueries {
     }))
   }
 
-  private def storedManifestPaths(d: String): (java.io.File, java.io.File) = {
-    val key = math.abs(scala.util.hashing.MurmurHash3.stringHash(
-      new java.io.File(d).getAbsolutePath))
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_snapman_$key")
-    val (pa, pb) = (new java.io.File(root, "a"), new java.io.File(root, "b"))
-    manifestDirs.add(root.toString)
-    (pa, pb)
+  /** Content-keyed manifest cache root: the key folds the input dir's
+    * absolute path AND the (name, size, mtime) of every file under its
+    * documents.parquet — the sole input the fabricated snapshots derive
+    * from. Regenerating the data under an unchanged path (a rebuilt
+    * fixture, tools/make_nulls.py rewriting a DST_DIR) therefore lands
+    * on a different key and recomputes, instead of silently serving the
+    * previous data's fingerprints (r10 ADVICE item).
+    */
+  private[operators] def storedManifestRoot(d: String): java.io.File = {
+    val base = new java.io.File(d).getAbsoluteFile
+    def fps(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .toSeq.flatMap(fps)
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    val doc = new java.io.File(base, "documents.parquet")
+    val sig = base.getPath + "|" +
+      (if (doc.exists()) fps(doc).mkString(",") else "absent")
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_snapman_$key")
   }
+
+  /** Writer-side manifest entry point — the deployment story: a snapshot
+    * WRITER persists the (doc_id, source, fp60) manifest alongside the
+    * data at write time, so every downstream diff (q119's read path /
+    * [[diffStoredManifests]]) scans ~24-byte fixed-width rows and never
+    * re-hashes text. q119's tmpdir cache above is merely the sandbox
+    * stand-in for snapshots that predate their manifest.
+    */
+  def writeManifest(snapshot: org.apache.spark.sql.DataFrame, textCol: String,
+      outDir: String): Unit =
+    snapshot
+      .select(col("doc_id"), col("source"),
+        hash60(coalesce(col(textCol).cast("string"), lit(""))).as("fp"))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Diff two writer-persisted manifests (see [[writeManifest]]). */
+  def diffStoredManifests(s: org.apache.spark.sql.SparkSession,
+      manifestA: String, manifestB: String): org.apache.spark.sql.DataFrame =
+    diffManifests(s.read.parquet(manifestA), s.read.parquet(manifestB))
 
   /** Shared oracle for q109/q119: same result whether fingerprints are
     * recomputed or read from a stored manifest — DuckDB always

@@ -188,9 +188,14 @@ object SimilarityQueries {
         // EMPTY-CORPUS degradation: with no head rows the centroid list
         // would be empty and array() of zero structs types as VOID,
         // failing analysis — substitute one zero centroid; the empty
-        // corpus then flows through the normal plan to an empty result
+        // corpus then flows through the normal plan to an empty result.
+        // Gated on the corpus being empty (same fail-loudly convention
+        // as q90/q101): non-dense ids must not silently cluster onto a
+        // fabricated centroid the oracle doesn't have.
         val centroids = head.filter(_._1 < NumCentroids) match {
           case e if e.isEmpty =>
+            require(v.isEmpty, "IVF codebook: corpus is non-empty but has " +
+              s"no vec_id < $NumCentroids; refusing a fabricated centroid")
             Array((0L, Seq.fill(Embeddings.Dims)(0L): Seq[Long], 0L))
           case cs => cs
         }

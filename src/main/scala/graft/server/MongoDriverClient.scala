@@ -209,47 +209,82 @@ object MongoDriverClient {
     * through [[BsonCodec]].
     */
   private[server] object Rf {
-    /** Resolve via the thread context classloader first: on an executor,
-      * a `spark.jars`-delivered driver lands in the task's context
-      * classloader, NOT necessarily in the loader that defined this
-      * class — plain `Class.forName` would miss it. Falls back to the
-      * defining loader (driver JVM / tests with the jar on the app
-      * classpath).
+    /** Per-classloader resolution table. Resolve via the thread context
+      * classloader first: on an executor, a `spark.jars`-delivered driver
+      * lands in the task's context classloader, NOT necessarily in the
+      * loader that defined this class — plain `Class.forName` would miss
+      * it. Falls back to the defining loader (driver JVM / tests with the
+      * jar on the app classpath). Resolution is cached PER LOADER, not
+      * once per JVM: a single JVM-lifetime cache would let the first
+      * thread to touch Rf pin its TCCL's class instances forever, so a
+      * later caller under a different loader (holding its own driver
+      * copy) would hit ClassCastExceptions on name-matched casts instead
+      * of resolving against its own classes.
       */
-    private def cls(name: String): Class[_] = {
-      def fromDefiningLoader(): Class[_] =
-        try Class.forName(name)
-        catch {
-          case e: ClassNotFoundException => throw new IllegalStateException(
-            "graftserver: MongoDriverFactory requires org.mongodb:mongodb-driver-sync " +
-              s"(4.x+) on the classpath — class ${e.getMessage} not found. In this " +
-              "sandbox use client_factory=graft.server.DirServerFactory instead.", e)
-        }
-      Thread.currentThread.getContextClassLoader match {
-        case null => fromDefiningLoader()
-        case tccl =>
-          try Class.forName(name, true, tccl)
-          catch { case _: ClassNotFoundException => fromDefiningLoader() }
+    private final class Resolved(tccl: ClassLoader) {
+      private def cls(name: String): Class[_] = {
+        def fromDefiningLoader(): Class[_] =
+          try Class.forName(name)
+          catch {
+            case e: ClassNotFoundException => throw new IllegalStateException(
+              "graftserver: MongoDriverFactory requires org.mongodb:mongodb-driver-sync " +
+                s"(4.x+) on the classpath — class ${e.getMessage} not found. In this " +
+                "sandbox use client_factory=graft.server.DirServerFactory instead.", e)
+          }
+        try Class.forName(name, true, tccl)
+        catch { case _: ClassNotFoundException => fromDefiningLoader() }
       }
+
+      lazy val bsonIface = cls("org.bson.conversions.Bson")
+      lazy val rawDocCls = cls("org.bson.RawBsonDocument")
+      lazy val rawCtor = rawDocCls.getConstructor(classOf[Array[Byte]])
+      lazy val getByteBuffer = rawDocCls.getMethod("getByteBuffer")
+      lazy val clientsCls = cls("com.mongodb.client.MongoClients")
+      lazy val clientIface = cls("com.mongodb.client.MongoClient")
+      lazy val dbIface = cls("com.mongodb.client.MongoDatabase")
+      lazy val collIface = cls("com.mongodb.client.MongoCollection")
+      lazy val iterableIface = cls("com.mongodb.client.MongoIterable")
+      lazy val findIterIface = cls("com.mongodb.client.FindIterable")
+      lazy val insertOneCls = cls("com.mongodb.client.model.InsertOneModel")
+      lazy val replaceOneCls = cls("com.mongodb.client.model.ReplaceOneModel")
+      lazy val updateOneCls = cls("com.mongodb.client.model.UpdateOneModel")
+      lazy val updateManyCls = cls("com.mongodb.client.model.UpdateManyModel")
+      lazy val replaceOptsCls = cls("com.mongodb.client.model.ReplaceOptions")
+      lazy val updateOptsCls = cls("com.mongodb.client.model.UpdateOptions")
+      lazy val bulkOptsCls = cls("com.mongodb.client.model.BulkWriteOptions")
     }
 
-    private lazy val bsonIface = cls("org.bson.conversions.Bson")
-    private lazy val rawDocCls = cls("org.bson.RawBsonDocument")
-    private lazy val rawCtor = rawDocCls.getConstructor(classOf[Array[Byte]])
-    private lazy val getByteBuffer = rawDocCls.getMethod("getByteBuffer")
-    private lazy val clientsCls = cls("com.mongodb.client.MongoClients")
-    private lazy val clientIface = cls("com.mongodb.client.MongoClient")
-    private lazy val dbIface = cls("com.mongodb.client.MongoDatabase")
-    private lazy val collIface = cls("com.mongodb.client.MongoCollection")
-    private lazy val iterableIface = cls("com.mongodb.client.MongoIterable")
-    private lazy val findIterIface = cls("com.mongodb.client.FindIterable")
-    private lazy val insertOneCls = cls("com.mongodb.client.model.InsertOneModel")
-    private lazy val replaceOneCls = cls("com.mongodb.client.model.ReplaceOneModel")
-    private lazy val updateOneCls = cls("com.mongodb.client.model.UpdateOneModel")
-    private lazy val updateManyCls = cls("com.mongodb.client.model.UpdateManyModel")
-    private lazy val replaceOptsCls = cls("com.mongodb.client.model.ReplaceOptions")
-    private lazy val updateOptsCls = cls("com.mongodb.client.model.UpdateOptions")
-    private lazy val bulkOptsCls = cls("com.mongodb.client.model.BulkWriteOptions")
+    // Keyed by loader; entries are tiny (one Resolved of ~17 Class refs)
+    // and the loader population on an executor is small (app loader +
+    // task isolation loaders), so strong keys are acceptable here.
+    private val perLoader =
+      new java.util.concurrent.ConcurrentHashMap[ClassLoader, Resolved]()
+    private def R: Resolved = {
+      val key = Thread.currentThread.getContextClassLoader match {
+        case null => Option(getClass.getClassLoader)
+          .getOrElse(ClassLoader.getSystemClassLoader)
+        case l => l
+      }
+      perLoader.computeIfAbsent(key, l => new Resolved(l))
+    }
+
+    private def bsonIface = R.bsonIface
+    private def rawDocCls = R.rawDocCls
+    private def rawCtor = R.rawCtor
+    private def getByteBuffer = R.getByteBuffer
+    private def clientsCls = R.clientsCls
+    private def clientIface = R.clientIface
+    private def dbIface = R.dbIface
+    private def collIface = R.collIface
+    private def iterableIface = R.iterableIface
+    private def findIterIface = R.findIterIface
+    private def insertOneCls = R.insertOneCls
+    private def replaceOneCls = R.replaceOneCls
+    private def updateOneCls = R.updateOneCls
+    private def updateManyCls = R.updateManyCls
+    private def replaceOptsCls = R.replaceOptsCls
+    private def updateOptsCls = R.updateOptsCls
+    private def bulkOptsCls = R.bulkOptsCls
 
     private def toRaw(d: BDoc): Object =
       rawCtor.newInstance(BsonCodec.encode(d)).asInstanceOf[Object]

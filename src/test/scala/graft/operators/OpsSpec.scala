@@ -300,11 +300,43 @@ class OpsSpec extends SparkSpec {
       "a repeated q119 run must not rewrite the stored manifests")
   }
 
-  private def manifestMtime(dir: String): Long = {
-    val key = math.abs(scala.util.hashing.MurmurHash3.stringHash(
-      new java.io.File(dir).getAbsolutePath))
-    new java.io.File(
-      new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_snapman_$key"),
-      "b/_SUCCESS").lastModified()
+  private def manifestMtime(dir: String): Long =
+    new java.io.File(OpsQueries.storedManifestRoot(dir), "_DONE").lastModified()
+
+  test("q119 manifest cache invalidates when the snapshot data changes in place") {
+    import spark.implicits._
+    // same DIRECTORY throughout — only the parquet under it changes
+    val rowsV1 = (0L until 40L).map(i => (i, s"v1 text $i", "en", s"s${i % 2}", 10L))
+    val dir = docsDir(rowsV1)
+    val v1 = run("q119_snapshot_diff_stored", dir).collect().toSeq
+    assert(v1 == run("q109_snapshot_diff", dir).collect().toSeq)
+    // regenerate the snapshot under the unchanged path: different rows,
+    // different file size/mtime — the content-derived cache key must
+    // change, so q119 recomputes instead of serving v1's fingerprints
+    val rowsV2 = (0L until 55L).map(i => (i, s"v2 other $i", "de", s"s${i % 3}", 12L))
+    rowsV2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v2 = run("q119_snapshot_diff_stored", dir).collect().toSeq
+    val inline2 = run("q109_snapshot_diff", dir).collect().toSeq
+    assert(v2 == inline2,
+      "a changed snapshot under an unchanged path must recompute the manifest")
+    assert(v2 != v1, "the regenerated data's diff differs from v1 by construction")
+  }
+
+  test("writer-side manifests: writeManifest + diffStoredManifests classify correctly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest_api").toString
+    // snapshot A: docs 0-9; snapshot B drops 0-1 (removed), rewrites 2
+    // (changed), keeps 3-9 (unchanged), adds 10-11 (added)
+    val a = (0L until 10L).map(i => (i, s"text $i", "s0")).toDF("doc_id", "text", "source")
+    val b = ((2L to 2L).map(i => (i, s"REWRITTEN $i", "s0")) ++
+      (3L until 12L).map(i => (i, s"text $i", "s0"))).toDF("doc_id", "text", "source")
+    OpsQueries.writeManifest(a, "text", s"$tmp/a")
+    OpsQueries.writeManifest(b, "text", s"$tmp/b")
+    val out = OpsQueries.diffStoredManifests(spark, s"$tmp/a", s"$tmp/b").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 2L, 1L, 7L)), s"(added, removed, changed, unchanged) got $r")
   }
 }
