@@ -109,8 +109,11 @@ object BehaviorQueries {
       },
       Some("""
         |WITH f AS (
+        |  -- NULL-ts events carry no week: excluded here exactly as the
+        |  -- engine's collect_set/min drop NULL weeks (a user with only
+        |  -- NULL-ts events has no cohort in either engine)
         |  SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |w AS (
         |  SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,

@@ -269,6 +269,45 @@ object ConnectorQueries {
         |FROM customer
         |""".stripMargin)),
 
+    // GROUPED aggregate pushdown through the server source: the scan
+    // plans ONE $match+$group pipeline per namespace (the reference's
+    // server-side aggregate() pattern, SampleSplitter.java:79-88, applied
+    // to the $group stage) and only #groups rows cross the wire; Spark's
+    // final aggregate folds the partial rows, so multi-namespace unions
+    // and storage-split groups merge correctly. The plan shows
+    // PushedGroupedAggregate (GraftServerSourceSpec pins the plan shape
+    // and the one-round-trip bound); the oracle pins the values — on the
+    // NULL twin this also gates the NULL group and the server's
+    // null-skipping min/max.
+    CatalogQuery(
+      "q121_server_group_pushdown",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.gcust")
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "c_custkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE")
+          .load()
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            min($"c_acctbal").as("min_bal"),
+            max($"c_acctbal").as("max_bal"),
+            sum($"_id").as("sum_key"))
+          .orderBy($"c_nationkey".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_nationkey, count(*) AS n,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY 1
+        |ORDER BY c_nationkey ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

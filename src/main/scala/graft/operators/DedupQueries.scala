@@ -1024,9 +1024,14 @@ object DedupQueries {
         val meta = Tables.documents(s, d)
           .select($"doc_id", $"source", $"n_chars")
         val cmeta = connectedComponents(pairs).join(meta, "doc_id")
+        // NULL n_chars ranks as 0 (unknown content is the WORST keep
+        // candidate, not the best): without the coalesce, Spark's struct
+        // ordering puts the NULL field first and crowns the unknown-length
+        // doc as representative while the oracle's DESC sort (NULLS LAST)
+        // buries it — found by the all-tables NULL twin
         val reps = cmeta.groupBy($"label")
-          .agg(min(struct((-$"n_chars").as("neg"), $"doc_id".as("doc_id")))
-            .as("best"))
+          .agg(min(struct((-coalesce($"n_chars", lit(0L))).as("neg"),
+            $"doc_id".as("doc_id"))).as("best"))
           .select($"label", $"best.doc_id".as("rep_doc"))
         val dropped = cmeta.join(reps, "label")
           .filter($"doc_id" =!= $"rep_doc")
@@ -1067,7 +1072,7 @@ object DedupQueries {
         |  SELECT cluster_id, doc_id AS rep_doc FROM (
         |    SELECT cluster_id, doc_id,
         |      row_number() OVER (PARTITION BY cluster_id
-        |        ORDER BY n_chars DESC, doc_id) AS rk
+        |        ORDER BY coalesce(n_chars, 0) DESC, doc_id) AS rk
         |    FROM cm)
         |  WHERE rk = 1),
         |dropped AS (

@@ -32,7 +32,11 @@ object FunctionQueries {
             concat_ws("|", $"c_mktsegment", $"c_name").as("cw"),
             length($"c_name").cast("long").as("len"),
             $"c_name".startsWith("Customer").as("sw"),
-            ltrim(rtrim(concat(lit("  "), $"c_mktsegment", lit("  ")))).as("trimmed"))
+            // coalesce inside concat: Spark concat NULL-propagates while
+            // DuckDB's skips NULL args — the portable spelling pins the
+            // NULL segment to '' in BOTH engines (all-tables NULL twin)
+            ltrim(rtrim(concat(lit("  "), coalesce($"c_mktsegment", lit("")),
+              lit("  ")))).as("trimmed"))
           .orderBy($"c_custkey")
       },
       Some("""
@@ -47,7 +51,7 @@ object FunctionQueries {
         |  concat_ws('|', c_mktsegment, c_name) AS cw,
         |  CAST(length(c_name) AS BIGINT) AS len,
         |  starts_with(c_name, 'Customer') AS sw,
-        |  ltrim(rtrim(concat('  ', c_mktsegment, '  '))) AS trimmed
+        |  ltrim(rtrim(concat('  ', coalesce(c_mktsegment, ''), '  '))) AS trimmed
         |FROM customer WHERE c_custkey % 50 = 0
         |ORDER BY c_custkey
         |""".stripMargin)),

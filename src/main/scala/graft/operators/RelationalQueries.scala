@@ -409,7 +409,11 @@ object RelationalQueries {
         |           OR (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)) > 1800
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM (SELECT user_id, ts,
-        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |          -- NULLS FIRST: Spark's ascending default; DuckDB defaults
+        |          -- to NULLS LAST, which re-orders NULL-ts events and
+        |          -- shifts every lag chain (found by the all-tables NULL twin)
+        |          lag(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts NULLS FIRST, event_id) AS prev_ts
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id
         |""".stripMargin)),
@@ -486,8 +490,11 @@ object RelationalQueries {
       Some("""
         |SELECT event_id, user_id, ts, last_purchase_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,
+        |    -- ts NULLS FIRST matches Spark's ascending default (DuckDB's is
+        |    -- NULLS LAST): an unknown-time event orders before the epoch,
+        |    -- so it sees no preceding purchase in either engine
         |    last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
         |  FROM events)
         |WHERE event_type = 'click'
@@ -535,10 +542,14 @@ object RelationalQueries {
         val flagged = IntervalJoin.flag(ev, inc, winSec)
         val tot = ev.groupBy($"event_type").agg(count(lit(1)).as("n_events"))
         val flg = flagged.groupBy($"event_type").agg(count(lit(1)).as("n_flagged"))
-        tot.join(flg, Seq("event_type"), "left")
-          .select($"event_type", $"n_events",
+        // null-SAFE join key: event_type is a GROUP here, and a NULL group
+        // is a real group — a plain equi-join would drop the NULL-type
+        // events' flag count on the floor (found by the all-tables NULL
+        // twin: the oracle computes per-group sums without any join)
+        tot.join(flg, tot("event_type") <=> flg("event_type"), "left")
+          .select(tot("event_type"), $"n_events",
             coalesce($"n_flagged", lit(0L)).as("n_flagged"))
-          .orderBy($"event_type")
+          .orderBy(tot("event_type"))
       },
       Some("""
         |WITH ev AS (

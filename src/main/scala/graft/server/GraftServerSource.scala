@@ -152,6 +152,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private var limit: Option[Int] = None
   private var topN: Option[(String, Boolean, Int)] = None // col, descending, n
   private var aggPushed: Option[Seq[graft.source.AggPush]] = None
+  private var groupedAgg: Option[ServerGroupedAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (query, accepted, residual) = FilterTranslator.split(filters, Map.empty)
@@ -227,7 +228,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     import graft.source.AggPush
-    val eligible = aggregation.groupByExpressions.isEmpty &&
+    if (aggregation.groupByExpressions.nonEmpty)
+      return pushGroupedAggregation(aggregation)
+    val eligible =
       pushedQuery == BQuery.True && !options.contains("query") && limit.isEmpty
     if (!eligible) return false
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
@@ -249,10 +252,86 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     else { aggPushed = Some(items.flatten); true }
   }
 
+  /** GROUPED aggregate pushdown — translated to one server-side
+    * `$match`+`$group` pipeline per namespace ([[QueryDocs.groupStages]];
+    * server-side `aggregate()` is the reference's established pattern,
+    * SampleSplitter.java:79-88). Reported PARTIAL (the default), so the
+    * protocol only needs the server grouping to REFINE Spark's: Spark
+    * re-groups the returned rows on the read group values and folds the
+    * partials (sum of counts, min of mins, ...), which also makes the
+    * multi-namespace union and any storage-split group (int32 5 vs
+    * int64 5 reading as one Spark value) merge correctly. Eligibility:
+    * one single-column group key of a read-faithful type; aggregates are
+    * COUNT(*) / MIN / MAX over the cursor-safe [[GraftServerScanBuilder
+    * .AggTypes]] plus SUM over exact numerics; the WHOLE pushed query
+    * must render server-side (a residual cannot be re-checked after
+    * grouping — the rows are gone); no limit/top-n claimed the scan.
+    */
+  private def pushGroupedAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    if (aggregation.groupByExpressions.length != 1 || limit.isDefined ||
+        topN.isDefined || residuals.nonEmpty) return false
+    val fullQuery = BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)
+    val planned = QueryDocs.plan(fullQuery)
+    if (!planned.isExact || planned.keyBounds.isDefined) return false
+    def field(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    val groupField = field(aggregation.groupByExpressions.head)
+      .filter(f => GraftServerScanBuilder.GroupKeyTypes.contains(f.dataType))
+    if (groupField.isEmpty) return false
+    val items: Seq[Option[(GroupAgg, DataType)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: aggregate.CountStar =>
+          Some((GroupAgg.CountAll("count(*)"), LongType: DataType))
+        case m: aggregate.Min =>
+          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
+            .map(f => (GroupAgg.MinOf(f.name, s"min(${f.name})"), f.dataType))
+        case m: aggregate.Max =>
+          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
+            .map(f => (GroupAgg.MaxOf(f.name, s"max(${f.name})"), f.dataType))
+        case sm: aggregate.Sum if !sm.isDistinct =>
+          field(sm.column)
+            .filter(f => f.dataType == LongType || f.dataType == DoubleType ||
+              f.dataType == IntegerType)
+            // Spark's partial-sum column type: sum(int)/sum(long) fold as
+            // LongType, sum(double) as DoubleType
+            .map(f => (GroupAgg.SumOf(f.name, s"sum(${f.name})"),
+              if (f.dataType == DoubleType) DoubleType: DataType else LongType: DataType))
+        case _ => None
+      }
+    if (items.isEmpty || items.contains(None)) false
+    else {
+      groupedAgg = Some(ServerGroupedAgg(groupField.get.name,
+        groupField.get.dataType, items.flatten))
+      true
+    }
+  }
+
   override def build(): Scan =
     new GraftServerScan(required,
       BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-      limit, options, aggPushed, topN)
+      limit, options, aggPushed, topN, groupedAgg)
+}
+
+/** A pushed grouped aggregation: the group column (and its Spark type)
+  * plus each aggregate with its partial-result Spark type — answered by
+  * one `$group` pipeline round-trip per namespace.
+  */
+final case class ServerGroupedAgg(groupCol: String,
+    groupType: org.apache.spark.sql.types.DataType,
+    items: Seq[(GroupAgg, org.apache.spark.sql.types.DataType)]) {
+  def schema: StructType = StructType(
+    org.apache.spark.sql.types.StructField(groupCol, groupType) +:
+      items.map { case (g, dt) =>
+        org.apache.spark.sql.types.StructField(g.alias, dt)
+      })
+  override def toString: String =
+    s"GROUP BY $groupCol [${items.map(_._1.alias).mkString(", ")}]"
 }
 
 object GraftServerScanBuilder {
@@ -264,6 +343,17 @@ object GraftServerScanBuilder {
   val AggTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType)
+  }
+
+  /** Types usable as a pushed GROUP key. Wider than [[AggTypes]]:
+    * grouping needs only read-value EQUALITY to be refined by the
+    * server's grouping (partial pushdown re-merges), not a faithful
+    * cross-bracket ORDER — so strings, unsafe for min/max/top-n, are
+    * fine as group keys.
+    */
+  val GroupKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, IntegerType, LongType, DoubleType, BooleanType, TimestampType)
   }
 
   /** Can a server cursor sorted on a column of this Spark type be
@@ -287,7 +377,8 @@ object GraftServerScanBuilder {
 final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    grouped: Option[ServerGroupedAgg] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
@@ -319,7 +410,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     options.get("sort") match {
-      case Some(c) if pushedAgg.isEmpty && topN.isEmpty &&
+      case Some(c) if pushedAgg.isEmpty && topN.isEmpty && grouped.isEmpty &&
           requiredSchema.fields.exists(f => f.name == c &&
             GraftServerScanBuilder.cursorOrderSafe(f.dataType, options)) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
@@ -341,8 +432,9 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     // a pushed limit counts rows of the unnarrowed stream; a pushed
     // top-n keeps DIFFERENT rows over a narrowed stream (the sort+limit
     // sits below the join the runtime filter came from); a pushed
-    // aggregate's probes never scan at all
-    if (pushedAgg.isDefined || limit.isDefined || topN.isDefined) Array.empty
+    // (grouped) aggregate's probes/pipelines never scan row-wise at all
+    if (pushedAgg.isDefined || limit.isDefined || topN.isDefined ||
+        grouped.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
       .filter(requiredSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -371,20 +463,25 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
         else BQuery.In(f, vs))
     }
 
-  override def readSchema(): StructType = pushedAgg match {
-    case Some(items) =>
+  override def readSchema(): StructType = (grouped, pushedAgg) match {
+    case (Some(g), _) =>
+      // Spark's grouped-pushdown layout: group columns first, then the
+      // aggregate columns, matching its zip in V2ScanRelationPushDown
+      g.schema
+    case (None, Some(items)) =>
       import org.apache.spark.sql.types._
       StructType(items.map {
         case AggPush.RowCount => StructField("count(*)", LongType, nullable = false)
         case AggPush.MinOf(c, t) => StructField(s"min($c)", t)
         case AggPush.MaxOf(c, t) => StructField(s"max($c)", t)
       })
-    case None => requiredSchema
+    case _ => requiredSchema
   }
   override def toBatch: Batch = this
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$query" +
       pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
+      grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
       topN.map { case (c, d, n) =>
         s" PushedTopN: ORDER BY $c ${if (d) "DESC" else "ASC"} LIMIT $n"
       }.getOrElse("")
@@ -396,8 +493,9 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val key = options.getOrElse("key", "_id")
-    if (pushedAgg.isDefined)
-      // one partition, a handful of bounded probes — no splits, no scans
+    if (pushedAgg.isDefined || grouped.isDefined)
+      // one partition: bounded probes (global) or one $group pipeline per
+      // namespace (grouped) — no splits, no row-wise scans
       Array(GraftServerPartition(
         GraftServerSource.ns(options), BQuery.KeyRange(key, None, None), Seq.empty))
     else GraftServerSource.withClient(options) { (client, _) =>
@@ -417,7 +515,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
-      pushedAgg, topN)
+      pushedAgg, topN, grouped)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -433,15 +531,47 @@ final case class GraftServerPartition(ns: String, range: BQuery.KeyRange,
 final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    grouped: Option[ServerGroupedAgg] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    pushedAgg match {
-      case Some(items) => new ServerAggReader(options, items)
-      case None => new GraftServerPartitionReader(
+    (grouped, pushedAgg) match {
+      case (Some(g), _) => new ServerGroupedAggReader(options, query, g)
+      case (None, Some(items)) => new ServerAggReader(options, items)
+      case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
         options, topN)
     }
+}
+
+/** The pushed GROUPED-aggregate reader: ONE `$match`+`$group` pipeline
+  * round-trip per namespace ([[ServerClient.groupAggregate]]); the
+  * server computes the group rows and only #groups docs cross the wire.
+  * Rows are partial — Spark's final aggregate re-groups and folds them
+  * (which also merges groups across a multi-namespace union).
+  */
+final class ServerGroupedAggReader(options: Map[String, String],
+    query: BQuery, grouped: ServerGroupedAgg)
+    extends PartitionReader[InternalRow] {
+
+  private val client = GraftServerSource.factory(options).create(options)
+  private val it: Iterator[InternalRow] =
+    GraftServerSource.nsList(options).iterator
+      .flatMap(ns => client.groupAggregate(ns, query, grouped.groupCol,
+        grouped.items.map(_._1)))
+      .map(d => RowCodec.toRow(d, grouped.schema))
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) { row = it.next(); true } else false
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = client match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
 }
 
 /** The pushed-aggregate reader: COUNT(*) from one collStats call (what

@@ -175,6 +175,29 @@ final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseab
     }
   }
 
+  /** Grouped aggregation as one server-side `$match`+`$group` pipeline
+    * round-trip ([[QueryDocs.groupStages]]). Requires a fully
+    * server-renderable query: a residual cannot be re-checked after
+    * grouping (rows are gone), so a partially-renderable query here is a
+    * caller bug, not a fallback case — the scan builder only pushes
+    * grouped aggregates when the whole pushed query renders.
+    */
+  override def groupAggregate(ns: String, query: BQuery, groupKey: String,
+      aggs: Seq[GroupAgg]): Iterator[BDoc] = {
+    val coll = collection(ns)
+    val p = QueryDocs.plan(query)
+    require(p.isExact && p.keyBounds.isEmpty,
+      s"groupAggregate requires a fully server-renderable query, got $query")
+    Rf.cursor(Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKey, aggs)))
+      .map { d =>
+        // the server keys the group value as _id; re-key under the group
+        // column's name per the ServerClient contract
+        val gv = d.get("_id").getOrElse(BNull)
+        BDoc(((groupKey -> gv) +:
+          aggs.map(a => a.alias -> d.get(a.alias).getOrElse(BNull))): _*)
+      }
+  }
+
   override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {
     val coll = collection(ns)
     val jmodels = new java.util.ArrayList[Object]()

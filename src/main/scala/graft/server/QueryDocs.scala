@@ -188,6 +188,27 @@ object QueryDocs {
   def sortDoc(key: String, descending: Boolean): BDoc =
     BDoc(key -> BInt32(if (descending) -1 else 1))
 
+  /** `[{$match: q}, {$group: {_id: "$key", <alias>: {$min: "$col"}, ...}}]`
+    * — the grouped-aggregation pipeline for
+    * [[ServerClient.groupAggregate]]; server-side `aggregate()` is the
+    * reference's established pattern (SampleSplitter.java:79-88), here
+    * with the `$group` stage. COUNT renders as the canonical
+    * `{$sum: 1}`.
+    */
+  def groupStages(matchDoc: BDoc, groupKey: String,
+      aggs: Seq[GroupAgg]): Seq[BDoc] = {
+    val groupFields: Seq[(String, BsonValue)] =
+      ("_id" -> BString("$" + groupKey)) +: aggs.map {
+        case GroupAgg.CountAll(a) => a -> BDoc("$sum" -> BInt32(1))
+        case GroupAgg.MinOf(c, a) => a -> BDoc("$min" -> BString("$" + c))
+        case GroupAgg.MaxOf(c, a) => a -> BDoc("$max" -> BString("$" + c))
+        case GroupAgg.SumOf(c, a) => a -> BDoc("$sum" -> BString("$" + c))
+      }
+    val group = BDoc("$group" -> BDoc(groupFields: _*))
+    if (matchDoc.fields.isEmpty) Seq(group)
+    else Seq(BDoc("$match" -> matchDoc), group)
+  }
+
   /** Apply a projection client-side (the residual-query path cannot push
     * the server projection: the residual may read unprojected fields).
     */

@@ -68,6 +68,29 @@ trait ServerClient {
   /** Ordered/unordered bulkWrite, same models the batch write path
     * streams shard-side. */
   def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult
+
+  /** One server-side grouped aggregation —
+    * `aggregate([{$match: query}, {$group: {_id: "$groupKey", ...}}])`,
+    * the same server-side `aggregate()` pattern the reference's sample
+    * splitter establishes (core/.../splitter/SampleSplitter.java:79-88)
+    * applied to the $group stage. ONE round-trip per call; the result
+    * streams one doc per group carrying the group value under
+    * `groupKey`'s name and each aggregate under its [[GroupAgg.alias]].
+    * Aggregates skip null/missing values (mongo $min/$max/$sum
+    * semantics, which match Spark's null-ignoring aggregates); COUNT
+    * counts all matched docs in the group.
+    */
+  def groupAggregate(ns: String, query: BQuery, groupKey: String,
+      aggs: Seq[GroupAgg]): Iterator[BDoc]
+}
+
+/** One aggregate inside a pushed server-side `$group` stage. */
+sealed trait GroupAgg extends Serializable { def alias: String }
+object GroupAgg {
+  final case class CountAll(alias: String) extends GroupAgg
+  final case class MinOf(col: String, alias: String) extends GroupAgg
+  final case class MaxOf(col: String, alias: String) extends GroupAgg
+  final case class SumOf(col: String, alias: String) extends GroupAgg
 }
 
 object ServerClient {
@@ -287,6 +310,47 @@ final class FakeServerClient(rootDir: Option[String] = None)
   var shardChunks: Map[String, Seq[(Option[BsonValue], Option[BsonValue], Seq[String])]] = Map.empty
   override def chunkRanges(ns: String, key: String): Seq[(Option[BsonValue], Option[BsonValue], Seq[String])] =
     shardChunks.getOrElse(ns, Seq.empty)
+
+  /** Grouped aggregation over the store — what a real server computes
+    * from the `$match`+`$group` pipeline, evaluated with the same
+    * [[BQuery.matches]] the find path uses. Null/missing values are
+    * skipped by min/max/sum (mongo semantics); an empty aggregate is
+    * BNull. Sum stays integral while every addend is integral, doubles
+    * otherwise (the $sum promotion rule).
+    */
+  override def groupAggregate(ns: String, query: BQuery, groupKey: String,
+      aggs: Seq[GroupAgg]): Iterator[BDoc] = {
+    tick("groupAggregate")
+    val groups = coll(ns).readAll().filter(query.matches).toVector
+      .groupBy(_.getPath(groupKey).getOrElse(BNull))
+    def present(docs: Vector[BDoc], col: String): Vector[BsonValue] =
+      docs.flatMap(_.getPath(col)).filter(_ != BNull)
+    groups.iterator.map { case (gv, docs) =>
+      val fields = aggs.map {
+        case GroupAgg.CountAll(a) => a -> BInt64(docs.size.toLong)
+        case GroupAgg.MinOf(c, a) =>
+          a -> present(docs, c).minOption(BsonOrdering).getOrElse(BNull)
+        case GroupAgg.MaxOf(c, a) =>
+          a -> present(docs, c).maxOption(BsonOrdering).getOrElse(BNull)
+        case GroupAgg.SumOf(c, a) =>
+          val vs = present(docs, c)
+          a -> (if (vs.isEmpty) BNull
+          else if (vs.forall(v => v.isInstanceOf[BInt32] || v.isInstanceOf[BInt64]))
+            BInt64(vs.map {
+              case BInt32(x) => x.toLong
+              case BInt64(x) => x
+              case _ => 0L
+            }.sum)
+          else BDouble(vs.map {
+            case BInt32(x) => x.toDouble
+            case BInt64(x) => x.toDouble
+            case BDouble(x) => x
+            case _ => 0.0
+          }.sum))
+      }
+      BDoc(ListMap((groupKey -> gv) +: fields: _*))
+    }
+  }
 
   /** A real server serializes concurrent client bulkWrites server-side;
     * the file-backed double serializes in-JVM per namespace directory

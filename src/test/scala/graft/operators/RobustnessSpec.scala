@@ -106,4 +106,97 @@ class RobustnessSpec extends SparkSpec {
     val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId(2L) == 0L && byId(1L) == 8L)
   }
+
+  // ---- round-11 pins: the all-tables NULL twin (make_nulls.py now nulls
+  // lineitem/orders/customer/events too) surfaced six engine/oracle
+  // divergences on the relational surface; each fix is pinned below.
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** events fixture: (event_id, ts, user_id, event_type, value, props) */
+  private def eventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String,
+      java.lang.Double, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust_ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q18 NULL-ts events sort first and open their own session (NULLS FIRST parity)") {
+    // user 1: a NULL-ts event then a real one — the NULL sorts first,
+    // both rows see a NULL lag, so the user has exactly 2 sessions
+    val dir = eventsDir(Seq(
+      (1L, null, 1L, "click", 1.0: java.lang.Double, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0: java.lang.Double, "{}")))
+    val out = run("q18_sessionize", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 2L)), s"got ${out(1L)}")
+  }
+
+  test("q38 a NULL-ts click precedes every purchase, so it sees none") {
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0: java.lang.Double, "{}"),
+      (2L, null, 1L, "click", 1.0: java.lang.Double, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0: java.lang.Double, "{}")))
+    val out = run("q38_asof_event", dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(out(2L).isEmpty, "NULL-ts click must see no preceding purchase")
+    assert(out(3L).contains(ts("2024-01-01 10:00:00")))
+  }
+
+  test("q40 NULL segment trims to empty string, not NULL (portable concat)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust_cust").toString
+    Seq[(Long, String, Integer, java.lang.Double, String)](
+      (50L, "Customer#50", 1, 10.0, null),
+      (100L, "Customer#100", 2, 20.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = run("q40_string_funcs", dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("trimmed")).toMap
+    assert(out(50L) == "", s"got '${out(50L)}'")
+    assert(out(100L) == "BUILDING")
+  }
+
+  test("q63 the NULL event_type group keeps its flagged count (null-safe join)") {
+    // user 1: an error opens a 10-min window; a NULL-type event 10 s in
+    // MUST be flagged and must keep that flag through the final join
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "error", 1.0: java.lang.Double, "{}"),
+      (2L, ts("2024-01-01 10:00:10"), 1L, null, 1.0: java.lang.Double, "{}")))
+    val out = run("q63_interval_join", dir).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(None) == ((1L, 1L)), s"got ${out(None)}")
+  }
+
+  test("q73 users with only NULL-ts events have no cohort") {
+    val dir = eventsDir(Seq(
+      (1L, null, 7L, "click", 1.0: java.lang.Double, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 8L, "click", 1.0: java.lang.Double, "{}"),
+      (3L, null, 8L, "click", 1.0: java.lang.Double, "{}")))
+    val out = run("q73_retention", dir).collect()
+    assert(out.forall(!_.isNullAt(0)), "no NULL cohort row may appear")
+    // user 8's NULL-ts event contributes no activity: one cohort row,
+    // offset 0, exactly one active user
+    assert(out.length == 1 && out.head.getLong(1) == 0L &&
+      out.head.getLong(2) == 1L, s"got ${out.toSeq}")
+  }
+
+  test("q92 an unknown-length doc never beats a known-length doc as representative") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust_rep").toString
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq[(Long, String, String, String, java.lang.Long)](
+      (1L, text, "en", "sa", null), // NULL n_chars — must NOT be the rep
+      (2L, text, "en", "sb", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("q92_cluster_keep_best", dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // identical texts cluster together; doc 2 (known length) is kept,
+    // doc 1 (NULL n_chars, source sa) is the one dropped
+    assert(out("sa") == ((0L, 1L)), s"got ${out("sa")}")
+    assert(out("sb") == ((1L, 0L)), s"got ${out("sb")}")
+  }
 }

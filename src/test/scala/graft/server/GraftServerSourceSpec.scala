@@ -363,4 +363,137 @@ class GraftServerSourceSpec extends SparkSpec {
       .load().limit(5)
     assert(got.count() === 5)
   }
+
+  // ---- grouped aggregate pushdown (round-11): one $match+$group
+  // pipeline round-trip per namespace, Spark folds the partial rows
+
+  test("grouped aggregate pushes a $group pipeline: plan, parity, bounded round-trips") {
+    import spark.implicits._
+    val dir = freshDir()
+    val src = graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+    src.write.format("graftserver")
+      .options(serverOpts(dir, "db.gagg")).option("id_column", "c_custkey")
+      .mode("append").save()
+    CountingServerFactory.reset()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.gagg"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE")
+      .load()
+      .filter($"c_acctbal" > 1000.0)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), min($"c_acctbal").as("mn"),
+        max($"c_acctbal").as("mx"), sum($"c_acctbal").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate: GROUP BY c_nationkey"),
+      s"no grouped pushdown in plan:\n$plan")
+    val got = q.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val expect = src.filter($"c_acctbal" > 1000.0)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), min($"c_acctbal"), max($"c_acctbal"), sum($"c_acctbal"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, (n, mn, mx, s)) =>
+      val (en, emn, emx, es) = expect(k)
+      assert(n == en && mn == emn && mx == emx, s"group $k: $got vs $expect")
+      assert(math.abs(s - es) < 1e-6, s"group $k sum: $s vs $es")
+    }
+    // bounded round-trips: ONE $group pipeline, zero row-wise cursors
+    assert(CountingServerFactory.count("groupAggregate") == 1,
+      s"counts: ${CountingServerFactory.snapshot()}")
+    assert(CountingServerFactory.count("find") == 0,
+      s"grouped pushdown must not open row cursors: ${CountingServerFactory.snapshot()}")
+  }
+
+  test("grouped pushdown keeps a NULL group and null-skipping aggregates") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq[(Long, Integer, java.lang.Double)](
+      (1L, 1, 10.0), (2L, 1, null), (3L, null, 7.0), (4L, null, null))
+      .toDF("k", "g", "v")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.gnull")).option("id_column", "k")
+      .mode("append").save()
+    val got = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.gnull"))
+      .schema("_id LONG, g INT, v DOUBLE")
+      .load()
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"v").as("mn"), sum($"v").as("s"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got(Some(1)) == ((2L, Some(10.0))), s"got $got")
+    assert(got(None) == ((2L, Some(7.0))), "the NULL group must survive with null-skipping min")
+  }
+
+  test("a residual (non-renderable) filter refuses grouped pushdown but stays correct") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.gres")).option("id_column", "c_custkey")
+      .mode("append").save()
+    val base = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.gres"))
+      .schema("_id LONG, c_name STRING, c_nationkey INT")
+      .load()
+      // endsWith translates to a residual-bearing form for the server
+      // translator in the engine (regex anchoring semantics) — if it in
+      // fact renders, the test still holds: we only assert correctness
+      .filter($"c_name".endsWith("1"))
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    val expect = graft.Tables.customer(spark, sf0001)
+      .filter($"c_name".endsWith("1"))
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = base.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+}
+
+/** Wraps the fake transport and counts every round-trip JVM-wide, so a
+  * DSv2-level spec (where the scan builds its own clients) can assert
+  * the q70-style probe bounds for the grouped-aggregate path.
+  */
+final class CountingServerFactory extends ServerClientFactory {
+  override def create(options: Map[String, String]): ServerClient = {
+    val inner = new FakeServerClient(Some(options("server_dir")))
+    new ServerClient with AutoCloseable {
+      private def t(m: String): Unit = CountingServerFactory.tick(m)
+      override def collStats(ns: String) = { t("collStats"); inner.collStats(ns) }
+      override def find(ns: String, q: Find) = { t("find"); inner.find(ns, q) }
+      override def sampleKeys(ns: String, key: String, n: Int) =
+        { t("sampleKeys"); inner.sampleKeys(ns, key, n) }
+      override def splitVector(ns: String, key: String, maxChunkBytes: Long) =
+        { t("splitVector"); inner.splitVector(ns, key, maxChunkBytes) }
+      override def chunkRanges(ns: String, key: String) =
+        { t("chunkRanges"); inner.chunkRanges(ns, key) }
+      override def bulkWrite(ns: String, models: Iterator[graft.store.WriteModel],
+          ordered: Boolean) = { t("bulkWrite"); inner.bulkWrite(ns, models, ordered) }
+      override def groupAggregate(ns: String, query: graft.query.BQuery,
+          groupKey: String, aggs: Seq[GroupAgg]) =
+        { t("groupAggregate"); inner.groupAggregate(ns, query, groupKey, aggs) }
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+object CountingServerFactory {
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def tick(m: String): Unit = counts.merge(m, 1, (a, b) => a + b)
+  def reset(): Unit = counts.clear()
+  def count(m: String): Int = Option(counts.get(m)).map(_.intValue).getOrElse(0)
+  def snapshot(): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    counts.asScala.map { case (k, v) => k -> v.intValue }.toMap
+  }
 }

@@ -355,6 +355,31 @@ class MongoDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("stub driver: groupAggregate renders one $match+$group pipeline round-trip") {
+    withDriver { (client, fake, _) =>
+      seed(client)
+      val q = BQuery.Gte("k", BInt32(5))
+      val aggs = Seq(GroupAgg.CountAll("count(*)"), GroupAgg.MinOf("k", "min(k)"),
+        GroupAgg.MaxOf("k", "max(k)"), GroupAgg.SumOf("k", "sum(k)"))
+      val got = client.groupAggregate(Ns, q, "status", aggs).toVector
+        .map(d => d.get("status") -> d).toMap
+      val expect = fake.groupAggregate(Ns, q, "status", aggs).toVector
+        .map(d => d.get("status") -> d).toMap
+      assert(got === expect, s"driver pipeline vs fake: $got vs $expect")
+      // spot-check one group by hand: k in 5..20, evens are status A
+      val a = got(Some(BString("A")))
+      assert(a.get("count(*)").contains(BInt64(8)))   // 6,8,...,20
+      assert(a.get("min(k)").contains(BInt32(6)))
+      assert(a.get("max(k)").contains(BInt32(20)))
+      assert(a.get("sum(k)").contains(BInt64((6 to 20 by 2).sum.toLong)))
+      // a residual-bearing query must refuse loudly, not silently misgroup
+      intercept[IllegalArgumentException] {
+        client.groupAggregate(Ns,
+          BQuery.ReadStrCmp("name", "n05", BQuery.ReadStrOp.Gte), "status", aggs)
+      }
+    }
+  }
+
   test("stub driver: sampleKeys via $sample aggregate; splitVector granted and refused") {
     withDriver { (client, fake, backend) =>
       seed(client)

@@ -120,15 +120,57 @@ final class StubDriverBackend(val fake: FakeServerClient) {
   def aggregate(db: String, coll: String,
       stages: java.util.List[Array[Byte]]): java.util.List[Array[Byte]] = {
     val st = stages.asScala.map(BsonCodec.decode(_)).toSeq
-    require(st.nonEmpty && st.head.fields.keys.headOption.contains("$sample"),
-      s"stub server only speaks [$$sample, $$project], got $st")
-    val n = st.head.getPath("$sample.size").flatMap(QueryDocs.asLong)
-      .getOrElse(0L).toInt
-    val key = st(1).get("$project").collect { case BDoc(fs) =>
-      fs.collectFirst { case (k, v) if QueryDocs.asLong(v).contains(1L) => k }
-    }.flatten.getOrElse(throw new StubCommandRefused("no projected sample key"))
-    fake.sampleKeys(s"$db.$coll", key, n)
-      .map(v => BsonCodec.encode(BDoc(key -> v))).asJava
+    require(st.nonEmpty, "empty pipeline")
+    st.head.fields.keys.headOption match {
+      case Some("$sample") =>
+        val n = st.head.getPath("$sample.size").flatMap(QueryDocs.asLong)
+          .getOrElse(0L).toInt
+        val key = st(1).get("$project").collect { case BDoc(fs) =>
+          fs.collectFirst { case (k, v) if QueryDocs.asLong(v).contains(1L) => k }
+        }.flatten.getOrElse(throw new StubCommandRefused("no projected sample key"))
+        fake.sampleKeys(s"$db.$coll", key, n)
+          .map(v => BsonCodec.encode(BDoc(key -> v))).asJava
+      case Some("$match") | Some("$group") => groupPipeline(s"$db.$coll", st)
+      case other => throw new IllegalArgumentException(
+        s"stub server only speaks [$$sample, $$project] or [$$match, $$group], got $other")
+    }
+  }
+
+  /** `[$match?, $group]` — the grouped-aggregation pipeline the driver
+    * binding renders (QueryDocs.groupStages); evaluated through the
+    * fake's groupAggregate and re-keyed to the server's `_id` group-value
+    * convention.
+    */
+  private def groupPipeline(ns: String,
+      st: Seq[BDoc]): java.util.List[Array[Byte]] = {
+    val hasMatch = st.head.fields.keys.headOption.contains("$match")
+    val matchDoc = if (hasMatch)
+      st.head.get("$match").collect { case d: BDoc => d }.getOrElse(BDoc.empty)
+    else BDoc.empty
+    val groupDoc = st(if (hasMatch) 1 else 0).get("$group") match {
+      case Some(d: BDoc) => d
+      case _ => throw new IllegalArgumentException(s"no $$group stage in $st")
+    }
+    val key = groupDoc.get("_id") match {
+      case Some(BString(s)) if s.startsWith("$") => s.drop(1)
+      case other => throw new IllegalArgumentException(s"bad group _id: $other")
+    }
+    val aggs = groupDoc.fields.toSeq.filterNot(_._1 == "_id").map {
+      case (alias, BDoc(fs)) => fs.head match {
+        case ("$sum", v) if QueryDocs.asLong(v).contains(1L) => GroupAgg.CountAll(alias)
+        case ("$sum", BString(c)) if c.startsWith("$") => GroupAgg.SumOf(c.drop(1), alias)
+        case ("$min", BString(c)) if c.startsWith("$") => GroupAgg.MinOf(c.drop(1), alias)
+        case ("$max", BString(c)) if c.startsWith("$") => GroupAgg.MaxOf(c.drop(1), alias)
+        case other => throw new IllegalArgumentException(s"bad accumulator $other")
+      }
+      case (alias, other) =>
+        throw new IllegalArgumentException(s"bad group field $alias: $other")
+    }
+    fake.groupAggregate(ns, StubDriverBackend.parseQueryDoc(matchDoc), key, aggs)
+      .map { d =>
+        BsonCodec.encode(BDoc((("_id" -> d.get(key).getOrElse(BNull)) +:
+          aggs.map(a => a.alias -> d.get(a.alias).getOrElse(BNull))): _*))
+      }.toSeq.asJava
   }
 
   def bulkWrite(db: String, coll: String, ops: java.util.List[Array[Object]],

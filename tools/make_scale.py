@@ -20,7 +20,16 @@ disjoint copies of an SF dir's documents/embeddings tables.
   (millions of row groups). Small groups make the scale ratios measure
   the engines, not the writer's defaults.
 
-Usage: make_scale.py SFDIR OUTDIR FACTOR
+Usage: make_scale.py SFDIR OUTDIR FACTOR [salt-lineitem]
+
+The optional `salt-lineitem` mode also salts lineitem (copy i offsets
+l_orderkey by i*10M, matching the salted orders copies so referential
+structure is preserved): the DEPLOYMENT shape of the q117 fk audit has
+the CHILD as the big side (a 100 TB lakehouse fact table referencing a
+much smaller dimension), whereas the default fixture inverts it (15M
+salted parent keys vs a symlinked 600K-row child) — the r10 verdict's
+open `weak`. Off by default so q105/q113 measurements stay comparable
+with earlier rounds' ledgers.
 """
 import os
 import sys
@@ -30,6 +39,7 @@ import duckdb
 
 def main():
     sfdir, outdir, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    salt_lineitem = len(sys.argv) > 4 and sys.argv[4] == "salt-lineitem"
     os.makedirs(outdir, exist_ok=True)
     con = duckdb.connect()
     salted = ("CASE WHEN c.i = 0 OR d.text IS NULL OR d.text = '' THEN d.text "
@@ -78,8 +88,22 @@ def main():
         ORDER BY event_id
       ) TO '{outdir}/events.parquet'
         (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "lineitem"]:
+    if salt_lineitem:
+        # child copies reference their own orders copy: l_orderkey gets
+        # the SAME per-copy offset as o_orderkey above, so the fk
+        # relationship is intact per copy and the ~2% corruption the
+        # audit injects stays the only orphan source
+        con.execute(f"""
+          COPY (
+            SELECT l.* REPLACE (l.l_orderkey + c.i * 10000000 AS l_orderkey)
+            FROM read_parquet('{sfdir}/lineitem.parquet') l, range({factor}) c(i)
+            ORDER BY l_orderkey
+          ) TO '{outdir}/lineitem.parquet'
+            (FORMAT PARQUET, ROW_GROUP_SIZE 8192)""")
+    symlinked = ["region", "nation", "customer", "supplier", "part"]
+    if not salt_lineitem:
+        symlinked.append("lineitem")
+    for t in symlinked:
         src, dst = f"{sfdir}/{t}.parquet", f"{outdir}/{t}.parquet"
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(os.path.abspath(src), dst)
