@@ -16,28 +16,45 @@ object BehaviorQueries {
 
     // Ordered-stage funnel: first view -> first click AFTER that view ->
     // first purchase AFTER that click, converting within 7 days of the
-    // first view. The three stage timestamps are windowed mins over ONE
-    // user partitioning (chained, because each stage's predicate needs
-    // the previous stage's result): Catalyst plans a single user-keyed
-    // exchange feeding three back-to-back Window operators — the sort is
-    // paid once and reused, and the per-user reduction that follows is
-    // partial-aggregated map-side. At 100 TB the only full-data exchange
-    // is the one the semantics require (events co-located by user); the
-    // final summary is a one-row aggregate.
+    // first view.
+    //
+    // Skew-immune spelling (r11; the original's three chained
+    // per-user-partition windows serialized a 90%-hot user into one
+    // task — measured 7x on the skew twin). Each stage is a per-user
+    // MIN — a map-side-combinable groupBy, so a hot user's events
+    // collapse inside every scan task and the exchanges carry one row
+    // per user. The stage chaining (click >= first view, purchase >=
+    // first click) becomes a join of the per-type event subset against
+    // the previous stage's per-user frame: the frame is users-sized
+    // (broadcast while it fits; beyond that, a shuffled join whose
+    // probe-side hot key AQE skew-splits — unlike a window partition,
+    // which can never split). Final summary is a one-row aggregate of
+    // the per-user frame.
     CatalogQuery(
       "q72_funnel",
       (s, d) => {
         import s.implicits._
-        val wu = Window.partitionBy($"user_id")
+        val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+        val users = ev.groupBy($"user_id").agg(
+          min(when($"event_type" === "view", $"ts")).as("fv"))
+        val fc = ev.filter($"event_type" === "click")
+          .join(users.filter($"fv".isNotNull).select($"user_id", $"fv".as("jfv")),
+            Seq("user_id"))
+          .filter($"ts" >= $"jfv")
+          .groupBy($"user_id").agg(min($"ts").as("fc"))
+        // shuffle_hash: the default SMJ SORTS the event-side probe — a
+        // hot user's partition pays O(n log n) in one task below AQE's
+        // skew-split threshold; a hash probe streams it linearly (and
+        // above the threshold AQE splits either join the same way)
+        val fp = ev.filter($"event_type" === "purchase")
+          .join(fc.select($"user_id", $"fc".as("jfc")).hint("shuffle_hash"),
+            Seq("user_id"))
+          .filter($"ts" >= $"jfc")
+          .groupBy($"user_id").agg(min($"ts").as("fp"))
         val horizon = $"fv" + expr("INTERVAL 7 DAYS")
-        Tables.events(s, d)
-          .withColumn("fv", min(when($"event_type" === "view", $"ts")).over(wu))
-          .withColumn("fc",
-            min(when($"event_type" === "click" && $"ts" >= $"fv", $"ts")).over(wu))
-          .withColumn("fp",
-            min(when($"event_type" === "purchase" && $"ts" >= $"fc", $"ts")).over(wu))
-          .groupBy($"user_id")
-          .agg(max($"fv").as("fv"), max($"fc").as("fc"), max($"fp").as("fp"))
+        users
+          .join(fc, Seq("user_id"), "left")
+          .join(fp, Seq("user_id"), "left")
           .agg(
             count(lit(1)).as("n_users"),
             count($"fv").as("n_viewed"),
@@ -138,26 +155,46 @@ object BehaviorQueries {
     // q105/q109 derivation convention, mirrored exactly in the oracle;
     // the OPERATOR is everything downstream of the arrival column.
     //
-    // Scale shape: one user-keyed exchange; the running high-water mark
-    // is an incremental window (running max, O(1) per row — never a
-    // per-frame re-scan) inside each user partition, and the report is a
-    // map-side-combinable per-type aggregate. Timestamps compare in
-    // whole seconds (the epoch()-floor convention of q18/q72).
+    // Scale shape (r11 skew-immune respell; the single per-user running-
+    // max window serialized a 90%-hot user into one task — measured
+    // 3.5x on the skew twin): the running high-water mark is split in
+    // two levels on ARRIVAL-ORDER buckets. Level 1: a running max
+    // WITHIN each (user, arr-bucket) window — a bucket spans a fixed
+    // arrival-id width, so its partition holds at most that many events
+    // regardless of how hot the user is. Level 2: each bucket's max sec,
+    // a map-side-combinable aggregate, with the running max over EARLIER
+    // buckets computed on the per-(user, bucket) frame (data/4096 rows).
+    // high-water(row) = greatest(within-bucket running, earlier-bucket
+    // max); the report stays a map-side-combinable per-type aggregate.
+    // Timestamps compare in whole seconds (the epoch()-floor convention
+    // of q18/q72).
     CatalogQuery(
       "q114_disorder_audit",
       (s, d) => {
         import s.implicits._
         import graft.functions.Portable.hash60
         val D = 60L // candidate watermark: 1 minute
+        val B = 4096L // arrival-bucket width (events per bucket bound)
         val ev = Tables.events(s, d)
           .select($"user_id", $"event_id", $"event_type",
             $"ts".cast("long").as("sec"),
             ($"event_id" +
               (hash60(concat(lit("arr:"), $"event_id".cast("string"))) % 7)
               - 3).as("arr"))
-        val w = Window.partitionBy($"user_id").orderBy($"arr", $"event_id")
+          .withColumn("abkt", floor($"arr" / B))
+        val wIn = Window.partitionBy($"user_id", $"abkt")
+          .orderBy($"arr", $"event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev.withColumn("late_s", max($"sec").over(w) - $"sec")
+        val withIn = ev.withColumn("hw_in", max($"sec").over(wIn))
+        val buckets = ev.groupBy($"user_id", $"abkt")
+          .agg(max($"sec").as("bmax"))
+        val wB = Window.partitionBy($"user_id").orderBy($"abkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prevB = buckets.withColumn("hw_prev", max($"bmax").over(wB))
+          .select($"user_id".as("pu"), $"abkt".as("pb"), $"hw_prev")
+        withIn
+          .join(prevB, withIn("user_id") === $"pu" && withIn("abkt") === $"pb")
+          .withColumn("late_s", greatest($"hw_in", $"hw_prev") - $"sec")
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n_events"),
             sum(when($"late_s" > 0, 1L).otherwise(0L)).cast("long")

@@ -386,20 +386,43 @@ object RelationalQueries {
         |ORDER BY o_orderkey
         |""".stripMargin)),
 
-    // Sessionization via window lag: 30-minute inactivity gap opens a new
-    // session (events table; deterministic integer-second arithmetic).
+    // Sessionization: 30-minute inactivity gap opens a new session
+    // (events table; deterministic integer-second arithmetic).
+    //
+    // Skew-immune spelling (r11; the lag-window original serialized a
+    // 90%-hot user into one task — measured 4.7x on the skew twin). The
+    // key fact: with time buckets exactly as wide as the gap (1800 s),
+    // two events in the SAME bucket can never be >1800 s apart, so a
+    // session break only ever occurs between consecutive OCCUPIED
+    // buckets — and buckets >=2 apart always break. The corpus-scale
+    // pass therefore collapses to a (user, bucket) min/max/count
+    // aggregate (map-side combinable — a hot user's events partial-
+    // aggregate inside every task before the exchange), and the lag
+    // window runs over the bucket frame, whose size per user is bounded
+    // by TIME SPAN / 1800, not by data. NULL-ts events keep the pinned
+    // semantics (each opens its own session, and the first real event
+    // after them starts a new one): the NULL bucket sorts first,
+    // contributes its row count, and hands a NULL prev-hi to the first
+    // real bucket.
     CatalogQuery(
       "q18_sessionize",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        Tables.events(s, d)
-          .withColumn("prev_ts", lag($"ts", 1).over(w))
-          .withColumn("new_s",
-            when($"prev_ts".isNull ||
-              ($"ts".cast("long") - $"prev_ts".cast("long")) > 1800L, 1).otherwise(0))
+        val W = 1800L
+        val perB = Tables.events(s, d)
+          .select($"user_id", $"ts".cast("long").as("sec"))
+          .withColumn("bkt", floor($"sec" / W))
+          .groupBy($"user_id", $"bkt")
+          .agg(min($"sec").as("lo"), max($"sec").as("hi"), count(lit(1)).as("n"))
+        val wB = Window.partitionBy($"user_id").orderBy($"bkt".asc_nulls_first)
+        perB
+          .withColumn("prev_hi", lag($"hi", 1).over(wB))
+          .withColumn("contrib", when($"bkt".isNull, $"n")
+            .otherwise(when($"prev_hi".isNull || $"lo" - $"prev_hi" > W, 1L)
+              .otherwise(0L)))
           .groupBy($"user_id")
-          .agg(sum($"new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+          .agg(sum($"contrib").cast("long").as("n_sessions"),
+            sum($"n").cast("long").as("n_events"))
           .orderBy($"user_id")
       },
       Some("""
@@ -471,20 +494,51 @@ object RelationalQueries {
         |""".stripMargin)),
 
     // As-of style event join: for every click, the most recent preceding
-    // purchase by the same user — last_value(..., ignoreNulls) over an
-    // unbounded-preceding window, the compose-existing-ops answer to an
-    // operator Spark has no physical node for.
+    // purchase by the same user — an operator Spark has no physical node
+    // for, composed from existing ops.
+    //
+    // Skew-immune two-level spelling (r11; the single unbounded-
+    // preceding window serialized a 90%-hot user into one task —
+    // measured 14x on the skew twin). Level 1: a running last-purchase
+    // window WITHIN each (user, 1800-s time bucket) — partitions are
+    // bounded by events-per-user-per-half-hour, so a hot user splits
+    // across its time buckets. Level 2: the best purchase ts of each
+    // EARLIER bucket, a running max over the per-(user, bucket) frame —
+    // whose size is bounded by time span, not data. A row's answer is
+    // its within-bucket running value if any, else the earlier-bucket
+    // max ("most recent preceding purchase" = max purchase ts among
+    // earlier rows, so max-per-bucket loses nothing). NULL-ts rows sit
+    // in the NULL bucket (sorted first, sees nothing, contributes
+    // nothing) — the pinned NULLS FIRST semantics.
     CatalogQuery(
       "q38_asof_event",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val W = 1800L
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"user_id", $"ts", $"event_type")
+          .withColumn("bkt", floor($"ts".cast("long") / W))
+        val wIn = Window.partitionBy($"user_id", $"bkt")
+          .orderBy($"ts".asc_nulls_first, $"event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, d)
-          .withColumn("last_purchase_ts",
-            last(when($"event_type" === "purchase", $"ts"), ignoreNulls = true).over(w))
+        val withIn = ev.withColumn("p_in",
+          last(when($"event_type" === "purchase", $"ts"), ignoreNulls = true)
+            .over(wIn))
+        // one row per occupied (user, bucket): the bucket's best purchase
+        // ts (NULL when none) — map-side combinable
+        val buckets = ev.groupBy($"user_id", $"bkt")
+          .agg(max(when($"event_type" === "purchase", $"ts")).as("bp"))
+        val wB = Window.partitionBy($"user_id").orderBy($"bkt".asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prevB = buckets.withColumn("p_prev", max($"bp").over(wB))
+          .select($"user_id".as("pu"), $"bkt".as("pb"), $"p_prev")
+        withIn
+          // null-SAFE on bkt: the NULL bucket (NULL-ts rows) must keep
+          // its rows through the join, not vanish on a NULL equi-key
+          .join(prevB, withIn("user_id") === $"pu" && withIn("bkt") <=> $"pb")
           .filter($"event_type" === "click")
-          .select($"event_id", $"user_id", $"ts", $"last_purchase_ts")
+          .select($"event_id", $"user_id", $"ts",
+            coalesce($"p_in", $"p_prev").as("last_purchase_ts"))
           .orderBy($"event_id")
       },
       Some("""

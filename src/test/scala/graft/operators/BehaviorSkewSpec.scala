@@ -65,6 +65,77 @@ class BehaviorSkewSpec extends SparkSpec {
     assert(total > 150L && total < 250L, s"implausible total $total")
   }
 
+  test("q18 bucketed sessionize matches the naive lag replay, incl. exact-gap edges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess-events").toString
+    // hand-placed edges: gap EXACTLY 1800 (no break), 1801 (break),
+    // same-bucket small gaps, adjacent-bucket small gap (no break),
+    // bucket-skipping gap (break); plus a pseudo-random tail
+    val crafted = Seq(
+      0L, 1799L,          // same bucket
+      1801L,              // adjacent bucket, gap 2 <= 1800: no break
+      3601L,              // gap 1800 exactly: NO break
+      5402L,              // gap 1801: break
+      12000L)             // far bucket: break
+    val rand = (0 until 300).map(i =>
+      (graft.functions.Md5Util.prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"t:$i"))
+        % 200000L).toLong)
+    val evs = (crafted.map((1L, _)) ++ rand.map((2L, _))).zipWithIndex.map {
+      case ((u, sec), i) => (i.toLong, sec * 1000000000L, u, "view", 1.0, "{}")
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // naive replay: the original lag rule
+    val expected = evs.groupBy(_._3).map { case (u, rows) =>
+      val secs = rows.sortBy(r => (r._2, r._1)).map(_._2 / 1000000000L)
+      val breaks = 1 + secs.sliding(2).count {
+        case Seq(a, b) => b - a > 1800L
+        case _ => false
+      }
+      u -> (breaks.toLong, secs.size.toLong)
+    }
+    val out = Catalog.byName("q18_sessionize").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == expected, s"got $out expected $expected")
+    assert(out(1L) == ((3L, 6L)), "crafted edges: exactly 3 sessions")
+  }
+
+  test("q38 bucketed as-of matches the naive last-purchase replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-asof-events").toString
+    // pseudo-random interleaving of purchases and clicks across many
+    // 1800-s buckets, two users, including same-second ties
+    val evs = (0 until 400).map { i =>
+      val u = (i % 2).toLong + 1L
+      val sec = (graft.functions.Md5Util.prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"a:$i"))
+        % 40000L).toLong
+      val ty = if (i % 5 == 0) "purchase" else "click"
+      (i.toLong, sec * 1000000000L, u, ty, 1.0, "{}")
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // naive replay: sort by (ts, event_id) per user, track last purchase
+    val expected = evs.groupBy(_._3).flatMap { case (_, rows) =>
+      var lastP: Option[Long] = None
+      rows.sortBy(r => (r._2, r._1)).flatMap { r =>
+        if (r._4 == "purchase") { lastP = Some(r._2); None }
+        else Some(r._1 -> lastP)
+      }
+    }
+    val out = Catalog.byName("q38_asof_event").run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getTimestamp(3)).map(_.getTime * 1000000L)).toMap // ms -> ns
+    val exp = expected.toMap // already ns
+    assert(out.size == exp.size)
+    exp.foreach { case (e, p) =>
+      assert(out(e) == p, s"event $e: got ${out(e)} expected $p")
+    }
+  }
+
   test("q114 disorder audit matches an independent local replay") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-disorder-events").toString
