@@ -61,8 +61,14 @@ object BehaviorQueries {
             count(when($"fc" <= horizon, 1)).as("n_clicked"),
             count(when($"fp" <= horizon, 1)).as("n_purchased"))
           .select($"n_users", $"n_viewed", $"n_clicked", $"n_purchased",
-            ($"n_clicked".cast("double") / $"n_viewed").as("click_rate"),
-            ($"n_purchased".cast("double") / $"n_viewed").as("purchase_rate"))
+            // NULL rate when nobody viewed (DuckDB's x/0 is NULL; Spark's
+            // ANSI division would throw on the empty-corpus twin)
+            when($"n_viewed" === 0, lit(null).cast("double"))
+              .otherwise($"n_clicked".cast("double") / $"n_viewed")
+              .as("click_rate"),
+            when($"n_viewed" === 0, lit(null).cast("double"))
+              .otherwise($"n_purchased".cast("double") / $"n_viewed")
+              .as("purchase_rate"))
       },
       Some("""
         |WITH s1 AS (

@@ -54,7 +54,13 @@ object ConnectorQueries {
           .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
           .write.format("graftbson").option("id_column", "c_custkey")
           .mode("append").save(dir)
-        s.read.format("graftbson").load(dir)
+        // carry the writer's schema (the q100 deployment pattern): an
+        // EMPTY input corpus leaves nothing to sample, and a read must
+        // degrade to an empty result, not die in schema inference
+        s.read.format("graftbson")
+          .schema("_id LONG, c_name STRING, c_nationkey INT, " +
+            "c_acctbal DOUBLE, c_mktsegment STRING")
+          .load(dir)
           .filter($"c_acctbal" > 0.0)
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
@@ -79,7 +85,7 @@ object ConnectorQueries {
           .write.format("graftbson")
           .option("mode", "upsert").option("update_op", "inc")
           .mode("append").save(dir)
-        s.read.format("graftbson").load(dir)
+        s.read.format("graftbson").schema("_id LONG, n LONG").load(dir)
           .select($"_id", $"n")
           .orderBy($"_id")
       },
@@ -101,7 +107,8 @@ object ConnectorQueries {
           .write.format("graftbson")
           .option("mode", "update").option("update_op", "set")
           .mode("append").save(dir)
-        s.read.format("graftbson").load(dir)
+        s.read.format("graftbson")
+          .schema("_id INT, n_orders LONG, avg_price DOUBLE").load(dir)
           .select($"_id", $"n_orders", $"avg_price")
           .orderBy($"_id")
       },
@@ -159,7 +166,8 @@ object ConnectorQueries {
           .write.format("graftbson").option("id_column", "o_orderkey")
           .option("shards", "8")
           .mode("append").save(dir)
-        s.read.format("graftbson").load(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load(dir)
           .agg(
             count(lit(1)).as("n"),
             min($"o_custkey").as("min_cust"),
@@ -190,7 +198,9 @@ object ConnectorQueries {
         val hot = Tables.orders(s, d)
           .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 400000.0)
           .select($"o_custkey").distinct()
-        val fact = s.read.format("graftbson").load(dir)
+        val fact = s.read.format("graftbson")
+          .schema("_id LONG, c_name STRING, c_acctbal DOUBLE, c_mktsegment STRING")
+          .load(dir)
         fact.join(hot, fact("_id") === hot("o_custkey"))
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
@@ -228,6 +238,8 @@ object ConnectorQueries {
         // for dozens of passes
         s.read.format("graftserver").options(opts)
           .option("split_size", (2L * 1024 * 1024).toString)
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE, " +
+            "o_orderstatus STRING")
           .load()
           .filter($"o_totalprice" > 1000.0)
           .groupBy($"o_orderstatus")
@@ -256,7 +268,8 @@ object ConnectorQueries {
           .write.format("graftserver").options(opts)
           .option("id_column", "c_custkey")
           .mode("append").save()
-        s.read.format("graftserver").options(opts).load()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE").load()
           .agg(
             count(lit(1)).as("n"),
             min($"c_nationkey").as("min_nat"),

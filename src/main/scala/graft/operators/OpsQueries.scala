@@ -585,7 +585,11 @@ object OpsQueries {
             .agg(count(lit(1)).as("n_orphans"))
           child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
             .select(lit(name).as("relationship"), $"n_child", $"n_orphans",
-              ($"n_orphans".cast("double") / $"n_child").as("orphan_rate"))
+              // NULL rate on an empty child table (DuckDB's x/0 is NULL;
+              // Spark's ANSI division would throw on the empty twin)
+              when($"n_child" === 0, lit(null).cast("double"))
+                .otherwise($"n_orphans".cast("double") / $"n_child")
+                .as("orphan_rate"))
         }
         val li = Tables.lineitem(s, d)
           .select(corrupt($"l_orderkey", "fk1:").as("k"))

@@ -490,6 +490,9 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
+        |-- no-op on any non-empty input; on an EMPTY join it drops the
+        |-- grand-total row DuckDB emits (Spark's rollup yields none)
+        |HAVING count(*) > 0
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
         |""".stripMargin)),
 
@@ -713,6 +716,10 @@ object RelationalQueries {
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |-- no-op on any non-empty input (every group has >=1 row); on an
+        |-- EMPTY table it drops the grand-total row DuckDB emits, which
+        |-- Spark's cube does not produce — empty input => empty report
+        |HAVING count(*) > 0
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         |""".stripMargin))
   )

@@ -748,6 +748,12 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         // MIN/MAX needs the projected field
         val files = GraftBsonSource.dataFiles(options.getOrElse("path",
           throw new IllegalArgumentException("path option required")))
+        if (files.isEmpty)
+          // an EMPTY collection must still yield ONE partial row
+          // (count 0, min/max NULL): with zero partitions Spark's final
+          // fold sums an empty input and COUNT(*) would come back NULL
+          // instead of 0 (found by the r11 all-tables empty twin)
+          return Array(AggInputPartition("", items, mapping))
         return files.map(f => AggInputPartition(f, items, mapping): InputPartition).toArray
       case None => ()
     }
@@ -866,7 +872,14 @@ final class AggPartitionReader(p: AggInputPartition)
       case AggPush.MaxOf(c, t) => (c, t)
     }.distinct
     val values: Seq[Any] =
-      if (scanCols.isEmpty) {
+      if (p.path.isEmpty) {
+        // the empty-collection sentinel partition: zero docs, so COUNT
+        // folds to 0 and MIN/MAX to NULL
+        p.items.map {
+          case AggPush.RowCount => 0L: Any
+          case _ => null
+        }
+      } else if (scanCols.isEmpty) {
         val n = new FileStats(p.path, "_id").count
         p.items.map(_ => n)
       } else {

@@ -183,6 +183,57 @@ class RobustnessSpec extends SparkSpec {
       out.head.getLong(2) == 1L, s"got ${out.toSeq}")
   }
 
+  // ---- round-11 pins: the ALL-tables empty twin (make_empty.py `all`
+  // mode) crashed 9 queries and diverged 3 — behaviors pinned below.
+
+  private lazy val emptyAllDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust_emptyall").toString
+    Seq.empty[(Long, String, Integer, java.lang.Double, String)]
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, java.lang.Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq.empty[(Long, Long, Long, java.lang.Double)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "x")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(o_totalprice AS DOUBLE) AS o_totalprice",
+        "CAST(NULL AS STRING) AS o_orderstatus",
+        "CAST(NULL AS TIMESTAMP) AS o_orderdate",
+        "CAST(NULL AS STRING) AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q58 pushed aggregate over an EMPTY collection folds COUNT to 0, not NULL") {
+    val out = run("q58_agg_pushdown", emptyAllDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L, s"COUNT(*) over empty must be 0, got $r")
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+      "MIN/MAX over empty must be NULL")
+  }
+
+  test("q72 funnel rates are NULL (not a crash) when nobody viewed") {
+    val out = run("q72_funnel", emptyAllDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5),
+      "rates over an empty corpus are NULL, matching the oracle's x/0")
+  }
+
+  test("q31 read-back of an empty written collection degrades to empty, not inference failure") {
+    assert(run("q31_bson_source_roundtrip", emptyAllDir).collect().isEmpty)
+  }
+
+  test("q69/q70 server round-trips degrade to empty/zero on an empty input") {
+    assert(run("q69_server_roundtrip", emptyAllDir).collect().isEmpty)
+    val probes = run("q70_server_agg_probes", emptyAllDir).collect()
+    assert(probes.length == 1 && probes.head.getLong(0) == 0L)
+  }
+
   test("q92 an unknown-length doc never beats a known-length doc as representative") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_robust_rep").toString
