@@ -9,17 +9,19 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batches — partition-at-a-time, no per-row driver hops).
   *
   * ==CODEC BOUNDARY==
-  * IMAGE payloads are REAL: the fixture synthesizes genuine PNG bytes
-  * per image row ([[PngSynth]]) and [[ImageCodec]] decodes them with the
-  * JDK's `javax.imageio` (PNG/BMP/GIF readers ship with every JDK) —
-  * real magic-byte sniffing, real decompression, real pixel access. The
-  * image's dimensions and constant fill are derived from `doc_id`, so
-  * the DuckDB oracle predicts the DECODED values arithmetically without
-  * needing a decoder of its own; the engine still earns them by
-  * round-tripping actual PNG bytes. Audio/video payloads remain behind
-  * [[FakeDecoder]], a clearly-marked deterministic stub (no audio/video
-  * codecs in this container); the schema, binary plumbing, batching and
-  * Encoder surface around it are real either way.
+  * IMAGE and AUDIO payloads are REAL: the fixture synthesizes genuine
+  * PNG bytes ([[PngSynth]]) decoded with the JDK's `javax.imageio`
+  * (real magic sniffing, real decompression, real pixel access, real
+  * nearest-neighbor thumbnail resize) and genuine RIFF/WAVE PCM16
+  * bytes ([[WavSynth]]) decoded with the JDK's `javax.sound.sampled`
+  * (real header parse, real signed-sample reconstruction, real
+  * temporal downsample). Both derivations come from `doc_id`, so the
+  * DuckDB oracle predicts the DECODED values arithmetically without a
+  * media stack of its own; the engine still earns them by
+  * round-tripping actual codec streams. VIDEO payloads remain behind
+  * [[FakeDecoder]], the one clearly-marked deterministic stub (no
+  * video codec ships with the JDK); the schema, binary plumbing,
+  * batching and Encoder surface around it are real either way.
   */
 object Multimodal {
 
@@ -68,6 +70,98 @@ object Multimodal {
     }
   }
 
+  /** Deterministic WAV synthesis for the audio fixture: PCM16 mono with
+    * sample rate, length, and sample values all derived from `doc_id`.
+    * The bytes are a real RIFF/WAVE stream (written by the JDK's
+    * `AudioSystem` encoder); the derivation lets the SQL oracle predict
+    * the DECODED values without an audio stack. Samples stay < 256 so
+    * their byte-level layout (lo byte = value, hi byte = 0) is also
+    * arithmetic if ever needed.
+    */
+  object WavSynth {
+    def sampleRate(docId: Long): Int = (8000 + (docId % 8) * 1000).toInt
+    def nSamples(docId: Long): Int = (64 + docId % 64).toInt
+    def sample(docId: Long, i: Int): Short =
+      ((docId % 31) + i % 16).toShort
+
+    def encode(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i)
+        pcm(i * 2) = (s & 0xff).toByte // little-endian lo
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate(docId).toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream(256)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM).
+    * Magic-sniffed (RIFF....WAVE); corrupt streams degrade to the
+    * fallback. Feature mapping for the shared [[MediaFeatures]] schema:
+    * width = decoded sample rate, height = decoded frame count,
+    * resized_w = channels, resized_h = temporal downsample length
+    * (<=32), byte_len = decoded PCM byte count, byte_sum = sum of the
+    * decoded sample VALUES, feature = nearest-neighbor-downsampled
+    * sample sum mod 997 — the audio analog of the image thumbnail.
+    */
+  object AudioCodec {
+    private def looksLikeWav(b: Array[Byte]): Boolean =
+      b != null && b.length > 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def decode(r: MediaRecord): Option[MediaFeatures] = {
+      if (!looksLikeWav(r.payload)) return None
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => return None
+          case _: java.io.IOException => return None
+        }
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.isBigEndian) return None // only the fixture's PCM16LE mono
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val samples = new Array[Long](n)
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)).toShort.toLong
+          samples(i) = s
+          sum += s
+          i += 1
+        }
+        val rh = math.min(n, 32)
+        var dsum = 0L
+        var j = 0
+        while (j < rh) { dsum += samples(j * n / rh); j += 1 }
+        Some(MediaFeatures(
+          doc_id = r.doc_id,
+          kind = r.kind,
+          width = fmt.getSampleRate.toLong,
+          height = n.toLong,
+          resized_w = fmt.getChannels.toLong,
+          resized_h = rh.toLong,
+          byte_len = pcm.length.toLong,
+          byte_sum = sum,
+          feature = ((dsum % 997L) + 997L) % 997L))
+      } finally ais.close()
+    }
+  }
+
   /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/GIF).
     * Magic-byte sniff first so non-image payloads never pay a decode
     * attempt; returns None when the bytes aren't a recognized image, at
@@ -107,16 +201,34 @@ object Multimodal {
         }
         y += 1
       }
+      // REAL resize: nearest-neighbor resample of the decoded raster to
+      // the (<=32, <=32) thumbnail — deterministic integer sampling
+      // (src = dst * srcDim / dstDim), no interpolation-library
+      // ambiguity — and the feature comes from the RESIZED pixels, so a
+      // wrong resample is a wrong feature, not dead metadata
+      val (rw, rh) = (math.min(w, 32), math.min(h, 32))
+      var rsum = 0L
+      var y2 = 0
+      while (y2 < rh) {
+        val sy = y2 * h / rh
+        var x2 = 0
+        while (x2 < rw) {
+          val px = img.getRGB(x2 * w / rw, sy)
+          rsum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+          x2 += 1
+        }
+        y2 += 1
+      }
       Some(MediaFeatures(
         doc_id = r.doc_id,
         kind = r.kind,
         width = w.toLong,
         height = h.toLong,
-        resized_w = math.min(w.toLong, 32L),
-        resized_h = math.min(h.toLong, 32L),
+        resized_w = rw.toLong,
+        resized_h = rh.toLong,
         byte_len = w.toLong * h * 3,
         byte_sum = sum,
-        feature = sum % 997L))
+        feature = rsum % 997L))
     }
   }
 
@@ -148,13 +260,16 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract, partition-at-a-time: real image codec
-    * first (magic-sniffed), deterministic stub for everything else.
+  /** Decode + feature-extract, partition-at-a-time: real codecs first
+    * (magic-sniffed image, then WAV audio), deterministic stub for the
+    * rest (video — no JDK codec exists for it).
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
-      ImageCodec.decode(r).getOrElse(FakeDecoder.decode(r))))
+      ImageCodec.decode(r)
+        .orElse(AudioCodec.decode(r))
+        .getOrElse(FakeDecoder.decode(r))))
   }
 
   /** Build a media table from `documents`: image rows carry REAL PNG
@@ -179,9 +294,11 @@ object Multimodal {
 
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    mediaBase(s, dir).mapPartitions(_.map(r =>
+    mediaBase(s, dir).mapPartitions(_.map { r =>
       if (r.kind == "image") r.copy(payload = PngSynth.encode(r.doc_id))
-      else r))
+      else if (r.kind == "audio") r.copy(payload = WavSynth.encode(r.doc_id))
+      else r
+    })
   }
 
   /** The registered end-to-end pipeline: binary column in, features out. */
@@ -224,17 +341,19 @@ object Multimodal {
     })
   }
 
-  /** Registered frame-sampling pipeline (q47). Frame sampling is a
-    * time-series-media operation, so it runs over audio/video rows only:
-    * image rows now carry real PNG streams (compressed, not
-    * frame-addressable) and go through [[ImageCodec]] in q30 instead.
+  /** Registered frame-sampling pipeline (q47). Byte-window frame
+    * sampling now runs over VIDEO rows only: image rows carry real PNG
+    * streams (ImageCodec in q30) and audio rows real WAV streams
+    * (AudioCodec in q30) — neither is a frame-addressable byte window;
+    * video, the one modality with no JDK codec, keeps the documented
+    * stub payload the oracle mirrors byte-for-byte.
     */
   def framesQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // filter BEFORE the typed synthesis map — a column-level predicate
-    // Catalyst folds into the scan region, and no PNG is ever encoded
-    // for a row this query discards
-    sampleFrames(mediaBase(s, dir).filter($"kind" =!= "image"))
+    // Catalyst folds into the scan region, and no PNG/WAV is ever
+    // encoded for a row this query discards
+    sampleFrames(mediaBase(s, dir).filter($"kind" === "video"))
       .toDF()
       .orderBy($"doc_id", $"frame_id")
   }

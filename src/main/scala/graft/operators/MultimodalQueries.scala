@@ -3,13 +3,16 @@ package graft.operators
 import graft.multimodal.Multimodal
 
 /** Multimodal-column operators (SURVEY.md north-star family). Image rows
-  * carry REAL PNG bytes decoded with the JDK's javax.imageio (dimensions
-  * and fill derive from doc_id, so the oracle predicts the DECODED values
-  * arithmetically while the engine earns them by actually decompressing
-  * the stream); audio/video rows stay behind the deterministic stub the
-  * oracle mirrors byte-for-byte. Either way the Spark-side pipeline
-  * (binary column, typed Encoders, mapPartitions batching) is verified
-  * end-to-end.
+  * carry REAL PNG bytes decoded with the JDK's javax.imageio (incl. a
+  * real nearest-neighbor thumbnail resize feeding the feature); audio
+  * rows carry REAL RIFF/WAVE PCM16 bytes decoded with javax.sound
+  * (signed-sample reconstruction + temporal downsample). Both
+  * derivations come from doc_id, so the oracle predicts the DECODED
+  * values arithmetically while the engine earns them by actually
+  * decoding the streams. Video rows stay behind the deterministic stub
+  * the oracle mirrors byte-for-byte (no JDK video codec exists). Either
+  * way the Spark-side pipeline (binary column, typed Encoders,
+  * mapPartitions batching) is verified end-to-end.
   */
 object MultimodalQueries {
 
@@ -35,40 +38,63 @@ object MultimodalQueries {
         |  SELECT doc_id,
         |    16 + doc_id % 40 AS w, 16 + (doc_id // 7) % 40 AS h,
         |    (doc_id % 251) + (doc_id % 241) + (doc_id % 239) AS fill
-        |  FROM documents WHERE doc_id % 3 = 0)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |aud AS (
+        |  -- the WAV fixture's derivation: sample rate / length / sample
+        |  -- values are doc_id arithmetic; the engine recovers them by
+        |  -- decoding a genuine RIFF/WAVE PCM16 stream (sample i =
+        |  -- base + i % 16, so sums are closed-form here)
+        |  SELECT doc_id,
+        |    8000 + (doc_id % 8) * 1000 AS sr,
+        |    64 + doc_id % 64 AS n,
+        |    doc_id % 31 AS base
+        |  FROM documents WHERE doc_id % 3 = 1)
         |SELECT b.doc_id, kind,
-        |  CASE WHEN kind = 'image' THEN w ELSE 16 + first % 64 END AS width,
-        |  CASE WHEN kind = 'image' THEN h ELSE 16 + second % 64 END AS height,
-        |  CASE WHEN kind = 'image' THEN least(w, 32)
-        |       ELSE least(16 + first % 64, 32) END AS resized_w,
-        |  CASE WHEN kind = 'image' THEN least(h, 32)
-        |       ELSE least(16 + second % 64, 32) END AS resized_h,
-        |  CAST(CASE WHEN kind = 'image' THEN w * h * 3 ELSE byte_len END
-        |    AS BIGINT) AS byte_len,
-        |  CAST(CASE WHEN kind = 'image' THEN w * h * fill ELSE byte_sum END
-        |    AS BIGINT) AS byte_sum,
-        |  CAST(CASE WHEN kind = 'image' THEN (w * h * fill) % 997
-        |       ELSE byte_sum % 997 END AS BIGINT) AS feature
+        |  CASE kind WHEN 'image' THEN w WHEN 'audio' THEN sr
+        |    ELSE 16 + first % 64 END AS width,
+        |  CASE kind WHEN 'image' THEN h WHEN 'audio' THEN n
+        |    ELSE 16 + second % 64 END AS height,
+        |  CASE kind WHEN 'image' THEN least(w, 32) WHEN 'audio' THEN 1
+        |    ELSE least(16 + first % 64, 32) END AS resized_w,
+        |  CASE kind WHEN 'image' THEN least(h, 32)
+        |    WHEN 'audio' THEN least(n, 32)
+        |    ELSE least(16 + second % 64, 32) END AS resized_h,
+        |  CAST(CASE kind WHEN 'image' THEN w * h * 3 WHEN 'audio' THEN n * 2
+        |    ELSE byte_len END AS BIGINT) AS byte_len,
+        |  CAST(CASE kind WHEN 'image' THEN w * h * fill
+        |    WHEN 'audio' THEN n * base +
+        |      list_sum(list_transform(range(0, n), i -> i % 16))
+        |    ELSE byte_sum END AS BIGINT) AS byte_sum,
+        |  -- image feature = RESIZED-raster channel sum (nearest-neighbor
+        |  -- thumbnail; solid fill resamples to rw*rh*fill); audio
+        |  -- feature = temporally DOWNSAMPLED sample sum (32 nearest-
+        |  -- neighbor picks at j*n/32)
+        |  CAST(CASE kind WHEN 'image'
+        |       THEN (least(w, 32) * least(h, 32) * fill) % 997
+        |    WHEN 'audio' THEN (32 * base +
+        |      list_sum(list_transform(range(0, 32), j -> ((j * n) // 32) % 16)))
+        |      % 997
+        |    ELSE byte_sum % 997 END AS BIGINT) AS feature
         |FROM b LEFT JOIN img ON b.doc_id = img.doc_id
+        |LEFT JOIN aud ON b.doc_id = aud.doc_id
         |ORDER BY b.doc_id
         |""".stripMargin)),
 
     // Frame sampling: payload sliced into 64-byte frames, every 4th kept,
     // per-frame feature emitted. Row-local fan-out (no shuffle); runs over
-    // audio/video rows only (images are compressed PNG streams handled by
-    // the q30 codec, not frame-addressable byte windows); decode is the
+    // VIDEO rows only (images/audio are real PNG/WAV streams handled by
+    // the q30 codecs, not frame-addressable byte windows); decode is the
     // same stubbed byte arithmetic the oracle mirrors.
     CatalogQuery(
       "q47_multimodal_frames",
       (s, d) => Multimodal.framesQuery(s, d),
       Some("""
         |WITH f AS (
-        |  SELECT doc_id,
-        |    CASE (doc_id % 3) WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  SELECT doc_id, 'video' AS kind,
         |    length(txt) AS len, txt AS text,
         |    unnest(range(0, CAST(ceil(length(txt) / 64.0) AS BIGINT))) AS frame_id
         |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents
-        |        WHERE doc_id % 3 <> 0)),
+        |        WHERE doc_id % 3 = 2)),
         |sampled AS (
         |  SELECT doc_id, kind, frame_id,
         |    least(64, len - frame_id * 64) AS frame_len,

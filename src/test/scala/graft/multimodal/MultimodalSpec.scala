@@ -24,7 +24,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f.resized_w == math.min(w, 32) && f.resized_h == math.min(h, 32))
     assert(f.byte_len == w * h * 3)
     assert(f.byte_sum == w * h * fill, "decoded pixel sum must match the solid fill")
-    assert(f.feature == (w * h * fill) % 997)
+    // feature = RESIZED-raster sum: solid fill resamples to rw*rh*fill
+    assert(f.feature == (math.min(w, 32) * math.min(h, 32) * fill) % 997)
+  }
+
+  test("nearest-neighbor resize samples the raster it claims to (non-uniform pin)") {
+    // 4x1 image [10, 20, 30, 40] (red channel only) resized to 2x1:
+    // nearest-neighbor picks src x = dst*4/2 = {0, 2} -> pixels 10, 30
+    val img = new java.awt.image.BufferedImage(4, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    Seq(10, 20, 30, 40).zipWithIndex.foreach { case (v, x) =>
+      img.setRGB(x, 0, v << 16)
+    }
+    // widen to >32 so the resize actually triggers: tile the row 40 wide
+    val wide = new java.awt.image.BufferedImage(40, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40) wide.setRGB(x, 0, img.getRGB(x % 4, 0))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(wide, "png", out)
+    val f = ImageCodec.decode(MediaRecord(1L, "image", out.toByteArray)).get
+    assert(f.resized_w == 32 && f.resized_h == 1)
+    // dst x in 0..31 samples src x = x2*40/32; replay the same arithmetic
+    val expected = (0 until 32).map { x2 =>
+      Seq(10, 20, 30, 40)((x2 * 40 / 32) % 4).toLong
+    }.sum
+    assert(f.feature == expected % 997,
+      s"resized sum must come from the sampled raster; got ${f.feature}")
+    // and the full-res sum is untouched by the resize
+    assert(f.byte_sum == 10L * (40 / 4) + 20L * 10 + 30L * 10 + 40L * 10)
   }
 
   test("decoded dimensions come from the stream, not the derivation") {
@@ -64,6 +91,41 @@ class MultimodalSpec extends SparkSpec {
     assert(viaStub.byte_len == text.length.toLong)
   }
 
+  test("golden WAV decode: synthesized bytes are a real RIFF stream and decode to derived stats") {
+    val docId = 13L
+    val bytes = WavSynth.encode(docId)
+    assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+    assert(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+    val f = AudioCodec.decode(MediaRecord(docId, "audio", bytes))
+      .getOrElse(fail("real WAV bytes must take the audio codec path"))
+    val n = 64 + (docId % 64).toInt
+    val base = docId % 31
+    assert(f.width == 8000 + (docId % 8) * 1000, "sample rate from the decoded header")
+    assert(f.height == n && f.resized_w == 1L && f.resized_h == 32L)
+    assert(f.byte_len == n * 2L)
+    assert(f.byte_sum == n * base + (0 until n).map(_ % 16).sum,
+      "decoded sample-value sum")
+    val dsum = (0 until 32).map(j => base + (j * n / 32) % 16).sum
+    assert(f.feature == dsum % 997, "feature from the temporally downsampled samples")
+  }
+
+  test("corrupt WAV bytes fall back to the stub; negative samples sum correctly") {
+    // RIFF magic with a garbage body
+    val corrupt = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
+    assert(AudioCodec.decode(MediaRecord(1L, "audio", corrupt)).isEmpty)
+    // hand-built PCM with a NEGATIVE sample: the decoder must read
+    // signed 16-bit little-endian, not unsigned bytes
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array[Byte](0x0a, 0x00, 0xf6.toByte, 0xff.toByte) // +10, -10
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val f = AudioCodec.decode(MediaRecord(1L, "audio", out.toByteArray)).get
+    assert(f.height == 2 && f.byte_sum == 0L, s"10 + (-10) must sum to 0, got $f")
+  }
+
   test("q30 end-to-end: image rows carry codec-decoded values, audio rows stub values") {
     import org.apache.spark.sql.functions.col
     val out = Multimodal.featuresQuery(spark, sf0001)
@@ -76,21 +138,29 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(2) == w && r.getLong(3) == h, s"doc $id: ${r.toString}")
       assert(r.getLong(7) == w * h * fill)
     }
-    val audio = out.filter(col("kind") === "audio").limit(1).collect().head
-    // stub rows keep payload-byte semantics: byte_len is the text length
+    // audio rows carry real WAV-decoded values: byte_len is the decoded
+    // PCM byte count derived from doc_id, not the text length
+    val audio = out.filter(col("kind") === "audio").limit(3).collect()
+    audio.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(6) == (64 + id % 64) * 2, s"doc $id: $r")
+      assert(r.getLong(2) == 8000 + (id % 8) * 1000)
+    }
+    // video rows keep payload-byte stub semantics: byte_len = text length
+    val video = out.filter(col("kind") === "video").limit(1).collect().head
     val textLen = graft.Tables.documents(spark, sf0001)
-      .filter(col("doc_id") === audio.getLong(0))
+      .filter(col("doc_id") === video.getLong(0))
       .select(org.apache.spark.sql.functions.length(
         org.apache.spark.sql.functions.coalesce(col("text"),
           org.apache.spark.sql.functions.lit(""))))
       .collect().head.getInt(0).toLong
-    assert(audio.getLong(6) == textLen)
+    assert(video.getLong(6) == textLen)
   }
 
-  test("q47 samples frames from audio/video only") {
+  test("q47 samples frames from video only (image/audio are real codec streams)") {
     import org.apache.spark.sql.functions.col
     val kinds = Multimodal.framesQuery(spark, sf0001)
       .select("kind").distinct().collect().map(_.getString(0)).toSet
-    assert(kinds == Set("audio", "video"), s"got $kinds")
+    assert(kinds == Set("video"), s"got $kinds")
   }
 }

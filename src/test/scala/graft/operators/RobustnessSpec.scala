@@ -93,11 +93,14 @@ class RobustnessSpec extends SparkSpec {
     assert(out("src1") == 8L)
   }
 
-  test("q30 derives an empty payload (zero features) for a NULL-text doc") {
+  test("q30 NULL-text stub rows derive empty payloads; codec rows decode regardless") {
     val out = run("q30_multimodal_features", nullDir).collect()
       .map(r => r.getLong(0) -> r.getLong(6)).toMap // doc_id -> byte_len
-    assert(out(2L) == 0L && out(4L) == 0L)
-    assert(out(1L) == 8L)
+    // doc 2 is a VIDEO (stub) row with NULL text: empty payload, 0 bytes
+    assert(out(2L) == 0L)
+    // docs 1/4 are AUDIO rows: payload is a doc_id-derived real WAV, so
+    // a NULL text (doc 4) changes nothing — byte_len = decoded PCM bytes
+    assert(out(1L) == (64 + 1) * 2L && out(4L) == (64 + 4) * 2L)
   }
 
   test("q34 keeps NULL-text docs in the gridfs dump as empty payload lines") {
