@@ -58,12 +58,10 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val px = (r << 16) | (g << 8) | b
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { img.setRGB(x, y, px); x += 1 }
-        y += 1
-      }
+      // bulk raster fill: one array + one setRGB call, not w*h
+      // per-pixel calls (each of which re-checks the color model)
+      val row = Array.fill(w * h)(px)
+      img.setRGB(0, 0, w, h, row, 0, w)
       val out = new java.io.ByteArrayOutputStream(1024)
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
@@ -189,17 +187,16 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       // decoded-pixel statistics (NOT compressed-stream bytes): byte_len
       // is the decoded RGB byte count, byte_sum the per-channel pixel
-      // sum — real pixel access over the decompressed raster
+      // sum — real pixel access over the decompressed raster, pulled as
+      // ONE bulk getRGB transfer (per-pixel getRGB re-runs the color
+      // model conversion on every call)
+      val pixels = img.getRGB(0, 0, w, h, null, 0, w)
       var sum = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val px = img.getRGB(x, y)
-          sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < pixels.length) {
+        val px = pixels(i)
+        sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+        i += 1
       }
       // REAL resize: nearest-neighbor resample of the decoded raster to
       // the (<=32, <=32) thumbnail — deterministic integer sampling
@@ -213,7 +210,7 @@ object Multimodal {
         val sy = y2 * h / rh
         var x2 = 0
         while (x2 < rw) {
-          val px = img.getRGB(x2 * w / rw, sy)
+          val px = pixels(sy * w + x2 * w / rw)
           rsum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
           x2 += 1
         }

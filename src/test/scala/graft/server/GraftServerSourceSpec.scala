@@ -410,6 +410,38 @@ class GraftServerSourceSpec extends SparkSpec {
       s"grouped pushdown must not open row cursors: ${CountingServerFactory.snapshot()}")
   }
 
+  test("grouped pushdown folds partial rows across a multi-namespace union") {
+    import spark.implicits._
+    val dir = freshDir()
+    // the same group key lives in BOTH namespaces: each contributes its
+    // own $group partial row; Spark's final aggregate must merge them
+    Seq((1L, 10, 5.0), (2L, 10, 7.0), (3L, 20, 1.0)).toDF("k", "g", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.ga"))
+      .option("id_column", "k").mode("append").save()
+    Seq((4L, 10, 2.0), (5L, 20, 9.0)).toDF("k", "g", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.gb"))
+      .option("id_column", "k").mode("append").save()
+    CountingServerFactory.reset()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.ga,db.gb"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, g INT, v DOUBLE")
+      .load()
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate"))
+    val got = q.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got(10) == ((3L, 2.0, 7.0)), s"got $got")
+    assert(got(20) == ((2L, 1.0, 9.0)), s"got $got")
+    // one pipeline round-trip PER namespace, still zero row cursors
+    assert(CountingServerFactory.count("groupAggregate") == 2,
+      s"counts: ${CountingServerFactory.snapshot()}")
+    assert(CountingServerFactory.count("find") == 0)
+  }
+
   test("grouped pushdown keeps a NULL group and null-skipping aggregates") {
     import spark.implicits._
     val dir = freshDir()
