@@ -305,16 +305,19 @@ object SimilarityQueries {
             .map(k => (k, Seq.fill(Embeddings.Dims)(0L): Seq[Long])).toArray
           else collected
         // codebook convention (same as q36's coarse quantizer): codeword
-        // id == vec_id, which the kernel's dense 0..K-1 code indices and
-        // the oracle's raw vec_ids both rely on — fail loudly rather
-        // than silently mis-code against a sparse fixture
-        require(rows.map(_._1).sameElements(0L until PqK.toLong),
-          s"PQ codebook requires contiguous vec_ids 0..${PqK - 1} in $d")
+        // id == vec_id. A corpus SMALLER than PqK degrades to a PARTIAL
+        // codebook of its n contiguous ids — exactly what the oracle's
+        // `WHERE vec_id < K` computes with (r11 singleton twin) — but a
+        // non-contiguous id set still fails loudly rather than silently
+        // mis-coding dense kernel indices against sparse vec_ids.
+        val k = rows.length
+        require(rows.map(_._1).sameElements(0L until k.toLong),
+          s"PQ codebook requires contiguous vec_ids 0..${k - 1} in $d")
         val cbFlat: Array[Long] = (0 until PqM).flatMap { m =>
           rows.flatMap { case (_, q) => q.slice(m * B, (m + 1) * B) }
         }.toArray
         v.select($"vec_id",
-            posexplode(Embeddings.pqAssign("q", cbFlat, PqM, B, PqK)))
+            posexplode(Embeddings.pqAssign("q", cbFlat, PqM, B, k)))
           .select($"pos".cast("int").as("subspace"),
             $"col.code".as("code"), $"col.d2".as("qerr"))
           .groupBy($"subspace", $"code")
@@ -388,9 +391,12 @@ object SimilarityQueries {
             head.filter(_._1 < PqK).map { case (k, q) => (k, subs(q)(m)) }.toIndexedSeq
           }
         // same contiguous-id contract as q77 (kernel codes are dense
-        // 0..K-1 positions, the oracle's are raw vec_ids)
-        require(cb.head.map(_._1).sameElements(0L until PqK.toLong),
-          s"PQ codebook requires contiguous vec_ids 0..${PqK - 1} in $d")
+        // 0..K-1 positions, the oracle's are raw vec_ids); a smaller
+        // corpus degrades to a partial codebook like the oracle's
+        // `WHERE vec_id < K` arm (r11 singleton twin)
+        val kEff = cb.head.length
+        require(cb.head.map(_._1).sameElements(0L until kEff.toLong),
+          s"PQ codebook requires contiguous vec_ids 0..${kEff - 1} in $d")
         val cbFlat: Array[Long] =
           (0 until PqM).flatMap(m => cb(m).sortBy(_._1).flatMap(_._2)).toArray
         val queries = head.filter(_._1 < NumQueries)
@@ -403,14 +409,14 @@ object SimilarityQueries {
         // per query through it)
         val scored = v
           .select($"vec_id", $"q", Embeddings.norm2("q").as("nrm"),
-            Embeddings.pqAssign("q", cbFlat, PqM, B, PqK).as("codes"))
+            Embeddings.pqAssign("q", cbFlat, PqM, B, kEff).as("codes"))
           .select($"vec_id", explode(array(queries.map { case (qid, qq) =>
             val qsubs = subs(qq)
             val lut: Array[Long] = (0 until PqM).flatMap { m =>
               cb(m).sortBy(_._1).map { case (_, sub) => sqd(qsubs(m), sub) }
             }.toArray
             struct(lit(qid).as("qid"),
-              Embeddings.pqAdc($"codes", lut, PqK).as("adc"),
+              Embeddings.pqAdc($"codes", lut, kEff).as("adc"),
               ($"nrm" + lit(qq.map(x => x * x).sum) -
                 lit(2L) * Embeddings.dotLit("q", qq)).as("d2"))
           }: _*)).as("r"))

@@ -237,6 +237,31 @@ class RobustnessSpec extends SparkSpec {
     assert(probes.length == 1 && probes.head.getLong(0) == 0L)
   }
 
+  test("q77/q78 degrade to a PARTIAL PQ codebook on a sub-K corpus (singleton twin)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust_single").toString
+    // ONE vector: the codebook convention (contiguous ids from 0) holds
+    // with n=1 < K=16, so the kernels must run with a 1-codeword book —
+    // the same computation the oracle's `WHERE vec_id < 16` arm does —
+    // instead of refusing the corpus
+    Seq((0L, Array.fill(64)(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val audit = run("q77_pq_audit", dir).collect()
+    // 4 subspaces x 1 codeword, the single vector assigned to code 0
+    // with zero reconstruction error (it IS the codeword)
+    assert(audit.length == 4, s"got ${audit.toSeq}")
+    assert(audit.forall(r => r.getLong(1) == 0L && r.getLong(2) == 1L &&
+      r.getLong(3) == 0L), s"got ${audit.toSeq}")
+    // the recall audit self-filters (vec_id == qid) to an empty result
+    assert(run("q78_pq_adc_recall", dir).collect().isEmpty)
+    // non-CONTIGUOUS ids still fail loudly (ids must start at 0)
+    Seq((5L, Array.fill(64)(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    intercept[IllegalArgumentException] { run("q77_pq_audit", dir).collect() }
+  }
+
   test("q92 an unknown-length doc never beats a known-length doc as representative") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_robust_rep").toString
