@@ -22,15 +22,25 @@ object MultimodalQueries {
       (s, d) => Multimodal.featuresQuery(s, d),
       Some("""
         |WITH b AS (
+        |  -- stub-arm arithmetic over UTF-8 BYTES (hex(encode(..)) pairs),
+        |  -- not code points: the engine's payload IS the UTF-8 byte
+        |  -- array, and ascii()/length() diverge from it on any multibyte
+        |  -- text (found by the r11 unicode twin)
         |  SELECT doc_id,
         |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CAST(length(txt) AS BIGINT) AS byte_len,
-        |    CAST(ascii(substr(txt, 1, 1)) AS BIGINT) AS first,
-        |    CAST(ascii(substr(txt, 2, 1)) AS BIGINT) AS second,
-        |    CAST(coalesce(list_sum(list_transform(range(1, length(txt) + 1),
-        |                           i -> ascii(substr(txt, i, 1)))), 0)
+        |    CAST(nb AS BIGINT) AS byte_len,
+        |    CAST(CASE WHEN nb >= 1
+        |      THEN CAST('0x' || substr(hx, 1, 2) AS INT) ELSE 0 END
+        |      AS BIGINT) AS first,
+        |    CAST(CASE WHEN nb >= 2
+        |      THEN CAST('0x' || substr(hx, 3, 2) AS INT) ELSE 0 END
+        |      AS BIGINT) AS second,
+        |    CAST(coalesce(list_sum(list_transform(range(0, nb),
+        |                           i -> CAST('0x' || substr(hx, i * 2 + 1, 2) AS INT))), 0)
         |      AS BIGINT) AS byte_sum
-        |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents)),
+        |  FROM (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+        |               octet_length(encode(coalesce(text, ''))) AS nb
+        |        FROM documents)),
         |img AS (
         |  -- the PNG fixture's derivation: w/h/fill are doc_id arithmetic,
         |  -- so the DECODED pixel statistics are predictable here while
@@ -90,16 +100,19 @@ object MultimodalQueries {
       (s, d) => Multimodal.framesQuery(s, d),
       Some("""
         |WITH f AS (
+        |  -- frames slice UTF-8 BYTES (the engine's payload), so length
+        |  -- and per-frame sums go through hex(encode(..)) byte pairs,
+        |  -- not code-point string ops (r11 unicode twin)
         |  SELECT doc_id, 'video' AS kind,
-        |    length(txt) AS len, txt AS text,
-        |    unnest(range(0, CAST(ceil(length(txt) / 64.0) AS BIGINT))) AS frame_id
+        |    octet_length(encode(txt)) AS len, hex(encode(txt)) AS hx,
+        |    unnest(range(0, CAST(ceil(octet_length(encode(txt)) / 64.0) AS BIGINT))) AS frame_id
         |  FROM (SELECT doc_id, coalesce(text, '') AS txt FROM documents
         |        WHERE doc_id % 3 = 2)),
         |sampled AS (
         |  SELECT doc_id, kind, frame_id,
         |    least(64, len - frame_id * 64) AS frame_len,
-        |    CAST(list_sum(list_transform(range(1, least(64, len - frame_id * 64) + 1),
-        |                                 i -> ascii(substr(text, frame_id * 64 + i, 1)))) AS BIGINT) AS frame_sum
+        |    CAST(list_sum(list_transform(range(0, least(64, len - frame_id * 64)),
+        |                                 i -> CAST('0x' || substr(hx, (frame_id * 64 + i) * 2 + 1, 2) AS INT))) AS BIGINT) AS frame_sum
         |  FROM f WHERE frame_id % 4 = 0)
         |SELECT doc_id, kind, CAST(frame_id AS BIGINT) AS frame_id,
         |  CAST(frame_len AS BIGINT) AS frame_len, frame_sum,

@@ -237,6 +237,22 @@ class RobustnessSpec extends SparkSpec {
     assert(probes.length == 1 && probes.head.getLong(0) == 0L)
   }
 
+  test("q30/q47 stub arms measure UTF-8 BYTES, not code points (unicode twin)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust_uni").toString
+    // doc 2 -> video (stub path); 'café' is 4 code points / 5 UTF-8 bytes
+    Seq((2L, "café", "fr", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r30 = run("q30_multimodal_features", dir).collect().head
+    assert(r30.getLong(6) == 5L, s"byte_len must count UTF-8 bytes, got $r30")
+    // byte_sum: c(99) a(97) f(102) + 'é' = 0xC3 0xA9 (195 + 169)
+    assert(r30.getLong(7) == 99L + 97L + 102L + 195L + 169L, s"got $r30")
+    val r47 = run("q47_multimodal_frames", dir).collect().head
+    assert(r47.getLong(3) == 5L && r47.getLong(4) == r30.getLong(7),
+      s"frame slicing must walk the same bytes, got $r47")
+  }
+
   test("q77/q78 degrade to a PARTIAL PQ codebook on a sub-K corpus (singleton twin)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_robust_single").toString
