@@ -308,13 +308,14 @@ object ConnectorQueries {
           .load()
           .groupBy($"c_nationkey")
           .agg(count(lit(1)).as("n"),
+            count($"c_acctbal").as("n_bal"),
             min($"c_acctbal").as("min_bal"),
             max($"c_acctbal").as("max_bal"),
             sum($"_id").as("sum_key"))
           .orderBy($"c_nationkey".asc_nulls_first)
       },
       Some("""
-        |SELECT c_nationkey, count(*) AS n,
+        |SELECT c_nationkey, count(*) AS n, count(c_acctbal) AS n_bal,
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY 1

@@ -288,6 +288,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       aggregation.aggregateExpressions.toSeq.map {
         case _: aggregate.CountStar =>
           Some((GroupAgg.CountAll("count(*)"), LongType: DataType))
+        case c: aggregate.Count if !c.isDistinct =>
+          // COUNT(col) needs no order safety (only null/missing
+          // discrimination), so any column type qualifies
+          field(c.column).map(f =>
+            (GroupAgg.CountCol(f.name, s"count(${f.name})"), LongType: DataType))
         case m: aggregate.Min =>
           field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
             .map(f => (GroupAgg.MinOf(f.name, s"min(${f.name})"), f.dataType))

@@ -200,6 +200,14 @@ object QueryDocs {
     val groupFields: Seq[(String, BsonValue)] =
       ("_id" -> BString("$" + groupKey)) +: aggs.map {
         case GroupAgg.CountAll(a) => a -> BDoc("$sum" -> BInt32(1))
+        case GroupAgg.CountCol(c, a) =>
+          // COUNT(col) = sum of (0 when null/missing else 1); `$type` is
+          // the canonical null-AND-missing discriminator in a pipeline
+          a -> BDoc("$sum" -> BDoc("$cond" -> BArray(Vector(
+            BDoc("$in" -> BArray(Vector(
+              BDoc("$type" -> BString("$" + c)),
+              BArray(Vector(BString("null"), BString("missing")))))),
+            BInt32(0), BInt32(1)))))
         case GroupAgg.MinOf(c, a) => a -> BDoc("$min" -> BString("$" + c))
         case GroupAgg.MaxOf(c, a) => a -> BDoc("$max" -> BString("$" + c))
         case GroupAgg.SumOf(c, a) => a -> BDoc("$sum" -> BString("$" + c))

@@ -88,6 +88,9 @@ trait ServerClient {
 sealed trait GroupAgg extends Serializable { def alias: String }
 object GroupAgg {
   final case class CountAll(alias: String) extends GroupAgg
+  /** COUNT(col): non-null, non-missing values only (Spark semantics;
+    * renders as `$sum` of a `$cond` on the value's `$type`). */
+  final case class CountCol(col: String, alias: String) extends GroupAgg
   final case class MinOf(col: String, alias: String) extends GroupAgg
   final case class MaxOf(col: String, alias: String) extends GroupAgg
   final case class SumOf(col: String, alias: String) extends GroupAgg
@@ -328,6 +331,8 @@ final class FakeServerClient(rootDir: Option[String] = None)
     groups.iterator.map { case (gv, docs) =>
       val fields = aggs.map {
         case GroupAgg.CountAll(a) => a -> BInt64(docs.size.toLong)
+        case GroupAgg.CountCol(c, a) =>
+          a -> BInt64(docs.count(_.getPath(c).exists(_ != BNull)).toLong)
         case GroupAgg.MinOf(c, a) =>
           a -> present(docs, c).minOption(BsonOrdering).getOrElse(BNull)
         case GroupAgg.MaxOf(c, a) =>

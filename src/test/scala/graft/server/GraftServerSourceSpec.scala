@@ -451,18 +451,23 @@ class GraftServerSourceSpec extends SparkSpec {
       .write.format("graftserver")
       .options(serverOpts(dir, "db.gnull")).option("id_column", "k")
       .mode("append").save()
-    val got = spark.read.format("graftserver")
+    val q = spark.read.format("graftserver")
       .options(serverOpts(dir, "db.gnull"))
       .schema("_id LONG, g INT, v DOUBLE")
       .load()
       .groupBy($"g")
-      .agg(count(lit(1)).as("n"), min($"v").as("mn"), sum($"v").as("s"))
-      .collect()
+      .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        min($"v").as("mn"), sum($"v").as("s"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+      "COUNT(col) must not refuse the pushdown")
+    val got = q.collect()
       .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
-        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .toMap
-    assert(got(Some(1)) == ((2L, Some(10.0))), s"got $got")
-    assert(got(None) == ((2L, Some(7.0))), "the NULL group must survive with null-skipping min")
+    assert(got(Some(1)) == ((2L, 1L, Some(10.0))), s"got $got")
+    assert(got(None) == ((2L, 1L, Some(7.0))),
+      "the NULL group must survive, with COUNT(v) skipping its null")
   }
 
   test("a residual (non-renderable) filter refuses grouped pushdown but stays correct") {

@@ -359,7 +359,8 @@ class MongoDriverSpec extends AnyFunSuite {
     withDriver { (client, fake, _) =>
       seed(client)
       val q = BQuery.Gte("k", BInt32(5))
-      val aggs = Seq(GroupAgg.CountAll("count(*)"), GroupAgg.MinOf("k", "min(k)"),
+      val aggs = Seq(GroupAgg.CountAll("count(*)"), GroupAgg.CountCol("k", "count(k)"),
+        GroupAgg.MinOf("k", "min(k)"),
         GroupAgg.MaxOf("k", "max(k)"), GroupAgg.SumOf("k", "sum(k)"))
       val got = client.groupAggregate(Ns, q, "status", aggs).toVector
         .map(d => d.get("status") -> d).toMap

@@ -158,6 +158,22 @@ final class StubDriverBackend(val fake: FakeServerClient) {
     val aggs = groupDoc.fields.toSeq.filterNot(_._1 == "_id").map {
       case (alias, BDoc(fs)) => fs.head match {
         case ("$sum", v) if QueryDocs.asLong(v).contains(1L) => GroupAgg.CountAll(alias)
+        case ("$sum", cond: BDoc) if cond.fields.keys.headOption.contains("$cond") =>
+          // the COUNT(col) rendering: $cond on $type of the column
+          cond.getPath("$cond").collect { case BArray(args) => args.headOption }
+            .flatten match {
+            case Some(in: BDoc) =>
+              in.getPath("$in").collect { case BArray(as) => as.headOption }
+                .flatten match {
+                case Some(t: BDoc) => t.get("$type") match {
+                  case Some(BString(c)) if c.startsWith("$") =>
+                    GroupAgg.CountCol(c.drop(1), alias)
+                  case other => throw new IllegalArgumentException(s"bad $$type $other")
+                }
+                case other => throw new IllegalArgumentException(s"bad $$in $other")
+              }
+            case other => throw new IllegalArgumentException(s"bad $$cond $other")
+          }
         case ("$sum", BString(c)) if c.startsWith("$") => GroupAgg.SumOf(c.drop(1), alias)
         case ("$min", BString(c)) if c.startsWith("$") => GroupAgg.MinOf(c.drop(1), alias)
         case ("$max", BString(c)) if c.startsWith("$") => GroupAgg.MaxOf(c.drop(1), alias)
