@@ -110,19 +110,40 @@ object SamplingQueries {
 
     // Sequence packing: assign docs to fixed token-budget bins (context
     // windows) per language — deterministic next-fit by doc_id order via
-    // a window cumulative sum, so the packing is reproducible at any
-    // cluster size. One exchange per stratum; the running sum is the
-    // standard Spark shape for packing/chunking assignments.
+    // a cumulative sum, so the packing is reproducible at any cluster
+    // size.
+    //
+    // Skew-immune two-level prefix sum (r11; a raw per-lang running-sum
+    // window is structurally serial — one task sorts the whole hottest
+    // language, the q18/q38/q114 hazard, even though at the current
+    // fixture the skew twin measured it inside the bar). Level 1: a
+    // running sum WITHIN each (lang, 8192-doc-id bucket) window —
+    // partitions bounded by the id-bucket width however hot the lang.
+    // Level 2: per-bucket token sums (map-side combinable) with the
+    // prefix of EARLIER buckets cumulated over the data/8192-sized
+    // bucket frame; cum(doc) = within-bucket running + earlier-bucket
+    // prefix.
     CatalogQuery(
       "q50_pack_sequences",
       (s, d) => {
         import s.implicits._
         val budget = 2048L
-        val w = Window.partitionBy($"lang").orderBy($"doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
+        val B = 8192L
+        val v = Tables.documents(s, d)
           .select($"doc_id", $"lang", size(spaceSplit($"text")).cast("long").as("n_tok"))
-          .withColumn("cum", sum($"n_tok").over(w))
+          .withColumn("bkt", floor($"doc_id" / B))
+        val wIn = Window.partitionBy($"lang", $"bkt").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perB = v.groupBy($"lang", $"bkt").agg(sum($"n_tok").as("bsum"))
+        val wB = Window.partitionBy($"lang").orderBy($"bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prevB = perB
+          .withColumn("prefix", coalesce(sum($"bsum").over(wB), lit(0L)))
+          .select($"lang".as("pl"), $"bkt".as("pb"), $"prefix")
+        v.withColumn("cum_in", sum($"n_tok").over(wIn))
+          // null-SAFE on lang: a NULL language is a real stratum
+          .join(prevB, v("lang") <=> $"pl" && $"bkt" === $"pb")
+          .withColumn("cum", $"cum_in" + $"prefix")
           // floor(), not a bare cast: `/` is double division in both
           // engines but DuckDB's CAST(x AS BIGINT) rounds while Spark's
           // truncates — floor() agrees everywhere for non-negative input
