@@ -322,6 +322,40 @@ object ConnectorQueries {
         |ORDER BY c_nationkey ASC NULLS FIRST
         |""".stripMargin)),
 
+    // TopN pushdown through the server source, oracle-gated: ORDER BY
+    // _id LIMIT 20 plans as a per-cursor `sort(_id).limit(20)` (the
+    // reference's cursor.sort().limit(), MongoInputSplit.java:281-296),
+    // reported PARTIAL so Spark's TakeOrdered folds the per-partition
+    // top-20s. Long keys ride the `assume_uniform_storage` opt-in —
+    // honest here because THIS engine wrote the collection (RowCodec
+    // stores Long as int64, always one BSON bracket). The plan shows
+    // PushedTopN (TopNPushdownSpec pins the shape); the oracle pins the
+    // rows — deterministic because _id is unique.
+    CatalogQuery(
+      "q122_server_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.topn")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_totalprice")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .option("assume_uniform_storage", "true")
+          .option("split_size", (1L * 1024 * 1024).toString)
+          .schema("_id LONG, o_totalprice DOUBLE")
+          .load()
+          .orderBy($"_id".desc)
+          .limit(20)
+          .select($"_id", $"o_totalprice")
+      },
+      Some("""
+        |SELECT o_orderkey AS _id, o_totalprice FROM orders
+        |ORDER BY _id DESC LIMIT 20
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through
