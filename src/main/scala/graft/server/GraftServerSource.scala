@@ -143,6 +143,7 @@ final class GraftServerTable(tableSchema: StructType, properties: Map[String, St
 final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownOffset
     with SupportsPushDownAggregates with SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
@@ -150,6 +151,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private var pushed: Array[Filter] = Array.empty
   private var residuals: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var topN: Option[(String, Boolean, Int)] = None // col, descending, n
   private var aggPushed: Option[Seq[graft.source.AggPush]] = None
   private var groupedAgg: Option[ServerGroupedAgg] = None
@@ -172,6 +174,21 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** Offset (cursor skip) pushdown — the mongo.input.skip analog, same
+    * single-split caveat as the file source: Spark deletes an accepted
+    * OFFSET from the plan, so it is only sound when the scan provably
+    * runs as ONE cursor, which the `splitter=single` option guarantees
+    * (the reference's create_input_splits=false / SingleMongoSplitter
+    * mode). Residual filters refuse: skip must count POST-filter rows
+    * and residuals re-check above the scan.
+    */
+  override def pushOffset(n: Int): Boolean =
+    if (options.get("splitter").contains("single") &&
+        GraftServerSource.nsList(options).size == 1 && residuals.isEmpty &&
+        aggPushed.isEmpty && groupedAgg.isEmpty && topN.isEmpty) {
+      offset = Some(n); true
+    } else false
 
   /** ORDER BY k LIMIT n per cursor (`cursor.sort().limit()`,
     * MongoInputSplit.java:281-296), reported PARTIAL: each partition
@@ -197,7 +214,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
     if (orders.length != 1 || aggPushed.isDefined || limit.isDefined ||
-        residuals.nonEmpty) return false
+        offset.isDefined || residuals.nonEmpty) return false
     val o = orders.head
     o.expression match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -320,7 +337,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def build(): Scan =
     new GraftServerScan(required,
       BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-      limit, options, aggPushed, topN, groupedAgg)
+      limit, options, aggPushed, topN, groupedAgg, offset)
 }
 
 /** A pushed grouped aggregation: the group column (and its Spark type)
@@ -383,7 +400,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    grouped: Option[ServerGroupedAgg] = None)
+    grouped: Option[ServerGroupedAgg] = None,
+    offset: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
@@ -434,12 +452,12 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
   @volatile private var runtimeIn: Map[String, Seq[BsonValue]] = Map.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // a pushed limit counts rows of the unnarrowed stream; a pushed
-    // top-n keeps DIFFERENT rows over a narrowed stream (the sort+limit
-    // sits below the join the runtime filter came from); a pushed
-    // (grouped) aggregate's probes/pipelines never scan row-wise at all
-    if (pushedAgg.isDefined || limit.isDefined || topN.isDefined ||
-        grouped.isDefined) Array.empty
+    // a pushed limit/offset counts rows of the unnarrowed stream; a
+    // pushed top-n keeps DIFFERENT rows over a narrowed stream (the
+    // sort+limit sits below the join the runtime filter came from); a
+    // pushed (grouped) aggregate's probes/pipelines never scan row-wise
+    if (pushedAgg.isDefined || limit.isDefined || offset.isDefined ||
+        topN.isDefined || grouped.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
       .filter(requiredSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -487,6 +505,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$query" +
       pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
+      offset.map(o => s" PushedOffset: $o").getOrElse("") +
       topN.map { case (c, d, n) =>
         s" PushedTopN: ORDER BY $c ${if (d) "DESC" else "ASC"} LIMIT $n"
       }.getOrElse("")
@@ -501,9 +520,16 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     if (pushedAgg.isDefined || grouped.isDefined)
       // one partition: bounded probes (global) or one $group pipeline per
       // namespace (grouped) — no splits, no row-wise scans
-      Array(GraftServerPartition(
+      return Array(GraftServerPartition(
         GraftServerSource.ns(options), BQuery.KeyRange(key, None, None), Seq.empty))
-    else GraftServerSource.withClient(options) { (client, _) =>
+    if (options.get("splitter").contains("single"))
+      // the reference's create_input_splits=false / SingleMongoSplitter
+      // mode: ONE cursor over the whole range — the mode that makes an
+      // accepted OFFSET (cursor skip) sound
+      return GraftServerSource.nsList(options).map(ns =>
+        GraftServerPartition(ns, BQuery.KeyRange(key, None, None),
+          Seq.empty): InputPartition).toArray
+    GraftServerSource.withClient(options) { (client, _) =>
       val target = options.get("split_size").map(_.toLong).getOrElse(8L * 1024 * 1024)
       GraftServerSource.nsList(options).flatMap { ns =>
         val coll = new ServerCollection(client, ns)
@@ -520,7 +546,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
-      pushedAgg, topN, grouped)
+      pushedAgg, topN, grouped, offset)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -537,7 +563,8 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    grouped: Option[ServerGroupedAgg] = None)
+    grouped: Option[ServerGroupedAgg] = None,
+    offset: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (grouped, pushedAgg) match {
@@ -545,7 +572,7 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
       case (None, Some(items)) => new ServerAggReader(options, items)
       case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
-        options, topN)
+        options, topN, offset)
     }
 }
 
@@ -657,7 +684,8 @@ final class ServerAggReader(options: Map[String, String],
 final class GraftServerPartitionReader(p: GraftServerPartition,
     requiredSchema: StructType, query: BQuery, limit: Option[Int],
     options: Map[String, String],
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Int)] = None,
+    offset: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
@@ -667,6 +695,8 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         projection = Some(requiredSchema.fieldNames.toSeq),
         // a pushed top-n's order wins; else the option-level cursor sort
         sortAscBy = topN.map(_._1).orElse(options.get("sort")),
+        // cursor skip: only ever set on the provably-single-cursor plan
+        skip = offset.map(_.toLong).getOrElse(0L),
         limit = topN.map(_._3.toLong)
           .orElse(limit.map(_.toLong)).getOrElse(-1L),
         sortDescending = topN.exists(_._2)))

@@ -364,6 +364,35 @@ class GraftServerSourceSpec extends SparkSpec {
     assert(got.count() === 5)
   }
 
+  test("offset pushes as a cursor skip under splitter=single, refuses otherwise") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 50L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.off"))
+      .option("id_column", "k").mode("append").save()
+    // single-split mode: the offset is deleted from Spark's plan and
+    // applied as the cursor's skip — exact rows back
+    val single = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.off"))
+      .option("splitter", "single").option("sort", "_id")
+      .schema("_id LONG, v LONG")
+      .load()
+    val got = single.offset(40).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (40L until 50L).toSeq, s"got ${got.toSeq}")
+    assert(single.offset(40).queryExecution.executedPlan.toString
+      .contains("PushedOffset: 40"))
+    // default (multi-split) planning must refuse: an accepted offset
+    // would skip 40 rows PER cursor
+    val multi = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.off")).option("split_size", "512")
+      .option("sort", "_id")
+      .schema("_id LONG, v LONG")
+      .load()
+    assert(!multi.offset(40).queryExecution.executedPlan.toString
+      .contains("PushedOffset"))
+    assert(multi.offset(40).count() == 10L, "unpushed offset still correct")
+  }
+
   // ---- grouped aggregate pushdown (round-11): one $match+$group
   // pipeline round-trip per namespace, Spark folds the partial rows
 
