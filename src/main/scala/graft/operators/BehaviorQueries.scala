@@ -199,7 +199,10 @@ object BehaviorQueries {
         val prevB = buckets.withColumn("hw_prev", max($"bmax").over(wB))
           .select($"user_id".as("pu"), $"abkt".as("pb"), $"hw_prev")
         withIn
-          .join(prevB, withIn("user_id") === $"pu" && withIn("abkt") === $"pb")
+          // null-safe keys (q38's convention): correctness must not hang
+          // on the fixture's NOT-NULL key columns — a null user_id/arr
+          // would silently drop rows from the audit under a plain `===`
+          .join(prevB, withIn("user_id") <=> $"pu" && withIn("abkt") <=> $"pb")
           .withColumn("late_s", greatest($"hw_in", $"hw_prev") - $"sec")
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n_events"),

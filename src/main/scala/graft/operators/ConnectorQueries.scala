@@ -356,6 +356,91 @@ object ConnectorQueries {
         |ORDER BY _id DESC LIMIT 20
         |""".stripMargin)),
 
+    // Filtered GLOBAL aggregate pushdown through the server source
+    // (round-12): `agg(...) WHERE f` plans as ONE `$match`+`$group
+    // {_id: null}` pipeline round-trip — the generalization of q70's
+    // probes to a filtered scan (the probes refuse any filter; the
+    // pipeline answers it server-side, SampleSplitter.java:79-88's
+    // aggregate() pattern). AVG rides Spark's partial-pushdown rewrite
+    // into SUM+COUNT partials, folded exactly. The plan shows
+    // `PushedGroupedAggregate: GLOBAL` (GraftServerSourceSpec pins the
+    // shape, the one-round-trip bound, and the zero-cursor property);
+    // the oracle pins the values.
+    CatalogQuery(
+      "q124_server_filtered_agg",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.fagg")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        // exact aggregates only, so the oracle hash-matches: COUNT, a
+        // LONG-column SUM/AVG (integer-exact partials; the IEEE division
+        // of exact sums is the same op in both engines), and double
+        // MIN/MAX (order-independent). A double SUM would either refuse
+        // the pushdown (dsum's decimal cast is not a bare column) or
+        // float-drift against the oracle.
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE")
+          .load()
+          .filter($"o_totalprice" > 50000.0)
+          .agg(count(lit(1)).as("n"),
+            sum($"o_custkey").as("sum_cust"),
+            avg($"o_custkey").as("avg_cust"),
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"))
+      },
+      Some("""
+        |SELECT count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(sum(o_custkey) AS DOUBLE) / count(o_custkey) AS avg_cust,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice > 50000.0
+        |""".stripMargin)),
+
+    // MULTI-KEY grouped aggregate pushdown (round-12): a two-column
+    // GROUP BY renders as a compound `$group` `_id` doc
+    // ({k1: "$k1", k2: "$k2"}) and still answers in one pipeline
+    // round-trip; AVG again arrives as the SUM+COUNT rewrite, and the
+    // partial protocol folds the per-namespace group rows. The compound
+    // cursor sort doc is the reference's own shape
+    // (MongoInputSplit.java:281 sorts a full document).
+    CatalogQuery(
+      "q125_server_multikey_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.mkg")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+            $"o_totalprice")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, o_orderstatus STRING, o_orderpriority STRING, " +
+            "o_totalprice DOUBLE")
+          .load()
+          .filter($"o_totalprice" > 1000.0)
+          .groupBy($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"_id").as("sum_key"),
+            avg($"_id").as("avg_key"),
+            max($"o_totalprice").as("max_price"))
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""
+        |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(o_orderkey) AS DOUBLE) / count(o_orderkey) AS avg_key,
+        |  max(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice > 1000.0
+        |GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

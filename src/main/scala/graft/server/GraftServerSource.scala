@@ -213,8 +213,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
-    if (orders.length != 1 || aggPushed.isDefined || limit.isDefined ||
-        offset.isDefined || residuals.nonEmpty) return false
+    if (orders.length != 1 || aggPushed.isDefined || groupedAgg.isDefined ||
+        limit.isDefined || offset.isDefined || residuals.nonEmpty) return false
     val o = orders.head
     o.expression match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -234,19 +234,31 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     }
   }
 
-  /** Whole-collection COUNT(*)/MIN/MAX only: any filter, option query,
-    * limit, group-by, or other aggregate makes the probes the wrong
-    * answer. COUNT(*) is one collStats; MIN/MAX are one sorted limit-1
-    * cursor each — the index walk a server runs for them. Types are the
-    * cursor-order-safe set the TopN pushdown uses (a string read spans
-    * four storage brackets whose BSON order is not the read-string
-    * order). Reported partial (one row), so Spark's own global aggregate
-    * folds it — same protocol as the file source's per-file partials.
+  /** Aggregate pushdown, two strategies in preference order:
+    *
+    *  1. Whole-collection COUNT(*)/MIN/MAX with NO filter surface —
+    *     bounded PROBES: COUNT(*) is one collStats; MIN/MAX are one
+    *     sorted limit-1 cursor each (the index walk a server runs for
+    *     them). Zero documents scanned.
+    *  2. Everything else — the `$match`+`$group` PIPELINE
+    *     ([[pushGroupedAggregation]], `_id: null` when there is no
+    *     group-by): filtered global aggregates, SUM/COUNT(col), and
+    *     grouped aggregates all answer in one aggregate() round-trip per
+    *     namespace. (AVG arrives here too: Spark rewrites a
+    *     partial-pushdown AVG into SUM+COUNT before pushing.)
+    *
+    * Both report PARTIAL, so Spark's own final aggregate folds the
+    * returned row(s) — same protocol as the file source's per-file
+    * partials.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.isEmpty && tryProbeAggregation(aggregation))
+      return true
+    pushGroupedAggregation(aggregation)
+  }
+
+  private def tryProbeAggregation(aggregation: Aggregation): Boolean = {
     import graft.source.AggPush
-    if (aggregation.groupByExpressions.nonEmpty)
-      return pushGroupedAggregation(aggregation)
     val eligible =
       pushedQuery == BQuery.True && !options.contains("query") && limit.isEmpty
     if (!eligible) return false
@@ -269,25 +281,30 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     else { aggPushed = Some(items.flatten); true }
   }
 
-  /** GROUPED aggregate pushdown — translated to one server-side
-    * `$match`+`$group` pipeline per namespace ([[QueryDocs.groupStages]];
-    * server-side `aggregate()` is the reference's established pattern,
-    * SampleSplitter.java:79-88). Reported PARTIAL (the default), so the
-    * protocol only needs the server grouping to REFINE Spark's: Spark
-    * re-groups the returned rows on the read group values and folds the
-    * partials (sum of counts, min of mins, ...), which also makes the
-    * multi-namespace union and any storage-split group (int32 5 vs
-    * int64 5 reading as one Spark value) merge correctly. Eligibility:
-    * one single-column group key of a read-faithful type; aggregates are
-    * COUNT(*) / MIN / MAX over the cursor-safe [[GraftServerScanBuilder
-    * .AggTypes]] plus SUM over exact numerics; the WHOLE pushed query
-    * must render server-side (a residual cannot be re-checked after
-    * grouping — the rows are gone); no limit/top-n claimed the scan.
+  /** GROUPED / filtered-global aggregate pushdown — translated to one
+    * server-side `$match`+`$group` pipeline per namespace
+    * ([[QueryDocs.groupStages]]; server-side `aggregate()` is the
+    * reference's established pattern, SampleSplitter.java:79-88).
+    * Reported PARTIAL (the default), so the protocol only needs the
+    * server grouping to REFINE Spark's: Spark re-groups the returned
+    * rows on the read group values and folds the partials (sum of
+    * counts, min of mins, ...), which also makes the multi-namespace
+    * union and any storage-split group (int32 5 vs int64 5 reading as
+    * one Spark value) merge correctly. Eligibility: zero or more
+    * single-column group keys of read-faithful types (zero = the
+    * `_id: null` global pipeline — `SELECT count(*) ... WHERE x`
+    * answers in one round-trip instead of a scan); aggregates are
+    * COUNT(*) / COUNT(col) / MIN / MAX over the cursor-safe
+    * [[GraftServerScanBuilder.AggTypes]] plus SUM over exact numerics
+    * (AVG never reaches here by name: Spark rewrites a partial-pushdown
+    * AVG into SUM+COUNT first); the WHOLE pushed query must render
+    * server-side (a residual cannot be re-checked after grouping — the
+    * rows are gone); no limit/top-n/offset claimed the scan.
     */
   private def pushGroupedAggregation(aggregation: Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
-    if (aggregation.groupByExpressions.length != 1 || limit.isDefined ||
+    if (limit.isDefined || offset.isDefined ||
         topN.isDefined || residuals.nonEmpty) return false
     val fullQuery = BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)
     val planned = QueryDocs.plan(fullQuery)
@@ -298,9 +315,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         tableSchema.fields.find(_.name == nr.fieldNames.head)
       case _ => None
     }
-    val groupField = field(aggregation.groupByExpressions.head)
-      .filter(f => GraftServerScanBuilder.GroupKeyTypes.contains(f.dataType))
-    if (groupField.isEmpty) return false
+    val groupFields = aggregation.groupByExpressions.toSeq.map(e =>
+      field(e).filter(f => GraftServerScanBuilder.GroupKeyTypes.contains(f.dataType)))
+    if (groupFields.contains(None)) return false
     val items: Seq[Option[(GroupAgg, DataType)]] =
       aggregation.aggregateExpressions.toSeq.map {
         case _: aggregate.CountStar =>
@@ -328,8 +345,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       }
     if (items.isEmpty || items.contains(None)) false
     else {
-      groupedAgg = Some(ServerGroupedAgg(groupField.get.name,
-        groupField.get.dataType, items.flatten))
+      groupedAgg = Some(ServerGroupedAgg(
+        groupFields.flatten.map(f => (f.name, f.dataType)), items.flatten))
       true
     }
   }
@@ -340,20 +357,24 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       limit, options, aggPushed, topN, groupedAgg, offset)
 }
 
-/** A pushed grouped aggregation: the group column (and its Spark type)
-  * plus each aggregate with its partial-result Spark type — answered by
-  * one `$group` pipeline round-trip per namespace.
+/** A pushed grouped aggregation: the group columns (and their Spark
+  * types — empty for the filtered-GLOBAL `_id: null` pipeline) plus each
+  * aggregate with its partial-result Spark type — answered by one
+  * `$group` pipeline round-trip per namespace.
   */
-final case class ServerGroupedAgg(groupCol: String,
-    groupType: org.apache.spark.sql.types.DataType,
+final case class ServerGroupedAgg(
+    groupCols: Seq[(String, org.apache.spark.sql.types.DataType)],
     items: Seq[(GroupAgg, org.apache.spark.sql.types.DataType)]) {
   def schema: StructType = StructType(
-    org.apache.spark.sql.types.StructField(groupCol, groupType) +:
-      items.map { case (g, dt) =>
-        org.apache.spark.sql.types.StructField(g.alias, dt)
-      })
+    groupCols.map { case (c, dt) =>
+      org.apache.spark.sql.types.StructField(c, dt)
+    } ++ items.map { case (g, dt) =>
+      org.apache.spark.sql.types.StructField(g.alias, dt)
+    })
   override def toString: String =
-    s"GROUP BY $groupCol [${items.map(_._1.alias).mkString(", ")}]"
+    (if (groupCols.isEmpty) "GLOBAL"
+     else s"GROUP BY ${groupCols.map(_._1).mkString(", ")}") +
+      s" [${items.map(_._1.alias).mkString(", ")}]"
 }
 
 object GraftServerScanBuilder {
@@ -361,6 +382,17 @@ object GraftServerScanBuilder {
     * values IS Spark's order over the read values (same reasoning as the
     * file source's TopN pushdown: exact long/µs/double keys; strings and
     * floats refused).
+    *
+    * NaN caveat (DoubleType, latent — applies to the MIN/MAX probes, the
+    * `$group` `$min`/`$max` path, and TopN alike): BSON's total order
+    * places NaN BELOW all numbers while Spark orders NaN ABOVE every
+    * double, so a NaN-containing double column's pushed MIN comes back
+    * NaN where Spark's own would be the smallest real number (and a
+    * pushed MAX loses the NaN Spark would keep). Collections written by
+    * THIS engine normally carry no NaN (none of the catalog's writers
+    * emit one), but a foreign collection might — exclude NaN rows with a
+    * pushed `$ne` filter, or project the column through a no-op
+    * expression to keep the aggregate Spark-side, when that matters.
     */
   val AggTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
@@ -587,11 +619,25 @@ final class ServerGroupedAggReader(options: Map[String, String],
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
-  private val it: Iterator[InternalRow] =
-    GraftServerSource.nsList(options).iterator
-      .flatMap(ns => client.groupAggregate(ns, query, grouped.groupCol,
-        grouped.items.map(_._1)))
-      .map(d => RowCodec.toRow(d, grouped.schema))
+  private val it: Iterator[InternalRow] = {
+    val base: Iterator[InternalRow] =
+      GraftServerSource.nsList(options).iterator
+        .flatMap(ns => client.groupAggregate(ns, query,
+          grouped.groupCols.map(_._1), grouped.items.map(_._1)))
+        .map(d => RowCodec.toRow(d, grouped.schema))
+    if (grouped.groupCols.nonEmpty || base.hasNext) base
+    else {
+      // filtered-GLOBAL pipeline with nothing matched: $group emits no
+      // doc, but Spark's final fold rewrites COUNT(*) as a SUM of the
+      // partial counts — zero partial rows would fold it to NULL instead
+      // of 0 (the q58 zero-partition lesson). Emit one sentinel partial:
+      // counts 0, min/max/sum NULL.
+      Iterator.single(InternalRow.fromSeq(grouped.items.map {
+        case (GroupAgg.CountAll(_) | GroupAgg.CountCol(_, _), _) => 0L: Any
+        case _ => null
+      }))
+    }
+  }
 
   private var row: InternalRow = _
 

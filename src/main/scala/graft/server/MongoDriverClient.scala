@@ -182,19 +182,40 @@ final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseab
     * caller bug, not a fallback case — the scan builder only pushes
     * grouped aggregates when the whole pushed query renders.
     */
-  override def groupAggregate(ns: String, query: BQuery, groupKey: String,
+  override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Iterator[BDoc] = {
     val coll = collection(ns)
     val p = QueryDocs.plan(query)
     require(p.isExact && p.keyBounds.isEmpty,
       s"groupAggregate requires a fully server-renderable query, got $query")
-    Rf.cursor(Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKey, aggs)))
+    Rf.cursor(Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs)))
       .map { d =>
-        // the server keys the group value as _id; re-key under the group
-        // column's name per the ServerClient contract
-        val gv = d.get("_id").getOrElse(BNull)
-        BDoc(((groupKey -> gv) +:
-          aggs.map(a => a.alias -> d.get(a.alias).getOrElse(BNull))): _*)
+        // the server keys the group value(s) as _id (scalar for one key,
+        // compound doc for several, null for the global pipeline); re-key
+        // under each group column's name per the ServerClient contract
+        val groupFields: Seq[(String, BsonValue)] = groupKeys match {
+          case Seq() => Seq.empty
+          case Seq(k) => Seq(k -> d.get("_id").getOrElse(BNull))
+          case ks =>
+            val idDoc = d.get("_id") match {
+              case Some(doc: BDoc) => doc
+              case _ => BDoc.empty
+            }
+            // a missing field groups as a MISSING entry in the compound
+            // _id — read it back as NULL, Spark's value for it
+            ks.map(k => k -> idDoc.get(k).getOrElse(BNull))
+        }
+        val aggFields = aggs.map {
+          case GroupAgg.SumOf(_, a)
+              if d.get(QueryDocs.sumPresenceAlias(a))
+                .flatMap(QueryDocs.asLong).contains(0L) =>
+            // real-server `$sum` is 0 (never NULL) over an all-null
+            // group; the contract (= Spark SUM) requires NULL — the
+            // companion presence count disambiguates
+            a -> (BNull: BsonValue)
+          case other => other.alias -> d.get(other.alias).getOrElse(BNull)
+        }
+        BDoc(groupFields ++ aggFields: _*)
       }
   }
 

@@ -188,29 +188,54 @@ object QueryDocs {
   def sortDoc(key: String, descending: Boolean): BDoc =
     BDoc(key -> BInt32(if (descending) -1 else 1))
 
-  /** `[{$match: q}, {$group: {_id: "$key", <alias>: {$min: "$col"}, ...}}]`
+  /** Alias of the companion non-null-presence accumulator rendered
+    * alongside every plain `$sum`: a REAL server's `$sum` returns 0
+    * (never NULL) for a group whose column is entirely null/missing,
+    * while the [[ServerClient.groupAggregate]] contract (= Spark's SUM
+    * semantics) requires NULL — the companion count lets the client
+    * binding tell an all-null group (count 0 → NULL) from a genuine zero
+    * sum. `~` cannot appear in a Spark-generated aggregate alias
+    * (`sum(col)`), so the companion never collides.
+    */
+  def sumPresenceAlias(a: String): String = a + "~nn"
+
+  /** COUNT(col) accumulator: sum of (0 when null/missing else 1); `$type`
+    * is the canonical null-AND-missing discriminator in a pipeline.
+    */
+  private def countColAcc(c: String): BDoc =
+    BDoc("$sum" -> BDoc("$cond" -> BArray(Vector(
+      BDoc("$in" -> BArray(Vector(
+        BDoc("$type" -> BString("$" + c)),
+        BArray(Vector(BString("null"), BString("missing")))))),
+      BInt32(0), BInt32(1)))))
+
+  /** `[{$match: q}, {$group: {_id: <key>, <alias>: {$min: "$col"}, ...}}]`
     * — the grouped-aggregation pipeline for
     * [[ServerClient.groupAggregate]]; server-side `aggregate()` is the
     * reference's established pattern (SampleSplitter.java:79-88), here
     * with the `$group` stage. COUNT renders as the canonical
-    * `{$sum: 1}`.
+    * `{$sum: 1}`. The `_id` shape follows the key count: no keys →
+    * `null` (a filtered GLOBAL aggregate — one group for all matched
+    * docs), one key → `"$key"`, several → the compound doc
+    * `{k1: "$k1", k2: "$k2", ...}`. Every plain SUM also renders its
+    * [[sumPresenceAlias]] companion (see there).
     */
-  def groupStages(matchDoc: BDoc, groupKey: String,
+  def groupStages(matchDoc: BDoc, groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Seq[BDoc] = {
+    val idValue: BsonValue = groupKeys match {
+      case Seq() => BNull
+      case Seq(k) => BString("$" + k)
+      case ks => BDoc(ks.map(k => k -> (BString("$" + k): BsonValue)): _*)
+    }
     val groupFields: Seq[(String, BsonValue)] =
-      ("_id" -> BString("$" + groupKey)) +: aggs.map {
-        case GroupAgg.CountAll(a) => a -> BDoc("$sum" -> BInt32(1))
-        case GroupAgg.CountCol(c, a) =>
-          // COUNT(col) = sum of (0 when null/missing else 1); `$type` is
-          // the canonical null-AND-missing discriminator in a pipeline
-          a -> BDoc("$sum" -> BDoc("$cond" -> BArray(Vector(
-            BDoc("$in" -> BArray(Vector(
-              BDoc("$type" -> BString("$" + c)),
-              BArray(Vector(BString("null"), BString("missing")))))),
-            BInt32(0), BInt32(1)))))
-        case GroupAgg.MinOf(c, a) => a -> BDoc("$min" -> BString("$" + c))
-        case GroupAgg.MaxOf(c, a) => a -> BDoc("$max" -> BString("$" + c))
-        case GroupAgg.SumOf(c, a) => a -> BDoc("$sum" -> BString("$" + c))
+      ("_id" -> idValue) +: aggs.flatMap {
+        case GroupAgg.CountAll(a) => Seq(a -> BDoc("$sum" -> BInt32(1)))
+        case GroupAgg.CountCol(c, a) => Seq(a -> countColAcc(c))
+        case GroupAgg.MinOf(c, a) => Seq(a -> BDoc("$min" -> BString("$" + c)))
+        case GroupAgg.MaxOf(c, a) => Seq(a -> BDoc("$max" -> BString("$" + c)))
+        case GroupAgg.SumOf(c, a) =>
+          Seq(a -> BDoc("$sum" -> BString("$" + c)),
+            sumPresenceAlias(a) -> countColAcc(c))
       }
     val group = BDoc("$group" -> BDoc(groupFields: _*))
     if (matchDoc.fields.isEmpty) Seq(group)

@@ -70,17 +70,24 @@ trait ServerClient {
   def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult
 
   /** One server-side grouped aggregation —
-    * `aggregate([{$match: query}, {$group: {_id: "$groupKey", ...}}])`,
+    * `aggregate([{$match: query}, {$group: {_id: <keys>, ...}}])`,
     * the same server-side `aggregate()` pattern the reference's sample
     * splitter establishes (core/.../splitter/SampleSplitter.java:79-88)
     * applied to the $group stage. ONE round-trip per call; the result
-    * streams one doc per group carrying the group value under
-    * `groupKey`'s name and each aggregate under its [[GroupAgg.alias]].
-    * Aggregates skip null/missing values (mongo $min/$max/$sum
-    * semantics, which match Spark's null-ignoring aggregates); COUNT
-    * counts all matched docs in the group.
+    * streams one doc per group carrying each group value under its
+    * column name and each aggregate under its [[GroupAgg.alias]].
+    * `groupKeys` may be empty — a filtered GLOBAL aggregate
+    * (`_id: null`): one result doc when any doc matches, NONE otherwise
+    * (real `$group` emits nothing over empty input — callers needing a
+    * zero-count sentinel add it themselves). Aggregates skip
+    * null/missing values (mongo $min/$max/$sum semantics, which match
+    * Spark's null-ignoring aggregates) and a SUM over an all-null group
+    * is NULL (Spark semantics — a real server's `$sum` says 0 there, so
+    * driver bindings must correct it via the
+    * [[QueryDocs.sumPresenceAlias]] companion); COUNT counts all
+    * matched docs in the group.
     */
-  def groupAggregate(ns: String, query: BQuery, groupKey: String,
+  def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Iterator[BDoc]
 }
 
@@ -321,14 +328,19 @@ final class FakeServerClient(rootDir: Option[String] = None)
     * BNull. Sum stays integral while every addend is integral, doubles
     * otherwise (the $sum promotion rule).
     */
-  override def groupAggregate(ns: String, query: BQuery, groupKey: String,
+  override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Iterator[BDoc] = {
     tick("groupAggregate")
-    val groups = coll(ns).readAll().filter(query.matches).toVector
-      .groupBy(_.getPath(groupKey).getOrElse(BNull))
+    val matched = coll(ns).readAll().filter(query.matches).toVector
+    // zero group keys = the filtered-global `_id: null` pipeline: one
+    // group when anything matched, NO output doc otherwise (real $group
+    // emits nothing over empty input)
+    val groups =
+      if (matched.isEmpty) Map.empty[Seq[BsonValue], Vector[BDoc]]
+      else matched.groupBy(d => groupKeys.map(k => d.getPath(k).getOrElse(BNull)))
     def present(docs: Vector[BDoc], col: String): Vector[BsonValue] =
       docs.flatMap(_.getPath(col)).filter(_ != BNull)
-    groups.iterator.map { case (gv, docs) =>
+    groups.iterator.map { case (gvs, docs) =>
       val fields = aggs.map {
         case GroupAgg.CountAll(a) => a -> BInt64(docs.size.toLong)
         case GroupAgg.CountCol(c, a) =>
@@ -353,7 +365,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
             case _ => 0.0
           }.sum))
       }
-      BDoc(ListMap((groupKey -> gv) +: fields: _*))
+      BDoc(ListMap(groupKeys.zip(gvs) ++ fields: _*))
     }
   }
 

@@ -499,6 +499,113 @@ class GraftServerSourceSpec extends SparkSpec {
       "the NULL group must survive, with COUNT(v) skipping its null")
   }
 
+  // ---- round-12 generalization: filtered global aggregates, AVG via
+  // Spark's sum+count rewrite, multi-key group-by — all through the same
+  // $match+$group pipeline
+
+  test("filtered GLOBAL aggregate pushes an _id:null pipeline: one round-trip, zero cursors") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.fglob")).option("id_column", "c_custkey")
+      .mode("append").save()
+    CountingServerFactory.reset()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.fglob"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE")
+      .load()
+      .filter($"c_acctbal" > 1000.0)
+      .agg(count(lit(1)).as("n"), sum($"c_acctbal").as("s"),
+        min($"c_acctbal").as("mn"), max($"c_nationkey").as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate: GLOBAL"),
+      s"filtered global aggregate must ride the _id:null pipeline:\n$plan")
+    val r = q.collect().head
+    val src = graft.Tables.customer(spark, sf0001).filter($"c_acctbal" > 1000.0)
+    val e = src.agg(count(lit(1)), sum($"c_acctbal"), min($"c_acctbal"),
+      max($"c_nationkey")).collect().head
+    assert(r.getLong(0) == e.getLong(0) && r.getInt(3) == e.getInt(3))
+    assert(math.abs(r.getDouble(1) - e.getDouble(1)) < 1e-6)
+    assert(math.abs(r.getDouble(2) - e.getDouble(2)) < 1e-9)
+    assert(CountingServerFactory.count("groupAggregate") == 1,
+      s"counts: ${CountingServerFactory.snapshot()}")
+    assert(CountingServerFactory.count("find") == 0,
+      s"filtered global pushdown must not open row cursors: ${CountingServerFactory.snapshot()}")
+  }
+
+  test("filtered GLOBAL aggregate over an empty match folds COUNT to 0, not NULL") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, 5.0)).toDF("k", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.fempty"))
+      .option("id_column", "k").mode("append").save()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.fempty"))
+      .schema("_id LONG, v DOUBLE").load()
+      .filter($"v" > 100.0)
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"), min($"v").as("mn"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GLOBAL"))
+    val r = q.collect().head
+    assert(r.getLong(0) == 0L, s"COUNT over empty match must be 0, got $r")
+    assert(r.isNullAt(1) && r.isNullAt(2), s"SUM/MIN over empty match must be NULL, got $r")
+  }
+
+  test("AVG pushes as the sum+count rewrite; values fold exactly") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.favg")).option("id_column", "c_custkey")
+      .mode("append").save()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.favg"))
+      .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE")
+      .load()
+      .groupBy($"c_nationkey")
+      .agg(avg($"c_acctbal").as("a"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate") &&
+      plan.contains("sum(c_acctbal)") && plan.contains("count(c_acctbal)"),
+      s"AVG must arrive as Spark's SUM+COUNT rewrite:\n$plan")
+    val got = q.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val expect = graft.Tables.customer(spark, sf0001)
+      .groupBy($"c_nationkey").agg(avg($"c_acctbal"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-9, s"group $k") }
+  }
+
+  test("multi-key group-by pushes a compound _id pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq[(Long, Integer, String, java.lang.Double)](
+      (1L, 1, "a", 2.0), (2L, 1, "a", 3.0), (3L, 1, "b", 4.0),
+      (4L, 2, "a", 5.0), (5L, null, "b", 6.0), (6L, null, null, 7.0))
+      .toDF("k", "g1", "g2", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.fmk"))
+      .option("id_column", "k").mode("append").save()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.fmk"))
+      .schema("_id LONG, g1 INT, g2 STRING, v DOUBLE").load()
+      .groupBy($"g1", $"g2")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate: GROUP BY g1, g2"),
+      s"no compound-key pushdown in:\n$plan")
+    val got = q.collect().map(r =>
+      (Option(r.get(0)), Option(r.get(1))) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((Some(1), Some("a"))) == ((2L, 5.0)), s"got $got")
+    assert(got((Some(1), Some("b"))) == ((1L, 4.0)))
+    assert(got((Some(2), Some("a"))) == ((1L, 5.0)))
+    assert(got((None, Some("b"))) == ((1L, 6.0)), "NULL key groups must survive")
+    assert(got((None, None)) == ((1L, 7.0)))
+  }
+
   test("a residual (non-renderable) filter refuses grouped pushdown but stays correct") {
     import spark.implicits._
     val dir = freshDir()
@@ -545,8 +652,8 @@ final class CountingServerFactory extends ServerClientFactory {
       override def bulkWrite(ns: String, models: Iterator[graft.store.WriteModel],
           ordered: Boolean) = { t("bulkWrite"); inner.bulkWrite(ns, models, ordered) }
       override def groupAggregate(ns: String, query: graft.query.BQuery,
-          groupKey: String, aggs: Seq[GroupAgg]) =
-        { t("groupAggregate"); inner.groupAggregate(ns, query, groupKey, aggs) }
+          groupKeys: Seq[String], aggs: Seq[GroupAgg]) =
+        { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs) }
       override def close(): Unit = inner.close()
     }
   }

@@ -362,9 +362,9 @@ class MongoDriverSpec extends AnyFunSuite {
       val aggs = Seq(GroupAgg.CountAll("count(*)"), GroupAgg.CountCol("k", "count(k)"),
         GroupAgg.MinOf("k", "min(k)"),
         GroupAgg.MaxOf("k", "max(k)"), GroupAgg.SumOf("k", "sum(k)"))
-      val got = client.groupAggregate(Ns, q, "status", aggs).toVector
+      val got = client.groupAggregate(Ns, q, Seq("status"), aggs).toVector
         .map(d => d.get("status") -> d).toMap
-      val expect = fake.groupAggregate(Ns, q, "status", aggs).toVector
+      val expect = fake.groupAggregate(Ns, q, Seq("status"), aggs).toVector
         .map(d => d.get("status") -> d).toMap
       assert(got === expect, s"driver pipeline vs fake: $got vs $expect")
       // spot-check one group by hand: k in 5..20, evens are status A
@@ -376,8 +376,60 @@ class MongoDriverSpec extends AnyFunSuite {
       // a residual-bearing query must refuse loudly, not silently misgroup
       intercept[IllegalArgumentException] {
         client.groupAggregate(Ns,
-          BQuery.ReadStrCmp("name", "n05", BQuery.ReadStrOp.Gte), "status", aggs)
+          BQuery.ReadStrCmp("name", "n05", BQuery.ReadStrOp.Gte), Seq("status"), aggs)
       }
+    }
+  }
+
+  test("stub driver: all-null SUM group comes back NULL despite the server's $sum: 0") {
+    withDriver { (client, fake, _) =>
+      // group "X" has only null v's: a REAL server's $sum answers 0 there
+      // (the stub reproduces that), and the binding's sumPresenceAlias
+      // companion must correct it to NULL — Spark/engine SUM semantics
+      client.bulkWrite(Ns, Iterator(
+        InsertOne(BDoc("_id" -> BInt32(1), "g" -> BString("X"), "v" -> BNull)),
+        InsertOne(BDoc("_id" -> BInt32(2), "g" -> BString("X"))),
+        InsertOne(BDoc("_id" -> BInt32(3), "g" -> BString("Y"), "v" -> BInt32(5)))),
+        ordered = true)
+      val aggs = Seq(GroupAgg.SumOf("v", "sum(v)"), GroupAgg.CountAll("count(*)"))
+      val got = client.groupAggregate(Ns, BQuery.True, Seq("g"), aggs).toVector
+        .map(d => d.get("g") -> d).toMap
+      assert(got(Some(BString("X"))).get("sum(v)").contains(BNull),
+        s"all-null group must sum to NULL, got $got")
+      assert(got(Some(BString("Y"))).get("sum(v)").contains(BInt64(5L)))
+      // the companion accumulator never leaks into the contract result
+      assert(got.values.forall(_.fields.keys.forall(!_.endsWith("~nn"))), s"got $got")
+      // and matches the fake (the contract-semantics authority) exactly
+      val expect = fake.groupAggregate(Ns, BQuery.True, Seq("g"), aggs).toVector
+        .map(d => d.get("g") -> d).toMap
+      assert(got === expect)
+    }
+  }
+
+  test("stub driver: global (_id: null) and compound (multi-key) group pipelines") {
+    withDriver { (client, fake, _) =>
+      seed(client)
+      val aggs = Seq(GroupAgg.CountAll("count(*)"), GroupAgg.MinOf("k", "min(k)"),
+        GroupAgg.SumOf("k", "sum(k)"))
+      // filtered GLOBAL: one result doc carrying no group fields
+      val q = BQuery.Gte("k", BInt32(18))
+      val global = client.groupAggregate(Ns, q, Seq.empty, aggs).toVector
+      assert(global === fake.groupAggregate(Ns, q, Seq.empty, aggs).toVector)
+      assert(global.size === 1)
+      assert(global.head.get("count(*)").contains(BInt64(3)))
+      assert(global.head.get("min(k)").contains(BInt32(18)))
+      // nothing matched: a real $group emits NO doc — so must the binding
+      assert(client.groupAggregate(Ns, BQuery.Gte("k", BInt32(99)),
+        Seq.empty, aggs).toVector.isEmpty)
+      // compound two-key _id doc, re-keyed to one field per group column
+      val mk = client.groupAggregate(Ns, BQuery.True, Seq("status", "k"), aggs)
+        .toVector.map(d => (d.get("status"), d.get("k")) -> d).toMap
+      val mkExpect = fake.groupAggregate(Ns, BQuery.True, Seq("status", "k"), aggs)
+        .toVector.map(d => (d.get("status"), d.get("k")) -> d).toMap
+      assert(mk === mkExpect)
+      assert(mk.size === 20) // k is unique, so every (status, k) is its own group
+      assert(mk((Some(BString("A")), Some(BInt32(2))))
+        .get("count(*)").contains(BInt64(1)))
     }
   }
 

@@ -151,8 +151,14 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       case Some(d: BDoc) => d
       case _ => throw new IllegalArgumentException(s"no $$group stage in $st")
     }
-    val key = groupDoc.get("_id") match {
-      case Some(BString(s)) if s.startsWith("$") => s.drop(1)
+    val keys: Seq[String] = groupDoc.get("_id") match {
+      case Some(BNull) => Seq.empty // the filtered-global pipeline
+      case Some(BString(s)) if s.startsWith("$") => Seq(s.drop(1))
+      case Some(BDoc(fs)) => fs.toSeq.map {
+        case (k, BString(s)) if s == "$" + k => k
+        case other => throw new IllegalArgumentException(
+          s"bad compound group _id entry: $other")
+      }
       case other => throw new IllegalArgumentException(s"bad group _id: $other")
     }
     val aggs = groupDoc.fields.toSeq.filterNot(_._1 == "_id").map {
@@ -182,10 +188,24 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       case (alias, other) =>
         throw new IllegalArgumentException(s"bad group field $alias: $other")
     }
-    fake.groupAggregate(ns, StubDriverBackend.parseQueryDoc(matchDoc), key, aggs)
+    // the REAL server's `$sum` over an all-null group is 0 (never NULL);
+    // the fake's contract-level groupAggregate says NULL there (Spark
+    // semantics), so the stub re-materializes the server's answer — the
+    // driver binding's sumPresenceAlias correction is then actually
+    // exercised end-to-end instead of masked
+    val plainSums = aggs.collect { case GroupAgg.SumOf(_, a) => a }.toSet
+    fake.groupAggregate(ns, StubDriverBackend.parseQueryDoc(matchDoc), keys, aggs)
       .map { d =>
-        BsonCodec.encode(BDoc((("_id" -> d.get(key).getOrElse(BNull)) +:
-          aggs.map(a => a.alias -> d.get(a.alias).getOrElse(BNull))): _*))
+        val idVal: BsonValue = keys match {
+          case Seq() => BNull
+          case Seq(k) => d.get(k).getOrElse(BNull)
+          case ks => BDoc(ks.map(k => k -> d.get(k).getOrElse(BNull)): _*)
+        }
+        BsonCodec.encode(BDoc((("_id" -> idVal) +:
+          aggs.map { a =>
+            val v = d.get(a.alias).getOrElse(BNull)
+            a.alias -> (if (v == BNull && plainSums.contains(a.alias)) BInt32(0) else v)
+          }): _*))
       }.toSeq.asJava
   }
 
