@@ -356,6 +356,40 @@ object ConnectorQueries {
         |ORDER BY _id DESC LIMIT 20
         |""".stripMargin)),
 
+    // Multi-column TopN pushdown (round-12): ORDER BY a DESC, b ASC
+    // LIMIT n — the common tie-broken shape — plans as ONE compound
+    // cursor sort doc `{a: -1, b: 1}` per split (the reference's sort
+    // doc is a full document, MongoInputSplit.java:281), reported
+    // PARTIAL so Spark's TakeOrdered folds the per-cursor top-n's.
+    // o_custkey carries real ties (a customer has many orders), so the
+    // tie-break key (_id ASC under assume_uniform_storage — this engine
+    // wrote the collection) decides rows, and _id-uniqueness makes the
+    // oracle deterministic.
+    CatalogQuery(
+      "q123_server_topn_tiebreak",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.mtopn")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .option("assume_uniform_storage", "true")
+          .option("split_size", (1L * 1024 * 1024).toString)
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE")
+          .load()
+          .orderBy($"o_custkey".desc, $"_id".asc)
+          .limit(25)
+          .select($"_id", $"o_custkey", $"o_totalprice")
+      },
+      Some("""
+        |SELECT o_orderkey AS _id, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_custkey DESC, _id ASC LIMIT 25
+        |""".stripMargin)),
+
     // Filtered GLOBAL aggregate pushdown through the server source
     // (round-12): `agg(...) WHERE f` plans as ONE `$match`+`$group
     // {_id: null}` pipeline round-trip — the generalization of q70's

@@ -152,7 +152,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private var residuals: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var offset: Option[Int] = None
-  private var topN: Option[(String, Boolean, Int)] = None // col, descending, n
+  // compound order spec (col, descending)+ and the limit
+  private var topN: Option[(Seq[(String, Boolean)], Int)] = None
   private var aggPushed: Option[Seq[graft.source.AggPush]] = None
   private var groupedAgg: Option[ServerGroupedAgg] = None
 
@@ -190,48 +191,48 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       offset = Some(n); true
     } else false
 
-  /** ORDER BY k LIMIT n per cursor (`cursor.sort().limit()`,
-    * MongoInputSplit.java:281-296), reported PARTIAL: each partition
-    * returns its local sorted top-n, a superset of its contribution to
-    * the global one, and Spark folds them. The server sorts in BSON
-    * STORAGE order, so this is sound only for Spark types all of whose
-    * readable storages share one consistently-ordered BSON bracket:
-    * Int/Double (numeric bracket, numeric order) and Boolean always;
-    * Long and Timestamp only under `assume_uniform_storage=true` (a
-    * BDate reads as a LongType's milliseconds but sorts in the date
-    * bracket; BTimestamp and BDate both read as TimestampType micros but
-    * sort in different brackets) — collections written by THIS engine
-    * are uniform (RowCodec.fromCatalyst: Long→int64, Timestamp→date),
-    * so the opt-in is honest for round-trip pipelines. Strings are
-    * refused outright (four storage brackets read as one string).
-    * Null ordering must match BSON's (nulls/missing first ascending,
-    * last descending — Spark's defaults). Residual filters refuse: they
-    * run above the scan and a pre-filter top-n might not survive them.
+  /** ORDER BY k1[, k2, ...] LIMIT n per cursor (`cursor.sort().limit()`
+    * with a compound sort doc, MongoInputSplit.java:281-296), reported
+    * PARTIAL: each partition returns its local sorted top-n, a superset
+    * of its contribution to the global one, and Spark folds them. The
+    * server sorts in BSON STORAGE order, so EVERY order key must be of
+    * a Spark type all of whose readable storages share one
+    * consistently-ordered BSON bracket: Int/Double (numeric bracket,
+    * numeric order) and Boolean always; Long and Timestamp only under
+    * `assume_uniform_storage=true` (a BDate reads as a LongType's
+    * milliseconds but sorts in the date bracket; BTimestamp and BDate
+    * both read as TimestampType micros but sort in different brackets)
+    * — collections written by THIS engine are uniform
+    * (RowCodec.fromCatalyst: Long→int64, Timestamp→date), so the opt-in
+    * is honest for round-trip pipelines. Strings are refused outright
+    * (four storage brackets read as one string). Null ordering must
+    * match BSON's per key (nulls/missing first ascending, last
+    * descending — Spark's defaults). Residual filters refuse: they run
+    * above the scan and a pre-filter top-n might not survive them.
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    import org.apache.spark.sql.types._
-    if (orders.length != 1 || aggPushed.isDefined || groupedAgg.isDefined ||
+    if (orders.isEmpty || aggPushed.isDefined || groupedAgg.isDefined ||
         limit.isDefined || offset.isDefined || residuals.nonEmpty) return false
-    val o = orders.head
-    o.expression match {
-      case nr: NamedReference if nr.fieldNames.length == 1 =>
-        val col = nr.fieldNames.head
-        tableSchema.fields.find(_.name == col) match {
-          case Some(f) =>
+    val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
+      o.expression match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          val col = nr.fieldNames.head
+          tableSchema.fields.find(_.name == col).flatMap { f =>
             val typeOk = GraftServerScanBuilder.cursorOrderSafe(f.dataType, options)
             val desc = o.direction == SortDirection.DESCENDING
             val nullsOk =
               if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
               else o.nullOrdering == NullOrdering.NULLS_FIRST
-            if (typeOk && nullsOk) { topN = Some((col, desc, n)); true }
-            else false
-          case None => false
-        }
-      case _ => false
+            if (typeOk && nullsOk) Some((col, desc)) else None
+          }
+        case _ => None
+      }
     }
+    if (spec.contains(None)) false
+    else { topN = Some((spec.flatten, n)); true }
   }
 
   /** Aggregate pushdown, two strategies in preference order:
@@ -431,7 +432,7 @@ object GraftServerScanBuilder {
 final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
-    topN: Option[(String, Boolean, Int)] = None,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
     grouped: Option[ServerGroupedAgg] = None,
     offset: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
@@ -538,8 +539,10 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
       pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
       offset.map(o => s" PushedOffset: $o").getOrElse("") +
-      topN.map { case (c, d, n) =>
-        s" PushedTopN: ORDER BY $c ${if (d) "DESC" else "ASC"} LIMIT $n"
+      topN.map { case (spec, n) =>
+        val order = spec.map { case (c, d) =>
+          s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")
+        s" PushedTopN: ORDER BY $order LIMIT $n"
       }.getOrElse("")
 
   /** Driver-side planning: one bounded probe sequence through the shared
@@ -594,7 +597,7 @@ final case class GraftServerPartition(ns: String, range: BQuery.KeyRange,
 final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     limit: Option[Int], options: Map[String, String],
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
-    topN: Option[(String, Boolean, Int)] = None,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
     grouped: Option[ServerGroupedAgg] = None,
     offset: Option[Int] = None)
     extends PartitionReaderFactory {
@@ -730,7 +733,7 @@ final class ServerAggReader(options: Map[String, String],
 final class GraftServerPartitionReader(p: GraftServerPartition,
     requiredSchema: StructType, query: BQuery, limit: Option[Int],
     options: Map[String, String],
-    topN: Option[(String, Boolean, Int)] = None,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
     offset: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
@@ -739,13 +742,15 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
         projection = Some(requiredSchema.fieldNames.toSeq),
-        // a pushed top-n's order wins; else the option-level cursor sort
-        sortAscBy = topN.map(_._1).orElse(options.get("sort")),
+        // a pushed top-n's (compound) order wins; else the option-level
+        // cursor sort
+        sortAscBy = topN.map(_._1.head._1).orElse(options.get("sort")),
         // cursor skip: only ever set on the provably-single-cursor plan
         skip = offset.map(_.toLong).getOrElse(0L),
-        limit = topN.map(_._3.toLong)
+        limit = topN.map(_._2.toLong)
           .orElse(limit.map(_.toLong)).getOrElse(-1L),
-        sortDescending = topN.exists(_._2)))
+        sortDescending = topN.exists(_._1.head._2),
+        thenBy = topN.map(_._1.tail).getOrElse(Nil)))
 
   private var row: InternalRow = _
 

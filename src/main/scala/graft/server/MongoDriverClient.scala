@@ -77,8 +77,8 @@ final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseab
       hi.foreach(v => Rf.fluent(it, "max", BDoc(key -> v)))
       Rf.fluent(it, "hint", BDoc(key -> BInt32(1)))
     }
-    q.sortAscBy.foreach(k =>
-      Rf.fluent(it, "sort", QueryDocs.sortDoc(k, q.sortDescending)))
+    if (q.sortSpec.nonEmpty)
+      Rf.fluent(it, "sort", QueryDocs.sortDoc(q.sortSpec))
     if (p.isExact) {
       // exact server evaluation: push projection/skip/limit too. An
       // EMPTY projection list cannot be expressed server-side ({_id: 0}

@@ -188,6 +188,14 @@ object QueryDocs {
   def sortDoc(key: String, descending: Boolean): BDoc =
     BDoc(key -> BInt32(if (descending) -1 else 1))
 
+  /** Compound cursor sort doc `{k1: ±1, k2: ±1, ...}` — field order IS
+    * the sort precedence (the reference's sort doc shape,
+    * MongoInputSplit.java:281). */
+  def sortDoc(spec: Seq[(String, Boolean)]): BDoc =
+    BDoc(ListMap(spec.map { case (k, desc) =>
+      k -> (BInt32(if (desc) -1 else 1): BsonValue)
+    }: _*))
+
   /** Alias of the companion non-null-presence accumulator rendered
     * alongside every plain `$sum`: a REAL server's `$sum` returns 0
     * (never NULL) for a group whose column is entirely null/missing,

@@ -20,7 +20,18 @@ final case class Find(
     limit: Long = -1L,
     /** Reverse the `sortAscBy` order — `cursor.sort({k: -1})`, the
       * index-walk-backwards a server runs for MAX(k). */
-    sortDescending: Boolean = false)
+    sortDescending: Boolean = false,
+    /** Secondary sort keys after `sortAscBy`, each (column, descending)
+      * — the compound cursor sort doc `{k1: ±1, k2: ±1, ...}` of a
+      * tie-broken ORDER BY (the reference's sort doc is a full document,
+      * MongoInputSplit.java:281). */
+    thenBy: Seq[(String, Boolean)] = Nil) {
+
+  /** The full compound sort spec as (column, descending) pairs; empty =
+    * unsorted cursor. */
+  def sortSpec: Seq[(String, Boolean)] =
+    sortAscBy.map(k => (k, sortDescending)).toSeq ++ thenBy
+}
 
 /** The live-server surface the engine needs, as a transport-agnostic
   * trait: every method is one public MongoDB command/driver call, so a
@@ -270,12 +281,23 @@ final class FakeServerClient(rootDir: Option[String] = None)
     // states), and a scan's per-split cursors would otherwise each
     // materialize the whole store
     val matching = coll(ns).readAll().filter(q.query.matches)
-    val docs: Iterator[BDoc] = q.sortAscBy match {
-      case Some(k) =>
-        val sorted = matching.toVector
-          .sortBy(d => d.getPath(k).getOrElse(BNull))(BsonOrdering)
-        (if (q.sortDescending) sorted.reverse else sorted).iterator
-      case None => matching
+    val docs: Iterator[BDoc] = q.sortSpec match {
+      case Seq() => matching
+      case spec =>
+        // compound cursor sort: later keys break earlier-key ties, each
+        // in its own ±1 direction (the server's sort-doc semantics)
+        val cmp: Ordering[BDoc] = (a, b) => {
+          var r = 0
+          val it = spec.iterator
+          while (r == 0 && it.hasNext) {
+            val (k, desc) = it.next()
+            val c = BsonOrdering.compare(
+              a.getPath(k).getOrElse(BNull), b.getPath(k).getOrElse(BNull))
+            r = if (desc) -c else c
+          }
+          r
+        }
+        matching.toVector.sorted(cmp).iterator
     }
     var it: Iterator[BDoc] = docs.drop(
       math.min(q.skip, Int.MaxValue.toLong).toInt)

@@ -305,6 +305,33 @@ class GraftServerSourceSpec extends SparkSpec {
         .select($"o_orderkey").as[Long].collect().toSeq)
   }
 
+  test("multi-column ORDER BY pushes a compound sort doc; one unsafe key refuses all") {
+    import spark.implicits._
+    val dir = freshDir()
+    // deliberate ties in the primary key so the tie-break key decides
+    Seq((1L, 10, 5.0, "a"), (2L, 10, 3.0, "b"), (3L, 10, 9.0, "c"),
+      (4L, 20, 1.0, "d"), (5L, 20, 8.0, "e"), (6L, 5, 2.0, "f"))
+      .toDF("k", "g", "v", "s")
+      .write.format("graftserver").options(serverOpts(dir, "db.mtopn"))
+      .option("id_column", "k").mode("append").save()
+    def read() = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.mtopn"))
+      .schema("_id LONG, g INT, v DOUBLE, s STRING").load()
+    val q = read().orderBy($"g".desc, $"v".asc).limit(3)
+      .select($"_id", $"g", $"v")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY g DESC, v ASC LIMIT 3"),
+      s"no compound TopN in:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(4L, 5L, 2L),
+      "tie-break order must decide inside the g=20 and g=10 brackets")
+    // one bracket-unsafe key (string) poisons the whole compound order
+    val refused = read().orderBy($"g".desc, $"s".asc).limit(3)
+    assert(!refused.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    // correctness unaffected by the refusal
+    assert(refused.select($"_id").collect().map(_.getLong(0)).toSeq ===
+      Seq(4L, 5L, 1L))
+  }
+
   test("sort option orders each cursor; reported to Catalyst only when safe") {
     import spark.implicits._
     val dir = freshDir()

@@ -106,15 +106,20 @@ final class StubDriverBackend(val fake: FakeServerClient) {
     lo.map(_._1).orElse(hi.map(_._1)).foreach { key =>
       q = BQuery.and(BQuery.KeyRange(key, lo.map(_._2), hi.map(_._2)), q)
     }
-    val (sortKey, desc) = dec(sort).flatMap(_.fields.headOption) match {
-      case Some((k, v)) => (Some(k), QueryDocs.asLong(v).contains(-1L))
-      case None => (None, false)
-    }
+    // compound sort doc: field order is precedence, value sign is
+    // direction — the full document shape the driver renders
+    val sortSpec: Seq[(String, Boolean)] = dec(sort).toSeq.flatMap(_.fields.map {
+      case (k, v) => k -> QueryDocs.asLong(v).contains(-1L)
+    })
     val proj = dec(projection).map(_.fields.collect {
       case (k, v) if QueryDocs.asLong(v).contains(1L) => k
     }.toSeq)
-    fake.find(ns, Find(q, proj, sortKey, skip.toLong, limit.toLong, desc))
-      .map(BsonCodec.encode(_)).toSeq.asJava
+    val f = sortSpec match {
+      case Seq() => Find(q, proj, None, skip.toLong, limit.toLong)
+      case (k, d) +: rest =>
+        Find(q, proj, Some(k), skip.toLong, limit.toLong, d, rest)
+    }
+    fake.find(ns, f).map(BsonCodec.encode(_)).toSeq.asJava
   }
 
   def aggregate(db: String, coll: String,
