@@ -475,6 +475,46 @@ object ConnectorQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2
         |""".stripMargin)),
 
+    // Grouped aggregate pushdown on the FILE source (round-12): parity
+    // with q121's server pipeline — the scan plans per-byte-split
+    // partial rows (group key + aggregate inputs decoded, every other
+    // column byte-skipped; AggPushdownSpec proves the bounded decode
+    // with a corrupted non-key column), the pushed filter is evaluated
+    // by the reader's exact matcher, and Spark's final aggregate folds
+    // the partials. The plan shows `PushedGroupedAggregate` on the
+    // graftbson scan; the oracle pins the values, incl. the NULL-twin
+    // group and AVG via the SUM+COUNT rewrite.
+    CatalogQuery(
+      "q126_file_group_pushdown",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+          .write.format("graftbson").option("id_column", "c_custkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE")
+          .load(dir)
+          .filter($"c_acctbal" > 0.0)
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            count($"c_acctbal").as("n_bal"),
+            min($"c_acctbal").as("min_bal"),
+            max($"c_acctbal").as("max_bal"),
+            sum($"_id").as("sum_key"),
+            avg($"_id").as("avg_key"))
+          .orderBy($"c_nationkey".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_nationkey, count(*) AS n, count(c_acctbal) AS n_bal,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(c_custkey) AS DOUBLE) / count(c_custkey) AS avg_key
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY 1 ORDER BY c_nationkey ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

@@ -102,18 +102,6 @@ trait ServerClient {
       aggs: Seq[GroupAgg]): Iterator[BDoc]
 }
 
-/** One aggregate inside a pushed server-side `$group` stage. */
-sealed trait GroupAgg extends Serializable { def alias: String }
-object GroupAgg {
-  final case class CountAll(alias: String) extends GroupAgg
-  /** COUNT(col): non-null, non-missing values only (Spark semantics;
-    * renders as `$sum` of a `$cond` on the value's `$type`). */
-  final case class CountCol(col: String, alias: String) extends GroupAgg
-  final case class MinOf(col: String, alias: String) extends GroupAgg
-  final case class MaxOf(col: String, alias: String) extends GroupAgg
-  final case class SumOf(col: String, alias: String) extends GroupAgg
-}
-
 object ServerClient {
   final case class CollStats(count: Long, avgObjSizeBytes: Long)
 }

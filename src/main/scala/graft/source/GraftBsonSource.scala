@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.nio.file.{Files, Paths}
@@ -266,6 +266,44 @@ object AggPush {
   }
 }
 
+/** One aggregate inside a pushed GROUPED aggregation — shared by the
+  * file source (folded into per-split partial rows by
+  * [[GroupedAggPartitionReader]]) and the server source (rendered into
+  * the `$group` pipeline, `graft.server.QueryDocs.groupStages`).
+  */
+sealed trait GroupAgg extends Serializable { def alias: String }
+object GroupAgg {
+  final case class CountAll(alias: String) extends GroupAgg
+  /** COUNT(col): non-null, non-missing values only (Spark semantics; the
+    * server renders it as `$sum` of a `$cond` on the value's `$type`). */
+  final case class CountCol(col: String, alias: String) extends GroupAgg
+  final case class MinOf(col: String, alias: String) extends GroupAgg
+  final case class MaxOf(col: String, alias: String) extends GroupAgg
+  final case class SumOf(col: String, alias: String) extends GroupAgg
+}
+
+/** A pushed grouped aggregation on the FILE source: group columns (with
+  * their Spark types — empty for a filtered-GLOBAL aggregate), the TABLE
+  * types of every aggregate input column (for the projected decode), and
+  * each aggregate with its partial-result Spark type. Each byte-split
+  * folds its rows into per-group partial rows; the pushdown is PARTIAL,
+  * so Spark's final aggregate re-groups and merges them — the same
+  * protocol as the global per-file partials and the server's `$group`
+  * pipeline.
+  */
+final case class FileGroupedAgg(
+    groupCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    inputTypes: Map[String, org.apache.spark.sql.types.DataType],
+    items: Seq[(GroupAgg, org.apache.spark.sql.types.DataType)]) {
+  def schema: StructType = StructType(
+    groupCols.map { case (c, dt) => StructField(c, dt) } ++
+      items.map { case (g, dt) => StructField(g.alias, dt) })
+  override def toString: String =
+    (if (groupCols.isEmpty) "GLOBAL"
+     else s"GROUP BY ${groupCols.map(_._1).mkString(", ")}") +
+      s" [${items.map(_._1.alias).mkString(", ")}]"
+}
+
 final class GraftScanBuilder(tableSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
@@ -336,7 +374,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // order; a pushed top-n would re-sort before it and change which
     // rows it keeps — refuse rather than reorder an explicit option
     val eligible = orders.length == 1 && residualFilters.isEmpty &&
-      aggPushed.isEmpty && offset.isEmpty &&
+      aggPushed.isEmpty && groupedAgg.isEmpty && offset.isEmpty &&
       !options.contains("sort") && !options.contains("collections") &&
       !options.contains("limit")
     if (!eligible) return false
@@ -367,19 +405,40 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       options.get("splitter").contains("single") &&
       options.get("path").exists(p => GraftBsonSource.dataFiles(p).size == 1)
   override def pushOffset(n: Int): Boolean =
-    if (provablySinglePartition) { offset = Some(n); true } else false
+    if (provablySinglePartition && aggPushed.isEmpty && groupedAgg.isEmpty) {
+      offset = Some(n); true
+    } else false
 
-  /** Aggregate pushdown (SupportsPushDownAggregates): global (no group-by)
-    * COUNT(*)/MIN/MAX only, and only when the ENTIRE filter surface is
-    * empty — a pushed or option-level query would make the side-file doc
-    * count wrong. Reported as PARTIAL: each data file emits its one
-    * (count|min|max) row and Spark's final aggregate folds them, which
-    * keeps the pushdown correct for any number of files and partitions.
+  /** Aggregate pushdown (SupportsPushDownAggregates), two strategies in
+    * preference order:
+    *
+    *  1. Global COUNT(*)/MIN/MAX with NO filter surface — the zero- or
+    *     near-zero-IO path: COUNT(*) from `.splits` side files / header
+    *     walks (no body decode), MIN/MAX one projected single-field
+    *     pass. A pushed or option-level query would make the side-file
+    *     doc count wrong, so any filter refuses this path.
+    *  2. Everything else — GROUPED (or filtered-global) per-split
+    *     partials ([[pushGroupedAggregation]]): each byte-split decodes
+    *     ONLY the group-key and aggregate input columns (bodies
+    *     byte-skipped) and folds its rows into per-group partial rows.
+    *     (AVG arrives here as Spark's partial-pushdown SUM+COUNT
+    *     rewrite.)
+    *
+    * Both report PARTIAL: Spark's final aggregate re-groups and folds
+    * the partial rows, which keeps the pushdown correct for any number
+    * of files and partitions.
     */
   private var aggPushed: Option[Seq[AggPush]] = None
+  private var groupedAgg: Option[FileGroupedAgg] = None
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val eligible = aggregation.groupByExpressions.isEmpty &&
+    if (aggregation.groupByExpressions.isEmpty && tryGlobalAggregation(aggregation))
+      return true
+    pushGroupedAggregation(aggregation)
+  }
+
+  private def tryGlobalAggregation(aggregation: Aggregation): Boolean = {
+    val eligible =
       pushedQuery == BQuery.True && !options.contains("query") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       !options.contains("collections") &&
@@ -405,12 +464,93 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     else { aggPushed = Some(items.flatten); true }
   }
 
+  /** GROUPED / filtered-global aggregate pushdown: per-split partial
+    * rows over a projected decode of ONLY the group-key and aggregate
+    * input columns. Unlike the server path, pushed and option-level
+    * queries are ACCEPTED — the reader evaluates them with the engine's
+    * own exact [[BQuery.matches]] before folding (only residual filters
+    * refuse: they run above the scan and the rows are gone after
+    * grouping). Group keys group by the READ value (exact — Spark
+    * re-groups the same values); MIN/MAX fold under Spark's own
+    * interpreted ordering of read values (so even String and NaN-bearing
+    * Double keys are exact here, unlike the server's BSON-bracket
+    * caveats); SUM accumulates Long for integer columns (overflow
+    * faults, matching ANSI) and Double otherwise.
+    */
+  private def pushGroupedAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    val eligible = residualFilters.isEmpty &&
+      limit.isEmpty && offset.isEmpty && topN.isEmpty &&
+      !options.contains("collections") && !options.contains("limit")
+    if (!eligible) return false
+    def field(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[org.apache.spark.sql.types.StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    val groupFields = aggregation.groupByExpressions.toSeq.map(e =>
+      field(e).filter(f => GroupKeyTypes.contains(f.dataType)))
+    if (groupFields.contains(None)) return false
+    val items: Seq[Option[(GroupAgg, DataType)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: aggregate.CountStar =>
+          Some((GroupAgg.CountAll("count(*)"), LongType: DataType))
+        case c: aggregate.Count if !c.isDistinct =>
+          field(c.column).map(f =>
+            (GroupAgg.CountCol(f.name, s"count(${f.name})"), LongType: DataType))
+        case m: aggregate.Min =>
+          field(m.column).filter(f => GroupMinMaxTypes.contains(f.dataType))
+            .map(f => (GroupAgg.MinOf(f.name, s"min(${f.name})"), f.dataType))
+        case m: aggregate.Max =>
+          field(m.column).filter(f => GroupMinMaxTypes.contains(f.dataType))
+            .map(f => (GroupAgg.MaxOf(f.name, s"max(${f.name})"), f.dataType))
+        case sm: aggregate.Sum if !sm.isDistinct =>
+          field(sm.column).collect {
+            case f if f.dataType == IntegerType || f.dataType == LongType =>
+              (GroupAgg.SumOf(f.name, s"sum(${f.name})"), LongType: DataType)
+            case f if f.dataType == DoubleType =>
+              (GroupAgg.SumOf(f.name, s"sum(${f.name})"), DoubleType: DataType)
+          }
+        case _ => None
+      }
+    if (items.isEmpty || items.contains(None)) return false
+    val inputCols = items.flatten.map(_._1).collect {
+      case GroupAgg.CountCol(c, _) => c
+      case GroupAgg.MinOf(c, _) => c
+      case GroupAgg.MaxOf(c, _) => c
+      case GroupAgg.SumOf(c, _) => c
+    }.distinct
+    val inputTypes = inputCols.map(c =>
+      c -> tableSchema.fields.find(_.name == c).get.dataType).toMap
+    groupedAgg = Some(FileGroupedAgg(
+      groupFields.flatten.map(f => (f.name, f.dataType)), inputTypes,
+      items.flatten))
+    true
+  }
+
   /** Spark-type domains where the fold in [[AggPartitionReader]] is
     * exactly Spark's own Min/Max ordering (TypeUtils interpreted ordering).
     */
   private val AggPushTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     Set(IntegerType, LongType, DoubleType, FloatType, StringType)
+  }
+
+  /** Group-key types: grouping is by the READ value, so any readable
+    * atomic equality works; FloatType is absent because RowCodec has no
+    * BSON→Float read at all. */
+  private val GroupKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, IntegerType, LongType, DoubleType, BooleanType, TimestampType)
+  }
+
+  /** Grouped MIN/MAX types: folded under Spark's interpreted ordering of
+    * read values — exact for every readable atomic type. */
+  private val GroupMinMaxTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, DoubleType, StringType, BooleanType, TimestampType)
   }
 
   override def build(): Scan = {
@@ -423,7 +563,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val optionLimit = options.get("limit").map(_.toInt)
     val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
-      offset, aggPushed, topNSort = topN.map(t => (t._1, t._3)))
+      offset, aggPushed, topNSort = topN.map(t => (t._1, t._3)),
+      grouped = groupedAgg)
   }
 }
 
@@ -576,7 +717,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     mapping: Map[String, String] = Map.empty,
     offset: Option[Int] = None,
     pushedAgg: Option[Seq[AggPush]] = None,
-    topNSort: Option[(String, org.apache.spark.sql.types.DataType)] = None)
+    topNSort: Option[(String, org.apache.spark.sql.types.DataType)] = None,
+    grouped: Option[FileGroupedAgg] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
 
@@ -600,7 +742,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // a pushed limit/offset counts rows of the UNFILTERED stream — any
     // runtime narrowing under it would change which rows it keeps
-    if (pushedAgg.isDefined || options.contains("collections") ||
+    if (pushedAgg.isDefined || grouped.isDefined ||
+        options.contains("collections") ||
         limit.isDefined || offset.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
       .flatMap(sparkColFor)
@@ -621,15 +764,19 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       if (merged.valuesIterator.map(_.size).sum > 10000) Map.empty else merged
   }
 
-  override def readSchema(): StructType = pushedAgg match {
-    case Some(items) =>
+  override def readSchema(): StructType = (grouped, pushedAgg) match {
+    case (Some(g), _) =>
+      // Spark's grouped-pushdown layout: group columns first, then the
+      // aggregate columns (V2ScanRelationPushDown's zip order)
+      g.schema
+    case (None, Some(items)) =>
       import org.apache.spark.sql.types._
       StructType(items.map {
         case AggPush.RowCount => StructField("count(*)", LongType, nullable = false)
         case AggPush.MinOf(c, t) => StructField(s"min($c)", t)
         case AggPush.MaxOf(c, t) => StructField(s"max($c)", t)
       })
-    case None => requiredSchema
+    case _ => requiredSchema
   }
   override def toBatch: Batch = this
 
@@ -645,9 +792,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     options.get("sort") match {
       // a pushed aggregate replaces the scan output with the agg schema
-      // (count(*)/min/max) — reporting the sort column would hand Spark
-      // a SortOrder it cannot resolve against this scan
-      case Some(_) if pushedAgg.isDefined => Array.empty
+      // (count(*)/min/max or group+agg columns) — reporting the sort
+      // column would hand Spark a SortOrder it cannot resolve against
+      // this scan
+      case Some(_) if pushedAgg.isDefined || grouped.isDefined => Array.empty
       // multi-collection entries may override sort per entry — a single
       // scan-level ordering claim would be wrong for those partitions
       case Some(docKey) if !options.contains("collections") =>
@@ -669,6 +817,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   override def description(): String =
     s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
       pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
+      grouped.map(g => s", PushedGroupedAggregate: $g").getOrElse("") +
       topNSort.map { case (k, _) =>
         s", PushedTopN: $k ASC LIMIT ${limit.getOrElse(-1)}" }.getOrElse("")
 
@@ -742,6 +891,29 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    grouped match {
+      case Some(g) =>
+        // grouped partials per BYTE-SPLIT (the same parallelism a row
+        // scan gets — a grouped aggregate over one huge file must not
+        // serialize into one task); each split folds its rows into
+        // per-group partial rows over a projected decode
+        val files = GraftBsonSource.dataFiles(options.getOrElse("path",
+          throw new IllegalArgumentException("path option required")))
+        val splitSize = options.get("split_size").map(_.toLong)
+          .getOrElse(8L * 1024 * 1024)
+        val parts = files.flatMap(f =>
+          BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
+            GroupedAggPartition(f, s, e, query, g, mapping): InputPartition
+          })
+        return (
+          if (parts.nonEmpty || g.groupCols.nonEmpty) parts.toArray
+          // empty collection + GLOBAL aggregate: one sentinel partition
+          // so the final fold sees a count-0 partial, not zero rows
+          // (the q58 zero-partition COUNT lesson)
+          else Array(GroupedAggPartition("", 0L, 0L, query, g,
+            mapping): InputPartition))
+      case None => ()
+    }
     pushedAgg match {
       case Some(items) =>
         // one partial-aggregate row per data file; bodies only read when a
@@ -1129,8 +1301,163 @@ final class GraftReaderFactory(requiredSchema: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case a: AggInputPartition => new AggPartitionReader(a)
+      case g: GroupedAggPartition => new GroupedAggPartitionReader(g)
       case p: GraftInputPartition => new GraftPartitionReader(p, requiredSchema)
     }
+}
+
+/** One byte-split of a pushed grouped aggregation: path "" is the
+  * empty-collection sentinel (GLOBAL aggregates only). */
+final case class GroupedAggPartition(path: String, start: Long, end: Long,
+    query: BQuery, grouped: FileGroupedAgg,
+    mapping: Map[String, String]) extends InputPartition
+
+/** Folds one byte-split's rows into per-group PARTIAL rows. The inner
+  * row scan decodes ONLY the group-key and aggregate input columns
+  * (everything else is byte-skipped by the projected decoder) and
+  * evaluates the pushed/option query with the engine's exact
+  * [[BQuery.matches]]. Memory is bounded: when the group map passes
+  * [[GroupedAggPartitionReader.FlushGroups]] distinct groups, the
+  * current partials are EMITTED and the map reset — correct under the
+  * PARTIAL protocol (Spark re-groups and folds), so a high-cardinality
+  * key degrades to more partial rows, never to an unbounded hash map.
+  * MIN/MAX fold under Spark's own interpreted ordering of read values;
+  * SUM uses an overflow-checked long for integer columns (ANSI
+  * semantics) and IEEE double otherwise; a GLOBAL aggregation (no group
+  * columns) seeds the empty group so an empty split still emits its
+  * count-0 partial.
+  */
+final class GroupedAggPartitionReader(p: GroupedAggPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.types._
+  import GroupedAggPartitionReader.FlushGroups
+
+  private val g = p.grouped
+  // inner scan schema: group columns, then the distinct aggregate input
+  // columns not already among them (table types — the decode types)
+  private val extraInputs: Seq[(String, DataType)] =
+    g.inputTypes.toSeq.filterNot { case (c, _) => g.groupCols.exists(_._1 == c) }
+      .sortBy(_._1)
+  private val innerSchema = StructType(
+    (g.groupCols ++ extraInputs).map { case (c, t) => StructField(c, t) })
+  private val colIdx: Map[String, Int] =
+    (g.groupCols ++ extraInputs).map(_._1).zipWithIndex.toMap
+  private val colType: Map[String, DataType] =
+    (g.groupCols ++ extraInputs).toMap
+
+  private val inner: GraftPartitionReader =
+    if (p.path.isEmpty) null
+    else new GraftPartitionReader(
+      GraftInputPartition(p.path, p.start, p.end, p.query, mapping = p.mapping),
+      innerSchema)
+
+  private def cloned(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+    case other => other
+  }
+
+  // per-item fold state factory + updater
+  private val orderings: Map[String, Ordering[Any]] =
+    colType.map { case (c, t) =>
+      c -> org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(t)
+        .asInstanceOf[Ordering[Any]]
+    }
+
+  private def newStates(): Array[Any] = g.items.map {
+    case (GroupAgg.CountAll(_) | GroupAgg.CountCol(_, _), _) => 0L: Any
+    case _ => null
+  }.toArray
+
+  private def absorb(states: Array[Any], r: InternalRow): Unit = {
+    var i = 0
+    while (i < g.items.length) {
+      g.items(i)._1 match {
+        case GroupAgg.CountAll(_) =>
+          states(i) = states(i).asInstanceOf[Long] + 1L
+        case GroupAgg.CountCol(c, _) =>
+          if (!r.isNullAt(colIdx(c)))
+            states(i) = states(i).asInstanceOf[Long] + 1L
+        case GroupAgg.MinOf(c, _) =>
+          val j = colIdx(c)
+          if (!r.isNullAt(j)) {
+            val v = cloned(r.get(j, colType(c)))
+            if (states(i) == null || orderings(c).compare(v, states(i)) < 0)
+              states(i) = v
+          }
+        case GroupAgg.MaxOf(c, _) =>
+          val j = colIdx(c)
+          if (!r.isNullAt(j)) {
+            val v = cloned(r.get(j, colType(c)))
+            if (states(i) == null || orderings(c).compare(v, states(i)) > 0)
+              states(i) = v
+          }
+        case GroupAgg.SumOf(c, _) =>
+          val j = colIdx(c)
+          if (!r.isNullAt(j)) {
+            if (g.items(i)._2 == LongType) {
+              val v = colType(c) match {
+                case IntegerType => r.getInt(j).toLong
+                case _ => r.getLong(j)
+              }
+              states(i) =
+                if (states(i) == null) v
+                else Math.addExact(states(i).asInstanceOf[Long], v)
+            } else {
+              val v = r.getDouble(j)
+              states(i) =
+                if (states(i) == null) v
+                else states(i).asInstanceOf[Double] + v
+            }
+          }
+      }
+      i += 1
+    }
+  }
+
+  private var exhausted = p.path.isEmpty && g.groupCols.nonEmpty
+  private var batch: Iterator[InternalRow] = Iterator.empty
+  private var sentinelDone = false
+  private var current: InternalRow = _
+
+  /** Read inner rows into a fresh group map until the flush cap or EOF,
+    * then emit the map as partial rows. */
+  private def nextBatch(): Iterator[InternalRow] = {
+    val map = scala.collection.mutable.LinkedHashMap.empty[Vector[Any], Array[Any]]
+    if (g.groupCols.isEmpty && !sentinelDone) {
+      // seed the global group: an empty split still emits count-0
+      map.put(Vector.empty, newStates())
+      sentinelDone = true
+    }
+    if (inner != null) {
+      var go = true
+      while (go && inner.next()) {
+        val r = inner.get()
+        val key = Vector.tabulate(g.groupCols.length)(i =>
+          if (r.isNullAt(i)) null else cloned(r.get(i, g.groupCols(i)._2)))
+        absorb(map.getOrElseUpdate(key, newStates()), r)
+        if (map.size >= FlushGroups) go = false
+      }
+      if (go) exhausted = true
+    } else exhausted = true
+    map.iterator.map { case (key, states) =>
+      InternalRow.fromSeq(key ++ states)
+    }
+  }
+
+  override def next(): Boolean = {
+    while (!batch.hasNext && !exhausted) batch = nextBatch()
+    if (batch.hasNext) { current = batch.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (inner != null) inner.close()
+}
+
+object GroupedAggPartitionReader {
+  /** Distinct groups held in one split's map before a flush — bounds
+    * reader memory independent of key cardinality (a flush just emits
+    * more partial rows for Spark to fold). */
+  val FlushGroups: Int = 1 << 17
 }
 
 final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructType)
