@@ -109,7 +109,24 @@ object Bench {
         s"${jstr("runs")}:[${v.mkString(",")}]}"
     }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"run_detail":$rs,"n_ok":${timings.size},"n_err":${errors.size},"runs_per_query":$runs,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"run_detail":$rs,"n_ok":${timings.size},"n_err":${errors.size},"runs_per_query":$runs,"sf":"$sfDir"}"""
+    println(fullJson)
+    // the full per-query JSON above can overflow a log-tail capture (the
+    // r11 driver ledger kept only its last 2000 chars and lost 105 of 122
+    // entries) — so ALSO (a) persist it to a repo file a reader can diff
+    // without re-running, and (b) print a COMPACT summary line LAST:
+    // tails keep the end, and this line alone carries the headline
+    // (total / counts / top-5) in well-formed JSON
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_detail.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), fullJson + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
+    val top5 = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timings.size + errors.size},"n_ok":${timings.size},"n_err":${errors.size},"top5_sec":$top5,"runs_per_query":$runs,"detail_file":${jstr(detailPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,123 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LIVE-SERVER integration gate, env-gated on `MONGO_URI`: every test
+  * cancels (ScalaTest `assume`) when no server is configured, so the
+  * default `sbt test` run stays green in a sandbox with no MongoDB. With
+  * a real deployment and the real `mongodb-driver-sync` (4.x+) jar on
+  * the test classpath, this suite drives the exact shapes the sandboxed
+  * catalog gates oracle-side — q69 (write/read round-trip), q121/q124/
+  * q125 (grouped, filtered-global, and multi-key `$group` pipelines —
+  * including the all-null-SUM group where a REAL server answers
+  * `$sum: 0` and the binding must correct it to NULL), and q122/q123
+  * (single and compound TopN cursor sorts) — against real wire
+  * behavior. See RUNBOOK.md for the invocation and the cleanup note
+  * (the suite writes into the `graft_it` database).
+  *
+  * Run: `MONGO_URI="mongodb://host:27017" sbt "testOnly graft.server.RealMongoIntegrationSpec"`
+  * (driver jar: drop `mongodb-driver-sync` + `bson` + `mongodb-driver-core`
+  * into a lib/ dir or add them to `Test/unmanagedJars`).
+  */
+class RealMongoIntegrationSpec extends SparkSpec {
+
+  private val uri = sys.env.get("MONGO_URI")
+
+  /** Unique per-JVM namespace suffix, so reruns never collide with
+    * leftover collections (nanoTime, not a counter: two sbt forks may
+    * run concurrently against one server). */
+  private val runId = java.lang.Long.toHexString(System.nanoTime())
+
+  private def opts(coll: String): Map[String, String] = Map(
+    "ns" -> s"graft_it.${coll}_$runId",
+    "uri" -> uri.getOrElse(""),
+    "client_factory" -> classOf[MongoDriverFactory].getName)
+
+  private def live(): Unit =
+    assume(uri.isDefined, "MONGO_URI not set — live-server gate skipped")
+
+  test("live: write/read round-trip with filter+projection pushdown (q69 shape)") {
+    live()
+    import spark.implicits._
+    val src = graft.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    src.write.format("graftserver").options(opts("rt"))
+      .option("id_column", "c_custkey").mode("append").save()
+    val back = spark.read.format("graftserver").options(opts("rt")).load()
+    assert(back.count() === src.count())
+    val expect = src.filter($"c_acctbal" > 1000.0).count()
+    assert(back.filter($"c_acctbal" > 1000.0).count() === expect)
+  }
+
+  test("live: grouped $group pipeline incl. the all-null SUM group (q121 shape)") {
+    live()
+    import spark.implicits._
+    // group "X" carries only null v's: a real server's $sum answers 0
+    // there; the sumPresenceAlias companion must correct it to NULL
+    val src = Seq[(Long, String, java.lang.Double)](
+      (1L, "X", null), (2L, "X", null), (3L, "Y", 5.0), (4L, "Y", 7.0),
+      (5L, null, 2.0)).toDF("k", "g", "v")
+    src.write.format("graftserver").options(opts("grp"))
+      .option("id_column", "k").mode("append").save()
+    val q = spark.read.format("graftserver").options(opts("grp"))
+      .schema("_id LONG, g STRING, v DOUBLE").load()
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        min($"v").as("mn"), sum($"v").as("s"), avg($"v").as("a"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GROUP BY g"))
+    val got = q.collect()
+      .map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    val expect = src.groupBy($"g")
+      .agg(count(lit(1)), count($"v"), min($"v"), sum($"v"), avg($"v"))
+      .collect().map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    assert(got === expect,
+      "live grouped pipeline must match Spark semantics exactly " +
+        "(X's sum NULL, not the server's $sum: 0)")
+  }
+
+  test("live: filtered GLOBAL _id:null pipeline (q124 shape)") {
+    live()
+    import spark.implicits._
+    val src = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    src.write.format("graftserver").options(opts("glob"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    val q = spark.read.format("graftserver").options(opts("glob"))
+      .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      .filter($"o_totalprice" > 50000.0)
+      .agg(count(lit(1)).as("n"), sum($"o_custkey").as("s"),
+        max($"o_totalprice").as("mx"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GLOBAL"))
+    val r = q.collect().head
+    val e = src.filter($"o_totalprice" > 50000.0)
+      .agg(count(lit(1)), sum($"o_custkey"), max($"o_totalprice")).collect().head
+    assert(r.toSeq === e.toSeq)
+    // empty match: count 0 (sentinel partial), not NULL
+    val z = spark.read.format("graftserver").options(opts("glob"))
+      .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      .filter($"o_totalprice" > 1e12)
+      .agg(count(lit(1)).as("n")).collect().head
+    assert(z.getLong(0) === 0L)
+  }
+
+  test("live: compound TopN cursor sort under uniform storage (q122/q123 shape)") {
+    live()
+    import spark.implicits._
+    val src = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    src.write.format("graftserver").options(opts("topn"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    val q = spark.read.format("graftserver").options(opts("topn"))
+      .option("assume_uniform_storage", "true")
+      .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      .orderBy($"o_custkey".desc, $"_id".asc).limit(10)
+      .select($"_id", $"o_custkey")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    val expect = src.orderBy($"o_custkey".desc, $"o_orderkey".asc).limit(10)
+      .select($"o_orderkey", $"o_custkey").collect().map(_.toSeq).toSeq
+    assert(q.collect().map(_.toSeq).toSeq === expect)
+  }
+}
