@@ -515,6 +515,33 @@ object ConnectorQueries {
         |GROUP BY 1 ORDER BY c_nationkey ASC NULLS FIRST
         |""".stripMargin)),
 
+    // FILE-source TopN pushdown, now DESC + tie-broken (round-12;
+    // previously spec-only and single-ASC): ORDER BY price DESC, _id ASC
+    // LIMIT n plans as a bounded per-split selection by the READ values
+    // (exact long/double keys — no BSON-bracket caveats and no
+    // uniform-storage opt-in needed on the file path), folded by Spark's
+    // TakeOrdered. _id-uniqueness makes the oracle deterministic.
+    CatalogQuery(
+      "q127_file_topn_desc",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_totalprice")
+          .write.format("graftbson").option("id_column", "o_orderkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, o_totalprice DOUBLE")
+          .load(dir)
+          .orderBy($"o_totalprice".desc, $"_id".asc)
+          .limit(25)
+          .select($"_id", $"o_totalprice")
+      },
+      Some("""
+        |SELECT o_orderkey AS _id, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, _id ASC LIMIT 25
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

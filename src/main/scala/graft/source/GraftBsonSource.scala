@@ -343,22 +343,24 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** TopN (ORDER BY k LIMIT n) pushdown — the reference's per-split
-    * `cursor.sort().limit()` (MongoInputSplit.java:281-296), reported
-    * PARTIAL: each partition returns its own sorted top-n and Spark's
-    * global sort+limit folds them, which is exact because a partition's
-    * local top-n is a superset of its contribution to the global one.
-    * Accepted only for a single ASC NULLS FIRST order; the reader selects
-    * by the value AS SPARK READS it (exact long/µs/double keys — NOT the
-    * BSON cross-type order, whose double-widened long comparison ties
-    * distinct values above 2^53 and sorts date-storage in the wrong
-    * bracket for a LongType read). String columns are refused: a string
-    * read can come from four storage brackets and the read-string order
-    * is not a cursor order any server could produce. Residual filters
-    * also refuse: they run ABOVE the scan, and a pre-filter top-n might
-    * not survive them.
+  /** TopN (ORDER BY k1[, k2, ...] LIMIT n) pushdown — the reference's
+    * per-split `cursor.sort().limit()` (MongoInputSplit.java:281-296),
+    * reported PARTIAL: each partition returns its own sorted top-n and
+    * Spark's global sort+limit folds them, which is exact because a
+    * partition's local top-n is a superset of its contribution to the
+    * global one. The reader selects by the values AS SPARK READS them
+    * (exact long/µs/double keys — NOT the BSON cross-type order, whose
+    * double-widened long comparison ties distinct values above 2^53 and
+    * sorts date-storage in the wrong bracket for a LongType read), so
+    * BOTH directions push; each key's null ordering must be Spark's
+    * default for its direction (ASC NULLS FIRST / DESC NULLS LAST — the
+    * orderings the bounded selector implements). String columns are
+    * refused: a string read can come from four storage brackets and the
+    * read-string order is not a cursor order any server could produce.
+    * Residual filters also refuse: they run ABOVE the scan, and a
+    * pre-filter top-n might not survive them.
     */
-  private var topN: Option[(String, Int, org.apache.spark.sql.types.DataType)] = None
+  private var topN: Option[(Seq[(String, Boolean, org.apache.spark.sql.types.DataType)], Int)] = None
 
   // FloatType deliberately absent: RowCodec has no BSON -> FloatType read,
   // so a FloatType column cannot be scanned at all
@@ -373,24 +375,29 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // option-level `limit` is a PER-PARTITION cursor limit over cursor
     // order; a pushed top-n would re-sort before it and change which
     // rows it keeps — refuse rather than reorder an explicit option
-    val eligible = orders.length == 1 && residualFilters.isEmpty &&
+    val eligible = orders.nonEmpty && residualFilters.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && offset.isEmpty &&
       !options.contains("sort") && !options.contains("collections") &&
       !options.contains("limit")
     if (!eligible) return false
-    val o = orders.head
-    if (o.direction != SortDirection.ASCENDING ||
-        o.nullOrdering != NullOrdering.NULLS_FIRST) return false
-    o.expression match {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames.length == 1 =>
-        val col = nr.fieldNames.head
-        tableSchema.fields.find(_.name == col).filter(f => TopNTypes.contains(f.dataType)) match {
-          case Some(f) => topN = Some((mapping.getOrElse(col, col), n, f.dataType)); true
-          case None => false
+    val spec: Seq[Option[(String, Boolean, org.apache.spark.sql.types.DataType)]] =
+      orders.toSeq.map { o =>
+        o.expression match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.length == 1 =>
+            val col = nr.fieldNames.head
+            val desc = o.direction == SortDirection.DESCENDING
+            val nullsOk =
+              if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
+              else o.nullOrdering == NullOrdering.NULLS_FIRST
+            tableSchema.fields.find(_.name == col)
+              .filter(f => nullsOk && TopNTypes.contains(f.dataType))
+              .map(f => (mapping.getOrElse(col, col), desc, f.dataType))
+          case _ => None
         }
-      case _ => false
-    }
+      }
+    if (spec.contains(None)) false
+    else { topN = Some((spec.flatten, n)); true }
   }
 
   /** Offset (skip) pushdown — the mongo.input.skip analog
@@ -563,7 +570,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val optionLimit = options.get("limit").map(_.toInt)
     val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
-      offset, aggPushed, topNSort = topN.map(t => (t._1, t._3)),
+      offset, aggPushed, topNSort = topN.map(_._1),
       grouped = groupedAgg)
   }
 }
@@ -717,7 +724,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     mapping: Map[String, String] = Map.empty,
     offset: Option[Int] = None,
     pushedAgg: Option[Seq[AggPush]] = None,
-    topNSort: Option[(String, org.apache.spark.sql.types.DataType)] = None,
+    topNSort: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None,
     grouped: Option[FileGroupedAgg] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
@@ -818,8 +825,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
       pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s", PushedGroupedAggregate: $g").getOrElse("") +
-      topNSort.map { case (k, _) =>
-        s", PushedTopN: $k ASC LIMIT ${limit.getOrElse(-1)}" }.getOrElse("")
+      topNSort.map { spec =>
+        val order = spec.map { case (k, desc, _) =>
+          s"$k ${if (desc) "DESC" else "ASC"}" }.mkString(", ")
+        s", PushedTopN: $order LIMIT ${limit.getOrElse(-1)}" }.getOrElse("")
 
   /** Size estimate from the data files so Catalyst can pick broadcast
     * joins for small collections (the stats role collstats plays in the
@@ -836,12 +845,14 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     case None => options.get("path").map(GraftBsonSource.dataFiles).getOrElse(Seq.empty)
   }
 
-  /** Per-PARTITION sort key: a pushed TopN's order, else the `sort`
-    * option — cursor.sort parity with the reference
-    * (MongoInputSplit.java:281) — NOT a global order across partitions,
-    * exactly as in the reference; use Spark's orderBy for that.
+  /** Per-PARTITION cursor-sort key (`sort` option) — cursor.sort parity
+    * with the reference (MongoInputSplit.java:281) — NOT a global order
+    * across partitions, exactly as in the reference; use Spark's orderBy
+    * for that. A pushed TopN rides its own [[GraftInputPartition
+    * .topNSpec]] channel instead (the two are mutually exclusive:
+    * pushTopN refuses when a `sort` option is set).
     */
-  private val sortKey: Option[String] = topNSort.map(_._1).orElse(options.get("sort"))
+  private val sortKey: Option[String] = options.get("sort")
 
   /** Plan one collection's partitions under a given strategy — shared by
     * the single-collection path and each entry of multi-collection mode
@@ -854,21 +865,18 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       q: BQuery, lim: Option[Int], sort: Option[String],
       off: Option[Int],
       runtimeKeyValues: Option[Seq[BsonValue]] = None): Seq[InputPartition] = {
-    // a pushed TopN selects by the READ value of its order column; plain
-    // `sort`-option partitions keep the BSON cursor order
-    val readType = topNSort.collect { case (k, dt) if sort.contains(k) => dt }
     strategy match {
     case "bytes" =>
       files.flatMap { f =>
         BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
           GraftInputPartition(f, s, e, q, lim, mapping, sort,
-            topNType = readType): InputPartition
+            topNSpec = topNSort): InputPartition
         }
       }
     case "single" =>
       files.map(f =>
         GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
-          offset = off, topNType = readType): InputPartition)
+          offset = off, topNSpec = topNSort): InputPartition)
     case other =>
       // key-range strategies via the pure planners + file-backed stats;
       // chunk/shard maps arrive as option-level JSON (the config.chunks /
@@ -884,7 +892,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           filterEmpty = filterEmpty, runtimeKeyValues = runtimeKeyValues)
           .map { case (pq, locs) =>
             GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
-              locations = locs, topNType = readType): InputPartition
+              locations = locs, topNSpec = topNSort): InputPartition
           }
       }
     }
@@ -1287,9 +1295,11 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
     sortKey: Option[String] = None,
     locations: Seq[String] = Seq.empty,
     offset: Option[Int] = None,
-    /** Set for a pushed TopN: order by the value AS SPARK READS it (this
-      * Spark type), with a limit-bounded selection buffer. */
-    topNType: Option[org.apache.spark.sql.types.DataType] = None) extends InputPartition {
+    /** Set for a pushed TopN: (doc field, descending, read type) per
+      * order key — select by the values AS SPARK READS them with a
+      * limit-bounded selection buffer. */
+    topNSpec: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None)
+    extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
     */
@@ -1468,7 +1478,8 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
     requiredSchema.fieldNames.toSet ++
       p.mapping.values.map(_.split('.').head) ++
       BQuery.fieldHeads(p.query) ++
-      p.sortKey.map(_.split('.').head)
+      p.sortKey.map(_.split('.').head) ++
+      p.topNSpec.toSeq.flatten.map(_._1.split('.').head)
   // keep the raw handle: with limit pushdown / early task kill the iterator
   // is never drained, so close() must release the file descriptor
   private val raw = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
@@ -1480,11 +1491,11 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
   // order would tie distinct longs above 2^53 (double-widened compare)
   // and mis-bracket date storage read as long, and a full sort would
   // materialize the partition when only `limit` rows survive.
-  private val sorted = (p.sortKey, p.topNType) match {
-    case (Some(key), Some(dt)) =>
-      GraftPartitionReader.topNSelect(base, key, dt,
+  private val sorted = (p.topNSpec, p.sortKey) match {
+    case (Some(spec), _) =>
+      GraftPartitionReader.topNSelect(base, spec,
         p.limit.getOrElse(Int.MaxValue))
-    case (Some(key), None) =>
+    case (None, Some(key)) =>
       base.toVector.sortBy(d => d.getPath(key).getOrElse(BNull))(BsonOrdering).iterator
     case _ => base
   }
@@ -1549,27 +1560,50 @@ object GraftPartitionReader {
       else java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
   }
 
-  /** Bounded top-n selection: O(m log n) time, O(n) memory — never
-    * materializes the partition the way a full sort would.
+  /** Bounded top-n selection under a (possibly compound) order spec:
+    * O(m log n) time, O(n) memory — never materializes the partition the
+    * way a full sort would. Per key: ASC is NULLS FIRST, DESC is NULLS
+    * LAST (Spark's defaults — the only orderings pushTopN accepts), and
+    * DESC is the exact negation of the None-first ascending comparator.
     */
-  private[source] def topNSelect(docs: Iterator[BDoc], key: String,
-      dt: DataType, n: Int): Iterator[BDoc] = {
-    val heap = new java.util.PriorityQueue[(Option[Any], BDoc)](
-      math.max(1, math.min(n, 1024)),
-      (a: (Option[Any], BDoc), b: (Option[Any], BDoc)) =>
-        cmpKeys(dt, b._1, a._1)) // max-heap: worst kept element on top
-    docs.foreach { d =>
-      val k = d.getPath(key) match {
-        case None | Some(BNull) => None
-        case Some(v) => Some(readKey(v, dt))
+  private[source] def topNSelect(docs: Iterator[BDoc],
+      spec: Seq[(String, Boolean, DataType)], n: Int): Iterator[BDoc] = {
+    def keysOf(d: BDoc): Array[Option[Any]] = {
+      val ks = new Array[Option[Any]](spec.length)
+      var i = 0
+      while (i < spec.length) {
+        ks(i) = d.getPath(spec(i)._1) match {
+          case None | Some(BNull) => None
+          case Some(v) => Some(readKey(v, spec(i)._3))
+        }
+        i += 1
       }
-      if (heap.size < n) heap.add((k, d))
-      else if (cmpKeys(dt, k, heap.peek()._1) < 0) { heap.poll(); heap.add((k, d)) }
+      ks
     }
-    val out = new Array[(Option[Any], BDoc)](heap.size)
+    def cmp(a: Array[Option[Any]], b: Array[Option[Any]]): Int = {
+      var i = 0
+      while (i < spec.length) {
+        val (_, desc, dt) = spec(i)
+        val c0 = cmpKeys(dt, a(i), b(i))
+        val c = if (desc) -c0 else c0
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+    val heap = new java.util.PriorityQueue[(Array[Option[Any]], BDoc)](
+      math.max(1, math.min(n, 1024)),
+      (a: (Array[Option[Any]], BDoc), b: (Array[Option[Any]], BDoc)) =>
+        cmp(b._1, a._1)) // max-heap: worst kept element on top
+    docs.foreach { d =>
+      val k = keysOf(d)
+      if (heap.size < n) heap.add((k, d))
+      else if (cmp(k, heap.peek()._1) < 0) { heap.poll(); heap.add((k, d)) }
+    }
+    val out = new Array[(Array[Option[Any]], BDoc)](heap.size)
     var i = 0
     while (!heap.isEmpty) { out(i) = heap.poll(); i += 1 }
-    // heap drains worst-first; reverse-in-place gives ascending order
+    // heap drains worst-first; reverse-in-place gives spec order
     out.reverse.iterator.map(_._2)
   }
 }
