@@ -46,7 +46,8 @@ import java.lang.reflect.{InvocationTargetException, Method}
   * so residual filtering composes in the same order as the engine's own
   * [[Find]] evaluation.
   */
-final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseable {
+final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
+    extends ServerClient with AutoCloseable {
   import MongoDriverClient.Rf
 
   private val client = Rf.createClient(uri)
@@ -188,7 +189,11 @@ final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseab
     val p = QueryDocs.plan(query)
     require(p.isExact && p.keyBounds.isEmpty,
       s"groupAggregate requires a fully server-renderable query, got $query")
-    Rf.cursor(Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs)))
+    val it = Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs))
+    // the one pipeline here that can exceed the server's 100 MB
+    // per-stage memory (a high-cardinality $group) — honor the opt-in
+    if (allowDiskUse) Rf.allowDiskUse(it, b = true)
+    Rf.cursor(it)
       .map { d =>
         // the server keys the group value(s) as _id (scalar for one key,
         // compound doc for several, null for the global pipeline); re-key
@@ -243,7 +248,8 @@ final class MongoDriverClient(uri: String) extends ServerClient with AutoCloseab
 final class MongoDriverFactory extends ServerClientFactory {
   override def create(options: Map[String, String]): ServerClient =
     new MongoDriverClient(options.getOrElse("uri",
-      throw new IllegalArgumentException("graftserver: MongoDriverFactory requires a 'uri' option")))
+      throw new IllegalArgumentException("graftserver: MongoDriverFactory requires a 'uri' option")),
+      allowDiskUse = options.get("allow_disk_use").exists(_.toBoolean))
 }
 
 object MongoDriverClient {
@@ -289,6 +295,7 @@ object MongoDriverClient {
       lazy val collIface = cls("com.mongodb.client.MongoCollection")
       lazy val iterableIface = cls("com.mongodb.client.MongoIterable")
       lazy val findIterIface = cls("com.mongodb.client.FindIterable")
+      lazy val aggIterIface = cls("com.mongodb.client.AggregateIterable")
       lazy val insertOneCls = cls("com.mongodb.client.model.InsertOneModel")
       lazy val replaceOneCls = cls("com.mongodb.client.model.ReplaceOneModel")
       lazy val updateOneCls = cls("com.mongodb.client.model.UpdateOneModel")
@@ -322,6 +329,7 @@ object MongoDriverClient {
     private def collIface = R.collIface
     private def iterableIface = R.iterableIface
     private def findIterIface = R.findIterIface
+    private def aggIterIface = R.aggIterIface
     private def insertOneCls = R.insertOneCls
     private def replaceOneCls = R.replaceOneCls
     private def updateOneCls = R.updateOneCls
@@ -384,6 +392,14 @@ object MongoDriverClient {
       val list = new java.util.ArrayList[Object]()
       stages.foreach(s => list.add(toRaw(s)))
       collIface.getMethod("aggregate", classOf[java.util.List[_]]).invoke(coll, list)
+    }
+
+    /** `AggregateIterable.allowDiskUse(true)` — lets a server-side
+      * `$group` spill past the 100 MB pipeline-stage memory limit (the
+      * deployment knob for high-cardinality pushed groupings). */
+    def allowDiskUse(aggIterable: Object, b: Boolean): Unit = unwrap {
+      val _ = aggIterIface.getMethod("allowDiskUse", classOf[java.lang.Boolean])
+        .invoke(aggIterable, java.lang.Boolean.valueOf(b))
     }
 
     /** Invoke a fluent FindIterable option taking a Bson (sort,

@@ -1,3 +1,5 @@
 package com.mongodb.client;
 
-public interface AggregateIterable extends MongoIterable {}
+public interface AggregateIterable extends MongoIterable {
+    AggregateIterable allowDiskUse(Boolean allowDiskUse);
+}

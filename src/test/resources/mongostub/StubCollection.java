@@ -15,6 +15,10 @@ public final class StubCollection implements MongoCollection {
         final java.util.List<byte[]> stages = new java.util.ArrayList<byte[]>();
         for (Object s : pipeline) stages.add(Stubs.bytesOf((Bson) s));
         return new AggregateIterable() {
+            public AggregateIterable allowDiskUse(Boolean allowDiskUse) {
+                graft.server.MongoStubBridge.noteAllowDiskUse(allowDiskUse);
+                return this;
+            }
             public MongoCursor iterator() {
                 return Stubs.cursorOf(
                     graft.server.MongoStubBridge.aggregate(db, coll, stages));

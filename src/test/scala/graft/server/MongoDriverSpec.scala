@@ -406,6 +406,28 @@ class MongoDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("stub driver: allow_disk_use reaches the aggregate iterable") {
+    val fake = new FakeServerClient()
+    try MongoStubLoader.withStubDriver(fake) { _ =>
+      fake.bulkWrite(Ns, Iterator(InsertOne(BDoc("_id" -> BInt32(1),
+        "g" -> BString("a")))), ordered = true)
+      val aggs = Seq(GroupAgg.CountAll("count(*)"))
+      // default: the knob is never invoked
+      MongoStubBridge.lastAllowDiskUse = None
+      val plain = new MongoDriverClient("mongodb://stub-host:27017/test")
+      try plain.groupAggregate(Ns, BQuery.True, Seq("g"), aggs).toVector
+      finally plain.close()
+      assert(MongoStubBridge.lastAllowDiskUse.isEmpty)
+      // opted in (the MongoDriverFactory `allow_disk_use` option):
+      // allowDiskUse(true) is called on the iterable before iteration
+      val dsk = new MongoDriverClient("mongodb://stub-host:27017/test",
+        allowDiskUse = true)
+      try dsk.groupAggregate(Ns, BQuery.True, Seq("g"), aggs).toVector
+      finally dsk.close()
+      assert(MongoStubBridge.lastAllowDiskUse.contains(true))
+    } finally fake.close()
+  }
+
   test("stub driver: global (_id: null) and compound (multi-key) group pipelines") {
     withDriver { (client, fake, _) =>
       seed(client)

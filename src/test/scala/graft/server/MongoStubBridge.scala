@@ -49,6 +49,12 @@ object MongoStubBridge {
       stages: java.util.List[Array[Byte]]): java.util.List[Array[Byte]] =
     backend.aggregate(db, coll, stages)
 
+  /** Last allowDiskUse(..) seen on an aggregate iterable — pins that the
+    * `allow_disk_use` option reaches the driver call. */
+  @volatile var lastAllowDiskUse: Option[Boolean] = None
+  def noteAllowDiskUse(b: java.lang.Boolean): Unit =
+    lastAllowDiskUse = Option(b).map(_.booleanValue)
+
   def bulkWrite(db: String, coll: String, ops: java.util.List[Array[Object]],
       ordered: Boolean): Array[Long] =
     backend.bulkWrite(db, coll, ops, ordered)
