@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * nearest-neighbor thumbnail resize) and genuine RIFF/WAVE PCM16
   * bytes ([[WavSynth]]) decoded with the JDK's `javax.sound.sampled`
   * (real header parse, real signed-sample reconstruction, real
-  * temporal downsample). Both derivations come from `doc_id`, so the
-  * DuckDB oracle predicts the DECODED values arithmetically without a
-  * media stack of its own; the engine still earns them by
-  * round-tripping actual codec streams. VIDEO payloads remain behind
-  * [[FakeDecoder]], the one clearly-marked deterministic stub (no
-  * video codec ships with the JDK); the schema, binary plumbing,
-  * batching and Encoder surface around it are real either way.
+  * temporal downsample). VIDEO payloads are now REAL too: genuine
+  * RIFF/AVI containers ([[AviSynth]] writes them, raw-DIB BI_RGB
+  * frames) demuxed and per-frame decoded by [[graft.multimodal.Avi]]
+  * (real chunk-tree walk, real `strh`/`strf` header parse, real
+  * bottom-up stride-padded BGR raster reconstruction; MJPEG frames
+  * decode through `javax.imageio` on the same path). All three
+  * derivations come from `doc_id`, so the DuckDB oracle predicts the
+  * DECODED values arithmetically without a media stack of its own; the
+  * engine still earns them by round-tripping actual codec streams.
+  * [[FakeDecoder]] remains only as the corrupt-payload fallback arm.
   */
 object Multimodal {
 
@@ -100,6 +103,88 @@ object Multimodal {
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
+    }
+  }
+
+  /** Deterministic AVI synthesis for the video fixture: a real RIFF/AVI
+    * container (written by [[Avi.write]]: full avih/strh/strf header
+    * chain, movi frame chunks, idx1 index) holding `nFrames` solid-gray
+    * raw-DIB frames whose dimensions, count, and per-frame gray value
+    * all derive from `doc_id` — which is what lets the SQL oracle
+    * predict the DECODED pixel statistics while the engine recovers
+    * them from a genuine container demux + raster reconstruction.
+    */
+  object AviSynth {
+    val Fps = 10
+    def width(docId: Long): Int = (8 + docId % 40).toInt
+    def height(docId: Long): Int = (8 + (docId / 5) % 40).toInt
+    def nFrames(docId: Long): Int = (2 + docId % 5).toInt
+    /** Solid gray value of frame `f` (all three channels). */
+    def gray(docId: Long, f: Int): Int = ((docId % 200).toInt + f * 17) % 256
+
+    def encode(docId: Long): Array[Byte] = {
+      val (w, h) = (width(docId), height(docId))
+      val frames = (0 until nFrames(docId)).map(f =>
+        Avi.solidDibFrame(w, h, gray(docId, f)))
+      Avi.write(w, h, Fps, compression = 0, frames)
+    }
+  }
+
+  /** REAL video decode: [[Avi.demux]] parses the container, every frame
+    * is raster-decoded, and the features aggregate over DECODED pixels.
+    * Feature mapping for the shared [[MediaFeatures]] schema:
+    * width/height = frame dimensions from the parsed `strf` header,
+    * resized_w/h = thumbnail dims (<=32), byte_len = total decoded RGB
+    * byte count across frames (nFrames*w*h*3), byte_sum = channel sum
+    * over ALL decoded frames, feature = nearest-neighbor thumbnail
+    * channel sum over every 2nd frame (temporal sampling x spatial
+    * resize — the two reductions a video featurizer actually runs),
+    * mod 997. A payload that demuxes but holds any undecodable frame
+    * degrades to None (-> [[FakeDecoder]]), never a partition crash.
+    */
+  object VideoCodec {
+    val FrameEvery = 2
+
+    def decode(r: MediaRecord): Option[MediaFeatures] = {
+      val s = Avi.demux(r.payload).getOrElse(return None)
+      val (w, h) = (s.width, s.height)
+      val (rw, rh) = (math.min(w, 32), math.min(h, 32))
+      var byteSum = 0L
+      var thumbSum = 0L
+      var f = 0
+      while (f < s.frames.length) {
+        val raster = Avi.decodeFrame(s, f).getOrElse(return None)
+        var i = 0
+        while (i < raster.length) {
+          val px = raster(i)
+          byteSum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+          i += 1
+        }
+        if (f % FrameEvery == 0) {
+          var y2 = 0
+          while (y2 < rh) {
+            val sy = y2 * h / rh
+            var x2 = 0
+            while (x2 < rw) {
+              val px = raster(sy * w + x2 * w / rw)
+              thumbSum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+              x2 += 1
+            }
+            y2 += 1
+          }
+        }
+        f += 1
+      }
+      Some(MediaFeatures(
+        doc_id = r.doc_id,
+        kind = r.kind,
+        width = w.toLong,
+        height = h.toLong,
+        resized_w = rw.toLong,
+        resized_h = rh.toLong,
+        byte_len = s.frames.length.toLong * w * h * 3,
+        byte_sum = byteSum,
+        feature = thumbSum % 997L))
     }
   }
 
@@ -229,8 +314,11 @@ object Multimodal {
     }
   }
 
-  /** STUB: stands in for a real audio/video decoder. Deterministic
-    * arithmetic over the payload so the DuckDB oracle can mirror it.
+  /** FALLBACK for payloads no codec recognizes (corrupt/truncated/alien
+    * streams): deterministic arithmetic over the raw bytes, so degraded
+    * rows are still predictable instead of crashing the partition. Since
+    * r12 every fixture modality decodes through a REAL codec (PNG/BMP,
+    * WAV, AVI); this arm only fires on mangled bytes.
     */
   object FakeDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
@@ -258,43 +346,47 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, partition-at-a-time: real codecs first
-    * (magic-sniffed image, then WAV audio), deterministic stub for the
-    * rest (video — no JDK codec exists for it).
+    * (magic-sniffed image, then RIFF-sniffed WAV audio and AVI video),
+    * deterministic byte-arithmetic fallback for anything unreadable.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
       ImageCodec.decode(r)
         .orElse(AudioCodec.decode(r))
+        .orElse(VideoCodec.decode(r))
         .getOrElse(FakeDecoder.decode(r))))
   }
 
   /** Build a media table from `documents`: image rows carry REAL PNG
-    * bytes (synthesized per row from doc_id — see [[PngSynth]]; a real
-    * pipeline would read image files into the same shape), audio/video
-    * rows carry the UTF-8 text bytes the stub decoder consumes. The
-    * synthesis runs executor-side inside the same typed map — row-local,
-    * no shuffle, no driver involvement.
+    * bytes ([[PngSynth]]), audio rows REAL RIFF/WAVE bytes
+    * ([[WavSynth]]), video rows REAL RIFF/AVI bytes ([[AviSynth]]) —
+    * all synthesized per row from doc_id (a real pipeline would read
+    * media files into the same shape). The synthesis runs executor-side
+    * inside the same typed map — row-local, no shuffle, no driver
+    * involvement.
     */
   private def mediaBase(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
+    // every payload is codec-synthesized from doc_id downstream, so this
+    // scan prunes to the single doc_id column — no text bytes are read
     graft.Tables.documents(s, dir)
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        // a media row's payload is bytes, never NULL: a NULL-text doc
-        // derives an EMPTY payload (0 frames, zero features) in both
-        // engines instead of NPE-ing the decoder
-        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+        lit(Array.emptyByteArray).as("payload"))
       .as[MediaRecord]
   }
 
-  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
-    import s.implicits._
-    mediaBase(s, dir).mapPartitions(_.map { r =>
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] =
+    synthesize(mediaBase(s, dir))
+
+  private def synthesize(base: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import base.sparkSession.implicits._
+    base.mapPartitions(_.map { r =>
       if (r.kind == "image") r.copy(payload = PngSynth.encode(r.doc_id))
       else if (r.kind == "audio") r.copy(payload = WavSynth.encode(r.doc_id))
-      else r
+      else r.copy(payload = AviSynth.encode(r.doc_id))
     })
   }
 
@@ -306,7 +398,7 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** One sampled "video frame": fixed-size byte window of the payload. */
+  /** One sampled video frame's decoded statistics. */
   final case class FrameSample(
       doc_id: Long,
       kind: String,
@@ -315,43 +407,69 @@ object Multimodal {
       frame_sum: Long,
       feature: Long)
 
-  /** Frame sampling: slice the payload into `frameBytes` windows and keep
-    * every `every`-th one, emitting a per-frame feature — the video
-    * frame-sample shape (decode stubbed as byte arithmetic like
-    * [[FakeDecoder]]; the slicing, fan-out and partition-wise batching are
-    * the real pattern). Each input row fans out locally; no shuffle.
+  /** REAL frame sampling: demux each AVI payload ([[Avi.demux]]) and
+    * decode every `every`-th frame — skipped frames are never decoded
+    * (the demuxer keeps frames as encoded chunk bytes until
+    * [[Avi.decodeFrame]] is asked). Per sampled frame: frame_len = the
+    * decoded RGB byte count, frame_sum = the decoded channel sum,
+    * feature = the nearest-neighbor (<=32 x <=32) thumbnail channel sum
+    * mod 997. A payload that fails to demux/decode contributes no rows
+    * (a real pipeline drops undecodable media, it doesn't crash). Each
+    * input row fans out locally; no shuffle.
     */
   def sampleFrames(media: Dataset[MediaRecord],
-      frameBytes: Int = 64, every: Int = 4): Dataset[FrameSample] = {
+      every: Int = VideoCodec.FrameEvery): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      val len = r.payload.length
-      val nFrames = (len + frameBytes - 1) / frameBytes
-      (0 until nFrames).iterator.filter(_ % every == 0).map { f =>
-        val start = f * frameBytes
-        val end = math.min(start + frameBytes, len)
-        var sum = 0L
-        var i = start
-        while (i < end) { sum += r.payload(i) & 0xff; i += 1 }
-        FrameSample(r.doc_id, r.kind, f.toLong, (end - start).toLong, sum, sum % 997L)
+      Avi.demux(r.payload).iterator.flatMap { s =>
+        val (w, h) = (s.width, s.height)
+        val (rw, rh) = (math.min(w, 32), math.min(h, 32))
+        (0 until s.frames.length).iterator.filter(_ % every == 0).flatMap { f =>
+          Avi.decodeFrame(s, f).map { raster =>
+            var sum = 0L
+            var i = 0
+            while (i < raster.length) {
+              val px = raster(i)
+              sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+              i += 1
+            }
+            var tsum = 0L
+            var y2 = 0
+            while (y2 < rh) {
+              val sy = y2 * h / rh
+              var x2 = 0
+              while (x2 < rw) {
+                val px = raster(sy * w + x2 * w / rw)
+                tsum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+                x2 += 1
+              }
+              y2 += 1
+            }
+            FrameSample(r.doc_id, r.kind, f.toLong, w.toLong * h * 3, sum,
+              tsum % 997L)
+          }
+        }
       }
     })
   }
 
-  /** Registered frame-sampling pipeline (q47). Byte-window frame
-    * sampling now runs over VIDEO rows only: image rows carry real PNG
-    * streams (ImageCodec in q30) and audio rows real WAV streams
-    * (AudioCodec in q30) — neither is a frame-addressable byte window;
-    * video, the one modality with no JDK codec, keeps the documented
-    * stub payload the oracle mirrors byte-for-byte.
+  /** Registered frame-sampling pipeline (q47): video rows only, real
+    * AVI demux + per-frame raster decode (see [[sampleFrames]]).
     */
   def framesQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // filter BEFORE the typed synthesis map — a column-level predicate
-    // Catalyst folds into the scan region, and no PNG/WAV is ever
-    // encoded for a row this query discards
-    sampleFrames(mediaBase(s, dir).filter($"kind" === "video"))
+    // Catalyst folds into the scan region, and no AVI is ever encoded
+    // for a row this query discards
+    sampleFrames(mediaFromDocumentsKind(s, dir, "video"))
       .toDF()
       .orderBy($"doc_id", $"frame_id")
+  }
+
+  /** Synthesis restricted to one modality, filter pushed below the map. */
+  private def mediaFromDocumentsKind(s: SparkSession, dir: String,
+      kind: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    synthesize(mediaBase(s, dir).filter($"kind" === kind))
   }
 }

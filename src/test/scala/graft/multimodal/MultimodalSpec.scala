@@ -3,10 +3,13 @@ package graft.multimodal
 import graft.SparkSpec
 import graft.multimodal.Multimodal._
 
-/** Pins the REAL image-decode path (r10 judge item 4): golden PNG
-  * round-trips through javax.imageio, a second genuine format (BMP),
-  * magic-sniff dispatch between the real codec and the stub, and the
-  * end-to-end q30 pipeline producing codec-decoded rows.
+/** Pins the REAL codec paths: golden PNG round-trips through
+  * javax.imageio (plus BMP as a second genuine format), golden WAV
+  * through javax.sound, golden AVI through the [[Avi]] demuxer (raw-DIB
+  * orientation/stride reconstruction + MJPEG frames via javax.imageio),
+  * magic-sniff dispatch between the codecs and the corrupt-bytes
+  * fallback, and the end-to-end q30/q47 pipelines producing
+  * codec-decoded rows for every modality.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -126,7 +129,95 @@ class MultimodalSpec extends SparkSpec {
     assert(f.height == 2 && f.byte_sum == 0L, s"10 + (-10) must sum to 0, got $f")
   }
 
-  test("q30 end-to-end: image rows carry codec-decoded values, audio rows stub values") {
+  test("golden AVI decode: synthesized bytes are a real RIFF/AVI container decoding to derived stats") {
+    val docId = 44L // 44 % 3 == 2 -> video
+    val bytes = AviSynth.encode(docId)
+    // a genuine AVI container: RIFF magic + 'AVI ' form type + hdrl list
+    assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val s = Avi.demux(bytes).getOrElse(fail("real AVI bytes must demux"))
+    val (w, h, n) = (8 + docId % 40, 8 + (docId / 5) % 40, 2 + docId % 5)
+    assert(s.width == w && s.height == h, s"got ${(s.width, s.height)}")
+    assert(s.frames.length == n && s.fps == 10.0 && s.compression == 0)
+    val f = VideoCodec.decode(MediaRecord(docId, "video", bytes))
+      .getOrElse(fail("demuxable AVI must take the video codec path"))
+    def v(i: Int) = ((docId % 200) + i * 17) % 256
+    val vsum = (0 until n.toInt).map(v(_)).sum
+    val vsamp = (0 until n.toInt by 2).map(v(_)).sum
+    assert(f.width == w && f.height == h)
+    assert(f.resized_w == math.min(w, 32) && f.resized_h == math.min(h, 32))
+    assert(f.byte_len == n * w * h * 3)
+    assert(f.byte_sum == w * h * 3 * vsum, "decoded all-frame channel sum")
+    assert(f.feature == (math.min(w, 32) * math.min(h, 32) * 3 * vsamp) % 997,
+      "feature from thumbnails of every 2nd frame")
+  }
+
+  test("AVI demux reads dimensions and frame count from the stream, not the derivation") {
+    // hand-built 5x3, 2-frame AVI — unrelated to doc_id arithmetic
+    val frames = Seq(Avi.solidDibFrame(5, 3, 10), Avi.solidDibFrame(5, 3, 20))
+    val bytes = Avi.write(5, 3, 25, 0, frames)
+    val s = Avi.demux(bytes).get
+    assert(s.width == 5 && s.height == 3 && s.frames.length == 2 && s.fps == 25.0)
+    val f = VideoCodec.decode(MediaRecord(9L, "video", bytes)).get
+    assert(f.byte_sum == 5L * 3 * 3 * (10 + 20))
+  }
+
+  test("DIB frames reconstruct bottom-up stride-padded BGR correctly (orientation pin)") {
+    // 5 wide -> 15 row bytes -> stride 16 (padding exercised); top row
+    // pure red, bottom row pure blue: a decoder that forgets the
+    // bottom-up flip or the BGR order returns the wrong rasters
+    val w = 5; val h = 2
+    val topDown = Array.fill(w)(0xff0000) ++ Array.fill(w)(0x0000ff)
+    val dib = Avi.rasterToDibFrame(w, h, topDown)
+    assert(dib.length == Avi.stride(w) * h && Avi.stride(w) == 16)
+    // DIB row 0 is the BOTTOM image row (blue), stored B,G,R
+    assert((dib(0) & 0xff) == 0xff && (dib(2) & 0xff) == 0x00)
+    val s = Avi.demux(Avi.write(w, h, 10, 0, Seq(dib))).get
+    val raster = Avi.decodeFrame(s, 0).get
+    assert(raster.toSeq == topDown.toSeq,
+      "decoded raster must be top-down RGB, exactly the input")
+  }
+
+  test("MJPEG frames decode through javax.imageio on the same demux path") {
+    val (w, h, v) = (24, 16, 100)
+    val jpegs = (0 until 3).map { _ =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = (v << 16) | (v << 8) | v
+      img.setRGB(0, 0, w, h, Array.fill(w * h)(px), 0, w)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val bytes = Avi.write(w, h, 10, Avi.FccMjpg, jpegs)
+    val s = Avi.demux(bytes).get
+    assert(s.compression == Avi.FccMjpg && s.frames.length == 3)
+    val f = VideoCodec.decode(MediaRecord(1L, "video", bytes)).get
+    assert(f.width == w && f.height == h && f.byte_len == 3L * w * h * 3)
+    // JPEG is lossy: a uniform gray decodes near, not necessarily equal
+    val exact = 3L * w * h * 3 * v
+    assert(math.abs(f.byte_sum - exact) <= 3L * w * h * 3 * 8,
+      s"JPEG round-trip must land near the encoded gray: ${f.byte_sum} vs $exact")
+  }
+
+  test("corrupt or truncated AVI bytes fall back to the stub arm") {
+    // AVI magic with a garbage body
+    val garbage = "RIFF    AVI garbage-here".getBytes("US-ASCII")
+    assert(Avi.demux(garbage).isEmpty)
+    // a valid file truncated mid-movi: demux stops cleanly -> headers
+    // parse but the sole oversized frame chunk is dropped; the decode
+    // then yields zero-frame features rather than a crash
+    val whole = AviSynth.encode(44L)
+    val truncated = whole.take(whole.length / 2) // ends mid-movi
+    Avi.demux(truncated).foreach { s =>
+      assert(s.frames.length < 2 + 44 % 5)
+    }
+    // and the dispatcher degrades to FakeDecoder for the garbage case
+    val feats = VideoCodec.decode(MediaRecord(1L, "video", garbage))
+    assert(feats.isEmpty)
+  }
+
+  test("q30 end-to-end: every modality carries codec-decoded values") {
     import org.apache.spark.sql.functions.col
     val out = Multimodal.featuresQuery(spark, sf0001)
     val img = out.filter(col("kind") === "image").limit(5).collect()
@@ -146,21 +237,31 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(6) == (64 + id % 64) * 2, s"doc $id: $r")
       assert(r.getLong(2) == 8000 + (id % 8) * 1000)
     }
-    // video rows keep payload-byte stub semantics: byte_len = text length
-    val video = out.filter(col("kind") === "video").limit(1).collect().head
-    val textLen = graft.Tables.documents(spark, sf0001)
-      .filter(col("doc_id") === video.getLong(0))
-      .select(org.apache.spark.sql.functions.length(
-        org.apache.spark.sql.functions.coalesce(col("text"),
-          org.apache.spark.sql.functions.lit(""))))
-      .collect().head.getInt(0).toLong
-    assert(video.getLong(6) == textLen)
+    // video rows carry real AVI-decoded values: byte_len is the decoded
+    // raster byte count across frames
+    val video = out.filter(col("kind") === "video").limit(3).collect()
+    video.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, n) = (8 + id % 40, 8 + (id / 5) % 40, 2 + id % 5)
+      assert(r.getLong(6) == n * w * h * 3, s"doc $id: $r")
+      assert(r.getLong(2) == w && r.getLong(3) == h)
+    }
   }
 
-  test("q47 samples frames from video only (image/audio are real codec streams)") {
+  test("q47 emits decoded per-frame rows for video only, every 2nd frame") {
     import org.apache.spark.sql.functions.col
-    val kinds = Multimodal.framesQuery(spark, sf0001)
-      .select("kind").distinct().collect().map(_.getString(0)).toSet
+    val frames = Multimodal.framesQuery(spark, sf0001)
+    val kinds = frames.select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds == Set("video"), s"got $kinds")
+    val rows = frames.filter(col("doc_id") === 44L).collect()
+    val (w, h, n) = (8 + 44 % 40, 8 + (44 / 5) % 40, 2 + 44 % 5)
+    assert(rows.map(_.getLong(2)).toSeq == (0 until n by 2).map(_.toLong))
+    rows.foreach { r =>
+      val f = r.getLong(2).toInt
+      val v = (44 % 200 + f * 17) % 256
+      assert(r.getLong(3) == w.toLong * h * 3)
+      assert(r.getLong(4) == w.toLong * h * 3 * v, s"frame $f: $r")
+      assert(r.getLong(5) == (math.min(w, 32).toLong * math.min(h, 32) * 3 * v) % 997)
+    }
   }
 }

@@ -93,11 +93,12 @@ class RobustnessSpec extends SparkSpec {
     assert(out("src1") == 8L)
   }
 
-  test("q30 NULL-text stub rows derive empty payloads; codec rows decode regardless") {
+  test("q30 codec rows decode from doc_id-derived streams regardless of NULL text") {
     val out = run("q30_multimodal_features", nullDir).collect()
       .map(r => r.getLong(0) -> r.getLong(6)).toMap // doc_id -> byte_len
-    // doc 2 is a VIDEO (stub) row with NULL text: empty payload, 0 bytes
-    assert(out(2L) == 0L)
+    // doc 2 is a VIDEO row: payload is a doc_id-derived real AVI, so a
+    // NULL text changes nothing — byte_len = decoded raster bytes
+    assert(out(2L) == (2 + 2 % 5) * (8 + 2 % 40) * (8 + (2 / 5) % 40) * 3L)
     // docs 1/4 are AUDIO rows: payload is a doc_id-derived real WAV, so
     // a NULL text (doc 4) changes nothing — byte_len = decoded PCM bytes
     assert(out(1L) == (64 + 1) * 2L && out(4L) == (64 + 4) * 2L)
@@ -237,20 +238,24 @@ class RobustnessSpec extends SparkSpec {
     assert(probes.length == 1 && probes.head.getLong(0) == 0L)
   }
 
-  test("q30/q47 stub arms measure UTF-8 BYTES, not code points (unicode twin)") {
+  test("q30/q47 video rows decode doc_id-derived AVI streams, invariant to text content (unicode twin)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_robust_uni").toString
-    // doc 2 -> video (stub path); 'café' is 4 code points / 5 UTF-8 bytes
+    // doc 2 -> video; multibyte text must be irrelevant now that every
+    // modality synthesizes its payload from doc_id (r11's byte-vs-code-
+    // point hazard is structurally gone from this family)
     Seq((2L, "café", "fr", "s", 4L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // doc 2: w=10, h=8, n=4 frames, gray v(f) = (2 + 17f) % 256
+    val vs = (0 until 4).map(f => (2 + 17 * f) % 256)
     val r30 = run("q30_multimodal_features", dir).collect().head
-    assert(r30.getLong(6) == 5L, s"byte_len must count UTF-8 bytes, got $r30")
-    // byte_sum: c(99) a(97) f(102) + 'é' = 0xC3 0xA9 (195 + 169)
-    assert(r30.getLong(7) == 99L + 97L + 102L + 195L + 169L, s"got $r30")
-    val r47 = run("q47_multimodal_frames", dir).collect().head
-    assert(r47.getLong(3) == 5L && r47.getLong(4) == r30.getLong(7),
-      s"frame slicing must walk the same bytes, got $r47")
+    assert(r30.getLong(6) == 4L * 10 * 8 * 3, s"decoded raster bytes, got $r30")
+    assert(r30.getLong(7) == 10L * 8 * 3 * vs.sum, s"got $r30")
+    assert(r30.getLong(8) == (10L * 8 * 3 * (vs(0) + vs(2))) % 997, s"got $r30")
+    val r47 = run("q47_multimodal_frames", dir).collect()
+    assert(r47.map(_.getLong(2)).toSeq == Seq(0L, 2L), "every 2nd frame sampled")
+    assert(r47.head.getLong(4) == 10L * 8 * 3 * vs(0), s"got ${r47.toSeq}")
   }
 
   test("q77/q78 degrade to a PARTIAL PQ codebook on a sub-K corpus (singleton twin)") {
