@@ -542,6 +542,62 @@ object ConnectorQueries {
         |ORDER BY o_totalprice DESC, _id ASC LIMIT 25
         |""".stripMargin)),
 
+    // DISTINCT pushdown through the server source (round-12): Spark
+    // plans SELECT DISTINCT as a zero-aggregate group-by, which now
+    // rides the same `$match`+`$group` pipeline with an `_id`-ONLY
+    // group stage — #distinct-keys docs cross the wire instead of a row
+    // scan (GraftServerSourceSpec pins one pipeline round-trip, zero
+    // cursors). Compound keys exercise the compound `_id` doc.
+    CatalogQuery(
+      "q128_server_distinct",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.dist")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+            $"o_totalprice")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, o_orderstatus STRING, o_orderpriority STRING, " +
+            "o_totalprice DOUBLE")
+          .load()
+          .filter($"o_totalprice" > 10000.0)
+          .select($"o_orderstatus", $"o_orderpriority").distinct()
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""
+        |SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_totalprice > 10000.0 ORDER BY 1, 2
+        |""".stripMargin)),
+
+    // DISTINCT pushdown on the FILE source (round-12): each byte-split
+    // emits its distinct keys as partial rows over a key-column-only
+    // projected decode (bodies byte-skipped) with the pushed filter
+    // evaluated by the reader's exact matcher; Spark dedups the union.
+    CatalogQuery(
+      "q129_file_distinct",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+          .write.format("graftbson").option("id_column", "c_custkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE")
+          .load(dir)
+          .filter($"c_acctbal" > 0.0)
+          .select($"c_nationkey").distinct()
+          .orderBy($"c_nationkey".asc_nulls_first)
+      },
+      Some("""
+        |SELECT DISTINCT c_nationkey FROM customer
+        |WHERE c_acctbal > 0.0 ORDER BY c_nationkey ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

@@ -344,7 +344,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
               if (f.dataType == DoubleType) DoubleType: DataType else LongType: DataType))
         case _ => None
       }
-    if (items.isEmpty || items.contains(None)) false
+    // zero aggregates + >=1 group key = SELECT DISTINCT: a `$group`
+    // with only `_id` answers it in #distinct-keys docs per namespace
+    if (items.contains(None) || (items.isEmpty && groupFields.isEmpty)) false
     else {
       groupedAgg = Some(ServerGroupedAgg(
         groupFields.flatten.map(f => (f.name, f.dataType)), items.flatten))

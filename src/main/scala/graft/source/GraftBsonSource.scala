@@ -522,7 +522,9 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
           }
         case _ => None
       }
-    if (items.isEmpty || items.contains(None)) return false
+    // zero aggregates + >=1 group key = SELECT DISTINCT: each split
+    // emits its distinct keys as partial rows, Spark dedups the union
+    if (items.contains(None) || (items.isEmpty && groupFields.isEmpty)) return false
     val inputCols = items.flatten.map(_._1).collect {
       case GroupAgg.CountCol(c, _) => c
       case GroupAgg.MinOf(c, _) => c

@@ -526,6 +526,33 @@ class GraftServerSourceSpec extends SparkSpec {
       "the NULL group must survive, with COUNT(v) skipping its null")
   }
 
+  test("SELECT DISTINCT pushes an _id-only $group: one round-trip, zero cursors") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq[(Long, Integer, java.lang.Double)](
+      (1L, 10, 1.0), (2L, 10, 2.0), (3L, 20, 3.0), (4L, null, 4.0), (5L, 20, 0.5))
+      .toDF("k", "g", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.dist"))
+      .option("id_column", "k").mode("append").save()
+    CountingServerFactory.reset()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.dist"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, g INT, v DOUBLE")
+      .load()
+      .filter($"v" >= 1.0)
+      .select($"g").distinct()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate: GROUP BY g []"),
+      s"distinct must ride the _id-only \\$$group pipeline:\n$plan")
+    val got = q.collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet
+    assert(got == Set(Some(10), Some(20), None), s"got $got")
+    assert(CountingServerFactory.count("groupAggregate") == 1,
+      s"counts: ${CountingServerFactory.snapshot()}")
+    assert(CountingServerFactory.count("find") == 0,
+      s"distinct pushdown must not open row cursors: ${CountingServerFactory.snapshot()}")
+  }
+
   // ---- round-12 generalization: filtered global aggregates, AVG via
   // Spark's sum+count rewrite, multi-key group-by — all through the same
   // $match+$group pipeline

@@ -117,6 +117,31 @@ class AggPushdownSpec extends SparkSpec {
     assert(got.contains(None), "the NULL group must survive")
   }
 
+  test("SELECT DISTINCT pushes as a zero-aggregate group-by (per-split distinct keys)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val src = Seq[(Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "a"),
+      (4L, null, "a"), (5L, 20L, null), (6L, null, null))
+      .toDF("_id", "g", "s")
+    src.write.format("graftbson").option("shards", "3").mode("append").save(dir)
+    val one = spark.read.format("graftbson")
+      .schema("_id LONG, g LONG, s STRING").load(dir)
+      .select($"g").distinct()
+    assert(plan(one).contains("PushedGroupedAggregate: GROUP BY g []"),
+      s"distinct not pushed:\n${plan(one)}")
+    assert(one.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      == Set(Some(10L), Some(20L), None))
+    // compound distinct, with a pushed filter underneath
+    val two = spark.read.format("graftbson")
+      .schema("_id LONG, g LONG, s STRING").load(dir)
+      .filter($"_id" < 6L)
+      .select($"g", $"s").distinct()
+    assert(plan(two).contains("PushedGroupedAggregate: GROUP BY g, s []"),
+      s"filtered compound distinct not pushed:\n${plan(two)}")
+    assert(two.count() == 5L, "(10,a) (10,b) (20,a) (null,a) (20,null)")
+  }
+
   test("grouped COUNT by key decodes ONLY the key column (corrupted subdoc proves it)") {
     import spark.implicits._
     val dir = freshDir()
