@@ -598,6 +598,50 @@ object ConnectorQueries {
         |WHERE c_acctbal > 0.0 ORDER BY c_nationkey ASC NULLS FIRST
         |""".stripMargin)),
 
+    // Structured Streaming TAILING read (round-12): the collection is
+    // drained through the graftserver MICRO-BATCH STREAM (per-namespace
+    // high-water-mark offsets, admission-controlled batch caps,
+    // Trigger.AvailableNow) into a memory sink, then aggregated — so the
+    // oracle (which only ever sees the parquet) pins that the streaming
+    // ingest path loses and invents nothing. GraftServerStreamSpec pins
+    // the streaming semantics proper (restart exactly-once, latest
+    // start, per-batch caps, multi-ns offsets).
+    CatalogQuery(
+      "q130_stream_tail_ingest",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val ckpt = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.tail")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        val sink = "q130_sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = s.readStream.format("graftserver").options(opts)
+          .schema("_id LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .load()
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"),
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"))
+          .orderBy($"o_orderstatus".asc_nulls_first)
+      },
+      Some("""
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

@@ -123,7 +123,8 @@ final class GraftServerTable(tableSchema: StructType, properties: Map[String, St
     s"graftserver:${properties.getOrElse("ns", "?")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftServerScanBuilder(tableSchema, properties ++ options.asScala)
@@ -520,6 +521,18 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
         else if (longs.size == vs.size) BQuery.ReadLongIn(f, longs)
         else BQuery.In(f, vs))
     }
+
+  /** Structured Streaming entry: the micro-batch TAILING stream
+    * ([[GraftServerMicroBatchStream]]). Pushed filters carry over to the
+    * per-batch cursors; row-count-bearing pushdowns (limit/offset/top-n/
+    * aggregates) don't compose with an unbounded stream and refuse.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pushedAgg.isEmpty && grouped.isEmpty && topN.isEmpty &&
+      limit.isEmpty && offset.isEmpty,
+      "graftserver streaming read cannot carry limit/offset/top-n/aggregate pushdowns")
+    new GraftServerMicroBatchStream(requiredSchema, query, options)
+  }
 
   override def readSchema(): StructType = (grouped, pushedAgg) match {
     case (Some(g), _) =>
