@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * catalog gates oracle-side — q69 (write/read round-trip), q121/q124/
   * q125 (grouped, filtered-global, and multi-key `$group` pipelines —
   * including the all-null-SUM group where a REAL server answers
-  * `$sum: 0` and the binding must correct it to NULL), and q122/q123
-  * (single and compound TopN cursor sorts) — against real wire
-  * behavior. See RUNBOOK.md for the invocation and the cleanup note
+  * `$sum: 0` and the binding must correct it to NULL), q122/q123
+  * (single and compound TopN cursor sorts), q128 (DISTINCT via the
+  * `_id`-only `$group`), and q130 (the streaming tail: drain,
+  * checkpoint, resume) — against real wire behavior. See RUNBOOK.md for the invocation and the cleanup note
   * (the suite writes into the `graft_it` database).
   *
   * Run: `MONGO_URI="mongodb://host:27017" sbt "testOnly graft.server.RealMongoIntegrationSpec"`
@@ -119,5 +120,48 @@ class RealMongoIntegrationSpec extends SparkSpec {
     val expect = src.orderBy($"o_custkey".desc, $"o_orderkey".asc).limit(10)
       .select($"o_orderkey", $"o_custkey").collect().map(_.toSeq).toSeq
     assert(q.collect().map(_.toSeq).toSeq === expect)
+  }
+
+  test("live: DISTINCT rides the _id-only $group pipeline (q128 shape)") {
+    live()
+    import spark.implicits._
+    val src = Seq[(Long, Integer)]((1L, 10), (2L, 10), (3L, 20), (4L, null))
+      .toDF("k", "g")
+    src.write.format("graftserver").options(opts("dist"))
+      .option("id_column", "k").mode("append").save()
+    val q = spark.read.format("graftserver").options(opts("dist"))
+      .schema("_id LONG, g INT").load()
+      .select($"g").distinct()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GROUP BY g []"))
+    val got = q.collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet
+    assert(got === Set(Some(10), Some(20), None))
+  }
+
+  test("live: streaming tail drains the collection and resumes past the offset (q130 shape)") {
+    live()
+    import spark.implicits._
+    val o = opts("tail")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-live-tail").toString
+    def drainKeys(): Seq[Long] = {
+      val keys = scala.collection.mutable.Buffer.empty[Long]
+      val q = spark.readStream.format("graftserver").options(o)
+        .schema("_id LONG, s STRING").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          keys.synchronized { keys ++= df.collect().map(_.getLong(0)) }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      keys.toSeq.sorted
+    }
+    assert(drainKeys() === Seq(1L, 2L))
+    Seq((3L, "c")).toDF("k", "s").write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    assert(drainKeys() === Seq(3L), "restart must resume past the committed offset")
   }
 }
