@@ -642,6 +642,47 @@ object ConnectorQueries {
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST
         |""".stripMargin)),
 
+    // File-landing streaming read (round-12): the documents corpus is
+    // materialized as a 4-shard dump directory, then drained through the
+    // graftbson MICRO-BATCH STREAM (new-file tail by lexicographic path,
+    // single high-water-path offset, byte-split parallelism within each
+    // batch, Trigger.AvailableNow) into a memory sink and aggregated —
+    // the oracle pins that the dump-landing ingest path loses and
+    // invents nothing. GraftBsonStreamSpec pins the streaming semantics
+    // (restart exactly-once, per-batch file caps, split parallelism).
+    CatalogQuery(
+      "q131_stream_file_ingest",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val ckpt = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"n_chars")
+          .write.format("graftbson").option("id_column", "doc_id")
+          .option("shards", "4")
+          .mode("append").save(dir)
+        val sink = "q131_sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = s.readStream.format("graftbson").option("path", dir)
+          .schema("_id LONG, lang STRING, n_chars LONG")
+          .load()
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"),
+            sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang".asc_nulls_first)
+      },
+      Some("""
+        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

@@ -236,7 +236,7 @@ final class GraftTable(tableSchema: StructType, properties: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, properties ++ options.asScala)
@@ -771,6 +771,19 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     // per split than it prunes; scan everything instead
     runtimeIn =
       if (merged.valuesIterator.map(_.size).sum > 10000) Map.empty else merged
+  }
+
+  /** Structured Streaming entry: new dump FILES landing under `path`
+    * stream in as micro-batches ([[GraftBsonMicroBatchStream]]). Pushed
+    * filters ride each batch's split readers; row-count-bearing
+    * pushdowns and multi-collection mode refuse.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pushedAgg.isEmpty && grouped.isEmpty && topNSort.isEmpty &&
+      limit.isEmpty && offset.isEmpty && !options.contains("collections"),
+      "graftbson streaming read cannot carry limit/offset/top-n/aggregate " +
+        "pushdowns or multi-collection mode")
+    new GraftBsonMicroBatchStream(requiredSchema, query, options, mapping)
   }
 
   override def readSchema(): StructType = (grouped, pushedAgg) match {

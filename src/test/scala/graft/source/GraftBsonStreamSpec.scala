@@ -1,0 +1,118 @@
+package graft.source
+
+import graft.SparkSpec
+import graft.bson._
+import graft.files.BsonFiles
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** The file-landing streaming read ([[GraftBsonMicroBatchStream]]):
+  * new dump files stream in by lexicographic path order with a single
+  * high-water-path offset — earliest/latest starts, restart
+  * exactly-once from the checkpoint, `max_files_per_batch` admission
+  * control, split parallelism within a batch, filter pushdown into the
+  * batch readers, and offset JSON round-trip (incl. escaping).
+  */
+class GraftBsonStreamSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-bson-stream").toString
+
+  private def writeDump(dir: String, name: String, rows: Seq[(Long, String)]): Unit =
+    BsonFiles.write(s"$dir/$name",
+      rows.iterator.map { case (k, s) =>
+        BDoc("_id" -> BInt64(k), "s" -> BString(s))
+      })
+
+  private def drain(dir: String, ckpt: String,
+      extra: Map[String, String] = Map.empty,
+      batchFiles: Option[scala.collection.mutable.Buffer[Long]] = None,
+      filterS: Option[String] = None): Seq[Long] = {
+    import spark.implicits._
+    val keys = scala.collection.mutable.Buffer.empty[Long]
+    var reader = spark.readStream.format("graftbson")
+      .options(extra).option("path", dir)
+      .schema("_id LONG, s STRING")
+      .load()
+    filterS.foreach(v => reader = reader.filter($"s" === v))
+    val q = reader.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.collect().map(_.getLong(0))
+        keys.synchronized { keys ++= ks }
+        batchFiles.foreach(buf =>
+          if (ks.nonEmpty) buf.synchronized { buf += ks.length.toLong })
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    keys.toSeq
+  }
+
+  test("earliest start drains existing dumps; restart picks up only newer-sorting files") {
+    val dir = freshDir()
+    val ckpt = freshDir()
+    writeDump(dir, "dump-001.bson", Seq((1L, "a"), (2L, "b")))
+    writeDump(dir, "dump-002.bson", Seq((3L, "c")))
+    assert(drain(dir, ckpt).sorted == Seq(1L, 2L, 3L))
+    writeDump(dir, "dump-003.bson", Seq((4L, "d")))
+    assert(drain(dir, ckpt) == Seq(4L),
+      "restart must resume past the committed high-water path")
+  }
+
+  test("stream_start=latest skips pre-existing dumps") {
+    val dir = freshDir()
+    val ckpt = freshDir()
+    writeDump(dir, "dump-001.bson", Seq((1L, "old")))
+    assert(drain(dir, ckpt, Map("stream_start" -> "latest")).isEmpty)
+    writeDump(dir, "dump-002.bson", Seq((2L, "new")))
+    assert(drain(dir, ckpt, Map("stream_start" -> "latest")) == Seq(2L))
+  }
+
+  test("max_files_per_batch bounds each micro-batch") {
+    val dir = freshDir()
+    val ckpt = freshDir()
+    (1 to 5).foreach(i => writeDump(dir, f"dump-$i%03d.bson", Seq((i.toLong, s"d$i"))))
+    val sizes = scala.collection.mutable.Buffer.empty[Long]
+    val keys = drain(dir, ckpt, Map("max_files_per_batch" -> "2"), Some(sizes))
+    assert(keys.sorted == (1L to 5L), s"every doc exactly once: $keys")
+    assert(sizes.forall(_ <= 2L), s"batch over cap (1 doc/file): $sizes")
+    assert(sizes.length >= 3, s"cap=2 over 5 files needs >=3 batches: $sizes")
+  }
+
+  test("a batch over one big dump gets byte-split parallelism") {
+    val dir = freshDir()
+    val ckpt = freshDir()
+    writeDump(dir, "dump-001.bson",
+      (1L to 2000L).map(i => (i, "x" * 100)))
+    var parts = 0
+    val q = spark.readStream.format("graftbson")
+      .option("path", dir).option("split_size", "16384")
+      .schema("_id LONG, s STRING")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        parts = math.max(parts, df.rdd.getNumPartitions)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(parts > 1, s"one dump must still split, got $parts partition(s)")
+  }
+
+  test("filters ride the per-batch split readers") {
+    val dir = freshDir()
+    val ckpt = freshDir()
+    writeDump(dir, "dump-001.bson",
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep")))
+    assert(drain(dir, ckpt, filterS = Some("keep")).sorted == Seq(1L, 3L))
+  }
+
+  test("offset JSON round-trips, including quotes and backslashes in paths") {
+    val o = FileTailOffset("""/tmp/we"ird\path/dump-1.bson""")
+    assert(FileTailOffset.fromJson(o.json) == o)
+    assert(FileTailOffset.fromJson(FileTailOffset("").json) == FileTailOffset(""))
+  }
+}
