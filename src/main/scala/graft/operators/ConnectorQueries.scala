@@ -683,6 +683,48 @@ object ConnectorQueries {
         |FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST
         |""".stripMargin)),
 
+    // TABLESAMPLE pushdown (round-12, SupportsPushDownTableSample):
+    // df.sample over the file source plans as a DETERMINISTIC keyed
+    // Bernoulli inside the scan — keep iff md5-prefix60("42:<_id>") <
+    // floor(0.25·2^60) — so the Sample node disappears from the plan and
+    // the window composes below the pushed filter AND the grouped-
+    // aggregate partials (the inner per-split fold samples before
+    // folding; SamplePushdownSpec pins plan shape, window disjointness,
+    // and the mutual refusals with limit/top-n/offset). Unlike Spark's
+    // per-partition-seeded Sample, the kept set is reproducible across
+    // runs, partitionings and engines — which is exactly what lets THIS
+    // oracle exist: DuckDB computes the identical predicate. At 100 TB
+    // this is the subsample-for-ablation primitive: a seed is a dataset.
+    CatalogQuery(
+      "q132_file_sample_pushdown",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .write.format("graftbson").option("id_column", "o_orderkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .option("sample_key", "_id")
+          .load(dir)
+          .sample(withReplacement = false, 0.25, seed = 42L)
+          .filter($"o_totalprice" > 1000.0)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"))
+          .orderBy($"o_orderstatus".asc_nulls_first)
+      },
+      Some("""
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE o_totalprice > 1000.0
+        |  AND CAST(concat('0x', substr(md5(concat('42:',
+        |        CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      < CAST(floor(0.25 * 1152921504606846976.0) AS BIGINT)
+        |GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

@@ -145,7 +145,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownOffset
-    with SupportsPushDownAggregates with SupportsPushDownTopN {
+    with SupportsPushDownAggregates with SupportsPushDownTopN
+    with SupportsPushDownTableSample {
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
@@ -157,6 +158,38 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private var topN: Option[(Seq[(String, Boolean)], Int)] = None
   private var aggPushed: Option[Seq[graft.source.AggPush]] = None
   private var groupedAgg: Option[ServerGroupedAgg] = None
+  private var sample: Option[graft.source.SamplePush] = None
+
+  /** Pushed TABLESAMPLE — the same deterministic keyed Bernoulli as the
+    * file source ([[graft.source.SamplePush]]), evaluated client-side by
+    * the partition reader over the cursor's documents (MQL has no md5,
+    * so the docs still cross the wire; the win is reproducibility — the
+    * server's own `$sample` stage is random — plus the removal of
+    * Spark's Sample node and a fraction-scaled size estimate). The
+    * `sample_key` option names an Int/Long/String column; int32/int64
+    * storages of one value render identically, so the predicate is
+    * storage-uniform for integer keys without any opt-in (a double
+    * STORAGE under a Long read would drop the row — the same
+    * read-refusal RowCodec gives it). Every row-count- or
+    * row-position-bearing pushdown refuses while a sample is pushed:
+    * the server-side `$group`/probe/top-n/limit/offset paths would all
+    * compute over the UNSAMPLED collection.
+    */
+  override def pushTableSample(lower: Double, upper: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    val keyCol = options.get("sample_key")
+      .flatMap(k => tableSchema.fields.find(_.name == k))
+      .filter(f => graft.source.SamplePush.KeyTypes.contains(f.dataType))
+    val eligible = !withReplacement && keyCol.isDefined &&
+      !options.contains("limit") &&
+      limit.isEmpty && offset.isEmpty && topN.isEmpty &&
+      aggPushed.isEmpty && groupedAgg.isEmpty
+    if (!eligible) false
+    else {
+      sample = Some(graft.source.SamplePush(keyCol.get.name, lower, upper, seed))
+      true
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (query, accepted, residual) = FilterTranslator.split(filters, Map.empty)
@@ -174,7 +207,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * only with one partition, so reported partial; Spark re-applies the
     * global limit.
     */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    // the cursor limit counts UNSAMPLED rows; the sampled prefix may be
+    // shorter than the limit needs
+    if (sample.isDefined) false
+    else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   /** Offset (cursor skip) pushdown — the mongo.input.skip analog, same
@@ -188,7 +225,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def pushOffset(n: Int): Boolean =
     if (options.get("splitter").contains("single") &&
         GraftServerSource.nsList(options).size == 1 && residuals.isEmpty &&
-        aggPushed.isEmpty && groupedAgg.isEmpty && topN.isEmpty) {
+        aggPushed.isEmpty && groupedAgg.isEmpty && topN.isEmpty &&
+        sample.isEmpty) {
       offset = Some(n); true
     } else false
 
@@ -216,7 +254,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (orders.isEmpty || aggPushed.isDefined || groupedAgg.isDefined ||
-        limit.isDefined || offset.isDefined || residuals.nonEmpty) return false
+        limit.isDefined || offset.isDefined || residuals.nonEmpty ||
+        sample.isDefined) return false
     val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
       o.expression match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -262,7 +301,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private def tryProbeAggregation(aggregation: Aggregation): Boolean = {
     import graft.source.AggPush
     val eligible =
-      pushedQuery == BQuery.True && !options.contains("query") && limit.isEmpty
+      pushedQuery == BQuery.True && !options.contains("query") &&
+        limit.isEmpty && sample.isEmpty
     if (!eligible) return false
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[(String, org.apache.spark.sql.types.DataType)] = e match {
@@ -307,7 +347,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types._
     if (limit.isDefined || offset.isDefined ||
-        topN.isDefined || residuals.nonEmpty) return false
+        topN.isDefined || residuals.nonEmpty ||
+        // the server-side $group computes over the UNSAMPLED collection
+        sample.isDefined) return false
     val fullQuery = BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)
     val planned = QueryDocs.plan(fullQuery)
     if (!planned.isExact || planned.keyBounds.isDefined) return false
@@ -358,7 +400,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def build(): Scan =
     new GraftServerScan(required,
       BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-      limit, options, aggPushed, topN, groupedAgg, offset)
+      limit, options, aggPushed, topN, groupedAgg, offset, sample)
 }
 
 /** A pushed grouped aggregation: the group columns (and their Spark
@@ -437,7 +479,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     grouped: Option[ServerGroupedAgg] = None,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    sample: Option[graft.source.SamplePush] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
@@ -452,10 +495,15 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     private lazy val stats = GraftServerSource.withClient(options) { (client, _) =>
       GraftServerSource.nsList(options).map(n => client.collStats(n))
     }
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(stats.map(s => s.count * s.avgObjSizeBytes).sum)
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val raw = stats.map(s => s.count * s.avgObjSizeBytes).sum
+      java.util.OptionalLong.of(sample
+        .map(sp => (raw * math.max(sp.upper - sp.lower, 0.0)).toLong)
+        .getOrElse(raw))
+    }
     override def numRows(): java.util.OptionalLong =
-      if (query == BQuery.True && limit.isEmpty)
+      // a pushed sample keeps a hash-dependent row count — no exact claim
+      if (query == BQuery.True && limit.isEmpty && sample.isEmpty)
         java.util.OptionalLong.of(stats.map(_.count).sum)
       else java.util.OptionalLong.empty()
   }
@@ -529,8 +577,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedAgg.isEmpty && grouped.isEmpty && topN.isEmpty &&
-      limit.isEmpty && offset.isEmpty,
-      "graftserver streaming read cannot carry limit/offset/top-n/aggregate pushdowns")
+      limit.isEmpty && offset.isEmpty && sample.isEmpty,
+      "graftserver streaming read cannot carry limit/offset/top-n/aggregate/sample pushdowns")
     new GraftServerMicroBatchStream(requiredSchema, query, options)
   }
 
@@ -553,6 +601,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$query" +
       pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
+      sample.map(sp => s" PushedSample: $sp").getOrElse("") +
       offset.map(o => s" PushedOffset: $o").getOrElse("") +
       topN.map { case (spec, n) =>
         val order = spec.map { case (c, d) =>
@@ -596,7 +645,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
-      pushedAgg, topN, grouped, offset)
+      pushedAgg, topN, grouped, offset, sample)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -614,7 +663,8 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     pushedAgg: Option[Seq[graft.source.AggPush]] = None,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     grouped: Option[ServerGroupedAgg] = None,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    sample: Option[graft.source.SamplePush] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (grouped, pushedAgg) match {
@@ -622,7 +672,7 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
       case (None, Some(items)) => new ServerAggReader(options, items)
       case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
-        options, topN, offset)
+        options, topN, offset, sample)
     }
 }
 
@@ -749,14 +799,18 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     requiredSchema: StructType, query: BQuery, limit: Option[Int],
     options: Map[String, String],
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    sample: Option[graft.source.SamplePush] = None)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
-  private val cursor: Iterator[BDoc] =
+  private val rawCursor: Iterator[BDoc] =
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
-        projection = Some(requiredSchema.fieldNames.toSeq),
+        // a pushed sample's key must ride the projection even when the
+        // column itself was pruned away
+        projection = Some((requiredSchema.fieldNames ++
+          sample.map(_.key)).distinct.toSeq),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
         sortAscBy = topN.map(_._1.head._1).orElse(options.get("sort")),
@@ -766,6 +820,11 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
           .orElse(limit.map(_.toLong)).getOrElse(-1L),
         sortDescending = topN.exists(_._1.head._2),
         thenBy = topN.map(_._1.tail).getOrElse(Nil)))
+
+  // deterministic sample window, applied client-side over the cursor's
+  // documents (MQL cannot express the md5 predicate)
+  private val cursor: Iterator[BDoc] =
+    sample.map(sp => rawCursor.filter(sp.keep)).getOrElse(rawCursor)
 
   private var row: InternalRow = _
 

@@ -266,6 +266,68 @@ object AggPush {
   }
 }
 
+/** A pushed TABLESAMPLE (SupportsPushDownTableSample), shared by both
+  * sources: DETERMINISTIC keyed Bernoulli over the `sample_key` option's
+  * column — keep a document iff the 60-bit md5 prefix of
+  * `"<seed>:<canonical key rendering>"` falls in
+  * `[floor(lower·2^60), floor(upper·2^60))`. Source-defined sampling
+  * semantics (the same latitude JDBC sources use to map TABLESAMPLE onto
+  * dialect clauses): repeatable across runs, partitionings and engines —
+  * the DuckDB oracle computes the identical predicate as
+  * `CAST(concat('0x', substr(md5(concat('<seed>:', CAST(k AS VARCHAR))),
+  * 1, 15)) AS BIGINT)` — unlike Spark's own per-partition-seeded Sample,
+  * at the price of requiring an explicit key. The [lower, upper) window
+  * form also serves `randomSplit` (disjoint windows = disjoint,
+  * exhaustive splits). Null/missing keys never sample in. The reference
+  * has no row sampling; its `$sample` splitter
+  * (core/.../splitter/SampleSplitter.java:79-88) samples split BOUNDS —
+  * this is the row-level counterpart with reproducibility the server's
+  * random `$sample` stage cannot give.
+  */
+final case class SamplePush(key: String, lower: Double, upper: Double,
+    seed: Long) extends Serializable {
+  /** Inclusive-lower / exclusive-upper 60-bit thresholds; floor(x·2^60)
+    * in IEEE double, identical in DuckDB's `CAST(floor(x *
+    * 1152921504606846976.0) AS BIGINT)`. */
+  val lowerBound: Long = math.floor(lower * SamplePush.Unit60).toLong
+  val upperBound: Long = math.floor(upper * SamplePush.Unit60).toLong
+
+  def keep(doc: graft.bson.BDoc): Boolean =
+    doc.getPath(key).flatMap(SamplePush.render) match {
+      case Some(s) =>
+        val h = graft.functions.Md5Util.prefix60(
+          (seed.toString + ":" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        h >= lowerBound && h < upperBound
+      case None => false
+    }
+
+  override def toString = s"SAMPLE($key, [$lower, $upper), seed=$seed)"
+}
+object SamplePush {
+  /** 2^60 — the hash universe of [[graft.functions.Md5Util.prefix60]]. */
+  val Unit60: Double = 1152921504606846976.0d
+
+  /** Canonical key rendering: integers in decimal (int32 and int64
+    * storages of one value render identically — SQL `CAST(k AS VARCHAR)`
+    * parity), strings raw. Anything else (null, missing, double, date,
+    * ...) refuses — the builder only accepts Int/Long/String sample keys.
+    */
+  def render(v: graft.bson.BsonValue): Option[String] = v match {
+    case graft.bson.BInt32(x) => Some(x.toString)
+    case graft.bson.BInt64(x) => Some(x.toString)
+    case graft.bson.BString(s) => Some(s)
+    case _ => None
+  }
+
+  /** Spark types a sample key may have: exact canonical rendering on
+    * every storage either source can read into them (int32/int64 decimal
+    * for the numeric types, raw bytes for strings). */
+  val KeyTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, StringType)
+  }
+}
+
 /** One aggregate inside a pushed GROUPED aggregation — shared by the
   * file source (folded into per-split partial rows by
   * [[GroupedAggPartitionReader]]) and the server source (rendered into
@@ -308,7 +370,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownOffset with SupportsPushDownAggregates
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownTableSample {
 
   /** Column-name remapping: Spark column -> (dotted) document field, the
     * `mongo.columns.mapping` analog (HiveMongoInputFormat.java:211-240).
@@ -336,11 +398,45 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Pushed TABLESAMPLE / df.sample / randomSplit window: accepted only
+    * as the DETERMINISTIC keyed Bernoulli of [[SamplePush]] (the
+    * `sample_key` option names an Int/Long/String column; no
+    * replacement), evaluated during the scan's row iteration right after
+    * the pushed query — so it composes with pushed filters (a
+    * deterministic per-row predicate commutes with them) and with the
+    * grouped-aggregate partials (the inner row scan samples before the
+    * fold). Row-POSITION-dependent pushdowns (limit/offset/top-n) and
+    * the zero-IO global aggregate (side-file counts know nothing of
+    * sampling) refuse while a sample is pushed, and vice versa.
+    */
+  private var sample: Option[SamplePush] = None
+
+  override def pushTableSample(lower: Double, upper: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    val keyCol = options.get("sample_key")
+      .flatMap(k => tableSchema.fields.find(_.name == k))
+      .filter(f => SamplePush.KeyTypes.contains(f.dataType))
+    val eligible = !withReplacement && keyCol.isDefined &&
+      !options.contains("collections") && !options.contains("limit") &&
+      limit.isEmpty && offset.isEmpty && topN.isEmpty &&
+      aggPushed.isEmpty && groupedAgg.isEmpty
+    if (!eligible) false
+    else {
+      val k = keyCol.get.name
+      sample = Some(SamplePush(mapping.getOrElse(k, k), lower, upper, seed))
+      true
+    }
+  }
+
   /** Per-partition limit (the reference pushes limit per split,
     * MongoInputSplit.java:291-296, which is only globally correct with one
     * partition — so report partial and let Spark re-apply the global one).
     */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    // sample-then-limit cannot be spelled limit-then-sample: the sampled
+    // prefix of a partition may be shorter than the limit needs
+    if (sample.isDefined) false
+    else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   /** TopN (ORDER BY k1[, k2, ...] LIMIT n) pushdown — the reference's
@@ -377,6 +473,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // rows it keeps — refuse rather than reorder an explicit option
     val eligible = orders.nonEmpty && residualFilters.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && offset.isEmpty &&
+      sample.isEmpty &&
       !options.contains("sort") && !options.contains("collections") &&
       !options.contains("limit")
     if (!eligible) return false
@@ -412,7 +509,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       options.get("splitter").contains("single") &&
       options.get("path").exists(p => GraftBsonSource.dataFiles(p).size == 1)
   override def pushOffset(n: Int): Boolean =
-    if (provablySinglePartition && aggPushed.isEmpty && groupedAgg.isEmpty) {
+    if (provablySinglePartition && aggPushed.isEmpty && groupedAgg.isEmpty &&
+        sample.isEmpty) {
       offset = Some(n); true
     } else false
 
@@ -447,7 +545,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   private def tryGlobalAggregation(aggregation: Aggregation): Boolean = {
     val eligible =
       pushedQuery == BQuery.True && !options.contains("query") &&
-      limit.isEmpty && offset.isEmpty && topN.isEmpty &&
+      limit.isEmpty && offset.isEmpty && topN.isEmpty && sample.isEmpty &&
       !options.contains("collections") &&
       // the option-level PER-PARTITION cursor limit changes row counts
       !options.contains("limit")
@@ -573,7 +671,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
       offset, aggPushed, topNSort = topN.map(_._1),
-      grouped = groupedAgg)
+      grouped = groupedAgg, sample = sample)
   }
 }
 
@@ -727,7 +825,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     offset: Option[Int] = None,
     pushedAgg: Option[Seq[AggPush]] = None,
     topNSort: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None,
-    grouped: Option[FileGroupedAgg] = None)
+    grouped: Option[FileGroupedAgg] = None,
+    sample: Option[SamplePush] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
 
@@ -780,9 +879,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedAgg.isEmpty && grouped.isEmpty && topNSort.isEmpty &&
-      limit.isEmpty && offset.isEmpty && !options.contains("collections"),
-      "graftbson streaming read cannot carry limit/offset/top-n/aggregate " +
-        "pushdowns or multi-collection mode")
+      limit.isEmpty && offset.isEmpty && sample.isEmpty &&
+      !options.contains("collections"),
+      "graftbson streaming read cannot carry limit/offset/top-n/aggregate/" +
+        "sample pushdowns or multi-collection mode")
     new GraftBsonMicroBatchStream(requiredSchema, query, options, mapping)
   }
 
@@ -840,6 +940,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
       pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s", PushedGroupedAggregate: $g").getOrElse("") +
+      sample.map(sp => s", PushedSample: $sp").getOrElse("") +
       topNSort.map { spec =>
         val order = spec.map { case (k, desc, _) =>
           s"$k ${if (desc) "DESC" else "ASC"}" }.mkString(", ")
@@ -847,10 +948,16 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
 
   /** Size estimate from the data files so Catalyst can pick broadcast
     * joins for small collections (the stats role collstats plays in the
-    * reference's planning, MongoSplitterFactory.java:66-83).
+    * reference's planning, MongoSplitterFactory.java:66-83). A pushed
+    * sample scales the estimate by its window — the sampled side of a
+    * join should look as small as it is.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = allFiles.map(f => Files.size(Paths.get(f))).sum
+    private val bytes: Long = {
+      val raw = allFiles.map(f => Files.size(Paths.get(f))).sum
+      sample.map(sp => (raw * math.max(sp.upper - sp.lower, 0.0)).toLong)
+        .getOrElse(raw)
+    }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
@@ -885,13 +992,13 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       files.flatMap { f =>
         BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
           GraftInputPartition(f, s, e, q, lim, mapping, sort,
-            topNSpec = topNSort): InputPartition
+            topNSpec = topNSort, sample = sample): InputPartition
         }
       }
     case "single" =>
       files.map(f =>
         GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
-          offset = off, topNSpec = topNSort): InputPartition)
+          offset = off, topNSpec = topNSort, sample = sample): InputPartition)
     case other =>
       // key-range strategies via the pure planners + file-backed stats;
       // chunk/shard maps arrive as option-level JSON (the config.chunks /
@@ -907,7 +1014,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           filterEmpty = filterEmpty, runtimeKeyValues = runtimeKeyValues)
           .map { case (pq, locs) =>
             GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
-              locations = locs, topNSpec = topNSort): InputPartition
+              locations = locs, topNSpec = topNSort,
+              sample = sample): InputPartition
           }
       }
     }
@@ -926,7 +1034,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           .getOrElse(8L * 1024 * 1024)
         val parts = files.flatMap(f =>
           BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
-            GroupedAggPartition(f, s, e, query, g, mapping): InputPartition
+            GroupedAggPartition(f, s, e, query, g, mapping,
+              sample): InputPartition
           })
         return (
           if (parts.nonEmpty || g.groupCols.nonEmpty) parts.toArray
@@ -934,7 +1043,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           // so the final fold sees a count-0 partial, not zero rows
           // (the q58 zero-partition COUNT lesson)
           else Array(GroupedAggPartition("", 0L, 0L, query, g,
-            mapping): InputPartition))
+            mapping, sample): InputPartition))
       case None => ()
     }
     pushedAgg match {
@@ -1313,7 +1422,10 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
     /** Set for a pushed TopN: (doc field, descending, read type) per
       * order key — select by the values AS SPARK READS them with a
       * limit-bounded selection buffer. */
-    topNSpec: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None)
+    topNSpec: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None,
+    /** Set for a pushed TABLESAMPLE: deterministic keyed Bernoulli,
+      * applied right after the pushed query (commutes with it). */
+    sample: Option[SamplePush] = None)
     extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
@@ -1335,7 +1447,8 @@ final class GraftReaderFactory(requiredSchema: StructType)
   * empty-collection sentinel (GLOBAL aggregates only). */
 final case class GroupedAggPartition(path: String, start: Long, end: Long,
     query: BQuery, grouped: FileGroupedAgg,
-    mapping: Map[String, String]) extends InputPartition
+    mapping: Map[String, String],
+    sample: Option[SamplePush] = None) extends InputPartition
 
 /** Folds one byte-split's rows into per-group PARTIAL rows. The inner
   * row scan decodes ONLY the group-key and aggregate input columns
@@ -1373,7 +1486,8 @@ final class GroupedAggPartitionReader(p: GroupedAggPartition)
   private val inner: GraftPartitionReader =
     if (p.path.isEmpty) null
     else new GraftPartitionReader(
-      GraftInputPartition(p.path, p.start, p.end, p.query, mapping = p.mapping),
+      GraftInputPartition(p.path, p.start, p.end, p.query, mapping = p.mapping,
+        sample = p.sample),
       innerSchema)
 
   private def cloned(v: Any): Any = v match {
@@ -1494,11 +1608,16 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
       p.mapping.values.map(_.split('.').head) ++
       BQuery.fieldHeads(p.query) ++
       p.sortKey.map(_.split('.').head) ++
-      p.topNSpec.toSeq.flatten.map(_._1.split('.').head)
+      p.topNSpec.toSeq.flatten.map(_._1.split('.').head) ++
+      p.sample.map(_.key.split('.').head)
   // keep the raw handle: with limit pushdown / early task kill the iterator
   // is never drained, so close() must release the file descriptor
   private val raw = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
-  private val base = raw.filter(p.query.matches)
+  // pushed query first, then the deterministic sample window (the two
+  // commute; sampling early keeps the heavier stages below — top-n
+  // selection, grouped-agg folds — on the sampled stream only)
+  private val matched = raw.filter(p.query.matches)
+  private val base = p.sample.map(sp => matched.filter(sp.keep)).getOrElse(matched)
   // per-PARTITION sort (the reference's cursor.sort semantics,
   // MongoInputSplit.java:281 — explicitly NOT a global order; use
   // Spark's own orderBy for that). A pushed TopN instead selects by the
