@@ -37,10 +37,19 @@ object GraftConf {
     */
   val ScanOpenCostBytes: Long = 128L * 1024
 
+  /** DSv2 join pushdown is opt-in in Spark 4.1 (the rule only fires for
+    * sources implementing SupportsPushDownJoin — here the graftserver
+    * source's `$lookup` pipeline); turning the OPTIMIZER RULE on is an
+    * engine default, each scan still refuses joins it cannot spell
+    * exactly (GraftServerScanBuilder.pushDownJoin's eligibility gates).
+    */
+  val JoinPushdownConf = "spark.sql.optimizer.datasourceV2JoinPushdown"
+
   def tuned(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       PackedIndexFallbackThreshold.toString)
       .config("spark.sql.files.openCostInBytes", ScanOpenCostBytes.toString)
+      .config(JoinPushdownConf, "true")
 
   /** For sessions built elsewhere (e.g. a user session passed straight
     * into the query registry): apply the same tuning explicitly, by
@@ -50,5 +59,6 @@ object GraftConf {
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       PackedIndexFallbackThreshold.toString)
     s.conf.set("spark.sql.files.openCostInBytes", ScanOpenCostBytes.toString)
+    s.conf.set(JoinPushdownConf, "true")
   }
 }

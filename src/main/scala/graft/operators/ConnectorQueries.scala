@@ -725,6 +725,59 @@ object ConnectorQueries {
         |GROUP BY 1 ORDER BY o_orderstatus ASC NULLS FIRST
         |""".stripMargin)),
 
+    // JOIN pushdown (round-12, SupportsPushDownJoin): an equi-join of
+    // two collections on the same server plans as ONE `$lookup`+
+    // `$unwind` pipeline over the driving collection — no Spark join
+    // operator, no shuffle or broadcast of either collection; only
+    // joined rows cross the wire, split-parallel under
+    // `assume_uniform_storage` (JoinPushdownSpec pins the plan shape,
+    // the one-pipeline-per-split transport bound, LEFT OUTER nulls, and
+    // the refusals). The reference could only re-shuffle joins
+    // client-side; this is its own server-side aggregate() pattern
+    // (SampleSplitter.java:79-88) applied to the join. Both sides carry
+    // pushed filters into the pipeline's $match stages; the colliding
+    // `_id` columns exercise Spark's join-pushdown alias machinery.
+    CatalogQuery(
+      "q133_server_lookup_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.jorders"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.jcust"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.jorders"))
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+          .filter($"o_totalprice" > 1000.0)
+        val c = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.jcust"))
+          .schema("_id LONG, c_mktsegment STRING, c_acctbal DOUBLE").load()
+          .filter($"c_acctbal" > 0.0)
+        o.join(c, o("o_custkey") === c("_id"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            dsum($"o_totalprice").as("sum_price"),
+            sum($"o_custkey").as("sum_ck"))
+          .orderBy($"c_mktsegment".asc_nulls_first)
+      },
+      Some(s"""
+        |SELECT c_mktsegment, count(*) AS n,
+        |  ${dsumSql("o_totalprice")} AS sum_price,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 1000.0 AND c_acctbal > 0.0
+        |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

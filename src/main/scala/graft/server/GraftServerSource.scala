@@ -146,7 +146,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownOffset
     with SupportsPushDownAggregates with SupportsPushDownTopN
-    with SupportsPushDownTableSample {
+    with SupportsPushDownTableSample with SupportsPushDownJoin {
+
+  // cross-instance access for pushDownJoin (ctor params are
+  // instance-private in Scala)
+  private[server] def joinSchema: StructType = tableSchema
+  private[server] def joinOptions: Map[String, String] = options
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
@@ -183,7 +188,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val eligible = !withReplacement && keyCol.isDefined &&
       !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
-      aggPushed.isEmpty && groupedAgg.isEmpty
+      aggPushed.isEmpty && groupedAgg.isEmpty && joined.isEmpty
     if (!eligible) false
     else {
       sample = Some(graft.source.SamplePush(keyCol.get.name, lower, upper, seed))
@@ -210,7 +215,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def pushLimit(n: Int): Boolean =
     // the cursor limit counts UNSAMPLED rows; the sampled prefix may be
     // shorter than the limit needs
-    if (sample.isDefined) false
+    if (sample.isDefined || joined.isDefined) false
     else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
@@ -226,7 +231,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (options.get("splitter").contains("single") &&
         GraftServerSource.nsList(options).size == 1 && residuals.isEmpty &&
         aggPushed.isEmpty && groupedAgg.isEmpty && topN.isEmpty &&
-        sample.isEmpty) {
+        sample.isEmpty && joined.isEmpty) {
       offset = Some(n); true
     } else false
 
@@ -255,7 +260,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (orders.isEmpty || aggPushed.isDefined || groupedAgg.isDefined ||
         limit.isDefined || offset.isDefined || residuals.nonEmpty ||
-        sample.isDefined) return false
+        sample.isDefined || joined.isDefined) return false
     val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
       o.expression match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -302,7 +307,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     import graft.source.AggPush
     val eligible =
       pushedQuery == BQuery.True && !options.contains("query") &&
-        limit.isEmpty && sample.isEmpty
+        limit.isEmpty && sample.isEmpty && joined.isEmpty
     if (!eligible) return false
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[(String, org.apache.spark.sql.types.DataType)] = e match {
@@ -349,7 +354,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (limit.isDefined || offset.isDefined ||
         topN.isDefined || residuals.nonEmpty ||
         // the server-side $group computes over the UNSAMPLED collection
-        sample.isDefined) return false
+        sample.isDefined || joined.isDefined) return false
     val fullQuery = BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)
     val planned = QueryDocs.plan(fullQuery)
     if (!planned.isExact || planned.keyBounds.isDefined) return false
@@ -397,10 +402,139 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     }
   }
 
-  override def build(): Scan =
-    new GraftServerScan(required,
-      BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-      limit, options, aggPushed, topN, groupedAgg, offset, sample)
+  // ---- join pushdown (SupportsPushDownJoin) ----
+
+  /** An equi-join of two collections on the SAME server becomes one
+    * `$lookup`+`$unwind` pipeline over the driving (left) collection —
+    * the join never reaches a Spark shuffle; the reference always
+    * re-shuffled joins client-side, this is the pipeline form its own
+    * server-side `aggregate()` pattern (SampleSplitter.java:79-88)
+    * makes possible. Accepted: INNER / LEFT OUTER, a pure conjunction
+    * of column equalities, both sides single-namespace on one
+    * server+database with every filter fully pushed and no other
+    * pushdown claimed. Key types must make `$expr` `$eq` over STORED
+    * values agree with Spark equality over READ values: Int/Double/
+    * Boolean always (one numeric value-equality bracket); Long/
+    * Timestamp/String only under `assume_uniform_storage` on their
+    * side (a date storage reads as a Long's millis but `$eq`s in the
+    * date bracket; ObjectId/symbol storages read as strings but never
+    * `$eq` a BSON string).
+    */
+  private var joined: Option[ServerJoin] = None
+
+  private def connectionId: (String, String, String) = (
+    options.getOrElse("client_factory", classOf[DirServerFactory].getName),
+    options.getOrElse("uri", options.getOrElse("server_dir", "")),
+    QueryDocs.nsParts(GraftServerSource.ns(options))._1)
+
+  private def cleanForJoin: Boolean =
+    residuals.isEmpty && limit.isEmpty && offset.isEmpty && topN.isEmpty &&
+      aggPushed.isEmpty && groupedAgg.isEmpty && sample.isEmpty &&
+      joined.isEmpty && !options.contains("limit") &&
+      !options.contains("sort") &&
+      GraftServerSource.nsList(options).size == 1
+
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: GraftServerScanBuilder =>
+        cleanForJoin && o.cleanForJoin && connectionId == o.connectionId
+      case _ => false
+    }
+
+  private def joinKeySafe(dt: org.apache.spark.sql.types.DataType,
+      opts: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.types._
+    val always = Set[DataType](IntegerType, DoubleType, BooleanType)
+    val uniform = Set[DataType](LongType, TimestampType, StringType)
+    always.contains(dt) || (uniform.contains(dt) &&
+      opts.get("assume_uniform_storage").exists(_.toBoolean))
+  }
+
+  /** The condition as a conjunction of bare column equalities, or None. */
+  private def eqPairs(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate):
+      Option[Seq[(String, String)]] = p.name() match {
+    case "AND" =>
+      p.children().toSeq match {
+        case Seq(a: org.apache.spark.sql.connector.expressions.filter.Predicate,
+            b: org.apache.spark.sql.connector.expressions.filter.Predicate) =>
+          for (l <- eqPairs(a); r <- eqPairs(b)) yield l ++ r
+        case _ => None
+      }
+    case "=" =>
+      p.children().toSeq match {
+        case Seq(a: org.apache.spark.sql.connector.expressions.NamedReference,
+            b: org.apache.spark.sql.connector.expressions.NamedReference)
+            if a.fieldNames.length == 1 && b.fieldNames.length == 1 =>
+          Some(Seq((a.fieldNames.head, b.fieldNames.head)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def pushDownJoin(other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.join.{JoinType => V2JoinType}
+    val o = other match {
+      case b: GraftServerScanBuilder => b
+      case _ => return false
+    }
+    val leftOuter = joinType == V2JoinType.LEFT_OUTER_JOIN
+    if (joinType != V2JoinType.INNER_JOIN && !leftOuter) return false
+    def proj(req: Array[SupportsPushDownJoin.ColumnWithAlias],
+        schema: StructType):
+        Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
+      val items = req.toSeq.map { c =>
+        schema.fields.find(_.name == c.colName())
+          .map(f => (f.name, Option(c.alias()).getOrElse(f.name), f.dataType))
+      }
+      if (items.contains(None)) None else Some(items.flatten)
+    }
+    (proj(leftReq, tableSchema), proj(rightReq, o.joinSchema)) match {
+      case (Some(lp), Some(rp)) =>
+        val leftOut = lp.map(p => p._2 -> p._3).toMap
+        val rightOut = rp.map(p => p._2 -> p._3).toMap
+        if (leftOut.keySet.intersect(rightOut.keySet).nonEmpty) return false
+        val oriented: Option[Seq[(String, String)]] =
+          eqPairs(condition).flatMap { pairs =>
+            val o2 = pairs.map {
+              case (x, y) if leftOut.contains(x) && rightOut.contains(y) =>
+                Some((x, y))
+              case (x, y) if leftOut.contains(y) && rightOut.contains(x) =>
+                Some((y, x))
+              case _ => None
+            }
+            if (o2.contains(None) || o2.isEmpty) None else Some(o2.flatten)
+          }
+        oriented match {
+          case Some(keys) if keys.forall { case (l, r) =>
+              joinKeySafe(leftOut(l), options) &&
+                joinKeySafe(rightOut(r), o.joinOptions) } =>
+            joined = Some(ServerJoin(lp,
+              GraftServerSource.ns(o.joinOptions),
+              BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
+                o.pushedQuery),
+              rp, keys, leftOuter))
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  override def build(): Scan = joined match {
+    case Some(j) =>
+      new GraftServerJoinScan(j,
+        BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
+        options)
+    case None =>
+      new GraftServerScan(required,
+        BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
+        limit, options, aggPushed, topN, groupedAgg, offset, sample)
+  }
 }
 
 /** A pushed grouped aggregation: the group columns (and their Spark
@@ -421,6 +555,151 @@ final case class ServerGroupedAgg(
     (if (groupCols.isEmpty) "GLOBAL"
      else s"GROUP BY ${groupCols.map(_._1).mkString(", ")}") +
       s" [${items.map(_._1.alias).mkString(", ")}]"
+}
+
+/** A pushed equi-join, held by the LEFT (driving) builder after
+  * [[GraftServerScanBuilder.pushDownJoin]]: both sides' projections as
+  * (doc field, output name, Spark type) in output order — the joined
+  * read schema IS leftProject ++ rightProject — the right side's
+  * namespace and fully-pushed query, the key pairs as OUTPUT names, and
+  * the flavor.
+  */
+final case class ServerJoin(
+    leftProject: Seq[(String, String, org.apache.spark.sql.types.DataType)],
+    rightNs: String,
+    rightQuery: BQuery,
+    rightProject: Seq[(String, String, org.apache.spark.sql.types.DataType)],
+    keys: Seq[(String, String)],
+    leftOuter: Boolean) {
+  def schema: StructType = StructType(
+    leftProject.map { case (_, o, t) =>
+      org.apache.spark.sql.types.StructField(o, t) } ++
+      rightProject.map { case (_, o, t) =>
+        org.apache.spark.sql.types.StructField(o, t) })
+  /** right OUTPUT name -> right doc field. */
+  def rightField(out: String): String =
+    rightProject.collectFirst { case (f, `out`, _) => f }.get
+  /** left OUTPUT name -> left doc field. */
+  def leftField(out: String): String =
+    leftProject.collectFirst { case (f, `out`, _) => f }.get
+  override def toString: String =
+    s"${if (leftOuter) "LEFT OUTER" else "INNER"} $rightNs ON " +
+      keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ")
+}
+
+/** The joined scan: one `$lookup`+`$unwind` pipeline per split of the
+  * DRIVING collection ([[ServerClient.lookupJoin]]) — the join itself
+  * never reaches Spark, no shuffle, no broadcast; only joined rows
+  * cross the wire. Splits reuse the standard planner chain when
+  * `assume_uniform_storage` is asserted (the split range must render
+  * bracket-style inside the pipeline's `$match`, which is only exact
+  * over uniformly-stored keys — cursor min/max bounds don't exist in a
+  * pipeline); otherwise the join runs as ONE pipeline, still
+  * server-executed. The right side is re-read per split — the trade a
+  * server-side hash/index lookup makes against shipping both
+  * collections through a Spark exchange.
+  */
+final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
+    options: Map[String, String])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = join.schema
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graftserver ns=${options.getOrElse("ns", "?")} query=$leftQuery" +
+      s" PushedJoin: $join"
+
+  /** Both sides' collStats — the joined size estimate is conservative
+    * (inner joins usually shrink), but keeps a small joined scan
+    * broadcast-able in an OUTER Spark join above it. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes = GraftServerSource.withClient(options) { (client, ns) =>
+      val l = client.collStats(ns)
+      val r = client.collStats(join.rightNs)
+      l.count * l.avgObjSizeBytes + r.count * r.avgObjSizeBytes
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ns = GraftServerSource.ns(options)
+    val key = options.getOrElse("key", "_id")
+    val uniform = options.get("assume_uniform_storage").exists(_.toBoolean)
+    if (!uniform || options.get("splitter").contains("single"))
+      return Array(GraftServerPartition(ns,
+        BQuery.KeyRange(key, None, None), Seq.empty))
+    GraftServerSource.withClient(options) { (client, _) =>
+      val target = options.get("split_size").map(_.toLong)
+        .getOrElse(8L * 1024 * 1024)
+      new ServerCollection(client, ns).planSplits(key, target)
+        .map(s => GraftServerPartition(ns, s.range,
+          s.preferredLocations): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftServerJoinReaderFactory(join, leftQuery, options)
+}
+
+final class GraftServerJoinReaderFactory(join: ServerJoin, leftQuery: BQuery,
+    options: Map[String, String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftServerJoinReader(p.asInstanceOf[GraftServerPartition], join,
+      leftQuery, options)
+}
+
+/** One `$lookup` pipeline for this split's driving range. Null/missing
+  * join keys are filtered where equi-join semantics require it: the
+  * LOOKUP side always (a null right key must never match), the driving
+  * side only under INNER (a LEFT OUTER keeps those rows, and a null
+  * driving key looks up nothing either way).
+  */
+final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
+    leftQuery: BQuery, options: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val client = GraftServerSource.factory(options).create(options)
+
+  // engine Exists(true) = present AND non-null, rendered as the
+  // equivalent `{$ne: null}` on the wire (QueryDocs.render)
+  private def nonNull(field: String): BQuery = BQuery.Exists(field, yes = true)
+
+  private val rightWithKeys: BQuery = join.keys.foldLeft(join.rightQuery) {
+    case (acc, (_, ro)) => BQuery.and(acc, nonNull(join.rightField(ro)))
+  }
+  private val leftFull: BQuery = {
+    val base = BQuery.and(p.range, leftQuery)
+    if (join.leftOuter) base
+    else join.keys.foldLeft(base) { case (acc, (lo, _)) =>
+      BQuery.and(acc, nonNull(join.leftField(lo)))
+    }
+  }
+
+  private val cursor: Iterator[BDoc] = client.lookupJoin(p.ns, LookupJoin(
+    leftFull,
+    join.leftProject.map { case (f, o, _) => (f, o) },
+    join.rightNs,
+    rightWithKeys,
+    join.rightProject.map { case (f, o, _) => (f, o) },
+    join.keys, join.leftOuter))
+
+  private val schema = join.schema
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (cursor.hasNext) { row = RowCodec.toRow(cursor.next(), schema); true }
+    else false
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = client match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
 }
 
 object GraftServerScanBuilder {

@@ -224,6 +224,46 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       }
   }
 
+  /** The `$lookup`+`$unwind` equi-join pipeline ([[QueryDocs
+    * .lookupStages]]), one aggregate() round-trip per call; the `__j`
+    * subdocument is flattened client-side per the
+    * [[ServerClient.lookupJoin]] contract. A KeyRange conjunct (a split
+    * range) renders bracket-style (`$gte`/`$lt`) into the `$match` —
+    * exact only over uniformly-stored keys, which the joined scan
+    * guarantees by gating range splits on `assume_uniform_storage`.
+    */
+  override def lookupJoin(ns: String, j: LookupJoin): Iterator[BDoc] = {
+    val coll = collection(ns)
+    val (db, _) = QueryDocs.nsParts(ns)
+    val (rdb, rcoll) = QueryDocs.nsParts(j.rightNs)
+    require(rdb == db, s"$$lookup joins within one database: $ns vs ${j.rightNs}")
+    val lp = QueryDocs.plan(j.leftQuery)
+    require(lp.isExact,
+      s"lookupJoin left query not fully server-renderable: ${j.leftQuery}")
+    val leftMatch = lp.keyBounds.flatMap { case (k, lo, hi) =>
+      QueryDocs.rangeMatchDoc(k, lo, hi)
+    } match {
+      case Some(r) => QueryDocs.andDocs(Seq(r, lp.serverQuery))
+      case None => lp.serverQuery
+    }
+    val rp = QueryDocs.plan(j.rightQuery)
+    require(rp.isExact && rp.keyBounds.isEmpty,
+      s"lookupJoin right query not fully server-renderable: ${j.rightQuery}")
+    val it = Rf.aggregate(coll, QueryDocs.lookupStages(
+      leftMatch, j.leftProject, rcoll, rp.serverQuery, j.rightProject,
+      j.keys, j.leftOuter))
+    // a $lookup over a large right side can exceed the 100 MB stage cap
+    if (allowDiskUse) Rf.allowDiskUse(it, b = true)
+    Rf.cursor(it).map { d =>
+      val base = d.fields.toSeq.filterNot(_._1 == QueryDocs.JoinedField)
+      val joined = d.get(QueryDocs.JoinedField) match {
+        case Some(sub: BDoc) => sub.fields.toSeq
+        case _ => Seq.empty
+      }
+      BDoc((base ++ joined): _*)
+    }
+  }
+
   override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {
     val coll = collection(ns)
     val jmodels = new java.util.ArrayList[Object]()

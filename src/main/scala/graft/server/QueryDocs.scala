@@ -103,7 +103,16 @@ object QueryDocs {
         if (opts.isEmpty) BDoc("$regex" -> BString(pat))
         else BDoc("$regex" -> BString(pat), "$options" -> BString(opts))
       Some(BDoc(p -> body))
-    case BQuery.Exists(p, yes) => Some(BDoc(p -> BDoc("$exists" -> BBool(yes))))
+    // The engine's Exists matches "present AND non-null" (it is what
+    // pushed IsNotNull/IsNull compile to, so it must carry SPARK's null
+    // semantics — Spark never re-checks a pushed filter). Mongo's
+    // `$exists` matches explicit nulls too, so the faithful wire form is
+    // null-(in)equality: `{$ne: null}` = present non-null, `{$eq: null}`
+    // = null or missing — exactly the engine matcher. (Option-level
+    // `$exists` JSON parses to this node as well and now evaluates with
+    // the same semantics on BOTH transports.)
+    case BQuery.Exists(p, true) => Some(BDoc(p -> BDoc("$ne" -> BNull)))
+    case BQuery.Exists(p, false) => Some(BDoc(p -> BDoc("$eq" -> BNull)))
     case BQuery.And(qs) =>
       val parts = qs.map(render)
       if (parts.forall(_.isDefined)) Some(andDoc(parts.flatten)) else None
@@ -113,6 +122,11 @@ object QueryDocs {
       else Some(BDoc("$or" -> BArray(parts.flatten.toVector)))
     case _ => None // KeyRange (cursor-bound concern), ReadStr*/ReadLong*
   }
+
+  /** AND-combine already-rendered query docs (flat-merged when keys are
+    * disjoint, `$and` otherwise) — the public face of [[andDoc]] for
+    * callers composing a rendered range conjunct into a match doc. */
+  def andDocs(docs: Seq[BDoc]): BDoc = andDoc(docs)
 
   private def andDoc(docs: Seq[BDoc]): BDoc = {
     val nonEmpty = docs.filter(_.fields.nonEmpty)
@@ -248,6 +262,87 @@ object QueryDocs {
     val group = BDoc("$group" -> BDoc(groupFields: _*))
     if (matchDoc.fields.isEmpty) Seq(group)
     else Seq(BDoc("$match" -> matchDoc), group)
+  }
+
+  /** `$project` doc renaming each doc field to its output name —
+    * `{out: "$field", ...}` with `_id` excluded unless it IS an output
+    * name (a computed `_id` entry replaces the exclusion).
+    */
+  def aliasProjection(spec: Seq[(String, String)]): BDoc = {
+    val renames = spec.map { case (f, o) => o -> (BString("$" + f): BsonValue) }
+    BDoc(ListMap(
+      (if (spec.exists(_._2 == "_id")) renames
+       else ("_id" -> (BInt32(0): BsonValue)) +: renames): _*))
+  }
+
+  /** A split range as a bracket-style `$match` conjunct —
+    * `{k: {$gte: lo, $lt: hi}}`. A cursor gets ranges as `$min`/`$max`
+    * index bounds (cross-type exact); a PIPELINE has no such knob, and
+    * the bracket spelling is only exact over uniformly-stored keys —
+    * callers gate on `assume_uniform_storage` (see
+    * [[ServerClient.lookupJoin]]).
+    */
+  def rangeMatchDoc(key: String, lo: Option[BsonValue],
+      hi: Option[BsonValue]): Option[BDoc] =
+    if (lo.isEmpty && hi.isEmpty) None
+    else Some(BDoc(key -> BDoc(ListMap(
+      (lo.map("$gte" -> _) ++ hi.map("$lt" -> _)).toSeq: _*))))
+
+  /** The `$lookup` equi-join pipeline of [[ServerClient.lookupJoin]]:
+    *
+    * {{{
+    * [{$match: leftMatch},                       // split range ∧ query
+    *  {$project: {lOut: "$lField", ...}},        // driving aliases
+    *  {$lookup: {from: rightColl,
+    *             let: {v0: "$lKeyOut0", ...},
+    *             pipeline: [{$match: rightMatch},    // query ∧ keys non-null
+    *                        {$match: {$expr: {$and: [{$eq: ["$rKeyField0", "$$v0"]}, ...]}}},
+    *                        {$project: {rOut: "$rField", ...}}],
+    *             as: "__j"}},
+    *  {$unwind: {path: "$__j", preserveNullAndEmptyArrays: leftOuter}}]
+    * }}}
+    *
+    * The caller flattens each result doc's `__j` subdocument to the top
+    * level. Key equality runs BEFORE the right projection, so the
+    * `$expr` references right DOC fields; `let` vars bind the driving
+    * side's already-projected output names. Server-side `aggregate()`
+    * is the reference's established pattern
+    * (core/.../splitter/SampleSplitter.java:79-88) — `$lookup` is that
+    * pattern applied to the join the reference always re-shuffled
+    * client-side.
+    */
+  val JoinedField = "__j"
+
+  def lookupStages(leftMatch: BDoc, leftProject: Seq[(String, String)],
+      rightColl: String, rightMatch: BDoc,
+      rightProject: Seq[(String, String)],
+      keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] = {
+    val rightField = rightProject.map { case (f, o) => o -> f }.toMap
+    val letVars = keys.zipWithIndex.map { case ((lo, _), i) => s"v$i" -> lo }
+    val eqs: Vector[BsonValue] = keys.zipWithIndex.map { case ((_, ro), i) =>
+      BDoc("$eq" -> BArray(Vector(
+        BString("$" + rightField(ro)), BString("$$v" + i)))): BsonValue
+    }.toVector
+    val exprDoc = BDoc("$expr" ->
+      (if (eqs.size == 1) eqs.head else BDoc("$and" -> BArray(eqs))))
+    val innerPipeline: Vector[BsonValue] =
+      (if (rightMatch.fields.isEmpty) Vector.empty[BsonValue]
+       else Vector(BDoc("$match" -> rightMatch): BsonValue)) ++
+        Vector[BsonValue](
+          BDoc("$match" -> exprDoc),
+          BDoc("$project" -> aliasProjection(rightProject)))
+    val lookup = BDoc("$lookup" -> BDoc(
+      "from" -> BString(rightColl),
+      "let" -> BDoc(ListMap(letVars.map { case (v, lo) =>
+        v -> (BString("$" + lo): BsonValue) }: _*)),
+      "pipeline" -> BArray(innerPipeline),
+      "as" -> BString(JoinedField)))
+    val unwind = BDoc("$unwind" -> BDoc(
+      "path" -> BString("$" + JoinedField),
+      "preserveNullAndEmptyArrays" -> BBool(leftOuter)))
+    (if (leftMatch.fields.isEmpty) Seq.empty
+     else Seq(BDoc("$match" -> leftMatch))) ++
+      Seq(BDoc("$project" -> aliasProjection(leftProject)), lookup, unwind)
   }
 
   /** Apply a projection client-side (the residual-query path cannot push

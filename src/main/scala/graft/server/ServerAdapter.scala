@@ -100,7 +100,39 @@ trait ServerClient {
     */
   def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Iterator[BDoc]
+
+  /** One server-executed equi-join — the `$lookup`+`$unwind` pipeline
+    * ([[QueryDocs.lookupStages]] is the wire rendering): driving docs of
+    * `ns` matching `j.leftQuery` are projected to `j.leftProject`'s
+    * output names, joined against `j.rightNs` docs matching
+    * `j.rightQuery` (projected to `j.rightProject`) on the AND of
+    * `j.keys` output-name equalities, and stream back FLATTENED — one
+    * doc per joined pair carrying every left and right output field at
+    * the top level. `j.leftOuter` keeps unmatched driving docs with the
+    * right fields missing (they read back as NULL). Null/missing keys
+    * never match on either side (SQL equi-join semantics; the right
+    * side's pipeline filters them, a null driving key looks up nothing).
+    * A [[BQuery.KeyRange]] conjunct in `j.leftQuery` (a split range) is
+    * rendered BRACKET-style (`$gte`/`$lt`) inside the pipeline's
+    * `$match` — unlike a cursor's min/max bounds this is only exact
+    * over uniformly-stored keys, so callers must pass one only under
+    * the `assume_uniform_storage` opt-in (the joined scan does).
+    */
+  def lookupJoin(ns: String, j: LookupJoin): Iterator[BDoc]
 }
+
+/** One pushed equi-join, transport-agnostic: field→output-name
+  * projections for both sides, the key pairs AS OUTPUT NAMES, and the
+  * join flavor. Plain data — serializes into the scan's partitions.
+  */
+final case class LookupJoin(
+    leftQuery: BQuery,
+    leftProject: Seq[(String, String)],
+    rightNs: String,
+    rightQuery: BQuery,
+    rightProject: Seq[(String, String)],
+    keys: Seq[(String, String)],
+    leftOuter: Boolean)
 
 object ServerClient {
   final case class CollStats(count: Long, avgObjSizeBytes: Long)
@@ -376,6 +408,49 @@ final class FakeServerClient(rootDir: Option[String] = None)
           }.sum))
       }
       BDoc(ListMap(groupKeys.zip(gvs) ++ fields: _*))
+    }
+  }
+
+  /** The `$lookup` equi-join, evaluated as a hash join over the store
+    * (what a real server computes from [[QueryDocs.lookupStages]]).
+    * Key equality is `$expr` `$eq`'s VALUE equality across numeric
+    * storages — int32/int64/integral-double of one value match — via a
+    * canonical key form; the right side is indexed in memory (the fake
+    * is a transport stand-in, not a storage engine — a real server
+    * walks the right collection's index per driving doc).
+    */
+  override def lookupJoin(ns: String, j: LookupJoin): Iterator[BDoc] = {
+    tick("lookupJoin")
+    def canon(v: BsonValue): Any = v match {
+      case BInt32(x) => x.toLong
+      case BInt64(x) => x
+      // integral doubles inside the exact-long window equal their ints
+      case BDouble(x) if x == math.rint(x) && math.abs(x) <= 9.007199254740992E15 =>
+        x.toLong
+      case other => other
+    }
+    def outToField(spec: Seq[(String, String)]): Map[String, String] =
+      spec.map { case (f, o) => o -> f }.toMap
+    def project(d: BDoc, spec: Seq[(String, String)]): Seq[(String, BsonValue)] =
+      spec.flatMap { case (f, o) => d.getPath(f).map(o -> _) }
+    val rightKeyFields = j.keys.map { case (_, ro) => outToField(j.rightProject)(ro) }
+    val index: Map[Seq[Any], Vector[BDoc]] =
+      coll(j.rightNs).readAll().filter(j.rightQuery.matches)
+        .filter(d => rightKeyFields.forall(f => d.getPath(f).exists(_ != BNull)))
+        .toVector
+        .groupBy(d => rightKeyFields.map(f => canon(d.getPath(f).get)))
+    val leftKeyFields = j.keys.map { case (lo, _) => outToField(j.leftProject)(lo) }
+    coll(ns).readAll().filter(j.leftQuery.matches).flatMap { ld =>
+      val kvs = leftKeyFields.map(f => ld.getPath(f).filter(_ != BNull))
+      val lFields = project(ld, j.leftProject)
+      val hits: Vector[BDoc] =
+        if (kvs.exists(_.isEmpty)) Vector.empty
+        else index.getOrElse(kvs.map(v => canon(v.get)), Vector.empty)
+      if (hits.isEmpty) {
+        if (j.leftOuter) Iterator.single(BDoc(ListMap(lFields: _*)))
+        else Iterator.empty
+      } else hits.iterator.map(rd =>
+        BDoc(ListMap(lFields ++ project(rd, j.rightProject): _*)))
     }
   }
 

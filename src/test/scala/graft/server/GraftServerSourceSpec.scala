@@ -708,6 +708,8 @@ final class CountingServerFactory extends ServerClientFactory {
       override def groupAggregate(ns: String, query: graft.query.BQuery,
           groupKeys: Seq[String], aggs: Seq[GroupAgg]) =
         { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs) }
+      override def lookupJoin(ns: String, j: LookupJoin) =
+        { t("lookupJoin"); inner.lookupJoin(ns, j) }
       override def close(): Unit = inner.close()
     }
   }

@@ -1,0 +1,185 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** DSv2 join pushdown (SupportsPushDownJoin): an equi-join of two
+  * collections on the same server plans as ONE `$lookup`+`$unwind`
+  * pipeline over the driving collection — no Spark-side join operator,
+  * no shuffle/broadcast of either collection. Pins: plan shape
+  * (`PushedJoin`, no Join exec node), value parity against the
+  * Spark-computed join over separate reads (incl. colliding column
+  * names, which exercise the alias machinery), LEFT OUTER null rows,
+  * split parallelism under `assume_uniform_storage`, and the refusals
+  * (different servers, unsafe key types, residual filters).
+  */
+class JoinPushdownSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-join").toString
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Write orders-ish and customer-ish collections into one server dir. */
+  private def seed(dir: String, nOrders: Int = 300, nCust: Int = 40): Unit = {
+    import spark.implicits._
+    (0 until nOrders).map(i =>
+        (i.toLong, (i % 50).toLong, (i * 7 % 1000).toDouble, s"S${i % 3}"))
+      .toDF("_id", "custkey", "price", "status")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.orders"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until nCust).map(i => (i.toLong, s"c$i", (i % 5).toInt))
+      .toDF("_id", "name", "seg")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.cust"))
+      .option("id_column", "_id").mode("append").save()
+  }
+
+  private def ordersDf(dir: String, extra: (String, String)*) =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.orders",
+        "assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, custkey LONG, price DOUBLE, status STRING")
+      .load()
+
+  private def custDf(dir: String, extra: (String, String)*) =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.cust",
+        "assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, name STRING, seg INT")
+      .load()
+
+  test("inner equi-join pushes as one $lookup pipeline; colliding _id aliases") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val o = ordersDf(dir)
+    val c = custDf(dir)
+    val j = o.join(c, o("custkey") === c("_id"))
+      .select(o("_id").as("okey"), $"custkey", $"price", $"name", $"seg")
+    val plan = planOf(j)
+    assert(plan.contains("PushedJoin:"), plan)
+    assert(!plan.contains("Join "), s"no Spark join exec expected:\n$plan")
+
+    // parity: the same join computed by Spark over separate scans
+    val exp = {
+      val oo = ordersDf(dir).select($"_id".as("okey"), $"custkey", $"price")
+      val cc = custDf(dir).select($"_id".as("ck2"), $"name", $"seg")
+      oo.join(cc, $"custkey" === $"ck2")
+        .select($"okey", $"custkey", $"price", $"name", $"seg")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val got = j.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == exp, s"got ${got.take(3)}...\nexp ${exp.take(3)}...")
+    assert(got.nonEmpty)
+  }
+
+  test("left outer join keeps unmatched driving rows with NULL right side") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir, nOrders = 120, nCust = 20) // custkey up to 49 -> unmatched rows
+    val o = ordersDf(dir)
+    val c = custDf(dir)
+    val j = o.join(c, o("custkey") === c("_id"), "left_outer")
+      .select(o("_id").as("okey"), $"custkey", $"name")
+    val plan = planOf(j)
+    assert(plan.contains("PushedJoin: LEFT OUTER"), plan)
+    val rows = j.collect()
+    assert(rows.length == 120, s"left outer must keep every driving row: ${rows.length}")
+    val unmatched = rows.filter(_.isNullAt(2))
+    assert(unmatched.nonEmpty && unmatched.forall(r => r.getLong(1) >= 20))
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.forall(r => r.getString(2) == s"c${r.getLong(1)}"))
+  }
+
+  test("pushed filters on both sides compose into the pipeline's $match stages") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val o = ordersDf(dir).filter($"price" > 100.0)
+    val c = custDf(dir).filter($"seg" === 2)
+    val j = o.join(c, o("custkey") === c("_id"))
+      .select($"custkey", $"price", $"seg")
+    assert(planOf(j).contains("PushedJoin:"), planOf(j))
+    val exp = (0 until 300).map(i =>
+        (i % 50, (i * 7 % 1000).toDouble)).filter(_._2 > 100.0)
+      .filter(p => p._1 < 40 && p._1 % 5 == 2)
+      .map { case (k, p) => (k.toLong, p, 2) }.sortBy(_.toString)
+    val got = j.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .toSeq.sortBy(_.toString)
+    assert(got == exp)
+  }
+
+  test("uniform storage splits the driving side into several pipelines") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir, nOrders = 2000, nCust = 50) // every custkey matched
+    val o = ordersDf(dir, "split_size" -> (16 * 1024).toString)
+    val c = custDf(dir)
+    val j = o.join(c, o("custkey") === c("_id")).select($"custkey", $"name")
+    assert(planOf(j).contains("PushedJoin:"))
+    val parts = j.rdd.getNumPartitions
+    assert(parts > 1, s"expected several pipeline splits, got $parts")
+    assert(j.count() == 2000L)
+  }
+
+  test("transport bound: one lookupJoin round-trip per split, zero row cursors") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val opts = Map("server_dir" -> dir,
+      "client_factory" -> classOf[CountingServerFactory].getName,
+      "assume_uniform_storage" -> "true", "splitter" -> "single")
+    val o = spark.read.format("graftserver")
+      .options(opts + ("ns" -> "db.orders"))
+      .schema("_id LONG, custkey LONG, price DOUBLE, status STRING").load()
+    val c = spark.read.format("graftserver")
+      .options(opts + ("ns" -> "db.cust"))
+      .schema("_id LONG, name STRING, seg INT").load()
+    val j = o.join(c, o("custkey") === c("_id")).select($"custkey", $"name")
+    CountingServerFactory.reset()
+    assert(j.count() == 240L) // 300 orders, custkey%50, 40 custs -> 6 each
+    assert(CountingServerFactory.count("lookupJoin") == 1,
+      CountingServerFactory.snapshot().toString)
+    assert(CountingServerFactory.count("find") == 0,
+      CountingServerFactory.snapshot().toString)
+  }
+
+  test("refusals: different servers, unsafe key type, residual filter") {
+    import spark.implicits._
+    val dirA = freshDir()
+    val dirB = freshDir()
+    seed(dirA)
+    seed(dirB)
+
+    // different server_dir = different connection -> Spark joins
+    val oA = ordersDf(dirA)
+    val cB = custDf(dirB)
+    val cross = oA.join(cB, oA("custkey") === cB("_id"))
+    assert(!planOf(cross).contains("PushedJoin"), planOf(cross))
+    assert(cross.count() > 0)
+
+    // Long keys WITHOUT assume_uniform_storage refuse (a date storage
+    // reads as a Long's millis but $eq's in the date bracket)
+    val oPlain = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dirA, "ns" -> "db.orders"))
+      .schema("_id LONG, custkey LONG, price DOUBLE").load()
+    val cPlain = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dirA, "ns" -> "db.cust"))
+      .schema("_id LONG, name STRING").load()
+    val unsafe = oPlain.join(cPlain, oPlain("custkey") === cPlain("_id"))
+    assert(!planOf(unsafe).contains("PushedJoin"), planOf(unsafe))
+    assert(unsafe.count() > 0)
+
+    // a residual (untranslatable) filter keeps the join in Spark
+    val o = ordersDf(dirA).filter(length($"status") === 2)
+    val c = custDf(dirA)
+    val resid = o.join(c, o("custkey") === c("_id"))
+    assert(!planOf(resid).contains("PushedJoin"), planOf(resid))
+    assert(resid.count() > 0)
+  }
+}

@@ -46,8 +46,13 @@ class MongoDriverSpec extends AnyFunSuite {
       .contains(BDoc("a" -> BDoc("$regex" -> BString("^x"), "$options" -> BString("i")))))
     assert(QueryDocs.render(Regex("a", "^x"))
       .contains(BDoc("a" -> BDoc("$regex" -> BString("^x")))))
+    // engine Exists carries SPARK null semantics (IsNotNull/IsNull
+    // compile to it), so the faithful wire form is null-(in)equality —
+    // mongo's `$exists` would also match/skip explicit nulls
     assert(QueryDocs.render(Exists("a", yes = true))
-      .contains(BDoc("a" -> BDoc("$exists" -> BBool(true)))))
+      .contains(BDoc("a" -> BDoc("$ne" -> BNull))))
+    assert(QueryDocs.render(Exists("a", yes = false))
+      .contains(BDoc("a" -> BDoc("$eq" -> BNull))))
     assert(QueryDocs.render(Or(Seq(Eq("a", BInt32(1)), Eq("b", BInt32(2)))))
       .contains(BDoc("$or" -> BArray(Vector(
         BDoc("a" -> BInt32(1)), BDoc("b" -> BInt32(2)))))))
@@ -555,6 +560,50 @@ class MongoDriverSpec extends AnyFunSuite {
       assert(r.inserted === 1, "the non-duplicate insert must survive")
       assert(r.errors.exists(_.contains("duplicate key")),
         s"expected a per-item duplicate-key error, got ${r.errors}")
+    }
+  }
+
+  test("stub driver: lookupJoin renders the $lookup pipeline and round-trips") {
+    withDriver { (client, fake, _) =>
+      seed(client)
+      // a second collection in the same db: tags for half the ids
+      val tags = (1 to 10).map(i => BDoc(
+        "_id" -> BInt32(i * 2), "tag" -> BString(s"t${i % 3}")))
+      client.bulkWrite("db.tags", tags.map(InsertOne(_)).iterator, ordered = true)
+      val join = LookupJoin(
+        leftQuery = BQuery.Eq("status", BString("A")),
+        leftProject = Seq("_id" -> "pid", "name" -> "name"),
+        rightNs = "db.tags",
+        rightQuery = BQuery.True,
+        rightProject = Seq("tag" -> "tag"),
+        keys = Seq(("pid", "rid")),
+        leftOuter = false)
+      // right key field rides the projection: rid <- _id
+      val j = join.copy(rightProject = Seq("_id" -> "rid", "tag" -> "tag"))
+      val got = client.lookupJoin(Ns, j).toVector
+      val exp = fake.lookupJoin(Ns, j).toVector
+      assert(got.map(_.fields).sortBy(_.toString) ===
+        exp.map(_.fields).sortBy(_.toString))
+      assert(got.nonEmpty && got.forall(_.fields.keySet == Set("pid", "name", "rid", "tag")))
+
+      // LEFT OUTER through the full render→parse→evaluate→re-nest chain:
+      // odd ids (status B is odd) never match a tag and keep missing
+      // right fields
+      val outer = j.copy(leftQuery = BQuery.Eq("status", BString("B")),
+        leftOuter = true)
+      val gotOuter = client.lookupJoin(Ns, outer).toVector
+      assert(gotOuter === fake.lookupJoin(Ns, outer).toVector)
+      assert(gotOuter.size === 10 &&
+        gotOuter.forall(d => d.get("rid").isEmpty && d.get("tag").isEmpty))
+
+      // a split KeyRange renders bracket-style into the pipeline $match
+      val ranged = j.copy(leftQuery = BQuery.and(
+        BQuery.KeyRange("_id", Some(BInt32(4)), Some(BInt32(12))),
+        BQuery.Eq("status", BString("A"))))
+      val gotRanged = client.lookupJoin(Ns, ranged).toVector
+      assert(gotRanged === fake.lookupJoin(Ns, ranged).toVector)
+      assert(gotRanged.map(_.get("pid")).flatten.toSet ===
+        Set(BInt32(4), BInt32(6), BInt32(8), BInt32(10)))
     }
   }
 }

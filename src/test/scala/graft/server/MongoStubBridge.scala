@@ -141,10 +141,95 @@ final class StubDriverBackend(val fake: FakeServerClient) {
         }.flatten.getOrElse(throw new StubCommandRefused("no projected sample key"))
         fake.sampleKeys(s"$db.$coll", key, n)
           .map(v => BsonCodec.encode(BDoc(key -> v))).asJava
+      case _ if st.exists(_.fields.contains("$lookup")) =>
+        lookupPipeline(db, s"$db.$coll", st)
       case Some("$match") | Some("$group") => groupPipeline(s"$db.$coll", st)
       case other => throw new IllegalArgumentException(
-        s"stub server only speaks [$$sample, $$project] or [$$match, $$group], got $other")
+        s"stub server only speaks [$$sample, $$project], [$$match, $$group]," +
+          s" or a $$lookup join pipeline, got $other")
     }
+  }
+
+  /** `[$match?, $project, $lookup, $unwind]` — the equi-join pipeline
+    * the driver binding renders (QueryDocs.lookupStages), parsed back
+    * into a [[LookupJoin]] and evaluated through the fake; results
+    * re-nest the right side under the `$unwind` path (what a real
+    * server streams — the binding flattens it client-side).
+    */
+  private def lookupPipeline(db: String, ns: String,
+      st: Seq[BDoc]): java.util.List[Array[Byte]] = {
+    def bdoc(v: Option[BsonValue], what: String): BDoc = v match {
+      case Some(d: BDoc) => d
+      case other => throw new IllegalArgumentException(s"bad $what: $other")
+    }
+    def projOf(d: BDoc): Seq[(String, String)] = d.fields.toSeq.collect {
+      case (o, BString(ref)) if ref.startsWith("$") => (ref.drop(1), o)
+    }
+    var i = 0
+    val leftQuery: BQuery =
+      if (st(i).fields.contains("$match")) {
+        val q = StubDriverBackend.parseQueryDoc(bdoc(st(i).get("$match"), "$match"))
+        i += 1; q
+      } else BQuery.True
+    val leftProject = projOf(bdoc(st(i).get("$project"), "left $project")); i += 1
+    val lk = bdoc(st(i).get("$lookup"), "$lookup"); i += 1
+    val from = lk.get("from") match {
+      case Some(BString(c)) => c
+      case other => throw new IllegalArgumentException(s"bad from: $other")
+    }
+    // let var -> driving OUTPUT name
+    val letVars: Map[String, String] = bdoc(lk.get("let"), "let").fields.collect {
+      case (v, BString(ref)) if ref.startsWith("$") => v -> ref.drop(1)
+    }.toMap
+    val inner = lk.get("pipeline") match {
+      case Some(BArray(stgs)) => stgs.collect { case d: BDoc => d }
+      case other => throw new IllegalArgumentException(s"bad pipeline: $other")
+    }
+    var rightQuery: BQuery = BQuery.True
+    var eqs: Seq[(String, String)] = Seq.empty // (left OUT, right FIELD)
+    var rightProject: Seq[(String, String)] = Seq.empty
+    inner.foreach { stg =>
+      (stg.get("$match"), stg.get("$project")) match {
+        case (Some(m: BDoc), _) if m.fields.contains("$expr") =>
+          val eqDocs: Seq[BDoc] = m.get("$expr") match {
+            case Some(e: BDoc) if e.fields.contains("$and") =>
+              e.get("$and") match {
+                case Some(BArray(ds)) => ds.collect { case d: BDoc => d }
+                case other => throw new IllegalArgumentException(s"bad $$and: $other")
+              }
+            case Some(e: BDoc) => Seq(e)
+            case other => throw new IllegalArgumentException(s"bad $$expr: $other")
+          }
+          eqs = eqDocs.map(_.get("$eq") match {
+            case Some(BArray(Vector(BString(rf), BString(lv))))
+                if rf.startsWith("$") && lv.startsWith("$$") =>
+              (letVars(lv.drop(2)), rf.drop(1))
+            case other => throw new IllegalArgumentException(s"bad $$eq: $other")
+          })
+        case (Some(m: BDoc), _) => rightQuery = StubDriverBackend.parseQueryDoc(m)
+        case (None, Some(p: BDoc)) => rightProject = projOf(p)
+        case other =>
+          throw new IllegalArgumentException(s"bad inner stage: $other")
+      }
+    }
+    val unwind = bdoc(st(i).get("$unwind"), "$unwind")
+    val joinedField = unwind.get("path") match {
+      case Some(BString(p)) if p.startsWith("$") => p.drop(1)
+      case other => throw new IllegalArgumentException(s"bad unwind path: $other")
+    }
+    val leftOuter = unwind.get("preserveNullAndEmptyArrays")
+      .contains(BBool(true))
+    val rightOutOf = rightProject.map { case (f, o) => f -> o }.toMap
+    val keys = eqs.map { case (lo, rf) => (lo, rightOutOf(rf)) }
+    val leftOuts = leftProject.map(_._2).toSet
+    fake.lookupJoin(ns, LookupJoin(leftQuery, leftProject, s"$db.$from",
+      rightQuery, rightProject, keys, leftOuter))
+      .map { flat =>
+        val (l, r) = flat.fields.toSeq.partition { case (k, _) => leftOuts(k) }
+        BsonCodec.encode(BDoc(ListMap(
+          (l ++ (if (r.nonEmpty) Seq(joinedField -> (BDoc(ListMap(r: _*)): BsonValue))
+                 else Nil)): _*)))
+      }.toSeq.asJava
   }
 
   /** `[$match?, $group]` — the grouped-aggregation pipeline the driver
@@ -264,6 +349,13 @@ object StubDriverBackend {
           case ("$lte", v) => BQuery.Lte(f, v)
           case ("$gt", v) => BQuery.Gt(f, v)
           case ("$gte", v) => BQuery.Gte(f, v)
+          // null-(in)equality is what a REAL server evaluates as
+          // "null-or-missing" / "present non-null" — the engine node
+          // with exactly those semantics is Exists (the wire form
+          // QueryDocs renders for it); generic Eq/Ne would treat
+          // missing fields differently
+          case ("$eq", BNull) => BQuery.Exists(f, yes = false)
+          case ("$ne", BNull) => BQuery.Exists(f, yes = true)
           case ("$eq", v) => BQuery.Eq(f, v)
           case ("$ne", v) => BQuery.Ne(f, v)
           case ("$in", BArray(vs)) => BQuery.In(f, vs)

@@ -164,4 +164,46 @@ class RealMongoIntegrationSpec extends SparkSpec {
       .option("id_column", "k").mode("append").save()
     assert(drainKeys() === Seq(3L), "restart must resume past the committed offset")
   }
+
+  test("live: pushed IsNotNull drops explicit nulls (the $ne-null rendering)") {
+    live()
+    import spark.implicits._
+    // a REAL server's `$exists: true` would keep the explicit-null row;
+    // the engine renders IsNotNull as `{$ne: null}` — this pins it on
+    // real wire behavior (the stub pins it in-sandbox)
+    Seq[(Long, java.lang.Double)]((1L, 5.0), (2L, null), (3L, 7.0))
+      .toDF("k", "v")
+      .write.format("graftserver").options(opts("nn"))
+      .option("id_column", "k").mode("append").save()
+    val back = spark.read.format("graftserver").options(opts("nn"))
+      .schema("_id LONG, v DOUBLE").load()
+    assert(back.filter($"v".isNotNull).collect().map(_.getLong(0)).sorted
+      === Array(1L, 3L))
+    assert(back.filter($"v".isNull).collect().map(_.getLong(0)) === Array(2L))
+  }
+
+  test("live: equi-join plans as one $lookup pipeline (q133 shape)") {
+    live()
+    import spark.implicits._
+    val oOpts = opts("jord") + ("assume_uniform_storage" -> "true")
+    val cOpts = opts("jcust") + ("assume_uniform_storage" -> "true")
+    (0 until 100).map(i => (i.toLong, (i % 10).toLong, i * 1.5))
+      .toDF("k", "ck", "price")
+      .write.format("graftserver").options(oOpts)
+      .option("id_column", "k").mode("append").save()
+    (0 until 8).map(i => (i.toLong, s"c$i")).toDF("k", "name")
+      .write.format("graftserver").options(cOpts)
+      .option("id_column", "k").mode("append").save()
+    val o = spark.read.format("graftserver").options(oOpts)
+      .schema("_id LONG, ck LONG, price DOUBLE").load()
+    val c = spark.read.format("graftserver").options(cOpts)
+      .schema("_id LONG, name STRING").load()
+    val j = o.join(c, o("ck") === c("_id")).select($"ck", $"name", $"price")
+    assert(j.queryExecution.executedPlan.toString.contains("PushedJoin:"),
+      "the equi-join must plan as a $lookup pipeline")
+    assert(j.count() === 80L) // ck 8,9 unmatched
+    val outer = o.join(c, o("ck") === c("_id"), "left_outer")
+    assert(outer.count() === 100L)
+    assert(outer.filter(c("name").isNull).count() === 20L)
+  }
 }
