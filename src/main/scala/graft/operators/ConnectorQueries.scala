@@ -778,6 +778,57 @@ object ConnectorQueries {
         |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
         |""".stripMargin)),
 
+    // Aggregate pushed THROUGH the join (round-12): the GROUP BY
+    // appends a `$group` stage to q133's `$lookup` pipeline — the whole
+    // `SELECT k, agg(..) FROM a JOIN b GROUP BY k` is ONE server-side
+    // pipeline and only #groups partial docs cross the wire per split
+    // (q133 keeps its aggregate in Spark because dsum is an expression
+    // input; this entry uses bare columns so the aggregate pushes too).
+    // The plan shows `PushedJoin` AND `PushedGroupedAggregate`
+    // (JoinPushdownSpec pins it plus the empty-match GLOBAL sentinel
+    // and the limit-vs-agg exclusivity).
+    CatalogQuery(
+      "q134_server_join_agg",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.gorders"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.gcust"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.gorders"))
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+          .filter($"o_totalprice" > 1000.0)
+        val c = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.gcust"))
+          .schema("_id LONG, c_mktsegment STRING, c_acctbal DOUBLE").load()
+        o.join(c, o("o_custkey") === c("_id"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            count($"c_acctbal").as("n_bal"),
+            min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price"),
+            sum($"o_custkey").as("sum_ck"))
+          .orderBy($"c_mktsegment".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_mktsegment, count(*) AS n, count(c_acctbal) AS n_bal,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 1000.0
+        |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

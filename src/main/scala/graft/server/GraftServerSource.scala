@@ -215,8 +215,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def pushLimit(n: Int): Boolean =
     // the cursor limit counts UNSAMPLED rows; the sampled prefix may be
     // shorter than the limit needs
-    if (sample.isDefined || joined.isDefined) false
-    else { limit = Some(n); true }
+    if (sample.isDefined) false
+    else if (joined.isDefined) {
+      // joined arm: `$limit` after the `$unwind`, partial per pipeline
+      if (joinedAgg.isDefined) false
+      else { joinLimit = Some(n.toLong); true }
+    } else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   /** Offset (cursor skip) pushdown — the mongo.input.skip analog, same
@@ -298,9 +302,63 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * partials.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (joined.isDefined) return pushJoinedAggregation(aggregation)
     if (aggregation.groupByExpressions.isEmpty && tryProbeAggregation(aggregation))
       return true
     pushGroupedAggregation(aggregation)
+  }
+
+  /** Aggregate pushed THROUGH a pushed join: the `$group` stage appends
+    * to the `$lookup` pipeline (left outputs referenced at the top
+    * level, right outputs at their pre-flatten `__j.` home), so
+    * `SELECT k, agg(..) FROM a JOIN b GROUP BY k` is ONE pipeline and
+    * only #groups docs cross the wire per split. Reported PARTIAL like
+    * every other aggregate path — per-split group partials fold in
+    * Spark's final aggregate. Same type gates as the plain grouped
+    * path; columns resolve against the JOINED output schema.
+    */
+  private def pushJoinedAggregation(aggregation: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types._
+    val j = joined.get
+    if (joinLimit.isDefined || joinedAgg.isDefined) return false
+    val schema = j.schema
+    def field(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        schema.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    val groupFields = aggregation.groupByExpressions.toSeq.map(e =>
+      field(e).filter(f => GraftServerScanBuilder.GroupKeyTypes.contains(f.dataType)))
+    if (groupFields.contains(None)) return false
+    val items: Seq[Option[(GroupAgg, DataType)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: aggregate.CountStar =>
+          Some((GroupAgg.CountAll("count(*)"), LongType: DataType))
+        case c: aggregate.Count if !c.isDistinct =>
+          field(c.column).map(f =>
+            (GroupAgg.CountCol(f.name, s"count(${f.name})"), LongType: DataType))
+        case m: aggregate.Min =>
+          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
+            .map(f => (GroupAgg.MinOf(f.name, s"min(${f.name})"), f.dataType))
+        case m: aggregate.Max =>
+          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
+            .map(f => (GroupAgg.MaxOf(f.name, s"max(${f.name})"), f.dataType))
+        case sm: aggregate.Sum if !sm.isDistinct =>
+          field(sm.column)
+            .filter(f => f.dataType == LongType || f.dataType == DoubleType ||
+              f.dataType == IntegerType)
+            .map(f => (GroupAgg.SumOf(f.name, s"sum(${f.name})"),
+              if (f.dataType == DoubleType) DoubleType: DataType else LongType: DataType))
+        case _ => None
+      }
+    if (items.contains(None) || (items.isEmpty && groupFields.isEmpty)) false
+    else {
+      joinedAgg = Some(ServerGroupedAgg(
+        groupFields.flatten.map(f => (f.name, f.dataType)), items.flatten))
+      true
+    }
   }
 
   private def tryProbeAggregation(aggregation: Aggregation): Boolean = {
@@ -421,6 +479,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * `$eq` a BSON string).
     */
   private var joined: Option[ServerJoin] = None
+  // join-arm extensions, mutually exclusive: a $group or a partial
+  // $limit appended to the lookup pipeline
+  private var joinedAgg: Option[ServerGroupedAgg] = None
+  private var joinLimit: Option[Long] = None
 
   private def connectionId: (String, String, String) = (
     options.getOrElse("client_factory", classOf[DirServerFactory].getName),
@@ -529,7 +591,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     case Some(j) =>
       new GraftServerJoinScan(j,
         BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-        options)
+        options, joinedAgg, joinLimit)
     case None =>
       new GraftServerScan(required,
         BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
@@ -600,15 +662,20 @@ final case class ServerJoin(
   * collections through a Spark exchange.
   */
 final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
-    options: Map[String, String])
+    options: Map[String, String],
+    grouped: Option[ServerGroupedAgg] = None,
+    joinLimit: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = join.schema
+  override def readSchema(): StructType =
+    grouped.map(_.schema).getOrElse(join.schema)
   override def toBatch: Batch = this
 
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$leftQuery" +
-      s" PushedJoin: $join"
+      s" PushedJoin: $join" +
+      grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
+      joinLimit.map(n => s" PushedLimit: $n").getOrElse("")
 
   /** Both sides' collStats — the joined size estimate is conservative
     * (inner joins usually shrink), but keeps a small joined scan
@@ -642,14 +709,17 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftServerJoinReaderFactory(join, leftQuery, options)
+    new GraftServerJoinReaderFactory(join, leftQuery, options, grouped,
+      joinLimit)
 }
 
 final class GraftServerJoinReaderFactory(join: ServerJoin, leftQuery: BQuery,
-    options: Map[String, String]) extends PartitionReaderFactory {
+    options: Map[String, String],
+    grouped: Option[ServerGroupedAgg] = None,
+    joinLimit: Option[Long] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftServerJoinReader(p.asInstanceOf[GraftServerPartition], join,
-      leftQuery, options)
+      leftQuery, options, grouped, joinLimit)
 }
 
 /** One `$lookup` pipeline for this split's driving range. Null/missing
@@ -659,7 +729,9 @@ final class GraftServerJoinReaderFactory(join: ServerJoin, leftQuery: BQuery,
   * driving key looks up nothing either way).
   */
 final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
-    leftQuery: BQuery, options: Map[String, String])
+    leftQuery: BQuery, options: Map[String, String],
+    grouped: Option[ServerGroupedAgg] = None,
+    joinLimit: Option[Long] = None)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
@@ -679,15 +751,32 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
     }
   }
 
-  private val cursor: Iterator[BDoc] = client.lookupJoin(p.ns, LookupJoin(
-    leftFull,
-    join.leftProject.map { case (f, o, _) => (f, o) },
-    join.rightNs,
-    rightWithKeys,
-    join.rightProject.map { case (f, o, _) => (f, o) },
-    join.keys, join.leftOuter))
+  private val cursor: Iterator[BDoc] = {
+    val base = client.lookupJoin(p.ns, LookupJoin(
+      leftFull,
+      join.leftProject.map { case (f, o, _) => (f, o) },
+      join.rightNs,
+      rightWithKeys,
+      join.rightProject.map { case (f, o, _) => (f, o) },
+      join.keys, join.leftOuter,
+      group = grouped.map(g => (g.groupCols.map(_._1), g.items.map(_._1))),
+      limit = joinLimit))
+    grouped match {
+      case Some(g) if g.groupCols.isEmpty && !base.hasNext =>
+        // GLOBAL aggregate over a join that matched nothing: $group
+        // emits no doc, but Spark's final fold rewrites COUNT(*) as a
+        // SUM of partials — zero partials would fold to NULL instead
+        // of 0 (the q58 zero-partition lesson). One count-0 sentinel.
+        Iterator.single(BDoc((g.items.map {
+          case (GroupAgg.CountAll(a), _) => a -> (BInt64(0L): BsonValue)
+          case (GroupAgg.CountCol(_, a), _) => a -> (BInt64(0L): BsonValue)
+          case (other, _) => other.alias -> (BNull: BsonValue)
+        }): _*))
+      case _ => base
+    }
+  }
 
-  private val schema = join.schema
+  private val schema = grouped.map(_.schema).getOrElse(join.schema)
   private var row: InternalRow = _
 
   override def next(): Boolean =

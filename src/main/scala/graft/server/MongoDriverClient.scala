@@ -193,35 +193,12 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     // the one pipeline here that can exceed the server's 100 MB
     // per-stage memory (a high-cardinality $group) — honor the opt-in
     if (allowDiskUse) Rf.allowDiskUse(it, b = true)
-    Rf.cursor(it)
-      .map { d =>
-        // the server keys the group value(s) as _id (scalar for one key,
-        // compound doc for several, null for the global pipeline); re-key
-        // under each group column's name per the ServerClient contract
-        val groupFields: Seq[(String, BsonValue)] = groupKeys match {
-          case Seq() => Seq.empty
-          case Seq(k) => Seq(k -> d.get("_id").getOrElse(BNull))
-          case ks =>
-            val idDoc = d.get("_id") match {
-              case Some(doc: BDoc) => doc
-              case _ => BDoc.empty
-            }
-            // a missing field groups as a MISSING entry in the compound
-            // _id — read it back as NULL, Spark's value for it
-            ks.map(k => k -> idDoc.get(k).getOrElse(BNull))
-        }
-        val aggFields = aggs.map {
-          case GroupAgg.SumOf(_, a)
-              if d.get(QueryDocs.sumPresenceAlias(a))
-                .flatMap(QueryDocs.asLong).contains(0L) =>
-            // real-server `$sum` is 0 (never NULL) over an all-null
-            // group; the contract (= Spark SUM) requires NULL — the
-            // companion presence count disambiguates
-            a -> (BNull: BsonValue)
-          case other => other.alias -> d.get(other.alias).getOrElse(BNull)
-        }
-        BDoc(groupFields ++ aggFields: _*)
-      }
+    // the server keys the group value(s) as _id (scalar for one key,
+    // compound doc for several, null for the global pipeline); re-key
+    // under each group column's name per the ServerClient contract —
+    // incl. the all-null-SUM → NULL correction via the presence
+    // companion (a real server's `$sum` is 0 there)
+    Rf.cursor(it).map(d => QueryDocs.regroup(d, groupKeys, aggs))
   }
 
   /** The `$lookup`+`$unwind` equi-join pipeline ([[QueryDocs
@@ -251,16 +228,23 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       s"lookupJoin right query not fully server-renderable: ${j.rightQuery}")
     val it = Rf.aggregate(coll, QueryDocs.lookupStages(
       leftMatch, j.leftProject, rcoll, rp.serverQuery, j.rightProject,
-      j.keys, j.leftOuter))
+      j.keys, j.leftOuter) ++
+      QueryDocs.lookupTail(j.leftProject.map(_._2).toSet, j.group, j.limit))
     // a $lookup over a large right side can exceed the 100 MB stage cap
     if (allowDiskUse) Rf.allowDiskUse(it, b = true)
-    Rf.cursor(it).map { d =>
-      val base = d.fields.toSeq.filterNot(_._1 == QueryDocs.JoinedField)
-      val joined = d.get(QueryDocs.JoinedField) match {
-        case Some(sub: BDoc) => sub.fields.toSeq
-        case _ => Seq.empty
-      }
-      BDoc((base ++ joined): _*)
+    j.group match {
+      case Some((keys, aggs)) =>
+        // grouped arm: flat $group result docs, re-keyed to the contract
+        Rf.cursor(it).map(d => QueryDocs.regroup(d, keys, aggs))
+      case None =>
+        Rf.cursor(it).map { d =>
+          val base = d.fields.toSeq.filterNot(_._1 == QueryDocs.JoinedField)
+          val joined = d.get(QueryDocs.JoinedField) match {
+            case Some(sub: BDoc) => sub.fields.toSeq
+            case _ => Seq.empty
+          }
+          BDoc((base ++ joined): _*)
+        }
     }
   }
 

@@ -223,13 +223,71 @@ object QueryDocs {
 
   /** COUNT(col) accumulator: sum of (0 when null/missing else 1); `$type`
     * is the canonical null-AND-missing discriminator in a pipeline.
+    * `ref` is the already-`$`-prefixed field path.
     */
-  private def countColAcc(c: String): BDoc =
+  private def countColAcc(ref: String): BDoc =
     BDoc("$sum" -> BDoc("$cond" -> BArray(Vector(
       BDoc("$in" -> BArray(Vector(
-        BDoc("$type" -> BString("$" + c)),
+        BDoc("$type" -> BString(ref)),
         BArray(Vector(BString("null"), BString("missing")))))),
       BInt32(0), BInt32(1)))))
+
+  /** The `$group` stage document, with a caller-supplied column→path
+    * resolver: the plain grouped pipeline resolves a column to itself,
+    * the lookup-join pipeline resolves right-side outputs to their
+    * pre-flatten `__j.` home. `_id` shape: no keys → `null`, one →
+    * `"$k"`, several → a compound doc; every plain SUM renders its
+    * [[sumPresenceAlias]] companion.
+    */
+  def groupStageDoc(pathOf: String => String, groupKeys: Seq[String],
+      aggs: Seq[GroupAgg]): BDoc = {
+    def ref(c: String): String = "$" + pathOf(c)
+    val idValue: BsonValue = groupKeys match {
+      case Seq() => BNull
+      case Seq(k) => BString(ref(k))
+      case ks => BDoc(ks.map(k => k -> (BString(ref(k)): BsonValue)): _*)
+    }
+    val groupFields: Seq[(String, BsonValue)] =
+      ("_id" -> idValue) +: aggs.flatMap {
+        case GroupAgg.CountAll(a) => Seq(a -> BDoc("$sum" -> BInt32(1)))
+        case GroupAgg.CountCol(c, a) => Seq(a -> countColAcc(ref(c)))
+        case GroupAgg.MinOf(c, a) => Seq(a -> BDoc("$min" -> BString(ref(c))))
+        case GroupAgg.MaxOf(c, a) => Seq(a -> BDoc("$max" -> BString(ref(c))))
+        case GroupAgg.SumOf(c, a) =>
+          Seq(a -> BDoc("$sum" -> BString(ref(c))),
+            sumPresenceAlias(a) -> countColAcc(ref(c)))
+      }
+    BDoc("$group" -> BDoc(groupFields: _*))
+  }
+
+  /** Re-key one `$group` result doc to the [[ServerClient
+    * .groupAggregate]] contract: the server's `_id` group value(s)
+    * (scalar / compound doc / null) come back under each group column's
+    * name, and a plain `$sum` whose [[sumPresenceAlias]] companion says
+    * 0 non-null inputs is corrected to NULL (a real server's `$sum` is
+    * 0 there; the contract — Spark SUM — requires NULL).
+    */
+  def regroup(d: BDoc, groupKeys: Seq[String], aggs: Seq[GroupAgg]): BDoc = {
+    val groupFields: Seq[(String, BsonValue)] = groupKeys match {
+      case Seq() => Seq.empty
+      case Seq(k) => Seq(k -> d.get("_id").getOrElse(BNull))
+      case ks =>
+        val idDoc = d.get("_id") match {
+          case Some(doc: BDoc) => doc
+          case _ => BDoc.empty
+        }
+        // a missing field groups as a MISSING entry in the compound
+        // _id — read it back as NULL, Spark's value for it
+        ks.map(k => k -> idDoc.get(k).getOrElse(BNull))
+    }
+    val aggFields = aggs.map {
+      case GroupAgg.SumOf(_, a)
+          if d.get(sumPresenceAlias(a)).flatMap(asLong).contains(0L) =>
+        a -> (BNull: BsonValue)
+      case other => other.alias -> d.get(other.alias).getOrElse(BNull)
+    }
+    BDoc(groupFields ++ aggFields: _*)
+  }
 
   /** `[{$match: q}, {$group: {_id: <key>, <alias>: {$min: "$col"}, ...}}]`
     * — the grouped-aggregation pipeline for
@@ -244,22 +302,7 @@ object QueryDocs {
     */
   def groupStages(matchDoc: BDoc, groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Seq[BDoc] = {
-    val idValue: BsonValue = groupKeys match {
-      case Seq() => BNull
-      case Seq(k) => BString("$" + k)
-      case ks => BDoc(ks.map(k => k -> (BString("$" + k): BsonValue)): _*)
-    }
-    val groupFields: Seq[(String, BsonValue)] =
-      ("_id" -> idValue) +: aggs.flatMap {
-        case GroupAgg.CountAll(a) => Seq(a -> BDoc("$sum" -> BInt32(1)))
-        case GroupAgg.CountCol(c, a) => Seq(a -> countColAcc(c))
-        case GroupAgg.MinOf(c, a) => Seq(a -> BDoc("$min" -> BString("$" + c)))
-        case GroupAgg.MaxOf(c, a) => Seq(a -> BDoc("$max" -> BString("$" + c)))
-        case GroupAgg.SumOf(c, a) =>
-          Seq(a -> BDoc("$sum" -> BString("$" + c)),
-            sumPresenceAlias(a) -> countColAcc(c))
-      }
-    val group = BDoc("$group" -> BDoc(groupFields: _*))
+    val group = groupStageDoc(identity, groupKeys, aggs)
     if (matchDoc.fields.isEmpty) Seq(group)
     else Seq(BDoc("$match" -> matchDoc), group)
   }
@@ -312,6 +355,21 @@ object QueryDocs {
     * client-side.
     */
   val JoinedField = "__j"
+
+  /** Tail stages for the join's optional group/limit arm: the `$group`
+    * references left outputs at the top level and right outputs at
+    * their pre-flatten `__j.` home; the `$limit` is the partial
+    * per-pipeline row cap. `leftOuts` = the left side's output names.
+    */
+  def lookupTail(leftOuts: Set[String],
+      group: Option[(Seq[String], Seq[GroupAgg])],
+      limit: Option[Long]): Seq[BDoc] =
+    group match {
+      case Some((keys, aggs)) =>
+        Seq(groupStageDoc(
+          c => if (leftOuts(c)) c else JoinedField + "." + c, keys, aggs))
+      case None => limit.map(n => BDoc("$limit" -> BInt64(n))).toSeq
+    }
 
   def lookupStages(leftMatch: BDoc, leftProject: Seq[(String, String)],
       rightColl: String, rightMatch: BDoc,

@@ -124,6 +124,15 @@ trait ServerClient {
 /** One pushed equi-join, transport-agnostic: field→output-name
   * projections for both sides, the key pairs AS OUTPUT NAMES, and the
   * join flavor. Plain data — serializes into the scan's partitions.
+  *
+  * `group`: an optional server-side `$group` over the JOINED output
+  * names appended to the pipeline (an aggregate pushed through the
+  * join — only #groups docs cross the wire); its result docs follow
+  * the [[ServerClient.groupAggregate]] contract (group values under
+  * their output names, aggregates under their aliases, all-null SUM =
+  * NULL). `limit`: an optional `$limit` after the `$unwind` — a
+  * PARTIAL row cap (per pipeline, Spark re-applies the global one).
+  * The two never combine (a limit below a group would change it).
   */
 final case class LookupJoin(
     leftQuery: BQuery,
@@ -132,7 +141,12 @@ final case class LookupJoin(
     rightQuery: BQuery,
     rightProject: Seq[(String, String)],
     keys: Seq[(String, String)],
-    leftOuter: Boolean)
+    leftOuter: Boolean,
+    group: Option[(Seq[String], Seq[GroupAgg])] = None,
+    limit: Option[Long] = None) {
+  require(group.isEmpty || limit.isEmpty,
+    "a lookup join takes a group or a limit, never both")
+}
 
 object ServerClient {
   final case class CollStats(count: Long, avgObjSizeBytes: Long)
@@ -373,42 +387,8 @@ final class FakeServerClient(rootDir: Option[String] = None)
   override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Iterator[BDoc] = {
     tick("groupAggregate")
-    val matched = coll(ns).readAll().filter(query.matches).toVector
-    // zero group keys = the filtered-global `_id: null` pipeline: one
-    // group when anything matched, NO output doc otherwise (real $group
-    // emits nothing over empty input)
-    val groups =
-      if (matched.isEmpty) Map.empty[Seq[BsonValue], Vector[BDoc]]
-      else matched.groupBy(d => groupKeys.map(k => d.getPath(k).getOrElse(BNull)))
-    def present(docs: Vector[BDoc], col: String): Vector[BsonValue] =
-      docs.flatMap(_.getPath(col)).filter(_ != BNull)
-    groups.iterator.map { case (gvs, docs) =>
-      val fields = aggs.map {
-        case GroupAgg.CountAll(a) => a -> BInt64(docs.size.toLong)
-        case GroupAgg.CountCol(c, a) =>
-          a -> BInt64(docs.count(_.getPath(c).exists(_ != BNull)).toLong)
-        case GroupAgg.MinOf(c, a) =>
-          a -> present(docs, c).minOption(BsonOrdering).getOrElse(BNull)
-        case GroupAgg.MaxOf(c, a) =>
-          a -> present(docs, c).maxOption(BsonOrdering).getOrElse(BNull)
-        case GroupAgg.SumOf(c, a) =>
-          val vs = present(docs, c)
-          a -> (if (vs.isEmpty) BNull
-          else if (vs.forall(v => v.isInstanceOf[BInt32] || v.isInstanceOf[BInt64]))
-            BInt64(vs.map {
-              case BInt32(x) => x.toLong
-              case BInt64(x) => x
-              case _ => 0L
-            }.sum)
-          else BDouble(vs.map {
-            case BInt32(x) => x.toDouble
-            case BInt64(x) => x.toDouble
-            case BDouble(x) => x
-            case _ => 0.0
-          }.sum))
-      }
-      BDoc(ListMap(groupKeys.zip(gvs) ++ fields: _*))
-    }
+    FakeServerClient.groupFold(
+      coll(ns).readAll().filter(query.matches).toVector, groupKeys, aggs)
   }
 
   /** The `$lookup` equi-join, evaluated as a hash join over the store
@@ -440,17 +420,25 @@ final class FakeServerClient(rootDir: Option[String] = None)
         .toVector
         .groupBy(d => rightKeyFields.map(f => canon(d.getPath(f).get)))
     val leftKeyFields = j.keys.map { case (lo, _) => outToField(j.leftProject)(lo) }
-    coll(ns).readAll().filter(j.leftQuery.matches).flatMap { ld =>
-      val kvs = leftKeyFields.map(f => ld.getPath(f).filter(_ != BNull))
-      val lFields = project(ld, j.leftProject)
-      val hits: Vector[BDoc] =
-        if (kvs.exists(_.isEmpty)) Vector.empty
-        else index.getOrElse(kvs.map(v => canon(v.get)), Vector.empty)
-      if (hits.isEmpty) {
-        if (j.leftOuter) Iterator.single(BDoc(ListMap(lFields: _*)))
-        else Iterator.empty
-      } else hits.iterator.map(rd =>
-        BDoc(ListMap(lFields ++ project(rd, j.rightProject): _*)))
+    val joinedRows: Iterator[BDoc] =
+      coll(ns).readAll().filter(j.leftQuery.matches).flatMap { ld =>
+        val kvs = leftKeyFields.map(f => ld.getPath(f).filter(_ != BNull))
+        val lFields = project(ld, j.leftProject)
+        val hits: Vector[BDoc] =
+          if (kvs.exists(_.isEmpty)) Vector.empty
+          else index.getOrElse(kvs.map(v => canon(v.get)), Vector.empty)
+        if (hits.isEmpty) {
+          if (j.leftOuter) Iterator.single(BDoc(ListMap(lFields: _*)))
+          else Iterator.empty
+        } else hits.iterator.map(rd =>
+          BDoc(ListMap(lFields ++ project(rd, j.rightProject): _*)))
+      }
+    (j.group, j.limit) match {
+      case (Some((keys, aggs)), _) =>
+        FakeServerClient.groupFold(joinedRows.toVector, keys, aggs)
+      case (None, Some(n)) =>
+        joinedRows.take(math.min(n, Int.MaxValue.toLong).toInt)
+      case _ => joinedRows
     }
   }
 
@@ -522,6 +510,50 @@ final class FakeServerClient(rootDir: Option[String] = None)
 }
 
 object FakeServerClient {
+  /** What a real server computes from a `$group` stage over `docs` —
+    * shared by [[FakeServerClient.groupAggregate]] and the grouped arm
+    * of [[FakeServerClient.lookupJoin]]. Zero group keys = the
+    * `_id: null` global pipeline: one group when anything matched, NO
+    * output doc otherwise. Null/missing values are skipped by
+    * min/max/sum (mongo semantics); an empty aggregate is BNull; sum
+    * stays integral while every addend is integral ($sum promotion).
+    */
+  private[server] def groupFold(matched: Vector[BDoc], groupKeys: Seq[String],
+      aggs: Seq[GroupAgg]): Iterator[BDoc] = {
+    val groups =
+      if (matched.isEmpty) Map.empty[Seq[BsonValue], Vector[BDoc]]
+      else matched.groupBy(d => groupKeys.map(k => d.getPath(k).getOrElse(BNull)))
+    def present(docs: Vector[BDoc], col: String): Vector[BsonValue] =
+      docs.flatMap(_.getPath(col)).filter(_ != BNull)
+    groups.iterator.map { case (gvs, docs) =>
+      val fields = aggs.map {
+        case GroupAgg.CountAll(a) => a -> BInt64(docs.size.toLong)
+        case GroupAgg.CountCol(c, a) =>
+          a -> BInt64(docs.count(_.getPath(c).exists(_ != BNull)).toLong)
+        case GroupAgg.MinOf(c, a) =>
+          a -> present(docs, c).minOption(BsonOrdering).getOrElse(BNull)
+        case GroupAgg.MaxOf(c, a) =>
+          a -> present(docs, c).maxOption(BsonOrdering).getOrElse(BNull)
+        case GroupAgg.SumOf(c, a) =>
+          val vs = present(docs, c)
+          a -> (if (vs.isEmpty) BNull
+          else if (vs.forall(v => v.isInstanceOf[BInt32] || v.isInstanceOf[BInt64]))
+            BInt64(vs.map {
+              case BInt32(x) => x.toLong
+              case BInt64(x) => x
+              case _ => 0L
+            }.sum)
+          else BDouble(vs.map {
+            case BInt32(x) => x.toDouble
+            case BInt64(x) => x.toDouble
+            case BDouble(x) => x
+            case _ => 0.0
+          }.sum))
+      }
+      BDoc(ListMap(groupKeys.zip(gvs) ++ fields: _*))
+    }
+  }
+
   private val writeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[server] def lockFor(dir: String): Object =

@@ -127,6 +127,67 @@ class JoinPushdownSpec extends SparkSpec {
     assert(j.count() == 2000L)
   }
 
+  test("aggregate pushes THROUGH the join: one pipeline, #groups docs cross") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val o = ordersDf(dir).filter($"price" > 100.0)
+    val c = custDf(dir)
+    val j = o.join(c, o("custkey") === c("_id"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), count($"name").as("n_name"),
+        min($"price").as("min_p"), max($"price").as("max_p"),
+        sum($"custkey").as("sum_ck"))
+      .orderBy($"seg")
+    val plan = planOf(j)
+    assert(plan.contains("PushedJoin:") &&
+      plan.contains("PushedGroupedAggregate: GROUP BY seg"), plan)
+    // parity against Spark computing the same aggregate over the
+    // row-level joined stream (forced by a non-pushable rollup? — a
+    // fresh join whose agg uses an expression input, keeping it in Spark)
+    val rows = {
+      val oo = ordersDf(dir).filter($"price" > 100.0)
+        .select($"custkey", $"price")
+      val cc = custDf(dir).select($"_id".as("ck2"), $"name", $"seg")
+      oo.join(cc, $"custkey" === $"ck2")
+        .groupBy($"seg")
+        .agg(count(lit(1)).as("n"), count($"name").as("n_name"),
+          min($"price").as("min_p"), max($"price").as("max_p"),
+          sum($"custkey").as("sum_ck"))
+        .orderBy($"seg")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(j.collect().map(_.toSeq).toSeq == rows)
+
+    // GLOBAL aggregate over a join that matches nothing: count 0, not NULL
+    val none = ordersDf(dir).filter($"price" > 1e9)
+    val empty = none.join(c, none("custkey") === c("_id"))
+      .agg(count(lit(1)).as("n"), max($"price").as("m"))
+    assert(planOf(empty).contains("PushedGroupedAggregate: GLOBAL"), planOf(empty))
+    val r = empty.collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("partial limit pushes through the join; limit+agg never combine") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val o = ordersDf(dir)
+    val c = custDf(dir)
+    val lim = o.join(c, o("custkey") === c("_id")).limit(7)
+    val plan = planOf(lim)
+    assert(plan.contains("PushedJoin:") && plan.contains("PushedLimit: 7"), plan)
+    assert(lim.count() == 7L)
+
+    val both = o.join(c, o("custkey") === c("_id"))
+      .limit(50).groupBy($"seg").agg(count(lit(1)).as("n"))
+    // the limit wins (pushed first); the aggregate stays in Spark
+    val p2 = planOf(both)
+    assert(p2.contains("PushedLimit: 50") &&
+      !p2.contains("PushedGroupedAggregate"), p2)
+    assert(both.agg(sum($"n")).collect().head.getLong(0) == 50L)
+  }
+
   test("transport bound: one lookupJoin round-trip per split, zero row cursors") {
     import spark.implicits._
     val dir = freshDir()

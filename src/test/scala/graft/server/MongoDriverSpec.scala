@@ -604,6 +604,28 @@ class MongoDriverSpec extends AnyFunSuite {
       assert(gotRanged === fake.lookupJoin(Ns, ranged).toVector)
       assert(gotRanged.map(_.get("pid")).flatten.toSet ===
         Set(BInt32(4), BInt32(6), BInt32(8), BInt32(10)))
+
+      // the $group tail: aggregate pushed through the join — right-side
+      // columns reference their pre-flatten __j. home in the rendered
+      // stage; the stub parses it back, evaluates, and re-materializes
+      // the SERVER shape (all-null $sum = 0) so the binding's presence
+      // correction is exercised through the join path too
+      val grouped = j.copy(group = Some((Seq("tag"), Seq(
+        GroupAgg.CountAll("n"),
+        GroupAgg.MinOf("pid", "min_pid"),
+        GroupAgg.SumOf("miss", "sum_miss"))))) // no such column: all-null
+      val gotGrouped = client.lookupJoin(Ns, grouped).toVector
+        .sortBy(_.toString)
+      val expGrouped = fake.lookupJoin(Ns, grouped).toVector
+        .sortBy(_.toString)
+      assert(gotGrouped === expGrouped)
+      assert(gotGrouped.nonEmpty &&
+        gotGrouped.forall(d => d.get("sum_miss").contains(BNull)),
+        s"all-null SUM through the join must come back NULL: $gotGrouped")
+
+      // the $limit tail caps the pipeline
+      val limited = j.copy(limit = Some(3L))
+      assert(client.lookupJoin(Ns, limited).size === 3)
     }
   }
 }

@@ -213,6 +213,7 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       }
     }
     val unwind = bdoc(st(i).get("$unwind"), "$unwind")
+    i += 1
     val joinedField = unwind.get("path") match {
       case Some(BString(p)) if p.startsWith("$") => p.drop(1)
       case other => throw new IllegalArgumentException(s"bad unwind path: $other")
@@ -222,14 +223,30 @@ final class StubDriverBackend(val fake: FakeServerClient) {
     val rightOutOf = rightProject.map { case (f, o) => f -> o }.toMap
     val keys = eqs.map { case (lo, rf) => (lo, rightOutOf(rf)) }
     val leftOuts = leftProject.map(_._2).toSet
-    fake.lookupJoin(ns, LookupJoin(leftQuery, leftProject, s"$db.$from",
-      rightQuery, rightProject, keys, leftOuter))
-      .map { flat =>
-        val (l, r) = flat.fields.toSeq.partition { case (k, _) => leftOuts(k) }
-        BsonCodec.encode(BDoc(ListMap(
-          (l ++ (if (r.nonEmpty) Seq(joinedField -> (BDoc(ListMap(r: _*)): BsonValue))
-                 else Nil)): _*)))
-      }.toSeq.asJava
+    // optional tail: a $group (aggregate pushed through the join) or a
+    // partial $limit
+    val (tailGroup, tailLimit): (Option[(Seq[String], Seq[GroupAgg])], Option[Long]) =
+      if (i >= st.length) (None, None)
+      else st(i).fields.keys.headOption match {
+        case Some("$group") =>
+          (Some(parseGroupDoc(bdoc(st(i).get("$group"), "$group"))), None)
+        case Some("$limit") =>
+          (None, st(i).get("$limit").flatMap(QueryDocs.asLong))
+        case other => throw new IllegalArgumentException(s"bad tail stage: $other")
+      }
+    val results = fake.lookupJoin(ns, LookupJoin(leftQuery, leftProject,
+      s"$db.$from", rightQuery, rightProject, keys, leftOuter,
+      group = tailGroup, limit = tailLimit))
+    tailGroup match {
+      case Some((gKeys, gAggs)) => serverizeGroups(results, gKeys, gAggs)
+      case None =>
+        results.map { flat =>
+          val (l, r) = flat.fields.toSeq.partition { case (k, _) => leftOuts(k) }
+          BsonCodec.encode(BDoc(ListMap(
+            (l ++ (if (r.nonEmpty) Seq(joinedField -> (BDoc(ListMap(r: _*)): BsonValue))
+                   else Nil)): _*)))
+        }.toSeq.asJava
+    }
   }
 
   /** `[$match?, $group]` — the grouped-aggregation pipeline the driver
@@ -247,11 +264,31 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       case Some(d: BDoc) => d
       case _ => throw new IllegalArgumentException(s"no $$group stage in $st")
     }
+    val (keys, aggs) = parseGroupDoc(groupDoc)
+    serverizeGroups(
+      fake.groupAggregate(ns, StubDriverBackend.parseQueryDoc(matchDoc),
+        keys, aggs),
+      keys, aggs)
+  }
+
+  /** Column ref → the flattened-contract output column: `$__j.col` (the
+    * lookup pipeline's pre-flatten home of a right-side output) and
+    * `$col` both name `col`. */
+  private def outCol(ref: String): String = {
+    require(ref.startsWith("$"), s"bad column ref $ref")
+    val c = ref.drop(1)
+    if (c.startsWith(QueryDocs.JoinedField + "."))
+      c.drop(QueryDocs.JoinedField.length + 1)
+    else c
+  }
+
+  /** Parse a rendered `$group` document back to (keys, aggs). */
+  private def parseGroupDoc(groupDoc: BDoc): (Seq[String], Seq[GroupAgg]) = {
     val keys: Seq[String] = groupDoc.get("_id") match {
       case Some(BNull) => Seq.empty // the filtered-global pipeline
-      case Some(BString(s)) if s.startsWith("$") => Seq(s.drop(1))
+      case Some(BString(s)) if s.startsWith("$") => Seq(outCol(s))
       case Some(BDoc(fs)) => fs.toSeq.map {
-        case (k, BString(s)) if s == "$" + k => k
+        case (k, BString(s)) if outCol(s) == k => k
         case other => throw new IllegalArgumentException(
           s"bad compound group _id entry: $other")
       }
@@ -269,40 +306,46 @@ final class StubDriverBackend(val fake: FakeServerClient) {
                 .flatten match {
                 case Some(t: BDoc) => t.get("$type") match {
                   case Some(BString(c)) if c.startsWith("$") =>
-                    GroupAgg.CountCol(c.drop(1), alias)
+                    GroupAgg.CountCol(outCol(c), alias)
                   case other => throw new IllegalArgumentException(s"bad $$type $other")
                 }
                 case other => throw new IllegalArgumentException(s"bad $$in $other")
               }
             case other => throw new IllegalArgumentException(s"bad $$cond $other")
           }
-        case ("$sum", BString(c)) if c.startsWith("$") => GroupAgg.SumOf(c.drop(1), alias)
-        case ("$min", BString(c)) if c.startsWith("$") => GroupAgg.MinOf(c.drop(1), alias)
-        case ("$max", BString(c)) if c.startsWith("$") => GroupAgg.MaxOf(c.drop(1), alias)
+        case ("$sum", BString(c)) if c.startsWith("$") => GroupAgg.SumOf(outCol(c), alias)
+        case ("$min", BString(c)) if c.startsWith("$") => GroupAgg.MinOf(outCol(c), alias)
+        case ("$max", BString(c)) if c.startsWith("$") => GroupAgg.MaxOf(outCol(c), alias)
         case other => throw new IllegalArgumentException(s"bad accumulator $other")
       }
       case (alias, other) =>
         throw new IllegalArgumentException(s"bad group field $alias: $other")
     }
-    // the REAL server's `$sum` over an all-null group is 0 (never NULL);
-    // the fake's contract-level groupAggregate says NULL there (Spark
-    // semantics), so the stub re-materializes the server's answer — the
-    // driver binding's sumPresenceAlias correction is then actually
-    // exercised end-to-end instead of masked
+    (keys, aggs)
+  }
+
+  /** Re-materialize contract-shaped group docs as a REAL server's
+    * `$group` output: group values keyed as `_id`, and an all-null
+    * plain `$sum` as 0 (never NULL) — the fake's contract answer is
+    * NULL there (Spark semantics), so the stub must undo it or the
+    * driver binding's sumPresenceAlias correction would be masked
+    * instead of exercised.
+    */
+  private def serverizeGroups(docs: Iterator[BDoc], keys: Seq[String],
+      aggs: Seq[GroupAgg]): java.util.List[Array[Byte]] = {
     val plainSums = aggs.collect { case GroupAgg.SumOf(_, a) => a }.toSet
-    fake.groupAggregate(ns, StubDriverBackend.parseQueryDoc(matchDoc), keys, aggs)
-      .map { d =>
-        val idVal: BsonValue = keys match {
-          case Seq() => BNull
-          case Seq(k) => d.get(k).getOrElse(BNull)
-          case ks => BDoc(ks.map(k => k -> d.get(k).getOrElse(BNull)): _*)
-        }
-        BsonCodec.encode(BDoc((("_id" -> idVal) +:
-          aggs.map { a =>
-            val v = d.get(a.alias).getOrElse(BNull)
-            a.alias -> (if (v == BNull && plainSums.contains(a.alias)) BInt32(0) else v)
-          }): _*))
-      }.toSeq.asJava
+    docs.map { d =>
+      val idVal: BsonValue = keys match {
+        case Seq() => BNull
+        case Seq(k) => d.get(k).getOrElse(BNull)
+        case ks => BDoc(ks.map(k => k -> d.get(k).getOrElse(BNull)): _*)
+      }
+      BsonCodec.encode(BDoc((("_id" -> idVal) +:
+        aggs.map { a =>
+          val v = d.get(a.alias).getOrElse(BNull)
+          a.alias -> (if (v == BNull && plainSums.contains(a.alias)) BInt32(0) else v)
+        }): _*))
+    }.toSeq.asJava
   }
 
   def bulkWrite(db: String, coll: String, ops: java.util.List[Array[Object]],
