@@ -71,6 +71,26 @@ object Multimodal {
     }
   }
 
+  /** Deterministic BMP synthesis: the SAME solid image as [[PngSynth]]
+    * for one seed, through a DIFFERENT codec — the cross-format twin
+    * for content dedup (identical decoded pixels, entirely different
+    * compressed bytes).
+    */
+  object BmpSynth {
+    def encode(seed: Long): Array[Byte] = {
+      val (w, h) = (PngSynth.width(seed), PngSynth.height(seed))
+      val (r, g, b) = PngSynth.rgb(seed)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = (r << 16) | (g << 8) | b
+      val row = Array.fill(w * h)(px)
+      img.setRGB(0, 0, w, h, row, 0, w)
+      val out = new java.io.ByteArrayOutputStream(1024)
+      javax.imageio.ImageIO.write(img, "bmp", out)
+      out.toByteArray
+    }
+  }
+
   /** Deterministic WAV synthesis for the audio fixture: PCM16 mono with
     * sample rate, length, and sample values all derived from `doc_id`.
     * The bytes are a real RIFF/WAVE stream (written by the JDK's
@@ -471,5 +491,90 @@ object Multimodal {
       kind: String): Dataset[MediaRecord] = {
     import s.implicits._
     synthesize(mediaBase(s, dir).filter($"kind" === kind))
+  }
+
+  /** One decoded image's identity: the codec is SNIFFED from the
+    * stream magic (never trusted from metadata) and the content hash is
+    * computed over the DECODED raster — `"w:h:"` header + row-major RGB
+    * bytes through md5-prefix60 — so the same picture re-encoded by a
+    * different codec hashes identically while any byte-level hash
+    * scatters it. content_h is NULL-free: undecodable payloads are
+    * dropped by the extractor (a dedup must not cluster garbage).
+    */
+  final case class ImageIdentity(doc_id: Long, fmt: String, content_h: Long)
+
+  /** Decode + canonicalize + hash, partition-at-a-time — the
+    * content-dedup kernel for image columns. At 100 TB this is the
+    * dedup that survives re-encoding (PNG↔BMP↔quality-twiddled JPEG
+    * re-uploads); byte hashing only catches the trivial copies.
+    */
+  def imageIdentities(media: Dataset[MediaRecord]): Dataset[ImageIdentity] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val b = r.payload
+      val fmt =
+        if (b != null && b.length > 8 &&
+          (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+        else if (b != null && b.length > 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+        else "?"
+      if (fmt == "?") Iterator.empty
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val pixels = img.getRGB(0, 0, w, h, null, 0, w)
+          val header = s"$w:$h:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val canon = new Array[Byte](header.length + pixels.length * 3)
+          System.arraycopy(header, 0, canon, 0, header.length)
+          var i = 0
+          var o = header.length
+          while (i < pixels.length) {
+            val px = pixels(i)
+            canon(o) = ((px >> 16) & 0xff).toByte
+            canon(o + 1) = ((px >> 8) & 0xff).toByte
+            canon(o + 2) = (px & 0xff).toByte
+            i += 1
+            o += 3
+          }
+          Iterator.single(ImageIdentity(r.doc_id, fmt,
+            graft.functions.Md5Util.prefix60(canon)))
+        }
+      }
+    })
+  }
+
+  /** The registered cross-format image-dedup pipeline: every document
+    * becomes an image whose CONTENT repeats every 97 doc_ids (the
+    * realistic duplicate regime a crawl has) but whose BYTES alternate
+    * between a real PNG and a real BMP encoding by row parity — so a
+    * cluster with nfmt=2 proves the dedup keyed on decoded pixels, not
+    * on stream bytes. Output: the (cluster size, formats-per-cluster)
+    * histogram, which the oracle derives from the seed arithmetic while
+    * the engine earns it by decoding every stream. Shape: row-local
+    * synthesize+decode+hash, ONE content-keyed exchange, then the tiny
+    * histogram re-group — the same plan at any corpus size.
+    */
+  def imageDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), lit("image").as("kind"),
+        lit(Array.emptyByteArray).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val seed = r.doc_id % 97
+        r.copy(payload =
+          if (r.doc_id % 2 == 0) PngSynth.encode(seed)
+          else BmpSynth.encode(seed))
+      })
+    imageIdentities(media)
+      .groupBy($"content_h")
+      .agg(count(lit(1)).as("size"),
+        countDistinct($"fmt").as("nfmt"))
+      .groupBy($"size", $"nfmt")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"size", $"nfmt")
   }
 }

@@ -20,6 +20,29 @@ import graft.multimodal.Multimodal
 object MultimodalQueries {
 
   val all: Seq[CatalogQuery] = Seq(
+    // Cross-format image dedup by DECODED CONTENT (round-12): every
+    // document becomes a real image whose pixels repeat every 97
+    // doc_ids but whose bytes alternate between a genuine PNG and a
+    // genuine BMP encoding — the engine decodes each stream
+    // (javax.imageio), canonicalizes the raster (w:h: + row-major RGB),
+    // hashes, and clusters; nfmt=2 clusters PROVE the dedup keys on
+    // pixels, not stream bytes (a byte hash would scatter each picture
+    // across two clusters). The oracle derives the (size, nfmt)
+    // histogram from the seed arithmetic. Plan: row-local
+    // synthesize+decode+hash, one content-keyed exchange, a tiny
+    // histogram re-group — scale-invariant.
+    CatalogQuery(
+      "q135_image_content_dedup",
+      (s, d) => Multimodal.imageDedupQuery(s, d),
+      Some("""
+        |WITH c AS (
+        |  SELECT count(*) AS size, count(DISTINCT doc_id % 2) AS nfmt
+        |  FROM documents GROUP BY doc_id % 97)
+        |SELECT CAST(size AS BIGINT) AS size, CAST(nfmt AS BIGINT) AS nfmt,
+        |  count(*) AS n_clusters
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        |""".stripMargin)),
+
     CatalogQuery(
       "q30_multimodal_features",
       (s, d) => Multimodal.featuresQuery(s, d),

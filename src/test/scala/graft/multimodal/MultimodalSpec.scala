@@ -264,4 +264,26 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(5) == (math.min(w, 32).toLong * math.min(h, 32) * 3 * v) % 997)
     }
   }
+
+  test("image content identity: PNG and BMP of one picture hash identically") {
+    import Multimodal._
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image", PngSynth.encode(5L)),
+      MediaRecord(2L, "image", BmpSynth.encode(5L)), // same pixels, other codec
+      MediaRecord(3L, "image", PngSynth.encode(6L)), // different picture
+      MediaRecord(4L, "image", Array[Byte](1, 2, 3)), // unrecognized: dropped
+      MediaRecord(5L, "image", {
+        // sniffs as PNG but the body is stomped: dropped, never clustered
+        val b = PngSynth.encode(5L); java.util.Arrays.fill(b, 16, b.length, 0.toByte); b
+      })).toDS()
+    val ids = imageIdentities(media).collect().sortBy(_.doc_id)
+    assert(ids.map(_.doc_id).toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    val Seq(a, b, c) = ids.toSeq
+    // cross-format collision is THE point: different bytes, same raster
+    assert(!java.util.Arrays.equals(PngSynth.encode(5L), BmpSynth.encode(5L)))
+    assert(a.content_h == b.content_h)
+    assert(a.fmt == "png" && b.fmt == "bmp")
+    assert(c.content_h != a.content_h, "different pictures must not collide")
+  }
 }
