@@ -829,6 +829,56 @@ object ConnectorQueries {
         |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
         |""".stripMargin)),
 
+    // Array-operator option queries (round-12): the reference ships
+    // `mongo.input.query` verbatim, and real deployments use the array
+    // surface constantly — $all / $size / $elemMatch / $mod now parse,
+    // evaluate (BQuery matcher), and render (verbatim wire docs; the
+    // stub parser inverts them with matches-parity, MongoDriverSpec).
+    // The entry reads an array-bearing collection through an option
+    // query combining all four and aggregates; the option query rides
+    // the grouped-aggregate pushdown's exact matcher, so this also
+    // pins array ops under the pushed-partials path. The oracle spells
+    // the same predicate with DuckDB list functions.
+    CatalogQuery(
+      "q136_query_array_ops",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            array(($"o_orderkey" % 7).cast("int"),
+              ($"o_orderkey" % 5).cast("int"),
+              ($"o_orderkey" % 3).cast("int")).as("arr"),
+            $"o_totalprice")
+          .write.format("graftbson").option("id_column", "o_orderkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, arr ARRAY<INT>, o_totalprice DOUBLE")
+          .option("query",
+            """{"$and": [
+              |  {"arr": {"$all": [1, 2]}},
+              |  {"arr": {"$size": 3}},
+              |  {"arr": {"$elemMatch": {"$gte": 4, "$lte": 6}}},
+              |  {"_id": {"$mod": [2, 0]}}
+              |]}""".stripMargin)
+          .load(dir)
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"),
+            dsum($"o_totalprice").as("sum_price"))
+      },
+      Some(s"""
+        |SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  ${dsumSql("o_totalprice")} AS sum_price
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    [CAST(o_orderkey % 7 AS INT), CAST(o_orderkey % 5 AS INT),
+        |     CAST(o_orderkey % 3 AS INT)] AS arr
+        |  FROM orders)
+        |WHERE list_contains(arr, 1) AND list_contains(arr, 2)
+        |  AND len(arr) = 3
+        |  AND len(list_filter(arr, x -> x >= 4 AND x <= 6)) > 0
+        |  AND o_orderkey % 2 = 0
+        |""".stripMargin)),
+
     // Clean-corpus BUILD — the pipeline capstone: quality-gate (q81's
     // rules) + exact-dedup keep-first (q96's winner convention), then
     // MATERIALIZE the surviving corpus into a 4-shard collection through

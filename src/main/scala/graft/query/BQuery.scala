@@ -88,6 +88,109 @@ object BQuery {
   final case class Exists(path: String, yes: Boolean) extends BQuery {
     def matches(d: BDoc): Boolean = d.getPath(path).exists(_ != BNull) == yes
   }
+
+  /** Mongo `$size`: an array field with exactly n elements (never a
+    * non-array, mongo's rule). */
+  final case class Size(path: String, n: Int) extends BQuery {
+    def matches(d: BDoc): Boolean = d.getPath(path) match {
+      case Some(BArray(items)) => items.size == n
+      case _ => false
+    }
+  }
+
+  /** Mongo `$all`: the field's array contains every listed value (a
+    * non-array field matches when it equals every value — mongo treats
+    * it as a one-element array); `$all: []` matches nothing. */
+  final case class All(path: String, vs: Seq[BsonValue]) extends BQuery {
+    private def sameVal(a: BsonValue, b: BsonValue): Boolean =
+      a.typeOrder == b.typeOrder && BsonOrdering.compare(a, b) == 0
+    def matches(d: BDoc): Boolean = vs.nonEmpty && (d.getPath(path) match {
+      case Some(BArray(items)) => vs.forall(v => items.exists(sameVal(_, v)))
+      case Some(single) => vs.forall(sameVal(single, _))
+      case None => false
+    })
+  }
+
+  /** Mongo `$elemMatch`: some element of the array field satisfies the
+    * sub-query. `valueForm` = the `{$gt: 5, $lt: 9}` spelling, where
+    * the operators apply to the ELEMENT itself (the sub-query is built
+    * over the synthetic [[BQuery.ElemPath]]); otherwise the document
+    * form, where sub-query paths are fields OF the element. */
+  final case class ElemMatch(path: String, sub: BQuery, valueForm: Boolean)
+      extends BQuery {
+    def matches(d: BDoc): Boolean = d.getPath(path) match {
+      case Some(BArray(items)) =>
+        if (valueForm) items.exists(v => sub.matches(BDoc(ElemPath -> v)))
+        else items.exists {
+          case ed: BDoc => sub.matches(ed)
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** Mongo field-level `$not`: matches when the wrapped operator
+    * expression does NOT — including missing fields (mongo semantics;
+    * the operator nodes return false there, so plain negation is
+    * exact). The path is carried for the wire rendering ($not is
+    * field-level in MQL). */
+  final case class NotOp(path: String, sub: BQuery) extends BQuery {
+    def matches(d: BDoc): Boolean = !sub.matches(d)
+  }
+
+  /** Mongo `$nor`: none of the branches match. */
+  final case class Nor(qs: Seq[BQuery]) extends BQuery {
+    def matches(d: BDoc): Boolean = !qs.exists(_.matches(d))
+  }
+
+  /** Mongo `$mod`: numeric field with value % divisor == remainder
+    * (doubles truncate toward zero, mongo's rule; NaN/Inf never match). */
+  final case class Mod(path: String, div: Long, rem: Long) extends BQuery {
+    def matches(d: BDoc): Boolean = div != 0 && (d.getPath(path) match {
+      case Some(BInt32(x)) => x.toLong % div == rem
+      case Some(BInt64(x)) => x % div == rem
+      case Some(BDouble(x)) if !x.isNaN && !x.isInfinite => x.toLong % div == rem
+      case _ => false
+    })
+  }
+
+  /** Mongo `$type` by canonical type alias (string form; `number`
+    * covers int/long/double). Applies to the stored value itself — an
+    * array matches "array" (mongo's per-element traversal is part of
+    * the documented array-traversal divergence of this matcher). */
+  final case class TypeIs(path: String, names: Seq[String]) extends BQuery {
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).exists { v =>
+        val t = BQuery.typeAlias(v)
+        names.contains(t) ||
+          (names.contains("number") &&
+            (t == "int" || t == "long" || t == "double" || t == "decimal"))
+      }
+  }
+
+  /** The synthetic element path of a value-form [[ElemMatch]]. */
+  val ElemPath = "@elem"
+
+  /** Mongo's canonical `$type` alias of a stored value. */
+  def typeAlias(v: BsonValue): String = v match {
+    case _: BDouble => "double"
+    case _: BString => "string"
+    case _: BDoc => "object"
+    case _: BArray => "array"
+    case _: BBinary => "binData"
+    case _: BObjectId => "objectId"
+    case _: BBool => "bool"
+    case _: BDate => "date"
+    case BNull => "null"
+    case _: BRegex => "regex"
+    case _: BInt32 => "int"
+    case _: BTimestamp => "timestamp"
+    case _: BInt64 => "long"
+    case _: BSymbol => "symbol"
+    case BMinKey => "minKey"
+    case BMaxKey => "maxKey"
+    case other => other.getClass.getSimpleName.stripPrefix("B").toLowerCase
+  }
   final case class And(qs: Seq[BQuery]) extends BQuery {
     def matches(d: BDoc): Boolean = qs.forall(_.matches(d))
   }
@@ -247,6 +350,13 @@ object BQuery {
     case Nin(p, _) => Set(p.split('.').head)
     case Regex(p, _, _) => Set(p.split('.').head)
     case Exists(p, _) => Set(p.split('.').head)
+    case Size(p, _) => Set(p.split('.').head)
+    case All(p, _) => Set(p.split('.').head)
+    case ElemMatch(p, _, _) => Set(p.split('.').head)
+    case NotOp(p, _) => Set(p.split('.').head)
+    case Nor(qs) => qs.flatMap(fieldHeads).toSet
+    case Mod(p, _, _) => Set(p.split('.').head)
+    case TypeIs(p, _) => Set(p.split('.').head)
     case KeyRange(p, _, _) => Set(p.split('.').head)
     case ReadStrCmp(p, _, _) => Set(p.split('.').head)
     case ReadStrIn(p, _) => Set(p.split('.').head)
@@ -409,23 +519,10 @@ object BQueryJson {
         BQuery.And(items.map(i => fromJObject(i.asInstanceOf[JObject])))
       case ("$or", JArray(items)) =>
         BQuery.Or(items.map(i => fromJObject(i.asInstanceOf[JObject])))
+      case ("$nor", JArray(items)) =>
+        BQuery.Nor(items.map(i => fromJObject(i.asInstanceOf[JObject])))
       case (field, ops: JObject) if ops.obj.nonEmpty && ops.obj.forall(_._1.startsWith("$")) =>
-        BQuery.And(ops.obj.map {
-          case ("$gt", v) => BQuery.Gt(field, value(v))
-          case ("$gte", v) => BQuery.Gte(field, value(v))
-          case ("$lt", v) => BQuery.Lt(field, value(v))
-          case ("$lte", v) => BQuery.Lte(field, value(v))
-          case ("$eq", v) => BQuery.Eq(field, value(v))
-          case ("$ne", v) => BQuery.Ne(field, value(v))
-          case ("$in", JArray(vs)) => BQuery.In(field, vs.map(value))
-          case ("$nin", JArray(vs)) => BQuery.Nin(field, vs.map(value))
-          case ("$regex", JString(p)) =>
-            val opts = ops.obj.collectFirst { case ("$options", JString(o)) => o }
-            BQuery.Regex(field, p, opts.getOrElse(""))
-          case ("$options", _) => BQuery.True // consumed by the $regex case
-          case ("$exists", JBool(b)) => BQuery.Exists(field, b)
-          case (op, _) => throw new IllegalArgumentException(s"unsupported operator $op")
-        })
+        opsOn(field, ops)
       case (field, v) => BQuery.Eq(field, value(v))
     }
     parts match {
@@ -433,6 +530,58 @@ object BQueryJson {
       case one :: Nil => one
       case many => BQuery.And(many)
     }
+  }
+
+  /** An operator document applied to one field. */
+  private def opsOn(field: String, ops: JObject): BQuery =
+    BQuery.And(ops.obj.map {
+      case ("$gt", v) => BQuery.Gt(field, value(v))
+      case ("$gte", v) => BQuery.Gte(field, value(v))
+      case ("$lt", v) => BQuery.Lt(field, value(v))
+      case ("$lte", v) => BQuery.Lte(field, value(v))
+      case ("$eq", v) => BQuery.Eq(field, value(v))
+      case ("$ne", v) => BQuery.Ne(field, value(v))
+      case ("$in", JArray(vs)) => BQuery.In(field, vs.map(value))
+      case ("$nin", JArray(vs)) => BQuery.Nin(field, vs.map(value))
+      case ("$regex", JString(p)) =>
+        val opts = ops.obj.collectFirst { case ("$options", JString(o)) => o }
+        BQuery.Regex(field, p, opts.getOrElse(""))
+      case ("$options", _) => BQuery.True // consumed by the $regex case
+      case ("$exists", JBool(b)) => BQuery.Exists(field, b)
+      case ("$size", v) => value(v) match {
+        case BInt32(n) => BQuery.Size(field, n)
+        case BInt64(n) => BQuery.Size(field, n.toInt)
+        case other => throw new IllegalArgumentException(s"bad $$size $other")
+      }
+      case ("$all", JArray(vs)) => BQuery.All(field, vs.map(value))
+      case ("$elemMatch", em: JObject)
+          if em.obj.nonEmpty && em.obj.forall(_._1.startsWith("$")) =>
+        // value form: operators on the element itself
+        BQuery.ElemMatch(field, opsOn(BQuery.ElemPath, em), valueForm = true)
+      case ("$elemMatch", em: JObject) =>
+        // document form: a full query over the element's fields
+        BQuery.ElemMatch(field, fromJObject(em), valueForm = false)
+      case ("$not", nb: JObject)
+          if nb.obj.nonEmpty && nb.obj.forall(_._1.startsWith("$")) =>
+        BQuery.NotOp(field, opsOn(field, nb))
+      case ("$mod", JArray(List(d, r))) =>
+        (asWhole(value(d)), asWhole(value(r))) match {
+          case (Some(dv), Some(rv)) => BQuery.Mod(field, dv, rv)
+          case _ => throw new IllegalArgumentException(s"bad $$mod [$d, $r]")
+        }
+      case ("$type", JString(t)) => BQuery.TypeIs(field, Seq(t))
+      case ("$type", JArray(ts)) => BQuery.TypeIs(field, ts.map {
+        case JString(t) => t
+        case other => throw new IllegalArgumentException(s"bad $$type entry $other")
+      })
+      case (op, _) => throw new IllegalArgumentException(s"unsupported operator $op")
+    })
+
+  private def asWhole(v: BsonValue): Option[Long] = v match {
+    case BInt32(x) => Some(x.toLong)
+    case BInt64(x) => Some(x)
+    case BDouble(x) if x == math.rint(x) => Some(x.toLong)
+    case _ => None
   }
 
   private def value(j: JValue): BsonValue = j match {

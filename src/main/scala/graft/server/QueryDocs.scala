@@ -120,7 +120,71 @@ object QueryDocs {
       val parts = qs.map(render)
       if (parts.exists(_.isEmpty)) None
       else Some(BDoc("$or" -> BArray(parts.flatten.toVector)))
+    case BQuery.Nor(qs) =>
+      val parts = qs.map(render)
+      if (parts.exists(_.isEmpty)) None
+      else Some(BDoc("$nor" -> BArray(parts.flatten.toVector)))
+    case BQuery.Size(p, n) => Some(BDoc(p -> BDoc("$size" -> BInt32(n))))
+    case BQuery.All(p, vs) =>
+      Some(BDoc(p -> BDoc("$all" -> BArray(vs.toVector))))
+    case BQuery.Mod(p, d, r) =>
+      Some(BDoc(p -> BDoc("$mod" -> BArray(Vector(BInt64(d), BInt64(r))))))
+    case BQuery.TypeIs(p, Seq(t)) =>
+      Some(BDoc(p -> BDoc("$type" -> BString(t))))
+    case BQuery.TypeIs(p, ts) =>
+      Some(BDoc(p -> BDoc("$type" ->
+        BArray(ts.map(t => BString(t): BsonValue).toVector))))
+    case BQuery.ElemMatch(p, sub, true) =>
+      opsDocOf(sub, BQuery.ElemPath)
+        .map(body => BDoc(p -> BDoc("$elemMatch" -> body)))
+    case BQuery.ElemMatch(p, sub, false) =>
+      render(sub).map(body => BDoc(p -> BDoc("$elemMatch" -> body)))
+    case BQuery.NotOp(p, sub) =>
+      opsDocOf(sub, p).map(body => BDoc(p -> BDoc("$not" -> body)))
     case _ => None // KeyRange (cursor-bound concern), ReadStr*/ReadLong*
+  }
+
+  /** Render a conjunction over ONE path as a bare operator document —
+    * the body shape `$not` and value-form `$elemMatch` need. None when
+    * any conjunct is off-path, unrenderable as an operator pair, or an
+    * operator repeats (one doc can hold each key once).
+    */
+  private def opsDocOf(q: BQuery, path: String): Option[BDoc] = {
+    def opPairs(c: BQuery): Option[Seq[(String, BsonValue)]] = c match {
+      case BQuery.Eq(`path`, v) => Some(Seq("$eq" -> v))
+      case BQuery.Lt(`path`, v) => Some(Seq("$lt" -> v))
+      case BQuery.Lte(`path`, v) => Some(Seq("$lte" -> v))
+      case BQuery.Gt(`path`, v) => Some(Seq("$gt" -> v))
+      case BQuery.Gte(`path`, v) => Some(Seq("$gte" -> v))
+      case BQuery.Ne(`path`, v) => Some(Seq("$ne" -> v))
+      case BQuery.In(`path`, vs) => Some(Seq("$in" -> BArray(vs.toVector)))
+      case BQuery.Nin(`path`, vs) => Some(Seq("$nin" -> BArray(vs.toVector)))
+      case BQuery.Regex(`path`, pat, o) =>
+        Some(("$regex" -> (BString(pat): BsonValue)) +:
+          (if (o.isEmpty) Seq.empty else Seq("$options" -> (BString(o): BsonValue))))
+      case BQuery.Exists(`path`, true) => Some(Seq("$ne" -> BNull))
+      case BQuery.Exists(`path`, false) => Some(Seq("$eq" -> BNull))
+      case BQuery.Size(`path`, n) => Some(Seq("$size" -> BInt32(n)))
+      case BQuery.Mod(`path`, d, r) =>
+        Some(Seq("$mod" -> BArray(Vector(BInt64(d), BInt64(r)))))
+      case BQuery.All(`path`, vs) => Some(Seq("$all" -> BArray(vs.toVector)))
+      case BQuery.TypeIs(`path`, Seq(t)) => Some(Seq("$type" -> BString(t)))
+      case BQuery.TypeIs(`path`, ts) => Some(Seq("$type" ->
+        BArray(ts.map(t => BString(t): BsonValue).toVector)))
+      case _ => None
+    }
+    val conj = q match {
+      case BQuery.And(qs) => qs
+      case BQuery.True => Seq.empty
+      case one => Seq(one)
+    }
+    val pairs = conj.map(opPairs)
+    if (pairs.isEmpty || pairs.contains(None)) None
+    else {
+      val flat = pairs.flatten.flatten
+      if (flat.map(_._1).distinct.size != flat.size) None
+      else Some(BDoc(ListMap(flat: _*)))
+    }
   }
 
   /** AND-combine already-rendered query docs (flat-merged when keys are

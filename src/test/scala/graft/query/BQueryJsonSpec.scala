@@ -89,4 +89,71 @@ class BQueryJsonSpec extends AnyFunSuite {
       upsert = true, multi = true)
     assert(roundTrip(um) == um)
   }
+
+  test("$size / $all / $mod / $type parse and evaluate (array + numeric ops)") {
+    val size = BQueryJson.parse("""{"arr": {"$size": 3}}""")
+    assert(size.matches(BDoc("arr" -> BArray(Vector(BInt32(1), BInt32(2), BInt32(3))))))
+    assert(!size.matches(BDoc("arr" -> BArray(Vector(BInt32(1))))))
+    assert(!size.matches(BDoc("arr" -> BInt32(3))), "$size never matches a non-array")
+
+    val all = BQueryJson.parse("""{"arr": {"$all": [2, 5]}}""")
+    assert(all.matches(BDoc("arr" -> BArray(Vector(BInt32(5), BInt32(9), BInt32(2))))))
+    assert(!all.matches(BDoc("arr" -> BArray(Vector(BInt32(5), BInt32(9))))))
+    // int64 storage of the same value matches (value equality)
+    assert(all.matches(BDoc("arr" -> BArray(Vector(BInt64(2L), BInt64(5L))))))
+    // a non-array field equals a singleton $all
+    assert(BQueryJson.parse("""{"x": {"$all": [7]}}""")
+      .matches(BDoc("x" -> BInt32(7))))
+    // $all: [] matches nothing (mongo's rule)
+    assert(!BQueryJson.parse("""{"arr": {"$all": []}}""")
+      .matches(BDoc("arr" -> BArray(Vector(BInt32(1))))))
+
+    val mod = BQueryJson.parse("""{"n": {"$mod": [4, 1]}}""")
+    assert(mod.matches(BDoc("n" -> BInt32(9))))
+    assert(mod.matches(BDoc("n" -> BDouble(9.7))), "doubles truncate toward zero")
+    assert(!mod.matches(BDoc("n" -> BInt32(8))))
+    assert(!mod.matches(BDoc("n" -> BString("9"))))
+
+    val typ = BQueryJson.parse("""{"v": {"$type": "string"}}""")
+    assert(typ.matches(BDoc("v" -> BString("x"))))
+    assert(!typ.matches(BDoc("v" -> BInt32(1))))
+    val num = BQueryJson.parse("""{"v": {"$type": "number"}}""")
+    assert(num.matches(BDoc("v" -> BInt32(1))))
+    assert(num.matches(BDoc("v" -> BDouble(1.5))))
+    assert(num.matches(BDoc("v" -> BInt64(1L))))
+    assert(!num.matches(BDoc("v" -> BString("1"))))
+    val multi = BQueryJson.parse("""{"v": {"$type": ["int", "bool"]}}""")
+    assert(multi.matches(BDoc("v" -> BBool(true))))
+    assert(!multi.matches(BDoc("v" -> BString("t"))))
+  }
+
+  test("$elemMatch: value form and document form") {
+    // value form: operators on the element itself; NO single element
+    // in [3, 12] here even though the bounds match separately — the
+    // whole point of $elemMatch vs plain operators
+    val vf = BQueryJson.parse("""{"a": {"$elemMatch": {"$gte": 3, "$lte": 12}}}""")
+    assert(vf.matches(BDoc("a" -> BArray(Vector(BInt32(1), BInt32(7))))))
+    assert(!vf.matches(BDoc("a" -> BArray(Vector(BInt32(1), BInt32(20))))))
+    assert(!vf.matches(BDoc("a" -> BInt32(7))), "non-array never matches")
+
+    // document form: a query over the element's fields
+    val df = BQueryJson.parse(
+      """{"items": {"$elemMatch": {"k": "x", "n": {"$gt": 5}}}}""")
+    val el = (k: String, n: Int) => BDoc("k" -> BString(k), "n" -> BInt32(n))
+    assert(df.matches(BDoc("items" -> BArray(Vector(el("y", 9), el("x", 6))))))
+    assert(!df.matches(BDoc("items" -> BArray(Vector(el("x", 3), el("y", 9))))),
+      "one element must satisfy ALL conjuncts")
+  }
+
+  test("$not and $nor negate with mongo missing-field semantics") {
+    val not = BQueryJson.parse("""{"a": {"$not": {"$gt": 5}}}""")
+    assert(!not.matches(BDoc("a" -> BInt32(9))))
+    assert(not.matches(BDoc("a" -> BInt32(3))))
+    assert(not.matches(BDoc("b" -> BInt32(9))), "$not matches missing fields")
+
+    val nor = BQueryJson.parse("""{"$nor": [{"a": 1}, {"b": {"$exists": true}}]}""")
+    assert(nor.matches(BDoc("a" -> BInt32(2))))
+    assert(!nor.matches(BDoc("a" -> BInt32(1))))
+    assert(!nor.matches(BDoc("a" -> BInt32(2), "b" -> BInt32(0))))
+  }
 }

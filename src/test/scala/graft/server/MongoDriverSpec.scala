@@ -199,6 +199,48 @@ class MongoDriverSpec extends AnyFunSuite {
       .matches(BDoc("a" -> BDoc("$gt" -> BInt32(5)))))
   }
 
+  test("array/negation operators render verbatim and round-trip the stub parser") {
+    import BQuery._
+    val arrDocs = Seq(
+      BDoc("a" -> BArray(Vector(BInt32(1), BInt32(7), BInt32(12))), "n" -> BInt32(9)),
+      BDoc("a" -> BArray(Vector(BInt32(20))), "n" -> BInt32(8)),
+      BDoc("a" -> BInt32(7), "n" -> BDouble(9.7)),
+      BDoc("a" -> BArray(Vector(
+        BDoc("k" -> BString("x"), "v" -> BInt32(6)),
+        BDoc("k" -> BString("y"), "v" -> BInt32(2))))),
+      BDoc("n" -> BString("9")),
+      BDoc.empty)
+    val queries = Seq(
+      Size("a", 3),
+      All("a", Seq(BInt32(7), BInt32(12))),
+      ElemMatch("a", BQuery.and(Gte(ElemPath, BInt32(3)),
+        Lte(ElemPath, BInt32(12))), valueForm = true),
+      ElemMatch("a", BQuery.and(Eq("k", BString("x")),
+        Gt("v", BInt32(5))), valueForm = false),
+      NotOp("n", Gt("n", BInt32(5))),
+      Nor(Seq(Eq("n", BInt32(9)), Exists("a", yes = true))),
+      Mod("n", 4, 1),
+      TypeIs("n", Seq("number")),
+      TypeIs("a", Seq("array", "int")))
+    queries.foreach { q =>
+      val rendered = QueryDocs.render(q)
+        .getOrElse(fail(s"array operator must render: $q"))
+      val parsed = StubDriverBackend.parseQueryDoc(rendered)
+      arrDocs.foreach { d =>
+        assert(parsed.matches(d) === q.matches(d),
+          s"stub-parser parity broke for $q on $d via $rendered")
+      }
+    }
+    // pinned wire shapes for the two composite bodies
+    assert(QueryDocs.render(ElemMatch("a",
+      BQuery.and(Gte(ElemPath, BInt32(3)), Lte(ElemPath, BInt32(12))),
+      valueForm = true)).contains(
+      BDoc("a" -> BDoc("$elemMatch" ->
+        BDoc("$gte" -> BInt32(3), "$lte" -> BInt32(12))))))
+    assert(QueryDocs.render(NotOp("n", Gt("n", BInt32(5)))).contains(
+      BDoc("n" -> BDoc("$not" -> BDoc("$gt" -> BInt32(5))))))
+  }
+
   // --- the remaining wire docs ---------------------------------------------
 
   test("command and cursor-option docs are pinned") {

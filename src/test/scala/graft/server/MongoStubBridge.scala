@@ -385,6 +385,8 @@ object StubDriverBackend {
         BQuery.And(items.map { case i: BDoc => parseQueryDoc(i) })
       case ("$or", BArray(items)) =>
         BQuery.Or(items.map { case i: BDoc => parseQueryDoc(i) })
+      case ("$nor", BArray(items)) =>
+        BQuery.Nor(items.map { case i: BDoc => parseQueryDoc(i) })
       case (f, ops: BDoc)
           if ops.fields.nonEmpty && ops.fields.keys.forall(_.startsWith("$")) =>
         BQuery.And(ops.fields.toSeq.map {
@@ -408,6 +410,24 @@ object StubDriverBackend {
             BQuery.Regex(f, p, o.getOrElse(""))
           case ("$options", _) => BQuery.True // consumed by the $regex case
           case ("$exists", BBool(b)) => BQuery.Exists(f, b)
+          case ("$size", v) =>
+            BQuery.Size(f, QueryDocs.asLong(v).getOrElse(
+              throw new IllegalArgumentException(s"bad $$size $v")).toInt)
+          case ("$all", BArray(vs)) => BQuery.All(f, vs)
+          case ("$mod", BArray(Vector(dv, rv))) =>
+            BQuery.Mod(f, QueryDocs.asLong(dv).get, QueryDocs.asLong(rv).get)
+          case ("$type", BString(t)) => BQuery.TypeIs(f, Seq(t))
+          case ("$type", BArray(ts)) =>
+            BQuery.TypeIs(f, ts.map { case BString(t) => t; case other =>
+              throw new IllegalArgumentException(s"bad $$type entry $other") })
+          case ("$elemMatch", body: BDoc)
+              if body.fields.nonEmpty && body.fields.keys.forall(_.startsWith("$")) =>
+            BQuery.ElemMatch(f,
+              parseQueryDoc(BDoc(BQuery.ElemPath -> body)), valueForm = true)
+          case ("$elemMatch", body: BDoc) =>
+            BQuery.ElemMatch(f, parseQueryDoc(body), valueForm = false)
+          case ("$not", body: BDoc) =>
+            BQuery.NotOp(f, parseQueryDoc(BDoc(f -> body)))
           case (op, _) =>
             throw new IllegalArgumentException(s"stub server: unsupported $op")
         })
