@@ -829,6 +829,50 @@ object ConnectorQueries {
         |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
         |""".stripMargin)),
 
+    // Native streaming SINK, end-to-end (round-12): the documents
+    // corpus lands as a dump directory, streams IN through the
+    // graftbson micro-batch reader, and streams OUT through the NATIVE
+    // graftbson StreamingWrite — each epoch runs the batch path's
+    // two-phase staged commit with a durable epoch marker, so a
+    // replayed epoch is a no-op (exactly-once into the collection;
+    // GraftBsonStreamSpec pins the replay semantics directly). The
+    // final read-back aggregate is pinned by the parquet oracle, so the
+    // whole landing → stream → epoch-commit → shard-store → scan cycle
+    // loses and invents nothing.
+    CatalogQuery(
+      "q137_stream_sink_build",
+      (s, d) => {
+        import s.implicits._
+        val landing = freshDir()
+        val coll = freshDir()
+        val ckpt = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"n_chars")
+          .write.format("graftbson").option("id_column", "doc_id")
+          .option("shards", "4")
+          .mode("append").save(landing)
+        val q = s.readStream.format("graftbson").option("path", landing)
+          .schema("_id LONG, lang STRING, n_chars LONG")
+          .load()
+          .writeStream.format("graftbson")
+          .option("path", coll).option("shards", "2")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.format("graftbson")
+          .schema("_id LONG, lang STRING, n_chars LONG").load(coll)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"),
+            sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang".asc_nulls_first)
+      },
+      Some("""
+        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Array-operator option queries (round-12): the reference ships
     // `mongo.input.query` verbatim, and real deployments use the array
     // surface constantly — $all / $size / $elemMatch / $mod now parse,

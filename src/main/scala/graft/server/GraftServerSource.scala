@@ -124,7 +124,7 @@ final class GraftServerTable(tableSchema: StructType, properties: Map[String, St
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftServerScanBuilder(tableSchema, properties ++ options.asScala)
@@ -1219,8 +1219,38 @@ final class GraftServerWriteBuilder(writeSchema: StructType,
     new Write {
       override def toBatch: BatchWrite =
         new GraftServerBatchWrite(writeSchema, options)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftServerStreamingWrite(writeSchema, options)
     }
   }
+}
+
+/** Native Structured Streaming SINK over the server transport: each
+  * epoch's tasks stream batched bulkWrites as they run (the same
+  * [[GraftServerDataWriter]] the batch path uses), and epoch
+  * commit/abort are no-ops — the exact MongoOutputCommitter contract
+  * (server-side commitTask does nothing). A recovered query re-sends
+  * its last epoch: idempotent under keyed upsert/update/replace modes
+  * (the streaming deployment shape), at-least-once under plain insert —
+  * the reference's semantics, stated rather than hidden. Exactly-once
+  * belongs to the file-backed sink's marker-guarded staged commit.
+  */
+final class GraftServerStreamingWrite(writeSchema: StructType,
+    options: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftServerStreamingWriterFactory(writeSchema, options)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class GraftServerStreamingWriterFactory(writeSchema: StructType,
+    options: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftServerDataWriter(partitionId, writeSchema, options)
 }
 
 /** Tasks stream batched bulkWrites directly to the server as they run;

@@ -236,7 +236,8 @@ final class GraftTable(tableSchema: StructType, properties: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableSchema, properties ++ options.asScala)
@@ -1754,7 +1755,77 @@ final class GraftWriteBuilder(writeSchema: StructType, queryId: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftBatchWrite(writeSchema, queryId, options, truncateFirst)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!truncateFirst,
+        "graftbson streaming write appends per epoch; truncate is a batch concern")
+      new GraftStreamingWrite(writeSchema, queryId, options)
+    }
   }
+}
+
+/** Native Structured Streaming SINK: every micro-batch epoch runs the
+  * SAME two-phase staged commit the batch path uses ([[GraftBatchWrite]]
+  * with an epoch-scoped job dir), and epoch commit is IDEMPOTENT across
+  * replays via a durable marker (`.graft-stream-epochs/e<id>` on the
+  * collection path): Spark re-commits the last epoch after a recovery,
+  * and the marker turns the replay into a no-op — exactly-once into the
+  * collection. (The marker lands after promotion; a coordinator crash
+  * inside that window replays the epoch's apply, which the keyed
+  * update/upsert modes absorb idempotently — plain inserts are
+  * at-least-once across exactly that window, the contract the
+  * reference's server writes always had.) One streaming writer per
+  * collection at a time — the same single-coordinator assumption the
+  * batch two-phase protocol makes.
+  */
+final class GraftStreamingWrite(writeSchema: StructType, queryId: String,
+    options: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val path = GraftBsonSource.normalizePath(options.getOrElse("path",
+    throw new IllegalArgumentException("path option required")))
+  private val shardCount: Int =
+    options.get("shards").map(_.toInt)
+      .getOrElse(new BsonCollection(path).shardCount)
+
+  private def marker(epochId: Long): java.nio.file.Path =
+    Paths.get(path, ".graft-stream-epochs", s"e$epochId")
+  private def epochQueryId(epochId: Long): String = s"$queryId-e$epochId"
+  private def epochJobDir(epochId: Long): java.nio.file.Path =
+    Paths.get(path, ".graft-pending", epochQueryId(epochId))
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(writeSchema, options, path, queryId,
+      shardCount)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (Files.exists(marker(epochId))) {
+      // replayed epoch: already applied — drop the replay's segments
+      GraftBatchWrite.deleteRecursively(epochJobDir(epochId))
+      return
+    }
+    new GraftBatchWrite(writeSchema, epochQueryId(epochId), options,
+      truncateFirst = false).commit(messages)
+    Files.createDirectories(marker(epochId).getParent)
+    try Files.createFile(marker(epochId))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftBatchWrite.deleteRecursively(epochJobDir(epochId))
+}
+
+final class GraftStreamingWriterFactory(writeSchema: StructType,
+    options: Map[String, String], path: String, queryId: String,
+    shardCount: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(partitionId, taskId, writeSchema, options,
+      Paths.get(path, ".graft-pending", s"$queryId-e$epochId").toString,
+      shardCount)
 }
 
 final case class GraftCommitMessage(partitionId: Int,
