@@ -829,6 +829,44 @@ object ConnectorQueries {
         |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
         |""".stripMargin)),
 
+    // Provenance metadata column (round-12, SupportsMetadataColumns):
+    // `_file` names the dump file each row decoded from — the lineage
+    // handle a landing zone needs for selective reprocessing. Here two
+    // landing files split orders by key parity and the report groups
+    // row counts and key sums BY SOURCE FILE; the oracle derives the
+    // same report from the parity. `_ns` is the server source's
+    // equivalent (MetadataColumnsSpec pins both, incl. shadowing and
+    // the residual-only filter rule).
+    CatalogQuery(
+      "q138_provenance_report",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val rows = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_totalprice")
+        rows.filter($"o_orderkey" % 2 === 0)
+          .write.format("graftbson").option("id_column", "o_orderkey")
+          .mode("append").save(s"$dir/even.bson")
+        rows.filter($"o_orderkey" % 2 === 1)
+          .write.format("graftbson").option("id_column", "o_orderkey")
+          .mode("append").save(s"$dir/odd.bson")
+        s.read.format("graftbson")
+          .schema("_id LONG, o_totalprice DOUBLE").load(dir)
+          // each write lands a COLLECTION DIR (shard files inside), so
+          // the per-source label is the parent directory of `_file`
+          .groupBy(element_at(split(col("_file"), "/"), -2).as("src"))
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"),
+            dsum($"o_totalprice").as("sum_price"))
+          .orderBy($"src")
+      },
+      Some(s"""
+        |SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even.bson'
+        |            ELSE 'odd.bson' END AS src,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  ${dsumSql("o_totalprice")} AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
     // Native streaming SINK, end-to-end (round-12): the documents
     // corpus lands as a dump directory, streams IN through the
     // graftbson micro-batch reader, and streams OUT through the NATIVE

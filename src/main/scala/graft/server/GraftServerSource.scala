@@ -88,6 +88,9 @@ class GraftServerSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftServerSource {
+  /** Name of the `_ns` provenance metadata column. */
+  val NsMetaCol = "_ns"
+
   def ns(opts: Map[String, String]): String =
     opts.getOrElse("ns",
       throw new IllegalArgumentException("graftserver: ns option required"))
@@ -117,7 +120,22 @@ object GraftServerSource {
 }
 
 final class GraftServerTable(tableSchema: StructType, properties: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Provenance metadata: `_ns` = the namespace a row's cursor read
+    * from — the lineage handle of a comma-`ns` multi-namespace union
+    * scan. Populated per partition by the reader; filters on it stay
+    * above the scan; a data column of the same name shadows it.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftServerSource.NsMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source namespace of this row"
+    })
 
   override def name(): String =
     s"graftserver:${properties.getOrElse("ns", "?")}"
@@ -197,11 +215,14 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (query, accepted, residual) = FilterTranslator.split(filters, Map.empty)
+    // `_ns` metadata predicates are not document queries — residual
+    val (metaFilters, docFilters) = filters.partition(
+      _.references.contains(GraftServerSource.NsMetaCol))
+    val (query, accepted, residual) = FilterTranslator.split(docFilters, Map.empty)
     pushedQuery = query
     pushed = accepted
-    residuals = residual
-    residual
+    residuals = residual ++ metaFilters
+    residuals
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -595,7 +616,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     case None =>
       new GraftServerScan(required,
         BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-        limit, options, aggPushed, topN, groupedAgg, offset, sample)
+        limit, options, aggPushed, topN, groupedAgg, offset, sample,
+        nsMeta = required.fieldNames.contains(GraftServerSource.NsMetaCol) &&
+          !tableSchema.fieldNames.contains(GraftServerSource.NsMetaCol))
   }
 }
 
@@ -848,7 +871,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     grouped: Option[ServerGroupedAgg] = None,
     offset: Option[Int] = None,
-    sample: Option[graft.source.SamplePush] = None)
+    sample: Option[graft.source.SamplePush] = None,
+    nsMeta: Boolean = false)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
@@ -945,8 +969,9 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedAgg.isEmpty && grouped.isEmpty && topN.isEmpty &&
-      limit.isEmpty && offset.isEmpty && sample.isEmpty,
-      "graftserver streaming read cannot carry limit/offset/top-n/aggregate/sample pushdowns")
+      limit.isEmpty && offset.isEmpty && sample.isEmpty && !nsMeta,
+      "graftserver streaming read cannot carry limit/offset/top-n/aggregate/" +
+        "sample pushdowns or the _ns metadata column")
     new GraftServerMicroBatchStream(requiredSchema, query, options)
   }
 
@@ -1013,7 +1038,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
-      pushedAgg, topN, grouped, offset, sample)
+      pushedAgg, topN, grouped, offset, sample, nsMeta)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -1032,7 +1057,8 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     grouped: Option[ServerGroupedAgg] = None,
     offset: Option[Int] = None,
-    sample: Option[graft.source.SamplePush] = None)
+    sample: Option[graft.source.SamplePush] = None,
+    nsMeta: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (grouped, pushedAgg) match {
@@ -1040,7 +1066,7 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
       case (None, Some(items)) => new ServerAggReader(options, items)
       case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
-        options, topN, offset, sample)
+        options, topN, offset, sample, nsMeta)
     }
 }
 
@@ -1168,8 +1194,21 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     options: Map[String, String],
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     offset: Option[Int] = None,
-    sample: Option[graft.source.SamplePush] = None)
+    sample: Option[graft.source.SamplePush] = None,
+    nsMeta: Boolean = false)
     extends PartitionReader[InternalRow] {
+
+  // `_ns` provenance: splice this partition's namespace in at the
+  // requested position — constant per cursor
+  private val nsIdx: Int =
+    if (nsMeta) requiredSchema.fieldNames.indexOf(GraftServerSource.NsMetaCol)
+    else -1
+  private val decodeSchema: StructType =
+    if (nsIdx < 0) requiredSchema
+    else StructType(requiredSchema.fields.patch(nsIdx, Nil, 1))
+  private val nsValue: org.apache.spark.unsafe.types.UTF8String =
+    if (nsIdx < 0) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(p.ns)
 
   private val client = GraftServerSource.factory(options).create(options)
   private val rawCursor: Iterator[BDoc] =
@@ -1177,7 +1216,7 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
       Find(BQuery.and(p.range, query),
         // a pushed sample's key must ride the projection even when the
         // column itself was pruned away
-        projection = Some((requiredSchema.fieldNames ++
+        projection = Some((decodeSchema.fieldNames ++
           sample.map(_.key)).distinct.toSeq),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
@@ -1197,7 +1236,23 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
   private var row: InternalRow = _
 
   override def next(): Boolean =
-    if (cursor.hasNext) { row = RowCodec.toRow(cursor.next(), requiredSchema); true }
+    if (cursor.hasNext) {
+      val base = RowCodec.toRow(cursor.next(), decodeSchema)
+      row =
+        if (nsIdx < 0) base
+        else {
+          val vals = new Array[Any](requiredSchema.length)
+          var i = 0
+          var j = 0
+          while (i < requiredSchema.length) {
+            if (i == nsIdx) vals(i) = nsValue
+            else { vals(i) = base.get(j, decodeSchema.fields(j).dataType); j += 1 }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
+      true
+    }
     else false
 
   override def get(): InternalRow = row

@@ -120,6 +120,9 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftBsonSource {
+  /** Name of the `_file` provenance metadata column. */
+  val FileMetaCol = "_file"
+
   private val GlobChars = Set('*', '?', '[', '{')
 
   private def isDataFile(n: String): Boolean =
@@ -230,7 +233,25 @@ object GraftBsonSource {
 }
 
 final class GraftTable(tableSchema: StructType, properties: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Provenance metadata: `_file` = the dump file a row was decoded
+    * from (`SELECT _id, _file FROM t` / `df.select($"_file")`) — the
+    * lineage handle a 100 TB landing zone needs for selective
+    * reprocessing and quarantine. Populated per partition by the
+    * reader; filters on it stay ABOVE the scan (pushFilters routes
+    * them to residuals — a metadata name is not a document field).
+    * A data column of the same name shadows it (Spark's rule).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftBsonSource.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source dump file of this row"
+    })
 
   override def name(): String = s"graftbson:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = tableSchema
@@ -387,11 +408,15 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   private var residualFilters: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (query, accepted, residual) = FilterTranslator.split(filters, mapping)
+    // a predicate on the `_file` metadata column is NOT a document
+    // query — it must stay above the scan (Spark re-evaluates residuals)
+    val (metaFilters, docFilters) = filters.partition(
+      _.references.contains(GraftBsonSource.FileMetaCol))
+    val (query, accepted, residual) = FilterTranslator.split(docFilters, mapping)
     pushedQuery = query
     pushed = accepted
-    residualFilters = residual
-    residual
+    residualFilters = residual ++ metaFilters
+    residualFilters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -672,7 +697,11 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
       offset, aggPushed, topNSort = topN.map(_._1),
-      grouped = groupedAgg, sample = sample)
+      grouped = groupedAgg, sample = sample,
+      // the `_file` metadata column is live only when requested AND not
+      // shadowed by a data column of the same name (Spark's rule)
+      fileMeta = required.fieldNames.contains(GraftBsonSource.FileMetaCol) &&
+        !tableSchema.fieldNames.contains(GraftBsonSource.FileMetaCol))
   }
 }
 
@@ -827,7 +856,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     pushedAgg: Option[Seq[AggPush]] = None,
     topNSort: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None,
     grouped: Option[FileGroupedAgg] = None,
-    sample: Option[SamplePush] = None)
+    sample: Option[SamplePush] = None,
+    fileMeta: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
 
@@ -1150,7 +1180,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(requiredSchema)
+    new GraftReaderFactory(requiredSchema, fileMeta)
 }
 
 final case class AggInputPartition(path: String, items: Seq[AggPush],
@@ -1434,13 +1464,15 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
   override def preferredLocations(): Array[String] = locations.toArray
 }
 
-final class GraftReaderFactory(requiredSchema: StructType)
+final class GraftReaderFactory(requiredSchema: StructType,
+    fileMeta: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case a: AggInputPartition => new AggPartitionReader(a)
       case g: GroupedAggPartition => new GroupedAggPartitionReader(g)
-      case p: GraftInputPartition => new GraftPartitionReader(p, requiredSchema)
+      case p: GraftInputPartition =>
+        new GraftPartitionReader(p, requiredSchema, fileMeta)
     }
 }
 
@@ -1600,12 +1632,24 @@ object GroupedAggPartitionReader {
   val FlushGroups: Int = 1 << 17
 }
 
-final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructType)
+final class GraftPartitionReader(p: GraftInputPartition,
+    requiredSchema: StructType, fileMeta: Boolean = false)
     extends PartitionReader[InternalRow] {
+  // `_file` provenance: decoded rows splice this partition's path in at
+  // the requested position — constant per partition, one UTF8String
+  private val fileIdx: Int =
+    if (fileMeta) requiredSchema.fieldNames.indexOf(GraftBsonSource.FileMetaCol)
+    else -1
+  private val decodeSchema: StructType =
+    if (fileIdx < 0) requiredSchema
+    else StructType(requiredSchema.fields.patch(fileIdx, Nil, 1))
+  private val fileValue: org.apache.spark.unsafe.types.UTF8String =
+    if (fileIdx < 0) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(p.path)
   // projected decode: only required columns, remapped paths and query
   // fields are materialized; everything else is byte-skipped
   private val needed: Set[String] =
-    requiredSchema.fieldNames.toSet ++
+    decodeSchema.fieldNames.toSet ++
       p.mapping.values.map(_.split('.').head) ++
       BQuery.fieldHeads(p.query) ++
       p.sortKey.map(_.split('.').head) ++
@@ -1642,7 +1686,21 @@ final class GraftPartitionReader(p: GraftInputPartition, requiredSchema: StructT
 
   override def next(): Boolean =
     if (docs.hasNext) {
-      current = RowCodec.toRow(docs.next(), requiredSchema, p.mapping); true
+      val base = RowCodec.toRow(docs.next(), decodeSchema, p.mapping)
+      current =
+        if (fileIdx < 0) base
+        else {
+          val vals = new Array[Any](requiredSchema.length)
+          var i = 0
+          var j = 0
+          while (i < requiredSchema.length) {
+            if (i == fileIdx) vals(i) = fileValue
+            else { vals(i) = base.get(j, decodeSchema.fields(j).dataType); j += 1 }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
+      true
     } else false
 
   override def get(): InternalRow = current
