@@ -269,6 +269,60 @@ object BsonCodec {
     BDoc(fields.result())
   }
 
+  /** A projection trie over (possibly dotted) field paths: at each doc
+    * level either keep EVERYTHING below ([[Proj.All]]) or recurse per
+    * listed field. Built from dotted path strings — `"a"` keeps all of
+    * `a`, `"a.b"` keeps only `b` inside subdocument `a` (the rest of
+    * `a`'s bytes are skipped without materializing) — with a plain head
+    * subsuming any of its subpaths. Arrays and non-document values at
+    * an interior node decode whole (array indices are not field names;
+    * a scalar where a subpath expected a doc must still surface so the
+    * matcher/codec sees the stored value).
+    */
+  sealed trait Proj extends Serializable
+  object Proj {
+    case object All extends Proj
+    final case class Fields(m: Map[String, Proj]) extends Proj
+
+    def fromPaths(paths: Iterable[String]): Proj = {
+      val split = paths.toSeq.map(_.split('.').toList).filter(_.nonEmpty)
+      build(split)
+    }
+
+    private def build(paths: Seq[List[String]]): Proj =
+      if (paths.exists(_.isEmpty)) All // a full head subsumes subpaths
+      else Fields(paths.groupBy(_.head).map { case (h, ps) =>
+        h -> build(ps.map(_.tail))
+      })
+  }
+
+  /** Nested projected decode: fields outside the trie are byte-skipped
+    * at EVERY document level — `a.small` decodes without ever
+    * materializing `a.big`'s bytes. The reference's lazy decoder only
+    * went one level; this is the columnar-style subfield prune a
+    * document store needs at corpus scale.
+    */
+  def readDocProjected(buf: ByteBuffer, proj: Proj): BDoc = proj match {
+    case Proj.All => readDoc(buf)
+    case Proj.Fields(m) =>
+      val start = buf.position()
+      val len = buf.getInt
+      val fields = ListMap.newBuilder[String, BsonValue]
+      while (buf.position() < start + len - 1) {
+        val tag = buf.get()
+        val name = readCString(buf)
+        m.get(name) match {
+          case None => skipValue(buf, tag)
+          case Some(Proj.All) => fields += name -> readValue(buf, tag)
+          case Some(sub: Proj.Fields) =>
+            if (tag == TDoc) fields += name -> readDocProjected(buf, sub)
+            else fields += name -> readValue(buf, tag)
+        }
+      }
+      require(buf.get() == 0x00, "document not 0x00-terminated")
+      BDoc(fields.result())
+  }
+
   /** Advance past one value without decoding it. */
   private def skipValue(buf: ByteBuffer, tag: Byte): Unit = tag match {
     case TDouble | TDate | TInt64 => buf.position(buf.position() + 8)

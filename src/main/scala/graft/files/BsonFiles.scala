@@ -177,8 +177,11 @@ object BsonFiles {
 
   /** Iterate docs whose START offset lies in [start, end). The reader may
     * read past `end` to finish the last document (standard split rule).
-    * With `fields` set, non-listed top-level fields are byte-skipped
-    * during decode (projection pushdown into the decoder).
+    * With `fields` set, non-listed fields are byte-skipped during decode
+    * (projection pushdown into the decoder); entries may be DOTTED paths
+    * — `"a.small"` decodes only that subfield of subdocument `a`, the
+    * sibling subfields' bytes are never materialized
+    * ([[BsonCodec.Proj]]).
     */
   def readRange(path: String, start: Long, end: Long,
       fields: Option[Set[String]] = None): CloseableDocIterator = {
@@ -186,6 +189,8 @@ object BsonFiles {
       require(start == 0L, s"compressed BSON is unsplittable, got start=$start")
       return readCompressed(path)
     }
+    // one trie per iterator, not per document
+    val proj: Option[BsonCodec.Proj] = fields.map(BsonCodec.Proj.fromPaths)
     val fileLen = Files.size(Paths.get(path))
     val begin = startingPosition(path, start)
     new CloseableDocIterator {
@@ -208,8 +213,8 @@ object BsonFiles {
         raf.readFully(bytes)
         pos += len
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        fields match {
-          case Some(need) => BsonCodec.readDocProjected(buf, need.contains)
+        proj match {
+          case Some(p) => BsonCodec.readDocProjected(buf, p)
           case None => BsonCodec.readDoc(buf)
         }
       }

@@ -368,6 +368,42 @@ object BQuery {
     case True => Set.empty
   }
 
+  /** FULL dotted field paths referenced by a query — the projected
+    * decoder's trie input ([[graft.bson.BsonCodec.Proj]]): a query on
+    * `a.b` needs only that subpath materialized, not all of `a`.
+    * [[fieldHeads]] remains the coarse top-level form for callers that
+    * key on heads.
+    */
+  def fieldPaths(q: BQuery): Set[String] = q match {
+    case Eq(p, _) => Set(p)
+    case Lt(p, _) => Set(p)
+    case Lte(p, _) => Set(p)
+    case Gt(p, _) => Set(p)
+    case Gte(p, _) => Set(p)
+    case In(p, _) => Set(p)
+    case Ne(p, _) => Set(p)
+    case Nin(p, _) => Set(p)
+    case Regex(p, _, _) => Set(p)
+    case Exists(p, _) => Set(p)
+    case Size(p, _) => Set(p)
+    case All(p, _) => Set(p)
+    // the array's ELEMENTS carry the sub-query's fields: decode whole
+    case ElemMatch(p, _, _) => Set(p)
+    case NotOp(p, sub) => fieldPaths(sub) + p
+    case Nor(qs) => qs.flatMap(fieldPaths).toSet
+    case Mod(p, _, _) => Set(p)
+    case TypeIs(p, _) => Set(p)
+    case KeyRange(p, _, _) => Set(p)
+    case ReadStrCmp(p, _, _) => Set(p)
+    case ReadStrIn(p, _) => Set(p)
+    case ReadStrRegex(p, _) => Set(p)
+    case ReadLongCmp(p, _, _) => Set(p)
+    case ReadLongIn(p, _) => Set(p)
+    case And(qs) => qs.flatMap(fieldPaths).toSet
+    case Or(qs) => qs.flatMap(fieldPaths).toSet
+    case True => Set.empty
+  }
+
   def and(a: BQuery, b: BQuery): BQuery = (a, b) match {
     case (True, x) => x
     case (x, True) => x

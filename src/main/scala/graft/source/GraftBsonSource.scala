@@ -1399,7 +1399,7 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
           _bytesTouched += len + 4
           BsonCodec.readDocProjected(
             java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN),
-            Set(keyHead).contains).getPath(key)
+            BsonCodec.Proj.fromPaths(Seq(key))).getPath(key)
         }.toVector.sorted(BsonOrdering)
       } finally raf.close()
     }
@@ -1647,14 +1647,17 @@ final class GraftPartitionReader(p: GraftInputPartition,
     if (fileIdx < 0) null
     else org.apache.spark.unsafe.types.UTF8String.fromString(p.path)
   // projected decode: only required columns, remapped paths and query
-  // fields are materialized; everything else is byte-skipped
+  // fields are materialized; everything else is byte-skipped — at EVERY
+  // document level (dotted paths prune subdocument interiors too: a
+  // pruned nested schema or a dotted column_mapping decodes only the
+  // subfields it names, [[graft.bson.BsonCodec.Proj]])
   private val needed: Set[String] =
-    decodeSchema.fieldNames.toSet ++
-      p.mapping.values.map(_.split('.').head) ++
-      BQuery.fieldHeads(p.query) ++
-      p.sortKey.map(_.split('.').head) ++
-      p.topNSpec.toSeq.flatten.map(_._1.split('.').head) ++
-      p.sample.map(_.key.split('.').head)
+    GraftPartitionReader.schemaPaths(decodeSchema, p.mapping) ++
+      p.mapping.values ++
+      BQuery.fieldPaths(p.query) ++
+      p.sortKey ++
+      p.topNSpec.toSeq.flatten.map(_._1) ++
+      p.sample.map(_.key)
   // keep the raw handle: with limit pushdown / early task kill the iterator
   // is never drained, so close() must release the file descriptor
   private val raw = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
@@ -1709,6 +1712,25 @@ final class GraftPartitionReader(p: GraftInputPartition,
 
 object GraftPartitionReader {
   import org.apache.spark.sql.types._
+
+  /** The dotted doc paths a read schema needs: STRUCT columns contribute
+    * their (possibly nested-pruned — Spark's nestedSchemaPruning trims
+    * the inner StructType) leaf subpaths, so `SELECT meta.small` decodes
+    * only that subfield and byte-skips `meta.big`; arrays, maps and
+    * scalars keep their whole subtree. `column_mapping` renames the root
+    * to its document home.
+    */
+  private[source] def schemaPaths(schema: StructType,
+      mapping: Map[String, String]): Set[String] = {
+    def leaves(prefix: String, dt: DataType): Seq[String] = dt match {
+      case st: StructType if st.fields.nonEmpty =>
+        st.fields.toSeq.flatMap(f => leaves(prefix + "." + f.name, f.dataType))
+      case _ => Seq(prefix)
+    }
+    schema.fields.toSeq.flatMap { f =>
+      leaves(mapping.getOrElse(f.name, f.name), f.dataType)
+    }.toSet
+  }
 
   /** The sort key AS SPARK READS the stored value (mirrors RowCodec's
     * conversions for the TopN-eligible types); None sorts first (ASC

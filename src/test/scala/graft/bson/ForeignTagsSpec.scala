@@ -67,7 +67,7 @@ class ForeignTagsSpec extends SparkSpec {
 
   test("projected decode byte-skips every foreign tag exactly") {
     val buf = ByteBuffer.wrap(foreignDocBytes()).order(ByteOrder.LITTLE_ENDIAN)
-    val d = BsonCodec.readDocProjected(buf, Set("pre", "post").contains)
+    val d = BsonCodec.readDocProjected(buf, BsonCodec.Proj.fromPaths(Seq("pre", "post")))
     assert(d.fields.keySet === Set("pre", "post"),
       "skip widths must be exact or the following elements misparse")
     assert(d.get("post") === Some(BInt32(2)))
