@@ -829,6 +829,41 @@ object ConnectorQueries {
         |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
         |""".stripMargin)),
 
+    // Nested-subfield projected decode (round-12): documents carry a
+    // FAT nested struct (meta.blob = the full text, meta.small = a
+    // number) and the query selects ONLY meta.small under the FULL
+    // declared schema — Spark's nestedSchemaPruning hands the scan a
+    // pruned inner StructType and the decoder's trie byte-skips
+    // meta.blob at the SUBDOCUMENT level (NestedPruneSpec proves the
+    // skip with a corrupted sibling; this entry pins the values). At
+    // 100 TB this is the columnar-style IO prune for fat nested
+    // documents.
+    CatalogQuery(
+      "q139_nested_prune",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            struct($"n_chars".as("small"), $"text".as("blob")).as("meta"))
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, lang STRING, meta STRUCT<small: BIGINT, blob: STRING>")
+          .load(dir)
+          .select($"_id", $"lang", $"meta.small".as("n_chars"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"),
+            sum($"_id").as("sum_key"))
+          .orderBy($"lang".asc_nulls_first)
+      },
+      Some("""
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_key
+        |FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST
+        |""".stripMargin)),
+
     // Provenance metadata column (round-12, SupportsMetadataColumns):
     // `_file` names the dump file each row decoded from — the lineage
     // handle a landing zone needs for selective reprocessing. Here two
