@@ -504,6 +504,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   // $limit appended to the lookup pipeline
   private var joinedAgg: Option[ServerGroupedAgg] = None
   private var joinLimit: Option[Long] = None
+  // set for a MIRRORED (right outer) join: the driving side's options
+  // and full query are the OTHER builder's
+  private var joinDriving: Option[(Map[String, String], BQuery)] = None
 
   private def connectionId: (String, String, String) = (
     options.getOrElse("client_factory", classOf[DirServerFactory].getName),
@@ -566,7 +569,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       case _ => return false
     }
     val leftOuter = joinType == V2JoinType.LEFT_OUTER_JOIN
-    if (joinType != V2JoinType.INNER_JOIN && !leftOuter) return false
+    // RIGHT OUTER mirrors: the RIGHT relation drives the pipeline and
+    // the join becomes a LEFT OUTER from its perspective
+    val mirrored = joinType == V2JoinType.RIGHT_OUTER_JOIN
+    if (joinType != V2JoinType.INNER_JOIN && !leftOuter && !mirrored)
+      return false
     def proj(req: Array[SupportsPushDownJoin.ColumnWithAlias],
         schema: StructType):
         Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
@@ -596,11 +603,24 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
           case Some(keys) if keys.forall { case (l, r) =>
               joinKeySafe(leftOut(l), options) &&
                 joinKeySafe(rightOut(r), o.joinOptions) } =>
-            joined = Some(ServerJoin(lp,
-              GraftServerSource.ns(o.joinOptions),
-              BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
-                o.pushedQuery),
-              rp, keys, leftOuter))
+            val output = (lp ++ rp).map(p => (p._2, p._3))
+            if (mirrored) {
+              // drive from the RIGHT side; THIS side becomes the lookup
+              joined = Some(ServerJoin(rp,
+                GraftServerSource.ns(options),
+                BQuery.and(GraftServerSource.optionQuery(options),
+                  pushedQuery),
+                lp, keys.map(_.swap), leftOuter = true, output))
+              joinDriving = Some((o.joinOptions,
+                BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
+                  o.pushedQuery)))
+            } else {
+              joined = Some(ServerJoin(lp,
+                GraftServerSource.ns(o.joinOptions),
+                BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
+                  o.pushedQuery),
+                rp, keys, leftOuter, output))
+            }
             true
           case _ => false
         }
@@ -610,9 +630,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
 
   override def build(): Scan = joined match {
     case Some(j) =>
-      new GraftServerJoinScan(j,
-        BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
-        options, joinedAgg, joinLimit)
+      val (drivingOpts, drivingQuery) = joinDriving.getOrElse(
+        (options, BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)))
+      new GraftServerJoinScan(j, drivingQuery, drivingOpts, joinedAgg, joinLimit)
     case None =>
       new GraftServerScan(required,
         BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
@@ -655,12 +675,15 @@ final case class ServerJoin(
     rightQuery: BQuery,
     rightProject: Seq[(String, String, org.apache.spark.sql.types.DataType)],
     keys: Seq[(String, String)],
-    leftOuter: Boolean) {
+    leftOuter: Boolean,
+    /** The VISIBLE read schema in Spark's expected column order — for a
+      * RIGHT OUTER join the driving orientation is MIRRORED (the right
+      * relation drives the pipeline) while Spark still expects the
+      * original left++right column order; rows are flat by output name,
+      * so order is presentation only. */
+    output: Seq[(String, org.apache.spark.sql.types.DataType)]) {
   def schema: StructType = StructType(
-    leftProject.map { case (_, o, t) =>
-      org.apache.spark.sql.types.StructField(o, t) } ++
-      rightProject.map { case (_, o, t) =>
-        org.apache.spark.sql.types.StructField(o, t) })
+    output.map { case (o, t) => org.apache.spark.sql.types.StructField(o, t) })
   /** right OUTPUT name -> right doc field. */
   def rightField(out: String): String =
     rightProject.collectFirst { case (f, `out`, _) => f }.get

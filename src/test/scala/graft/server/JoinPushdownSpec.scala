@@ -96,6 +96,39 @@ class JoinPushdownSpec extends SparkSpec {
     assert(matched.forall(r => r.getString(2) == s"c${r.getLong(1)}"))
   }
 
+  test("right outer join mirrors: the right relation drives the pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir, nOrders = 120, nCust = 60) // cust 50..59 match no order
+    val o = ordersDf(dir)
+    val c = custDf(dir)
+    val j = o.join(c, o("custkey") === c("_id"), "right_outer")
+      .select(o("_id").as("okey"), $"custkey", $"name", $"seg")
+    val plan = planOf(j)
+    // the driving ns flips to the customer collection; from its
+    // perspective the join is LEFT OUTER
+    assert(plan.contains("PushedJoin: LEFT OUTER db.orders") &&
+      plan.contains("ns=db.cust"), plan)
+    assert(!plan.contains("Join "), s"no Spark join exec expected:\n$plan")
+    val rows = j.collect()
+    // every of the 60 customers survives; custkeys span 0..49, so
+    // customers 50..59 carry NULL order columns; matched customers
+    // appear once per matching order (120 matched rows total)
+    assert(rows.length == 120 + 10, s"got ${rows.length}")
+    val unmatched = rows.filter(_.isNullAt(1))
+    assert(unmatched.length == 10 &&
+      unmatched.forall(r => r.getString(2).startsWith("c5")))
+    // parity against Spark computing the same right outer join
+    val exp = {
+      val oo = ordersDf(dir).select($"_id".as("okey"), $"custkey")
+      val cc = custDf(dir).select($"_id".as("ck2"), $"name", $"seg")
+      oo.join(cc, $"custkey" === $"ck2", "right_outer")
+        .select($"okey", $"custkey", $"name", $"seg")
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+    assert(rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq == exp)
+  }
+
   test("pushed filters on both sides compose into the pipeline's $match stages") {
     import spark.implicits._
     val dir = freshDir()
