@@ -205,5 +205,11 @@ class RealMongoIntegrationSpec extends SparkSpec {
     val outer = o.join(c, o("ck") === c("_id"), "left_outer")
     assert(outer.count() === 100L)
     assert(outer.filter(c("name").isNull).count() === 20L)
+    // RIGHT OUTER mirrors (the customer side drives the pipeline):
+    // every customer survives; ck 0..7 each match 10 orders
+    val ro = o.join(c, o("ck") === c("_id"), "right_outer")
+    assert(ro.queryExecution.executedPlan.toString.contains("PushedJoin: LEFT OUTER"),
+      "right outer must push as the mirrored pipeline")
+    assert(ro.count() === 80L)
   }
 }
