@@ -284,10 +284,12 @@ object Multimodal {
       if (!looksLikeImage(r.payload)) return None
       // a CORRUPT stream (sniffed magic, broken body) must degrade to
       // the fallback, never crash the partition — at corpus scale some
-      // fraction of media bytes is always truncated or mangled
+      // fraction of media bytes is always truncated or mangled. NonFatal,
+      // not just IOException: codec plugins throw unchecked exceptions
+      // (ArrayIndexOutOfBounds, NegativeArraySize) on mangled headers too
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return None // sniffed but unreadable: fall back
       val (w, h) = (img.getWidth, img.getHeight)
       // decoded-pixel statistics (NOT compressed-stream bytes): byte_len
@@ -519,9 +521,13 @@ object Multimodal {
         else "?"
       if (fmt == "?") Iterator.empty
       else {
+        // NonFatal, not just IOException: a payload that passes the magic
+        // sniff can still crash a codec plugin with an unchecked throw —
+        // the contract is "undecodable payloads are dropped", not "crash
+        // the task"
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Iterator.empty
         else {
           val (w, h) = (img.getWidth, img.getHeight)

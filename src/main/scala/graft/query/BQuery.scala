@@ -85,8 +85,23 @@ object BQuery {
       case _ => false
     }
   }
+  /** Spark null-filter semantics: present AND non-null (what pushed
+    * IsNotNull/IsNull compile to — Spark never re-checks an accepted
+    * filter, so the node must carry SPARK's semantics; the wire form is
+    * `{$ne: null}` / `{$eq: null}`, see [[graft.server.QueryDocs]]).
+    * Option-level `$exists` JSON parses to [[ExistsField]] instead. */
   final case class Exists(path: String, yes: Boolean) extends BQuery {
     def matches(d: BDoc): Boolean = d.getPath(path).exists(_ != BNull) == yes
+  }
+
+  /** Mongo `$exists` semantics: field PRESENCE regardless of value —
+    * `$exists: true` matches a field holding an explicit null, which
+    * [[Exists]] (Spark null-filter semantics) must not. Produced only by
+    * option-level JSON queries; renders verbatim as `$exists` on the
+    * wire, matching what the reference's verbatim-shipped
+    * mongo.input.query does on a live server. */
+  final case class ExistsField(path: String, yes: Boolean) extends BQuery {
+    def matches(d: BDoc): Boolean = d.getPath(path).isDefined == yes
   }
 
   /** Mongo `$size`: an array field with exactly n elements (never a
@@ -100,12 +115,17 @@ object BQuery {
 
   /** Mongo `$all`: the field's array contains every listed value (a
     * non-array field matches when it equals every value — mongo treats
-    * it as a one-element array); `$all: []` matches nothing. */
+    * it as a one-element array); `$all: []` matches nothing. A listed
+    * value that is ITSELF an array also matches by whole-field equality
+    * (mongo's rule: `{$all: [[1,2]]}` matches a field EQUAL to `[1,2]`
+    * as well as one containing it as an element). */
   final case class All(path: String, vs: Seq[BsonValue]) extends BQuery {
     private def sameVal(a: BsonValue, b: BsonValue): Boolean =
       a.typeOrder == b.typeOrder && BsonOrdering.compare(a, b) == 0
     def matches(d: BDoc): Boolean = vs.nonEmpty && (d.getPath(path) match {
-      case Some(BArray(items)) => vs.forall(v => items.exists(sameVal(_, v)))
+      case Some(arr @ BArray(items)) =>
+        vs.forall(v => items.exists(sameVal(_, v)) ||
+          (v.isInstanceOf[BArray] && sameVal(arr, v)))
       case Some(single) => vs.forall(sameVal(single, _))
       case None => false
     })
@@ -350,6 +370,7 @@ object BQuery {
     case Nin(p, _) => Set(p.split('.').head)
     case Regex(p, _, _) => Set(p.split('.').head)
     case Exists(p, _) => Set(p.split('.').head)
+    case ExistsField(p, _) => Set(p.split('.').head)
     case Size(p, _) => Set(p.split('.').head)
     case All(p, _) => Set(p.split('.').head)
     case ElemMatch(p, _, _) => Set(p.split('.').head)
@@ -385,6 +406,7 @@ object BQuery {
     case Nin(p, _) => Set(p)
     case Regex(p, _, _) => Set(p)
     case Exists(p, _) => Set(p)
+    case ExistsField(p, _) => Set(p)
     case Size(p, _) => Set(p)
     case All(p, _) => Set(p)
     // the array's ELEMENTS carry the sub-query's fields: decode whole
@@ -583,7 +605,7 @@ object BQueryJson {
         val opts = ops.obj.collectFirst { case ("$options", JString(o)) => o }
         BQuery.Regex(field, p, opts.getOrElse(""))
       case ("$options", _) => BQuery.True // consumed by the $regex case
-      case ("$exists", JBool(b)) => BQuery.Exists(field, b)
+      case ("$exists", JBool(b)) => BQuery.ExistsField(field, b)
       case ("$size", v) => value(v) match {
         case BInt32(n) => BQuery.Size(field, n)
         case BInt64(n) => BQuery.Size(field, n.toInt)
@@ -629,6 +651,13 @@ object BQueryJson {
     case JString(x) => BString(x)
     case JBool(x) => BBool(x)
     case JNull => BNull
+    // array/doc literals: `{tags: {$all: [[1,2]]}}` needs the nested
+    // array as a VALUE (mongo's whole-field-equality $all form), and
+    // `{p: [1,2]}` / `{p: {a: 1}}` are plain whole-value equality
+    case JArray(items) => BArray(items.map(value).toVector)
+    case o: JObject =>
+      BDoc(scala.collection.immutable.ListMap(
+        o.obj.map { case (k, v) => k -> value(v) }: _*))
     case other => throw new IllegalArgumentException(s"unsupported literal $other")
   }
 }

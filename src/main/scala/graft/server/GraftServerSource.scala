@@ -588,6 +588,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         val leftOut = lp.map(p => p._2 -> p._3).toMap
         val rightOut = rp.map(p => p._2 -> p._3).toMap
         if (leftOut.keySet.intersect(rightOut.keySet).nonEmpty) return false
+        // an output column named `__j` would be overwritten by the
+        // $lookup's joined-field array on the real transport (the fake's
+        // in-memory join has no such field, so the divergence would be
+        // SILENT) — refuse the join rather than corrupt that column
+        if (leftOut.contains(QueryDocs.JoinedField) ||
+            rightOut.contains(QueryDocs.JoinedField)) return false
         val oriented: Option[Seq[(String, String)]] =
           eqPairs(condition).flatMap { pairs =>
             val o2 = pairs.map {

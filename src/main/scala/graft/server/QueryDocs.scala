@@ -113,6 +113,10 @@ object QueryDocs {
     // the same semantics on BOTH transports.)
     case BQuery.Exists(p, true) => Some(BDoc(p -> BDoc("$ne" -> BNull)))
     case BQuery.Exists(p, false) => Some(BDoc(p -> BDoc("$eq" -> BNull)))
+    // option-level $exists ships VERBATIM (mongo presence semantics,
+    // matching explicit nulls) — the reference's mongo.input.query
+    // behavior on a live server
+    case BQuery.ExistsField(p, b) => Some(BDoc(p -> BDoc("$exists" -> BBool(b))))
     case BQuery.And(qs) =>
       val parts = qs.map(render)
       if (parts.forall(_.isDefined)) Some(andDoc(parts.flatten)) else None
@@ -164,6 +168,7 @@ object QueryDocs {
           (if (o.isEmpty) Seq.empty else Seq("$options" -> (BString(o): BsonValue))))
       case BQuery.Exists(`path`, true) => Some(Seq("$ne" -> BNull))
       case BQuery.Exists(`path`, false) => Some(Seq("$eq" -> BNull))
+      case BQuery.ExistsField(`path`, b) => Some(Seq("$exists" -> BBool(b)))
       case BQuery.Size(`path`, n) => Some(Seq("$size" -> BInt32(n)))
       case BQuery.Mod(`path`, d, r) =>
         Some(Seq("$mod" -> BArray(Vector(BInt64(d), BInt64(r)))))

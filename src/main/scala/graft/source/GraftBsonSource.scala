@@ -1849,11 +1849,12 @@ final class GraftWriteBuilder(writeSchema: StructType, queryId: String,
   * replays via a durable marker (`.graft-stream-epochs/e<id>` on the
   * collection path): Spark re-commits the last epoch after a recovery,
   * and the marker turns the replay into a no-op — exactly-once into the
-  * collection. (The marker lands after promotion; a coordinator crash
-  * inside that window replays the epoch's apply, which the keyed
-  * update/upsert modes absorb idempotently — plain inserts are
-  * at-least-once across exactly that window, the contract the
-  * reference's server writes always had.) One streaming writer per
+  * collection. The marker rename is one more entry in the commit's
+  * `_promote.json` manifest, so marker and data promote in ONE
+  * all-or-nothing transaction: a coordinator crash at any point either
+  * rolls the whole epoch (data + marker) forward at the next collection
+  * open or promoted nothing — there is no promote→marker window, so
+  * plain inserts are exactly-once too. One streaming writer per
   * collection at a time — the same single-coordinator assumption the
   * batch two-phase protocol makes.
   */
@@ -1880,16 +1881,25 @@ final class GraftStreamingWrite(writeSchema: StructType, queryId: String,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
+    // roll any interrupted promote forward BEFORE consulting the marker:
+    // a crash mid-promote left the manifest (marker entry included), and
+    // checking the marker first would miss it — the replay would then
+    // re-apply on top of the roll-forward the batch commit's collection
+    // open performs, double-writing the epoch
+    graft.store.ShardApply.recoverPromote(path)
     if (Files.exists(marker(epochId))) {
       // replayed epoch: already applied — drop the replay's segments
       GraftBatchWrite.deleteRecursively(epochJobDir(epochId))
       return
     }
+    // the marker is promoted INSIDE the batch commit's manifest-guarded
+    // rename transaction — a coordinator crash either rolls the whole
+    // epoch (data + marker) forward at the next open or promoted
+    // nothing, so a replayed epoch is a no-op in every crash position:
+    // exactly-once into the collection with no promote→marker window
     new GraftBatchWrite(writeSchema, epochQueryId(epochId), options,
-      truncateFirst = false).commit(messages)
-    Files.createDirectories(marker(epochId).getParent)
-    try Files.createFile(marker(epochId))
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      truncateFirst = false, epochMarker = Some(marker(epochId)))
+      .commit(messages)
   }
 
   override def abort(epochId: Long,
@@ -1941,7 +1951,15 @@ final case class GraftCommitMessage(partitionId: Int,
   * with the shard count.
   */
 final class GraftBatchWrite(writeSchema: StructType, queryId: String,
-    options: Map[String, String], truncateFirst: Boolean) extends BatchWrite {
+    options: Map[String, String], truncateFirst: Boolean,
+    /** Streaming-sink epoch marker, promoted ATOMICALLY with the shard
+      * stages: the marker rename rides the same `_promote.json` manifest
+      * as the data renames, so a coordinator crash anywhere in the
+      * promote either rolls the WHOLE epoch forward (marker included) at
+      * the next collection open or left nothing promoted — there is no
+      * window where data promoted but the marker didn't (the r12
+      * at-least-once caveat this closes). */
+    epochMarker: Option[java.nio.file.Path] = None) extends BatchWrite {
 
   private val path = GraftBsonSource.normalizePath(options.getOrElse("path",
     throw new IllegalArgumentException("path option required")))
@@ -2027,8 +2045,20 @@ final class GraftBatchWrite(writeSchema: StructType, queryId: String,
     }
     // all shards staged successfully: promote (metadata-only renames in
     // shard order, manifest-guarded so a coordinator crash mid-loop rolls
-    // forward at next open), then sweep losing speculative attempts' stages
-    graft.store.ShardApply.promoteAll(path, stagedResults)
+    // forward at next open), then sweep losing speculative attempts' stages.
+    // A streaming epoch's marker is staged as one more manifest entry —
+    // its rename is part of the same all-or-nothing promote.
+    val withMarker = epochMarker match {
+      case Some(m) =>
+        Files.createDirectories(m.getParent)
+        val stagedMarker = m.resolveSibling("." + m.getFileName + s".stage-$jobTag")
+        try Files.createFile(stagedMarker)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        stagedResults :+ graft.store.ShardApply.Staged(-1, m.toString,
+          stagedMarker.toString, graft.store.BulkResult.empty)
+      case None => stagedResults
+    }
+    graft.store.ShardApply.promoteAll(path, withMarker)
     graft.store.ShardApply.cleanupStages(path, jobTag)
     GraftBatchWrite.deleteRecursively(jobDir)
   }

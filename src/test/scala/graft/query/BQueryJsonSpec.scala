@@ -156,4 +156,33 @@ class BQueryJsonSpec extends AnyFunSuite {
     assert(!nor.matches(BDoc("a" -> BInt32(1))))
     assert(!nor.matches(BDoc("a" -> BInt32(2), "b" -> BInt32(0))))
   }
+
+  test("option-level $exists is pure PRESENCE: explicit nulls match (mongo semantics)") {
+    val q = BQueryJson.parse("""{"a": {"$exists": true}}""")
+    assert(q == BQuery.And(Seq(BQuery.ExistsField("a", yes = true))))
+    assert(q.matches(BDoc("a" -> BNull)),
+      "mongo's $exists: true matches a field holding an explicit null")
+    assert(q.matches(BDoc("a" -> BInt32(1))))
+    assert(!q.matches(BDoc("b" -> BInt32(1))))
+    val no = BQueryJson.parse("""{"a": {"$exists": false}}""")
+    assert(!no.matches(BDoc("a" -> BNull)), "an explicit null IS present")
+    assert(no.matches(BDoc("b" -> BInt32(1))))
+    // the pushed-filter node keeps Spark null semantics — distinct
+    assert(BQuery.Exists("a", yes = true).matches(BDoc("a" -> BNull)) == false)
+  }
+
+  test("$all with an array-valued operand also matches by whole-field equality") {
+    val q = BQueryJson.parse("""{"tags": {"$all": [[1, 2]]}}""")
+    // field EQUALS [1,2]: mongo's whole-array match
+    assert(q.matches(BDoc("tags" -> BArray(Vector(BInt32(1), BInt32(2))))))
+    // field CONTAINS [1,2] as an element
+    assert(q.matches(BDoc("tags" -> BArray(Vector(
+      BString("x"), BArray(Vector(BInt32(1), BInt32(2))))))))
+    // neither: [2,1] is a different array value
+    assert(!q.matches(BDoc("tags" -> BArray(Vector(BInt32(2), BInt32(1))))))
+    // scalar operands keep plain containment
+    val s = BQueryJson.parse("""{"tags": {"$all": [1, 2]}}""")
+    assert(s.matches(BDoc("tags" -> BArray(Vector(BInt32(2), BInt32(1), BInt32(3))))))
+    assert(!s.matches(BDoc("tags" -> BArray(Vector(BInt32(1))))))
+  }
 }

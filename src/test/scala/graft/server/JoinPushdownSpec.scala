@@ -276,4 +276,19 @@ class JoinPushdownSpec extends SparkSpec {
     assert(!planOf(resid).contains("PushedJoin"), planOf(resid))
     assert(resid.count() > 0)
   }
+
+  test("refusal: an output column named __j (the $lookup joined field) keeps the join in Spark") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir, nOrders = 60, nCust = 20)
+    // alias a left output to the lookup's internal joined-field name: on
+    // a REAL server the $lookup's `as: __j` would overwrite it and the
+    // client-side flatten would drop the column — the fake transport
+    // would return it fine, a silent divergence unless refused
+    val o = ordersDf(dir).select($"_id", $"custkey".as("__j"))
+    val c = custDf(dir)
+    val j = o.join(c, o("__j") === c("_id"))
+    assert(!planOf(j).contains("PushedJoin"), planOf(j))
+    assert(j.count() > 0)
+  }
 }

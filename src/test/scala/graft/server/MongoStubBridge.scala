@@ -409,7 +409,9 @@ object StubDriverBackend {
             val o = ops.fields.collectFirst { case ("$options", BString(x)) => x }
             BQuery.Regex(f, p, o.getOrElse(""))
           case ("$options", _) => BQuery.True // consumed by the $regex case
-          case ("$exists", BBool(b)) => BQuery.Exists(f, b)
+          // a REAL server's $exists is pure presence (explicit nulls
+          // match $exists: true) — the verbatim option-level node
+          case ("$exists", BBool(b)) => BQuery.ExistsField(f, b)
           case ("$size", v) =>
             BQuery.Size(f, QueryDocs.asLong(v).getOrElse(
               throw new IllegalArgumentException(s"bad $$size $v")).toInt)

@@ -183,4 +183,52 @@ class GraftBsonStreamSpec extends SparkSpec {
     // and the replay's pending dir is swept
     assert(!Files.exists(java.nio.file.Paths.get(dir, ".graft-pending", "unit-q-e7")))
   }
+
+  test("streaming SINK: marker rides the promote manifest — crash mid-promote rolls forward, replay no-ops") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val schema = StructType(Seq(StructField("_id", LongType)))
+    val opts = Map("path" -> dir, "shards" -> "1")
+    val sw = new GraftStreamingWrite(schema, "crash-q", opts)
+    val factory = sw.createStreamingWriterFactory(null)
+    def writeEpoch(epoch: Long, keys: Seq[Long]): Array[
+        org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val w = factory.createWriter(0, 0L, epoch)
+      keys.foreach(k => w.write(org.apache.spark.sql.catalyst.InternalRow(k)))
+      Array(w.commit())
+    }
+    sw.commit(1L, writeEpoch(1L, Seq(1L, 2L)))
+
+    // simulate a coordinator crash DURING epoch 2's promote: the staged
+    // shard file, the staged marker, and the _promote.json manifest are
+    // on disk, but NO rename ran yet (the exact window the r12 ADVICE
+    // flagged — pre-fix, the marker was created after promotion, so a
+    // crash here replayed the epoch's rows into the store a second time)
+    val shard = graft.store.BsonCollection.shardPath(dir, 1, 0)
+    val staged = shard.resolveSibling(".apply-crash-" + shard.getFileName)
+    val newDoc = graft.bson.BsonCodec.encode(
+      graft.bson.BDoc("_id" -> graft.bson.BInt64(3L)))
+    Files.write(staged, Files.readAllBytes(shard) ++ newDoc)
+    val marker = java.nio.file.Paths.get(dir, ".graft-stream-epochs", "e2")
+    val stagedMarker = marker.resolveSibling(".e2.stage-crash")
+    Files.createDirectories(marker.getParent)
+    Files.createFile(stagedMarker)
+    graft.store.ShardApply.writeManifest(dir, Seq(
+      graft.store.ShardApply.Staged(0, shard.toString, staged.toString,
+        graft.store.BulkResult.empty),
+      graft.store.ShardApply.Staged(-1, marker.toString, stagedMarker.toString,
+        graft.store.BulkResult.empty)))
+
+    // Spark replays epoch 2 after the "crash": the commit must roll the
+    // interrupted promote forward (data AND marker in one transaction),
+    // see the marker, and drop the replay — never re-apply
+    sw.commit(2L, writeEpoch(2L, Seq(3L)))
+    assert(Files.exists(marker), "roll-forward must create the epoch marker")
+    assert(!Files.exists(staged) && !Files.exists(stagedMarker))
+    val got = spark.read.format("graftbson")
+      .schema("_id LONG").load(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"epoch 2 must land exactly once across the crash: $got")
+  }
 }
