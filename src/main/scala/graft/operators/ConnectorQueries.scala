@@ -1046,6 +1046,118 @@ object ConnectorQueries {
         |FROM b JOIN w USING (h, doc_id)
         |WHERE pass
         |GROUP BY source ORDER BY source
+        |""".stripMargin)),
+
+    // NESTED dotted-path grouped-aggregate pushdown, SERVER source
+    // (round-13): `GROUP BY meta.status` on a SUBDOCUMENT field plans as
+    // the same one-round-trip `$match`+`$group` pipeline as a top-level
+    // key — `$group: {_id: "$meta.status"}` is native MQL, and the
+    // pushed filter renders on the dotted path too (dotted-path key
+    // extraction is core reference behavior,
+    // core/.../util/MongoPathRetriever.java:11-23; dotted-prefix column
+    // mapping hive/.../HiveMongoInputFormat.java:211-240). Pre-r13 every
+    // eligibility gate truncated at one name part, so this most-common
+    // document-store shape fell back to a full scan. The plan shows
+    // `PushedGroupedAggregate: GROUP BY meta.status`
+    // (NestedPushdownSpec pins shape + the zero-cursor transport bound);
+    // the oracle pins the values.
+    CatalogQuery(
+      "q140_server_nested_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.nestg")
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            struct($"o_orderstatus".as("status"), $"o_totalprice".as("price"))
+              .as("meta"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, meta STRUCT<status: STRING, price: DOUBLE>")
+          .load()
+          .filter($"meta.price" > 1000.0)
+          .groupBy($"meta.status")
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"),
+            min($"meta.price").as("min_price"), max($"meta.price").as("max_price"))
+          .toDF("status", "n", "sum_key", "min_price", "max_price")
+          .orderBy($"status")
+      },
+      Some("""
+        |SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice > 1000.0
+        |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // NESTED grouped-aggregate pushdown, FILE source (round-13): the
+    // per-byte-split partial fold decodes ONLY the dotted subpaths it
+    // needs — `meta.nat` and `meta.bal` compile into the Proj trie and
+    // every sibling subfield is byte-skipped (NestedPushdownSpec proves
+    // it with a corrupted-sibling fixture). Same partial protocol as
+    // q126, one level down.
+    CatalogQuery(
+      "q141_file_nested_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.customer(s, d)
+          .select($"c_custkey",
+            struct($"c_nationkey".as("nat"), $"c_acctbal".as("bal")).as("meta"))
+          .write.format("graftbson").option("id_column", "c_custkey")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, meta STRUCT<nat: INT, bal: DOUBLE>")
+          .load(dir)
+          .filter($"meta.bal" > 0.0)
+          .groupBy($"meta.nat")
+          .agg(count(lit(1)).as("n"), count($"meta.bal").as("n_bal"),
+            min($"meta.bal").as("min_bal"), max($"meta.bal").as("max_bal"),
+            sum($"_id").as("sum_key"))
+          .toDF("nat", "n", "n_bal", "min_bal", "max_bal", "sum_key")
+          .orderBy($"nat".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_nationkey AS nat, count(*) AS n, count(c_acctbal) AS n_bal,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY 1 ORDER BY nat ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // NESTED multi-column TopN pushdown, SERVER source (round-13):
+    // `ORDER BY meta.price DESC, _id ASC LIMIT 25` renders the compound
+    // cursor sort doc `{"meta.price": -1, "_id": 1}` — a dotted sort key
+    // is native cursor behavior (MongoInputSplit.java:281's sort doc) —
+    // with the usual bracket gates on the LEAF type (Double always;
+    // the Long `_id` tiebreak under assume_uniform_storage, honest for
+    // an engine-written collection). Spark folds the per-split top-25s.
+    CatalogQuery(
+      "q142_server_nested_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.nestt")
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            struct($"o_totalprice".as("price")).as("meta"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .option("assume_uniform_storage", "true")
+          .option("split_size", (1L * 1024 * 1024).toString)
+          .schema("_id LONG, meta STRUCT<price: DOUBLE>")
+          .load()
+          .orderBy($"meta.price".desc, $"_id".asc)
+          .limit(25)
+          .select($"_id", $"meta.price".as("price"))
+      },
+      Some("""
+        |SELECT o_orderkey AS _id, o_totalprice AS price FROM orders
+        |ORDER BY o_totalprice DESC, _id ASC LIMIT 25
         |""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.server
 
 import graft.bson._
 import graft.query.{BQuery, BQueryJson, FilterTranslator}
-import graft.source.Planners
+import graft.source.{FieldResolve, GroupAggParse, Planners}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -200,16 +200,18 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   override def pushTableSample(lower: Double, upper: Double,
       withReplacement: Boolean, seed: Long): Boolean = {
+    // `sample_key` may name a nested subfield — the keep-predicate and
+    // the cursor projection both work on dotted paths
     val keyCol = options.get("sample_key")
-      .flatMap(k => tableSchema.fields.find(_.name == k))
-      .filter(f => graft.source.SamplePush.KeyTypes.contains(f.dataType))
+      .flatMap(k => FieldResolve.resolveName(tableSchema, k))
+      .filter(r => graft.source.SamplePush.KeyTypes.contains(r.dataType))
     val eligible = !withReplacement && keyCol.isDefined &&
       !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && joined.isEmpty
     if (!eligible) false
     else {
-      sample = Some(graft.source.SamplePush(keyCol.get.name, lower, upper, seed))
+      sample = Some(graft.source.SamplePush(keyCol.get.docPath, lower, upper, seed))
       true
     }
   }
@@ -286,19 +288,19 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (orders.isEmpty || aggPushed.isDefined || groupedAgg.isDefined ||
         limit.isDefined || offset.isDefined || residuals.nonEmpty ||
         sample.isDefined || joined.isDefined) return false
+    // order keys may be NESTED subfields: `{"meta.score": -1}` is a
+    // legal cursor sort doc (dotted-path key extraction is core server
+    // behavior — the reference's MongoPathRetriever convention); the
+    // bracket-safety gate applies to the LEAF type
     val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
-      o.expression match {
-        case nr: NamedReference if nr.fieldNames.length == 1 =>
-          val col = nr.fieldNames.head
-          tableSchema.fields.find(_.name == col).flatMap { f =>
-            val typeOk = GraftServerScanBuilder.cursorOrderSafe(f.dataType, options)
-            val desc = o.direction == SortDirection.DESCENDING
-            val nullsOk =
-              if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
-              else o.nullOrdering == NullOrdering.NULLS_FIRST
-            if (typeOk && nullsOk) Some((col, desc)) else None
-          }
-        case _ => None
+      import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+      graft.source.FieldResolve.resolve(tableSchema, o.expression).flatMap { r =>
+        val typeOk = GraftServerScanBuilder.cursorOrderSafe(r.dataType, options)
+        val desc = o.direction == SortDirection.DESCENDING
+        val nullsOk =
+          if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
+          else o.nullOrdering == NullOrdering.NULLS_FIRST
+        if (typeOk && nullsOk) Some((r.docPath, desc)) else None
       }
     }
     if (spec.contains(None)) false
@@ -339,46 +341,21 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * path; columns resolve against the JOINED output schema.
     */
   private def pushJoinedAggregation(aggregation: Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.types._
     val j = joined.get
     if (joinLimit.isDefined || joinedAgg.isDefined) return false
-    val schema = j.schema
-    def field(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[StructField] = e match {
-      case nr: NamedReference if nr.fieldNames.length == 1 =>
-        schema.fields.find(_.name == nr.fieldNames.head)
-      case _ => None
-    }
-    val groupFields = aggregation.groupByExpressions.toSeq.map(e =>
-      field(e).filter(f => GraftServerScanBuilder.GroupKeyTypes.contains(f.dataType)))
-    if (groupFields.contains(None)) return false
-    val items: Seq[Option[(GroupAgg, DataType)]] =
-      aggregation.aggregateExpressions.toSeq.map {
-        case _: aggregate.CountStar =>
-          Some((GroupAgg.CountAll("count(*)"), LongType: DataType))
-        case c: aggregate.Count if !c.isDistinct =>
-          field(c.column).map(f =>
-            (GroupAgg.CountCol(f.name, s"count(${f.name})"), LongType: DataType))
-        case m: aggregate.Min =>
-          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
-            .map(f => (GroupAgg.MinOf(f.name, s"min(${f.name})"), f.dataType))
-        case m: aggregate.Max =>
-          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
-            .map(f => (GroupAgg.MaxOf(f.name, s"max(${f.name})"), f.dataType))
-        case sm: aggregate.Sum if !sm.isDistinct =>
-          field(sm.column)
-            .filter(f => f.dataType == LongType || f.dataType == DoubleType ||
-              f.dataType == IntegerType)
-            .map(f => (GroupAgg.SumOf(f.name, s"sum(${f.name})"),
-              if (f.dataType == DoubleType) DoubleType: DataType else LongType: DataType))
-        case _ => None
-      }
-    if (items.contains(None) || (items.isEmpty && groupFields.isEmpty)) false
-    else {
-      joinedAgg = Some(ServerGroupedAgg(
-        groupFields.flatten.map(f => (f.name, f.dataType)), items.flatten))
-      true
+    // columns resolve against the JOINED output schema; a nested ref
+    // (`meta.lang` under a struct-typed output) composes too — the
+    // `$group` tail resolves its HEAD against the left-output set to
+    // pick the top-level vs `__j.` home (QueryDocs.lookupTail)
+    GroupAggParse.parse(aggregation,
+      e => graft.source.FieldResolve.resolve(j.schema, e),
+      GraftServerScanBuilder.GroupKeyTypes.contains,
+      GraftServerScanBuilder.AggTypes.contains) match {
+      case Some(p) =>
+        joinedAgg = Some(ServerGroupedAgg(
+          p.groupCols.map(r => (r.docPath, r.dataType)), p.items))
+        true
+      case None => false
     }
   }
 
@@ -388,15 +365,13 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       pushedQuery == BQuery.True && !options.contains("query") &&
         limit.isEmpty && sample.isEmpty && joined.isEmpty
     if (!eligible) return false
+    // probe columns may be nested subfields — the sorted limit-1 probe
+    // cursor sorts and projects by dotted path natively
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[(String, org.apache.spark.sql.types.DataType)] = e match {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames.length == 1 =>
-        tableSchema.fields.find(_.name == nr.fieldNames.head)
-          .filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
-          .map(f => (f.name, f.dataType))
-      case _ => None
-    }
+        Option[(String, org.apache.spark.sql.types.DataType)] =
+      FieldResolve.resolve(tableSchema, e)
+        .filter(r => GraftServerScanBuilder.AggTypes.contains(r.dataType))
+        .map(r => (r.docPath, r.dataType))
     val items = aggregation.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(AggPush.RowCount)
       case m: aggregate.Min => named(m.column).map { case (c, t) => AggPush.MinOf(c, t) }
@@ -428,8 +403,6 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * rows are gone); no limit/top-n/offset claimed the scan.
     */
   private def pushGroupedAggregation(aggregation: Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.types._
     if (limit.isDefined || offset.isDefined ||
         topN.isDefined || residuals.nonEmpty ||
         // the server-side $group computes over the UNSAMPLED collection
@@ -437,47 +410,21 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val fullQuery = BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)
     val planned = QueryDocs.plan(fullQuery)
     if (!planned.isExact || planned.keyBounds.isDefined) return false
-    def field(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[StructField] = e match {
-      case nr: NamedReference if nr.fieldNames.length == 1 =>
-        tableSchema.fields.find(_.name == nr.fieldNames.head)
-      case _ => None
-    }
-    val groupFields = aggregation.groupByExpressions.toSeq.map(e =>
-      field(e).filter(f => GraftServerScanBuilder.GroupKeyTypes.contains(f.dataType)))
-    if (groupFields.contains(None)) return false
-    val items: Seq[Option[(GroupAgg, DataType)]] =
-      aggregation.aggregateExpressions.toSeq.map {
-        case _: aggregate.CountStar =>
-          Some((GroupAgg.CountAll("count(*)"), LongType: DataType))
-        case c: aggregate.Count if !c.isDistinct =>
-          // COUNT(col) needs no order safety (only null/missing
-          // discrimination), so any column type qualifies
-          field(c.column).map(f =>
-            (GroupAgg.CountCol(f.name, s"count(${f.name})"), LongType: DataType))
-        case m: aggregate.Min =>
-          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
-            .map(f => (GroupAgg.MinOf(f.name, s"min(${f.name})"), f.dataType))
-        case m: aggregate.Max =>
-          field(m.column).filter(f => GraftServerScanBuilder.AggTypes.contains(f.dataType))
-            .map(f => (GroupAgg.MaxOf(f.name, s"max(${f.name})"), f.dataType))
-        case sm: aggregate.Sum if !sm.isDistinct =>
-          field(sm.column)
-            .filter(f => f.dataType == LongType || f.dataType == DoubleType ||
-              f.dataType == IntegerType)
-            // Spark's partial-sum column type: sum(int)/sum(long) fold as
-            // LongType, sum(double) as DoubleType
-            .map(f => (GroupAgg.SumOf(f.name, s"sum(${f.name})"),
-              if (f.dataType == DoubleType) DoubleType: DataType else LongType: DataType))
-        case _ => None
-      }
-    // zero aggregates + >=1 group key = SELECT DISTINCT: a `$group`
-    // with only `_id` answers it in #distinct-keys docs per namespace
-    if (items.contains(None) || (items.isEmpty && groupFields.isEmpty)) false
-    else {
-      groupedAgg = Some(ServerGroupedAgg(
-        groupFields.flatten.map(f => (f.name, f.dataType)), items.flatten))
-      true
+    // group keys and aggregate inputs may be NESTED subfields — the
+    // resolver walks the nested StructType; `$group: {_id: "$meta.lang"}`
+    // is native MQL, and [[QueryDocs.groupStageDoc]] sanitizes the
+    // dotted names a compound `_id` / accumulator FIELD cannot carry.
+    // Zero aggregates + >=1 group key = SELECT DISTINCT: a `$group`
+    // with only `_id` answers it in #distinct-keys docs per namespace.
+    GroupAggParse.parse(aggregation,
+      e => graft.source.FieldResolve.resolve(tableSchema, e),
+      GraftServerScanBuilder.GroupKeyTypes.contains,
+      GraftServerScanBuilder.AggTypes.contains) match {
+      case Some(p) =>
+        groupedAgg = Some(ServerGroupedAgg(
+          p.groupCols.map(r => (r.docPath, r.dataType)), p.items))
+        true
+      case None => false
     }
   }
 
@@ -1168,9 +1115,13 @@ final class ServerAggReader(options: Map[String, String],
     client.find(ns, Find(nonNull, projection = Some(Seq(col)),
         sortAscBy = Some(col), limit = 1L, sortDescending = descending))
       .toSeq.headOption
+      // read by PATH (identity mapping entry): a dotted probe column
+      // comes back NESTED from a server projection ({"a.b": 1} returns
+      // {a: {b: ...}})
       .map(d => RowCodec.toRow(d,
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(col, dt)))).get(0, dt))
+          org.apache.spark.sql.types.StructField(col, dt))),
+        Map(col -> col)).get(0, dt))
       .orNull
   }
 

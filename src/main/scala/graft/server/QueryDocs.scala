@@ -290,6 +290,19 @@ object QueryDocs {
     */
   def sumPresenceAlias(a: String): String = a + "~nn"
 
+  /** Dot-free WIRE spelling of a `$group` output field name or
+    * compound-`_id` key: a nested group key's natural (contract) name is
+    * dotted (`meta.lang`), but a dotted key inside a `$group` document
+    * is illegal as a literal field name — so the renderer swaps `.` for
+    * `~` on the wire and [[regroup]] swaps back when re-keying the
+    * result to the contract names. `~` cannot appear in a
+    * Spark-generated aggregate alias or a Spark nested-field reference,
+    * so engine-generated names never collide (a hand-written column
+    * literally named `a~b` aliasing `a.b` is the documented residual
+    * risk).
+    */
+  def wireName(s: String): String = s.replace('.', '~')
+
   /** COUNT(col) accumulator: sum of (0 when null/missing else 1); `$type`
     * is the canonical null-AND-missing discriminator in a pipeline.
     * `ref` is the already-`$`-prefixed field path.
@@ -314,17 +327,18 @@ object QueryDocs {
     val idValue: BsonValue = groupKeys match {
       case Seq() => BNull
       case Seq(k) => BString(ref(k))
-      case ks => BDoc(ks.map(k => k -> (BString(ref(k)): BsonValue)): _*)
+      // compound keys land as LITERAL field names — dot-free on the wire
+      case ks => BDoc(ks.map(k => wireName(k) -> (BString(ref(k)): BsonValue)): _*)
     }
     val groupFields: Seq[(String, BsonValue)] =
       ("_id" -> idValue) +: aggs.flatMap {
-        case GroupAgg.CountAll(a) => Seq(a -> BDoc("$sum" -> BInt32(1)))
-        case GroupAgg.CountCol(c, a) => Seq(a -> countColAcc(ref(c)))
-        case GroupAgg.MinOf(c, a) => Seq(a -> BDoc("$min" -> BString(ref(c))))
-        case GroupAgg.MaxOf(c, a) => Seq(a -> BDoc("$max" -> BString(ref(c))))
+        case GroupAgg.CountAll(a) => Seq(wireName(a) -> BDoc("$sum" -> BInt32(1)))
+        case GroupAgg.CountCol(c, a) => Seq(wireName(a) -> countColAcc(ref(c)))
+        case GroupAgg.MinOf(c, a) => Seq(wireName(a) -> BDoc("$min" -> BString(ref(c))))
+        case GroupAgg.MaxOf(c, a) => Seq(wireName(a) -> BDoc("$max" -> BString(ref(c))))
         case GroupAgg.SumOf(c, a) =>
-          Seq(a -> BDoc("$sum" -> BString(ref(c))),
-            sumPresenceAlias(a) -> countColAcc(ref(c)))
+          Seq(wireName(a) -> BDoc("$sum" -> BString(ref(c))),
+            wireName(sumPresenceAlias(a)) -> countColAcc(ref(c)))
       }
     BDoc("$group" -> BDoc(groupFields: _*))
   }
@@ -346,14 +360,16 @@ object QueryDocs {
           case _ => BDoc.empty
         }
         // a missing field groups as a MISSING entry in the compound
-        // _id — read it back as NULL, Spark's value for it
-        ks.map(k => k -> idDoc.get(k).getOrElse(BNull))
+        // _id — read it back as NULL, Spark's value for it. The wire
+        // keys are the dot-sanitized [[wireName]] forms; re-key to the
+        // contract (dotted) names.
+        ks.map(k => k -> idDoc.get(wireName(k)).getOrElse(BNull))
     }
     val aggFields = aggs.map {
       case GroupAgg.SumOf(_, a)
-          if d.get(sumPresenceAlias(a)).flatMap(asLong).contains(0L) =>
+          if d.get(wireName(sumPresenceAlias(a))).flatMap(asLong).contains(0L) =>
         a -> (BNull: BsonValue)
-      case other => other.alias -> d.get(other.alias).getOrElse(BNull)
+      case other => other.alias -> d.get(wireName(other.alias)).getOrElse(BNull)
     }
     BDoc(groupFields ++ aggFields: _*)
   }
@@ -435,8 +451,11 @@ object QueryDocs {
       limit: Option[Long]): Seq[BDoc] =
     group match {
       case Some((keys, aggs)) =>
+        // resolve by the column's HEAD: a nested ref (`meta.lang`) lives
+        // where its top-level output (`meta`) does
         Seq(groupStageDoc(
-          c => if (leftOuts(c)) c else JoinedField + "." + c, keys, aggs))
+          c => if (leftOuts(c.split('.').head)) c else JoinedField + "." + c,
+          keys, aggs))
       case None => limit.map(n => BDoc("$limit" -> BInt64(n))).toSeq
     }
 
@@ -474,9 +493,28 @@ object QueryDocs {
 
   /** Apply a projection client-side (the residual-query path cannot push
     * the server projection: the residual may read unprojected fields).
+    * Dotted paths re-NEST like a server projection does (`{"a.b": 1}`
+    * returns `{a: {b: ...}}`) — consumers read projected values by path,
+    * so client- and server-side projections must produce one shape.
     */
   def projectClient(d: BDoc, fields: Seq[String]): BDoc =
-    BDoc(ListMap(fields.flatMap(f => d.getPath(f).map(f -> _)): _*))
+    fields.distinct.flatMap(f => d.getPath(f).map(f -> _))
+      .foldLeft(BDoc.empty) { case (acc, (f, v)) =>
+        insertPath(acc, f.split('.').toList, v)
+      }
+
+  /** Insert a value at a dotted path, creating/merging subdocuments. */
+  private def insertPath(d: BDoc, parts: List[String], v: BsonValue): BDoc =
+    parts match {
+      case last :: Nil => BDoc(d.fields.updated(last, v))
+      case head :: tail =>
+        val inner = d.fields.get(head) match {
+          case Some(b: BDoc) => b
+          case _ => BDoc.empty
+        }
+        BDoc(d.fields.updated(head, insertPath(inner, tail, v)))
+      case Nil => d
+    }
 
   /** `rs0/h1:27017,h2:27017` → `Seq(h1:27017, h2:27017)` — strip the
     * replica-set prefix of a `config.shards` host string, the reference's

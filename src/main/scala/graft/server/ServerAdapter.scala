@@ -337,9 +337,9 @@ final class FakeServerClient(rootDir: Option[String] = None)
       math.min(q.skip, Int.MaxValue.toLong).toInt)
     if (q.limit >= 0) it = it.take(math.min(q.limit, Int.MaxValue.toLong).toInt)
     q.projection match {
-      case Some(fields) => it.map { d =>
-        BDoc(ListMap(fields.flatMap(f => d.getPath(f).map(f -> _)): _*))
-      }
+      // dotted paths re-NEST, exactly like a real server's {"a.b": 1}
+      // projection (consumers read projected values by path)
+      case Some(fields) => it.map(d => QueryDocs.projectClient(d, fields))
       case None => it
     }
   }

@@ -439,17 +439,19 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
 
   override def pushTableSample(lower: Double, upper: Double,
       withReplacement: Boolean, seed: Long): Boolean = {
+    // `sample_key` may name a NESTED subfield (`meta.id`): resolve
+    // through the nested StructType; the keep-predicate extracts by
+    // dotted path either way
     val keyCol = options.get("sample_key")
-      .flatMap(k => tableSchema.fields.find(_.name == k))
-      .filter(f => SamplePush.KeyTypes.contains(f.dataType))
+      .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
+      .filter(r => SamplePush.KeyTypes.contains(r.dataType))
     val eligible = !withReplacement && keyCol.isDefined &&
       !options.contains("collections") && !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty
     if (!eligible) false
     else {
-      val k = keyCol.get.name
-      sample = Some(SamplePush(mapping.getOrElse(k, k), lower, upper, seed))
+      sample = Some(SamplePush(keyCol.get.docPath, lower, upper, seed))
       true
     }
   }
@@ -503,21 +505,19 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       !options.contains("sort") && !options.contains("collections") &&
       !options.contains("limit")
     if (!eligible) return false
+    // order keys may be NESTED subfields (`meta.score` arrives as a
+    // multi-part FieldReference): resolve through the nested StructType
+    // to the leaf type; the reader's selection and the projected decoder
+    // already work on full dotted paths
     val spec: Seq[Option[(String, Boolean, org.apache.spark.sql.types.DataType)]] =
       orders.toSeq.map { o =>
-        o.expression match {
-          case nr: org.apache.spark.sql.connector.expressions.NamedReference
-              if nr.fieldNames.length == 1 =>
-            val col = nr.fieldNames.head
-            val desc = o.direction == SortDirection.DESCENDING
-            val nullsOk =
-              if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
-              else o.nullOrdering == NullOrdering.NULLS_FIRST
-            tableSchema.fields.find(_.name == col)
-              .filter(f => nullsOk && TopNTypes.contains(f.dataType))
-              .map(f => (mapping.getOrElse(col, col), desc, f.dataType))
-          case _ => None
-        }
+        val desc = o.direction == SortDirection.DESCENDING
+        val nullsOk =
+          if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
+          else o.nullOrdering == NullOrdering.NULLS_FIRST
+        FieldResolve.resolve(tableSchema, o.expression, mapping)
+          .filter(r => nullsOk && TopNTypes.contains(r.dataType))
+          .map(r => (r.docPath, desc, r.dataType))
       }
     if (spec.contains(None)) false
     else { topN = Some((spec.flatten, n)); true }
@@ -576,15 +576,13 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       // the option-level PER-PARTITION cursor limit changes row counts
       !options.contains("limit")
     if (!eligible) return false
+    // MIN/MAX columns may be nested subfields — resolve to the dotted
+    // doc path; the single-field scan below decodes just that subpath
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[(String, org.apache.spark.sql.types.DataType)] = e match {
-      case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames.length == 1 =>
-        tableSchema.fields.find(_.name == nr.fieldNames.head)
-          .filter(f => AggPushTypes.contains(f.dataType))
-          .map(f => (f.name, f.dataType))
-      case _ => None
-    }
+        Option[(String, org.apache.spark.sql.types.DataType)] =
+      FieldResolve.resolve(tableSchema, e, mapping)
+        .filter(r => AggPushTypes.contains(r.dataType))
+        .map(r => (r.docPath, r.dataType))
     val items = aggregation.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(AggPush.RowCount)
       case m: aggregate.Min => named(m.column).map { case (c, t) => AggPush.MinOf(c, t) }
@@ -609,58 +607,26 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     * faults, matching ANSI) and Double otherwise.
     */
   private def pushGroupedAggregation(aggregation: Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.types._
     val eligible = residualFilters.isEmpty &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       !options.contains("collections") && !options.contains("limit")
     if (!eligible) return false
-    def field(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[org.apache.spark.sql.types.StructField] = e match {
-      case nr: NamedReference if nr.fieldNames.length == 1 =>
-        tableSchema.fields.find(_.name == nr.fieldNames.head)
-      case _ => None
+    // group keys and aggregate inputs may be NESTED subfields: the
+    // resolver walks the nested StructType and composes the dotted doc
+    // path; the reader's projected decode (Proj trie) then materializes
+    // ONLY those subpaths. Zero aggregates + >=1 group key = SELECT
+    // DISTINCT (each split emits its distinct keys as partial rows).
+    GroupAggParse.parse(aggregation,
+      e => FieldResolve.resolve(tableSchema, e, mapping),
+      GroupKeyTypes.contains, GroupMinMaxTypes.contains) match {
+      case Some(p) =>
+        groupedAgg = Some(FileGroupedAgg(
+          p.groupCols.map(r => (r.docPath, r.dataType)),
+          p.inputRefs.map(r => r.docPath -> r.dataType).toMap,
+          p.items))
+        true
+      case None => false
     }
-    val groupFields = aggregation.groupByExpressions.toSeq.map(e =>
-      field(e).filter(f => GroupKeyTypes.contains(f.dataType)))
-    if (groupFields.contains(None)) return false
-    val items: Seq[Option[(GroupAgg, DataType)]] =
-      aggregation.aggregateExpressions.toSeq.map {
-        case _: aggregate.CountStar =>
-          Some((GroupAgg.CountAll("count(*)"), LongType: DataType))
-        case c: aggregate.Count if !c.isDistinct =>
-          field(c.column).map(f =>
-            (GroupAgg.CountCol(f.name, s"count(${f.name})"), LongType: DataType))
-        case m: aggregate.Min =>
-          field(m.column).filter(f => GroupMinMaxTypes.contains(f.dataType))
-            .map(f => (GroupAgg.MinOf(f.name, s"min(${f.name})"), f.dataType))
-        case m: aggregate.Max =>
-          field(m.column).filter(f => GroupMinMaxTypes.contains(f.dataType))
-            .map(f => (GroupAgg.MaxOf(f.name, s"max(${f.name})"), f.dataType))
-        case sm: aggregate.Sum if !sm.isDistinct =>
-          field(sm.column).collect {
-            case f if f.dataType == IntegerType || f.dataType == LongType =>
-              (GroupAgg.SumOf(f.name, s"sum(${f.name})"), LongType: DataType)
-            case f if f.dataType == DoubleType =>
-              (GroupAgg.SumOf(f.name, s"sum(${f.name})"), DoubleType: DataType)
-          }
-        case _ => None
-      }
-    // zero aggregates + >=1 group key = SELECT DISTINCT: each split
-    // emits its distinct keys as partial rows, Spark dedups the union
-    if (items.contains(None) || (items.isEmpty && groupFields.isEmpty)) return false
-    val inputCols = items.flatten.map(_._1).collect {
-      case GroupAgg.CountCol(c, _) => c
-      case GroupAgg.MinOf(c, _) => c
-      case GroupAgg.MaxOf(c, _) => c
-      case GroupAgg.SumOf(c, _) => c
-    }.distinct
-    val inputTypes = inputCols.map(c =>
-      c -> tableSchema.fields.find(_.name == c).get.dataType).toMap
-    groupedAgg = Some(FileGroupedAgg(
-      groupFields.flatten.map(f => (f.name, f.dataType)), inputTypes,
-      items.flatten))
-    true
   }
 
   /** Spark-type domains where the fold in [[AggPartitionReader]] is
@@ -1227,8 +1193,11 @@ final class AggPartitionReader(p: AggInputPartition)
         val maxs = Array.fill[Any](scanCols.size)(null)
         var n = 0L
         val reader = new GraftPartitionReader(
+          // scan columns are doc paths (builder-composed) — identity
+          // entries route each through getPath (dotted subfields decode
+          // just their subpath)
           GraftInputPartition(p.path, 0L, Long.MaxValue, BQuery.True,
-            mapping = p.mapping), schema)
+            mapping = scanCols.map(c => c._1 -> c._1).toMap), schema)
         try {
           while (reader.next()) {
             val r = reader.get()
@@ -1519,7 +1488,12 @@ final class GroupedAggPartitionReader(p: GroupedAggPartition)
   private val inner: GraftPartitionReader =
     if (p.path.isEmpty) null
     else new GraftPartitionReader(
-      GraftInputPartition(p.path, p.start, p.end, p.query, mapping = p.mapping,
+      // column names here ARE doc paths (the builder composed
+      // column_mapping and nested subpaths already) — identity entries
+      // make the decoder resolve each by getPath, so a dotted group key
+      // decodes just its subfield through the Proj trie
+      GraftInputPartition(p.path, p.start, p.end, p.query,
+        mapping = innerSchema.fieldNames.map(c => c -> c).toMap,
         sample = p.sample),
       innerSchema)
 

@@ -428,6 +428,46 @@ class MongoDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("stub driver: NESTED group keys render dot-free wire names and regroup to dotted contract names") {
+    withDriver { (client, fake, _) =>
+      // docs with a subdocument: group by meta.lang (+ a second nested
+      // key so the compound _id exercises wireName), sum over meta.score
+      val docs = (1 to 12).map(i => BDoc(
+        "_id" -> BInt32(i),
+        "meta" -> BDoc(
+          "lang" -> BString(s"l${i % 3}"),
+          "tier" -> BInt32(i % 2),
+          "score" -> BDouble(i.toDouble))))
+      client.bulkWrite(Ns, docs.map(InsertOne(_)).iterator, ordered = true)
+      val keys = Seq("meta.lang", "meta.tier")
+      val aggs = Seq(GroupAgg.CountAll("count(*)"),
+        GroupAgg.SumOf("meta.score", "sum(meta.score)"),
+        GroupAgg.MaxOf("meta.score", "max(meta.score)"))
+      // wire shape: the compound _id and the accumulator FIELD names are
+      // dot-free (wireName), the "$..."-refs keep the dotted paths
+      val stage = QueryDocs.groupStageDoc(identity, keys, aggs)
+      val groupBody = stage.get("$group").collect { case d: BDoc => d }.get
+      assert(groupBody.fields.keys.forall(!_.contains('.')),
+        s"dotted literal field name on the wire: ${groupBody.fields.keys}")
+      assert(groupBody.getPath("_id").collect { case d: BDoc => d }.get
+        .fields == scala.collection.immutable.ListMap(
+          "meta~lang" -> BString("$meta.lang"),
+          "meta~tier" -> BString("$meta.tier")), stage.toString)
+      // end-to-end through the reflection-bound stub driver: the result
+      // re-keys to the CONTRACT (dotted) names and matches the fake
+      val got = client.groupAggregate(Ns, BQuery.True, keys, aggs).toVector
+        .map(d => (d.get("meta.lang"), d.get("meta.tier")) -> d).toMap
+      val expect = fake.groupAggregate(Ns, BQuery.True, keys, aggs).toVector
+        .map(d => (d.get("meta.lang"), d.get("meta.tier")) -> d).toMap
+      assert(got === expect, s"driver pipeline vs fake: $got vs $expect")
+      val g = got((Some(BString("l1")), Some(BInt32(1))))
+      // l1/tier1: i in {1, 7} -> count 2, sum 8, max 7
+      assert(g.get("count(*)").contains(BInt64(2)) &&
+        g.get("sum(meta.score)").contains(BDouble(8.0)) &&
+        g.get("max(meta.score)").contains(BDouble(7.0)), g.toString)
+    }
+  }
+
   test("stub driver: all-null SUM group comes back NULL despite the server's $sum: 0") {
     withDriver { (client, fake, _) =>
       // group "X" has only null v's: a REAL server's $sum answers 0 there

@@ -225,7 +225,7 @@ final class StubDriverBackend(val fake: FakeServerClient) {
     val leftOuts = leftProject.map(_._2).toSet
     // optional tail: a $group (aggregate pushed through the join) or a
     // partial $limit
-    val (tailGroup, tailLimit): (Option[(Seq[String], Seq[GroupAgg])], Option[Long]) =
+    val (tailGroup, tailLimit): (Option[(Seq[(String, String)], Seq[GroupAgg])], Option[Long]) =
       if (i >= st.length) (None, None)
       else st(i).fields.keys.headOption match {
         case Some("$group") =>
@@ -236,7 +236,8 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       }
     val results = fake.lookupJoin(ns, LookupJoin(leftQuery, leftProject,
       s"$db.$from", rightQuery, rightProject, keys, leftOuter,
-      group = tailGroup, limit = tailLimit))
+      group = tailGroup.map { case (ks, as) => (ks.map(_._2), as) },
+      limit = tailLimit))
     tailGroup match {
       case Some((gKeys, gAggs)) => serverizeGroups(results, gKeys, gAggs)
       case None =>
@@ -264,11 +265,11 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       case Some(d: BDoc) => d
       case _ => throw new IllegalArgumentException(s"no $$group stage in $st")
     }
-    val (keys, aggs) = parseGroupDoc(groupDoc)
+    val (keyPairs, aggs) = parseGroupDoc(groupDoc)
     serverizeGroups(
       fake.groupAggregate(ns, StubDriverBackend.parseQueryDoc(matchDoc),
-        keys, aggs),
-      keys, aggs)
+        keyPairs.map(_._2), aggs),
+      keyPairs, aggs)
   }
 
   /** Column ref → the flattened-contract output column: `$__j.col` (the
@@ -282,13 +283,20 @@ final class StubDriverBackend(val fake: FakeServerClient) {
     else c
   }
 
-  /** Parse a rendered `$group` document back to (keys, aggs). */
-  private def parseGroupDoc(groupDoc: BDoc): (Seq[String], Seq[GroupAgg]) = {
-    val keys: Seq[String] = groupDoc.get("_id") match {
+  /** Parse a rendered `$group` document back to ((wireKey, path) pairs,
+    * aggs). Key/accumulator FIELD names on the wire are the dot-free
+    * [[QueryDocs.wireName]] forms (a nested group key's contract name is
+    * dotted); the PATHS inside the "$..."-refs stay dotted — evaluation
+    * uses the paths, the serverized result echoes the wire names (what a
+    * real server does with the literal field names it was given). */
+  private def parseGroupDoc(groupDoc: BDoc): (Seq[(String, String)], Seq[GroupAgg]) = {
+    val keys: Seq[(String, String)] = groupDoc.get("_id") match {
       case Some(BNull) => Seq.empty // the filtered-global pipeline
-      case Some(BString(s)) if s.startsWith("$") => Seq(outCol(s))
+      case Some(BString(s)) if s.startsWith("$") =>
+        Seq((outCol(s), outCol(s))) // single key: _id is the bare value
       case Some(BDoc(fs)) => fs.toSeq.map {
-        case (k, BString(s)) if outCol(s) == k => k
+        case (k, BString(s)) if QueryDocs.wireName(outCol(s)) == k =>
+          (k, outCol(s))
         case other => throw new IllegalArgumentException(
           s"bad compound group _id entry: $other")
       }
@@ -331,14 +339,15 @@ final class StubDriverBackend(val fake: FakeServerClient) {
     * driver binding's sumPresenceAlias correction would be masked
     * instead of exercised.
     */
-  private def serverizeGroups(docs: Iterator[BDoc], keys: Seq[String],
+  private def serverizeGroups(docs: Iterator[BDoc], keys: Seq[(String, String)],
       aggs: Seq[GroupAgg]): java.util.List[Array[Byte]] = {
     val plainSums = aggs.collect { case GroupAgg.SumOf(_, a) => a }.toSet
     docs.map { d =>
       val idVal: BsonValue = keys match {
         case Seq() => BNull
-        case Seq(k) => d.get(k).getOrElse(BNull)
-        case ks => BDoc(ks.map(k => k -> d.get(k).getOrElse(BNull)): _*)
+        case Seq((_, p)) => d.get(p).getOrElse(BNull)
+        // compound _id echoes the literal (wire) field names it was given
+        case ks => BDoc(ks.map { case (w, p) => w -> d.get(p).getOrElse(BNull) }: _*)
       }
       BsonCodec.encode(BDoc((("_id" -> idVal) +:
         aggs.map { a =>
