@@ -1158,6 +1158,100 @@ object ConnectorQueries {
       Some("""
         |SELECT o_orderkey AS _id, o_totalprice AS price FROM orders
         |ORDER BY o_totalprice DESC, _id ASC LIMIT 25
+        |""".stripMargin)),
+
+    // CHAINED 3-way `$lookup` join pushdown (round-13): the star query
+    // orders ⋈ customer ⋈ nation — all three same-server collections —
+    // plans as ONE pipeline per split: the base $lookup+$unwind, a
+    // $project that flattens it, a second $lookup+$unwind, and the
+    // GROUP BY nation pushed as the $group tail referencing the FINAL
+    // flatten boundary. Zero Spark join operators, zero shuffles; only
+    // #nations group-partial docs cross the wire per split
+    // (JoinPushdownSpec pins the pipeline shape and the no-Spark-join
+    // property). The reference always re-shuffled multi-collection
+    // joins client-side.
+    CatalogQuery(
+      "q143_server_join_chain",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir)
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver").options(base + ("ns" -> "db.ord3"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey")
+          .write.format("graftserver").options(base + ("ns" -> "db.cust3"))
+          .option("id_column", "c_custkey").mode("append").save()
+        Tables.nation(s, d)
+          .select($"n_nationkey", $"n_name")
+          .write.format("graftserver").options(base + ("ns" -> "db.nat3"))
+          .option("id_column", "n_nationkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+        val c = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, c_nationkey INT").load()
+        val n = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.nat3"))
+          .schema("_id INT, n_name STRING").load()
+        o.join(c, o("o_custkey") === c("_id"))
+          .join(n, c("c_nationkey") === n("_id"))
+          .filter(o("o_totalprice") > 500.0)
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_orders"), sum(o("_id")).as("sum_key"),
+            max(o("o_totalprice")).as("max_price"))
+          .toDF("n_name", "n_orders", "sum_key", "max_price")
+          .orderBy($"n_name")
+      },
+      Some("""
+        |SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_totalprice > 500.0
+        |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // TopN THROUGH the pushed join (round-13): "top 25 orders with
+    // customer names" plans as the `$lookup` pipeline with a
+    // `$sort`+`$limit` tail — the joined rows never reach a Spark sort;
+    // each split's pipeline returns its local top-25 and Spark's
+    // TakeOrdered folds them (same partial protocol as the plain TopN).
+    CatalogQuery(
+      "q144_server_join_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir)
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver").options(base + ("ns" -> "db.ordt"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_name")
+          .write.format("graftserver").options(base + ("ns" -> "db.custt"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.ordt", "assume_uniform_storage" -> "true"))
+          .option("split_size", (1L * 1024 * 1024).toString)
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+        val c = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.custt", "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, c_name STRING").load()
+        o.join(c, o("o_custkey") === c("_id"))
+          .select(o("_id").as("okey"), $"o_totalprice".as("price"), $"c_name")
+          .orderBy($"price".desc, $"okey".asc)
+          .limit(25)
+      },
+      Some("""
+        |SELECT o_orderkey AS okey, o_totalprice AS price, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price DESC, okey ASC LIMIT 25
         |""".stripMargin))
   )
 }

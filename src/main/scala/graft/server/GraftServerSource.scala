@@ -117,6 +117,16 @@ object GraftServerSource {
     try f(client, ns(opts))
     finally client match { case c: AutoCloseable => c.close(); case _ => () }
   }
+
+  /** `ensure_index` write option: comma-separated fields of ONE compound
+    * ascending index (the file source's convention), created before any
+    * write task runs. */
+  def ensureIndexIfAsked(opts: Map[String, String]): Unit =
+    opts.get("ensure_index").foreach { ix =>
+      val fields = ix.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      if (fields.nonEmpty)
+        withClient(opts)((client, ns) => client.createIndex(ns, fields))
+    }
 }
 
 final class GraftServerTable(tableSchema: StructType, properties: Map[String, String])
@@ -240,8 +250,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // shorter than the limit needs
     if (sample.isDefined) false
     else if (joined.isDefined) {
-      // joined arm: `$limit` after the `$unwind`, partial per pipeline
-      if (joinedAgg.isDefined) false
+      // joined arm: `$limit` after the last `$unwind`, partial per
+      // pipeline (a pushed join TopN already carries its own $limit)
+      if (joinedAgg.isDefined || joinTopN.isDefined) false
       else { joinLimit = Some(n.toLong); true }
     } else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
@@ -285,9 +296,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (joined.isDefined) return pushJoinedTopN(orders, n)
     if (orders.isEmpty || aggPushed.isDefined || groupedAgg.isDefined ||
         limit.isDefined || offset.isDefined || residuals.nonEmpty ||
-        sample.isDefined || joined.isDefined) return false
+        sample.isDefined) return false
     // order keys may be NESTED subfields: `{"meta.score": -1}` is a
     // legal cursor sort doc (dotted-path key extraction is core server
     // behavior — the reference's MongoPathRetriever convention); the
@@ -305,6 +317,36 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     }
     if (spec.contains(None)) false
     else { topN = Some((spec.flatten, n)); true }
+  }
+
+  /** `ORDER BY ... LIMIT n` over a PUSHED JOIN: a `$sort`+`$limit` tail
+    * on the lookup pipeline — "top 10 orders with customer names" never
+    * reaches a Spark sort over shipped rows; each split's pipeline
+    * returns its local top-n (PARTIAL — Spark's TakeOrdered folds).
+    * Bracket-safety gates run against each order column's ORIGIN side's
+    * options; null ordering must be BSON's (the plain-TopN rule), which
+    * also covers a LEFT OUTER's missing right side (sorts as null).
+    */
+  private def pushJoinedTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val j = joined.get
+    if (orders.isEmpty || joinedAgg.isDefined || joinLimit.isDefined ||
+        joinTopN.isDefined) return false
+    val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
+      FieldResolve.resolve(j.schema, o.expression).flatMap { r =>
+        val sideOpts = joinedColOpts.getOrElse(r.docPath.split('.').head, options)
+        val typeOk = GraftServerScanBuilder.cursorOrderSafe(r.dataType, sideOpts)
+        val desc = o.direction == SortDirection.DESCENDING
+        val nullsOk =
+          if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
+          else o.nullOrdering == NullOrdering.NULLS_FIRST
+        if (typeOk && nullsOk) Some((r.docPath, desc)) else None
+      }
+    }
+    if (spec.contains(None)) false
+    else { joinTopN = Some((spec.flatten, n)); true }
   }
 
   /** Aggregate pushdown, two strategies in preference order:
@@ -342,7 +384,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   private def pushJoinedAggregation(aggregation: Aggregation): Boolean = {
     val j = joined.get
-    if (joinLimit.isDefined || joinedAgg.isDefined) return false
+    if (joinLimit.isDefined || joinedAgg.isDefined || joinTopN.isDefined)
+      return false
     // columns resolve against the JOINED output schema; a nested ref
     // (`meta.lang` under a struct-typed output) composes too — the
     // `$group` tail resolves its HEAD against the left-output set to
@@ -447,10 +490,16 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * `$eq` a BSON string).
     */
   private var joined: Option[ServerJoin] = None
-  // join-arm extensions, mutually exclusive: a $group or a partial
-  // $limit appended to the lookup pipeline
+  // join-arm extensions, mutually exclusive: a $group, a partial
+  // $limit, or a partial $sort+$limit appended to the lookup pipeline
   private var joinedAgg: Option[ServerGroupedAgg] = None
   private var joinLimit: Option[Long] = None
+  private var joinTopN: Option[(Seq[(String, Boolean)], Int)] = None
+  /** joined OUTPUT name -> the read options of its ORIGIN side, for the
+    * bracket-safety gates of later pushes (chained join keys, TopN
+    * orders) — a Long column is only order/equality-safe under ITS
+    * collection's `assume_uniform_storage` opt-in. */
+  private var joinedColOpts: Map[String, Map[String, String]] = Map.empty
   // set for a MIRRORED (right outer) join: the driving side's options
   // and full query are the OTHER builder's
   private var joinDriving: Option[(Map[String, String], BQuery)] = None
@@ -467,10 +516,19 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       !options.contains("sort") &&
       GraftServerSource.nsList(options).size == 1
 
+  /** An already-joined builder may CHAIN one more lookup stage (3-way+
+    * star queries) as long as no tail pushdown claimed the pipeline yet.
+    * The joined builder must be the DRIVING (left) side — a plain scan
+    * joining a joined one keeps that join in Spark. */
+  private def chainableForJoin: Boolean =
+    joined.isDefined && joinedAgg.isEmpty && joinLimit.isEmpty &&
+      joinTopN.isEmpty
+
   override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
     other match {
       case o: GraftServerScanBuilder =>
-        cleanForJoin && o.cleanForJoin && connectionId == o.connectionId
+        (cleanForJoin || chainableForJoin) && o.cleanForJoin &&
+          connectionId == o.connectionId
       case _ => false
     }
 
@@ -515,6 +573,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       case b: GraftServerScanBuilder => b
       case _ => return false
     }
+    // the other side must be a PLAIN scan (its own join would need
+    // whole-pipeline merging); an already-joined THIS side chains
+    if (o.joined.isDefined) return false
+    if (joined.isDefined) return pushChainJoin(o, joinType, leftReq, rightReq, condition)
     val leftOuter = joinType == V2JoinType.LEFT_OUTER_JOIN
     // RIGHT OUTER mirrors: the RIGHT relation drives the pipeline and
     // the join becomes a LEFT OUTER from its perspective
@@ -574,6 +636,86 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
                   o.pushedQuery),
                 rp, keys, leftOuter, output))
             }
+            joinedColOpts = lp.map(p => p._2 -> options).toMap ++
+              rp.map(p => p._2 -> o.joinOptions).toMap
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** CHAIN a second (third, ...) `$lookup` above an already-pushed join:
+    * the new stage re-projects the previous join's flattened outputs to
+    * the requested aliases, joins the other (plain, same-connection)
+    * collection, and the whole 3-way+ star query stays ONE pipeline per
+    * split — zero Spark join operators. INNER / LEFT OUTER only (a
+    * mirrored chain would have to re-drive the pipeline from the new
+    * side); key safety gates use each key column's ORIGIN-side options.
+    */
+  private def pushChainJoin(o: GraftServerScanBuilder,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.join.{JoinType => V2JoinType}
+    val j = joined.get
+    if (joinedAgg.isDefined || joinLimit.isDefined || joinTopN.isDefined)
+      return false
+    val leftOuter = joinType == V2JoinType.LEFT_OUTER_JOIN
+    if (joinType != V2JoinType.INNER_JOIN && !leftOuter) return false
+    val joinedOut: Map[String, org.apache.spark.sql.types.DataType] = j.output.toMap
+    // (previous OUTPUT name, new alias, type) over the joined output
+    val lpO: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
+      val items = leftReq.toSeq.map { c =>
+        joinedOut.get(c.colName()).map(dt =>
+          (c.colName(), Option(c.alias()).getOrElse(c.colName()), dt))
+      }
+      if (items.contains(None)) None else Some(items.flatten)
+    }
+    val rpO: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
+      val items = rightReq.toSeq.map { c =>
+        o.joinSchema.fields.find(_.name == c.colName())
+          .map(f => (f.name, Option(c.alias()).getOrElse(f.name), f.dataType))
+      }
+      if (items.contains(None)) None else Some(items.flatten)
+    }
+    (lpO, rpO) match {
+      case (Some(lp), Some(rp)) =>
+        val leftOut = lp.map(p => p._2 -> p._3).toMap
+        val rightOut = rp.map(p => p._2 -> p._3).toMap
+        if (leftOut.keySet.intersect(rightOut.keySet).nonEmpty) return false
+        if (leftOut.contains(QueryDocs.JoinedField) ||
+            rightOut.contains(QueryDocs.JoinedField)) return false
+        val oriented: Option[Seq[(String, String)]] =
+          eqPairs(condition).flatMap { pairs =>
+            val o2 = pairs.map {
+              case (x, y) if leftOut.contains(x) && rightOut.contains(y) =>
+                Some((x, y))
+              case (x, y) if leftOut.contains(y) && rightOut.contains(x) =>
+                Some((y, x))
+              case _ => None
+            }
+            if (o2.contains(None) || o2.isEmpty) None else Some(o2.flatten)
+          }
+        oriented match {
+          case Some(keys) if keys.forall { case (l, r) =>
+              val srcOpts = lp.collectFirst { case (src, `l`, _) =>
+                joinedColOpts.getOrElse(src, options) }.getOrElse(options)
+              joinKeySafe(leftOut(l), srcOpts) &&
+                joinKeySafe(rightOut(r), o.joinOptions) } =>
+            val stage = ChainStage(
+              lp.map(p => (p._1, p._2)),
+              GraftServerSource.ns(o.joinOptions),
+              BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
+                o.pushedQuery),
+              rp.map(p => (p._1, p._2)),
+              keys, leftOuter)
+            joined = Some(j.copy(chain = j.chain :+ stage,
+              output = (lp ++ rp).map(p => (p._2, p._3))))
+            joinedColOpts =
+              lp.map(p => p._2 -> joinedColOpts.getOrElse(p._1, options)).toMap ++
+                rp.map(p => p._2 -> o.joinOptions).toMap
             true
           case _ => false
         }
@@ -585,7 +727,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     case Some(j) =>
       val (drivingOpts, drivingQuery) = joinDriving.getOrElse(
         (options, BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)))
-      new GraftServerJoinScan(j, drivingQuery, drivingOpts, joinedAgg, joinLimit)
+      new GraftServerJoinScan(j, drivingQuery, drivingOpts, joinedAgg, joinLimit,
+        joinTopN.map { case (s, n) => (s, n.toLong) })
     case None =>
       new GraftServerScan(required,
         BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
@@ -634,7 +777,11 @@ final case class ServerJoin(
       * relation drives the pipeline) while Spark still expects the
       * original left++right column order; rows are flat by output name,
       * so order is presentation only. */
-    output: Seq[(String, org.apache.spark.sql.types.DataType)]) {
+    output: Seq[(String, org.apache.spark.sql.types.DataType)],
+    /** CHAINED lookup stages above the base join (3-way+ star queries) —
+      * each flatten-projects the previous output and joins one more
+      * same-server collection; the whole chain is ONE pipeline. */
+    chain: Seq[ChainStage] = Nil) {
   def schema: StructType = StructType(
     output.map { case (o, t) => org.apache.spark.sql.types.StructField(o, t) })
   /** right OUTPUT name -> right doc field. */
@@ -645,7 +792,10 @@ final case class ServerJoin(
     leftProject.collectFirst { case (f, `out`, _) => f }.get
   override def toString: String =
     s"${if (leftOuter) "LEFT OUTER" else "INNER"} $rightNs ON " +
-      keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ")
+      keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ") +
+      chain.map(st =>
+        s" THEN ${if (st.leftOuter) "LEFT OUTER" else "INNER"} ${st.rightNs} ON " +
+          st.keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ")).mkString
 }
 
 /** The joined scan: one `$lookup`+`$unwind` pipeline per split of the
@@ -663,7 +813,8 @@ final case class ServerJoin(
 final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
     options: Map[String, String],
     grouped: Option[ServerGroupedAgg] = None,
-    joinLimit: Option[Long] = None)
+    joinLimit: Option[Long] = None,
+    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -674,16 +825,21 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$leftQuery" +
       s" PushedJoin: $join" +
       grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
-      joinLimit.map(n => s" PushedLimit: $n").getOrElse("")
+      joinLimit.map(n => s" PushedLimit: $n").getOrElse("") +
+      joinTopN.map { case (spec, n) =>
+        val order = spec.map { case (c, d) =>
+          s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")
+        s" PushedTopN: ORDER BY $order LIMIT $n"
+      }.getOrElse("")
 
-  /** Both sides' collStats — the joined size estimate is conservative
+  /** All sides' collStats — the joined size estimate is conservative
     * (inner joins usually shrink), but keeps a small joined scan
     * broadcast-able in an OUTER Spark join above it. */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val bytes = GraftServerSource.withClient(options) { (client, ns) =>
-      val l = client.collStats(ns)
-      val r = client.collStats(join.rightNs)
-      l.count * l.avgObjSizeBytes + r.count * r.avgObjSizeBytes
+      (ns +: join.rightNs +: join.chain.map(_.rightNs))
+        .map { n => val s = client.collStats(n); s.count * s.avgObjSizeBytes }
+        .sum
     }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
@@ -709,16 +865,18 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerJoinReaderFactory(join, leftQuery, options, grouped,
-      joinLimit)
+      joinLimit, joinTopN)
 }
 
 final class GraftServerJoinReaderFactory(join: ServerJoin, leftQuery: BQuery,
     options: Map[String, String],
     grouped: Option[ServerGroupedAgg] = None,
-    joinLimit: Option[Long] = None) extends PartitionReaderFactory {
+    joinLimit: Option[Long] = None,
+    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftServerJoinReader(p.asInstanceOf[GraftServerPartition], join,
-      leftQuery, options, grouped, joinLimit)
+      leftQuery, options, grouped, joinLimit, joinTopN)
 }
 
 /** One `$lookup` pipeline for this split's driving range. Null/missing
@@ -730,7 +888,8 @@ final class GraftServerJoinReaderFactory(join: ServerJoin, leftQuery: BQuery,
 final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
     leftQuery: BQuery, options: Map[String, String],
     grouped: Option[ServerGroupedAgg] = None,
-    joinLimit: Option[Long] = None)
+    joinLimit: Option[Long] = None,
+    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
@@ -750,6 +909,17 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
     }
   }
 
+  /** Each CHAIN stage's lookup side also filters null/missing keys —
+    * `$expr` `$eq` would otherwise match a null driving key against a
+    * null-keyed right doc (equi-join semantics forbid it). */
+  private val chainWithKeys: Seq[ChainStage] = join.chain.map { st =>
+    def rightField(out: String): String =
+      st.rightProject.collectFirst { case (f, `out`) => f }.get
+    st.copy(rightQuery = st.keys.foldLeft(st.rightQuery) {
+      case (acc, (_, ro)) => BQuery.and(acc, nonNull(rightField(ro)))
+    })
+  }
+
   private val cursor: Iterator[BDoc] = {
     val base = client.lookupJoin(p.ns, LookupJoin(
       leftFull,
@@ -758,8 +928,10 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
       rightWithKeys,
       join.rightProject.map { case (f, o, _) => (f, o) },
       join.keys, join.leftOuter,
+      chain = chainWithKeys,
       group = grouped.map(g => (g.groupCols.map(_._1), g.items.map(_._1))),
-      limit = joinLimit))
+      limit = joinLimit,
+      topN = joinTopN))
     grouped match {
       case Some(g) if g.groupCols.isEmpty && !base.hasNext =>
         // GLOBAL aggregate over a join that matched nothing: $group
@@ -1274,8 +1446,12 @@ final class GraftServerStreamingWrite(writeSchema: StructType,
     options: Map[String, String])
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    // same pre-task index point as the batch write (runs once per query
+    // start, before the first epoch's tasks; idempotent server-side)
+    GraftServerSource.ensureIndexIfAsked(options)
     new GraftServerStreamingWriterFactory(writeSchema, options)
+  }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -1297,8 +1473,14 @@ final class GraftServerStreamingWriterFactory(writeSchema: StructType,
   */
 final class GraftServerBatchWrite(writeSchema: StructType,
     options: Map[String, String]) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // declared indexes are created BEFORE any task writes — the
+    // reference's pre-insert ensureIndex point
+    // (core/.../output/MongoRecordWriter.java:128-130); one driver-side
+    // createIndexes round-trip, idempotent on the server
+    GraftServerSource.ensureIndexIfAsked(options)
     new GraftServerWriterFactory(writeSchema, options)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -226,10 +226,24 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     val rp = QueryDocs.plan(j.rightQuery)
     require(rp.isExact && rp.keyBounds.isEmpty,
       s"lookupJoin right query not fully server-renderable: ${j.rightQuery}")
-    val it = Rf.aggregate(coll, QueryDocs.lookupStages(
+    var stages = QueryDocs.lookupStages(
       leftMatch, j.leftProject, rcoll, rp.serverQuery, j.rightProject,
-      j.keys, j.leftOuter) ++
-      QueryDocs.lookupTail(j.leftProject.map(_._2).toSet, j.group, j.limit))
+      j.keys, j.leftOuter)
+    var leftOuts = j.leftProject.map(_._2).toSet
+    // chained stages: flatten-project + lookup + unwind each, still ONE
+    // aggregate() round-trip for the whole 3-way+ pipeline
+    j.chain.foreach { st =>
+      val (cdb, ccoll) = QueryDocs.nsParts(st.rightNs)
+      require(cdb == db, s"$$lookup joins within one database: $ns vs ${st.rightNs}")
+      val cp = QueryDocs.plan(st.rightQuery)
+      require(cp.isExact && cp.keyBounds.isEmpty,
+        s"lookupJoin chained right query not fully server-renderable: ${st.rightQuery}")
+      stages ++= QueryDocs.chainStages(leftOuts, st.leftProject, ccoll,
+        cp.serverQuery, st.rightProject, st.keys, st.leftOuter)
+      leftOuts = st.leftProject.map(_._2).toSet
+    }
+    val it = Rf.aggregate(coll,
+      stages ++ QueryDocs.lookupTail(leftOuts, j.group, j.limit, j.topN))
     // a $lookup over a large right side can exceed the 100 MB stage cap
     if (allowDiskUse) Rf.allowDiskUse(it, b = true)
     j.group match {
@@ -246,6 +260,14 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
           BDoc((base ++ joined): _*)
         }
     }
+  }
+
+  /** `db.runCommand({createIndexes: ...})` — one round-trip; servers
+    * no-op an already-existing identical index. */
+  override def createIndex(ns: String, fields: Seq[String]): Unit = {
+    val (db, coll) = QueryDocs.nsParts(ns)
+    val _ = Rf.runCommand(Rf.getDatabase(client, db),
+      QueryDocs.createIndexesCmd(coll, fields))
   }
 
   override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {

@@ -244,6 +244,19 @@ object QueryDocs {
 
   def collStatsCmd(coll: String): BDoc = BDoc("collStats" -> BString(coll))
 
+  /** `{createIndexes: coll, indexes: [{key: {f1: 1, f2: 1}, name:
+    * "f1_1_f2_1"}]}` — one compound ascending index, the server form of
+    * the engine's `ensure_index` option (the reference's pre-insert
+    * ensureIndex, core/.../output/MongoRecordWriter.java:128-130); the
+    * name follows the server's own `<field>_<dir>` convention.
+    */
+  def createIndexesCmd(coll: String, fields: Seq[String]): BDoc =
+    BDoc(
+      "createIndexes" -> BString(coll),
+      "indexes" -> BArray(Vector(BDoc(
+        "key" -> BDoc(ListMap(fields.map(f => f -> (BInt32(1): BsonValue)): _*)),
+        "name" -> BString(fields.map(f => s"${f}_1").mkString("_"))))))
+
   def splitVectorCmd(ns: String, key: String, maxChunkBytes: Long): BDoc =
     BDoc(
       "splitVector" -> BString(ns),
@@ -446,21 +459,40 @@ object QueryDocs {
     * their pre-flatten `__j.` home; the `$limit` is the partial
     * per-pipeline row cap. `leftOuts` = the left side's output names.
     */
+  /** The joined-output home of a column name relative to the CURRENT
+    * flatten boundary: a left output (matched by HEAD — a nested ref
+    * `meta.lang` lives where its top-level output `meta` does) sits at
+    * the top level, a right output at its pre-flatten `__j.` place. */
+  private def joinedHome(leftOuts: Set[String])(c: String): String =
+    if (leftOuts(c.split('.').head)) c else JoinedField + "." + c
+
   def lookupTail(leftOuts: Set[String],
       group: Option[(Seq[String], Seq[GroupAgg])],
-      limit: Option[Long]): Seq[BDoc] =
-    group match {
-      case Some((keys, aggs)) =>
-        // resolve by the column's HEAD: a nested ref (`meta.lang`) lives
-        // where its top-level output (`meta`) does
-        Seq(groupStageDoc(
-          c => if (leftOuts(c.split('.').head)) c else JoinedField + "." + c,
-          keys, aggs))
-      case None => limit.map(n => BDoc("$limit" -> BInt64(n))).toSeq
+      limit: Option[Long],
+      topN: Option[(Seq[(String, Boolean)], Long)] = None): Seq[BDoc] =
+    (group, topN) match {
+      case (Some((keys, aggs)), _) =>
+        Seq(groupStageDoc(joinedHome(leftOuts), keys, aggs))
+      case (None, Some((spec, n))) =>
+        // ORDER BY ... LIMIT n over the joined rows: a $sort on the
+        // joined-home PATHS plus the partial $limit — one more pipeline
+        // tail, never a Spark sort over shipped rows
+        Seq(
+          BDoc("$sort" -> BDoc(ListMap(spec.map { case (c, desc) =>
+            joinedHome(leftOuts)(c) -> (BInt32(if (desc) -1 else 1): BsonValue)
+          }: _*))),
+          BDoc("$limit" -> BInt64(n)))
+      case (None, None) => limit.map(n => BDoc("$limit" -> BInt64(n))).toSeq
     }
 
-  def lookupStages(leftMatch: BDoc, leftProject: Seq[(String, String)],
-      rightColl: String, rightMatch: BDoc,
+  /** The `$lookup`+`$unwind` pair joining `rightColl` on let-var key
+    * equalities — the per-stage core shared by the base pipeline and
+    * every [[ChainStage]]. `keys` are (left OUTPUT, right OUTPUT) pairs;
+    * the `$expr` references right DOC fields (equality runs before the
+    * right projection), `let` vars bind the driving side's
+    * already-projected output names.
+    */
+  private def lookupUnwind(rightColl: String, rightMatch: BDoc,
       rightProject: Seq[(String, String)],
       keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] = {
     val rightField = rightProject.map { case (f, o) => o -> f }.toMap
@@ -486,9 +518,32 @@ object QueryDocs {
     val unwind = BDoc("$unwind" -> BDoc(
       "path" -> BString("$" + JoinedField),
       "preserveNullAndEmptyArrays" -> BBool(leftOuter)))
+    Seq(lookup, unwind)
+  }
+
+  def lookupStages(leftMatch: BDoc, leftProject: Seq[(String, String)],
+      rightColl: String, rightMatch: BDoc,
+      rightProject: Seq[(String, String)],
+      keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] =
     (if (leftMatch.fields.isEmpty) Seq.empty
      else Seq(BDoc("$match" -> leftMatch))) ++
-      Seq(BDoc("$project" -> aliasProjection(leftProject)), lookup, unwind)
+      Seq(BDoc("$project" -> aliasProjection(leftProject))) ++
+      lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter)
+
+  /** One CHAINED stage: a `$project` that FLATTENS the previous join
+    * (each previous output re-aliased from its joined home to this
+    * stage's output name), then the stage's own `$lookup`+`$unwind` —
+    * the 3-way+ star query stays ONE pipeline.
+    */
+  def chainStages(prevLeftOuts: Set[String], leftProject: Seq[(String, String)],
+      rightColl: String, rightMatch: BDoc,
+      rightProject: Seq[(String, String)],
+      keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] = {
+    val flatten = aliasProjection(leftProject.map { case (prev, out) =>
+      (joinedHome(prevLeftOuts)(prev), out)
+    })
+    Seq(BDoc("$project" -> flatten)) ++
+      lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter)
   }
 
   /** Apply a projection client-side (the residual-query path cannot push

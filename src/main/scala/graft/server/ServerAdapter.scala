@@ -80,6 +80,15 @@ trait ServerClient {
     * streams shard-side. */
   def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult
 
+  /** Declare a (compound) ascending index BEFORE a write job's tasks run
+    * — the reference creates declared indexes pre-insert
+    * (core/.../output/MongoRecordWriter.java:128-130; index option
+    * parsing pig/.../MongoStorageOptions.java:16-110). One
+    * `createIndexes` command round-trip; idempotent (a server treats an
+    * existing identical index as a no-op).
+    */
+  def createIndex(ns: String, fields: Seq[String]): Unit
+
   /** One server-side grouped aggregation —
     * `aggregate([{$match: query}, {$group: {_id: <keys>, ...}}])`,
     * the same server-side `aggregate()` pattern the reference's sample
@@ -121,18 +130,41 @@ trait ServerClient {
   def lookupJoin(ns: String, j: LookupJoin): Iterator[BDoc]
 }
 
+/** One CHAINED `$lookup` stage above an already-joined pipeline (the
+  * 3-way+ star query): `leftProject` re-projects the PREVIOUS stage's
+  * flattened output names to this stage's output names (the renderer
+  * resolves each to its top-level or pre-flatten `__j.` home), then the
+  * usual lookup+unwind joins `rightNs` on `keys` — (new left OUTPUT,
+  * right OUTPUT) pairs.
+  */
+final case class ChainStage(
+    leftProject: Seq[(String, String)],
+    rightNs: String,
+    rightQuery: BQuery,
+    rightProject: Seq[(String, String)],
+    keys: Seq[(String, String)],
+    leftOuter: Boolean)
+
 /** One pushed equi-join, transport-agnostic: field→output-name
   * projections for both sides, the key pairs AS OUTPUT NAMES, and the
-  * join flavor. Plain data — serializes into the scan's partitions.
+  * join flavor; `chain` appends further lookup stages (3-way+ joins) —
+  * the whole chain is still ONE pipeline round-trip. Plain data —
+  * serializes into the scan's partitions.
   *
-  * `group`: an optional server-side `$group` over the JOINED output
-  * names appended to the pipeline (an aggregate pushed through the
-  * join — only #groups docs cross the wire); its result docs follow
-  * the [[ServerClient.groupAggregate]] contract (group values under
-  * their output names, aggregates under their aliases, all-null SUM =
-  * NULL). `limit`: an optional `$limit` after the `$unwind` — a
-  * PARTIAL row cap (per pipeline, Spark re-applies the global one).
-  * The two never combine (a limit below a group would change it).
+  * Exactly one tail may be set:
+  *  - `group`: a server-side `$group` over the FINAL joined output
+  *    names (an aggregate pushed through the join — only #groups docs
+  *    cross the wire); result docs follow the
+  *    [[ServerClient.groupAggregate]] contract (group values under
+  *    their output names, aggregates under their aliases, all-null SUM
+  *    = NULL).
+  *  - `limit`: a `$limit` after the last `$unwind` — a PARTIAL row cap
+  *    (per pipeline, Spark re-applies the global one).
+  *  - `topN`: a `$sort`+`$limit` tail — the per-pipeline local top-n of
+  *    `ORDER BY ... LIMIT n` over the joined rows, (output name,
+  *    descending) pairs in precedence order; PARTIAL like `limit`
+  *    (each pipeline's local top-n is a superset of its contribution
+  *    to the global one, which Spark's TakeOrdered folds).
   */
 final case class LookupJoin(
     leftQuery: BQuery,
@@ -142,10 +174,16 @@ final case class LookupJoin(
     rightProject: Seq[(String, String)],
     keys: Seq[(String, String)],
     leftOuter: Boolean,
+    chain: Seq[ChainStage] = Nil,
     group: Option[(Seq[String], Seq[GroupAgg])] = None,
-    limit: Option[Long] = None) {
-  require(group.isEmpty || limit.isEmpty,
-    "a lookup join takes a group or a limit, never both")
+    limit: Option[Long] = None,
+    topN: Option[(Seq[(String, Boolean)], Long)] = None) {
+  require(Seq(group.isDefined, limit.isDefined, topN.isDefined).count(identity) <= 1,
+    "a lookup join takes at most one of group/limit/topN")
+  /** Output names of the FINAL stage's left projection — where the
+    * flatten boundary sits for tail stages and result re-nesting. */
+  def finalLeftOuts: Set[String] =
+    (chain.lastOption.map(_.leftProject).getOrElse(leftProject)).map(_._2).toSet
 }
 
 object ServerClient {
@@ -269,6 +307,9 @@ final class FakeServerClient(rootDir: Option[String] = None)
   }
   private val colls = scala.collection.mutable.Map.empty[String, BsonCollection]
 
+  /** Backing-store root, for specs asserting on-store side effects. */
+  def rootPath: java.nio.file.Path = root
+
   /** Delete the backing temp tree; also registered as a JVM shutdown
     * hook so spec instances that never close() don't accrete /tmp
     * garbage across runs. A shared (caller-provided) root is never
@@ -377,6 +418,14 @@ final class FakeServerClient(rootDir: Option[String] = None)
   override def chunkRanges(ns: String, key: String): Seq[(Option[BsonValue], Option[BsonValue], Seq[String])] =
     shardChunks.getOrElse(ns, Seq.empty)
 
+  /** The fake's store IS a [[BsonCollection]] — declare the index there
+    * (same side file the file source's ensure_index writes), so specs
+    * read it back through the store's own `indexes()`. */
+  override def createIndex(ns: String, fields: Seq[String]): Unit = {
+    tick("createIndex")
+    coll(ns).ensureIndex(fields)
+  }
+
   /** Grouped aggregation over the store — what a real server computes
     * from the `$match`+`$group` pipeline, evaluated with the same
     * [[BQuery.matches]] the find path uses. Null/missing values are
@@ -401,6 +450,52 @@ final class FakeServerClient(rootDir: Option[String] = None)
     */
   override def lookupJoin(ns: String, j: LookupJoin): Iterator[BDoc] = {
     tick("lookupJoin")
+    var rows: Iterator[BDoc] = stageJoin(
+      coll(ns).readAll().filter(j.leftQuery.matches),
+      j.leftProject, j.rightNs, j.rightQuery, j.rightProject,
+      j.keys, j.leftOuter)
+    // chained stages drive off the previous stage's flat joined rows —
+    // the same pipeline a real server runs ($project flatten + $lookup
+    // per stage), evaluated stage-wise here
+    j.chain.foreach { st =>
+      rows = stageJoin(rows, st.leftProject, st.rightNs, st.rightQuery,
+        st.rightProject, st.keys, st.leftOuter)
+    }
+    (j.group, j.limit, j.topN) match {
+      case (Some((keys, aggs)), _, _) =>
+        FakeServerClient.groupFold(rows.toVector, keys, aggs)
+      case (_, Some(n), _) =>
+        rows.take(math.min(n, Int.MaxValue.toLong).toInt)
+      case (_, _, Some((spec, n))) =>
+        // $sort over the joined output names (missing right side of a
+        // left-outer row sorts as null), then the partial $limit
+        val cmp: Ordering[BDoc] = (a, b) => {
+          var r = 0
+          val it = spec.iterator
+          while (r == 0 && it.hasNext) {
+            val (k, desc) = it.next()
+            val c = BsonOrdering.compare(
+              a.getPath(k).getOrElse(BNull), b.getPath(k).getOrElse(BNull))
+            r = if (desc) -c else c
+          }
+          r
+        }
+        rows.toVector.sorted(cmp).iterator
+          .take(math.min(n, Int.MaxValue.toLong).toInt)
+      case _ => rows
+    }
+  }
+
+  /** One lookup stage as a hash join: project the driving docs to their
+    * output names, index the right side in memory (the fake is a
+    * transport stand-in — a real server walks the right collection's
+    * index per driving doc), match on `$expr`-`$eq` VALUE equality
+    * across numeric storages via a canonical key form.
+    */
+  private def stageJoin(driving: Iterator[BDoc],
+      leftProject: Seq[(String, String)], rightNs: String,
+      rightQuery: BQuery, rightProject: Seq[(String, String)],
+      keys: Seq[(String, String)], leftOuter: Boolean): Iterator[BDoc] = {
     def canon(v: BsonValue): Any = v match {
       case BInt32(x) => x.toLong
       case BInt64(x) => x
@@ -413,32 +508,26 @@ final class FakeServerClient(rootDir: Option[String] = None)
       spec.map { case (f, o) => o -> f }.toMap
     def project(d: BDoc, spec: Seq[(String, String)]): Seq[(String, BsonValue)] =
       spec.flatMap { case (f, o) => d.getPath(f).map(o -> _) }
-    val rightKeyFields = j.keys.map { case (_, ro) => outToField(j.rightProject)(ro) }
+    val rightKeyFields = keys.map { case (_, ro) => outToField(rightProject)(ro) }
     val index: Map[Seq[Any], Vector[BDoc]] =
-      coll(j.rightNs).readAll().filter(j.rightQuery.matches)
+      coll(rightNs).readAll().filter(rightQuery.matches)
         .filter(d => rightKeyFields.forall(f => d.getPath(f).exists(_ != BNull)))
         .toVector
         .groupBy(d => rightKeyFields.map(f => canon(d.getPath(f).get)))
-    val leftKeyFields = j.keys.map { case (lo, _) => outToField(j.leftProject)(lo) }
-    val joinedRows: Iterator[BDoc] =
-      coll(ns).readAll().filter(j.leftQuery.matches).flatMap { ld =>
-        val kvs = leftKeyFields.map(f => ld.getPath(f).filter(_ != BNull))
-        val lFields = project(ld, j.leftProject)
-        val hits: Vector[BDoc] =
-          if (kvs.exists(_.isEmpty)) Vector.empty
-          else index.getOrElse(kvs.map(v => canon(v.get)), Vector.empty)
-        if (hits.isEmpty) {
-          if (j.leftOuter) Iterator.single(BDoc(ListMap(lFields: _*)))
-          else Iterator.empty
-        } else hits.iterator.map(rd =>
-          BDoc(ListMap(lFields ++ project(rd, j.rightProject): _*)))
-      }
-    (j.group, j.limit) match {
-      case (Some((keys, aggs)), _) =>
-        FakeServerClient.groupFold(joinedRows.toVector, keys, aggs)
-      case (None, Some(n)) =>
-        joinedRows.take(math.min(n, Int.MaxValue.toLong).toInt)
-      case _ => joinedRows
+    driving.flatMap { ld =>
+      val lFields = project(ld, leftProject)
+      // keys are OUTPUT names — look them up on the projected doc
+      val projected = BDoc(ListMap(lFields: _*))
+      val kvs = keys.map { case (lo, _) =>
+        projected.getPath(lo).filter(_ != BNull) }
+      val hits: Vector[BDoc] =
+        if (kvs.exists(_.isEmpty)) Vector.empty
+        else index.getOrElse(kvs.map(v => canon(v.get)), Vector.empty)
+      if (hits.isEmpty) {
+        if (leftOuter) Iterator.single(projected)
+        else Iterator.empty
+      } else hits.iterator.map(rd =>
+        BDoc(ListMap(lFields ++ project(rd, rightProject): _*)))
     }
   }
 

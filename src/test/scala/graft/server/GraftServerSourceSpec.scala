@@ -684,6 +684,30 @@ class GraftServerSourceSpec extends SparkSpec {
     val got = base.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == expect)
   }
+
+  test("ensure_index on the server write declares the index BEFORE tasks run") {
+    import spark.implicits._
+    val dir = freshDir()
+    CountingServerFactory.reset()
+    Seq((1L, "a"), (2L, "b")).toDF("_id", "s")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.ixw"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .option("ensure_index", "s,_id")
+      .option("id_column", "_id")
+      .mode("append").save()
+    // exactly one createIndexes round-trip, driver-side
+    assert(CountingServerFactory.count("createIndex") == 1,
+      s"counts: ${CountingServerFactory.snapshot()}")
+    // the declared compound index landed on the store (the same side
+    // file the file source's ensure_index writes)
+    val coll = new graft.store.BsonCollection(
+      java.nio.file.Paths.get(dir, "db_ixw").toString)
+    assert(coll.indexes() == Seq(Seq("s", "_id")))
+    // and the rows landed too
+    assert(spark.read.format("graftserver").options(serverOpts(dir, "db.ixw"))
+      .schema("_id LONG, s STRING").load().count() == 2L)
+  }
 }
 
 /** Wraps the fake transport and counts every round-trip JVM-wide, so a
@@ -710,6 +734,8 @@ final class CountingServerFactory extends ServerClientFactory {
         { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs) }
       override def lookupJoin(ns: String, j: LookupJoin) =
         { t("lookupJoin"); inner.lookupJoin(ns, j) }
+      override def createIndex(ns: String, fields: Seq[String]) =
+        { t("createIndex"); inner.createIndex(ns, fields) }
       override def close(): Unit = inner.close()
     }
   }

@@ -277,6 +277,113 @@ class JoinPushdownSpec extends SparkSpec {
     assert(resid.count() > 0)
   }
 
+  test("3-way join CHAINS a second $lookup: one pipeline, zero Spark joins") {
+    import spark.implicits._
+    // orders ⋈ customers ⋈ segments, all on one server: a LONG seg
+    // column so the second equi-join is cast-free (a cast in the
+    // condition keeps that join in Spark, correctly)
+    val dir2 = freshDir()
+    seed(dir2)
+    (0 until 40).map(i => (i.toLong, s"c$i", (i % 5).toLong))
+      .toDF("_id", "name", "seg")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.custL"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 5).map(i => (i.toLong, s"seg$i"))
+      .toDF("_id", "label")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.segs"))
+      .option("id_column", "_id").mode("append").save()
+    val o2 = ordersDf(dir2)
+    val c2 = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.custL",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, seg LONG").load()
+    val s2 = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.segs",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, label STRING").load()
+    val star = o2.join(c2, o2("custkey") === c2("_id"))
+      .join(s2, c2("seg") === s2("_id"))
+      .select(o2("_id").as("okey"), $"price", $"name", $"label")
+    val plan = planOf(star)
+    assert(plan.contains("PushedJoin:") && plan.contains("THEN INNER db.segs"),
+      plan)
+    assert(!plan.contains("Join "), s"no Spark join exec expected:\n$plan")
+    // parity: the same star computed by Spark over separate scans
+    val exp = {
+      val oo = ordersDf(dir2).select($"_id".as("okey"), $"custkey", $"price")
+      val cc = spark.read.format("graftserver")
+        .options(Map("server_dir" -> dir2, "ns" -> "db.custL"))
+        .schema("_id LONG, name STRING, seg LONG").load()
+        .select($"_id".as("ck"), $"name", $"seg")
+      val ss = spark.read.format("graftserver")
+        .options(Map("server_dir" -> dir2, "ns" -> "db.segs"))
+        .schema("_id LONG, label STRING").load()
+        .select($"_id".as("sk"), $"label")
+      oo.join(cc, $"custkey" === $"ck").join(ss, $"seg" === $"sk")
+        .select($"okey", $"price", $"name", $"label")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val got = star.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got.nonEmpty && got == exp,
+      s"got ${got.size} rows vs exp ${exp.size}")
+
+    // an aggregate still pushes THROUGH the chained join: the $group
+    // tail references the FINAL flatten boundary
+    val agg = o2.join(c2, o2("custkey") === c2("_id"))
+      .join(s2, c2("seg") === s2("_id"))
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+    val aplan = planOf(agg)
+    assert(aplan.contains("THEN INNER db.segs") &&
+      aplan.contains("PushedGroupedAggregate: GROUP BY label"), aplan)
+    val aexp = exp.groupBy(_(3)).view.mapValues(_.size.toLong).toMap
+    val agot = agg.collect().map(r => (r.getString(0): Any) -> r.getLong(1)).toMap
+    assert(agot == aexp, s"$agot vs $aexp")
+  }
+
+  test("ORDER BY ... LIMIT over a pushed join appends a $sort+$limit tail") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val o = ordersDf(dir)
+    val c = custDf(dir)
+    val top = o.join(c, o("custkey") === c("_id"))
+      .select(o("_id").as("okey"), $"price", $"name")
+      .orderBy($"price".desc, $"okey".asc)
+      .limit(7)
+    val plan = planOf(top)
+    // the order keys are the JOIN's output names (the select alias
+    // `okey` sits above the scan; `_id` is the driving column)
+    assert(plan.contains("PushedJoin:") &&
+      plan.contains("PushedTopN: ORDER BY price DESC, _id ASC LIMIT 7"), plan)
+    assert(!plan.contains("Join "), plan)
+    val exp = {
+      val oo = ordersDf(dir).select($"_id".as("okey"), $"custkey", $"price")
+      val cc = custDf(dir).select($"_id".as("ck"), $"name")
+      oo.join(cc, $"custkey" === $"ck")
+        .select($"okey", $"price", $"name")
+        .orderBy($"price".desc, $"okey".asc).limit(7)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(top.collect().map(_.toSeq).toSeq == exp)
+
+    // a Long order key from a NON-uniform side refuses the TopN tail but
+    // keeps the join pushed (the bracket gate runs per ORIGIN side)
+    val oPlain = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.orders",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, custkey LONG, price DOUBLE").load()
+    val cPlain = custDf(dir)
+    val refuse = oPlain.join(cPlain, oPlain("custkey") === cPlain("_id"))
+      .select(oPlain("_id").as("okey"), $"name")
+      .orderBy($"name".asc) // String order key: always refused
+      .limit(5)
+    val rplan = planOf(refuse)
+    assert(rplan.contains("PushedJoin:") && !rplan.contains("PushedTopN"), rplan)
+    assert(refuse.collect().length == 5)
+  }
+
   test("refusal: an output column named __j (the $lookup joined field) keeps the join in Spark") {
     import spark.implicits._
     val dir = freshDir()

@@ -468,6 +468,25 @@ class MongoDriverSpec extends AnyFunSuite {
     }
   }
 
+  test("createIndexes command is pinned and reaches the store through the stub driver") {
+    // wire shape: one compound ascending index, server naming convention
+    assert(QueryDocs.createIndexesCmd("people", Seq("k", "status")) ==
+      BDoc(
+        "createIndexes" -> BString("people"),
+        "indexes" -> BArray(Vector(BDoc(
+          "key" -> BDoc("k" -> BInt32(1), "status" -> BInt32(1)),
+          "name" -> BString("k_1_status_1"))))))
+    withDriver { (client, fake, _) =>
+      client.createIndex(Ns, Seq("k", "status"))
+      client.createIndex(Ns, Seq("name"))
+      client.createIndex(Ns, Seq("name")) // idempotent re-declare
+      // the declared indexes landed on the fake's store exactly once each
+      val dir = fake.rootPath.resolve(Ns.replace('.', '_')).toString
+      assert(new graft.store.BsonCollection(dir).indexes() ==
+        Seq(Seq("k", "status"), Seq("name")))
+    }
+  }
+
   test("stub driver: all-null SUM group comes back NULL despite the server's $sum: 0") {
     withDriver { (client, fake, _) =>
       // group "X" has only null v's: a REAL server's $sum answers 0 there

@@ -95,6 +95,22 @@ final class StubDriverBackend(val fake: FakeServerClient) {
         BsonCodec.encode(BDoc(ListMap(
           "splitKeys" -> BArray(keys.map(v => BDoc(key -> v): BsonValue).toVector),
           "ok" -> BDouble(1.0))))
+      case Some(("createIndexes", BString(coll))) =>
+        // parse each index's key doc back to its field list and declare
+        // it on the fake's store (the real server's pre-insert index)
+        cmd.get("indexes") match {
+          case Some(BArray(ixs)) =>
+            ixs.foreach {
+              case ix: BDoc => ix.get("key") match {
+                case Some(BDoc(kfs)) =>
+                  fake.createIndex(s"$db.$coll", kfs.keys.toSeq)
+                case other => throw new StubCommandRefused(s"bad index key: $other")
+              }
+              case other => throw new StubCommandRefused(s"bad index entry: $other")
+            }
+            BsonCodec.encode(BDoc("ok" -> BDouble(1.0)))
+          case other => throw new StubCommandRefused(s"bad indexes: $other")
+        }
       case other =>
         throw new StubCommandRefused(s"unsupported command: $other")
     }
@@ -165,6 +181,61 @@ final class StubDriverBackend(val fake: FakeServerClient) {
     def projOf(d: BDoc): Seq[(String, String)] = d.fields.toSeq.collect {
       case (o, BString(ref)) if ref.startsWith("$") => (ref.drop(1), o)
     }
+    /** One rendered `$lookup`+`$unwind` pair → (from, rightQuery,
+      * rightProject, keys as (left OUT, right OUT), leftOuter,
+      * unwind path). */
+    def parseLookupUnwind(lk: BDoc, unwind: BDoc):
+        (String, BQuery, Seq[(String, String)], Seq[(String, String)], Boolean, String) = {
+      val from = lk.get("from") match {
+        case Some(BString(c)) => c
+        case other => throw new IllegalArgumentException(s"bad from: $other")
+      }
+      // let var -> driving OUTPUT name
+      val letVars: Map[String, String] = bdoc(lk.get("let"), "let").fields.collect {
+        case (v, BString(ref)) if ref.startsWith("$") => v -> ref.drop(1)
+      }.toMap
+      val inner = lk.get("pipeline") match {
+        case Some(BArray(stgs)) => stgs.collect { case d: BDoc => d }
+        case other => throw new IllegalArgumentException(s"bad pipeline: $other")
+      }
+      var rightQuery: BQuery = BQuery.True
+      var eqs: Seq[(String, String)] = Seq.empty // (left OUT, right FIELD)
+      var rightProject: Seq[(String, String)] = Seq.empty
+      inner.foreach { stg =>
+        (stg.get("$match"), stg.get("$project")) match {
+          case (Some(m: BDoc), _) if m.fields.contains("$expr") =>
+            val eqDocs: Seq[BDoc] = m.get("$expr") match {
+              case Some(e: BDoc) if e.fields.contains("$and") =>
+                e.get("$and") match {
+                  case Some(BArray(ds)) => ds.collect { case d: BDoc => d }
+                  case other => throw new IllegalArgumentException(s"bad $$and: $other")
+                }
+              case Some(e: BDoc) => Seq(e)
+              case other => throw new IllegalArgumentException(s"bad $$expr: $other")
+            }
+            eqs = eqDocs.map(_.get("$eq") match {
+              case Some(BArray(Vector(BString(rf), BString(lv))))
+                  if rf.startsWith("$") && lv.startsWith("$$") =>
+                (letVars(lv.drop(2)), rf.drop(1))
+              case other => throw new IllegalArgumentException(s"bad $$eq: $other")
+            })
+          case (Some(m: BDoc), _) => rightQuery = StubDriverBackend.parseQueryDoc(m)
+          case (None, Some(p: BDoc)) => rightProject = projOf(p)
+          case other =>
+            throw new IllegalArgumentException(s"bad inner stage: $other")
+        }
+      }
+      val path = unwind.get("path") match {
+        case Some(BString(p)) if p.startsWith("$") => p.drop(1)
+        case other => throw new IllegalArgumentException(s"bad unwind path: $other")
+      }
+      val leftOuter = unwind.get("preserveNullAndEmptyArrays")
+        .contains(BBool(true))
+      val rightOutOf = rightProject.map { case (f, o) => f -> o }.toMap
+      (from, rightQuery, rightProject,
+        eqs.map { case (lo, rf) => (lo, rightOutOf(rf)) }, leftOuter, path)
+    }
+
     var i = 0
     val leftQuery: BQuery =
       if (st(i).fields.contains("$match")) {
@@ -172,72 +243,56 @@ final class StubDriverBackend(val fake: FakeServerClient) {
         i += 1; q
       } else BQuery.True
     val leftProject = projOf(bdoc(st(i).get("$project"), "left $project")); i += 1
-    val lk = bdoc(st(i).get("$lookup"), "$lookup"); i += 1
-    val from = lk.get("from") match {
-      case Some(BString(c)) => c
-      case other => throw new IllegalArgumentException(s"bad from: $other")
+    val (from, rightQuery, rightProject, keys, leftOuter, joinedField0) =
+      parseLookupUnwind(bdoc(st(i).get("$lookup"), "$lookup"),
+        bdoc(st(i + 1).get("$unwind"), "$unwind"))
+    i += 2
+    var joinedField = joinedField0
+    var leftOuts = leftProject.map(_._2).toSet
+    // CHAINED stages: each is [$project flatten, $lookup, $unwind]
+    val chain = Seq.newBuilder[ChainStage]
+    while (i + 2 < st.length &&
+        st(i).fields.contains("$project") &&
+        st(i + 1).fields.contains("$lookup")) {
+      // flatten entries re-alias the previous output's home path
+      // (top-level or "__j.x") to the stage's output name
+      val flat = projOf(bdoc(st(i).get("$project"), "chain $project"))
+        .map { case (path, out) => (outCol("$" + path), out) }
+      val (cfrom, crq, crp, ckeys, couter, cpath) =
+        parseLookupUnwind(bdoc(st(i + 1).get("$lookup"), "$lookup"),
+          bdoc(st(i + 2).get("$unwind"), "$unwind"))
+      chain += ChainStage(flat, s"$db.$cfrom", crq, crp, ckeys, couter)
+      joinedField = cpath
+      leftOuts = flat.map(_._2).toSet
+      i += 3
     }
-    // let var -> driving OUTPUT name
-    val letVars: Map[String, String] = bdoc(lk.get("let"), "let").fields.collect {
-      case (v, BString(ref)) if ref.startsWith("$") => v -> ref.drop(1)
-    }.toMap
-    val inner = lk.get("pipeline") match {
-      case Some(BArray(stgs)) => stgs.collect { case d: BDoc => d }
-      case other => throw new IllegalArgumentException(s"bad pipeline: $other")
+    // optional tail: a $group (aggregate pushed through the join), a
+    // partial $limit, or a $sort+$limit (pushed TopN)
+    var tailGroup: Option[(Seq[(String, String)], Seq[GroupAgg])] = None
+    var tailLimit: Option[Long] = None
+    var tailTopN: Option[(Seq[(String, Boolean)], Long)] = None
+    if (i < st.length) st(i).fields.keys.headOption match {
+      case Some("$group") =>
+        tailGroup = Some(parseGroupDoc(bdoc(st(i).get("$group"), "$group")))
+      case Some("$limit") =>
+        tailLimit = st(i).get("$limit").flatMap(QueryDocs.asLong)
+      case Some("$sort") =>
+        val spec = bdoc(st(i).get("$sort"), "$sort").fields.toSeq.map {
+          case (path, v) => (outCol("$" + path), QueryDocs.asLong(v).contains(-1L))
+        }
+        require(i + 1 < st.length && st(i + 1).fields.contains("$limit"),
+          "no $limit after $sort")
+        val n = st(i + 1).get("$limit").flatMap(QueryDocs.asLong)
+          .getOrElse(throw new IllegalArgumentException("bad $limit after $sort"))
+        tailTopN = Some((spec, n))
+        i += 1
+      case other => throw new IllegalArgumentException(s"bad tail stage: $other")
     }
-    var rightQuery: BQuery = BQuery.True
-    var eqs: Seq[(String, String)] = Seq.empty // (left OUT, right FIELD)
-    var rightProject: Seq[(String, String)] = Seq.empty
-    inner.foreach { stg =>
-      (stg.get("$match"), stg.get("$project")) match {
-        case (Some(m: BDoc), _) if m.fields.contains("$expr") =>
-          val eqDocs: Seq[BDoc] = m.get("$expr") match {
-            case Some(e: BDoc) if e.fields.contains("$and") =>
-              e.get("$and") match {
-                case Some(BArray(ds)) => ds.collect { case d: BDoc => d }
-                case other => throw new IllegalArgumentException(s"bad $$and: $other")
-              }
-            case Some(e: BDoc) => Seq(e)
-            case other => throw new IllegalArgumentException(s"bad $$expr: $other")
-          }
-          eqs = eqDocs.map(_.get("$eq") match {
-            case Some(BArray(Vector(BString(rf), BString(lv))))
-                if rf.startsWith("$") && lv.startsWith("$$") =>
-              (letVars(lv.drop(2)), rf.drop(1))
-            case other => throw new IllegalArgumentException(s"bad $$eq: $other")
-          })
-        case (Some(m: BDoc), _) => rightQuery = StubDriverBackend.parseQueryDoc(m)
-        case (None, Some(p: BDoc)) => rightProject = projOf(p)
-        case other =>
-          throw new IllegalArgumentException(s"bad inner stage: $other")
-      }
-    }
-    val unwind = bdoc(st(i).get("$unwind"), "$unwind")
-    i += 1
-    val joinedField = unwind.get("path") match {
-      case Some(BString(p)) if p.startsWith("$") => p.drop(1)
-      case other => throw new IllegalArgumentException(s"bad unwind path: $other")
-    }
-    val leftOuter = unwind.get("preserveNullAndEmptyArrays")
-      .contains(BBool(true))
-    val rightOutOf = rightProject.map { case (f, o) => f -> o }.toMap
-    val keys = eqs.map { case (lo, rf) => (lo, rightOutOf(rf)) }
-    val leftOuts = leftProject.map(_._2).toSet
-    // optional tail: a $group (aggregate pushed through the join) or a
-    // partial $limit
-    val (tailGroup, tailLimit): (Option[(Seq[(String, String)], Seq[GroupAgg])], Option[Long]) =
-      if (i >= st.length) (None, None)
-      else st(i).fields.keys.headOption match {
-        case Some("$group") =>
-          (Some(parseGroupDoc(bdoc(st(i).get("$group"), "$group"))), None)
-        case Some("$limit") =>
-          (None, st(i).get("$limit").flatMap(QueryDocs.asLong))
-        case other => throw new IllegalArgumentException(s"bad tail stage: $other")
-      }
     val results = fake.lookupJoin(ns, LookupJoin(leftQuery, leftProject,
       s"$db.$from", rightQuery, rightProject, keys, leftOuter,
+      chain = chain.result(),
       group = tailGroup.map { case (ks, as) => (ks.map(_._2), as) },
-      limit = tailLimit))
+      limit = tailLimit, topN = tailTopN))
     tailGroup match {
       case Some((gKeys, gAggs)) => serverizeGroups(results, gKeys, gAggs)
       case None =>
