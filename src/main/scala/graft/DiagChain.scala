@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement main for the r13 join-pipeline additions: times the
+  * 3-way CHAINED `$lookup` (q143 shape) and the TopN-through-join
+  * (q144 shape) PUSHED vs UNPUSHED on the SAME session and fixtures by
+  * toggling the optimizer conf ([[GraftConf.JoinPushdownConf]]) — the
+  * r12 ledger protocol. Fixtures are built once; only the read side is
+  * timed (min-of-3, count() sink). On the fake transport a `$lookup`
+  * probe pays a full store scan per split, so the pushed advantage
+  * UNDERSTATES a real server's (index walk per driving doc vs shipping
+  * all three collections through Spark exchanges).
+  */
+object DiagChain {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftConf.tuned(SparkSession.builder())
+      .master("local[32]").appName("DiagChain")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-diagchain").toString
+    val base = Map("server_dir" -> dir)
+    Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.format("graftserver").options(base + ("ns" -> "db.ord3"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey")
+      .write.format("graftserver").options(base + ("ns" -> "db.cust3"))
+      .option("id_column", "c_custkey").mode("append").save()
+    Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name")
+      .write.format("graftserver").options(base + ("ns" -> "db.nat3"))
+      .option("id_column", "n_nationkey").mode("append").save()
+
+    def chainQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base + ("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      val c = spark.read.format("graftserver")
+        .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      val n = spark.read.format("graftserver")
+        .options(base + ("ns" -> "db.nat3"))
+        .schema("_id INT, n_name STRING").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .join(n, c("c_nationkey") === n("_id"))
+        .filter(o("o_totalprice") > 500.0)
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_orders"), max(o("o_totalprice")).as("mx"))
+    }
+
+    def topnQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base + ("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      val c = spark.read.format("graftserver")
+        .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .select(o("_id").as("okey"), $"o_totalprice".as("price"), $"c_nationkey")
+        .orderBy($"price".desc, $"okey".asc).limit(25)
+    }
+
+    def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(n > 0, s"$label returned 0 rows")
+        dt
+      }
+      val best = runs.min
+      println(f"[diagchain] $label%-22s min=${best}%.3f s  runs=${runs.map(r => f"$r%.3f").mkString(", ")}")
+      best
+    }
+
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    val planChain = chainQuery().queryExecution.executedPlan.toString
+    require(planChain.contains("THEN INNER"), s"chain did not push:\n$planChain")
+    val pushedChain = time("chain PUSHED")(chainQuery())
+    val pushedTopn = time("join-topn PUSHED")(topnQuery())
+
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedChain = time("chain UNPUSHED")(chainQuery())
+    val unpushedTopn = time("join-topn UNPUSHED")(topnQuery())
+
+    println(f"[diagchain] chain ratio unpushed/pushed = ${unpushedChain / pushedChain}%.2f")
+    println(f"[diagchain] topn  ratio unpushed/pushed = ${unpushedTopn / pushedTopn}%.2f")
+    spark.stop()
+  }
+}
