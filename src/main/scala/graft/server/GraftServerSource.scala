@@ -541,10 +541,14 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       opts.get("assume_uniform_storage").exists(_.toBoolean))
   }
 
-  /** The condition as a conjunction of bare column equalities, or None. */
+  /** The condition as a conjunction of column equalities (possibly
+    * NESTED refs — `meta.k = _id` arrives as multi-part field names), or
+    * None. Pairs carry the raw name PARTS; [[orientEqKeys]] resolves
+    * sides and leaf types.
+    */
   private def eqPairs(
       p: org.apache.spark.sql.connector.expressions.filter.Predicate):
-      Option[Seq[(String, String)]] = p.name() match {
+      Option[Seq[(Seq[String], Seq[String])]] = p.name() match {
     case "AND" =>
       p.children().toSeq match {
         case Seq(a: org.apache.spark.sql.connector.expressions.filter.Predicate,
@@ -555,12 +559,41 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     case "=" =>
       p.children().toSeq match {
         case Seq(a: org.apache.spark.sql.connector.expressions.NamedReference,
-            b: org.apache.spark.sql.connector.expressions.NamedReference)
-            if a.fieldNames.length == 1 && b.fieldNames.length == 1 =>
-          Some(Seq((a.fieldNames.head, b.fieldNames.head)))
+            b: org.apache.spark.sql.connector.expressions.NamedReference) =>
+          Some(Seq((a.fieldNames.toSeq, b.fieldNames.toSeq)))
         case _ => None
       }
     case _ => None
+  }
+
+  /** Orient each equality's sides against the two projections' OUTPUT
+    * schemas (nested parts walk struct-typed outputs to the leaf type) —
+    * output-name disjointness (checked by the callers) makes the side
+    * assignment unambiguous. Returns (left ref, right ref) per key with
+    * dotted output names and LEAF types for the bracket-safety gates.
+    */
+  private def orientEqKeys(
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      lp: Seq[(String, String, org.apache.spark.sql.types.DataType)],
+      rp: Seq[(String, String, org.apache.spark.sql.types.DataType)]):
+      Option[Seq[(FieldResolve.Ref, FieldResolve.Ref)]] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val lpStruct = StructType(lp.map(p => StructField(p._2, p._3)))
+    val rpStruct = StructType(rp.map(p => StructField(p._2, p._3)))
+    def side(parts: Seq[String]): Option[(Boolean, FieldResolve.Ref)] =
+      FieldResolve.resolveParts(lpStruct, parts, Map.empty).map((true, _))
+        .orElse(FieldResolve.resolveParts(rpStruct, parts, Map.empty).map((false, _)))
+    eqPairs(condition).flatMap { pairs =>
+      val oriented = pairs.map { case (xp, yp) =>
+        (side(xp), side(yp)) match {
+          case (Some((true, lx)), Some((false, ry))) => Some((lx, ry))
+          case (Some((false, rx)), Some((true, ly))) => Some((ly, rx))
+          case _ => None
+        }
+      }
+      if (oriented.contains(None) || oriented.isEmpty) None
+      else Some(oriented.flatten)
+    }
   }
 
   override def pushDownJoin(other: SupportsPushDownJoin,
@@ -603,21 +636,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         // SILENT) — refuse the join rather than corrupt that column
         if (leftOut.contains(QueryDocs.JoinedField) ||
             rightOut.contains(QueryDocs.JoinedField)) return false
-        val oriented: Option[Seq[(String, String)]] =
-          eqPairs(condition).flatMap { pairs =>
-            val o2 = pairs.map {
-              case (x, y) if leftOut.contains(x) && rightOut.contains(y) =>
-                Some((x, y))
-              case (x, y) if leftOut.contains(y) && rightOut.contains(x) =>
-                Some((y, x))
-              case _ => None
-            }
-            if (o2.contains(None) || o2.isEmpty) None else Some(o2.flatten)
-          }
-        oriented match {
-          case Some(keys) if keys.forall { case (l, r) =>
-              joinKeySafe(leftOut(l), options) &&
-                joinKeySafe(rightOut(r), o.joinOptions) } =>
+        orientEqKeys(condition, lp, rp) match {
+          case Some(refs) if refs.forall { case (l, r) =>
+              joinKeySafe(l.dataType, options) &&
+                joinKeySafe(r.dataType, o.joinOptions) } =>
+            val keys = refs.map { case (l, r) => (l.name, r.name) }
             val output = (lp ++ rp).map(p => (p._2, p._3))
             if (mirrored) {
               // drive from the RIGHT side; THIS side becomes the lookup
@@ -687,23 +710,15 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         if (leftOut.keySet.intersect(rightOut.keySet).nonEmpty) return false
         if (leftOut.contains(QueryDocs.JoinedField) ||
             rightOut.contains(QueryDocs.JoinedField)) return false
-        val oriented: Option[Seq[(String, String)]] =
-          eqPairs(condition).flatMap { pairs =>
-            val o2 = pairs.map {
-              case (x, y) if leftOut.contains(x) && rightOut.contains(y) =>
-                Some((x, y))
-              case (x, y) if leftOut.contains(y) && rightOut.contains(x) =>
-                Some((y, x))
-              case _ => None
-            }
-            if (o2.contains(None) || o2.isEmpty) None else Some(o2.flatten)
-          }
-        oriented match {
-          case Some(keys) if keys.forall { case (l, r) =>
-              val srcOpts = lp.collectFirst { case (src, `l`, _) =>
-                joinedColOpts.getOrElse(src, options) }.getOrElse(options)
-              joinKeySafe(leftOut(l), srcOpts) &&
-                joinKeySafe(rightOut(r), o.joinOptions) } =>
+        orientEqKeys(condition, lp, rp) match {
+          case Some(refs) if refs.forall { case (l, r) =>
+              // a nested key's safety is its HEAD column's origin side
+              val srcOpts = lp.collectFirst {
+                case (src, out, _) if out == l.name.split('.').head =>
+                  joinedColOpts.getOrElse(src, options) }.getOrElse(options)
+              joinKeySafe(l.dataType, srcOpts) &&
+                joinKeySafe(r.dataType, o.joinOptions) } =>
+            val keys = refs.map { case (l, r) => (l.name, r.name) }
             val stage = ChainStage(
               lp.map(p => (p._1, p._2)),
               GraftServerSource.ns(o.joinOptions),
@@ -784,12 +799,13 @@ final case class ServerJoin(
     chain: Seq[ChainStage] = Nil) {
   def schema: StructType = StructType(
     output.map { case (o, t) => org.apache.spark.sql.types.StructField(o, t) })
-  /** right OUTPUT name -> right doc field. */
+  /** right OUTPUT name -> right doc field (nested outputs resolve by
+    * head, [[LookupJoin.fieldOf]]). */
   def rightField(out: String): String =
-    rightProject.collectFirst { case (f, `out`, _) => f }.get
+    LookupJoin.fieldOf(rightProject.map(p => (p._1, p._2)), out)
   /** left OUTPUT name -> left doc field. */
   def leftField(out: String): String =
-    leftProject.collectFirst { case (f, `out`, _) => f }.get
+    LookupJoin.fieldOf(leftProject.map(p => (p._1, p._2)), out)
   override def toString: String =
     s"${if (leftOuter) "LEFT OUTER" else "INNER"} $rightNs ON " +
       keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ") +
@@ -913,10 +929,9 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
     * `$expr` `$eq` would otherwise match a null driving key against a
     * null-keyed right doc (equi-join semantics forbid it). */
   private val chainWithKeys: Seq[ChainStage] = join.chain.map { st =>
-    def rightField(out: String): String =
-      st.rightProject.collectFirst { case (f, `out`) => f }.get
     st.copy(rightQuery = st.keys.foldLeft(st.rightQuery) {
-      case (acc, (_, ro)) => BQuery.and(acc, nonNull(rightField(ro)))
+      case (acc, (_, ro)) =>
+        BQuery.and(acc, nonNull(LookupJoin.fieldOf(st.rightProject, ro)))
     })
   }
 

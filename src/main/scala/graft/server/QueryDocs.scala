@@ -495,11 +495,13 @@ object QueryDocs {
   private def lookupUnwind(rightColl: String, rightMatch: BDoc,
       rightProject: Seq[(String, String)],
       keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] = {
-    val rightField = rightProject.map { case (f, o) => o -> f }.toMap
     val letVars = keys.zipWithIndex.map { case ((lo, _), i) => s"v$i" -> lo }
+    // key outputs may be nested under a projected struct column —
+    // resolve to the document field path ($expr runs pre-projection)
     val eqs: Vector[BsonValue] = keys.zipWithIndex.map { case ((_, ro), i) =>
       BDoc("$eq" -> BArray(Vector(
-        BString("$" + rightField(ro)), BString("$$v" + i)))): BsonValue
+        BString("$" + LookupJoin.fieldOf(rightProject, ro)),
+        BString("$$v" + i)))): BsonValue
     }.toVector
     val exprDoc = BDoc("$expr" ->
       (if (eqs.size == 1) eqs.head else BDoc("$and" -> BArray(eqs))))

@@ -190,6 +190,25 @@ object ServerClient {
   final case class CollStats(count: Long, avgObjSizeBytes: Long)
 }
 
+object LookupJoin {
+  /** Resolve a (possibly NESTED) join-key OUTPUT name to its document
+    * field path through a (field → output) projection: an exact output
+    * match wins; otherwise the dotted HEAD names the projected column
+    * and the tail appends to its field (`meta.k` over a projection
+    * `m → meta` resolves to `m.k`). Shared by the wire renderer, the
+    * fake transport, and the per-split readers so all three agree.
+    */
+  def fieldOf(spec: Seq[(String, String)], out: String): String =
+    spec.collectFirst { case (f, o) if o == out => f }.getOrElse {
+      val i = out.indexOf('.')
+      require(i > 0, s"unknown join output '$out' in ${spec.map(_._2)}")
+      val head = out.substring(0, i)
+      spec.collectFirst { case (f, o) if o == head => f + out.substring(i) }
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown join output '$out' in ${spec.map(_._2)}"))
+    }
+}
+
 /** [[Planners.CollectionStats]] over a live server: the planners
   * (size-based, sample-based, paginating, pruning) run unmodified against
   * either this or the file-backed `FileStats` — planning is the same
@@ -504,11 +523,11 @@ final class FakeServerClient(rootDir: Option[String] = None)
         x.toLong
       case other => other
     }
-    def outToField(spec: Seq[(String, String)]): Map[String, String] =
-      spec.map { case (f, o) => o -> f }.toMap
     def project(d: BDoc, spec: Seq[(String, String)]): Seq[(String, BsonValue)] =
       spec.flatMap { case (f, o) => d.getPath(f).map(o -> _) }
-    val rightKeyFields = keys.map { case (_, ro) => outToField(rightProject)(ro) }
+    // key outputs may be NESTED under a projected struct column
+    val rightKeyFields = keys.map { case (_, ro) =>
+      LookupJoin.fieldOf(rightProject, ro) }
     val index: Map[Seq[Any], Vector[BDoc]] =
       coll(rightNs).readAll().filter(rightQuery.matches)
         .filter(d => rightKeyFields.forall(f => d.getPath(f).exists(_ != BNull)))

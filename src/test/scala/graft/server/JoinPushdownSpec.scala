@@ -384,6 +384,95 @@ class JoinPushdownSpec extends SparkSpec {
     assert(refuse.collect().length == 5)
   }
 
+  test("NESTED join keys push: meta.k = _id resolves through the struct output") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir, nOrders = 0, nCust = 8)
+    (0 until 50).map(i => (i.toLong, (i % 10).toLong, i * 2.0))
+      .toDF("_id", "k", "price")
+      .select($"_id", struct($"k").as("meta"), $"price")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.on"))
+      .option("id_column", "_id").mode("append").save()
+    val on = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.on",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, meta STRUCT<k: LONG>, price DOUBLE").load()
+    val c = custDf(dir)
+    val j = on.join(c, on("meta.k") === c("_id")).select($"price", $"name")
+    val plan = planOf(j)
+    assert(plan.contains("PushedJoin: INNER db.cust ON meta.k = _id"), plan)
+    assert(!plan.contains("Join "), plan)
+    // parity: cust has ids 0..7, orders key i%10 -> 40 of 50 match
+    val exp = {
+      val oo = spark.read.format("graftserver")
+        .options(Map("server_dir" -> dir, "ns" -> "db.on"))
+        .schema("_id LONG, meta STRUCT<k: LONG>, price DOUBLE").load()
+        .select($"meta.k".as("mk"), $"price")
+      val cc = custDf(dir).select($"_id".as("ck2"), $"name")
+      oo.join(cc, $"mk" === $"ck2").select($"price", $"name")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val got = j.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got.size == 40 && got == exp)
+    // nested Long key WITHOUT uniform storage refuses (leaf-type gate)
+    val plain = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.on"))
+      .schema("_id LONG, meta STRUCT<k: LONG>, price DOUBLE").load()
+    val r = plain.join(c, plain("meta.k") === c("_id"))
+    assert(!planOf(r).contains("PushedJoin"), planOf(r))
+    assert(r.count() == 40L)
+  }
+
+  test("DISTINCT and a partial LIMIT push through joins and chains") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    (0 until 5).map(i => (i.toLong, s"seg$i")).toDF("_id", "label")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.segs"))
+      .option("id_column", "_id").mode("append").save()
+    val o = ordersDf(dir)
+    val c = custDf(dir)
+    // SELECT DISTINCT over the joined output rides the zero-aggregate
+    // $group tail — #distinct names cross the wire per split
+    val dist = o.join(c, o("custkey") === c("_id")).select($"name").distinct()
+    val dplan = planOf(dist)
+    assert(dplan.contains("PushedJoin:") &&
+      dplan.contains("PushedGroupedAggregate: GROUP BY name []"), dplan)
+    assert(dist.collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 40).map(i => s"c$i").sorted)
+    // a bare LIMIT over a CHAINED join appends the partial $limit after
+    // the last $unwind (LONG seg fixture so the chain key is cast-free)
+    val dir2 = freshDir()
+    seed(dir2)
+    (0 until 40).map(i => (i.toLong, s"c$i", (i % 5).toLong))
+      .toDF("_id", "name", "seg")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.custL"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 5).map(i => (i.toLong, s"seg$i")).toDF("_id", "label")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.segs"))
+      .option("id_column", "_id").mode("append").save()
+    val o2 = ordersDf(dir2)
+    val cL = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.custL",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, seg LONG").load()
+    val sL = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.segs",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, label STRING").load()
+    val chainLim = o2.join(cL, o2("custkey") === cL("_id"))
+      .join(sL, cL("seg") === sL("_id"))
+      .select($"name", $"label").limit(5)
+    val lplan = planOf(chainLim)
+    assert(lplan.contains("THEN INNER db.segs") &&
+      lplan.contains("PushedLimit: 5"), lplan)
+    assert(chainLim.collect().length == 5)
+  }
+
   test("refusal: an output column named __j (the $lookup joined field) keeps the join in Spark") {
     import spark.implicits._
     val dir = freshDir()

@@ -231,9 +231,17 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       }
       val leftOuter = unwind.get("preserveNullAndEmptyArrays")
         .contains(BBool(true))
-      val rightOutOf = rightProject.map { case (f, o) => f -> o }.toMap
+      // doc FIELD path -> OUTPUT name (inverse of LookupJoin.fieldOf: a
+      // nested key's field is the projected column's field + a suffix)
+      def outOf(rf: String): String =
+        rightProject.collectFirst { case (f, o) if f == rf => o }.getOrElse {
+          rightProject.collectFirst {
+            case (f, o) if rf.startsWith(f + ".") => o + rf.substring(f.length)
+          }.getOrElse(throw new IllegalArgumentException(
+            s"unprojected right key field $rf in ${rightProject.map(_._1)}"))
+        }
       (from, rightQuery, rightProject,
-        eqs.map { case (lo, rf) => (lo, rightOutOf(rf)) }, leftOuter, path)
+        eqs.map { case (lo, rf) => (lo, outOf(rf)) }, leftOuter, path)
     }
 
     var i = 0
