@@ -1252,6 +1252,47 @@ object ConnectorQueries {
         |SELECT o_orderkey AS okey, o_totalprice AS price, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY price DESC, okey ASC LIMIT 25
+        |""".stripMargin)),
+
+    // NESTED join keys (round-13): the document-store norm of joining
+    // on a SUBDOCUMENT field (`ref.custkey = _id`) pushes — the key
+    // resolves through the struct-typed output to its leaf type for the
+    // bracket gates, the `$expr` references the dotted doc path, and
+    // the `let` var binds the projected struct's subfield. Grouped tail
+    // composes on top (one pipeline, #groups docs cross).
+    CatalogQuery(
+      "q145_server_nested_join_key",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir)
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            struct($"o_custkey".as("custkey")).as("ref"), $"o_totalprice")
+          .write.format("graftserver").options(base + ("ns" -> "db.ordn"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+          .write.format("graftserver").options(base + ("ns" -> "db.custn"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.ordn", "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, ref STRUCT<custkey: LONG>, o_totalprice DOUBLE")
+          .load()
+        val c = s.read.format("graftserver")
+          .options(base + ("ns" -> "db.custn", "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, c_mktsegment STRING").load()
+        o.join(c, o("ref.custkey") === c("_id"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(o("_id")).as("sum_key"))
+          .toDF("c_mktsegment", "n", "sum_key")
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1
         |""".stripMargin))
   )
 }

@@ -80,4 +80,40 @@ class SqlDdlSpec extends SparkSpec {
       assert((r.getLong(0), r.getInt(1), r.getInt(2)) === ((1000L, 0, 999)))
     }
   }
+
+  test("SERVER catalog tables: CREATE TABLE USING graftserver, SQL join pushes the pipeline") {
+    import spark.implicits._
+    val sdir = Files.createTempDirectory("graft-ddl-srv").toString
+    Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 4.0))
+      .toDF("_id", "ck", "price")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> sdir, "ns" -> "db.o"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((10L, "a"), (20L, "b")).toDF("_id", "name")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> sdir, "ns" -> "db.c"))
+      .option("id_column", "_id").mode("append").save()
+    withTable("srv_o") { withTable("srv_c") {
+      spark.sql(s"""CREATE TABLE srv_o (_id LONG, ck LONG, price DOUBLE)
+        USING graftserver
+        OPTIONS (server_dir '$sdir', ns 'db.o', assume_uniform_storage 'true')""")
+      spark.sql(s"""CREATE TABLE srv_c (_id LONG, name STRING)
+        USING graftserver
+        OPTIONS (server_dir '$sdir', ns 'db.c', assume_uniform_storage 'true')""")
+      // the whole SQL surface rides the same pushdowns: the equi-join
+      // plans as the $lookup pipeline, the aggregate as its $group tail
+      val df = spark.sql("""
+        SELECT name, count(*) AS n, sum(price) AS s
+        FROM srv_o JOIN srv_c ON srv_o.ck = srv_c._id
+        GROUP BY name ORDER BY name""")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedJoin:") &&
+        plan.contains("PushedGroupedAggregate: GROUP BY name"), plan)
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq === Seq(("a", 2L, 5.0), ("b", 1L, 4.0)))
+      // INSERT INTO the server table writes through the bulk path
+      spark.sql("INSERT INTO srv_o VALUES (4, 20, 6.0)")
+      assert(spark.sql("SELECT count(*) FROM srv_o").head.getLong(0) === 4L)
+    } }
+  }
 }
