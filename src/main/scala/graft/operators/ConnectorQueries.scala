@@ -1293,6 +1293,41 @@ object ConnectorQueries {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // DATE-typed pushdown (round-13): DateType is a SINGLE-bracket read
+    // (only BDate storage decodes to a Spark date) whose epoch-day floor
+    // is monotone over BSON date order, so date GROUP keys and date
+    // MIN/MAX aggregates push on both transports with no uniform-storage
+    // opt-in — here dates ride the `$group` pipeline both as the group
+    // key's sibling and as min/max inputs. Calendar keys are the
+    // commonest grouping in any events/orders corpus.
+    CatalogQuery(
+      "q146_server_date_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.dateg")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderpriority",
+            to_date($"o_orderdate").as("od"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "o_orderkey")
+          .mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, o_orderpriority STRING, od DATE")
+          .load()
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), min($"od").as("first_day"),
+            max($"od").as("last_day"))
+          .toDF("prio", "n", "first_day", "last_day")
+          .orderBy($"prio")
+      },
+      Some("""
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        |  min(CAST(o_orderdate AS DATE)) AS first_day,
+        |  max(CAST(o_orderdate AS DATE)) AS last_day
+        |FROM orders GROUP BY 1 ORDER BY 1
         |""".stripMargin))
   )
 }

@@ -536,7 +536,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       opts: Map[String, String]): Boolean = {
     import org.apache.spark.sql.types._
     val always = Set[DataType](IntegerType, DoubleType, BooleanType)
-    val uniform = Set[DataType](LongType, TimestampType, StringType)
+    // DateType is uniform-gated for EQUALITY: two different stored
+    // millis within one day read as the same Spark date but never $eq —
+    // engine writes store canonical midnight millis, so the opt-in holds
+    val uniform = Set[DataType](LongType, TimestampType, StringType, DateType)
     always.contains(dt) || (uniform.contains(dt) &&
       opts.get("assume_uniform_storage").exists(_.toBoolean))
   }
@@ -996,7 +999,10 @@ object GraftServerScanBuilder {
     */
   val AggTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType)
+    // DateType is SINGLE-bracket: only BDate storage reads as a date
+    // (RowCodec), and epoch-day flooring is monotone over BSON date
+    // order — a stored-order min/max IS a read-order min/max
+    Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType, DateType)
   }
 
   /** Types usable as a pushed GROUP key. Wider than [[AggTypes]]:
@@ -1007,7 +1013,10 @@ object GraftServerScanBuilder {
     */
   val GroupKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(StringType, IntegerType, LongType, DoubleType, BooleanType, TimestampType)
+    // DateType: the server may split one read-day into several stored-
+    // millis groups — a strict REFINEMENT the partial protocol re-merges
+    Set(StringType, IntegerType, LongType, DoubleType, BooleanType,
+      TimestampType, DateType)
   }
 
   /** Can a server cursor sorted on a column of this Spark type be
@@ -1021,7 +1030,10 @@ object GraftServerScanBuilder {
   def cursorOrderSafe(dt: org.apache.spark.sql.types.DataType,
       options: Map[String, String]): Boolean = {
     import org.apache.spark.sql.types._
-    val always = Set[DataType](IntegerType, DoubleType, BooleanType)
+    // DateType: single-bracket storage whose read (epoch-day floor) is
+    // monotone over the cursor order — always safe (read-value ties are
+    // LIMIT's inherent nondeterminism, same as Spark's own TakeOrdered)
+    val always = Set[DataType](IntegerType, DoubleType, BooleanType, DateType)
     val uniform = Set[DataType](LongType, TimestampType)
     always.contains(dt) || (uniform.contains(dt) &&
       options.get("assume_uniform_storage").exists(_.toBoolean))

@@ -490,7 +490,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   // so a FloatType column cannot be scanned at all
   private val TopNTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType)
+    Set(IntegerType, LongType, DoubleType, BooleanType, TimestampType, DateType)
   }
 
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -634,7 +634,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     */
   private val AggPushTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(IntegerType, LongType, DoubleType, FloatType, StringType)
+    Set(IntegerType, LongType, DoubleType, FloatType, StringType, DateType)
   }
 
   /** Group-key types: grouping is by the READ value, so any readable
@@ -642,14 +642,16 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     * BSON→Float read at all. */
   private val GroupKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(StringType, IntegerType, LongType, DoubleType, BooleanType, TimestampType)
+    Set(StringType, IntegerType, LongType, DoubleType, BooleanType,
+      TimestampType, DateType)
   }
 
   /** Grouped MIN/MAX types: folded under Spark's interpreted ordering of
     * read values — exact for every readable atomic type. */
   private val GroupMinMaxTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(IntegerType, LongType, DoubleType, StringType, BooleanType, TimestampType)
+    Set(IntegerType, LongType, DoubleType, StringType, BooleanType,
+      TimestampType, DateType)
   }
 
   override def build(): Scan = {
@@ -1734,6 +1736,11 @@ object GraftPartitionReader {
     }
     case BooleanType => v match {
       case BBool(b) => if (b) 1L else 0L
+      case other => throw new IllegalArgumentException(
+        s"cannot read BSON $other as Spark type $dt")
+    }
+    case DateType => v match {
+      case BDate(ms) => Math.floorDiv(ms, 86400000L) // epoch days, as long
       case other => throw new IllegalArgumentException(
         s"cannot read BSON $other as Spark type $dt")
     }
