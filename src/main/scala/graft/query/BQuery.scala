@@ -462,10 +462,27 @@ object FilterTranslator {
       if (x.getNanos % 1000000 == 0) Some(BDate(x.getTime)) else None
     case x: java.time.Instant =>
       if (x.getNano % 1000000 == 0) Some(BDate(x.toEpochMilli)) else None
-    case x: java.sql.Date => Some(BDate(x.getTime))
+    // java.sql.Date / LocalDate deliberately ABSENT: a DateType column
+    // reads as the stored BDate's epoch-DAY floor, so date comparisons
+    // compile to day-window RANGES in [[translate]] — a raw-millis
+    // literal here would drop non-midnight storages Spark's read keeps
+    // (and java.sql.Date.getTime is JVM-timezone-dependent)
     case x: Array[Byte] => Some(BBinary(x))
     case _ => None
   }
+
+  /** Epoch day of a v1 date literal (tz-independent — getTime is not). */
+  private def epochDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+  private def dayLo(day: Long): BsonValue = BDate(day * 86400000L)
+  private def dayHi(day: Long): BsonValue = BDate((day + 1) * 86400000L)
+  /** `col = DATE d` over a DateType read: the stored millis fall in the
+    * day's window — exact for ANY BDate storage. */
+  private def dayEq(p: String, day: Long): BQuery =
+    BQuery.And(Seq(BQuery.Gte(p, dayLo(day)), BQuery.Lt(p, dayHi(day))))
 
   /** Translate one filter; None = not pushable (becomes residual).
     * `m` remaps Spark column names to document field paths
@@ -489,22 +506,38 @@ object FilterTranslator {
       case EqualTo(_, null) => Some(BQuery.In("_", Seq.empty))
       case EqualTo(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Eq))
       case EqualTo(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Eq))
+      // DATE literals (a DateType column — Spark casts the literal to
+      // the column type): compile to DAY-WINDOW ranges over the stored
+      // millis, exact for any BDate storage (see toBson's date note)
+      case EqualTo(a, v) if epochDay(v).isDefined =>
+        epochDay(v).map(d => dayEq(col(a), d))
       case EqualTo(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case EqualNullSafe(a, null) => Some(BQuery.Exists(col(a), yes = false))
       case EqualNullSafe(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Eq))
       case EqualNullSafe(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Eq))
+      case EqualNullSafe(a, v) if epochDay(v).isDefined =>
+        epochDay(v).map(d => dayEq(col(a), d))
       case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case GreaterThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gt))
       case GreaterThan(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Gt))
+      // read-day > d  <=>  stored millis >= (d+1)'s start
+      case GreaterThan(a, v) if epochDay(v).isDefined =>
+        epochDay(v).map(d => BQuery.Gte(col(a), dayHi(d)))
       case GreaterThan(a, v) => toBson(v).map(BQuery.Gt(col(a), _))
       case GreaterThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gte))
       case GreaterThanOrEqual(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Gte))
+      case GreaterThanOrEqual(a, v) if epochDay(v).isDefined =>
+        epochDay(v).map(d => BQuery.Gte(col(a), dayLo(d)))
       case GreaterThanOrEqual(a, v) => toBson(v).map(BQuery.Gte(col(a), _))
       case LessThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lt))
       case LessThan(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Lt))
+      case LessThan(a, v) if epochDay(v).isDefined =>
+        epochDay(v).map(d => BQuery.Lt(col(a), dayLo(d)))
       case LessThan(a, v) => toBson(v).map(BQuery.Lt(col(a), _))
       case LessThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lte))
       case LessThanOrEqual(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Lte))
+      case LessThanOrEqual(a, v) if epochDay(v).isDefined =>
+        epochDay(v).map(d => BQuery.Lt(col(a), dayHi(d)))
       case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(col(a), _))
       case In(a, vs) =>
         // Spark: `a IN (..., NULL)` can never be satisfied BY the null —
@@ -515,6 +548,9 @@ object FilterTranslator {
           Some(BQuery.ReadStrIn(col(a), nonNull.map(_.asInstanceOf[String])))
         else if (nonNull.forall(_.isInstanceOf[Long]))
           Some(BQuery.ReadLongIn(col(a), nonNull.map(_.asInstanceOf[Long])))
+        else if (nonNull.nonEmpty && nonNull.forall(v => epochDay(v).isDefined))
+          // IN over dates: the union of the day windows
+          Some(BQuery.Or(nonNull.flatMap(epochDay).map(d => dayEq(col(a), d))))
         else {
           val bs = nonNull.map(toBson)
           if (bs.forall(_.isDefined)) Some(BQuery.In(col(a), bs.flatten)) else None
@@ -543,6 +579,9 @@ object FilterTranslator {
       case Not(EqualTo(a, v: Long)) =>
         Some(BQuery.Or(Seq(ReadLongCmp(col(a), v, ReadStrOp.Lt),
           ReadLongCmp(col(a), v, ReadStrOp.Gt))))
+      case Not(EqualTo(a, v)) if epochDay(v).isDefined =>
+        epochDay(v).map(d => BQuery.Or(Seq(
+          BQuery.Lt(col(a), dayLo(d)), BQuery.Gte(col(a), dayHi(d)))))
       case Not(EqualTo(a, v)) =>
         toBson(v).map(b => BQuery.Or(Seq(BQuery.Lt(col(a), b), BQuery.Gt(col(a), b))))
       case _ => None

@@ -118,4 +118,45 @@ class TranslatorEdgeSpec extends AnyFunSuite {
     assert(!BQuery.Eq("_id", BString(hex)).matches(BDoc("_id" -> BObjectId(hex))))
     assert(!BQuery.Regex("p", "ab").matches(BDoc("p" -> BRegex("abc", ""))))
   }
+
+  test("pushed DATE filters compile to day-window ranges (read-day semantics, tz-free)") {
+    val d = java.sql.Date.valueOf("2024-01-03")
+    val day = d.toLocalDate.toEpochDay
+    val midnight = BDate(day * 86400000L)
+    val noon = BDate(day * 86400000L + 43200000L) // non-midnight storage
+    val nextDay = BDate((day + 1) * 86400000L)
+    val prev = BDate(day * 86400000L - 1L)
+
+    // a DateType column reads the stored BDate's epoch-day FLOOR, so a
+    // pushed `day = DATE d` must keep EVERY storage within the day —
+    // raw-millis equality would drop the noon row Spark's read keeps
+    val eq = FilterTranslator.translate(EqualTo("day", d)).get
+    assert(eq.matches(BDoc("day" -> midnight)))
+    assert(eq.matches(BDoc("day" -> noon)),
+      "non-midnight storage reads as the same day and must match")
+    assert(!eq.matches(BDoc("day" -> nextDay)))
+    assert(!eq.matches(BDoc("day" -> prev)))
+    assert(!eq.matches(BDoc("other" -> midnight)))
+
+    val gt = FilterTranslator.translate(GreaterThan("day", d)).get
+    assert(!gt.matches(BDoc("day" -> noon)) && gt.matches(BDoc("day" -> nextDay)))
+    val gte = FilterTranslator.translate(GreaterThanOrEqual("day", d)).get
+    assert(gte.matches(BDoc("day" -> midnight)) && !gte.matches(BDoc("day" -> prev)))
+    val lt = FilterTranslator.translate(LessThan("day", d)).get
+    assert(lt.matches(BDoc("day" -> prev)) && !lt.matches(BDoc("day" -> noon)))
+    val lte = FilterTranslator.translate(LessThanOrEqual("day", d)).get
+    assert(lte.matches(BDoc("day" -> noon)) && !lte.matches(BDoc("day" -> nextDay)))
+    val ne = FilterTranslator.translate(Not(EqualTo("day", d))).get
+    assert(!ne.matches(BDoc("day" -> noon)) && ne.matches(BDoc("day" -> nextDay)) &&
+      ne.matches(BDoc("day" -> prev)))
+    val in = FilterTranslator.translate(
+      In("day", Array[Any](d, java.sql.Date.valueOf("2024-01-05")))).get
+    assert(in.matches(BDoc("day" -> noon)))
+    assert(!in.matches(BDoc("day" -> nextDay)))
+
+    // LocalDate literals (java8 datetime API) translate identically
+    val eqL = FilterTranslator.translate(
+      EqualTo("day", java.time.LocalDate.of(2024, 1, 3))).get
+    assert(eqL.matches(BDoc("day" -> noon)) && !eqL.matches(BDoc("day" -> nextDay)))
+  }
 }
