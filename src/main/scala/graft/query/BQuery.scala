@@ -345,6 +345,75 @@ object BQuery {
       d.getPath(path).flatMap(readLong).exists(set.contains)
   }
 
+  /** The microseconds Spark READS for a stored value under a
+    * TimestampType column (RowCodec.toCatalyst: BDate millis and
+    * BTimestamp seconds — TWO brackets that read into one type; other
+    * storage is unreadable as a timestamp and never matches).
+    */
+  private[query] def readMicros(v: BsonValue): Option[Long] = v match {
+    case BDate(ms) => Some(ms * 1000L)
+    case BTimestamp(s, _) => Some(s.toLong * 1000000L)
+    case _ => None
+  }
+
+  /** Spark-read-semantics comparison for TIMESTAMP literals: a
+    * TimestampType column may be backed by BDate OR BTimestamp storage,
+    * which sit in DIFFERENT BSON brackets — a bracketed `Eq(BDate)`
+    * silently drops the BTimestamp-backed rows an accepted filter must
+    * keep. Produced ONLY by [[FilterTranslator]], like [[ReadStrCmp]];
+    * never renders server-side (the server scan builder rewrites it to
+    * the exact bracket form under `assume_uniform_storage`, where every
+    * stored value is a BDate — see the builder).
+    */
+  final case class ReadTimeCmp(path: String, micros: Long, op: ReadStrOp) extends BQuery {
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).flatMap(readMicros).exists { us =>
+        val c = java.lang.Long.compare(us, micros)
+        op match {
+          case ReadStrOp.Eq => c == 0
+          case ReadStrOp.Lt => c < 0
+          case ReadStrOp.Lte => c <= 0
+          case ReadStrOp.Gt => c > 0
+          case ReadStrOp.Gte => c >= 0
+        }
+      }
+  }
+
+  /** Spark-read-semantics IN over timestamp micros (see [[ReadTimeCmp]]). */
+  final case class ReadTimeIn(path: String, micros: Seq[Long]) extends BQuery {
+    @transient private lazy val set = micros.toSet
+    def matches(d: BDoc): Boolean =
+      d.getPath(path).flatMap(readMicros).exists(set.contains)
+  }
+
+  /** Rewrite read-semantics TIME nodes to their exact BRACKET forms —
+    * sound ONLY under uniform storage (every stored value a BDate, as
+    * this engine writes: RowCodec Timestamp→date), where read-µs order
+    * is isomorphic to the date bracket's millis order. The server scan
+    * builder applies this under `assume_uniform_storage` so timestamp
+    * filters render into `$match`/cursor queries instead of staying
+    * client-side residuals. Sub-millisecond literals keep their node
+    * (no BDate can match an Eq; ranges would need rounding — rare
+    * enough to stay residual).
+    */
+  def uniformTimeBracket(q: BQuery): BQuery = q match {
+    case And(qs) => And(qs.map(uniformTimeBracket))
+    case Or(qs) => Or(qs.map(uniformTimeBracket))
+    case Nor(qs) => Nor(qs.map(uniformTimeBracket))
+    case ReadTimeCmp(p, us, op) if us % 1000L == 0 =>
+      val d = BDate(us / 1000L)
+      op match {
+        case ReadStrOp.Eq => Eq(p, d)
+        case ReadStrOp.Lt => Lt(p, d)
+        case ReadStrOp.Lte => Lte(p, d)
+        case ReadStrOp.Gt => Gt(p, d)
+        case ReadStrOp.Gte => Gte(p, d)
+      }
+    case ReadTimeIn(p, us) if us.forall(_ % 1000L == 0) =>
+      In(p, us.map(x => BDate(x / 1000L)))
+    case other => other
+  }
+
   /** True when `s` could be the hex of an ObjectId (24 hex digits). */
   def isHex24(s: String): Boolean =
     s.length == 24 && s.forall(c => Character.digit(c, 16) >= 0)
@@ -384,6 +453,8 @@ object BQuery {
     case ReadStrRegex(p, _) => Set(p.split('.').head)
     case ReadLongCmp(p, _, _) => Set(p.split('.').head)
     case ReadLongIn(p, _) => Set(p.split('.').head)
+    case ReadTimeCmp(p, _, _) => Set(p.split('.').head)
+    case ReadTimeIn(p, _) => Set(p.split('.').head)
     case And(qs) => qs.flatMap(fieldHeads).toSet
     case Or(qs) => qs.flatMap(fieldHeads).toSet
     case True => Set.empty
@@ -421,6 +492,8 @@ object BQuery {
     case ReadStrRegex(p, _) => Set(p)
     case ReadLongCmp(p, _, _) => Set(p)
     case ReadLongIn(p, _) => Set(p)
+    case ReadTimeCmp(p, _, _) => Set(p)
+    case ReadTimeIn(p, _) => Set(p)
     case And(qs) => qs.flatMap(fieldPaths).toSet
     case Or(qs) => qs.flatMap(fieldPaths).toSet
     case True => Set.empty
@@ -455,13 +528,11 @@ object FilterTranslator {
     case x: Float => Some(BDouble(x.toDouble))
     case x: String => Some(BString(x))
     case x: Boolean => Some(BBool(x))
-    // BDate stores whole milliseconds, and accepted filters are NOT
-    // re-checked by Spark — so a sub-millisecond literal must stay residual
-    // (truncating it would return rows Spark semantics exclude)
-    case x: java.sql.Timestamp =>
-      if (x.getNanos % 1000000 == 0) Some(BDate(x.getTime)) else None
-    case x: java.time.Instant =>
-      if (x.getNano % 1000000 == 0) Some(BDate(x.toEpochMilli)) else None
+    // java.sql.Timestamp / Instant deliberately ABSENT: a TimestampType
+    // column reads from TWO storage brackets (BDate millis, BTimestamp
+    // seconds), so timestamp comparisons compile to the read-semantics
+    // ReadTime* nodes in [[translate]] — a raw BDate literal here would
+    // drop BTimestamp-backed rows Spark's read keeps
     // java.sql.Date / LocalDate deliberately ABSENT: a DateType column
     // reads as the stored BDate's epoch-DAY floor, so date comparisons
     // compile to day-window RANGES in [[translate]] — a raw-millis
@@ -469,6 +540,22 @@ object FilterTranslator {
     // (and java.sql.Date.getTime is JVM-timezone-dependent)
     case x: Array[Byte] => Some(BBinary(x))
     case _ => None
+  }
+
+  /** Epoch MICROS of a v1 timestamp literal; None for sub-microsecond
+    * values (TimestampType is µs — Spark-produced literals always fit,
+    * a hand-built sub-µs Timestamp stays residual). */
+  private def timeMicros(v: Any): Option[Long] = {
+    def ofInstant(i: java.time.Instant): Option[Long] =
+      if (i.getNano % 1000 == 0)
+        Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          (i.getNano / 1000).toLong))
+      else None
+    v match {
+      case x: java.sql.Timestamp => ofInstant(x.toInstant)
+      case x: java.time.Instant => ofInstant(x)
+      case _ => None
+    }
   }
 
   /** Epoch day of a v1 date literal (tz-independent — getTime is not). */
@@ -490,7 +577,7 @@ object FilterTranslator {
     */
   def translate(f: Filter, m: Map[String, String] = Map.empty): Option[BQuery] = {
     def col(a: String): String = m.getOrElse(a, a)
-    import BQuery.{ReadLongCmp, ReadStrCmp, ReadStrOp}
+    import BQuery.{ReadLongCmp, ReadStrCmp, ReadStrOp, ReadTimeCmp}
     // String and LONG comparisons carry SPARK read semantics (ReadStr*/
     // ReadLong* nodes): a string column may be backed by BString/BSymbol/
     // BObjectId/BRegex storage and a LongType column by int/long OR BDate
@@ -511,33 +598,48 @@ object FilterTranslator {
       // millis, exact for any BDate storage (see toBson's date note)
       case EqualTo(a, v) if epochDay(v).isDefined =>
         epochDay(v).map(d => dayEq(col(a), d))
+      // TIMESTAMP literals: read semantics over BOTH readable storages
+      // (BDate millis, BTimestamp seconds) — a bracketed Eq(BDate) would
+      // drop BTimestamp-backed rows Spark's read keeps
+      case EqualTo(a, v) if timeMicros(v).isDefined =>
+        timeMicros(v).map(us => ReadTimeCmp(col(a), us, ReadStrOp.Eq))
       case EqualTo(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case EqualNullSafe(a, null) => Some(BQuery.Exists(col(a), yes = false))
       case EqualNullSafe(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Eq))
       case EqualNullSafe(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Eq))
       case EqualNullSafe(a, v) if epochDay(v).isDefined =>
         epochDay(v).map(d => dayEq(col(a), d))
+      case EqualNullSafe(a, v) if timeMicros(v).isDefined =>
+        timeMicros(v).map(us => ReadTimeCmp(col(a), us, ReadStrOp.Eq))
       case EqualNullSafe(a, v) => toBson(v).map(BQuery.Eq(col(a), _))
       case GreaterThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gt))
       case GreaterThan(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Gt))
       // read-day > d  <=>  stored millis >= (d+1)'s start
       case GreaterThan(a, v) if epochDay(v).isDefined =>
         epochDay(v).map(d => BQuery.Gte(col(a), dayHi(d)))
+      case GreaterThan(a, v) if timeMicros(v).isDefined =>
+        timeMicros(v).map(us => ReadTimeCmp(col(a), us, ReadStrOp.Gt))
       case GreaterThan(a, v) => toBson(v).map(BQuery.Gt(col(a), _))
       case GreaterThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Gte))
       case GreaterThanOrEqual(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Gte))
       case GreaterThanOrEqual(a, v) if epochDay(v).isDefined =>
         epochDay(v).map(d => BQuery.Gte(col(a), dayLo(d)))
+      case GreaterThanOrEqual(a, v) if timeMicros(v).isDefined =>
+        timeMicros(v).map(us => ReadTimeCmp(col(a), us, ReadStrOp.Gte))
       case GreaterThanOrEqual(a, v) => toBson(v).map(BQuery.Gte(col(a), _))
       case LessThan(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lt))
       case LessThan(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Lt))
       case LessThan(a, v) if epochDay(v).isDefined =>
         epochDay(v).map(d => BQuery.Lt(col(a), dayLo(d)))
+      case LessThan(a, v) if timeMicros(v).isDefined =>
+        timeMicros(v).map(us => ReadTimeCmp(col(a), us, ReadStrOp.Lt))
       case LessThan(a, v) => toBson(v).map(BQuery.Lt(col(a), _))
       case LessThanOrEqual(a, v: String) => Some(ReadStrCmp(col(a), v, ReadStrOp.Lte))
       case LessThanOrEqual(a, v: Long) => Some(ReadLongCmp(col(a), v, ReadStrOp.Lte))
       case LessThanOrEqual(a, v) if epochDay(v).isDefined =>
         epochDay(v).map(d => BQuery.Lt(col(a), dayHi(d)))
+      case LessThanOrEqual(a, v) if timeMicros(v).isDefined =>
+        timeMicros(v).map(us => ReadTimeCmp(col(a), us, ReadStrOp.Lte))
       case LessThanOrEqual(a, v) => toBson(v).map(BQuery.Lte(col(a), _))
       case In(a, vs) =>
         // Spark: `a IN (..., NULL)` can never be satisfied BY the null —
@@ -551,6 +653,8 @@ object FilterTranslator {
         else if (nonNull.nonEmpty && nonNull.forall(v => epochDay(v).isDefined))
           // IN over dates: the union of the day windows
           Some(BQuery.Or(nonNull.flatMap(epochDay).map(d => dayEq(col(a), d))))
+        else if (nonNull.nonEmpty && nonNull.forall(v => timeMicros(v).isDefined))
+          Some(BQuery.ReadTimeIn(col(a), nonNull.flatMap(timeMicros)))
         else {
           val bs = nonNull.map(toBson)
           if (bs.forall(_.isDefined)) Some(BQuery.In(col(a), bs.flatten)) else None
@@ -582,6 +686,10 @@ object FilterTranslator {
       case Not(EqualTo(a, v)) if epochDay(v).isDefined =>
         epochDay(v).map(d => BQuery.Or(Seq(
           BQuery.Lt(col(a), dayLo(d)), BQuery.Gte(col(a), dayHi(d)))))
+      case Not(EqualTo(a, v)) if timeMicros(v).isDefined =>
+        timeMicros(v).map(us => BQuery.Or(Seq(
+          ReadTimeCmp(col(a), us, ReadStrOp.Lt),
+          ReadTimeCmp(col(a), us, ReadStrOp.Gt))))
       case Not(EqualTo(a, v)) =>
         toBson(v).map(b => BQuery.Or(Seq(BQuery.Lt(col(a), b), BQuery.Gt(col(a), b))))
       case _ => None

@@ -231,7 +231,15 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val (metaFilters, docFilters) = filters.partition(
       _.references.contains(GraftServerSource.NsMetaCol))
     val (query, accepted, residual) = FilterTranslator.split(docFilters, Map.empty)
-    pushedQuery = query
+    // under uniform storage every stored timestamp is a BDate, so the
+    // read-semantics ReadTime* nodes rewrite to their exact BRACKET
+    // forms — renderable server-side (a $match/cursor query) instead of
+    // client-side residual re-checks, and the grouped/join pushdowns'
+    // isExact gates then accept timestamp filters too
+    pushedQuery =
+      if (options.get("assume_uniform_storage").exists(_.toBoolean))
+        BQuery.uniformTimeBracket(query)
+      else query
     pushed = accepted
     residuals = residual ++ metaFilters
     residuals

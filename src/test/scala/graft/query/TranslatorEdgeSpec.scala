@@ -11,19 +11,46 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TranslatorEdgeSpec extends AnyFunSuite {
 
-  test("sub-millisecond timestamp literals stay residual") {
+  test("timestamp literals push with µs read semantics; sub-µs stays residual") {
     val exact = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123")
     assert(FilterTranslator.translate(GreaterThan("ts", exact)).isDefined)
 
+    // sub-MICROsecond cannot be represented in TimestampType reads
     val sub = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.1234567")
     assert(FilterTranslator.translate(GreaterThan("ts", sub)).isEmpty,
-      "BDate is whole-ms; pushing a truncated bound would return extra rows")
+      "a sub-µs bound cannot compile to an exact read-µs comparison")
     assert(FilterTranslator.translate(EqualTo("ts", sub)).isEmpty)
 
-    val instSub = java.time.Instant.parse("2024-01-02T03:04:05.000123Z")
-    assert(FilterTranslator.translate(LessThan("ts", instSub)).isEmpty)
+    // µs-exact literals (Spark's own precision) push — the r13 ReadTime
+    // nodes compare read MICROS, so the old whole-ms restriction is gone
+    val instMicro = java.time.Instant.parse("2024-01-02T03:04:05.000123Z")
+    assert(FilterTranslator.translate(LessThan("ts", instMicro)).isDefined)
     val instExact = java.time.Instant.parse("2024-01-02T03:04:05.123Z")
     assert(FilterTranslator.translate(LessThan("ts", instExact)).isDefined)
+  }
+
+  test("pushed TIMESTAMP filters read BOTH storages (BDate millis, BTimestamp seconds)") {
+    val t = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.0")
+    val us = t.toInstant.toEpochMilli * 1000L
+    val eq = FilterTranslator.translate(EqualTo("ts", t)).get
+    // a bracketed Eq(BDate) would DROP the BTimestamp-backed row Spark's
+    // read keeps (both read as the same microseconds)
+    assert(eq.matches(BDoc("ts" -> BDate(us / 1000L))))
+    assert(eq.matches(BDoc("ts" -> BTimestamp((us / 1000000L).toInt, 0))),
+      "BTimestamp storage reading to the same micros must match")
+    assert(!eq.matches(BDoc("ts" -> BDate(us / 1000L + 1L))))
+    assert(!eq.matches(BDoc("ts" -> BString("2024"))))
+    val gt = FilterTranslator.translate(GreaterThan("ts", t)).get
+    assert(gt.matches(BDoc("ts" -> BTimestamp((us / 1000000L).toInt + 1, 0))))
+    assert(!gt.matches(BDoc("ts" -> BDate(us / 1000L))))
+
+    // the uniform-storage rewrite restores the exact bracket (renderable)
+    // forms — every engine-written timestamp is a BDate
+    val re = BQuery.uniformTimeBracket(eq)
+    assert(re == BQuery.Eq("ts", BDate(us / 1000L)), re.toString)
+    val reIn = BQuery.uniformTimeBracket(
+      FilterTranslator.translate(In("ts", Array[Any](t))).get)
+    assert(reIn == BQuery.In("ts", Seq(BDate(us / 1000L))), reIn.toString)
   }
 
   test("IN lists drop nulls; all-null IN and a = NULL match nothing") {
