@@ -1139,9 +1139,14 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     runtimeIn.foldLeft(query) { case (acc, (f, vs)) =>
       val strs = vs.collect { case BString(s) => s }
       val longs = vs.collect { case BInt64(x) => x }
+      // TimestampType runtime values arrive as BDate millis; the join
+      // compares READ values, so match BOTH timestamp storages
+      val dates = vs.collect { case BDate(ms) => ms }
       BQuery.and(acc,
         if (strs.size == vs.size) BQuery.ReadStrIn(f, strs)
         else if (longs.size == vs.size) BQuery.ReadLongIn(f, longs)
+        else if (dates.size == vs.size && vs.nonEmpty)
+          BQuery.ReadTimeIn(f, dates.map(_ * 1000L))
         else BQuery.In(f, vs))
     }
 

@@ -1136,9 +1136,14 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         val rtQuery = rt.foldLeft(BQuery.True: BQuery) { case (acc, (f, vs)) =>
           val strs = vs.collect { case BString(s) => s }
           val longs = vs.collect { case BInt64(x) => x }
+          // TimestampType runtime values arrive as BDate millis; the
+          // join compares READ values, so match BOTH timestamp storages
+          val dates = vs.collect { case graft.bson.BDate(ms) => ms }
           BQuery.and(acc,
             if (strs.size == vs.size) BQuery.ReadStrIn(f, strs)
             else if (longs.size == vs.size) BQuery.ReadLongIn(f, longs)
+            else if (dates.size == vs.size && vs.nonEmpty)
+              BQuery.ReadTimeIn(f, dates.map(_ * 1000L))
             else BQuery.In(f, vs))
         }
         planCollection(routed, defStrategy, defSplitSize, defKey, defMinDocs,

@@ -149,6 +149,16 @@ object Planners {
     // date as its milliseconds under a LongType column) \u2014 probe both
     // brackets
     case BInt64(x) => r.containsValue(BInt64(x)) || r.containsValue(BDate(x))
+    // a TimestampType runtime value (BDate millis) may also read-equal a
+    // BTimestamp(seconds, ANY increment) — keep a partition whose range
+    // intersects that whole-second increment band (a different bracket
+    // than BDate in the cross-type order)
+    case BDate(ms) =>
+      r.containsValue(BDate(ms)) || (ms % 1000L == 0 && {
+        val s = (ms / 1000L).toInt
+        r.lo.forall(l => BsonOrdering.compare(l, graft.bson.BTimestamp(s + 1, 0)) < 0) &&
+          r.hi.forall(h => BsonOrdering.compare(h, graft.bson.BTimestamp(s, 0)) > 0)
+      })
     case other => r.containsValue(other)
   }
 
