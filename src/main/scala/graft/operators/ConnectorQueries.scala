@@ -304,6 +304,10 @@ object ConnectorQueries {
           .option("id_column", "c_custkey")
           .mode("append").save()
         s.read.format("graftserver").options(opts)
+          // SUM over the Long _id needs the uniform opt-in (r13 gate:
+          // $sum would skip a date-backed long) — honest here, this
+          // engine wrote the collection
+          .option("assume_uniform_storage", "true")
           .schema("_id LONG, c_nationkey INT, c_acctbal DOUBLE")
           .load()
           .groupBy($"c_nationkey")
@@ -418,6 +422,8 @@ object ConnectorQueries {
         // the pushdown (dsum's decimal cast is not a bare column) or
         // float-drift against the oracle.
         s.read.format("graftserver").options(opts)
+          // SUM/AVG over Long columns ride the uniform opt-in (r13 gate)
+          .option("assume_uniform_storage", "true")
           .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE")
           .load()
           .filter($"o_totalprice" > 50000.0)
@@ -455,6 +461,8 @@ object ConnectorQueries {
           .option("id_column", "o_orderkey")
           .mode("append").save()
         s.read.format("graftserver").options(opts)
+          // SUM/AVG over the Long _id ride the uniform opt-in (r13 gate)
+          .option("assume_uniform_storage", "true")
           .schema("_id LONG, o_orderstatus STRING, o_orderpriority STRING, " +
             "o_totalprice DOUBLE")
           .load()
@@ -1075,6 +1083,8 @@ object ConnectorQueries {
           .option("id_column", "o_orderkey")
           .mode("append").save()
         s.read.format("graftserver").options(opts)
+          // SUM over the Long _id rides the uniform opt-in (r13 gate)
+          .option("assume_uniform_storage", "true")
           .schema("_id LONG, meta STRUCT<status: STRING, price: DOUBLE>")
           .load()
           .filter($"meta.price" > 1000.0)

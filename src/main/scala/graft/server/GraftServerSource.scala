@@ -398,10 +398,13 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // (`meta.lang` under a struct-typed output) composes too — the
     // `$group` tail resolves its HEAD against the left-output set to
     // pick the top-level vs `__j.` home (QueryDocs.lookupTail)
+    def sideOpts(r: FieldResolve.Ref): Map[String, String] =
+      joinedColOpts.getOrElse(r.docPath.split('.').head, options)
     GroupAggParse.parse(aggregation,
       e => graft.source.FieldResolve.resolve(j.schema, e),
-      GraftServerScanBuilder.GroupKeyTypes.contains,
-      GraftServerScanBuilder.AggTypes.contains) match {
+      r => GraftServerScanBuilder.GroupKeyTypes.contains(r.dataType),
+      r => GraftServerScanBuilder.aggValueSafe(r.dataType, sideOpts(r)),
+      r => GraftServerScanBuilder.sumValueSafe(r.dataType, sideOpts(r))) match {
       case Some(p) =>
         joinedAgg = Some(ServerGroupedAgg(
           p.groupCols.map(r => (r.docPath, r.dataType)), p.items))
@@ -421,7 +424,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[(String, org.apache.spark.sql.types.DataType)] =
       FieldResolve.resolve(tableSchema, e)
-        .filter(r => GraftServerScanBuilder.AggTypes.contains(r.dataType))
+        .filter(r => GraftServerScanBuilder.aggValueSafe(r.dataType, options))
         .map(r => (r.docPath, r.dataType))
     val items = aggregation.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(AggPush.RowCount)
@@ -469,8 +472,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // with only `_id` answers it in #distinct-keys docs per namespace.
     GroupAggParse.parse(aggregation,
       e => graft.source.FieldResolve.resolve(tableSchema, e),
-      GraftServerScanBuilder.GroupKeyTypes.contains,
-      GraftServerScanBuilder.AggTypes.contains) match {
+      r => GraftServerScanBuilder.GroupKeyTypes.contains(r.dataType),
+      r => GraftServerScanBuilder.aggValueSafe(r.dataType, options),
+      r => GraftServerScanBuilder.sumValueSafe(r.dataType, options)) match {
       case Some(p) =>
         groupedAgg = Some(ServerGroupedAgg(
           p.groupCols.map(r => (r.docPath, r.dataType)), p.items))
@@ -1005,6 +1009,34 @@ object GraftServerScanBuilder {
     * pushed `$ne` filter, or project the column through a no-op
     * expression to keep the aggregate Spark-side, when that matters.
     */
+  /** Can a server-evaluated MIN/MAX/SUM over a column of this Spark type
+    * be trusted as Spark's own aggregate over the READ values? The
+    * server's `$min`/`$max` walk the CROSS-BRACKET stored order and
+    * `$sum` skips non-numeric storages, so types readable from MORE THAN
+    * ONE bracket (LongType: int/long vs date; TimestampType: date vs
+    * timestamp) are only safe under `assume_uniform_storage` — the same
+    * gate the TopN path always had (r13: previously ungated here, a
+    * latent mixed-storage divergence). Int/Double/Boolean/Date are
+    * single-bracket (or single-order) reads and always safe.
+    */
+  def aggValueSafe(dt: org.apache.spark.sql.types.DataType,
+      options: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.types._
+    val always = Set[DataType](IntegerType, DoubleType, BooleanType, DateType)
+    val uniform = Set[DataType](LongType, TimestampType)
+    always.contains(dt) || (uniform.contains(dt) &&
+      options.get("assume_uniform_storage").exists(_.toBoolean))
+  }
+
+  /** SUM inputs: exact numerics; LongType only under uniform storage (a
+    * BDate-backed long reads as its millis but `$sum` would SKIP it). */
+  def sumValueSafe(dt: org.apache.spark.sql.types.DataType,
+      options: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == IntegerType || dt == DoubleType ||
+      (dt == LongType && options.get("assume_uniform_storage").exists(_.toBoolean))
+  }
+
   val AggTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     // DateType is SINGLE-bracket: only BDate storage reads as a date

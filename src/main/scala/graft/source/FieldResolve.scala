@@ -82,14 +82,21 @@ object GroupAggParse {
   /** None when any group key or aggregate fails its resolver/type gate
     * (the caller then refuses the pushdown and Spark keeps the
     * aggregate). Zero aggregates with ≥1 group key is SELECT DISTINCT
-    * and parses; zero of both does not.
+    * and parses; zero of both does not. Gates take the full resolved
+    * [[FieldResolve.Ref]] so a caller can apply PER-COLUMN policies
+    * (e.g. the joined server path gates each column by its ORIGIN
+    * side's storage options); `sumOk` defaults to the shared
+    * exact-numeric rule.
     */
   def parse(aggregation: Aggregation,
       resolve: Expression => Option[FieldResolve.Ref],
-      groupKeyOk: DataType => Boolean,
-      minMaxOk: DataType => Boolean): Option[Parsed] = {
+      groupKeyOk: FieldResolve.Ref => Boolean,
+      minMaxOk: FieldResolve.Ref => Boolean,
+      sumOk: FieldResolve.Ref => Boolean =
+        r => r.dataType == IntegerType || r.dataType == LongType ||
+          r.dataType == DoubleType): Option[Parsed] = {
     val groupRefs = aggregation.groupByExpressions.toSeq.map(e =>
-      resolve(e).filter(r => groupKeyOk(r.dataType)))
+      resolve(e).filter(groupKeyOk))
     if (groupRefs.contains(None)) return None
     val parsed: Seq[Option[(GroupAgg, DataType, Option[FieldResolve.Ref])]] =
       aggregation.aggregateExpressions.toSeq.map {
@@ -102,15 +109,16 @@ object GroupAggParse {
             (GroupAgg.CountCol(r.docPath, s"count(${r.docPath})"),
               LongType: DataType, Some(r)))
         case m: aggregate.Min =>
-          resolve(m.column).filter(r => minMaxOk(r.dataType)).map(r =>
+          resolve(m.column).filter(minMaxOk).map(r =>
             (GroupAgg.MinOf(r.docPath, s"min(${r.docPath})"), r.dataType, Some(r)))
         case m: aggregate.Max =>
-          resolve(m.column).filter(r => minMaxOk(r.dataType)).map(r =>
+          resolve(m.column).filter(minMaxOk).map(r =>
             (GroupAgg.MaxOf(r.docPath, s"max(${r.docPath})"), r.dataType, Some(r)))
         case sm: aggregate.Sum if !sm.isDistinct =>
           resolve(sm.column)
-            .filter(r => r.dataType == LongType || r.dataType == DoubleType ||
-              r.dataType == IntegerType)
+            .filter(r => sumOk(r) &&
+              (r.dataType == LongType || r.dataType == DoubleType ||
+                r.dataType == IntegerType))
             .map(r => (GroupAgg.SumOf(r.docPath, s"sum(${r.docPath})"),
               (if (r.dataType == DoubleType) DoubleType else LongType): DataType,
               Some(r)))

@@ -618,7 +618,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // DISTINCT (each split emits its distinct keys as partial rows).
     GroupAggParse.parse(aggregation,
       e => FieldResolve.resolve(tableSchema, e, mapping),
-      GroupKeyTypes.contains, GroupMinMaxTypes.contains) match {
+      r => GroupKeyTypes.contains(r.dataType),
+      r => GroupMinMaxTypes.contains(r.dataType)) match {
       case Some(p) =>
         groupedAgg = Some(FileGroupedAgg(
           p.groupCols.map(r => (r.docPath, r.dataType)),

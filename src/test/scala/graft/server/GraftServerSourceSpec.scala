@@ -685,6 +685,45 @@ class GraftServerSourceSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("Long/Timestamp MIN/MAX/SUM refuse without uniform storage (mixed-bracket divergence)") {
+    import spark.implicits._
+    import graft.bson._
+    val dir = freshDir()
+    // MIXED storage under one LongType column: an int64 500 and a BDate
+    // 100ms — both read as longs (500, 100), but the server's $min walks
+    // the numeric bracket FIRST (500) and $sum would SKIP the date. A
+    // pushed aggregate here answers 500/500 where Spark's read answers
+    // 100/600 — the r13 gate keeps these aggregates in Spark unless
+    // uniform storage is asserted.
+    val client = new FakeServerClient(Some(dir))
+    client.bulkWrite("db.mixed", Iterator(
+      graft.store.InsertOne(BDoc("_id" -> BInt32(1), "v" -> BInt64(500L))),
+      graft.store.InsertOne(BDoc("_id" -> BInt32(2), "v" -> BDate(100L)))),
+      ordered = true)
+    val base = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.mixed"))
+      .schema("_id INT, v LONG").load()
+    val agg = base.agg(min($"v").as("mn"), max($"v").as("mx"), sum($"v").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates") &&
+      !plan.contains("PushedGroupedAggregate"), plan)
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((100L, 500L, 600L)),
+      s"Spark read semantics must win: $r")
+    // grouped form refuses the same way and stays correct
+    val g = base.groupBy($"_id" % 2).agg(sum($"v").as("s"))
+    assert(!g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"))
+    assert(g.collect().map(_.getLong(1)).sorted.toSeq == Seq(100L, 500L))
+    // with the opt-in (engine-written collections are uniform) the
+    // pipeline pushes again — q121/q124/q125/q140 ride this
+    val uni = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.mixed") + ("assume_uniform_storage" -> "true"))
+      .schema("_id INT, v LONG").load()
+      .agg(sum($"v").as("s"))
+    assert(uni.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GLOBAL"))
+  }
+
   test("ensure_index on the server write declares the index BEFORE tasks run") {
     import spark.implicits._
     val dir = freshDir()
