@@ -473,6 +473,25 @@ class JoinPushdownSpec extends SparkSpec {
     assert(chainLim.collect().length == 5)
   }
 
+  test("SELF-join (same collection both sides) pushes as a $lookup from itself") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir, nOrders = 50, nCust = 0)
+    val o1 = ordersDf(dir)
+    val o2 = ordersDf(dir)
+    // each order joined to the order whose _id equals its custkey
+    val j = o1.join(o2, o1("custkey") === o2("_id"))
+      .select(o1("_id").as("a"), o2("_id").as("b"), o2("price").as("bp"))
+    val plan = planOf(j)
+    assert(plan.contains("PushedJoin: INNER db.orders"), plan)
+    assert(!plan.contains("Join "), plan)
+    val got = j.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    // custkey = i % 50 over ids 0..49: every order matches, b = custkey
+    assert(got.size == 50 &&
+      got.forall { case (a, b, bp) => b == a % 50 && bp == b * 7 % 1000 * 1.0 })
+  }
+
   test("refusal: an output column named __j (the $lookup joined field) keeps the join in Spark") {
     import spark.implicits._
     val dir = freshDir()
