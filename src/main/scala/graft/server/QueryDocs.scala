@@ -24,11 +24,14 @@ import scala.collection.immutable.ListMap
   *    null-valued field, and PCRE-vs-java regex dialect — on a live
   *    server those follow the server, which is what a reference user
   *    already gets.
-  *  - Spark-read-semantics `ReadStr*` / `ReadLong*` nodes (compiled
-  *    pushed filters — Spark never re-checks them, so their cross-
-  *    bracket read semantics MUST hold exactly) never render: they stay
-  *    client-side residuals re-checked on the cursor. The rendered part
-  *    of such a query is a superset pre-filter at worst.
+  *  - Spark-read-semantics `ReadStr*` / `ReadLong*` / `ReadTime*` nodes
+  *    (compiled pushed filters — Spark never re-checks them, so their
+  *    cross-bracket read semantics MUST hold exactly) never render: they
+  *    stay client-side residuals re-checked on the cursor. The rendered
+  *    part of such a query is a superset pre-filter at worst. (Under
+  *    `assume_uniform_storage` the scan builder rewrites `ReadTime*` to
+  *    exact bracket forms BEFORE planning, so engine-written
+  *    collections keep server-side timestamp filtering.)
   *  - [[BQuery.KeyRange]] split bounds become `$min`/`$max` cursor
   *    bounds with an index hint — the index's cross-type order IS the
   *    range's semantics; a `$gte`/`$lt` spelling would bracket by type
