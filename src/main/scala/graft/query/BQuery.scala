@@ -386,20 +386,32 @@ object BQuery {
       d.getPath(path).flatMap(readMicros).exists(set.contains)
   }
 
-  /** Rewrite read-semantics TIME nodes to their exact BRACKET forms —
-    * sound ONLY under uniform storage (every stored value a BDate, as
-    * this engine writes: RowCodec Timestamp→date), where read-µs order
-    * is isomorphic to the date bracket's millis order. The server scan
-    * builder applies this under `assume_uniform_storage` so timestamp
-    * filters render into `$match`/cursor queries instead of staying
-    * client-side residuals. Sub-millisecond literals keep their node
-    * (no BDate can match an Eq; ranges would need rounding — rare
-    * enough to stay residual).
+  /** Rewrite read-semantics nodes to their exact BRACKET forms — sound
+    * ONLY under uniform storage (every stored value is the ONE type this
+    * engine writes: Timestamp→BDate, Long→int64, String→BString), where
+    * the read semantics coincide with the single bracket's. The server
+    * scan builder applies this under `assume_uniform_storage` so pushed
+    * Long/Timestamp/String filters render into `$match`/cursor queries
+    * (and the grouped/join pushdowns' fully-renderable gates accept
+    * them) instead of staying client-side residuals.
+    *
+    * Per node:
+    *  - ReadTime*: BDate-only storage — all comparisons (read-µs order
+    *    isomorphic to date-bracket millis). Sub-ms literals keep their
+    *    node (rare; stays residual).
+    *  - ReadLong*: int64-only storage — all comparisons (integer order
+    *    IS the numeric bracket's).
+    *  - ReadStr EQUALITY and the anchored-literal regexes — equality is
+    *    order-free, and the translator's regexes are `\A`/`\z`-anchored
+    *    QUOTED literals (PCRE-compatible). Read-string RANGE comparisons
+    *    deliberately keep their node: Spark orders strings by UTF-8
+    *    BYTES while this engine's bracket ordering (and a server
+    *    collation, if any) may disagree on supplementary characters.
     */
-  def uniformTimeBracket(q: BQuery): BQuery = q match {
-    case And(qs) => And(qs.map(uniformTimeBracket))
-    case Or(qs) => Or(qs.map(uniformTimeBracket))
-    case Nor(qs) => Nor(qs.map(uniformTimeBracket))
+  def uniformReadBracket(q: BQuery): BQuery = q match {
+    case And(qs) => And(qs.map(uniformReadBracket))
+    case Or(qs) => Or(qs.map(uniformReadBracket))
+    case Nor(qs) => Nor(qs.map(uniformReadBracket))
     case ReadTimeCmp(p, us, op) if us % 1000L == 0 =>
       val d = BDate(us / 1000L)
       op match {
@@ -411,6 +423,19 @@ object BQuery {
       }
     case ReadTimeIn(p, us) if us.forall(_ % 1000L == 0) =>
       In(p, us.map(x => BDate(x / 1000L)))
+    case ReadLongCmp(p, x, op) =>
+      val v = BInt64(x)
+      op match {
+        case ReadStrOp.Eq => Eq(p, v)
+        case ReadStrOp.Lt => Lt(p, v)
+        case ReadStrOp.Lte => Lte(p, v)
+        case ReadStrOp.Gt => Gt(p, v)
+        case ReadStrOp.Gte => Gte(p, v)
+      }
+    case ReadLongIn(p, xs) => In(p, xs.map(BInt64.apply))
+    case ReadStrCmp(p, s, ReadStrOp.Eq) => Eq(p, BString(s))
+    case ReadStrIn(p, ss) => In(p, ss.map(BString.apply))
+    case ReadStrRegex(p, pattern) => Regex(p, pattern)
     case other => other
   }
 

@@ -231,14 +231,16 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val (metaFilters, docFilters) = filters.partition(
       _.references.contains(GraftServerSource.NsMetaCol))
     val (query, accepted, residual) = FilterTranslator.split(docFilters, Map.empty)
-    // under uniform storage every stored timestamp is a BDate, so the
-    // read-semantics ReadTime* nodes rewrite to their exact BRACKET
+    // under uniform storage every Long/Timestamp/String is stored as
+    // the ONE type this engine writes, so the read-semantics ReadLong*/
+    // ReadTime*/ReadStr(eq/regex) nodes rewrite to their exact BRACKET
     // forms — renderable server-side (a $match/cursor query) instead of
     // client-side residual re-checks, and the grouped/join pushdowns'
-    // isExact gates then accept timestamp filters too
+    // fully-renderable gates then accept those filters too (a plain
+    // `WHERE _id > 5` no longer blocks the `$group` pipeline)
     pushedQuery =
       if (options.get("assume_uniform_storage").exists(_.toBoolean))
-        BQuery.uniformTimeBracket(query)
+        BQuery.uniformReadBracket(query)
       else query
     pushed = accepted
     residuals = residual ++ metaFilters

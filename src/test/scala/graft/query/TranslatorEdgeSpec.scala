@@ -46,9 +46,9 @@ class TranslatorEdgeSpec extends AnyFunSuite {
 
     // the uniform-storage rewrite restores the exact bracket (renderable)
     // forms — every engine-written timestamp is a BDate
-    val re = BQuery.uniformTimeBracket(eq)
+    val re = BQuery.uniformReadBracket(eq)
     assert(re == BQuery.Eq("ts", BDate(us / 1000L)), re.toString)
-    val reIn = BQuery.uniformTimeBracket(
+    val reIn = BQuery.uniformReadBracket(
       FilterTranslator.translate(In("ts", Array[Any](t))).get)
     assert(reIn == BQuery.In("ts", Seq(BDate(us / 1000L))), reIn.toString)
   }

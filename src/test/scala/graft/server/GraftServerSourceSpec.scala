@@ -724,6 +724,43 @@ class GraftServerSourceSpec extends SparkSpec {
       .contains("PushedGroupedAggregate: GLOBAL"))
   }
 
+  test("uniform storage renders Long/String read-filters: WHERE _id > n no longer blocks $group") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "a", 2.0), (2L, "a", 3.0), (3L, "b", 4.0), (4L, "b", 5.0))
+      .toDF("_id", "g", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.ubr"))
+      .option("id_column", "_id").mode("append").save()
+    // without the opt-in, a Long filter compiles to an unrenderable
+    // read-semantics node -> the pipeline refuses (correct, conservative)
+    val plain = spark.read.format("graftserver").options(serverOpts(dir, "db.ubr"))
+      .schema("_id LONG, g STRING, v DOUBLE").load()
+      .filter($"_id" > 1L)
+      .groupBy($"g").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+    assert(!plain.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate"))
+    val expect = Map("a" -> (1L, 3.0), "b" -> (2L, 5.0))
+    assert(plain.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap == expect)
+    // with it, the bracket rewrite makes the whole query renderable and
+    // the one-round-trip $match+$group pipeline plans; string equality
+    // and startsWith render too
+    CountingServerFactory.reset()
+    val uni = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.ubr") + ("assume_uniform_storage" -> "true"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, g STRING, v DOUBLE").load()
+      .filter($"_id" > 1L && $"g".startsWith("b") && $"g" === "b")
+      .groupBy($"g").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+    val plan = uni.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate: GROUP BY g"), plan)
+    assert(uni.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap == Map("b" -> (2L, 5.0)))
+    assert(CountingServerFactory.count("groupAggregate") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      s"counts: ${CountingServerFactory.snapshot()}")
+  }
+
   test("ensure_index on the server write declares the index BEFORE tasks run") {
     import spark.implicits._
     val dir = freshDir()
