@@ -96,6 +96,33 @@ object DiagChain {
 
     println(f"[diagchain] chain ratio unpushed/pushed = ${unpushedChain / pushedChain}%.2f")
     println(f"[diagchain] topn  ratio unpushed/pushed = ${unpushedTopn / pushedTopn}%.2f")
+
+    // ---- skew twin (gate discipline): 90% of driving rows on ONE join
+    // key. The pushed join has no Spark-side shuffle a hot key could
+    // serialize — the $lookup probes per driving doc — so skewed vs
+    // uniform must stay within the noise band.
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    val nOrders = Tables.orders(spark, sf).count()
+    val skewed = Tables.orders(spark, sf)
+      .select($"o_orderkey",
+        when(rand(7) < 0.9, lit(1L)).otherwise($"o_custkey").as("o_custkey"),
+        $"o_totalprice")
+    skewed.write.format("graftserver").options(base + ("ns" -> "db.ordskew"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    def skewQuery(ns: String) = {
+      val o = spark.read.format("graftserver")
+        .options(base + ("ns" -> ns, "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      val c = spark.read.format("graftserver")
+        .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    }
+    val uniformT = time("join grouped UNIFORM")(skewQuery("db.ord3"))
+    val skewT = time("join grouped SKEWED")(skewQuery("db.ordskew"))
+    println(f"[diagchain] skew/uniform ratio = ${skewT / uniformT}%.2f over $nOrders driving rows")
     spark.stop()
   }
 }
