@@ -473,6 +473,60 @@ class JoinPushdownSpec extends SparkSpec {
     assert(chainLim.collect().length == 5)
   }
 
+  test("4-way chain and chaining onto a MIRRORED (right-outer) join both stay one pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    // four collections: orders -> cust -> seg -> region
+    (0 until 60).map(i => (i.toLong, (i % 12).toLong, i * 1.0))
+      .toDF("_id", "ck", "price")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o4"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 12).map(i => (i.toLong, (i % 4).toLong)).toDF("_id", "seg")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c4"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 4).map(i => (i.toLong, (i % 2).toLong)).toDF("_id", "reg")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.s4"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 2).map(i => (i.toLong, s"r$i")).toDF("_id", "rname")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.r4"))
+      .option("id_column", "_id").mode("append").save()
+    def rd(ns: String, schema: String) = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> ns,
+        "assume_uniform_storage" -> "true"))
+      .schema(schema).load()
+    val o = rd("db.o4", "_id LONG, ck LONG, price DOUBLE")
+    val c = rd("db.c4", "_id LONG, seg LONG")
+    val sg = rd("db.s4", "_id LONG, reg LONG")
+    val rg = rd("db.r4", "_id LONG, rname STRING")
+    val star = o.join(c, o("ck") === c("_id"))
+      .join(sg, c("seg") === sg("_id"))
+      .join(rg, sg("reg") === rg("_id"))
+      .groupBy($"rname").agg(count(lit(1)).as("n"))
+    val plan = planOf(star)
+    assert(plan.contains("THEN INNER db.s4") &&
+      plan.contains("THEN INNER db.r4") &&
+      plan.contains("PushedGroupedAggregate: GROUP BY rname"), plan)
+    assert(!plan.contains("Join "), plan)
+    val got = star.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ck 0..11 -> seg i%4 -> reg i%2: r0 gets segs {0,2} = cks {0,4,8,2,6,10}
+    // = 6 cks x 5 orders each = 30; r1 the other 30
+    assert(got == Map("r0" -> 30L, "r1" -> 30L), got.toString)
+
+    // chaining onto a MIRRORED base: right_outer(o, c) drives from c,
+    // then one more inner lookup appends to the same pipeline
+    val mchain = o.join(c, o("ck") === c("_id"), "right_outer")
+      .join(sg, c("seg") === sg("_id"))
+      .select($"price", $"seg", $"reg")
+    val mplan = planOf(mchain)
+    assert(mplan.contains("PushedJoin: LEFT OUTER") &&
+      mplan.contains("THEN INNER db.s4"), mplan)
+    assert(mchain.count() == 60L) // every cust matched, each ck has 5 orders
+  }
+
   test("SELF-join (same collection both sides) pushes as a $lookup from itself") {
     import spark.implicits._
     val dir = freshDir()
