@@ -30,26 +30,26 @@ object DiagChain {
     val base = Map("server_dir" -> dir)
     Tables.orders(spark, sf)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      .write.format("graftserver").options(base + ("ns" -> "db.ord3"))
+      .write.format("graftserver").options(base ++ Map("ns" -> "db.ord3"))
       .option("id_column", "o_orderkey").mode("append").save()
     Tables.customer(spark, sf)
       .select($"c_custkey", $"c_nationkey")
-      .write.format("graftserver").options(base + ("ns" -> "db.cust3"))
+      .write.format("graftserver").options(base ++ Map("ns" -> "db.cust3"))
       .option("id_column", "c_custkey").mode("append").save()
     Tables.nation(spark, sf)
       .select($"n_nationkey", $"n_name")
-      .write.format("graftserver").options(base + ("ns" -> "db.nat3"))
+      .write.format("graftserver").options(base ++ Map("ns" -> "db.nat3"))
       .option("id_column", "n_nationkey").mode("append").save()
 
     def chainQuery() = {
       val o = spark.read.format("graftserver")
-        .options(base + ("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+        .options(base ++ Map("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
         .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
       val c = spark.read.format("graftserver")
-        .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
         .schema("_id LONG, c_nationkey INT").load()
       val n = spark.read.format("graftserver")
-        .options(base + ("ns" -> "db.nat3"))
+        .options(base ++ Map("ns" -> "db.nat3"))
         .schema("_id INT, n_name STRING").load()
       o.join(c, o("o_custkey") === c("_id"))
         .join(n, c("c_nationkey") === n("_id"))
@@ -60,11 +60,11 @@ object DiagChain {
 
     def topnQuery() = {
       val o = spark.read.format("graftserver")
-        .options(base + ("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+        .options(base ++ Map("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
         .option("split_size", (4L * 1024 * 1024).toString)
         .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
       val c = spark.read.format("graftserver")
-        .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
         .schema("_id LONG, c_nationkey INT").load()
       o.join(c, o("o_custkey") === c("_id"))
         .select(o("_id").as("okey"), $"o_totalprice".as("price"), $"c_nationkey")
@@ -107,15 +107,15 @@ object DiagChain {
       .select($"o_orderkey",
         when(rand(7) < 0.9, lit(1L)).otherwise($"o_custkey").as("o_custkey"),
         $"o_totalprice")
-    skewed.write.format("graftserver").options(base + ("ns" -> "db.ordskew"))
+    skewed.write.format("graftserver").options(base ++ Map("ns" -> "db.ordskew"))
       .option("id_column", "o_orderkey").mode("append").save()
     def skewQuery(ns: String) = {
       val o = spark.read.format("graftserver")
-        .options(base + ("ns" -> ns, "assume_uniform_storage" -> "true"))
+        .options(base ++ Map("ns" -> ns, "assume_uniform_storage" -> "true"))
         .option("split_size", (4L * 1024 * 1024).toString)
         .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
       val c = spark.read.format("graftserver")
-        .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
         .schema("_id LONG, c_nationkey INT").load()
       o.join(c, o("o_custkey") === c("_id"))
         .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))

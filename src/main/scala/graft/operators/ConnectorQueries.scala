@@ -763,11 +763,11 @@ object ConnectorQueries {
           .options(Map("server_dir" -> dir, "ns" -> "db.jcust"))
           .option("id_column", "c_custkey").mode("append").save()
         val o = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.jorders"))
+          .options(base ++ Map("ns" -> "db.jorders"))
           .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
           .filter($"o_totalprice" > 1000.0)
         val c = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.jcust"))
+          .options(base ++ Map("ns" -> "db.jcust"))
           .schema("_id LONG, c_mktsegment STRING, c_acctbal DOUBLE").load()
           .filter($"c_acctbal" > 0.0)
         o.join(c, o("o_custkey") === c("_id"))
@@ -813,11 +813,11 @@ object ConnectorQueries {
           .options(Map("server_dir" -> dir, "ns" -> "db.gcust"))
           .option("id_column", "c_custkey").mode("append").save()
         val o = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.gorders"))
+          .options(base ++ Map("ns" -> "db.gorders"))
           .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
           .filter($"o_totalprice" > 1000.0)
         val c = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.gcust"))
+          .options(base ++ Map("ns" -> "db.gcust"))
           .schema("_id LONG, c_mktsegment STRING, c_acctbal DOUBLE").load()
         o.join(c, o("o_custkey") === c("_id"))
           .groupBy($"c_mktsegment")
@@ -1188,24 +1188,24 @@ object ConnectorQueries {
         val base = Map("server_dir" -> dir)
         Tables.orders(s, d)
           .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-          .write.format("graftserver").options(base + ("ns" -> "db.ord3"))
+          .write.format("graftserver").options(base ++ Map("ns" -> "db.ord3"))
           .option("id_column", "o_orderkey").mode("append").save()
         Tables.customer(s, d)
           .select($"c_custkey", $"c_nationkey")
-          .write.format("graftserver").options(base + ("ns" -> "db.cust3"))
+          .write.format("graftserver").options(base ++ Map("ns" -> "db.cust3"))
           .option("id_column", "c_custkey").mode("append").save()
         Tables.nation(s, d)
           .select($"n_nationkey", $"n_name")
-          .write.format("graftserver").options(base + ("ns" -> "db.nat3"))
+          .write.format("graftserver").options(base ++ Map("ns" -> "db.nat3"))
           .option("id_column", "n_nationkey").mode("append").save()
         val o = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+          .options(base ++ Map("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
           .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
         val c = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+          .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
           .schema("_id LONG, c_nationkey INT").load()
         val n = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.nat3"))
+          .options(base ++ Map("ns" -> "db.nat3"))
           .schema("_id INT, n_name STRING").load()
         o.join(c, o("o_custkey") === c("_id"))
           .join(n, c("c_nationkey") === n("_id"))
@@ -1240,18 +1240,18 @@ object ConnectorQueries {
         val base = Map("server_dir" -> dir)
         Tables.orders(s, d)
           .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-          .write.format("graftserver").options(base + ("ns" -> "db.ordt"))
+          .write.format("graftserver").options(base ++ Map("ns" -> "db.ordt"))
           .option("id_column", "o_orderkey").mode("append").save()
         Tables.customer(s, d)
           .select($"c_custkey", $"c_name")
-          .write.format("graftserver").options(base + ("ns" -> "db.custt"))
+          .write.format("graftserver").options(base ++ Map("ns" -> "db.custt"))
           .option("id_column", "c_custkey").mode("append").save()
         val o = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.ordt", "assume_uniform_storage" -> "true"))
+          .options(base ++ Map("ns" -> "db.ordt", "assume_uniform_storage" -> "true"))
           .option("split_size", (1L * 1024 * 1024).toString)
           .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
         val c = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.custt", "assume_uniform_storage" -> "true"))
+          .options(base ++ Map("ns" -> "db.custt", "assume_uniform_storage" -> "true"))
           .schema("_id LONG, c_name STRING").load()
         o.join(c, o("o_custkey") === c("_id"))
           .select(o("_id").as("okey"), $"o_totalprice".as("price"), $"c_name")
@@ -1279,18 +1279,18 @@ object ConnectorQueries {
         Tables.orders(s, d)
           .select($"o_orderkey",
             struct($"o_custkey".as("custkey")).as("ref"), $"o_totalprice")
-          .write.format("graftserver").options(base + ("ns" -> "db.ordn"))
+          .write.format("graftserver").options(base ++ Map("ns" -> "db.ordn"))
           .option("id_column", "o_orderkey").mode("append").save()
         Tables.customer(s, d)
           .select($"c_custkey", $"c_mktsegment")
-          .write.format("graftserver").options(base + ("ns" -> "db.custn"))
+          .write.format("graftserver").options(base ++ Map("ns" -> "db.custn"))
           .option("id_column", "c_custkey").mode("append").save()
         val o = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.ordn", "assume_uniform_storage" -> "true"))
+          .options(base ++ Map("ns" -> "db.ordn", "assume_uniform_storage" -> "true"))
           .schema("_id LONG, ref STRUCT<custkey: LONG>, o_totalprice DOUBLE")
           .load()
         val c = s.read.format("graftserver")
-          .options(base + ("ns" -> "db.custn", "assume_uniform_storage" -> "true"))
+          .options(base ++ Map("ns" -> "db.custn", "assume_uniform_storage" -> "true"))
           .schema("_id LONG, c_mktsegment STRING").load()
         o.join(c, o("ref.custkey") === c("_id"))
           .groupBy($"c_mktsegment")
