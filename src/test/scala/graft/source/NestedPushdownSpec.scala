@@ -226,6 +226,26 @@ class NestedPushdownSpec extends SparkSpec {
     assert(sv == a, s"same md5 window on both transports: $sv vs $a")
   }
 
+  test("FILE: column_mapping composes with nested pushdown (m.lang -> meta.lang)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seedRows(spark).write.format("graftbson")
+      .option("id_column", "_id").mode("append").save(dir)
+    // Spark column `m` reads doc field `meta`: a nested group key m.lang
+    // resolves its HEAD through the mapping to the doc path meta.lang
+    val df = spark.read.format("graftbson")
+      .schema("_id LONG, m STRUCT<lang: STRING, score: DOUBLE>")
+      .option("column_mapping", """{"m": "meta"}""")
+      .load(dir)
+      .groupBy($"m.lang").agg(count(lit(1)).as("n"), sum($"m.score").as("s"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedGroupedAggregate: GROUP BY meta.lang"), plan)
+    val got = df.collect().map(r =>
+      (if (r.isNullAt(0)) "NULL" else r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expectGroups(spark))
+  }
+
   test("FILE: nested grouped decode is PROJECTED — a corrupt sibling subfield never decodes") {
     import spark.implicits._
     val dir = freshDir()
