@@ -1231,11 +1231,17 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val key = options.getOrElse("key", "_id")
-    if (pushedAgg.isDefined || grouped.isDefined)
-      // one partition: bounded probes (global) or one $group pipeline per
-      // namespace (grouped) — no splits, no row-wise scans
+    if (pushedAgg.isDefined)
+      // one partition: bounded probes — no splits, no row-wise scans
       return Array(GraftServerPartition(
         GraftServerSource.ns(options), BQuery.KeyRange(key, None, None), Seq.empty))
+    if (grouped.isDefined)
+      // one partition PER NAMESPACE: each runs its own $group pipeline
+      // round-trip, so a multi-ns union aggregates in parallel (the
+      // partial protocol folds the per-namespace group rows regardless)
+      return GraftServerSource.nsList(options).map(n =>
+        GraftServerPartition(n, BQuery.KeyRange(key, None, None),
+          Seq.empty): InputPartition).toArray
     if (options.get("splitter").contains("single"))
       // the reference's create_input_splits=false / SingleMongoSplitter
       // mode: ONE cursor over the whole range — the mode that makes an
@@ -1284,7 +1290,8 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (grouped, pushedAgg) match {
-      case (Some(g), _) => new ServerGroupedAggReader(options, query, g)
+      case (Some(g), _) => new ServerGroupedAggReader(options, query, g,
+        p.asInstanceOf[GraftServerPartition].ns)
       case (None, Some(items)) => new ServerAggReader(options, items)
       case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
@@ -1293,21 +1300,22 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
 }
 
 /** The pushed GROUPED-aggregate reader: ONE `$match`+`$group` pipeline
-  * round-trip per namespace ([[ServerClient.groupAggregate]]); the
-  * server computes the group rows and only #groups docs cross the wire.
-  * Rows are partial — Spark's final aggregate re-groups and folds them
-  * (which also merges groups across a multi-namespace union).
+  * round-trip for ITS namespace ([[ServerClient.groupAggregate]]; a
+  * multi-ns union plans one such partition per namespace, so the
+  * pipelines run in parallel); the server computes the group rows and
+  * only #groups docs cross the wire. Rows are partial — Spark's final
+  * aggregate re-groups and folds them (which also merges groups across
+  * the union).
   */
 final class ServerGroupedAggReader(options: Map[String, String],
-    query: BQuery, grouped: ServerGroupedAgg)
+    query: BQuery, grouped: ServerGroupedAgg, ns: String)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
   private val it: Iterator[InternalRow] = {
     val base: Iterator[InternalRow] =
-      GraftServerSource.nsList(options).iterator
-        .flatMap(ns => client.groupAggregate(ns, query,
-          grouped.groupCols.map(_._1), grouped.items.map(_._1)))
+      client.groupAggregate(ns, query,
+          grouped.groupCols.map(_._1), grouped.items.map(_._1))
         .map(d => RowCodec.toRow(d, grouped.schema))
     if (grouped.groupCols.nonEmpty || base.hasNext) base
     else {

@@ -761,6 +761,39 @@ class GraftServerSourceSpec extends SparkSpec {
       s"counts: ${CountingServerFactory.snapshot()}")
   }
 
+  test("multi-namespace grouped aggregate plans one parallel pipeline per namespace") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("_id", "g", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.u1"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((3L, "a", 3.0), (4L, "c", 4.0)).toDF("_id", "g", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.u2"))
+      .option("id_column", "_id").mode("append").save()
+    val df = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.u1,db.u2"))
+      .schema("_id LONG, g STRING, v DOUBLE").load()
+      .groupBy($"g").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GROUP BY g"))
+    // one $group pipeline PARTITION per namespace (parallel round-trips;
+    // the partial fold merges cross-namespace groups like 'a')
+    val scanParts = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }
+    assert(scanParts == Seq(2), s"scan partitions: $scanParts")
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map("a" -> (2L, 3.0), "b" -> (1L, 2.0), "c" -> (1L, 4.0)), got.toString)
+    // empty-match GLOBAL over the union: each namespace's sentinel folds
+    // to one count-0 (never NULL)
+    val z = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.u1,db.u2"))
+      .schema("_id LONG, g STRING, v DOUBLE").load()
+      .filter($"v" > 100.0).agg(count(lit(1)).as("n")).collect().head
+    assert(z.getLong(0) == 0L)
+  }
+
   test("ensure_index on the server write declares the index BEFORE tasks run") {
     import spark.implicits._
     val dir = freshDir()
