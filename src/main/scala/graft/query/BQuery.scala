@@ -38,8 +38,28 @@ object BQuery {
       case _ => false
     }
 
+  /** Mongo EQUALITY over a field: whole-value bracket equality OR — when
+    * the stored field is an array — containment of `v` as an ELEMENT
+    * (the server's implicit array traversal: `{p: 5}` matches `p=[4,5]`,
+    * and `{p: [1,2]}` matches both `p=[1,2]` and `p=[[1,2],3]`). Used by
+    * the equality-shaped plain nodes ([[Eq]]/[[In]]/[[Ne]]/[[Nin]]), so
+    * the file/fake transport agrees with what a live server does with
+    * the rendered `$eq`/`$in`/`$ne`/`$nin`. Traversal at INTERMEDIATE
+    * dotted-path segments remains a documented divergence (see
+    * [[graft.server.QueryDocs]]).
+    */
+  private def eqMatch(doc: BDoc, path: String, v: BsonValue): Boolean = {
+    def whole(actual: BsonValue): Boolean =
+      actual.typeOrder == v.typeOrder && BsonOrdering.compare(actual, v) == 0
+    doc.getPath(path) match {
+      case Some(arr @ BArray(items)) => whole(arr) || items.exists(whole)
+      case Some(actual) => whole(actual)
+      case None => false
+    }
+  }
+
   final case class Eq(path: String, v: BsonValue) extends BQuery {
-    def matches(d: BDoc): Boolean = cmp(d, path, v)(_ == 0)
+    def matches(d: BDoc): Boolean = eqMatch(d, path, v)
   }
   final case class Lt(path: String, v: BsonValue) extends BQuery {
     def matches(d: BDoc): Boolean = cmp(d, path, v)(_ < 0)
@@ -54,18 +74,19 @@ object BQuery {
     def matches(d: BDoc): Boolean = cmp(d, path, v)(_ >= 0)
   }
   final case class In(path: String, vs: Seq[BsonValue]) extends BQuery {
-    def matches(d: BDoc): Boolean = vs.exists(v => cmp(d, path, v)(_ == 0))
+    def matches(d: BDoc): Boolean = vs.exists(v => eqMatch(d, path, v))
   }
   /** Mongo `$ne` semantics: matches when the field differs — INCLUDING
     * missing fields and other type brackets (unlike Spark's `!=`, which is
     * null-filtered; that is why [[FilterTranslator]] never produces Ne).
+    * Like the server, array traversal applies: `$ne: 5` rejects `[4,5]`.
     */
   final case class Ne(path: String, v: BsonValue) extends BQuery {
-    def matches(d: BDoc): Boolean = !cmp(d, path, v)(_ == 0)
+    def matches(d: BDoc): Boolean = !eqMatch(d, path, v)
   }
   /** Mongo `$nin`: the negation of In, also matching missing fields. */
   final case class Nin(path: String, vs: Seq[BsonValue]) extends BQuery {
-    def matches(d: BDoc): Boolean = !vs.exists(v => cmp(d, path, v)(_ == 0))
+    def matches(d: BDoc): Boolean = !vs.exists(v => eqMatch(d, path, v))
   }
   /** Mongo `$regex` (partial match over string fields; options i/m/s/x). */
   final case class Regex(path: String, pattern: String, opts: String = "") extends BQuery {
@@ -404,9 +425,18 @@ object BQuery {
     *  - ReadStr EQUALITY and the anchored-literal regexes — equality is
     *    order-free, and the translator's regexes are `\A`/`\z`-anchored
     *    QUOTED literals (PCRE-compatible). Read-string RANGE comparisons
-    *    deliberately keep their node: Spark orders strings by UTF-8
-    *    BYTES while this engine's bracket ordering (and a server
-    *    collation, if any) may disagree on supplementary characters.
+    *    rewrite ONLY when the bound is entirely ASCII (< U+0080): Spark
+    *    orders strings by UTF-8 BYTES (code-point order) while the
+    *    engine bracket (Java compareTo, UTF-16 units) and a binary
+    *    server collation can disagree — but only when comparing a
+    *    supplementary character against one in [U+E000, U+FFFF]. At the
+    *    FIRST position deciding a comparison against an all-ASCII bound,
+    *    the other string's unit is either ASCII (all orders agree
+    *    trivially) or ≥ U+0080 in every encoding (greater than the
+    *    bound's ASCII unit in UTF-8 bytes AND UTF-16 units alike), and
+    *    the shorter-prefix rule is shared — so trichotomy against an
+    *    ASCII bound is order-independent and the bracket form is exact.
+    *    A non-ASCII bound keeps the read-semantics node (client-side).
     */
   def uniformReadBracket(q: BQuery): BQuery = q match {
     case And(qs) => And(qs.map(uniformReadBracket))
@@ -434,6 +464,17 @@ object BQuery {
       }
     case ReadLongIn(p, xs) => In(p, xs.map(BInt64.apply))
     case ReadStrCmp(p, s, ReadStrOp.Eq) => Eq(p, BString(s))
+    case ReadStrCmp(p, s, op) if s.forall(_ < 0x80) =>
+      // ASCII-bounded range: trichotomy against the bound agrees across
+      // UTF-8-byte, UTF-16-unit, and server binary orders (see above)
+      val v = BString(s)
+      op match {
+        case ReadStrOp.Lt => Lt(p, v)
+        case ReadStrOp.Lte => Lte(p, v)
+        case ReadStrOp.Gt => Gt(p, v)
+        case ReadStrOp.Gte => Gte(p, v)
+        case ReadStrOp.Eq => Eq(p, v) // unreachable (matched above)
+      }
     case ReadStrIn(p, ss) => In(p, ss.map(BString.apply))
     case ReadStrRegex(p, pattern) => Regex(p, pattern)
     case other => other

@@ -18,12 +18,16 @@ import scala.collection.immutable.ListMap
   *    server's evaluation is authoritative, exactly like the reference
   *    shipping `mongo.input.query` verbatim (core/src/main/java/com/
   *    mongodb/hadoop/input/MongoInputSplit.java:272-299). The engine's
-  *    file-backed [[BQuery.matches]] approximates server semantics and
-  *    is known to diverge on: array-field traversal (`{p: 5}` matching
-  *    `p=[5]`), `{p: null}` matching missing fields, `$exists` on a
-  *    null-valued field, and PCRE-vs-java regex dialect — on a live
-  *    server those follow the server, which is what a reference user
-  *    already gets.
+  *    file-backed [[BQuery.matches]] approximates server semantics:
+  *    LEAF-level array traversal for the equality nodes now matches the
+  *    server (`{p: 5}` matches `p=[4,5]`; `{p: [1,2]}` matches both the
+  *    whole array and an element — r14, BQuery.eqMatch), and the
+  *    remaining known divergences are: traversal at INTERMEDIATE dotted
+  *    path segments (`{"m.a": 5}` matching `m=[{a:5}]`), array traversal
+  *    of the RANGE operators (`$lt`/`$gt` element-matching), `{p: null}`
+  *    matching missing fields, `$exists` on a null-valued field, and
+  *    PCRE-vs-java regex dialect — on a live server those follow the
+  *    server, which is what a reference user already gets.
   *  - Spark-read-semantics `ReadStr*` / `ReadLong*` / `ReadTime*` nodes
   *    (compiled pushed filters — Spark never re-checks them, so their
   *    cross-bracket read semantics MUST hold exactly) never render: they

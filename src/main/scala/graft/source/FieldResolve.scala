@@ -127,9 +127,27 @@ object GroupAggParse {
     if (parsed.contains(None) || (parsed.isEmpty && groupRefs.isEmpty)) None
     else {
       val items = parsed.flatten
-      Some(Parsed(groupRefs.flatten,
+      val out = Parsed(groupRefs.flatten,
         items.map(i => (i._1, i._2)),
-        items.flatMap(_._3).distinctBy(_.docPath)))
+        items.flatMap(_._3).distinctBy(_.docPath))
+      // the server renderer spells dotted names dot-free on the wire
+      // (`.`→`~`, QueryDocs.wireName) inside a compound `$group` `_id`
+      // and as accumulator field names — a column literally named `a~b`
+      // next to nested key `a.b` would COLLIDE and silently mis-key the
+      // result, so the pushdown refuses and Spark keeps the aggregate
+      // (the documented residual risk, now enforced)
+      def wire(s: String): String = s.replace('.', '~')
+      val keyWires = out.groupCols.map(r => wire(r.docPath))
+      val outWires = "_id" +: out.items.flatMap { case (g, _) =>
+        val presence = g match {
+          case GroupAgg.SumOf(_, a) => Seq(wire(a + "~nn"))
+          case _ => Seq.empty
+        }
+        wire(g.alias) +: presence
+      }
+      if (keyWires.distinct.size != keyWires.size ||
+          outWires.distinct.size != outWires.size) None
+      else Some(out)
     }
   }
 }

@@ -1875,7 +1875,12 @@ final class GraftStreamingWrite(writeSchema: StructType, queryId: String,
     // open performs, double-writing the epoch
     graft.store.ShardApply.recoverPromote(path)
     if (Files.exists(marker(epochId))) {
-      // replayed epoch: already applied — drop the replay's segments
+      // replayed epoch: already applied — drop the replay's segments and
+      // sweep stale staged-marker files a coordinator crash between
+      // staging and promote left behind (the marker is promoted, so any
+      // remaining `.e<id>.stage-*` is garbage; a zombie's in-flight
+      // promote of a deleted stage is a tolerated NoSuchFile no-op)
+      sweepStaleMarkerStages(epochId)
       GraftBatchWrite.deleteRecursively(epochJobDir(epochId))
       return
     }
@@ -1887,6 +1892,29 @@ final class GraftStreamingWrite(writeSchema: StructType, queryId: String,
     new GraftBatchWrite(writeSchema, epochQueryId(epochId), options,
       truncateFirst = false, epochMarker = Some(marker(epochId)))
       .commit(messages)
+    // our own stage was renamed away by the promote — anything still
+    // named `.e<id>.stage-*` is an earlier crashed attempt's leftover
+    sweepStaleMarkerStages(epochId)
+  }
+
+  /** Delete leftover staged-marker files of THIS epoch (crash window:
+    * after `Files.createFile(stagedMarker)`, before its promote rename).
+    * Only ever called when the epoch's marker is already promoted, so
+    * every survivor is stale by construction.
+    */
+  private def sweepStaleMarkerStages(epochId: Long): Unit = {
+    val dir = marker(epochId).getParent
+    if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.startsWith(s".e$epochId.stage-"))
+            Files.deleteIfExists(f)
+        }
+      } finally s.close()
+    }
   }
 
   override def abort(epochId: Long,

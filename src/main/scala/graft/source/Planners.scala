@@ -154,10 +154,24 @@ object Planners {
     // intersects that whole-second increment band (a different bracket
     // than BDate in the cross-type order)
     case BDate(ms) =>
+      // the band check is guarded against Int overflow: seconds beyond
+      // Int.MaxValue have no BTimestamp representation (nothing to keep),
+      // and at exactly the max second the s+1 upper bound is spelled as
+      // an INCLUSIVE compare against BTimestamp(s, Int.MaxValue)
       r.containsValue(BDate(ms)) || (ms % 1000L == 0 && {
-        val s = (ms / 1000L).toInt
-        r.lo.forall(l => BsonOrdering.compare(l, graft.bson.BTimestamp(s + 1, 0)) < 0) &&
-          r.hi.forall(h => BsonOrdering.compare(h, graft.bson.BTimestamp(s, 0)) > 0)
+        val sec = ms / 1000L
+        sec >= Int.MinValue.toLong && sec <= Int.MaxValue.toLong && {
+          val s = sec.toInt
+          val belowUpper =
+            if (s == Int.MaxValue)
+              r.lo.forall(l => BsonOrdering.compare(l,
+                graft.bson.BTimestamp(s, Int.MaxValue)) <= 0)
+            else
+              r.lo.forall(l => BsonOrdering.compare(l,
+                graft.bson.BTimestamp(s + 1, 0)) < 0)
+          belowUpper &&
+            r.hi.forall(h => BsonOrdering.compare(h, graft.bson.BTimestamp(s, 0)) > 0)
+        }
       })
     case other => r.containsValue(other)
   }

@@ -171,6 +171,36 @@ class BQueryJsonSpec extends AnyFunSuite {
     assert(BQuery.Exists("a", yes = true).matches(BDoc("a" -> BNull)) == false)
   }
 
+  test("equality nodes traverse arrays at the LEAF like a live server (r14)") {
+    // scalar literal: {p: 5} matches p=5 AND p=[4,5] (implicit traversal)
+    val s = BQueryJson.parse("""{"p": 5}""")
+    assert(s.matches(BDoc("p" -> BInt32(5))))
+    assert(s.matches(BDoc("p" -> BArray(Vector(BInt32(4), BInt32(5))))))
+    assert(!s.matches(BDoc("p" -> BArray(Vector(BInt32(4), BInt32(6))))))
+    // array literal: {p: [1,2]} matches whole-value AND element containment
+    val a = BQueryJson.parse("""{"p": [1, 2]}""")
+    val arr12 = BArray(Vector(BInt32(1), BInt32(2)))
+    assert(a.matches(BDoc("p" -> arr12)))
+    assert(a.matches(BDoc("p" -> BArray(Vector(BInt32(3), arr12)))),
+      "array literal matches as an ELEMENT of an array field too")
+    assert(!a.matches(BDoc("p" -> BArray(Vector(BInt32(2), BInt32(1))))),
+      "order matters for whole-array equality and no element equals [1,2]")
+    // doc literal: {p: {a: 1}} matches the doc value and an element
+    val d = BQueryJson.parse("""{"p": {"a": 1}}""")
+    val doc = BDoc("a" -> BInt32(1))
+    assert(d.matches(BDoc("p" -> doc)))
+    assert(d.matches(BDoc("p" -> BArray(Vector(BString("x"), doc)))))
+    // $in / $ne / $nin follow the same traversal
+    val in = BQueryJson.parse("""{"p": {"$in": [5, 9]}}""")
+    assert(in.matches(BDoc("p" -> BArray(Vector(BInt32(9))))))
+    val ne = BQueryJson.parse("""{"p": {"$ne": 5}}""")
+    assert(!ne.matches(BDoc("p" -> BArray(Vector(BInt32(4), BInt32(5))))),
+      "$ne rejects an array CONTAINING the value, like the server")
+    assert(ne.matches(BDoc("p" -> BArray(Vector(BInt32(4))))))
+    val nin = BQueryJson.parse("""{"p": {"$nin": [5]}}""")
+    assert(!nin.matches(BDoc("p" -> BArray(Vector(BInt32(5))))))
+  }
+
   test("$all with an array-valued operand also matches by whole-field equality") {
     val q = BQueryJson.parse("""{"tags": {"$all": [[1, 2]]}}""")
     // field EQUALS [1,2]: mongo's whole-array match

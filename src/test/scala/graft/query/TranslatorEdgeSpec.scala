@@ -53,6 +53,37 @@ class TranslatorEdgeSpec extends AnyFunSuite {
     assert(reIn == BQuery.In("ts", Seq(BDate(us / 1000L))), reIn.toString)
   }
 
+  test("ASCII-bounded string RANGES rewrite to bracket forms under uniform storage (r14)") {
+    // `name >= 'M'` — an all-ASCII bound: trichotomy against it agrees
+    // across UTF-8-byte (Spark read), UTF-16-unit (engine bracket), and
+    // server binary orders, so the bracket form is exact and renderable
+    val gte = BQuery.uniformReadBracket(
+      FilterTranslator.translate(GreaterThanOrEqual("name", "M")).get)
+    assert(gte == BQuery.Gte("name", BString("M")), gte.toString)
+    val lt = BQuery.uniformReadBracket(
+      FilterTranslator.translate(LessThan("name", "Customer#42")).get)
+    assert(lt == BQuery.Lt("name", BString("Customer#42")), lt.toString)
+
+    // ADVERSARIAL: a bound containing a char ≥ U+E000 must REFUSE the
+    // rewrite — comparing a supplementary character (U+10000, UTF-16
+    // surrogate pair D800 DC00) against U+E000 disagrees between
+    // UTF-8-byte order (U+10000 > U+E000) and UTF-16-unit order
+    // (0xD800 < 0xE000): the read-semantics node must stay client-side
+    val supp = "\uE000x"
+    val kept = BQuery.uniformReadBracket(
+      FilterTranslator.translate(GreaterThanOrEqual("name", supp)).get)
+    assert(kept == BQuery.ReadStrCmp("name", supp, BQuery.ReadStrOp.Gte),
+      s"non-ASCII bound must keep the read node: $kept")
+    // and the read node itself orders the adversarial pair the Spark way
+    val suppStr = new String(Character.toChars(0x10000))
+    assert(kept.matches(BDoc("name" -> BString(suppStr))),
+      "U+10000 >= U+E000 in UTF-8/code-point order (Spark's)")
+    // any non-ASCII char in the bound refuses, conservatively
+    assert(BQuery.uniformReadBracket(
+      FilterTranslator.translate(LessThan("name", "café")).get)
+      .isInstanceOf[BQuery.ReadStrCmp])
+  }
+
   test("IN lists drop nulls; all-null IN and a = NULL match nothing") {
     val q = FilterTranslator.translate(In("a", Array(1, null, 2))).get
     assert(q === BQuery.In("a", Seq(BInt32(1), BInt32(2))))

@@ -761,6 +761,41 @@ class GraftServerSourceSpec extends SparkSpec {
       s"counts: ${CountingServerFactory.snapshot()}")
   }
 
+  test("ASCII string RANGE filters render under uniform storage and no longer block $group (r14)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "alpha", 1.0), (2L, "Mike", 2.0), (3L, "zulu", 3.0),
+      (4L, "November", 4.0)).toDF("_id", "g", "v")
+      .write.format("graftserver").options(serverOpts(dir, "db.strrange"))
+      .option("id_column", "_id").mode("append").save()
+    CountingServerFactory.reset()
+    val q = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.strrange") + ("assume_uniform_storage" -> "true"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, g STRING, v DOUBLE").load()
+      .filter($"g" >= "M" && $"g" < "o")
+      .groupBy($"g").agg(sum($"v").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate: GROUP BY g"),
+      s"an ASCII range bound must not block the pipeline:\n$plan")
+    // ASCII order: lowercase sorts AFTER uppercase ('a' 0x61 > 'M' 0x4D)
+    assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("alpha" -> 1.0, "Mike" -> 2.0, "November" -> 4.0))
+    assert(CountingServerFactory.count("groupAggregate") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      s"counts: ${CountingServerFactory.snapshot()}")
+    // a NON-ASCII bound keeps the read node client-side: the grouped
+    // pushdown refuses (residual re-check after $group is impossible)
+    val nonAscii = spark.read.format("graftserver")
+      .options(serverOpts(dir, "db.strrange") + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, g STRING, v DOUBLE").load()
+      .filter($"g" >= "\uE000")
+      .groupBy($"g").agg(sum($"v").as("s"))
+    assert(!nonAscii.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate"))
+    assert(nonAscii.collect().isEmpty)
+  }
+
   test("multi-namespace grouped aggregate plans one parallel pipeline per namespace") {
     import spark.implicits._
     val dir = freshDir()

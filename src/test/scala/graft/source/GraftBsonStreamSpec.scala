@@ -231,4 +231,43 @@ class GraftBsonStreamSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L),
       s"epoch 2 must land exactly once across the crash: $got")
   }
+
+  test("streaming SINK: stale staged-marker files are swept at replay and at commit (r14)") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val schema = StructType(Seq(StructField("_id", LongType)))
+    val opts = Map("path" -> dir, "shards" -> "1")
+    val sw = new GraftStreamingWrite(schema, "leak-q", opts)
+    val factory = sw.createStreamingWriterFactory(null)
+    def writeEpoch(epoch: Long, keys: Seq[Long]): Array[
+        org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val w = factory.createWriter(0, 0L, epoch)
+      keys.foreach(k => w.write(org.apache.spark.sql.catalyst.InternalRow(k)))
+      Array(w.commit())
+    }
+    // a coordinator crash BETWEEN Files.createFile(stagedMarker) and
+    // promoteAll leaves an orphaned empty stage file and no manifest —
+    // pre-r14, nothing ever deleted it (cleanupStages sweeps only
+    // .apply-* names in the collection dir, not the epoch-marker dir)
+    val epochDir = java.nio.file.Paths.get(dir, ".graft-stream-epochs")
+    Files.createDirectories(epochDir)
+    val orphan1 = epochDir.resolve(".e1.stage-deadbeef")
+    Files.createFile(orphan1)
+    // fresh attempt of epoch 1 commits normally → its own stage promotes,
+    // the crashed attempt's orphan is swept after the commit
+    sw.commit(1L, writeEpoch(1L, Seq(1L)))
+    assert(Files.exists(epochDir.resolve("e1")))
+    assert(!Files.exists(orphan1),
+      "commit must sweep the crashed attempt's staged-marker leftovers")
+    // replay path sweeps too: orphan for an ALREADY-promoted epoch
+    val orphan2 = epochDir.resolve(".e1.stage-cafebabe")
+    Files.createFile(orphan2)
+    sw.commit(1L, writeEpoch(1L, Seq(1L)))
+    assert(!Files.exists(orphan2),
+      "a replayed epoch must sweep stale staged markers for its id")
+    val got = spark.read.format("graftbson")
+      .schema("_id LONG").load(dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"sweeps must not affect the data: $got")
+  }
 }

@@ -129,4 +129,29 @@ class PlannersSpec extends AnyFunSuite {
     assert(splits.count(_.range.matches(BDoc("other" -> BInt64(9)))) == 1,
       "a doc with no split key belongs to the null-bracket partition")
   }
+
+  test("BTimestamp band probe survives the 2038 Int-seconds boundary (r14)") {
+    // a TimestampType runtime value at exactly Int.MaxValue seconds: the
+    // old `s + 1` form overflowed to Int.MinValue and pruned a partition
+    // holding BTimestamp(Int.MaxValue, *) rows the join would keep
+    val maxSecMs = Int.MaxValue.toLong * 1000L
+    val band = BQuery.KeyRange("k",
+      Some(graft.bson.BTimestamp(Int.MaxValue, 0)),
+      Some(graft.bson.BTimestamp(Int.MaxValue, Int.MaxValue)))
+    assert(Planners.rangeMayHoldReadEq(band, BDate(maxSecMs)),
+      "the max-second band must be kept, not pruned by s+1 overflow")
+    // beyond Int seconds: no BTimestamp representation — the band check
+    // must not wrap; the value can still match BDate storage only
+    val beyondMs = (Int.MaxValue.toLong + 10L) * 1000L
+    val tsOnly = BQuery.KeyRange("k",
+      Some(graft.bson.BTimestamp(0, 0)),
+      Some(graft.bson.BTimestamp(Int.MaxValue, Int.MaxValue)))
+    val holdsDate = tsOnly.containsValue(BDate(beyondMs))
+    assert(Planners.rangeMayHoldReadEq(tsOnly, BDate(beyondMs)) == holdsDate,
+      "seconds beyond Int.MaxValue must not wrap into the band check")
+    // sanity: an ordinary second still probes the band
+    assert(Planners.rangeMayHoldReadEq(
+      BQuery.KeyRange("k", Some(graft.bson.BTimestamp(100, 0)),
+        Some(graft.bson.BTimestamp(101, 0))), BDate(100000L)))
+  }
 }
