@@ -50,6 +50,11 @@ object GraftConf {
       PackedIndexFallbackThreshold.toString)
       .config("spark.sql.files.openCostInBytes", ScanOpenCostBytes.toString)
       .config(JoinPushdownConf, "true")
+      // the engine's optimizer rules + SQL functions (r14: includes
+      // ResidualJoinHoist, which must run in the operator-optimization
+      // batch — experimental.extraOptimizations would be too late, it
+      // executes after the V2 pushdown)
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
 
   /** For sessions built elsewhere (e.g. a user session passed straight
     * into the query registry): apply the same tuning explicitly, by

@@ -14,6 +14,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.ObjectIdRangeRule)
+    // residual-tolerant join pushdown: hoists untranslatable predicates
+    // above a pushable graftserver equi-join (runs in the operator
+    // optimization batch, BEFORE the early-scan pushdown that needs the
+    // join inputs to be bare scans)
+    ext.injectOptimizerRule(_ => graft.plans.ResidualJoinHoist)
+    // nested ORDER BY / filter keys over a pushable join: absorb the
+    // extraction Project NestedColumnAliasing builds into the relation
+    // as a column_mapping-derived flat column, keeping the join inputs
+    // attribute-only (pushable)
+    ext.injectOptimizerRule(_ => graft.plans.NestedExtractRelocate)
     ext.injectFunction((
       FunctionIdentifier("objectid_to_seconds"),
       new ExpressionInfo(classOf[ObjectIdToSeconds].getName, "objectid_to_seconds"),

@@ -1338,6 +1338,135 @@ object ConnectorQueries {
         |  min(CAST(o_orderdate AS DATE)) AS first_day,
         |  max(CAST(o_orderdate AS DATE)) AS last_day
         |FROM orders GROUP BY 1 ORDER BY 1
+        |""".stripMargin)),
+
+    // Residual-tolerant join pushdown (round-14): a predicate NO source
+    // can take — arithmetic across BOTH sides — used to demote the
+    // pushed `$lookup` join to a full Spark shuffle join (Spark's
+    // pushDownJoin needs bare scan inputs). The ResidualJoinHoist rule
+    // parks it as a `recheck(...)` Filter ABOVE the join, so the plan
+    // shows `PushedJoin` AND a whole-stage-codegen Spark Filter over the
+    // joined scan — the reference's decomposePredicate discipline
+    // (hive/.../MongoStorageHandler.java:100-128) applied to the join
+    // pipeline (JoinResidualHoistSpec pins the shapes and refusals).
+    CatalogQuery(
+      "q147_server_join_recheck",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.rjorders"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.rjcust"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.rjorders"))
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+        val c = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.rjcust"))
+          .schema("_id LONG, c_mktsegment STRING, c_acctbal DOUBLE").load()
+        o.join(c, o("o_custkey") === c("_id"))
+          .filter(o("o_totalprice") + c("c_acctbal") > 2000.0)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum($"o_custkey").as("sum_ck"))
+          .orderBy($"c_mktsegment".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice + c_acctbal > 2000.0
+        |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // ASCII-bounded string RANGE pushdown (round-14): under uniform
+    // storage, `c_name >= '<ascii>'` rewrites to an exact bracket
+    // `$gte` (trichotomy against an all-ASCII bound is identical in
+    // UTF-8-byte, UTF-16-unit, and binary-collation orders), so the
+    // commonest string filter renders in `$match` and no longer blocks
+    // the `$group` pipeline (TranslatorEdgeSpec pins the rewrite and
+    // the supplementary-character refusal).
+    CatalogQuery(
+      "q148_server_string_range_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.strrange",
+          "assume_uniform_storage" -> "true")
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .write.format("graftserver").options(opts)
+          .option("id_column", "c_custkey").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, c_name STRING, c_mktsegment STRING")
+          .load()
+          .filter($"c_name" >= "Customer#000000500" &&
+            $"c_name" < "Customer#000001000")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), min($"_id").as("min_ck"),
+            max($"_id").as("max_ck"))
+          .orderBy($"c_mktsegment".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_mktsegment, count(*) AS n,
+        |  min(c_custkey) AS min_ck, max(c_custkey) AS max_ck
+        |FROM customer
+        |WHERE c_name >= 'Customer#000000500' AND c_name < 'Customer#000001000'
+        |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // Nested TopN over a pushed join (round-14): `ORDER BY meta.score
+    // LIMIT n` above the join survives Catalyst's NestedColumnAliasing —
+    // NestedExtractRelocate absorbs the extraction into the scan as a
+    // column_mapping-derived flat column, so the join inputs stay
+    // attribute-only and the order key reaches the pushed join's
+    // `$sort`+`$limit` tail: "top 10 orders by nested score with
+    // customer names" is ONE pipeline per split, no Spark join, no
+    // Spark-side full sort (NestedTopnOverJoinSpec pins the shapes).
+    CatalogQuery(
+      "q149_server_join_nested_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey",
+            struct($"o_totalprice".as("score"), $"o_orderpriority".as("prio"))
+              .as("meta"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ntorders"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ntcust"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ntorders"))
+          .schema("_id LONG, o_custkey LONG, meta STRUCT<score: DOUBLE, prio: STRING>")
+          .load()
+        val c = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ntcust"))
+          .schema("_id LONG, c_mktsegment STRING").load()
+        o.join(c, o("o_custkey") === c("_id"))
+          .select(o("_id").as("okey"), $"c_mktsegment".as("seg"),
+            o("meta")("score").as("score"))
+          .orderBy($"score".desc, $"okey".asc)
+          .limit(10)
+      },
+      Some("""
+        |SELECT o_orderkey AS okey, c_mktsegment AS seg,
+        |  o_totalprice AS score
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY score DESC, okey ASC LIMIT 10
         |""".stripMargin))
   )
 }

@@ -180,6 +180,19 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   // instance-private in Scala)
   private[server] def joinSchema: StructType = tableSchema
   private[server] def joinOptions: Map[String, String] = options
+  private[server] def joinMapping: Map[String, String] = mapping
+
+  /** Column-name remapping: Spark column -> (dotted) document field, the
+    * `mongo.columns.mapping` analog (HiveMongoInputFormat.java:211-240),
+    * r14 on the SERVER transport too — pushed filters, sample keys,
+    * top-n orders, group keys, probes, and join keys all resolve through
+    * it (FieldResolve composes a mapped HEAD with a verbatim nested
+    * tail), and the readers decode by document path. Mapped columns need
+    * an explicit read schema (inference samples document names).
+    */
+  private val mapping: Map[String, String] =
+    options.get("column_mapping").map(graft.source.ColumnMapping.parse)
+      .getOrElse(Map.empty)
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
@@ -213,7 +226,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // `sample_key` may name a nested subfield — the keep-predicate and
     // the cursor projection both work on dotted paths
     val keyCol = options.get("sample_key")
-      .flatMap(k => FieldResolve.resolveName(tableSchema, k))
+      .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => graft.source.SamplePush.KeyTypes.contains(r.dataType))
     val eligible = !withReplacement && keyCol.isDefined &&
       !options.contains("limit") &&
@@ -230,7 +243,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // `_ns` metadata predicates are not document queries — residual
     val (metaFilters, docFilters) = filters.partition(
       _.references.contains(GraftServerSource.NsMetaCol))
-    val (query, accepted, residual) = FilterTranslator.split(docFilters, Map.empty)
+    val (query, accepted, residual) = FilterTranslator.split(docFilters, mapping)
     // under uniform storage every Long/Timestamp/String is stored as
     // the ONE type this engine writes, so the read-semantics ReadLong*/
     // ReadTime*/ReadStr(eq/regex) nodes rewrite to their exact BRACKET
@@ -316,7 +329,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // bracket-safety gate applies to the LEAF type
     val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
       import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
-      graft.source.FieldResolve.resolve(tableSchema, o.expression).flatMap { r =>
+      graft.source.FieldResolve.resolve(tableSchema, o.expression, mapping).flatMap { r =>
         val typeOk = GraftServerScanBuilder.cursorOrderSafe(r.dataType, options)
         val desc = o.direction == SortDirection.DESCENDING
         val nullsOk =
@@ -425,7 +438,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // cursor sorts and projects by dotted path natively
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[(String, org.apache.spark.sql.types.DataType)] =
-      FieldResolve.resolve(tableSchema, e)
+      FieldResolve.resolve(tableSchema, e, mapping)
         .filter(r => GraftServerScanBuilder.aggValueSafe(r.dataType, options))
         .map(r => (r.docPath, r.dataType))
     val items = aggregation.aggregateExpressions.toSeq.map {
@@ -473,7 +486,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // Zero aggregates + >=1 group key = SELECT DISTINCT: a `$group`
     // with only `_id` answers it in #distinct-keys docs per namespace.
     GroupAggParse.parse(aggregation,
-      e => graft.source.FieldResolve.resolve(tableSchema, e),
+      e => graft.source.FieldResolve.resolve(tableSchema, e, mapping),
       r => GraftServerScanBuilder.GroupKeyTypes.contains(r.dataType),
       r => GraftServerScanBuilder.aggValueSafe(r.dataType, options),
       r => GraftServerScanBuilder.sumValueSafe(r.dataType, options)) match {
@@ -634,15 +647,18 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (joinType != V2JoinType.INNER_JOIN && !leftOuter && !mirrored)
       return false
     def proj(req: Array[SupportsPushDownJoin.ColumnWithAlias],
-        schema: StructType):
+        schema: StructType, m: Map[String, String]):
         Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
       val items = req.toSeq.map { c =>
         schema.fields.find(_.name == c.colName())
-          .map(f => (f.name, Option(c.alias()).getOrElse(f.name), f.dataType))
+          // _1 is the DOCUMENT field the pipeline addresses — remapped
+          .map(f => (m.getOrElse(f.name, f.name),
+            Option(c.alias()).getOrElse(f.name), f.dataType))
       }
       if (items.contains(None)) None else Some(items.flatten)
     }
-    (proj(leftReq, tableSchema), proj(rightReq, o.joinSchema)) match {
+    (proj(leftReq, tableSchema, mapping),
+        proj(rightReq, o.joinSchema, o.joinMapping)) match {
       case (Some(lp), Some(rp)) =>
         val leftOut = lp.map(p => p._2 -> p._3).toMap
         val rightOut = rp.map(p => p._2 -> p._3).toMap
@@ -716,7 +732,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val rpO: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
       val items = rightReq.toSeq.map { c =>
         o.joinSchema.fields.find(_.name == c.colName())
-          .map(f => (f.name, Option(c.alias()).getOrElse(f.name), f.dataType))
+          .map(f => (o.joinMapping.getOrElse(f.name, f.name),
+            Option(c.alias()).getOrElse(f.name), f.dataType))
       }
       if (items.contains(None)) None else Some(items.flatten)
     }
@@ -1094,6 +1111,19 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
 
+  /** Spark column -> document field (column_mapping, r14 on the server
+    * transport); pushdown resolution happened in the builder — the scan
+    * only needs it for runtime filters, ordering reports, and the
+    * readers' path-based decode. */
+  private val mapping: Map[String, String] =
+    options.get("column_mapping").map(graft.source.ColumnMapping.parse)
+      .getOrElse(Map.empty)
+
+  /** The Spark column that READS doc field `f` (mapping-aware inverse). */
+  private def sparkColFor(f: String): Option[String] =
+    mapping.find(_._2 == f).map(_._1)
+      .orElse(if (mapping.contains(f)) None else Some(f))
+
   /** collStats-based size report — the stats role collstats plays in the
     * reference's planning (MongoSplitterFactory.java:66-83), surfaced to
     * Catalyst so small server collections auto-broadcast in joins. One
@@ -1125,7 +1155,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     * Catalyst.
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    options.get("sort") match {
+    options.get("sort").flatMap(sparkColFor) match {
       case Some(c) if pushedAgg.isEmpty && topN.isEmpty && grouped.isEmpty &&
           requiredSchema.fields.exists(f => f.name == c &&
             GraftServerScanBuilder.cursorOrderSafe(f.dataType, options)) =>
@@ -1152,6 +1182,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     if (pushedAgg.isDefined || limit.isDefined || offset.isDefined ||
         topN.isDefined || grouped.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
+      .flatMap(sparkColFor)
       .filter(requiredSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
@@ -1170,7 +1201,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     * string/long forms first (the join compares READ values).
     */
   private def queryWithRuntime: BQuery =
-    runtimeIn.foldLeft(query) { case (acc, (f, vs)) =>
+    runtimeIn.foldLeft(query) { case (acc, (col, vs)) =>
+      val f = mapping.getOrElse(col, col)
       val strs = vs.collect { case BString(s) => s }
       val longs = vs.collect { case BInt64(x) => x }
       // TimestampType runtime values arrive as BDate millis; the join
@@ -1254,7 +1286,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
       GraftServerSource.nsList(options).flatMap { ns =>
         val coll = new ServerCollection(client, ns)
         var splits = coll.planSplits(key, target)
-        runtimeIn.get(key).foreach(vs =>
+        sparkColFor(key).flatMap(runtimeIn.get).foreach(vs =>
           splits = Planners.pruneByValues(splits, vs))
         if (options.get("filter_empty").exists(_.toBoolean) && query != BQuery.True)
           splits = Planners.pruneEmpty(splits, coll.stats(key), query)
@@ -1444,13 +1476,20 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     if (nsIdx < 0) null
     else org.apache.spark.unsafe.types.UTF8String.fromString(p.ns)
 
+  // Spark column -> document field (column_mapping): decode and the
+  // cursor projection address DOCUMENT paths
+  private val mapping: Map[String, String] =
+    options.get("column_mapping").map(graft.source.ColumnMapping.parse)
+      .getOrElse(Map.empty)
+
   private val client = GraftServerSource.factory(options).create(options)
   private val rawCursor: Iterator[BDoc] =
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
         // a pushed sample's key must ride the projection even when the
         // column itself was pruned away
-        projection = Some((decodeSchema.fieldNames ++
+        projection = Some((decodeSchema.fieldNames
+          .map(n => mapping.getOrElse(n, n)) ++
           sample.map(_.key)).distinct.toSeq),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
@@ -1471,7 +1510,7 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
 
   override def next(): Boolean =
     if (cursor.hasNext) {
-      val base = RowCodec.toRow(cursor.next(), decodeSchema)
+      val base = RowCodec.toRow(cursor.next(), decodeSchema, mapping)
       row =
         if (nsIdx < 0) base
         else {
@@ -1595,11 +1634,28 @@ final class GraftServerDataWriter(partitionId: Int, writeSchema: StructType,
   private val ordered = options.get("bulk_ordered").forall(_.toBoolean)
   private val batchSize = options.get("batch_size").map(_.toInt).getOrElse(512)
 
+  // write-side column remapping (r14, parity with the file sink): Spark
+  // column -> (possibly dotted) document field, applied BEFORE key
+  // extraction so `keys`/`id_column` address document-space names
+  private val writeMapping: Map[String, String] =
+    options.get("column_mapping").map(graft.source.ColumnMapping.parse)
+      .getOrElse(Map.empty)
+  private def remap(d: BDoc): BDoc =
+    if (writeMapping.isEmpty) d
+    else writeMapping.foldLeft(d) { case (acc, (sparkCol, path)) =>
+      acc.get(sparkCol) match {
+        case Some(v) if sparkCol != path =>
+          graft.query.Updates.setField(
+            BDoc(acc.fields.removed(sparkCol)), path, v)
+        case _ => acc
+      }
+    }
+
   private val buf = scala.collection.mutable.ArrayBuffer.empty[graft.store.WriteModel]
   private var written = 0L
 
   override def write(row: InternalRow): Unit = {
-    val doc = RowCodec.toBson(row, writeSchema)
+    val doc = remap(RowCodec.toBson(row, writeSchema))
     buf += WriteModels.fromDoc(
       WriteModels.toDoc(mode, doc, keys, updateOp, multi, idColumn))
     written += 1

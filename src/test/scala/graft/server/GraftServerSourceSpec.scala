@@ -796,6 +796,73 @@ class GraftServerSourceSpec extends SparkSpec {
     assert(nonAscii.collect().isEmpty)
   }
 
+  test("column_mapping on the SERVER transport: write remap, path decode, pushdowns resolve (r14)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // write: columns land at (dotted) document paths
+    Seq((1L, "en", 0.9), (2L, "fr", 0.4), (3L, "en", 0.7), (4L, "de", 0.2))
+      .toDF("_id", "lang", "score")
+      .write.format("graftserver")
+      .options(serverOpts(dir, "db.mapped"))
+      .option("column_mapping", """{"lang": "meta.lang", "score": "meta.score"}""")
+      .option("id_column", "_id").mode("append").save()
+    // raw read shows the nested layout
+    val raw = spark.read.format("graftserver").options(serverOpts(dir, "db.mapped"))
+      .schema("_id LONG, meta STRUCT<lang: STRING, score: DOUBLE>").load()
+    assert(raw.select($"meta.lang").as[String].collect().sorted.toSeq ==
+      Seq("de", "en", "en", "fr"))
+    // mapped read: flat columns decode from the document paths
+    val mapped = spark.read.format("graftserver").options(serverOpts(dir, "db.mapped"))
+      .option("column_mapping", """{"lang": "meta.lang", "score": "meta.score"}""")
+      .option("assume_uniform_storage", "true")
+      .schema("_id LONG, lang STRING, score DOUBLE").load()
+    assert(mapped.orderBy($"_id").select($"lang").as[String].collect().toSeq ==
+      Seq("en", "fr", "en", "de"))
+    // pushed filter resolves through the mapping (server-side $match)
+    assert(mapped.filter($"score" > 0.5).count() == 2)
+    // grouped aggregate pushes with mapped group key + agg input
+    CountingServerFactory.reset()
+    val g = spark.read.format("graftserver").options(serverOpts(dir, "db.mapped"))
+      .option("column_mapping", """{"lang": "meta.lang", "score": "meta.score"}""")
+      .option("assume_uniform_storage", "true")
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, lang STRING, score DOUBLE").load()
+      .groupBy($"lang").agg(count(lit(1)).as("n"), max($"score").as("mx"))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate"), g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap ==
+      Map("en" -> (2L, 0.9), "fr" -> (1L, 0.4), "de" -> (1L, 0.2)))
+    assert(CountingServerFactory.count("find") == 0,
+      s"counts: ${CountingServerFactory.snapshot()}")
+    // TopN order key resolves through the mapping
+    val t = spark.read.format("graftserver").options(serverOpts(dir, "db.mapped"))
+      .option("column_mapping", """{"score": "meta.score"}""")
+      .option("assume_uniform_storage", "true")
+      .schema("_id LONG, score DOUBLE").load()
+      .orderBy($"score".desc).limit(2)
+    assert(t.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      t.queryExecution.executedPlan.toString)
+    assert(t.select($"_id").as[Long].collect().toSeq == Seq(1L, 3L))
+    // JOIN keys resolve through the mapping: lookup ON the mapped path
+    (0 until 3).map(i => (i.toLong, Seq("en", "fr", "de")(i)))
+      .toDF("_id", "code").write.format("graftserver")
+      .options(serverOpts(dir, "db.langs")).option("id_column", "_id")
+      .mode("append").save()
+    val langs = spark.read.format("graftserver").options(serverOpts(dir, "db.langs"))
+      .option("assume_uniform_storage", "true")
+      .schema("_id LONG, code STRING").load()
+    val m2 = spark.read.format("graftserver").options(serverOpts(dir, "db.mapped"))
+      .option("column_mapping", """{"lang": "meta.lang"}""")
+      .option("assume_uniform_storage", "true")
+      .schema("_id LONG, lang STRING").load()
+    val j = m2.join(langs, m2("lang") === langs("code"))
+      .select(m2("_id").as("doc"), langs("_id").as("lid"))
+    assert(j.queryExecution.executedPlan.toString.contains("PushedJoin"),
+      j.queryExecution.executedPlan.toString)
+    assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 2L)))
+  }
+
   test("multi-namespace grouped aggregate plans one parallel pipeline per namespace") {
     import spark.implicits._
     val dir = freshDir()

@@ -269,12 +269,21 @@ class JoinPushdownSpec extends SparkSpec {
     assert(!planOf(unsafe).contains("PushedJoin"), planOf(unsafe))
     assert(unsafe.count() > 0)
 
-    // a residual (untranslatable) filter keeps the join in Spark
+    // r14: a residual (untranslatable) filter no longer forfeits the
+    // join — ResidualJoinHoist parks it as a recheck(...) Filter ABOVE
+    // the pushed join (JoinResidualHoistSpec pins the full matrix)
     val o = ordersDf(dirA).filter(length($"status") === 2)
     val c = custDf(dirA)
     val resid = o.join(c, o("custkey") === c("_id"))
-    assert(!planOf(resid).contains("PushedJoin"), planOf(resid))
+    assert(planOf(resid).contains("PushedJoin") &&
+      planOf(resid).contains("recheck("), planOf(resid))
     assert(resid.count() > 0)
+    // parity: every status value is 2 chars ('S0'..'S2'), so the
+    // re-check keeps all inner-join rows
+    val oAll = ordersDf(dirA)
+    val cAll = custDf(dirA)
+    val all = oAll.join(cAll, oAll("custkey") === cAll("_id"))
+    assert(resid.count() == all.count())
   }
 
   test("3-way join CHAINS a second $lookup: one pipeline, zero Spark joins") {
