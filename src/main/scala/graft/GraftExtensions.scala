@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as a column_mapping-derived flat column, keeping the join inputs
     // attribute-only (pushable)
     ext.injectOptimizerRule(_ => graft.plans.NestedExtractRelocate)
+    // explode(arrayCol) directly over a graftserver scan becomes the
+    // scan's $unwind directive (parent docs cross the wire once; the
+    // grouped-aggregate composition runs $match+$unwind+$group as one
+    // server pipeline)
+    ext.injectOptimizerRule(_ => graft.plans.UnwindRelocate)
     ext.injectFunction((
       FunctionIdentifier("objectid_to_seconds"),
       new ExpressionInfo(classOf[ObjectIdToSeconds].getName, "objectid_to_seconds"),

@@ -1467,6 +1467,72 @@ object ConnectorQueries {
         |  o_totalprice AS score
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY score DESC, okey ASC LIMIT 10
+        |""".stripMargin)),
+
+    // `$unwind` (explode) pushdown, SERVER transport (round-14): the
+    // tags/tokens -> group-count shape (the Enron flatten,
+    // examples/enron/.../EnronMailMapper.java:26-56, at corpus scale).
+    // UnwindRelocate rewrites the Generate into the scan's unwind
+    // directive; composed with the grouped aggregate the whole
+    // `$match`+`$unwind`+`$group` runs as ONE server pipeline per
+    // namespace — #distinct-tags docs cross the wire, never #tags rows
+    // (UnwindPushdownSpec pins the shapes, element-filter residuals,
+    // and the refusals).
+    CatalogQuery(
+      "q150_server_unwind_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.uwdocs",
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            array($"lang", $"source").as("tags"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, n_chars LONG, tags ARRAY<STRING>")
+          .load()
+          .filter($"n_chars" > 100L)
+          .select(explode($"tags").as("tag"))
+          .groupBy($"tag").agg(count(lit(1)).as("n"))
+          .orderBy($"tag".asc_nulls_first)
+      },
+      Some("""
+        |SELECT tag, count(*) AS n FROM (
+        |  SELECT lang AS tag FROM documents WHERE n_chars > 100
+        |  UNION ALL
+        |  SELECT source FROM documents WHERE n_chars > 100
+        |) GROUP BY 1 ORDER BY tag ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // `$unwind` pushdown, FILE transport (round-14): same rewrite — the
+    // per-byte-split grouped partials fold over unwound rows, so the
+    // flatten never materializes Spark-side (UnwindFileSpec pins it).
+    CatalogQuery(
+      "q151_file_unwind_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            array($"source", $"lang").as("tags"))
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, lang STRING, tags ARRAY<STRING>")
+          .load(dir)
+          .filter($"lang" === "en")
+          .select(explode($"tags").as("tag"))
+          .groupBy($"tag").agg(count(lit(1)).as("n"))
+          .orderBy($"tag".asc_nulls_first)
+      },
+      Some("""
+        |SELECT tag, count(*) AS n FROM (
+        |  SELECT source AS tag FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT lang FROM documents WHERE lang = 'en'
+        |) GROUP BY 1 ORDER BY tag ASC NULLS FIRST
         |""".stripMargin))
   )
 }

@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Optimizer rule: `explode(arrayCol)` directly above a graftserver scan
+  * compiles to the scan's `$unwind` directive — the Enron
+  * flatten-then-count shape (examples/enron/.../EnronMailMapper.java:
+  * 26-56) at corpus scale. The Generate node is replaced by a relation
+  * whose schema exposes the ELEMENT as a flat column:
+  *
+  *  - a plain unwound scan streams PARENT docs over the wire (the array
+  *    crosses once, never the flattened cross-product) and the reader
+  *    emits one row per element;
+  *  - composed with a grouped aggregate, the whole
+  *    `$match`+`$unwind`+`$group` runs as ONE server pipeline per
+  *    namespace — `SELECT tag, count(*) FROM t LATERAL VIEW explode(tags)
+  *    GROUP BY tag` ships #distinct-tags docs, not #tags rows.
+  *
+  * `explode` maps to `$unwind` exactly: both drop null/missing/empty
+  * arrays; `explode_outer` maps to `preserveNullAndEmptyArrays: true`.
+  * The element column rides `column_mapping` (element name -> array doc
+  * path), so post-unwind GROUP keys resolve natively; the scan builder
+  * keeps element-column FILTERS residual (pre-unwind the path holds the
+  * ARRAY — a pushed filter would carry mongo's element-match, not
+  * Spark's row semantics) and refuses limit/offset/top-n/sample/probes
+  * (they would count PARENT docs).
+  *
+  * Matched leg shapes under the Generate: the bare relation, an
+  * attribute/extraction Project (NestedColumnAliasing's rewrite of a
+  * nested array path), a pushed-down Filter, or Project-over-Filter.
+  * Parent-column filters COMMUTE with `$unwind` (a parent's columns are
+  * identical on every emitted row, and a dropped parent drops all its
+  * rows), so a below-Generate Filter is re-applied ABOVE the unwound
+  * relation, where the normal pushdown then takes it into the pre-unwind
+  * `$match`. The vacuous conjuncts InferFiltersFromGenerate adds for a
+  * non-outer explode (`isnotnull(arr)`, `size(arr) > 0` — implied by
+  * `$unwind` itself) are dropped rather than re-checked, which also
+  * spares shipping the whole array column just to re-test it.
+  *
+  * posexplode / map explode / computed arrays are left to Spark. Stable
+  * in the fixed-point batch: the Generate is gone after the rewrite.
+  */
+object UnwindRelocate extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case g @ Generate(Explode(arr), _, outer, _, Seq(elOut), _) =>
+      rewrite(g, arr, outer, elOut).getOrElse(g)
+  }
+
+  private def rewrite(g: Generate, arr0: Expression, outer: Boolean,
+      elOut: Attribute): Option[LogicalPlan] = {
+    // peel the leg: [Project(pl,]? [Filter(f,]? rel
+    val (pl, f, rel) = g.child match {
+      case r: DataSourceV2Relation => (Nil, None, r)
+      case Filter(c, r: DataSourceV2Relation) => (Nil, Some(c), r)
+      case Project(p, r: DataSourceV2Relation) => (p, None, r)
+      case Project(p, Filter(c, r: DataSourceV2Relation)) => (p, Some(c), r)
+      case _ => return None
+    }
+    val isServer = rel.table.isInstanceOf[graft.server.GraftServerTable]
+    val isFile = rel.table.isInstanceOf[graft.source.GraftTable]
+    if (!isServer && !isFile) return None
+    if (rel.options.containsKey("unwind_path")) return None
+
+    // inline project aliases so the exploded expression and the filter
+    // speak in relation columns
+    val aliasById: Map[ExprId, Expression] =
+      pl.collect { case a: Alias => a.exprId -> a.child }.toMap
+    def inline(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if aliasById.contains(a.exprId) =>
+        aliasById(a.exprId)
+    }
+    // every project entry must be an attribute or an extraction alias
+    // (anything computed would need its own relocation)
+    val plOk = pl.forall {
+      case _: AttributeReference => true
+      case Alias(chain, _) => isExtract(chain, rel)
+      case _ => false
+    }
+    if (!plOk) return None
+
+    val arr = inline(arr0)
+    val elementType = arr.dataType match {
+      case ArrayType(et, _) => et
+      case _ => return None
+    }
+    val arrPath = docPathOf(arr, rel).getOrElse(return None)
+    // if the array column itself (or a struct holding it) survives above
+    // the explode, the unwound document cannot carry both the element
+    // and the original array at one path — leave the Generate to Spark
+    if (g.requiredChildOutput.exists(a =>
+        arrPath == a.name || arrPath.startsWith(a.name + "."))) return None
+    val existing = Option(rel.options.get("column_mapping"))
+      .map(graft.source.ColumnMapping.parse)
+      .getOrElse(Map.empty[String, String])
+    val head = arrPath.split('.').head
+    val mappedPath = existing.get(head)
+      .map(h => (h +: arrPath.split('.').toSeq.tail).mkString("."))
+      .getOrElse(arrPath)
+    if (rel.schema.fieldNames.contains(elOut.name)) return None
+
+    // drop the conjuncts $unwind itself implies for a non-outer explode
+    // (vacuous post-unwind, and they would force the array column into
+    // the read); everything else re-checks above the unwound relation
+    val inlinedArr = arr
+    def vacuous(c: Expression): Boolean = !outer && (inline(c) match {
+      case IsNotNull(e) => e.semanticEquals(inlinedArr)
+      case GreaterThan(Size(e, _), Literal(0, _)) => e.semanticEquals(inlinedArr)
+      case _ => false
+    })
+    val keepConjuncts = f.toSeq
+      .flatMap(c => splitConjuncts(c)).filterNot(vacuous).map(inline)
+    // kept filters must be expressible over relation columns, and must
+    // not need the array's own column (same one-path constraint)
+    if (!keepConjuncts.forall(_.references.subsetOf(rel.outputSet))) return None
+    if (keepConjuncts.exists(_.references.exists(a =>
+        arrPath == a.name || arrPath.startsWith(a.name + ".")))) return None
+
+    // the parent columns surviving above + any the kept filter needs
+    val parentAttrs: Seq[AttributeReference] = {
+      val needed = g.requiredChildOutput.map {
+        case a: AttributeReference if rel.outputSet.contains(a) => a
+        case a: AttributeReference if aliasById.contains(a.exprId) =>
+          // a surviving extraction alias would need its own relocation
+          return None
+        case _ => return None
+      }
+      val extra = AttributeSet(keepConjuncts.flatMap(_.references))
+        .filterNot(needed.contains).toSeq.collect {
+          case a: AttributeReference if rel.outputSet.contains(a) => a
+        }
+      needed ++ extra
+    }
+
+    val newSchema = StructType(
+      parentAttrs.map(a => StructField(a.name, a.dataType)) :+
+        StructField(elOut.name, elementType))
+    val newMapping = existing + (elOut.name -> mappedPath)
+    val mappingJson = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(
+        newMapping.foldLeft(org.json4s.JObject()) { case (o, (k, v)) =>
+          o ~ (k -> v) }))
+    }
+    val newOpts = new CaseInsensitiveStringMap((rel.options.asScala.toMap ++ Map(
+      "column_mapping" -> mappingJson,
+      "unwind_path" -> mappedPath,
+      "unwind_element" -> elOut.name,
+      "unwind_outer" -> outer.toString)).asJava)
+    val newTable: org.apache.spark.sql.connector.catalog.Table =
+      if (isServer) new graft.server.GraftServerTable(newSchema, newOpts.asScala.toMap)
+      else new graft.source.GraftTable(newSchema, newOpts.asScala.toMap)
+    val elAttr = AttributeReference(elOut.name, elementType,
+      nullable = true)(exprId = elOut.exprId)
+    val newRel = rel.copy(table = newTable,
+      output = parentAttrs :+ elAttr, options = newOpts)
+    val withFilter = keepConjuncts.reduceOption(And)
+      .map(Filter(_, newRel)).getOrElse(newRel)
+    val out: Seq[NamedExpression] = g.requiredChildOutput :+ elAttr
+    Some(
+      if (withFilter.output == g.output) withFilter
+      else Project(out, withFilter))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A pure GetStructField chain rooted at one of the relation's own
+    * struct columns. */
+  private def isExtract(e: Expression, rel: DataSourceV2Relation): Boolean =
+    e match {
+      case a: AttributeReference => rel.outputSet.contains(a)
+      case GetStructField(child, _, _) => isExtract(child, rel)
+      case _ => false
+    }
+
+  /** Dotted document path of a column / nested-struct chain rooted at
+    * the relation's own output. */
+  private def docPathOf(e: Expression, r: DataSourceV2Relation): Option[String] =
+    e match {
+      case a: AttributeReference if r.outputSet.contains(a) => Some(a.name)
+      case g @ GetStructField(child, ord, _) =>
+        docPathOf(child, r).map(_ + "." + g.childSchema(ord).name)
+      case _ => None
+    }
+}

@@ -194,6 +194,21 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     options.get("column_mapping").map(graft.source.ColumnMapping.parse)
       .getOrElse(Map.empty)
 
+  /** `$unwind` directive (r14, injected by the UnwindRelocate rule when
+    * an explode() sits directly over this relation): the scan emits one
+    * row per array element. `unwind_element` names the element COLUMN
+    * (mapped to the array's doc path via column_mapping so group keys
+    * resolve); filters on it stay residual — pre-unwind the path holds
+    * the ARRAY, so a pushed element filter would carry mongo's
+    * element-match semantics, not Spark's row semantics. Row-count/
+    * row-position pushdowns (limit/offset/top-n/sample/probes) refuse:
+    * they would count/sort PARENT docs, not post-unwind rows.
+    */
+  private val unwind: Option[ServerClient.Unwind] =
+    options.get("unwind_path").map(p => ServerClient.Unwind(p,
+      options.get("unwind_outer").exists(_.toBoolean)))
+  private val unwindElement: Option[String] = options.get("unwind_element")
+
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
   private var pushed: Array[Filter] = Array.empty
@@ -229,7 +244,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => graft.source.SamplePush.KeyTypes.contains(r.dataType))
     val eligible = !withReplacement && keyCol.isDefined &&
-      !options.contains("limit") &&
+      !options.contains("limit") && unwind.isEmpty &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && joined.isEmpty
     if (!eligible) false
@@ -240,9 +255,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // `_ns` metadata predicates are not document queries — residual
-    val (metaFilters, docFilters) = filters.partition(
-      _.references.contains(GraftServerSource.NsMetaCol))
+    // `_ns` metadata predicates are not document queries, and a filter
+    // on the UNWOUND element column cannot run pre-unwind — residual
+    val (metaFilters, docFilters) = filters.partition(f =>
+      f.references.contains(GraftServerSource.NsMetaCol) ||
+        unwindElement.exists(f.references.contains))
     val (query, accepted, residual) = FilterTranslator.split(docFilters, mapping)
     // under uniform storage every Long/Timestamp/String is stored as
     // the ONE type this engine writes, so the read-semantics ReadLong*/
@@ -270,8 +287,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   override def pushLimit(n: Int): Boolean =
     // the cursor limit counts UNSAMPLED rows; the sampled prefix may be
-    // shorter than the limit needs
-    if (sample.isDefined) false
+    // shorter than the limit needs — and PARENT docs, not unwound rows
+    if (sample.isDefined || unwind.isDefined) false
     else if (joined.isDefined) {
       // joined arm: `$limit` after the last `$unwind`, partial per
       // pipeline (a pushed join TopN already carries its own $limit)
@@ -292,7 +309,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (options.get("splitter").contains("single") &&
         GraftServerSource.nsList(options).size == 1 && residuals.isEmpty &&
         aggPushed.isEmpty && groupedAgg.isEmpty && topN.isEmpty &&
-        sample.isEmpty && joined.isEmpty) {
+        sample.isEmpty && joined.isEmpty && unwind.isEmpty) {
       offset = Some(n); true
     } else false
 
@@ -322,7 +339,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (joined.isDefined) return pushJoinedTopN(orders, n)
     if (orders.isEmpty || aggPushed.isDefined || groupedAgg.isDefined ||
         limit.isDefined || offset.isDefined || residuals.nonEmpty ||
-        sample.isDefined) return false
+        sample.isDefined || unwind.isDefined) return false
     // order keys may be NESTED subfields: `{"meta.score": -1}` is a
     // legal cursor sort doc (dotted-path key extraction is core server
     // behavior — the reference's MongoPathRetriever convention); the
@@ -432,7 +449,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     import graft.source.AggPush
     val eligible =
       pushedQuery == BQuery.True && !options.contains("query") &&
-        limit.isEmpty && sample.isEmpty && joined.isEmpty
+        limit.isEmpty && sample.isEmpty && joined.isEmpty && unwind.isEmpty
     if (!eligible) return false
     // probe columns may be nested subfields — the sorted limit-1 probe
     // cursor sorts and projects by dotted path natively
@@ -539,7 +556,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private def cleanForJoin: Boolean =
     residuals.isEmpty && limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && sample.isEmpty &&
-      joined.isEmpty && !options.contains("limit") &&
+      joined.isEmpty && unwind.isEmpty && !options.contains("limit") &&
       !options.contains("sort") &&
       GraftServerSource.nsList(options).size == 1
 
@@ -783,7 +800,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
         limit, options, aggPushed, topN, groupedAgg, offset, sample,
         nsMeta = required.fieldNames.contains(GraftServerSource.NsMetaCol) &&
-          !tableSchema.fieldNames.contains(GraftServerSource.NsMetaCol))
+          !tableSchema.fieldNames.contains(GraftServerSource.NsMetaCol),
+        unwind = unwind)
   }
 }
 
@@ -1106,7 +1124,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     grouped: Option[ServerGroupedAgg] = None,
     offset: Option[Int] = None,
     sample: Option[graft.source.SamplePush] = None,
-    nsMeta: Boolean = false)
+    nsMeta: Boolean = false,
+    unwind: Option[ServerClient.Unwind] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
@@ -1118,6 +1137,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
   private val mapping: Map[String, String] =
     options.get("column_mapping").map(graft.source.ColumnMapping.parse)
       .getOrElse(Map.empty)
+
 
   /** The Spark column that READS doc field `f` (mapping-aware inverse). */
   private def sparkColFor(f: String): Option[String] =
@@ -1142,7 +1162,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     }
     override def numRows(): java.util.OptionalLong =
       // a pushed sample keeps a hash-dependent row count — no exact claim
-      if (query == BQuery.True && limit.isEmpty && sample.isEmpty)
+      if (query == BQuery.True && limit.isEmpty && sample.isEmpty &&
+          unwind.isEmpty)
         java.util.OptionalLong.of(stats.map(_.count).sum)
       else java.util.OptionalLong.empty()
   }
@@ -1157,6 +1178,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     options.get("sort").flatMap(sparkColFor) match {
       case Some(c) if pushedAgg.isEmpty && topN.isEmpty && grouped.isEmpty &&
+          unwind.isEmpty &&
           requiredSchema.fields.exists(f => f.name == c &&
             GraftServerScanBuilder.cursorOrderSafe(f.dataType, options)) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
@@ -1181,6 +1203,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     // pushed (grouped) aggregate's probes/pipelines never scan row-wise
     if (pushedAgg.isDefined || limit.isDefined || offset.isDefined ||
         topN.isDefined || grouped.isDefined) Array.empty
+    else if (unwind.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
       .flatMap(sparkColFor)
       .filter(requiredSchema.fieldNames.contains)
@@ -1223,9 +1246,10 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedAgg.isEmpty && grouped.isEmpty && topN.isEmpty &&
-      limit.isEmpty && offset.isEmpty && sample.isEmpty && !nsMeta,
+      limit.isEmpty && offset.isEmpty && sample.isEmpty && !nsMeta &&
+      unwind.isEmpty,
       "graftserver streaming read cannot carry limit/offset/top-n/aggregate/" +
-        "sample pushdowns or the _ns metadata column")
+        "sample/unwind pushdowns or the _ns metadata column")
     new GraftServerMicroBatchStream(requiredSchema, query, options)
   }
 
@@ -1254,7 +1278,9 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
         val order = spec.map { case (c, d) =>
           s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")
         s" PushedTopN: ORDER BY $order LIMIT $n"
-      }.getOrElse("")
+      }.getOrElse("") +
+      unwind.map(u => s" PushedUnwind: ${u.path}" +
+        (if (u.preserveNullAndEmpty) " OUTER" else "")).getOrElse("")
 
   /** Driver-side planning: one bounded probe sequence through the shared
     * strategy chain (chunks → splitVector → sampled size bounds). Optional
@@ -1298,7 +1324,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
-      pushedAgg, topN, grouped, offset, sample, nsMeta)
+      pushedAgg, topN, grouped, offset, sample, nsMeta, unwind)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -1318,16 +1344,17 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     grouped: Option[ServerGroupedAgg] = None,
     offset: Option[Int] = None,
     sample: Option[graft.source.SamplePush] = None,
-    nsMeta: Boolean = false)
+    nsMeta: Boolean = false,
+    unwind: Option[ServerClient.Unwind] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (grouped, pushedAgg) match {
       case (Some(g), _) => new ServerGroupedAggReader(options, query, g,
-        p.asInstanceOf[GraftServerPartition].ns)
+        p.asInstanceOf[GraftServerPartition].ns, unwind)
       case (None, Some(items)) => new ServerAggReader(options, items)
       case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
-        options, topN, offset, sample, nsMeta)
+        options, topN, offset, sample, nsMeta, unwind)
     }
 }
 
@@ -1340,14 +1367,15 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
   * the union).
   */
 final class ServerGroupedAggReader(options: Map[String, String],
-    query: BQuery, grouped: ServerGroupedAgg, ns: String)
+    query: BQuery, grouped: ServerGroupedAgg, ns: String,
+    unwind: Option[ServerClient.Unwind] = None)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
   private val it: Iterator[InternalRow] = {
     val base: Iterator[InternalRow] =
       client.groupAggregate(ns, query,
-          grouped.groupCols.map(_._1), grouped.items.map(_._1))
+          grouped.groupCols.map(_._1), grouped.items.map(_._1), unwind)
         .map(d => RowCodec.toRow(d, grouped.schema))
     if (grouped.groupCols.nonEmpty || base.hasNext) base
     else {
@@ -1461,8 +1489,15 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     offset: Option[Int] = None,
     sample: Option[graft.source.SamplePush] = None,
-    nsMeta: Boolean = false)
+    nsMeta: Boolean = false,
+    unwind: Option[ServerClient.Unwind] = None)
     extends PartitionReader[InternalRow] {
+
+  // `$unwind` (r14): the cursor streams PARENT docs (one array per
+  // parent crosses the wire, never the flattened cross-product) and the
+  // reader emits one row per element — the element column slot is
+  // filled per element, every other slot decodes once per parent
+  private val unwindElement: Option[String] = options.get("unwind_element")
 
   // `_ns` provenance: splice this partition's namespace in at the
   // requested position — constant per cursor
@@ -1472,6 +1507,15 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
   private val decodeSchema: StructType =
     if (nsIdx < 0) requiredSchema
     else StructType(requiredSchema.fields.patch(nsIdx, Nil, 1))
+  // under unwind, the element column decodes per ELEMENT, not per doc
+  private val elIdx: Int = unwindElement
+    .map(decodeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  private val parentSchema: StructType =
+    if (elIdx < 0) decodeSchema
+    else StructType(decodeSchema.fields.patch(elIdx, Nil, 1))
+  private val elType: org.apache.spark.sql.types.DataType =
+    if (elIdx < 0) org.apache.spark.sql.types.NullType
+    else decodeSchema.fields(elIdx).dataType
   private val nsValue: org.apache.spark.unsafe.types.UTF8String =
     if (nsIdx < 0) null
     else org.apache.spark.unsafe.types.UTF8String.fromString(p.ns)
@@ -1482,14 +1526,16 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     options.get("column_mapping").map(graft.source.ColumnMapping.parse)
       .getOrElse(Map.empty)
 
+
   private val client = GraftServerSource.factory(options).create(options)
   private val rawCursor: Iterator[BDoc] =
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
         // a pushed sample's key must ride the projection even when the
         // column itself was pruned away
-        projection = Some((decodeSchema.fieldNames
+        projection = Some((parentSchema.fieldNames
           .map(n => mapping.getOrElse(n, n)) ++
+          unwind.map(_.path) ++
           sample.map(_.key)).distinct.toSeq),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
@@ -1506,11 +1552,48 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
   private val cursor: Iterator[BDoc] =
     sample.map(sp => rawCursor.filter(sp.keep)).getOrElse(rawCursor)
 
+  /** Post-unwind row stream: parent slots decode ONCE, the element slot
+    * is re-bound per element; element decode honors the array's element
+    * semantics (null/missing -> null under OUTER, row dropped
+    * otherwise; a non-array value is a one-element array, mongo's
+    * `$unwind` rule).
+    */
+  private val decoded: Iterator[InternalRow] = unwind match {
+    case None => cursor.map(d => RowCodec.toRow(d, decodeSchema, mapping))
+    case Some(u) =>
+      cursor.flatMap { d =>
+        val parent = RowCodec.toRow(d, parentSchema, mapping)
+        def withEl(el: Any): InternalRow = {
+          val vals = new Array[Any](decodeSchema.length)
+          var i = 0
+          var j = 0
+          while (i < decodeSchema.length) {
+            if (i == elIdx) vals(i) = el
+            else { vals(i) = parent.get(j, parentSchema.fields(j).dataType); j += 1 }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
+        def decodeEl(v: BsonValue): Any =
+          if (v == BNull) null else RowCodec.toRow(BDoc("e" -> v),
+            StructType(Seq(org.apache.spark.sql.types.StructField("e", elType)))).get(0, elType)
+        d.getPath(u.path) match {
+          case Some(BArray(items)) if items.nonEmpty =>
+            if (elIdx < 0) items.map(_ => withEl(null))
+            else items.map(el => withEl(decodeEl(el)))
+          case Some(BArray(_)) | Some(BNull) | None =>
+            if (u.preserveNullAndEmpty) Seq(withEl(null)) else Seq.empty
+          case Some(other) =>
+            Seq(withEl(if (elIdx < 0) null else decodeEl(other)))
+        }
+      }
+  }
+
   private var row: InternalRow = _
 
   override def next(): Boolean =
-    if (cursor.hasNext) {
-      val base = RowCodec.toRow(cursor.next(), decodeSchema, mapping)
+    if (decoded.hasNext) {
+      val base = decoded.next()
       row =
         if (nsIdx < 0) base
         else {

@@ -184,12 +184,13 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     * grouped aggregates when the whole pushed query renders.
     */
   override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
-      aggs: Seq[GroupAgg]): Iterator[BDoc] = {
+      aggs: Seq[GroupAgg],
+      unwind: Option[ServerClient.Unwind] = None): Iterator[BDoc] = {
     val coll = collection(ns)
     val p = QueryDocs.plan(query)
     require(p.isExact && p.keyBounds.isEmpty,
       s"groupAggregate requires a fully server-renderable query, got $query")
-    val it = Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs))
+    val it = Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs, unwind))
     // the one pipeline here that can exceed the server's 100 MB
     // per-stage memory (a high-cardinality $group) — honor the opt-in
     if (allowDiskUse) Rf.allowDiskUse(it, b = true)

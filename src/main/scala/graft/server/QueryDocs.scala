@@ -406,10 +406,19 @@ object QueryDocs {
     * [[sumPresenceAlias]] companion (see there).
     */
   def groupStages(matchDoc: BDoc, groupKeys: Seq[String],
-      aggs: Seq[GroupAgg]): Seq[BDoc] = {
+      aggs: Seq[GroupAgg],
+      unwind: Option[ServerClient.Unwind] = None): Seq[BDoc] = {
     val group = groupStageDoc(identity, groupKeys, aggs)
-    if (matchDoc.fields.isEmpty) Seq(group)
-    else Seq(BDoc("$match" -> matchDoc), group)
+    val pre =
+      if (matchDoc.fields.isEmpty) Seq.empty
+      else Seq(BDoc("$match" -> matchDoc))
+    // the pushed query never references the unwound element (the scan
+    // builder keeps element filters residual), so $match commutes with
+    // $unwind and runs FIRST — fewer docs enter the unwind
+    val uw = unwind.map(u => BDoc("$unwind" -> BDoc(
+      "path" -> BString("$" + u.path),
+      "preserveNullAndEmptyArrays" -> BBool(u.preserveNullAndEmpty)))).toSeq
+    pre ++ uw :+ group
   }
 
   /** `$project` doc renaming each doc field to its output name —

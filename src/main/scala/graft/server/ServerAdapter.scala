@@ -108,7 +108,8 @@ trait ServerClient {
     * matched docs in the group.
     */
   def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
-      aggs: Seq[GroupAgg]): Iterator[BDoc]
+      aggs: Seq[GroupAgg],
+      unwind: Option[ServerClient.Unwind] = None): Iterator[BDoc]
 
   /** One server-executed equi-join — the `$lookup`+`$unwind` pipeline
     * ([[QueryDocs.lookupStages]] is the wire rendering): driving docs of
@@ -188,6 +189,10 @@ final case class LookupJoin(
 
 object ServerClient {
   final case class CollStats(count: Long, avgObjSizeBytes: Long)
+
+  /** One `$unwind` stage: the (possibly dotted) array field to unwind
+    * and mongo's `preserveNullAndEmptyArrays` flag (explode_outer). */
+  final case class Unwind(path: String, preserveNullAndEmpty: Boolean)
 }
 
 object LookupJoin {
@@ -453,10 +458,16 @@ final class FakeServerClient(rootDir: Option[String] = None)
     * otherwise (the $sum promotion rule).
     */
   override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
-      aggs: Seq[GroupAgg]): Iterator[BDoc] = {
+      aggs: Seq[GroupAgg],
+      unwind: Option[ServerClient.Unwind] = None): Iterator[BDoc] = {
     tick("groupAggregate")
-    FakeServerClient.groupFold(
-      coll(ns).readAll().filter(query.matches).toVector, groupKeys, aggs)
+    val matched = coll(ns).readAll().filter(query.matches)
+    val rows = unwind match {
+      case Some(u) => matched.flatMap(d =>
+        FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty))
+      case None => matched
+    }
+    FakeServerClient.groupFold(rows.toVector, groupKeys, aggs)
   }
 
   /** The `$lookup` equi-join, evaluated as a hash join over the store
@@ -660,6 +671,23 @@ object FakeServerClient {
       }
       BDoc(ListMap(groupKeys.zip(gvs) ++ fields: _*))
     }
+  }
+
+  /** What a real server's `$unwind` emits for one document: one doc per
+    * array element with the field REPLACED by the element; null/missing/
+    * empty-array docs drop (or pass with a null/absent field under
+    * `preserveNullAndEmptyArrays`); a NON-array value passes the doc
+    * unchanged (mongo treats it as a one-element array).
+    */
+  private[server] def unwindDoc(d: BDoc, path: String,
+      preserve: Boolean): Seq[BDoc] = d.getPath(path) match {
+    case Some(BArray(items)) if items.nonEmpty =>
+      items.map(el => graft.query.Updates.setField(d, path, el))
+    case Some(BArray(_)) => // empty array
+      if (preserve) Seq(graft.query.Updates.setField(d, path, BNull)) else Nil
+    case Some(BNull) | None =>
+      if (preserve) Seq(d) else Nil
+    case Some(_) => Seq(d) // non-array: passes unchanged (server rule)
   }
 
   private val writeLocks =

@@ -400,6 +400,14 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   private val mapping: Map[String, String] =
     options.get("column_mapping").map(ColumnMapping.parse).getOrElse(Map.empty)
 
+  /** `$unwind` directive (r14): same contract as the server source —
+    * element filters stay residual, row-count/-position pushdowns
+    * refuse, grouped-aggregate partials fold over unwound rows. */
+  private val unwind: Option[UnwindSpec] =
+    options.get("unwind_path").map(pth => UnwindSpec(pth,
+      options.getOrElse("unwind_element", pth),
+      options.get("unwind_outer").exists(_.toBoolean)))
+
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
   private var pushed: Array[Filter] = Array.empty
@@ -409,9 +417,11 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a predicate on the `_file` metadata column is NOT a document
-    // query — it must stay above the scan (Spark re-evaluates residuals)
-    val (metaFilters, docFilters) = filters.partition(
-      _.references.contains(GraftBsonSource.FileMetaCol))
+    // query, and one on the UNWOUND element column cannot run pre-unwind
+    // — both must stay above the scan (Spark re-evaluates residuals)
+    val (metaFilters, docFilters) = filters.partition(f =>
+      f.references.contains(GraftBsonSource.FileMetaCol) ||
+        options.get("unwind_element").exists(f.references.contains))
     val (query, accepted, residual) = FilterTranslator.split(docFilters, mapping)
     pushedQuery = query
     pushed = accepted
@@ -448,7 +458,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val eligible = !withReplacement && keyCol.isDefined &&
       !options.contains("collections") && !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
-      aggPushed.isEmpty && groupedAgg.isEmpty
+      aggPushed.isEmpty && groupedAgg.isEmpty && unwind.isEmpty
     if (!eligible) false
     else {
       sample = Some(SamplePush(keyCol.get.docPath, lower, upper, seed))
@@ -462,8 +472,9 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     */
   override def pushLimit(n: Int): Boolean =
     // sample-then-limit cannot be spelled limit-then-sample: the sampled
-    // prefix of a partition may be shorter than the limit needs
-    if (sample.isDefined) false
+    // prefix of a partition may be shorter than the limit needs — and a
+    // doc-level limit counts PARENT docs, not unwound rows
+    if (sample.isDefined || unwind.isDefined) false
     else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
@@ -501,7 +512,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // rows it keeps — refuse rather than reorder an explicit option
     val eligible = orders.nonEmpty && residualFilters.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && offset.isEmpty &&
-      sample.isEmpty &&
+      sample.isEmpty && unwind.isEmpty &&
       !options.contains("sort") && !options.contains("collections") &&
       !options.contains("limit")
     if (!eligible) return false
@@ -536,7 +547,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       options.get("path").exists(p => GraftBsonSource.dataFiles(p).size == 1)
   override def pushOffset(n: Int): Boolean =
     if (provablySinglePartition && aggPushed.isEmpty && groupedAgg.isEmpty &&
-        sample.isEmpty) {
+        sample.isEmpty && unwind.isEmpty) {
       offset = Some(n); true
     } else false
 
@@ -572,7 +583,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val eligible =
       pushedQuery == BQuery.True && !options.contains("query") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty && sample.isEmpty &&
-      !options.contains("collections") &&
+      !options.contains("collections") && unwind.isEmpty &&
       // the option-level PER-PARTITION cursor limit changes row counts
       !options.contains("limit")
     if (!eligible) return false
@@ -666,7 +677,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
       offset, aggPushed, topNSort = topN.map(_._1),
-      grouped = groupedAgg, sample = sample,
+      grouped = groupedAgg, sample = sample, unwind = unwind,
       // the `_file` metadata column is live only when requested AND not
       // shadowed by a data column of the same name (Spark's rule)
       fileMeta = required.fieldNames.contains(GraftBsonSource.FileMetaCol) &&
@@ -805,6 +816,15 @@ object RuntimeFilters {
   }
 }
 
+/** `$unwind` directive on a scan (r14, injected by the UnwindRelocate
+  * rule when an explode() sits directly over the relation): emit one row
+  * per element of the array at `path`; `element` names the element
+  * COLUMN in the read schema (for the grouped-agg inner scan it IS the
+  * doc path); `outer` = explode_outer (null/empty parents keep one
+  * null-element row).
+  */
+final case class UnwindSpec(path: String, element: String, outer: Boolean)
+
 object ColumnMapping {
   /** Parse {"sparkCol": "doc.field", ...}. */
   def parse(json: String): Map[String, String] = {
@@ -826,6 +846,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     topNSort: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None,
     grouped: Option[FileGroupedAgg] = None,
     sample: Option[SamplePush] = None,
+    unwind: Option[UnwindSpec] = None,
     fileMeta: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
@@ -879,10 +900,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedAgg.isEmpty && grouped.isEmpty && topNSort.isEmpty &&
-      limit.isEmpty && offset.isEmpty && sample.isEmpty &&
+      limit.isEmpty && offset.isEmpty && sample.isEmpty && unwind.isEmpty &&
       !options.contains("collections"),
       "graftbson streaming read cannot carry limit/offset/top-n/aggregate/" +
-        "sample pushdowns or multi-collection mode")
+        "sample/unwind pushdowns or multi-collection mode")
     new GraftBsonMicroBatchStream(requiredSchema, query, options, mapping)
   }
 
@@ -992,13 +1013,15 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       files.flatMap { f =>
         BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
           GraftInputPartition(f, s, e, q, lim, mapping, sort,
-            topNSpec = topNSort, sample = sample): InputPartition
+            topNSpec = topNSort, sample = sample,
+            unwind = unwind): InputPartition
         }
       }
     case "single" =>
       files.map(f =>
         GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
-          offset = off, topNSpec = topNSort, sample = sample): InputPartition)
+          offset = off, topNSpec = topNSort, sample = sample,
+          unwind = unwind): InputPartition)
     case other =>
       // key-range strategies via the pure planners + file-backed stats;
       // chunk/shard maps arrive as option-level JSON (the config.chunks /
@@ -1015,7 +1038,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           .map { case (pq, locs) =>
             GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
               locations = locs, topNSpec = topNSort,
-              sample = sample): InputPartition
+              sample = sample, unwind = unwind): InputPartition
           }
       }
     }
@@ -1035,7 +1058,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         val parts = files.flatMap(f =>
           BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
             GroupedAggPartition(f, s, e, query, g, mapping,
-              sample): InputPartition
+              sample, unwind): InputPartition
           })
         return (
           if (parts.nonEmpty || g.groupCols.nonEmpty) parts.toArray
@@ -1433,7 +1456,10 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
     topNSpec: Option[Seq[(String, Boolean, org.apache.spark.sql.types.DataType)]] = None,
     /** Set for a pushed TABLESAMPLE: deterministic keyed Bernoulli,
       * applied right after the pushed query (commutes with it). */
-    sample: Option[SamplePush] = None)
+    sample: Option[SamplePush] = None,
+    /** Set for a pushed `$unwind`: one row per element of the array at
+      * `unwind.path`, the element bound at the `unwind.element` column. */
+    unwind: Option[UnwindSpec] = None)
     extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
@@ -1458,7 +1484,8 @@ final class GraftReaderFactory(requiredSchema: StructType,
 final case class GroupedAggPartition(path: String, start: Long, end: Long,
     query: BQuery, grouped: FileGroupedAgg,
     mapping: Map[String, String],
-    sample: Option[SamplePush] = None) extends InputPartition
+    sample: Option[SamplePush] = None,
+    unwind: Option[UnwindSpec] = None) extends InputPartition
 
 /** Folds one byte-split's rows into per-group PARTIAL rows. The inner
   * row scan decodes ONLY the group-key and aggregate input columns
@@ -1502,7 +1529,10 @@ final class GroupedAggPartitionReader(p: GroupedAggPartition)
       // decodes just its subfield through the Proj trie
       GraftInputPartition(p.path, p.start, p.end, p.query,
         mapping = innerSchema.fieldNames.map(c => c -> c).toMap,
-        sample = p.sample),
+        sample = p.sample,
+        // inner columns ARE doc paths: the unwound element column is the
+        // array path itself (post-unwind the path holds the element)
+        unwind = p.unwind.map(u => u.copy(element = u.path))),
       innerSchema)
 
   private def cloned(v: Any): Any = v match {
@@ -1639,7 +1669,8 @@ final class GraftPartitionReader(p: GraftInputPartition,
       BQuery.fieldPaths(p.query) ++
       p.sortKey ++
       p.topNSpec.toSeq.flatten.map(_._1) ++
-      p.sample.map(_.key)
+      p.sample.map(_.key) ++
+      p.unwind.map(_.path)
   // keep the raw handle: with limit pushdown / early task kill the iterator
   // is never drained, so close() must release the file descriptor
   private val raw = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
@@ -1666,7 +1697,25 @@ final class GraftPartitionReader(p: GraftInputPartition,
   // offset (skip) BEFORE limit — planInputPartitions only carries offset on
   // provably-single-partition scans, where skip-then-take is globally exact
   private val afterOffset = p.offset.map(sorted.drop).getOrElse(sorted)
-  private val docs = p.limit.map(afterOffset.take).getOrElse(afterOffset)
+  private val parents = p.limit.map(afterOffset.take).getOrElse(afterOffset)
+  // `$unwind` (r14): emit one doc per array element (limit/offset/top-n/
+  // sample were refused by the builder, so `parents` is the plain
+  // filtered stream); element semantics mirror the server's $unwind —
+  // null/missing/empty drop (or keep one null-element row under OUTER),
+  // a non-array value passes the doc unchanged
+  private val docs: Iterator[BDoc] = p.unwind match {
+    case None => parents
+    case Some(u) => parents.flatMap { d =>
+      d.getPath(u.path) match {
+        case Some(BArray(items)) if items.nonEmpty =>
+          items.iterator.map(el => graft.query.Updates.setField(d, u.path, el))
+        case Some(BArray(_)) | Some(BNull) | None =>
+          if (u.outer) Iterator.single(graft.query.Updates.setField(d, u.path, BNull))
+          else Iterator.empty
+        case Some(_) => Iterator.single(d)
+      }
+    }
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean =

@@ -941,8 +941,9 @@ final class CountingServerFactory extends ServerClientFactory {
       override def bulkWrite(ns: String, models: Iterator[graft.store.WriteModel],
           ordered: Boolean) = { t("bulkWrite"); inner.bulkWrite(ns, models, ordered) }
       override def groupAggregate(ns: String, query: graft.query.BQuery,
-          groupKeys: Seq[String], aggs: Seq[GroupAgg]) =
-        { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs) }
+          groupKeys: Seq[String], aggs: Seq[GroupAgg],
+          unwind: Option[ServerClient.Unwind]) =
+        { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs, unwind) }
       override def lookupJoin(ns: String, j: LookupJoin) =
         { t("lookupJoin"); inner.lookupJoin(ns, j) }
       override def createIndex(ns: String, fields: Seq[String]) =

@@ -1,0 +1,149 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** `$unwind` (explode) pushdown, r14: `explode(arrayCol)` directly over a
+  * graftserver scan becomes the scan's unwind directive
+  * ([[graft.plans.UnwindRelocate]]). A plain unwound scan streams PARENT
+  * docs (the array crosses the wire once); composed with a grouped
+  * aggregate the whole `$match`+`$unwind`+`$group` is ONE pipeline per
+  * namespace. Element-column filters stay residual (pre-unwind the path
+  * holds the ARRAY); row-count/-position pushdowns refuse.
+  */
+class UnwindPushdownSpec extends SparkSpec {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-uw").toString
+
+  private def seed(dir: String): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 10, Seq("x", "y")),
+      (2L, "b", 20, Seq("y")),
+      (3L, "c", 30, Seq.empty[String]),
+      (4L, "d", 40, null.asInstanceOf[Seq[String]]),
+      (5L, "e", 50, Seq("x", "x", "z")))
+      .toDF("_id", "name", "v", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+      .option("id_column", "_id").mode("append").save()
+  }
+
+  private def t(dir: String): DataFrame = spark.read.format("graftserver")
+    .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+    .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+
+  test("explode becomes PushedUnwind; explode_outer keeps null/empty parents") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val e = t(dir).select($"_id", explode($"tags").as("tag"))
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: tags"), plan)
+    assert(!plan.contains("Generate"), s"no Spark Generate expected:\n$plan")
+    assert(e.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (1L, "y"), (2L, "y"), (5L, "x"), (5L, "x"), (5L, "z")))
+
+    val eo = t(dir).select($"_id", explode_outer($"tags").as("tag"))
+    assert(eo.queryExecution.executedPlan.toString.contains("PushedUnwind: tags OUTER"))
+    assert(eo.count() == 8, "empty + null arrays keep one null-element row each")
+    assert(eo.filter($"tag".isNull).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+  }
+
+  test("explode + GROUP BY runs as ONE $match+$unwind+$group pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    CountingServerFactory.reset()
+    val g = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .filter($"v" < 50) // parent filter: pre-unwind $match
+      .select(explode($"tags").as("tag"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate") &&
+      plan.contains("PushedUnwind"), plan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 1L, "y" -> 2L))
+    assert(CountingServerFactory.count("groupAggregate") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      s"one pipeline round-trip expected: ${CountingServerFactory.snapshot()}")
+  }
+
+  test("element filters stay residual; parent filters push pre-unwind") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val f = t(dir)
+      .filter($"v" >= 20)
+      .select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: tags"), plan)
+    assert(plan.contains("Filter"), s"element filter must re-check above:\n$plan")
+    assert(plan.contains("query=") && plan.contains("Exists(v,true)"),
+      s"parent filter must reach the cursor query:\n$plan")
+    assert(f.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 5L))
+  }
+
+  test("nested array path and existing column_mapping compose") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, (Seq(2L, 3L), "k")), (2L, (Seq(3L), "k")))
+      .toDF("_id", "meta")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nest"))
+      .option("id_column", "_id").mode("append").save()
+    val n = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nest"))
+      .schema("_id LONG, meta STRUCT<_1: ARRAY<LONG>, _2: STRING>").load()
+      .select($"_id", explode($"meta._1").as("ref"))
+    val plan = n.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: meta._1"), plan)
+    assert(n.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("refusals: limit/top-n/sample over an unwound scan; unwound join side") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val e = t(dir).select($"_id", explode($"tags").as("tag"))
+    // a pushed cursor limit would count PARENT docs — must refuse
+    val lim = e.limit(3)
+    assert(!lim.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      lim.queryExecution.executedPlan.toString)
+    assert(lim.count() == 3)
+    // top-n would sort parent docs — refuse
+    val top = e.orderBy($"_id".desc).limit(2)
+    assert(!top.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    // an unwound side never joins server-side (its rows are not docs)
+    val other = t(dir).select($"_id".as("oid"), $"name".as("oname"))
+    val j = e.join(other, e("_id") === other("oid"))
+    assert(!j.queryExecution.executedPlan.toString.contains("PushedJoin"),
+      j.queryExecution.executedPlan.toString)
+    assert(j.count() == 6)
+  }
+
+  test("non-array storage at the unwound path passes unchanged (server $unwind rule)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // a FOREIGN doc holding a scalar at `tags`: the server's $unwind
+    // treats it as a one-element array and passes the doc through
+    Seq((9L, "solo")).toDF("_id", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+      .option("id_column", "_id").mode("append").save()
+    val e = t(dir).select($"_id", explode($"tags").as("tag"))
+    assert(e.filter($"_id" === 9L).collect().map(_.getString(1)).toSeq ==
+      Seq("solo"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.source
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** `$unwind` (explode) pushdown on the FILE source (r14): the same
+  * UnwindRelocate rewrite as the server transport — the reader emits one
+  * row per element over the projected decode, parent filters evaluate
+  * pre-unwind, and the grouped-aggregate partials fold over unwound
+  * rows per byte-split.
+  */
+class UnwindFileSpec extends SparkSpec {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-uwf").toString
+
+  private def seed(dir: String): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, "a", 10, Seq("x", "y")),
+      (2L, "b", 20, Seq("y")),
+      (3L, "c", 30, Seq.empty[String]),
+      (4L, "d", 40, null.asInstanceOf[Seq[String]]),
+      (5L, "e", 50, Seq("x", "x", "z")))
+      .toDF("_id", "name", "v", "tags")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(dir)
+  }
+
+  private def t(dir: String): DataFrame = spark.read.format("graftbson")
+    .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load(dir)
+
+  test("explode over the file scan: PushedUnwind rows, outer keeps null parents") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val e = t(dir).select($"_id", explode($"tags").as("tag"))
+    val plan = e.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"no Spark Generate expected:\n$plan")
+    assert(e.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (1L, "y"), (2L, "y"), (5L, "x"), (5L, "x"), (5L, "z")))
+    val eo = t(dir).select($"_id", explode_outer($"tags").as("tag"))
+    assert(eo.count() == 8)
+    assert(eo.filter($"tag".isNull).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+  }
+
+  test("explode + GROUP BY folds per-split partials over unwound rows") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val g = t(dir)
+      .filter($"v" < 50)
+      .select(explode($"tags").as("tag"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 1L, "y" -> 2L))
+  }
+
+  test("element filters re-check above; parent filters reach the scan query") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val f = t(dir)
+      .filter($"v" >= 20)
+      .select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+    assert(f.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    // refusals: limit/top-n stay Spark-side over the unwound scan
+    val e = t(dir).select($"_id", explode($"tags").as("tag"))
+    assert(!e.limit(3).queryExecution.executedPlan.toString.contains("PushedLimit"))
+    assert(e.limit(3).count() == 3)
+    val top = e.orderBy($"_id".desc).limit(2)
+    assert(!top.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+  }
+
+  test("array column surviving above the explode keeps Spark's Generate (refusal)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val q = t(dir).select($"tags", explode($"tags").as("tag"))
+    assert(q.queryExecution.executedPlan.toString.contains("Generate"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.count() == 6)
+  }
+}
