@@ -1533,6 +1533,53 @@ object ConnectorQueries {
         |  UNION ALL
         |  SELECT lang FROM documents WHERE lang = 'en'
         |) GROUP BY 1 ORDER BY tag ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // TABLESAMPLE over a pushed join (round-14): the deterministic keyed
+    // Bernoulli window commutes with the `$lookup` (each driving row's
+    // join output is kept/dropped atomically with it), so a sampled
+    // driving side no longer forfeits the join — the window is re-keyed
+    // to the joined OUTPUT and the plan keeps `PushedJoin` with zero
+    // Spark Sample/Join nodes. Reproducible join-shaped ablation subsets
+    // become one seed (JoinSampleOffsetSpec pins both sides, the LOJ
+    // matrix, the key-survival refusal, and the OFFSET `$skip` tail).
+    CatalogQuery(
+      "q152_server_join_sample",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.sjorders"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.sjcust"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.sjorders", "sample_key" -> "_id"))
+          .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+          .sample(withReplacement = false, 0.25, seed = 42L)
+        val c = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.sjcust"))
+          .schema("_id LONG, c_mktsegment STRING").load()
+        o.join(c, o("o_custkey") === c("_id"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(o("_id")).as("sum_key"))
+          .orderBy($"c_mktsegment".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE CAST(concat('0x', substr(md5(concat('42:',
+        |        CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      < CAST(floor(0.25 * 1152921504606846976.0) AS BIGINT)
+        |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
         |""".stripMargin))
   )
 }

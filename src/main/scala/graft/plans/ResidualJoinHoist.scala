@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, Sample}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -134,6 +134,18 @@ object ResidualJoinHoist extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def hoistLeg(leg: LogicalPlan): (LogicalPlan, Seq[Expression]) =
     leg match {
+      case Filter(cond, child @ Sample(_, _, _, _, _)) =>
+        // Spark never pushes a filter past a pushed TABLESAMPLE, so even
+        // a TRANSLATABLE conjunct here blocks the join. Hoisting keeps
+        // the filter ABOVE the sample either way (only the join moves
+        // underneath), so every deterministic subquery-free conjunct may
+        // ride up — regardless of translatability.
+        val (pins, keep) = splitConjunctivePredicates(cond).partition(c =>
+          c.isInstanceOf[Recheck] ||
+            (c.deterministic && !SubqueryExpression.hasSubquery(c) &&
+              c.references.nonEmpty))
+        if (pins.isEmpty) (leg, Nil)
+        else (keep.reduceOption(And).map(Filter(_, child)).getOrElse(child), pins)
       case Filter(cond, child) =>
         val (pins, keep) = splitConjunctivePredicates(cond).partition(hoistable)
         if (pins.isEmpty) (leg, Nil)

@@ -291,8 +291,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (sample.isDefined || unwind.isDefined) false
     else if (joined.isDefined) {
       // joined arm: `$limit` after the last `$unwind`, partial per
-      // pipeline (a pushed join TopN already carries its own $limit)
-      if (joinedAgg.isDefined || joinTopN.isDefined) false
+      // pipeline (a pushed join TopN already carries its own $limit);
+      // the pipeline's rows are UNSAMPLED, so a carried sample refuses
+      if (joinedAgg.isDefined || joinTopN.isDefined ||
+          joinSamples.nonEmpty || joinOffset.isDefined) false
       else { joinLimit = Some(n.toLong); true }
     } else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
@@ -306,10 +308,20 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * and residuals re-check above the scan.
     */
   override def pushOffset(n: Int): Boolean =
-    if (options.get("splitter").contains("single") &&
+    if (joined.isDefined) {
+      // OFFSET over a pushed join: a `$skip` tail counting FINAL joined
+      // rows — sound only as ONE pipeline (`splitter=single` on the
+      // driving side guarantees it), with no other tail claimed and no
+      // carried sample (the skip would count unsampled rows)
+      if (options.get("splitter").contains("single") &&
+          joinedAgg.isEmpty && joinLimit.isEmpty && joinTopN.isEmpty &&
+          joinSamples.isEmpty && joinOffset.isEmpty) {
+        joinOffset = Some(n.toLong); true
+      } else false
+    } else if (options.get("splitter").contains("single") &&
         GraftServerSource.nsList(options).size == 1 && residuals.isEmpty &&
         aggPushed.isEmpty && groupedAgg.isEmpty && topN.isEmpty &&
-        sample.isEmpty && joined.isEmpty && unwind.isEmpty) {
+        sample.isEmpty && unwind.isEmpty) {
       offset = Some(n); true
     } else false
 
@@ -373,7 +385,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     val j = joined.get
     if (orders.isEmpty || joinedAgg.isDefined || joinLimit.isDefined ||
-        joinTopN.isDefined) return false
+        joinTopN.isDefined || joinSamples.nonEmpty || joinOffset.isDefined)
+      return false
     val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
       FieldResolve.resolve(j.schema, o.expression).flatMap { r =>
         val sideOpts = joinedColOpts.getOrElse(r.docPath.split('.').head, options)
@@ -424,7 +437,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   private def pushJoinedAggregation(aggregation: Aggregation): Boolean = {
     val j = joined.get
-    if (joinLimit.isDefined || joinedAgg.isDefined || joinTopN.isDefined)
+    if (joinLimit.isDefined || joinedAgg.isDefined || joinTopN.isDefined ||
+        joinSamples.nonEmpty || joinOffset.isDefined)
       return false
     // columns resolve against the JOINED output schema; a nested ref
     // (`meta.lang` under a struct-typed output) composes too — the
@@ -539,6 +553,19 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private var joinedAgg: Option[ServerGroupedAgg] = None
   private var joinLimit: Option[Long] = None
   private var joinTopN: Option[(Seq[(String, Boolean)], Int)] = None
+  /** Pushed TABLESAMPLEs carried INTO the join (r14): deterministic
+    * keyed windows re-keyed to joined OUTPUT names and applied to the
+    * flattened joined rows — keyed sampling commutes with `$lookup`
+    * (each driving/lookup row's join output is kept or dropped
+    * atomically with it), so sampling-then-joining equals filtering the
+    * joined rows by the sampled side's key window. Lookup-side samples
+    * compose only under INNER (a LEFT OUTER's null-extended row must
+    * stay, not drop). */
+  private var joinSamples: Seq[graft.source.SamplePush] = Nil
+  /** OFFSET over the joined pipeline: a `$skip` tail on the FINAL joined
+    * rows — single-pipeline (`splitter=single`) only, like the plain
+    * scan's offset. */
+  private var joinOffset: Option[Long] = None
   /** joined OUTPUT name -> the read options of its ORIGIN side, for the
     * bracket-safety gates of later pushes (chained join keys, TopN
     * orders) — a Long column is only order/equality-safe under ITS
@@ -554,8 +581,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     QueryDocs.nsParts(GraftServerSource.ns(options))._1)
 
   private def cleanForJoin: Boolean =
+    // a pushed TABLESAMPLE is ALLOWED here: pushDownJoin re-keys it onto
+    // the joined output (or refuses where it cannot commute)
     residuals.isEmpty && limit.isEmpty && offset.isEmpty && topN.isEmpty &&
-      aggPushed.isEmpty && groupedAgg.isEmpty && sample.isEmpty &&
+      aggPushed.isEmpty && groupedAgg.isEmpty &&
       joined.isEmpty && unwind.isEmpty && !options.contains("limit") &&
       !options.contains("sort") &&
       GraftServerSource.nsList(options).size == 1
@@ -566,7 +595,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * joining a joined one keeps that join in Spark. */
   private def chainableForJoin: Boolean =
     joined.isDefined && joinedAgg.isEmpty && joinLimit.isEmpty &&
-      joinTopN.isEmpty
+      joinTopN.isEmpty && joinOffset.isEmpty
 
   override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
     other match {
@@ -690,6 +719,24 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
           case Some(refs) if refs.forall { case (l, r) =>
               joinKeySafe(l.dataType, options) &&
                 joinKeySafe(r.dataType, o.joinOptions) } =>
+            // carried TABLESAMPLEs: re-key onto the joined OUTPUT names
+            // where keyed sampling commutes with the $lookup; the
+            // LOOKUP side's sample cannot commute under an outer join
+            // (its null-extended rows must stay), and a key that does
+            // not survive the projection cannot be re-checked — refuse
+            // the join (Spark then joins the individually-sampled scans)
+            val effOuter = leftOuter || mirrored
+            val drivingSp = if (mirrored) o.sample else sample
+            val lookupSp = if (mirrored) sample else o.sample
+            if (lookupSp.isDefined && effOuter) return false
+            def rekey(sp: graft.source.SamplePush,
+                proj: Seq[(String, String, org.apache.spark.sql.types.DataType)]) =
+              proj.find(_._1 == sp.key).map(t => sp.copy(key = t._2))
+            val rekeyed = Seq(
+              drivingSp.map(sp => rekey(sp, if (mirrored) rp else lp)),
+              lookupSp.map(sp => rekey(sp, if (mirrored) lp else rp))).flatten
+            if (rekeyed.contains(None)) return false
+            joinSamples = rekeyed.flatten
             val keys = refs.map { case (l, r) => (l.name, r.name) }
             val output = (lp ++ rp).map(p => (p._2, p._3))
             if (mirrored) {
@@ -769,6 +816,20 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
                   joinedColOpts.getOrElse(src, options) }.getOrElse(options)
               joinKeySafe(l.dataType, srcOpts) &&
                 joinKeySafe(r.dataType, o.joinOptions) } =>
+            // remap carried sample keys through the chain's re-projection
+            // (prev output -> new alias); a dropped key cannot be
+            // re-checked above the chained pipeline — refuse the chain
+            val renames = lp.map(t => (t._1, t._2)).toMap
+            val remapped = joinSamples.map(sp =>
+              renames.get(sp.key).map(n => sp.copy(key = n)))
+            if (remapped.contains(None)) return false
+            // the chained collection's own sample: lookup side of this
+            // stage — INNER only, key must survive rp
+            if (o.sample.isDefined && leftOuter) return false
+            val oSample = o.sample.map(sp =>
+              rp.find(_._1 == sp.key).map(t => sp.copy(key = t._2)))
+            if (oSample.exists(_.isEmpty)) return false
+            joinSamples = remapped.flatten ++ oSample.flatten
             val keys = refs.map { case (l, r) => (l.name, r.name) }
             val stage = ChainStage(
               lp.map(p => (p._1, p._2)),
@@ -794,7 +855,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       val (drivingOpts, drivingQuery) = joinDriving.getOrElse(
         (options, BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)))
       new GraftServerJoinScan(j, drivingQuery, drivingOpts, joinedAgg, joinLimit,
-        joinTopN.map { case (s, n) => (s, n.toLong) })
+        joinTopN.map { case (s, n) => (s, n.toLong) }, joinSamples, joinOffset)
     case None =>
       new GraftServerScan(required,
         BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
@@ -882,7 +943,9 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
     options: Map[String, String],
     grouped: Option[ServerGroupedAgg] = None,
     joinLimit: Option[Long] = None,
-    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None)
+    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None,
+    samples: Seq[graft.source.SamplePush] = Nil,
+    joinOffset: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -898,7 +961,10 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
         val order = spec.map { case (c, d) =>
           s"$c ${if (d) "DESC" else "ASC"}" }.mkString(", ")
         s" PushedTopN: ORDER BY $order LIMIT $n"
-      }.getOrElse("")
+      }.getOrElse("") +
+      (if (samples.isEmpty) ""
+       else s" PushedSample: ${samples.mkString(", ")}") +
+      joinOffset.map(n => s" PushedOffset: $n").getOrElse("")
 
   /** All sides' collStats — the joined size estimate is conservative
     * (inner joins usually shrink), but keeps a small joined scan
@@ -909,8 +975,10 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
         .map { n => val s = client.collStats(n); s.count * s.avgObjSizeBytes }
         .sum
     }
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes)
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val frac = samples.map(sp => math.max(sp.upper - sp.lower, 0.0)).product
+      java.util.OptionalLong.of((bytes * frac).toLong)
+    }
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -933,18 +1001,20 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerJoinReaderFactory(join, leftQuery, options, grouped,
-      joinLimit, joinTopN)
+      joinLimit, joinTopN, samples, joinOffset)
 }
 
 final class GraftServerJoinReaderFactory(join: ServerJoin, leftQuery: BQuery,
     options: Map[String, String],
     grouped: Option[ServerGroupedAgg] = None,
     joinLimit: Option[Long] = None,
-    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None)
+    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None,
+    samples: Seq[graft.source.SamplePush] = Nil,
+    joinOffset: Option[Long] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftServerJoinReader(p.asInstanceOf[GraftServerPartition], join,
-      leftQuery, options, grouped, joinLimit, joinTopN)
+      leftQuery, options, grouped, joinLimit, joinTopN, samples, joinOffset)
 }
 
 /** One `$lookup` pipeline for this split's driving range. Null/missing
@@ -957,7 +1027,9 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
     leftQuery: BQuery, options: Map[String, String],
     grouped: Option[ServerGroupedAgg] = None,
     joinLimit: Option[Long] = None,
-    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None)
+    joinTopN: Option[(Seq[(String, Boolean)], Long)] = None,
+    samples: Seq[graft.source.SamplePush] = Nil,
+    joinOffset: Option[Long] = None)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
@@ -988,7 +1060,7 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
   }
 
   private val cursor: Iterator[BDoc] = {
-    val base = client.lookupJoin(p.ns, LookupJoin(
+    val raw = client.lookupJoin(p.ns, LookupJoin(
       leftFull,
       join.leftProject.map { case (f, o, _) => (f, o) },
       join.rightNs,
@@ -998,7 +1070,16 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
       chain = chainWithKeys,
       group = grouped.map(g => (g.groupCols.map(_._1), g.items.map(_._1))),
       limit = joinLimit,
-      topN = joinTopN))
+      topN = joinTopN,
+      skip = joinOffset))
+    // carried TABLESAMPLE windows, re-keyed to joined OUTPUT names by
+    // the builder: keyed sampling commutes with the $lookup, so keeping
+    // joined rows by the sampled side's key window equals sampling that
+    // side before the join (MQL has no md5 — the window is evaluated
+    // here, exactly like the plain scan's sample)
+    val base =
+      if (samples.isEmpty) raw
+      else raw.filter(d => samples.forall(_.keep(d)))
     grouped match {
       case Some(g) if g.groupCols.isEmpty && !base.hasNext =>
         // GLOBAL aggregate over a join that matched nothing: $group

@@ -244,7 +244,7 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       leftOuts = st.leftProject.map(_._2).toSet
     }
     val it = Rf.aggregate(coll,
-      stages ++ QueryDocs.lookupTail(leftOuts, j.group, j.limit, j.topN))
+      stages ++ QueryDocs.lookupTail(leftOuts, j.group, j.limit, j.topN, j.skip))
     // a $lookup over a large right side can exceed the 100 MB stage cap
     if (allowDiskUse) Rf.allowDiskUse(it, b = true)
     j.group match {

@@ -485,8 +485,9 @@ object QueryDocs {
   def lookupTail(leftOuts: Set[String],
       group: Option[(Seq[String], Seq[GroupAgg])],
       limit: Option[Long],
-      topN: Option[(Seq[(String, Boolean)], Long)] = None): Seq[BDoc] =
-    (group, topN) match {
+      topN: Option[(Seq[(String, Boolean)], Long)] = None,
+      skip: Option[Long] = None): Seq[BDoc] =
+    skip.map(n => BDoc("$skip" -> BInt64(n))).toSeq ++ ((group, topN) match {
       case (Some((keys, aggs)), _) =>
         Seq(groupStageDoc(joinedHome(leftOuts), keys, aggs))
       case (None, Some((spec, n))) =>
@@ -499,7 +500,7 @@ object QueryDocs {
           }: _*))),
           BDoc("$limit" -> BInt64(n)))
       case (None, None) => limit.map(n => BDoc("$limit" -> BInt64(n))).toSeq
-    }
+    })
 
   /** The `$lookup`+`$unwind` pair joining `rightColl` on let-var key
     * equalities — the per-stage core shared by the base pipeline and

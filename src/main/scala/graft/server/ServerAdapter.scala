@@ -178,9 +178,14 @@ final case class LookupJoin(
     chain: Seq[ChainStage] = Nil,
     group: Option[(Seq[String], Seq[GroupAgg])] = None,
     limit: Option[Long] = None,
-    topN: Option[(Seq[(String, Boolean)], Long)] = None) {
-  require(Seq(group.isDefined, limit.isDefined, topN.isDefined).count(identity) <= 1,
-    "a lookup join takes at most one of group/limit/topN")
+    topN: Option[(Seq[(String, Boolean)], Long)] = None,
+    /** `$skip` tail over the FINAL joined rows (single-pipeline OFFSET
+      * pushdown — globally exact only when the caller plans one
+      * pipeline, which the `splitter=single` gate guarantees). */
+    skip: Option[Long] = None) {
+  require(Seq(group.isDefined, limit.isDefined, topN.isDefined,
+      skip.isDefined).count(identity) <= 1,
+    "a lookup join takes at most one of group/limit/topN/skip")
   /** Output names of the FINAL stage's left projection — where the
     * flatten boundary sits for tail stages and result re-nesting. */
   def finalLeftOuts: Set[String] =
@@ -491,6 +496,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
       rows = stageJoin(rows, st.leftProject, st.rightNs, st.rightQuery,
         st.rightProject, st.keys, st.leftOuter)
     }
+    j.skip.foreach(n => rows = rows.drop(math.min(n, Int.MaxValue.toLong).toInt))
     (j.group, j.limit, j.topN) match {
       case (Some((keys, aggs)), _, _) =>
         FakeServerClient.groupFold(rows.toVector, keys, aggs)

@@ -1,0 +1,151 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** TABLESAMPLE and OFFSET composition over pushed joins (r14):
+  * deterministic keyed sampling commutes with the `$lookup` (each
+  * sampled row's join output is kept/dropped atomically), so a sampled
+  * side no longer forfeits the pushed join — the window is re-keyed to
+  * the joined OUTPUT and applied over the pipeline's rows. OFFSET
+  * becomes a `$skip` tail on the single-pipeline plan. Refusal matrix:
+  * lookup-side sample under LEFT OUTER, sample keys that do not survive
+  * the projection, offset without `splitter=single`.
+  */
+class JoinSampleOffsetSpec extends SparkSpec {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-jso").toString
+
+  private def seed(dir: String): Unit = {
+    import spark.implicits._
+    (0 until 200).map(i => (i.toLong, (i % 20).toLong, (i * 3 % 100).toDouble))
+      .toDF("_id", "custkey", "price")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 20).map(i => (i.toLong, s"c$i"))
+      .toDF("_id", "name")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c"))
+      .option("id_column", "_id").mode("append").save()
+  }
+
+  private def o(dir: String, extra: (String, String)*): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o",
+        "assume_uniform_storage" -> "true", "sample_key" -> "_id") ++ extra)
+      .schema("_id LONG, custkey LONG, price DOUBLE").load()
+
+  private def c(dir: String, extra: (String, String)*): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c",
+        "assume_uniform_storage" -> "true", "sample_key" -> "_id") ++ extra)
+      .schema("_id LONG, name STRING").load()
+
+  test("driving-side TABLESAMPLE rides the pushed join; result equals sample-then-join") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val oo = o(dir).sample(withReplacement = false, 0.4, seed = 7L)
+    val cc = c(dir)
+    val q = oo.join(cc, oo("custkey") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedJoin: INNER db.c"), plan)
+    assert(plan.contains("PushedSample: SAMPLE(_id"), plan)
+    assert(!plan.contains("Sample "), s"no Spark Sample node expected:\n$plan")
+
+    // baseline: the SAME deterministic sample on a plain scan, joined by
+    // Spark over separate reads
+    val sampledKeys = o(dir).sample(withReplacement = false, 0.4, seed = 7L)
+      .select($"_id").collect().map(_.getLong(0)).toSet
+    assert(sampledKeys.nonEmpty && sampledKeys.size < 200)
+    val got = q.collect().map(_.getLong(0)).toSet
+    assert(got == sampledKeys, s"sampled join keys diverge: ${got.size} vs ${sampledKeys.size}")
+  }
+
+  test("lookup-side TABLESAMPLE composes under INNER; refuses under LEFT OUTER") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val oo = o(dir)
+    val cc = c(dir).sample(withReplacement = false, 0.5, seed = 11L)
+    val inner = oo.join(cc, oo("custkey") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name")
+    val innerPlan = inner.queryExecution.executedPlan.toString
+    assert(innerPlan.contains("PushedJoin: INNER db.c") &&
+      innerPlan.contains("PushedSample:"), innerPlan)
+    val keptCust = c(dir).sample(withReplacement = false, 0.5, seed = 11L)
+      .select($"_id").collect().map(_.getLong(0)).toSet
+    assert(inner.count() == 200L / 20L * keptCust.size,
+      "each kept customer contributes its 10 orders")
+
+    // LEFT OUTER with a sampled LOOKUP side: the null-extended rows the
+    // join must keep cannot be re-checked post-join — stays in Spark
+    val cc2 = c(dir).sample(withReplacement = false, 0.5, seed = 11L)
+    val loj = oo.join(cc2, oo("custkey") === cc2("_id"), "left_outer")
+      .select(oo("_id").as("okey"), $"name")
+    assert(!loj.queryExecution.executedPlan.toString.contains("PushedJoin"),
+      loj.queryExecution.executedPlan.toString)
+    assert(loj.count() == 200, "LOJ keeps every driving row")
+    assert(loj.filter($"name".isNull).count() == 200L - 200L / 20L * keptCust.size)
+  }
+
+  test("driving-side sample under LEFT OUTER composes (preserved side)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val oo = o(dir).sample(withReplacement = false, 0.3, seed = 3L)
+    val cc = c(dir)
+    val q = oo.join(cc, oo("custkey") === cc("_id"), "left_outer")
+      .select(oo("_id").as("okey"), $"name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedJoin: LEFT OUTER db.c") &&
+      plan.contains("PushedSample:"), plan)
+    val sampledKeys = o(dir).sample(withReplacement = false, 0.3, seed = 3L)
+      .select($"_id").collect().map(_.getLong(0)).toSet
+    assert(q.collect().map(_.getLong(0)).toSet == sampledKeys)
+  }
+
+  test("sample key that does not survive the projection refuses the join") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // _id (the sample key) is NOT projected out of the driving side
+    val oo = o(dir).sample(withReplacement = false, 0.4, seed = 7L)
+    val cc = c(dir)
+    val q = oo.join(cc, oo("custkey") === cc("_id"))
+      .select($"price", $"name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedJoin"), plan)
+    // rows still exact: Spark joins the sampled scan
+    val expect = o(dir).sample(withReplacement = false, 0.4, seed = 7L).count()
+    assert(q.count() == expect)
+  }
+
+  test("OFFSET over a pushed join is a $skip tail on the single pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val oo = o(dir, "splitter" -> "single")
+    val cc = c(dir)
+    val j = oo.join(cc, oo("custkey") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name")
+      .offset(150)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedJoin: INNER db.c") &&
+      plan.contains("PushedOffset: 150"), plan)
+    assert(j.count() == 50)
+
+    // without splitter=single the offset stays in Spark
+    val oo2 = o(dir)
+    val j2 = oo2.join(cc, oo2("custkey") === cc("_id"))
+      .select(oo2("_id").as("okey"), $"name")
+      .offset(150)
+    assert(!j2.queryExecution.executedPlan.toString.contains("PushedOffset"))
+    assert(j2.count() == 50)
+  }
+}
