@@ -387,4 +387,165 @@ class RealMongoIntegrationSpec extends SparkSpec {
       "right outer must push as the mirrored pipeline")
     assert(ro.count() === 80L)
   }
+
+  // ---- r14 shapes: the latent-divergence surface r13 fixed blind, and
+  // this round's new wire forms (RUNBOOK §5 lists the expected output) --
+
+  /** Raw inserts through the driver binding — the only way to create
+    * FOREIGN storage (BTimestamp, non-midnight BDate, mixed brackets)
+    * the engine's own writer never produces. */
+  private def rawInsert(coll: String, docs: Seq[graft.bson.BDoc]): Unit = {
+    val o = opts(coll)
+    val client = GraftServerSource.factory(o).create(o)
+    try client.bulkWrite(o("ns"),
+      docs.iterator.map(graft.store.WriteModels.fromDoc), ordered = true)
+    finally client match { case c: AutoCloseable => c.close(); case _ => () }
+  }
+
+  test("live: pushed TIMESTAMP filter keeps BTimestamp-storage rows (r13 latent fix)") {
+    live()
+    import graft.bson._
+    import spark.implicits._
+    // ts stored as BDate for k=1, as BTimestamp (same read-µs) for k=2:
+    // the pre-r13 date-bracket literal silently dropped k=2 on a REAL
+    // server; the two-bracket ReadTime node must keep both
+    val sec = 1700000000L
+    rawInsert("tsmix", Seq(
+      BDoc("_id" -> BInt64(1L), "ts" -> BDate(sec * 1000L)),
+      BDoc("_id" -> BInt64(2L), "ts" -> BTimestamp(sec.toInt, 1)),
+      BDoc("_id" -> BInt64(3L), "ts" -> BDate((sec + 100L) * 1000L))))
+    val df = spark.read.format("graftserver").options(opts("tsmix"))
+      .schema("_id LONG, ts TIMESTAMP").load()
+      .filter($"ts" === java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(sec)))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "BOTH storages reading to the same micros must survive the filter")
+  }
+
+  test("live: non-midnight DATE filter is a day-window range (r13 latent fix)") {
+    live()
+    import graft.bson._
+    import spark.implicits._
+    val day = java.time.LocalDate.of(2024, 3, 15)
+    val midnight = day.toEpochDay * 86400000L
+    rawInsert("dmix", Seq(
+      BDoc("_id" -> BInt64(1L), "d" -> BDate(midnight)),
+      BDoc("_id" -> BInt64(2L), "d" -> BDate(midnight + 7 * 3600000L)), // 07:00
+      BDoc("_id" -> BInt64(3L), "d" -> BDate(midnight + 86400000L))))
+    val df = spark.read.format("graftserver").options(opts("dmix"))
+      .schema("_id LONG, d DATE").load()
+      .filter($"d" === java.sql.Date.valueOf("2024-03-15"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "a non-midnight BDate reads as the same day and must survive")
+  }
+
+  test("live: mixed int/date storage under a LONG column refuses MIN/MAX pushdown (r13 latent fix)") {
+    live()
+    import graft.bson._
+    import spark.implicits._
+    // v: int64 5 and BDate(3) — the BSON bracket MIN is 5 (numbers sort
+    // below dates) but Spark's read values are {5, 3} with min 3: the
+    // pushdown must refuse without assume_uniform_storage and the
+    // Spark-side aggregate must answer 3
+    rawInsert("mixagg", Seq(
+      BDoc("_id" -> BInt64(1L), "v" -> BInt64(5L)),
+      BDoc("_id" -> BInt64(2L), "v" -> BDate(3L))))
+    val df = spark.read.format("graftserver").options(opts("mixagg"))
+      .schema("_id LONG, v LONG").load()
+    val agg = df.agg(min($"v").as("mn"), max($"v").as("mx"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("MIN(v)"),
+      "Long MIN/MAX must stay Spark-side without the uniform opt-in")
+    val row = agg.first()
+    assert(row.getLong(0) === 3L && row.getLong(1) === 5L)
+  }
+
+  test("live: $unwind pipeline — plain scan and one $match+$unwind+$group round-trip (r14)") {
+    live()
+    import spark.implicits._
+    Seq((1L, 10, Seq("x", "y")), (2L, 20, Seq("y")),
+      (3L, 30, Seq.empty[String]), (4L, 40, null.asInstanceOf[Seq[String]]))
+      .toDF("k", "v", "tags")
+      .write.format("graftserver").options(opts("uw"))
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver").options(opts("uw"))
+      .schema("_id LONG, v INT, tags ARRAY<STRING>").load()
+    val e = t.select($"_id", explode($"tags").as("tag"))
+    assert(e.queryExecution.executedPlan.toString.contains("PushedUnwind"),
+      e.queryExecution.executedPlan.toString)
+    assert(e.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "x"), (1L, "y"), (2L, "y")))
+    val eo = t.select($"_id", explode_outer($"tags").as("tag"))
+    assert(eo.count() === 5)
+    val g = t.filter($"v" < 40).select(explode($"tags").as("tag"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+      g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 1L, "y" -> 2L))
+  }
+
+  test("live: ASCII string-range $match renders under uniform storage (r14)") {
+    live()
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "Mike"), (3L, "zulu"), (4L, "November"))
+      .toDF("k", "name")
+      .write.format("graftserver").options(opts("strr"))
+      .option("id_column", "k").mode("append").save()
+    val q = spark.read.format("graftserver")
+      .options(opts("strr") + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING").load()
+      .filter($"name" >= "M" && $"name" < "o")
+      .groupBy($"name").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate"),
+      "an ASCII range bound must render in $match, not block the pipeline")
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("Mike", "November", "alpha"),
+      "binary server collation must agree with the read order on ASCII bounds")
+  }
+
+  test("live: residual predicate rides ABOVE the pushed join; sample + $skip tails (r14)") {
+    live()
+    import spark.implicits._
+    val oOpts = opts("rjo") + ("assume_uniform_storage" -> "true",
+      "sample_key" -> "_id")
+    val cOpts = opts("rjc") + ("assume_uniform_storage" -> "true")
+    (0 until 100).map(i => (i.toLong, (i % 10).toLong, (i % 7).toDouble))
+      .toDF("k", "ck", "price")
+      .write.format("graftserver").options(oOpts)
+      .option("id_column", "k").mode("append").save()
+    (0 until 10).map(i => (i.toLong, i * 0.5)).toDF("k", "disc")
+      .write.format("graftserver").options(cOpts)
+      .option("id_column", "k").mode("append").save()
+    val o = spark.read.format("graftserver").options(oOpts)
+      .schema("_id LONG, ck LONG, price DOUBLE").load()
+    val c = spark.read.format("graftserver").options(cOpts)
+      .schema("_id LONG, disc DOUBLE").load()
+    // an untranslatable both-sides predicate: the join must STILL push,
+    // with a recheck Filter above the joined scan
+    val q = o.join(c, o("ck") === c("_id"))
+      .filter(o("price") + c("disc") > 6.0)
+      .select(o("_id").as("okey"), $"disc")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedJoin:") && plan.contains("recheck("), plan)
+    val expect = (0 until 100).count(i => (i % 7).toDouble + (i % 10) * 0.5 > 6.0)
+    assert(q.count() === expect.toLong)
+    // sampled driving side still pushes the join (window re-checked on
+    // the joined output)
+    val os = spark.read.format("graftserver").options(oOpts)
+      .schema("_id LONG, ck LONG, price DOUBLE").load()
+      .sample(withReplacement = false, 0.5, seed = 7L)
+    val sq = os.join(c, os("ck") === c("_id")).select(os("_id").as("okey"))
+    assert(sq.queryExecution.executedPlan.toString.contains("PushedSample:"),
+      sq.queryExecution.executedPlan.toString)
+    assert(sq.count() > 0 && sq.count() < 100)
+    // OFFSET = a $skip tail on the single pipeline
+    val oo = spark.read.format("graftserver")
+      .options(oOpts + ("splitter" -> "single"))
+      .schema("_id LONG, ck LONG, price DOUBLE").load()
+    val sk = oo.join(c, oo("ck") === c("_id"))
+      .select(oo("_id").as("okey")).offset(90)
+    assert(sk.queryExecution.executedPlan.toString.contains("PushedOffset: 90"))
+    assert(sk.count() === 10)
+  }
 }
