@@ -123,6 +123,92 @@ object DiagChain {
     val uniformT = time("join grouped UNIFORM")(skewQuery("db.ord3"))
     val skewT = time("join grouped SKEWED")(skewQuery("db.ordskew"))
     println(f"[diagchain] skew/uniform ratio = ${skewT / uniformT}%.2f over $nOrders driving rows")
+
+    // ---- r14 arms: residual-recheck join, sampled join, $unwind ----
+
+    def recheckQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      // a both-sides arithmetic residual: pre-r14 this forfeited the
+      // pushed join entirely
+      o.join(c, o("o_custkey") === c("_id"))
+        .filter(o("o_totalprice") + c("c_nationkey").cast("double") > 500.0)
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    }
+    def sampledJoinQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.ord3",
+          "assume_uniform_storage" -> "true", "sample_key" -> "_id"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+        .sample(withReplacement = false, 0.2, seed = 7L)
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    }
+
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    val planRe = recheckQuery().queryExecution.executedPlan.toString
+    require(planRe.contains("PushedJoin") && planRe.contains("recheck("),
+      s"recheck join did not push:\n$planRe")
+    val pushedRe = time("recheck-join PUSHED")(recheckQuery())
+    val planSj = sampledJoinQuery().queryExecution.executedPlan.toString
+    require(planSj.contains("PushedJoin") && planSj.contains("PushedSample"),
+      s"sampled join did not push:\n$planSj")
+    val pushedSj = time("sampled-join PUSHED")(sampledJoinQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedRe = time("recheck-join UNPUSHED")(recheckQuery())
+    val unpushedSj = time("sampled-join UNPUSHED")(sampledJoinQuery())
+    println(f"[diagchain] recheck ratio unpushed/pushed = ${unpushedRe / pushedRe}%.2f")
+    println(f"[diagchain] sampled ratio unpushed/pushed = ${unpushedSj / pushedSj}%.2f")
+    // recheck skew twin: the added Spark-side filter is row-wise, no
+    // shuffle for a hot key to serialize
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    def recheckSkew(ns: String) = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> ns, "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .filter(o("o_totalprice") + c("c_nationkey").cast("double") > 500.0)
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    }
+    val reUniT = time("recheck skew UNIFORM")(recheckSkew("db.ord3"))
+    val reSkwT = time("recheck skew SKEWED")(recheckSkew("db.ordskew"))
+    println(f"[diagchain] recheck skew/uniform ratio = ${reSkwT / reUniT}%.2f")
+
+    // $unwind grouped: one pipeline vs Spark-side Generate + shuffle
+    Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars", array($"lang", $"source").as("tags"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.uwdiag"))
+      .option("id_column", "doc_id").mode("append").save()
+    def unwindQuery() = {
+      val t = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.uwdiag", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, n_chars LONG, tags ARRAY<STRING>").load()
+      t.filter($"n_chars" > 100L).select(explode($"tags").as("tag"))
+        .groupBy($"tag").agg(count(lit(1)).as("n"))
+    }
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
+    val planUw = unwindQuery().queryExecution.executedPlan.toString
+    require(planUw.contains("PushedUnwind") && planUw.contains("PushedGroupedAggregate"),
+      s"unwind+group did not push:\n$planUw")
+    val pushedUw = time("unwind-group PUSHED")(unwindQuery())
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "false")
+    val unpushedUw = time("unwind-group UNPUSHED")(unwindQuery())
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
+    println(f"[diagchain] unwind  ratio unpushed/pushed = ${unpushedUw / pushedUw}%.2f")
     spark.stop()
   }
 }

@@ -49,9 +49,18 @@ import scala.jdk.CollectionConverters._
   */
 object UnwindRelocate extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case g @ Generate(Explode(arr), _, outer, _, Seq(elOut), _) =>
-      rewrite(g, arr, outer, elOut).getOrElse(g)
+  /** Escape hatch + A/B toggle (DiagChain measures pushed vs unpushed). */
+  val ConfKey = "spark.graft.unwind_pushdown"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled =
+      try conf.getConfString(ConfKey, "true").toBoolean
+      catch { case _: Exception => true }
+    if (!enabled) plan
+    else plan.transformUp {
+      case g @ Generate(Explode(arr), _, outer, _, Seq(elOut), _) =>
+        rewrite(g, arr, outer, elOut).getOrElse(g)
+    }
   }
 
   private def rewrite(g: Generate, arr0: Expression, outer: Boolean,

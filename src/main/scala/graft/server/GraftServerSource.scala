@@ -722,39 +722,61 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
             // carried TABLESAMPLEs: re-key onto the joined OUTPUT names
             // where keyed sampling commutes with the $lookup; the
             // LOOKUP side's sample cannot commute under an outer join
-            // (its null-extended rows must stay), and a key that does
-            // not survive the projection cannot be re-checked — refuse
-            // the join (Spark then joins the individually-sampled scans)
+            // (its null-extended rows must stay). A key Spark did not
+            // request is carried as a HIDDEN extra projection — the
+            // pipeline projects it, the reader checks the window on it,
+            // and the row decode (by visible schema) drops it.
             val effOuter = leftOuter || mirrored
             val drivingSp = if (mirrored) o.sample else sample
             val lookupSp = if (mirrored) sample else o.sample
             if (lookupSp.isDefined && effOuter) return false
+            val taken = scala.collection.mutable.Set[String](
+              (lp ++ rp).map(_._2): _*) += QueryDocs.JoinedField
+            def hiddenAlias(): String = {
+              var i = 0
+              while (taken.contains(s"__sample$i")) i += 1
+              val a = s"__sample$i"; taken += a; a
+            }
+            // (rekeyed window, extra projection tuple for that side)
             def rekey(sp: graft.source.SamplePush,
-                proj: Seq[(String, String, org.apache.spark.sql.types.DataType)]) =
-              proj.find(_._1 == sp.key).map(t => sp.copy(key = t._2))
-            val rekeyed = Seq(
-              drivingSp.map(sp => rekey(sp, if (mirrored) rp else lp)),
-              lookupSp.map(sp => rekey(sp, if (mirrored) lp else rp))).flatten
-            if (rekeyed.contains(None)) return false
-            joinSamples = rekeyed.flatten
+                proj: Seq[(String, String, org.apache.spark.sql.types.DataType)]):
+                (graft.source.SamplePush,
+                  Option[(String, String, org.apache.spark.sql.types.DataType)]) =
+              proj.find(_._1 == sp.key) match {
+                case Some(t) => (sp.copy(key = t._2), None)
+                case None =>
+                  val a = hiddenAlias()
+                  (sp.copy(key = a),
+                    Some((sp.key, a, org.apache.spark.sql.types.LongType)))
+              }
+            val drivingRk = drivingSp.map(sp => rekey(sp, if (mirrored) rp else lp))
+            val lookupRk = lookupSp.map(sp => rekey(sp, if (mirrored) lp else rp))
+            joinSamples = (drivingRk.map(_._1) ++ lookupRk.map(_._1)).toSeq
+            // hidden extras attach to their side's PROJECTION, never to
+            // the visible output
+            val (exL, exR) =
+              if (mirrored) (lookupRk.flatMap(_._2).toSeq, drivingRk.flatMap(_._2).toSeq)
+              else (drivingRk.flatMap(_._2).toSeq, lookupRk.flatMap(_._2).toSeq)
+            val lpFull = lp ++ exL
+            val rpFull = rp ++ exR
             val keys = refs.map { case (l, r) => (l.name, r.name) }
             val output = (lp ++ rp).map(p => (p._2, p._3))
             if (mirrored) {
               // drive from the RIGHT side; THIS side becomes the lookup
-              joined = Some(ServerJoin(rp,
+              joined = Some(ServerJoin(rpFull,
                 GraftServerSource.ns(options),
                 BQuery.and(GraftServerSource.optionQuery(options),
                   pushedQuery),
-                lp, keys.map(_.swap), leftOuter = true, output))
+                lpFull, keys.map(_.swap), leftOuter = true, output))
               joinDriving = Some((o.joinOptions,
                 BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
                   o.pushedQuery)))
             } else {
-              joined = Some(ServerJoin(lp,
+              joined = Some(ServerJoin(lpFull,
                 GraftServerSource.ns(o.joinOptions),
                 BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
                   o.pushedQuery),
-                rp, keys, leftOuter, output))
+                rpFull, keys, leftOuter, output))
             }
             joinedColOpts = lp.map(p => p._2 -> options).toMap ++
               rp.map(p => p._2 -> o.joinOptions).toMap

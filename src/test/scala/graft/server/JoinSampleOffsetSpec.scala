@@ -110,18 +110,22 @@ class JoinSampleOffsetSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).toSet == sampledKeys)
   }
 
-  test("sample key that does not survive the projection refuses the join") {
+  test("sample key Spark did not request is carried as a HIDDEN projection") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
-    // _id (the sample key) is NOT projected out of the driving side
+    // _id (the sample key) is NOT projected out of the driving side —
+    // the pipeline carries it as __sample0 and the reader checks the
+    // window on it; the visible schema never sees it
     val oo = o(dir).sample(withReplacement = false, 0.4, seed = 7L)
     val cc = c(dir)
     val q = oo.join(cc, oo("custkey") === cc("_id"))
       .select($"price", $"name")
     val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("PushedJoin"), plan)
-    // rows still exact: Spark joins the sampled scan
+    assert(plan.contains("PushedJoin: INNER db.c") &&
+      plan.contains("PushedSample: SAMPLE(__sample0"), plan)
+    assert(!q.schema.fieldNames.exists(_.startsWith("__sample")))
+    // rows exact vs sample-then-join
     val expect = o(dir).sample(withReplacement = false, 0.4, seed = 7L).count()
     assert(q.count() == expect)
   }
