@@ -1580,6 +1580,44 @@ object ConnectorQueries {
         |        CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
         |      < CAST(floor(0.25 * 1152921504606846976.0) AS BIGINT)
         |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // POST-unwind `$match` (round-14): a filter on the UNWOUND element
+    // column renders as a second `$match` BETWEEN `$unwind` and `$group`
+    // (post-unwind the path holds the element, so the normal translation
+    // carries Spark's row semantics exactly) — the whole
+    // `$match`+`$unwind`+`$match`+`$group` runs as ONE server pipeline.
+    // At 100 TB, "count docs per interesting tag" ships #kept-tags
+    // group docs instead of every element row. UnwindPushdownSpec pins
+    // the pipeline shape + the untranslatable-predicate refusal.
+    CatalogQuery(
+      "q153_server_unwind_filter_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.uwfdocs",
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            array($"lang", $"source").as("tags"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, n_chars LONG, tags ARRAY<STRING>")
+          .load()
+          .filter($"n_chars" > 100L)
+          .select(explode($"tags").as("tag"))
+          .filter($"tag" >= "c" && $"tag" < "t")
+          .groupBy($"tag").agg(count(lit(1)).as("n"))
+          .orderBy($"tag".asc_nulls_first)
+      },
+      Some("""
+        |SELECT tag, count(*) AS n FROM (
+        |  SELECT lang AS tag FROM documents WHERE n_chars > 100
+        |  UNION ALL
+        |  SELECT source FROM documents WHERE n_chars > 100
+        |) WHERE tag >= 'c' AND tag < 't'
+        |GROUP BY 1 ORDER BY tag ASC NULLS FIRST
         |""".stripMargin))
   )
 }

@@ -208,6 +208,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     options.get("unwind_path").map(p => ServerClient.Unwind(p,
       options.get("unwind_outer").exists(_.toBoolean)))
   private val unwindElement: Option[String] = options.get("unwind_element")
+  /** POST-unwind query (accepted element-column filters). */
+  private var unwindPost: BQuery = BQuery.True
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
@@ -255,11 +257,21 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // `_ns` metadata predicates are not document queries, and a filter
-    // on the UNWOUND element column cannot run pre-unwind — residual
-    val (metaFilters, docFilters) = filters.partition(f =>
-      f.references.contains(GraftServerSource.NsMetaCol) ||
-        unwindElement.exists(f.references.contains))
+    // `_ns` metadata predicates are not document queries — residual; a
+    // filter touching the UNWOUND element column becomes the POST-unwind
+    // query (after `$unwind` the path holds the ELEMENT, so the normal
+    // translation carries exactly Spark's row semantics; parent-column
+    // conjuncts inside it commute, their values are per-parent constants)
+    val (metaFilters, rest) = filters.partition(
+      _.references.contains(GraftServerSource.NsMetaCol))
+    val (elementFilters, docFilters) = rest.partition(f =>
+      unwindElement.exists(f.references.contains))
+    val (postQ, postAccepted, postResidual) =
+      FilterTranslator.split(elementFilters, mapping)
+    unwindPost =
+      if (options.get("assume_uniform_storage").exists(_.toBoolean))
+        BQuery.uniformReadBracket(postQ)
+      else postQ
     val (query, accepted, residual) = FilterTranslator.split(docFilters, mapping)
     // under uniform storage every Long/Timestamp/String is stored as
     // the ONE type this engine writes, so the read-semantics ReadLong*/
@@ -272,8 +284,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       if (options.get("assume_uniform_storage").exists(_.toBoolean))
         BQuery.uniformReadBracket(query)
       else query
-    pushed = accepted
-    residuals = residual ++ metaFilters
+    pushed = accepted ++ postAccepted
+    residuals = residual ++ postResidual ++ metaFilters
     residuals
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -510,6 +522,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val fullQuery = BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)
     val planned = QueryDocs.plan(fullQuery)
     if (!planned.isExact || planned.keyBounds.isDefined) return false
+    // the POST-unwind $match sits between $unwind and $group — it must
+    // render fully too (its rows are gone after grouping)
+    val postPlanned = QueryDocs.plan(unwindPost)
+    if (!postPlanned.isExact || postPlanned.keyBounds.isDefined) return false
     // group keys and aggregate inputs may be NESTED subfields — the
     // resolver walks the nested StructType; `$group: {_id: "$meta.lang"}`
     // is native MQL, and [[QueryDocs.groupStageDoc]] sanitizes the
@@ -884,7 +900,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         limit, options, aggPushed, topN, groupedAgg, offset, sample,
         nsMeta = required.fieldNames.contains(GraftServerSource.NsMetaCol) &&
           !tableSchema.fieldNames.contains(GraftServerSource.NsMetaCol),
-        unwind = unwind)
+        unwind = unwind, unwindPost = unwindPost)
   }
 }
 
@@ -1228,7 +1244,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     offset: Option[Int] = None,
     sample: Option[graft.source.SamplePush] = None,
     nsMeta: Boolean = false,
-    unwind: Option[ServerClient.Unwind] = None)
+    unwind: Option[ServerClient.Unwind] = None,
+    unwindPost: BQuery = BQuery.True)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
@@ -1383,7 +1400,9 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
         s" PushedTopN: ORDER BY $order LIMIT $n"
       }.getOrElse("") +
       unwind.map(u => s" PushedUnwind: ${u.path}" +
-        (if (u.preserveNullAndEmpty) " OUTER" else "")).getOrElse("")
+        (if (u.preserveNullAndEmpty) " OUTER" else "") +
+        (if (unwindPost == BQuery.True) ""
+         else s" PostUnwindMatch: $unwindPost")).getOrElse("")
 
   /** Driver-side planning: one bounded probe sequence through the shared
     * strategy chain (chunks → splitVector → sampled size bounds). Optional
@@ -1427,7 +1446,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
-      pushedAgg, topN, grouped, offset, sample, nsMeta, unwind)
+      pushedAgg, topN, grouped, offset, sample, nsMeta, unwind, unwindPost)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -1448,16 +1467,17 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     offset: Option[Int] = None,
     sample: Option[graft.source.SamplePush] = None,
     nsMeta: Boolean = false,
-    unwind: Option[ServerClient.Unwind] = None)
+    unwind: Option[ServerClient.Unwind] = None,
+    unwindPost: BQuery = BQuery.True)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (grouped, pushedAgg) match {
       case (Some(g), _) => new ServerGroupedAggReader(options, query, g,
-        p.asInstanceOf[GraftServerPartition].ns, unwind)
+        p.asInstanceOf[GraftServerPartition].ns, unwind, unwindPost)
       case (None, Some(items)) => new ServerAggReader(options, items)
       case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
-        options, topN, offset, sample, nsMeta, unwind)
+        options, topN, offset, sample, nsMeta, unwind, unwindPost)
     }
 }
 
@@ -1471,14 +1491,16 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
   */
 final class ServerGroupedAggReader(options: Map[String, String],
     query: BQuery, grouped: ServerGroupedAgg, ns: String,
-    unwind: Option[ServerClient.Unwind] = None)
+    unwind: Option[ServerClient.Unwind] = None,
+    unwindPost: BQuery = BQuery.True)
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
   private val it: Iterator[InternalRow] = {
     val base: Iterator[InternalRow] =
       client.groupAggregate(ns, query,
-          grouped.groupCols.map(_._1), grouped.items.map(_._1), unwind)
+          grouped.groupCols.map(_._1), grouped.items.map(_._1), unwind,
+          unwindPost)
         .map(d => RowCodec.toRow(d, grouped.schema))
     if (grouped.groupCols.nonEmpty || base.hasNext) base
     else {
@@ -1593,7 +1615,8 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     offset: Option[Int] = None,
     sample: Option[graft.source.SamplePush] = None,
     nsMeta: Boolean = false,
-    unwind: Option[ServerClient.Unwind] = None)
+    unwind: Option[ServerClient.Unwind] = None,
+    unwindPost: BQuery = BQuery.True)
     extends PartitionReader[InternalRow] {
 
   // `$unwind` (r14): the cursor streams PARENT docs (one array per
@@ -1634,11 +1657,14 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
   private val rawCursor: Iterator[BDoc] =
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
-        // a pushed sample's key must ride the projection even when the
-        // column itself was pruned away
+        // a pushed sample's key — and any doc path the POST-unwind
+        // match reads (a mixed element-or-parent disjunction may
+        // reference parents Spark pruned from the output) — must ride
+        // the projection even when the column itself was pruned away
         projection = Some((parentSchema.fieldNames
           .map(n => mapping.getOrElse(n, n)) ++
           unwind.map(_.path) ++
+          BQuery.fieldPaths(unwindPost) ++
           sample.map(_.key)).distinct.toSeq),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
@@ -1680,14 +1706,28 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         def decodeEl(v: BsonValue): Any =
           if (v == BNull) null else RowCodec.toRow(BDoc("e" -> v),
             StructType(Seq(org.apache.spark.sql.types.StructField("e", elType)))).get(0, elType)
+        // POST-unwind $match: evaluated on the per-element doc (the
+        // path holds the ELEMENT), mirroring the fake transport's
+        // unwindDoc shapes exactly
+        def postOk(el: BsonValue): Boolean =
+          unwindPost == BQuery.True ||
+            unwindPost.matches(graft.query.Updates.setField(d, u.path, el))
+        def postOkAsIs: Boolean =
+          unwindPost == BQuery.True || unwindPost.matches(d)
         d.getPath(u.path) match {
           case Some(BArray(items)) if items.nonEmpty =>
-            if (elIdx < 0) items.map(_ => withEl(null))
-            else items.map(el => withEl(decodeEl(el)))
-          case Some(BArray(_)) | Some(BNull) | None =>
-            if (u.preserveNullAndEmpty) Seq(withEl(null)) else Seq.empty
+            val kept = items.filter(postOk)
+            if (elIdx < 0) kept.map(_ => withEl(null))
+            else kept.map(el => withEl(decodeEl(el)))
+          case Some(BArray(_)) =>
+            if (u.preserveNullAndEmpty && postOk(BNull)) Seq(withEl(null))
+            else Seq.empty
+          case Some(BNull) | None =>
+            if (u.preserveNullAndEmpty && postOkAsIs) Seq(withEl(null))
+            else Seq.empty
           case Some(other) =>
-            Seq(withEl(if (elIdx < 0) null else decodeEl(other)))
+            if (postOk(other)) Seq(withEl(if (elIdx < 0) null else decodeEl(other)))
+            else Seq.empty
         }
       }
   }

@@ -185,12 +185,17 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     */
   override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
-      unwind: Option[ServerClient.Unwind] = None): Iterator[BDoc] = {
+      unwind: Option[ServerClient.Unwind] = None,
+      postQuery: BQuery = BQuery.True): Iterator[BDoc] = {
     val coll = collection(ns)
     val p = QueryDocs.plan(query)
     require(p.isExact && p.keyBounds.isEmpty,
       s"groupAggregate requires a fully server-renderable query, got $query")
-    val it = Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs, unwind))
+    val post = QueryDocs.plan(postQuery)
+    require(post.isExact && post.keyBounds.isEmpty,
+      s"groupAggregate requires a fully server-renderable POST-unwind query, got $postQuery")
+    val it = Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs,
+      unwind, post.serverQuery))
     // the one pipeline here that can exceed the server's 100 MB
     // per-stage memory (a high-cardinality $group) — honor the opt-in
     if (allowDiskUse) Rf.allowDiskUse(it, b = true)

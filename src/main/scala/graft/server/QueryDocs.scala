@@ -407,18 +407,24 @@ object QueryDocs {
     */
   def groupStages(matchDoc: BDoc, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
-      unwind: Option[ServerClient.Unwind] = None): Seq[BDoc] = {
+      unwind: Option[ServerClient.Unwind] = None,
+      postMatchDoc: BDoc = BDoc.empty): Seq[BDoc] = {
     val group = groupStageDoc(identity, groupKeys, aggs)
     val pre =
       if (matchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> matchDoc))
-    // the pushed query never references the unwound element (the scan
-    // builder keeps element filters residual), so $match commutes with
-    // $unwind and runs FIRST — fewer docs enter the unwind
+    // the PRE query never references the unwound element (the builder
+    // splits element filters into postMatchDoc), so $match commutes
+    // with $unwind and runs FIRST — fewer docs enter the unwind; the
+    // POST $match filters the element itself (post-unwind the path
+    // holds the element) between $unwind and $group
     val uw = unwind.map(u => BDoc("$unwind" -> BDoc(
       "path" -> BString("$" + u.path),
       "preserveNullAndEmptyArrays" -> BBool(u.preserveNullAndEmpty)))).toSeq
-    pre ++ uw :+ group
+    val post =
+      if (postMatchDoc.fields.isEmpty) Seq.empty
+      else Seq(BDoc("$match" -> postMatchDoc))
+    pre ++ uw ++ post :+ group
   }
 
   /** `$project` doc renaming each doc field to its output name —

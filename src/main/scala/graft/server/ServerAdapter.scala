@@ -109,7 +109,8 @@ trait ServerClient {
     */
   def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
-      unwind: Option[ServerClient.Unwind] = None): Iterator[BDoc]
+      unwind: Option[ServerClient.Unwind] = None,
+      postQuery: BQuery = BQuery.True): Iterator[BDoc]
 
   /** One server-executed equi-join — the `$lookup`+`$unwind` pipeline
     * ([[QueryDocs.lookupStages]] is the wire rendering): driving docs of
@@ -464,7 +465,8 @@ final class FakeServerClient(rootDir: Option[String] = None)
     */
   override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
-      unwind: Option[ServerClient.Unwind] = None): Iterator[BDoc] = {
+      unwind: Option[ServerClient.Unwind] = None,
+      postQuery: BQuery = BQuery.True): Iterator[BDoc] = {
     tick("groupAggregate")
     val matched = coll(ns).readAll().filter(query.matches)
     val rows = unwind match {
@@ -472,7 +474,9 @@ final class FakeServerClient(rootDir: Option[String] = None)
         FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty))
       case None => matched
     }
-    FakeServerClient.groupFold(rows.toVector, groupKeys, aggs)
+    val post =
+      if (postQuery == BQuery.True) rows else rows.filter(postQuery.matches)
+    FakeServerClient.groupFold(post.toVector, groupKeys, aggs)
   }
 
   /** The `$lookup` equi-join, evaluated as a hash join over the store

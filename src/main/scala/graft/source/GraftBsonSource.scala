@@ -407,6 +407,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     options.get("unwind_path").map(pth => UnwindSpec(pth,
       options.getOrElse("unwind_element", pth),
       options.get("unwind_outer").exists(_.toBoolean)))
+  /** POST-unwind query (accepted element-column filters). */
+  private var unwindPost: BQuery = BQuery.True
 
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
@@ -417,15 +419,20 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a predicate on the `_file` metadata column is NOT a document
-    // query, and one on the UNWOUND element column cannot run pre-unwind
-    // — both must stay above the scan (Spark re-evaluates residuals)
-    val (metaFilters, docFilters) = filters.partition(f =>
-      f.references.contains(GraftBsonSource.FileMetaCol) ||
-        options.get("unwind_element").exists(f.references.contains))
+    // query — residual; one touching the UNWOUND element column becomes
+    // the POST-unwind query (after the unwind the path holds the
+    // ELEMENT, so the normal translation carries Spark's row semantics)
+    val (metaFilters, rest) = filters.partition(
+      _.references.contains(GraftBsonSource.FileMetaCol))
+    val (elementFilters, docFilters) = rest.partition(f =>
+      options.get("unwind_element").exists(f.references.contains))
+    val (postQ, postAccepted, postResidual) =
+      FilterTranslator.split(elementFilters, mapping)
+    unwindPost = postQ
     val (query, accepted, residual) = FilterTranslator.split(docFilters, mapping)
     pushedQuery = query
-    pushed = accepted
-    residualFilters = residual ++ metaFilters
+    pushed = accepted ++ postAccepted
+    residualFilters = residual ++ postResidual ++ metaFilters
     residualFilters
   }
 
@@ -678,6 +685,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
       offset, aggPushed, topNSort = topN.map(_._1),
       grouped = groupedAgg, sample = sample, unwind = unwind,
+      unwindPost = unwindPost,
       // the `_file` metadata column is live only when requested AND not
       // shadowed by a data column of the same name (Spark's rule)
       fileMeta = required.fieldNames.contains(GraftBsonSource.FileMetaCol) &&
@@ -847,6 +855,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     grouped: Option[FileGroupedAgg] = None,
     sample: Option[SamplePush] = None,
     unwind: Option[UnwindSpec] = None,
+    unwindPost: BQuery = BQuery.True,
     fileMeta: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
@@ -965,7 +974,11 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       topNSort.map { spec =>
         val order = spec.map { case (k, desc, _) =>
           s"$k ${if (desc) "DESC" else "ASC"}" }.mkString(", ")
-        s", PushedTopN: $order LIMIT ${limit.getOrElse(-1)}" }.getOrElse("")
+        s", PushedTopN: $order LIMIT ${limit.getOrElse(-1)}" }.getOrElse("") +
+      unwind.map(u => s", PushedUnwind: ${u.path}" +
+        (if (u.outer) " OUTER" else "") +
+        (if (unwindPost == BQuery.True) ""
+         else s" PostUnwindMatch: $unwindPost")).getOrElse("")
 
   /** Size estimate from the data files so Catalyst can pick broadcast
     * joins for small collections (the stats role collstats plays in the
@@ -1014,14 +1027,14 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
           GraftInputPartition(f, s, e, q, lim, mapping, sort,
             topNSpec = topNSort, sample = sample,
-            unwind = unwind): InputPartition
+            unwind = unwind, unwindPost = unwindPost): InputPartition
         }
       }
     case "single" =>
       files.map(f =>
         GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
           offset = off, topNSpec = topNSort, sample = sample,
-          unwind = unwind): InputPartition)
+          unwind = unwind, unwindPost = unwindPost): InputPartition)
     case other =>
       // key-range strategies via the pure planners + file-backed stats;
       // chunk/shard maps arrive as option-level JSON (the config.chunks /
@@ -1038,7 +1051,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           .map { case (pq, locs) =>
             GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
               locations = locs, topNSpec = topNSort,
-              sample = sample, unwind = unwind): InputPartition
+              sample = sample, unwind = unwind,
+              unwindPost = unwindPost): InputPartition
           }
       }
     }
@@ -1058,7 +1072,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         val parts = files.flatMap(f =>
           BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
             GroupedAggPartition(f, s, e, query, g, mapping,
-              sample, unwind): InputPartition
+              sample, unwind, unwindPost): InputPartition
           })
         return (
           if (parts.nonEmpty || g.groupCols.nonEmpty) parts.toArray
@@ -1459,7 +1473,9 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
     sample: Option[SamplePush] = None,
     /** Set for a pushed `$unwind`: one row per element of the array at
       * `unwind.path`, the element bound at the `unwind.element` column. */
-    unwind: Option[UnwindSpec] = None)
+    unwind: Option[UnwindSpec] = None,
+    /** Accepted element-column filters, evaluated POST-unwind. */
+    unwindPost: BQuery = BQuery.True)
     extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
@@ -1485,7 +1501,8 @@ final case class GroupedAggPartition(path: String, start: Long, end: Long,
     query: BQuery, grouped: FileGroupedAgg,
     mapping: Map[String, String],
     sample: Option[SamplePush] = None,
-    unwind: Option[UnwindSpec] = None) extends InputPartition
+    unwind: Option[UnwindSpec] = None,
+    unwindPost: BQuery = BQuery.True) extends InputPartition
 
 /** Folds one byte-split's rows into per-group PARTIAL rows. The inner
   * row scan decodes ONLY the group-key and aggregate input columns
@@ -1532,7 +1549,8 @@ final class GroupedAggPartitionReader(p: GroupedAggPartition)
         sample = p.sample,
         // inner columns ARE doc paths: the unwound element column is the
         // array path itself (post-unwind the path holds the element)
-        unwind = p.unwind.map(u => u.copy(element = u.path))),
+        unwind = p.unwind.map(u => u.copy(element = u.path)),
+        unwindPost = p.unwindPost),
       innerSchema)
 
   private def cloned(v: Any): Any = v match {
@@ -1670,7 +1688,8 @@ final class GraftPartitionReader(p: GraftInputPartition,
       p.sortKey ++
       p.topNSpec.toSeq.flatten.map(_._1) ++
       p.sample.map(_.key) ++
-      p.unwind.map(_.path)
+      p.unwind.map(_.path) ++
+      BQuery.fieldPaths(p.unwindPost)
   // keep the raw handle: with limit pushdown / early task kill the iterator
   // is never drained, so close() must release the file descriptor
   private val raw = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
@@ -1705,16 +1724,23 @@ final class GraftPartitionReader(p: GraftInputPartition,
   // a non-array value passes the doc unchanged
   private val docs: Iterator[BDoc] = p.unwind match {
     case None => parents
-    case Some(u) => parents.flatMap { d =>
-      d.getPath(u.path) match {
-        case Some(BArray(items)) if items.nonEmpty =>
-          items.iterator.map(el => graft.query.Updates.setField(d, u.path, el))
-        case Some(BArray(_)) | Some(BNull) | None =>
-          if (u.outer) Iterator.single(graft.query.Updates.setField(d, u.path, BNull))
-          else Iterator.empty
-        case Some(_) => Iterator.single(d)
+    case Some(u) =>
+      val unwound = parents.flatMap { d =>
+        d.getPath(u.path) match {
+          case Some(BArray(items)) if items.nonEmpty =>
+            items.iterator.map(el => graft.query.Updates.setField(d, u.path, el))
+          case Some(BArray(_)) =>
+            if (u.outer) Iterator.single(graft.query.Updates.setField(d, u.path, BNull))
+            else Iterator.empty
+          case Some(BNull) | None =>
+            if (u.outer) Iterator.single(d) else Iterator.empty
+          case Some(_) => Iterator.single(d)
+        }
       }
-    }
+      // POST-unwind $match: accepted element-column filters run on the
+      // per-element docs (the path now holds the element)
+      if (p.unwindPost == BQuery.True) unwound
+      else unwound.filter(p.unwindPost.matches)
   }
   private var current: InternalRow = _
 

@@ -942,8 +942,10 @@ final class CountingServerFactory extends ServerClientFactory {
           ordered: Boolean) = { t("bulkWrite"); inner.bulkWrite(ns, models, ordered) }
       override def groupAggregate(ns: String, query: graft.query.BQuery,
           groupKeys: Seq[String], aggs: Seq[GroupAgg],
-          unwind: Option[ServerClient.Unwind]) =
-        { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs, unwind) }
+          unwind: Option[ServerClient.Unwind],
+          postQuery: graft.query.BQuery) =
+        { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs,
+          unwind, postQuery) }
       override def lookupJoin(ns: String, j: LookupJoin) =
         { t("lookupJoin"); inner.lookupJoin(ns, j) }
       override def createIndex(ns: String, fields: Seq[String]) =

@@ -484,6 +484,35 @@ class RealMongoIntegrationSpec extends SparkSpec {
       Map("x" -> 1L, "y" -> 2L))
   }
 
+  test("live: element filter renders as the POST-unwind $match (q153 shape, r14)") {
+    live()
+    import spark.implicits._
+    Seq((1L, 10, Seq("x", "y")), (2L, 20, Seq("y")),
+      (3L, 30, Seq("x", "x", "z")))
+      .toDF("k", "v", "tags")
+      .write.format("graftserver").options(opts("uwpost"))
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver")
+      .options(opts("uwpost") + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, v INT, tags ARRAY<STRING>").load()
+    // plain scan: the post-unwind $match filters ELEMENTS, not parents —
+    // parent 3 contributes only its two "x" rows
+    val f = t.select($"_id", explode($"tags").as("tag")).filter($"tag" === "x")
+    assert(f.queryExecution.executedPlan.toString.contains("PostUnwindMatch:"),
+      f.queryExecution.executedPlan.toString)
+    assert(f.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 3L))
+    // grouped: ONE $match+$unwind+$match+$group pipeline, where the
+    // second $match must see the element at the array path (a server
+    // that dropped the post-match would also count "y")
+    val g = t.filter($"v" < 30).select(explode($"tags").as("tag"))
+      .filter($"tag".isin("x", "z"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+      g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("x" -> 1L))
+  }
+
   test("live: ASCII string-range $match renders under uniform storage (r14)") {
     live()
     import spark.implicits._

@@ -76,7 +76,7 @@ class UnwindPushdownSpec extends SparkSpec {
       s"one pipeline round-trip expected: ${CountingServerFactory.snapshot()}")
   }
 
-  test("element filters stay residual; parent filters push pre-unwind") {
+  test("element filters push as the POST-unwind match; parent filters pre-unwind") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
@@ -86,10 +86,67 @@ class UnwindPushdownSpec extends SparkSpec {
       .filter($"tag" === "x")
     val plan = f.queryExecution.executedPlan.toString
     assert(plan.contains("PushedUnwind: tags"), plan)
-    assert(plan.contains("Filter"), s"element filter must re-check above:\n$plan")
+    assert(plan.contains("PostUnwindMatch:"),
+      s"element filter must become the post-unwind match:\n$plan")
     assert(plan.contains("query=") && plan.contains("Exists(v,true)"),
       s"parent filter must reach the cursor query:\n$plan")
     assert(f.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 5L))
+
+    // the headline shape: element filter + GROUP BY = ONE pipeline
+    // ($match -> $unwind -> $match -> $group) under uniform storage
+    CountingServerFactory.reset()
+    val g = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "assume_uniform_storage" -> "true"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select(explode($"tags").as("tag"))
+      .filter($"tag".isin("x", "z"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedGroupedAggregate") &&
+      gPlan.contains("PushedUnwind"), gPlan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 3L, "z" -> 1L))
+    assert(CountingServerFactory.count("groupAggregate") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      s"one pipeline round-trip: ${CountingServerFactory.snapshot()}")
+
+    // an UNTRANSLATABLE element predicate still re-checks above (and
+    // keeps the grouped aggregate Spark-side)
+    val hard = t(dir).select($"_id", explode($"tags").as("tag"))
+      .filter(length($"tag") + $"_id" > 5)
+    val hardPlan = hard.queryExecution.executedPlan.toString
+    assert(hardPlan.contains("PushedUnwind") && hardPlan.contains("Filter"),
+      hardPlan)
+    assert(hard.count() ==
+      Seq((1L, "x"), (1L, "y"), (2L, "y"), (5L, "x"), (5L, "x"), (5L, "z"))
+        .count { case (id, tag) => tag.length + id > 5 })
+
+    // an ASCII-bounded element RANGE composes: under uniform storage the
+    // read-string range renders exactly, so it too becomes the
+    // post-unwind $match (q153's shape)
+    val rng = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" >= "y")
+    val rngPlan = rng.queryExecution.executedPlan.toString
+    assert(rngPlan.contains("PostUnwindMatch:"), rngPlan)
+    assert(rng.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "y"), (2L, "y"), (5L, "z")))
+
+    // a MIXED element-or-parent disjunction becomes the post-unwind
+    // match too — and the PARENT column it references must ride the
+    // cursor projection even though Spark pruned it from the output
+    // (docs: _id 1 v 10, _id 2 v 20, _id 5 v 50)
+    val mixed = t(dir).select($"_id", explode($"tags").as("tag"), $"v")
+      .filter($"tag" === "z" || $"v" < 15)
+      .select($"_id", $"tag")
+    assert(mixed.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (1L, "y"), (5L, "z")),
+      mixed.queryExecution.executedPlan.toString)
   }
 
   test("nested array path and existing column_mapping compose") {

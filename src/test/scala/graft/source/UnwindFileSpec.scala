@@ -62,7 +62,7 @@ class UnwindFileSpec extends SparkSpec {
       Map("x" -> 1L, "y" -> 2L))
   }
 
-  test("element filters re-check above; parent filters reach the scan query") {
+  test("element filters push as the POST-unwind match; parent filters reach the scan query") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
@@ -70,7 +70,39 @@ class UnwindFileSpec extends SparkSpec {
       .filter($"v" >= 20)
       .select($"_id", explode($"tags").as("tag"))
       .filter($"tag" === "x")
+    val fPlan = f.queryExecution.executedPlan.toString
+    assert(fPlan.contains("PostUnwindMatch:"),
+      s"element filter must become the post-unwind match:\n$fPlan")
     assert(f.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+
+    // element filter + GROUP BY still folds per-split partials — the
+    // post-unwind match runs between unwind and the partial fold
+    val g = t(dir)
+      .select(explode($"tags").as("tag"))
+      .filter($"tag".isin("x", "z"))
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedGroupedAggregate") && !gPlan.contains("Generate"),
+      gPlan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 3L, "z" -> 1L))
+
+    // an UNTRANSLATABLE element predicate re-checks above the scan
+    val hard = t(dir).select($"_id", explode($"tags").as("tag"))
+      .filter(length($"tag") + $"_id" > 5)
+    val hardPlan = hard.queryExecution.executedPlan.toString
+    assert(!hardPlan.contains("Generate") && hardPlan.contains("Filter"), hardPlan)
+    assert(hard.count() == 3)
+
+    // a MIXED element-or-parent disjunction: the parent column it reads
+    // must stay in the projected decode even though Spark pruned it
+    // (docs: _id 1 v 10, _id 2 v 20, _id 5 v 50)
+    val mixed = t(dir).select($"_id", explode($"tags").as("tag"), $"v")
+      .filter($"tag" === "z" || $"v" < 15)
+      .select($"_id", $"tag")
+    assert(mixed.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (1L, "y"), (5L, "z")),
+      mixed.queryExecution.executedPlan.toString)
     // refusals: limit/top-n stay Spark-side over the unwound scan
     val e = t(dir).select($"_id", explode($"tags").as("tag"))
     assert(!e.limit(3).queryExecution.executedPlan.toString.contains("PushedLimit"))
