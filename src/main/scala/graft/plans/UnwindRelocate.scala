@@ -27,10 +27,12 @@ import scala.jdk.CollectionConverters._
   * arrays; `explode_outer` maps to `preserveNullAndEmptyArrays: true`.
   * The element column rides `column_mapping` (element name -> array doc
   * path), so post-unwind GROUP keys resolve natively; the scan builder
-  * keeps element-column FILTERS residual (pre-unwind the path holds the
-  * ARRAY — a pushed filter would carry mongo's element-match, not
-  * Spark's row semantics) and refuses limit/offset/top-n/sample/probes
-  * (they would count PARENT docs).
+  * renders element-column FILTERS as a POST-unwind `$match` between
+  * `$unwind` and `$group` (after the unwind the path holds the ELEMENT,
+  * so the normal translation carries Spark's row semantics exactly) and
+  * derives a pre-unwind PARENT prune from them
+  * ([[graft.query.BQuery.parentPrune]]); it refuses
+  * limit/offset/top-n/sample/probes (they would count PARENT docs).
   *
   * Matched leg shapes under the Generate: the bare relation, an
   * attribute/extraction Project (NestedColumnAliasing's rewrite of a

@@ -573,6 +573,87 @@ object BQuery {
     case (x, And(ys)) => And(x +: ys)
     case (x, y) => And(Seq(x, y))
   }
+
+  /** Rewrite every field path through `f`; None when any node's path is
+    * unmapped (f returns None) or the node kind is not rewritten
+    * (ElemMatch/NotOp/Nor/KeyRange — conservative, callers skip). */
+  private def rewritePaths(q: BQuery, f: String => Option[String]): Option[BQuery] = {
+    def seqOpt(qs: Seq[BQuery]): Option[Seq[BQuery]] = {
+      val rs = qs.map(rewritePaths(_, f))
+      if (rs.contains(None)) None else Some(rs.flatten)
+    }
+    q match {
+      case Eq(p, v) => f(p).map(Eq(_, v))
+      case Lt(p, v) => f(p).map(Lt(_, v))
+      case Lte(p, v) => f(p).map(Lte(_, v))
+      case Gt(p, v) => f(p).map(Gt(_, v))
+      case Gte(p, v) => f(p).map(Gte(_, v))
+      case In(p, vs) => f(p).map(In(_, vs))
+      case Ne(p, v) => f(p).map(Ne(_, v))
+      case Nin(p, vs) => f(p).map(Nin(_, vs))
+      case Regex(p, pat, o) => f(p).map(Regex(_, pat, o))
+      case Exists(p, yes) => f(p).map(Exists(_, yes))
+      case ExistsField(p, yes) => f(p).map(ExistsField(_, yes))
+      case Size(p, n) => f(p).map(Size(_, n))
+      case All(p, vs) => f(p).map(All(_, vs))
+      case Mod(p, d, r) => f(p).map(Mod(_, d, r))
+      case TypeIs(p, ts) => f(p).map(TypeIs(_, ts))
+      case ReadStrCmp(p, s, op) => f(p).map(ReadStrCmp(_, s, op))
+      case ReadStrIn(p, ss) => f(p).map(ReadStrIn(_, ss))
+      case ReadStrRegex(p, pat) => f(p).map(ReadStrRegex(_, pat))
+      case ReadLongCmp(p, x, op) => f(p).map(ReadLongCmp(_, x, op))
+      case ReadLongIn(p, xs) => f(p).map(ReadLongIn(_, xs))
+      case ReadTimeCmp(p, us, op) => f(p).map(ReadTimeCmp(_, us, op))
+      case ReadTimeIn(p, us) => f(p).map(ReadTimeIn(_, us))
+      case And(qs) => seqOpt(qs).map(And(_))
+      case Or(qs) => seqOpt(qs).map(Or(_))
+      case True => Some(True)
+      case _ => None // ElemMatch / NotOp / Nor / KeyRange
+    }
+  }
+
+  /** Pre-unwind PARENT-pruning filter derived from a POST-unwind match:
+    * under a NON-OUTER `$unwind`, a parent document contributes rows iff
+    * some array element — or the scalar stored at the path (`$unwind`
+    * passes non-arrays through) — satisfies the post-unwind query. Each
+    * pure element-path conjunct C therefore yields the superset test
+    * `Or(ElemMatch(path, C'), C)`: the `$elemMatch` disjunct is the
+    * exists-an-element semantics on array storage (this matcher and the
+    * wire agree), the as-is disjunct covers non-array storage, where the
+    * path holds the element verbatim. Conjuncts mixing element and
+    * parent columns (one Spark disjunction can) produce no prune —
+    * dropping a conjunct only widens the superset. The result is a
+    * PRUNE, never the filter: the exact post-unwind match still runs
+    * after the unwind, so over-matching here costs wire bytes, not
+    * correctness; under-matching is impossible by the per-case argument
+    * above. OUTER unwinds never prune (a parent with a never-matching
+    * array still owes its null-element row to a null-matching post
+    * query); callers gate on non-outer.
+    */
+  def parentPrune(post: BQuery, path: String): BQuery = {
+    val prefix = path + "."
+    def pruneOne(c: BQuery): BQuery = {
+      val ps = fieldPaths(c)
+      val rewritten =
+        if (ps == Set(path))
+          // value-form: operators apply to the ELEMENT itself
+          rewritePaths(c, p => if (p == path) Some(ElemPath) else None)
+            .map(ElemMatch(path, _, valueForm = true))
+        else if (ps.nonEmpty && ps.forall(_.startsWith(prefix)))
+          // document-form: sub-query paths are fields OF the element
+          rewritePaths(c, p =>
+            if (p.startsWith(prefix)) Some(p.stripPrefix(prefix)) else None)
+            .map(ElemMatch(path, _, valueForm = false))
+        else None
+      rewritten.map(em => Or(Seq(em, c))).getOrElse(True)
+    }
+    val conjuncts = post match {
+      case And(qs) => qs
+      case True => Seq.empty
+      case one => Seq(one)
+    }
+    conjuncts.map(pruneOne).foldLeft(True: BQuery)(and)
+  }
 }
 
 /** Catalyst `Filter` -> BQuery translator with residual split: the DSv2

@@ -896,11 +896,41 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         joinTopN.map { case (s, n) => (s, n.toLong) }, joinSamples, joinOffset)
     case None =>
       new GraftServerScan(required,
-        BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
+        BQuery.and(
+          BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
+          unwindPrune),
         limit, options, aggPushed, topN, groupedAgg, offset, sample,
         nsMeta = required.fieldNames.contains(GraftServerSource.NsMetaCol) &&
           !tableSchema.fieldNames.contains(GraftServerSource.NsMetaCol),
         unwind = unwind, unwindPost = unwindPost)
+  }
+
+  /** Pre-unwind PARENT pruning ([[BQuery.parentPrune]]): under a
+    * non-outer `$unwind` with a pushed post-unwind match, parents with
+    * no satisfying element never cross the wire — `$elemMatch` can walk
+    * a multikey index where the post `$match` scans unwound rows. A
+    * prune, not a filter (the exact post match still runs), so it is
+    * conjoined only when it renders fully server-side: a client-side
+    * superset re-check would be pure overhead on top of the post match.
+    * Skipped for ARRAY/MAP-typed elements (nested-array `$elemMatch`
+    * traversal is a documented matcher/wire divergence) and for OUTER
+    * unwinds (a never-matching array still owes its null-element row
+    * to a null-matching post query).
+    */
+  private def unwindPrune: BQuery = {
+    val safe = unwind.exists(u => !u.preserveNullAndEmpty) &&
+      unwindElement.forall(e => tableSchema.fields.find(_.name == e).forall(
+        _.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType => false
+          case _ => true
+        }))
+    if (!safe || unwindPost == BQuery.True) BQuery.True
+    else {
+      val prune = BQuery.parentPrune(unwindPost, unwind.get.path)
+      val planned = QueryDocs.plan(prune)
+      if (planned.isExact && planned.keyBounds.isEmpty) prune else BQuery.True
+    }
   }
 }
 

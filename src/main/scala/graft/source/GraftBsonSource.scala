@@ -682,7 +682,27 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // with Spark's own .limit for the global semantic)
     val optionLimit = options.get("limit").map(_.toInt)
     val effLimit = (limit ++ optionLimit ++ topN.map(_._2)).reduceOption(math.min)
-    new GraftScan(required, BQuery.and(optionQuery, pushedQuery), options, effLimit, mapping,
+    // pre-unwind PARENT pruning (BQuery.parentPrune): under a non-outer
+    // unwind with a pushed post-unwind match, parents with no satisfying
+    // element drop BEFORE the per-element flatten — a prune, never the
+    // filter (the exact post match still runs on unwound docs). Skipped
+    // for ARRAY/MAP elements (nested-array ElemMatch traversal is a
+    // documented divergence) and OUTER unwinds (a never-matching array
+    // still owes its null-element row to a null-matching post query).
+    val unwindPrune: BQuery = {
+      val safe = unwind.exists(!_.outer) &&
+        options.get("unwind_element").forall(e =>
+          tableSchema.fields.find(_.name == e).forall(_.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType => false
+            case _ => true
+          }))
+      if (!safe || unwindPost == BQuery.True) BQuery.True
+      else BQuery.parentPrune(unwindPost, unwind.get.path)
+    }
+    new GraftScan(required,
+      BQuery.and(BQuery.and(optionQuery, pushedQuery), unwindPrune),
+      options, effLimit, mapping,
       offset, aggPushed, topNSort = topN.map(_._1),
       grouped = groupedAgg, sample = sample, unwind = unwind,
       unwindPost = unwindPost,

@@ -11,8 +11,11 @@ import java.nio.file.Files
   * ([[graft.plans.UnwindRelocate]]). A plain unwound scan streams PARENT
   * docs (the array crosses the wire once); composed with a grouped
   * aggregate the whole `$match`+`$unwind`+`$group` is ONE pipeline per
-  * namespace. Element-column filters stay residual (pre-unwind the path
-  * holds the ARRAY); row-count/-position pushdowns refuse.
+  * namespace. Element-column filters render as a POST-unwind `$match`
+  * (after the unwind the path holds the ELEMENT) and additionally derive
+  * a pre-unwind PARENT prune (`$elemMatch` superset,
+  * [[graft.query.BQuery.parentPrune]]); row-count/-position pushdowns
+  * refuse.
   */
 class UnwindPushdownSpec extends SparkSpec {
 
@@ -202,5 +205,64 @@ class UnwindPushdownSpec extends SparkSpec {
     val e = t(dir).select($"_id", explode($"tags").as("tag"))
     assert(e.filter($"_id" === 9L).collect().map(_.getString(1)).toSeq ==
       Seq("solo"))
+  }
+
+  test("non-contributing parents prune pre-unwind; scalar storage survives the prune") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // FOREIGN scalar at the unwound path: must survive via the prune's
+    // as-is disjunct ($unwind passes non-arrays through)
+    Seq((9L, "x")).toDF("_id", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+      .option("id_column", "_id").mode("append").save()
+    // uniform storage: the string-equality bracket renders, so the
+    // prune passes the exact-render gate and reaches the cursor query
+    val tu = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+    val f = tu.select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("ElemMatch"),
+      s"parent prune expected in the scan query:\n$plan")
+    assert(plan.contains("PostUnwindMatch:"), plan)
+    // parents 2 ([y]), 3 ([]), 4 (null) prune server-side; 1, 5, 9 pass
+    assert(f.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 5L, 9L))
+
+    // WITHOUT uniform storage the string-equality stays a read-semantics
+    // node: the prune cannot render exactly, so it is dropped (never a
+    // client-side superset re-check) — results identical
+    val fr = t(dir).select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+    assert(!fr.queryExecution.executedPlan.toString.contains("ElemMatch"),
+      fr.queryExecution.executedPlan.toString)
+    assert(fr.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 5L, 9L))
+
+    // OUTER never prunes: a null-matching post query owes the
+    // null-element rows of empty/null parents
+    val fo = tu.select($"_id", explode_outer($"tags").as("tag"))
+      .filter($"tag".isNull)
+    val foPlan = fo.queryExecution.executedPlan.toString
+    assert(!foPlan.contains("ElemMatch"), foPlan)
+    assert(fo.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+
+    // the prune rides the grouped pipeline's pre-$match too — still ONE
+    // groupAggregate round-trip, and the counts are the post-match's
+    CountingServerFactory.reset()
+    val g = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "assume_uniform_storage" -> "true"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select(explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 4L))
+    assert(CountingServerFactory.count("groupAggregate") == 1,
+      CountingServerFactory.snapshot())
   }
 }

@@ -103,6 +103,20 @@ class UnwindFileSpec extends SparkSpec {
     assert(mixed.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "x"), (1L, "y"), (5L, "z")),
       mixed.queryExecution.executedPlan.toString)
+
+    // pre-unwind PARENT prune (fresh dir — the seed above feeds later
+    // assertions): non-contributing parents drop before the flatten, and
+    // FOREIGN scalar storage at the path survives via the prune's as-is
+    // disjunct; the file matcher is native, so no uniform opt-in needed
+    val prDir = freshDir()
+    seed(prDir)
+    Seq((9L, "x")).toDF("_id", "tags").write.format("graftbson")
+      .option("id_column", "_id").mode("append").save(prDir)
+    val pr = t(prDir).select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+    assert(pr.queryExecution.executedPlan.toString.contains("ElemMatch"),
+      pr.queryExecution.executedPlan.toString)
+    assert(pr.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 5L, 9L))
     // refusals: limit/top-n stay Spark-side over the unwound scan
     val e = t(dir).select($"_id", explode($"tags").as("tag"))
     assert(!e.limit(3).queryExecution.executedPlan.toString.contains("PushedLimit"))
