@@ -209,6 +209,27 @@ object DiagChain {
     val unpushedUw = time("unwind-group UNPUSHED")(unwindQuery())
     spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
     println(f"[diagchain] unwind  ratio unpushed/pushed = ${unpushedUw / pushedUw}%.2f")
+
+    // $unwind TAIL (r14 session 2): element filter + ORDER BY LIMIT as
+    // ONE $match+$unwind+$match+$sort+$limit pipeline (unwoundRead) vs
+    // Spark-side Generate + filter + TakeOrdered over shipped arrays
+    def unwindTopnQuery() = {
+      val t = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.uwdiag", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, n_chars LONG, tags ARRAY<STRING>").load()
+      t.select($"_id", $"n_chars", explode($"tags").as("tag"))
+        .filter($"tag" >= "c" && $"tag" < "t")
+        .orderBy($"n_chars".desc, $"_id".desc).limit(50)
+        .select($"_id", $"n_chars")
+    }
+    val planUt = unwindTopnQuery().queryExecution.executedPlan.toString
+    require(planUt.contains("UnwoundTails") && planUt.contains("PostUnwindMatch"),
+      s"unwound tail did not push:\n$planUt")
+    val pushedUt = time("unwind-topn PUSHED")(unwindTopnQuery())
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "false")
+    val unpushedUt = time("unwind-topn UNPUSHED")(unwindTopnQuery())
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
+    println(f"[diagchain] unwind-topn ratio unpushed/pushed = ${unpushedUt / pushedUt}%.2f")
     spark.stop()
   }
 }

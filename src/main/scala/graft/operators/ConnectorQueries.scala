@@ -1618,6 +1618,79 @@ object ConnectorQueries {
         |  SELECT source FROM documents WHERE n_chars > 100
         |) WHERE tag >= 'c' AND tag < 't'
         |GROUP BY 1 ORDER BY tag ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // Unwound-tail pushdown, SERVER (round-14): ORDER BY ... LIMIT over
+    // an exploded scan runs as ONE $match+$unwind+$match+$sort+$limit
+    // pipeline per namespace ([[ServerClient.unwoundRead]]) — a tail
+    // must count UNWOUND rows, which find()'s parent-doc knobs cannot.
+    // The output projects only PARENT columns so a limit cutting
+    // mid-parent (intra-parent rows tie on every output column) stays
+    // deterministic across engines. UnwindPushdownSpec pins the
+    // pipeline + the string-key/ non-uniform refusals.
+    CatalogQuery(
+      "q154_server_unwind_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.uwtop",
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            array($"lang", $"source").as("tags"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, n_chars LONG, tags ARRAY<STRING>")
+          .load()
+          .select($"_id".as("doc_id"), explode($"tags").as("tag"))
+          .filter($"tag" >= "c" && $"tag" < "t")
+          .orderBy($"doc_id".desc).limit(37)
+          .select($"doc_id")
+          .orderBy($"doc_id".desc)
+      },
+      Some("""
+        |SELECT doc_id FROM (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, lang AS tag FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, source FROM documents)
+        |  WHERE tag >= 'c' AND tag < 't'
+        |  ORDER BY doc_id DESC LIMIT 37)
+        |ORDER BY doc_id DESC
+        |""".stripMargin)),
+
+    // Unwound-tail pushdown, FILE (round-14): the same tail runs in the
+    // reader's post-unwind stage — the per-split bounded heap selects
+    // among unwound rows by READ value (partial; Spark folds).
+    CatalogQuery(
+      "q155_file_unwind_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            array($"lang", $"source").as("tags"))
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, n_chars LONG, tags ARRAY<STRING>")
+          .load(dir)
+          .select($"_id".as("doc_id"), explode($"tags").as("tag"))
+          .filter($"tag" >= "c" && $"tag" < "t")
+          .orderBy($"doc_id".desc).limit(37)
+          .select($"doc_id")
+          .orderBy($"doc_id".desc)
+      },
+      Some("""
+        |SELECT doc_id FROM (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, lang AS tag FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, source FROM documents)
+        |  WHERE tag >= 'c' AND tag < 't'
+        |  ORDER BY doc_id DESC LIMIT 37)
+        |ORDER BY doc_id DESC
         |""".stripMargin))
   )
 }

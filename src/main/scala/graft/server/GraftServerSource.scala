@@ -299,8 +299,14 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   override def pushLimit(n: Int): Boolean =
     // the cursor limit counts UNSAMPLED rows; the sampled prefix may be
-    // shorter than the limit needs — and PARENT docs, not unwound rows
-    if (sample.isDefined || unwind.isDefined) false
+    // shorter than the limit needs
+    if (sample.isDefined) false
+    else if (unwind.isDefined) {
+      // over an unwound scan the limit must count UNWOUND rows — the
+      // find() cursor cannot, but the unwound ROW pipeline's `$limit`
+      // tail can ([[ServerClient.unwoundRead]]); partial per namespace
+      if (unwoundTailOk) { limit = Some(n); true } else false
+    }
     else if (joined.isDefined) {
       // joined arm: `$limit` after the last `$unwind`, partial per
       // pipeline (a pushed join TopN already carries its own $limit);
@@ -333,7 +339,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     } else if (options.get("splitter").contains("single") &&
         GraftServerSource.nsList(options).size == 1 && residuals.isEmpty &&
         aggPushed.isEmpty && groupedAgg.isEmpty && topN.isEmpty &&
-        sample.isEmpty && unwind.isEmpty) {
+        sample.isEmpty &&
+        // over an unwound scan the skip counts UNWOUND rows: the
+        // pipeline's `$skip` tail (same single-pipeline soundness rule)
+        (unwind.isEmpty || unwoundTailOk)) {
       offset = Some(n); true
     } else false
 
@@ -363,7 +372,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (joined.isDefined) return pushJoinedTopN(orders, n)
     if (orders.isEmpty || aggPushed.isDefined || groupedAgg.isDefined ||
         limit.isDefined || offset.isDefined || residuals.nonEmpty ||
-        sample.isDefined || unwind.isDefined) return false
+        sample.isDefined) return false
+    // over an unwound scan the top-n selects among UNWOUND rows: the
+    // `$sort`+`$limit` tail of the unwound ROW pipeline (order keys may
+    // be the element column — post-unwind its doc path holds the
+    // element — or parents; the bracket-safety gates below apply as-is)
+    if (unwind.isDefined && !unwoundTailOk) return false
     // order keys may be NESTED subfields: `{"meta.score": -1}` is a
     // legal cursor sort doc (dotted-path key extraction is core server
     // behavior — the reference's MongoPathRetriever convention); the
@@ -902,7 +916,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         limit, options, aggPushed, topN, groupedAgg, offset, sample,
         nsMeta = required.fieldNames.contains(GraftServerSource.NsMetaCol) &&
           !tableSchema.fieldNames.contains(GraftServerSource.NsMetaCol),
-        unwind = unwind, unwindPost = unwindPost)
+        unwind = unwind, unwindPost = unwindPost,
+        unwoundTails = unwind.isDefined &&
+          (limit.isDefined || topN.isDefined || offset.isDefined))
   }
 
   /** Pre-unwind PARENT pruning ([[BQuery.parentPrune]]): under a
@@ -917,6 +933,24 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * unwinds (a never-matching array still owes its null-element row
     * to a null-matching post query).
     */
+  /** Eligibility of a row-count/-order tail (LIMIT / TopN / OFFSET) over
+    * an UNWOUND scan: those must count unwound rows, so the read becomes
+    * the [[ServerClient.unwoundRead]] aggregate pipeline — which needs
+    * BOTH queries fully server-renderable (rows are gone after the
+    * tail; no client-side residual or post re-check is possible) and no
+    * option-level cursor knobs (`sort`/`limit` are PARENT-cursor
+    * semantics the pipeline cannot honor).
+    */
+  private def unwoundTailOk: Boolean =
+    unwind.isDefined && residuals.isEmpty &&
+      !options.contains("sort") && !options.contains("limit") && {
+        val pre = QueryDocs.plan(
+          BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
+        val post = QueryDocs.plan(unwindPost)
+        pre.isExact && pre.keyBounds.isEmpty &&
+          post.isExact && post.keyBounds.isEmpty
+      }
+
   private def unwindPrune: BQuery = {
     val safe = unwind.exists(u => !u.preserveNullAndEmpty) &&
       unwindElement.forall(e => tableSchema.fields.find(_.name == e).forall(
@@ -1275,7 +1309,10 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     sample: Option[graft.source.SamplePush] = None,
     nsMeta: Boolean = false,
     unwind: Option[ServerClient.Unwind] = None,
-    unwindPost: BQuery = BQuery.True)
+    unwindPost: BQuery = BQuery.True,
+    /** A LIMIT/TopN/OFFSET tail counts UNWOUND rows: the read runs as
+      * the [[ServerClient.unwoundRead]] pipeline, one per namespace. */
+    unwoundTails: Boolean = false)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   import graft.source.{AggPush, RuntimeFilters}
@@ -1432,7 +1469,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
       unwind.map(u => s" PushedUnwind: ${u.path}" +
         (if (u.preserveNullAndEmpty) " OUTER" else "") +
         (if (unwindPost == BQuery.True) ""
-         else s" PostUnwindMatch: $unwindPost")).getOrElse("")
+         else s" PostUnwindMatch: $unwindPost") +
+        (if (unwoundTails) " UnwoundTails" else "")).getOrElse("")
 
   /** Driver-side planning: one bounded probe sequence through the shared
     * strategy chain (chunks → splitVector → sampled size bounds). Optional
@@ -1449,6 +1487,15 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
       // one partition PER NAMESPACE: each runs its own $group pipeline
       // round-trip, so a multi-ns union aggregates in parallel (the
       // partial protocol folds the per-namespace group rows regardless)
+      return GraftServerSource.nsList(options).map(n =>
+        GraftServerPartition(n, BQuery.KeyRange(key, None, None),
+          Seq.empty): InputPartition).toArray
+    if (unwoundTails)
+      // unwound ROW pipeline with a $sort/$skip/$limit tail: one
+      // partition per namespace — key-range splits would need the range
+      // rendered into the pipeline's $match (a bracket form, exact only
+      // under uniform keys); the tail bounds each pipeline's output
+      // anyway, so per-ns partials keep the wire thin and Spark folds
       return GraftServerSource.nsList(options).map(n =>
         GraftServerPartition(n, BQuery.KeyRange(key, None, None),
           Seq.empty): InputPartition).toArray
@@ -1476,7 +1523,8 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftServerReaderFactory(requiredSchema, queryWithRuntime, limit, options,
-      pushedAgg, topN, grouped, offset, sample, nsMeta, unwind, unwindPost)
+      pushedAgg, topN, grouped, offset, sample, nsMeta, unwind, unwindPost,
+      unwoundTails)
 }
 
 /** One planned split: its namespace, key range, and the owning chunk's
@@ -1498,7 +1546,8 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
     sample: Option[graft.source.SamplePush] = None,
     nsMeta: Boolean = false,
     unwind: Option[ServerClient.Unwind] = None,
-    unwindPost: BQuery = BQuery.True)
+    unwindPost: BQuery = BQuery.True,
+    unwoundTails: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (grouped, pushedAgg) match {
@@ -1507,7 +1556,8 @@ final class GraftServerReaderFactory(requiredSchema: StructType, query: BQuery,
       case (None, Some(items)) => new ServerAggReader(options, items)
       case _ => new GraftServerPartitionReader(
         p.asInstanceOf[GraftServerPartition], requiredSchema, query, limit,
-        options, topN, offset, sample, nsMeta, unwind, unwindPost)
+        options, topN, offset, sample, nsMeta, unwind, unwindPost,
+        unwoundTails)
     }
 }
 
@@ -1646,13 +1696,19 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     sample: Option[graft.source.SamplePush] = None,
     nsMeta: Boolean = false,
     unwind: Option[ServerClient.Unwind] = None,
-    unwindPost: BQuery = BQuery.True)
+    unwindPost: BQuery = BQuery.True,
+    unwoundTails: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   // `$unwind` (r14): the cursor streams PARENT docs (one array per
   // parent crosses the wire, never the flattened cross-product) and the
   // reader emits one row per element — the element column slot is
-  // filled per element, every other slot decodes once per parent
+  // filled per element, every other slot decodes once per parent.
+  // EXCEPT in pipeline mode (unwoundTails): a LIMIT/TopN/OFFSET tail
+  // counts unwound rows, so the whole unwind+post+tail runs server-side
+  // ([[ServerClient.unwoundRead]]) and the cursor streams PER-ELEMENT
+  // docs — the reader decodes them like a plain scan
+  private val pipelineMode: Boolean = unwoundTails && unwind.isDefined
   private val unwindElement: Option[String] = options.get("unwind_element")
 
   // `_ns` provenance: splice this partition's namespace in at the
@@ -1684,7 +1740,19 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
 
 
   private val client = GraftServerSource.factory(options).create(options)
-  private val rawCursor: Iterator[BDoc] =
+  private val rawCursor: Iterator[BDoc] = if (pipelineMode)
+    // unwound ROW pipeline: $match + $unwind + $match(post) + the
+    // pushed $sort/$skip/$limit tail, all server-side — per-element
+    // docs cross the wire, already post-matched and tail-bounded.
+    // Partitions in this mode are whole-namespace (no key range).
+    client.unwoundRead(p.ns, query, unwind.get, unwindPost,
+      sortSpec = topN.map(_._1).getOrElse(Nil),
+      skip = offset.map(_.toLong).getOrElse(0L),
+      limit = topN.map(_._2.toLong).orElse(limit.map(_.toLong)).getOrElse(-1L),
+      projection = Some((parentSchema.fieldNames
+        .map(n => mapping.getOrElse(n, n)) ++
+        unwind.map(_.path)).distinct.toSeq))
+  else
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
         // a pushed sample's key — and any doc path the POST-unwind
@@ -1717,7 +1785,11 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     * otherwise; a non-array value is a one-element array, mongo's
     * `$unwind` rule).
     */
-  private val decoded: Iterator[InternalRow] = unwind match {
+  private val decoded: Iterator[InternalRow] =
+      (if (pipelineMode) None else unwind) match {
+    // plain docs — and pipeline mode, whose per-element docs hold the
+    // element AT the unwound path (the element column's mapping entry
+    // points there, so the plain decode reads it)
     case None => cursor.map(d => RowCodec.toRow(d, decodeSchema, mapping))
     case Some(u) =>
       cursor.flatMap { d =>

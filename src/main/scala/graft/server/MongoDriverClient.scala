@@ -207,6 +207,30 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     Rf.cursor(it).map(d => QueryDocs.regroup(d, groupKeys, aggs))
   }
 
+  /** The unwound ROW pipeline, one aggregate() round-trip
+    * ([[QueryDocs.unwoundStages]]). Both queries must render fully —
+    * rows may be gone after the `$sort`/`$skip`/`$limit` tail, so a
+    * residual here is a caller bug (the scan builder gates on exact
+    * rendering before pushing the tail). A large post-match `$sort` can
+    * exceed the server's per-stage memory; honor the disk-use opt-in.
+    */
+  override def unwoundRead(ns: String, query: BQuery, u: ServerClient.Unwind,
+      postQuery: BQuery, sortSpec: Seq[(String, Boolean)],
+      skip: Long, limit: Long,
+      projection: Option[Seq[String]]): Iterator[BDoc] = {
+    val coll = collection(ns)
+    val p = QueryDocs.plan(query)
+    require(p.isExact && p.keyBounds.isEmpty,
+      s"unwoundRead requires a fully server-renderable query, got $query")
+    val post = QueryDocs.plan(postQuery)
+    require(post.isExact && post.keyBounds.isEmpty,
+      s"unwoundRead requires a fully server-renderable POST-unwind query, got $postQuery")
+    val it = Rf.aggregate(coll, QueryDocs.unwoundStages(p.serverQuery, u,
+      post.serverQuery, sortSpec, skip, limit, projection))
+    if (allowDiskUse) Rf.allowDiskUse(it, b = true)
+    Rf.cursor(it)
+  }
+
   /** The `$lookup`+`$unwind` equi-join pipeline ([[QueryDocs
     * .lookupStages]]), one aggregate() round-trip per call; the `__j`
     * subdocument is flattened client-side per the

@@ -427,6 +427,35 @@ object QueryDocs {
     pre ++ uw ++ post :+ group
   }
 
+  /** `[$match(pre), $unwind, $match(post), $sort?, $skip?, $limit?,
+    * $project?]` — the unwound ROW pipeline for
+    * [[ServerClient.unwoundRead]]: a LIMIT / ORDER-BY-LIMIT / OFFSET
+    * tail over an unwound scan must count UNWOUND rows, which the
+    * find() cursor's parent-doc knobs cannot. Stage order is the
+    * semantic order; `$project` runs LAST so the sort sees stored
+    * documents and only surviving rows pay the reshape.
+    */
+  def unwoundStages(matchDoc: BDoc, u: ServerClient.Unwind,
+      postMatchDoc: BDoc, sortSpec: Seq[(String, Boolean)],
+      skip: Long, limit: Long, projection: Option[Seq[String]]): Seq[BDoc] = {
+    val pre =
+      if (matchDoc.fields.isEmpty) Seq.empty
+      else Seq(BDoc("$match" -> matchDoc))
+    val uw = Seq(BDoc("$unwind" -> BDoc(
+      "path" -> BString("$" + u.path),
+      "preserveNullAndEmptyArrays" -> BBool(u.preserveNullAndEmpty))))
+    val post =
+      if (postMatchDoc.fields.isEmpty) Seq.empty
+      else Seq(BDoc("$match" -> postMatchDoc))
+    val sort =
+      if (sortSpec.isEmpty) Seq.empty else Seq(BDoc("$sort" -> sortDoc(sortSpec)))
+    val sk = if (skip > 0) Seq(BDoc("$skip" -> BInt64(skip))) else Seq.empty
+    val lim = if (limit >= 0) Seq(BDoc("$limit" -> BInt64(limit))) else Seq.empty
+    val proj = projection.filter(_.nonEmpty)
+      .map(f => BDoc("$project" -> projectionDoc(f))).toSeq
+    pre ++ uw ++ post ++ sort ++ sk ++ lim ++ proj
+  }
+
   /** `$project` doc renaming each doc field to its output name —
     * `{out: "$field", ...}` with `_id` excluded unless it IS an output
     * name (a computed `_id` entry replaces the exclusion).

@@ -112,6 +112,21 @@ trait ServerClient {
       unwind: Option[ServerClient.Unwind] = None,
       postQuery: BQuery = BQuery.True): Iterator[BDoc]
 
+  /** One unwound ROW pipeline ([[QueryDocs.unwoundStages]] is the wire
+    * rendering): `$match(pre)` → `$unwind` → `$match(post)` → optional
+    * `$sort`/`$skip`/`$limit` tail → `$project`, returning per-element
+    * DOCUMENTS (the unwound path holds the element). The plain unwound
+    * scan uses this when a row-count/-order tail is pushed — those
+    * count UNWOUND rows, which find()'s parent-doc knobs cannot.
+    * `sortSpec` is (path, descending) pairs over stored values (BSON
+    * `$sort` order — callers gate bracket safety); both queries must
+    * render fully server-side (rows may be gone after the tail).
+    */
+  def unwoundRead(ns: String, query: BQuery, unwind: ServerClient.Unwind,
+      postQuery: BQuery, sortSpec: Seq[(String, Boolean)],
+      skip: Long, limit: Long,
+      projection: Option[Seq[String]]): Iterator[BDoc]
+
   /** One server-executed equi-join — the `$lookup`+`$unwind` pipeline
     * ([[QueryDocs.lookupStages]] is the wire rendering): driving docs of
     * `ns` matching `j.leftQuery` are projected to `j.leftProject`'s
@@ -477,6 +492,45 @@ final class FakeServerClient(rootDir: Option[String] = None)
     val post =
       if (postQuery == BQuery.True) rows else rows.filter(postQuery.matches)
     FakeServerClient.groupFold(post.toVector, groupKeys, aggs)
+  }
+
+  /** The unwound ROW pipeline, evaluated over the store with the same
+    * `$unwind` shapes as [[groupAggregate]] and find()'s `$sort`
+    * semantics (stored values, BSON cross-type order, compound keys
+    * tie-breaking in their own directions). */
+  override def unwoundRead(ns: String, query: BQuery, u: ServerClient.Unwind,
+      postQuery: BQuery, sortSpec: Seq[(String, Boolean)],
+      skip: Long, limit: Long,
+      projection: Option[Seq[String]]): Iterator[BDoc] = {
+    tick("unwoundRead")
+    val unwound = coll(ns).readAll().filter(query.matches).flatMap(d =>
+      FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty))
+    val post =
+      if (postQuery == BQuery.True) unwound
+      else unwound.filter(postQuery.matches)
+    val sorted = sortSpec match {
+      case Seq() => post
+      case spec =>
+        val cmp: Ordering[BDoc] = (a, b) => {
+          var r = 0
+          val it = spec.iterator
+          while (r == 0 && it.hasNext) {
+            val (k, desc) = it.next()
+            val c = BsonOrdering.compare(
+              a.getPath(k).getOrElse(BNull), b.getPath(k).getOrElse(BNull))
+            r = if (desc) -c else c
+          }
+          r
+        }
+        post.toVector.sorted(cmp).iterator
+    }
+    var it: Iterator[BDoc] = sorted.drop(
+      math.min(skip, Int.MaxValue.toLong).toInt)
+    if (limit >= 0) it = it.take(math.min(limit, Int.MaxValue.toLong).toInt)
+    projection match {
+      case Some(fields) => it.map(d => QueryDocs.projectClient(d, fields))
+      case None => it
+    }
   }
 
   /** The `$lookup` equi-join, evaluated as a hash join over the store

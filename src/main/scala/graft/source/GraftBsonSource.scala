@@ -479,9 +479,12 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     */
   override def pushLimit(n: Int): Boolean =
     // sample-then-limit cannot be spelled limit-then-sample: the sampled
-    // prefix of a partition may be shorter than the limit needs — and a
-    // doc-level limit counts PARENT docs, not unwound rows
-    if (sample.isDefined || unwind.isDefined) false
+    // prefix of a partition may be shorter than the limit needs. Over an
+    // UNWOUND scan the limit counts unwound rows (the reader's tail runs
+    // post-unwind) — option-level `limit`/`sort` are PARENT-cursor
+    // semantics that cannot mix with an element-scoped tail, so refuse
+    if (sample.isDefined || (unwind.isDefined &&
+        (options.contains("limit") || options.contains("sort")))) false
     else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
@@ -517,9 +520,12 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // option-level `limit` is a PER-PARTITION cursor limit over cursor
     // order; a pushed top-n would re-sort before it and change which
     // rows it keeps — refuse rather than reorder an explicit option
+    // over an unwound scan the top-n selects among UNWOUND rows (the
+    // reader's bounded heap runs post-unwind; element-column keys read
+    // the element through its array-path mapping)
     val eligible = orders.nonEmpty && residualFilters.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && offset.isEmpty &&
-      sample.isEmpty && unwind.isEmpty &&
+      sample.isEmpty &&
       !options.contains("sort") && !options.contains("collections") &&
       !options.contains("limit")
     if (!eligible) return false
@@ -553,8 +559,11 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       options.get("splitter").contains("single") &&
       options.get("path").exists(p => GraftBsonSource.dataFiles(p).size == 1)
   override def pushOffset(n: Int): Boolean =
+    // over an unwound scan the skip counts UNWOUND rows (the reader's
+    // tail runs post-unwind) — same single-partition soundness rule
     if (provablySinglePartition && aggPushed.isEmpty && groupedAgg.isEmpty &&
-        sample.isEmpty && unwind.isEmpty) {
+        sample.isEmpty && (unwind.isEmpty ||
+          (!options.contains("limit") && !options.contains("sort")))) {
       offset = Some(n); true
     } else false
 
@@ -706,6 +715,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       offset, aggPushed, topNSort = topN.map(_._1),
       grouped = groupedAgg, sample = sample, unwind = unwind,
       unwindPost = unwindPost,
+      tailsPostUnwind = unwind.isDefined &&
+        (limit.isDefined || topN.isDefined || offset.isDefined),
       // the `_file` metadata column is live only when requested AND not
       // shadowed by a data column of the same name (Spark's rule)
       fileMeta = required.fieldNames.contains(GraftBsonSource.FileMetaCol) &&
@@ -876,6 +887,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     sample: Option[SamplePush] = None,
     unwind: Option[UnwindSpec] = None,
     unwindPost: BQuery = BQuery.True,
+    /** Pushed limit/top-n/offset count UNWOUND rows: the reader's tail
+      * stage runs post-unwind (an option-level PARENT-scoped cursor
+      * limit keeps its pre-unwind semantics when this is false). */
+    tailsPostUnwind: Boolean = false,
     fileMeta: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportOrdering with SupportsRuntimeV2Filtering {
@@ -970,6 +985,11 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       case Some(_) if pushedAgg.isDefined || grouped.isDefined => Array.empty
       // multi-collection entries may override sort per entry — a single
       // scan-level ordering claim would be wrong for those partitions
+      // under a pushed unwind, a sort keyed at (or under) the unwound
+      // path resolves to the ELEMENT column, whose per-element values do
+      // not carry the parent-cursor order — no claim
+      case Some(docKey) if unwind.exists(u =>
+          docKey == u.path || docKey.startsWith(u.path + ".")) => Array.empty
       case Some(docKey) if !options.contains("collections") =>
         // the Spark column that READS doc field docKey: an explicit
         // mapping entry wins; the bare name is only valid when that
@@ -1047,14 +1067,16 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
           GraftInputPartition(f, s, e, q, lim, mapping, sort,
             topNSpec = topNSort, sample = sample,
-            unwind = unwind, unwindPost = unwindPost): InputPartition
+            unwind = unwind, unwindPost = unwindPost,
+            tailsPostUnwind = tailsPostUnwind): InputPartition
         }
       }
     case "single" =>
       files.map(f =>
         GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
           offset = off, topNSpec = topNSort, sample = sample,
-          unwind = unwind, unwindPost = unwindPost): InputPartition)
+          unwind = unwind, unwindPost = unwindPost,
+          tailsPostUnwind = tailsPostUnwind): InputPartition)
     case other =>
       // key-range strategies via the pure planners + file-backed stats;
       // chunk/shard maps arrive as option-level JSON (the config.chunks /
@@ -1072,7 +1094,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
             GraftInputPartition(f, 0L, Long.MaxValue, pq, lim, mapping, sort,
               locations = locs, topNSpec = topNSort,
               sample = sample, unwind = unwind,
-              unwindPost = unwindPost): InputPartition
+              unwindPost = unwindPost,
+              tailsPostUnwind = tailsPostUnwind): InputPartition
           }
       }
     }
@@ -1495,7 +1518,10 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
       * `unwind.path`, the element bound at the `unwind.element` column. */
     unwind: Option[UnwindSpec] = None,
     /** Accepted element-column filters, evaluated POST-unwind. */
-    unwindPost: BQuery = BQuery.True)
+    unwindPost: BQuery = BQuery.True,
+    /** Pushed limit/top-n/offset count UNWOUND rows (tail stage runs
+      * post-unwind); false = a PARENT-scoped option cursor limit. */
+    tailsPostUnwind: Boolean = false)
     extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
@@ -1725,24 +1751,23 @@ final class GraftPartitionReader(p: GraftInputPartition,
   // order would tie distinct longs above 2^53 (double-widened compare)
   // and mis-bracket date storage read as long, and a full sort would
   // materialize the partition when only `limit` rows survive.
-  private val sorted = (p.topNSpec, p.sortKey) match {
-    case (Some(spec), _) =>
-      GraftPartitionReader.topNSelect(base, spec,
-        p.limit.getOrElse(Int.MaxValue))
-    case (None, Some(key)) =>
+  // option-level cursor sort: PARENT order (never set with a pushed
+  // top-n — the builder refuses the combination)
+  private val sortedParents: Iterator[BDoc] = p.sortKey match {
+    case Some(key) if p.topNSpec.isEmpty =>
       base.toVector.sortBy(d => d.getPath(key).getOrElse(BNull))(BsonOrdering).iterator
     case _ => base
   }
-  // offset (skip) BEFORE limit — planInputPartitions only carries offset on
-  // provably-single-partition scans, where skip-then-take is globally exact
-  private val afterOffset = p.offset.map(sorted.drop).getOrElse(sorted)
-  private val parents = p.limit.map(afterOffset.take).getOrElse(afterOffset)
-  // `$unwind` (r14): emit one doc per array element (limit/offset/top-n/
-  // sample were refused by the builder, so `parents` is the plain
-  // filtered stream); element semantics mirror the server's $unwind —
-  // null/missing/empty drop (or keep one null-element row under OUTER),
-  // a non-array value passes the doc unchanged
-  private val docs: Iterator[BDoc] = p.unwind match {
+  // option-level PARENT-scoped cursor limit keeps its pre-unwind
+  // semantics; pushed tails run post-unwind instead (tailsPostUnwind)
+  private val parents: Iterator[BDoc] =
+    if (p.unwind.isDefined && !p.tailsPostUnwind)
+      p.limit.map(sortedParents.take).getOrElse(sortedParents)
+    else sortedParents
+  // `$unwind` (r14): emit one doc per array element; element semantics
+  // mirror the server's $unwind — null/missing/empty drop (or keep one
+  // null-element row under OUTER), a non-array value passes unchanged
+  private val unwoundDocs: Iterator[BDoc] = p.unwind match {
     case None => parents
     case Some(u) =>
       val unwound = parents.flatMap { d =>
@@ -1761,6 +1786,21 @@ final class GraftPartitionReader(p: GraftInputPartition,
       // per-element docs (the path now holds the element)
       if (p.unwindPost == BQuery.True) unwound
       else unwound.filter(p.unwindPost.matches)
+  }
+  // pushed tail stage — top-n (READ-value bounded heap), then offset
+  // (skip; single-partition plans only), then limit. Counts UNWOUND
+  // rows when the unwind is pushed with tails, rows otherwise.
+  private val docs: Iterator[BDoc] = {
+    val t0 = p.topNSpec match {
+      case Some(spec) =>
+        GraftPartitionReader.topNSelect(unwoundDocs, spec,
+          p.limit.getOrElse(Int.MaxValue))
+      case None => unwoundDocs
+    }
+    val t1 = p.offset.map(t0.drop).getOrElse(t0)
+    if (p.unwind.isEmpty || p.tailsPostUnwind)
+      p.limit.map(t1.take).getOrElse(t1)
+    else t1
   }
   private var current: InternalRow = _
 

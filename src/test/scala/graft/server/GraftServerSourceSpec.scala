@@ -946,6 +946,12 @@ final class CountingServerFactory extends ServerClientFactory {
           postQuery: graft.query.BQuery) =
         { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs,
           unwind, postQuery) }
+      override def unwoundRead(ns: String, query: graft.query.BQuery,
+          u: ServerClient.Unwind, postQuery: graft.query.BQuery,
+          sortSpec: Seq[(String, Boolean)], skip: Long, limit: Long,
+          projection: Option[Seq[String]]) =
+        { t("unwoundRead"); inner.unwoundRead(ns, query, u, postQuery,
+          sortSpec, skip, limit, projection) }
       override def lookupJoin(ns: String, j: LookupJoin) =
         { t("lookupJoin"); inner.lookupJoin(ns, j) }
       override def createIndex(ns: String, fields: Seq[String]) =

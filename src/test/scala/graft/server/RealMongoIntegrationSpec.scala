@@ -513,6 +513,33 @@ class RealMongoIntegrationSpec extends SparkSpec {
       Map("x" -> 1L))
   }
 
+  test("live: unwound ROW pipeline — $sort/$skip/$limit tail counts unwound rows (r14)") {
+    live()
+    import spark.implicits._
+    Seq((1L, 10, Seq("x", "y")), (2L, 20, Seq("y")),
+      (3L, 30, Seq.empty[String]), (5L, 50, Seq("x", "x", "z")))
+      .toDF("k", "v", "tags")
+      .write.format("graftserver").options(opts("uwtail"))
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver")
+      .options(opts("uwtail") + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, v INT, tags ARRAY<STRING>").load()
+    // LIMIT over the exploded rows: 6 unwound rows exist from 4 parents
+    // (one contributes zero) — a parent-doc cursor cap of 3 would return
+    // too few; the pipeline's $limit counts elements
+    val lim = t.select($"_id", explode($"tags").as("tag")).limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("UnwoundTails"),
+      lim.queryExecution.executedPlan.toString)
+    assert(lim.count() === 5)
+    // TopN + post-unwind match: one $match+$unwind+$match+$sort+$limit
+    val top = t.select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+      .orderBy($"_id".desc).limit(2)
+    assert(top.queryExecution.executedPlan.toString.contains("UnwoundTails"),
+      top.queryExecution.executedPlan.toString)
+    assert(top.collect().map(_.getLong(0)).toSeq === Seq(5L, 5L))
+  }
+
   test("live: ASCII string-range $match renders under uniform storage (r14)") {
     live()
     import spark.implicits._

@@ -170,20 +170,72 @@ class UnwindPushdownSpec extends SparkSpec {
       Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
-  test("refusals: limit/top-n/sample over an unwound scan; unwound join side") {
+  test("limit/top-n tails run as the unwound ROW pipeline; string-key and join refusals") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
     val e = t(dir).select($"_id", explode($"tags").as("tag"))
-    // a pushed cursor limit would count PARENT docs — must refuse
-    val lim = e.limit(3)
-    assert(!lim.queryExecution.executedPlan.toString.contains("PushedLimit"),
+    // LIMIT counts UNWOUND rows: the read becomes the $match+$unwind+
+    // $limit pipeline (one per namespace), never a parent-doc cursor cap
+    CountingServerFactory.reset()
+    val lim = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select($"_id", explode($"tags").as("tag")).limit(3)
+    assert(lim.queryExecution.executedPlan.toString.contains("UnwoundTails"),
       lim.queryExecution.executedPlan.toString)
     assert(lim.count() == 3)
-    // top-n would sort parent docs — refuse
+    assert(CountingServerFactory.count("unwoundRead") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      CountingServerFactory.snapshot())
+    // TopN on a LONG key needs the uniform opt-in (BSON $sort brackets);
+    // without it the sort stays Spark-side
     val top = e.orderBy($"_id".desc).limit(2)
-    assert(!top.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(!top.queryExecution.executedPlan.toString.contains("UnwoundTails"))
     assert(top.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    val tu = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+    val topU = tu.select($"_id", explode($"tags").as("tag"))
+      .orderBy($"_id".desc).limit(2)
+    assert(topU.queryExecution.executedPlan.toString.contains("UnwoundTails"),
+      topU.queryExecution.executedPlan.toString)
+    assert(topU.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    // a STRING element key is never cursor-order-safe — refuse the tail
+    val topS = tu.select($"_id", explode($"tags").as("tag"))
+      .orderBy($"tag".asc).limit(2)
+    assert(!topS.queryExecution.executedPlan.toString.contains("UnwoundTails"))
+    assert(topS.collect().map(_.getString(1)).toSeq == Seq("x", "x"))
+    // the tail composes with the POST-unwind match: $match + $unwind +
+    // $match + $sort + $limit, one pipeline
+    CountingServerFactory.reset()
+    val topF = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "assume_uniform_storage" -> "true"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select($"_id", explode($"tags").as("tag"))
+      .filter($"tag" === "x")
+      .orderBy($"_id".desc).limit(2)
+    val topFPlan = topF.queryExecution.executedPlan.toString
+    assert(topFPlan.contains("UnwoundTails") &&
+      topFPlan.contains("PostUnwindMatch:"), topFPlan)
+    assert(topF.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    assert(CountingServerFactory.count("unwoundRead") == 1,
+      CountingServerFactory.snapshot())
+
+    // OFFSET: the $skip tail on the provably-single pipeline
+    val off = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "splitter" -> "single", "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select($"_id", explode($"tags").as("tag"))
+      .orderBy($"_id".asc).limit(5).offset(2)
+    assert(off.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L, 5L),
+      off.queryExecution.executedPlan.toString)
+
     // an unwound side never joins server-side (its rows are not docs)
     val other = t(dir).select($"_id".as("oid"), $"name".as("oname"))
     val j = e.join(other, e("_id") === other("oid"))

@@ -117,13 +117,18 @@ class UnwindFileSpec extends SparkSpec {
     assert(pr.queryExecution.executedPlan.toString.contains("ElemMatch"),
       pr.queryExecution.executedPlan.toString)
     assert(pr.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 5L, 9L))
-    // refusals: limit/top-n stay Spark-side over the unwound scan
+    // limit/top-n tails now count UNWOUND rows (the reader's tail stage
+    // runs post-unwind); a STRING element key still refuses the top-n
+    // (four storage brackets — the plain-scan rule)
     val e = t(dir).select($"_id", explode($"tags").as("tag"))
-    assert(!e.limit(3).queryExecution.executedPlan.toString.contains("PushedLimit"))
     assert(e.limit(3).count() == 3)
     val top = e.orderBy($"_id".desc).limit(2)
-    assert(!top.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(top.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      top.queryExecution.executedPlan.toString)
     assert(top.collect().map(_.getLong(0)).toSeq == Seq(5L, 5L))
+    val topS = e.orderBy($"tag".asc).limit(2)
+    assert(!topS.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(topS.collect().map(_.getString(1)).toSeq == Seq("x", "x"))
   }
 
   test("array column surviving above the explode keeps Spark's Generate (refusal)") {
