@@ -1691,6 +1691,46 @@ object ConnectorQueries {
         |  WHERE tag >= 'c' AND tag < 't'
         |  ORDER BY doc_id DESC LIMIT 37)
         |ORDER BY doc_id DESC
+        |""".stripMargin)),
+
+    // TABLESAMPLE over an unwound scan (round-14): the deterministic
+    // keyed window keys PARENTS (each parent's element rows are kept or
+    // dropped atomically with it — the keyed-window sampling unit), so
+    // the sample, the unwind, AND the grouped partials all compose in
+    // one reader pass per byte-split. A reproducible "sample 25% of
+    // docs, count exploded tags" — the ablation primitive over the
+    // corpus's flattened shape. UnwindFileSpec pins parent atomicity
+    // and the element-key refusal on both transports.
+    CatalogQuery(
+      "q156_file_unwind_sample",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            array($"lang", $"source").as("tags"))
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, n_chars LONG, tags ARRAY<STRING>")
+          .option("sample_key", "_id")
+          .load(dir)
+          .select($"_id", explode($"tags").as("tag"))
+          .sample(withReplacement = false, 0.25, seed = 42L)
+          .groupBy($"tag")
+          .agg(count(lit(1)).as("n"), sum($"_id").as("sum_key"))
+          .orderBy($"tag".asc_nulls_first)
+      },
+      Some("""
+        |SELECT tag, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_key
+        |FROM (
+        |  SELECT doc_id, lang AS tag FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source FROM documents)
+        |WHERE CAST(concat('0x', substr(md5(concat('42:',
+        |        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      < CAST(floor(0.25 * 1152921504606846976.0) AS BIGINT)
+        |GROUP BY 1 ORDER BY tag ASC NULLS FIRST
         |""".stripMargin))
   )
 }

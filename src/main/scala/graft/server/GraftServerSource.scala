@@ -245,8 +245,14 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val keyCol = options.get("sample_key")
       .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => graft.source.SamplePush.KeyTypes.contains(r.dataType))
-    val eligible = !withReplacement && keyCol.isDefined &&
-      !options.contains("limit") && unwind.isEmpty &&
+    // under a pushed unwind the window keys PARENTS (kept/dropped with
+    // all their element rows — the keyed-window sampling unit); a key
+    // at or under the unwound path would be the ELEMENT, which the
+    // parent-level keep-predicate cannot evaluate — refuse
+    val keyOk = keyCol.exists(k => unwind.forall(u =>
+      k.docPath != u.path && !k.docPath.startsWith(u.path + ".")))
+    val eligible = !withReplacement && keyOk &&
+      !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty && joined.isEmpty
     if (!eligible) false

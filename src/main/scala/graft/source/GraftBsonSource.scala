@@ -462,10 +462,16 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val keyCol = options.get("sample_key")
       .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => SamplePush.KeyTypes.contains(r.dataType))
-    val eligible = !withReplacement && keyCol.isDefined &&
+    // under a pushed unwind the window keys PARENTS (kept/dropped with
+    // all their element rows — the keyed-window sampling unit, applied
+    // pre-unwind in the reader); an element key (at or under the
+    // unwound path) refuses
+    val keyOk = keyCol.exists(k => unwind.forall(u =>
+      k.docPath != u.path && !k.docPath.startsWith(u.path + ".")))
+    val eligible = !withReplacement && keyOk &&
       !options.contains("collections") && !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
-      aggPushed.isEmpty && groupedAgg.isEmpty && unwind.isEmpty
+      aggPushed.isEmpty && groupedAgg.isEmpty
     if (!eligible) false
     else {
       sample = Some(SamplePush(keyCol.get.docPath, lower, upper, seed))

@@ -244,6 +244,32 @@ class UnwindPushdownSpec extends SparkSpec {
     assert(j.count() == 6)
   }
 
+  test("TABLESAMPLE keys parents under a pushed unwind (server); element keys refuse") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    def rd(key: String) = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs", "sample_key" -> key))
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+    val s = rd("_id").select($"_id", explode($"tags").as("tag"))
+      .sample(withReplacement = false, 0.5, seed = 42L)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedSample") && plan.contains("PushedUnwind") &&
+      !plan.contains("Sample ("), plan)
+    // parent atomicity + reproducibility
+    val all = rd("_id").select($"_id", explode($"tags").as("tag"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val kept = s.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(kept.nonEmpty && kept.forall { case (id, n) => all(id) == n },
+      s"kept=$kept all=$all")
+    val run1 = s.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(run1 == s.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq)
+    val es = rd("tag").select($"_id", explode($"tags").as("tag"))
+      .sample(withReplacement = false, 0.5, seed = 42L)
+    assert(!es.queryExecution.executedPlan.toString.contains("PushedSample"),
+      es.queryExecution.executedPlan.toString)
+  }
+
   test("non-array storage at the unwound path passes unchanged (server $unwind rule)") {
     import spark.implicits._
     val dir = freshDir()

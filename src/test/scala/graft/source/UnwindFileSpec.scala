@@ -131,6 +131,36 @@ class UnwindFileSpec extends SparkSpec {
     assert(topS.collect().map(_.getString(1)).toSeq == Seq("x", "x"))
   }
 
+  test("TABLESAMPLE keys parents under a pushed unwind; element keys refuse") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    def rd(key: String) = spark.read.format("graftbson")
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>")
+      .option("sample_key", key).load(dir)
+    val s = rd("_id").select($"_id", explode($"tags").as("tag"))
+      .sample(withReplacement = false, 0.5, seed = 42L)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedSample") && plan.contains("PushedUnwind") &&
+      !plan.contains("Sample ("), plan)
+    // parent atomicity: every surviving parent keeps ALL its element
+    // rows (kept/dropped as a unit — the keyed-window sampling unit)
+    val all = rd("_id").select($"_id", explode($"tags").as("tag"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val kept = s.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(kept.nonEmpty && kept.forall { case (id, n) => all(id) == n },
+      s"kept=$kept all=$all")
+    // reproducible: same seed = same rows, run to run
+    val run1 = s.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val run2 = s.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(run1 == run2 && run1.nonEmpty)
+    // an ELEMENT sample key cannot be evaluated per parent — refuse
+    val es = rd("tag").select($"_id", explode($"tags").as("tag"))
+      .sample(withReplacement = false, 0.5, seed = 42L)
+    assert(!es.queryExecution.executedPlan.toString.contains("PushedSample"),
+      es.queryExecution.executedPlan.toString)
+  }
+
   test("array column surviving above the explode keeps Spark's Generate (refusal)") {
     import spark.implicits._
     val dir = freshDir()
