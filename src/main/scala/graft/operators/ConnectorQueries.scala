@@ -1731,6 +1731,66 @@ object ConnectorQueries {
         |        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
         |      < CAST(floor(0.25 * 1152921504606846976.0) AS BIGINT)
         |GROUP BY 1 ORDER BY tag ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // posexplode (round-14): `$unwind includeArrayIndex` semantics —
+    // the element INDEX binds as the pos column. On the FILE source the
+    // reader injects the index as a synthetic doc field, so pos
+    // filters, GROUP keys, and tails all ride the normal machinery;
+    // token-position analytics (positional n-gram stats, truncation
+    // audits) run without a Spark Generate.
+    CatalogQuery(
+      "q157_file_posexplode_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", array($"lang", $"source").as("tags"))
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, tags ARRAY<STRING>")
+          .load(dir)
+          .select(posexplode($"tags"))
+          .groupBy($"pos", $"col").agg(count(lit(1)).as("n"))
+          .orderBy($"pos".asc_nulls_first, $"col".asc_nulls_first)
+      },
+      Some("""
+        |SELECT pos, tag AS col, count(*) AS n FROM (
+        |  SELECT 0 AS pos, lang AS tag FROM documents
+        |  UNION ALL
+        |  SELECT 1, source FROM documents)
+        |GROUP BY 1, 2 ORDER BY pos ASC NULLS FIRST, col ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // posexplode, SERVER transport (round-14): the cursor still streams
+    // PARENT docs (one array per parent crosses the wire) and the
+    // reader binds each element's ORIGINAL index; a pos filter
+    // re-checks above the scan (no doc field exists for it), element
+    // filters keep pushing post-unwind.
+    CatalogQuery(
+      "q158_server_posexplode",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.uwpos")
+        Tables.documents(s, d)
+          .select($"doc_id", array($"lang", $"source").as("tags"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, tags ARRAY<STRING>")
+          .load()
+          .select($"_id".as("doc_id"), posexplode($"tags"))
+          .filter($"pos" === 1)
+          .orderBy($"doc_id".asc)
+      },
+      Some("""
+        |SELECT doc_id, pos, tag AS col FROM (
+        |  SELECT doc_id, 0 AS pos, lang AS tag FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, source FROM documents)
+        |WHERE pos = 1 ORDER BY doc_id ASC
         |""".stripMargin))
   )
 }

@@ -46,8 +46,14 @@ import scala.jdk.CollectionConverters._
   * `$unwind` itself) are dropped rather than re-checked, which also
   * spares shipping the whole array column just to re-test it.
   *
-  * posexplode / map explode / computed arrays are left to Spark. Stable
-  * in the fixed-point batch: the Generate is gone after the rewrite.
+  * posexplode also relocates (the element INDEX binds as the pos
+  * column — `$unwind includeArrayIndex` semantics: original indices
+  * under element filters, NULL pos for null/empty/non-array parents;
+  * the file reader injects [[PosDocField]] so pos filters/groups ride
+  * the normal machinery, the server reader derives the index locally
+  * and keeps pos filters residual). Map explode / computed arrays are
+  * left to Spark. Stable in the fixed-point batch: the Generate is
+  * gone after the rewrite.
   */
 object UnwindRelocate extends Rule[LogicalPlan] {
 
@@ -61,12 +67,19 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case g @ Generate(Explode(arr), _, outer, _, Seq(elOut), _) =>
-        rewrite(g, arr, outer, elOut).getOrElse(g)
+        rewrite(g, arr, outer, elOut, None).getOrElse(g)
+      case g @ Generate(PosExplode(arr), _, outer, _, Seq(posOut, elOut), _) =>
+        rewrite(g, arr, outer, elOut, Some(posOut)).getOrElse(g)
     }
   }
 
+  /** The synthetic doc field the file reader injects the element INDEX
+    * into for a pushed posexplode (the `$unwind includeArrayIndex`
+    * analog); the pos column rides `column_mapping` to it. */
+  val PosDocField = "__graft_pos"
+
   private def rewrite(g: Generate, arr0: Expression, outer: Boolean,
-      elOut: Attribute): Option[LogicalPlan] = {
+      elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] = {
     // peel the leg: [Project(pl,]? [Filter(f,]? rel
     val (pl, f, rel) = g.child match {
       case r: DataSourceV2Relation => (Nil, None, r)
@@ -116,6 +129,11 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       .map(h => (h +: arrPath.split('.').toSeq.tail).mkString("."))
       .getOrElse(arrPath)
     if (rel.schema.fieldNames.contains(elOut.name)) return None
+    // posexplode: the pos column must not shadow a relation column, and
+    // the synthetic doc field must be free in the existing mapping
+    if (posOut.exists(p => rel.schema.fieldNames.contains(p.name) ||
+        p.name == elOut.name || existing.valuesIterator.contains(PosDocField)))
+      return None
 
     // drop the conjuncts $unwind itself implies for a non-outer explode
     // (vacuous post-unwind, and they would force the array column into
@@ -151,9 +169,11 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     }
 
     val newSchema = StructType(
-      parentAttrs.map(a => StructField(a.name, a.dataType)) :+
+      parentAttrs.map(a => StructField(a.name, a.dataType)) ++
+        posOut.map(p => StructField(p.name, p.dataType)) :+
         StructField(elOut.name, elementType))
-    val newMapping = existing + (elOut.name -> mappedPath)
+    val newMapping = existing + (elOut.name -> mappedPath) ++
+      posOut.map(p => p.name -> PosDocField)
     val mappingJson = {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
@@ -165,17 +185,21 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       "column_mapping" -> mappingJson,
       "unwind_path" -> mappedPath,
       "unwind_element" -> elOut.name,
-      "unwind_outer" -> outer.toString)).asJava)
+      "unwind_outer" -> outer.toString) ++
+      posOut.map(p => "unwind_pos" -> p.name)).asJava)
     val newTable: org.apache.spark.sql.connector.catalog.Table =
       if (isServer) new graft.server.GraftServerTable(newSchema, newOpts.asScala.toMap)
       else new graft.source.GraftTable(newSchema, newOpts.asScala.toMap)
     val elAttr = AttributeReference(elOut.name, elementType,
       nullable = true)(exprId = elOut.exprId)
+    val posAttr = posOut.map(p => AttributeReference(p.name, p.dataType,
+      nullable = true)(exprId = p.exprId))
     val newRel = rel.copy(table = newTable,
-      output = parentAttrs :+ elAttr, options = newOpts)
+      output = parentAttrs ++ posAttr :+ elAttr, options = newOpts)
     val withFilter = keepConjuncts.reduceOption(And)
       .map(Filter(_, newRel)).getOrElse(newRel)
-    val out: Seq[NamedExpression] = g.requiredChildOutput :+ elAttr
+    val out: Seq[NamedExpression] =
+      g.requiredChildOutput ++ posAttr :+ elAttr
     Some(
       if (withFilter.output == g.output) withFilter
       else Project(out, withFilter))

@@ -250,7 +250,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // at or under the unwound path would be the ELEMENT, which the
     // parent-level keep-predicate cannot evaluate — refuse
     val keyOk = keyCol.exists(k => unwind.forall(u =>
-      k.docPath != u.path && !k.docPath.startsWith(u.path + ".")))
+      k.docPath != u.path && !k.docPath.startsWith(u.path + ".") &&
+        k.docPath != graft.plans.UnwindRelocate.PosDocField))
     val eligible = !withReplacement && keyOk &&
       !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
@@ -268,8 +269,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // query (after `$unwind` the path holds the ELEMENT, so the normal
     // translation carries exactly Spark's row semantics; parent-column
     // conjuncts inside it commute, their values are per-parent constants)
-    val (metaFilters, rest) = filters.partition(
-      _.references.contains(GraftServerSource.NsMetaCol))
+    val (metaFilters, rest) = filters.partition(f =>
+      f.references.contains(GraftServerSource.NsMetaCol) ||
+        // posexplode POS filters stay residual on this transport: the
+        // cursor streams PARENT docs and the reader derives pos as a
+        // local index, so no doc field exists for the translation
+        options.get("unwind_pos").exists(f.references.contains))
     val (elementFilters, docFilters) = rest.partition(f =>
       unwindElement.exists(f.references.contains))
     val (postQ, postAccepted, postResidual) =
@@ -558,6 +563,13 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       r => GraftServerScanBuilder.aggValueSafe(r.dataType, options),
       r => GraftServerScanBuilder.sumValueSafe(r.dataType, options)) match {
       case Some(p) =>
+        // posexplode: a group key or aggregate input resolving to the
+        // synthetic pos field has no server-side value (the cursor
+        // reader derives pos as a local index) — keep the aggregate
+        // Spark-side over the unwound rows
+        val posField = graft.plans.UnwindRelocate.PosDocField
+        if (p.groupCols.exists(_.docPath == posField) ||
+            p.inputRefs.exists(_.docPath == posField)) return false
         groupedAgg = Some(ServerGroupedAgg(
           p.groupCols.map(r => (r.docPath, r.dataType)), p.items))
         true
@@ -949,6 +961,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   private def unwoundTailOk: Boolean =
     unwind.isDefined && residuals.isEmpty &&
+      // posexplode: the pipeline returns per-element DOCS with no pos
+      // field (includeArrayIndex yields int64 the IntegerType read
+      // refuses) — the tail falls back to Spark over the find-mode read
+      !options.contains("unwind_pos") &&
       !options.contains("sort") && !options.contains("limit") && {
         val pre = QueryDocs.plan(
           BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
@@ -1716,6 +1732,9 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
   // docs — the reader decodes them like a plain scan
   private val pipelineMode: Boolean = unwoundTails && unwind.isDefined
   private val unwindElement: Option[String] = options.get("unwind_element")
+  /** posexplode: the pos COLUMN binds the local element index (no doc
+    * field crosses the wire; null for null/empty/non-array parents). */
+  private val unwindPos: Option[String] = options.get("unwind_pos")
 
   // `_ns` provenance: splice this partition's namespace in at the
   // requested position — constant per cursor
@@ -1728,9 +1747,12 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
   // under unwind, the element column decodes per ELEMENT, not per doc
   private val elIdx: Int = unwindElement
     .map(decodeSchema.fieldNames.indexOf(_)).getOrElse(-1)
-  private val parentSchema: StructType =
-    if (elIdx < 0) decodeSchema
-    else StructType(decodeSchema.fields.patch(elIdx, Nil, 1))
+  private val posIdx: Int = unwindPos
+    .map(decodeSchema.fieldNames.indexOf(_)).getOrElse(-1)
+  private val parentSchema: StructType = StructType(
+    decodeSchema.fields.zipWithIndex
+      .filterNot { case (_, i) => i == elIdx || i == posIdx }
+      .map(_._1))
   private val elType: org.apache.spark.sql.types.DataType =
     if (elIdx < 0) org.apache.spark.sql.types.NullType
     else decodeSchema.fields(elIdx).dataType
@@ -1800,12 +1822,13 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     case Some(u) =>
       cursor.flatMap { d =>
         val parent = RowCodec.toRow(d, parentSchema, mapping)
-        def withEl(el: Any): InternalRow = {
+        def withEl(el: Any, pos: Any = null): InternalRow = {
           val vals = new Array[Any](decodeSchema.length)
           var i = 0
           var j = 0
           while (i < decodeSchema.length) {
             if (i == elIdx) vals(i) = el
+            else if (i == posIdx) vals(i) = pos
             else { vals(i) = parent.get(j, parentSchema.fields(j).dataType); j += 1 }
             i += 1
           }
@@ -1824,9 +1847,11 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
           unwindPost == BQuery.True || unwindPost.matches(d)
         d.getPath(u.path) match {
           case Some(BArray(items)) if items.nonEmpty =>
-            val kept = items.filter(postOk)
-            if (elIdx < 0) kept.map(_ => withEl(null))
-            else kept.map(el => withEl(decodeEl(el)))
+            // pos = the element's ORIGINAL index (post-match drops keep
+            // their indices, mongo's includeArrayIndex rule)
+            val kept = items.zipWithIndex.filter { case (el, _) => postOk(el) }
+            kept.map { case (el, i) =>
+              withEl(if (elIdx < 0) null else decodeEl(el), i) }
           case Some(BArray(_)) =>
             if (u.preserveNullAndEmpty && postOk(BNull)) Seq(withEl(null))
             else Seq.empty
@@ -1834,6 +1859,8 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
             if (u.preserveNullAndEmpty && postOkAsIs) Seq(withEl(null))
             else Seq.empty
           case Some(other) =>
+            // a non-array value passes through with a NULL pos
+            // (mongo's includeArrayIndex rule for non-arrays)
             if (postOk(other)) Seq(withEl(if (elIdx < 0) null else decodeEl(other)))
             else Seq.empty
         }

@@ -406,7 +406,11 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   private val unwind: Option[UnwindSpec] =
     options.get("unwind_path").map(pth => UnwindSpec(pth,
       options.getOrElse("unwind_element", pth),
-      options.get("unwind_outer").exists(_.toBoolean)))
+      options.get("unwind_outer").exists(_.toBoolean),
+      // the pos COLUMN maps to the injected doc field (PosDocField)
+      options.get("unwind_pos").map(c =>
+        options.get("column_mapping").map(ColumnMapping.parse)
+          .getOrElse(Map.empty).getOrElse(c, c))))
   /** POST-unwind query (accepted element-column filters). */
   private var unwindPost: BQuery = BQuery.True
 
@@ -424,8 +428,12 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // ELEMENT, so the normal translation carries Spark's row semantics)
     val (metaFilters, rest) = filters.partition(
       _.references.contains(GraftBsonSource.FileMetaCol))
+    // a filter touching the element — or the posexplode POS column,
+    // whose injected field also exists only post-unwind — becomes the
+    // POST-unwind query (the reader injects pos before evaluating it)
     val (elementFilters, docFilters) = rest.partition(f =>
-      options.get("unwind_element").exists(f.references.contains))
+      options.get("unwind_element").exists(f.references.contains) ||
+        options.get("unwind_pos").exists(f.references.contains))
     val (postQ, postAccepted, postResidual) =
       FilterTranslator.split(elementFilters, mapping)
     unwindPost = postQ
@@ -467,7 +475,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // pre-unwind in the reader); an element key (at or under the
     // unwound path) refuses
     val keyOk = keyCol.exists(k => unwind.forall(u =>
-      k.docPath != u.path && !k.docPath.startsWith(u.path + ".")))
+      k.docPath != u.path && !k.docPath.startsWith(u.path + ".") &&
+        k.docPath != graft.plans.UnwindRelocate.PosDocField))
     val eligible = !withReplacement && keyOk &&
       !options.contains("collections") && !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
@@ -868,7 +877,12 @@ object RuntimeFilters {
   * doc path); `outer` = explode_outer (null/empty parents keep one
   * null-element row).
   */
-final case class UnwindSpec(path: String, element: String, outer: Boolean)
+final case class UnwindSpec(path: String, element: String, outer: Boolean,
+    /** posexplode: the synthetic doc field the reader injects the element
+      * INDEX into (`$unwind includeArrayIndex` analog) — the pos column
+      * reads it through its `column_mapping` entry. Missing (→ null) for
+      * null/empty/non-array parents, mongo's rule. */
+    posField: Option[String] = None)
 
 object ColumnMapping {
   /** Parse {"sparkCol": "doc.field", ...}. */
@@ -1776,10 +1790,18 @@ final class GraftPartitionReader(p: GraftInputPartition,
   private val unwoundDocs: Iterator[BDoc] = p.unwind match {
     case None => parents
     case Some(u) =>
+      // posexplode: inject the element INDEX at u.posField — only for
+      // real array elements (null/empty/non-array parents keep it
+      // missing → a null pos, mongo's includeArrayIndex rule)
+      def withPos(d: BDoc, i: Int): BDoc = u.posField match {
+        case Some(f) => graft.query.Updates.setField(d, f, BInt32(i))
+        case None => d
+      }
       val unwound = parents.flatMap { d =>
         d.getPath(u.path) match {
           case Some(BArray(items)) if items.nonEmpty =>
-            items.iterator.map(el => graft.query.Updates.setField(d, u.path, el))
+            items.iterator.zipWithIndex.map { case (el, i) =>
+              withPos(graft.query.Updates.setField(d, u.path, el), i) }
           case Some(BArray(_)) =>
             if (u.outer) Iterator.single(graft.query.Updates.setField(d, u.path, BNull))
             else Iterator.empty

@@ -270,6 +270,51 @@ class UnwindPushdownSpec extends SparkSpec {
       es.queryExecution.executedPlan.toString)
   }
 
+  test("posexplode binds the element index; pos filters re-check; grouped-on-pos refuses") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val e = t(dir).select($"_id", posexplode($"tags"))
+    val plan = e.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && plan.contains("PushedUnwind"), plan)
+    assert(e.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sorted.toSeq ==
+      Seq((1L, 0, "x"), (1L, 1, "y"), (2L, 0, "y"),
+        (5L, 0, "x"), (5L, 1, "x"), (5L, 2, "z")))
+    val eo = t(dir).select($"_id", posexplode_outer($"tags"))
+    assert(eo.count() == 8)
+    assert(eo.filter($"pos".isNull).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // pos filters re-check above this transport's scan (no doc field
+    // crosses the wire — the reader derives pos locally); element
+    // filters still push post-unwind and keep ORIGINAL indices
+    val f = t(dir).select($"_id", posexplode($"tags")).filter($"pos" >= 1)
+    val fPlan = f.queryExecution.executedPlan.toString
+    assert(fPlan.contains("Filter") && !fPlan.contains("PostUnwindMatch"), fPlan)
+    assert(f.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1L, 1), (5L, 1), (5L, 2)))
+    val ef = t(dir).select($"_id", posexplode($"tags")).filter($"col" === "z")
+    assert(ef.queryExecution.executedPlan.toString.contains("PostUnwindMatch:"),
+      ef.queryExecution.executedPlan.toString)
+    assert(ef.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((5L, 2)))
+    // GROUP BY pos keeps the aggregate Spark-side (the pipeline's docs
+    // carry no pos field) — correct through the unwound scan
+    val g = t(dir).select(posexplode($"tags"))
+      .groupBy($"pos").agg(count(lit(1)).as("n"))
+    assert(!g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+      g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+    // ...but a pos-FREE aggregate over a posexplode still pushes
+    val g2 = t(dir).select(posexplode($"tags"))
+      .groupBy($"col").agg(count(lit(1)).as("n"))
+    assert(g2.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+      g2.queryExecution.executedPlan.toString)
+    assert(g2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+  }
+
   test("non-array storage at the unwound path passes unchanged (server $unwind rule)") {
     import spark.implicits._
     val dir = freshDir()

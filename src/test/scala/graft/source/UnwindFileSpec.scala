@@ -161,6 +161,42 @@ class UnwindFileSpec extends SparkSpec {
       es.queryExecution.executedPlan.toString)
   }
 
+  test("posexplode binds the element index; pos filters and groups ride the injected field") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val e = t(dir).select($"_id", posexplode($"tags"))
+    val plan = e.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && plan.contains("PushedUnwind"), plan)
+    assert(e.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sorted.toSeq ==
+      Seq((1L, 0, "x"), (1L, 1, "y"), (2L, 0, "y"),
+        (5L, 0, "x"), (5L, 1, "x"), (5L, 2, "z")))
+    // outer: null/empty parents keep one row with NULL pos + element
+    val eo = t(dir).select($"_id", posexplode_outer($"tags"))
+    assert(eo.count() == 8)
+    assert(eo.filter($"pos".isNull).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // a pos filter becomes the POST-unwind match on the injected field
+    // (never a pre-unwind parent query); element filters keep ORIGINAL
+    // indices (mongo's includeArrayIndex rule)
+    val f = t(dir).select($"_id", posexplode($"tags")).filter($"pos" >= 1)
+    assert(f.queryExecution.executedPlan.toString.contains("PostUnwindMatch:"),
+      f.queryExecution.executedPlan.toString)
+    assert(f.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1L, 1), (5L, 1), (5L, 2)))
+    val ef = t(dir).select($"_id", posexplode($"tags")).filter($"col" === "z")
+    assert(ef.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((5L, 2)))
+    // GROUP BY pos folds per-split partials over the injected field
+    val g = t(dir).select(posexplode($"tags"))
+      .groupBy($"pos").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+      g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+  }
+
   test("array column surviving above the explode keeps Spark's Generate (refusal)") {
     import spark.implicits._
     val dir = freshDir()
