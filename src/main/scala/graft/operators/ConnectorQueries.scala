@@ -1763,11 +1763,12 @@ object ConnectorQueries {
         |GROUP BY 1, 2 ORDER BY pos ASC NULLS FIRST, col ASC NULLS FIRST
         |""".stripMargin)),
 
-    // posexplode, SERVER transport (round-14): the cursor still streams
-    // PARENT docs (one array per parent crosses the wire) and the
-    // reader binds each element's ORIGINAL index; a pos filter
-    // re-checks above the scan (no doc field exists for it), element
-    // filters keep pushing post-unwind.
+    // posexplode, SERVER transport (round-14): the plain cursor still
+    // streams PARENT docs (one array per parent crosses the wire) and
+    // the reader binds each element's ORIGINAL index; the pos filter
+    // pushes as the POST-unwind match over the includeArrayIndex shape
+    // (the reader injects it before evaluating), and GROUP BY pos runs
+    // as one includeArrayIndex pipeline (spec-pinned).
     CatalogQuery(
       "q158_server_posexplode",
       (s, d) => {

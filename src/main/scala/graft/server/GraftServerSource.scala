@@ -109,6 +109,16 @@ object GraftServerSource {
       .getDeclaredConstructor().newInstance().asInstanceOf[ServerClientFactory]
 
   /** Option-level JSON query (mongo.input.query analog). */
+  /** posexplode read shim: `includeArrayIndex` yields int64 indexes but
+    * the pos column reads IntegerType — narrow the synthetic field
+    * before decode (array indexes always fit; null/missing pass). */
+  private[server] def narrowPos(d: BDoc): BDoc =
+    d.get(graft.plans.UnwindRelocate.PosDocField) match {
+      case Some(BInt64(x)) => graft.query.Updates.setField(d,
+        graft.plans.UnwindRelocate.PosDocField, BInt32(x.toInt))
+      case _ => d
+    }
+
   def optionQuery(opts: Map[String, String]): BQuery =
     opts.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
 
@@ -206,7 +216,13 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   private val unwind: Option[ServerClient.Unwind] =
     options.get("unwind_path").map(p => ServerClient.Unwind(p,
-      options.get("unwind_outer").exists(_.toBoolean)))
+      options.get("unwind_outer").exists(_.toBoolean),
+      // posexplode: pipelines render includeArrayIndex into the
+      // synthetic pos field, so pos filters/groups/tails push like any
+      // other post-unwind field (readers remap its int64 to the pos
+      // column's IntegerType)
+      options.get("unwind_pos").map(_ =>
+        graft.plans.UnwindRelocate.PosDocField)))
   private val unwindElement: Option[String] = options.get("unwind_element")
   /** POST-unwind query (accepted element-column filters). */
   private var unwindPost: BQuery = BQuery.True
@@ -269,14 +285,16 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // query (after `$unwind` the path holds the ELEMENT, so the normal
     // translation carries exactly Spark's row semantics; parent-column
     // conjuncts inside it commute, their values are per-parent constants)
-    val (metaFilters, rest) = filters.partition(f =>
-      f.references.contains(GraftServerSource.NsMetaCol) ||
-        // posexplode POS filters stay residual on this transport: the
-        // cursor streams PARENT docs and the reader derives pos as a
-        // local index, so no doc field exists for the translation
-        options.get("unwind_pos").exists(f.references.contains))
+    val (metaFilters, rest) = filters.partition(
+      _.references.contains(GraftServerSource.NsMetaCol))
+    // posexplode POS filters join the element filters: post-unwind the
+    // synthetic pos field exists (includeArrayIndex on pipelines, a
+    // reader-injected match doc on the parent cursor), and int32
+    // literals compare numerically against its int64 values on both
+    // the wire and this matcher
     val (elementFilters, docFilters) = rest.partition(f =>
-      unwindElement.exists(f.references.contains))
+      unwindElement.exists(f.references.contains) ||
+        options.get("unwind_pos").exists(f.references.contains))
     val (postQ, postAccepted, postResidual) =
       FilterTranslator.split(elementFilters, mapping)
     unwindPost =
@@ -563,13 +581,6 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       r => GraftServerScanBuilder.aggValueSafe(r.dataType, options),
       r => GraftServerScanBuilder.sumValueSafe(r.dataType, options)) match {
       case Some(p) =>
-        // posexplode: a group key or aggregate input resolving to the
-        // synthetic pos field has no server-side value (the cursor
-        // reader derives pos as a local index) — keep the aggregate
-        // Spark-side over the unwound rows
-        val posField = graft.plans.UnwindRelocate.PosDocField
-        if (p.groupCols.exists(_.docPath == posField) ||
-            p.inputRefs.exists(_.docPath == posField)) return false
         groupedAgg = Some(ServerGroupedAgg(
           p.groupCols.map(r => (r.docPath, r.dataType)), p.items))
         true
@@ -961,10 +972,6 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     */
   private def unwoundTailOk: Boolean =
     unwind.isDefined && residuals.isEmpty &&
-      // posexplode: the pipeline returns per-element DOCS with no pos
-      // field (includeArrayIndex yields int64 the IntegerType read
-      // refuses) — the tail falls back to Spark over the find-mode read
-      !options.contains("unwind_pos") &&
       !options.contains("sort") && !options.contains("limit") && {
         val pre = QueryDocs.plan(
           BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
@@ -1603,7 +1610,7 @@ final class ServerGroupedAggReader(options: Map[String, String],
       client.groupAggregate(ns, query,
           grouped.groupCols.map(_._1), grouped.items.map(_._1), unwind,
           unwindPost)
-        .map(d => RowCodec.toRow(d, grouped.schema))
+        .map(d => RowCodec.toRow(GraftServerSource.narrowPos(d), grouped.schema))
     if (grouped.groupCols.nonEmpty || base.hasNext) base
     else {
       // filtered-GLOBAL pipeline with nothing matched: $group emits no
@@ -1779,7 +1786,9 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
       limit = topN.map(_._2.toLong).orElse(limit.map(_.toLong)).getOrElse(-1L),
       projection = Some((parentSchema.fieldNames
         .map(n => mapping.getOrElse(n, n)) ++
-        unwind.map(_.path)).distinct.toSeq))
+        unwind.map(_.path) ++
+        (if (posIdx >= 0) unwind.get.posField else None)).distinct.toSeq))
+      .map(GraftServerSource.narrowPos)
   else
     client.find(p.ns,
       Find(BQuery.and(p.range, query),
@@ -1838,22 +1847,31 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
           if (v == BNull) null else RowCodec.toRow(BDoc("e" -> v),
             StructType(Seq(org.apache.spark.sql.types.StructField("e", elType)))).get(0, elType)
         // POST-unwind $match: evaluated on the per-element doc (the
-        // path holds the ELEMENT), mirroring the fake transport's
-        // unwindDoc shapes exactly
-        def postOk(el: BsonValue): Boolean =
+        // path holds the ELEMENT; pos filters see the injected
+        // includeArrayIndex shape — int64 index, NULL off-array),
+        // mirroring the fake transport's unwindDoc exactly
+        def withPosDoc(doc: BDoc, i: Option[Int]): BDoc = u.posField match {
+          case Some(f) => graft.query.Updates.setField(doc, f,
+            i.map(x => BInt64(x.toLong): BsonValue).getOrElse(BNull))
+          case None => doc
+        }
+        def postOk(el: BsonValue, i: Option[Int]): Boolean =
           unwindPost == BQuery.True ||
-            unwindPost.matches(graft.query.Updates.setField(d, u.path, el))
+            unwindPost.matches(withPosDoc(
+              graft.query.Updates.setField(d, u.path, el), i))
         def postOkAsIs: Boolean =
-          unwindPost == BQuery.True || unwindPost.matches(d)
+          unwindPost == BQuery.True ||
+            unwindPost.matches(withPosDoc(d, None))
         d.getPath(u.path) match {
           case Some(BArray(items)) if items.nonEmpty =>
             // pos = the element's ORIGINAL index (post-match drops keep
             // their indices, mongo's includeArrayIndex rule)
-            val kept = items.zipWithIndex.filter { case (el, _) => postOk(el) }
+            val kept = items.zipWithIndex
+              .filter { case (el, i) => postOk(el, Some(i)) }
             kept.map { case (el, i) =>
               withEl(if (elIdx < 0) null else decodeEl(el), i) }
           case Some(BArray(_)) =>
-            if (u.preserveNullAndEmpty && postOk(BNull)) Seq(withEl(null))
+            if (u.preserveNullAndEmpty && postOk(BNull, None)) Seq(withEl(null))
             else Seq.empty
           case Some(BNull) | None =>
             if (u.preserveNullAndEmpty && postOkAsIs) Seq(withEl(null))
@@ -1861,7 +1879,8 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
           case Some(other) =>
             // a non-array value passes through with a NULL pos
             // (mongo's includeArrayIndex rule for non-arrays)
-            if (postOk(other)) Seq(withEl(if (elIdx < 0) null else decodeEl(other)))
+            if (postOk(other, None))
+              Seq(withEl(if (elIdx < 0) null else decodeEl(other)))
             else Seq.empty
         }
       }

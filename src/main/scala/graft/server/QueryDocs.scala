@@ -405,6 +405,14 @@ object QueryDocs {
     * `{k1: "$k1", k2: "$k2", ...}`. Every plain SUM also renders its
     * [[sumPresenceAlias]] companion (see there).
     */
+  /** The `$unwind` stage body; `includeArrayIndex` renders the element's
+    * original index (int64 on a real server, NULL for null/empty/
+    * non-array parents) into `posField` — posexplode's pos source. */
+  def unwindBody(u: ServerClient.Unwind): BDoc = BDoc(
+    (Seq("path" -> (BString("$" + u.path): BsonValue),
+      "preserveNullAndEmptyArrays" -> (BBool(u.preserveNullAndEmpty): BsonValue)) ++
+      u.posField.map(f => "includeArrayIndex" -> (BString(f): BsonValue))): _*)
+
   def groupStages(matchDoc: BDoc, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
       unwind: Option[ServerClient.Unwind] = None,
@@ -418,9 +426,7 @@ object QueryDocs {
     // with $unwind and runs FIRST — fewer docs enter the unwind; the
     // POST $match filters the element itself (post-unwind the path
     // holds the element) between $unwind and $group
-    val uw = unwind.map(u => BDoc("$unwind" -> BDoc(
-      "path" -> BString("$" + u.path),
-      "preserveNullAndEmptyArrays" -> BBool(u.preserveNullAndEmpty)))).toSeq
+    val uw = unwind.map(u => BDoc("$unwind" -> unwindBody(u))).toSeq
     val post =
       if (postMatchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> postMatchDoc))
@@ -441,9 +447,7 @@ object QueryDocs {
     val pre =
       if (matchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> matchDoc))
-    val uw = Seq(BDoc("$unwind" -> BDoc(
-      "path" -> BString("$" + u.path),
-      "preserveNullAndEmptyArrays" -> BBool(u.preserveNullAndEmpty))))
+    val uw = Seq(BDoc("$unwind" -> unwindBody(u)))
     val post =
       if (postMatchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> postMatchDoc))

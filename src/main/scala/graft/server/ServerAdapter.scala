@@ -212,8 +212,12 @@ object ServerClient {
   final case class CollStats(count: Long, avgObjSizeBytes: Long)
 
   /** One `$unwind` stage: the (possibly dotted) array field to unwind
-    * and mongo's `preserveNullAndEmptyArrays` flag (explode_outer). */
-  final case class Unwind(path: String, preserveNullAndEmpty: Boolean)
+    * and mongo's `preserveNullAndEmptyArrays` flag (explode_outer).
+    * `posField` = mongo's `includeArrayIndex` — the element's ORIGINAL
+    * index lands in that field as int64 (NumberLong), null for
+    * null/empty/non-array parents; posexplode's pos column reads it. */
+  final case class Unwind(path: String, preserveNullAndEmpty: Boolean,
+      posField: Option[String] = None)
 }
 
 object LookupJoin {
@@ -486,7 +490,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     val matched = coll(ns).readAll().filter(query.matches)
     val rows = unwind match {
       case Some(u) => matched.flatMap(d =>
-        FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty))
+        FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty, u.posField))
       case None => matched
     }
     val post =
@@ -504,7 +508,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
       projection: Option[Seq[String]]): Iterator[BDoc] = {
     tick("unwoundRead")
     val unwound = coll(ns).readAll().filter(query.matches).flatMap(d =>
-      FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty))
+      FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty, u.posField))
     val post =
       if (postQuery == BQuery.True) unwound
       else unwound.filter(postQuery.matches)
@@ -744,14 +748,26 @@ object FakeServerClient {
     * unchanged (mongo treats it as a one-element array).
     */
   private[server] def unwindDoc(d: BDoc, path: String,
-      preserve: Boolean): Seq[BDoc] = d.getPath(path) match {
-    case Some(BArray(items)) if items.nonEmpty =>
-      items.map(el => graft.query.Updates.setField(d, path, el))
-    case Some(BArray(_)) => // empty array
-      if (preserve) Seq(graft.query.Updates.setField(d, path, BNull)) else Nil
-    case Some(BNull) | None =>
-      if (preserve) Seq(d) else Nil
-    case Some(_) => Seq(d) // non-array: passes unchanged (server rule)
+      preserve: Boolean, posField: Option[String] = None): Seq[BDoc] = {
+    // includeArrayIndex: int64 index on array elements (a real server
+    // emits NumberLong), explicit NULL otherwise — mongo's rule
+    def withPos(doc: BDoc, i: Option[Int]): BDoc = posField match {
+      case Some(f) => graft.query.Updates.setField(doc, f,
+        i.map(x => BInt64(x.toLong): BsonValue).getOrElse(BNull))
+      case None => doc
+    }
+    d.getPath(path) match {
+      case Some(BArray(items)) if items.nonEmpty =>
+        items.zipWithIndex.map { case (el, i) =>
+          withPos(graft.query.Updates.setField(d, path, el), Some(i)) }
+      case Some(BArray(_)) => // empty array
+        if (preserve)
+          Seq(withPos(graft.query.Updates.setField(d, path, BNull), None))
+        else Nil
+      case Some(BNull) | None =>
+        if (preserve) Seq(withPos(d, None)) else Nil
+      case Some(_) => Seq(withPos(d, None)) // non-array passes (server rule)
+    }
   }
 
   private val writeLocks =

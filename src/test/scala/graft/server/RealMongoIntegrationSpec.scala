@@ -540,6 +540,31 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(top.collect().map(_.getLong(0)).toSeq === Seq(5L, 5L))
   }
 
+  test("live: posexplode — includeArrayIndex pipeline, pos filter and GROUP BY pos (r14)") {
+    live()
+    import spark.implicits._
+    Seq((1L, Seq("x", "y")), (2L, Seq("y")), (3L, Seq("x", "x", "z")))
+      .toDF("k", "tags")
+      .write.format("graftserver").options(opts("uwidx"))
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver").options(opts("uwidx"))
+      .schema("_id LONG, tags ARRAY<STRING>").load()
+    // plain scan: pos binds the ORIGINAL index; the pos filter is the
+    // post-unwind $match over the includeArrayIndex field (a server
+    // emits int64 — the decode narrows it to the pos IntegerType)
+    val f = t.select($"_id", posexplode($"tags")).filter($"pos" >= 1)
+    assert(f.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ===
+      Seq((1L, 1), (3L, 1), (3L, 2)))
+    // GROUP BY pos: one $match+$unwind(includeArrayIndex)+$group
+    // pipeline; the group _id values come back as NumberLong
+    val g = t.select(posexplode($"tags"))
+      .groupBy($"pos").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+      g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+  }
+
   test("live: ASCII string-range $match renders under uniform storage (r14)") {
     live()
     import spark.implicits._

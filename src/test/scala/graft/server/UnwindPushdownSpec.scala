@@ -270,7 +270,7 @@ class UnwindPushdownSpec extends SparkSpec {
       es.queryExecution.executedPlan.toString)
   }
 
-  test("posexplode binds the element index; pos filters re-check; grouped-on-pos refuses") {
+  test("posexplode: includeArrayIndex semantics — pos filters, groups, and tails push") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
@@ -285,34 +285,48 @@ class UnwindPushdownSpec extends SparkSpec {
     assert(eo.count() == 8)
     assert(eo.filter($"pos".isNull).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(3L, 4L))
-    // pos filters re-check above this transport's scan (no doc field
-    // crosses the wire — the reader derives pos locally); element
-    // filters still push post-unwind and keep ORIGINAL indices
+    // pos filters push as the POST-unwind match: the includeArrayIndex
+    // field exists post-unwind on every pipeline, and the parent-cursor
+    // reader injects the same shape before evaluating (int64 index,
+    // NULL off-array — int32 literals compare numerically)
     val f = t(dir).select($"_id", posexplode($"tags")).filter($"pos" >= 1)
     val fPlan = f.queryExecution.executedPlan.toString
-    assert(fPlan.contains("Filter") && !fPlan.contains("PostUnwindMatch"), fPlan)
+    assert(fPlan.contains("PostUnwindMatch:"), fPlan)
     assert(f.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq ==
       Seq((1L, 1), (5L, 1), (5L, 2)))
+    // element filters keep ORIGINAL indices (mongo's rule)
     val ef = t(dir).select($"_id", posexplode($"tags")).filter($"col" === "z")
     assert(ef.queryExecution.executedPlan.toString.contains("PostUnwindMatch:"),
       ef.queryExecution.executedPlan.toString)
     assert(ef.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
       Seq((5L, 2)))
-    // GROUP BY pos keeps the aggregate Spark-side (the pipeline's docs
-    // carry no pos field) — correct through the unwound scan
-    val g = t(dir).select(posexplode($"tags"))
+    // GROUP BY pos runs as ONE includeArrayIndex pipeline (the int64
+    // group values narrow to the pos column's IntegerType on decode)
+    CountingServerFactory.reset()
+    val g = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select(posexplode($"tags"))
       .groupBy($"pos").agg(count(lit(1)).as("n"))
-    assert(!g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
+    assert(g.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
       g.queryExecution.executedPlan.toString)
     assert(g.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
       Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
-    // ...but a pos-FREE aggregate over a posexplode still pushes
-    val g2 = t(dir).select(posexplode($"tags"))
-      .groupBy($"col").agg(count(lit(1)).as("n"))
-    assert(g2.queryExecution.executedPlan.toString.contains("PushedGroupedAggregate"),
-      g2.queryExecution.executedPlan.toString)
-    assert(g2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
-      Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+    assert(CountingServerFactory.count("groupAggregate") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      CountingServerFactory.snapshot())
+    // ...and the unwound-tail pipeline carries pos too
+    val top = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .select($"_id", posexplode($"tags"))
+      .orderBy($"_id".desc).limit(3)
+    assert(top.queryExecution.executedPlan.toString.contains("UnwoundTails"),
+      top.queryExecution.executedPlan.toString)
+    assert(top.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sorted.toSeq == Seq((5L, 0, "x"), (5L, 1, "x"), (5L, 2, "z")))
   }
 
   test("non-array storage at the unwound path passes unchanged (server $unwind rule)") {
