@@ -1792,6 +1792,36 @@ object ConnectorQueries {
         |  UNION ALL
         |  SELECT doc_id, 1, source FROM documents)
         |WHERE pos = 1 ORDER BY doc_id ASC
+        |""".stripMargin)),
+
+    // posexplode + GROUP BY pos, SERVER (round-14): ONE
+    // $match+$unwind(includeArrayIndex)+$group pipeline per namespace —
+    // the element-position histogram (positional token stats at corpus
+    // scale) answers in #positions docs; the int64 indexes a real
+    // server emits narrow to the pos column's IntegerType at decode.
+    CatalogQuery(
+      "q159_server_posexplode_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.uwposg")
+        Tables.documents(s, d)
+          .select($"doc_id", array($"lang", $"source").as("tags"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, tags ARRAY<STRING>")
+          .load()
+          .select(posexplode($"tags"))
+          .groupBy($"pos", $"col").agg(count(lit(1)).as("n"))
+          .orderBy($"pos".asc_nulls_first, $"col".asc_nulls_first)
+      },
+      Some("""
+        |SELECT pos, tag AS col, count(*) AS n FROM (
+        |  SELECT 0 AS pos, lang AS tag FROM documents
+        |  UNION ALL
+        |  SELECT 1, source FROM documents)
+        |GROUP BY 1, 2 ORDER BY pos ASC NULLS FIRST, col ASC NULLS FIRST
         |""".stripMargin))
   )
 }
