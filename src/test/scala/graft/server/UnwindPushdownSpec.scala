@@ -329,6 +329,37 @@ class UnwindPushdownSpec extends SparkSpec {
       .sorted.toSeq == Seq((5L, 0, "x"), (5L, 1, "x"), (5L, 2, "z")))
   }
 
+  test("multi-namespace union: unwound tails run one partial pipeline per namespace") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, Seq("x", "y")), (2L, Seq("y", "y", "y")))
+      .toDF("_id", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ua"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((11L, Seq("z")), (12L, Seq("x", "z")))
+      .toDF("_id", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ub"))
+      .option("id_column", "_id").mode("append").save()
+    CountingServerFactory.reset()
+    val lim = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ua,db.ub",
+        "assume_uniform_storage" -> "true"))
+      .option("client_factory", classOf[CountingServerFactory].getName)
+      .schema("_id LONG, tags ARRAY<STRING>").load()
+      .select($"_id", explode($"tags").as("tag"))
+      .orderBy($"_id".asc).limit(3)
+    assert(lim.queryExecution.executedPlan.toString.contains("UnwoundTails"),
+      lim.queryExecution.executedPlan.toString)
+    // global top-3 by _id: both of parent 1's rows + parent 2's first —
+    // each namespace returned its own partial top-3 and Spark folded
+    assert(lim.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (1L, "y"), (2L, "y")))
+    assert(CountingServerFactory.count("unwoundRead") == 2,
+      s"one pipeline per namespace: ${CountingServerFactory.snapshot()}")
+  }
+
   test("non-array storage at the unwound path passes unchanged (server $unwind rule)") {
     import spark.implicits._
     val dir = freshDir()
