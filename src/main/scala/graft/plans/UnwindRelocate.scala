@@ -130,9 +130,12 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       .getOrElse(arrPath)
     if (rel.schema.fieldNames.contains(elOut.name)) return None
     // posexplode: the pos column must not shadow a relation column, and
-    // the synthetic doc field must be free in the existing mapping
+    // the synthetic doc field must be free — neither an existing
+    // mapping target nor an (implicitly path-named) relation column,
+    // which the injected index would clobber
     if (posOut.exists(p => rel.schema.fieldNames.contains(p.name) ||
-        p.name == elOut.name || existing.valuesIterator.contains(PosDocField)))
+        p.name == elOut.name || existing.valuesIterator.contains(PosDocField) ||
+        rel.schema.fieldNames.contains(PosDocField)))
       return None
 
     // drop the conjuncts $unwind itself implies for a non-outer explode

@@ -108,7 +108,6 @@ object GraftServerSource {
     Class.forName(opts.getOrElse("client_factory", classOf[DirServerFactory].getName))
       .getDeclaredConstructor().newInstance().asInstanceOf[ServerClientFactory]
 
-  /** Option-level JSON query (mongo.input.query analog). */
   /** posexplode read shim: `includeArrayIndex` yields int64 indexes but
     * the pos column reads IntegerType — narrow the synthetic field
     * before decode (array indexes always fit; null/missing pass). */
@@ -119,6 +118,7 @@ object GraftServerSource {
       case _ => d
     }
 
+  /** Option-level JSON query (mongo.input.query analog). */
   def optionQuery(opts: Map[String, String]): BQuery =
     opts.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
 
@@ -261,13 +261,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val keyCol = options.get("sample_key")
       .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => graft.source.SamplePush.KeyTypes.contains(r.dataType))
-    // under a pushed unwind the window keys PARENTS (kept/dropped with
-    // all their element rows — the keyed-window sampling unit); a key
-    // at or under the unwound path would be the ELEMENT, which the
-    // parent-level keep-predicate cannot evaluate — refuse
-    val keyOk = keyCol.exists(k => unwind.forall(u =>
-      k.docPath != u.path && !k.docPath.startsWith(u.path + ".") &&
-        k.docPath != graft.plans.UnwindRelocate.PosDocField))
+    val keyOk = keyCol.exists(k => graft.source.SamplePush
+      .keyAllowedUnderUnwind(k.docPath, unwind.map(_.path)))
     val eligible = !withReplacement && keyOk &&
       !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&
@@ -950,18 +945,6 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
           (limit.isDefined || topN.isDefined || offset.isDefined))
   }
 
-  /** Pre-unwind PARENT pruning ([[BQuery.parentPrune]]): under a
-    * non-outer `$unwind` with a pushed post-unwind match, parents with
-    * no satisfying element never cross the wire — `$elemMatch` can walk
-    * a multikey index where the post `$match` scans unwound rows. A
-    * prune, not a filter (the exact post match still runs), so it is
-    * conjoined only when it renders fully server-side: a client-side
-    * superset re-check would be pure overhead on top of the post match.
-    * Skipped for ARRAY/MAP-typed elements (nested-array `$elemMatch`
-    * traversal is a documented matcher/wire divergence) and for OUTER
-    * unwinds (a never-matching array still owes its null-element row
-    * to a null-matching post query).
-    */
   /** Eligibility of a row-count/-order tail (LIMIT / TopN / OFFSET) over
     * an UNWOUND scan: those must count unwound rows, so the read becomes
     * the [[ServerClient.unwoundRead]] aggregate pipeline — which needs
@@ -980,6 +963,18 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
           post.isExact && post.keyBounds.isEmpty
       }
 
+  /** Pre-unwind PARENT pruning ([[BQuery.parentPrune]]): under a
+    * non-outer `$unwind` with a pushed post-unwind match, parents with
+    * no satisfying element never cross the wire — `$elemMatch` can walk
+    * a multikey index where the post `$match` scans unwound rows. A
+    * prune, not a filter (the exact post match still runs), so it is
+    * conjoined only when it renders fully server-side: a client-side
+    * superset re-check would be pure overhead on top of the post match.
+    * Skipped for ARRAY/MAP-typed elements (nested-array `$elemMatch`
+    * traversal is a documented matcher/wire divergence) and for OUTER
+    * unwinds (a never-matching array still owes its null-element row
+    * to a null-matching post query).
+    */
   private def unwindPrune: BQuery = {
     val safe = unwind.exists(u => !u.preserveNullAndEmpty) &&
       unwindElement.forall(e => tableSchema.fields.find(_.name == e).forall(
@@ -1742,6 +1737,13 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
   /** posexplode: the pos COLUMN binds the local element index (no doc
     * field crosses the wire; null for null/empty/non-array parents). */
   private val unwindPos: Option[String] = options.get("unwind_pos")
+  /** The post match references only the element/pos of a TOP-LEVEL
+    * unwound path: the per-element evaluation can use a tiny doc
+    * instead of copying the parent (hot path — once per element). */
+  private val postElementOnly: Boolean = unwind.exists(u =>
+    !u.path.contains('.') &&
+      BQuery.fieldPaths(unwindPost).forall(p =>
+        p == u.path || p.startsWith(u.path + ".") || u.posField.contains(p)))
 
   // `_ns` provenance: splice this partition's namespace in at the
   // requested position — constant per cursor
@@ -1849,16 +1851,26 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         // POST-unwind $match: evaluated on the per-element doc (the
         // path holds the ELEMENT; pos filters see the injected
         // includeArrayIndex shape — int64 index, NULL off-array),
-        // mirroring the fake transport's unwindDoc exactly
+        // mirroring the fake transport's unwindDoc exactly. The common
+        // case — element/pos-only conjuncts over a TOP-LEVEL path —
+        // evaluates against a tiny two-field doc instead of rebuilding
+        // the parent once per element.
+        def posVal(i: Option[Int]): BsonValue =
+          i.map(x => BInt64(x.toLong): BsonValue).getOrElse(BNull)
         def withPosDoc(doc: BDoc, i: Option[Int]): BDoc = u.posField match {
-          case Some(f) => graft.query.Updates.setField(doc, f,
-            i.map(x => BInt64(x.toLong): BsonValue).getOrElse(BNull))
+          case Some(f) => graft.query.Updates.setField(doc, f, posVal(i))
           case None => doc
         }
         def postOk(el: BsonValue, i: Option[Int]): Boolean =
-          unwindPost == BQuery.True ||
-            unwindPost.matches(withPosDoc(
-              graft.query.Updates.setField(d, u.path, el), i))
+          unwindPost == BQuery.True || {
+            val doc =
+              if (postElementOnly) u.posField match {
+                case Some(f) => BDoc(u.path -> el, f -> posVal(i))
+                case None => BDoc(u.path -> el)
+              }
+              else withPosDoc(graft.query.Updates.setField(d, u.path, el), i)
+            unwindPost.matches(doc)
+          }
         def postOkAsIs: Boolean =
           unwindPost == BQuery.True ||
             unwindPost.matches(withPosDoc(d, None))

@@ -329,6 +329,17 @@ object SamplePush {
   /** 2^60 — the hash universe of [[graft.functions.Md5Util.prefix60]]. */
   val Unit60: Double = 1152921504606846976.0d
 
+  /** Under a pushed unwind the window keys PARENTS (kept/dropped with
+    * all their element rows — the keyed-window sampling unit, applied
+    * pre-unwind): a key at or under the unwound path (the ELEMENT) or
+    * the synthetic posexplode field cannot be evaluated per parent.
+    * Shared by both transports so their sampling units stay in
+    * lockstep. */
+  def keyAllowedUnderUnwind(docPath: String, unwindPath: Option[String]): Boolean =
+    unwindPath.forall(p =>
+      docPath != p && !docPath.startsWith(p + ".") &&
+        docPath != graft.plans.UnwindRelocate.PosDocField)
+
   /** Canonical key rendering: integers in decimal (int32 and int64
     * storages of one value render identically — SQL `CAST(k AS VARCHAR)`
     * parity), strings raw. Anything else (null, missing, double, date,
@@ -401,16 +412,16 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     options.get("column_mapping").map(ColumnMapping.parse).getOrElse(Map.empty)
 
   /** `$unwind` directive (r14): same contract as the server source —
-    * element filters stay residual, row-count/-position pushdowns
-    * refuse, grouped-aggregate partials fold over unwound rows. */
+    * element/pos filters push as the POST-unwind match, LIMIT / TopN /
+    * OFFSET tails count unwound rows (the reader's tail stage), the
+    * parent prune drops non-contributing parents pre-unwind, and
+    * grouped-aggregate partials fold over unwound rows. */
   private val unwind: Option[UnwindSpec] =
     options.get("unwind_path").map(pth => UnwindSpec(pth,
       options.getOrElse("unwind_element", pth),
       options.get("unwind_outer").exists(_.toBoolean),
       // the pos COLUMN maps to the injected doc field (PosDocField)
-      options.get("unwind_pos").map(c =>
-        options.get("column_mapping").map(ColumnMapping.parse)
-          .getOrElse(Map.empty).getOrElse(c, c))))
+      options.get("unwind_pos").map(c => mapping.getOrElse(c, c))))
   /** POST-unwind query (accepted element-column filters). */
   private var unwindPost: BQuery = BQuery.True
 
@@ -470,13 +481,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val keyCol = options.get("sample_key")
       .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => SamplePush.KeyTypes.contains(r.dataType))
-    // under a pushed unwind the window keys PARENTS (kept/dropped with
-    // all their element rows — the keyed-window sampling unit, applied
-    // pre-unwind in the reader); an element key (at or under the
-    // unwound path) refuses
-    val keyOk = keyCol.exists(k => unwind.forall(u =>
-      k.docPath != u.path && !k.docPath.startsWith(u.path + ".") &&
-        k.docPath != graft.plans.UnwindRelocate.PosDocField))
+    val keyOk = keyCol.exists(k =>
+      SamplePush.keyAllowedUnderUnwind(k.docPath, unwind.map(_.path)))
     val eligible = !withReplacement && keyOk &&
       !options.contains("collections") && !options.contains("limit") &&
       limit.isEmpty && offset.isEmpty && topN.isEmpty &&

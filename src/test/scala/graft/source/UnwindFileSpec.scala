@@ -197,6 +197,26 @@ class UnwindFileSpec extends SparkSpec {
       Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
   }
 
+  test("a relation column named __graft_pos refuses the posexplode relocation") {
+    import spark.implicits._
+    val dir = freshDir()
+    // the synthetic injected field would clobber a SAME-NAMED stored
+    // column — the rewrite refuses and Spark's Generate answers exactly
+    Seq((1L, 77L, Seq("x", "y")), (2L, 88L, Seq("z")))
+      .toDF("_id", "__graft_pos", "tags")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(dir)
+    val q = spark.read.format("graftbson")
+      .schema("_id LONG, __graft_pos LONG, tags ARRAY<STRING>").load(dir)
+      .select($"_id", $"__graft_pos", posexplode($"tags"))
+    assert(q.queryExecution.executedPlan.toString.contains("Generate"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sorted.toSeq ==
+      Seq((1L, 77L, 0, "x"), (1L, 77L, 1, "y"), (2L, 88L, 0, "z")))
+  }
+
   test("array column surviving above the explode keeps Spark's Generate (refusal)") {
     import spark.implicits._
     val dir = freshDir()
