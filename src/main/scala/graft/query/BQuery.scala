@@ -632,27 +632,44 @@ object BQuery {
     */
   def parentPrune(post: BQuery, path: String): BQuery = {
     val prefix = path + "."
-    def pruneOne(c: BQuery): BQuery = {
-      val ps = fieldPaths(c)
-      val rewritten =
-        if (ps == Set(path))
-          // value-form: operators apply to the ELEMENT itself
-          rewritePaths(c, p => if (p == path) Some(ElemPath) else None)
-            .map(ElemMatch(path, _, valueForm = true))
-        else if (ps.nonEmpty && ps.forall(_.startsWith(prefix)))
-          // document-form: sub-query paths are fields OF the element
-          rewritePaths(c, p =>
-            if (p.startsWith(prefix)) Some(p.stripPrefix(prefix)) else None)
-            .map(ElemMatch(path, _, valueForm = false))
-        else None
-      rewritten.map(em => Or(Seq(em, c))).getOrElse(True)
-    }
     val conjuncts = post match {
       case And(qs) => qs
       case True => Seq.empty
       case one => Seq(one)
     }
-    conjuncts.map(pruneOne).foldLeft(True: BQuery)(and)
+    // Same-path conjuncts MERGE into one ElemMatch: "∃ one element
+    // satisfying ALL of them" is the exact contribution test for array
+    // storage (a per-conjunct split would only assert each exists on
+    // SOME element — a wider superset); the as-is arm conjoins the
+    // originals for scalar storage. A conjunct that fails to rewrite
+    // falls out of the merge — dropping it only widens.
+    def merged(cs: Seq[(BQuery, BQuery)], valueForm: Boolean): BQuery =
+      cs match {
+        case Seq() => True
+        case pairs =>
+          val subs = pairs.map(_._2)
+          val origs = pairs.map(_._1)
+          Or(Seq(
+            ElemMatch(path,
+              if (subs.size == 1) subs.head else And(subs), valueForm),
+            if (origs.size == 1) origs.head else And(origs)))
+      }
+    val valuePairs = conjuncts.flatMap { c =>
+      if (fieldPaths(c) == Set(path))
+        rewritePaths(c, p => if (p == path) Some(ElemPath) else None)
+          .map(c -> _)
+      else None
+    }
+    val docPairs = conjuncts.flatMap { c =>
+      val ps = fieldPaths(c)
+      if (ps.nonEmpty && ps.forall(_.startsWith(prefix)))
+        rewritePaths(c, p =>
+          if (p.startsWith(prefix)) Some(p.stripPrefix(prefix)) else None)
+          .map(c -> _)
+      else None
+    }
+    and(merged(valuePairs, valueForm = true),
+      merged(docPairs, valueForm = false))
   }
 }
 

@@ -31,14 +31,11 @@ class ParentPruneSpec extends AnyFunSuite {
       ReadStrCmp("tags", "c", ReadStrOp.Gte), ReadStrCmp("tags", "t", ReadStrOp.Lt)))
     val prune = parentPrune(post, "tags")
     assert(prune.matches(doc(BArray(Vector(BString("zzz"), BString("dog"))))))
-    // the per-conjunct exists-tests are INDEPENDENT by design: one
-    // element ≥ c and a DIFFERENT one < t keep the parent even though
-    // no single element is in [c, t) — a documented superset (the
-    // exact post match drops it); a single $elemMatch over the whole
-    // conjunction would be tighter but opsDocOf-shaped conjunctions
-    // are the rare case, and over-keeping never corrupts
-    assert(prune.matches(doc(BArray(Vector(BString("a"), BString("z"))))))
-    // all elements outside the range on the SAME side do prune
+    // same-path conjuncts MERGE into one $elemMatch: "∃ one element
+    // satisfying ALL" — one element ≥ c and a DIFFERENT one < t is NOT
+    // a contribution, and the merged prune drops the parent (a
+    // per-conjunct split would have kept it as a wider superset)
+    assert(!prune.matches(doc(BArray(Vector(BString("a"), BString("z"))))))
     assert(!prune.matches(doc(BArray(Vector(BString("u"), BString("z"))))))
     assert(prune.matches(doc(BString("dog"))))
   }
