@@ -502,10 +502,13 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // sample-then-limit cannot be spelled limit-then-sample: the sampled
     // prefix of a partition may be shorter than the limit needs. Over an
     // UNWOUND scan the limit counts unwound rows (the reader's tail runs
-    // post-unwind) — option-level `limit`/`sort` are PARENT-cursor
-    // semantics that cannot mix with an element-scoped tail, so refuse
+    // post-unwind) — option-level `limit`/`sort` and multi-collection
+    // entries (whose PER-ENTRY limits/sorts merge into the partitions)
+    // are PARENT-cursor semantics that cannot mix with an
+    // element-scoped tail, so refuse
     if (sample.isDefined || (unwind.isDefined &&
-        (options.contains("limit") || options.contains("sort")))) false
+        (options.contains("limit") || options.contains("sort") ||
+          options.contains("collections")))) false
     else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 

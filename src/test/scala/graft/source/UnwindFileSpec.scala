@@ -197,6 +197,35 @@ class UnwindFileSpec extends SparkSpec {
       Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
   }
 
+  test("multi-collection union: explode works; a PER-ENTRY limit refuses the pushed tail") {
+    import spark.implicits._
+    val d1 = freshDir(); val d2 = freshDir()
+    Seq((1L, Seq("x", "y")), (2L, Seq("y"))).toDF("_id", "tags")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(d1)
+    Seq((11L, Seq("z", "x"))).toDF("_id", "tags")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(d2)
+    def rd(json: String) = spark.read.format("graftbson")
+      .schema("_id LONG, tags ARRAY<STRING>")
+      .option("collections", json).load()
+    val plain = rd(s"""[{"path": "$d1"}, {"path": "$d2"}]""")
+      .select($"_id", explode($"tags").as("tag"))
+    assert(plain.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "x"), (1L, "y"), (2L, "y"), (11L, "x"), (11L, "z")))
+    // a Spark LIMIT over the unwound union stays Spark-side: per-entry
+    // limits are PARENT-cursor caps that merge into the partitions —
+    // an element-scoped pushed tail cannot mix with them
+    val lim = rd(s"""[{"path": "$d1", "limit": 1}, {"path": "$d2"}]""")
+      .select($"_id", explode($"tags").as("tag")).limit(2)
+    assert(lim.count() == 2)
+    // the entry's parent cap still applies pre-unwind: entry 1
+    // contributes only doc 1's rows
+    val capped = rd(s"""[{"path": "$d1", "limit": 1}, {"path": "$d2"}]""")
+      .select($"_id", explode($"tags").as("tag"))
+    assert(capped.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L, 11L, 11L))
+  }
+
   test("a relation column named __graft_pos refuses the posexplode relocation") {
     import spark.implicits._
     val dir = freshDir()
