@@ -615,14 +615,17 @@ object BQuery {
   /** Pre-unwind PARENT-pruning filter derived from a POST-unwind match:
     * under a NON-OUTER `$unwind`, a parent document contributes rows iff
     * some array element — or the scalar stored at the path (`$unwind`
-    * passes non-arrays through) — satisfies the post-unwind query. Each
-    * pure element-path conjunct C therefore yields the superset test
-    * `Or(ElemMatch(path, C'), C)`: the `$elemMatch` disjunct is the
-    * exists-an-element semantics on array storage (this matcher and the
-    * wire agree), the as-is disjunct covers non-array storage, where the
-    * path holds the element verbatim. Conjuncts mixing element and
-    * parent columns (one Spark disjunction can) produce no prune —
-    * dropping a conjunct only widens the superset. The result is a
+    * passes non-arrays through) — satisfies the post-unwind query. The
+    * pure element-path conjuncts MERGE into one superset test per form:
+    * `Or(ElemMatch(path, C1' ∧ C2' ∧ ...), C1 ∧ C2 ∧ ...)` — "∃ one
+    * element satisfying ALL of them" is the exact contribution test on
+    * array storage (this matcher and the wire agree; tighter than
+    * per-conjunct exists-tests, which would keep a parent whose
+    * matching elements differ per conjunct) — and the as-is arm covers
+    * non-array storage, where the path holds the element verbatim.
+    * Conjuncts mixing element and parent columns (one Spark disjunction
+    * can) fall out of the merge — dropping a conjunct only widens the
+    * superset. The result is a
     * PRUNE, never the filter: the exact post-unwind match still runs
     * after the unwind, so over-matching here costs wire bytes, not
     * correctness; under-matching is impossible by the per-case argument

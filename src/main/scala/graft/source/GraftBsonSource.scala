@@ -503,12 +503,14 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // prefix of a partition may be shorter than the limit needs. Over an
     // UNWOUND scan the limit counts unwound rows (the reader's tail runs
     // post-unwind) — option-level `limit`/`sort` and multi-collection
-    // entries (whose PER-ENTRY limits/sorts merge into the partitions)
-    // are PARENT-cursor semantics that cannot mix with an
-    // element-scoped tail, so refuse
+    // entries CARRYING per-entry limits/sorts (which merge into the
+    // partitions) are PARENT-cursor semantics that cannot mix with an
+    // element-scoped tail, so those refuse
     if (sample.isDefined || (unwind.isDefined &&
         (options.contains("limit") || options.contains("sort") ||
-          options.contains("collections")))) false
+          options.get("collections").exists(json =>
+            MultiCollections.parse(json).exists(c =>
+              c.limit.isDefined || c.sort.isDefined))))) false
     else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 

@@ -26,7 +26,7 @@ class ParentPruneSpec extends AnyFunSuite {
     assert(!prune.matches(BDoc("v" -> BInt32(7)))) // missing path
   }
 
-  test("range conjunction renders as one value-form ElemMatch per conjunct") {
+  test("same-path range conjuncts merge into ONE value-form ElemMatch") {
     val post = And(Seq(
       ReadStrCmp("tags", "c", ReadStrOp.Gte), ReadStrCmp("tags", "t", ReadStrOp.Lt)))
     val prune = parentPrune(post, "tags")

@@ -213,9 +213,14 @@ class UnwindFileSpec extends SparkSpec {
       .select($"_id", explode($"tags").as("tag"))
     assert(plain.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "x"), (1L, "y"), (2L, "y"), (11L, "x"), (11L, "z")))
-    // a Spark LIMIT over the unwound union stays Spark-side: per-entry
-    // limits are PARENT-cursor caps that merge into the partitions —
-    // an element-scoped pushed tail cannot mix with them
+    // entries WITHOUT per-entry knobs keep the pushed unwound tail
+    // (each partition's reader takes n unwound rows)
+    val limOk = rd(s"""[{"path": "$d1"}, {"path": "$d2"}]""")
+      .select($"_id", explode($"tags").as("tag")).limit(2)
+    assert(limOk.count() == 2)
+    // a PER-ENTRY limit is a PARENT-cursor cap that merges into the
+    // partitions — an element-scoped pushed tail cannot mix with it,
+    // so the Spark LIMIT stays above the scan
     val lim = rd(s"""[{"path": "$d1", "limit": 1}, {"path": "$d2"}]""")
       .select($"_id", explode($"tags").as("tag")).limit(2)
     assert(lim.count() == 2)
