@@ -1822,6 +1822,82 @@ object ConnectorQueries {
         |  UNION ALL
         |  SELECT 1, source FROM documents)
         |GROUP BY 1, 2 ORDER BY pos ASC NULLS FIRST, col ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // explode(array<struct>) with element-SUBFIELD keys, SERVER (r15):
+    // the annotations/spans shape — each doc carries an array of
+    // {lang, n} structs; a filter on `entry.lang` is the POST-unwind
+    // `$match` (translated pre-unwind it would carry mongo's ∃-element
+    // semantics and keep every element of a partly-matching parent),
+    // `GROUP BY entry.lang` resolves through the element mapping to the
+    // post-unwind doc path, and the whole
+    // `$match`+`$unwind`+`$match`+`$group` runs as ONE pipeline per
+    // namespace (UnwindPushdownSpec pins the shapes, the semantics twin,
+    // and the merged-`$elemMatch` parent prune on subfields).
+    CatalogQuery(
+      "q160_server_unwind_struct",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.uwstruct",
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", array(
+            struct($"lang".as("lang"), $"n_chars".as("n")),
+            struct($"source".as("lang"), (length($"text") % 97L).as("n")))
+            .as("entries"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, entries ARRAY<STRUCT<lang: STRING, n: LONG>>")
+          .load()
+          .select(explode($"entries").as("entry"))
+          .filter($"entry.n" >= 10L)
+          .groupBy($"entry.lang".as("lang"))
+          .agg(count(lit(1)).as("cnt"), sum($"entry.n").as("total"))
+          .orderBy($"lang".asc_nulls_first)
+      },
+      Some("""
+        |SELECT lang, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS total
+        |FROM (
+        |  SELECT lang, n_chars AS n FROM documents
+        |  UNION ALL
+        |  SELECT source, length(text) % 97 FROM documents)
+        |WHERE n >= 10 GROUP BY 1 ORDER BY lang ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // explode(array<struct>) element-subfield keys, FILE transport
+    // (r15): same rewrite — per-byte-split grouped partials fold over
+    // unwound struct elements, the subfield filter evaluates per
+    // element (UnwindFileSpec pins shape + semantics).
+    CatalogQuery(
+      "q161_file_unwind_struct",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", array(
+            struct($"lang".as("lang"), $"n_chars".as("n")),
+            struct($"source".as("lang"), (length($"text") % 97L).as("n")))
+            .as("entries"))
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, entries ARRAY<STRUCT<lang: STRING, n: LONG>>")
+          .load(dir)
+          .select(explode($"entries").as("entry"))
+          .filter($"entry.n" >= 10L)
+          .groupBy($"entry.lang".as("lang"))
+          .agg(count(lit(1)).as("cnt"), sum($"entry.n").as("total"))
+          .orderBy($"lang".asc_nulls_first)
+      },
+      Some("""
+        |SELECT lang, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS total
+        |FROM (
+        |  SELECT lang, n_chars AS n FROM documents
+        |  UNION ALL
+        |  SELECT source, length(text) % 97 FROM documents)
+        |WHERE n >= 10 GROUP BY 1 ORDER BY lang ASC NULLS FIRST
         |""".stripMargin))
   )
 }

@@ -78,6 +78,20 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     * analog); the pos column rides `column_mapping` to it. */
   val PosDocField = "__graft_pos"
 
+  /** True when a pushed-filter reference is scoped to the unwound
+    * ELEMENT: the element column itself, one of its struct subfields
+    * (for `explode(array<struct>)` a filter arrives on `entry.lang`),
+    * or the posexplode pos column. Such filters must become the
+    * POST-unwind query on both transports — post-unwind the doc path
+    * holds the element, so the normal translation carries Spark's row
+    * semantics; translated PRE-unwind the same path would carry mongo's
+    * ∃-element match semantics and keep every element of any parent
+    * with one matching element. */
+  def elementScoped(ref: String, element: Option[String],
+      pos: Option[String]): Boolean =
+    element.exists(e => ref == e || ref.startsWith(e + ".")) ||
+      pos.contains(ref)
+
   private def rewrite(g: Generate, arr0: Expression, outer: Boolean,
       elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] = {
     // peel the leg: [Project(pl,]? [Filter(f,]? rel

@@ -743,7 +743,15 @@ object FilterTranslator {
     * (mongo.columns.mapping analog, HiveMongoInputFormat.java:211-240).
     */
   def translate(f: Filter, m: Map[String, String] = Map.empty): Option[BQuery] = {
-    def col(a: String): String = m.getOrElse(a, a)
+    // a dotted reference under a MAPPED head composes the head's doc
+    // path with the verbatim nested tail (struct field names ARE doc
+    // field names) — the same convention FieldResolve uses for group/
+    // sort/join/sample keys; an exact-name mapping entry wins
+    def col(a: String): String = m.getOrElse(a, {
+      val i = a.indexOf('.')
+      if (i > 0) m.get(a.substring(0, i)).map(_ + a.substring(i)).getOrElse(a)
+      else a
+    })
     import BQuery.{ReadLongCmp, ReadStrCmp, ReadStrOp, ReadTimeCmp}
     // String and LONG comparisons carry SPARK read semantics (ReadStr*/
     // ReadLong* nodes): a string column may be backed by BString/BSymbol/

@@ -104,6 +104,25 @@ object GraftServerSource {
   def nsList(opts: Map[String, String]): Seq[String] =
     ns(opts).split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Drop projection paths whose proper ANCESTOR is also projected —
+    * MongoDB 4.4+ rejects inclusion projections with prefix-overlapping
+    * paths ("Path collision": `{tags: 1, "tags.lang": 1}`), and the
+    * projected ancestor already carries every subfield. Order-preserving.
+    */
+  def pruneProjection(paths: Seq[String]): Seq[String] = {
+    val distinct = paths.distinct
+    val set = distinct.toSet
+    def hasProjectedAncestor(p: String): Boolean = {
+      var i = p.indexOf('.')
+      while (i >= 0) {
+        if (set.contains(p.substring(0, i))) return true
+        i = p.indexOf('.', i + 1)
+      }
+      false
+    }
+    distinct.filterNot(hasProjectedAncestor)
+  }
+
   def factory(opts: Map[String, String]): ServerClientFactory =
     Class.forName(opts.getOrElse("client_factory", classOf[DirServerFactory].getName))
       .getDeclaredConstructor().newInstance().asInstanceOf[ServerClientFactory]
@@ -270,9 +289,18 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (!eligible) false
     else {
       sample = Some(graft.source.SamplePush(keyCol.get.docPath, lower, upper, seed))
+      sampleKeyType = keyCol.get.dataType
       true
     }
   }
+
+  /** Resolved Spark type of the pushed sample's key — only consulted
+    * when pushDownJoin carries the sample as a HIDDEN extra projection
+    * (the decode by visible schema drops hidden extras, but the
+    * projection tuple should still carry the true type for any later
+    * type-consulting gate). */
+  private[server] var sampleKeyType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // `_ns` metadata predicates are not document queries — residual; a
@@ -286,10 +314,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // synthetic pos field exists (includeArrayIndex on pipelines, a
     // reader-injected match doc on the parent cursor), and int32
     // literals compare numerically against its int64 values on both
-    // the wire and this matcher
+    // the wire and this matcher. Struct-element SUBFIELD references
+    // (`entry.lang` for explode(array<struct>)) are element-scoped too:
+    // translated pre-unwind they would carry ∃-element semantics
     val (elementFilters, docFilters) = rest.partition(f =>
-      unwindElement.exists(f.references.contains) ||
-        options.get("unwind_pos").exists(f.references.contains))
+      f.references.exists(r => graft.plans.UnwindRelocate.elementScoped(
+        r, unwindElement, options.get("unwind_pos"))))
     val (postQ, postAccepted, postResidual) =
       FilterTranslator.split(elementFilters, mapping)
     unwindPost =
@@ -353,9 +383,13 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     if (joined.isDefined) {
       // OFFSET over a pushed join: a `$skip` tail counting FINAL joined
       // rows — sound only as ONE pipeline (`splitter=single` on the
-      // driving side guarantees it), with no other tail claimed and no
-      // carried sample (the skip would count unsampled rows)
-      if (options.get("splitter").contains("single") &&
+      // DRIVING side guarantees it: the joined scan partitions by the
+      // driving side's options, which for a mirrored RIGHT OUTER join
+      // are the OTHER builder's, already recorded in joinDriving), with
+      // no other tail claimed and no carried sample (the skip would
+      // count unsampled rows)
+      if (joinDriving.map(_._1).getOrElse(options)
+            .get("splitter").contains("single") &&
           joinedAgg.isEmpty && joinLimit.isEmpty && joinTopN.isEmpty &&
           joinSamples.isEmpty && joinOffset.isEmpty) {
         joinOffset = Some(n.toLong); true
@@ -791,20 +825,29 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
               while (taken.contains(s"__sample$i")) i += 1
               val a = s"__sample$i"; taken += a; a
             }
-            // (rekeyed window, extra projection tuple for that side)
+            // (rekeyed window, extra projection tuple for that side);
+            // keyType is the key's RESOLVED Spark type from its origin
+            // builder's pushTableSample — hidden extras are excluded
+            // from join.output so decode never reads it, but the
+            // projection tuple carries the true type for any later
+            // type-consulting gate
             def rekey(sp: graft.source.SamplePush,
-                proj: Seq[(String, String, org.apache.spark.sql.types.DataType)]):
+                proj: Seq[(String, String, org.apache.spark.sql.types.DataType)],
+                keyType: org.apache.spark.sql.types.DataType):
                 (graft.source.SamplePush,
                   Option[(String, String, org.apache.spark.sql.types.DataType)]) =
               proj.find(_._1 == sp.key) match {
                 case Some(t) => (sp.copy(key = t._2), None)
                 case None =>
                   val a = hiddenAlias()
-                  (sp.copy(key = a),
-                    Some((sp.key, a, org.apache.spark.sql.types.LongType)))
+                  (sp.copy(key = a), Some((sp.key, a, keyType)))
               }
-            val drivingRk = drivingSp.map(sp => rekey(sp, if (mirrored) rp else lp))
-            val lookupRk = lookupSp.map(sp => rekey(sp, if (mirrored) lp else rp))
+            val drivingRk = drivingSp.map(sp => rekey(sp,
+              if (mirrored) rp else lp,
+              if (mirrored) o.sampleKeyType else sampleKeyType))
+            val lookupRk = lookupSp.map(sp => rekey(sp,
+              if (mirrored) lp else rp,
+              if (mirrored) sampleKeyType else o.sampleKeyType))
             joinSamples = (drivingRk.map(_._1) ++ lookupRk.map(_._1)).toSeq
             // hidden extras attach to their side's PROJECTION, never to
             // the visible output
@@ -1786,10 +1829,10 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
       sortSpec = topN.map(_._1).getOrElse(Nil),
       skip = offset.map(_.toLong).getOrElse(0L),
       limit = topN.map(_._2.toLong).orElse(limit.map(_.toLong)).getOrElse(-1L),
-      projection = Some((parentSchema.fieldNames
-        .map(n => mapping.getOrElse(n, n)) ++
+      projection = Some(GraftServerSource.pruneProjection(
+        parentSchema.fieldNames.map(n => mapping.getOrElse(n, n)).toSeq ++
         unwind.map(_.path) ++
-        (if (posIdx >= 0) unwind.get.posField else None)).distinct.toSeq))
+        (if (posIdx >= 0) unwind.get.posField else None))))
       .map(GraftServerSource.narrowPos)
   else
     client.find(p.ns,
@@ -1797,12 +1840,18 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         // a pushed sample's key — and any doc path the POST-unwind
         // match reads (a mixed element-or-parent disjunction may
         // reference parents Spark pruned from the output) — must ride
-        // the projection even when the column itself was pruned away
-        projection = Some((parentSchema.fieldNames
-          .map(n => mapping.getOrElse(n, n)) ++
+        // the projection even when the column itself was pruned away.
+        // Paths AT/UNDER the unwound array (the projected array already
+        // carries its subfields) and the reader-injected pos field are
+        // excluded, then ancestor-overlaps pruned: a live server rejects
+        // prefix-overlapping inclusion projections ("Path collision")
+        projection = Some(GraftServerSource.pruneProjection(
+          parentSchema.fieldNames.map(n => mapping.getOrElse(n, n)).toSeq ++
           unwind.map(_.path) ++
-          BQuery.fieldPaths(unwindPost) ++
-          sample.map(_.key)).distinct.toSeq),
+          BQuery.fieldPaths(unwindPost).toSeq.sorted.filterNot(fp =>
+            unwind.exists(u => fp == u.path || fp.startsWith(u.path + ".") ||
+              fp == graft.plans.UnwindRelocate.PosDocField)) ++
+          sample.map(_.key))),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
         sortAscBy = topN.map(_._1.head._1).orElse(options.get("sort")),

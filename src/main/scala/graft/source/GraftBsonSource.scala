@@ -439,12 +439,14 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // ELEMENT, so the normal translation carries Spark's row semantics)
     val (metaFilters, rest) = filters.partition(
       _.references.contains(GraftBsonSource.FileMetaCol))
-    // a filter touching the element — or the posexplode POS column,
-    // whose injected field also exists only post-unwind — becomes the
+    // a filter touching the element (or a struct-element SUBFIELD —
+    // `entry.lang` for explode(array<struct>), which pre-unwind would
+    // carry ∃-element semantics) — or the posexplode POS column, whose
+    // injected field also exists only post-unwind — becomes the
     // POST-unwind query (the reader injects pos before evaluating it)
     val (elementFilters, docFilters) = rest.partition(f =>
-      options.get("unwind_element").exists(f.references.contains) ||
-        options.get("unwind_pos").exists(f.references.contains))
+      f.references.exists(r => graft.plans.UnwindRelocate.elementScoped(
+        r, options.get("unwind_element"), options.get("unwind_pos"))))
     val (postQ, postAccepted, postResidual) =
       FilterTranslator.split(elementFilters, mapping)
     unwindPost = postQ

@@ -931,7 +931,8 @@ final class CountingServerFactory extends ServerClientFactory {
     new ServerClient with AutoCloseable {
       private def t(m: String): Unit = CountingServerFactory.tick(m)
       override def collStats(ns: String) = { t("collStats"); inner.collStats(ns) }
-      override def find(ns: String, q: Find) = { t("find"); inner.find(ns, q) }
+      override def find(ns: String, q: Find) = { t("find");
+        CountingServerFactory.recordFind(q); inner.find(ns, q) }
       override def sampleKeys(ns: String, key: String, n: Int) =
         { t("sampleKeys"); inner.sampleKeys(ns, key, n) }
       override def splitVector(ns: String, key: String, maxChunkBytes: Long) =
@@ -964,8 +965,18 @@ final class CountingServerFactory extends ServerClientFactory {
 object CountingServerFactory {
   private val counts =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val findCalls =
+    new java.util.concurrent.ConcurrentLinkedQueue[Find]()
   private def tick(m: String): Unit = counts.merge(m, 1, (a, b) => a + b)
-  def reset(): Unit = counts.clear()
+  private[server] def recordFind(q: Find): Unit = findCalls.add(q)
+  /** Every Find since the last reset — lets specs pin cursor-level
+    * details (e.g. that inclusion projections carry no
+    * prefix-overlapping paths, which a live server rejects). */
+  def finds(): Seq[Find] = {
+    import scala.jdk.CollectionConverters._
+    findCalls.asScala.toSeq
+  }
+  def reset(): Unit = { counts.clear(); findCalls.clear() }
   def count(m: String): Int = Option(counts.get(m)).map(_.intValue).getOrElse(0)
   def snapshot(): Map[String, Int] = {
     import scala.jdk.CollectionConverters._

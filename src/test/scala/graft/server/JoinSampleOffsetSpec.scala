@@ -152,4 +152,37 @@ class JoinSampleOffsetSpec extends SparkSpec {
     assert(!j2.queryExecution.executedPlan.toString.contains("PushedOffset"))
     assert(j2.count() == 50)
   }
+
+  test("OFFSET over a MIRRORED join gates on the DRIVING side's splitter") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // right_outer(o, c) drives from c — the joined scan partitions by
+    // c's options, so a `splitter=single` on the Spark-LEFT relation
+    // (o) must NOT admit the $skip: each of c's per-split pipelines
+    // would skip n and Spark deletes an accepted OFFSET outright
+    val ooSingle = o(dir, "splitter" -> "single")
+    val ccMulti = c(dir)
+    val refuse = ooSingle.join(ccMulti,
+        ooSingle("custkey") === ccMulti("_id"), "right_outer")
+      .select(ooSingle("price").as("p"), $"name")
+      .offset(150)
+    val refusePlan = refuse.queryExecution.executedPlan.toString
+    assert(refusePlan.contains("PushedJoin: LEFT OUTER db.o"), refusePlan)
+    assert(!refusePlan.contains("PushedOffset"),
+      s"mirrored join must gate the skip on the DRIVING (c) side:\n$refusePlan")
+    assert(refuse.count() == 50)
+
+    // single-splitter on the DRIVING (c) side admits the $skip
+    val ooMulti = o(dir)
+    val ccSingle = c(dir, "splitter" -> "single")
+    val accept = ooMulti.join(ccSingle,
+        ooMulti("custkey") === ccSingle("_id"), "right_outer")
+      .select(ooMulti("price").as("p"), $"name")
+      .offset(150)
+    val acceptPlan = accept.queryExecution.executedPlan.toString
+    assert(acceptPlan.contains("PushedJoin: LEFT OUTER db.o") &&
+      acceptPlan.contains("PushedOffset: 150"), acceptPlan)
+    assert(accept.count() == 50)
+  }
 }

@@ -433,4 +433,116 @@ class UnwindPushdownSpec extends SparkSpec {
     assert(CountingServerFactory.count("groupAggregate") == 1,
       CountingServerFactory.snapshot())
   }
+
+  // ---- explode(array<struct>) with element-SUBFIELD keys (r15) ----
+
+  private def seedStructs(dir: String): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(("en", 3), ("fr", 5))),
+      (2L, Seq(("fr", 1))),
+      (3L, Seq(("en", 9), ("en", 2), ("de", 4))),
+      (4L, Seq.empty[(String, Int)]))
+      .toDF("_id", "raw")
+      .select($"_id", expr(
+        "transform(raw, x -> named_struct('lang', x._1, 'n', x._2))")
+        .as("entries"))
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.anns"))
+      .option("id_column", "_id").mode("append").save()
+  }
+
+  private def ts(dir: String, extra: (String, String)*): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.anns") ++ extra)
+      .schema("_id LONG, entries ARRAY<STRUCT<lang: STRING, n: INT>>").load()
+
+  test("struct-element SUBFIELD filter is the POST-unwind match, never the ∃-element pre-match") {
+    import spark.implicits._
+    val dir = freshDir()
+    seedStructs(dir)
+    // doc 1 holds [en, fr]: ∃-element (pre-unwind) semantics would keep
+    // BOTH its elements; Spark row semantics keep only the en one
+    val e = ts(dir).select($"_id", explode($"entries").as("entry"))
+      .filter($"entry.lang" === "en")
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: entries") &&
+      plan.contains("PostUnwindMatch:") &&
+      plan.contains("entries.lang"), plan)
+    assert(!plan.contains("Generate"), s"no Spark Generate expected:\n$plan")
+    assert(e.collect().map(r =>
+        (r.getLong(0), r.getStruct(1).getString(0), r.getStruct(1).getInt(1)))
+      .sorted.toSeq ==
+      Seq((1L, "en", 3), (3L, "en", 2), (3L, "en", 9)))
+
+    // pos composes: posexplode keeps ORIGINAL indices under the
+    // subfield filter
+    val p = ts(dir).select($"_id", posexplode($"entries").as(Seq("pos", "entry")))
+      .filter($"entry.lang" === "en")
+      .select($"_id", $"pos", $"entry.n".as("n"))
+    assert(p.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sorted.toSeq == Seq((1L, 0, 3), (3L, 0, 9), (3L, 1, 2)),
+      p.queryExecution.executedPlan.toString)
+  }
+
+  test("struct-element SUBFIELD group keys fold in ONE $unwind+$group pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seedStructs(dir)
+    CountingServerFactory.reset()
+    val g = ts(dir, "client_factory" -> classOf[CountingServerFactory].getName,
+        "assume_uniform_storage" -> "true")
+      .select(explode($"entries").as("entry"))
+      .filter($"entry.lang" =!= "de")
+      .groupBy($"entry.lang".as("lang")).agg(sum($"entry.n").as("s"))
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupedAggregate: GROUP BY entries.lang") &&
+      plan.contains("PushedUnwind: entries"), plan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 14L, "fr" -> 6L))
+    assert(CountingServerFactory.count("groupAggregate") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      s"one pipeline round-trip: ${CountingServerFactory.snapshot()}")
+  }
+
+  test("struct-element SUBFIELD post-match derives the merged $elemMatch parent prune") {
+    import spark.implicits._
+    val dir = freshDir()
+    seedStructs(dir)
+    // two same-path subfield conjuncts MERGE: ∃ one element with
+    // lang='en' AND n>=3 — doc 3 contributes only via (en,9)
+    val f = ts(dir, "assume_uniform_storage" -> "true")
+      .select($"_id", explode($"entries").as("entry"))
+      .filter($"entry.lang" === "en" && $"entry.n" >= 3)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("ElemMatch(entries"),
+      s"pre-unwind parent prune expected:\n$plan")
+    assert(f.collect().map(r => (r.getLong(0), r.getStruct(1).getInt(1)))
+      .sorted.toSeq == Seq((1L, 3), (3L, 9)))
+  }
+
+  test("find()-mode cursor projections carry no prefix-overlapping paths") {
+    import spark.implicits._
+    val dir = freshDir()
+    seedStructs(dir)
+    CountingServerFactory.reset()
+    // no group/tail: the unwound read stays a find() cursor whose
+    // inclusion projection must not carry both `entries` and
+    // `entries.lang` — MongoDB 4.4+ rejects that ("Path collision");
+    // the fake transport tolerates it, so pin the wire shape itself
+    val e = ts(dir, "client_factory" -> classOf[CountingServerFactory].getName)
+      .select($"_id", explode($"entries").as("entry"))
+      .filter($"entry.lang" === "en")
+    assert(e.count() == 3)
+    val projs = CountingServerFactory.finds().flatMap(_.projection)
+    assert(projs.nonEmpty, "expected find() round-trips with projections")
+    projs.foreach { paths =>
+      paths.foreach { p =>
+        val clash = paths.exists(q => p.startsWith(q + "."))
+        assert(!clash, s"projection has prefix-overlapping paths: $paths")
+      }
+      assert(!paths.contains(graft.plans.UnwindRelocate.PosDocField),
+        s"injected pos field must not be projected: $paths")
+    }
+  }
 }

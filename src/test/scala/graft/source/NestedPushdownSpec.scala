@@ -246,6 +246,42 @@ class NestedPushdownSpec extends SparkSpec {
     assert(got == expectGroups(spark))
   }
 
+  test("column_mapping composes with nested FILTER pushdown on both transports") {
+    import spark.implicits._
+    // a pushed filter on m.score (mapped head m -> meta) must query the
+    // DOC path meta.score — the exact-name-only mapping of r14 shipped
+    // the unmapped `m.score` and silently dropped every row (the filter
+    // was accepted, so Spark never re-checked)
+    val fileDir = freshDir()
+    seedRows(spark).write.format("graftbson")
+      .option("id_column", "_id").mode("append").save(fileDir)
+    val f = spark.read.format("graftbson")
+      .schema("_id LONG, m STRUCT<lang: STRING, score: DOUBLE>")
+      .option("column_mapping", """{"m": "meta"}""")
+      .load(fileDir)
+      .filter($"m.score" > 1.0)
+    val fPlan = planOf(f)
+    assert(fPlan.contains("meta.score") && !fPlan.contains("m.score"), fPlan)
+    val expect = seedRows(spark).filter($"meta.score" > 1.0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(expect.nonEmpty, "fixture must have matching rows")
+    assert(f.collect().map(_.getLong(0)).sorted.toSeq == expect)
+
+    val srvDir = freshDir()
+    seedRows(spark).write.format("graftserver")
+      .options(Map("server_dir" -> srvDir, "ns" -> "db.nf"))
+      .option("id_column", "_id").mode("append").save()
+    val sv = spark.read.format("graftserver")
+      .options(Map("server_dir" -> srvDir, "ns" -> "db.nf"))
+      .schema("_id LONG, m STRUCT<lang: STRING, score: DOUBLE>")
+      .option("column_mapping", """{"m": "meta"}""")
+      .load()
+      .filter($"m.score" > 1.0)
+    val sPlan = planOf(sv)
+    assert(sPlan.contains("meta.score") && !sPlan.contains("m.score"), sPlan)
+    assert(sv.collect().map(_.getLong(0)).sorted.toSeq == expect)
+  }
+
   test("FILE: nested grouped decode is PROJECTED — a corrupt sibling subfield never decodes") {
     import spark.implicits._
     val dir = freshDir()

@@ -260,4 +260,44 @@ class UnwindFileSpec extends SparkSpec {
       q.queryExecution.executedPlan.toString)
     assert(q.count() == 6)
   }
+
+  test("explode(array<struct>): subfield filters are POST-unwind; subfield group keys fold") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq(
+      (1L, Seq(("en", 3), ("fr", 5))),
+      (2L, Seq(("fr", 1))),
+      (3L, Seq(("en", 9), ("en", 2), ("de", 4))),
+      (4L, Seq.empty[(String, Int)]))
+      .toDF("_id", "raw")
+      .select($"_id", expr(
+        "transform(raw, x -> named_struct('lang', x._1, 'n', x._2))")
+        .as("entries"))
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(dir)
+    val ts = spark.read.format("graftbson")
+      .schema("_id LONG, entries ARRAY<STRUCT<lang: STRING, n: INT>>")
+      .load(dir)
+
+    // doc 1 holds [en, fr]: ∃-element (pre-unwind) semantics would keep
+    // BOTH its elements; Spark row semantics keep only the en one
+    val e = ts.select($"_id", explode($"entries").as("entry"))
+      .filter($"entry.lang" === "en")
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.contains("PostUnwindMatch:") && plan.contains("entries.lang"),
+      plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(e.collect().map(r =>
+        (r.getLong(0), r.getStruct(1).getString(0), r.getStruct(1).getInt(1)))
+      .sorted.toSeq ==
+      Seq((1L, "en", 3), (3L, "en", 2), (3L, "en", 9)))
+
+    val g = ts.select(explode($"entries").as("entry"))
+      .groupBy($"entry.lang".as("lang")).agg(sum($"entry.n").as("s"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedGroupedAggregate: GROUP BY entries.lang") &&
+      !gPlan.contains("Generate"), gPlan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 14L, "fr" -> 6L, "de" -> 4L))
+  }
 }
