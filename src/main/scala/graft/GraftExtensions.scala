@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimization batch, BEFORE the early-scan pushdown that needs the
     // join inputs to be bare scans)
     ext.injectOptimizerRule(_ => graft.plans.ResidualJoinHoist)
+    // rename-only Projects inside a pushable join's legs pull above the
+    // join (Spark's pushDownJoin needs attribute-only leg projections —
+    // a pre-join select(as(...)) would silently demote the pushed join)
+    ext.injectOptimizerRule(_ => graft.plans.AliasPullup)
     // nested ORDER BY / filter keys over a pushable join: absorb the
     // extraction Project NestedColumnAliasing builds into the relation
     // as a column_mapping-derived flat column, keeping the join inputs

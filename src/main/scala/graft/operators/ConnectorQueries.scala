@@ -1898,6 +1898,53 @@ object ConnectorQueries {
         |  UNION ALL
         |  SELECT source, length(text) % 97 FROM documents)
         |WHERE n >= 10 GROUP BY 1 ORDER BY lang ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // `$unwind` composed with the pushed join (r15): the corpus version
+    // of the sensors enrichment (examples/sensors/.../DeviceReducer
+    // .java:28-40, which re-reduced the flattened join client-side) —
+    // "tags of orders with customer segments" runs as ONE
+    // `$match`+`$unwind`+`$lookup`+`$group` pipeline per split
+    // (UnwindRelocate transposes the explode below the join into the
+    // driving leg; UnwindJoinSpec pins the shapes, the LEFT OUTER /
+    // RIGHT OUTER / lookup-side refusal matrix, and the sampled twin).
+    CatalogQuery(
+      "q162_server_unwind_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey",
+            array($"o_orderpriority", $"o_orderstatus").as("tags"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ujorders"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ujcust"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ujorders"))
+          .schema("_id LONG, o_custkey LONG, tags ARRAY<STRING>").load()
+        val c = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ujcust"))
+          .schema("_id LONG, c_mktsegment STRING").load()
+        o.join(c, o("o_custkey") === c("_id"))
+          .select($"c_mktsegment", explode($"tags").as("tag"))
+          .groupBy($"c_mktsegment", $"tag").agg(count(lit(1)).as("n"))
+          .orderBy($"c_mktsegment".asc_nulls_first, $"tag".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_mktsegment, tag, count(*) AS n FROM (
+        |  SELECT o_custkey, o_orderpriority AS tag FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderstatus FROM orders)
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY c_mktsegment ASC NULLS FIRST, tag ASC NULLS FIRST
         |""".stripMargin))
   )
 }

@@ -181,8 +181,9 @@ object ResidualJoinHoist extends Rule[LogicalPlan] with PredicateHelper {
   /** The (factory, location, database) connection id shared by EVERY
     * graftserver leaf under the leg — None when any leaf is something
     * else (never hoist around a foreign source's join input).
+    * Shared with [[AliasPullup]]'s scope gate.
     */
-  private def graftConnection(leg: LogicalPlan): Option[(String, String, String)] = {
+  private[plans] def graftConnection(leg: LogicalPlan): Option[(String, String, String)] = {
     val leaves = leg.collectLeaves()
     val ids = leaves.map {
       case r: DataSourceV2Relation if r.table.isInstanceOf[graft.server.GraftServerTable] =>

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
@@ -67,11 +68,16 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case g @ Generate(Explode(arr), _, outer, _, Seq(elOut), _) =>
-        rewrite(g, arr, outer, elOut, None).getOrElse(g)
+        relocate(g, arr, outer, elOut, None).getOrElse(g)
       case g @ Generate(PosExplode(arr), _, outer, _, Seq(posOut, elOut), _) =>
-        rewrite(g, arr, outer, elOut, Some(posOut)).getOrElse(g)
+        relocate(g, arr, outer, elOut, Some(posOut)).getOrElse(g)
     }
   }
+
+  private def relocate(g: Generate, arr: Expression, outer: Boolean,
+      elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] =
+    rewrite(g, arr, outer, elOut, posOut)
+      .orElse(rewriteOverJoin(g, arr, outer, elOut, posOut))
 
   /** The synthetic doc field the file reader injects the element INDEX
     * into for a pushed posexplode (the `$unwind includeArrayIndex`
@@ -94,12 +100,23 @@ object UnwindRelocate extends Rule[LogicalPlan] {
 
   private def rewrite(g: Generate, arr0: Expression, outer: Boolean,
       elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] = {
-    // peel the leg: [Project(pl,]? [Filter(f,]? rel
-    val (pl, f, rel) = g.child match {
-      case r: DataSourceV2Relation => (Nil, None, r)
-      case Filter(c, r: DataSourceV2Relation) => (Nil, Some(c), r)
-      case Project(p, r: DataSourceV2Relation) => (p, None, r)
-      case Project(p, Filter(c, r: DataSourceV2Relation)) => (p, Some(c), r)
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
+    // peel the leg: [Project(pl,]? [Filter(f,]? [Sample]? rel — a Sample
+    // node stays in place over the unwound relation; sound ONLY when it
+    // will push as the engine's deterministic PARENT-keyed window
+    // (gated below): the pushed window keys parents, so keep/drop stays
+    // atomic per parent whether evaluated before or after the unwind.
+    // An unpushable Sample refuses — Spark's own Bernoulli over unwound
+    // rows would sample ELEMENTS, not parents.
+    val (pl, f, sampleNode, rel) = g.child match {
+      case r: DataSourceV2Relation => (Nil, None, None, r)
+      case Filter(c, r: DataSourceV2Relation) => (Nil, Some(c), None, r)
+      case Project(p, r: DataSourceV2Relation) => (p, None, None, r)
+      case Project(p, Filter(c, r: DataSourceV2Relation)) => (p, Some(c), None, r)
+      case s @ Sample(_, _, false, _, r: DataSourceV2Relation) =>
+        (Nil, None, Some(s), r)
+      case Filter(c, s @ Sample(_, _, false, _, r: DataSourceV2Relation)) =>
+        (Nil, Some(c), Some(s), r)
       case _ => return None
     }
     val isServer = rel.table.isInstanceOf[graft.server.GraftServerTable]
@@ -142,6 +159,21 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     val mappedPath = existing.get(head)
       .map(h => (h +: arrPath.split('.').toSeq.tail).mkString("."))
       .getOrElse(arrPath)
+    // the Sample gate: mirror pushTableSample's eligibility against the
+    // POST-relocation unwind path — a qualifying parent key means the V2
+    // sample pushdown will claim the window (deterministic, md5-keyed,
+    // parent-atomic); anything else refuses the relocation outright
+    if (sampleNode.isDefined) {
+      val keyOk = Option(rel.options.get("sample_key")).exists { k =>
+        graft.source.FieldResolve.resolveName(rel.schema, k, existing)
+          .exists(ref =>
+            graft.source.SamplePush.KeyTypes.contains(ref.dataType) &&
+              graft.source.SamplePush.keyAllowedUnderUnwind(
+                ref.docPath, Some(mappedPath)))
+      }
+      if (!keyOk || rel.options.containsKey("limit") ||
+          rel.options.containsKey("sort")) return None
+    }
     if (rel.schema.fieldNames.contains(elOut.name)) return None
     // posexplode: the pos column must not shadow a relation column, and
     // the synthetic doc field must be free — neither an existing
@@ -213,13 +245,109 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       nullable = true)(exprId = p.exprId))
     val newRel = rel.copy(table = newTable,
       output = parentAttrs ++ posAttr :+ elAttr, options = newOpts)
+    // the Sample node re-wraps the unwound relation in its original
+    // position (Filter stays above it, as in the source plan)
+    val withSample = sampleNode
+      .map(s => s.copy(child = newRel): LogicalPlan).getOrElse(newRel)
     val withFilter = keepConjuncts.reduceOption(And)
-      .map(Filter(_, newRel)).getOrElse(newRel)
+      .map(Filter(_, withSample)).getOrElse(withSample)
     val out: Seq[NamedExpression] =
       g.requiredChildOutput ++ posAttr :+ elAttr
     Some(
       if (withFilter.output == g.output) withFilter
       else Project(out, withFilter))
+  }
+
+  /** `explode(drivingSide.arr)` ABOVE a join of graft legs (r15): the
+    * unwind transposes below the join into the LEFT (driving) leg — the
+    * corpus version of the sensors enrichment
+    * (examples/sensors/.../DeviceReducer.java:28-40, which re-reduced the
+    * flattened join client-side). The same fixed point then relocates
+    * the inner Generate into the leg's relation via [[rewrite]], and
+    * Spark's join pushdown sees a bare unwound scan — the whole
+    * `$match`+`$unwind`+`$match(post)`+`$lookup` runs as ONE pipeline.
+    *
+    * Soundness of the transpose (unwind-below-join = join-then-unwind):
+    * the array is computed from the LEFT leg alone, and the left leg is
+    * PRESERVED under INNER and LEFT OUTER — each left row's columns are
+    * identical on every joined output row, so exploding k elements of m
+    * joined copies gives the same k·m rows either way (m=0 under LEFT
+    * OUTER: one null-extended row explodes to k, vs k element rows each
+    * null-extended — equal; empty/null arrays drop or null-extend
+    * identically per the outer flag on both sides of the transpose).
+    * REFUSED: RIGHT OUTER / FULL (a right row matching ONLY
+    * empty-array left parents survives null-extended after the
+    * transpose but not before), lookup-side arrays (the transpose
+    * cannot target the preserved leg), and conditions consuming the
+    * array column (the unwound relation no longer exposes it — the
+    * inner rewrite's one-path check refuses via neededLeft).
+    */
+  private def rewriteOverJoin(g: Generate, arr0: Expression, outer: Boolean,
+      elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] = {
+    // peel: [Project(attrs-only,]? [Filter(c,]? Join — the Filter holds
+    // InferFiltersFromGenerate's conjuncts (and, once ResidualJoinHoist
+    // has run, recheck-wrapped hoisted residuals)
+    val (fil, j) = g.child match {
+      case jj: Join => (Seq.empty[Expression], jj)
+      case Filter(c, jj: Join) => (splitConjuncts(c), jj)
+      // a column-pruning Project between the Generate and the Join
+      // passes through (attribute-only; the final Project re-selects)
+      case Project(pl, jj: Join)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        (Seq.empty[Expression], jj)
+      case Project(pl, Filter(c, jj: Join))
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        (splitConjuncts(c), jj)
+      case _ => return None
+    }
+    if (j.joinType != Inner && j.joinType != LeftOuter) return None
+    if (arr0.references.isEmpty ||
+        !arr0.references.subsetOf(j.left.outputSet)) return None
+    // drop the conjuncts `$unwind` itself implies for a non-outer
+    // explode (vacuous — and they reference the array column, which the
+    // unwound relation no longer exposes); a recheck() wrap is
+    // transparent here (the hoisted copy of the same vacuous conjunct)
+    def stripRecheck(e: Expression): Expression = e match {
+      case Recheck(c) => c
+      case other => other
+    }
+    def vacuous(c: Expression): Boolean = !outer && (stripRecheck(c) match {
+      case IsNotNull(e) => e.semanticEquals(arr0)
+      case GreaterThan(Size(e, _), Literal(0, _)) => e.semanticEquals(arr0)
+      case _ => false
+    })
+    val keep = fil.filterNot(vacuous)
+    // kept conjuncts re-apply ABOVE the relocated join: they reference
+    // parent/right columns (constant per element row — commute with the
+    // unwind); one touching the array column refuses (one-path rule)
+    if (keep.exists(_.references.exists(a =>
+        arr0.references.contains(a)))) return None
+    // left attrs needed above the join, by the kept filter, or by the
+    // condition
+    val neededLeft: Seq[Attribute] = {
+      val above = g.requiredChildOutput.filter(j.left.outputSet.contains)
+      val more = AttributeSet(
+        keep.flatMap(_.references) ++
+          j.condition.map(_.references).getOrElse(AttributeSet.empty))
+        .filter(j.left.outputSet.contains)
+        .filterNot(a => above.exists(_.exprId == a.exprId)).toSeq
+      above ++ more
+    }
+    val unreq = j.left.output.zipWithIndex
+      .filterNot { case (a, _) => neededLeft.exists(_.exprId == a.exprId) }
+      .map(_._2)
+    val innerG = Generate(g.generator, unreq, outer, g.qualifier,
+      posOut.toSeq :+ elOut, j.left)
+    // `relocate`, not `rewrite`: a chained star query nests joins, and
+    // the unwind transposes through each preserved left leg in turn
+    relocate(innerG, arr0, outer, elOut, posOut).map { newLeft =>
+      val newJoin = Join(newLeft, j.right, j.joinType, j.condition,
+        j.hint)
+      val withFilter = keep.reduceOption(And)
+        .map(Filter(_, newJoin)).getOrElse(newJoin)
+      val out: Seq[NamedExpression] = g.requiredChildOutput ++ posOut :+ elOut
+      if (withFilter.output == out) withFilter else Project(out, withFilter)
+    }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -355,19 +355,21 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // the cursor limit counts UNSAMPLED rows; the sampled prefix may be
     // shorter than the limit needs
     if (sample.isDefined) false
+    else if (joined.isDefined) {
+      // joined arm — checked BEFORE the unwind arm: with a driving-side
+      // unwind composed into the join (r15), the `$limit` counts FINAL
+      // joined rows after the last `$unwind`, partial per pipeline (a
+      // pushed join TopN already carries its own $limit); the
+      // pipeline's rows are UNSAMPLED, so a carried sample refuses
+      if (joinedAgg.isDefined || joinTopN.isDefined ||
+          joinSamples.nonEmpty || joinOffset.isDefined) false
+      else { joinLimit = Some(n.toLong); true }
+    }
     else if (unwind.isDefined) {
       // over an unwound scan the limit must count UNWOUND rows — the
       // find() cursor cannot, but the unwound ROW pipeline's `$limit`
       // tail can ([[ServerClient.unwoundRead]]); partial per namespace
       if (unwoundTailOk) { limit = Some(n); true } else false
-    }
-    else if (joined.isDefined) {
-      // joined arm: `$limit` after the last `$unwind`, partial per
-      // pipeline (a pushed join TopN already carries its own $limit);
-      // the pipeline's rows are UNSAMPLED, so a carried sample refuses
-      if (joinedAgg.isDefined || joinTopN.isDefined ||
-          joinSamples.nonEmpty || joinOffset.isDefined) false
-      else { joinLimit = Some(n.toLong); true }
     } else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
@@ -668,14 +670,30 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     options.getOrElse("uri", options.getOrElse("server_dir", "")),
     QueryDocs.nsParts(GraftServerSource.ns(options))._1)
 
-  private def cleanForJoin: Boolean =
-    // a pushed TABLESAMPLE is ALLOWED here: pushDownJoin re-keys it onto
-    // the joined output (or refuses where it cannot commute)
+  /** Usable as the DRIVING side: a pushed `$unwind` composes (r15) —
+    * the pipeline becomes `$match`+`$unwind`+`$match(post)`+`$lookup`,
+    * per-ELEMENT rows feeding the join — provided the post-unwind
+    * element match renders fully server-side (element rows are joined
+    * away; no client re-check point remains). A pushed TABLESAMPLE is
+    * ALLOWED: pushDownJoin re-keys it onto the joined output (or
+    * refuses where it cannot commute); under an unwind the sample key
+    * is a PARENT field (keyAllowedUnderUnwind), constant across a
+    * parent's element rows, so the joined-row window still keeps/drops
+    * parents atomically. */
+  private def cleanAsDriving: Boolean =
     residuals.isEmpty && limit.isEmpty && offset.isEmpty && topN.isEmpty &&
       aggPushed.isEmpty && groupedAgg.isEmpty &&
-      joined.isEmpty && unwind.isEmpty && !options.contains("limit") &&
+      joined.isEmpty && !options.contains("limit") &&
       !options.contains("sort") &&
-      GraftServerSource.nsList(options).size == 1
+      GraftServerSource.nsList(options).size == 1 &&
+      (unwind.isEmpty || {
+        val post = QueryDocs.plan(unwindPost)
+        post.isExact && post.keyBounds.isEmpty
+      })
+
+  /** Usable as the LOOKUP side: additionally no `$unwind` — lookup-side
+    * element rows are not parent-atomic across the join boundary. */
+  private def cleanForJoin: Boolean = cleanAsDriving && unwind.isEmpty
 
   /** An already-joined builder may CHAIN one more lookup stage (3-way+
     * star queries) as long as no tail pushdown claimed the pipeline yet.
@@ -688,7 +706,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
     other match {
       case o: GraftServerScanBuilder =>
-        (cleanForJoin || chainableForJoin) && o.cleanForJoin &&
+        (cleanAsDriving || chainableForJoin) && o.cleanForJoin &&
           connectionId == o.connectionId
       case _ => false
     }
@@ -780,6 +798,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val mirrored = joinType == V2JoinType.RIGHT_OUTER_JOIN
     if (joinType != V2JoinType.INNER_JOIN && !leftOuter && !mirrored)
       return false
+    // an unwound scan composes only as the DRIVING side — under a
+    // mirrored join THIS side becomes the lookup leg, whose element
+    // rows are not parent-atomic across the join boundary
+    if (unwind.isDefined && mirrored) return false
     def proj(req: Array[SupportsPushDownJoin.ColumnWithAlias],
         schema: StructType, m: Map[String, String]):
         Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
@@ -873,7 +895,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
                 GraftServerSource.ns(o.joinOptions),
                 BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
                   o.pushedQuery),
-                rpFull, keys, leftOuter, output))
+                rpFull, keys, leftOuter, output,
+                unwind = unwind, unwindPost = unwindPost))
             }
             joinedColOpts = lp.map(p => p._2 -> options).toMap ++
               rp.map(p => p._2 -> o.joinOptions).toMap
@@ -971,8 +994,13 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
 
   override def build(): Scan = joined match {
     case Some(j) =>
+      // non-mirrored driving side: the pre-unwind PARENT prune (derived
+      // from the post-unwind element match) rides the pipeline's first
+      // $match, exactly as on the plain unwound scan (True without one)
       val (drivingOpts, drivingQuery) = joinDriving.getOrElse(
-        (options, BQuery.and(GraftServerSource.optionQuery(options), pushedQuery)))
+        (options, BQuery.and(
+          BQuery.and(GraftServerSource.optionQuery(options), pushedQuery),
+          unwindPrune)))
       new GraftServerJoinScan(j, drivingQuery, drivingOpts, joinedAgg, joinLimit,
         joinTopN.map { case (s, n) => (s, n.toLong) }, joinSamples, joinOffset)
     case None =>
@@ -1078,7 +1106,16 @@ final case class ServerJoin(
     /** CHAINED lookup stages above the base join (3-way+ star queries) —
       * each flatten-projects the previous output and joins one more
       * same-server collection; the whole chain is ONE pipeline. */
-    chain: Seq[ChainStage] = Nil) {
+    chain: Seq[ChainStage] = Nil,
+    /** DRIVING-side `$unwind` (r15): `explode(driving.arr)` composed
+      * with the pushed join — per-element rows feed the `$lookup`, all
+      * one pipeline. The element column rides `leftProject` (its doc
+      * field is the unwound path, which post-unwind holds the element).
+      * `unwindPost` = the pushed post-unwind element `$match`. Only the
+      * DRIVING side may unwind (lookup-side element rows are not
+      * parent-atomic across the join; mirrored joins refuse). */
+    unwind: Option[ServerClient.Unwind] = None,
+    unwindPost: BQuery = BQuery.True) {
   def schema: StructType = StructType(
     output.map { case (o, t) => org.apache.spark.sql.types.StructField(o, t) })
   /** right OUTPUT name -> right doc field (nested outputs resolve by
@@ -1123,6 +1160,10 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
 
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$leftQuery" +
+      join.unwind.map(u => s" PushedUnwind: ${u.path}" +
+        (if (u.preserveNullAndEmpty) " OUTER" else "") +
+        (if (join.unwindPost == BQuery.True) ""
+         else s" PostUnwindMatch: ${join.unwindPost}")).getOrElse("") +
       s" PushedJoin: $join" +
       grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
       joinLimit.map(n => s" PushedLimit: $n").getOrElse("") +
@@ -1210,13 +1251,28 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
   private val rightWithKeys: BQuery = join.keys.foldLeft(join.rightQuery) {
     case (acc, (_, ro)) => BQuery.and(acc, nonNull(join.rightField(ro)))
   }
+  /** A driving key whose doc field sits AT/UNDER the unwound path (or is
+    * the injected pos field) exists only POST-unwind — its INNER
+    * non-null prune joins the post-unwind `$match`; pre-unwind the same
+    * path would carry ∃-element semantics (and the fake matcher does not
+    * traverse arrays at intermediate segments). */
+  private def elementScopedField(f: String): Boolean =
+    join.unwind.exists(u => f == u.path || f.startsWith(u.path + ".") ||
+      u.posField.contains(f))
   private val leftFull: BQuery = {
     val base = BQuery.and(p.range, leftQuery)
     if (join.leftOuter) base
     else join.keys.foldLeft(base) { case (acc, (lo, _)) =>
-      BQuery.and(acc, nonNull(join.leftField(lo)))
+      val f = join.leftField(lo)
+      if (elementScopedField(f)) acc else BQuery.and(acc, nonNull(f))
     }
   }
+  private val postFull: BQuery =
+    if (join.leftOuter) join.unwindPost
+    else join.keys.foldLeft(join.unwindPost) { case (acc, (lo, _)) =>
+      val f = join.leftField(lo)
+      if (elementScopedField(f)) BQuery.and(acc, nonNull(f)) else acc
+    }
 
   /** Each CHAIN stage's lookup side also filters null/missing keys —
     * `$expr` `$eq` would otherwise match a null driving key against a
@@ -1228,8 +1284,24 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
     })
   }
 
+  // posexplode over a join: includeArrayIndex yields int64 indexes but
+  // the pos column reads IntegerType — narrow the pos OUTPUT field of
+  // each joined doc before decode (the un-joined path narrows the
+  // injected doc field the same way, GraftServerSource.narrowPos)
+  private val posOutName: Option[String] = join.unwind.flatMap(u =>
+    u.posField.flatMap(pf => join.leftProject.collectFirst {
+      case (f, o, _) if f == pf => o }))
+  private def narrowPosOut(d: BDoc): BDoc = posOutName match {
+    case Some(o) => d.get(o) match {
+      case Some(graft.bson.BInt64(x)) =>
+        graft.query.Updates.setField(d, o, graft.bson.BInt32(x.toInt))
+      case _ => d
+    }
+    case None => d
+  }
+
   private val cursor: Iterator[BDoc] = {
-    val raw = client.lookupJoin(p.ns, LookupJoin(
+    val raw0 = client.lookupJoin(p.ns, LookupJoin(
       leftFull,
       join.leftProject.map { case (f, o, _) => (f, o) },
       join.rightNs,
@@ -1240,7 +1312,10 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
       group = grouped.map(g => (g.groupCols.map(_._1), g.items.map(_._1))),
       limit = joinLimit,
       topN = joinTopN,
-      skip = joinOffset))
+      skip = joinOffset,
+      unwind = join.unwind,
+      unwindPost = postFull))
+    val raw = if (posOutName.isEmpty) raw0 else raw0.map(narrowPosOut)
     // carried TABLESAMPLE windows, re-keyed to joined OUTPUT names by
     // the builder: keyed sampling commutes with the $lookup, so keeping
     // joined rows by the sampled side's key window equals sampling that

@@ -256,9 +256,14 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     val rp = QueryDocs.plan(j.rightQuery)
     require(rp.isExact && rp.keyBounds.isEmpty,
       s"lookupJoin right query not fully server-renderable: ${j.rightQuery}")
+    // driving-side $unwind (r15): the post-unwind element $match must
+    // render fully (element rows are joined away — no re-check point)
+    val up = QueryDocs.plan(j.unwindPost)
+    require(up.isExact && up.keyBounds.isEmpty,
+      s"lookupJoin post-unwind query not fully server-renderable: ${j.unwindPost}")
     var stages = QueryDocs.lookupStages(
       leftMatch, j.leftProject, rcoll, rp.serverQuery, j.rightProject,
-      j.keys, j.leftOuter)
+      j.keys, j.leftOuter, unwind = j.unwind, unwindPostDoc = up.serverQuery)
     var leftOuts = j.leftProject.map(_._2).toSet
     // chained stages: flatten-project + lookup + unwind each, still ONE
     // aggregate() round-trip for the whole 3-way+ pipeline

@@ -582,9 +582,17 @@ object QueryDocs {
   def lookupStages(leftMatch: BDoc, leftProject: Seq[(String, String)],
       rightColl: String, rightMatch: BDoc,
       rightProject: Seq[(String, String)],
-      keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] =
+      keys: Seq[(String, String)], leftOuter: Boolean,
+      /** driving-side `$unwind` + its post-unwind element `$match`
+        * (r15): rendered between the pre-`$match` and the left
+        * `$project`, so per-ELEMENT rows feed the `$lookup`. */
+      unwind: Option[ServerClient.Unwind] = None,
+      unwindPostDoc: BDoc = BDoc.empty): Seq[BDoc] =
     (if (leftMatch.fields.isEmpty) Seq.empty
      else Seq(BDoc("$match" -> leftMatch))) ++
+      unwind.map(u => BDoc("$unwind" -> unwindBody(u))).toSeq ++
+      (if (unwindPostDoc.fields.isEmpty) Seq.empty
+       else Seq(BDoc("$match" -> unwindPostDoc))) ++
       Seq(BDoc("$project" -> aliasProjection(leftProject))) ++
       lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter)
 

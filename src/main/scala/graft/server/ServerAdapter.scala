@@ -198,7 +198,17 @@ final case class LookupJoin(
     /** `$skip` tail over the FINAL joined rows (single-pipeline OFFSET
       * pushdown — globally exact only when the caller plans one
       * pipeline, which the `splitter=single` gate guarantees). */
-    skip: Option[Long] = None) {
+    skip: Option[Long] = None,
+    /** DRIVING-side `$unwind` (r15): rendered between the left `$match`
+      * and the left `$project`, so the per-ELEMENT rows feed the
+      * `$lookup` — `explode(driving.arr)` then join runs as ONE
+      * pipeline. `unwindPost` is the post-unwind element `$match`
+      * (must be fully server-renderable; element rows with
+      * untranslatable predicates never push this far). Lookup-side
+      * arrays never unwind here (element rows are not parent-atomic
+      * across the join boundary). */
+    unwind: Option[ServerClient.Unwind] = None,
+    unwindPost: BQuery = BQuery.True) {
   require(Seq(group.isDefined, limit.isDefined, topN.isDefined,
       skip.isDefined).count(identity) <= 1,
     "a lookup join takes at most one of group/limit/topN/skip")
@@ -547,8 +557,21 @@ final class FakeServerClient(rootDir: Option[String] = None)
     */
   override def lookupJoin(ns: String, j: LookupJoin): Iterator[BDoc] = {
     tick("lookupJoin")
+    // driving-side $unwind runs between the pre-match and the
+    // projection/join — the same per-element expansion the wire
+    // pipeline renders ($match → $unwind → $match(post) → $project →
+    // $lookup), so element rows feed the join
+    val matched = coll(ns).readAll().filter(j.leftQuery.matches)
+    val driving = j.unwind match {
+      case Some(u) =>
+        val unwound = matched.flatMap(d => FakeServerClient.unwindDoc(
+          d, u.path, u.preserveNullAndEmpty, u.posField))
+        if (j.unwindPost == BQuery.True) unwound
+        else unwound.filter(j.unwindPost.matches)
+      case None => matched
+    }
     var rows: Iterator[BDoc] = stageJoin(
-      coll(ns).readAll().filter(j.leftQuery.matches),
+      driving,
       j.leftProject, j.rightNs, j.rightQuery, j.rightProject,
       j.keys, j.leftOuter)
     // chained stages drive off the previous stage's flat joined rows —

@@ -597,18 +597,39 @@ class JoinPushdownSpec extends SparkSpec {
       got.forall { case (a, b, bp) => b == a % 50 && bp == b * 7 % 1000 * 1.0 })
   }
 
-  test("refusal: an output column named __j (the $lookup joined field) keeps the join in Spark") {
+  test("an output column named __j (the $lookup joined field) never reaches the wire") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir, nOrders = 60, nCust = 20)
-    // alias a left output to the lookup's internal joined-field name: on
-    // a REAL server the $lookup's `as: __j` would overwrite it and the
-    // client-side flatten would drop the column — the fake transport
-    // would return it fine, a silent divergence unless refused
+    // a RENAME to the lookup's internal joined-field name no longer
+    // blocks the push (r15): AliasPullup moves the rename ABOVE the
+    // join, so the pipeline's output names never include __j — on a
+    // real server the $lookup's `as: __j` sees no collision
     val o = ordersDf(dir).select($"_id", $"custkey".as("__j"))
     val c = custDf(dir)
     val j = o.join(c, o("__j") === c("_id"))
-    assert(!planOf(j).contains("PushedJoin"), planOf(j))
-    assert(j.count() > 0)
+    val plan = planOf(j)
+    assert(plan.contains("PushedJoin"), plan)
+    // the BatchScan's own output (everything from "BatchScan" to the
+    // end) must not carry a __j column — the rename sits above it
+    assert(!plan.substring(plan.indexOf("BatchScan")).contains("__j"),
+      s"scan output must not carry __j:\n$plan")
+    // custkey = i % 50 over 60 orders; customers 0..19 → 20 + 10 matches
+    assert(j.count() == 30)
+
+    // a SCHEMA column literally named __j still refuses: the wire's
+    // $lookup `as` field would overwrite it — no rename to pull up
+    Seq((1L, 5L), (2L, 6L)).toDF("_id", "__j")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.jcol"))
+      .option("id_column", "_id").mode("append").save()
+    val raw = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.jcol",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, __j LONG").load()
+    val c2 = custDf(dir)
+    val rj = raw.join(c2, raw("_id") === c2("_id"))
+    assert(!planOf(rj).contains("PushedJoin"), planOf(rj))
+    assert(rj.count() == 2)
   }
 }
