@@ -51,10 +51,12 @@ import scala.jdk.CollectionConverters._
   * column — `$unwind includeArrayIndex` semantics: original indices
   * under element filters, NULL pos for null/empty/non-array parents;
   * the file reader injects [[PosDocField]] so pos filters/groups ride
-  * the normal machinery, the server reader derives the index locally
-  * and keeps pos filters residual). Map explode / computed arrays are
-  * left to Spark. Stable in the fixed-point batch: the Generate is
-  * gone after the rewrite.
+  * the normal machinery, and server pipelines render
+  * `includeArrayIndex` into the same field, so pos filters/groups/
+  * tails push there too — int64 indexes narrow to the pos column's
+  * IntegerType at decode). Map explode / computed arrays are left to
+  * Spark. Stable in the fixed-point batch: the Generate is gone after
+  * the rewrite.
   */
 object UnwindRelocate extends Rule[LogicalPlan] {
 

@@ -25,37 +25,87 @@ object BQuery {
     case _ => None
   }
 
-  /** Comparisons follow MongoDB semantics: only values in the same type
-    * bracket compare (numbers cross-width); missing fields match nothing.
-    * These are the OPTION-LEVEL query semantics (mongo.input.query parity).
-    * Pushed Spark filters instead compile to the [[ReadStr]] nodes below,
-    * which carry Spark's post-read semantics.
+  /** Server-faithful dotted-path resolution for the mongo-authority
+    * operator nodes (r15 — closes the intermediate-segment traversal
+    * divergence): walking `a.b`, an ARRAY at an intermediate segment
+    * traverses its document elements (`{"m.a": 5}` matches
+    * `m=[{a:5},{b:2}]`), a numeric segment ALSO indexes positionally,
+    * and every dead branch (missing field, non-document array element
+    * under a remaining segment, empty array) records a MISSING slot —
+    * which `{p: null}` matches, mongo's rule. Returns (reachable leaf
+    * values, whether any branch dead-ended). The Spark-read-semantics
+    * nodes ([[Exists]] and the ReadStr/ReadLong/ReadTime family)
+    * deliberately keep plain `getPath`: pushed filters address
+    * schema-faithful storage and carry Spark's row semantics, never the
+    * server's traversal.
     */
-  private def cmp(doc: BDoc, path: String, v: BsonValue)(test: Int => Boolean): Boolean =
-    doc.getPath(path) match {
-      case Some(actual) if actual.typeOrder == v.typeOrder =>
-        test(BsonOrdering.compare(actual, v))
-      case _ => false
+  private[query] def resolvePath(doc: BDoc, path: String): (Seq[BsonValue], Boolean) = {
+    var missing = false
+    def walk(v: BsonValue, segs: List[String]): Seq[BsonValue] = segs match {
+      case Nil => Seq(v)
+      case seg :: rest => v match {
+        case BDoc(f) => f.get(seg) match {
+          case Some(x) => walk(x, rest)
+          case None => missing = true; Seq.empty
+        }
+        case BArray(items) =>
+          val positional =
+            if (seg.nonEmpty && seg.forall(_.isDigit) && seg.length < 10) {
+              val i = seg.toInt
+              if (i < items.size) walk(items(i), rest) else Seq.empty
+            } else Seq.empty
+          val traversed = items.flatMap {
+            case ed: BDoc => ed.fields.get(seg) match {
+              case Some(x) => walk(x, rest)
+              case None => missing = true; Seq.empty
+            }
+            case _ => missing = true; Seq.empty
+          }
+          if (items.isEmpty) missing = true
+          positional ++ traversed
+        case _ => missing = true; Seq.empty
+      }
     }
+    val vs = walk(doc, path.split('.').toList)
+    (vs, missing || vs.isEmpty)
+  }
+
+  /** Comparisons follow MongoDB semantics: only values in the same type
+    * bracket compare (numbers cross-width); missing fields match
+    * nothing; arrays traverse at BOTH intermediate segments and the
+    * LEAF (`{p: {$lt: 5}}` matches `p=[3,9]` via element 3 — r15, the
+    * last range-operator divergence). These are the OPTION-LEVEL query
+    * semantics (mongo.input.query parity). Pushed Spark filters instead
+    * compile to the [[ReadStr]] nodes below, which carry Spark's
+    * post-read semantics.
+    */
+  private def cmp(doc: BDoc, path: String, v: BsonValue)(test: Int => Boolean): Boolean = {
+    def one(actual: BsonValue): Boolean =
+      actual.typeOrder == v.typeOrder && test(BsonOrdering.compare(actual, v))
+    resolvePath(doc, path)._1.exists {
+      case arr @ BArray(items) => one(arr) || items.exists(one)
+      case actual => one(actual)
+    }
+  }
 
   /** Mongo EQUALITY over a field: whole-value bracket equality OR — when
     * the stored field is an array — containment of `v` as an ELEMENT
     * (the server's implicit array traversal: `{p: 5}` matches `p=[4,5]`,
-    * and `{p: [1,2]}` matches both `p=[1,2]` and `p=[[1,2],3]`). Used by
-    * the equality-shaped plain nodes ([[Eq]]/[[In]]/[[Ne]]/[[Nin]]), so
-    * the file/fake transport agrees with what a live server does with
-    * the rendered `$eq`/`$in`/`$ne`/`$nin`. Traversal at INTERMEDIATE
-    * dotted-path segments remains a documented divergence (see
-    * [[graft.server.QueryDocs]]).
+    * and `{p: [1,2]}` matches both `p=[1,2]` and `p=[[1,2],3]`); dotted
+    * paths traverse arrays at intermediate segments too ([[resolvePath]],
+    * r15). `{p: null}` matches missing/dead-end slots, mongo's rule.
+    * Used by the equality-shaped plain nodes ([[Eq]]/[[In]]/[[Ne]]/
+    * [[Nin]]), so the file/fake transport agrees with what a live server
+    * does with the rendered `$eq`/`$in`/`$ne`/`$nin`.
     */
   private def eqMatch(doc: BDoc, path: String, v: BsonValue): Boolean = {
     def whole(actual: BsonValue): Boolean =
       actual.typeOrder == v.typeOrder && BsonOrdering.compare(actual, v) == 0
-    doc.getPath(path) match {
-      case Some(arr @ BArray(items)) => whole(arr) || items.exists(whole)
-      case Some(actual) => whole(actual)
-      case None => false
-    }
+    val (leaves, anyMissing) = resolvePath(doc, path)
+    leaves.exists {
+      case arr @ BArray(items) => whole(arr) || items.exists(whole)
+      case actual => whole(actual)
+    } || (v == BNull && anyMissing)
   }
 
   final case class Eq(path: String, v: BsonValue) extends BQuery {
@@ -99,11 +149,18 @@ object BQuery {
       java.util.regex.Pattern.compile(pattern, flags)
     }
     // Mongo $regex semantics: string/symbol fields only (option-level
-    // queries); pushed Spark string predicates use ReadStrRegex instead
-    def matches(d: BDoc): Boolean = d.getPath(path) match {
-      case Some(BString(s)) => compiled.matcher(s).find()
-      case Some(BSymbol(s)) => compiled.matcher(s).find()
-      case _ => false
+    // queries), with the server's array traversal — `{p: /x/}` matches
+    // `p=["ax"]`; pushed Spark string predicates use ReadStrRegex instead
+    def matches(d: BDoc): Boolean = {
+      def one(v: BsonValue): Boolean = v match {
+        case BString(s) => compiled.matcher(s).find()
+        case BSymbol(s) => compiled.matcher(s).find()
+        case _ => false
+      }
+      BQuery.resolvePath(d, path)._1.exists {
+        case BArray(items) => items.exists(one)
+        case v => one(v)
+      }
     }
   }
   /** Spark null-filter semantics: present AND non-null (what pushed
@@ -122,16 +179,21 @@ object BQuery {
     * wire, matching what the reference's verbatim-shipped
     * mongo.input.query does on a live server. */
   final case class ExistsField(path: String, yes: Boolean) extends BQuery {
-    def matches(d: BDoc): Boolean = d.getPath(path).isDefined == yes
+    // `$exists: true` matches when ANY traversal slot holds a value
+    // (including explicit null) — server array-traversal semantics (r15)
+    def matches(d: BDoc): Boolean =
+      BQuery.resolvePath(d, path)._1.nonEmpty == yes
   }
 
   /** Mongo `$size`: an array field with exactly n elements (never a
-    * non-array, mongo's rule). */
+    * non-array, mongo's rule); dotted paths traverse intermediate
+    * arrays ([[BQuery.resolvePath]]). */
   final case class Size(path: String, n: Int) extends BQuery {
-    def matches(d: BDoc): Boolean = d.getPath(path) match {
-      case Some(BArray(items)) => items.size == n
-      case _ => false
-    }
+    def matches(d: BDoc): Boolean =
+      BQuery.resolvePath(d, path)._1.exists {
+        case BArray(items) => items.size == n
+        case _ => false
+      }
   }
 
   /** Mongo `$all`: the field's array contains every listed value (a
@@ -143,13 +205,13 @@ object BQuery {
   final case class All(path: String, vs: Seq[BsonValue]) extends BQuery {
     private def sameVal(a: BsonValue, b: BsonValue): Boolean =
       a.typeOrder == b.typeOrder && BsonOrdering.compare(a, b) == 0
-    def matches(d: BDoc): Boolean = vs.nonEmpty && (d.getPath(path) match {
-      case Some(arr @ BArray(items)) =>
-        vs.forall(v => items.exists(sameVal(_, v)) ||
-          (v.isInstanceOf[BArray] && sameVal(arr, v)))
-      case Some(single) => vs.forall(sameVal(single, _))
-      case None => false
-    })
+    def matches(d: BDoc): Boolean = vs.nonEmpty &&
+      BQuery.resolvePath(d, path)._1.exists {
+        case arr @ BArray(items) =>
+          vs.forall(v => items.exists(sameVal(_, v)) ||
+            (v.isInstanceOf[BArray] && sameVal(arr, v)))
+        case single => vs.forall(sameVal(single, _))
+      }
   }
 
   /** Mongo `$elemMatch`: some element of the array field satisfies the
@@ -159,15 +221,16 @@ object BQuery {
     * form, where sub-query paths are fields OF the element. */
   final case class ElemMatch(path: String, sub: BQuery, valueForm: Boolean)
       extends BQuery {
-    def matches(d: BDoc): Boolean = d.getPath(path) match {
-      case Some(BArray(items)) =>
-        if (valueForm) items.exists(v => sub.matches(BDoc(ElemPath -> v)))
-        else items.exists {
-          case ed: BDoc => sub.matches(ed)
-          case _ => false
-        }
-      case _ => false
-    }
+    def matches(d: BDoc): Boolean =
+      BQuery.resolvePath(d, path)._1.exists {
+        case BArray(items) =>
+          if (valueForm) items.exists(v => sub.matches(BDoc(ElemPath -> v)))
+          else items.exists {
+            case ed: BDoc => sub.matches(ed)
+            case _ => false
+          }
+        case _ => false
+      }
   }
 
   /** Mongo field-level `$not`: matches when the wrapped operator
@@ -187,25 +250,35 @@ object BQuery {
   /** Mongo `$mod`: numeric field with value % divisor == remainder
     * (doubles truncate toward zero, mongo's rule; NaN/Inf never match). */
   final case class Mod(path: String, div: Long, rem: Long) extends BQuery {
-    def matches(d: BDoc): Boolean = div != 0 && (d.getPath(path) match {
-      case Some(BInt32(x)) => x.toLong % div == rem
-      case Some(BInt64(x)) => x % div == rem
-      case Some(BDouble(x)) if !x.isNaN && !x.isInfinite => x.toLong % div == rem
-      case _ => false
-    })
+    def matches(d: BDoc): Boolean = {
+      def one(v: BsonValue): Boolean = v match {
+        case BInt32(x) => x.toLong % div == rem
+        case BInt64(x) => x % div == rem
+        case BDouble(x) if !x.isNaN && !x.isInfinite => x.toLong % div == rem
+        case _ => false
+      }
+      div != 0 && BQuery.resolvePath(d, path)._1.exists {
+        case BArray(items) => items.exists(one)
+        case v => one(v)
+      }
+    }
   }
 
   /** Mongo `$type` by canonical type alias (string form; `number`
-    * covers int/long/double). Applies to the stored value itself — an
-    * array matches "array" (mongo's per-element traversal is part of
-    * the documented array-traversal divergence of this matcher). */
+    * covers int/long/double). An array field matches "array" AND
+    * matches through its ELEMENTS (the server's traversal, r15 —
+    * `{p: {$type: "string"}}` matches `p=["a", 1]`). */
   final case class TypeIs(path: String, names: Seq[String]) extends BQuery {
+    private def one(v: BsonValue): Boolean = {
+      val t = BQuery.typeAlias(v)
+      names.contains(t) ||
+        (names.contains("number") &&
+          (t == "int" || t == "long" || t == "double" || t == "decimal"))
+    }
     def matches(d: BDoc): Boolean =
-      d.getPath(path).exists { v =>
-        val t = BQuery.typeAlias(v)
-        names.contains(t) ||
-          (names.contains("number") &&
-            (t == "int" || t == "long" || t == "double" || t == "decimal"))
+      BQuery.resolvePath(d, path)._1.exists {
+        case arr @ BArray(items) => one(arr) || items.exists(one)
+        case v => one(v)
       }
   }
 

@@ -959,26 +959,50 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
               joinKeySafe(l.dataType, srcOpts) &&
                 joinKeySafe(r.dataType, o.joinOptions) } =>
             // remap carried sample keys through the chain's re-projection
-            // (prev output -> new alias); a dropped key cannot be
-            // re-checked above the chained pipeline — refuse the chain
+            // (prev output -> new alias); a key the new projection
+            // DROPPED rides as a HIDDEN extra instead (r15) — appended
+            // to the stage's flatten-project under a fresh __sampleN
+            // alias the visible output never sees, exactly like the
+            // base join's hidden carry — so a sampled 3-way chain keeps
+            // the whole pushed pipeline
+            val chainTaken = scala.collection.mutable.Set[String](
+              (lp ++ rp).map(_._2): _*) += QueryDocs.JoinedField
+            def chainHiddenAlias(): String = {
+              var i = 0
+              while (chainTaken.contains(s"__sample$i")) i += 1
+              val a = s"__sample$i"; chainTaken += a; a
+            }
             val renames = lp.map(t => (t._1, t._2)).toMap
-            val remapped = joinSamples.map(sp =>
-              renames.get(sp.key).map(n => sp.copy(key = n)))
-            if (remapped.contains(None)) return false
+            // (rekeyed window, hidden flatten-project pair)
+            val remapped: Seq[(graft.source.SamplePush, Option[(String, String)])] =
+              joinSamples.map { sp =>
+                renames.get(sp.key) match {
+                  case Some(n) => (sp.copy(key = n), None)
+                  case None =>
+                    val a = chainHiddenAlias()
+                    (sp.copy(key = a), Some((sp.key, a)))
+                }
+              }
             // the chained collection's own sample: lookup side of this
-            // stage — INNER only, key must survive rp
+            // stage — INNER only; an unprojected key rides hidden too
             if (o.sample.isDefined && leftOuter) return false
-            val oSample = o.sample.map(sp =>
-              rp.find(_._1 == sp.key).map(t => sp.copy(key = t._2)))
-            if (oSample.exists(_.isEmpty)) return false
-            joinSamples = remapped.flatten ++ oSample.flatten
+            val oSample: Option[(graft.source.SamplePush, Option[(String, String)])] =
+              o.sample.map { sp =>
+                rp.find(_._1 == sp.key) match {
+                  case Some(t) => (sp.copy(key = t._2), None)
+                  case None =>
+                    val a = chainHiddenAlias()
+                    (sp.copy(key = a), Some((sp.key, a)))
+                }
+              }
+            joinSamples = remapped.map(_._1) ++ oSample.map(_._1)
             val keys = refs.map { case (l, r) => (l.name, r.name) }
             val stage = ChainStage(
-              lp.map(p => (p._1, p._2)),
+              lp.map(p => (p._1, p._2)) ++ remapped.flatMap(_._2),
               GraftServerSource.ns(o.joinOptions),
               BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
                 o.pushedQuery),
-              rp.map(p => (p._1, p._2)),
+              rp.map(p => (p._1, p._2)) ++ oSample.flatMap(_._2).toSeq,
               keys, leftOuter)
             joined = Some(j.copy(chain = j.chain :+ stage,
               output = (lp ++ rp).map(p => (p._2, p._3))))

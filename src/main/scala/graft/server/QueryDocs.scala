@@ -18,16 +18,18 @@ import scala.collection.immutable.ListMap
   *    server's evaluation is authoritative, exactly like the reference
   *    shipping `mongo.input.query` verbatim (core/src/main/java/com/
   *    mongodb/hadoop/input/MongoInputSplit.java:272-299). The engine's
-  *    file-backed [[BQuery.matches]] approximates server semantics:
-  *    LEAF-level array traversal for the equality nodes now matches the
-  *    server (`{p: 5}` matches `p=[4,5]`; `{p: [1,2]}` matches both the
-  *    whole array and an element — r14, BQuery.eqMatch), and the
-  *    remaining known divergences are: traversal at INTERMEDIATE dotted
-  *    path segments (`{"m.a": 5}` matching `m=[{a:5}]`), array traversal
-  *    of the RANGE operators (`$lt`/`$gt` element-matching), `{p: null}`
-  *    matching missing fields, `$exists` on a null-valued field, and
-  *    PCRE-vs-java regex dialect — on a live server those follow the
-  *    server, which is what a reference user already gets.
+  *    file-backed [[BQuery.matches]] follows server semantics for ALL
+  *    array traversal as of r15 ([[BQuery.resolvePath]]): leaf-level
+  *    equality (`{p: 5}` matches `p=[4,5]`, r14), INTERMEDIATE dotted
+  *    segments (`{"m.a": 5}` matches `m=[{a:5}]`), RANGE operators
+  *    (`{p: {$lt: 5}}` matches `p=[3,9]`), `$regex`/`$mod`/`$type`
+  *    element traversal, `$exists`/`$size`/`$all`/`$elemMatch` through
+  *    intermediate arrays, and `{p: null}` matching missing/dead-end
+  *    slots. Remaining known divergences: the PCRE-vs-java regex
+  *    DIALECT (pattern syntax corners), and NUMERIC path segments in
+  *    the null/missing edge (`{"m.0": null}` where positional and
+  *    field-name resolution disagree) — on a live server those follow
+  *    the server, which is what a reference user already gets.
   *  - Spark-read-semantics `ReadStr*` / `ReadLong*` / `ReadTime*` nodes
   *    (compiled pushed filters — Spark never re-checks them, so their
   *    cross-bracket read semantics MUST hold exactly) never render: they
@@ -317,9 +319,10 @@ object QueryDocs {
     * `~` on the wire and [[regroup]] swaps back when re-keying the
     * result to the contract names. `~` cannot appear in a
     * Spark-generated aggregate alias or a Spark nested-field reference,
-    * so engine-generated names never collide (a hand-written column
-    * literally named `a~b` aliasing `a.b` is the documented residual
-    * risk).
+    * so engine-generated names never collide; a hand-written column
+    * literally named `a~b` next to a nested key `a.b` REFUSES the
+    * grouped pushdown outright (r14 — the builder's collision gate),
+    * so the swap is never ambiguous on the wire.
     */
   def wireName(s: String): String = s.replace('.', '~')
 

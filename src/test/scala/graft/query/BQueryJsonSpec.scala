@@ -215,4 +215,88 @@ class BQueryJsonSpec extends AnyFunSuite {
     assert(s.matches(BDoc("tags" -> BArray(Vector(BInt32(2), BInt32(1), BInt32(3))))))
     assert(!s.matches(BDoc("tags" -> BArray(Vector(BInt32(1))))))
   }
+
+  // ---- r15: server-faithful traversal at INTERMEDIATE segments,
+  // range operators, and the null/missing edge ----
+
+  private def mdoc(ms: BsonValue*): BDoc = BDoc("m" -> BArray(ms.toVector))
+
+  test("intermediate dotted segments traverse arrays of documents (r15)") {
+    val q = BQueryJson.parse("""{"m.a": 5}""")
+    assert(q.matches(mdoc(BDoc("a" -> BInt32(5)), BDoc("b" -> BInt32(2)))))
+    assert(!q.matches(mdoc(BDoc("a" -> BInt32(6)))))
+    // two levels of arrays: m=[{a:[{b:7}]}] matches {"m.a.b": 7}
+    val deep = BQueryJson.parse("""{"m.a.b": 7}""")
+    assert(deep.matches(mdoc(BDoc("a" -> BArray(Vector(BDoc("b" -> BInt32(7))))))))
+    // doc storage unchanged
+    assert(q.matches(BDoc("m" -> BDoc("a" -> BInt32(5)))))
+    // numeric segments ALSO index positionally
+    val pos = BQueryJson.parse("""{"m.1": 9}""")
+    assert(pos.matches(BDoc("m" -> BArray(Vector(BInt32(5), BInt32(9))))))
+    assert(!pos.matches(BDoc("m" -> BArray(Vector(BInt32(9), BInt32(5))))))
+  }
+
+  test("range operators traverse arrays at the leaf and intermediates (r15)") {
+    val lt = BQueryJson.parse("""{"p": {"$lt": 5}}""")
+    assert(lt.matches(BDoc("p" -> BArray(Vector(BInt32(3), BInt32(9))))),
+      "element 3 < 5 matches the doc")
+    assert(!lt.matches(BDoc("p" -> BArray(Vector(BInt32(7), BInt32(9))))))
+    val gt = BQueryJson.parse("""{"m.a": {"$gt": 5}}""")
+    assert(gt.matches(mdoc(BDoc("a" -> BInt32(3)), BDoc("a" -> BInt32(8)))))
+    assert(!gt.matches(mdoc(BDoc("a" -> BInt32(3)))))
+    // brackets still respected: a string never $lt a number
+    assert(!lt.matches(BDoc("p" -> BArray(Vector(BString("x"))))))
+  }
+
+  test("{p: null} matches missing and dead-end slots, mongo's rule (r15)") {
+    val q = BQueryJson.parse("""{"p": null}""")
+    assert(q.matches(BDoc("x" -> BInt32(1))), "missing field matches null")
+    assert(q.matches(BDoc("p" -> BNull)))
+    assert(q.matches(BDoc("p" -> BArray(Vector(BInt32(1), BNull)))))
+    assert(!q.matches(BDoc("p" -> BArray(Vector(BInt32(1), BInt32(2))))))
+    val nested = BQueryJson.parse("""{"m.a": null}""")
+    assert(nested.matches(mdoc(BDoc("a" -> BInt32(1)), BDoc("b" -> BInt32(2)))),
+      "an element LACKING the field is a dead end null matches")
+    assert(!nested.matches(mdoc(BDoc("a" -> BInt32(1)))))
+    // $ne: null rejects missing (the negation)
+    val ne = BQueryJson.parse("""{"p": {"$ne": null}}""")
+    assert(!ne.matches(BDoc("x" -> BInt32(1))))
+    assert(ne.matches(BDoc("p" -> BInt32(1))))
+  }
+
+  test("$exists / $size / $elemMatch / $regex / $mod / $type traverse (r15)") {
+    val ex = BQueryJson.parse("""{"m.a": {"$exists": true}}""")
+    assert(ex.matches(mdoc(BDoc("b" -> BInt32(1)), BDoc("a" -> BNull))),
+      "$exists true sees the null-valued slot through the array")
+    assert(!ex.matches(mdoc(BDoc("b" -> BInt32(1)))))
+    val exNo = BQueryJson.parse("""{"m.a": {"$exists": false}}""")
+    assert(exNo.matches(mdoc(BDoc("b" -> BInt32(1)))))
+
+    val sz = BQueryJson.parse("""{"m.a": {"$size": 2}}""")
+    assert(sz.matches(mdoc(BDoc("a" -> BArray(Vector(BInt32(1), BInt32(2)))))))
+
+    val em = BQueryJson.parse("""{"m.a": {"$elemMatch": {"$gt": 1, "$lt": 4}}}""")
+    assert(em.matches(mdoc(BDoc("a" -> BArray(Vector(BInt32(0), BInt32(2)))))))
+
+    val re = BQueryJson.parse("""{"p": {"$regex": "ab"}}""")
+    assert(re.matches(BDoc("p" -> BArray(Vector(BString("xaby"))))))
+    assert(!re.matches(BDoc("p" -> BArray(Vector(BString("xy"))))))
+
+    val mod = BQueryJson.parse("""{"p": {"$mod": [3, 1]}}""")
+    assert(mod.matches(BDoc("p" -> BArray(Vector(BInt32(6), BInt32(7))))))
+
+    val ty = BQueryJson.parse("""{"p": {"$type": "string"}}""")
+    assert(ty.matches(BDoc("p" -> BArray(Vector(BInt32(1), BString("s"))))))
+    val tyArr = BQueryJson.parse("""{"p": {"$type": "array"}}""")
+    assert(tyArr.matches(BDoc("p" -> BArray(Vector(BInt32(1))))))
+  }
+
+  test("the Spark-semantics Exists node never traverses (pushed-filter contract)") {
+    // pushed IsNotNull(m.a) compiles to Exists — Spark row semantics
+    // over schema-faithful storage; array-of-doc storage at m is a
+    // FOREIGN shape the pushed filter must not silently element-match
+    val sparkExists = BQuery.Exists("m.a", yes = true)
+    assert(!sparkExists.matches(mdoc(BDoc("a" -> BInt32(5)))))
+    assert(sparkExists.matches(BDoc("m" -> BDoc("a" -> BInt32(5)))))
+  }
 }

@@ -153,6 +153,55 @@ class JoinSampleOffsetSpec extends SparkSpec {
     assert(j2.count() == 50)
   }
 
+  test("a sampled 3-way chain keeps the pushed pipeline (hidden key rides the flatten)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    (0 until 20).map(i => (i.toLong, (i % 4).toLong))
+      .toDF("_id", "regkey")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.cr"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 4).map(i => (i.toLong, s"r$i"))
+      .toDF("_id", "rname")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.r"))
+      .option("id_column", "_id").mode("append").save()
+    val cr = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.cr",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, regkey LONG").load()
+    val rr = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.r",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, rname STRING").load()
+    // the sampled base's key (_id) is NOT selected out of the chain's
+    // re-projection — r14 refused here and fell back to a Spark join of
+    // the sampled base; the hidden carry keeps the whole pipeline
+    val oo = o(dir).sample(withReplacement = false, 0.4, seed = 7L)
+    val q = oo.join(cr, oo("custkey") === cr("_id"))
+      .join(rr, cr("regkey") === rr("_id"))
+      .select($"price", $"rname")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedJoin: INNER db.cr") &&
+      plan.contains("THEN INNER db.r") &&
+      plan.contains("PushedSample: SAMPLE(__sample"), plan)
+    assert(!plan.contains("Join ") && !plan.contains("Sample "),
+      s"zero Spark join/sample operators expected:\n$plan")
+    // exact vs sample-then-join over plain scans
+    val exp = {
+      val o2 = o(dir).sample(withReplacement = false, 0.4, seed = 7L)
+        .select($"price", $"custkey")
+      val cr2 = cr.select($"_id".as("ck"), $"regkey")
+      val rr2 = rr.select($"_id".as("rk"), $"rname")
+      o2.join(cr2, $"custkey" === $"ck").join(rr2, $"regkey" === $"rk")
+        .select($"price", $"rname")
+        .collect().map(r => (r.getDouble(0), r.getString(1))).sorted.toSeq
+    }
+    val got = q.collect().map(r => (r.getDouble(0), r.getString(1))).sorted.toSeq
+    assert(got == exp && got.nonEmpty, s"got ${got.size} vs exp ${exp.size}")
+  }
+
   test("OFFSET over a MIRRORED join gates on the DRIVING side's splitter") {
     import spark.implicits._
     val dir = freshDir()

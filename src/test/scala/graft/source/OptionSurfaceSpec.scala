@@ -49,4 +49,48 @@ class OptionSurfaceSpec extends SparkSpec {
       .option("splitter", "single").option("limit", "2").load(dir).limit(50)
     assert(df2.count() === 2) // option 2 < pushed 50; single split -> global too
   }
+
+  test("option queries traverse array-of-doc storage like a live server (both transports)") {
+    // foreign-shaped docs: `m` is an array of subdocuments — an
+    // option-level `{"m.a": ...}` must traverse m's elements
+    // (mongo.input.query is shipped VERBATIM to a real server, so the
+    // file/fake matcher has to agree with the server's evaluation — r15)
+    def docs: Iterator[BDoc] = Iterator(
+      BDoc("_id" -> BInt32(1), "m" -> BArray(Vector(
+        BDoc("a" -> BInt32(5)), BDoc("b" -> BInt32(2))))),
+      BDoc("_id" -> BInt32(2), "m" -> BArray(Vector(
+        BDoc("a" -> BInt32(9))))),
+      BDoc("_id" -> BInt32(3), "m" -> BArray(Vector(
+        BDoc("a" -> BInt32(1))))),
+      BDoc("_id" -> BInt32(4), "x" -> BInt32(0)))
+    val fileDir = Files.createTempDirectory("graft-trv").toString
+    BsonFiles.write(s"$fileDir/data.bson", docs)
+    val srvDir = Files.createTempDirectory("graft-trvs").toString
+    val coll = new graft.store.BsonCollection(s"$srvDir/db_t")
+    coll.bulkWrite(docs.map(d => graft.store.InsertOne(d)), ordered = true)
+
+    def ids(query: String): (Seq[Int], Seq[Int]) = {
+      val f = spark.read.format("graftbson")
+        .schema("_id INT").option("query", query).load(fileDir)
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val s = spark.read.format("graftserver")
+        .options(Map("server_dir" -> srvDir, "ns" -> "db.t"))
+        .schema("_id INT").option("query", query).load()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      (f, s)
+    }
+    // equality through the intermediate array
+    val (f1, s1) = ids("""{"m.a": 5}""")
+    assert(f1 == Seq(1) && s1 == Seq(1), s"$f1 / $s1")
+    // range operator through the intermediate array AND leaf brackets
+    val (f2, s2) = ids("""{"m.a": {"$gte": 5}}""")
+    assert(f2 == Seq(1, 2) && s2 == Seq(1, 2), s"$f2 / $s2")
+    // null matches the dead-end slots: doc 1 ({b:2} lacks a) and doc 4
+    // (m missing entirely)
+    val (f3, s3) = ids("""{"m.a": null}""")
+    assert(f3 == Seq(1, 4) && s3 == Seq(1, 4), s"$f3 / $s3")
+    // $exists traversal
+    val (f4, s4) = ids("""{"m.a": {"$exists": true}}""")
+    assert(f4 == Seq(1, 2, 3) && s4 == Seq(1, 2, 3), s"$f4 / $s4")
+  }
 }
