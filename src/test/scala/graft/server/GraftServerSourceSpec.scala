@@ -919,6 +919,36 @@ class GraftServerSourceSpec extends SparkSpec {
     assert(spark.read.format("graftserver").options(serverOpts(dir, "db.ixw"))
       .schema("_id LONG, s STRING").load().count() == 2L)
   }
+  test("null tests on ARRAY columns stay residual (live $eq/$ne-null element-matches)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // arrays: plain, containing null, null column — the wire form
+    // {p: {$ne: null}} would DROP [1,null] on a live server (element
+    // traversal), while Spark's isnotnull keeps it
+    Seq(
+      (1L, Seq[java.lang.Long](1L, 2L)),
+      (2L, Seq[java.lang.Long](1L, null)),
+      (3L, null.asInstanceOf[Seq[java.lang.Long]]))
+      .toDF("_id", "p")
+      .write.format("graftserver").options(serverOpts(dir, "db.an"))
+      .option("id_column", "_id").mode("append").save()
+    val t = spark.read.format("graftserver").options(serverOpts(dir, "db.an"))
+      .schema("_id LONG, p ARRAY<LONG>").load()
+    val nn = t.filter($"p".isNotNull)
+    val nnPlan = nn.queryExecution.executedPlan.toString
+    assert(nnPlan.contains("Filter isnotnull"),
+      s"array null test must re-check above the scan:\n$nnPlan")
+    assert(!nnPlan.contains("Exists(p"),
+      s"array null test must NOT render as a doc query:\n$nnPlan")
+    assert(nn.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "the null-containing array survives, like Spark's own semantics")
+    val nl = t.filter($"p".isNull)
+    assert(nl.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // scalar columns keep the pushed form (no traversal possible)
+    val s = t.filter($"_id".isNotNull)
+    assert(s.queryExecution.executedPlan.toString.contains("Exists(_id"),
+      s.queryExecution.executedPlan.toString)
+  }
 }
 
 /** Wraps the fake transport and counts every round-trip JVM-wide, so a

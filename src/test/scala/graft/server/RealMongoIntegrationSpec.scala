@@ -629,4 +629,181 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(sk.queryExecution.executedPlan.toString.contains("PushedOffset: 90"))
     assert(sk.count() === 10)
   }
+
+  // ---- r15 shapes: mixed-storage unwinds, the unwind-over-join
+  // pipeline, array-null residuals, and traversal parity — the exact
+  // semantics r15 built blind against the fake transport ----
+
+  test("live: foreign scalar-at-array-path $unwind passes one-element rows (r15 mixed storage)") {
+    live()
+    import spark.implicits._
+    val o = opts("mixuw")
+    // two writes with different schemas = mixed storage in ONE collection
+    Seq((1L, Seq("a", "b")), (2L, Seq("c")))
+      .toDF("k", "tags")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    Seq((3L, "scalar")).toDF("k", "tags")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver").options(o)
+      .schema("_id LONG, tags ARRAY<STRING>").load()
+    val e = t.select($"_id", explode($"tags").as("tag"))
+    assert(e.queryExecution.executedPlan.toString.contains("PushedUnwind"),
+      e.queryExecution.executedPlan.toString)
+    // mongo's $unwind rule: the scalar passes through as one element
+    assert(e.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "scalar")))
+  }
+
+  test("live: includeArrayIndex on scalar storage yields a NULL pos (r15 mixed storage)") {
+    live()
+    import spark.implicits._
+    val o = opts("mixpos")
+    Seq((1L, Seq("a", "b"))).toDF("k", "tags")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    Seq((2L, "s")).toDF("k", "tags")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver").options(o)
+      .schema("_id LONG, tags ARRAY<STRING>").load()
+    val p = t.select($"_id", posexplode($"tags").as(Seq("pos", "tag")))
+    val rows = p.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getString(2)))
+      .sorted.toSeq
+    // includeArrayIndex on a non-array: NULL index (read as -1 here)
+    assert(rows == Seq((1L, 0, "a"), (1L, 1, "b"), (2L, -1, "s")), rows)
+  }
+
+  test("live: recheck join with NULL extremes — null keys and null-extended rows (r15)") {
+    live()
+    import spark.implicits._
+    val oOpts = opts("nxo") + ("assume_uniform_storage" -> "true")
+    val cOpts = opts("nxc") + ("assume_uniform_storage" -> "true")
+    Seq((1L, Option(10L), Option(5.0)), (2L, Option(20L), None),
+        (3L, None, Option(9.0)), (4L, Option(99L), Option(2.0)))
+      .toDF("k", "ck", "price")
+      .write.format("graftserver").options(oOpts)
+      .option("id_column", "k").mode("append").save()
+    Seq((10L, 1.0), (20L, 8.0)).toDF("k", "disc")
+      .write.format("graftserver").options(cOpts)
+      .option("id_column", "k").mode("append").save()
+    val o = spark.read.format("graftserver").options(oOpts)
+      .schema("_id LONG, ck LONG, price DOUBLE").load()
+    val c = spark.read.format("graftserver").options(cOpts)
+      .schema("_id LONG, disc DOUBLE").load()
+    // INNER + untranslatable predicate: null ck (3) and unmatched ck (4)
+    // drop in the pipeline; null price (2) fails the recheck (null
+    // predicate filters the row, Spark semantics)
+    val q = o.join(c, o("ck") === c("_id"))
+      .filter(o("price") + c("disc") > 5.5)
+      .select(o("_id").as("okey"))
+    assert(q.queryExecution.executedPlan.toString.contains("recheck("),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+    // LEFT OUTER with a preserved-side filter: null-key and unmatched
+    // driving rows survive null-extended through the pushed pipeline
+    val lq = o.join(c, o("ck") === c("_id"), "left_outer")
+      .filter(o("price") > 1.0)
+      .select(o("_id").as("okey"), $"disc")
+    assert(lq.queryExecution.executedPlan.toString.contains("PushedJoin"),
+      lq.queryExecution.executedPlan.toString)
+    val got = lq.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).sorted.toSeq
+    assert(got == Seq((1L, 1.0), (3L, -1.0), (4L, -1.0)), got)
+  }
+
+  test("live: explode(driving.arr) over the join is ONE $unwind+$lookup pipeline (r15)") {
+    live()
+    import spark.implicits._
+    val oOpts = opts("uwjo") + ("assume_uniform_storage" -> "true")
+    val cOpts = opts("uwjc") + ("assume_uniform_storage" -> "true")
+    Seq((1L, 10L, Seq("x", "y")), (2L, 20L, Seq("y")),
+        (3L, 10L, Seq.empty[String]), (4L, 99L, Seq("z")))
+      .toDF("k", "ck", "tags")
+      .write.format("graftserver").options(oOpts)
+      .option("id_column", "k").mode("append").save()
+    Seq((10L, "alice"), (20L, "bob")).toDF("k", "name")
+      .write.format("graftserver").options(cOpts)
+      .option("id_column", "k").mode("append").save()
+    val o = spark.read.format("graftserver").options(oOpts)
+      .schema("_id LONG, ck LONG, tags ARRAY<STRING>").load()
+    val c = spark.read.format("graftserver").options(cOpts)
+      .schema("_id LONG, name STRING").load()
+    val q = o.join(c, o("ck") === c("_id"))
+      .select(o("_id").as("okey"), $"name", explode(o("tags")).as("tag"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: tags") &&
+      plan.contains("PushedJoin: INNER"), plan)
+    assert(!plan.contains("Generate") && !plan.contains("Join "), plan)
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq ==
+      Seq((1L, "alice", "x"), (1L, "alice", "y"), (2L, "bob", "y")))
+    // the ELEMENT as the join key: post-unwind the unwound path holds
+    // the element, so $lookup's localField addresses it directly
+    val e = o.select($"_id".as("okey"), explode($"tags").as("tag"))
+    val cc2 = spark.read.format("graftserver").options(cOpts)
+      .schema("_id LONG, name STRING").load()
+    val refs = Seq((1L, Seq(10L, 20L)), (2L, Seq(20L, 55L)))
+      .toDF("k", "refs")
+    refs.write.format("graftserver").options(opts("uwjr") +
+        ("assume_uniform_storage" -> "true"))
+      .option("id_column", "k").mode("append").save()
+    val rr = spark.read.format("graftserver")
+      .options(opts("uwjr") + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, refs ARRAY<LONG>").load()
+    val er = rr.select($"_id".as("okey"), explode($"refs").as("ref"))
+    val ej = er.join(cc2, er("ref") === cc2("_id"))
+      .select($"okey", $"ref", $"name")
+    assert(ej.queryExecution.executedPlan.toString.contains("PushedUnwind: refs"),
+      ej.queryExecution.executedPlan.toString)
+    assert(ej.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq ==
+      Seq((1L, 10L, "alice"), (1L, 20L, "bob"), (2L, 20L, "bob")))
+  }
+
+  test("live: pushed IsNotNull on an ARRAY column keeps null-containing arrays (r15 residual)") {
+    live()
+    import spark.implicits._
+    val o = opts("arrnull")
+    Seq((1L, Seq[java.lang.Long](1L, 2L)), (2L, Seq[java.lang.Long](1L, null)),
+        (3L, null.asInstanceOf[Seq[java.lang.Long]]))
+      .toDF("k", "p")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver").options(o)
+      .schema("_id LONG, p ARRAY<LONG>").load()
+    // the wire {$ne: null} would drop doc 2 (element traversal matches
+    // the null) — the residual re-check keeps Spark's semantics
+    assert(t.filter($"p".isNotNull).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(t.filter($"p".isNull).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("live: option-query array traversal parity (intermediate segments, ranges, null) (r15)") {
+    live()
+    import spark.implicits._
+    val o = opts("trav")
+    // array-of-struct storage through the DF writer
+    Seq((1L, Seq((5, 0)), 0), (2L, Seq((9, 0)), 0), (3L, Seq((1, 0)), 0))
+      .toDF("k", "raw", "pad")
+      .select($"k", expr("transform(raw, x -> named_struct('a', x._1))").as("m"))
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    Seq((4L, 7L)).toDF("k", "x")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    def ids(q: String): Seq[Long] =
+      spark.read.format("graftserver").options(o)
+        .schema("_id LONG").option("query", q).load()
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // these counts are EXACTLY what the r15 fake-transport matcher
+    // computes (OptionSurfaceSpec twin) — any difference is a live
+    // divergence to fix in BQuery.resolvePath
+    assert(ids("""{"m.a": 5}""") == Seq(1L))
+    assert(ids("""{"m.a": {"$gte": 5}}""") == Seq(1L, 2L))
+    assert(ids("""{"m.a": null}""") == Seq(4L))
+    assert(ids("""{"m.a": {"$exists": true}}""") == Seq(1L, 2L, 3L))
+  }
 }
