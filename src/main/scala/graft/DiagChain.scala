@@ -230,6 +230,101 @@ object DiagChain {
     val unpushedUt = time("unwind-topn UNPUSHED")(unwindTopnQuery())
     spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
     println(f"[diagchain] unwind-topn ratio unpushed/pushed = ${unpushedUt / pushedUt}%.2f")
+
+    // ---- r15 arms: $unwind composed INTO the pushed join (q162
+    // shape), the sampled 3-way chain (hidden key), and the
+    // unwind-over-join skew twin ----
+
+    Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey",
+        array($"o_orderpriority", $"o_orderstatus").as("tags"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.uwjord"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    def unwindJoinQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.uwjord", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, tags ARRAY<STRING>").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .select($"c_nationkey", explode(o("tags")).as("tag"))
+        .groupBy($"c_nationkey", $"tag").agg(count(lit(1)).as("n"))
+    }
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    val planUj = unwindJoinQuery().queryExecution.executedPlan.toString
+    require(planUj.contains("PushedUnwind") && planUj.contains("PushedJoin") &&
+      planUj.contains("PushedGroupedAggregate"),
+      s"unwind-over-join did not push:\n$planUj")
+    val pushedUj = time("unwind-join PUSHED")(unwindJoinQuery())
+    // half-pushed: the JOIN still pushes but the flattened rows ship
+    // through a Spark Generate + exchange — the r14 state of this shape
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "false")
+    val halfUj = time("unwind-join JOIN-ONLY")(unwindJoinQuery())
+    // fully unpushed: Spark join + Generate + exchange
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedUj = time("unwind-join UNPUSHED")(unwindJoinQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
+    println(f"[diagchain] unwind-join ratio join-only/pushed = ${halfUj / pushedUj}%.2f")
+    println(f"[diagchain] unwind-join ratio unpushed/pushed  = ${unpushedUj / pushedUj}%.2f")
+
+    // sampled 3-way chain: the hidden __sampleN carry keeps the whole
+    // pipeline (r14 fell back to a Spark join of the sampled base)
+    def sampledChainQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.ord3",
+          "assume_uniform_storage" -> "true", "sample_key" -> "_id"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+        .sample(withReplacement = false, 0.2, seed = 7L)
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      val n = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.nat3"))
+        .schema("_id INT, n_name STRING").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .join(n, c("c_nationkey") === n("_id"))
+        .groupBy($"n_name").agg(count(lit(1)).as("n"))
+    }
+    val planSc = sampledChainQuery().queryExecution.executedPlan.toString
+    require(planSc.contains("THEN INNER") &&
+      planSc.contains("PushedSample: SAMPLE(__sample"),
+      s"sampled chain did not keep the pushed pipeline:\n$planSc")
+    val pushedSc = time("sampled-chain PUSHED")(sampledChainQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedSc = time("sampled-chain UNPUSHED")(sampledChainQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    println(f"[diagchain] sampled-chain ratio unpushed/pushed = ${unpushedSc / pushedSc}%.2f")
+
+    // unwind-over-join skew twin: 90% of driving rows on ONE join key —
+    // the pushed pipeline has no Spark-side shuffle a hot key could
+    // serialize, and the $unwind multiplies rows uniformly per parent
+    Tables.orders(spark, sf)
+      .select($"o_orderkey",
+        when(rand(7) < 0.9, lit(1L)).otherwise($"o_custkey").as("o_custkey"),
+        array($"o_orderpriority", $"o_orderstatus").as("tags"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.uwjskew"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    def unwindJoinSkew(ns: String) = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> ns, "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, tags ARRAY<STRING>").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .select($"c_nationkey", explode(o("tags")).as("tag"))
+        .groupBy($"c_nationkey", $"tag").agg(count(lit(1)).as("n"))
+    }
+    val ujUniT = time("unwind-join UNIFORM")(unwindJoinSkew("db.uwjord"))
+    val ujSkwT = time("unwind-join SKEWED")(unwindJoinSkew("db.uwjskew"))
+    println(f"[diagchain] unwind-join skew/uniform ratio = ${ujSkwT / ujUniT}%.2f")
     spark.stop()
   }
 }

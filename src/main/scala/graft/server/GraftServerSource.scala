@@ -722,7 +722,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
     other match {
       case o: GraftServerScanBuilder =>
-        (cleanAsDriving || chainableForJoin) && o.cleanForJoin &&
+        // the other side may carry an unwind too — legal ONLY when a
+        // mirrored (right-outer) join makes IT the driving side, which
+        // pushDownJoin gates per join type
+        (cleanAsDriving || chainableForJoin) && o.cleanAsDriving &&
           connectionId == o.connectionId
       case _ => false
     }
@@ -816,8 +819,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       return false
     // an unwound scan composes only as the DRIVING side — under a
     // mirrored join THIS side becomes the lookup leg, whose element
-    // rows are not parent-atomic across the join boundary
+    // rows are not parent-atomic across the join boundary; conversely
+    // the OTHER side's unwind is legal exactly when the mirror makes
+    // it drive (r15: the user unwound the right relation before a
+    // right-outer join — no transpose involved, the plan is exact)
     if (unwind.isDefined && mirrored) return false
+    if (o.unwind.isDefined && !mirrored) return false
     def proj(req: Array[SupportsPushDownJoin.ColumnWithAlias],
         schema: StructType, m: Map[String, String]):
         Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
@@ -897,15 +904,21 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
             val keys = refs.map { case (l, r) => (l.name, r.name) }
             val output = (lp ++ rp).map(p => (p._2, p._3))
             if (mirrored) {
-              // drive from the RIGHT side; THIS side becomes the lookup
+              // drive from the RIGHT side; THIS side becomes the lookup.
+              // A driving-side unwind (the user unwound the right
+              // relation before the right-outer join) rides the
+              // pipeline with ITS pre-unwind parent prune
               joined = Some(ServerJoin(rpFull,
                 GraftServerSource.ns(options),
                 BQuery.and(GraftServerSource.optionQuery(options),
                   pushedQuery),
-                lpFull, keys.map(_.swap), leftOuter = true, output))
+                lpFull, keys.map(_.swap), leftOuter = true, output,
+                unwind = o.unwind, unwindPost = o.unwindPost))
               joinDriving = Some((o.joinOptions,
-                BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
-                  o.pushedQuery)))
+                BQuery.and(
+                  BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
+                    o.pushedQuery),
+                  o.unwindPrune)))
             } else {
               joined = Some(ServerJoin(lpFull,
                 GraftServerSource.ns(o.joinOptions),
@@ -942,6 +955,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       return false
     val leftOuter = joinType == V2JoinType.LEFT_OUTER_JOIN
     if (joinType != V2JoinType.INNER_JOIN && !leftOuter) return false
+    // a chain stage's other side is always the LOOKUP leg — its unwind
+    // never composes (element rows are not parent-atomic there)
+    if (o.unwind.isDefined) return false
     val joinedOut: Map[String, org.apache.spark.sql.types.DataType] = j.output.toMap
     // (previous OUTPUT name, new alias, type) over the joined output
     val lpO: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {

@@ -203,6 +203,38 @@ class UnwindJoinSpec extends SparkSpec {
       Set((1L, "x"), (1L, "y"), (2L, "y")))
   }
 
+  test("an unwound RIGHT relation drives a mirrored right-outer join (r15)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // the user unwound the RIGHT relation BEFORE the right-outer join —
+    // no transpose involved; the mirror makes the unwound scan drive
+    val cc = c(dir)
+    val oo = o(dir)
+    val e = oo.select(oo("custkey"), explode(oo("tags")).as("tag"))
+    val q = cc.join(e, cc("_id") === e("custkey"), "right_outer")
+      .select($"name", $"tag")
+    val plan = planOf(q)
+    assert(plan.contains("PushedUnwind: tags") &&
+      plan.contains("PushedJoin: LEFT OUTER db.c"), plan)
+    assert(!plan.contains("Generate") && !plan.contains("Join "), plan)
+    val got = q.collect()
+      .map(r => (Option(r.getString(0)).getOrElse("∅"), r.getString(1)))
+      .sorted.toSeq
+    // orders 1 (cust 10) x,y; 2 (cust 20) y; 5 (cust 99 — no customer,
+    // null-extended) x,z; empty/null arrays drop pre-join
+    assert(got == Seq(("alice", "x"), ("alice", "y"), ("bob", "y"),
+      ("∅", "x"), ("∅", "z")), got)
+
+    // the REVERSE orientation refuses: the unwound relation as the
+    // LOOKUP (left) leg of a right-outer join — element rows are not
+    // parent-atomic across the join boundary
+    val rq = e.join(cc, e("custkey") === cc("_id"), "right_outer")
+      .select($"name", $"tag")
+    assert(!planOf(rq).contains("PushedJoin"), planOf(rq))
+    assert(rq.count() == 4, "3 matched element rows + carol null-extended")
+  }
+
   test("refusals: lookup-side arrays, RIGHT OUTER, array consumed above") {
     import spark.implicits._
     val dir = freshDir()
