@@ -1945,6 +1945,55 @@ object ConnectorQueries {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2
         |ORDER BY c_mktsegment ASC NULLS FIRST, tag ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // The unwound ELEMENT as the JOIN key (r15): entity-reference
+    // resolution — each doc carries an array of referenced ids; explode
+    // then join the dimension. Post-unwind the array path holds the
+    // element, so `$lookup`'s localField addresses it directly and the
+    // whole resolve runs as ONE `$unwind`+`$lookup`+`$group` pipeline
+    // (null/ dangling references drop under INNER, the element-scoped
+    // non-null prune joins the post-unwind `$match`). UnwindJoinSpec
+    // pins the shape; the live gate carries its wire twin.
+    CatalogQuery(
+      "q163_server_unwind_join_key",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            array($"o_custkey", ($"o_orderkey" % 1000L)).as("refs"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ukorders"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ukcust"))
+          .option("id_column", "c_custkey").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ukorders"))
+          .schema("_id LONG, refs ARRAY<LONG>").load()
+        val c = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ukcust"))
+          .schema("_id LONG, c_mktsegment STRING").load()
+        val e = o.select(explode($"refs").as("ref"))
+        e.join(c, e("ref") === c("_id"))
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_refs"), sum($"ref").as("sum_ref"))
+          .orderBy($"c_mktsegment".asc_nulls_first)
+      },
+      Some("""
+        |SELECT c_mktsegment, count(*) AS n_refs,
+        |  CAST(sum(ref) AS BIGINT) AS sum_ref
+        |FROM (
+        |  SELECT o_custkey AS ref FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey % 1000 FROM orders)
+        |JOIN customer ON ref = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
         |""".stripMargin))
   )
 }
