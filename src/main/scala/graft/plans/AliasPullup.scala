@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -65,9 +66,14 @@ object AliasPullup extends Rule[LogicalPlan] {
     }
 
   private def rewrite(j: Join): LogicalPlan = {
-    if (ResidualJoinHoist.graftConnection(j.left).isEmpty ||
-        ResidualJoinHoist.graftConnection(j.left) !=
-          ResidualJoinHoist.graftConnection(j.right)) return j
+    // only the join types the engine can push (semi/anti joins output
+    // the LEFT side only — a concatenated projection would reference
+    // missing right attributes; full-outer never pushes)
+    if (j.joinType != Inner && j.joinType != LeftOuter &&
+        j.joinType != RightOuter) return j
+    val lConn = ResidualJoinHoist.graftConnection(j.left)
+    if (lConn.isEmpty || lConn != ResidualJoinHoist.graftConnection(j.right))
+      return j
     val l = peel(j.left)
     val r = peel(j.right)
     if (l.isEmpty && r.isEmpty) return j
@@ -81,10 +87,24 @@ object AliasPullup extends Rule[LogicalPlan] {
       left = l.map(_._1).getOrElse(j.left),
       right = r.map(_._1).getOrElse(j.right),
       condition = newCond)
-    // restore the original output (names, exprIds, order) above the join
+    // restore the original output (names, exprIds, order) above the
+    // join, REBINDING every reference to the join's OWN output
+    // instances — an outer join null-extends the non-preserved side,
+    // and an Alias carrying the leg-level nullable=false metadata above
+    // it would let NullPropagation fold IsNull tests to false
+    val joinAttr: Map[ExprId, Attribute] =
+      newJoin.output.map(a => a.exprId -> a).toMap
+    def rebound(ne: NamedExpression): NamedExpression = ne match {
+      case a: AttributeReference => joinAttr.getOrElse(a.exprId, a)
+      case al @ Alias(u: AttributeReference, name) =>
+        Alias(joinAttr.getOrElse(u.exprId, u), name)(
+          exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = al.explicitMetadata)
+      case other => other
+    }
     val out: Seq[NamedExpression] =
-      l.map(_._3).getOrElse(j.left.output) ++
-        r.map(_._3).getOrElse(j.right.output)
+      (l.map(_._3).getOrElse(j.left.output) ++
+        r.map(_._3).getOrElse(j.right.output)).map(rebound)
     Project(out, newJoin)
   }
 }

@@ -103,22 +103,28 @@ object UnwindRelocate extends Rule[LogicalPlan] {
   private def rewrite(g: Generate, arr0: Expression, outer: Boolean,
       elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.plans.logical.Sample
-    // peel the leg: [Project(pl,]? [Filter(f,]? [Sample]? rel — a Sample
-    // node stays in place over the unwound relation; sound ONLY when it
-    // will push as the engine's deterministic PARENT-keyed window
-    // (gated below): the pushed window keys parents, so keep/drop stays
-    // atomic per parent whether evaluated before or after the unwind.
-    // An unpushable Sample refuses — Spark's own Bernoulli over unwound
-    // rows would sample ELEMENTS, not parents.
-    val (pl, f, sampleNode, rel) = g.child match {
-      case r: DataSourceV2Relation => (Nil, None, None, r)
-      case Filter(c, r: DataSourceV2Relation) => (Nil, Some(c), None, r)
-      case Project(p, r: DataSourceV2Relation) => (p, None, None, r)
-      case Project(p, Filter(c, r: DataSourceV2Relation)) => (p, Some(c), None, r)
-      case s @ Sample(_, _, false, _, r: DataSourceV2Relation) =>
-        (Nil, None, Some(s), r)
-      case Filter(c, s @ Sample(_, _, false, _, r: DataSourceV2Relation)) =>
-        (Nil, Some(c), Some(s), r)
+    // peel the leg ITERATIVELY — the fixed-point batch interleaves
+    // ColumnPruning / PushDownPredicates, so Projects, Filters, and a
+    // Sample can arrive in any stacking order: accept at most one
+    // Project (its aliases inline below), any number of Filters (their
+    // conjuncts accumulate; deterministic row-wise predicates commute
+    // with the keyed Sample, so the rebuild's Filter-above-Sample order
+    // is equivalent), and at most one without-replacement Sample. A
+    // Sample stays in place over the unwound relation; sound ONLY when
+    // it will push as the engine's deterministic PARENT-keyed window
+    // (gated below) — Spark's own Bernoulli over unwound rows would
+    // sample ELEMENTS, not parents.
+    var pl: Seq[NamedExpression] = Nil
+    var fConj: Seq[Expression] = Nil
+    var sampleNode: Option[Sample] = None
+    var rel: DataSourceV2Relation = null
+    var cur: LogicalPlan = g.child
+    while (rel == null) cur match {
+      case r: DataSourceV2Relation => rel = r
+      case Project(p, ch) if pl.isEmpty => pl = p; cur = ch
+      case Filter(c, ch) => fConj = fConj ++ splitConjuncts(c); cur = ch
+      case s @ Sample(_, _, false, _, ch) if sampleNode.isEmpty =>
+        sampleNode = Some(s); cur = ch
       case _ => return None
     }
     val isServer = rel.table.isInstanceOf[graft.server.GraftServerTable]
@@ -195,15 +201,18 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       case GreaterThan(Size(e, _), Literal(0, _)) => e.semanticEquals(inlinedArr)
       case _ => false
     })
-    val keepConjuncts = f.toSeq
-      .flatMap(c => splitConjuncts(c)).filterNot(vacuous).map(inline)
+    val keepConjuncts = fConj.filterNot(vacuous).map(inline)
     // kept filters must be expressible over relation columns, and must
     // not need the array's own column (same one-path constraint)
     if (!keepConjuncts.forall(_.references.subsetOf(rel.outputSet))) return None
     if (keepConjuncts.exists(_.references.exists(a =>
         arrPath == a.name || arrPath.startsWith(a.name + ".")))) return None
 
-    // the parent columns surviving above + any the kept filter needs
+    // the parent columns surviving above + any the kept filter needs +
+    // (under a carried Sample) the sample key's HEAD column — the later
+    // pushTableSample resolves the key against the UNWOUND relation's
+    // schema, and a pruned key would refuse the push, leaving Spark's
+    // Bernoulli to sample ELEMENTS where the source plan sampled parents
     val parentAttrs: Seq[AttributeReference] = {
       val needed = g.requiredChildOutput.map {
         case a: AttributeReference if rel.outputSet.contains(a) => a
@@ -212,7 +221,15 @@ object UnwindRelocate extends Rule[LogicalPlan] {
           return None
         case _ => return None
       }
-      val extra = AttributeSet(keepConjuncts.flatMap(_.references))
+      val sampleKeyHead: Option[AttributeReference] =
+        if (sampleNode.isEmpty) None
+        else Option(rel.options.get("sample_key"))
+          .map(_.split('.').head)
+          .flatMap(h => rel.output.collectFirst {
+            case a: AttributeReference if a.name == h => a
+          })
+      val extra = AttributeSet(
+        keepConjuncts.flatMap(_.references) ++ sampleKeyHead)
         .filterNot(needed.contains).toSeq.collect {
           case a: AttributeReference if rel.outputSet.contains(a) => a
         }

@@ -203,15 +203,14 @@ object BQuery {
     * (mongo's rule: `{$all: [[1,2]]}` matches a field EQUAL to `[1,2]`
     * as well as one containing it as an element). */
   final case class All(path: String, vs: Seq[BsonValue]) extends BQuery {
-    private def sameVal(a: BsonValue, b: BsonValue): Boolean =
-      a.typeOrder == b.typeOrder && BsonOrdering.compare(a, b) == 0
-    def matches(d: BDoc): Boolean = vs.nonEmpty &&
-      BQuery.resolvePath(d, path)._1.exists {
-        case arr @ BArray(items) =>
-          vs.forall(v => items.exists(sameVal(_, v)) ||
-            (v.isInstanceOf[BArray] && sameVal(arr, v)))
-        case single => vs.forall(sameVal(single, _))
-      }
+    // `$all` ≡ `$and` of per-value equality matches — each listed value
+    // may be satisfied by a DIFFERENT traversal slot/element (r15
+    // review fix: `{"m.p": {$all: [1,2]}}` matches `m=[{p:1},{p:2}]` on
+    // a live server), and each per-value match carries eqMatch's full
+    // rules (element containment, whole-array equality for array
+    // operands, null-matches-missing)
+    def matches(d: BDoc): Boolean =
+      vs.nonEmpty && vs.forall(v => BQuery.eqMatch(d, path, v))
   }
 
   /** Mongo `$elemMatch`: some element of the array field satisfies the

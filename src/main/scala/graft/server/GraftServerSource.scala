@@ -317,15 +317,14 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // the wire and this matcher. Struct-element SUBFIELD references
     // (`entry.lang` for explode(array<struct>)) are element-scoped too:
     // translated pre-unwind they would carry ∃-element semantics
-    val (elementFilters, docFilters0) = rest.partition(f =>
-      f.references.exists(r => graft.plans.UnwindRelocate.elementScoped(
-        r, unwindElement, options.get("unwind_pos"))))
     // null tests on ARRAY-typed columns stay residual (r15 latent-
     // divergence hunt): the wire form `{$eq/$ne: null}` element-matches
     // on a live server (`{p: null}` matches `p=[1,null]` and missing
     // fields), while Spark's IsNull/IsNotNull test the column value
     // itself — Spark re-checks residuals, so the cost is one codegen'd
-    // row test, never correctness
+    // row test, never correctness. Checked BEFORE the element split: an
+    // ARRAY-typed unwound ELEMENT (nested arrays) has the same problem
+    // in the post-unwind $match
     def arrayNullTest(f: Filter): Boolean = f match {
       case org.apache.spark.sql.sources.IsNull(a) =>
         FieldResolve.resolveName(tableSchema, a, mapping)
@@ -335,7 +334,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
           .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       case _ => false
     }
-    val (arrayNullFilters, docFilters) = docFilters0.partition(arrayNullTest)
+    val (arrayNullFilters, rest2) = rest.partition(arrayNullTest)
+    val (elementFilters, docFilters) = rest2.partition(f =>
+      f.references.exists(r => graft.plans.UnwindRelocate.elementScoped(
+        r, unwindElement, options.get("unwind_pos"))))
     val (postQ, postAccepted, postResidual) =
       FilterTranslator.split(elementFilters, mapping)
     unwindPost =

@@ -104,6 +104,44 @@ class AliasPullupSpec extends SparkSpec {
     assert(q.count() == (0 until 40).count(_ % 8 <= 4))
   }
 
+  test("semi/anti joins are out of scope (their output is the LEFT side only)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // a concatenated left++right restore-Project would reference right
+    // attributes a semi/anti join does not output — the rule must not
+    // fire (r15 review fix: this crashed at physical planning)
+    val oo = o(dir).select($"_id".as("okey"), $"custkey")
+    val cc = c(dir)
+    val semi = oo.join(cc, $"custkey" === cc("_id"), "left_semi")
+    assert(semi.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 40).filter(_ % 8 <= 4).map(_.toLong))
+    val anti = oo.join(cc, $"custkey" === cc("_id"), "left_anti")
+    assert(anti.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 40).filter(_ % 8 > 4).map(_.toLong))
+  }
+
+  test("a pulled rename of a non-nullable column stays NULL-testable above an outer join") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // count(*) is non-nullable below the join; after the pullup the
+    // alias must carry the JOIN's null-extended nullability, or
+    // NullPropagation folds isNull(n) to false and returns an empty
+    // result (r15 review fix)
+    val agg = c(dir).groupBy($"_id".as("ck"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"ck", $"cnt".as("n"))
+    val oo = o(dir)
+    val q = oo.join(agg, oo("custkey") === $"ck", "left_outer")
+      .filter($"n".isNull)
+      .select(oo("_id"))
+    // customers 0..4 exist; custkey = _id % 8, so keys 5..7 unmatched
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 40).filter(_ % 8 > 4).map(_.toLong),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("foreign (non-server) legs are never perturbed") {
     import spark.implicits._
     val dir = freshDir()

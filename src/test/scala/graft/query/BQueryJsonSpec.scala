@@ -291,6 +291,22 @@ class BQueryJsonSpec extends AnyFunSuite {
     assert(tyArr.matches(BDoc("p" -> BArray(Vector(BInt32(1))))))
   }
 
+  test("$all values may match via DIFFERENT slots ($and-of-equalities, r15 review fix)") {
+    // {"m.p": {$all: [1,2]}} on m=[{p:1},{p:2}]: each value satisfied by
+    // a different element — a live server matches
+    val q = BQueryJson.parse("""{"m.p": {"$all": [1, 2]}}""")
+    assert(q.matches(mdoc(BDoc("p" -> BInt32(1)), BDoc("p" -> BInt32(2)))))
+    assert(!q.matches(mdoc(BDoc("p" -> BInt32(1)))))
+    // per-element arrays too: m=[{p:[1]},{p:[2]}]
+    assert(q.matches(mdoc(
+      BDoc("p" -> BArray(Vector(BInt32(1)))),
+      BDoc("p" -> BArray(Vector(BInt32(2)))))))
+    // $all: [null] matches a missing field ({p: null} equivalence)
+    val n = BQueryJson.parse("""{"p": {"$all": [null]}}""")
+    assert(n.matches(BDoc("x" -> BInt32(1))))
+    assert(n.matches(BDoc("p" -> BNull)))
+  }
+
   test("the Spark-semantics Exists node never traverses (pushed-filter contract)") {
     // pushed IsNotNull(m.a) compiles to Exists — Spark row semantics
     // over schema-faithful storage; array-of-doc storage at m is a

@@ -329,6 +329,74 @@ class UnwindJoinSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty, s"got ${got.size} vs exp ${exp.size}")
   }
 
+  test("struct-element SUBFIELD TopN rides the unwound join's $sort tail") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, 10L, Seq(("en", 3), ("fr", 5))), (2L, 20L, Seq(("de", 9))))
+      .toDF("_id", "ck", "raw")
+      .select($"_id", $"ck", expr(
+        "transform(raw, x -> named_struct('lang', x._1, 'n', x._2))")
+        .as("entries"))
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((10L, "a"), (20L, "b")).toDF("_id", "name")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c"))
+      .option("id_column", "_id").mode("append").save()
+    val oo = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, ck LONG, entries ARRAY<STRUCT<lang: STRING, n: INT>>")
+      .load()
+    val cc = c(dir)
+    // ORDER BY a struct-element subfield over the unwound join: the
+    // nested order key resolves post-unwind (entries.n holds the
+    // element's n) and the $sort+$limit tail appends to the SAME
+    // pipeline — $unwind + $lookup + $sort + $limit, zero Spark
+    // Generate/Join/Sort operators below the final fold
+    val q = oo.join(cc, oo("ck") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name", explode(oo("entries")).as("entry"))
+      .orderBy($"entry.n".desc, $"okey".asc).limit(2)
+    val plan = planOf(q)
+    assert(plan.contains("PushedUnwind: entries") &&
+      plan.contains("PushedJoin: INNER db.c") &&
+      plan.contains("PushedTopN: ORDER BY entry.n DESC"), plan)
+    assert(!plan.contains("Generate") && !plan.contains("Join "), plan)
+    assert(q.collect().map(r => (r.getLong(0), r.getStruct(2).getInt(1)))
+      .toSeq == Seq((2L, 9), (1L, 5)))
+  }
+
+  test("foreign scalar-at-array-path storage unwinds through the join (mongo's rule)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // two writes with different schemas = mixed storage in ONE
+    // collection: docs 1/2 carry arrays, doc 3 a SCALAR at tags
+    Seq((1L, 10L, Seq("x", "y")), (2L, 20L, Seq("y")))
+      .toDF("_id", "custkey", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((3L, 10L, "solo")).toDF("_id", "custkey", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((10L, "alice"), (20L, "bob")).toDF("_id", "name")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c"))
+      .option("id_column", "_id").mode("append").save()
+    val oo = o(dir)
+    val cc = c(dir)
+    val q = oo.join(cc, oo("custkey") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name", explode(oo("tags")).as("tag"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedUnwind"),
+      q.queryExecution.executedPlan.toString)
+    // the pushed $unwind passes the scalar through as a one-element row
+    // (the same rule the plain unwound scan pins) — through the join too
+    assert(q.collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq ==
+      Seq((1L, "x"), (1L, "y"), (2L, "y"), (3L, "solo")))
+  }
+
   test("posexplode over the join keeps original indices; chain composes a 3rd collection") {
     import spark.implicits._
     val dir = freshDir()

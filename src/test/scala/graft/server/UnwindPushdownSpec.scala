@@ -521,6 +521,65 @@ class UnwindPushdownSpec extends SparkSpec {
       .sorted.toSeq == Seq((1L, 3), (3L, 9)))
   }
 
+  test("a carried Sample keeps its UNREQUESTED key in the unwound schema (parent-atomic)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // _id (the sample key) is NOT selected: the relocation must still
+    // keep it in the unwound relation's schema, or pushTableSample would
+    // refuse and Spark's Bernoulli would sample ELEMENTS where the
+    // source plan sampled PARENTS (r15 review fix)
+    val s = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs",
+        "sample_key" -> "_id"))
+      .schema("_id LONG, name STRING, v INT, tags ARRAY<STRING>").load()
+      .sample(withReplacement = false, 0.5, seed = 42L)
+      .select(explode($"tags").as("tag"))
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind") && plan.contains("PushedSample"),
+      plan)
+    assert(!plan.contains("Sample ("), s"no Spark Sample node:\n$plan")
+    // parent atomicity: the kept tag multiset is a UNION of whole
+    // parents' tag lists (every parent contributes all or none)
+    val all = t(dir).select($"_id", explode($"tags").as("tag"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).sorted.toSeq).toMap
+    val kept = s.collect().map(_.getString(0)).sorted.toSeq
+    val parentSubsets = all.values.toSeq
+    // check: kept equals the concatenation of SOME subset of parents
+    val matching = (0 until (1 << parentSubsets.size)).exists { mask =>
+      val sel = parentSubsets.zipWithIndex
+        .filter { case (_, i) => (mask & (1 << i)) != 0 }
+        .flatMap(_._1).sorted
+      sel == kept
+    }
+    assert(matching, s"kept=$kept is not a union of whole parents: $all")
+  }
+
+  test("ARRAY-typed unwound ELEMENT null tests stay residual (nested arrays)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq(
+      (1L, Seq(Seq(1L, 2L), null.asInstanceOf[Seq[Long]])),
+      (2L, Seq(Seq(3L))))
+      .toDF("_id", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nest2"))
+      .option("id_column", "_id").mode("append").save()
+    val t2 = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nest2"))
+      .schema("_id LONG, tags ARRAY<ARRAY<LONG>>").load()
+    val q = t2.select($"_id", explode_outer($"tags").as("el"))
+      .filter($"el".isNotNull)
+    val plan = q.queryExecution.executedPlan.toString
+    // the wire {$ne: null} would element-match on a live server — the
+    // filter must re-check above the scan, never enter PostUnwindMatch
+    assert(!plan.contains("PostUnwindMatch"),
+      s"array-element null test must not push:\n$plan")
+    assert(plan.contains("Filter"), plan)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("find()-mode cursor projections carry no prefix-overlapping paths") {
     import spark.implicits._
     val dir = freshDir()

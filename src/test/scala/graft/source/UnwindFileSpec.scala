@@ -300,4 +300,34 @@ class UnwindFileSpec extends SparkSpec {
     assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("en" -> 14L, "fr" -> 6L, "de" -> 4L))
   }
+
+  test("explode over a join of FILE scans relocates into the leg (join stays Spark)") {
+    import spark.implicits._
+    // the file transport has no $lookup, so the JOIN itself never
+    // pushes — but the unwind transpose still relocates the Generate
+    // into the driving leg's scan (the array crosses the reader once,
+    // per-element rows feed Spark's join)
+    val dir = freshDir()
+    seed(dir)
+    val cdir = freshDir()
+    Seq((10L, "ten"), (20L, "twenty"), (30L, "thirty"), (40L, "forty"),
+        (50L, "fifty"))
+      .toDF("_id", "vname")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(cdir)
+    val oo = t(dir)
+    val cc = spark.read.format("graftbson")
+      .schema("_id LONG, vname STRING").load(cdir)
+    val q = oo.join(cc, oo("v") === cc("_id"))
+      .select(oo("_id").as("okey"), $"vname", explode(oo("tags")).as("tag"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"the unwind must relocate into the file leg:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"),
+      s"the join itself stays in Spark on the file transport:\n$plan")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq ==
+      Seq((1L, "ten", "x"), (1L, "ten", "y"), (2L, "twenty", "y"),
+        (5L, "fifty", "x"), (5L, "fifty", "x"), (5L, "fifty", "z")))
+  }
 }
