@@ -329,6 +329,57 @@ class UnwindJoinSpec extends SparkSpec {
     assert(got == exp && got.nonEmpty, s"got ${got.size} vs exp ${exp.size}")
   }
 
+  test("struct-element SUBFIELD group keys and RESIDUAL element filters compose over the unwound join") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, 10L, Seq(("en", 3), ("fr", 5))), (2L, 20L, Seq(("de", 9), ("en", 2))))
+      .toDF("_id", "ck", "raw")
+      .select($"_id", $"ck", expr(
+        "transform(raw, x -> named_struct('lang', x._1, 'n', x._2))")
+        .as("entries"))
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((10L, "a"), (20L, "b")).toDF("_id", "name")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c"))
+      .option("id_column", "_id").mode("append").save()
+    val oo = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.o",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, ck LONG, entries ARRAY<STRUCT<lang: STRING, n: INT>>")
+      .load()
+    val cc = c(dir)
+    // GROUP BY (parent, element-subfield): ONE
+    // $unwind+$lookup+$group pipeline, subfield key resolved through
+    // the element mapping against the joined output
+    val g = oo.join(cc, oo("ck") === cc("_id"))
+      .select($"name", explode(oo("entries")).as("entry"))
+      .groupBy($"name", $"entry.lang".as("lang")).agg(sum($"entry.n").as("s"))
+    val gPlan = planOf(g)
+    assert(gPlan.contains("PushedUnwind: entries") &&
+      gPlan.contains("PushedJoin: INNER db.c") &&
+      gPlan.contains("PushedGroupedAggregate: GROUP BY name, entry.lang"),
+      gPlan)
+    assert(!gPlan.contains("Generate") && !gPlan.contains("Join "), gPlan)
+    assert(g.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq(("a", "en", 3L), ("a", "fr", 5L), ("b", "de", 9L), ("b", "en", 2L)))
+
+    // an UNTRANSLATABLE element predicate hoists to a recheck Filter
+    // ABOVE the still-pushed unwound join (ResidualJoinHoist composes)
+    val r = oo.join(cc, oo("ck") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name", explode(oo("entries")).as("entry"))
+      .filter(length($"entry.lang") + $"entry.n" > 4)
+    val rPlan = planOf(r)
+    assert(rPlan.contains("PushedUnwind: entries") &&
+      rPlan.contains("PushedJoin: INNER db.c") &&
+      rPlan.contains("recheck("), rPlan)
+    assert(!rPlan.contains("Generate") && !rPlan.contains("Join "), rPlan)
+    assert(r.collect().map(x => (x.getLong(0), x.getStruct(2).getString(0)))
+      .sorted.toSeq == Seq((1L, "en"), (1L, "fr"), (2L, "de")))
+  }
+
   test("struct-element SUBFIELD TopN rides the unwound join's $sort tail") {
     import spark.implicits._
     val dir = freshDir()
