@@ -54,6 +54,14 @@ object RowCodec {
     case (BArray(items), ArrayType(et, _)) =>
       new GenericArrayData(items.map(i => toCatalyst(i, et)).toArray)
     case (d: BDoc, st: StructType) => toRow(d, st)
+    // MAP columns (r15): BSON has no map type — a map<string, V> column
+    // stores as a SUBDOCUMENT (field per key, insertion order kept),
+    // the MongoDB convention for dynamic keys. Non-string key types
+    // never reach here (the write side refuses them loudly).
+    case (d: BDoc, MapType(StringType, vt, _)) =>
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        d.fields.keysIterator.map(UTF8String.fromString).toArray[Any],
+        d.fields.valuesIterator.map(toCatalyst(_, vt)).toArray[Any])
     case (other, t) =>
       throw new IllegalArgumentException(s"cannot read BSON $other as Spark type $t")
   }
@@ -90,6 +98,23 @@ object RowCodec {
     case (x: ArrayData, ArrayType(et, _)) =>
       BArray(x.toObjectArray(et).map(e => fromCatalyst(e, et)).toVector)
     case (r: InternalRow, st: StructType) => toBson(r, st)
+    case (m: org.apache.spark.sql.catalyst.util.MapData, MapType(kt, vt, _)) =>
+      // map<string, V> -> subdocument; BSON field names are strings, so
+      // any other key type refuses loudly (never silently stringified)
+      if (kt != StringType) throw new IllegalArgumentException(
+        s"cannot write map key type $kt as BSON field names (string keys only)")
+      else {
+        val ks = m.keyArray.toObjectArray(kt)
+        val vs = m.valueArray.toObjectArray(vt)
+        val b = ListMap.newBuilder[String, BsonValue]
+        var i = 0
+        while (i < ks.length) {
+          b += ks(i).asInstanceOf[UTF8String].toString ->
+            (if (vs(i) == null) BNull else fromCatalyst(vs(i), vt))
+          i += 1
+        }
+        BDoc(b.result())
+      }
     case (x: org.apache.spark.sql.types.Decimal, _: DecimalType) => BDouble(x.toDouble)
     case (other, t) =>
       throw new IllegalArgumentException(s"cannot write Spark $t value $other as BSON")

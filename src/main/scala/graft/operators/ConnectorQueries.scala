@@ -1994,6 +1994,75 @@ object ConnectorQueries {
         |  SELECT o_orderkey % 1000 FROM orders)
         |JOIN customer ON ref = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // MAP explode pushdown, SERVER (r15): per-doc metric MAPS — the
+    // dynamic-keys shape corpus metadata actually takes — store as
+    // subdocuments and `explode(mapCol)` compiles to the scan's
+    // `$objectToArray`+`$unwind` directive; the value filter is the
+    // POST-unwind `$match` and GROUP BY key folds in ONE pipeline per
+    // namespace (MapUnwindSpec pins shapes, the empty/null-map OUTER
+    // rows, and the non-document fail-loud rule).
+    CatalogQuery(
+      "q164_server_unwind_map",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.uwmap",
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", map(
+            lit("nc"), $"n_chars",
+            lit("lt"), (length($"text") % 97L).cast("long")).as("metrics"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, metrics MAP<STRING, LONG>")
+          .load()
+          .select(explode($"metrics"))
+          .filter($"value" >= 10L)
+          .groupBy($"key".as("metric"))
+          .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+          .orderBy($"metric".asc_nulls_first)
+      },
+      Some("""
+        |SELECT metric, count(*) AS n, CAST(sum(v) AS BIGINT) AS total
+        |FROM (
+        |  SELECT 'nc' AS metric, n_chars AS v FROM documents
+        |  UNION ALL
+        |  SELECT 'lt', length(text) % 97 FROM documents)
+        |WHERE v >= 10 GROUP BY 1 ORDER BY metric ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // MAP explode pushdown, FILE transport (r15): same rewrite — the
+    // per-split grouped partials fold over kv entry docs.
+    CatalogQuery(
+      "q165_file_unwind_map",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", map(
+            lit("nc"), $"n_chars",
+            lit("lt"), (length($"text") % 97L).cast("long")).as("metrics"))
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .schema("_id LONG, metrics MAP<STRING, LONG>")
+          .load(dir)
+          .select(explode($"metrics"))
+          .filter($"value" >= 10L)
+          .groupBy($"key".as("metric"))
+          .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+          .orderBy($"metric".asc_nulls_first)
+      },
+      Some("""
+        |SELECT metric, count(*) AS n, CAST(sum(v) AS BIGINT) AS total
+        |FROM (
+        |  SELECT 'nc' AS metric, n_chars AS v FROM documents
+        |  UNION ALL
+        |  SELECT 'lt', length(text) % 97 FROM documents)
+        |WHERE v >= 10 GROUP BY 1 ORDER BY metric ASC NULLS FIRST
         |""".stripMargin))
   )
 }

@@ -71,8 +71,15 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     else plan.transformUp {
       case g @ Generate(Explode(arr), _, outer, _, Seq(elOut), _) =>
         relocate(g, arr, outer, elOut, None).getOrElse(g)
-      case g @ Generate(PosExplode(arr), _, outer, _, Seq(posOut, elOut), _) =>
+      case g @ Generate(PosExplode(arr), _, outer, _, Seq(posOut, elOut), _)
+          if !arr.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
         relocate(g, arr, outer, elOut, Some(posOut)).getOrElse(g)
+      // MAP explode (r15): two generator outputs (key, value) — the
+      // scan's `$objectToArray`+`$unwind` directive; posexplode of maps
+      // (three outputs) stays in Spark
+      case g @ Generate(Explode(m), _, outer, _, Seq(keyOut, valOut), _)
+          if m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        rewrite(g, m, outer, valOut, None, mapKey = Some(keyOut)).getOrElse(g)
     }
   }
 
@@ -86,6 +93,13 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     * analog); the pos column rides `column_mapping` to it. */
   val PosDocField = "__graft_pos"
 
+  /** The synthetic doc field a pushed MAP explode materializes each
+    * entry into — the wire form is `$set: {__graft_kv: {$objectToArray:
+    * "$m"}}` then `$unwind: "$__graft_kv"`, so the key column rides
+    * `column_mapping` to `__graft_kv.k` and the value column to
+    * `__graft_kv.v`; the readers inject the same shape per entry. */
+  val KvDocField = "__graft_kv"
+
   /** True when a pushed-filter reference is scoped to the unwound
     * ELEMENT: the element column itself, one of its struct subfields
     * (for `explode(array<struct>)` a filter arrives on `entry.lang`),
@@ -96,12 +110,15 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     * ∃-element match semantics and keep every element of any parent
     * with one matching element. */
   def elementScoped(ref: String, element: Option[String],
-      pos: Option[String]): Boolean =
+      pos: Option[String], key: Option[String] = None): Boolean =
     element.exists(e => ref == e || ref.startsWith(e + ".")) ||
-      pos.contains(ref)
+      pos.contains(ref) || key.contains(ref)
 
   private def rewrite(g: Generate, arr0: Expression, outer: Boolean,
-      elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] = {
+      elOut: Attribute, posOut: Option[Attribute],
+      /** Some(keyColumn) = MAP explode: `arr0` is a map<string, V>
+        * column; `elOut` binds the VALUE, `mapKey` the KEY. */
+      mapKey: Option[Attribute] = None): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.plans.logical.Sample
     // peel the leg ITERATIVELY — the fixed-point batch interleaves
     // ColumnPruning / PushDownPredicates, so Projects, Filters, and a
@@ -150,8 +167,12 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     if (!plOk) return None
 
     val arr = inline(arr0)
-    val elementType = arr.dataType match {
-      case ArrayType(et, _) => et
+    // array mode: the element type; MAP mode: the VALUE type (string
+    // keys only — BSON subdocument field names ARE the map keys)
+    val elementType = (arr.dataType, mapKey) match {
+      case (ArrayType(et, _), None) => et
+      case (org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, vt, _), Some(_)) => vt
       case _ => return None
     }
     val arrPath = docPathOf(arr, rel).getOrElse(return None)
@@ -190,6 +211,14 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     if (posOut.exists(p => rel.schema.fieldNames.contains(p.name) ||
         p.name == elOut.name || existing.valuesIterator.contains(PosDocField) ||
         rel.schema.fieldNames.contains(PosDocField)))
+      return None
+    // MAP explode: the key column and the synthetic kv field must be
+    // free, same clobber rules as the pos field
+    if (mapKey.exists(k => rel.schema.fieldNames.contains(k.name) ||
+        k.name == elOut.name ||
+        existing.valuesIterator.exists(v =>
+          v == KvDocField || v.startsWith(KvDocField + ".")) ||
+        rel.schema.fieldNames.contains(KvDocField)))
       return None
 
     // drop the conjuncts $unwind itself implies for a non-outer explode
@@ -238,9 +267,17 @@ object UnwindRelocate extends Rule[LogicalPlan] {
 
     val newSchema = StructType(
       parentAttrs.map(a => StructField(a.name, a.dataType)) ++
-        posOut.map(p => StructField(p.name, p.dataType)) :+
+        posOut.map(p => StructField(p.name, p.dataType)) ++
+        mapKey.map(k => StructField(k.name,
+          org.apache.spark.sql.types.StringType)) :+
         StructField(elOut.name, elementType))
-    val newMapping = existing + (elOut.name -> mappedPath) ++
+    // array mode: the element column maps to the array path (post-unwind
+    // it holds the element); MAP mode: the key/value columns map to the
+    // synthetic kv entry the readers/pipelines materialize per entry
+    val newMapping = existing ++
+      (if (mapKey.isEmpty) Map(elOut.name -> mappedPath)
+       else Map(elOut.name -> (KvDocField + ".v"),
+         mapKey.get.name -> (KvDocField + ".k"))) ++
       posOut.map(p => p.name -> PosDocField)
     val mappingJson = {
       import org.json4s.JsonDSL._
@@ -254,7 +291,9 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       "unwind_path" -> mappedPath,
       "unwind_element" -> elOut.name,
       "unwind_outer" -> outer.toString) ++
-      posOut.map(p => "unwind_pos" -> p.name)).asJava)
+      posOut.map(p => "unwind_pos" -> p.name) ++
+      mapKey.map(k => "unwind_kind" -> "map") ++
+      mapKey.map(k => "unwind_key" -> k.name)).asJava)
     val newTable: org.apache.spark.sql.connector.catalog.Table =
       if (isServer) new graft.server.GraftServerTable(newSchema, newOpts.asScala.toMap)
       else new graft.source.GraftTable(newSchema, newOpts.asScala.toMap)
@@ -262,8 +301,10 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       nullable = true)(exprId = elOut.exprId)
     val posAttr = posOut.map(p => AttributeReference(p.name, p.dataType,
       nullable = true)(exprId = p.exprId))
+    val keyAttr = mapKey.map(k => AttributeReference(k.name,
+      org.apache.spark.sql.types.StringType, nullable = true)(exprId = k.exprId))
     val newRel = rel.copy(table = newTable,
-      output = parentAttrs ++ posAttr :+ elAttr, options = newOpts)
+      output = parentAttrs ++ posAttr ++ keyAttr :+ elAttr, options = newOpts)
     // the Sample node re-wraps the unwound relation in its original
     // position (Filter stays above it, as in the source plan)
     val withSample = sampleNode
@@ -271,7 +312,7 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     val withFilter = keepConjuncts.reduceOption(And)
       .map(Filter(_, withSample)).getOrElse(withSample)
     val out: Seq[NamedExpression] =
-      g.requiredChildOutput ++ posAttr :+ elAttr
+      g.requiredChildOutput ++ posAttr ++ keyAttr :+ elAttr
     Some(
       if (withFilter.output == g.output) withFilter
       else Project(out, withFilter))

@@ -241,7 +241,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       // other post-unwind field (readers remap its int64 to the pos
       // column's IntegerType)
       options.get("unwind_pos").map(_ =>
-        graft.plans.UnwindRelocate.PosDocField)))
+        graft.plans.UnwindRelocate.PosDocField),
+      // MAP explode (r15): $objectToArray + $unwind of the synthetic kv
+      // field; key/value columns read __graft_kv.k/.v via their mapping
+      mapKv = options.get("unwind_kind").contains("map")))
   private val unwindElement: Option[String] = options.get("unwind_element")
   /** POST-unwind query (accepted element-column filters). */
   private var unwindPost: BQuery = BQuery.True
@@ -337,7 +340,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val (arrayNullFilters, rest2) = rest.partition(arrayNullTest)
     val (elementFilters, docFilters) = rest2.partition(f =>
       f.references.exists(r => graft.plans.UnwindRelocate.elementScoped(
-        r, unwindElement, options.get("unwind_pos"))))
+        r, unwindElement, options.get("unwind_pos"),
+        options.get("unwind_key"))))
     val (postQ, postAccepted, postResidual) =
       FilterTranslator.split(elementFilters, mapping)
     unwindPost =
@@ -704,6 +708,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       joined.isEmpty && !options.contains("limit") &&
       !options.contains("sort") &&
       GraftServerSource.nsList(options).size == 1 &&
+      // MAP unwinds do not drive joins yet (v1 scope; the kv entry's
+      // wire shape composes, but the key/value projection plumbing
+      // through lookupStages is unexercised — refuse, Spark joins the
+      // unwound scan instead)
+      unwind.forall(!_.mapKv) &&
       (unwind.isEmpty || {
         val post = QueryDocs.plan(unwindPost)
         post.isExact && post.keyBounds.isEmpty
@@ -1083,7 +1092,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * semantics the pipeline cannot honor).
     */
   private def unwoundTailOk: Boolean =
-    unwind.isDefined && residuals.isEmpty &&
+    unwind.isDefined && unwind.forall(!_.mapKv) && residuals.isEmpty &&
       !options.contains("sort") && !options.contains("limit") && {
         val pre = QueryDocs.plan(
           BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
@@ -1105,7 +1114,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * to a null-matching post query).
     */
   private def unwindPrune: BQuery = {
-    val safe = unwind.exists(u => !u.preserveNullAndEmpty) &&
+    val safe = unwind.exists(u => !u.preserveNullAndEmpty && !u.mapKv) &&
       unwindElement.forall(e => tableSchema.fields.find(_.name == e).forall(
         _.dataType match {
           case _: org.apache.spark.sql.types.ArrayType |
@@ -1667,6 +1676,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
         s" PushedTopN: ORDER BY $order LIMIT $n"
       }.getOrElse("") +
       unwind.map(u => s" PushedUnwind: ${u.path}" +
+        (if (u.mapKv) " MAP" else "") +
         (if (u.preserveNullAndEmpty) " OUTER" else "") +
         (if (unwindPost == BQuery.True) ""
          else s" PostUnwindMatch: $unwindPost") +
@@ -1979,12 +1989,17 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         // excluded, then ancestor-overlaps pruned: a live server rejects
         // prefix-overlapping inclusion projections ("Path collision")
         projection = Some(GraftServerSource.pruneProjection(
-          parentSchema.fieldNames.map(n => mapping.getOrElse(n, n)).toSeq ++
+          (parentSchema.fieldNames.map(n => mapping.getOrElse(n, n)).toSeq ++
           unwind.map(_.path) ++
           BQuery.fieldPaths(unwindPost).toSeq.sorted.filterNot(fp =>
             unwind.exists(u => fp == u.path || fp.startsWith(u.path + ".") ||
               fp == graft.plans.UnwindRelocate.PosDocField)) ++
-          sample.map(_.key))),
+          sample.map(_.key))
+          // the synthetic kv entry of a MAP unwind is injected
+          // reader-side — never a stored field a find() could project
+          .filterNot(p =>
+            p == graft.plans.UnwindRelocate.KvDocField ||
+            p.startsWith(graft.plans.UnwindRelocate.KvDocField + ".")))),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
         sortAscBy = topN.map(_._1.head._1).orElse(options.get("sort")),
@@ -2012,6 +2027,15 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     // element AT the unwound path (the element column's mapping entry
     // points there, so the plain decode reads it)
     case None => cursor.map(d => RowCodec.toRow(d, decodeSchema, mapping))
+    // MAP explode (r15): per-entry kv docs via the shared expansion
+    // (key/value columns decode through their __graft_kv.k/.v mapping
+    // entries); the post-unwind match evaluates on the same docs
+    case Some(u) if u.mapKv =>
+      cursor.flatMap { d =>
+        FakeServerClient.unwindDocs(d, u)
+          .filter(kd => unwindPost == BQuery.True || unwindPost.matches(kd))
+          .map(kd => RowCodec.toRow(kd, decodeSchema, mapping))
+      }
     case Some(u) =>
       cursor.flatMap { d =>
         val parent = RowCodec.toRow(d, parentSchema, mapping)

@@ -416,6 +416,23 @@ object QueryDocs {
       "preserveNullAndEmptyArrays" -> (BBool(u.preserveNullAndEmpty): BsonValue)) ++
       u.posField.map(f => "includeArrayIndex" -> (BString(f): BsonValue))): _*)
 
+  /** The unwind as a STAGE SEQUENCE: one `$unwind` for arrays; for a
+    * MAP explode (r15), `$set: {__graft_kv: {$objectToArray: "$path"}}`
+    * followed by `$unwind: "$__graft_kv"` — each result doc carries one
+    * `{k, v}` entry, which the key/value columns read through their
+    * column_mapping entries. */
+  def unwindStageSeq(u: ServerClient.Unwind): Seq[BDoc] =
+    if (!u.mapKv) Seq(BDoc("$unwind" -> unwindBody(u)))
+    else {
+      val kv = graft.plans.UnwindRelocate.KvDocField
+      Seq(
+        BDoc("$set" -> BDoc(kv ->
+          BDoc("$objectToArray" -> BString("$" + u.path)))),
+        BDoc("$unwind" -> BDoc(
+          "path" -> BString("$" + kv),
+          "preserveNullAndEmptyArrays" -> BBool(u.preserveNullAndEmpty))))
+    }
+
   def groupStages(matchDoc: BDoc, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
       unwind: Option[ServerClient.Unwind] = None,
@@ -429,7 +446,7 @@ object QueryDocs {
     // with $unwind and runs FIRST — fewer docs enter the unwind; the
     // POST $match filters the element itself (post-unwind the path
     // holds the element) between $unwind and $group
-    val uw = unwind.map(u => BDoc("$unwind" -> unwindBody(u))).toSeq
+    val uw = unwind.toSeq.flatMap(unwindStageSeq)
     val post =
       if (postMatchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> postMatchDoc))
@@ -450,7 +467,7 @@ object QueryDocs {
     val pre =
       if (matchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> matchDoc))
-    val uw = Seq(BDoc("$unwind" -> unwindBody(u)))
+    val uw = unwindStageSeq(u)
     val post =
       if (postMatchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> postMatchDoc))
@@ -593,7 +610,7 @@ object QueryDocs {
       unwindPostDoc: BDoc = BDoc.empty): Seq[BDoc] =
     (if (leftMatch.fields.isEmpty) Seq.empty
      else Seq(BDoc("$match" -> leftMatch))) ++
-      unwind.map(u => BDoc("$unwind" -> unwindBody(u))).toSeq ++
+      unwind.toSeq.flatMap(unwindStageSeq) ++
       (if (unwindPostDoc.fields.isEmpty) Seq.empty
        else Seq(BDoc("$match" -> unwindPostDoc))) ++
       Seq(BDoc("$project" -> aliasProjection(leftProject))) ++

@@ -225,9 +225,13 @@ object ServerClient {
     * and mongo's `preserveNullAndEmptyArrays` flag (explode_outer).
     * `posField` = mongo's `includeArrayIndex` — the element's ORIGINAL
     * index lands in that field as int64 (NumberLong), null for
-    * null/empty/non-array parents; posexplode's pos column reads it. */
+    * null/empty/non-array parents; posexplode's pos column reads it.
+    * `mapKv` (r15) = a MAP explode: the wire renders `$set:
+    * {__graft_kv: {$objectToArray: "$path"}}` then unwinds THAT field
+    * — each entry doc carries `{k, v}`, which the key/value columns
+    * read through their column_mapping entries. */
   final case class Unwind(path: String, preserveNullAndEmpty: Boolean,
-      posField: Option[String] = None)
+      posField: Option[String] = None, mapKv: Boolean = false)
 }
 
 object LookupJoin {
@@ -499,8 +503,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     tick("groupAggregate")
     val matched = coll(ns).readAll().filter(query.matches)
     val rows = unwind match {
-      case Some(u) => matched.flatMap(d =>
-        FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty, u.posField))
+      case Some(u) => matched.flatMap(d => FakeServerClient.unwindDocs(d, u))
       case None => matched
     }
     val post =
@@ -517,8 +520,8 @@ final class FakeServerClient(rootDir: Option[String] = None)
       skip: Long, limit: Long,
       projection: Option[Seq[String]]): Iterator[BDoc] = {
     tick("unwoundRead")
-    val unwound = coll(ns).readAll().filter(query.matches).flatMap(d =>
-      FakeServerClient.unwindDoc(d, u.path, u.preserveNullAndEmpty, u.posField))
+    val unwound = coll(ns).readAll().filter(query.matches)
+      .flatMap(d => FakeServerClient.unwindDocs(d, u))
     val post =
       if (postQuery == BQuery.True) unwound
       else unwound.filter(postQuery.matches)
@@ -564,8 +567,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     val matched = coll(ns).readAll().filter(j.leftQuery.matches)
     val driving = j.unwind match {
       case Some(u) =>
-        val unwound = matched.flatMap(d => FakeServerClient.unwindDoc(
-          d, u.path, u.preserveNullAndEmpty, u.posField))
+        val unwound = matched.flatMap(d => FakeServerClient.unwindDocs(d, u))
         if (j.unwindPost == BQuery.True) unwound
         else unwound.filter(j.unwindPost.matches)
       case None => matched
@@ -770,6 +772,30 @@ object FakeServerClient {
     * `preserveNullAndEmptyArrays`); a NON-array value passes the doc
     * unchanged (mongo treats it as a one-element array).
     */
+  /** [[ServerClient.Unwind]]-dispatched unwind: the array form or the
+    * MAP form (`$objectToArray` + `$unwind` — one entry doc per field,
+    * `__graft_kv = {k, v}`; a non-document value at the path throws,
+    * exactly like a real server's `$objectToArray`). */
+  private[server] def unwindDocs(d: BDoc, u: ServerClient.Unwind): Seq[BDoc] =
+    if (!u.mapKv) unwindDoc(d, u.path, u.preserveNullAndEmpty, u.posField)
+    else d.getPath(u.path) match {
+      case Some(sub: BDoc) if sub.fields.nonEmpty =>
+        sub.fields.toSeq.map { case (k, v) =>
+          graft.query.Updates.setField(d,
+            graft.plans.UnwindRelocate.KvDocField,
+            BDoc("k" -> BString(k), "v" -> v))
+        }
+      case Some(_: BDoc) => // empty map: $objectToArray -> [] -> $unwind
+        if (u.preserveNullAndEmpty) Seq(d) else Nil
+      case Some(BNull) | None =>
+        if (u.preserveNullAndEmpty) Seq(d) else Nil
+      case Some(other) =>
+        // a real server's $objectToArray errors on non-objects —
+        // fail-loud mixed-storage parity
+        throw new IllegalArgumentException(
+          s"$$objectToArray requires a document at ${u.path}, got $other")
+    }
+
   private[server] def unwindDoc(d: BDoc, path: String,
       preserve: Boolean, posField: Option[String] = None): Seq[BDoc] = {
     // includeArrayIndex: int64 index on array elements (a real server

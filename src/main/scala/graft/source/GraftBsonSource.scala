@@ -338,7 +338,9 @@ object SamplePush {
   def keyAllowedUnderUnwind(docPath: String, unwindPath: Option[String]): Boolean =
     unwindPath.forall(p =>
       docPath != p && !docPath.startsWith(p + ".") &&
-        docPath != graft.plans.UnwindRelocate.PosDocField)
+        docPath != graft.plans.UnwindRelocate.PosDocField &&
+        docPath != graft.plans.UnwindRelocate.KvDocField &&
+        !docPath.startsWith(graft.plans.UnwindRelocate.KvDocField + "."))
 
   /** Canonical key rendering: integers in decimal (int32 and int64
     * storages of one value render identically — SQL `CAST(k AS VARCHAR)`
@@ -421,7 +423,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
       options.getOrElse("unwind_element", pth),
       options.get("unwind_outer").exists(_.toBoolean),
       // the pos COLUMN maps to the injected doc field (PosDocField)
-      options.get("unwind_pos").map(c => mapping.getOrElse(c, c))))
+      options.get("unwind_pos").map(c => mapping.getOrElse(c, c)),
+      mapKv = options.get("unwind_kind").contains("map")))
   /** POST-unwind query (accepted element-column filters). */
   private var unwindPost: BQuery = BQuery.True
 
@@ -446,7 +449,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // POST-unwind query (the reader injects pos before evaluating it)
     val (elementFilters, docFilters) = rest.partition(f =>
       f.references.exists(r => graft.plans.UnwindRelocate.elementScoped(
-        r, options.get("unwind_element"), options.get("unwind_pos"))))
+        r, options.get("unwind_element"), options.get("unwind_pos"),
+        options.get("unwind_key"))))
     val (postQ, postAccepted, postResidual) =
       FilterTranslator.split(elementFilters, mapping)
     unwindPost = postQ
@@ -895,7 +899,13 @@ final case class UnwindSpec(path: String, element: String, outer: Boolean,
       * INDEX into (`$unwind includeArrayIndex` analog) — the pos column
       * reads it through its `column_mapping` entry. Missing (→ null) for
       * null/empty/non-array parents, mongo's rule. */
-    posField: Option[String] = None)
+    posField: Option[String] = None,
+    /** MAP explode (r15): the reader injects one `__graft_kv = {k, v}`
+      * entry doc per field of the subdocument at `path`; key/value
+      * columns read it through their `column_mapping` entries. A
+      * non-document value at the path throws (the `$objectToArray`
+      * fail-loud rule). */
+    mapKv: Boolean = false)
 
 object ColumnMapping {
   /** Parse {"sparkCol": "doc.field", ...}. */
@@ -1049,6 +1059,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           s"$k ${if (desc) "DESC" else "ASC"}" }.mkString(", ")
         s", PushedTopN: $order LIMIT ${limit.getOrElse(-1)}" }.getOrElse("") +
       unwind.map(u => s", PushedUnwind: ${u.path}" +
+        (if (u.mapKv) " MAP" else "") +
         (if (u.outer) " OUTER" else "") +
         (if (unwindPost == BQuery.True) ""
          else s" PostUnwindMatch: $unwindPost")).getOrElse("")
@@ -1811,7 +1822,25 @@ final class GraftPartitionReader(p: GraftInputPartition,
         case None => d
       }
       val unwound = parents.flatMap { d =>
-        d.getPath(u.path) match {
+        if (u.mapKv) d.getPath(u.path) match {
+          // MAP explode: one kv entry doc per field of the subdocument
+          // ($objectToArray + $unwind semantics; key/value columns read
+          // __graft_kv.k/.v via column_mapping)
+          case Some(sub: BDoc) if sub.fields.nonEmpty =>
+            sub.fields.iterator.map { case (k, v) =>
+              graft.query.Updates.setField(d,
+                graft.plans.UnwindRelocate.KvDocField,
+                BDoc("k" -> BString(k), "v" -> v))
+            }
+          case Some(_: BDoc) => // empty map
+            if (u.outer) Iterator.single(d) else Iterator.empty
+          case Some(BNull) | None =>
+            if (u.outer) Iterator.single(d) else Iterator.empty
+          case Some(other) =>
+            // $objectToArray errors on non-objects — fail-loud parity
+            throw new IllegalArgumentException(
+              s"$$objectToArray requires a document at ${u.path}, got $other")
+        } else d.getPath(u.path) match {
           case Some(BArray(items)) if items.nonEmpty =>
             items.iterator.zipWithIndex.map { case (el, i) =>
               withPos(graft.query.Updates.setField(d, u.path, el), i) }

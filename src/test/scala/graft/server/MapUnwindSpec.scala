@@ -1,0 +1,168 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** MAP explode pushdown (r15): `explode(mapCol)` over a graft scan
+  * becomes the scan's `$objectToArray`+`$unwind` directive — one kv
+  * entry doc per field crosses the decode, the key/value columns read
+  * `__graft_kv.k/.v` through column_mapping, key/value filters render
+  * as the POST-unwind `$match`, and GROUP BY key folds in ONE pipeline
+  * per namespace. BSON has no map type: a map<string, V> column stores
+  * as a SUBDOCUMENT (the MongoDB convention for dynamic keys), so this
+  * also pins the r15 MapType codec. Refusals: joins (v1), pushed tails
+  * on the server (the unwound ROW pipeline stays array-only for now),
+  * non-document storage at the path (fail-loud, the `$objectToArray`
+  * rule).
+  */
+class MapUnwindSpec extends SparkSpec {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-muw").toString
+
+  private def seed(dir: String, ns: String = "db.docs"): Unit = {
+    import spark.implicits._
+    Seq(
+      (1L, Map("en" -> 3L, "fr" -> 5L)),
+      (2L, Map("de" -> 9L)),
+      (3L, Map.empty[String, Long]),
+      (4L, null.asInstanceOf[Map[String, Long]]))
+      .toDF("_id", "langs")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> ns))
+      .option("id_column", "_id").mode("append").save()
+  }
+
+  private def t(dir: String, extra: (String, String)*): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs") ++ extra)
+      .schema("_id LONG, langs MAP<STRING, LONG>").load()
+
+  test("map columns round-trip as subdocuments (r15 MapType codec)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val back = t(dir).collect().map(r =>
+      r.getLong(0) -> Option(r.getMap[String, Long](1)).map(_.toMap)).toMap
+    assert(back == Map(
+      1L -> Some(Map("en" -> 3L, "fr" -> 5L)),
+      2L -> Some(Map("de" -> 9L)),
+      3L -> Some(Map.empty[String, Long]),
+      4L -> None))
+  }
+
+  test("explode(map) becomes PushedUnwind MAP; explode_outer keeps empty/null parents") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val e = t(dir).select($"_id", explode($"langs"))
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: langs MAP"), plan)
+    assert(!plan.contains("Generate"), s"no Spark Generate expected:\n$plan")
+    assert(e.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq((1L, "en", 3L), (1L, "fr", 5L), (2L, "de", 9L)))
+
+    val eo = t(dir).select($"_id", explode_outer($"langs"))
+    assert(eo.queryExecution.executedPlan.toString
+      .contains("PushedUnwind: langs MAP OUTER"))
+    val rows = eo.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)).getOrElse("∅"))).sorted.toSeq
+    assert(rows == Seq((1L, "en"), (1L, "fr"), (2L, "de"), (3L, "∅"), (4L, "∅")),
+      rows)
+  }
+
+  test("key/value filters are the POST-unwind match; GROUP BY key folds in ONE pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val f = t(dir, "assume_uniform_storage" -> "true")
+      .select($"_id", explode($"langs"))
+      .filter($"key" === "en" && $"value" >= 3L)
+    val fPlan = f.queryExecution.executedPlan.toString
+    assert(fPlan.contains("PushedUnwind: langs MAP") &&
+      fPlan.contains("PostUnwindMatch:") &&
+      fPlan.contains("__graft_kv.k"), fPlan)
+    assert(f.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L)))
+
+    CountingServerFactory.reset()
+    val g = t(dir, "assume_uniform_storage" -> "true",
+        "client_factory" -> classOf[CountingServerFactory].getName)
+      .select(explode($"langs"))
+      .groupBy($"key").agg(sum($"value").as("total"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedGroupedAggregate: GROUP BY __graft_kv.k") &&
+      gPlan.contains("PushedUnwind: langs MAP"), gPlan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 3L, "fr" -> 5L, "de" -> 9L))
+    assert(CountingServerFactory.count("groupAggregate") == 1 &&
+      CountingServerFactory.count("find") == 0,
+      s"one pipeline round-trip: ${CountingServerFactory.snapshot()}")
+  }
+
+  test("non-document storage at the map path throws ($objectToArray fail-loud rule)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    Seq((9L, "scalar")).toDF("_id", "langs")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.docs"))
+      .option("id_column", "_id").mode("append").save()
+    val e = t(dir).select($"_id", explode($"langs"))
+    val ex = intercept[org.apache.spark.SparkException] { e.collect() }
+    assert(ex.getCause != null &&
+      String.valueOf(ex.getCause.getMessage).contains("$objectToArray"),
+      String.valueOf(ex.getCause))
+  }
+
+  test("refusals: joins and server tails keep Spark operators; parent sample composes") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    import scala.jdk.CollectionConverters._
+    Seq((3L, "en-name")).toDF("_id", "lname")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.dim"))
+      .option("id_column", "_id").mode("append").save()
+    val dim = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.dim",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, lname STRING").load()
+    // map unwind never drives a pushed join (v1 scope) — Spark joins
+    // the unwound scan, results exact
+    val e = t(dir, "assume_uniform_storage" -> "true")
+      .select(explode($"langs"))
+    val j = e.join(dim, e("value") === dim("_id"))
+    val jPlan = j.queryExecution.executedPlan.toString
+    assert(!jPlan.contains("PushedJoin"), jPlan)
+    assert(jPlan.contains("PushedUnwind: langs MAP"), jPlan)
+    assert(j.collect().map(r => (r.getString(0), r.getString(3))).toSeq ==
+      Seq(("en", "en-name")))
+
+    // pushed tails refuse on the server (no UnwoundTails marker);
+    // Spark's own TakeOrdered still answers exactly
+    val top = t(dir).select($"_id", explode($"langs"))
+      .orderBy($"value".desc).limit(1)
+    assert(!top.queryExecution.executedPlan.toString.contains("UnwoundTails"),
+      top.queryExecution.executedPlan.toString)
+    assert(top.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((2L, 9L)))
+
+    // a parent-keyed deterministic sample stays parent-atomic
+    val s = t(dir, "sample_key" -> "_id")
+      .sample(withReplacement = false, 0.5, seed = 3L)
+      .select($"_id", explode($"langs"))
+    val sPlan = s.queryExecution.executedPlan.toString
+    assert(sPlan.contains("PushedSample") &&
+      sPlan.contains("PushedUnwind: langs MAP") &&
+      !sPlan.contains("Sample ("), sPlan)
+    val all = t(dir).select($"_id", explode($"langs")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val kept = s.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(kept.forall { case (id, n) => all(id) == n },
+      s"parent atomicity: kept=$kept all=$all")
+  }
+}

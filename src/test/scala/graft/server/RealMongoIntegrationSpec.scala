@@ -781,6 +781,38 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(t.filter($"p".isNull).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("live: MAP explode — $objectToArray+$unwind pipeline, key group, outer nulls (r15)") {
+    live()
+    import spark.implicits._
+    val o = opts("mapuw") + ("assume_uniform_storage" -> "true")
+    Seq(
+      (1L, Map("en" -> 3L, "fr" -> 5L)),
+      (2L, Map("de" -> 9L)),
+      (3L, Map.empty[String, Long]))
+      .toDF("k", "langs")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    val t = spark.read.format("graftserver").options(o)
+      .schema("_id LONG, langs MAP<STRING, LONG>").load()
+    val e = t.select($"_id", explode($"langs"))
+    assert(e.queryExecution.executedPlan.toString
+      .contains("PushedUnwind: langs MAP"))
+    assert(e.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq((1L, "en", 3L), (1L, "fr", 5L), (2L, "de", 9L)))
+    // outer keeps the empty-map parent with null key/value
+    val eo = t.select($"_id", explode_outer($"langs"))
+    assert(eo.count() === 4)
+    // GROUP BY key = one $set+$unwind+$group aggregate round-trip on
+    // the real wire
+    val g = t.select(explode($"langs"))
+      .groupBy($"key").agg(sum($"value").as("total"))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate: GROUP BY __graft_kv.k"))
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 3L, "fr" -> 5L, "de" -> 9L))
+  }
+
   test("live: option-query array traversal parity (intermediate segments, ranges, null) (r15)") {
     live()
     import spark.implicits._

@@ -301,6 +301,62 @@ class UnwindFileSpec extends SparkSpec {
       Map("en" -> 14L, "fr" -> 6L, "de" -> 4L))
   }
 
+  test("explode(map) on the FILE transport: PushedUnwind MAP, filters, group, fail-loud") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq(
+      (1L, Map("en" -> 3L, "fr" -> 5L)),
+      (2L, Map("de" -> 9L)),
+      (3L, Map.empty[String, Long]))
+      .toDF("_id", "langs")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(dir)
+    val tm = spark.read.format("graftbson")
+      .schema("_id LONG, langs MAP<STRING, LONG>").load(dir)
+
+    val e = tm.select($"_id", explode($"langs"))
+    val plan = e.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: langs MAP") &&
+      !plan.contains("Generate"), plan)
+    assert(e.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq((1L, "en", 3L), (1L, "fr", 5L), (2L, "de", 9L)))
+
+    // key filter = post-unwind; value-summing group folds per split
+    val f = e.filter($"key" =!= "fr")
+    assert(f.queryExecution.executedPlan.toString.contains("PostUnwindMatch:"),
+      f.queryExecution.executedPlan.toString)
+    assert(f.count() == 2)
+    val g = tm.select(explode($"langs"))
+      .groupBy($"key").agg(sum($"value").as("total"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedGroupedAggregate: GROUP BY __graft_kv.k") &&
+      !gPlan.contains("Generate"), gPlan)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("en" -> 3L, "fr" -> 5L, "de" -> 9L))
+
+    // the file reader's tails run post-unwind reader-side — maps too
+    val top = tm.select($"_id", explode($"langs"))
+      .orderBy($"value".desc).limit(1)
+    assert(top.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((2L, 9L)))
+
+    // scalar at the map path: the $objectToArray fail-loud rule
+    val dir2 = freshDir()
+    Seq((1L, Map("a" -> 1L))).toDF("_id", "langs")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(dir2)
+    Seq((2L, 7L)).toDF("_id", "langs")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(dir2)
+    val bad = spark.read.format("graftbson")
+      .schema("_id LONG, langs MAP<STRING, LONG>").load(dir2)
+      .select($"_id", explode($"langs"))
+    val ex = intercept[org.apache.spark.SparkException] { bad.collect() }
+    assert(String.valueOf(ex.getCause).contains("$objectToArray"),
+      String.valueOf(ex.getCause))
+  }
+
   test("explode over a join of FILE scans relocates into the leg (join stays Spark)") {
     import spark.implicits._
     // the file transport has no $lookup, so the JOIN itself never
