@@ -75,11 +75,17 @@ object UnwindRelocate extends Rule[LogicalPlan] {
           if !arr.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
         relocate(g, arr, outer, elOut, Some(posOut)).getOrElse(g)
       // MAP explode (r15): two generator outputs (key, value) — the
-      // scan's `$objectToArray`+`$unwind` directive; posexplode of maps
-      // (three outputs) stays in Spark
+      // scan's `$objectToArray`+`$unwind` directive
       case g @ Generate(Explode(m), _, outer, _, Seq(keyOut, valOut), _)
           if m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
         rewrite(g, m, outer, valOut, None, mapKey = Some(keyOut)).getOrElse(g)
+      // posexplode of a MAP: the entry INDEX rides includeArrayIndex on
+      // the kv `$unwind` (entry order = document field order =
+      // $objectToArray order = Spark's map iteration order)
+      case g @ Generate(PosExplode(m), _, outer, _, Seq(posOut, keyOut, valOut), _)
+          if m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        rewrite(g, m, outer, valOut, Some(posOut), mapKey = Some(keyOut))
+          .getOrElse(g)
     }
   }
 

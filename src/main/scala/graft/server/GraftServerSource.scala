@@ -2029,12 +2029,15 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     case None => cursor.map(d => RowCodec.toRow(d, decodeSchema, mapping))
     // MAP explode (r15): per-entry kv docs via the shared expansion
     // (key/value columns decode through their __graft_kv.k/.v mapping
-    // entries); the post-unwind match evaluates on the same docs
+    // entries); the post-unwind match evaluates on the same docs, and
+    // a posexplode's injected int64 index narrows to the pos column's
+    // IntegerType before decode
     case Some(u) if u.mapKv =>
       cursor.flatMap { d =>
         FakeServerClient.unwindDocs(d, u)
           .filter(kd => unwindPost == BQuery.True || unwindPost.matches(kd))
-          .map(kd => RowCodec.toRow(kd, decodeSchema, mapping))
+          .map(kd => RowCodec.toRow(
+            GraftServerSource.narrowPos(kd), decodeSchema, mapping))
       }
     case Some(u) =>
       cursor.flatMap { d =>

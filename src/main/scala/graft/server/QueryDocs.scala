@@ -429,8 +429,11 @@ object QueryDocs {
         BDoc("$set" -> BDoc(kv ->
           BDoc("$objectToArray" -> BString("$" + u.path)))),
         BDoc("$unwind" -> BDoc(
-          "path" -> BString("$" + kv),
-          "preserveNullAndEmptyArrays" -> BBool(u.preserveNullAndEmpty))))
+          (Seq("path" -> (BString("$" + kv): BsonValue),
+            "preserveNullAndEmptyArrays" ->
+              (BBool(u.preserveNullAndEmpty): BsonValue)) ++
+            u.posField.map(f =>
+              "includeArrayIndex" -> (BString(f): BsonValue))): _*)))
     }
 
   def groupStages(matchDoc: BDoc, groupKeys: Seq[String],

@@ -1825,12 +1825,13 @@ final class GraftPartitionReader(p: GraftInputPartition,
         if (u.mapKv) d.getPath(u.path) match {
           // MAP explode: one kv entry doc per field of the subdocument
           // ($objectToArray + $unwind semantics; key/value columns read
-          // __graft_kv.k/.v via column_mapping)
+          // __graft_kv.k/.v via column_mapping; posexplode's entry
+          // index injects like the array branch)
           case Some(sub: BDoc) if sub.fields.nonEmpty =>
-            sub.fields.iterator.map { case (k, v) =>
-              graft.query.Updates.setField(d,
+            sub.fields.iterator.zipWithIndex.map { case ((k, v), i) =>
+              withPos(graft.query.Updates.setField(d,
                 graft.plans.UnwindRelocate.KvDocField,
-                BDoc("k" -> BString(k), "v" -> v))
+                BDoc("k" -> BString(k), "v" -> v)), i)
             }
           case Some(_: BDoc) => // empty map
             if (u.outer) Iterator.single(d) else Iterator.empty

@@ -103,6 +103,30 @@ class MapUnwindSpec extends SparkSpec {
       s"one pipeline round-trip: ${CountingServerFactory.snapshot()}")
   }
 
+  test("posexplode(map): entry indices ride includeArrayIndex on the kv unwind") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val p = t(dir).select($"_id", posexplode($"langs"))
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: langs MAP") &&
+      !plan.contains("Generate"), plan)
+    // entry order = document field order = Spark's map iteration order
+    assert(p.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq ==
+      Seq((1L, 0, "en", 3L), (1L, 1, "fr", 5L), (2L, 0, "de", 9L)))
+    // pos filters push as the post-unwind match; outer parents keep a
+    // NULL pos
+    val f = t(dir).select($"_id", posexplode($"langs")).filter($"pos" === 1)
+    assert(f.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "fr")), f.queryExecution.executedPlan.toString)
+    val po = t(dir).select($"_id", posexplode_outer($"langs"))
+    val rows = po.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq
+    assert(rows == Seq((1L, 0), (1L, 1), (2L, 0), (3L, -1), (4L, -1)), rows)
+  }
+
   test("non-document storage at the map path throws ($objectToArray fail-loud rule)") {
     import spark.implicits._
     val dir = freshDir()
