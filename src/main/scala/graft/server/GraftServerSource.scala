@@ -708,11 +708,6 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       joined.isEmpty && !options.contains("limit") &&
       !options.contains("sort") &&
       GraftServerSource.nsList(options).size == 1 &&
-      // MAP unwinds do not drive joins yet (v1 scope; the kv entry's
-      // wire shape composes, but the key/value projection plumbing
-      // through lookupStages is unexercised — refuse, Spark joins the
-      // unwound scan instead)
-      unwind.forall(!_.mapKv) &&
       (unwind.isEmpty || {
         val post = QueryDocs.plan(unwindPost)
         post.isExact && post.keyBounds.isEmpty
@@ -1228,6 +1223,7 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$leftQuery" +
       join.unwind.map(u => s" PushedUnwind: ${u.path}" +
+        (if (u.mapKv) " MAP" else "") +
         (if (u.preserveNullAndEmpty) " OUTER" else "") +
         (if (join.unwindPost == BQuery.True) ""
          else s" PostUnwindMatch: ${join.unwindPost}")).getOrElse("") +
@@ -1319,13 +1315,15 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
     case (acc, (_, ro)) => BQuery.and(acc, nonNull(join.rightField(ro)))
   }
   /** A driving key whose doc field sits AT/UNDER the unwound path (or is
-    * the injected pos field) exists only POST-unwind — its INNER
-    * non-null prune joins the post-unwind `$match`; pre-unwind the same
-    * path would carry ∃-element semantics (and the fake matcher does not
-    * traverse arrays at intermediate segments). */
+    * the injected pos field, or a MAP unwind's synthetic kv entry)
+    * exists only POST-unwind — its INNER non-null prune joins the
+    * post-unwind `$match`; pre-unwind the same path would match nothing
+    * (kv/pos) or carry ∃-element semantics (array paths). */
   private def elementScopedField(f: String): Boolean =
     join.unwind.exists(u => f == u.path || f.startsWith(u.path + ".") ||
-      u.posField.contains(f))
+      u.posField.contains(f) ||
+      (u.mapKv && (f == graft.plans.UnwindRelocate.KvDocField ||
+        f.startsWith(graft.plans.UnwindRelocate.KvDocField + "."))))
   private val leftFull: BQuery = {
     val base = BQuery.and(p.range, leftQuery)
     if (join.leftOuter) base

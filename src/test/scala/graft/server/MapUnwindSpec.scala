@@ -13,8 +13,9 @@ import java.nio.file.Files
   * as the POST-unwind `$match`, and GROUP BY key folds in ONE pipeline
   * per namespace. BSON has no map type: a map<string, V> column stores
   * as a SUBDOCUMENT (the MongoDB convention for dynamic keys), so this
-  * also pins the r15 MapType codec. Refusals: joins (v1), pushed tails
-  * on the server (the unwound ROW pipeline stays array-only for now),
+  * also pins the r15 MapType codec. The map unwind DRIVES pushed joins
+  * too (the kv value as the join key). Refusals: pushed tails on the
+  * server (the unwound ROW pipeline stays array-only for now),
   * non-document storage at the path (fail-loud, the `$objectToArray`
   * rule).
   */
@@ -142,12 +143,11 @@ class MapUnwindSpec extends SparkSpec {
       String.valueOf(ex.getCause))
   }
 
-  test("refusals: joins and server tails keep Spark operators; parent sample composes") {
+  test("map unwind DRIVES the pushed join (value as key); server tails refuse; parent sample composes") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
-    import scala.jdk.CollectionConverters._
-    Seq((3L, "en-name")).toDF("_id", "lname")
+    Seq((3L, "three"), (9L, "nine")).toDF("_id", "lname")
       .write.format("graftserver")
       .options(Map("server_dir" -> dir, "ns" -> "db.dim"))
       .option("id_column", "_id").mode("append").save()
@@ -155,16 +155,19 @@ class MapUnwindSpec extends SparkSpec {
       .options(Map("server_dir" -> dir, "ns" -> "db.dim",
         "assume_uniform_storage" -> "true"))
       .schema("_id LONG, lname STRING").load()
-    // map unwind never drives a pushed join (v1 scope) — Spark joins
-    // the unwound scan, results exact
+    // the kv VALUE as the join key: `$objectToArray` + `$unwind` +
+    // `$lookup` in ONE pipeline; the INNER key non-null prune joins the
+    // post-unwind match (__graft_kv exists only after the unwind)
     val e = t(dir, "assume_uniform_storage" -> "true")
-      .select(explode($"langs"))
+      .select($"_id".as("okey"), explode($"langs"))
     val j = e.join(dim, e("value") === dim("_id"))
+      .select($"okey", $"key", $"lname")
     val jPlan = j.queryExecution.executedPlan.toString
-    assert(!jPlan.contains("PushedJoin"), jPlan)
-    assert(jPlan.contains("PushedUnwind: langs MAP"), jPlan)
-    assert(j.collect().map(r => (r.getString(0), r.getString(3))).toSeq ==
-      Seq(("en", "en-name")))
+    assert(jPlan.contains("PushedUnwind: langs MAP") &&
+      jPlan.contains("PushedJoin: INNER db.dim"), jPlan)
+    assert(!jPlan.contains("Generate") && !jPlan.contains("Join "), jPlan)
+    assert(j.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq == Seq((1L, "en", "three"), (2L, "de", "nine")))
 
     // pushed tails refuse on the server (no UnwoundTails marker);
     // Spark's own TakeOrdered still answers exactly
