@@ -113,7 +113,15 @@ object RowCodec {
             (if (vs(i) == null) BNull else fromCatalyst(vs(i), vt))
           i += 1
         }
-        BDoc(b.result())
+        val doc = b.result()
+        // Spark MapData may carry duplicate keys (Parquet/Avro maps are
+        // not deduplicated on read) — a subdocument cannot, and a
+        // silent last-wins collapse would change explode() cardinality
+        // after the round-trip. Fail loudly, like the key-type refusal.
+        if (doc.size != ks.length) throw new IllegalArgumentException(
+          s"cannot write a map with duplicate keys as a BSON subdocument " +
+            s"(${ks.length} entries, ${doc.size} distinct keys)")
+        BDoc(doc)
       }
     case (x: org.apache.spark.sql.types.Decimal, _: DecimalType) => BDouble(x.toDouble)
     case (other, t) =>

@@ -106,6 +106,36 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     * `__graft_kv.v`; the readers inject the same shape per entry. */
   val KvDocField = "__graft_kv"
 
+  /** The ONE `$objectToArray`+`$unwind` expansion both transports'
+    * readers share (a duplicated copy would let the two silently
+    * diverge): per subdocument field, the parent doc with one
+    * `__graft_kv = {k, v}` entry; empty/null/missing maps keep one
+    * entry-less row under OUTER (preserve) or drop; a non-document
+    * value THROWS — a real server's `$objectToArray` rule, the
+    * engine's fail-loud mixed-storage stance. `withPos` lets each
+    * caller inject its posexplode index encoding (int32 file-side,
+    * int64-then-narrow server-side; None = off-map row).
+    */
+  def mapEntries(d: graft.bson.BDoc, path: String, preserve: Boolean,
+      withPos: (graft.bson.BDoc, Option[Int]) => graft.bson.BDoc):
+      Seq[graft.bson.BDoc] = {
+    import graft.bson._
+    d.getPath(path) match {
+      case Some(sub: BDoc) if sub.fields.nonEmpty =>
+        sub.fields.toSeq.zipWithIndex.map { case ((k, v), i) =>
+          withPos(graft.query.Updates.setField(d, KvDocField,
+            BDoc("k" -> BString(k), "v" -> v)), Some(i))
+        }
+      case Some(_: BDoc) => // empty map: $objectToArray -> [] -> $unwind
+        if (preserve) Seq(withPos(d, None)) else Nil
+      case Some(BNull) | None =>
+        if (preserve) Seq(withPos(d, None)) else Nil
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"$$objectToArray requires a document at $path, got $other")
+    }
+  }
+
   /** True when a pushed-filter reference is scoped to the unwound
     * ELEMENT: the element column itself, one of its struct subfields
     * (for `explode(array<struct>)` a filter arrives on `entry.lang`),

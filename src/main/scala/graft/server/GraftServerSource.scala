@@ -1087,7 +1087,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * semantics the pipeline cannot honor).
     */
   private def unwoundTailOk: Boolean =
-    unwind.isDefined && unwind.forall(!_.mapKv) && residuals.isEmpty &&
+    unwind.exists(!_.mapKv) && residuals.isEmpty &&
       !options.contains("sort") && !options.contains("limit") && {
         val pre = QueryDocs.plan(
           BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
@@ -1994,10 +1994,13 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
               fp == graft.plans.UnwindRelocate.PosDocField)) ++
           sample.map(_.key))
           // the synthetic kv entry of a MAP unwind is injected
-          // reader-side — never a stored field a find() could project
-          .filterNot(p =>
-            p == graft.plans.UnwindRelocate.KvDocField ||
-            p.startsWith(graft.plans.UnwindRelocate.KvDocField + ".")))),
+          // reader-side — never a stored field a find() could project.
+          // Gated on mapKv: under an ARRAY unwind a stored field that
+          // happens to be named __graft_kv is a legitimate parent
+          // column (the MAP relocation refuses that name outright)
+          .filterNot(p => unwind.exists(_.mapKv) &&
+            (p == graft.plans.UnwindRelocate.KvDocField ||
+             p.startsWith(graft.plans.UnwindRelocate.KvDocField + "."))))),
         // a pushed top-n's (compound) order wins; else the option-level
         // cursor sort
         sortAscBy = topN.map(_._1.head._1).orElse(options.get("sort")),

@@ -778,32 +778,16 @@ object FakeServerClient {
     * exactly like a real server's `$objectToArray`). */
   private[server] def unwindDocs(d: BDoc, u: ServerClient.Unwind): Seq[BDoc] =
     if (!u.mapKv) unwindDoc(d, u.path, u.preserveNullAndEmpty, u.posField)
-    else {
+    else graft.plans.UnwindRelocate.mapEntries(d, u.path,
+      u.preserveNullAndEmpty,
       // posexplode of a map: the entry index rides includeArrayIndex on
-      // the kv $unwind — int64 on entries, explicit NULL otherwise
-      def withPos(doc: BDoc, i: Option[Int]): BDoc = u.posField match {
+      // the kv $unwind — int64 on entries (NumberLong, like a real
+      // server), explicit NULL otherwise
+      (doc, i) => u.posField match {
         case Some(f) => graft.query.Updates.setField(doc, f,
           i.map(x => BInt64(x.toLong): BsonValue).getOrElse(BNull))
         case None => doc
-      }
-      d.getPath(u.path) match {
-        case Some(sub: BDoc) if sub.fields.nonEmpty =>
-          sub.fields.toSeq.zipWithIndex.map { case ((k, v), i) =>
-            withPos(graft.query.Updates.setField(d,
-              graft.plans.UnwindRelocate.KvDocField,
-              BDoc("k" -> BString(k), "v" -> v)), Some(i))
-          }
-        case Some(_: BDoc) => // empty map: $objectToArray -> [] -> $unwind
-          if (u.preserveNullAndEmpty) Seq(withPos(d, None)) else Nil
-        case Some(BNull) | None =>
-          if (u.preserveNullAndEmpty) Seq(withPos(d, None)) else Nil
-        case Some(other) =>
-          // a real server's $objectToArray errors on non-objects —
-          // fail-loud mixed-storage parity
-          throw new IllegalArgumentException(
-            s"$$objectToArray requires a document at ${u.path}, got $other")
-      }
-    }
+      })
 
   private[server] def unwindDoc(d: BDoc, path: String,
       preserve: Boolean, posField: Option[String] = None): Seq[BDoc] = {

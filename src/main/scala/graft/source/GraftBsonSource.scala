@@ -1822,26 +1822,14 @@ final class GraftPartitionReader(p: GraftInputPartition,
         case None => d
       }
       val unwound = parents.flatMap { d =>
-        if (u.mapKv) d.getPath(u.path) match {
-          // MAP explode: one kv entry doc per field of the subdocument
-          // ($objectToArray + $unwind semantics; key/value columns read
-          // __graft_kv.k/.v via column_mapping; posexplode's entry
-          // index injects like the array branch)
-          case Some(sub: BDoc) if sub.fields.nonEmpty =>
-            sub.fields.iterator.zipWithIndex.map { case ((k, v), i) =>
-              withPos(graft.query.Updates.setField(d,
-                graft.plans.UnwindRelocate.KvDocField,
-                BDoc("k" -> BString(k), "v" -> v)), i)
-            }
-          case Some(_: BDoc) => // empty map
-            if (u.outer) Iterator.single(d) else Iterator.empty
-          case Some(BNull) | None =>
-            if (u.outer) Iterator.single(d) else Iterator.empty
-          case Some(other) =>
-            // $objectToArray errors on non-objects — fail-loud parity
-            throw new IllegalArgumentException(
-              s"$$objectToArray requires a document at ${u.path}, got $other")
-        } else d.getPath(u.path) match {
+        // MAP explode: the SHARED $objectToArray expansion (one kv
+        // entry doc per subdocument field; key/value columns read
+        // __graft_kv.k/.v via column_mapping); posexplode's entry index
+        // injects int32 like this reader's array branch
+        if (u.mapKv) graft.plans.UnwindRelocate.mapEntries(
+          d, u.path, u.outer,
+          (doc, i) => i.map(withPos(doc, _)).getOrElse(doc)).iterator
+        else d.getPath(u.path) match {
           case Some(BArray(items)) if items.nonEmpty =>
             items.iterator.zipWithIndex.map { case (el, i) =>
               withPos(graft.query.Updates.setField(d, u.path, el), i) }

@@ -128,6 +128,51 @@ class MapUnwindSpec extends SparkSpec {
     assert(rows == Seq((1L, 0), (1L, 1), (2L, 0), (3L, -1), (4L, -1)), rows)
   }
 
+  test("duplicate map keys refuse the write (subdocuments cannot carry them)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // map_from_arrays can mint duplicate keys Spark never deduplicates —
+    // a silent last-wins collapse would change explode() cardinality
+    // after the round-trip
+    val dup = Seq(1L).toDF("_id")
+      .select($"_id", map_from_arrays(
+        array(lit("a"), lit("a")), array(lit(1L), lit(2L))).as("langs"))
+    // Spark's own map-construction guard (DUPLICATED_MAP_KEY, default
+    // mapKeyDedupPolicy=EXCEPTION) fires first here; the codec guard is
+    // defense-in-depth for maps arriving from storage formats Spark
+    // does not re-check on read
+    val ex = intercept[Throwable] {
+      dup.write.format("graftserver")
+        .options(Map("server_dir" -> dir, "ns" -> "db.dup"))
+        .option("id_column", "_id").mode("append").save()
+    }
+    val msg = String.valueOf(ex) + String.valueOf(ex.getCause)
+    assert(msg.toLowerCase.contains("duplicate"), msg)
+  }
+
+  test("an ARRAY unwind keeps a genuine parent column named __graft_kv (no map injection)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // the kv field is synthetic ONLY under a MAP unwind; an array
+    // unwind over a collection that happens to store __graft_kv must
+    // project and decode it verbatim (r15 review fix: the projection
+    // filter was unconditional and nulled it)
+    Seq((1L, 7L, Seq("x", "y")), (2L, 8L, Seq("z")))
+      .toDF("_id", "__graft_kv", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.kvp"))
+      .option("id_column", "_id").mode("append").save()
+    val q = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.kvp"))
+      .schema("_id LONG, __graft_kv LONG, tags ARRAY<STRING>").load()
+      .select($"_id", $"__graft_kv", explode($"tags").as("tag"))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedUnwind"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq ==
+      Seq((1L, 7L, "x"), (1L, 7L, "y"), (2L, 8L, "z")))
+  }
+
   test("non-document storage at the map path throws ($objectToArray fail-loud rule)") {
     import spark.implicits._
     val dir = freshDir()
