@@ -54,9 +54,11 @@ import scala.jdk.CollectionConverters._
   * the normal machinery, and server pipelines render
   * `includeArrayIndex` into the same field, so pos filters/groups/
   * tails push there too — int64 indexes narrow to the pos column's
-  * IntegerType at decode). Map explode / computed arrays are left to
-  * Spark. Stable in the fixed-point batch: the Generate is gone after
-  * the rewrite.
+  * IntegerType at decode). MAP explodes (r15) compile to the scan's
+  * `$objectToArray`+`$unwind` directive, and compose over pushed joins
+  * (r16) through the same transpose arrays use. Computed arrays are
+  * left to Spark. Stable in the fixed-point batch: the Generate is gone
+  * after the rewrite.
   */
 object UnwindRelocate extends Rule[LogicalPlan] {
 
@@ -75,24 +77,28 @@ object UnwindRelocate extends Rule[LogicalPlan] {
           if !arr.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
         relocate(g, arr, outer, elOut, Some(posOut)).getOrElse(g)
       // MAP explode (r15): two generator outputs (key, value) — the
-      // scan's `$objectToArray`+`$unwind` directive
+      // scan's `$objectToArray`+`$unwind` directive; over a pushed join
+      // the same transpose arrays get applies (r16 — the map is computed
+      // from the preserved driving leg, so k entries × m joined copies
+      // commute exactly like array elements)
       case g @ Generate(Explode(m), _, outer, _, Seq(keyOut, valOut), _)
           if m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        rewrite(g, m, outer, valOut, None, mapKey = Some(keyOut)).getOrElse(g)
+        relocate(g, m, outer, valOut, None, mapKey = Some(keyOut)).getOrElse(g)
       // posexplode of a MAP: the entry INDEX rides includeArrayIndex on
       // the kv `$unwind` (entry order = document field order =
       // $objectToArray order = Spark's map iteration order)
       case g @ Generate(PosExplode(m), _, outer, _, Seq(posOut, keyOut, valOut), _)
           if m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        rewrite(g, m, outer, valOut, Some(posOut), mapKey = Some(keyOut))
+        relocate(g, m, outer, valOut, Some(posOut), mapKey = Some(keyOut))
           .getOrElse(g)
     }
   }
 
   private def relocate(g: Generate, arr: Expression, outer: Boolean,
-      elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] =
-    rewrite(g, arr, outer, elOut, posOut)
-      .orElse(rewriteOverJoin(g, arr, outer, elOut, posOut))
+      elOut: Attribute, posOut: Option[Attribute],
+      mapKey: Option[Attribute] = None): Option[LogicalPlan] =
+    rewrite(g, arr, outer, elOut, posOut, mapKey)
+      .orElse(rewriteOverJoin(g, arr, outer, elOut, posOut, mapKey))
 
   /** The synthetic doc field the file reader injects the element INDEX
     * into for a pushed posexplode (the `$unwind includeArrayIndex`
@@ -236,8 +242,14 @@ object UnwindRelocate extends Rule[LogicalPlan] {
               graft.source.SamplePush.keyAllowedUnderUnwind(
                 ref.docPath, Some(mappedPath)))
       }
+      // mirror EVERY option-level condition of the transports'
+      // pushTableSample (ADVICE r15): a multi-collection file scan
+      // refuses the sample push, so relocating under one would leave
+      // Spark Bernoulli-sampling unwound ELEMENT rows where the source
+      // plan sampled PARENT rows — parent-atomic sampling silently lost
       if (!keyOk || rel.options.containsKey("limit") ||
-          rel.options.containsKey("sort")) return None
+          rel.options.containsKey("sort") ||
+          rel.options.containsKey("collections")) return None
     }
     if (rel.schema.fieldNames.contains(elOut.name)) return None
     // posexplode: the pos column must not shadow a relation column, and
@@ -267,6 +279,11 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       case _ => false
     })
     val keepConjuncts = fConj.filterNot(vacuous).map(inline)
+    // a NONDETERMINISTIC conjunct (e.g. rand() < p) evaluated per-PARENT
+    // in the source plan would re-evaluate per-ELEMENT after the
+    // relocation — refuse rather than change its row population
+    // (ADVICE r15)
+    if (keepConjuncts.exists(!_.deterministic)) return None
     // kept filters must be expressible over relation columns, and must
     // not need the array's own column (same one-path constraint)
     if (!keepConjuncts.forall(_.references.subsetOf(rel.outputSet))) return None
@@ -379,7 +396,13 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     * inner rewrite's one-path check refuses via neededLeft).
     */
   private def rewriteOverJoin(g: Generate, arr0: Expression, outer: Boolean,
-      elOut: Attribute, posOut: Option[Attribute]): Option[LogicalPlan] = {
+      elOut: Attribute, posOut: Option[Attribute],
+      /** Some(keyColumn) = MAP explode over the join (r16): the map is
+        * computed from the driving leg alone, so the transpose argument
+        * above applies verbatim — k entries × m joined copies commute;
+        * the inner rewrite then compiles it to the leg's
+        * `$objectToArray`+`$unwind` directive. */
+      mapKey: Option[Attribute] = None): Option[LogicalPlan] = {
     // peel: [Project(attrs-only,]? [Filter(c,]? Join — the Filter holds
     // InferFiltersFromGenerate's conjuncts (and, once ResidualJoinHoist
     // has run, recheck-wrapped hoisted residuals)
@@ -413,6 +436,10 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       case _ => false
     })
     val keep = fil.filterNot(vacuous)
+    // a NONDETERMINISTIC conjunct would move from per-JOINED-row to
+    // per-ELEMENT-row evaluation — refuse (ADVICE r15, same rule as the
+    // inner rewrite's peel)
+    if (keep.exists(!_.deterministic)) return None
     // kept conjuncts re-apply ABOVE the relocated join: they reference
     // parent/right columns (constant per element row — commute with the
     // unwind); one touching the array column refuses (one-path rule)
@@ -433,15 +460,16 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       .filterNot { case (a, _) => neededLeft.exists(_.exprId == a.exprId) }
       .map(_._2)
     val innerG = Generate(g.generator, unreq, outer, g.qualifier,
-      posOut.toSeq :+ elOut, j.left)
+      posOut.toSeq ++ mapKey :+ elOut, j.left)
     // `relocate`, not `rewrite`: a chained star query nests joins, and
     // the unwind transposes through each preserved left leg in turn
-    relocate(innerG, arr0, outer, elOut, posOut).map { newLeft =>
+    relocate(innerG, arr0, outer, elOut, posOut, mapKey).map { newLeft =>
       val newJoin = Join(newLeft, j.right, j.joinType, j.condition,
         j.hint)
       val withFilter = keep.reduceOption(And)
         .map(Filter(_, newJoin)).getOrElse(newJoin)
-      val out: Seq[NamedExpression] = g.requiredChildOutput ++ posOut :+ elOut
+      val out: Seq[NamedExpression] =
+        g.requiredChildOutput ++ posOut ++ mapKey :+ elOut
       if (withFilter.output == out) withFilter else Project(out, withFilter)
     }
   }

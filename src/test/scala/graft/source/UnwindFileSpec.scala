@@ -161,6 +161,35 @@ class UnwindFileSpec extends SparkSpec {
       es.queryExecution.executedPlan.toString)
   }
 
+  test("a multi-collection scan under sample + explode refuses the relocation (ADVICE r15)") {
+    import spark.implicits._
+    val d1 = freshDir(); val d2 = freshDir()
+    Seq((1L, Seq("x", "y")), (2L, Seq("y", "z"))).toDF("_id", "tags")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(d1)
+    Seq((11L, Seq("z", "x", "w"))).toDF("_id", "tags")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(d2)
+    // `collections` makes pushTableSample refuse — the relocation gate
+    // must mirror that refusal, or Spark would Bernoulli-sample unwound
+    // ELEMENT rows where the source plan sampled PARENT rows
+    val s = spark.read.format("graftbson")
+      .schema("_id LONG, tags ARRAY<STRING>")
+      .option("sample_key", "_id")
+      .option("collections", s"""[{"path": "$d1"}, {"path": "$d2"}]""")
+      .load()
+      .sample(withReplacement = false, 0.5, seed = 42L)
+      .select($"_id", explode($"tags").as("tag"))
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && !plan.contains("PushedUnwind") &&
+      !plan.contains("PushedSample"), plan)
+    // parent atomicity holds: every surviving parent keeps ALL its
+    // element rows (Spark's Bernoulli runs on PARENT rows, pre-explode)
+    val arity = Map(1L -> 2, 2L -> 2, 11L -> 3)
+    val kept = s.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(kept.forall { case (id, n) => arity(id) == n }, s"kept=$kept")
+  }
+
   test("posexplode binds the element index; pos filters and groups ride the injected field") {
     import spark.implicits._
     val dir = freshDir()
