@@ -2063,6 +2063,84 @@ object ConnectorQueries {
         |  UNION ALL
         |  SELECT 'lt', length(text) % 97 FROM documents)
         |WHERE v >= 10 GROUP BY 1 ORDER BY metric ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // MAP explode over the pushed join (r16): per-doc metric maps of an
+    // ENRICHED collection — the dynamic-keys corpus shape joined to its
+    // dimension. UnwindRelocate transposes explode(driving.metrics)
+    // below the join, and the whole `$match`+`$objectToArray`+`$unwind`
+    // +`$match(post)`+`$lookup`+`$group` runs as ONE pipeline per split
+    // (MapUnwindJoinSpec pins the plan shape and refusal matrix).
+    CatalogQuery(
+      "q166_server_unwind_map_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", map(
+            lit("nc"), $"n_chars",
+            lit("lt"), (length($"text") % 97L).cast("long")).as("metrics"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.mjdocs"))
+          .option("id_column", "doc_id").mode("append").save()
+        Tables.documents(s, d).select($"lang").distinct()
+          .select($"lang".as("_id"), upper($"lang").as("lbl"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.mjdim"))
+          .option("id_column", "_id").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.mjdocs"))
+          .schema("_id LONG, lang STRING, metrics MAP<STRING, LONG>").load()
+        val dm = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.mjdim"))
+          .schema("_id STRING, lbl STRING").load()
+        o.join(dm, o("lang") === dm("_id"))
+          .select($"lbl", explode($"metrics"))
+          .filter($"value" >= 10L)
+          .groupBy($"lbl", $"key".as("metric"))
+          .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+          .orderBy($"lbl".asc_nulls_first, $"metric".asc_nulls_first)
+      },
+      Some("""
+        |SELECT upper(u.lang) AS lbl, metric, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total
+        |FROM (
+        |  SELECT lang, 'nc' AS metric, n_chars AS v FROM documents
+        |  UNION ALL
+        |  SELECT lang, 'lt', length(text) % 97 FROM documents) u
+        |JOIN (SELECT DISTINCT lang FROM documents) dm ON u.lang = dm.lang
+        |WHERE v >= 10 GROUP BY 1, 2
+        |ORDER BY lbl ASC NULLS FIRST, metric ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // Option-level `$regex` inside the PCRE∩Java common subset (r16):
+    // the pattern renders on the wire (RegexDialect adjudicates it
+    // portable — both dialects provably agree), so the whole
+    // `$match(regex)`+`$group` folds into one pipeline per namespace;
+    // out-of-subset patterns refuse loudly or ride the regex_dialect
+    // opt-ins (DialectSpec pins all three modes on both transports).
+    CatalogQuery(
+      "q167_server_regex_wire",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d).select($"doc_id", $"source")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.redocs"))
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.redocs",
+            "query" -> """{"source": {"$regex": "^src1[0-9]$"}}"""))
+          .schema("_id LONG, source STRING").load()
+          .groupBy($"source").agg(count(lit(1)).as("n"))
+          .orderBy($"source".asc_nulls_first)
+      },
+      Some("""
+        |SELECT source, count(*) AS n FROM documents
+        |WHERE regexp_matches(source, '^src1[0-9]$')
+        |GROUP BY 1 ORDER BY source ASC NULLS FIRST
         |""".stripMargin))
   )
 }

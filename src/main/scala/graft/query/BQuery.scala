@@ -25,6 +25,35 @@ object BQuery {
     case _ => None
   }
 
+  /** Compile a user `$regex` with Java's engine under PCRE's newline
+    * convention: UNIX_LINES makes `.`/`^`/`$` recognize only `\n`, the
+    * live server's default (see [[Regex]]). i/m/s/x map to their flag
+    * constants. */
+  private[query] def compileJavaDialect(pattern: String, opts: String):
+      java.util.regex.Pattern = {
+    var flags = java.util.regex.Pattern.UNIX_LINES
+    if (opts.contains('i')) flags |= java.util.regex.Pattern.CASE_INSENSITIVE
+    if (opts.contains('m')) flags |= java.util.regex.Pattern.MULTILINE
+    if (opts.contains('s')) flags |= java.util.regex.Pattern.DOTALL
+    if (opts.contains('x')) flags |= java.util.regex.Pattern.COMMENTS
+    java.util.regex.Pattern.compile(pattern, flags)
+  }
+
+  /** `$regex` field semantics shared by [[Regex]]/[[RegexServer]]:
+    * string/symbol leaves only, with the server's array traversal. */
+  private[query] def regexMatch(d: BDoc, path: String,
+      compiled: java.util.regex.Pattern): Boolean = {
+    def one(v: BsonValue): Boolean = v match {
+      case BString(s) => compiled.matcher(s).find()
+      case BSymbol(s) => compiled.matcher(s).find()
+      case _ => false
+    }
+    resolvePath(d, path)._1.exists {
+      case BArray(items) => items.exists(one)
+      case v => one(v)
+    }
+  }
+
   /** Server-faithful dotted-path resolution for the mongo-authority
     * operator nodes (r15 — closes the intermediate-segment traversal
     * divergence): walking `a.b`, an ARRAY at an intermediate segment
@@ -138,30 +167,36 @@ object BQuery {
   final case class Nin(path: String, vs: Seq[BsonValue]) extends BQuery {
     def matches(d: BDoc): Boolean = !vs.exists(v => eqMatch(d, path, v))
   }
-  /** Mongo `$regex` (partial match over string fields; options i/m/s/x). */
+  /** Mongo `$regex` (partial match over string fields; options i/m/s/x).
+    * Compiled with UNIX_LINES so `.`/`^`/`$` recognize ONLY `\n` —
+    * PCRE's default newline convention, which a live server's matcher
+    * uses (without it Java also breaks lines at `\r`, U+0085, and U+2028 too,
+    * a silent dialect divergence on real text). Patterns outside the
+    * PCRE∩Java common subset are gated by the `regex_dialect` scan
+    * option ([[RegexDialect]]). */
   final case class Regex(path: String, pattern: String, opts: String = "") extends BQuery {
-    @transient private lazy val compiled: java.util.regex.Pattern = {
-      var flags = 0
-      if (opts.contains('i')) flags |= java.util.regex.Pattern.CASE_INSENSITIVE
-      if (opts.contains('m')) flags |= java.util.regex.Pattern.MULTILINE
-      if (opts.contains('s')) flags |= java.util.regex.Pattern.DOTALL
-      if (opts.contains('x')) flags |= java.util.regex.Pattern.COMMENTS
-      java.util.regex.Pattern.compile(pattern, flags)
-    }
+    @transient private lazy val compiled: java.util.regex.Pattern =
+      BQuery.compileJavaDialect(pattern, opts)
     // Mongo $regex semantics: string/symbol fields only (option-level
     // queries), with the server's array traversal — `{p: /x/}` matches
     // `p=["ax"]`; pushed Spark string predicates use ReadStrRegex instead
-    def matches(d: BDoc): Boolean = {
-      def one(v: BsonValue): Boolean = v match {
-        case BString(s) => compiled.matcher(s).find()
-        case BSymbol(s) => compiled.matcher(s).find()
-        case _ => false
-      }
-      BQuery.resolvePath(d, path)._1.exists {
-        case BArray(items) => items.exists(one)
-        case v => one(v)
-      }
-    }
+    def matches(d: BDoc): Boolean =
+      BQuery.regexMatch(d, path, compiled)
+  }
+
+  /** A `$regex` adjudicated SERVER-AUTHORITATIVE (`regex_dialect=server`,
+    * [[RegexDialect.forTransport]]): the pattern is outside the PCRE∩Java
+    * common subset and the user opted into the reference's verbatim ship
+    * (MongoInputSplit.java:281) — it always renders on the wire
+    * ([[graft.server.QueryDocs.render]]), so a live server never
+    * re-checks it client-side. The matcher below runs only in the
+    * in-memory test double, which approximates the server with Java's
+    * dialect (documented). */
+  final case class RegexServer(path: String, pattern: String, opts: String = "") extends BQuery {
+    @transient private lazy val compiled: java.util.regex.Pattern =
+      BQuery.compileJavaDialect(pattern, opts)
+    def matches(d: BDoc): Boolean =
+      BQuery.regexMatch(d, path, compiled)
   }
   /** Spark null-filter semantics: present AND non-null (what pushed
     * IsNotNull/IsNull compile to — Spark never re-checks an accepted
@@ -576,6 +611,7 @@ object BQuery {
     case Ne(p, _) => Set(p.split('.').head)
     case Nin(p, _) => Set(p.split('.').head)
     case Regex(p, _, _) => Set(p.split('.').head)
+    case RegexServer(p, _, _) => Set(p.split('.').head)
     case Exists(p, _) => Set(p.split('.').head)
     case ExistsField(p, _) => Set(p.split('.').head)
     case Size(p, _) => Set(p.split('.').head)
@@ -614,6 +650,7 @@ object BQuery {
     case Ne(p, _) => Set(p)
     case Nin(p, _) => Set(p)
     case Regex(p, _, _) => Set(p)
+    case RegexServer(p, _, _) => Set(p)
     case Exists(p, _) => Set(p)
     case ExistsField(p, _) => Set(p)
     case Size(p, _) => Set(p)
@@ -664,6 +701,7 @@ object BQuery {
       case Ne(p, v) => f(p).map(Ne(_, v))
       case Nin(p, vs) => f(p).map(Nin(_, vs))
       case Regex(p, pat, o) => f(p).map(Regex(_, pat, o))
+      case RegexServer(p, pat, o) => f(p).map(RegexServer(_, pat, o))
       case Exists(p, yes) => f(p).map(Exists(_, yes))
       case ExistsField(p, yes) => f(p).map(ExistsField(_, yes))
       case Size(p, n) => f(p).map(Size(_, n))

@@ -137,9 +137,17 @@ object GraftServerSource {
       case _ => d
     }
 
-  /** Option-level JSON query (mongo.input.query analog). */
+  /** Option-level JSON query (mongo.input.query analog). The
+    * `regex_dialect` gate applies here (r16): out-of-subset `$regex`
+    * patterns refuse under the default mode, stay client-side Java
+    * residuals under `java`, or become verbatim server-authoritative
+    * [[BQuery.RegexServer]] nodes under `server` — see
+    * [[graft.query.RegexDialect]]. */
   def optionQuery(opts: Map[String, String]): BQuery =
-    opts.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
+    opts.get("query").map(j => graft.query.RegexDialect.forTransport(
+      BQueryJson.parse(j),
+      opts.getOrElse(graft.query.RegexDialect.OptionKey, "portable"),
+      serverTransport = true)).getOrElse(BQuery.True)
 
   def withClient[A](opts: Map[String, String])(f: (ServerClient, String) => A): A = {
     val client = factory(opts).create(opts)

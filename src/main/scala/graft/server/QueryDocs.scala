@@ -25,11 +25,19 @@ import scala.collection.immutable.ListMap
   *    (`{p: {$lt: 5}}` matches `p=[3,9]`), `$regex`/`$mod`/`$type`
   *    element traversal, `$exists`/`$size`/`$all`/`$elemMatch` through
   *    intermediate arrays, and `{p: null}` matching missing/dead-end
-  *    slots. Remaining known divergences: the PCRE-vs-java regex
-  *    DIALECT (pattern syntax corners), and NUMERIC path segments in
-  *    the null/missing edge (`{"m.0": null}` where positional and
-  *    field-name resolution disagree) — on a live server those follow
-  *    the server, which is what a reference user already gets.
+  *    slots. ZERO remaining silent divergences as of r16 — the last two
+  *    are now GATED: (a) the PCRE-vs-Java regex dialect — a `$regex`
+  *    renders only inside the PCRE∩Java common subset where both
+  *    dialects provably agree ([[graft.query.RegexDialect]]); outside
+  *    it the default mode refuses loudly, `regex_dialect=java` keeps
+  *    the node a client-side residual (uniform Java semantics on every
+  *    transport), and `regex_dialect=server` ships it verbatim,
+  *    server-authoritative (the reference's mongo.input.query behavior);
+  *    (b) NUMERIC path segments in the null/missing edge
+  *    (`{"m.0": null}`, [[graft.query.NumericNullEdge]]) — refused on
+  *    client-evaluating transports unless `numeric_null_paths=engine`
+  *    opts into the engine matcher's documented rule; a live server
+  *    receives the verbatim wire form and its own rule applies.
   *  - Spark-read-semantics `ReadStr*` / `ReadLong*` / `ReadTime*` nodes
   *    (compiled pushed filters — Spark never re-checks them, so their
   *    cross-bracket read semantics MUST hold exactly) never render: they
@@ -107,7 +115,20 @@ object QueryDocs {
     case BQuery.Ne(p, v) => Some(BDoc(p -> BDoc("$ne" -> v)))
     case BQuery.In(p, vs) => Some(BDoc(p -> BDoc("$in" -> BArray(vs.toVector))))
     case BQuery.Nin(p, vs) => Some(BDoc(p -> BDoc("$nin" -> BArray(vs.toVector))))
-    case BQuery.Regex(p, pat, opts) =>
+    // a $regex renders ONLY inside the PCRE∩Java common subset — there
+    // the server's PCRE and the engine's java.util.regex provably agree
+    // (RegexDialect). Outside it the node stays a client-side residual
+    // (uniform Java semantics on every transport, `regex_dialect=java`),
+    // unless the user adjudicated it server-authoritative
+    // (`regex_dialect=server` → RegexServer below, verbatim — the
+    // reference's mongo.input.query ship, MongoInputSplit.java:281).
+    case BQuery.Regex(p, pat, opts)
+        if graft.query.RegexDialect.portable(pat, opts) =>
+      val body =
+        if (opts.isEmpty) BDoc("$regex" -> BString(pat))
+        else BDoc("$regex" -> BString(pat), "$options" -> BString(opts))
+      Some(BDoc(p -> body))
+    case BQuery.RegexServer(p, pat, opts) =>
       val body =
         if (opts.isEmpty) BDoc("$regex" -> BString(pat))
         else BDoc("$regex" -> BString(pat), "$options" -> BString(opts))
@@ -172,7 +193,11 @@ object QueryDocs {
       case BQuery.Ne(`path`, v) => Some(Seq("$ne" -> v))
       case BQuery.In(`path`, vs) => Some(Seq("$in" -> BArray(vs.toVector)))
       case BQuery.Nin(`path`, vs) => Some(Seq("$nin" -> BArray(vs.toVector)))
-      case BQuery.Regex(`path`, pat, o) =>
+      case BQuery.Regex(`path`, pat, o)
+          if graft.query.RegexDialect.portable(pat, o) =>
+        Some(("$regex" -> (BString(pat): BsonValue)) +:
+          (if (o.isEmpty) Seq.empty else Seq("$options" -> (BString(o): BsonValue))))
+      case BQuery.RegexServer(`path`, pat, o) =>
         Some(("$regex" -> (BString(pat): BsonValue)) +:
           (if (o.isEmpty) Seq.empty else Seq("$options" -> (BString(o): BsonValue))))
       case BQuery.Exists(`path`, true) => Some(Seq("$ne" -> BNull))

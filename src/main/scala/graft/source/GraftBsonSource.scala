@@ -2,7 +2,7 @@ package graft.source
 
 import graft.bson._
 import graft.files.BsonFiles
-import graft.query.{BQuery, BQueryJson, FilterTranslator, UpdateModel}
+import graft.query.{BQuery, BQueryJson, FilterTranslator, NumericNullEdge, RegexDialect, UpdateModel}
 import graft.store.BsonCollection
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -717,7 +717,20 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   override def build(): Scan = {
     // AND-compose with the option-level query (mongo.input.query analog;
     // $and composition semantics of HiveMongoInputFormat.java:104-123)
-    val optionQuery = options.get("query").map(BQueryJson.parse).getOrElse(BQuery.True)
+    // dialect gates (r16): this transport evaluates option-level queries
+    // CLIENT-side, so a $regex outside the PCRE∩Java common subset and
+    // the numeric-segment null edge refuse loudly unless their options
+    // opt into the engine dialect (graft.query.Dialect) — a live-server
+    // scan instead ships them verbatim, server-authoritative
+    val regexMode = options.getOrElse(RegexDialect.OptionKey, "portable")
+    def gated(q: BQuery): BQuery = {
+      NumericNullEdge.check(q, options.get(NumericNullEdge.OptionKey))
+      RegexDialect.forTransport(q, regexMode, serverTransport = false)
+    }
+    options.get("collections").foreach(json =>
+      MultiCollections.parse(json).foreach(c => gated(c.query)))
+    val optionQuery =
+      options.get("query").map(j => gated(BQueryJson.parse(j))).getOrElse(BQuery.True)
     // option-level PER-PARTITION limit (mongo.input.limit analog — a
     // cursor limit per split, explicitly not a global row bound; compose
     // with Spark's own .limit for the global semantic)
