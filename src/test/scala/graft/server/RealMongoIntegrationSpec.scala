@@ -838,4 +838,222 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(ids("""{"m.a": null}""") == Seq(4L))
     assert(ids("""{"m.a": {"$exists": true}}""") == Seq(1L, 2L, 3L))
   }
+
+  test("live: regex common-subset parity — server count == engine Java count (r16)") {
+    live()
+    import spark.implicits._
+    val o = opts("redial")
+    // strings designed to light up the newline-convention corners the
+    // UNIX_LINES compile closes (\r under '.', multiline '^')
+    val values = Seq("ab7", "a\rb", "a\nb", "Ab", "xyz", "a{2}b",
+      "aa", "colour", "color", "x", "ab\ncd", "12a34")
+    values.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("k", "s")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    val battery: Seq[(String, String)] = Seq(
+      ("^ab", ""), ("^ab", "i"), ("a.b", ""), ("a.b", "s"), ("^b", "m"),
+      ("colou?r", ""), ("[0-9]+", ""), ("(?:ab)+", ""), ("a{2}", ""),
+      ("\\Qa{2}\\E", ""), ("x\\z", ""), ("^\\Qab\\E", ""), ("a|cd", ""))
+    battery.foreach { case (pat, fl) =>
+      assert(graft.query.RegexDialect.portable(pat, fl), s"battery pattern $pat")
+      val q = if (fl.isEmpty) s"""{"s": {"$$regex": "${pat.replace("\\", "\\\\")}"}}"""
+        else s"""{"s": {"$$regex": "${pat.replace("\\", "\\\\")}", "$$options": "$fl"}}"""
+      val serverCount = spark.read.format("graftserver").options(o)
+        .option("query", q).schema("_id LONG").load().count()
+      // the engine's own matcher (java.util.regex under UNIX_LINES) on
+      // the same values — IN-SUBSET patterns must agree EXACTLY; any
+      // difference is a common-subset classifier bug to fix
+      val javaCount = values.count(s =>
+        graft.query.BQuery.Regex("s", pat, fl)
+          .matches(graft.bson.BDoc("s" -> graft.bson.BString(s))))
+      assert(serverCount === javaCount.toLong,
+        s"dialects disagree inside the claimed common subset: '$pat' ($fl)")
+    }
+  }
+
+  test("live: out-of-subset corners under regex_dialect=server probe PCRE behavior (r16)") {
+    live()
+    import spark.implicits._
+    val o = opts("recorn")
+    Seq((1L, "&"), (2L, "1"), (3L, "x"), (4L, "٣"))
+      .toDF("k", "s")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    def ids(q: String, extra: (String, String)*): Seq[Long] =
+      spark.read.format("graftserver").options(o ++ extra.toMap)
+        .schema("_id LONG").option("query", q).load()
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // the DEFAULT mode refuses the out-of-subset pattern even live —
+    // the user must pick a dialect explicitly
+    val e = intercept[Throwable] { ids("""{"s": {"$regex": "[0-9&&1]"}}""") }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("common subset")), chain(e).mkString("\n"))
+    // class '&&' is LITERAL in PCRE (Java-only intersection syntax):
+    // the server must match '&' and '1', where Java would match only '1'
+    assert(ids("""{"s": {"$regex": "[0-9&&1]"}}""",
+      "regex_dialect" -> "server") == Seq(1L, 2L),
+      "PCRE reads '&&' as literal class members")
+    // \d beyond ASCII: PCRE without UCP stays ASCII-only — the
+    // Arabic-Indic digit must NOT match (if this fails, the server was
+    // built with UCP defaults and \d belongs OUT of any future subset
+    // extension — exactly what this probe documents)
+    assert(ids("""{"s": {"$regex": "^\\d$"}}""",
+      "regex_dialect" -> "server") == Seq(2L))
+    // java mode evaluates client-side: intersection semantics
+    assert(ids("""{"s": {"$regex": "[0-9&&1]"}}""",
+      "regex_dialect" -> "java") == Seq(2L))
+  }
+
+  test("live: $objectToArray on scalar storage errors server-side (r16 fail-loud parity)") {
+    live()
+    import spark.implicits._
+    val o = opts("o2a")
+    Seq((1L, Map("a" -> 1L))).toDF("k", "metrics")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    // a FOREIGN writer stored a scalar at the map path
+    Seq((2L, 7L)).toDF("k", "metrics")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    val q = spark.read.format("graftserver").options(o)
+      .schema("_id LONG, metrics MAP<STRING, LONG>").load()
+      .select($"_id", explode($"metrics"))
+    val e = intercept[Throwable] { q.collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(m => m.contains("objectToArray") || m.contains("$objectToArray")),
+      s"server and engine must both fail loud on non-document map storage:\n${chain(e).mkString("\n")}")
+  }
+
+  test("live: duplicate-key subdocument under $objectToArray (foreign raw writer) (r16)") {
+    live()
+    import spark.implicits._
+    val o = opts("dupk")
+    Seq((1L, Map("a" -> 1L))).toDF("k", "metrics")
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    // splice RAW BSON bytes for {_id: 2, metrics: {a: 1, a: 2}} — no
+    // driver Document API allows duplicate keys, which is the point:
+    // only a foreign raw writer produces this storage
+    def el32(name: String, v: Int): Array[Byte] = {
+      val nb = name.getBytes("UTF-8")
+      val bb = java.nio.ByteBuffer.allocate(1 + nb.length + 1 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(0x10.toByte).put(nb).put(0.toByte).putInt(v)
+      bb.array()
+    }
+    def doc(els: Array[Byte]*): Array[Byte] = {
+      val body = els.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(4 + body.length + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4 + body.length + 1).put(body).put(0.toByte)
+      bb.array()
+    }
+    def elDoc(name: String, d: Array[Byte]): Array[Byte] = {
+      val nb = name.getBytes("UTF-8")
+      java.nio.ByteBuffer.allocate(1 + nb.length + 1 + d.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put(0x03.toByte).put(nb).put(0.toByte).put(d).array()
+    }
+    def el64(name: String, v: Long): Array[Byte] = {
+      val nb = name.getBytes("UTF-8")
+      java.nio.ByteBuffer.allocate(1 + nb.length + 1 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put(0x12.toByte).put(nb).put(0.toByte).putLong(v).array()
+    }
+    val raw = doc(el64("_id", 2L),
+      elDoc("metrics", doc(el32("a", 1), el32("a", 2))))
+    // insert through the driver's RawBsonDocument via reflection (the
+    // driver jar is only on the classpath in a live run)
+    val cl = Class.forName("com.mongodb.client.MongoClients")
+    val client = cl.getMethod("create", classOf[String]).invoke(null, uri.get)
+    try {
+      val Array(db, coll) = o("ns").split('.')
+      val rawCls = Class.forName("org.bson.RawBsonDocument")
+      val rawDoc = rawCls.getConstructor(classOf[Array[Byte]])
+        .newInstance(raw).asInstanceOf[AnyRef]
+      val database = client.getClass.getMethod("getDatabase", classOf[String])
+        .invoke(client, db)
+      val collection = database.getClass
+        .getMethod("getCollection", classOf[String], classOf[Class[_]])
+        .invoke(database, coll, rawCls)
+      collection.getClass.getMethod("insertOne", classOf[Object])
+        .invoke(collection, rawDoc)
+    } finally client.asInstanceOf[AutoCloseable].close()
+    val rows = spark.read.format("graftserver").options(o)
+      .schema("_id LONG, metrics MAP<STRING, LONG>").load()
+      .select($"_id", explode($"metrics"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // whatever the server's $objectToArray does with the duplicate
+    // (emit both entries or collapse), the engine must pass its rows
+    // through untouched: doc 1 contributes (1,a,1); doc 2 contributes
+    // its entries with key "a" — record the observed arity
+    assert(rows.head == (1L, "a", 1L), rows.toString)
+    val dup = rows.filter(_._1 == 2L)
+    assert(dup.nonEmpty && dup.forall(_._2 == "a"),
+      s"duplicate-key storage must surface as key-'a' rows, got $rows")
+  }
+
+  test("live: MAP explode over the pushed join is ONE $objectToArray+$lookup pipeline (r16)") {
+    live()
+    import spark.implicits._
+    val od = opts("mjo"); val oc = opts("mjc")
+    Seq(
+      (1L, 10L, Map("a" -> 1L, "b" -> 2L)),
+      (2L, 20L, Map("b" -> 3L)),
+      (3L, 10L, Map.empty[String, Long]),
+      (4L, 99L, Map("c" -> 4L)))
+      .toDF("k", "ck", "metrics")
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    Seq((10L, "alice"), (20L, "bob")).toDF("k", "name")
+      .write.format("graftserver").options(oc)
+      .option("id_column", "k").mode("append").save()
+    val oo = spark.read.format("graftserver")
+      .options(od + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, ck LONG, metrics MAP<STRING, LONG>").load()
+    val cc = spark.read.format("graftserver")
+      .options(oc + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING").load()
+    val q = oo.join(cc, oo("ck") === cc("_id"))
+      .select($"name", explode(oo("metrics")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: metrics MAP") &&
+      plan.contains("PushedJoin: INNER"), plan)
+    assert(!plan.contains("Generate") && !plan.contains("Join "), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq(("alice", "a", 1L), ("alice", "b", 2L), ("bob", "b", 3L)))
+  }
+
+  test("live: mirrored unwind-over-join — pre-unwound RIGHT relation drives (r16)") {
+    live()
+    import spark.implicits._
+    val od = opts("miro"); val oc = opts("mirc")
+    Seq((1L, 10L, Seq("x", "y")), (2L, 99L, Seq("z")))
+      .toDF("k", "ck", "tags")
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    Seq((10L, "alice"), (30L, "carol")).toDF("k", "name")
+      .write.format("graftserver").options(oc)
+      .option("id_column", "k").mode("append").save()
+    val oo = spark.read.format("graftserver")
+      .options(od + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, ck LONG, tags ARRAY<STRING>").load()
+    val cc = spark.read.format("graftserver")
+      .options(oc + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING").load()
+    val e = oo.select(oo("ck"), explode(oo("tags")).as("tag"))
+    val q = cc.join(e, cc("_id") === e("ck"), "right_outer")
+      .select($"name", $"tag")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: tags") &&
+      plan.contains("PushedJoin: LEFT OUTER"), plan)
+    assert(!plan.contains("Generate") && !plan.contains("Join "), plan)
+    assert(q.collect()
+      .map(r => (Option(r.getString(0)).getOrElse("∅"), r.getString(1)))
+      .sorted.toSeq ==
+      Seq(("alice", "x"), ("alice", "y"), ("∅", "z")))
+  }
 }
