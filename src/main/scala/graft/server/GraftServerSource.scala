@@ -1095,7 +1095,7 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * semantics the pipeline cannot honor).
     */
   private def unwoundTailOk: Boolean =
-    unwind.exists(!_.mapKv) && residuals.isEmpty &&
+    unwind.isDefined && residuals.isEmpty &&
       !options.contains("sort") && !options.contains("limit") && {
         val pre = QueryDocs.plan(
           BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
@@ -1980,7 +1980,12 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
       limit = topN.map(_._2.toLong).orElse(limit.map(_.toLong)).getOrElse(-1L),
       projection = Some(GraftServerSource.pruneProjection(
         parentSchema.fieldNames.map(n => mapping.getOrElse(n, n)).toSeq ++
-        unwind.map(_.path) ++
+        // MAP unwind (r16): the per-entry docs carry the synthetic
+        // __graft_kv entry the key/value mappings read — the original
+        // map path is never a column post-unwind (the relocation
+        // refuses a surviving map column)
+        (if (unwind.exists(_.mapKv)) Seq(graft.plans.UnwindRelocate.KvDocField)
+         else unwind.map(_.path).toSeq) ++
         (if (posIdx >= 0) unwind.get.posField else None))))
       .map(GraftServerSource.narrowPos)
   else

@@ -14,10 +14,10 @@ import java.nio.file.Files
   * per namespace. BSON has no map type: a map<string, V> column stores
   * as a SUBDOCUMENT (the MongoDB convention for dynamic keys), so this
   * also pins the r15 MapType codec. The map unwind DRIVES pushed joins
-  * too (the kv value as the join key). Refusals: pushed tails on the
-  * server (the unwound ROW pipeline stays array-only for now),
-  * non-document storage at the path (fail-loud, the `$objectToArray`
-  * rule).
+  * too (the kv value as the join key), and row-count/-order tails
+  * (LIMIT/TopN/OFFSET) ride the unwound ROW pipeline counting kv ENTRY
+  * rows (r16). Refusals: non-document storage at the path (fail-loud,
+  * the `$objectToArray` rule), string order keys (bracket gate).
   */
 class MapUnwindSpec extends SparkSpec {
 
@@ -188,7 +188,7 @@ class MapUnwindSpec extends SparkSpec {
       String.valueOf(ex.getCause))
   }
 
-  test("map unwind DRIVES the pushed join (value as key); server tails refuse; parent sample composes") {
+  test("map unwind DRIVES the pushed join (value as key); entry tails push (r16); parent sample composes") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
@@ -214,14 +214,36 @@ class MapUnwindSpec extends SparkSpec {
     assert(j.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sorted.toSeq == Seq((1L, "en", "three"), (2L, "de", "nine")))
 
-    // pushed tails refuse on the server (no UnwoundTails marker);
-    // Spark's own TakeOrdered still answers exactly
-    val top = t(dir).select($"_id", explode($"langs"))
+    // pushed tails compose (r16): the unwound ROW pipeline renders
+    // $objectToArray+$unwind before the $sort/$skip/$limit tail —
+    // LIMIT/TopN count kv ENTRY rows, one pipeline per namespace
+    val top = t(dir, "assume_uniform_storage" -> "true")
+      .select($"_id", explode($"langs"))
       .orderBy($"value".desc).limit(1)
-    assert(!top.queryExecution.executedPlan.toString.contains("UnwoundTails"),
-      top.queryExecution.executedPlan.toString)
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert(topPlan.contains("UnwoundTails") && topPlan.contains("PushedTopN"),
+      topPlan)
     assert(top.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
       Seq((2L, 9L)))
+    // a LIMIT tail counts entries (3 kv entries across parents 1-2)
+    val lim = t(dir).select(explode($"langs")).limit(2)
+    assert(lim.queryExecution.executedPlan.toString.contains("UnwoundTails"),
+      lim.queryExecution.executedPlan.toString)
+    assert(lim.count() == 2)
+    // OFFSET: single-pipeline $skip over entry rows
+    val off = t(dir, "splitter" -> "single", "assume_uniform_storage" -> "true")
+      .select($"_id", explode($"langs"))
+      .orderBy($"value".asc).offset(1).limit(2)
+    assert(off.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 5L), (2L, 9L)))
+    // a STRING order key still refuses (four storage brackets) — the
+    // mapKv gate no longer blocks, the bracket gate still does
+    val topK = t(dir, "assume_uniform_storage" -> "true")
+      .select($"_id", explode($"langs"))
+      .orderBy($"key".asc).limit(1)
+    assert(!topK.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(topK.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "de")))
 
     // a parent-keyed deterministic sample stays parent-atomic
     val s = t(dir, "sample_key" -> "_id")
