@@ -325,6 +325,45 @@ object DiagChain {
     val ujUniT = time("unwind-join UNIFORM")(unwindJoinSkew("db.uwjord"))
     val ujSkwT = time("unwind-join SKEWED")(unwindJoinSkew("db.uwjskew"))
     println(f"[diagchain] unwind-join skew/uniform ratio = ${ujSkwT / ujUniT}%.2f")
+
+    // ---- r16 arm: MAP explode composed INTO the pushed join (q166
+    // shape) — the $objectToArray+$unwind+$lookup+$group pipeline vs
+    // join-only (kv rows ship through a Spark Generate) vs unpushed ----
+    Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey",
+        map(lit("pri"), ($"o_totalprice" % 97L).cast("long"),
+          lit("qty"), ($"o_orderkey" % 89L)).as("metrics"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.mwjord"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    def mapJoinQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.mwjord", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, metrics MAP<STRING, LONG>").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .select($"c_nationkey", explode(o("metrics")))
+        .filter($"value" >= 10L)
+        .groupBy($"c_nationkey", $"key").agg(count(lit(1)).as("n"),
+          sum($"value").as("total"))
+    }
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    val planMj = mapJoinQuery().queryExecution.executedPlan.toString
+    require(planMj.contains("PushedUnwind") && planMj.contains(" MAP") &&
+      planMj.contains("PushedJoin") && planMj.contains("PushedGroupedAggregate"),
+      s"map-over-join did not push:\n$planMj")
+    val pushedMj = time("map-join PUSHED")(mapJoinQuery())
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "false")
+    val halfMj = time("map-join JOIN-ONLY")(mapJoinQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedMj = time("map-join UNPUSHED")(mapJoinQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
+    println(f"[diagchain] map-join ratio join-only/pushed = ${halfMj / pushedMj}%.2f")
+    println(f"[diagchain] map-join ratio unpushed/pushed  = ${unpushedMj / pushedMj}%.2f")
     spark.stop()
   }
 }

@@ -118,12 +118,22 @@ object RegexDialect {
           var j = i + 1
           while (j < n && pattern(j).isDigit) j += 1
           if (j == i + 1) return Some("'{' not starting a {m[,n]} quantifier")
+          val lo = pattern.substring(i + 1, j)
+          var hi = lo
           if (j < n && pattern(j) == ',') {
             j += 1
+            val h0 = j
             while (j < n && pattern(j).isDigit) j += 1
+            hi = if (j == h0) "" else pattern.substring(h0, j)
           }
           if (j >= n || pattern(j) != '}')
             return Some("unterminated {m[,n]} quantifier")
+          // {m,n} with n<m: an error in both engines, but surfaced
+          // client-side vs server-side — refuse rather than differ in
+          // failure mode (also guards > 9-digit counts both engines cap)
+          if (lo.length > 9 || hi.length > 9 ||
+              (hi.nonEmpty && hi.toLong < lo.toLong))
+            return Some(s"malformed {m,n} bounds {$lo,$hi}")
           i = j + 1
           if (i < n && pattern(i) == '?') i += 1
           else if (i < n && pattern(i) == '+')

@@ -63,6 +63,8 @@ class DialectSpec extends SparkSpec {
     out("\\w\\s\\b")
     out("\\Z") // Java recognizes \r-family before \Z even with UNIX_LINES
     out("a{,5}") // PCRE2-only quantifier form
+    out("a{3,2}") // inverted bounds: both engines error, in different places
+    in("a{2,2}")
     out("x{") // literal-brace corners
     out("}")
     out("]")

@@ -204,6 +204,75 @@ class MapUnwindJoinSpec extends SparkSpec {
       ("bob", "b", 3L), ("∅", "a", 9L), ("∅", "c", 4L)), got)
   }
 
+  test("map explode transposes through a CHAINED 3-way join (one pipeline)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    Seq((100L, "gold"), (200L, "silver")).toDF("_id", "tier")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.t"))
+      .option("id_column", "_id").mode("append").save()
+    // customers reference the tier dim: 10 -> 100, 20 -> 200
+    Seq((10L, "alice", 100L), (20L, "bob", 200L), (30L, "carol", 100L))
+      .toDF("_id", "name", "tid")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ct"))
+      .option("id_column", "_id").mode("append").save()
+    val oo = o(dir)
+    val cc = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ct",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING, tid LONG").load()
+    val tt = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.t",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, tier STRING").load()
+    val q = oo.join(cc, oo("custkey") === cc("_id"))
+      .join(tt, cc("tid") === tt("_id"))
+      .select($"tier", explode(oo("metrics")))
+      .groupBy($"tier", $"key").agg(sum($"value").as("total"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedUnwind: metrics MAP") &&
+      plan.contains("PushedJoin: INNER db.ct") &&
+      plan.contains("THEN INNER db.t") &&
+      plan.contains("PushedGroupedAggregate"), plan)
+    assert(!plan.contains("Generate") && !plan.contains("Join "), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq(("gold", "a", 1L), ("gold", "b", 2L), ("silver", "b", 3L)))
+  }
+
+  test("map explode relocates into a FILE join leg (join stays Spark)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mjf").toString
+    Seq(
+      (1L, 10L, Map("a" -> 1L, "b" -> 2L)),
+      (2L, 20L, Map("b" -> 3L)),
+      (3L, 99L, Map("c" -> 4L)))
+      .toDF("_id", "ck", "metrics")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(dir)
+    val cdir = Files.createTempDirectory("graft-mjfc").toString
+    Seq((10L, "alice"), (20L, "bob")).toDF("_id", "name")
+      .write.format("graftbson").option("id_column", "_id")
+      .mode("append").save(cdir)
+    val oo = spark.read.format("graftbson")
+      .schema("_id LONG, ck LONG, metrics MAP<STRING, LONG>").load(dir)
+    val cc = spark.read.format("graftbson")
+      .schema("_id LONG, name STRING").load(cdir)
+    val q = oo.join(cc, oo("ck") === cc("_id"))
+      .select($"name", explode(oo("metrics")))
+    val plan = planOf(q)
+    // the file transport has no $lookup — the JOIN stays Spark, but the
+    // kv flatten relocates into the leg's scan (entry rows feed the join)
+    assert(!plan.contains("Generate"),
+      s"the map unwind must relocate into the file leg:\n$plan")
+    assert(plan.contains("PushedUnwind: metrics MAP"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq(("alice", "a", 1L), ("alice", "b", 2L), ("bob", "b", 3L)))
+  }
+
   test("refusals: lookup-side map, RIGHT OUTER transpose, map consumed above") {
     import spark.implicits._
     val dir = freshDir()
