@@ -121,6 +121,17 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     * engine's fail-loud mixed-storage stance. `withPos` lets each
     * caller inject its posexplode index encoding (int32 file-side,
     * int64-then-narrow server-side; None = off-map row).
+    *
+    * Duplicate-key FOREIGN storage (no engine write can produce it —
+    * the codec refuses): BSON parse collapses it LAST-wins before this
+    * expansion (ListMap builder semantics — the same collapse the
+    * reference's BasicBSONObject.put applies,
+    * core/.../BSONWritable readFields path), while a live server's
+    * `$objectToArray` emits every stored entry. The live gate's
+    * raw-bytes probe (RealMongoIntegrationSpec r16) records the
+    * server's actual arity; on a live transport the pipeline runs
+    * server-side, so its rule applies there — engine parity holds for
+    * everything either writer can produce.
     */
   def mapEntries(d: graft.bson.BDoc, path: String, preserve: Boolean,
       withPos: (graft.bson.BDoc, Option[Int]) => graft.bson.BDoc):

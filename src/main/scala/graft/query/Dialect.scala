@@ -128,12 +128,14 @@ object RegexDialect {
           }
           if (j >= n || pattern(j) != '}')
             return Some("unterminated {m[,n]} quantifier")
-          // {m,n} with n<m: an error in both engines, but surfaced
-          // client-side vs server-side — refuse rather than differ in
-          // failure mode (also guards > 9-digit counts both engines cap)
-          if (lo.length > 9 || hi.length > 9 ||
+          // {m,n} with n<m errors in both engines (but client- vs
+          // server-side), and PCRE hard-caps quantifier bounds at 65535
+          // where Java accepts up to Int.MaxValue — refuse both corners
+          if (lo.length > 5 || hi.length > 5 ||
+              lo.toLong > 65535 || (hi.nonEmpty && hi.toLong > 65535) ||
               (hi.nonEmpty && hi.toLong < lo.toLong))
-            return Some(s"malformed {m,n} bounds {$lo,$hi}")
+            return Some(s"{m,n} bounds {$lo,$hi} outside the common subset " +
+              "(PCRE caps at 65535; inverted bounds error in both)")
           i = j + 1
           if (i < n && pattern(i) == '?') i += 1
           else if (i < n && pattern(i) == '+')

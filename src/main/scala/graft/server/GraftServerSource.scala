@@ -716,14 +716,30 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       joined.isEmpty && !options.contains("limit") &&
       !options.contains("sort") &&
       GraftServerSource.nsList(options).size == 1 &&
+      // the WHOLE query must render server-side: rows are joined away,
+      // so there is no client re-check point for an unrenderable
+      // conjunct (r16 — a `regex_dialect=java` out-of-subset $regex is
+      // the first non-renderable OPTION-level node; the live transport's
+      // lookupJoin `require`s exactly this). Builder-time keyBounds are
+      // fine on the DRIVING side (the pipeline renders split KeyRanges
+      // bracket-style); the lookup side re-checks below.
+      preQueryPlan.isExact &&
       (unwind.isEmpty || {
         val post = QueryDocs.plan(unwindPost)
         post.isExact && post.keyBounds.isEmpty
       })
 
-  /** Usable as the LOOKUP side: additionally no `$unwind` — lookup-side
-    * element rows are not parent-atomic across the join boundary. */
-  private def cleanForJoin: Boolean = cleanAsDriving && unwind.isEmpty
+  /** The server-render split of this side's full builder-time query
+    * (option-level AND pushed) — the join gates' renderability input. */
+  private def preQueryPlan: QueryDocs.ServerPlan =
+    QueryDocs.plan(BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
+
+  /** Usable as the LOOKUP side: additionally no `$unwind` (lookup-side
+    * element rows are not parent-atomic across the join boundary) and
+    * no key bounds (the inner pipeline has no cursor to bound —
+    * lookupJoin's right-query `require` mirror). */
+  private def cleanForJoin: Boolean =
+    cleanAsDriving && unwind.isEmpty && preQueryPlan.keyBounds.isEmpty
 
   /** An already-joined builder may CHAIN one more lookup stage (3-way+
     * star queries) as long as no tail pushdown claimed the pipeline yet.

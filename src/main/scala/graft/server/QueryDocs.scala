@@ -124,15 +124,9 @@ object QueryDocs {
     // reference's mongo.input.query ship, MongoInputSplit.java:281).
     case BQuery.Regex(p, pat, opts)
         if graft.query.RegexDialect.portable(pat, opts) =>
-      val body =
-        if (opts.isEmpty) BDoc("$regex" -> BString(pat))
-        else BDoc("$regex" -> BString(pat), "$options" -> BString(opts))
-      Some(BDoc(p -> body))
+      Some(BDoc(p -> BDoc(regexPairs(pat, opts): _*)))
     case BQuery.RegexServer(p, pat, opts) =>
-      val body =
-        if (opts.isEmpty) BDoc("$regex" -> BString(pat))
-        else BDoc("$regex" -> BString(pat), "$options" -> BString(opts))
-      Some(BDoc(p -> body))
+      Some(BDoc(p -> BDoc(regexPairs(pat, opts): _*)))
     // The engine's Exists matches "present AND non-null" (it is what
     // pushed IsNotNull/IsNull compile to, so it must carry SPARK's null
     // semantics — Spark never re-checks a pushed filter). Mongo's
@@ -178,6 +172,14 @@ object QueryDocs {
     case _ => None // KeyRange (cursor-bound concern), ReadStr*/ReadLong*
   }
 
+  /** The `$regex` wire-form operator pairs (one rendering shared by the
+    * query-doc and operator-doc shapes, and by the portable/verbatim
+    * nodes). */
+  private def regexPairs(pat: String, opts: String): Seq[(String, BsonValue)] =
+    ("$regex" -> (BString(pat): BsonValue)) +:
+      (if (opts.isEmpty) Seq.empty
+       else Seq("$options" -> (BString(opts): BsonValue)))
+
   /** Render a conjunction over ONE path as a bare operator document —
     * the body shape `$not` and value-form `$elemMatch` need. None when
     * any conjunct is off-path, unrenderable as an operator pair, or an
@@ -195,11 +197,9 @@ object QueryDocs {
       case BQuery.Nin(`path`, vs) => Some(Seq("$nin" -> BArray(vs.toVector)))
       case BQuery.Regex(`path`, pat, o)
           if graft.query.RegexDialect.portable(pat, o) =>
-        Some(("$regex" -> (BString(pat): BsonValue)) +:
-          (if (o.isEmpty) Seq.empty else Seq("$options" -> (BString(o): BsonValue))))
+        Some(regexPairs(pat, o))
       case BQuery.RegexServer(`path`, pat, o) =>
-        Some(("$regex" -> (BString(pat): BsonValue)) +:
-          (if (o.isEmpty) Seq.empty else Seq("$options" -> (BString(o): BsonValue))))
+        Some(regexPairs(pat, o))
       case BQuery.Exists(`path`, true) => Some(Seq("$ne" -> BNull))
       case BQuery.Exists(`path`, false) => Some(Seq("$eq" -> BNull))
       case BQuery.ExistsField(`path`, b) => Some(Seq("$exists" -> BBool(b)))

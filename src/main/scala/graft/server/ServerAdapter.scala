@@ -501,6 +501,14 @@ final class FakeServerClient(rootDir: Option[String] = None)
       unwind: Option[ServerClient.Unwind] = None,
       postQuery: BQuery = BQuery.True): Iterator[BDoc] = {
     tick("groupAggregate")
+    // real-transport renderability mirror (r16) — see lookupJoin
+    locally {
+      val p = QueryDocs.plan(query); val post = QueryDocs.plan(postQuery)
+      require(p.isExact && p.keyBounds.isEmpty,
+        s"groupAggregate query not fully server-renderable: $query")
+      require(post.isExact && post.keyBounds.isEmpty,
+        s"groupAggregate post-unwind query not fully server-renderable: $postQuery")
+    }
     val matched = coll(ns).readAll().filter(query.matches)
     val rows = unwind match {
       case Some(u) => matched.flatMap(d => FakeServerClient.unwindDocs(d, u))
@@ -520,6 +528,13 @@ final class FakeServerClient(rootDir: Option[String] = None)
       skip: Long, limit: Long,
       projection: Option[Seq[String]]): Iterator[BDoc] = {
     tick("unwoundRead")
+    // real-transport renderability mirror (r16) — see lookupJoin
+    locally {
+      val p = QueryDocs.plan(query); val post = QueryDocs.plan(postQuery)
+      require(p.isExact && p.keyBounds.isEmpty &&
+        post.isExact && post.keyBounds.isEmpty,
+        s"unwoundRead queries not fully server-renderable: $query / $postQuery")
+    }
     val unwound = coll(ns).readAll().filter(query.matches)
       .flatMap(d => FakeServerClient.unwindDocs(d, u))
     val post =
@@ -560,6 +575,25 @@ final class FakeServerClient(rootDir: Option[String] = None)
     */
   override def lookupJoin(ns: String, j: LookupJoin): Iterator[BDoc] = {
     tick("lookupJoin")
+    // mirror the REAL transport's renderability requires (r16): the
+    // fake evaluates BQuery nodes directly, so without these a gate
+    // hole (an unrenderable conjunct reaching a pipeline) would pass
+    // silently in-sandbox and crash only on a live server
+    require(QueryDocs.plan(j.leftQuery).isExact,
+      s"lookupJoin left query not fully server-renderable: ${j.leftQuery}")
+    locally {
+      val rp = QueryDocs.plan(j.rightQuery)
+      require(rp.isExact && rp.keyBounds.isEmpty,
+        s"lookupJoin right query not fully server-renderable: ${j.rightQuery}")
+      val up = QueryDocs.plan(j.unwindPost)
+      require(up.isExact && up.keyBounds.isEmpty,
+        s"lookupJoin post-unwind query not fully server-renderable: ${j.unwindPost}")
+      j.chain.foreach { st =>
+        val cp = QueryDocs.plan(st.rightQuery)
+        require(cp.isExact && cp.keyBounds.isEmpty,
+          s"lookupJoin chained right query not fully server-renderable: ${st.rightQuery}")
+      }
+    }
     // driving-side $unwind runs between the pre-match and the
     // projection/join — the same per-element expansion the wire
     // pipeline renders ($match → $unwind → $match(post) → $project →

@@ -64,7 +64,10 @@ class DialectSpec extends SparkSpec {
     out("\\Z") // Java recognizes \r-family before \Z even with UNIX_LINES
     out("a{,5}") // PCRE2-only quantifier form
     out("a{3,2}") // inverted bounds: both engines error, in different places
+    out("a{70000}") // PCRE caps quantifier bounds at 65535; Java accepts
+    out("a{1,70000}")
     in("a{2,2}")
+    in("a{65535}")
     out("x{") // literal-brace corners
     out("}")
     out("]")
@@ -233,6 +236,50 @@ class DialectSpec extends SparkSpec {
       .load()
     val e = intercept[Throwable] { bad.count() }
     assert(chain(e).exists(_.contains("common subset")), chain(e).mkString("\n"))
+  }
+
+  test("a java-mode residual $regex REFUSES the join pushdown (no client re-check point)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1, "ab7", 10L), (2, "xyz", 20L), (3, "ab", 10L))
+      .toDF("_id", "s", "ck")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.jl"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((10L, "alice"), (20L, "bob")).toDF("_id", "name")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.jr"))
+      .option("id_column", "_id").mode("append").save()
+    val l = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.jl",
+        "assume_uniform_storage" -> "true",
+        "query" -> """{"s": {"$regex": "\\d+"}}""",
+        "regex_dialect" -> "java"))
+      .schema("_id INT, s STRING, ck LONG").load()
+    val r = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.jr",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, name STRING").load()
+    val q = l.join(r, l("ck") === r("_id")).select($"s", $"name")
+    // the out-of-subset regex is a client-side residual; joined rows
+    // are gone after the pipeline, so there is no re-check point — the
+    // join must stay in Spark (on a live server the pushed form would
+    // crash lookupJoin's renderability require at executor time)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedJoin"), plan)
+    assert(q.collect().map(r0 => (r0.getString(0), r0.getString(1))).toSeq ==
+      Seq(("ab7", "alice")))
+    // the in-subset twin still pushes
+    val l2 = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.jl",
+        "assume_uniform_storage" -> "true",
+        "query" -> """{"s": {"$regex": "^ab"}}"""))
+      .schema("_id INT, s STRING, ck LONG").load()
+    val q2 = l2.join(r, l2("ck") === r("_id")).select($"s", $"name")
+    assert(q2.queryExecution.executedPlan.toString.contains("PushedJoin"),
+      q2.queryExecution.executedPlan.toString)
+    assert(q2.collect().map(r0 => (r0.getString(0), r0.getString(1))).sorted.toSeq ==
+      Seq(("ab", "alice"), ("ab7", "alice")))
   }
 
   test("server transport: the same gate at optionQuery; =java evaluates uniformly") {

@@ -128,6 +128,28 @@ class MapUnwindSpec extends SparkSpec {
     assert(rows == Seq((1L, 0), (1L, 1), (2L, 0), (3L, -1), (4L, -1)), rows)
   }
 
+  test("a map NESTED under a struct explodes through the same directive (r16 pin)") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, ("x1", Map("a" -> 1L, "b" -> 2L))), (2L, ("x2", Map("c" -> 3L))))
+      .toDF("_id", "raw")
+      .select($"_id", struct($"raw._1".as("tag"), $"raw._2".as("metrics")).as("meta"))
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nm"))
+      .option("id_column", "_id").mode("append").save()
+    val q = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nm"))
+      .schema("_id LONG, meta STRUCT<tag: STRING, metrics: MAP<STRING, LONG>>")
+      .load()
+      .select($"_id", explode($"meta.metrics"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedUnwind: meta.metrics MAP") &&
+      !plan.contains("Generate"), plan)
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 3L)))
+  }
+
   test("duplicate map keys refuse the write (subdocuments cannot carry them)") {
     import spark.implicits._
     val dir = freshDir()

@@ -837,6 +837,29 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(ids("""{"m.a": {"$gte": 5}}""") == Seq(1L, 2L))
     assert(ids("""{"m.a": null}""") == Seq(4L))
     assert(ids("""{"m.a": {"$exists": true}}""") == Seq(1L, 2L, 3L))
+    // NUMERIC segments, VALUE tests (r16): the engine resolves them
+    // positionally AND by element field name (resolvePath) — these pin
+    // that a live server does the same for non-null tests. The NULL
+    // edge itself stays refused on client-evaluating transports
+    // (NumericNullEdge); this run records the server's rule for it.
+    Seq((5L, Seq(7, 8)), (6L, Seq(0, 7))).foreach { case (k, arr) =>
+      // raw int arrays: positional m.0 -> first element
+      import spark.implicits._
+      Seq((k, arr)).toDF("k", "m")
+        .write.format("graftserver").options(o)
+        .option("id_column", "k").mode("append").save()
+    }
+    assert(ids("""{"m.0": 7}""") == Seq(5L), "positional index resolution")
+    assert(ids("""{"m.1": 7}""") == Seq(6L))
+    assert(ids("""{"m.0": {"$gte": 7}}""") == Seq(5L))
+    // element-field-name arm: {"0": 7} stored INSIDE an array element
+    import spark.implicits._
+    Seq((7L, 0)).toDF("k", "pad")
+      .select($"k", expr("array(named_struct('0', 7))").as("m"))
+      .write.format("graftserver").options(o)
+      .option("id_column", "k").mode("append").save()
+    assert(ids("""{"m.0": 7}""").contains(7L),
+      "field-name resolution inside array elements (the engine's second arm)")
   }
 
   test("live: regex common-subset parity — server count == engine Java count (r16)") {
