@@ -734,12 +734,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   private def preQueryPlan: QueryDocs.ServerPlan =
     QueryDocs.plan(BQuery.and(GraftServerSource.optionQuery(options), pushedQuery))
 
-  /** Usable as the LOOKUP side: additionally no `$unwind` (lookup-side
-    * element rows are not parent-atomic across the join boundary) and
-    * no key bounds (the inner pipeline has no cursor to bound —
-    * lookupJoin's right-query `require` mirror). */
-  private def cleanForJoin: Boolean =
-    cleanAsDriving && unwind.isEmpty && preQueryPlan.keyBounds.isEmpty
+  // The LOOKUP side additionally needs no `$unwind` (element rows are
+  // not parent-atomic across the join boundary) — pushDownJoin gates
+  // that per join type once roles are known (`o.unwind.isDefined &&
+  // !mirrored`); builder-time queries never carry KeyRange (split
+  // ranges are injected per partition), so no extra bounds gate is
+  // needed beyond preQueryPlan.isExact above.
 
   /** An already-joined builder may CHAIN one more lookup stage (3-way+
     * star queries) as long as no tail pushdown claimed the pipeline yet.
