@@ -364,6 +364,33 @@ object DiagChain {
     spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
     println(f"[diagchain] map-join ratio join-only/pushed = ${halfMj / pushedMj}%.2f")
     println(f"[diagchain] map-join ratio unpushed/pushed  = ${unpushedMj / pushedMj}%.2f")
+
+    // map-join skew twin: 90% of driving rows on ONE join key — the
+    // pushed pipeline has no Spark-side shuffle a hot key could
+    // serialize, and the kv expansion is uniform per parent
+    Tables.orders(spark, sf)
+      .select($"o_orderkey",
+        when(rand(11) < 0.9, lit(1L)).otherwise($"o_custkey").as("o_custkey"),
+        map(lit("pri"), ($"o_totalprice" % 97L).cast("long"),
+          lit("qty"), ($"o_orderkey" % 89L)).as("metrics"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.mwjskew"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    def mapJoinSkew(ns: String) = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> ns, "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, metrics MAP<STRING, LONG>").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .select($"c_nationkey", explode(o("metrics")))
+        .groupBy($"c_nationkey", $"key").agg(count(lit(1)).as("n"))
+    }
+    val mjUniT = time("map-join UNIFORM")(mapJoinSkew("db.mwjord"))
+    val mjSkwT = time("map-join SKEWED")(mapJoinSkew("db.mwjskew"))
+    println(f"[diagchain] map-join skew/uniform ratio = ${mjSkwT / mjUniT}%.2f")
     spark.stop()
   }
 }

@@ -97,8 +97,22 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       }
     } else {
       // residual re-check client-side; skip/limit/projection must apply
-      // AFTER the residual filter, so they stay client-side as well
+      // AFTER the residual filter, so they stay client-side as well.
+      // The CURSOR still projects (r16): the residual only reads its own
+      // field paths, so the wire ships projection ∪ residual paths
+      // instead of whole documents — at corpus scale a residual-bearing
+      // scan (e.g. a regex_dialect=java pattern) keeps column pruning;
+      // the exact client projection applies after the re-check. An
+      // inclusion projection of a dotted path preserves the array
+      // structure around it, so resolvePath traversal is unaffected,
+      // and ElemMatch-class nodes project their whole array path
+      // (BQuery.fieldPaths' rule).
       val residual = p.residual.get
+      q.projection.filter(_.nonEmpty).foreach { f =>
+        val widened = GraftServerSource.pruneProjection(
+          (f ++ BQuery.fieldPaths(residual).toSeq.sorted).distinct)
+        Rf.fluent(it, "projection", QueryDocs.projectionDoc(widened))
+      }
       var out = Rf.cursor(it).filter(residual.matches)
       out = out.drop(clampInt(q.skip))
       if (q.limit >= 0) out = out.take(clampInt(q.limit))

@@ -399,6 +399,16 @@ class MongoDriverSpec extends AnyFunSuite {
       val got = client.find(Ns, find).toVector
       assert(got === fake.find(Ns, find).toVector)
       assert(got.size === 3 && got.forall(_.fields.keySet == Set("name")))
+      // the residual reads a field OUTSIDE the projection: the widened
+      // cursor projection (projection ∪ residual paths, r16) must ship
+      // it or the client re-check would silently mis-filter — while the
+      // final docs still carry ONLY the requested field
+      val q2 = BQuery.and(BQuery.Eq("status", BString("B")),
+        BQuery.ReadStrCmp("name", "n05", BQuery.ReadStrOp.Gte))
+      val find2 = Find(q2, projection = Some(Seq("k")))
+      val got2 = client.find(Ns, find2).toVector
+      assert(got2 === fake.find(Ns, find2).toVector)
+      assert(got2.nonEmpty && got2.forall(_.fields.keySet == Set("k")))
     }
   }
 
