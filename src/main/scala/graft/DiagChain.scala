@@ -391,6 +391,34 @@ object DiagChain {
     val mjUniT = time("map-join UNIFORM")(mapJoinSkew("db.mwjord"))
     val mjSkwT = time("map-join SKEWED")(mapJoinSkew("db.mwjskew"))
     println(f"[diagchain] map-join skew/uniform ratio = ${mjSkwT / mjUniT}%.2f")
+
+    // ---- r16 arm: the UNGROUPED, UNFILTERED explode-over-join — the
+    // one shape where nothing bounds the element rows server-side, so
+    // the pushed pipeline ships parent/right columns once per ELEMENT.
+    // With the transpose knob OFF, a NON-outer explode keeps Spark's
+    // inferred array conjuncts residual, so the join stays Spark-side
+    // too (the true join-only state is reachable only for OUTER
+    // explodes) — this arm therefore measures pushed vs
+    // RELOCATION-OFF, and the fake has no wire, so read it as a shape
+    // probe, not a verdict on wide parents. ----
+    def ungroupedJoinQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.uwjord", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, tags ARRAY<STRING>").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .select(o("_id").as("okey"), $"c_nationkey", explode(o("tags")).as("tag"))
+    }
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
+    val pushedUg = time("nogroup-join PUSHED")(ungroupedJoinQuery())
+    spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "false")
+    val halfUg = time("nogroup-join RELOC-OFF")(ungroupedJoinQuery())
+    spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "true")
+    println(f"[diagchain] nogroup-join ratio reloc-off/pushed = ${halfUg / pushedUg}%.2f")
     spark.stop()
   }
 }

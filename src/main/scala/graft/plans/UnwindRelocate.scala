@@ -65,6 +65,20 @@ object UnwindRelocate extends Rule[LogicalPlan] {
   /** Escape hatch + A/B toggle (DiagChain measures pushed vs unpushed). */
   val ConfKey = "spark.graft.unwind_pushdown"
 
+  /** Separate escape hatch for the OVER-JOIN transpose (r16). The
+    * transpose is clearly right whenever something bounds the element
+    * rows server-side — a post-unwind `$match`, a folding `$group`, an
+    * element join key, a row tail — which is every shape the catalog
+    * and the ledger exercise. For the one shape where nothing does
+    * (ungrouped, unfiltered explode of a WIDE-parent join), the pushed
+    * pipeline ships parent/right columns once PER ELEMENT where the
+    * join-only plan ships them once per parent plus the array — this
+    * knob keeps the join pushed but leaves the flatten to Spark there.
+    * Default true: the common corpus shapes are narrow-parent and/or
+    * bounded, and the optimizer cannot see the later V2 aggregate
+    * pushdown from this rule. */
+  val JoinConfKey = "spark.graft.unwind_join_pushdown"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val enabled =
       try conf.getConfString(ConfKey, "true").toBoolean
@@ -414,6 +428,10 @@ object UnwindRelocate extends Rule[LogicalPlan] {
         * the inner rewrite then compiles it to the leg's
         * `$objectToArray`+`$unwind` directive. */
       mapKey: Option[Attribute] = None): Option[LogicalPlan] = {
+    val joinEnabled =
+      try conf.getConfString(JoinConfKey, "true").toBoolean
+      catch { case _: Exception => true }
+    if (!joinEnabled) return None
     // peel: [Project(attrs-only,]? [Filter(c,]? Join — the Filter holds
     // InferFiltersFromGenerate's conjuncts (and, once ResidualJoinHoist
     // has run, recheck-wrapped hoisted residuals)

@@ -235,6 +235,37 @@ class UnwindJoinSpec extends SparkSpec {
     assert(rq.count() == 4, "3 matched element rows + carol null-extended")
   }
 
+  test("the unwind_join_pushdown knob leaves the flatten to Spark, join still pushed") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "false")
+    try {
+      val oo = o(dir)
+      val cc = c(dir)
+      // OUTER explode: no InferFiltersFromGenerate array conjuncts, so
+      // the JOIN still pushes and only the fan-out stays a Spark
+      // Generate — the wide-parent escape shape
+      val qo = oo.join(cc, oo("custkey") === cc("_id"), "left_outer")
+        .select(oo("_id").as("okey"), $"name", explode_outer(oo("tags")).as("tag"))
+      val planO = planOf(qo)
+      assert(planO.contains("Generate") && planO.contains("PushedJoin") &&
+        !planO.contains("PushedUnwind"), planO)
+      assert(qo.count() == 7)
+      // non-OUTER explode: Spark's inferred isnotnull/size conjuncts on
+      // the array column are deliberately RESIDUAL (r15 array-null
+      // rule), so the join stays in Spark too — the knob disables the
+      // transpose, it cannot also bless those filters. Rows stay exact.
+      val q = oo.join(cc, oo("custkey") === cc("_id"))
+        .select(oo("_id").as("okey"), $"name", explode(oo("tags")).as("tag"))
+      val plan = planOf(q)
+      assert(plan.contains("Generate") && !plan.contains("PushedUnwind"), plan)
+      assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq ==
+        Seq((1L, "alice", "x"), (1L, "alice", "y"), (2L, "bob", "y")))
+    } finally spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "true")
+  }
+
   test("refusals: lookup-side arrays, RIGHT OUTER, array consumed above") {
     import spark.implicits._
     val dir = freshDir()
