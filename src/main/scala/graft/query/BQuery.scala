@@ -1035,8 +1035,20 @@ object BQueryJson {
       case ("$nin", JArray(vs)) => BQuery.Nin(field, vs.map(value))
       case ("$regex", JString(p)) =>
         val opts = ops.obj.collectFirst { case ("$options", JString(o)) => o }
-        BQuery.Regex(field, p, opts.getOrElse(""))
-      case ("$options", _) => BQuery.True // consumed by the $regex case
+          .getOrElse("")
+        // mongo's documented $options set; an unknown flag errors on a
+        // live server, so the engine refuses at parse rather than
+        // silently ignoring it (fail-loud wire parity)
+        val bad = opts.filterNot(c => "imsx".indexOf(c.toInt) >= 0)
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"unsupported $$options flag(s) '$bad' (server accepts i/m/s/x)")
+        BQuery.Regex(field, p, opts)
+      case ("$options", _) if ops.obj.exists(_._1 == "$regex") =>
+        BQuery.True // consumed by the $regex case
+      case ("$options", _) =>
+        throw new IllegalArgumentException(
+          "$options requires a $regex in the same operator document")
       case ("$exists", JBool(b)) => BQuery.ExistsField(field, b)
       case ("$size", v) => value(v) match {
         case BInt32(n) => BQuery.Size(field, n)

@@ -81,6 +81,17 @@ class DialectSpec extends SparkSpec {
     out("[]a]") // PCRE literal-']' class corner
   }
 
+  test("$options hardening: unknown flags and orphaned $options refuse at parse") {
+    intercept[IllegalArgumentException] {
+      BQueryJson.parse("""{"s": {"$regex": "a", "$options": "iu"}}""")
+    }
+    intercept[IllegalArgumentException] {
+      BQueryJson.parse("""{"s": {"$options": "i"}}""")
+    }
+    // the documented set parses
+    BQueryJson.parse("""{"s": {"$regex": "a", "$options": "imsx"}}""")
+  }
+
   test("UNIX_LINES compile: '.' and anchors recognize only \\n, PCRE's convention") {
     val dot = BQueryJson.parse("""{"s": {"$regex": "a.b"}}""")
     assert(dot.matches(BDoc("s" -> BString("a\rb"))),
