@@ -388,6 +388,10 @@ object DiagChain {
         .select($"c_nationkey", explode(o("metrics")))
         .groupBy($"c_nationkey", $"key").agg(count(lit(1)).as("n"))
     }
+    val planMjSkew = mapJoinSkew("db.mwjskew").queryExecution.executedPlan.toString
+    require(planMjSkew.contains("PushedUnwind") && planMjSkew.contains(" MAP") &&
+      planMjSkew.contains("PushedJoin"),
+      s"map-join skew twin did not push:\n$planMjSkew")
     val mjUniT = time("map-join UNIFORM")(mapJoinSkew("db.mwjord"))
     val mjSkwT = time("map-join SKEWED")(mapJoinSkew("db.mwjskew"))
     println(f"[diagchain] map-join skew/uniform ratio = ${mjSkwT / mjUniT}%.2f")
@@ -414,8 +418,14 @@ object DiagChain {
     }
     spark.conf.set(GraftConf.JoinPushdownConf, "true")
     spark.conf.set(graft.plans.UnwindRelocate.ConfKey, "true")
+    val planUg = ungroupedJoinQuery().queryExecution.executedPlan.toString
+    require(planUg.contains("PushedUnwind") && planUg.contains("PushedJoin"),
+      s"nogroup-join did not push:\n$planUg")
     val pushedUg = time("nogroup-join PUSHED")(ungroupedJoinQuery())
     spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "false")
+    val planUgOff = ungroupedJoinQuery().queryExecution.executedPlan.toString
+    require(planUgOff.contains("Generate") && !planUgOff.contains("PushedUnwind"),
+      s"reloc-off arm unexpectedly relocated:\n$planUgOff")
     val halfUg = time("nogroup-join RELOC-OFF")(ungroupedJoinQuery())
     spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "true")
     println(f"[diagchain] nogroup-join ratio reloc-off/pushed = ${halfUg / pushedUg}%.2f")

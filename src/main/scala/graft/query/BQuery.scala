@@ -1044,11 +1044,13 @@ object BQueryJson {
           throw new IllegalArgumentException(
             s"unsupported $$options flag(s) '$bad' (server accepts i/m/s/x)")
         BQuery.Regex(field, p, opts)
-      case ("$options", _) if ops.obj.exists(_._1 == "$regex") =>
+      case ("$options", _: JString) if ops.obj.exists(_._1 == "$regex") =>
         BQuery.True // consumed by the $regex case
-      case ("$options", _) =>
+      case ("$options", v) =>
+        // a live server errors on non-string $options and on $options
+        // without a $regex sibling — refuse both at parse
         throw new IllegalArgumentException(
-          "$options requires a $regex in the same operator document")
+          s"$$options must be a STRING alongside a $$regex, got $v")
       case ("$exists", JBool(b)) => BQuery.ExistsField(field, b)
       case ("$size", v) => value(v) match {
         case BInt32(n) => BQuery.Size(field, n)

@@ -98,19 +98,21 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     } else {
       // residual re-check client-side; skip/limit/projection must apply
       // AFTER the residual filter, so they stay client-side as well.
-      // The CURSOR still projects (r16): the residual only reads its own
-      // field paths, so the wire ships projection ∪ residual paths
-      // instead of whole documents — at corpus scale a residual-bearing
-      // scan (e.g. a regex_dialect=java pattern) keeps column pruning;
-      // the exact client projection applies after the re-check. An
-      // inclusion projection of a dotted path preserves the array
-      // structure around it, so resolvePath traversal is unaffected,
-      // and ElemMatch-class nodes project their whole array path
-      // (BQuery.fieldPaths' rule).
+      // The CURSOR still projects (r16): the residual only reads its
+      // own field paths, so the wire ships projection ∪ the residual
+      // paths' TOP-LEVEL HEAD fields instead of whole documents — at
+      // corpus scale a residual-bearing scan (e.g. a regex_dialect=java
+      // pattern) keeps column pruning; the exact client projection
+      // applies after the re-check. HEADS, not dotted paths: a mongo
+      // inclusion projection of `m.a` drops scalar array elements
+      // (erasing the MISSING slots `{p: null}` matches) and rejects
+      // numeric segments — only a whole top-level field arrives
+      // VERBATIM, preserving every structure resolvePath traverses.
       val residual = p.residual.get
       q.projection.filter(_.nonEmpty).foreach { f =>
         val widened = GraftServerSource.pruneProjection(
-          (f ++ BQuery.fieldPaths(residual).toSeq.sorted).distinct)
+          (f ++ BQuery.fieldPaths(residual).toSeq.map(_.split('.').head)
+            .sorted).distinct)
         Rf.fluent(it, "projection", QueryDocs.projectionDoc(widened))
       }
       var out = Rf.cursor(it).filter(residual.matches)

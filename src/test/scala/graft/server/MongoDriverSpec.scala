@@ -409,6 +409,25 @@ class MongoDriverSpec extends AnyFunSuite {
       val got2 = client.find(Ns, find2).toVector
       assert(got2 === fake.find(Ns, find2).toVector)
       assert(got2.nonEmpty && got2.forall(_.fields.keySet == Set("k")))
+      // STRUCTURE-sensitive residual: the widening must ship the whole
+      // HEAD field — an inclusion projection of the dotted "m.a" would
+      // drop doc 31's scalar array element and erase the MISSING slot
+      // its {m.a: null} branch matches (review r16)
+      val mdocs = Seq(
+        BDoc("_id" -> BInt32(31), "name" -> BString("x1"),
+          "m" -> BArray(Vector(BInt32(1), BDoc("a" -> BInt32(5))))),
+        BDoc("_id" -> BInt32(32), "name" -> BString("x2"),
+          "m" -> BArray(Vector(BDoc("a" -> BInt32(5))))))
+      client.bulkWrite(Ns, mdocs.map(InsertOne(_)).iterator, ordered = true)
+      // one non-renderable branch makes the whole Or residual
+      val q3 = BQuery.Or(Seq(BQuery.Eq("m.a", BNull),
+        BQuery.ReadStrCmp("name", "x9", BQuery.ReadStrOp.Gte)))
+      val find3 = Find(q3, projection = Some(Seq("_id")))
+      val got3 = client.find(Ns, find3).toVector
+      assert(got3 === fake.find(Ns, find3).toVector)
+      val ids3 = got3.flatMap(_.get("_id")).toSet
+      assert(ids3.contains(BInt32(31)) && !ids3.contains(BInt32(32)),
+        s"missing-slot semantics must survive the widened projection: $ids3")
     }
   }
 
