@@ -2141,6 +2141,71 @@ object ConnectorQueries {
         |SELECT source, count(*) AS n FROM documents
         |WHERE regexp_matches(source, '^src1[0-9]$')
         |GROUP BY 1 ORDER BY source ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // TopN over exploded MAP entries (r16): the unwound ROW pipeline's
+    // `$objectToArray`+`$unwind`+`$sort`+`$limit` tail counts kv ENTRY
+    // rows — "top metric entries across the corpus" as one pipeline per
+    // namespace. Values are parity-disjoint per key so the (v, _id)
+    // order is total (string kv keys cannot join a pushed sort — the
+    // bracket gate).
+    CatalogQuery(
+      "q168_server_unwind_map_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val opts = Map("server_dir" -> dir, "ns" -> "db.tkmap",
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", map(
+            lit("nc"), ($"n_chars" * 2L).cast("long"),
+            lit("lt"), (length($"text") % 97L * 2L + 1L).cast("long")).as("metrics"))
+          .write.format("graftserver").options(opts)
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver").options(opts)
+          .schema("_id LONG, metrics MAP<STRING, LONG>").load()
+          .select($"_id", $"metrics")
+          .select($"_id", explode($"metrics"))
+          .select($"_id", $"key".as("metric"), $"value".as("v"))
+          .orderBy($"v".desc, $"_id".asc)
+          .limit(15)
+      },
+      Some("""
+        |SELECT doc_id AS _id, metric, v FROM (
+        |  SELECT doc_id, 'nc' AS metric, CAST(n_chars * 2 AS BIGINT) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'lt', CAST(length(text) % 97 * 2 + 1 AS BIGINT)
+        |  FROM documents)
+        |ORDER BY v DESC, _id ASC LIMIT 15
+        |""".stripMargin)),
+
+    // regex_dialect=java end-to-end (r16): an out-of-subset pattern
+    // (\d is a UCP/class-shorthand corner) evaluates with documented
+    // java.util.regex semantics as a client-side residual — on a
+    // pattern whose Java and RE2 (DuckDB) readings agree, the oracle
+    // pins the row set. The default mode REFUSES this query; the
+    // option is the loud opt-in.
+    CatalogQuery(
+      "q169_regex_java_dialect",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d).select($"doc_id", $"source")
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .options(Map(
+            "query" -> """{"source": {"$regex": "\\d\\d"}}""",
+            "regex_dialect" -> "java"))
+          .schema("_id LONG, source STRING").load(dir)
+          .groupBy($"source").agg(count(lit(1)).as("n"))
+          .orderBy($"source".asc_nulls_first)
+      },
+      Some("""
+        |SELECT source, count(*) AS n FROM documents
+        |WHERE regexp_matches(source, '\d\d')
+        |GROUP BY 1 ORDER BY source ASC NULLS FIRST
         |""".stripMargin))
   )
 }
