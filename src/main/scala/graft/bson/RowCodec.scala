@@ -134,8 +134,21 @@ object RowCodec {
     * widen (int32 -> int64 -> double), anything vs string -> string,
     * struct fields union recursively; a field missing from some docs is
     * simply nullable (all fields are nullable).
+    *
+    * `mapThreshold` (r16): a NESTED subdocument whose UNION of sampled
+    * keys reaches the threshold is a dynamic-keys value (per-doc
+    * metrics, per-language stats — the corpus-metadata shape), not a
+    * record — it collapses to `map<string, V>` with V the merge of the
+    * sampled value types, instead of a pathologically wide struct that
+    * would keep GROWING with the corpus (a 100 TB collection has
+    * unbounded distinct keys; a struct schema must enumerate them, a
+    * map never does, and the engine's map surface — `$objectToArray`
+    * explode pushdown, kv filters/groups/joins/tails — is built for
+    * exactly this column shape). The TOP level never collapses (a row
+    * schema is a struct by contract); 0 disables.
     */
-  def inferSchema(docs: Iterator[BDoc], maxSample: Int = 1000): StructType = {
+  def inferSchema(docs: Iterator[BDoc], maxSample: Int = 1000,
+      mapThreshold: Int = 128): StructType = {
     var merged: Map[String, DataType] = ListMap.empty
     var order: Vector[String] = Vector.empty
     var n = 0
@@ -152,10 +165,30 @@ object RowCodec {
       }
       n += 1
     }
+    val collapse = if (mapThreshold > 0) mapThreshold else Int.MaxValue
     StructType(order.map(name => StructField(name,
-      merged(name) match { case NullType => StringType; case t => t },
+      collapseDynamic(
+        merged(name) match { case NullType => StringType; case t => t },
+        collapse),
       nullable = true)))
   }
+
+  /** Collapse dynamic-keys struct levels to maps (see [[inferSchema]]);
+    * recurses through arrays and record-sized structs. */
+  private def collapseDynamic(dt: DataType, threshold: Int): DataType =
+    dt match {
+      case st: StructType if st.fields.length >= threshold =>
+        val vt = st.fields.map(_.dataType)
+          .map(collapseDynamic(_, threshold))
+          .foldLeft[DataType](NullType)(mergeTypes)
+        MapType(StringType,
+          if (vt == NullType) StringType else vt, valueContainsNull = true)
+      case st: StructType =>
+        StructType(st.fields.map(f =>
+          f.copy(dataType = collapseDynamic(f.dataType, threshold))))
+      case ArrayType(et, n0) => ArrayType(collapseDynamic(et, threshold), n0)
+      case other => other
+    }
 
   def typeOf(v: BsonValue): DataType = v match {
     case BNull | BMinKey | BMaxKey => NullType
@@ -184,6 +217,9 @@ object RowCodec {
     case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
     case (ArrayType(x, _), ArrayType(y, _)) =>
       ArrayType(mergeTypes(x, y), containsNull = true)
+    case (MapType(_, x, _), MapType(_, y, _)) =>
+      // only ever string-keyed (collapseDynamic's product)
+      MapType(StringType, mergeTypes(x, y), valueContainsNull = true)
     case (x: StructType, y: StructType) =>
       val yMap = y.fields.map(f => f.name -> f.dataType).toMap
       val merged = x.fields.map(f =>

@@ -74,7 +74,8 @@ class GraftServerSource extends TableProvider with DataSourceRegister {
     val per = math.max(1, n / nss.size)
     val inferred = GraftServerSource.withClient(opts) { (client, _) =>
       RowCodec.inferSchema(
-        nss.iterator.flatMap(ns => client.find(ns, Find(limit = per.toLong))), n)
+        nss.iterator.flatMap(ns => client.find(ns, Find(limit = per.toLong))), n,
+        mapThreshold = opts.get("infer_map_threshold").map(_.toInt).getOrElse(128))
     }
     if (inferred.isEmpty)
       throw new IllegalArgumentException(

@@ -95,7 +95,9 @@ class GraftBsonSource extends TableProvider with DataSourceRegister {
         }
       }
     }
-    val inferred = RowCodec.inferSchema(sample.result().iterator)
+    val inferred = RowCodec.inferSchema(sample.result().iterator,
+      mapThreshold = Option(options.get("infer_map_threshold"))
+        .map(_.toInt).getOrElse(128))
     if (inferred.isEmpty)
       throw new IllegalArgumentException(
         s"cannot infer schema: no documents under ${options.get("path")}")
