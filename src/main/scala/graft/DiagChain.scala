@@ -399,12 +399,12 @@ object DiagChain {
     // ---- r16 arm: the UNGROUPED, UNFILTERED explode-over-join — the
     // one shape where nothing bounds the element rows server-side, so
     // the pushed pipeline ships parent/right columns once per ELEMENT.
-    // With the transpose knob OFF, a NON-outer explode keeps Spark's
-    // inferred array conjuncts residual, so the join stays Spark-side
-    // too (the true join-only state is reachable only for OUTER
-    // explodes) — this arm therefore measures pushed vs
-    // RELOCATION-OFF, and the fake has no wire, so read it as a shape
-    // probe, not a verdict on wide parents. ----
+    // Since r17 the transpose-off state IS true join-only for ARRAYS
+    // too: retainJoinPush deletes InferFiltersFromGenerate's array
+    // conjuncts under the retained Generate, so the `$lookup` stays
+    // pushed and only the flatten runs in Spark (the `require` below
+    // pins PushedJoin + Generate). The fake has no wire, so read the
+    // ratio as a shape probe, not a verdict on wide parents. ----
     def ungroupedJoinQuery() = {
       val o = spark.read.format("graftserver")
         .options(base ++ Map("ns" -> "db.uwjord", "assume_uniform_storage" -> "true"))
@@ -424,11 +424,16 @@ object DiagChain {
     val pushedUg = time("nogroup-join PUSHED")(ungroupedJoinQuery())
     spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "false")
     val planUgOff = ungroupedJoinQuery().queryExecution.executedPlan.toString
-    require(planUgOff.contains("Generate") && !planUgOff.contains("PushedUnwind"),
-      s"reloc-off arm unexpectedly relocated:\n$planUgOff")
-    val halfUg = time("nogroup-join RELOC-OFF")(ungroupedJoinQuery())
+    require(planUgOff.contains("Generate") && !planUgOff.contains("PushedUnwind") &&
+      planUgOff.contains("PushedJoin") && !planUgOff.contains("Join "),
+      s"reloc-off arm is not TRUE join-only (r17):\n$planUgOff")
+    val halfUg = time("nogroup-join JOIN-ONLY")(ungroupedJoinQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedUg = time("nogroup-join UNPUSHED")(ungroupedJoinQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
     spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "true")
-    println(f"[diagchain] nogroup-join ratio reloc-off/pushed = ${halfUg / pushedUg}%.2f")
+    println(f"[diagchain] nogroup-join ratio join-only/pushed = ${halfUg / pushedUg}%.2f")
+    println(f"[diagchain] nogroup-join ratio unpushed/pushed  = ${unpushedUg / pushedUg}%.2f")
     spark.stop()
   }
 }

@@ -252,16 +252,29 @@ object ResidualJoinHoist extends Rule[LogicalPlan] with PredicateHelper {
 
   /** True when the source would hand this conjunct back as a residual:
     * either it has no v1 `sources.Filter` shape at all (arithmetic, UDF,
-    * casts) or the engine's own [[FilterTranslator]] refuses it. A false
-    * negative here (claiming translatable when the source would refuse)
-    * just leaves the status quo; a false positive hoists a pushable
-    * filter — both are correct, so the probe may be approximate.
+    * casts), the engine's own [[FilterTranslator]] refuses it, or it is
+    * a null test on an ARRAY-typed column — the scan's type-aware
+    * arrayNullTest keeps those residual (`{$eq/$ne: null}` element-
+    * matches on a live server), which the name-level translate probe
+    * cannot see (r17: a user-written `arr IS NOT NULL` in a leg used to
+    * silently forfeit the join push). A false negative here (claiming
+    * translatable when the source would refuse) just leaves the status
+    * quo; a false positive hoists a pushable filter — both are correct,
+    * so the probe may be approximate.
     */
-  private def sourceResidual(e: Expression): Boolean =
-    toV1(e) match {
-      case Some(f) => FilterTranslator.translate(f).isEmpty
-      case None => true
+  private def sourceResidual(e: Expression): Boolean = {
+    def arrayTyped(x: Expression): Boolean =
+      x.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    e match {
+      case IsNull(x) if arrayTyped(x) => true
+      case IsNotNull(x) if arrayTyped(x) => true
+      case _ =>
+        toV1(e) match {
+          case Some(f) => FilterTranslator.translate(f).isEmpty
+          case None => true
+        }
     }
+  }
 
   private def colName(e: Expression): Option[String] = e match {
     case a: Attribute => Some(a.name)

@@ -1,14 +1,37 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
+
+/** Transparent pass-through around a RETAINED Generate's input (see
+  * [[UnwindRelocate.retainJoinPush]]). Evaluation and codegen forward to
+  * the child; the ONLY behavior is not being an `Attribute`, which is the
+  * exact guard `InferFiltersFromGenerate` fires on (it infers
+  * `isnotnull(arr)` / `size(arr) > 0` below a non-outer explode only when
+  * the generator input is a bare attribute — verified against the Spark
+  * 4.1.2 rule). Wrapping the input after those conjuncts are deleted
+  * keeps the optimizer's fixed point stable: without it the rule would
+  * re-add what [[UnwindRelocate]] just removed, every iteration.
+  */
+case class RetainedGenerateInput(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.genCode(ctx)
+  override protected def withNewChildInternal(newChild: Expression): RetainedGenerateInput =
+    copy(child = newChild)
+  override def prettyName: String = "retained_unwind"
+}
 
 /** Optimizer rule: `explode(arrayCol)` directly above a graftserver scan
   * compiles to the scan's `$unwind` directive — the Enron
@@ -74,9 +97,13 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     * pipeline ships parent/right columns once PER ELEMENT where the
     * join-only plan ships them once per parent plus the array — this
     * knob keeps the join pushed but leaves the flatten to Spark there.
-    * Default true: the common corpus shapes are narrow-parent and/or
-    * bounded, and the optimizer cannot see the later V2 aggregate
-    * pushdown from this rule. */
+    * Since r17 "keeps the join pushed" holds for NON-outer explodes
+    * too: [[retainJoinPush]] deletes the inferred array conjuncts that
+    * used to block the `$lookup` under a retained Generate, so the knob
+    * (and every refusal-matrix shape) lands in the true join-only
+    * state instead of forfeiting the join. Default true: the common
+    * corpus shapes are narrow-parent and/or bounded, and the optimizer
+    * cannot see the later V2 aggregate pushdown from this rule. */
   val JoinConfKey = "spark.graft.unwind_join_pushdown"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -86,10 +113,12 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case g @ Generate(Explode(arr), _, outer, _, Seq(elOut), _) =>
-        relocate(g, arr, outer, elOut, None).getOrElse(g)
+        relocate(g, arr, outer, elOut, None)
+          .orElse(retainJoinPush(g, arr)).getOrElse(g)
       case g @ Generate(PosExplode(arr), _, outer, _, Seq(posOut, elOut), _)
           if !arr.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        relocate(g, arr, outer, elOut, Some(posOut)).getOrElse(g)
+        relocate(g, arr, outer, elOut, Some(posOut))
+          .orElse(retainJoinPush(g, arr)).getOrElse(g)
       // MAP explode (r15): two generator outputs (key, value) — the
       // scan's `$objectToArray`+`$unwind` directive; over a pushed join
       // the same transpose arrays get applies (r16 — the map is computed
@@ -97,15 +126,88 @@ object UnwindRelocate extends Rule[LogicalPlan] {
       // commute exactly like array elements)
       case g @ Generate(Explode(m), _, outer, _, Seq(keyOut, valOut), _)
           if m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        relocate(g, m, outer, valOut, None, mapKey = Some(keyOut)).getOrElse(g)
+        relocate(g, m, outer, valOut, None, mapKey = Some(keyOut))
+          .orElse(retainJoinPush(g, m)).getOrElse(g)
       // posexplode of a MAP: the entry INDEX rides includeArrayIndex on
       // the kv `$unwind` (entry order = document field order =
       // $objectToArray order = Spark's map iteration order)
       case g @ Generate(PosExplode(m), _, outer, _, Seq(posOut, keyOut, valOut), _)
           if m.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
         relocate(g, m, outer, valOut, Some(posOut), mapKey = Some(keyOut))
-          .getOrElse(g)
+          .orElse(retainJoinPush(g, m)).getOrElse(g)
     }
+  }
+
+  /** Fallback when the unwind can NOT relocate (a refusal-matrix shape,
+    * or `unwind_join_pushdown=false`) but a pushable graft join sits
+    * below: keep the Generate in Spark yet KEEP THE `$lookup` PUSHED.
+    * Until r16, any refused relocation of a NON-outer explode forfeited
+    * the entire join push too (PLANS_r16 §7's honesty note):
+    * `InferFiltersFromGenerate` derives `isnotnull(arr)` and
+    * `size(arr) > 0` below the Generate, predicate pushdown parks them
+    * on the array's leg, the scan hands `isnotnull` back as a residual
+    * (the r15 array-null rule — `{$ne: null}` element-matches on a live
+    * server) and `size(arr) > 0` has no source-filter shape at all, and
+    * ONE leftover leg Filter stops `V2ScanRelationPushDown.pushDownJoin`
+    * (its bare-scan pattern). This rewrite DELETES exactly those
+    * conjuncts wherever they sit on the Filter/Project/Join spine and
+    * wraps the generator input in [[RetainedGenerateInput]] so the
+    * inference cannot re-add them (fixed-point stability; the wrap also
+    * makes the rewrite idempotent).
+    *
+    * Soundness of the delete: the conjuncts are implied by the
+    * non-outer Generate above — a row whose array/map is null or empty
+    * produces ZERO Generate output rows whether or not it reaches the
+    * Generate. Removing a row-dropping Filter below any join can only
+    * ADD rows, each with a null/empty array (the only rows it dropped),
+    * and every joined/null-extended descendant of such a row still
+    * carries that null/empty array into the Generate, which drops it.
+    * So the final output is identical for every join type, at any depth
+    * along the spine. An `isnotnull` on a MAP column is left in place —
+    * the scan translates it exactly (`{$ne: null}` on a subdocument has
+    * no element-match edge), so it prunes on the wire and the leg still
+    * ends up bare.
+    */
+  private def retainJoinPush(g: Generate, arr0: Expression): Option[LogicalPlan] = {
+    if (g.outer) return None // inference never fired; nothing blocks
+    // only a bare-Attribute input gets inferred conjuncts; a non-
+    // Attribute input (incl. an already-wrapped one — idempotence) never
+    // had the problem
+    if (!arr0.isInstanceOf[AttributeReference]) return None
+    val joinPushdown =
+      try conf.getConfString(graft.GraftConf.JoinPushdownConf, "false").toBoolean
+      catch { case _: Exception => false }
+    if (!joinPushdown) return None
+    val isMapInput =
+      arr0.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+    def vacuous(c: Expression): Boolean = (c match {
+      case Recheck(inner) => inner
+      case other => other
+    }) match {
+      case IsNotNull(e) => !isMapInput && e.semanticEquals(arr0)
+      case GreaterThan(Size(e, _), Literal(0, _)) => e.semanticEquals(arr0)
+      case _ => false
+    }
+    var stripped = 0
+    var sawGraftJoin = false
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Filter(c, ch) =>
+        val (vac, keep) = splitConjuncts(c).partition(vacuous)
+        stripped += vac.size
+        val ch2 = strip(ch)
+        keep.reduceOption(And).map(Filter(_, ch2)).getOrElse(ch2)
+      case pr: Project => pr.copy(child = strip(pr.child))
+      case jn: Join if ResidualJoinHoist.graftConnection(jn).isDefined =>
+        sawGraftJoin = true
+        jn.copy(left = strip(jn.left), right = strip(jn.right))
+      case other => other
+    }
+    val newChild = strip(g.child)
+    if (stripped == 0 || !sawGraftJoin) return None
+    val newGenerator = g.generator
+      .withNewChildren(Seq(RetainedGenerateInput(arr0)))
+      .asInstanceOf[Generator]
+    Some(g.copy(generator = newGenerator, child = newChild))
   }
 
   private def relocate(g: Generate, arr: Expression, outer: Boolean,

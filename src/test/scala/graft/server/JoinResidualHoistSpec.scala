@@ -246,4 +246,34 @@ class JoinResidualHoistSpec extends SparkSpec {
     assert(!noEqPlan.contains("recheck(") && !noEqPlan.contains("PushedJoin"),
       noEqPlan)
   }
+
+  test("user-written null test on an ARRAY column hoists (type-aware probe, r17)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // o rows 0/1 carry arrays, row 2 a null one; custkey 9 matches no c
+    Seq((0L, 5L, Seq("a", "b")), (1L, 6L, Seq("c")),
+        (2L, 5L, null.asInstanceOf[Seq[String]]), (3L, 9L, Seq("d")))
+      .toDF("_id", "custkey", "tags")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.oa"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((5L, "eve"), (6L, "mal")).toDF("_id", "name")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ca"))
+      .option("id_column", "_id").mode("append").save()
+    val o = serverDf(dir, "db.oa", "_id LONG, custkey LONG, tags ARRAY<STRING>")
+    val c = serverDf(dir, "db.ca", "_id LONG, name STRING")
+    // the scan keeps IsNotNull(array) residual (arrayNullTest — the wire
+    // form element-matches on a live server), and the name-level
+    // translate probe used to claim it pushable, silently forfeiting
+    // the join; the type-aware probe hoists it to a recheck above
+    val q = o.filter(o("tags").isNotNull)
+      .join(c, o("custkey") === c("_id"))
+      .select(o("_id").as("okey"), $"name", $"tags")
+    val plan = planOf(q)
+    assert(plan.contains("PushedJoin: INNER db.ca") &&
+      plan.contains("recheck(") && !plan.contains("Join "), plan)
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((0L, "eve"), (1L, "mal")))
+  }
 }

@@ -300,6 +300,9 @@ class MapUnwindJoinSpec extends SparkSpec {
       .select(o2("_id").as("okey"), explode($"attrs"))
     assert(planOf(lk).contains("Generate"),
       s"lookup-side map must keep Spark's Generate:\n${planOf(lk)}")
+    assert(planOf(lk).contains("PushedJoin: INNER db.c2") &&
+      !planOf(lk).contains("Join "),
+      s"lookup-side map must not forfeit the join push (r17):\n${planOf(lk)}")
     assert(lk.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sorted.toSeq ==
       Seq((1L, "p", 1L), (2L, "q", 2L), (2L, "r", 3L)))
@@ -314,10 +317,13 @@ class MapUnwindJoinSpec extends SparkSpec {
     // — one null-extended row with null kv
     assert(ro.count() == 6)
 
-    // map consumed ABOVE the explode: one-path constraint refuses
+    // map consumed ABOVE the explode: one-path constraint refuses the
+    // relocation; the join still pushes (r17 retainJoinPush)
     val both = oo.join(cc, oo("custkey") === cc("_id"))
       .select(oo("metrics"), explode(oo("metrics")))
-    assert(planOf(both).contains("Generate"), planOf(both))
+    assert(planOf(both).contains("Generate") &&
+      planOf(both).contains("PushedJoin: INNER db.c") &&
+      !planOf(both).contains("Join "), planOf(both))
     assert(both.count() == 3)
   }
 

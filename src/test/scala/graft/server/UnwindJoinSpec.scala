@@ -254,12 +254,17 @@ class UnwindJoinSpec extends SparkSpec {
       assert(qo.count() == 7)
       // non-OUTER explode: Spark's inferred isnotnull/size conjuncts on
       // the array column are deliberately RESIDUAL (r15 array-null
-      // rule), so the join stays in Spark too — the knob disables the
-      // transpose, it cannot also bless those filters. Rows stay exact.
+      // rule) and would forfeit the join push too; retainJoinPush (r17)
+      // deletes exactly those Generate-implied conjuncts and pins the
+      // generator input, so the TRUE join-only state — PushedJoin under
+      // a Spark Generate — is now reachable for non-outer explodes.
+      // Rows stay exact.
       val q = oo.join(cc, oo("custkey") === cc("_id"))
         .select(oo("_id").as("okey"), $"name", explode(oo("tags")).as("tag"))
       val plan = planOf(q)
-      assert(plan.contains("Generate") && !plan.contains("PushedUnwind"), plan)
+      assert(plan.contains("Generate") && plan.contains("retained_unwind") &&
+        plan.contains("PushedJoin: INNER db.c") &&
+        !plan.contains("PushedUnwind") && !plan.contains("Join "), plan)
       assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
         .sorted.toSeq ==
         Seq((1L, "alice", "x"), (1L, "alice", "y"), (2L, "bob", "y")))
@@ -270,8 +275,9 @@ class UnwindJoinSpec extends SparkSpec {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
-    // lookup-side array: explode(c-side array) — the join may still
-    // push, the Generate stays in Spark
+    // lookup-side array: explode(c-side array) — the join STILL pushes
+    // (retainJoinPush deletes the inferred array conjuncts that used to
+    // block it), only the Generate stays in Spark
     val dir2 = freshDir()
     Seq((10L, Seq("p", "q")), (20L, Seq("r")))
       .toDF("_id", "labels")
@@ -295,6 +301,9 @@ class UnwindJoinSpec extends SparkSpec {
     val lkPlan = planOf(lk)
     assert(lkPlan.contains("Generate"),
       s"lookup-side array must keep Spark's Generate:\n$lkPlan")
+    assert(lkPlan.contains("PushedJoin: INNER db.c2") &&
+      !lkPlan.contains("Join "),
+      s"lookup-side array must not forfeit the join push:\n$lkPlan")
     assert(lk.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "p"), (1L, "q"), (2L, "r")))
 
@@ -310,10 +319,15 @@ class UnwindJoinSpec extends SparkSpec {
     // matches no order — one null-extended row with a null tag
     assert(ro.count() == 6)
 
-    // array consumed ABOVE the explode: one-path constraint refuses
+    // array consumed ABOVE the explode: one-path constraint refuses the
+    // relocation, but the join still pushes (the array column rides the
+    // joined projection; the Generate explodes it Spark-side)
     val both = oo.join(cc, oo("custkey") === cc("_id"))
       .select(oo("tags"), explode(oo("tags")).as("tag"))
-    assert(planOf(both).contains("Generate"), planOf(both))
+    val bothPlan = planOf(both)
+    assert(bothPlan.contains("Generate") &&
+      bothPlan.contains("PushedJoin: INNER db.c") &&
+      !bothPlan.contains("Join "), bothPlan)
     assert(both.count() == 3)
   }
 
