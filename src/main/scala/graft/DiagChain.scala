@@ -396,6 +396,59 @@ object DiagChain {
     val mjSkwT = time("map-join SKEWED")(mapJoinSkew("db.mwjskew"))
     println(f"[diagchain] map-join skew/uniform ratio = ${mjSkwT / mjUniT}%.2f")
 
+    // ---- r17 arm: RANGE join pushdown — the binned interval join as
+    // ONE $lookup pipeline whose $expr carries the range conjuncts
+    // (q170 shape) vs the Spark join. The skew twin pins 90% of
+    // driving rows on ONE bin key; the pushed pipeline has no
+    // Spark-side exchange a hot key could serialize. ----
+    Tables.orders(spark, sf)
+      .select($"o_orderkey", ($"o_custkey" % 16L).as("bkt"),
+        ($"o_totalprice" % 512L).cast("long").as("v"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.rjord"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    Tables.orders(spark, sf)
+      .select($"o_orderkey",
+        when(rand(13) < 0.9, lit(1L)).otherwise($"o_custkey" % 16L).as("bkt"),
+        ($"o_totalprice" % 512L).cast("long").as("v"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.rjskew"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    spark.range(0, 16L * 6).select($"id".as("_id"), ($"id" % 16L).as("bkt"),
+        ($"id" / 16L * 96L).cast("long").as("lo"),
+        ($"id" / 16L * 96L + 144L).cast("long").as("hi"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.rjdim"))
+      .option("id_column", "_id").mode("append").save()
+    def rangeJoinQuery(ns: String) = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> ns, "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, bkt LONG, v LONG").load()
+      val dm = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.rjdim", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, bkt LONG, lo LONG, hi LONG").load()
+      o.join(dm, o("bkt") === dm("bkt") && o("v") >= dm("lo") && o("v") < dm("hi"))
+        .groupBy(o("bkt").as("b"), dm("lo").as("lo"))
+        .agg(count(lit(1)).as("n"), sum(o("v")).as("total"))
+    }
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    val planRj = rangeJoinQuery("db.rjord").queryExecution.executedPlan.toString
+    require(planRj.contains("PushedJoin") && planRj.contains(">= lo") &&
+      planRj.contains("< hi") && planRj.contains("PushedGroupedAggregate"),
+      s"range join did not push:\n$planRj")
+    val pushedRj = time("range-join PUSHED")(rangeJoinQuery("db.rjord"))
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedRj = time("range-join UNPUSHED")(rangeJoinQuery("db.rjord"))
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    println(f"[diagchain] range-join ratio unpushed/pushed = ${unpushedRj / pushedRj}%.2f")
+    val planRjSkew = rangeJoinQuery("db.rjskew").queryExecution.executedPlan.toString
+    require(planRjSkew.contains("PushedJoin") && planRjSkew.contains(">= lo"),
+      s"range-join skew twin did not push:\n$planRjSkew")
+    val rjUniT = time("range-join UNIFORM")(rangeJoinQuery("db.rjord"))
+    val rjSkwT = time("range-join SKEWED")(rangeJoinQuery("db.rjskew"))
+    println(f"[diagchain] range-join skew/uniform ratio = ${rjSkwT / rjUniT}%.2f")
+
     // ---- r16 arm: the UNGROUPED, UNFILTERED explode-over-join — the
     // one shape where nothing bounds the element rows server-side, so
     // the pushed pipeline ships parent/right columns once per ELEMENT.

@@ -146,14 +146,42 @@ object RowCodec {
     * explode pushdown, kv filters/groups/joins/tails — is built for
     * exactly this column shape). The TOP level never collapses (a row
     * schema is a struct by contract); 0 disables.
+    *
+    * Dynamic keys vs WIDE RECORDS (r17, ADVICE r16): a legitimately
+    * wide but STABLE record — the same 128+ fields on every document —
+    * is a record, not a key-value bag; collapsing it would break dotted
+    * struct access for existing inferred-schema users. The collapse
+    * therefore also requires the union to be at least TWICE the widest
+    * single document's key count at that level: dynamic-keys data is
+    * sparse per document (each doc carries a few of many keys — the
+    * union keeps growing with the sample), a stable record is dense
+    * (union ≈ per-doc width, ratio ~1). Inside an already-collapsed
+    * map's VALUE type the per-path stats are meaningless (one merged
+    * type across all keys), so nested levels keep the width-only rule.
     */
   def inferSchema(docs: Iterator[BDoc], maxSample: Int = 1000,
       mapThreshold: Int = 128): StructType = {
     var merged: Map[String, DataType] = ListMap.empty
     var order: Vector[String] = Vector.empty
+    // dotted path -> the widest SINGLE document's key count at that
+    // subdocument level (array elements share their array's path) —
+    // the denseness signal separating wide stable records (union ≈
+    // per-doc width) from dynamic-keys bags (union >> per-doc width)
+    var maxDocKeys: Map[String, Int] = Map.empty
+    def walkKeys(prefix: String, v: BsonValue): Unit = v match {
+      case d: BDoc =>
+        if (prefix.nonEmpty)
+          maxDocKeys = maxDocKeys.updated(prefix,
+            math.max(maxDocKeys.getOrElse(prefix, 0), d.fields.size))
+        d.fields.foreach { case (k, v2) =>
+          walkKeys(if (prefix.isEmpty) k else prefix + "." + k, v2) }
+      case BArray(items) => items.foreach(walkKeys(prefix, _))
+      case _ => ()
+    }
     var n = 0
     while (docs.hasNext && n < maxSample) {
       val d = docs.next()
+      walkKeys("", d)
       d.fields.foreach { case (name, v) =>
         val dt = typeOf(v)
         merged.get(name) match {
@@ -169,24 +197,33 @@ object RowCodec {
     StructType(order.map(name => StructField(name,
       collapseDynamic(
         merged(name) match { case NullType => StringType; case t => t },
-        collapse),
+        collapse, Some(name), maxDocKeys),
       nullable = true)))
   }
 
   /** Collapse dynamic-keys struct levels to maps (see [[inferSchema]]);
-    * recurses through arrays and record-sized structs. */
-  private def collapseDynamic(dt: DataType, threshold: Int): DataType =
+    * recurses through arrays and record-sized structs. `path` = the
+    * dotted document path of this level (None once inside a collapsed
+    * map's value, where per-path stats no longer apply). */
+  private def collapseDynamic(dt: DataType, threshold: Int,
+      path: Option[String], maxDocKeys: Map[String, Int]): DataType =
     dt match {
-      case st: StructType if st.fields.length >= threshold =>
+      case st: StructType if st.fields.length >= threshold &&
+          // sparse-per-doc gate: unknown stats (inside a collapsed map
+          // value) keep the r16 width-only rule via getOrElse(0)
+          st.fields.length >= 2 * path.map(p =>
+            maxDocKeys.getOrElse(p, st.fields.length)).getOrElse(0) =>
         val vt = st.fields.map(_.dataType)
-          .map(collapseDynamic(_, threshold))
+          .map(collapseDynamic(_, threshold, None, maxDocKeys))
           .foldLeft[DataType](NullType)(mergeTypes)
         MapType(StringType,
           if (vt == NullType) StringType else vt, valueContainsNull = true)
       case st: StructType =>
         StructType(st.fields.map(f =>
-          f.copy(dataType = collapseDynamic(f.dataType, threshold))))
-      case ArrayType(et, n0) => ArrayType(collapseDynamic(et, threshold), n0)
+          f.copy(dataType = collapseDynamic(f.dataType, threshold,
+            path.map(_ + "." + f.name), maxDocKeys))))
+      case ArrayType(et, n0) =>
+        ArrayType(collapseDynamic(et, threshold, path, maxDocKeys), n0)
       case other => other
     }
 

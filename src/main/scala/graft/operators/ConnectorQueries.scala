@@ -2206,6 +2206,107 @@ object ConnectorQueries {
         |SELECT source, count(*) AS n FROM documents
         |WHERE regexp_matches(source, '\d\d')
         |GROUP BY 1 ORDER BY source ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // Inequality/range join pushdown (r17): the binned INTERVAL join —
+    // equi-key on the partition key, range conjuncts in the `$lookup`
+    // pipeline's `$expr` (never all-pairs). Overlapping per-lang
+    // brackets [k*120, k*120+180) admit a doc into up to two dims, and
+    // docs above the last bracket match none — the whole
+    // `$match`+`$project`+`$lookup($expr eq+ranges)`+`$group` runs as
+    // ONE pipeline per split (RangeJoinPushdownSpec pins plan shape,
+    // null semantics, the mirrored form, and the refusal matrix).
+    CatalogQuery(
+      "q170_server_interval_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"n_chars")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ivdocs"))
+          .option("id_column", "doc_id").mode("append").save()
+        Tables.documents(s, d).select($"lang").distinct()
+          .crossJoin(s.range(0, 4).select($"id".as("k")))
+          .select(
+            (hash($"lang") % 1000000L * 10L + $"k").as("_id"),
+            $"lang", ($"k" * 120L).as("lo"), ($"k" * 120L + 180L).as("hi"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ivdim"))
+          .option("id_column", "_id").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ivdocs"))
+          .schema("_id LONG, lang STRING, n_chars LONG").load()
+        val dm = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.ivdim"))
+          .schema("_id LONG, lang STRING, lo LONG, hi LONG").load()
+        o.join(dm, o("lang") === dm("lang") &&
+            o("n_chars") >= dm("lo") && o("n_chars") < dm("hi"))
+          .groupBy(o("lang").as("lang"), dm("lo").as("lo"))
+          .agg(count(lit(1)).as("n"), sum(o("n_chars")).as("total"))
+          .orderBy($"lang".asc_nulls_first, $"lo".asc)
+      },
+      Some("""
+        |SELECT d.lang, b.lo, count(*) AS n,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total
+        |FROM documents d
+        |JOIN (SELECT lang, k * 120 AS lo, k * 120 + 180 AS hi
+        |      FROM (SELECT DISTINCT lang FROM documents)
+        |      CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)) b
+        |  ON d.lang = b.lang AND d.n_chars >= b.lo AND d.n_chars < b.hi
+        |GROUP BY 1, 2 ORDER BY d.lang ASC NULLS FIRST, b.lo ASC
+        |""".stripMargin)),
+
+    // AS-OF join via the pushed range pipeline (r17): per-lang
+    // checkpoint dims at ts ∈ {0, 150, 300, 450}; each doc's as-of
+    // checkpoint is the LATEST ts at-or-below its n_chars — the range
+    // `$lookup` admits all prior checkpoints and the pushed `$group`'s
+    // max() folds the argmax server-side, so one pipeline returns one
+    // doc-level row without the checkpoint fan-out ever crossing the
+    // wire. The count() alongside pins the admitted-row population.
+    CatalogQuery(
+      "q171_server_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"n_chars")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.aodocs"))
+          .option("id_column", "doc_id").mode("append").save()
+        Tables.documents(s, d).select($"lang").distinct()
+          .crossJoin(s.range(0, 4).select($"id".as("k")))
+          .select(
+            (hash($"lang") % 1000000L * 10L + $"k").as("_id"),
+            $"lang", ($"k" * 150L).as("ts"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.aockpt"))
+          .option("id_column", "_id").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.aodocs"))
+          .schema("_id LONG, lang STRING, n_chars LONG").load()
+        val c = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.aockpt"))
+          .schema("_id LONG, lang STRING, ts LONG").load()
+        o.join(c, o("lang") === c("lang") && c("ts") <= o("n_chars"))
+          .groupBy(o("_id").as("doc"))
+          .agg(max(c("ts")).as("asof_ts"), count(lit(1)).as("n"))
+          .orderBy($"doc".asc)
+          .limit(200)
+      },
+      Some("""
+        |SELECT d.doc_id AS doc, CAST(max(c.ts) AS BIGINT) AS asof_ts,
+        |  count(*) AS n
+        |FROM documents d
+        |JOIN (SELECT lang, k * 150 AS ts
+        |      FROM (SELECT DISTINCT lang FROM documents)
+        |      CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)) c
+        |  ON d.lang = c.lang AND c.ts <= d.n_chars
+        |GROUP BY 1 ORDER BY doc ASC LIMIT 200
         |""".stripMargin))
   )
 }

@@ -102,10 +102,14 @@ object ResidualJoinHoist extends Rule[LogicalPlan] with PredicateHelper {
     val rest = conjuncts.filterNot(equis.contains)
     // cross-side extras are only extractable from an INNER condition;
     // single-side conjuncts stay for PushPredicateThroughJoin (they may
-    // yet translate into the scan — hoisting is the LAST resort)
+    // yet translate into the scan — hoisting is the LAST resort).
+    // RENDERABLE range conjuncts (r17) also stay in the condition: the
+    // scan spells them into the `$lookup` pipeline's `$expr` (the
+    // binned interval / as-of shape), which beats a post-join re-check
     val crossSide = rest.filter(c =>
       !c.references.subsetOf(j.left.outputSet) &&
-        !c.references.subsetOf(j.right.outputSet))
+        !c.references.subsetOf(j.right.outputSet) &&
+        !isSafeRange(j, c))
     val (condPins, condKeep) =
       if (j.joinType == Inner && crossSide.forall(hoistable))
         rest.partition(c => crossSide.contains(c) && hoistable(c))
@@ -229,6 +233,41 @@ object ResidualJoinHoist extends Rule[LogicalPlan] with PredicateHelper {
         case _ => false
       }
     case _ => false
+  }
+
+  /** `x OP y` across the two legs with RANGE-orderable key types on
+    * BOTH sides — the mirror of GraftServerScanBuilder.rangeKeySafe
+    * (aggregation `$lt`/`$gt` compare in BSON total order, exact only
+    * over uniform-stored orderable brackets), applied pre-hoist so a
+    * conjunct the scan can spell into the `$lookup` `$expr` is never
+    * stripped out of the condition. */
+  private def isSafeRange(j: Join, c: Expression): Boolean = {
+    def sides(x: Expression, y: Expression): Boolean =
+      (keyRoot(x), keyRoot(y)) match {
+        case (Some(xa), Some(ya)) =>
+          val cross =
+            (j.left.outputSet.contains(xa) && j.right.outputSet.contains(ya)) ||
+              (j.right.outputSet.contains(xa) && j.left.outputSet.contains(ya))
+          cross &&
+            ownerOptions(j, xa).exists(o => rangeTypeSafe(x.dataType, o)) &&
+            ownerOptions(j, ya).exists(o => rangeTypeSafe(y.dataType, o))
+        case _ => false
+      }
+    c match {
+      case LessThan(x, y) => sides(x, y)
+      case LessThanOrEqual(x, y) => sides(x, y)
+      case GreaterThan(x, y) => sides(x, y)
+      case GreaterThanOrEqual(x, y) => sides(x, y)
+      case _ => false
+    }
+  }
+
+  private def rangeTypeSafe(dt: DataType, opts: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.types._
+    val ordered = Set[DataType](IntegerType, LongType, DoubleType,
+      TimestampType, DateType)
+    ordered.contains(dt) &&
+      opts.get("assume_uniform_storage").exists(_.toBoolean)
   }
 
   /** The base attribute of a join-key expression: a bare column or a

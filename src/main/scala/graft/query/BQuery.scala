@@ -639,6 +639,14 @@ object BQuery {
     * `a.b` needs only that subpath materialized, not all of `a`.
     * [[fieldHeads]] remains the coarse top-level form for callers that
     * key on heads.
+    *
+    * COMPLETENESS CONTRACT: every path a node's `matches()` can read
+    * MUST be reported here — the live driver's residual re-check
+    * projects the cursor to the HEAD fields of these paths
+    * (MongoDriverClient find), so an unreported path would be re-checked
+    * against a projected-away document and silently drop rows. Any new
+    * node needs a case here AND survives the MongoDriverSpec property
+    * ("residual re-check is exact over the widened HEAD projection").
     */
   def fieldPaths(q: BQuery): Set[String] = q match {
     case Eq(p, _) => Set(p)

@@ -143,12 +143,23 @@ object GraftServerSource {
     * patterns refuse under the default mode, stay client-side Java
     * residuals under `java`, or become verbatim server-authoritative
     * [[BQuery.RegexServer]] nodes under `server` — see
-    * [[graft.query.RegexDialect]]. */
+    * [[graft.query.RegexDialect]]. The numeric-segment null edge gate
+    * applies when the bound factory is NOT a live transport (r17,
+    * ADVICE r16): the sandbox/file-backed double evaluates this query
+    * client-side with the engine matcher, so `{"m.0": null}`-class
+    * predicates refuse there exactly as on the file transport unless
+    * `numeric_null_paths=engine` opts in; a live server receives the
+    * verbatim wire form and its own rule applies. */
   def optionQuery(opts: Map[String, String]): BQuery =
-    opts.get("query").map(j => graft.query.RegexDialect.forTransport(
-      BQueryJson.parse(j),
-      opts.getOrElse(graft.query.RegexDialect.OptionKey, "portable"),
-      serverTransport = true)).getOrElse(BQuery.True)
+    opts.get("query").map { j =>
+      val q = BQueryJson.parse(j)
+      if (!factory(opts).liveTransport)
+        graft.query.NumericNullEdge.check(q,
+          opts.get(graft.query.NumericNullEdge.OptionKey))
+      graft.query.RegexDialect.forTransport(q,
+        opts.getOrElse(graft.query.RegexDialect.OptionKey, "portable"),
+        serverTransport = true)
+    }.getOrElse(BQuery.True)
 
   def withClient[A](opts: Map[String, String])(f: (ServerClient, String) => A): A = {
     val client = factory(opts).create(opts)
@@ -773,59 +784,107 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
       opts.get("assume_uniform_storage").exists(_.toBoolean))
   }
 
-  /** The condition as a conjunction of column equalities (possibly
-    * NESTED refs — `meta.k = _id` arrives as multi-part field names), or
-    * None. Pairs carry the raw name PARTS; [[orientEqKeys]] resolves
-    * sides and leaf types.
+  /** The condition as a conjunction of column equalities and RANGE
+    * comparisons (possibly NESTED refs — `meta.k = _id` arrives as
+    * multi-part field names), or None on anything else. Pairs carry the
+    * raw name PARTS; [[orientCond]] resolves sides, flips range ops
+    * where the sides arrive swapped, and yields leaf types.
     */
-  private def eqPairs(
+  private def condPairs(
       p: org.apache.spark.sql.connector.expressions.filter.Predicate):
-      Option[Seq[(Seq[String], Seq[String])]] = p.name() match {
+      Option[(Seq[(Seq[String], Seq[String])],
+        Seq[(Seq[String], String, Seq[String])])] = p.name() match {
     case "AND" =>
       p.children().toSeq match {
         case Seq(a: org.apache.spark.sql.connector.expressions.filter.Predicate,
             b: org.apache.spark.sql.connector.expressions.filter.Predicate) =>
-          for (l <- eqPairs(a); r <- eqPairs(b)) yield l ++ r
+          for (l <- condPairs(a); r <- condPairs(b))
+            yield (l._1 ++ r._1, l._2 ++ r._2)
         case _ => None
       }
     case "=" =>
       p.children().toSeq match {
         case Seq(a: org.apache.spark.sql.connector.expressions.NamedReference,
             b: org.apache.spark.sql.connector.expressions.NamedReference) =>
-          Some(Seq((a.fieldNames.toSeq, b.fieldNames.toSeq)))
+          Some((Seq((a.fieldNames.toSeq, b.fieldNames.toSeq)), Nil))
+        case _ => None
+      }
+    case op @ ("<" | "<=" | ">" | ">=") =>
+      p.children().toSeq match {
+        case Seq(a: org.apache.spark.sql.connector.expressions.NamedReference,
+            b: org.apache.spark.sql.connector.expressions.NamedReference) =>
+          Some((Nil, Seq((a.fieldNames.toSeq, op, b.fieldNames.toSeq))))
         case _ => None
       }
     case _ => None
   }
 
-  /** Orient each equality's sides against the two projections' OUTPUT
+  private def flipOp(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+  }
+
+  /** Orient each conjunct's sides against the two projections' OUTPUT
     * schemas (nested parts walk struct-typed outputs to the leaf type) —
     * output-name disjointness (checked by the callers) makes the side
-    * assignment unambiguous. Returns (left ref, right ref) per key with
-    * dotted output names and LEAF types for the bracket-safety gates.
+    * assignment unambiguous. Returns (left ref, right ref) per equality
+    * plus (left ref, op, right ref) per range — the op flipped when the
+    * conjunct arrived right-side-first — with dotted output names and
+    * LEAF types for the bracket-safety gates.
     */
-  private def orientEqKeys(
+  private def orientCond(
       condition: org.apache.spark.sql.connector.expressions.filter.Predicate,
       lp: Seq[(String, String, org.apache.spark.sql.types.DataType)],
       rp: Seq[(String, String, org.apache.spark.sql.types.DataType)]):
-      Option[Seq[(FieldResolve.Ref, FieldResolve.Ref)]] = {
+      Option[(Seq[(FieldResolve.Ref, FieldResolve.Ref)],
+        Seq[(FieldResolve.Ref, String, FieldResolve.Ref)])] = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val lpStruct = StructType(lp.map(p => StructField(p._2, p._3)))
     val rpStruct = StructType(rp.map(p => StructField(p._2, p._3)))
     def side(parts: Seq[String]): Option[(Boolean, FieldResolve.Ref)] =
       FieldResolve.resolveParts(lpStruct, parts, Map.empty).map((true, _))
         .orElse(FieldResolve.resolveParts(rpStruct, parts, Map.empty).map((false, _)))
-    eqPairs(condition).flatMap { pairs =>
-      val oriented = pairs.map { case (xp, yp) =>
+    condPairs(condition).flatMap { case (eqPairs, rangePairs) =>
+      val eqs = eqPairs.map { case (xp, yp) =>
         (side(xp), side(yp)) match {
           case (Some((true, lx)), Some((false, ry))) => Some((lx, ry))
           case (Some((false, rx)), Some((true, ly))) => Some((ly, rx))
           case _ => None
         }
       }
-      if (oriented.contains(None) || oriented.isEmpty) None
-      else Some(oriented.flatten)
+      val rngs = rangePairs.map { case (xp, op, yp) =>
+        (side(xp), side(yp)) match {
+          case (Some((true, lx)), Some((false, ry))) => Some((lx, op, ry))
+          case (Some((false, rx)), Some((true, ly))) => Some((ly, flipOp(op), rx))
+          case _ => None
+        }
+      }
+      if (eqs.contains(None) || eqs.isEmpty || rngs.contains(None)) None
+      else Some((eqs.flatten, rngs.flatten))
     }
+  }
+
+  /** Orderable types of a pushed range-join operand: aggregation
+    * `$lt`/`$gt` compare stored values in BSON TOTAL order, so the
+    * comparison agrees with Spark's typed comparison only when both
+    * operands stay inside ONE bracket where BSON order = read order —
+    * uniform-stored numerics (value order), timestamps/dates (millis
+    * order; dates store canonical midnight). Strings stay refused
+    * (binary UTF-8 order vs the matcher's UTF-16 compare diverges off
+    * the ASCII plane — the TopN order-key gate's reasoning). Unlike
+    * equality (where cross-bracket `$eq` and Spark both say false),
+    * Int/Double need the uniform opt-in TOO: a cross-bracket `$gt` is
+    * TRUE half the time where Spark's null comparison drops the row.
+    */
+  private def rangeKeySafe(dt: org.apache.spark.sql.types.DataType,
+      opts: Map[String, String]): Boolean = {
+    import org.apache.spark.sql.types._
+    val ordered = Set[DataType](IntegerType, LongType, DoubleType,
+      TimestampType, DateType)
+    ordered.contains(dt) &&
+      opts.get("assume_uniform_storage").exists(_.toBoolean)
   }
 
   override def pushDownJoin(other: SupportsPushDownJoin,
@@ -879,10 +938,13 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         // SILENT) — refuse the join rather than corrupt that column
         if (leftOut.contains(QueryDocs.JoinedField) ||
             rightOut.contains(QueryDocs.JoinedField)) return false
-        orientEqKeys(condition, lp, rp) match {
-          case Some(refs) if refs.forall { case (l, r) =>
+        orientCond(condition, lp, rp) match {
+          case Some((refs, rngRefs)) if refs.forall { case (l, r) =>
               joinKeySafe(l.dataType, options) &&
-                joinKeySafe(r.dataType, o.joinOptions) } =>
+                joinKeySafe(r.dataType, o.joinOptions) } &&
+              rngRefs.forall { case (l, _, r) =>
+                rangeKeySafe(l.dataType, options) &&
+                  rangeKeySafe(r.dataType, o.joinOptions) } =>
             // carried TABLESAMPLEs: re-key onto the joined OUTPUT names
             // where keyed sampling commutes with the $lookup; the
             // LOOKUP side's sample cannot commute under an outer join
@@ -938,13 +1000,17 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
               // drive from the RIGHT side; THIS side becomes the lookup.
               // A driving-side unwind (the user unwound the right
               // relation before the right-outer join) rides the
-              // pipeline with ITS pre-unwind parent prune
+              // pipeline with ITS pre-unwind parent prune. Ranges swap
+              // sides and FLIP: `l < r` becomes `r > l` from the
+              // mirrored pipeline's perspective.
               joined = Some(ServerJoin(rpFull,
                 GraftServerSource.ns(options),
                 BQuery.and(GraftServerSource.optionQuery(options),
                   pushedQuery),
                 lpFull, keys.map(_.swap), leftOuter = true, output,
-                unwind = o.unwind, unwindPost = o.unwindPost))
+                unwind = o.unwind, unwindPost = o.unwindPost,
+                ranges = rngRefs.map { case (l, op, r) =>
+                  LookupJoin.RangeKey(r.name, flipOp(op), l.name) }))
               joinDriving = Some((o.joinOptions,
                 BQuery.and(
                   BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
@@ -956,7 +1022,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
                 BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
                   o.pushedQuery),
                 rpFull, keys, leftOuter, output,
-                unwind = unwind, unwindPost = unwindPost))
+                unwind = unwind, unwindPost = unwindPost,
+                ranges = rngRefs.map { case (l, op, r) =>
+                  LookupJoin.RangeKey(l.name, op, r.name) }))
             }
             joinedColOpts = lp.map(p => p._2 -> options).toMap ++
               rp.map(p => p._2 -> o.joinOptions).toMap
@@ -1013,8 +1081,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         if (leftOut.keySet.intersect(rightOut.keySet).nonEmpty) return false
         if (leftOut.contains(QueryDocs.JoinedField) ||
             rightOut.contains(QueryDocs.JoinedField)) return false
-        orientEqKeys(condition, lp, rp) match {
-          case Some(refs) if refs.forall { case (l, r) =>
+        orientCond(condition, lp, rp) match {
+          // chained stages take EQUALITIES only — a range conjunct on a
+          // chain refuses the stage (the base pipeline stays pushed;
+          // Spark joins the chained collection above it)
+          case Some((refs, Seq())) if refs.forall { case (l, r) =>
               // a nested key's safety is its HEAD column's origin side
               val srcOpts = lp.collectFirst {
                 case (src, out, _) if out == l.name.split('.').head =>
@@ -1202,7 +1273,13 @@ final case class ServerJoin(
       * DRIVING side may unwind (lookup-side element rows are not
       * parent-atomic across the join; mirrored joins refuse). */
     unwind: Option[ServerClient.Unwind] = None,
-    unwindPost: BQuery = BQuery.True) {
+    unwindPost: BQuery = BQuery.True,
+    /** RANGE conjuncts of the join condition (r17): `leftOut OP
+      * rightOut` rendered into the `$lookup` `$expr` — the binned
+      * interval / as-of shape. Gated on `assume_uniform_storage` and
+      * orderable types on BOTH sides (rangeKeySafe); base join only
+      * (chained stages refuse ranges). */
+    ranges: Seq[LookupJoin.RangeKey] = Nil) {
   def schema: StructType = StructType(
     output.map { case (o, t) => org.apache.spark.sql.types.StructField(o, t) })
   /** right OUTPUT name -> right doc field (nested outputs resolve by
@@ -1214,7 +1291,8 @@ final case class ServerJoin(
     LookupJoin.fieldOf(leftProject.map(p => (p._1, p._2)), out)
   override def toString: String =
     s"${if (leftOuter) "LEFT OUTER" else "INNER"} $rightNs ON " +
-      keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ") +
+      (keys.map { case (l, r) => s"$l = $r" } ++
+        ranges.map(_.toString)).mkString(" AND ") +
       chain.map(st =>
         s" THEN ${if (st.leftOuter) "LEFT OUTER" else "INNER"} ${st.rightNs} ON " +
           st.keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ")).mkString
@@ -1336,9 +1414,11 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
   // equivalent `{$ne: null}` on the wire (QueryDocs.render)
   private def nonNull(field: String): BQuery = BQuery.Exists(field, yes = true)
 
-  private val rightWithKeys: BQuery = join.keys.foldLeft(join.rightQuery) {
-    case (acc, (_, ro)) => BQuery.and(acc, nonNull(join.rightField(ro)))
-  }
+  private val rightWithKeys: BQuery =
+    (join.keys.map(_._2) ++ join.ranges.map(_.rightOut))
+      .foldLeft(join.rightQuery) { case (acc, ro) =>
+        BQuery.and(acc, nonNull(join.rightField(ro)))
+      }
   /** A driving key whose doc field sits AT/UNDER the unwound path (or is
     * the injected pos field, or a MAP unwind's synthetic kv entry)
     * exists only POST-unwind — its INNER non-null prune joins the
@@ -1349,17 +1429,23 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
       u.posField.contains(f) ||
       (u.mapKv && (f == graft.plans.UnwindRelocate.KvDocField ||
         f.startsWith(graft.plans.UnwindRelocate.KvDocField + "."))))
+  // range LEFT operands prune like key operands under INNER (a null
+  // operand never range-matches — Spark's null comparison); under LEFT
+  // OUTER they must SURVIVE to null-extend, and the pipeline's per-var
+  // `$gt: [$$rK, null]` guard keeps them from cross-bracket matching
+  private def leftOperandOuts: Seq[String] =
+    join.keys.map(_._1) ++ join.ranges.map(_.leftOut)
   private val leftFull: BQuery = {
     val base = BQuery.and(p.range, leftQuery)
     if (join.leftOuter) base
-    else join.keys.foldLeft(base) { case (acc, (lo, _)) =>
+    else leftOperandOuts.foldLeft(base) { case (acc, lo) =>
       val f = join.leftField(lo)
       if (elementScopedField(f)) acc else BQuery.and(acc, nonNull(f))
     }
   }
   private val postFull: BQuery =
     if (join.leftOuter) join.unwindPost
-    else join.keys.foldLeft(join.unwindPost) { case (acc, (lo, _)) =>
+    else leftOperandOuts.foldLeft(join.unwindPost) { case (acc, lo) =>
       val f = join.leftField(lo)
       if (elementScopedField(f)) BQuery.and(acc, nonNull(f)) else acc
     }
@@ -1404,7 +1490,8 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
       topN = joinTopN,
       skip = joinOffset,
       unwind = join.unwind,
-      unwindPost = postFull))
+      unwindPost = postFull,
+      ranges = join.ranges))
     val raw = if (posOutName.isEmpty) raw0 else raw0.map(narrowPosOut)
     // carried TABLESAMPLE windows, re-keyed to joined OUTPUT names by
     // the builder: keyed sampling commutes with the $lookup, so keeping

@@ -279,7 +279,8 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       s"lookupJoin post-unwind query not fully server-renderable: ${j.unwindPost}")
     var stages = QueryDocs.lookupStages(
       leftMatch, j.leftProject, rcoll, rp.serverQuery, j.rightProject,
-      j.keys, j.leftOuter, unwind = j.unwind, unwindPostDoc = up.serverQuery)
+      j.keys, j.leftOuter, unwind = j.unwind, unwindPostDoc = up.serverQuery,
+      ranges = j.ranges)
     var leftOuts = j.leftProject.map(_._2).toSet
     // chained stages: flatten-project + lookup + unwind each, still ONE
     // aggregate() round-trip for the whole 3-way+ pipeline
@@ -347,6 +348,11 @@ final class MongoDriverFactory extends ServerClientFactory {
     new MongoDriverClient(options.getOrElse("uri",
       throw new IllegalArgumentException("graftserver: MongoDriverFactory requires a 'uri' option")),
       allowDiskUse = options.get("allow_disk_use").exists(_.toBoolean))
+
+  /** Real server: wire forms ship verbatim, the server's own
+    * numeric-null resolution rule applies (reference parity —
+    * MongoInputSplit.java:281's mongo.input.query passthrough). */
+  override def liveTransport: Boolean = true
 }
 
 object MongoDriverClient {

@@ -598,8 +598,21 @@ object QueryDocs {
     */
   private def lookupUnwind(rightColl: String, rightMatch: BDoc,
       rightProject: Seq[(String, String)],
-      keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] = {
-    val letVars = keys.zipWithIndex.map { case ((lo, _), i) => s"v$i" -> lo }
+      keys: Seq[(String, String)], leftOuter: Boolean,
+      /** range conjuncts (r17): `leftOut OP rightOut` rendered as
+        * further `$expr` comparisons — `{$lt: ["$$rK", "$rField"]}` —
+        * with a `{$gt: ["$$rK", null]}` guard per driving operand
+        * (aggregation comparisons use BSON TOTAL order, where
+        * null/missing sort below every value: an unguarded null left
+        * operand would `$lt`-match where Spark's null comparison drops
+        * the row — the guard makes a LEFT OUTER row with a null range
+        * operand null-extend exactly like Spark; under INNER the
+        * driving `$match` already filtered it, the guard is then
+        * vacuous). Right-side operands are null-filtered by the
+        * caller's rightMatch, mirroring the key non-null conjuncts. */
+      ranges: Seq[LookupJoin.RangeKey] = Nil): Seq[BDoc] = {
+    val letVars = keys.zipWithIndex.map { case ((lo, _), i) => s"v$i" -> lo } ++
+      ranges.zipWithIndex.map { case (r, i) => s"r$i" -> r.leftOut }
     // key outputs may be nested under a projected struct column —
     // resolve to the document field path ($expr runs pre-projection)
     val eqs: Vector[BsonValue] = keys.zipWithIndex.map { case ((_, ro), i) =>
@@ -607,8 +620,17 @@ object QueryDocs {
         BString("$" + LookupJoin.fieldOf(rightProject, ro)),
         BString("$$v" + i)))): BsonValue
     }.toVector
+    val rangeOps = Map("<" -> "$lt", "<=" -> "$lte", ">" -> "$gt", ">=" -> "$gte")
+    val rngs: Vector[BsonValue] = ranges.zipWithIndex.flatMap { case (r, i) =>
+      Vector[BsonValue](
+        BDoc("$gt" -> BArray(Vector(BString("$$r" + i), BNull))),
+        BDoc(rangeOps(r.op) -> BArray(Vector(
+          BString("$$r" + i),
+          BString("$" + LookupJoin.fieldOf(rightProject, r.rightOut))))))
+    }.toVector
+    val conds = eqs ++ rngs
     val exprDoc = BDoc("$expr" ->
-      (if (eqs.size == 1) eqs.head else BDoc("$and" -> BArray(eqs))))
+      (if (conds.size == 1) conds.head else BDoc("$and" -> BArray(conds))))
     val innerPipeline: Vector[BsonValue] =
       (if (rightMatch.fields.isEmpty) Vector.empty[BsonValue]
        else Vector(BDoc("$match" -> rightMatch): BsonValue)) ++
@@ -635,14 +657,16 @@ object QueryDocs {
         * (r15): rendered between the pre-`$match` and the left
         * `$project`, so per-ELEMENT rows feed the `$lookup`. */
       unwind: Option[ServerClient.Unwind] = None,
-      unwindPostDoc: BDoc = BDoc.empty): Seq[BDoc] =
+      unwindPostDoc: BDoc = BDoc.empty,
+      ranges: Seq[LookupJoin.RangeKey] = Nil): Seq[BDoc] =
     (if (leftMatch.fields.isEmpty) Seq.empty
      else Seq(BDoc("$match" -> leftMatch))) ++
       unwind.toSeq.flatMap(unwindStageSeq) ++
       (if (unwindPostDoc.fields.isEmpty) Seq.empty
        else Seq(BDoc("$match" -> unwindPostDoc))) ++
       Seq(BDoc("$project" -> aliasProjection(leftProject))) ++
-      lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter)
+      lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter,
+        ranges)
 
   /** One CHAINED stage: a `$project` that FLATTENS the previous join
     * (each previous output re-aliased from its joined home to this

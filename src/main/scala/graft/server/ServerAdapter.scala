@@ -208,10 +208,26 @@ final case class LookupJoin(
       * arrays never unwind here (element rows are not parent-atomic
       * across the join boundary). */
     unwind: Option[ServerClient.Unwind] = None,
-    unwindPost: BQuery = BQuery.True) {
+    unwindPost: BQuery = BQuery.True,
+    /** RANGE conjuncts of the join condition (r17): `left OP right`
+      * over OUTPUT names, rendered into the `$lookup` pipeline's
+      * `$expr` alongside the key equalities — the binned interval /
+      * as-of join shape (equi-key on the bin, range residual in the
+      * pipeline), never all-pairs. The caller gates operand types on
+      * `assume_uniform_storage` (aggregation `$lt`/`$gt` compare in
+      * BSON TOTAL order — cross-bracket foreign storage would compare
+      * by type where Spark's typed comparison returns null) and
+      * null-filters both operands (null/missing sort below every real
+      * value in `$expr`, so an unguarded `$lt: [null, x]` would MATCH
+      * where Spark's null comparison drops). */
+    ranges: Seq[LookupJoin.RangeKey] = Nil) {
   require(Seq(group.isDefined, limit.isDefined, topN.isDefined,
       skip.isDefined).count(identity) <= 1,
     "a lookup join takes at most one of group/limit/topN/skip")
+  require(ranges.forall(r => LookupJoin.RangeOps.contains(r.op)),
+    s"unknown range op in $ranges")
+  require(ranges.isEmpty || keys.nonEmpty,
+    "a range join needs at least one key equality (never all-pairs)")
   /** Output names of the FINAL stage's left projection — where the
     * flatten boundary sits for tail stages and result re-nesting. */
   def finalLeftOuts: Set[String] =
@@ -235,6 +251,34 @@ object ServerClient {
 }
 
 object LookupJoin {
+  /** One range conjunct of a pushed join condition: `leftOut OP
+    * rightOut` over the two sides' OUTPUT names ("<", "<=", ">", ">="
+    * — the driving side on the left; a mirrored right-outer push swaps
+    * sides and flips the op before building this). */
+  final case class RangeKey(leftOut: String, op: String, rightOut: String) {
+    override def toString: String = s"$leftOut $op $rightOut"
+  }
+
+  val RangeOps: Set[String] = Set("<", "<=", ">", ">=")
+
+  /** `left OP right` in BSON total order — the `$expr` comparison the
+    * wire pipeline runs, shared by the fake transport so the two agree;
+    * null/missing operands never match (callers also pre-filter them,
+    * mirroring Spark's null comparison semantics). */
+  def rangeMatches(op: String, left: Option[BsonValue],
+      right: Option[BsonValue]): Boolean = (left, right) match {
+    case (Some(l), Some(r)) if l != BNull && r != BNull =>
+      val c = BsonOrdering.compare(l, r)
+      op match {
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case other => throw new IllegalArgumentException(s"range op $other")
+      }
+    case _ => false
+  }
+
   /** Resolve a (possibly NESTED) join-key OUTPUT name to its document
     * field path through a (field → output) projection: an exact output
     * match wins; otherwise the dotted HEAD names the projected column
@@ -334,6 +378,16 @@ final class ServerCollection(client: ServerClient, ns: String) {
   */
 trait ServerClientFactory {
   def create(options: Map[String, String]): ServerClient
+
+  /** True when this factory binds a LIVE server whose own engine
+    * evaluates the wire forms (queries ship verbatim — the server's
+    * dialect rules are authoritative). False (default) for sandbox /
+    * file-backed doubles, whose option queries the ENGINE matcher
+    * evaluates client-side — there the client-dialect gates
+    * ([[graft.query.NumericNullEdge]]) apply exactly as on the file
+    * transport (ADVICE r16: the fake transport silently used the
+    * engine's numeric-null rule where the file transport refused). */
+  def liveTransport: Boolean = false
 }
 
 /** Sandbox factory: a [[FakeServerClient]] rooted at `server_dir`. Stands
@@ -609,7 +663,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     var rows: Iterator[BDoc] = stageJoin(
       driving,
       j.leftProject, j.rightNs, j.rightQuery, j.rightProject,
-      j.keys, j.leftOuter)
+      j.keys, j.leftOuter, j.ranges)
     // chained stages drive off the previous stage's flat joined rows —
     // the same pipeline a real server runs ($project flatten + $lookup
     // per stage), evaluated stage-wise here
@@ -652,7 +706,14 @@ final class FakeServerClient(rootDir: Option[String] = None)
   private def stageJoin(driving: Iterator[BDoc],
       leftProject: Seq[(String, String)], rightNs: String,
       rightQuery: BQuery, rightProject: Seq[(String, String)],
-      keys: Seq[(String, String)], leftOuter: Boolean): Iterator[BDoc] = {
+      keys: Seq[(String, String)], leftOuter: Boolean,
+      /** range conjuncts of the `$expr` (base join only — chained
+        * stages refuse ranges at push time): evaluated on the
+        * hash-equality hits with [[LookupJoin.rangeMatches]], the same
+        * BSON-order comparison the wire pipeline runs; null/missing
+        * operands never match, so a LEFT OUTER row whose range operand
+        * is null null-extends exactly like Spark. */
+      ranges: Seq[LookupJoin.RangeKey] = Nil): Iterator[BDoc] = {
     def canon(v: BsonValue): Any = v match {
       case BInt32(x) => x.toLong
       case BInt64(x) => x
@@ -671,6 +732,10 @@ final class FakeServerClient(rootDir: Option[String] = None)
         .filter(d => rightKeyFields.forall(f => d.getPath(f).exists(_ != BNull)))
         .toVector
         .groupBy(d => rightKeyFields.map(f => canon(d.getPath(f).get)))
+    // range operands reference right DOC fields ($expr runs before the
+    // right projection), like the key equalities
+    val rangeRightFields = ranges.map(r =>
+      LookupJoin.fieldOf(rightProject, r.rightOut))
     driving.flatMap { ld =>
       val lFields = project(ld, leftProject)
       // keys are OUTPUT names — look them up on the projected doc
@@ -680,6 +745,10 @@ final class FakeServerClient(rootDir: Option[String] = None)
       val hits: Vector[BDoc] =
         if (kvs.exists(_.isEmpty)) Vector.empty
         else index.getOrElse(kvs.map(v => canon(v.get)), Vector.empty)
+          .filter(rd => ranges.zip(rangeRightFields).forall {
+            case (r, rf) => LookupJoin.rangeMatches(r.op,
+              projected.getPath(r.leftOut), rd.getPath(rf))
+          })
       if (hits.isEmpty) {
         if (leftOuter) Iterator.single(projected)
         else Iterator.empty

@@ -236,6 +236,42 @@ class DialectSpec extends SparkSpec {
     assert(ok.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("graftserver sandbox transport: numeric-null edge gated like the file transport (ADVICE r16)") {
+    // the DirServerFactory double evaluates option queries CLIENT-side
+    // with the engine matcher — {"m.0": null} must refuse there exactly
+    // as on the file transport (it used to pass silently, the one
+    // client-evaluating path the r16 gate missed); a LIVE factory ships
+    // the verbatim wire form (MongoDriverFactory.liveTransport = true)
+    val dir = freshDir()
+    locally {
+      val fc = new graft.server.FakeServerClient(Some(dir))
+      new graft.server.ServerCollection(fc, "db.mnul").bulkWrite(Iterator(
+        graft.store.InsertOne(BDoc("_id" -> BInt32(1),
+          "m" -> BArray(Vector(BInt32(5))))),
+        graft.store.InsertOne(BDoc("_id" -> BInt32(2),
+          "m" -> BArray(Vector(BDoc("0" -> BInt32(7)))))),
+        graft.store.InsertOne(BDoc("_id" -> BInt32(3)))))
+    }
+    def rd(extra: (String, String)*) = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.mnul",
+        "query" -> """{"m.0": null}""") ++ extra)
+      .schema("_id INT").load()
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    val e = intercept[Throwable] { rd().count() }
+    assert(chain(e).exists(_.contains("numeric_null_paths")), chain(e).mkString("\n"))
+    // the engine opt-in applies the same documented rule as the file
+    // transport: doc 1 (scalar element dead-ends), doc 3 (m missing)
+    assert(rd("numeric_null_paths" -> "engine").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    // non-null numeric-path queries stay un-gated
+    val ok = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.mnul"))
+      .option("query", """{"m.0": 5}""")
+      .schema("_id INT").load()
+    assert(ok.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("multi-collection per-entry queries pass the same gates") {
     val dir = seedFile()
     def chain(t: Throwable): Seq[String] =

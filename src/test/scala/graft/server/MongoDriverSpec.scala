@@ -241,6 +241,66 @@ class MongoDriverSpec extends AnyFunSuite {
       BDoc("n" -> BDoc("$not" -> BDoc("$gt" -> BInt32(5))))))
   }
 
+  test("residual re-check is exact over the widened HEAD projection (fieldPaths completeness)") {
+    // MongoDriverClient's residual find() projects the cursor to
+    // `projection ∪ heads(fieldPaths(residual))` (r16) — sound ONLY
+    // while BQuery.fieldPaths reports every path matches() reads
+    // (ADVICE r16). This property pins that contract across the node
+    // zoo on nested/array docs: a future residual node whose evaluation
+    // reads an unreported field would flip the verdict on the projected
+    // doc and fail here, instead of silently dropping rows on a live
+    // server.
+    import BQuery._
+    val nestedDocGen: Gen[BDoc] = for {
+      x <- Gen.option(scalarGen)
+      m <- Gen.option(Gen.oneOf(
+        scalarGen.map(v => BDoc("a" -> v): BsonValue),
+        scalarGen,
+        Gen.const(BNull: BsonValue),
+        Gen.listOfN(2, scalarGen).map(xs => BArray(xs.toVector): BsonValue)))
+      arr <- Gen.option(Gen.oneOf(
+        Gen.listOfN(2, scalarGen).map(xs => BArray(xs.toVector): BsonValue),
+        scalarGen.map(v => BArray(Vector(BDoc("k" -> v))): BsonValue),
+        Gen.const(BArray(Vector.empty): BsonValue),
+        scalarGen))
+      extra <- Gen.option(scalarGen) // never referenced by any query
+    } yield BDoc(scala.collection.immutable.ListMap(
+      (x.map("x" -> _) ++ m.map("m" -> _) ++ arr.map("arr" -> _) ++
+        extra.map("unrelated" -> _)).toSeq: _*))
+    val path = Gen.oneOf("x", "m", "m.a", "arr", "arr.0", "arr.k")
+    val valGen: Gen[BsonValue] = Gen.oneOf(scalarGen, Gen.const(BNull))
+    val leaf: Gen[BQuery] = for {
+      p <- path
+      v <- valGen
+      q <- Gen.oneOf[BQuery](
+        Eq(p, v), Ne(p, v), Lt(p, v), Lte(p, v), Gt(p, v), Gte(p, v),
+        In(p, Seq(v)), Nin(p, Seq(v)),
+        Exists(p, yes = true), Exists(p, yes = false),
+        Size(p, 2), All(p, Seq(v)),
+        ElemMatch(p, BQuery.and(Gte(ElemPath, BInt32(0)),
+          Lte(ElemPath, BInt32(4))), valueForm = true),
+        ElemMatch(p, Eq("k", v), valueForm = false),
+        NotOp(p, Gt(p, v)), Mod(p, 3, 1),
+        TypeIs(p, Seq("number")), Regex(p, "^a", ""))
+    } yield q
+    val zooGen: Gen[BQuery] = for {
+      a <- leaf; b <- leaf; c <- leaf
+      combine <- Gen.oneOf[Seq[BQuery] => BQuery](
+        And(_), Or(_), Nor(_),
+        (qs: Seq[BQuery]) => And(Seq(qs.head, Or(qs.tail))))
+    } yield combine(Seq(a, b, c))
+    val docs = samples(nestedDocGen, 80)
+    samples(zooGen, 400).foreach { q =>
+      val heads = GraftServerSource.pruneProjection(
+        BQuery.fieldPaths(q).toSeq.map(_.split('.').head).sorted.distinct)
+      docs.foreach { d =>
+        val projected = QueryDocs.projectClient(d, heads)
+        assert(q.matches(d) === q.matches(projected),
+          s"fieldPaths incomplete for $q on $d (projected to $heads -> $projected)")
+      }
+    }
+  }
+
   // --- the remaining wire docs ---------------------------------------------
 
   test("command and cursor-option docs are pinned") {

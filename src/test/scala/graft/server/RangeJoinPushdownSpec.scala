@@ -1,0 +1,268 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Inequality/range join pushdown (r17): a join condition of key
+  * equalities PLUS attr-vs-attr range comparisons renders as ONE
+  * `$lookup` pipeline whose `$expr` carries the ranges — the binned
+  * interval / as-of join shape (equi-key on the bin, range residual in
+  * the pipeline), never all-pairs. Gated on `assume_uniform_storage`
+  * and orderable types on BOTH sides (aggregation `$lt`/`$gt` compare
+  * in BSON TOTAL order); null operands never match, mirroring Spark's
+  * null comparison, with LEFT OUTER rows null-extending.
+  *
+  * Parity baselines run over LOCAL copies (no graftserver relation in
+  * the baseline plan), so the pushdown cannot mask its own bugs.
+  */
+class RangeJoinPushdownSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-range-join").toString
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** events: _id, bkt, v; dims: _id, bkt, lo, hi (per-bin intervals).
+    * Some events carry null v; one dim a null lo.
+    */
+  private def seed(dir: String): Unit = {
+    import spark.implicits._
+    (0 until 200).map { i =>
+      val v: java.lang.Long = if (i % 17 == 0) null else java.lang.Long.valueOf((i * 7) % 100)
+      (i.toLong, (i % 5).toLong, v)
+    }.toDF("_id", "bkt", "v")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.e"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 15).map { i =>
+      val lo: java.lang.Long = if (i == 4) null else java.lang.Long.valueOf((i % 3) * 30)
+      (i.toLong, (i % 5).toLong, lo, java.lang.Long.valueOf((i % 3) * 30 + 40))
+    }.toDF("_id", "bkt", "lo", "hi")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.d"))
+      .option("id_column", "_id").mode("append").save()
+  }
+
+  private def e(dir: String, extra: (String, String)*): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.e",
+        "assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, bkt LONG, v LONG").load()
+
+  private def d(dir: String, extra: (String, String)*): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.d",
+        "assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, bkt LONG, lo LONG, hi LONG").load()
+
+  private def localCopy(df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
+      df.schema)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.toString).sorted.toSeq
+
+  test("binned interval join: equi-key + two ranges push as one $expr pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val ee = e(dir)
+    val dd = d(dir)
+    val q = ee.join(dd,
+        ee("bkt") === dd("bkt") && ee("v") >= dd("lo") && ee("v") < dd("hi"))
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"), ee("v"), dd("lo"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedJoin: INNER db.d"), plan)
+    assert(plan.contains(">= lo") && plan.contains("< hi"),
+      s"range conjuncts missing from the pushed join:\n$plan")
+    assert(!plan.contains("Join ") && !plan.contains("recheck("),
+      s"no Spark join / recheck expected:\n$plan")
+    val le = localCopy(e(dir)); val ld = localCopy(d(dir))
+    val exp = le.join(ld,
+        le("bkt") === ld("bkt") && le("v") >= ld("lo") && le("v") < ld("hi"))
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"), le("v"), ld("lo"))
+    assert(sortedRows(q) == sortedRows(exp))
+    assert(q.count() > 0, "fixture must exercise surviving rows")
+  }
+
+  test("LEFT OUTER range join: null operands null-extend exactly like Spark") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val ee = e(dir)
+    val dd = d(dir)
+    val q = ee.join(dd,
+        ee("bkt") === dd("bkt") && ee("v") >= dd("lo") && ee("v") < dd("hi"),
+        "left_outer")
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedJoin: LEFT OUTER db.d") &&
+      plan.contains(">= lo") && !plan.contains("Join "), plan)
+    val le = localCopy(e(dir)); val ld = localCopy(d(dir))
+    val exp = le.join(ld,
+        le("bkt") === ld("bkt") && le("v") >= ld("lo") && le("v") < ld("hi"),
+        "left_outer")
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"))
+    assert(sortedRows(q) == sortedRows(exp))
+    // the null-v events must appear null-extended, not range-matched
+    assert(q.filter($"dkey".isNull).count() ==
+      exp.filter($"dkey".isNull).count())
+    assert(q.filter($"dkey".isNull).count() > 0)
+  }
+
+  test("mirrored RIGHT OUTER range join swaps sides and flips ops") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val dd = d(dir)
+    val ee = e(dir)
+    val q = dd.join(ee,
+        ee("bkt") === dd("bkt") && ee("v") >= dd("lo") && ee("v") < dd("hi"),
+        "right_outer")
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedJoin: LEFT OUTER db.d") &&
+      !plan.contains("Join "), plan)
+    val le = localCopy(e(dir)); val ld = localCopy(d(dir))
+    val exp = ld.join(le,
+        le("bkt") === ld("bkt") && le("v") >= ld("lo") && le("v") < ld("hi"),
+        "right_outer")
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"))
+    assert(sortedRows(q) == sortedRows(exp))
+  }
+
+  test("as-of shape: range join + per-key argmax folds above the pushed pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val ee = e(dir)
+    val dd = d(dir)
+    // latest dim whose [lo, hi) bracket admits the event value — the
+    // binned as-of materialization (dims replicated per bin)
+    val q = ee.join(dd,
+        ee("bkt") === dd("bkt") && ee("v") >= dd("lo") && ee("v") < dd("hi"))
+      .groupBy(ee("_id").as("ekey"))
+      .agg(max(dd("_id")).as("asof_dim"), count(lit(1)).as("n"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedJoin: INNER db.d") && !plan.contains("Join "),
+      plan)
+    val le = localCopy(e(dir)); val ld = localCopy(d(dir))
+    val exp = le.join(ld,
+        le("bkt") === ld("bkt") && le("v") >= ld("lo") && le("v") < ld("hi"))
+      .groupBy(le("_id").as("ekey"))
+      .agg(max(ld("_id")).as("asof_dim"), count(lit(1)).as("n"))
+    assert(sortedRows(q) == sortedRows(exp))
+  }
+
+  test("refusal matrix: non-uniform side, string keys, pure range, OR; arithmetic hoists") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // non-uniform lookup side: ranges refuse ($expr compares stored
+    // values in BSON total order — unsound without the opt-in), and the
+    // INNER hoist re-checks the range above a still-pushed equi join
+    val ddRaw = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.d"))
+      .schema("_id LONG, bkt LONG, lo LONG, hi LONG").load()
+    val ee = e(dir)
+    val nu = ee.join(ddRaw, ee("bkt") === ddRaw("bkt") && ee("v") >= ddRaw("lo"))
+      .select(ee("_id").as("ekey"), ddRaw("_id").as("dkey"))
+    val nuPlan = planOf(nu)
+    // the LONG equi key is uniform-gated too, so nothing pushes here —
+    // the row population must still be exact via Spark's own join
+    assert(!nuPlan.contains("PushedJoin"),
+      s"non-uniform side must not push:\n$nuPlan")
+    val le = localCopy(e(dir)); val ld = localCopy(d(dir))
+    val nuExp = le.join(ld, le("bkt") === ld("bkt") && le("v") >= ld("lo"))
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"))
+    assert(sortedRows(nu) == sortedRows(nuExp))
+
+    // pure range (no equality): never all-pairs — no pushed join
+    val dd = d(dir)
+    val pr = ee.join(dd, ee("v") >= dd("lo"))
+    assert(!planOf(pr).contains("PushedJoin"), planOf(pr))
+
+    // OR of ranges: not a conjunction — the disjunction never renders
+    // into a pushed pipeline (the PushedJoin description, if the equi
+    // pushes at all with the OR hoisted, carries no range conjunct)
+    val orq = ee.join(dd,
+      ee("bkt") === dd("bkt") && (ee("v") >= dd("lo") || ee("v") < dd("hi")))
+    assert(!planOf(orq).contains("AND v >= lo"), planOf(orq))
+
+    // STRING range keys refuse (UTF-16 vs UTF-8 order off the ASCII
+    // plane); the INNER hoist may still re-check them above
+    val dir2 = freshDir()
+    Seq((1L, "a", "m"), (2L, "b", "x")).toDF("_id", "k", "s")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.sl"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((1L, "a", "p"), (2L, "b", "c")).toDF("_id", "k", "t")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.sr"))
+      .option("id_column", "_id").mode("append").save()
+    val sl = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.sl",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, k STRING, s STRING").load()
+    val sr = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.sr",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, k STRING, t STRING").load()
+    val sq = sl.join(sr, sl("k") === sr("k") && sl("s") < sr("t"))
+      .select(sl("_id").as("a"), sr("_id").as("b"))
+    assert(!planOf(sq).contains("AND s < t"),
+      s"string range must not render into the pipeline:\n${planOf(sq)}")
+    assert(sq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 1L)))
+
+    // ARITHMETIC cross-side conjunct still hoists to a recheck above a
+    // pushed equi join (r14 behavior unchanged by the range arm)
+    val ar = ee.join(dd, ee("bkt") === dd("bkt") && ee("v") + dd("lo") > 50L)
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"))
+    val arPlan = planOf(ar)
+    assert(arPlan.contains("PushedJoin: INNER db.d") &&
+      arPlan.contains("recheck(") && !arPlan.contains("Join "), arPlan)
+    val arExp = le.join(ld, le("bkt") === ld("bkt") && le("v") + ld("lo") > 50L)
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"))
+    assert(sortedRows(ar) == sortedRows(arExp))
+  }
+
+  test("a chained stage with a range refuses; the base range join stays pushed") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L), (4L, 50L))
+      .toDF("_id", "w")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c3"))
+      .option("id_column", "_id").mode("append").save()
+    val ee = e(dir)
+    val dd = d(dir)
+    val cc = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c3",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, w LONG").load()
+    val q = ee.join(dd,
+        ee("bkt") === dd("bkt") && ee("v") >= dd("lo") && ee("v") < dd("hi"))
+      .join(cc, dd("bkt") === cc("_id") && ee("v") < cc("w"))
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"), cc("w"))
+    val plan = planOf(q)
+    // base pipeline pushed with its ranges; the chained range stage
+    // stays a Spark join above it (chain stages take equalities only)
+    assert(plan.contains("PushedJoin: INNER db.d") &&
+      plan.contains(">= lo"), plan)
+    assert(!plan.contains("THEN INNER db.c3"), plan)
+    val le = localCopy(e(dir)); val ld = localCopy(d(dir))
+    val lc = localCopy(cc)
+    val exp = le.join(ld,
+        le("bkt") === ld("bkt") && le("v") >= ld("lo") && le("v") < ld("hi"))
+      .join(lc, ld("bkt") === lc("_id") && le("v") < lc("w"))
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"), lc("w"))
+    assert(sortedRows(q) == sortedRows(exp))
+  }
+}

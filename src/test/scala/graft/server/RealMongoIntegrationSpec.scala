@@ -1079,4 +1079,54 @@ class RealMongoIntegrationSpec extends SparkSpec {
       .sorted.toSeq ==
       Seq(("alice", "x"), ("alice", "y"), ("∅", "z")))
   }
+
+  test("live: RANGE join — $expr carries the inequality conjuncts; nulls never match (r17)") {
+    live()
+    import spark.implicits._
+    val od = opts("rjo"); val oc = opts("rjd")
+    // e: _id, bkt, v (one null v); d: _id, bkt, lo, hi (one null lo).
+    // Pins the aggregation $lt/$gt null edge: an unguarded
+    // `$lt: [null, x]` would MATCH in BSON total order — the pipeline's
+    // `$gt: [$$r0, null]` guard plus the non-null right $match must
+    // make null operands behave exactly like Spark (no match;
+    // LEFT OUTER null-extends).
+    Seq((1L, 0L, java.lang.Long.valueOf(5L)),
+        (2L, 0L, java.lang.Long.valueOf(25L)),
+        (3L, 0L, null.asInstanceOf[java.lang.Long]),
+        (4L, 1L, java.lang.Long.valueOf(5L)))
+      .toDF("k", "bkt", "v")
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    Seq((10L, 0L, java.lang.Long.valueOf(0L), 10L),
+        (11L, 0L, java.lang.Long.valueOf(20L), 30L),
+        (12L, 0L, null.asInstanceOf[java.lang.Long], 99L),
+        (13L, 1L, java.lang.Long.valueOf(50L), 60L))
+      .toDF("k", "bkt", "lo", "hi")
+      .write.format("graftserver").options(oc)
+      .option("id_column", "k").mode("append").save()
+    val ee = spark.read.format("graftserver")
+      .options(od + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, bkt LONG, v LONG").load()
+    val dd = spark.read.format("graftserver")
+      .options(oc + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, bkt LONG, lo LONG, hi LONG").load()
+    val q = ee.join(dd, ee("bkt") === dd("bkt") &&
+        ee("v") >= dd("lo") && ee("v") < dd("hi"))
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedJoin: INNER") && plan.contains(">= lo") &&
+      !plan.contains("Join "), plan)
+    // e1 in [0,10); e2 in [20,30); e3 null v and e4 out-of-bracket drop;
+    // the null-lo dim matches nothing
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 11L)))
+    // LEFT OUTER: null v and unmatched rows null-extend, never match
+    val lo = ee.join(dd, ee("bkt") === dd("bkt") &&
+        ee("v") >= dd("lo") && ee("v") < dd("hi"), "left_outer")
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"))
+    assert(lo.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq ==
+      Seq((1L, 10L), (2L, 11L), (3L, -1L), (4L, -1L)))
+  }
 }
