@@ -24,19 +24,38 @@ object Tables {
 
   /** Scheme prefix routing a table load through the live-server DSv2
     * transport instead of parquet: `graftserver:<server_dir>` resolves
-    * table `name` to namespace `db.<name>` on that server. Every catalog
-    * operator takes its data dir as an opaque string, so ANY query runs
-    * unchanged against a live collection this way (`ServerParitySpec`
-    * pins value parity for a sample) — the reference's "same job over
-    * mongod instead of BSON dumps" story, one prefix away.
+    * table `name` to namespace `db.<name>` on that (sandbox file-backed)
+    * server, and `graftserver:mongodb://host:27017` (r17) binds the
+    * REAL driver (`MongoDriverFactory`) with namespace
+    * `graft_verify.<name>` — the one-command live-gate replay's
+    * full-catalog arm (tools/live_replay.sh seeds the tables there
+    * first). Every catalog operator takes its data dir as an opaque
+    * string, so ANY query runs unchanged against a live collection this
+    * way (`ServerParitySpec` pins value parity for a sample) — the
+    * reference's "same job over mongod instead of BSON dumps" story,
+    * one prefix away.
     */
   val ServerScheme = "graftserver:"
 
+  /** The database the live replay seeds/reads (`graftserver:mongodb://…`
+    * routing); drop it after a replay run. */
+  val LiveVerifyDb = "graft_verify"
+
+  private def isLiveUri(target: String): Boolean =
+    target.startsWith("mongodb://") || target.startsWith("mongodb+srv://")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (dir.startsWith(ServerScheme)) {
-      spark.read.format("graftserver")
-        .option("server_dir", dir.stripPrefix(ServerScheme))
-        .option("ns", s"db.$name").load()
+      val target = dir.stripPrefix(ServerScheme)
+      if (isLiveUri(target))
+        spark.read.format("graftserver")
+          .option("client_factory", classOf[graft.server.MongoDriverFactory].getName)
+          .option("uri", target)
+          .option("ns", s"$LiveVerifyDb.$name").load()
+      else
+        spark.read.format("graftserver")
+          .option("server_dir", target)
+          .option("ns", s"db.$name").load()
     } else {
       val path = s"$dir/$name.parquet"
       val schema = schemaCache.computeIfAbsent(path,

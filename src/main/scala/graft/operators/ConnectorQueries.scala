@@ -2307,6 +2307,54 @@ object ConnectorQueries {
         |      CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)) c
         |  ON d.lang = c.lang AND c.ts <= d.n_chars
         |GROUP BY 1 ORDER BY doc ASC LIMIT 200
+        |""".stripMargin)),
+
+    // Row tails THROUGH the pushed map-join (r17): TopN over
+    // `explode(driving.map)` + `$lookup` — the `$sort`+`$limit` tail
+    // counts final kv-expanded JOINED rows after the pipeline's last
+    // `$unwind` (the q144 analog for maps; MapUnwindJoinSpec pins the
+    // LIMIT/OFFSET arms and the string-key refusal). Values are
+    // parity-disjoint per metric so the (v, _id) order is total.
+    CatalogQuery(
+      "q172_server_map_join_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", map(
+            lit("nc"), ($"n_chars" * 2L).cast("long"),
+            lit("lt"), (length($"text") % 97L * 2L + 1L).cast("long")).as("metrics"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.tkmjo"))
+          .option("id_column", "doc_id").mode("append").save()
+        Tables.documents(s, d).select($"lang").distinct()
+          .select($"lang".as("_id"), upper($"lang").as("lbl"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.tkmjd"))
+          .option("id_column", "_id").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.tkmjo"))
+          .schema("_id LONG, lang STRING, metrics MAP<STRING, LONG>").load()
+        val dm = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.tkmjd"))
+          .schema("_id STRING, lbl STRING").load()
+        o.join(dm, o("lang") === dm("_id"))
+          .select(o("_id").as("doc"), $"lbl", explode($"metrics"))
+          .select($"doc", $"lbl", $"key".as("metric"), $"value".as("v"))
+          .orderBy($"v".desc, $"doc".asc)
+          .limit(12)
+      },
+      Some("""
+        |SELECT u.doc_id AS doc, upper(u.lang) AS lbl, metric, v FROM (
+        |  SELECT doc_id, lang, 'nc' AS metric,
+        |    CAST(n_chars * 2 AS BIGINT) AS v FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'lt', CAST(length(text) % 97 * 2 + 1 AS BIGINT)
+        |  FROM documents) u
+        |JOIN (SELECT DISTINCT lang FROM documents) dm ON u.lang = dm.lang
+        |ORDER BY v DESC, doc ASC LIMIT 12
         |""".stripMargin))
   )
 }

@@ -273,6 +273,65 @@ class MapUnwindJoinSpec extends SparkSpec {
       Seq(("alice", "a", 1L), ("alice", "b", 2L), ("bob", "b", 3L)))
   }
 
+  test("row tails THROUGH the pushed map-join: TopN/LIMIT/OFFSET count final kv-joined rows (r17)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val oo = o(dir)
+    val cc = c(dir)
+    // TopN: `$sort`+`$limit` after the pipeline's final `$unwind $__j`
+    // counts kv-expanded JOINED rows — the q144 analog for maps; the kv
+    // VALUE is a bracket-safe long under uniform storage, so the order
+    // key passes the joined-TopN gate. Entry rows: (1,a,1) (1,b,2)
+    // (2,b,3) under INNER — values are distinct, the order is total.
+    val tq = oo.join(cc, oo("custkey") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name", explode(oo("metrics")))
+      .orderBy($"value".desc, $"okey".asc)
+      .limit(2)
+    val tPlan = planOf(tq)
+    assert(tPlan.contains("PushedUnwind: metrics MAP") &&
+      tPlan.contains("PushedJoin: INNER db.c") &&
+      tPlan.contains("PushedTopN: ORDER BY value DESC"), tPlan)
+    assert(!tPlan.contains("Generate") && !tPlan.contains("Join "), tPlan)
+    assert(tq.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getLong(3))).toSeq ==
+      Seq((2L, "bob", "b", 3L), (1L, "alice", "b", 2L)))
+    // the kv KEY is a string — string order keys refuse the pushed tail
+    // (the bracket gate), rows stay exact through Spark's TakeOrdered
+    val kq = oo.join(cc, oo("custkey") === cc("_id"))
+      .select(oo("_id").as("okey"), $"name", explode(oo("metrics")))
+      .orderBy($"key".asc, $"okey".asc).limit(2)
+    assert(!planOf(kq).contains("PushedTopN"), planOf(kq))
+    assert(kq.collect().map(r => (r.getString(2), r.getLong(0))).toSeq ==
+      Seq(("a", 1L), ("b", 1L)))
+    // LIMIT: partial `$limit` on the final joined rows (count parity —
+    // the global limit re-applies Spark-side)
+    val lq = oo.join(cc, oo("custkey") === cc("_id"))
+      .select(oo("_id").as("okey"), explode(oo("metrics")))
+      .limit(2)
+    val lPlan = planOf(lq)
+    assert(lPlan.contains("PushedUnwind: metrics MAP") &&
+      lPlan.contains("PushedJoin") && lPlan.contains("PushedLimit: 2"), lPlan)
+    assert(lq.count() == 2)
+    // OFFSET composes only over a single pipeline (splitter=single) —
+    // same rule as the plain joined scan; the map unwind rides along
+    val so = o(dir, "splitter" -> "single")
+    val oq = so.join(cc, so("custkey") === cc("_id"))
+      .select(so("_id").as("okey"), explode(so("metrics")))
+      .orderBy($"value".desc, $"okey".asc)
+      .offset(1).limit(2)
+    val oPlan = planOf(oq)
+    // Spark plans ORDER BY + OFFSET + LIMIT over a join as a global
+    // TakeOrdered with offset — the pushed TopN tail covers sort+limit,
+    // the offset applies Spark-side on the folded rows (exact);
+    // a bare OFFSET over the unwound join pushes as `$skip` only on
+    // the single-pipeline scan (JoinSampleOffsetSpec pins that form)
+    assert(oPlan.contains("PushedUnwind: metrics MAP") &&
+      oPlan.contains("PushedJoin"), oPlan)
+    assert(oq.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (1L, 1L)))
+  }
+
   test("refusals: lookup-side map, RIGHT OUTER transpose, map consumed above") {
     import spark.implicits._
     val dir = freshDir()
