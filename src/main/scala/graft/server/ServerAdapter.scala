@@ -264,11 +264,35 @@ object LookupJoin {
   /** `left OP right` in BSON total order — the `$expr` comparison the
     * wire pipeline runs, shared by the fake transport so the two agree;
     * null/missing operands never match (callers also pre-filter them,
-    * mirroring Spark's null comparison semantics). */
+    * mirroring Spark's null comparison semantics).
+    *
+    * NaN (DoubleType, the min/max/TopN caveat's range-join arm): a real
+    * server's total order places NaN BELOW all numbers where Spark
+    * orders NaN ABOVE every double — this comparison follows the
+    * SERVER's rule (so the sandbox double and the live transport agree
+    * with each other), which means a pushed range join treats a
+    * foreign NaN operand as smaller-than-everything where the unpushed
+    * Spark join would treat it as larger. Engine writers emit no NaN;
+    * foreign NaN-bearing doubles need a pushed NaN-excluding filter or
+    * join pushdown off — the same stance as the pushed MIN/MAX.
+    */
   def rangeMatches(op: String, left: Option[BsonValue],
       right: Option[BsonValue]): Boolean = (left, right) match {
     case (Some(l), Some(r)) if l != BNull && r != BNull =>
-      val c = BsonOrdering.compare(l, r)
+      def nan(v: BsonValue): Boolean = v match {
+        case BDouble(x) => x.isNaN
+        case _ => false
+      }
+      def numericBracket(v: BsonValue): Boolean = v match {
+        case _: BInt32 | _: BInt64 | _: BDouble => true
+        case _ => false
+      }
+      val c =
+        if (nan(l) && nan(r)) 0
+        else if (nan(l) && numericBracket(r)) -1 // NaN below all numbers
+        else if (nan(r) && numericBracket(l)) 1
+        else BsonOrdering.compare(l, r) // cross-bracket: bracket order
+
       op match {
         case "<" => c < 0
         case "<=" => c <= 0

@@ -232,6 +232,44 @@ class RangeJoinPushdownSpec extends SparkSpec {
     assert(sortedRows(ar) == sortedRows(arExp))
   }
 
+  test("NaN range operands follow the SERVER's below-all-numbers rule (documented caveat)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // doubles: e1 real in-bracket, e2 NaN. A real server's total order
+    // places NaN BELOW all numbers (the pushed-MIN/MAX caveat's
+    // range-join arm) — so NaN >= lo is FALSE and NaN < hi is TRUE,
+    // where Spark's own join (NaN above every double) would say the
+    // opposite; the fake mirrors the SERVER (LookupJoin.rangeMatches),
+    // keeping the sandbox faithful to the live transport. Engine
+    // writers emit no NaN; foreign NaN-bearing doubles need a pushed
+    // NaN-excluding filter or join pushdown off.
+    Seq((1L, 0L, 5.0), (2L, 0L, Double.NaN)).toDF("_id", "bkt", "v")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ne"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((10L, 0L, 0.0, 10.0)).toDF("_id", "bkt", "lo", "hi")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nd"))
+      .option("id_column", "_id").mode("append").save()
+    val ee = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.ne",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, bkt LONG, v DOUBLE").load()
+    val dd = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.nd",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, bkt LONG, lo DOUBLE, hi DOUBLE").load()
+    val geq = ee.join(dd, ee("bkt") === dd("bkt") && ee("v") >= dd("lo"))
+      .select(ee("_id").as("ekey"))
+    assert(planOf(geq).contains("PushedJoin"), planOf(geq))
+    assert(geq.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L),
+      "NaN >= lo must be FALSE under the server's NaN-low order")
+    val lt = ee.join(dd, ee("bkt") === dd("bkt") && ee("v") < dd("hi"))
+      .select(ee("_id").as("ekey"))
+    assert(lt.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "NaN < hi must be TRUE under the server's NaN-low order")
+  }
+
   test("a chained stage with a range refuses; the base range join stays pushed") {
     import spark.implicits._
     val dir = freshDir()
