@@ -449,6 +449,28 @@ object DiagChain {
     val rjSkwT = time("range-join SKEWED")(rangeJoinQuery("db.rjskew"))
     println(f"[diagchain] range-join skew/uniform ratio = ${rjSkwT / rjUniT}%.2f")
 
+    // ---- r17 arm: COMPUTED bin keys — groupBy(pmod(col, n)) as ONE
+    // $match+$set+$group pipeline (q173 shape) vs the Spark aggregate
+    // over shipped rows; the derived-bin JOIN rides the same absorb. ----
+    def computedGroupQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.rjord", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, bkt LONG, v LONG").load()
+      o.withColumn("vb", pmod($"v", lit(97L)))
+        .groupBy($"vb").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    }
+    spark.conf.set(graft.plans.ComputedKeyRelocate.ConfKey, "true")
+    val planCk = computedGroupQuery().queryExecution.executedPlan.toString
+    require(planCk.contains("PushedComputed") &&
+      planCk.contains("PushedGroupedAggregate"),
+      s"computed-bin group did not push:\n$planCk")
+    val pushedCk = time("computed-group PUSHED")(computedGroupQuery())
+    spark.conf.set(graft.plans.ComputedKeyRelocate.ConfKey, "false")
+    val unpushedCk = time("computed-group UNPUSHED")(computedGroupQuery())
+    spark.conf.set(graft.plans.ComputedKeyRelocate.ConfKey, "true")
+    println(f"[diagchain] computed-group ratio unpushed/pushed = ${unpushedCk / pushedCk}%.2f")
+
     // ---- r16 arm: the UNGROUPED, UNFILTERED explode-over-join — the
     // one shape where nothing bounds the element rows server-side, so
     // the pushed pipeline ships parent/right columns once per ELEMENT.

@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as a column_mapping-derived flat column, keeping the join inputs
     // attribute-only (pushable)
     ext.injectOptimizerRule(_ => graft.plans.NestedExtractRelocate)
+    // pmod / % bin expressions over a graftserver column absorb into the
+    // relation as a derived `$set` column (computed_columns), so
+    // derived-bin group keys fold server-side and derived-bin join keys
+    // keep the pushed $lookup (r17)
+    ext.injectOptimizerRule(_ => graft.plans.ComputedKeyRelocate)
     // explode(arrayCol) directly over a graftserver scan becomes the
     // scan's $unwind directive (parent docs cross the wire once; the
     // grouped-aggregate composition runs $match+$unwind+$group as one

@@ -2355,6 +2355,53 @@ object ConnectorQueries {
         |  FROM documents) u
         |JOIN (SELECT DISTINCT lang FROM documents) dm ON u.lang = dm.lang
         |ORDER BY v DESC, doc ASC LIMIT 12
+        |""".stripMargin)),
+
+    // Derived (computed) bin keys (r17): `pmod(col, n)` absorbs into the
+    // relation as a `$set` column (ComputedKeyRelocate), so the derived
+    // bin GROUPs fold server-side AND the derived-bin JOIN keeps the
+    // pushed `$lookup` — the q63/q38 bin discipline over served
+    // collections without materializing the bin. One
+    // `$match`+`$set`+`$lookup`+`$group` pipeline per split
+    // (ComputedKeySpec pins plan shapes and the refusal matrix).
+    CatalogQuery(
+      "q173_server_computed_bin_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars",
+            (length($"text") % 31L).cast("long").as("lt"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.cbdocs"))
+          .option("id_column", "doc_id").mode("append").save()
+        s.range(0, 7).select($"id".as("_id"),
+            concat(lit("bin"), $"id").as("lbl"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.cbdim"))
+          .option("id_column", "_id").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.cbdocs"))
+          .schema("_id LONG, n_chars LONG, lt LONG").load()
+        val dm = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.cbdim"))
+          .schema("_id LONG, lbl STRING").load()
+        o.withColumn("bkt", pmod($"n_chars", lit(7L)))
+          .join(dm, $"bkt" === dm("_id"))
+          .groupBy($"lbl")
+          .agg(count(lit(1)).as("n"), sum($"lt").as("total"))
+          .orderBy($"lbl".asc_nulls_first)
+      },
+      Some("""
+        |-- NULL n_chars: a null bin joins nothing under INNER (Spark's
+        |-- null equi-key), so the reconstruction must drop those rows —
+        |-- DuckDB's concat would otherwise fold NULL into a 'bin' group
+        |SELECT concat('bin', CAST(n_chars % 7 AS BIGINT)) AS lbl,
+        |  count(*) AS n, CAST(sum(length(text) % 31) AS BIGINT) AS total
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY 1 ORDER BY lbl ASC NULLS FIRST
         |""".stripMargin))
   )
 }

@@ -317,6 +317,11 @@ object UnwindRelocate extends Rule[LogicalPlan] {
     val isFile = rel.table.isInstanceOf[graft.source.GraftTable]
     if (!isServer && !isFile) return None
     if (rel.options.containsKey("unwind_path")) return None
+    // COMPUTED columns (r17) and unwinds never combine: the unwound
+    // readers/pipelines have no injection seam for derived fields —
+    // the Generate stays in Spark (retainJoinPush may still keep a
+    // join below it pushed)
+    if (rel.options.containsKey(graft.query.ComputedCol.OptionKey)) return None
 
     // inline project aliases so the exploded expression and the filter
     // speak in relation columns

@@ -1,0 +1,135 @@
+package graft.query
+
+import graft.bson._
+
+import scala.collection.immutable.ListMap
+
+/** A DERIVED integer column absorbed into a graftserver relation
+  * (r17, `graft.plans.ComputedKeyRelocate`): `out = fn(field, n)` where
+  * `fn` is one of the INT-EXACT bin functions —
+  *
+  *  - `pmod`: Spark's `pmod(col, n)` = `((col % n) + n) % n` (always
+  *    non-negative for n > 0);
+  *  - `mod`: Spark's `col % n` (sign follows the dividend — Java, Spark,
+  *    and mongo `$mod` all agree).
+  *
+  * Both are exact over int32/int64 for every input (no overflow for
+  * 0 < n: |col % n| + n < 2·n ≪ 2^63), which is why the surface stops
+  * here: a `floor(col / n)` bin routes through `$divide`, whose DOUBLE
+  * arithmetic silently diverges from Spark's exact integer division
+  * beyond 2^53 — refused rather than caveated.
+  *
+  * The value materializes as a document field named `out` —
+  *
+  *  - `$set` stage first in every server pipeline that consumes it
+  *    (grouped aggregates, `$lookup` join legs), so group keys, join
+  *    keys, `$expr` ranges, and joined sort tails address it like any
+  *    stored field;
+  *  - injected by the READERS on plain cursor reads (both transports —
+  *    the wire never ships it, the arithmetic is one op per row at
+  *    decode);
+  *  - evaluated by the fake transport before its pipeline equivalents,
+  *    mirroring the `$set` position.
+  *
+  * Null/missing input → null output (mongo's arithmetic-operator rule,
+  * pinned by the live gate); non-numeric STORED values throw — the
+  * fail-loud mixed-storage stance (a server's `$mod` on a string errors
+  * the same way), which the `assume_uniform_storage` capture gate makes
+  * unreachable for engine-written data. A stored DOUBLE computes mongo's
+  * double `$mod` (value parity with a live server; the decode layer
+  * then applies its standard read semantics for the declared type).
+  */
+final case class ComputedCol(out: String, fn: String, field: String, n: Long) {
+  require(ComputedCol.Fns.contains(fn), s"unknown computed fn $fn")
+  require(n > 0, s"computed $fn divisor must be positive, got $n")
+
+  /** The computed value for one document — None = null (null/missing
+    * input). Mirrors the `$set` rendering exactly. */
+  def eval(d: BDoc): Option[BsonValue] = d.getPath(field) match {
+    case None | Some(BNull) => None
+    case Some(BInt32(x)) => Some(BInt32(apply(x.toLong).toInt))
+    case Some(BInt64(x)) => Some(BInt64(apply(x)))
+    case Some(BDouble(x)) =>
+      // mongo $mod on doubles: double remainder (sign follows dividend)
+      val m = x % n
+      Some(BDouble(if (fn == "pmod") ((m + n) % n) else m))
+    case Some(other) => throw new IllegalArgumentException(
+      s"computed $fn($field, $n): non-numeric stored value $other " +
+        "(a live server's $mod errors identically)")
+  }
+
+  private def apply(a: Long): Long = fn match {
+    case "pmod" => ((a % n) + n) % n
+    case "mod" => a % n
+  }
+
+  /** The document with the computed field set (null for null/missing
+    * input — the `$set`-with-null shape a live server produces). */
+  def inject(d: BDoc): BDoc =
+    Updates.setField(d, out, eval(d).getOrElse(BNull))
+
+  /** The aggregation expression of the `$set` stage entry. */
+  def setExpr: BsonValue = {
+    def mod(e: BsonValue): BsonValue =
+      BDoc("$mod" -> BArray(Vector(e, BInt64(n))))
+    val base = mod(BString("$" + field))
+    fn match {
+      case "mod" => base
+      case "pmod" =>
+        mod(BDoc("$add" -> BArray(Vector(base, BInt64(n)))))
+    }
+  }
+}
+
+object ComputedCol {
+  val Fns: Set[String] = Set("pmod", "mod")
+
+  /** The relation option carrying the computed columns, JSON:
+    * `[{"out": "bkt", "fn": "pmod", "field": "ts", "n": 600}, ...]`. */
+  val OptionKey = "computed_columns"
+
+  def parse(json: String): Seq[ComputedCol] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json).asInstanceOf[JArray].arr.map {
+      case o: JObject =>
+        val m = o.obj.toMap
+        def str(k: String): String = m(k) match {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(
+            s"computed_columns $k must be a string, got $other")
+        }
+        val n = m("n") match {
+          case JInt(x) => x.toLong
+          case JLong(x) => x
+          case other => throw new IllegalArgumentException(
+            s"computed_columns n must be an integer, got $other")
+        }
+        ComputedCol(str("out"), str("fn"), str("field"), n)
+      case other => throw new IllegalArgumentException(
+        s"computed_columns entry must be an object, got $other")
+    }
+  }
+
+  def render(cols: Seq[ComputedCol]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(cols.map(c =>
+      ("out" -> c.out) ~ ("fn" -> c.fn) ~ ("field" -> c.field) ~ ("n" -> c.n))))
+  }
+
+  /** Parse a relation options map (empty when the option is absent). */
+  def fromOptions(opts: Map[String, String]): Seq[ComputedCol] =
+    opts.get(OptionKey).map(parse).getOrElse(Nil)
+
+  /** The `$set` stage materializing every computed column, or None. */
+  def setStage(cols: Seq[ComputedCol]): Option[BDoc] =
+    if (cols.isEmpty) None
+    else Some(BDoc("$set" -> BDoc(ListMap(
+      cols.map(c => c.out -> c.setExpr): _*))))
+
+  /** Inject every computed field into a document (fake transport /
+    * reader seam — the client-side mirror of [[setStage]]). */
+  def injectAll(cols: Seq[ComputedCol], d: BDoc): BDoc =
+    cols.foldLeft(d)((acc, c) => c.inject(acc))
+}

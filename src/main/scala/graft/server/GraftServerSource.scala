@@ -269,6 +269,19 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
   /** POST-unwind query (accepted element-column filters). */
   private var unwindPost: BQuery = BQuery.True
 
+  /** DERIVED columns (r17, `computed_columns` — absorbed by
+    * ComputedKeyRelocate): materialized by a `$set` in pipeline-rendered
+    * paths (grouped aggregates, join legs) and injected by the readers
+    * on plain cursor reads. Pushdowns that would address the synthetic
+    * field in FIND-land (no `$set` exists there) refuse: filters on a
+    * computed column stay residual (Spark re-checks over the injected
+    * value — exact), plain-scan TopN / MIN-MAX probes / sample keys /
+    * split keys refuse outright.
+    */
+  private[server] val computedCols: Seq[graft.query.ComputedCol] =
+    graft.query.ComputedCol.fromOptions(options)
+  private val computedOuts: Set[String] = computedCols.map(_.out).toSet
+
   private var required: StructType = tableSchema
   private var pushedQuery: BQuery = BQuery.True
   private var pushed: Array[Filter] = Array.empty
@@ -303,6 +316,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val keyCol = options.get("sample_key")
       .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => graft.source.SamplePush.KeyTypes.contains(r.dataType))
+      // a COMPUTED sample key refuses (r17): a derived bin is a poor
+      // sampling key by construction (it collides all rows of a bin),
+      // and the hidden-carry machinery would need the $set on every
+      // path — refuse loudly rather than sample a missing field
+      .filterNot(r => computedOuts.contains(r.docPath.split('.').head))
     val keyOk = keyCol.exists(k => graft.source.SamplePush
       .keyAllowedUnderUnwind(k.docPath, unwind.map(_.path)))
     val eligible = !withReplacement && keyOk &&
@@ -357,7 +375,30 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
           .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
       case _ => false
     }
-    val (arrayNullFilters, rest2) = rest.partition(arrayNullTest)
+    val (arrayNullFilters, rest0) = rest.partition(arrayNullTest)
+    // COMPUTED columns (r17): find-land has no `$set`, so a pushed
+    // filter on a derived field would match nothing on the wire.
+    // EXCEPTION — null tests: `mod`/`pmod` are null exactly when their
+    // INPUT is null/missing (never otherwise; a non-numeric storage
+    // fails loud on both sides), so IsNull/IsNotNull on a computed
+    // column rewrite EXACTLY to the same test on its SOURCE field and
+    // push (Spark's join-key isnotnull inference lands here — without
+    // the rewrite one inferred conjunct would block every derived-key
+    // join push). Everything else stays residual; Spark re-checks over
+    // the reader-injected value (exact).
+    val rest1 = rest0.map {
+      case org.apache.spark.sql.sources.IsNotNull(a)
+          if computedOuts.contains(a) =>
+        org.apache.spark.sql.sources.IsNotNull(
+          computedCols.find(_.out == a).get.field)
+      case org.apache.spark.sql.sources.IsNull(a)
+          if computedOuts.contains(a) =>
+        org.apache.spark.sql.sources.IsNull(
+          computedCols.find(_.out == a).get.field)
+      case other => other
+    }
+    val (computedFilters, rest2) = rest1.partition(
+      _.references.exists(r => computedOuts.contains(r.split('.').head)))
     val (elementFilters, docFilters) = rest2.partition(f =>
       f.references.exists(r => graft.plans.UnwindRelocate.elementScoped(
         r, unwindElement, options.get("unwind_pos"),
@@ -381,7 +422,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         BQuery.uniformReadBracket(query)
       else query
     pushed = accepted ++ postAccepted
-    residuals = residual ++ postResidual ++ metaFilters ++ arrayNullFilters
+    residuals = residual ++ postResidual ++ metaFilters ++
+      arrayNullFilters ++ computedFilters
     residuals
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -492,7 +534,11 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         val nullsOk =
           if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
           else o.nullOrdering == NullOrdering.NULLS_FIRST
-        if (typeOk && nullsOk) Some((r.docPath, desc)) else None
+        // a COMPUTED order key has no stored field a cursor sort could
+        // walk (find-land has no $set) — refuse; the joined arm's
+        // pipeline $sort runs after the $set and accepts them
+        val storedOk = !computedOuts.contains(r.docPath.split('.').head)
+        if (typeOk && nullsOk && storedOk) Some((r.docPath, desc)) else None
       }
     }
     if (spec.contains(None)) false
@@ -599,6 +645,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         Option[(String, org.apache.spark.sql.types.DataType)] =
       FieldResolve.resolve(tableSchema, e, mapping)
         .filter(r => GraftServerScanBuilder.aggValueSafe(r.dataType, options))
+        // a COMPUTED column has no stored field the sorted limit-1
+        // probe could walk (r17) — the grouped pipeline path (with its
+        // $set) handles aggregates over derived fields instead
+        .filterNot(r => computedOuts.contains(r.docPath.split('.').head))
         .map(r => (r.docPath, r.dataType))
     val items = aggregation.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(AggPush.RowCount)
@@ -1010,7 +1060,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
                 lpFull, keys.map(_.swap), leftOuter = true, output,
                 unwind = o.unwind, unwindPost = o.unwindPost,
                 ranges = rngRefs.map { case (l, op, r) =>
-                  LookupJoin.RangeKey(r.name, flipOp(op), l.name) }))
+                  LookupJoin.RangeKey(r.name, flipOp(op), l.name) },
+                leftComputed = o.computedCols, rightComputed = computedCols))
               joinDriving = Some((o.joinOptions,
                 BQuery.and(
                   BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
@@ -1024,7 +1075,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
                 rpFull, keys, leftOuter, output,
                 unwind = unwind, unwindPost = unwindPost,
                 ranges = rngRefs.map { case (l, op, r) =>
-                  LookupJoin.RangeKey(l.name, op, r.name) }))
+                  LookupJoin.RangeKey(l.name, op, r.name) },
+                leftComputed = computedCols, rightComputed = o.computedCols))
             }
             joinedColOpts = lp.map(p => p._2 -> options).toMap ++
               rp.map(p => p._2 -> o.joinOptions).toMap
@@ -1055,8 +1107,10 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val leftOuter = joinType == V2JoinType.LEFT_OUTER_JOIN
     if (joinType != V2JoinType.INNER_JOIN && !leftOuter) return false
     // a chain stage's other side is always the LOOKUP leg — its unwind
-    // never composes (element rows are not parent-atomic there)
-    if (o.unwind.isDefined) return false
+    // never composes (element rows are not parent-atomic there), and a
+    // chained COMPUTED side refuses too (r17: the chain renderer has no
+    // $set slot; the base pipeline keeps its own computed columns)
+    if (o.unwind.isDefined || o.computedCols.nonEmpty) return false
     val joinedOut: Map[String, org.apache.spark.sql.types.DataType] = j.output.toMap
     // (previous OUTPUT name, new alias, type) over the joined output
     val lpO: Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
@@ -1279,7 +1333,13 @@ final case class ServerJoin(
       * interval / as-of shape. Gated on `assume_uniform_storage` and
       * orderable types on BOTH sides (rangeKeySafe); base join only
       * (chained stages refuse ranges). */
-    ranges: Seq[LookupJoin.RangeKey] = Nil) {
+    ranges: Seq[LookupJoin.RangeKey] = Nil,
+    /** DERIVED columns of each side (r17, `computed_columns` —
+      * [[graft.query.ComputedCol]]): `$set`-materialized in the
+      * pipeline so derived bin keys join without Spark ever computing
+      * them. Base join only (chained stages refuse computed sides). */
+    leftComputed: Seq[graft.query.ComputedCol] = Nil,
+    rightComputed: Seq[graft.query.ComputedCol] = Nil) {
   def schema: StructType = StructType(
     output.map { case (o, t) => org.apache.spark.sql.types.StructField(o, t) })
   /** right OUTPUT name -> right doc field (nested outputs resolve by
@@ -1325,6 +1385,12 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
 
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$leftQuery" +
+      locally {
+        val cc = join.leftComputed ++ join.rightComputed
+        if (cc.isEmpty) ""
+        else s" PushedComputed: [${cc.map(c =>
+          s"${c.out} = ${c.fn}(${c.field}, ${c.n})").mkString(", ")}]"
+      } +
       join.unwind.map(u => s" PushedUnwind: ${u.path}" +
         (if (u.mapKv) " MAP" else "") +
         (if (u.preserveNullAndEmpty) " OUTER" else "") +
@@ -1363,7 +1429,9 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
     val ns = GraftServerSource.ns(options)
     val key = options.getOrElse("key", "_id")
     val uniform = options.get("assume_uniform_storage").exists(_.toBoolean)
-    if (!uniform || options.get("splitter").contains("single"))
+    if (!uniform || options.get("splitter").contains("single") ||
+        // a COMPUTED split key has no stored field to probe (r17)
+        join.leftComputed.exists(_.out == key))
       return Array(GraftServerPartition(ns,
         BQuery.KeyRange(key, None, None), Seq.empty))
     GraftServerSource.withClient(options) { (client, _) =>
@@ -1432,22 +1500,30 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
   // range LEFT operands prune like key operands under INNER (a null
   // operand never range-matches — Spark's null comparison); under LEFT
   // OUTER they must SURVIVE to null-extend, and the pipeline's per-var
-  // `$gt: [$$rK, null]` guard keeps them from cross-bracket matching
+  // `$gt: [$$rK, null]` guard keeps them from cross-bracket matching.
+  // COMPUTED left fields (r17) are skipped: the pre-$match runs BEFORE
+  // the $set, so a non-null prune there would match nothing — a null
+  // computed key still never joins (the $expr $eq against a non-null-
+  // pruned right side is false; ranges carry their own null guard)
   private def leftOperandOuts: Seq[String] =
     join.keys.map(_._1) ++ join.ranges.map(_.leftOut)
+  private def computedLeftField(f: String): Boolean =
+    join.leftComputed.exists(_.out == f)
   private val leftFull: BQuery = {
     val base = BQuery.and(p.range, leftQuery)
     if (join.leftOuter) base
     else leftOperandOuts.foldLeft(base) { case (acc, lo) =>
       val f = join.leftField(lo)
-      if (elementScopedField(f)) acc else BQuery.and(acc, nonNull(f))
+      if (elementScopedField(f) || computedLeftField(f)) acc
+      else BQuery.and(acc, nonNull(f))
     }
   }
   private val postFull: BQuery =
     if (join.leftOuter) join.unwindPost
     else leftOperandOuts.foldLeft(join.unwindPost) { case (acc, lo) =>
       val f = join.leftField(lo)
-      if (elementScopedField(f)) BQuery.and(acc, nonNull(f)) else acc
+      if (computedLeftField(f)) acc
+      else if (elementScopedField(f)) BQuery.and(acc, nonNull(f)) else acc
     }
 
   /** Each CHAIN stage's lookup side also filters null/missing keys —
@@ -1491,7 +1567,9 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
       skip = joinOffset,
       unwind = join.unwind,
       unwindPost = postFull,
-      ranges = join.ranges))
+      ranges = join.ranges,
+      leftComputed = join.leftComputed,
+      rightComputed = join.rightComputed))
     val raw = if (posOutName.isEmpty) raw0 else raw0.map(narrowPosOut)
     // carried TABLESAMPLE windows, re-keyed to joined OUTPUT names by
     // the builder: keyed sampling commutes with the $lookup, so keeping
@@ -1776,6 +1854,12 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
   override def toBatch: Batch = this
   override def description(): String =
     s"graftserver ns=${options.getOrElse("ns", "?")} query=$query" +
+      locally {
+        val cc = graft.query.ComputedCol.fromOptions(options)
+        if (cc.isEmpty) ""
+        else s" PushedComputed: [${cc.map(c =>
+          s"${c.out} = ${c.fn}(${c.field}, ${c.n})").mkString(", ")}]"
+      } +
       pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +
       sample.map(sp => s" PushedSample: $sp").getOrElse("") +
@@ -1799,6 +1883,13 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val key = options.getOrElse("key", "_id")
+    // a COMPUTED split key has no stored field the planners could probe
+    // (r17) — a key-range $match on it would silently match nothing;
+    // plan ONE full-range cursor per namespace instead
+    if (graft.query.ComputedCol.fromOptions(options).exists(_.out == key))
+      return GraftServerSource.nsList(options).map(ns =>
+        GraftServerPartition(ns, BQuery.KeyRange(key, None, None),
+          Seq.empty): InputPartition).toArray
     if (pushedAgg.isDefined)
       // one partition: bounded probes — no splits, no row-wise scans
       return Array(GraftServerPartition(
@@ -1900,7 +1991,8 @@ final class ServerGroupedAggReader(options: Map[String, String],
     val base: Iterator[InternalRow] =
       client.groupAggregate(ns, query,
           grouped.groupCols.map(_._1), grouped.items.map(_._1), unwind,
-          unwindPost)
+          unwindPost,
+          computed = graft.query.ComputedCol.fromOptions(options))
         .map(d => RowCodec.toRow(GraftServerSource.narrowPos(d), grouped.schema))
     if (grouped.groupCols.nonEmpty || base.hasNext) base
     else {
@@ -2071,6 +2163,14 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
     options.get("column_mapping").map(graft.source.ColumnMapping.parse)
       .getOrElse(Map.empty)
 
+  // DERIVED columns (r17): injected into each fetched document before
+  // decode — the client-side mirror of the pipeline `$set`; only the
+  // columns this scan's schema still carries (pruned ones skip the
+  // arithmetic). Never combined with an unwind (the capture rule
+  // refuses unwound relations; UnwindRelocate refuses computed ones).
+  private val computedCols: Seq[graft.query.ComputedCol] =
+    graft.query.ComputedCol.fromOptions(options)
+      .filter(c => decodeSchema.fieldNames.contains(c.out))
 
   private val client = GraftServerSource.factory(options).create(options)
   private val rawCursor: Iterator[BDoc] = if (pipelineMode)
@@ -2104,7 +2204,12 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         // excluded, then ancestor-overlaps pruned: a live server rejects
         // prefix-overlapping inclusion projections ("Path collision")
         projection = Some(GraftServerSource.pruneProjection(
-          (parentSchema.fieldNames.map(n => mapping.getOrElse(n, n)).toSeq ++
+          // a COMPUTED column's value is reader-injected; the cursor
+          // fetches its SOURCE field instead of the synthetic name
+          (parentSchema.fieldNames.toSeq
+            .filterNot(n => computedCols.exists(_.out == n))
+            .map(n => mapping.getOrElse(n, n)) ++
+          computedCols.map(_.field) ++
           unwind.map(_.path) ++
           BQuery.fieldPaths(unwindPost).toSeq.sorted.filterNot(fp =>
             unwind.exists(u => fp == u.path || fp.startsWith(u.path + ".") ||
@@ -2129,9 +2234,13 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         thenBy = topN.map(_._1.tail).getOrElse(Nil)))
 
   // deterministic sample window, applied client-side over the cursor's
-  // documents (MQL cannot express the md5 predicate)
-  private val cursor: Iterator[BDoc] =
-    sample.map(sp => rawCursor.filter(sp.keep)).getOrElse(rawCursor)
+  // documents (MQL cannot express the md5 predicate); computed fields
+  // inject after it (sample keys are never computed — the push refuses)
+  private val cursor: Iterator[BDoc] = {
+    val sampled = sample.map(sp => rawCursor.filter(sp.keep)).getOrElse(rawCursor)
+    if (computedCols.isEmpty) sampled
+    else sampled.map(d => graft.query.ComputedCol.injectAll(computedCols, d))
+  }
 
   /** Post-unwind row stream: parent slots decode ONCE, the element slot
     * is re-bound per element; element decode honors the array's element

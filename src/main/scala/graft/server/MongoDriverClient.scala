@@ -202,7 +202,8 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
   override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
       unwind: Option[ServerClient.Unwind] = None,
-      postQuery: BQuery = BQuery.True): Iterator[BDoc] = {
+      postQuery: BQuery = BQuery.True,
+      computed: Seq[graft.query.ComputedCol] = Nil): Iterator[BDoc] = {
     val coll = collection(ns)
     val p = QueryDocs.plan(query)
     require(p.isExact && p.keyBounds.isEmpty,
@@ -211,7 +212,7 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     require(post.isExact && post.keyBounds.isEmpty,
       s"groupAggregate requires a fully server-renderable POST-unwind query, got $postQuery")
     val it = Rf.aggregate(coll, QueryDocs.groupStages(p.serverQuery, groupKeys, aggs,
-      unwind, post.serverQuery))
+      unwind, post.serverQuery, computed))
     // the one pipeline here that can exceed the server's 100 MB
     // per-stage memory (a high-cardinality $group) — honor the opt-in
     if (allowDiskUse) Rf.allowDiskUse(it, b = true)
@@ -280,7 +281,8 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
     var stages = QueryDocs.lookupStages(
       leftMatch, j.leftProject, rcoll, rp.serverQuery, j.rightProject,
       j.keys, j.leftOuter, unwind = j.unwind, unwindPostDoc = up.serverQuery,
-      ranges = j.ranges)
+      ranges = j.ranges,
+      leftComputed = j.leftComputed, rightComputed = j.rightComputed)
     var leftOuts = j.leftProject.map(_._2).toSet
     // chained stages: flatten-project + lookup + unwind each, still ONE
     // aggregate() round-trip for the whole 3-way+ pipeline

@@ -464,11 +464,16 @@ object QueryDocs {
   def groupStages(matchDoc: BDoc, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
       unwind: Option[ServerClient.Unwind] = None,
-      postMatchDoc: BDoc = BDoc.empty): Seq[BDoc] = {
+      postMatchDoc: BDoc = BDoc.empty,
+      /** derived columns (r17): a `$set` after the pre-`$match` (which
+        * never references them — computed filters stay residual at the
+        * scan), so group keys/aggregates address real fields. */
+      computed: Seq[graft.query.ComputedCol] = Nil): Seq[BDoc] = {
     val group = groupStageDoc(identity, groupKeys, aggs)
     val pre =
       if (matchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> matchDoc))
+    val setStage = graft.query.ComputedCol.setStage(computed).toSeq
     // the PRE query never references the unwound element (the builder
     // splits element filters into postMatchDoc), so $match commutes
     // with $unwind and runs FIRST — fewer docs enter the unwind; the
@@ -478,7 +483,7 @@ object QueryDocs {
     val post =
       if (postMatchDoc.fields.isEmpty) Seq.empty
       else Seq(BDoc("$match" -> postMatchDoc))
-    pre ++ uw ++ post :+ group
+    pre ++ setStage ++ uw ++ post :+ group
   }
 
   /** `[$match(pre), $unwind, $match(post), $sort?, $skip?, $limit?,
@@ -610,7 +615,8 @@ object QueryDocs {
         * driving `$match` already filtered it, the guard is then
         * vacuous). Right-side operands are null-filtered by the
         * caller's rightMatch, mirroring the key non-null conjuncts. */
-      ranges: Seq[LookupJoin.RangeKey] = Nil): Seq[BDoc] = {
+      ranges: Seq[LookupJoin.RangeKey] = Nil,
+      rightComputed: Seq[graft.query.ComputedCol] = Nil): Seq[BDoc] = {
     val letVars = keys.zipWithIndex.map { case ((lo, _), i) => s"v$i" -> lo } ++
       ranges.zipWithIndex.map { case (r, i) => s"r$i" -> r.leftOut }
     // key outputs may be nested under a projected struct column —
@@ -632,6 +638,10 @@ object QueryDocs {
     val exprDoc = BDoc("$expr" ->
       (if (conds.size == 1) conds.head else BDoc("$and" -> BArray(conds))))
     val innerPipeline: Vector[BsonValue] =
+      // lookup-side derived columns materialize FIRST: the rightMatch
+      // may carry the non-null key prune on a computed field (r17)
+      graft.query.ComputedCol.setStage(rightComputed)
+        .toVector.map(identity[BsonValue]) ++
       (if (rightMatch.fields.isEmpty) Vector.empty[BsonValue]
        else Vector(BDoc("$match" -> rightMatch): BsonValue)) ++
         Vector[BsonValue](
@@ -658,15 +668,24 @@ object QueryDocs {
         * `$project`, so per-ELEMENT rows feed the `$lookup`. */
       unwind: Option[ServerClient.Unwind] = None,
       unwindPostDoc: BDoc = BDoc.empty,
-      ranges: Seq[LookupJoin.RangeKey] = Nil): Seq[BDoc] =
+      ranges: Seq[LookupJoin.RangeKey] = Nil,
+      /** derived columns (r17): the DRIVING side's `$set` renders after
+        * its `$match` (which never references them — the scan keeps the
+        * non-null key prune off computed fields under INNER, the `$expr`
+        * equality/guards handle nulls); the LOOKUP side's `$set` renders
+        * FIRST in the sub-pipeline (its `$match` may carry the non-null
+        * prune on a computed key). */
+      leftComputed: Seq[graft.query.ComputedCol] = Nil,
+      rightComputed: Seq[graft.query.ComputedCol] = Nil): Seq[BDoc] =
     (if (leftMatch.fields.isEmpty) Seq.empty
      else Seq(BDoc("$match" -> leftMatch))) ++
+      graft.query.ComputedCol.setStage(leftComputed).toSeq ++
       unwind.toSeq.flatMap(unwindStageSeq) ++
       (if (unwindPostDoc.fields.isEmpty) Seq.empty
        else Seq(BDoc("$match" -> unwindPostDoc))) ++
       Seq(BDoc("$project" -> aliasProjection(leftProject))) ++
       lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter,
-        ranges)
+        ranges, rightComputed)
 
   /** One CHAINED stage: a `$project` that FLATTENS the previous join
     * (each previous output re-aliased from its joined home to this

@@ -110,7 +110,14 @@ trait ServerClient {
   def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
       unwind: Option[ServerClient.Unwind] = None,
-      postQuery: BQuery = BQuery.True): Iterator[BDoc]
+      postQuery: BQuery = BQuery.True,
+      /** DERIVED columns (r17, [[graft.query.ComputedCol]]) the group
+        * keys/aggregates may reference: materialized by a `$set` stage
+        * after the pre-`$match` (whose query never references them —
+        * the scan keeps computed-column filters residual). Never
+        * combined with an unwind (the capture rule refuses unwound
+        * relations). */
+      computed: Seq[graft.query.ComputedCol] = Nil): Iterator[BDoc]
 
   /** One unwound ROW pipeline ([[QueryDocs.unwoundStages]] is the wire
     * rendering): `$match(pre)` → `$unwind` → `$match(post)` → optional
@@ -220,7 +227,15 @@ final case class LookupJoin(
       * null-filters both operands (null/missing sort below every real
       * value in `$expr`, so an unguarded `$lt: [null, x]` would MATCH
       * where Spark's null comparison drops). */
-    ranges: Seq[LookupJoin.RangeKey] = Nil) {
+    ranges: Seq[LookupJoin.RangeKey] = Nil,
+    /** DERIVED columns (r17, [[graft.query.ComputedCol]]) each side's
+      * keys/projections may reference: the driving side's materialize
+      * via a `$set` after the left `$match` (which never references
+      * them), the lookup side's via a `$set` FIRST in the sub-pipeline
+      * (its `$match` may carry the non-null key prune on a computed
+      * field). Base join only; chained stages refuse computed sides. */
+    leftComputed: Seq[graft.query.ComputedCol] = Nil,
+    rightComputed: Seq[graft.query.ComputedCol] = Nil) {
   require(Seq(group.isDefined, limit.isDefined, topN.isDefined,
       skip.isDefined).count(identity) <= 1,
     "a lookup join takes at most one of group/limit/topN/skip")
@@ -577,7 +592,8 @@ final class FakeServerClient(rootDir: Option[String] = None)
   override def groupAggregate(ns: String, query: BQuery, groupKeys: Seq[String],
       aggs: Seq[GroupAgg],
       unwind: Option[ServerClient.Unwind] = None,
-      postQuery: BQuery = BQuery.True): Iterator[BDoc] = {
+      postQuery: BQuery = BQuery.True,
+      computed: Seq[graft.query.ComputedCol] = Nil): Iterator[BDoc] = {
     tick("groupAggregate")
     // real-transport renderability mirror (r16) — see lookupJoin
     locally {
@@ -586,8 +602,13 @@ final class FakeServerClient(rootDir: Option[String] = None)
         s"groupAggregate query not fully server-renderable: $query")
       require(post.isExact && post.keyBounds.isEmpty,
         s"groupAggregate post-unwind query not fully server-renderable: $postQuery")
+      require(computed.isEmpty || unwind.isEmpty,
+        "computed columns never combine with an unwind (capture rule)")
     }
+    // computed `$set` runs after the pre-$match (which never references
+    // the derived fields), mirroring the wire stage order
     val matched = coll(ns).readAll().filter(query.matches)
+      .map(d => graft.query.ComputedCol.injectAll(computed, d))
     val rows = unwind match {
       case Some(u) => matched.flatMap(d => FakeServerClient.unwindDocs(d, u))
       case None => matched
@@ -672,11 +693,15 @@ final class FakeServerClient(rootDir: Option[String] = None)
           s"lookupJoin chained right query not fully server-renderable: ${st.rightQuery}")
       }
     }
+    require(j.leftComputed.isEmpty || j.unwind.isEmpty,
+      "computed columns never combine with an unwind (capture rule)")
     // driving-side $unwind runs between the pre-match and the
     // projection/join — the same per-element expansion the wire
     // pipeline renders ($match → $unwind → $match(post) → $project →
-    // $lookup), so element rows feed the join
+    // $lookup), so element rows feed the join; computed columns
+    // materialize after the pre-match, mirroring the $set position
     val matched = coll(ns).readAll().filter(j.leftQuery.matches)
+      .map(d => graft.query.ComputedCol.injectAll(j.leftComputed, d))
     val driving = j.unwind match {
       case Some(u) =>
         val unwound = matched.flatMap(d => FakeServerClient.unwindDocs(d, u))
@@ -687,7 +712,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     var rows: Iterator[BDoc] = stageJoin(
       driving,
       j.leftProject, j.rightNs, j.rightQuery, j.rightProject,
-      j.keys, j.leftOuter, j.ranges)
+      j.keys, j.leftOuter, j.ranges, j.rightComputed)
     // chained stages drive off the previous stage's flat joined rows —
     // the same pipeline a real server runs ($project flatten + $lookup
     // per stage), evaluated stage-wise here
@@ -737,7 +762,11 @@ final class FakeServerClient(rootDir: Option[String] = None)
         * BSON-order comparison the wire pipeline runs; null/missing
         * operands never match, so a LEFT OUTER row whose range operand
         * is null null-extends exactly like Spark. */
-      ranges: Seq[LookupJoin.RangeKey] = Nil): Iterator[BDoc] = {
+      ranges: Seq[LookupJoin.RangeKey] = Nil,
+      /** lookup-side derived columns: `$set` FIRST in the sub-pipeline
+        * (before the rightQuery `$match`, which may carry the non-null
+        * prune on a computed key). */
+      rightComputed: Seq[graft.query.ComputedCol] = Nil): Iterator[BDoc] = {
     def canon(v: BsonValue): Any = v match {
       case BInt32(x) => x.toLong
       case BInt64(x) => x
@@ -752,7 +781,9 @@ final class FakeServerClient(rootDir: Option[String] = None)
     val rightKeyFields = keys.map { case (_, ro) =>
       LookupJoin.fieldOf(rightProject, ro) }
     val index: Map[Seq[Any], Vector[BDoc]] =
-      coll(rightNs).readAll().filter(rightQuery.matches)
+      coll(rightNs).readAll()
+        .map(d => graft.query.ComputedCol.injectAll(rightComputed, d))
+        .filter(rightQuery.matches)
         .filter(d => rightKeyFields.forall(f => d.getPath(f).exists(_ != BNull)))
         .toVector
         .groupBy(d => rightKeyFields.map(f => canon(d.getPath(f).get)))

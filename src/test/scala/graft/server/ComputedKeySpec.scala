@@ -1,0 +1,235 @@
+package graft.server
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Derived (computed) bin columns absorbed into the graftserver relation
+  * (r17, [[graft.plans.ComputedKeyRelocate]]): `pmod(col, n)` / `col % n`
+  * over an Int/Long column materializes as a `$set` pipeline field, so
+  * derived-bin GROUP BYs fold server-side and derived-bin JOIN keys keep
+  * the pushed `$lookup` — including composed with the r17 range
+  * conjuncts (the derived-bin interval/as-of shape) — while find-land
+  * pushdowns that would address the synthetic field refuse.
+  *
+  * Parity baselines run over LOCAL copies (no graftserver relation in
+  * the baseline plan).
+  */
+class ComputedKeySpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-computed").toString
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** events: _id, v (some negative, one null); dims keyed by pmod bin. */
+  private def seed(dir: String): Unit = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      val v: java.lang.Long =
+        if (i % 13 == 0) null else java.lang.Long.valueOf((i * 37L) - 1200L)
+      (i.toLong, v)
+    }.toDF("_id", "v")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.e"))
+      .option("id_column", "_id").mode("append").save()
+    // NO id_column: bkt must stay a document FIELD (an id_column write
+    // stores the key as `_id` and drops the original — the vacuous-join
+    // trap q173's oracle caught)
+    (0L until 7L).map(b => (b, s"bin$b")).toDF("bkt", "lbl")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.d"))
+      .mode("append").save()
+  }
+
+  private def e(dir: String, extra: (String, String)*): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.e",
+        "assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, v LONG").load()
+
+  private def d(dir: String): DataFrame =
+    spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.d",
+        "assume_uniform_storage" -> "true"))
+      .schema("bkt LONG, lbl STRING").load()
+
+  private def localCopy(df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
+      df.schema)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.toString).sorted.toSeq
+
+  test("groupBy(pmod(col, n)) folds as ONE $match+$set+$group pipeline") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val ee = e(dir)
+    val q = ee.filter($"_id" >= 10L)
+      .withColumn("bkt", pmod($"v", lit(7L)))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedComputed: [bkt = pmod(v, 7)]") &&
+      plan.contains("PushedGroupedAggregate: GROUP BY bkt"), plan)
+    val le = localCopy(e(dir))
+    val exp = le.filter($"_id" >= 10L)
+      .withColumn("bkt", pmod($"v", lit(7L)))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    assert(sortedRows(q) == sortedRows(exp))
+    // negative inputs land in NON-negative bins (pmod), null v in the
+    // null group — both populated by the fixture
+    assert(q.filter($"bkt".isNull).count() == 1)
+    assert(q.filter($"bkt" < 0L).count() == 0)
+    // the % form keeps the dividend's sign (mod) and also folds
+    val m = ee.withColumn("r", $"v" % 7L)
+      .groupBy($"r").agg(count(lit(1)).as("n"))
+    assert(planOf(m).contains("PushedComputed: [r = mod(v, 7)]") &&
+      planOf(m).contains("PushedGroupedAggregate"), planOf(m))
+    val mExp = le.withColumn("r", $"v" % 7L)
+      .groupBy($"r").agg(count(lit(1)).as("n"))
+    assert(sortedRows(m) == sortedRows(mExp))
+    assert(m.filter($"r" < 0L).count() > 0, "mod keeps negative remainders")
+  }
+
+  test("a derived-bin JOIN key keeps the pushed $lookup (and composes with ranges)") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val ee = e(dir)
+    val dd = d(dir)
+    val q = ee.withColumn("bkt", pmod($"v", lit(7L)))
+      .join(dd, Seq("bkt"))
+      .select($"_id", $"lbl")
+    val plan = planOf(q)
+    assert(plan.contains("PushedComputed: [bkt = pmod(v, 7)]") &&
+      plan.contains("PushedJoin: INNER db.d") &&
+      !plan.contains("Join "), plan)
+    val le = localCopy(e(dir)); val ld = localCopy(d(dir))
+    val exp = le.withColumn("bkt", pmod($"v", lit(7L)))
+      .join(ld, Seq("bkt")).select($"_id", $"lbl")
+    assert(sortedRows(q) == sortedRows(exp))
+    assert(q.count() > 0, "the inner derived-key join must match rows")
+    // null v -> null bin never joins under INNER; LEFT OUTER null-extends
+    val lo = ee.withColumn("bkt", pmod($"v", lit(7L)))
+      .join(dd, Seq("bkt"), "left_outer")
+      .select($"_id", $"lbl")
+    val loExp = le.withColumn("bkt", pmod($"v", lit(7L)))
+      .join(ld, Seq("bkt"), "left_outer").select($"_id", $"lbl")
+    assert(sortedRows(lo) == sortedRows(loExp))
+    assert(lo.filter($"lbl".isNull).count() > 0)
+
+    // composed with a RANGE conjunct: the derived-bin interval shape —
+    // $set + $lookup($expr eq + range) + $group, one pipeline
+    val el = ee.withColumn("bkt", pmod($"v", lit(7L)))
+    val rq = el.join(dd, el("bkt") === dd("bkt") && el("_id") >= dd("bkt"))
+      .groupBy($"lbl").agg(count(lit(1)).as("n"))
+    val rPlan = planOf(rq)
+    // the $set + $lookup($expr eq+range) pipeline pushes; Spark's
+    // constraint inference derives a transitive LEFT-only conjunct
+    // (_id >= left.bkt) from the equality+range pair, which the r14
+    // hoist rechecks above the scan — so the $group stays Spark-side
+    // here (exact either way)
+    assert(rPlan.contains("PushedComputed") &&
+      rPlan.contains("PushedJoin: INNER db.d") &&
+      rPlan.contains("AND _id >= bkt") &&
+      !rPlan.contains("Join "), rPlan)
+    val lel = le.withColumn("bkt", pmod($"v", lit(7L)))
+    val rExp = lel.join(ld, lel("bkt") === ld("bkt") && lel("_id") >= ld("bkt"))
+      .groupBy($"lbl").agg(count(lit(1)).as("n"))
+    assert(sortedRows(rq) == sortedRows(rExp))
+    assert(rq.count() > 0, "the range-composed join must match rows")
+
+    // the computed column may sit on the LOOKUP side too ($set first in
+    // the sub-pipeline, before the non-null key $match)
+    val dd2 = d(dir).withColumn("b2", pmod($"bkt", lit(3L)))
+    val ee2 = ee.withColumn("eb", pmod($"v", lit(3L)))
+    val both = ee2.join(dd2, ee2("eb") === dd2("b2"))
+      .groupBy($"lbl").agg(count(lit(1)).as("n"))
+    val bPlan = planOf(both)
+    assert(bPlan.contains("eb = pmod(v, 3)") &&
+      bPlan.contains("b2 = pmod(bkt, 3)") &&
+      bPlan.contains("PushedJoin: INNER db.d") &&
+      !bPlan.contains("Join "), bPlan)
+    val bExp = le.withColumn("eb", pmod($"v", lit(3L)))
+      .join(ld.withColumn("b2", pmod($"bkt", lit(3L))),
+        $"eb" === $"b2")
+      .groupBy($"lbl").agg(count(lit(1)).as("n"))
+    assert(sortedRows(both) == sortedRows(bExp))
+    assert(both.count() > 0, "the both-sides computed join must match rows")
+  }
+
+  test("plain reads inject the derived value; filters on it stay residual but exact") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val ee = e(dir)
+    val q = ee.withColumn("bkt", pmod($"v", lit(7L)))
+      .filter($"bkt" === 3L)
+      .select($"_id", $"bkt")
+    val plan = planOf(q)
+    // the filter must NOT render into the find-land query (no $set
+    // there) — it re-checks above the scan over the injected value
+    assert(plan.contains("PushedComputed") && plan.contains("Filter"), plan)
+    assert(!plan.contains("query=Eq(bkt"), plan)
+    val le = localCopy(e(dir))
+    val exp = le.withColumn("bkt", pmod($"v", lit(7L)))
+      .filter($"bkt" === 3L).select($"_id", $"bkt")
+    assert(sortedRows(q) == sortedRows(exp))
+    assert(q.count() > 0)
+  }
+
+  test("refusal matrix: TopN/min-max/sample/split keys, non-uniform, floor-div, explode") {
+    import spark.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val ee = e(dir)
+    val le = localCopy(e(dir))
+    // plain-scan TopN on a computed key: no cursor sort on a synthetic
+    // field — rows stay exact through Spark's TakeOrdered
+    val t = ee.withColumn("bkt", pmod($"v", lit(7L)))
+      .orderBy($"bkt".asc_nulls_first, $"_id".asc).limit(5)
+    assert(!planOf(t).contains("PushedTopN"), planOf(t))
+    val tExp = le.withColumn("bkt", pmod($"v", lit(7L)))
+      .orderBy($"bkt".asc_nulls_first, $"_id".asc).limit(5)
+    assert(sortedRows(t) == sortedRows(tExp))
+    // MIN/MAX probes refuse on a computed column; the grouped-pipeline
+    // global aggregate (or Spark) still answers exactly
+    val mm = ee.withColumn("bkt", pmod($"v", lit(7L)))
+      .agg(min($"bkt").as("lo"), max($"bkt").as("hi"))
+    assert(!planOf(mm).contains("PushedAggregates"), planOf(mm))
+    val mmExp = le.withColumn("bkt", pmod($"v", lit(7L)))
+      .agg(min($"bkt").as("lo"), max($"bkt").as("hi"))
+    assert(sortedRows(mm) == sortedRows(mmExp))
+    // non-uniform relation: the rule never captures (no PushedComputed)
+    val raw = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.e"))
+      .schema("_id LONG, v LONG").load()
+    val nu = raw.withColumn("bkt", pmod($"v", lit(7L)))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"))
+    assert(!planOf(nu).contains("PushedComputed"), planOf(nu))
+    assert(sortedRows(nu) == sortedRows(
+      le.withColumn("bkt", pmod($"v", lit(7L)))
+        .groupBy($"bkt").agg(count(lit(1)).as("n"))))
+    // floor(col / n) routes through $divide's DOUBLE arithmetic —
+    // refused by design, stays a Spark expression
+    val fd = e(dir).withColumn("bkt", floor($"v" / 7L))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"))
+    assert(!planOf(fd).contains("PushedComputed"), planOf(fd))
+    // a computed sample_key refuses the sample push (parent Bernoulli
+    // stays in Spark), rows remain a legal sample
+    val sk = e(dir, "sample_key" -> "bkt")
+      .withColumn("bkt", pmod($"v", lit(7L)))
+      .sample(withReplacement = false, 0.5, seed = 3L)
+    assert(!planOf(sk).contains("PushedSample"), planOf(sk))
+    // a computed SPLIT key plans one full-range cursor (nothing to
+    // probe) — rows stay complete
+    val sp = e(dir, "key" -> "bkt", "split_size" -> "1024")
+      .withColumn("bkt", pmod($"v", lit(7L)))
+    assert(sp.count() == 120)
+  }
+}

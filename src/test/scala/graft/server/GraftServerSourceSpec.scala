@@ -974,9 +974,10 @@ final class CountingServerFactory extends ServerClientFactory {
       override def groupAggregate(ns: String, query: graft.query.BQuery,
           groupKeys: Seq[String], aggs: Seq[GroupAgg],
           unwind: Option[ServerClient.Unwind],
-          postQuery: graft.query.BQuery) =
+          postQuery: graft.query.BQuery,
+          computed: Seq[graft.query.ComputedCol]) =
         { t("groupAggregate"); inner.groupAggregate(ns, query, groupKeys, aggs,
-          unwind, postQuery) }
+          unwind, postQuery, computed) }
       override def unwoundRead(ns: String, query: graft.query.BQuery,
           u: ServerClient.Unwind, postQuery: graft.query.BQuery,
           sortSpec: Seq[(String, Boolean)], skip: Long, limit: Long,

@@ -1129,4 +1129,48 @@ class RealMongoIntegrationSpec extends SparkSpec {
       .sorted.toSeq ==
       Seq((1L, 10L), (2L, 11L), (3L, -1L), (4L, -1L)))
   }
+
+  test("live: COMPUTED bin columns — $set/$mod pipeline, null-input rule, negative pmod (r17)") {
+    live()
+    import spark.implicits._
+    val od = opts("cbo"); val oc = opts("cbd")
+    // the $mod null rule and the pmod nesting were built BLIND against
+    // the fake: a null/missing input must produce a NULL computed value
+    // (grouping under the null key / never joining), and a NEGATIVE
+    // input must land in the non-negative pmod bin via
+    // {$mod: [{$add: [{$mod: [a, n]}, n]}, n]}
+    Seq((1L, java.lang.Long.valueOf(10L)), (2L, java.lang.Long.valueOf(-10L)),
+        (3L, null.asInstanceOf[java.lang.Long]), (4L, java.lang.Long.valueOf(24L)))
+      .toDF("k", "v")
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    Seq((3L, "three"), (4L, "four")).toDF("k", "lbl")
+      .write.format("graftserver").options(oc)
+      .option("id_column", "k").mode("append").save()
+    val ee = spark.read.format("graftserver")
+      .options(od + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, v LONG").load()
+    val dd = spark.read.format("graftserver")
+      .options(oc + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, lbl STRING").load()
+    // grouped pipeline: $match + $set + $group on the derived bin
+    val g = ee.withColumn("bkt", pmod($"v", lit(7L)))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedComputed: [bkt = pmod(v, 7)]") &&
+      gPlan.contains("PushedGroupedAggregate"), gPlan)
+    // 10 -> 3, -10 -> 4 (pmod, NOT -3), null -> null group, 24 -> 3
+    assert(g.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((-1L, 1L), (3L, 2L), (4L, 1L)))
+    // derived-bin join: $set + $lookup; null bin never matches
+    val j = ee.withColumn("bkt", pmod($"v", lit(7L)))
+      .join(dd, $"bkt" === dd("_id"))
+      .select(ee("_id").as("ekey"), $"lbl")
+    val jPlan = j.queryExecution.executedPlan.toString
+    assert(jPlan.contains("PushedComputed") &&
+      jPlan.contains("PushedJoin: INNER") && !jPlan.contains("Join "), jPlan)
+    assert(j.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "three"), (2L, "four"), (4L, "three")))
+  }
 }

@@ -2,7 +2,7 @@
 # One-command live-gate replay (RUNBOOK §5): replays every blind-built
 # wire semantic against a REAL server in one sitting —
 #
-#   1. the env-gated integration suite (38 wire shapes as of r17:
+#   1. the env-gated integration suite (39 wire shapes as of r17:
 #      pipelines, joins incl. ranges, unwinds, regex/dialect parity,
 #      foreign-storage probes);
 #   2. the FULL oracle-checked catalog over served copies of the
@@ -34,7 +34,8 @@ cd "$(dirname "$0")/.."
 SMOKE_QUERIES="q19_dedup_exact q24_text_tokens q81_quality_gate \
 q83_split_assign q39_semi_join q07_count_per_key q87_skew_report \
 q88_chunk_docs q170_server_interval_join q171_server_asof_join \
-q172_server_map_join_topn"
+q172_server_map_join_topn \
+q173_server_computed_bin_join"
 
 if [ "${1:-}" = "--sandbox-smoke" ]; then
   SF=${2:-/root/testdata/sf0.001}
@@ -63,7 +64,7 @@ if [ -z "$URI" ]; then
 fi
 OUT=$(mktemp -d /tmp/graft-live-verify-XXXX)
 
-echo "== [1/3] env-gated integration suite (38 wire shapes) =="
+echo "== [1/3] env-gated integration suite (39 wire shapes) =="
 MONGO_URI="$URI" sbt -batch "testOnly graft.server.RealMongoIntegrationSpec"
 
 echo "== [2/3] seeding TESTDATA tables from $SF into $URI (graft_verify.*) =="
