@@ -2402,6 +2402,37 @@ object ConnectorQueries {
         |  count(*) AS n, CAST(sum(length(text) % 31) AS BIGINT) AS total
         |FROM documents WHERE n_chars IS NOT NULL
         |GROUP BY 1 ORDER BY lbl ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // The FILE-transport arm of the derived-bin surface (r17): the same
+    // pmod bin over a BSON dump folds into PER-SPLIT grouped partials
+    // (the reader injects the derived field right after the pushed
+    // query, mirroring the server's $set position) — the q63-style bin
+    // discipline over the reference's native dump files.
+    CatalogQuery(
+      "q174_file_computed_bin",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"n_chars", $"lang")
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .option("assume_uniform_storage", "true")
+          .schema("_id LONG, n_chars LONG, lang STRING")
+          .load(dir)
+          .withColumn("bkt", pmod($"n_chars", lit(5L)))
+          .groupBy($"lang", $"bkt")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("total"))
+          .orderBy($"lang".asc_nulls_first, $"bkt".asc_nulls_first)
+      },
+      Some("""
+        |SELECT lang, CAST(n_chars % 5 AS BIGINT) AS bkt, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY lang ASC NULLS FIRST, bkt ASC NULLS FIRST
         |""".stripMargin))
   )
 }

@@ -88,14 +88,19 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
 
   private def eligible(rel: DataSourceV2Relation): Boolean =
     Option(rel.options.get("assume_uniform_storage")).exists(_.toBoolean) &&
-      !rel.options.containsKey("unwind_path")
+      !rel.options.containsKey("unwind_path") &&
+      // multi-collection file scans carry per-entry query/mapping
+      // overrides the injection seam does not compose with — refuse
+      !rel.options.containsKey("collections")
 
-  /** The graftserver relation under a chain of Filters / attribute-only
-    * Projects that do not prune the bins' future home (the rewrite
-    * threads the new attribute through each). */
+  /** The graft relation (either transport — the file arm evaluates the
+    * SAME stored-value arithmetic at its injection seam) under a chain
+    * of Filters / attribute-only Projects that do not prune the bins'
+    * future home (the rewrite threads the new attribute through each). */
   private def spineRel(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
     case rel: DataSourceV2Relation
-        if rel.table.isInstanceOf[graft.server.GraftServerTable] => Some(rel)
+        if rel.table.isInstanceOf[graft.server.GraftServerTable] ||
+          rel.table.isInstanceOf[graft.source.GraftTable] => Some(rel)
     case Filter(_, ch) => spineRel(ch)
     case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       spineRel(ch)
@@ -139,8 +144,10 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
       names.zip(dts).map { case (n, t) => StructField(n, t) })
     val newOpts = new CaseInsensitiveStringMap((rel.options.asScala.toMap +
       (ComputedCol.OptionKey -> ComputedCol.render(prior ++ computed))).asJava)
-    val newTable = new graft.server.GraftServerTable(newSchema,
-      newOpts.asScala.toMap)
+    val newTable: org.apache.spark.sql.connector.catalog.Table =
+      if (rel.table.isInstanceOf[graft.server.GraftServerTable])
+        new graft.server.GraftServerTable(newSchema, newOpts.asScala.toMap)
+      else new graft.source.GraftTable(newSchema, newOpts.asScala.toMap)
     val newAttrs = bins.map { case (name, id, b) =>
       AttributeReference(name, b.dataType, nullable = true)(exprId = id)
     }

@@ -435,6 +435,18 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
 
+  /** DERIVED columns (r17, `computed_columns` — ComputedKeyRelocate,
+    * the file-transport arm): injected by the readers right after the
+    * pushed-query match — grouped-aggregate partials fold over them
+    * like any column. The pushed query itself evaluates on STORED docs,
+    * so filters on a computed column stay residual (null tests rewrite
+    * exactly to the source field — pmod/mod are null iff their input
+    * is); TopN / min-max probes / sample keys refuse the synthetic
+    * field, mirroring the server transport's gates. */
+  private val computedCols: Seq[graft.query.ComputedCol] =
+    graft.query.ComputedCol.fromOptions(options)
+  private val computedOuts: Set[String] = computedCols.map(_.out).toSet
+
   private var residualFilters: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -442,8 +454,24 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // query — residual; one touching the UNWOUND element column becomes
     // the POST-unwind query (after the unwind the path holds the
     // ELEMENT, so the normal translation carries Spark's row semantics)
-    val (metaFilters, rest) = filters.partition(
+    val (metaFilters, rest0) = filters.partition(
       _.references.contains(GraftBsonSource.FileMetaCol))
+    // COMPUTED columns: null tests rewrite to the SOURCE field (exact);
+    // everything else on a derived field is residual (the reader's
+    // query match runs on STORED docs, before injection)
+    val rest1 = rest0.map {
+      case org.apache.spark.sql.sources.IsNotNull(a)
+          if computedOuts.contains(a) =>
+        org.apache.spark.sql.sources.IsNotNull(
+          computedCols.find(_.out == a).get.field)
+      case org.apache.spark.sql.sources.IsNull(a)
+          if computedOuts.contains(a) =>
+        org.apache.spark.sql.sources.IsNull(
+          computedCols.find(_.out == a).get.field)
+      case other => other
+    }
+    val (computedFilters, rest) = rest1.partition(
+      _.references.exists(r => computedOuts.contains(r.split('.').head)))
     // a filter touching the element (or a struct-element SUBFIELD —
     // `entry.lang` for explode(array<struct>), which pre-unwind would
     // carry ∃-element semantics) — or the posexplode POS column, whose
@@ -459,7 +487,7 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val (query, accepted, residual) = FilterTranslator.split(docFilters, mapping)
     pushedQuery = query
     pushed = accepted ++ postAccepted
-    residualFilters = residual ++ postResidual ++ metaFilters
+    residualFilters = residual ++ postResidual ++ metaFilters ++ computedFilters
     residualFilters
   }
 
@@ -489,6 +517,8 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     val keyCol = options.get("sample_key")
       .flatMap(k => FieldResolve.resolveName(tableSchema, k, mapping))
       .filter(r => SamplePush.KeyTypes.contains(r.dataType))
+      // a COMPUTED sample key refuses (r17 — mirrors the server gate)
+      .filterNot(r => computedOuts.contains(r.docPath.split('.').head))
     val keyOk = keyCol.exists(k =>
       SamplePush.keyAllowedUnderUnwind(k.docPath, unwind.map(_.path)))
     val eligible = !withReplacement && keyOk &&
@@ -575,6 +605,9 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
           else o.nullOrdering == NullOrdering.NULLS_FIRST
         FieldResolve.resolve(tableSchema, o.expression, mapping)
           .filter(r => nullsOk && TopNTypes.contains(r.dataType))
+          // a COMPUTED order key refuses (r17): the bounded heap reads
+          // STORED docs before injection — mirrors the server gate
+          .filterNot(r => computedOuts.contains(r.docPath.split('.').head))
           .map(r => (r.docPath, desc, r.dataType))
       }
     if (spec.contains(None)) false
@@ -643,6 +676,9 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
         Option[(String, org.apache.spark.sql.types.DataType)] =
       FieldResolve.resolve(tableSchema, e, mapping)
         .filter(r => AggPushTypes.contains(r.dataType))
+        // a COMPUTED column has no stored field the single-field probe
+        // scan could walk (r17) — the grouped partial path handles it
+        .filterNot(r => computedOuts.contains(r.docPath.split('.').head))
         .map(r => (r.docPath, r.dataType))
     val items = aggregation.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(AggPush.RowCount)
@@ -1066,6 +1102,9 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
 
   override def description(): String =
     s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
+      (if (computedCols.isEmpty) ""
+       else s", PushedComputed: [${computedCols.map(c =>
+         s"${c.out} = ${c.fn}(${c.field}, ${c.n})").mkString(", ")}]") +
       pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s", PushedGroupedAggregate: $g").getOrElse("") +
       sample.map(sp => s", PushedSample: $sp").getOrElse("") +
@@ -1109,6 +1148,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
     */
   private val sortKey: Option[String] = options.get("sort")
 
+  /** DERIVED columns (r17) — injected by every partition's reader. */
+  private val computedCols: Seq[graft.query.ComputedCol] =
+    graft.query.ComputedCol.fromOptions(options)
+
   /** Plan one collection's partitions under a given strategy — shared by
     * the single-collection path and each entry of multi-collection mode
     * (which may override the strategy per collection, matching
@@ -1127,7 +1170,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           GraftInputPartition(f, s, e, q, lim, mapping, sort,
             topNSpec = topNSort, sample = sample,
             unwind = unwind, unwindPost = unwindPost,
-            tailsPostUnwind = tailsPostUnwind): InputPartition
+            tailsPostUnwind = tailsPostUnwind,
+            computed = computedCols): InputPartition
         }
       }
     case "single" =>
@@ -1135,7 +1179,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         GraftInputPartition(f, 0L, Long.MaxValue, q, lim, mapping, sort,
           offset = off, topNSpec = topNSort, sample = sample,
           unwind = unwind, unwindPost = unwindPost,
-          tailsPostUnwind = tailsPostUnwind): InputPartition)
+          tailsPostUnwind = tailsPostUnwind,
+          computed = computedCols): InputPartition)
     case other =>
       // key-range strategies via the pure planners + file-backed stats;
       // chunk/shard maps arrive as option-level JSON (the config.chunks /
@@ -1154,7 +1199,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
               locations = locs, topNSpec = topNSort,
               sample = sample, unwind = unwind,
               unwindPost = unwindPost,
-              tailsPostUnwind = tailsPostUnwind): InputPartition
+              tailsPostUnwind = tailsPostUnwind,
+              computed = computedCols): InputPartition
           }
       }
     }
@@ -1174,7 +1220,8 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         val parts = files.flatMap(f =>
           BsonFiles.planByteSplits(f, splitSize).map { case (s, e) =>
             GroupedAggPartition(f, s, e, query, g, mapping,
-              sample, unwind, unwindPost): InputPartition
+              sample, unwind, unwindPost,
+              computed = computedCols): InputPartition
           })
         return (
           if (parts.nonEmpty || g.groupCols.nonEmpty) parts.toArray
@@ -1182,7 +1229,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
           // so the final fold sees a count-0 partial, not zero rows
           // (the q58 zero-partition COUNT lesson)
           else Array(GroupedAggPartition("", 0L, 0L, query, g,
-            mapping, sample): InputPartition))
+            mapping, sample, computed = computedCols): InputPartition))
       case None => ()
     }
     pushedAgg match {
@@ -1580,7 +1627,12 @@ final case class GraftInputPartition(path: String, start: Long, end: Long,
     unwindPost: BQuery = BQuery.True,
     /** Pushed limit/top-n/offset count UNWOUND rows (tail stage runs
       * post-unwind); false = a PARENT-scoped option cursor limit. */
-    tailsPostUnwind: Boolean = false)
+    tailsPostUnwind: Boolean = false,
+    /** DERIVED columns (r17): injected into each doc right after the
+      * pushed-query match — the file-transport mirror of the server's
+      * `$set` position (query/sample/TopN on computed fields are
+      * refused or residual at the builder, so the order is free). */
+    computed: Seq[graft.query.ComputedCol] = Nil)
     extends InputPartition {
   /** Chunk/shard locality surfaced to Spark's scheduler (the reference's
     * MongoInputSplit.getLocations:125-131 / ShardChunkMongoSplitter:98-119).
@@ -1607,7 +1659,8 @@ final case class GroupedAggPartition(path: String, start: Long, end: Long,
     mapping: Map[String, String],
     sample: Option[SamplePush] = None,
     unwind: Option[UnwindSpec] = None,
-    unwindPost: BQuery = BQuery.True) extends InputPartition
+    unwindPost: BQuery = BQuery.True,
+    computed: Seq[graft.query.ComputedCol] = Nil) extends InputPartition
 
 /** Folds one byte-split's rows into per-group PARTIAL rows. The inner
   * row scan decodes ONLY the group-key and aggregate input columns
@@ -1655,7 +1708,8 @@ final class GroupedAggPartitionReader(p: GroupedAggPartition)
         // inner columns ARE doc paths: the unwound element column is the
         // array path itself (post-unwind the path holds the element)
         unwind = p.unwind.map(u => u.copy(element = u.path)),
-        unwindPost = p.unwindPost),
+        unwindPost = p.unwindPost,
+        computed = p.computed),
       innerSchema)
 
   private def cloned(v: Any): Any = v match {
@@ -1794,14 +1848,24 @@ final class GraftPartitionReader(p: GraftInputPartition,
       p.topNSpec.toSeq.flatten.map(_._1) ++
       p.sample.map(_.key) ++
       p.unwind.map(_.path) ++
-      BQuery.fieldPaths(p.unwindPost)
+      BQuery.fieldPaths(p.unwindPost) ++
+      // COMPUTED columns (r17): the SOURCE fields must decode (the
+      // synthetic out names never exist in storage)
+      p.computed.map(_.field)
   // keep the raw handle: with limit pushdown / early task kill the iterator
   // is never drained, so close() must release the file descriptor
   private val raw = BsonFiles.readRange(p.path, p.start, p.end, Some(needed))
   // pushed query first, then the deterministic sample window (the two
   // commute; sampling early keeps the heavier stages below — top-n
   // selection, grouped-agg folds — on the sampled stream only)
-  private val matched = raw.filter(p.query.matches)
+  private val matched0 = raw.filter(p.query.matches)
+  // COMPUTED columns inject right after the pushed-query match (the
+  // file-transport mirror of the server's `$set` position); sample keys
+  // and TopN orders on computed fields are refused at the builder, so
+  // the remaining stages see the derived fields like stored ones
+  private val matched =
+    if (p.computed.isEmpty) matched0
+    else matched0.map(d => graft.query.ComputedCol.injectAll(p.computed, d))
   private val base = p.sample.map(sp => matched.filter(sp.keep)).getOrElse(matched)
   // per-PARTITION sort (the reference's cursor.sort semantics,
   // MongoInputSplit.java:281 — explicitly NOT a global order; use

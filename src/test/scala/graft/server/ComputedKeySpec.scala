@@ -183,6 +183,45 @@ class ComputedKeySpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("FILE transport: derived-bin group folds into per-split partials; gates mirror") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.files.BsonFiles.write(s"$dir/data.bson",
+      (0 until 120).iterator.map { i =>
+        import graft.bson._
+        if (i % 13 == 0) BDoc("_id" -> BInt64(i.toLong))
+        else BDoc("_id" -> BInt64(i.toLong), "v" -> BInt64((i * 37L) - 1200L))
+      })
+    def f(extra: (String, String)*) = spark.read.format("graftbson")
+      .options(Map("assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, v LONG").load(dir)
+    val q = f().withColumn("bkt", pmod($"v", lit(7L)))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedComputed: [bkt = pmod(v, 7)]") &&
+      plan.contains("PushedGroupedAggregate"), plan)
+    val le = localCopy(f())
+    val exp = le.withColumn("bkt", pmod($"v", lit(7L)))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    assert(sortedRows(q) == sortedRows(exp))
+    assert(q.filter($"bkt".isNull).count() == 1)
+    // filters on the derived field stay residual but exact; null tests
+    // rewrite to the source field
+    val flt = f().withColumn("bkt", pmod($"v", lit(7L)))
+      .filter($"bkt" === 3L && $"bkt".isNotNull).select($"_id")
+    assert(sortedRows(flt) == sortedRows(
+      le.withColumn("bkt", pmod($"v", lit(7L)))
+        .filter($"bkt" === 3L && $"bkt".isNotNull).select($"_id")))
+    assert(flt.count() > 0)
+    // plain TopN on the derived key refuses the push; rows exact
+    val t = f().withColumn("bkt", pmod($"v", lit(7L)))
+      .orderBy($"bkt".asc_nulls_first, $"_id".asc).limit(5)
+    assert(!planOf(t).contains("PushedTopN"), planOf(t))
+    assert(sortedRows(t) == sortedRows(
+      le.withColumn("bkt", pmod($"v", lit(7L)))
+        .orderBy($"bkt".asc_nulls_first, $"_id".asc).limit(5)))
+  }
+
   test("refusal matrix: TopN/min-max/sample/split keys, non-uniform, floor-div, explode") {
     import spark.implicits._
     val dir = freshDir()
