@@ -137,7 +137,8 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
         names.exists(existing.valuesIterator.toSet.contains))
       return None
     val computed = bins.map { case (name, _, b) =>
-      ComputedCol(name, b.fn, existing.getOrElse(b.src.name, b.src.name), b.n)
+      ComputedCol(name, b.fn, existing.getOrElse(b.src.name, b.src.name), b.n,
+        if (b.dataType == IntegerType) "int" else "long")
     }
     val dts = bins.map(_._3.dataType)
     val newSchema = StructType(rel.schema.fields ++

@@ -39,15 +39,29 @@ import scala.collection.immutable.ListMap
   * double `$mod` (value parity with a live server; the decode layer
   * then applies its standard read semantics for the declared type).
   */
-final case class ComputedCol(out: String, fn: String, field: String, n: Long) {
+final case class ComputedCol(out: String, fn: String, field: String, n: Long,
+    /** The OUT column's Spark width — "int" or "long". Decides the
+      * `$set` literal's BSON width, and with it mongo's `$mod` result
+      * TYPE (int32 % int32 → int32; anything % int64 → int64): an
+      * int-width bin over int32 storage stays int32 on the wire and a
+      * long-width bin promotes to int64 — exactly what the declared
+      * column decodes. The evaluator mirrors the same promotion so the
+      * sandbox and a live server produce the same BSON type, not just
+      * the same value. */
+    outType: String = "long") {
   require(ComputedCol.Fns.contains(fn), s"unknown computed fn $fn")
   require(n > 0, s"computed $fn divisor must be positive, got $n")
+  require(outType == "int" || outType == "long",
+    s"computed outType must be int|long, got $outType")
 
   /** The computed value for one document — None = null (null/missing
-    * input). Mirrors the `$set` rendering exactly. */
+    * input). Mirrors the `$set` rendering exactly, including mongo's
+    * `$mod` type promotion against the literal's width. */
   def eval(d: BDoc): Option[BsonValue] = d.getPath(field) match {
     case None | Some(BNull) => None
-    case Some(BInt32(x)) => Some(BInt32(apply(x.toLong).toInt))
+    case Some(BInt32(x)) =>
+      val v = apply(x.toLong)
+      Some(if (outType == "int") BInt32(v.toInt) else BInt64(v))
     case Some(BInt64(x)) => Some(BInt64(apply(x)))
     case Some(BDouble(x)) =>
       // mongo $mod on doubles: double remainder (sign follows dividend)
@@ -70,13 +84,15 @@ final case class ComputedCol(out: String, fn: String, field: String, n: Long) {
 
   /** The aggregation expression of the `$set` stage entry. */
   def setExpr: BsonValue = {
+    def lit: BsonValue =
+      if (outType == "int") BInt32(n.toInt) else BInt64(n)
     def mod(e: BsonValue): BsonValue =
-      BDoc("$mod" -> BArray(Vector(e, BInt64(n))))
+      BDoc("$mod" -> BArray(Vector(e, lit)))
     val base = mod(BString("$" + field))
     fn match {
       case "mod" => base
       case "pmod" =>
-        mod(BDoc("$add" -> BArray(Vector(base, BInt64(n)))))
+        mod(BDoc("$add" -> BArray(Vector(base, lit))))
     }
   }
 }
@@ -105,7 +121,13 @@ object ComputedCol {
           case other => throw new IllegalArgumentException(
             s"computed_columns n must be an integer, got $other")
         }
-        ComputedCol(str("out"), str("fn"), str("field"), n)
+        val t = m.get("t") match {
+          case Some(JString(x)) => x
+          case None => "long"
+          case other => throw new IllegalArgumentException(
+            s"computed_columns t must be a string, got $other")
+        }
+        ComputedCol(str("out"), str("fn"), str("field"), n, t)
       case other => throw new IllegalArgumentException(
         s"computed_columns entry must be an object, got $other")
     }
@@ -115,7 +137,8 @@ object ComputedCol {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JsonMethods.render(cols.map(c =>
-      ("out" -> c.out) ~ ("fn" -> c.fn) ~ ("field" -> c.field) ~ ("n" -> c.n))))
+      ("out" -> c.out) ~ ("fn" -> c.fn) ~ ("field" -> c.field) ~
+        ("n" -> c.n) ~ ("t" -> c.outType))))
   }
 
   /** Parse a relation options map (empty when the option is absent). */

@@ -1789,6 +1789,12 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
         topN.isDefined || grouped.isDefined) Array.empty
     else if (unwind.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
+      // never advertise a COMPUTED column (r17): the runtime IN-set
+      // ANDs into the CURSOR query, which evaluates on STORED docs
+      // where the synthetic field does not exist — it would silently
+      // match nothing
+      .filterNot(k => graft.query.ComputedCol.fromOptions(options)
+        .exists(_.out == k))
       .flatMap(sparkColFor)
       .filter(requiredSchema.fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -1834,6 +1840,12 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
       unwind.isEmpty,
       "graftserver streaming read cannot carry limit/offset/top-n/aggregate/" +
         "sample/unwind pushdowns or the _ns metadata column")
+    // COMPUTED columns (r17): the streaming reader has no injection
+    // seam — refuse loudly rather than stream an all-null derived
+    // column (the batch-only capture rule never fires on streaming
+    // relations; this guards a hand-set option)
+    require(graft.query.ComputedCol.fromOptions(options).isEmpty,
+      "graftserver streaming read does not support computed_columns")
     new GraftServerMicroBatchStream(requiredSchema, query, options)
   }
 

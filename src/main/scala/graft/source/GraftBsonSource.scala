@@ -1013,6 +1013,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
         options.contains("collections") ||
         limit.isDefined || offset.isDefined) Array.empty
     else Seq(options.getOrElse("key", "_id"), "_id").distinct
+      // never advertise a COMPUTED column (r17): the runtime values
+      // would drive key-range planning / query narrowing over STORED
+      // docs, where the synthetic field does not exist
+      .filterNot(k => computedCols.exists(_.out == k))
       .flatMap(sparkColFor)
       .filter(readSchema().fieldNames.contains)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -1042,6 +1046,10 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
       !options.contains("collections"),
       "graftbson streaming read cannot carry limit/offset/top-n/aggregate/" +
         "sample/unwind pushdowns or multi-collection mode")
+    // COMPUTED columns (r17): no injection seam in the streaming
+    // reader — refuse loudly rather than stream an all-null column
+    require(computedCols.isEmpty,
+      "graftbson streaming read does not support computed_columns")
     new GraftBsonMicroBatchStream(requiredSchema, query, options, mapping)
   }
 

@@ -94,6 +94,28 @@ class ComputedKeySpec extends SparkSpec {
       .groupBy($"r").agg(count(lit(1)).as("n"))
     assert(sortedRows(m) == sortedRows(mExp))
     assert(m.filter($"r" < 0L).count() > 0, "mod keeps negative remainders")
+
+    // INT-width bins: an IntegerType column with an int literal keeps
+    // int32 arithmetic on the wire ($mod int32 % int32 -> int32, the
+    // width the declared column decodes) — the eval/$set promotion pin
+    val dir2 = freshDir()
+    (0 until 40).map(i => (i.toLong, i * 3 - 50))
+      .toDF("_id", "iv")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.iw"))
+      .option("id_column", "_id").mode("append").save()
+    val iw = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir2, "ns" -> "db.iw",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, iv INT").load()
+    val ig = iw.withColumn("b", pmod($"iv", lit(5)))
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+    assert(planOf(ig).contains("PushedComputed: [b = pmod(iv, 5)]"), planOf(ig))
+    val igExp = localCopy(iw).withColumn("b", pmod($"iv", lit(5)))
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+    assert(sortedRows(ig) == sortedRows(igExp))
+    assert(ig.schema("b").dataType ==
+      org.apache.spark.sql.types.IntegerType)
   }
 
   test("a derived-bin JOIN key keeps the pushed $lookup (and composes with ranges)") {

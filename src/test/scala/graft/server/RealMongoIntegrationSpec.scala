@@ -1172,5 +1172,23 @@ class RealMongoIntegrationSpec extends SparkSpec {
       jPlan.contains("PushedJoin: INNER") && !jPlan.contains("Join "), jPlan)
     assert(j.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "three"), (2L, "four"), (4L, "three")))
+    // INT-width promotion: an IntegerType bin renders an int32 $mod
+    // literal, so the server's result stays int32 — the width the
+    // declared column decodes (a long literal would promote to int64
+    // and an int column would refuse the read). Reasoned blind; this
+    // pins it.
+    val oi = opts("cbi")
+    Seq((1L, 7), (2L, -7)).toDF("k", "iv")
+      .write.format("graftserver").options(oi)
+      .option("id_column", "k").mode("append").save()
+    val ii = spark.read.format("graftserver")
+      .options(oi + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, iv INT").load()
+    val gi = ii.withColumn("b", pmod($"iv", lit(5)))
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+    assert(gi.queryExecution.executedPlan.toString
+      .contains("PushedComputed: [b = pmod(iv, 5)]"))
+    assert(gi.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq ==
+      Seq((2, 1L), (3, 1L))) // 7 -> 2, -7 -> 3 (pmod)
   }
 }
