@@ -281,6 +281,13 @@ class ComputedKeySpec extends SparkSpec {
     val fd = e(dir).withColumn("bkt", floor($"v" / 7L))
       .groupBy($"bkt").agg(count(lit(1)).as("n"))
     assert(!planOf(fd).contains("PushedComputed"), planOf(fd))
+    // NEGATIVE / zero divisors never capture (sign rules differ and
+    // mod-by-zero is the one error case) — rows stay exact in Spark
+    val nd = e(dir).withColumn("r", $"v" % -7L)
+      .groupBy($"r").agg(count(lit(1)).as("n"))
+    assert(!planOf(nd).contains("PushedComputed"), planOf(nd))
+    assert(sortedRows(nd) == sortedRows(
+      le.withColumn("r", $"v" % -7L).groupBy($"r").agg(count(lit(1)).as("n"))))
     // a computed sample_key refuses the sample push (parent Bernoulli
     // stays in Spark), rows remain a legal sample
     val sk = e(dir, "sample_key" -> "bkt")

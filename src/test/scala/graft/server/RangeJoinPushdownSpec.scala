@@ -232,6 +232,62 @@ class RangeJoinPushdownSpec extends SparkSpec {
     assert(sortedRows(ar) == sortedRows(arExp))
   }
 
+  test("TIMESTAMP and DATE range keys push under uniform storage (bracket order = read order)") {
+    import spark.implicits._
+    val dir = freshDir()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    // events at ms-precision wall clocks (BSON datetime stores ms; the
+    // engine writes/reads the same ms, so order is exact)
+    Seq((1L, 0L, ts("2024-01-01 10:00:00.250"), dt("2024-01-05")),
+        (2L, 0L, ts("2024-01-02 09:30:00.0"), dt("2024-01-20")),
+        (3L, 0L, null.asInstanceOf[java.sql.Timestamp], dt("2024-01-09")))
+      .toDF("_id", "bkt", "t", "day")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.te"))
+      .option("id_column", "_id").mode("append").save()
+    Seq((10L, 0L, ts("2024-01-01 00:00:00.0"), ts("2024-01-01 23:59:59.999"),
+          dt("2024-01-01"), dt("2024-01-10")),
+        (11L, 0L, ts("2024-01-02 00:00:00.0"), ts("2024-01-03 00:00:00.0"),
+          dt("2024-01-15"), dt("2024-01-25")))
+      .toDF("_id", "bkt", "lo", "hi", "dlo", "dhi")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.td"))
+      .option("id_column", "_id").mode("append").save()
+    val ee = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.te",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, bkt LONG, t TIMESTAMP, day DATE").load()
+    val dd = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.td",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, bkt LONG, lo TIMESTAMP, hi TIMESTAMP, dlo DATE, dhi DATE")
+      .load()
+    val q = ee.join(dd, ee("bkt") === dd("bkt") &&
+        ee("t") >= dd("lo") && ee("t") < dd("hi"))
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedJoin: INNER db.td") &&
+      plan.contains(">= lo") && !plan.contains("Join "), plan)
+    // e1 inside dim 10's window; e2 inside dim 11's; null t never joins
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 11L)))
+    // DATE ranges: canonical midnight millis order = date order
+    val dq = ee.join(dd, ee("bkt") === dd("bkt") &&
+        ee("day") >= dd("dlo") && ee("day") < dd("dhi"))
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"))
+    assert(planOf(dq).contains(">= dlo"), planOf(dq))
+    // days 01-05 and 01-09 in [01-01, 01-10); day 01-20 in [01-15, 01-25)
+    assert(dq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 11L), (3L, 10L)))
+    // parity against local Spark over the SAME served reads
+    val le = localCopy(ee); val ld = localCopy(dd)
+    val exp = le.join(ld, le("bkt") === ld("bkt") &&
+        le("t") >= ld("lo") && le("t") < ld("hi"))
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"))
+    assert(sortedRows(q) == sortedRows(exp))
+  }
+
   test("NaN range operands follow the SERVER's below-all-numbers rule (documented caveat)") {
     import spark.implicits._
     val dir = freshDir()
