@@ -25,8 +25,33 @@ import org.apache.spark.sql.SparkSession
   */
 object ServerSeed {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        """usage: graft.ServerSeed <sfDir> <serverDir | mongodb://uri> [table ...]
+          |
+          |Seeding APPENDS into <target>'s graft_verify.<table> (live) or
+          |db.<table> (dir) collections — drop the target database / delete
+          |the directory before re-running, or rows duplicate and catalog
+          |parity fails confusingly (ADVICE r17).""".stripMargin)
+      sys.exit(2)
+    }
     val Array(sfDir, target) = args.take(2)
     val only = args.drop(2).toSet
+    // dir-mode duplicate-append guard: a non-empty target almost always
+    // means a stale previous seed — fail with the drop instruction
+    // rather than silently doubling every collection
+    if (!target.startsWith("mongodb://") && !target.startsWith("mongodb+srv://")) {
+      val p = java.nio.file.Paths.get(target)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        val nonEmpty = try s.findFirst().isPresent finally s.close()
+        if (nonEmpty) {
+          System.err.println(s"ServerSeed: target dir $target is non-empty — " +
+            "seeding appends (duplicate rows); delete it first")
+          sys.exit(2)
+        }
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")

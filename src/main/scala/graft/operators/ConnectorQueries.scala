@@ -2228,10 +2228,16 @@ object ConnectorQueries {
           .write.format("graftserver")
           .options(Map("server_dir" -> dir, "ns" -> "db.ivdocs"))
           .option("id_column", "doc_id").mode("append").save()
+        // dim `_id` must be COLLISION-FREE (a truncated hash could
+        // collide across langs — duplicate `_id` on insert, ADVICE r17):
+        // dense_rank over distinct langs is dense and deterministic
         Tables.documents(s, d).select($"lang").distinct()
+          .withColumn("li", dense_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"lang".asc_nulls_first)).cast("long"))
           .crossJoin(s.range(0, 4).select($"id".as("k")))
           .select(
-            (hash($"lang") % 1000000L * 10L + $"k").as("_id"),
+            ($"li" * 10L + $"k").as("_id"),
             $"lang", ($"k" * 120L).as("lo"), ($"k" * 120L + 180L).as("hi"))
           .write.format("graftserver")
           .options(Map("server_dir" -> dir, "ns" -> "db.ivdim"))
@@ -2278,10 +2284,15 @@ object ConnectorQueries {
           .write.format("graftserver")
           .options(Map("server_dir" -> dir, "ns" -> "db.aodocs"))
           .option("id_column", "doc_id").mode("append").save()
+        // collision-free dim `_id` (dense_rank, not a truncated hash —
+        // ADVICE r17; see q170)
         Tables.documents(s, d).select($"lang").distinct()
+          .withColumn("li", dense_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"lang".asc_nulls_first)).cast("long"))
           .crossJoin(s.range(0, 4).select($"id".as("k")))
           .select(
-            (hash($"lang") % 1000000L * 10L + $"k").as("_id"),
+            ($"li" * 10L + $"k").as("_id"),
             $"lang", ($"k" * 150L).as("ts"))
           .write.format("graftserver")
           .options(Map("server_dir" -> dir, "ns" -> "db.aockpt"))

@@ -264,7 +264,12 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
       if rel.outputSet.contains(a) &&
         (a.dataType == IntegerType || a.dataType == LongType)
       n <- lit
-      if n > 0
+      // upper bound (ADVICE r17): the pmod WIRE form adds n after the
+      // inner $mod — above 2^62 that $add can overflow int64 on a real
+      // server where Spark's branchy Pmod never does, so the int-exact
+      // contract holds only below the bound (mod's wire form has no
+      // add, but one shared conservative gate keeps the surface simple)
+      if n > 0 && n <= graft.query.ComputedCol.MaxPmodDivisor
     } yield Bin(fn, a, n, child.dataType)
   }
 }

@@ -51,6 +51,13 @@ final case class ComputedCol(out: String, fn: String, field: String, n: Long,
     outType: String = "long") {
   require(ComputedCol.Fns.contains(fn), s"unknown computed fn $fn")
   require(n > 0, s"computed $fn divisor must be positive, got $n")
+  // the pmod WIRE form is `$add[$mod(a,n), n]` then `$mod` again — for
+  // n > 2^62 the inner `$add` can exceed int64 on a real server
+  // (overflow error), so the 'exact for every int64' contract is only
+  // true below the bound; the capture rule refuses above it, this
+  // require keeps hand-set options honest (ADVICE r17)
+  require(fn != "pmod" || n <= ComputedCol.MaxPmodDivisor,
+    s"computed pmod divisor must be <= 2^62 (wire $$add overflow), got $n")
   require(outType == "int" || outType == "long",
     s"computed outType must be int|long, got $outType")
 
@@ -73,7 +80,10 @@ final case class ComputedCol(out: String, fn: String, field: String, n: Long,
   }
 
   private def apply(a: Long): Long = fn match {
-    case "pmod" => ((a % n) + n) % n
+    // branchy form, NOT ((a%n)+n)%n: Spark's Pmod never overflows (it
+    // branches on r < 0), and the add form could for extreme divisors —
+    // the evaluator must match Spark exactly (ADVICE r17)
+    case "pmod" => val r = a % n; if (r < 0) r + n else r
     case "mod" => a % n
   }
 
@@ -99,6 +109,11 @@ final case class ComputedCol(out: String, fn: String, field: String, n: Long,
 
 object ComputedCol {
   val Fns: Set[String] = Set("pmod", "mod")
+
+  /** Largest pmod divisor whose wire form `$add[$mod(a,n), n]` stays
+    * inside int64 for every int64 input: |a % n| < n, so the sum is
+    * < 2·n — bounded by 2^63 exactly when n ≤ 2^62. */
+  val MaxPmodDivisor: Long = 1L << 62
 
   /** The relation option carrying the computed columns, JSON:
     * `[{"out": "bkt", "fn": "pmod", "field": "ts", "n": 600}, ...]`. */

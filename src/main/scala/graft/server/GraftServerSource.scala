@@ -386,15 +386,26 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     // the rewrite one inferred conjunct would block every derived-key
     // join push). Everything else stays residual; Spark re-checks over
     // the reader-injected value (exact).
+    // The rewrite substitutes the SPARK column that reads the source
+    // field, NOT the raw doc path: the translator below re-applies the
+    // column_mapping, so a doc path that happens to equal another
+    // MAPPED spark column's name would translate to the wrong stored
+    // field (ADVICE r17). No unambiguous spark-side reader (hand-set
+    // options) → the test stays residual (exact over injected values).
+    def sourceSparkCol(out: String): Option[String] = {
+      val f = computedCols.find(_.out == out).get.field
+      mapping.collectFirst { case (s, d) if d == f => s }
+        .orElse(if (!mapping.contains(f)) Some(f) else None)
+    }
     val rest1 = rest0.map {
-      case org.apache.spark.sql.sources.IsNotNull(a)
+      case f @ org.apache.spark.sql.sources.IsNotNull(a)
           if computedOuts.contains(a) =>
-        org.apache.spark.sql.sources.IsNotNull(
-          computedCols.find(_.out == a).get.field)
-      case org.apache.spark.sql.sources.IsNull(a)
+        sourceSparkCol(a).map(org.apache.spark.sql.sources.IsNotNull(_))
+          .getOrElse(f)
+      case f @ org.apache.spark.sql.sources.IsNull(a)
           if computedOuts.contains(a) =>
-        org.apache.spark.sql.sources.IsNull(
-          computedCols.find(_.out == a).get.field)
+        sourceSparkCol(a).map(org.apache.spark.sql.sources.IsNull(_))
+          .getOrElse(f)
       case other => other
     }
     val (computedFilters, rest2) = rest1.partition(

@@ -459,15 +459,24 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
     // COMPUTED columns: null tests rewrite to the SOURCE field (exact);
     // everything else on a derived field is residual (the reader's
     // query match runs on STORED docs, before injection)
+    // rewrite to the SPARK column that reads the source field, never
+    // the raw doc path — the translator re-applies the column_mapping,
+    // so a colliding doc path would address the wrong stored field
+    // (ADVICE r17); no unambiguous reader → stays residual
+    def sourceSparkCol(out: String): Option[String] = {
+      val f = computedCols.find(_.out == out).get.field
+      mapping.collectFirst { case (s, d) if d == f => s }
+        .orElse(if (!mapping.contains(f)) Some(f) else None)
+    }
     val rest1 = rest0.map {
-      case org.apache.spark.sql.sources.IsNotNull(a)
+      case f @ org.apache.spark.sql.sources.IsNotNull(a)
           if computedOuts.contains(a) =>
-        org.apache.spark.sql.sources.IsNotNull(
-          computedCols.find(_.out == a).get.field)
-      case org.apache.spark.sql.sources.IsNull(a)
+        sourceSparkCol(a).map(org.apache.spark.sql.sources.IsNotNull(_))
+          .getOrElse(f)
+      case f @ org.apache.spark.sql.sources.IsNull(a)
           if computedOuts.contains(a) =>
-        org.apache.spark.sql.sources.IsNull(
-          computedCols.find(_.out == a).get.field)
+        sourceSparkCol(a).map(org.apache.spark.sql.sources.IsNull(_))
+          .getOrElse(f)
       case other => other
     }
     val (computedFilters, rest) = rest1.partition(
