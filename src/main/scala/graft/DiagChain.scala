@@ -509,6 +509,77 @@ object DiagChain {
     spark.conf.set(graft.plans.UnwindRelocate.JoinConfKey, "true")
     println(f"[diagchain] nogroup-join ratio join-only/pushed = ${halfUg / pushedUg}%.2f")
     println(f"[diagchain] nogroup-join ratio unpushed/pushed  = ${unpushedUg / pushedUg}%.2f")
+
+    // ---- r18 arm: DATE-function bins — the treasury-canonical
+    // groupBy(year(date), month(date)) as ONE $match+$set{$year,$month}+
+    // $group pipeline (q175 shape) vs the Spark aggregate over shipped
+    // rows. Same absorb mechanism as the pmod arm; the date fns are the
+    // calendar-exact renderings. ----
+    Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.dbord"))
+      .option("id_column", "o_orderkey").mode("append").save()
+    def dateBinQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.dbord", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_orderdate TIMESTAMP").load()
+      o.groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+        .agg(count(lit(1)).as("n"), sum($"o_custkey").as("total"))
+    }
+    spark.conf.set(graft.plans.ComputedKeyRelocate.ConfKey, "true")
+    val planDb = dateBinQuery().queryExecution.executedPlan.toString
+    require(planDb.contains("= year(o_orderdate)") &&
+      planDb.contains("= month(o_orderdate)") &&
+      planDb.contains("PushedGroupedAggregate"),
+      s"date-bin group did not push:\n$planDb")
+    val pushedDb = time("date-bin-group PUSHED")(dateBinQuery())
+    spark.conf.set(graft.plans.ComputedKeyRelocate.ConfKey, "false")
+    val unpushedDb = time("date-bin-group UNPUSHED")(dateBinQuery())
+    spark.conf.set(graft.plans.ComputedKeyRelocate.ConfKey, "true")
+    println(f"[diagchain] date-bin-group ratio unpushed/pushed = ${unpushedDb / pushedDb}%.2f")
+
+    // ---- r18 arm: RANGE conjuncts through a CHAINED $lookup stage —
+    // the 3-way star with one interval edge (q177 shape) as ONE
+    // pipeline vs the r17 state (base pushed, chained collection joined
+    // Spark-side) vs fully unpushed. The nation-bracket dim keys the
+    // chain on c_nationkey with an o_totalprice [lo, hi) interval. ----
+    spark.range(0, 25L * 4).select($"id".as("_id"),
+        ($"id" % 25L).cast("int").as("nk"),
+        ($"id" / 25L * 120000L).cast("double").as("lo"),
+        ($"id" / 25L * 120000L + 180000L).cast("double").as("hi"))
+      .write.format("graftserver")
+      .options(base ++ Map("ns" -> "db.nkbr"))
+      .option("id_column", "_id").mode("append").save()
+    def chainRangeQuery() = {
+      val o = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.ord3", "assume_uniform_storage" -> "true"))
+        .option("split_size", (4L * 1024 * 1024).toString)
+        .schema("_id LONG, o_custkey LONG, o_totalprice DOUBLE").load()
+      val c = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.cust3", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, c_nationkey INT").load()
+      val br = spark.read.format("graftserver")
+        .options(base ++ Map("ns" -> "db.nkbr", "assume_uniform_storage" -> "true"))
+        .schema("_id LONG, nk INT, lo DOUBLE, hi DOUBLE").load()
+      o.join(c, o("o_custkey") === c("_id"))
+        .join(br, c("c_nationkey") === br("nk") &&
+          o("o_totalprice") >= br("lo") && o("o_totalprice") < br("hi"))
+        .groupBy($"nk", br("lo").as("lo"))
+        .agg(count(lit(1)).as("n"))
+    }
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    val planCr = chainRangeQuery().queryExecution.executedPlan.toString
+    require(planCr.contains("THEN INNER db.nkbr") &&
+      planCr.contains(">= lo") && planCr.contains("< hi") &&
+      !planCr.contains("Join "),
+      s"chained range did not push:\n$planCr")
+    val pushedCr = time("chain-range PUSHED")(chainRangeQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "false")
+    val unpushedCr = time("chain-range UNPUSHED")(chainRangeQuery())
+    spark.conf.set(GraftConf.JoinPushdownConf, "true")
+    println(f"[diagchain] chain-range ratio unpushed/pushed = ${unpushedCr / pushedCr}%.2f")
     spark.stop()
   }
 }

@@ -2444,6 +2444,137 @@ object ConnectorQueries {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY lang ASC NULLS FIRST, bkt ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // Server-side DATE-function bins (r18): the treasury-canonical
+    // `groupBy(year(date))` (TreasuryYieldMapper.java:47-53 pulls the
+    // year; TreasuryYieldReducer.java:48-71 folds per-year aggregates)
+    // over a SERVED collection — ComputedKeyRelocate absorbs
+    // `year(o_orderdate)`/`month(o_orderdate)` as `$set: {$year/$month
+    // {date, timezone: "UTC"}}` columns, so the whole shape folds as ONE
+    // `$match`+`$set`+`$group` pipeline per split instead of shipping
+    // every row (the last reference-canonical shape that used to).
+    // UTC-pinned proleptic-Gregorian calendar on both sides
+    // (ComputedColSpec pins the edges; live shape #40 the wire form).
+    CatalogQuery(
+      "q175_server_year_bin_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ybo"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        s.read.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.ybo",
+            "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, o_custkey LONG, o_orderdate TIMESTAMP").load()
+          .groupBy(year($"o_orderdate").as("o_year"),
+            month($"o_orderdate").as("o_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_custkey").as("cust_total"),
+            max($"_id").as("hi_key"))
+          .orderBy($"o_year".asc_nulls_first, $"o_month".asc_nulls_first)
+      },
+      Some("""
+        |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_total,
+        |  max(o_orderkey) AS hi_key
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_year ASC NULLS FIRST, o_month ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // The FILE-transport arm of the date bins (r18): `date_trunc(hour)`
+    // over a BSON dump of events folds into per-split grouped partials —
+    // the reader injects the truncated instant at the same stage
+    // position as the server's `$set {$dateTrunc}`. Hour truncation is
+    // immune to BSON's millisecond floor (a micros value never crosses
+    // an hour boundary when ms-floored), so the dump read matches the
+    // parquet oracle exactly.
+    CatalogQuery(
+      "q176_file_date_trunc_bin",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.events(s, d)
+          .select($"event_id", $"ts", $"user_id")
+          .write.format("graftbson").option("id_column", "event_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .option("assume_uniform_storage", "true")
+          .schema("_id LONG, ts TIMESTAMP, user_id LONG")
+          .load(dir)
+          .groupBy(date_trunc("hour", $"ts").as("h"))
+          .agg(count(lit(1)).as("n"), sum($"user_id").as("users"))
+          .orderBy($"h".asc_nulls_first)
+      },
+      Some("""
+        |SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1 ORDER BY h ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // Range conjuncts through CHAINED $lookup stages (r18): a 3-way
+    // star whose SECOND join edge carries the interval — equi on lang,
+    // then equi(lang) + [lo, hi) bracket on n_chars in the chained
+    // stage's $expr — runs as ONE pipeline per split, zero Spark joins
+    // (r17 refused the stage and joined the chained collection
+    // Spark-side; RangeJoinPushdownSpec pins plan/outer/string corners).
+    CatalogQuery(
+      "q177_server_chained_range_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"n_chars")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.crdocs"))
+          .option("id_column", "doc_id").mode("append").save()
+        val langs = Tables.documents(s, d).select($"lang").distinct()
+          .withColumn("li", dense_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"lang".asc_nulls_first)).cast("long"))
+        langs.select($"li".as("_id"), $"lang", upper($"lang").as("lbl"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.crlang"))
+          .option("id_column", "_id").mode("append").save()
+        langs.crossJoin(s.range(0, 4).select($"id".as("k")))
+          .select(($"li" * 10L + $"k").as("_id"), $"lang",
+            ($"k" * 120L).as("lo"), ($"k" * 120L + 180L).as("hi"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.crbr"))
+          .option("id_column", "_id").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.crdocs"))
+          .schema("_id LONG, lang STRING, n_chars LONG").load()
+        val dl = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.crlang"))
+          .schema("_id LONG, lang STRING, lbl STRING").load()
+        val db = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.crbr"))
+          .schema("_id LONG, lang STRING, lo LONG, hi LONG").load()
+        o.join(dl, o("lang") === dl("lang"))
+          .join(db, o("lang") === db("lang") &&
+            o("n_chars") >= db("lo") && o("n_chars") < db("hi"))
+          .groupBy($"lbl", db("lo").as("lo"))
+          .agg(count(lit(1)).as("n"), sum(o("n_chars")).as("total"))
+          .orderBy($"lbl".asc_nulls_first, $"lo".asc)
+      },
+      Some("""
+        |SELECT upper(d.lang) AS lbl, b.lo, count(*) AS n,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total
+        |FROM documents d
+        |JOIN (SELECT DISTINCT lang FROM documents) l ON d.lang = l.lang
+        |JOIN (SELECT lang, k * 120 AS lo, k * 120 + 180 AS hi
+        |      FROM (SELECT DISTINCT lang FROM documents)
+        |      CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)) b
+        |  ON d.lang = b.lang AND d.n_chars >= b.lo AND d.n_chars < b.hi
+        |GROUP BY 1, 2 ORDER BY lbl ASC NULLS FIRST, b.lo ASC
         |""".stripMargin))
   )
 }

@@ -6,14 +6,18 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
 
-/** Optimizer rule (r17): absorb an INT-EXACT bin expression —
-  * `pmod(col, n)` / `col % n` over a graftserver relation's Int/Long
-  * column — into the relation as a DERIVED column
+/** Optimizer rule (r17; date bins r18): absorb an EXACT bin expression —
+  * `pmod(col, n)` / `col % n` over a graft relation's Int/Long column,
+  * or the calendar bins `year/month/dayofmonth(col)` (Date or Timestamp)
+  * and `date_trunc(unit, col)` under the engine's pinned UTC zone
+  * (the treasury-canonical `groupBy(year(date))`,
+  * reference examples/treasury_yield/.../TreasuryYieldMapper.java:47-53)
+  * — into the relation as a DERIVED column
   * ([[graft.query.ComputedCol]], the `computed_columns` option), so a
   * bin key computed in the query no longer blocks any pushdown that
   * needs attribute-only leg shapes:
@@ -138,7 +142,11 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
       return None
     val computed = bins.map { case (name, _, b) =>
       ComputedCol(name, b.fn, existing.getOrElse(b.src.name, b.src.name), b.n,
-        if (b.dataType == IntegerType) "int" else "long")
+        b.dataType match {
+          case IntegerType => "int"
+          case TimestampType => "timestamp"
+          case _ => "long"
+        }, b.unit)
     }
     val dts = bins.map(_._3.dataType)
     val newSchema = StructType(rel.schema.fields ++
@@ -158,16 +166,39 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
 
   private def relocateProject(p: Project, projectList: Seq[NamedExpression],
       child: LogicalPlan, rel: DataSourceV2Relation): LogicalPlan = {
-    val aliased = projectList.flatMap(e => aliasBin(e, rel).map(e -> _))
-    val bins = aliased.map { case (a, b) =>
-      (a.name, a.exprId, b)
+    // uniquify colliding alias names (Spark's PullOutGroupingExpressions
+    // names EVERY pulled grouping alias `_groupingexpression`, so a
+    // multi-key `groupBy(year(d), month(d))` arrives with duplicate
+    // names): the DOC field gets a fresh suffixed name while the
+    // project keeps an Alias back to the original name/exprId — the
+    // user-visible schema never changes
+    val taken = scala.collection.mutable.Set[String](
+      rel.schema.fieldNames.toIndexedSeq: _*)
+    val aliased: Seq[(Alias, Bin, String, ExprId)] = projectList.flatMap {
+      case a: Alias => binOf(a.child, rel).map { b =>
+        val name =
+          if (!taken.contains(a.name)) a.name
+          else {
+            var i = 1
+            while (taken.contains(s"${a.name}_$i")) i += 1
+            s"${a.name}_$i"
+          }
+        taken += name
+        val id = if (name == a.name) a.exprId else NamedExpression.newExprId
+        (a, b, name, id)
+      }
+      case _ => None
     }
-    absorb(rel, bins) match {
+    absorb(rel, aliased.map { case (_, b, n, id) => (n, id, b) }) match {
       case None => p
       case Some((newRel, newAttrs)) =>
-        val byId = newAttrs.map(at => at.exprId -> at).toMap
+        val byAliasId: Map[ExprId, NamedExpression] =
+          aliased.zip(newAttrs).map { case ((a, _, name, _), attr) =>
+            a.exprId -> (if (name == a.name) attr
+              else Alias(attr, a.name)(exprId = a.exprId))
+          }.toMap
         val newList = projectList.map {
-          case a: Alias if byId.contains(a.exprId) => byId(a.exprId)
+          case a: Alias if byAliasId.contains(a.exprId) => byAliasId(a.exprId)
           case other => other
         }
         Project(newList, rebuildSpine(child, newRel, newAttrs))
@@ -224,10 +255,11 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** A renderable bin: fn + source attribute + positive divisor; the
-    * bin's Spark type is the EXPRESSION's (int or long). */
+  /** A renderable bin: fn + source attribute + divisor (mod fns) or
+    * `$dateTrunc` unit (date fns); the bin's Spark type is the
+    * EXPRESSION's (int, long, or timestamp). */
   private final case class Bin(fn: String, src: AttributeReference, n: Long,
-      dataType: org.apache.spark.sql.types.DataType)
+      dataType: org.apache.spark.sql.types.DataType, unit: String = "")
 
   private def aliasBin(e: NamedExpression, rel: DataSourceV2Relation): Option[Bin] =
     e match {
@@ -235,15 +267,91 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** `pmod(col, n)` / `col % n` over the relation's own Int/Long column
-    * with a POSITIVE integer literal — optionally through a widening
-    * int→long cast (exact). */
-  private def binOf(child: Expression, rel: DataSourceV2Relation): Option[Bin] = {
-    val (fn, l, r) = child match {
-      case pm: Pmod => ("pmod", pm.left, pm.right)
-      case rm: Remainder => ("mod", rm.left, rm.right)
-      case _ => return None
+  /** A tz id that IS UTC (the analyzer resolves the session zone into
+    * casts and date_trunc — the calendar contract renders `timezone:
+    * "UTC"` on the wire, so only UTC-resolved expressions capture). */
+  private def isUtc(tz: Option[String]): Boolean = tz.exists { z =>
+    try java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC
+    catch { case _: Exception => false }
+  }
+
+  /** Spark's `date_trunc` level spellings → the mongo `$dateTrunc` unit.
+    * MICROSECOND is deliberately absent: mongo has no unit below
+    * millisecond (stored BSON datetimes are whole millis anyway, but a
+    * refusal beats a silent identity claim). */
+  private val TruncUnitOf: Map[String, String] = Map(
+    "YEAR" -> "year", "YYYY" -> "year", "YY" -> "year",
+    "QUARTER" -> "quarter",
+    "MONTH" -> "month", "MON" -> "month", "MM" -> "month",
+    "WEEK" -> "week",
+    "DAY" -> "day", "DD" -> "day",
+    "HOUR" -> "hour", "MINUTE" -> "minute", "SECOND" -> "second",
+    "MILLISECOND" -> "millisecond")
+
+  /** The DATE-bracket source attribute of a calendar-field expression:
+    * a Date column directly, or a Timestamp column through the
+    * analyzer's UTC timestamp→date cast (`year(ts)` arrives as
+    * `Year(Cast(ts, date, tz))` — exact under the engine's pinned UTC
+    * session; any other zone refuses). */
+  private def dateSrc(e: Expression, rel: DataSourceV2Relation):
+      Option[AttributeReference] = e match {
+    case a: AttributeReference if a.dataType == DateType &&
+        rel.outputSet.contains(a) => Some(a)
+    case c: Cast if c.dataType == DateType && isUtc(c.timeZoneId) =>
+      c.child match {
+        case a: AttributeReference if a.dataType == TimestampType &&
+            rel.outputSet.contains(a) => Some(a)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The TIMESTAMP-or-date source of a `date_trunc`: a Timestamp column
+    * directly, or a Date column through the UTC date→timestamp cast
+    * (stored BSON dates are canonical UTC midnights — the cast's value
+    * IS the stored value). */
+  private def tsSrc(e: Expression, rel: DataSourceV2Relation):
+      Option[AttributeReference] = e match {
+    case a: AttributeReference if a.dataType == TimestampType &&
+        rel.outputSet.contains(a) => Some(a)
+    case c: Cast if c.dataType == TimestampType && isUtc(c.timeZoneId) =>
+      c.child match {
+        case a: AttributeReference if a.dataType == DateType &&
+            rel.outputSet.contains(a) => Some(a)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** A renderable bin expression over the relation's own columns:
+    * `pmod(col, n)` / `col % n` (Int/Long, positive literal ≤ 2^62,
+    * optionally through a widening int→long cast), or the r18 date bins
+    * `year/month/dayofmonth(dateOrTsCol)` and
+    * `date_trunc(unit, tsOrDateCol)` under a UTC-resolved zone. */
+  private def binOf(child: Expression, rel: DataSourceV2Relation): Option[Bin] =
+    child match {
+      case pm: Pmod => modBin("pmod", pm.left, pm.right, rel, child.dataType)
+      case rm: Remainder => modBin("mod", rm.left, rm.right, rel, child.dataType)
+      case y: Year => dateSrc(y.child, rel).map(Bin("year", _, 0L, IntegerType))
+      case m: Month => dateSrc(m.child, rel).map(Bin("month", _, 0L, IntegerType))
+      case d: DayOfMonth =>
+        dateSrc(d.child, rel).map(Bin("dayofmonth", _, 0L, IntegerType))
+      case t: TruncTimestamp if isUtc(t.timeZoneId) =>
+        val unit = t.format match {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, _)
+              if u != null => TruncUnitOf.get(u.toString.toUpperCase)
+          case _ => None
+        }
+        for {
+          u <- unit
+          a <- tsSrc(t.timestamp, rel)
+        } yield Bin("date_trunc", a, 0L, TimestampType, u)
+      case _ => None
     }
+
+  private def modBin(fn: String, l: Expression, r: Expression,
+      rel: DataSourceV2Relation,
+      dt: org.apache.spark.sql.types.DataType): Option[Bin] = {
     val srcAttr = l match {
       case a: AttributeReference => Some(a)
       case c: Cast if c.dataType == LongType =>
@@ -270,6 +378,6 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
       // contract holds only below the bound (mod's wire form has no
       // add, but one shared conservative gate keeps the surface simple)
       if n > 0 && n <= graft.query.ComputedCol.MaxPmodDivisor
-    } yield Bin(fn, a, n, child.dataType)
+    } yield Bin(fn, a, n, dt)
   }
 }

@@ -4,20 +4,42 @@ import graft.bson._
 
 import scala.collection.immutable.ListMap
 
-/** A DERIVED integer column absorbed into a graftserver relation
-  * (r17, `graft.plans.ComputedKeyRelocate`): `out = fn(field, n)` where
-  * `fn` is one of the INT-EXACT bin functions —
+/** A DERIVED column absorbed into a graft relation (r17/r18,
+  * `graft.plans.ComputedKeyRelocate`): `out = fn(field[, n | unit])`
+  * where `fn` is one of the EXACT bin functions —
   *
-  *  - `pmod`: Spark's `pmod(col, n)` = `((col % n) + n) % n` (always
-  *    non-negative for n > 0);
+  * Integer bins (r17):
+  *  - `pmod`: Spark's `pmod(col, n)` = non-negative remainder for n > 0;
   *  - `mod`: Spark's `col % n` (sign follows the dividend — Java, Spark,
   *    and mongo `$mod` all agree).
   *
-  * Both are exact over int32/int64 for every input (no overflow for
-  * 0 < n: |col % n| + n < 2·n ≪ 2^63), which is why the surface stops
-  * here: a `floor(col / n)` bin routes through `$divide`, whose DOUBLE
-  * arithmetic silently diverges from Spark's exact integer division
-  * beyond 2^53 — refused rather than caveated.
+  * Both are exact over int32/int64 for every input and every admitted
+  * divisor 0 < n ≤ 2^62 (the pmod WIRE form `$add[$mod(a,n), n]` could
+  * overflow int64 above that — refused, ADVICE r17), which is why the
+  * integer surface stops here: a `floor(col / n)` bin routes through
+  * `$divide`, whose DOUBLE arithmetic silently diverges from Spark's
+  * exact integer division beyond 2^53 — refused rather than caveated.
+  *
+  * Date bins (r18, the treasury-canonical `groupBy(year(date))` shape —
+  * reference examples/treasury_yield/.../TreasuryYieldMapper.java:47-53):
+  *  - `year` / `month` / `dayofmonth`: mongo `$year`/`$month`/
+  *    `$dayOfMonth` with an EXPLICIT `timezone: "UTC"` — exact integer
+  *    calendar extraction over BSON datetimes (int64 UTC millis), equal
+  *    to Spark's `year(col)`/`month(col)`/`dayofmonth(col)` under the
+  *    engine's pinned UTC session (the capture rule verifies the
+  *    analyzer-inserted timestamp→date cast is UTC). Both engines use
+  *    the PROLEPTIC Gregorian calendar (Spark 3+: java.time; mongo:
+  *    timelib) — including pre-1582 and pre-1970 (negative-millis)
+  *    dates, pinned by ComputedColSpec and live shape #40.
+  *  - `date_trunc`: mongo `$dateTrunc {date, unit, timezone: "UTC"[,
+  *    startOfWeek: "monday"]}` with the default binSize 1 — truncation
+  *    to the natural unit boundary, equal to Spark's
+  *    `date_trunc(unit, ts)` under UTC. `week` pins `startOfWeek:
+  *    "monday"` (Spark truncates to Monday; mongo's default is Sunday).
+  *    Admitted units: year/quarter/month/week/day/hour/minute/second/
+  *    millisecond (stored BSON datetimes are whole millis, so
+  *    `millisecond` is the finest stored boundary; Spark's MICROSECOND
+  *    level is refused at capture rather than claimed as an identity).
   *
   * The value materializes as a document field named `out` —
   *
@@ -31,55 +53,93 @@ import scala.collection.immutable.ListMap
   *  - evaluated by the fake transport before its pipeline equivalents,
   *    mirroring the `$set` position.
   *
-  * Null/missing input → null output (mongo's arithmetic-operator rule,
-  * pinned by the live gate); non-numeric STORED values throw — the
-  * fail-loud mixed-storage stance (a server's `$mod` on a string errors
-  * the same way), which the `assume_uniform_storage` capture gate makes
+  * Null/missing input → null output (mongo's rule for `$mod` and for
+  * every date expression operator, pinned by the live gate);
+  * wrong-typed STORED values throw — the fail-loud mixed-storage stance
+  * (a server's `$mod` on a string / `$year` on an int errors the same
+  * way), which the `assume_uniform_storage` capture gate makes
   * unreachable for engine-written data. A stored DOUBLE computes mongo's
-  * double `$mod` (value parity with a live server; the decode layer
-  * then applies its standard read semantics for the declared type).
+  * double `$mod` (value parity with a live server); a stored BSON
+  * TIMESTAMP feeds the date operators its seconds (mongo accepts
+  * timestamps there — same value the TimestampType decode reads).
   */
-final case class ComputedCol(out: String, fn: String, field: String, n: Long,
-    /** The OUT column's Spark width — "int" or "long". Decides the
-      * `$set` literal's BSON width, and with it mongo's `$mod` result
-      * TYPE (int32 % int32 → int32; anything % int64 → int64): an
-      * int-width bin over int32 storage stays int32 on the wire and a
-      * long-width bin promotes to int64 — exactly what the declared
-      * column decodes. The evaluator mirrors the same promotion so the
-      * sandbox and a live server produce the same BSON type, not just
-      * the same value. */
-    outType: String = "long") {
+final case class ComputedCol(out: String, fn: String, field: String,
+    /** Divisor of the integer-bin fns; unused (0) for date fns. */
+    n: Long = 0L,
+    /** The OUT column's Spark width — "int", "long", or "timestamp".
+      * For the `$mod` fns it decides the `$set` literal's BSON width,
+      * and with it mongo's `$mod` result TYPE (int32 % int32 → int32;
+      * anything % int64 → int64): an int-width bin over int32 storage
+      * stays int32 on the wire and a long-width bin promotes to int64 —
+      * exactly what the declared column decodes. The evaluator mirrors
+      * the same promotion so the sandbox and a live server produce the
+      * same BSON type, not just the same value. Date-field fns are
+      * int32 ("int"); `date_trunc` yields a BSON datetime
+      * ("timestamp"). */
+    outType: String = "long",
+    /** `date_trunc` unit (mongo `$dateTrunc` spelling); "" otherwise. */
+    unit: String = "") {
   require(ComputedCol.Fns.contains(fn), s"unknown computed fn $fn")
-  require(n > 0, s"computed $fn divisor must be positive, got $n")
-  // the pmod WIRE form is `$add[$mod(a,n), n]` then `$mod` again — for
-  // n > 2^62 the inner `$add` can exceed int64 on a real server
-  // (overflow error), so the 'exact for every int64' contract is only
-  // true below the bound; the capture rule refuses above it, this
-  // require keeps hand-set options honest (ADVICE r17)
-  require(fn != "pmod" || n <= ComputedCol.MaxPmodDivisor,
-    s"computed pmod divisor must be <= 2^62 (wire $$add overflow), got $n")
-  require(outType == "int" || outType == "long",
-    s"computed outType must be int|long, got $outType")
-
-  /** The computed value for one document — None = null (null/missing
-    * input). Mirrors the `$set` rendering exactly, including mongo's
-    * `$mod` type promotion against the literal's width. */
-  def eval(d: BDoc): Option[BsonValue] = d.getPath(field) match {
-    case None | Some(BNull) => None
-    case Some(BInt32(x)) =>
-      val v = apply(x.toLong)
-      Some(if (outType == "int") BInt32(v.toInt) else BInt64(v))
-    case Some(BInt64(x)) => Some(BInt64(apply(x)))
-    case Some(BDouble(x)) =>
-      // mongo $mod on doubles: double remainder (sign follows dividend)
-      val m = x % n
-      Some(BDouble(if (fn == "pmod") ((m + n) % n) else m))
-    case Some(other) => throw new IllegalArgumentException(
-      s"computed $fn($field, $n): non-numeric stored value $other " +
-        "(a live server's $mod errors identically)")
+  require(outType == "int" || outType == "long" || outType == "timestamp",
+    s"computed outType must be int|long|timestamp, got $outType")
+  if (ComputedCol.ModFns.contains(fn)) {
+    require(n > 0, s"computed $fn divisor must be positive, got $n")
+    // the pmod WIRE form is `$add[$mod(a,n), n]` then `$mod` again — for
+    // n > 2^62 the inner `$add` can exceed int64 on a real server
+    // (overflow error), so the 'exact for every int64' contract is only
+    // true below the bound; the capture rule refuses above it, this
+    // require keeps hand-set options honest (ADVICE r17)
+    require(fn != "pmod" || n <= ComputedCol.MaxPmodDivisor,
+      s"computed pmod divisor must be <= 2^62 (wire $$add overflow), got $n")
+    require(outType != "timestamp", s"computed $fn cannot be timestamp-typed")
+  } else if (fn == "date_trunc") {
+    require(ComputedCol.TruncUnits.contains(unit),
+      s"computed date_trunc unit must be one of ${ComputedCol.TruncUnits}, got '$unit'")
+    require(outType == "timestamp",
+      s"computed date_trunc outType must be timestamp, got $outType")
+  } else { // year / month / dayofmonth
+    require(outType == "int", s"computed $fn outType must be int, got $outType")
   }
 
-  private def apply(a: Long): Long = fn match {
+  /** The computed value for one document — None = null (null/missing
+    * input). Mirrors the wire rendering exactly: `$mod` type promotion
+    * against the literal's width for the integer bins; UTC proleptic-
+    * Gregorian calendar math (java.time — identical to Spark's) for the
+    * date fns. */
+  def eval(d: BDoc): Option[BsonValue] = d.getPath(field) match {
+    case None | Some(BNull) => None
+    case Some(v) if ComputedCol.ModFns.contains(fn) => v match {
+      case BInt32(x) =>
+        val r = modOf(x.toLong)
+        Some(if (outType == "int") BInt32(r.toInt) else BInt64(r))
+      case BInt64(x) => Some(BInt64(modOf(x)))
+      case BDouble(x) =>
+        // mongo $mod on doubles: double remainder (sign follows dividend)
+        val m = x % n
+        Some(BDouble(if (fn == "pmod" && m < 0) m + n else m))
+      case other => throw new IllegalArgumentException(
+        s"computed $fn($field, $n): non-numeric stored value $other " +
+          "(a live server's $mod errors identically)")
+    }
+    case Some(v) => // date fns
+      val ms = v match {
+        case BDate(x) => x
+        // mongo date operators accept BSON timestamps (seconds part) —
+        // the same instant the TimestampType decode reads
+        case BTimestamp(s, _) => s.toLong * 1000L
+        case other => throw new IllegalArgumentException(
+          s"computed $fn($field): non-date stored value $other " +
+            "(a live server's date operators error identically)")
+      }
+      fn match {
+        case "year" => Some(BInt32(ComputedCol.utc(ms).getYear))
+        case "month" => Some(BInt32(ComputedCol.utc(ms).getMonthValue))
+        case "dayofmonth" => Some(BInt32(ComputedCol.utc(ms).getDayOfMonth))
+        case "date_trunc" => Some(BDate(ComputedCol.truncUtcMillis(ms, unit)))
+      }
+  }
+
+  private def modOf(a: Long): Long = fn match {
     // branchy form, NOT ((a%n)+n)%n: Spark's Pmod never overflows (it
     // branches on r < 0), and the add form could for extreme divisors —
     // the evaluator must match Spark exactly (ADVICE r17)
@@ -93,30 +153,93 @@ final case class ComputedCol(out: String, fn: String, field: String, n: Long,
     Updates.setField(d, out, eval(d).getOrElse(BNull))
 
   /** The aggregation expression of the `$set` stage entry. */
-  def setExpr: BsonValue = {
-    def lit: BsonValue =
-      if (outType == "int") BInt32(n.toInt) else BInt64(n)
-    def mod(e: BsonValue): BsonValue =
-      BDoc("$mod" -> BArray(Vector(e, lit)))
-    val base = mod(BString("$" + field))
-    fn match {
-      case "mod" => base
-      case "pmod" =>
-        mod(BDoc("$add" -> BArray(Vector(base, lit))))
-    }
+  def setExpr: BsonValue = fn match {
+    case "pmod" | "mod" =>
+      def lit: BsonValue =
+        if (outType == "int") BInt32(n.toInt) else BInt64(n)
+      def mod(e: BsonValue): BsonValue =
+        BDoc("$mod" -> BArray(Vector(e, lit)))
+      val base = mod(BString("$" + field))
+      if (fn == "mod") base
+      else mod(BDoc("$add" -> BArray(Vector(base, lit))))
+    case "year" | "month" | "dayofmonth" =>
+      val op = fn match {
+        case "year" => "$year"
+        case "month" => "$month"
+        case "dayofmonth" => "$dayOfMonth"
+      }
+      // explicit timezone (UTC is mongo's default, but the engine's
+      // whole calendar contract hangs on it — render it, don't imply it)
+      BDoc(op -> BDoc(
+        "date" -> BString("$" + field),
+        "timezone" -> BString("UTC")))
+    case "date_trunc" =>
+      BDoc("$dateTrunc" -> BDoc(ListMap(
+        (Seq[(String, BsonValue)](
+          "date" -> BString("$" + field),
+          "unit" -> BString(unit),
+          "timezone" -> BString("UTC")) ++
+          // Spark's week truncates to MONDAY; mongo's default startOfWeek
+          // is Sunday — pin it (only legal alongside unit: "week")
+          (if (unit == "week") Seq("startOfWeek" -> (BString("monday"): BsonValue))
+           else Nil)): _*)))
+  }
+
+  /** Plan-description spelling (`PushedComputed: [...]`). */
+  def describe: String = fn match {
+    case "pmod" | "mod" => s"$out = $fn($field, $n)"
+    case "date_trunc" => s"$out = date_trunc($unit, $field)"
+    case _ => s"$out = $fn($field)"
   }
 }
 
 object ComputedCol {
-  val Fns: Set[String] = Set("pmod", "mod")
+  val ModFns: Set[String] = Set("pmod", "mod")
+  val DateFns: Set[String] = Set("year", "month", "dayofmonth", "date_trunc")
+  val Fns: Set[String] = ModFns ++ DateFns
+
+  /** Admitted `$dateTrunc` units (mongo spelling; Spark's MICROSECOND
+    * level is refused at capture — no mongo unit below millisecond). */
+  val TruncUnits: Set[String] = Set("year", "quarter", "month", "week",
+    "day", "hour", "minute", "second", "millisecond")
 
   /** Largest pmod divisor whose wire form `$add[$mod(a,n), n]` stays
     * inside int64 for every int64 input: |a % n| < n, so the sum is
     * < 2·n — bounded by 2^63 exactly when n ≤ 2^62. */
   val MaxPmodDivisor: Long = 1L << 62
 
+  private[query] def utc(ms: Long): java.time.ZonedDateTime =
+    java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+
+  /** `$dateTrunc` (binSize 1, UTC, startOfWeek monday) over UTC millis —
+    * proleptic Gregorian via java.time, the same calendar Spark's
+    * `date_trunc` uses, so sandbox and Spark agree bit-for-bit; sub-day
+    * units truncate by floor-mod (exact for negative/pre-1970 millis —
+    * the epoch sits on a midnight, and hours/minutes/seconds divide the
+    * day evenly). */
+  private[query] def truncUtcMillis(ms: Long, unit: String): Long = {
+    import java.time._
+    def dayStartMs(d: LocalDate): Long =
+      d.atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    lazy val z = utc(ms)
+    unit match {
+      case "year" => dayStartMs(LocalDate.of(z.getYear, 1, 1))
+      case "quarter" =>
+        dayStartMs(LocalDate.of(z.getYear, ((z.getMonthValue - 1) / 3) * 3 + 1, 1))
+      case "month" => dayStartMs(LocalDate.of(z.getYear, z.getMonthValue, 1))
+      case "week" => dayStartMs(z.toLocalDate.`with`(
+        java.time.temporal.TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY)))
+      case "day" => ms - Math.floorMod(ms, 86400000L)
+      case "hour" => ms - Math.floorMod(ms, 3600000L)
+      case "minute" => ms - Math.floorMod(ms, 60000L)
+      case "second" => ms - Math.floorMod(ms, 1000L)
+      case "millisecond" => ms
+    }
+  }
+
   /** The relation option carrying the computed columns, JSON:
-    * `[{"out": "bkt", "fn": "pmod", "field": "ts", "n": 600}, ...]`. */
+    * `[{"out": "bkt", "fn": "pmod", "field": "ts", "n": 600},
+    *   {"out": "y", "fn": "year", "field": "d", "t": "int"}, ...]`. */
   val OptionKey = "computed_columns"
 
   def parse(json: String): Seq[ComputedCol] = {
@@ -130,9 +253,10 @@ object ComputedCol {
           case other => throw new IllegalArgumentException(
             s"computed_columns $k must be a string, got $other")
         }
-        val n = m("n") match {
-          case JInt(x) => x.toLong
-          case JLong(x) => x
+        val n = m.get("n") match {
+          case Some(JInt(x)) => x.toLong
+          case Some(JLong(x)) => x
+          case None => 0L
           case other => throw new IllegalArgumentException(
             s"computed_columns n must be an integer, got $other")
         }
@@ -142,7 +266,13 @@ object ComputedCol {
           case other => throw new IllegalArgumentException(
             s"computed_columns t must be a string, got $other")
         }
-        ComputedCol(str("out"), str("fn"), str("field"), n, t)
+        val u = m.get("u") match {
+          case Some(JString(x)) => x
+          case None => ""
+          case other => throw new IllegalArgumentException(
+            s"computed_columns u must be a string, got $other")
+        }
+        ComputedCol(str("out"), str("fn"), str("field"), n, t, u)
       case other => throw new IllegalArgumentException(
         s"computed_columns entry must be an object, got $other")
     }
@@ -153,7 +283,7 @@ object ComputedCol {
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JsonMethods.render(cols.map(c =>
       ("out" -> c.out) ~ ("fn" -> c.fn) ~ ("field" -> c.field) ~
-        ("n" -> c.n) ~ ("t" -> c.outType))))
+        ("n" -> c.n) ~ ("t" -> c.outType) ~ ("u" -> c.unit))))
   }
 
   /** Parse a relation options map (empty when the option is absent). */

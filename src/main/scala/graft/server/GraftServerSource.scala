@@ -1147,16 +1147,24 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
         if (leftOut.contains(QueryDocs.JoinedField) ||
             rightOut.contains(QueryDocs.JoinedField)) return false
         orientCond(condition, lp, rp) match {
-          // chained stages take EQUALITIES only — a range conjunct on a
-          // chain refuses the stage (the base pipeline stays pushed;
-          // Spark joins the chained collection above it)
-          case Some((refs, Seq())) if refs.forall { case (l, r) =>
+          // r18: a chained stage carries its own RANGE conjuncts — the
+          // per-stage `$expr` rendering is the base join's; safety gates
+          // resolve each LEFT operand to its ORIGIN side's options (a
+          // nested ref by its HEAD column), the right side to the
+          // chained collection's
+          case Some((refs, rngRefs)) if refs.forall { case (l, r) =>
               // a nested key's safety is its HEAD column's origin side
               val srcOpts = lp.collectFirst {
                 case (src, out, _) if out == l.name.split('.').head =>
                   joinedColOpts.getOrElse(src, options) }.getOrElse(options)
               joinKeySafe(l.dataType, srcOpts) &&
-                joinKeySafe(r.dataType, o.joinOptions) } =>
+                joinKeySafe(r.dataType, o.joinOptions) } &&
+              rngRefs.forall { case (l, _, r) =>
+                val srcOpts = lp.collectFirst {
+                  case (src, out, _) if out == l.name.split('.').head =>
+                    joinedColOpts.getOrElse(src, options) }.getOrElse(options)
+                rangeKeySafe(l.dataType, srcOpts) &&
+                  rangeKeySafe(r.dataType, o.joinOptions) } =>
             // remap carried sample keys through the chain's re-projection
             // (prev output -> new alias); a key the new projection
             // DROPPED rides as a HIDDEN extra instead (r15) — appended
@@ -1202,7 +1210,9 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
               BQuery.and(GraftServerSource.optionQuery(o.joinOptions),
                 o.pushedQuery),
               rp.map(p => (p._1, p._2)) ++ oSample.flatMap(_._2).toSeq,
-              keys, leftOuter)
+              keys, leftOuter,
+              ranges = rngRefs.map { case (l, op, r) =>
+                LookupJoin.RangeKey(l.name, op, r.name) })
             joined = Some(j.copy(chain = j.chain :+ stage,
               output = (lp ++ rp).map(p => (p._2, p._3))))
             joinedColOpts =
@@ -1342,8 +1352,8 @@ final case class ServerJoin(
     /** RANGE conjuncts of the join condition (r17): `leftOut OP
       * rightOut` rendered into the `$lookup` `$expr` — the binned
       * interval / as-of shape. Gated on `assume_uniform_storage` and
-      * orderable types on BOTH sides (rangeKeySafe); base join only
-      * (chained stages refuse ranges). */
+      * orderable types on BOTH sides (rangeKeySafe); chained stages
+      * carry their own per-stage ranges since r18 ([[ChainStage]]). */
     ranges: Seq[LookupJoin.RangeKey] = Nil,
     /** DERIVED columns of each side (r17, `computed_columns` —
       * [[graft.query.ComputedCol]]): `$set`-materialized in the
@@ -1366,7 +1376,8 @@ final case class ServerJoin(
         ranges.map(_.toString)).mkString(" AND ") +
       chain.map(st =>
         s" THEN ${if (st.leftOuter) "LEFT OUTER" else "INNER"} ${st.rightNs} ON " +
-          st.keys.map { case (l, r) => s"$l = $r" }.mkString(" AND ")).mkString
+          (st.keys.map { case (l, r) => s"$l = $r" } ++
+            st.ranges.map(_.toString)).mkString(" AND ")).mkString
 }
 
 /** The joined scan: one `$lookup`+`$unwind` pipeline per split of the
@@ -1399,8 +1410,7 @@ final class GraftServerJoinScan(join: ServerJoin, leftQuery: BQuery,
       locally {
         val cc = join.leftComputed ++ join.rightComputed
         if (cc.isEmpty) ""
-        else s" PushedComputed: [${cc.map(c =>
-          s"${c.out} = ${c.fn}(${c.field}, ${c.n})").mkString(", ")}]"
+        else s" PushedComputed: [${cc.map(_.describe).mkString(", ")}]"
       } +
       join.unwind.map(u => s" PushedUnwind: ${u.path}" +
         (if (u.mapKv) " MAP" else "") +
@@ -1539,12 +1549,19 @@ final class GraftServerJoinReader(p: GraftServerPartition, join: ServerJoin,
 
   /** Each CHAIN stage's lookup side also filters null/missing keys —
     * `$expr` `$eq` would otherwise match a null driving key against a
-    * null-keyed right doc (equi-join semantics forbid it). */
+    * null-keyed right doc (equi-join semantics forbid it) — and (r18)
+    * null/missing RANGE operands, whose BSON-total-order comparison
+    * would otherwise match against the per-var guard's surviving side
+    * (the base join's `rightWithKeys` discipline, stage-local here;
+    * the driving side's null operands fail the rendered `$gt: [$$rN,
+    * null]` guard — INNER drops, LEFT OUTER null-extends, both Spark's
+    * null-comparison behavior). */
   private val chainWithKeys: Seq[ChainStage] = join.chain.map { st =>
-    st.copy(rightQuery = st.keys.foldLeft(st.rightQuery) {
-      case (acc, (_, ro)) =>
-        BQuery.and(acc, nonNull(LookupJoin.fieldOf(st.rightProject, ro)))
-    })
+    st.copy(rightQuery =
+      (st.keys.map(_._2) ++ st.ranges.map(_.rightOut))
+        .foldLeft(st.rightQuery) { case (acc, ro) =>
+          BQuery.and(acc, nonNull(LookupJoin.fieldOf(st.rightProject, ro)))
+        })
   }
 
   // posexplode over a join: includeArrayIndex yields int64 indexes but
@@ -1880,8 +1897,7 @@ final class GraftServerScan(requiredSchema: StructType, query: BQuery,
       locally {
         val cc = graft.query.ComputedCol.fromOptions(options)
         if (cc.isEmpty) ""
-        else s" PushedComputed: [${cc.map(c =>
-          s"${c.out} = ${c.fn}(${c.field}, ${c.n})").mkString(", ")}]"
+        else s" PushedComputed: [${cc.map(_.describe).mkString(", ")}]"
       } +
       pushedAgg.map(a => s" PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s" PushedGroupedAggregate: $g").getOrElse("") +

@@ -293,7 +293,7 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       require(cp.isExact && cp.keyBounds.isEmpty,
         s"lookupJoin chained right query not fully server-renderable: ${st.rightQuery}")
       stages ++= QueryDocs.chainStages(leftOuts, st.leftProject, ccoll,
-        cp.serverQuery, st.rightProject, st.keys, st.leftOuter)
+        cp.serverQuery, st.rightProject, st.keys, st.leftOuter, st.ranges)
       leftOuts = st.leftProject.map(_._2).toSet
     }
     val it = Rf.aggregate(coll,

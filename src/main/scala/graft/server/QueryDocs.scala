@@ -695,12 +695,16 @@ object QueryDocs {
   def chainStages(prevLeftOuts: Set[String], leftProject: Seq[(String, String)],
       rightColl: String, rightMatch: BDoc,
       rightProject: Seq[(String, String)],
-      keys: Seq[(String, String)], leftOuter: Boolean): Seq[BDoc] = {
+      keys: Seq[(String, String)], leftOuter: Boolean,
+      /** range conjuncts of THIS stage (r18): rendered into its `$expr`
+        * with the same per-var null guards as the base join's. */
+      ranges: Seq[LookupJoin.RangeKey] = Nil): Seq[BDoc] = {
     val flatten = aliasProjection(leftProject.map { case (prev, out) =>
       (joinedHome(prevLeftOuts)(prev), out)
     })
     Seq(BDoc("$project" -> flatten)) ++
-      lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter)
+      lookupUnwind(rightColl, rightMatch, rightProject, keys, leftOuter,
+        ranges)
   }
 
   /** Apply a projection client-side (the residual-query path cannot push

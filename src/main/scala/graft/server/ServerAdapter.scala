@@ -167,7 +167,22 @@ final case class ChainStage(
     rightQuery: BQuery,
     rightProject: Seq[(String, String)],
     keys: Seq[(String, String)],
-    leftOuter: Boolean)
+    leftOuter: Boolean,
+    /** RANGE conjuncts of THIS stage's join condition (r18): `leftOut OP
+      * rightOut` over the stage's output names, rendered into its
+      * `$lookup` `$expr` exactly like the base join's ([[LookupJoin]]
+      * `ranges`) — so a 3-way star with one interval edge keeps the
+      * WHOLE chain pushed. Same dialect gates (uniform storage +
+      * orderable types on both sides, per-var null guards; the reader
+      * null-prunes the stage's right operands); a null driving operand
+      * fails the guard and INNER drops / LEFT OUTER null-extends,
+      * matching Spark's null comparison. */
+    ranges: Seq[LookupJoin.RangeKey] = Nil) {
+  require(ranges.forall(r => LookupJoin.RangeOps.contains(r.op)),
+    s"unknown range op in $ranges")
+  require(ranges.isEmpty || keys.nonEmpty,
+    "a chained range stage needs at least one key equality (never all-pairs)")
+}
 
 /** One pushed equi-join, transport-agnostic: field→output-name
   * projections for both sides, the key pairs AS OUTPUT NAMES, and the
@@ -718,7 +733,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     // per stage), evaluated stage-wise here
     j.chain.foreach { st =>
       rows = stageJoin(rows, st.leftProject, st.rightNs, st.rightQuery,
-        st.rightProject, st.keys, st.leftOuter)
+        st.rightProject, st.keys, st.leftOuter, st.ranges)
     }
     j.skip.foreach(n => rows = rows.drop(math.min(n, Int.MaxValue.toLong).toInt))
     (j.group, j.limit, j.topN) match {
@@ -756,9 +771,9 @@ final class FakeServerClient(rootDir: Option[String] = None)
       leftProject: Seq[(String, String)], rightNs: String,
       rightQuery: BQuery, rightProject: Seq[(String, String)],
       keys: Seq[(String, String)], leftOuter: Boolean,
-      /** range conjuncts of the `$expr` (base join only — chained
-        * stages refuse ranges at push time): evaluated on the
-        * hash-equality hits with [[LookupJoin.rangeMatches]], the same
+      /** range conjuncts of the `$expr` (base join r17, chained stages
+        * r18): evaluated on the hash-equality hits with
+        * [[LookupJoin.rangeMatches]], the same
         * BSON-order comparison the wire pipeline runs; null/missing
         * operands never match, so a LEFT OUTER row whose range operand
         * is null null-extends exactly like Spark. */

@@ -1120,8 +1120,7 @@ final class GraftScan(requiredSchema: StructType, query: BQuery,
   override def description(): String =
     s"GraftScan PushedQuery: $query, ReadSchema: ${readSchema().simpleString}" +
       (if (computedCols.isEmpty) ""
-       else s", PushedComputed: [${computedCols.map(c =>
-         s"${c.out} = ${c.fn}(${c.field}, ${c.n})").mkString(", ")}]") +
+       else s", PushedComputed: [${computedCols.map(_.describe).mkString(", ")}]") +
       pushedAgg.map(a => s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("") +
       grouped.map(g => s", PushedGroupedAggregate: $g").getOrElse("") +
       sample.map(sp => s", PushedSample: $sp").getOrElse("") +

@@ -80,4 +80,97 @@ class ComputedColSpec extends SparkSpec {
       ComputedCol("o", "mod", "v", 4L).eval(BDoc("v" -> BString("x")))
     }
   }
+
+  test("date bins: eval == Spark's year/month/dayofmonth/date_trunc (UTC, proleptic)") {
+    import spark.implicits._
+    // calendar edges on purpose: pre-1970 (negative millis), pre-1582
+    // (proleptic Gregorian — Spark and mongo's timelib both use it; no
+    // Julian switch), leap days, year/quarter/week boundaries, far future
+    val millis = Seq(
+      -62135596800000L, // 0001-01-01
+      -14831769600000L, // 1500-01-01 (pre-Gregorian-reform)
+      -12219292800000L, // 1582-10-15 (reform date)
+      -86400000L, -1L, 0L, 1L,
+      951782400000L, // 2000-02-29 (leap)
+      1583020800123L, // 2020-03-01 00:00:00.123
+      1609459199999L, // 2020-12-31 23:59:59.999
+      1640995200000L, // 2022-01-01 (a Saturday)
+      4102444800000L) // 2100-01-01
+    // build via timestamp_millis and read back via unix_millis — pure
+    // numeric conversions, EXACTLY what the engine's BDate decode does
+    // (java.sql.Timestamp would inject the hybrid Julian/Gregorian
+    // rebase for pre-1582 instants, which neither the codec nor a
+    // server performs)
+    val tsm = timestamp_millis($"ms")
+    val df = millis.toDF("ms")
+      .select($"ms",
+        year(tsm).as("y"), month(tsm).as("m"), dayofmonth(tsm).as("d"),
+        unix_millis(date_trunc("year", tsm)).as("ty"),
+        unix_millis(date_trunc("quarter", tsm)).as("tq"),
+        unix_millis(date_trunc("month", tsm)).as("tm"),
+        unix_millis(date_trunc("week", tsm)).as("tw"),
+        unix_millis(date_trunc("day", tsm)).as("td"),
+        unix_millis(date_trunc("hour", tsm)).as("th"),
+        unix_millis(date_trunc("minute", tsm)).as("tmin"),
+        unix_millis(date_trunc("second", tsm)).as("tsec"))
+    df.collect().foreach { r =>
+      val ms = r.getLong(0)
+      val doc = BDoc("ts" -> BDate(ms))
+      def f(fn: String, unit: String = "",
+          t: String = "int"): Option[BsonValue] =
+        ComputedCol("o", fn, "ts", 0L, t, unit).eval(doc)
+      assert(f("year") == Some(BInt32(r.getInt(1))), s"year($ms)")
+      assert(f("month") == Some(BInt32(r.getInt(2))), s"month($ms)")
+      assert(f("dayofmonth") == Some(BInt32(r.getInt(3))), s"dom($ms)")
+      Seq(("year", 4), ("quarter", 5), ("month", 6), ("week", 7),
+        ("day", 8), ("hour", 9), ("minute", 10), ("second", 11))
+        .foreach { case (u, i) =>
+          assert(f("date_trunc", u, "timestamp") ==
+            Some(BDate(r.getLong(i))), s"date_trunc($u, $ms)")
+        }
+      // millisecond: the finest stored boundary — identity on BSON millis
+      assert(f("date_trunc", "millisecond", "timestamp") == Some(BDate(ms)))
+    }
+    // null / missing -> null (mongo's date-operator rule); non-date
+    // storage fails loud (a live server's $year errors identically);
+    // a BSON TIMESTAMP feeds its seconds (mongo accepts it)
+    val y = ComputedCol("o", "year", "ts", 0L, "int")
+    assert(y.eval(BDoc("ts" -> BNull)).isEmpty)
+    assert(y.eval(BDoc.empty).isEmpty)
+    intercept[IllegalArgumentException] { y.eval(BDoc("ts" -> BInt64(5L))) }
+    assert(y.eval(BDoc("ts" -> BTimestamp(951782400, 1))) == Some(BInt32(2000)))
+  }
+
+  test("date bins: wire rendering, options round-trip, and the require matrix") {
+    val y = ComputedCol("y", "year", "d", 0L, "int")
+    assert(y.setExpr == BDoc("$year" -> BDoc(
+      "date" -> BString("$d"), "timezone" -> BString("UTC"))))
+    assert(y.describe == "y = year(d)")
+    val tw = ComputedCol("w", "date_trunc", "ts", 0L, "timestamp", "week")
+    // week MUST pin startOfWeek: "monday" (Spark's week starts Monday;
+    // mongo's default is Sunday — a silent 1-day shift otherwise)
+    assert(tw.setExpr == BDoc("$dateTrunc" -> BDoc(
+      "date" -> BString("$ts"), "unit" -> BString("week"),
+      "timezone" -> BString("UTC"), "startOfWeek" -> BString("monday"))))
+    val th = ComputedCol("h", "date_trunc", "ts", 0L, "timestamp", "hour")
+    assert(th.setExpr == BDoc("$dateTrunc" -> BDoc(
+      "date" -> BString("$ts"), "unit" -> BString("hour"),
+      "timezone" -> BString("UTC"))))
+    assert(th.describe == "h = date_trunc(hour, ts)")
+    // render/parse round-trip carries fn + unit + type
+    val back = ComputedCol.parse(ComputedCol.render(Seq(y, tw,
+      ComputedCol("b", "pmod", "v", 7L, "long"))))
+    assert(back == Seq(y, tw, ComputedCol("b", "pmod", "v", 7L, "long")))
+    // require matrix: bad unit / bad widths / pmod bound refuse loudly
+    intercept[IllegalArgumentException] {
+      ComputedCol("x", "date_trunc", "ts", 0L, "timestamp", "microsecond") }
+    intercept[IllegalArgumentException] {
+      ComputedCol("x", "year", "d", 0L, "long") }
+    intercept[IllegalArgumentException] {
+      ComputedCol("x", "date_trunc", "ts", 0L, "long", "hour") }
+    intercept[IllegalArgumentException] {
+      ComputedCol("x", "pmod", "v", (1L << 62) + 1L, "long") }
+    intercept[IllegalArgumentException] {
+      ComputedCol("x", "pmod", "v", 0L, "long") }
+  }
 }

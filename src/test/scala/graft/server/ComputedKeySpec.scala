@@ -244,6 +244,142 @@ class ComputedKeySpec extends SparkSpec {
         .orderBy($"bkt".asc_nulls_first, $"_id".asc).limit(5)))
   }
 
+  test("DATE bins (r18): groupBy(year(date)) / date_trunc folds server-side on both transports") {
+    import spark.implicits._
+    val dir = freshDir()
+    // d: a DateType column (canonical midnight BDate storage), ts: a
+    // TimestampType column; one null each, pre-1970 rows included
+    (0 until 90).map { i =>
+      val day: java.lang.Integer =
+        if (i % 17 == 0) null else java.lang.Integer.valueOf(i * 73 - 900)
+      val ms: java.lang.Long =
+        if (i % 19 == 0) null else java.lang.Long.valueOf(i * 9000000L - 86400000L)
+      (i.toLong, day, ms)
+    }.toDF("_id", "days", "ms")
+      .select($"_id", date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        $"days").as("d"), timestamp_millis($"ms").as("ts"))
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.t"))
+      .option("id_column", "_id").mode("append").save()
+    val ee = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.t",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, d DATE, ts TIMESTAMP").load()
+    val le = localCopy(ee)
+    // the treasury-canonical shape: groupBy(year(dateCol)) — ONE
+    // $match+$set+$group pipeline (PushedComputed + PushedGroupedAggregate)
+    val q = ee.groupBy(year($"d").as("y"))
+      .agg(count(lit(1)).as("n"), max($"_id").as("hi"))
+    val plan = planOf(q)
+    // Spark's PullOutGroupingExpressions owns the alias name (an
+    // internal `_groupingexpression`), so pin the bin SPELLING + fold
+    assert(plan.contains("= year(d)") &&
+      plan.contains("PushedGroupedAggregate"), plan)
+    assert(sortedRows(q) == sortedRows(
+      le.groupBy(year($"d").as("y"))
+        .agg(count(lit(1)).as("n"), max($"_id").as("hi"))))
+    assert(q.filter($"y".isNull).count() == 1, "null date -> null year group")
+    assert(q.filter($"y" < 1970).count() > 0, "pre-1970 rows present")
+    // year() over a TIMESTAMP column captures through the analyzer's
+    // UTC cast; month/dayofmonth ride the same helper
+    val qt = ee.groupBy(year($"ts").as("y"), month($"ts").as("m"),
+        dayofmonth($"ts").as("dom"))
+      .agg(count(lit(1)).as("n"))
+    val tPlan = planOf(qt)
+    assert(tPlan.contains("= year(ts)") && tPlan.contains("= month(ts)") &&
+      tPlan.contains("= dayofmonth(ts)") &&
+      tPlan.contains("PushedGroupedAggregate"), tPlan)
+    assert(sortedRows(qt) == sortedRows(
+      le.groupBy(year($"ts").as("y"), month($"ts").as("m"),
+        dayofmonth($"ts").as("dom")).agg(count(lit(1)).as("n"))))
+    // date_trunc bins: hour over the timestamp, week (Monday) as the
+    // startOfWeek parity pin; the bin column reads back TimestampType
+    val th = ee.groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    assert(planOf(th).contains("= date_trunc(hour, ts)") &&
+      planOf(th).contains("PushedGroupedAggregate"), planOf(th))
+    assert(sortedRows(th) == sortedRows(
+      le.groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))))
+    assert(th.schema("h").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val tw = ee.groupBy(date_trunc("week", $"d").as("w"))
+      .agg(count(lit(1)).as("n"))
+    assert(planOf(tw).contains("= date_trunc(week, d)"), planOf(tw))
+    assert(sortedRows(tw) == sortedRows(
+      le.groupBy(date_trunc("week", $"d").as("w"))
+        .agg(count(lit(1)).as("n"))))
+    // a date-bin JOIN key keeps the pushed $lookup: year(d) is INT, the
+    // dim key seeds as int32 so the equality is attribute-vs-attribute
+    // on both sides (same server_dir — one connection)
+    (1965 to 2000).map(y => (y, s"era$y")).toDF("yk", "era")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.dim"))
+      .mode("append").save()
+    val dim = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.dim",
+        "assume_uniform_storage" -> "true"))
+      .schema("yk INT, era STRING").load()
+    val j = ee.withColumn("y", year($"d"))
+      .join(dim, $"y" === $"yk")
+      .groupBy($"era").agg(count(lit(1)).as("n"))
+    assert(planOf(j).contains("= year(d)") &&
+      planOf(j).contains("PushedJoin: INNER db.dim") &&
+      !planOf(j).contains("Join "), planOf(j))
+    val jExp = le.withColumn("y", year($"d"))
+      .join(localCopy(dim), $"y" === $"yk")
+      .groupBy($"era").agg(count(lit(1)).as("n"))
+    assert(sortedRows(j) == sortedRows(jExp))
+    assert(j.count() > 0, "the year-key join must match rows")
+  }
+
+  test("DATE bins: FILE transport folds + the date refusal matrix") {
+    import spark.implicits._
+    val dir = freshDir()
+    graft.files.BsonFiles.write(s"$dir/data.bson",
+      (0 until 90).iterator.map { i =>
+        import graft.bson._
+        val base = BDoc("_id" -> BInt64(i.toLong))
+        if (i % 19 == 0) base
+        else BDoc("_id" -> BInt64(i.toLong),
+          "ts" -> BDate(i * 9000000L - 86400000L))
+      })
+    def f(): DataFrame = spark.read.format("graftbson")
+      .options(Map("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, ts TIMESTAMP").load(dir)
+    val q = f().groupBy(date_trunc("day", $"ts").as("dy"),
+        year($"ts").as("y"))
+      .agg(count(lit(1)).as("n"))
+    val plan = planOf(q)
+    assert(plan.contains("= date_trunc(day, ts)") &&
+      plan.contains("= year(ts)") &&
+      plan.contains("PushedGroupedAggregate"), plan)
+    val le = localCopy(f())
+    assert(sortedRows(q) == sortedRows(
+      le.groupBy(date_trunc("day", $"ts").as("dy"), year($"ts").as("y"))
+        .agg(count(lit(1)).as("n"))))
+    assert(q.filter($"y".isNull).count() == 1)
+    // refusals: MICROSECOND has no mongo unit; a non-uniform relation
+    // never captures; null tests on the bin rewrite to the source field
+    val us = f().groupBy(date_trunc("microsecond", $"ts").as("u"))
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(us).contains("PushedComputed"), planOf(us))
+    assert(sortedRows(us) == sortedRows(
+      le.groupBy(date_trunc("microsecond", $"ts").as("u"))
+        .agg(count(lit(1)).as("n"))))
+    val raw = spark.read.format("graftbson")
+      .schema("_id LONG, ts TIMESTAMP").load(dir)
+    val nu = raw.groupBy(year($"ts").as("y")).agg(count(lit(1)).as("n"))
+    assert(!planOf(nu).contains("PushedComputed"), planOf(nu))
+    assert(sortedRows(nu) == sortedRows(
+      le.groupBy(year($"ts").as("y")).agg(count(lit(1)).as("n"))))
+    val nn = f().withColumn("y", year($"ts")).filter($"y".isNotNull)
+      .select($"_id")
+    assert(sortedRows(nn) == sortedRows(
+      le.withColumn("y", year($"ts")).filter($"y".isNotNull).select($"_id")))
+    assert(nn.count() > 0)
+  }
+
   test("refusal matrix: TopN/min-max/sample/split keys, non-uniform, floor-div, explode") {
     import spark.implicits._
     val dir = freshDir()

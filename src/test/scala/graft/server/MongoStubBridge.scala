@@ -185,7 +185,8 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       * rightProject, keys as (left OUT, right OUT), leftOuter,
       * unwind path). */
     def parseLookupUnwind(lk: BDoc, unwind: BDoc):
-        (String, BQuery, Seq[(String, String)], Seq[(String, String)], Boolean, String) = {
+        (String, BQuery, Seq[(String, String)], Seq[(String, String)], Boolean,
+          String, Seq[LookupJoin.RangeKey]) = {
       val from = lk.get("from") match {
         case Some(BString(c)) => c
         case other => throw new IllegalArgumentException(s"bad from: $other")
@@ -200,7 +201,11 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       }
       var rightQuery: BQuery = BQuery.True
       var eqs: Seq[(String, String)] = Seq.empty // (left OUT, right FIELD)
+      // (left OUT, op, right FIELD) — r17 base / r18 chained range
+      // conjuncts; per-var `{$gt: ["$$rN", null]}` null guards skip
+      var rngs: Seq[(String, String, String)] = Seq.empty
       var rightProject: Seq[(String, String)] = Seq.empty
+      val rangeOpOf = Map("$lt" -> "<", "$lte" -> "<=", "$gt" -> ">", "$gte" -> ">=")
       inner.foreach { stg =>
         (stg.get("$match"), stg.get("$project")) match {
           case (Some(m: BDoc), _) if m.fields.contains("$expr") =>
@@ -213,12 +218,21 @@ final class StubDriverBackend(val fake: FakeServerClient) {
               case Some(e: BDoc) => Seq(e)
               case other => throw new IllegalArgumentException(s"bad $$expr: $other")
             }
-            eqs = eqDocs.map(_.get("$eq") match {
-              case Some(BArray(Vector(BString(rf), BString(lv))))
-                  if rf.startsWith("$") && lv.startsWith("$$") =>
-                (letVars(lv.drop(2)), rf.drop(1))
-              case other => throw new IllegalArgumentException(s"bad $$eq: $other")
-            })
+            eqDocs.foreach { d =>
+              d.fields.toSeq match {
+                case Seq(("$eq", BArray(Vector(BString(rf), BString(lv)))))
+                    if rf.startsWith("$") && lv.startsWith("$$") =>
+                  eqs :+= (letVars(lv.drop(2)), rf.drop(1))
+                case Seq(("$gt", BArray(Vector(BString(lv), BNull))))
+                    if lv.startsWith("$$") => // null guard — semantic only
+                case Seq((op, BArray(Vector(BString(lv), BString(rf)))))
+                    if rangeOpOf.contains(op) && lv.startsWith("$$") &&
+                      rf.startsWith("$") && !rf.startsWith("$$") =>
+                  rngs :+= ((letVars(lv.drop(2)), rangeOpOf(op), rf.drop(1)))
+                case other =>
+                  throw new IllegalArgumentException(s"bad $$expr conjunct: $other")
+              }
+            }
           case (Some(m: BDoc), _) => rightQuery = StubDriverBackend.parseQueryDoc(m)
           case (None, Some(p: BDoc)) => rightProject = projOf(p)
           case other =>
@@ -241,7 +255,8 @@ final class StubDriverBackend(val fake: FakeServerClient) {
             s"unprojected right key field $rf in ${rightProject.map(_._1)}"))
         }
       (from, rightQuery, rightProject,
-        eqs.map { case (lo, rf) => (lo, outOf(rf)) }, leftOuter, path)
+        eqs.map { case (lo, rf) => (lo, outOf(rf)) }, leftOuter, path,
+        rngs.map { case (lo, op, rf) => LookupJoin.RangeKey(lo, op, outOf(rf)) })
     }
 
     var i = 0
@@ -251,7 +266,8 @@ final class StubDriverBackend(val fake: FakeServerClient) {
         i += 1; q
       } else BQuery.True
     val leftProject = projOf(bdoc(st(i).get("$project"), "left $project")); i += 1
-    val (from, rightQuery, rightProject, keys, leftOuter, joinedField0) =
+    val (from, rightQuery, rightProject, keys, leftOuter, joinedField0,
+        baseRanges) =
       parseLookupUnwind(bdoc(st(i).get("$lookup"), "$lookup"),
         bdoc(st(i + 1).get("$unwind"), "$unwind"))
     i += 2
@@ -266,10 +282,11 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       // (top-level or "__j.x") to the stage's output name
       val flat = projOf(bdoc(st(i).get("$project"), "chain $project"))
         .map { case (path, out) => (outCol("$" + path), out) }
-      val (cfrom, crq, crp, ckeys, couter, cpath) =
+      val (cfrom, crq, crp, ckeys, couter, cpath, cranges) =
         parseLookupUnwind(bdoc(st(i + 1).get("$lookup"), "$lookup"),
           bdoc(st(i + 2).get("$unwind"), "$unwind"))
-      chain += ChainStage(flat, s"$db.$cfrom", crq, crp, ckeys, couter)
+      chain += ChainStage(flat, s"$db.$cfrom", crq, crp, ckeys, couter,
+        ranges = cranges)
       joinedField = cpath
       leftOuts = flat.map(_._2).toSet
       i += 3
@@ -300,7 +317,7 @@ final class StubDriverBackend(val fake: FakeServerClient) {
       s"$db.$from", rightQuery, rightProject, keys, leftOuter,
       chain = chain.result(),
       group = tailGroup.map { case (ks, as) => (ks.map(_._2), as) },
-      limit = tailLimit, topN = tailTopN))
+      limit = tailLimit, topN = tailTopN, ranges = baseRanges))
     tailGroup match {
       case Some((gKeys, gAggs)) => serverizeGroups(results, gKeys, gAggs)
       case None =>

@@ -326,7 +326,7 @@ class RangeJoinPushdownSpec extends SparkSpec {
       "NaN < hi must be TRUE under the server's NaN-low order")
   }
 
-  test("a chained stage with a range refuses; the base range join stays pushed") {
+  test("CHAINED range stage pushes (r18): 3-way star with an interval edge stays ONE pipeline") {
     import spark.implicits._
     val dir = freshDir()
     seed(dir)
@@ -346,11 +346,14 @@ class RangeJoinPushdownSpec extends SparkSpec {
       .join(cc, dd("bkt") === cc("_id") && ee("v") < cc("w"))
       .select(ee("_id").as("ekey"), dd("_id").as("dkey"), cc("w"))
     val plan = planOf(q)
-    // base pipeline pushed with its ranges; the chained range stage
-    // stays a Spark join above it (chain stages take equalities only)
+    // r17 refused the stage; since r18 the chain carries its own range
+    // conjuncts — the whole 3-way star is ONE pipeline, with the stage's
+    // LEFT operands drawn from BOTH origin sides (dd.bkt equi, ee.v
+    // range), zero Spark joins
     assert(plan.contains("PushedJoin: INNER db.d") &&
       plan.contains(">= lo"), plan)
-    assert(!plan.contains("THEN INNER db.c3"), plan)
+    assert(plan.contains("THEN INNER db.c3") && plan.contains("v < w") &&
+      !plan.contains("Join "), plan)
     val le = localCopy(e(dir)); val ld = localCopy(d(dir))
     val lc = localCopy(cc)
     val exp = le.join(ld,
@@ -358,5 +361,71 @@ class RangeJoinPushdownSpec extends SparkSpec {
       .join(lc, ld("bkt") === lc("_id") && le("v") < lc("w"))
       .select(le("_id").as("ekey"), ld("_id").as("dkey"), lc("w"))
     assert(sortedRows(q) == sortedRows(exp))
+    assert(q.count() > 0, "the chained range join must match rows")
+
+    // LEFT OUTER chained range stage: unmatched driving rows null-extend
+    // exactly like Spark's null comparison (guard fails -> preserveNull)
+    val lo = ee.join(dd,
+        ee("bkt") === dd("bkt") && ee("v") >= dd("lo") && ee("v") < dd("hi"))
+      .join(cc, dd("bkt") === cc("_id") && ee("v") < cc("w"), "left_outer")
+      .select(ee("_id").as("ekey"), dd("_id").as("dkey"), cc("w"))
+    val loPlan = planOf(lo)
+    assert(loPlan.contains("THEN LEFT OUTER db.c3") &&
+      loPlan.contains("v < w") && !loPlan.contains("Join "), loPlan)
+    val loExp = le.join(ld,
+        le("bkt") === ld("bkt") && le("v") >= ld("lo") && le("v") < ld("hi"))
+      .join(lc, ld("bkt") === lc("_id") && le("v") < lc("w"), "left_outer")
+      .select(le("_id").as("ekey"), ld("_id").as("dkey"), lc("w"))
+    assert(sortedRows(lo) == sortedRows(loExp))
+    assert(lo.filter($"w".isNull).count() == loExp.filter($"w".isNull).count())
+    assert(lo.filter($"w".isNull).count() > 0,
+      "fixture must exercise null-extended chain rows")
+
+    // a STRING range key on the chain still refuses the STAGE (UTF-16
+    // matcher vs binary order off the ASCII plane — the r17 gate, see
+    // the ascii_columns opt-in for the admitted case); the base
+    // pipeline stays pushed, Spark joins the chained collection above
+    Seq((0L, "m"), (1L, "q"), (2L, "b"), (3L, "t"), (4L, "z"))
+      .toDF("_id", "s")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c3s"))
+      .option("id_column", "_id").mode("append").save()
+    val cs = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.c3s",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, s STRING").load()
+    // tag is a STORED string on the driving side, so the chain's lp
+    // carries it as a plain attribute — the refusal below is the
+    // rangeKeySafe STRING gate itself, not a projection-shape fallback
+    (0 until 40).map(i => (i.toLong, (i % 5).toLong, (i * 7 % 100).toLong,
+        s"t${i % 9}"))
+      .toDF("_id", "bkt", "v", "tag")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.e2"))
+      .option("id_column", "_id").mode("append").save()
+    val eeS = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.e2",
+        "assume_uniform_storage" -> "true"))
+      .schema("_id LONG, bkt LONG, v LONG, tag STRING").load()
+    val sq = eeS.join(dd,
+        eeS("bkt") === dd("bkt") && eeS("v") >= dd("lo"))
+      .join(cs, dd("bkt") === cs("_id") && eeS("tag") < cs("s"))
+      .select(eeS("_id").as("ekey"), cs("s"))
+    val sPlan = planOf(sq)
+    // the string RANGE conjunct never enters the pipeline (rangeKeySafe
+    // refuses strings) — but the r14 hoist still pushes the chain on
+    // its equi key and RE-CHECKS the string comparison Spark-side over
+    // decoded values (sound under INNER; Spark semantics exactly)
+    assert(sPlan.contains("PushedJoin: INNER db.d") &&
+      sPlan.contains("THEN INNER db.c3s") &&
+      !sPlan.contains("tag < s") && // the ON-clause spelling (exprId-free)
+      sPlan.contains("recheck((tag"), sPlan)
+    val lcs = localCopy(cs)
+    val les = localCopy(eeS)
+    val sExp = les.join(ld, les("bkt") === ld("bkt") && les("v") >= ld("lo"))
+      .join(lcs, ld("bkt") === lcs("_id") && les("tag") < lcs("s"))
+      .select(les("_id").as("ekey"), lcs("s"))
+    assert(sortedRows(sq) == sortedRows(sExp))
+    assert(sq.count() > 0)
   }
 }

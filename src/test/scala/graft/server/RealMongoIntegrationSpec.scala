@@ -1191,4 +1191,96 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(gi.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq ==
       Seq((2, 1L), (3, 1L))) // 7 -> 2, -7 -> 3 (pmod)
   }
+
+  test("live: DATE-function bins — $year/$dateTrunc pipeline, calendar edges, week start (r18)") {
+    live()
+    import spark.implicits._
+    val od = opts("dbo")
+    // the calendar dialect was built BLIND against java.time: a real
+    // server must agree on (a) the null-input -> null rule for date
+    // operators, (b) PROLEPTIC Gregorian years for pre-1582 and
+    // pre-1970 instants (timelib has no Julian switch — this pins it),
+    // (c) $dateTrunc week starting MONDAY under startOfWeek, and
+    // (d) the explicit timezone: "UTC" rendering
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(-14831769600000L)), // 1500-01-01 (proleptic)
+      (2L, java.lang.Long.valueOf(-86400000L)),       // 1969-12-31
+      (3L, java.lang.Long.valueOf(951782400000L)),    // 2000-02-29 (leap day)
+      (4L, java.lang.Long.valueOf(1640995200000L)),   // 2022-01-01 (a Saturday)
+      (5L, null.asInstanceOf[java.lang.Long]))
+    rows.toDF("k", "ms").select($"k", timestamp_millis($"ms").as("ts"))
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    val ee = spark.read.format("graftserver")
+      .options(od + ("assume_uniform_storage" -> "true"))
+      .schema("_id LONG, ts TIMESTAMP").load()
+    val g = ee.groupBy(year($"ts").as("y")).agg(count(lit(1)).as("n"))
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("= year(ts)") &&
+      gPlan.contains("PushedGroupedAggregate"), gPlan)
+    assert(g.collect().map(r =>
+      (if (r.isNullAt(0)) -1 else r.getInt(0), r.getLong(1))).sorted.toSeq ==
+      Seq((-1, 1L), (1500, 1L), (1969, 1L), (2000, 1L), (2022, 1L)))
+    // $dateTrunc week (startOfWeek: monday): 2022-01-01 is a Saturday —
+    // the Monday of its week is 2021-12-27 (1640563200000); the leap
+    // day's week-Monday is 2000-02-28 (951696000000)
+    val w = ee.groupBy(date_trunc("week", $"ts").as("w"))
+      .agg(count(lit(1)).as("n"))
+    assert(w.queryExecution.executedPlan.toString
+      .contains("= date_trunc(week, ts)"))
+    val wMs = w.collect().map(r =>
+      if (r.isNullAt(0)) -1L
+      else r.getTimestamp(0).getTime).sorted.toSeq
+    assert(wMs.contains(1640563200000L) && wMs.contains(951696000000L), wMs)
+    // month/dayofmonth over the leap day; $dateTrunc quarter of the
+    // Saturday row lands on 2022-01-01 itself (951782400000 stays for
+    // the leap day's quarter start 2000-01-01 = 946684800000)
+    val md = ee.filter($"_id" === 3L)
+      .groupBy(month($"ts").as("m"), dayofmonth($"ts").as("dm"),
+        date_trunc("quarter", $"ts").as("q"))
+      .agg(count(lit(1)).as("n"))
+    val r0 = md.collect().head
+    assert(r0.getInt(0) == 2 && r0.getInt(1) == 29 &&
+      r0.getTimestamp(2).getTime == 946684800000L, r0)
+  }
+
+  test("live: CHAINED range stage — per-stage $expr inequality + guards on a real server (r18)") {
+    live()
+    import spark.implicits._
+    val od = opts("cro"); val ol = opts("crl"); val ob = opts("crb")
+    // the chained-stage $expr rendering (per-var let rebinding across
+    // the flatten $project, null guards, BSON-order comparisons) was
+    // built blind against the fake — this pins a real server's
+    // evaluation of the SECOND stage's inequality, including the
+    // null-operand row that must drop under INNER
+    Seq((1L, 10L, 5L), (2L, 10L, 25L), (3L, 20L, 5L),
+        (4L, 20L, -1L), (5L, 10L, -1L))
+      .map { case (k, g, v) => (k, g, if (v < 0) null
+        else java.lang.Long.valueOf(v)) }
+      .toDF("k", "g", "v")
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    Seq((10L, "g10"), (20L, "g20")).toDF("g", "lbl")
+      .write.format("graftserver").options(ol).mode("append").save()
+    Seq((100L, 10L, 0L, 10L), (101L, 10L, 10L, 30L), (102L, 20L, 0L, 10L))
+      .toDF("bk", "g", "lo", "hi")
+      .write.format("graftserver").options(ob).mode("append").save()
+    def rd(o: Map[String, String], schema: String) =
+      spark.read.format("graftserver")
+        .options(o + ("assume_uniform_storage" -> "true"))
+        .schema(schema).load()
+    val e0 = rd(od, "_id LONG, g LONG, v LONG")
+    val l0 = rd(ol, "g LONG, lbl STRING")
+    val b0 = rd(ob, "bk LONG, g LONG, lo LONG, hi LONG")
+    val q = e0.join(l0, e0("g") === l0("g"))
+      .join(b0, e0("g") === b0("g") && e0("v") >= b0("lo") && e0("v") < b0("hi"))
+      .select(e0("_id").as("k"), $"lbl", b0("bk"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("THEN INNER") && plan.contains("v >= lo") &&
+      plan.contains("v < hi") && !plan.contains("Join "), plan)
+    // k=1 -> bracket 100; k=2 -> 101; k=3 -> 102; k=4/5 null v drop
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ==
+      Seq((1L, "g10", 100L), (2L, "g10", 101L), (3L, "g20", 102L)))
+  }
 }
