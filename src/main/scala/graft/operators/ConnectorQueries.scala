@@ -2575,6 +2575,61 @@ object ConnectorQueries {
         |      CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)) b
         |  ON d.lang = b.lang AND d.n_chars >= b.lo AND d.n_chars < b.hi
         |GROUP BY 1, 2 ORDER BY lbl ASC NULLS FIRST, b.lo ASC
+        |""".stripMargin)),
+
+    // ASCII-bounded STRING range-join keys (r18): under the
+    // `ascii_columns` declaration (stored strings provably ASCII — here
+    // ISO language codes), string inequalities render into the pushed
+    // `$lookup` `$expr` like numeric ranges: over ASCII, Spark's
+    // UTF-8-byte order, the engine matcher's UTF-16 order, and a real
+    // server's binary collation coincide (the r14 filter classifier's
+    // argument, column-vs-column); the sandbox evaluator fails loud on
+    // a violating non-ASCII value (RangeJoinPushdownSpec pins all
+    // corners). The dim brackets [s_lo, s_hi) partition the lang space
+    // per bucket.
+    CatalogQuery(
+      "q178_server_string_range_join",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        val base = Map("server_dir" -> dir,
+          "assume_uniform_storage" -> "true")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", (pmod($"n_chars", lit(3L))).as("bkt"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.srdocs"))
+          .option("id_column", "doc_id").mode("append").save()
+        s.range(0, 6).select($"id".as("_id"), ($"id" % 3L).as("bkt"),
+            when($"id" < 3L, lit("a")).otherwise(lit("f")).as("s_lo"),
+            when($"id" < 3L, lit("f")).otherwise(lit("zz")).as("s_hi"))
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.srdim"))
+          .option("id_column", "_id").mode("append").save()
+        val o = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.srdocs",
+            "ascii_columns" -> "lang"))
+          .schema("_id LONG, lang STRING, bkt LONG").load()
+        val dm = s.read.format("graftserver")
+          .options(base ++ Map("ns" -> "db.srdim",
+            "ascii_columns" -> "s_lo,s_hi"))
+          .schema("_id LONG, bkt LONG, s_lo STRING, s_hi STRING").load()
+        o.join(dm, o("bkt") === dm("bkt") &&
+            o("lang") >= dm("s_lo") && o("lang") < dm("s_hi"))
+          .groupBy(dm("s_lo").as("s_lo"))
+          .agg(count(lit(1)).as("n"),
+            min(o("lang")).as("lo_lang"), max(o("lang")).as("hi_lang"))
+          .orderBy($"s_lo".asc_nulls_first)
+      },
+      Some("""
+        |SELECT b.s_lo, count(*) AS n,
+        |  min(d.lang) AS lo_lang, max(d.lang) AS hi_lang
+        |FROM (SELECT doc_id, lang, n_chars % 3 AS bkt FROM documents) d
+        |JOIN (SELECT k % 3 AS bkt,
+        |        CASE WHEN k < 3 THEN 'a' ELSE 'f' END AS s_lo,
+        |        CASE WHEN k < 3 THEN 'f' ELSE 'zz' END AS s_hi
+        |      FROM (VALUES (0), (1), (2), (3), (4), (5)) t(k)) b
+        |  ON d.bkt = b.bkt AND d.lang >= b.s_lo AND d.lang < b.s_hi
+        |GROUP BY 1 ORDER BY b.s_lo ASC NULLS FIRST
         |""".stripMargin))
   )
 }

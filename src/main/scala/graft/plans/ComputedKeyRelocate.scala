@@ -92,10 +92,15 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
 
   private def eligible(rel: DataSourceV2Relation): Boolean =
     Option(rel.options.get("assume_uniform_storage")).exists(_.toBoolean) &&
-      !rel.options.containsKey("unwind_path") &&
-      // multi-collection file scans carry per-entry query/mapping
-      // overrides the injection seam does not compose with — refuse
-      !rel.options.containsKey("collections")
+      !rel.options.containsKey("unwind_path")
+      // multi-collection file scans ADMIT since r18: entries share the
+      // scan-level schema/column_mapping (CollectionConf has no mapping
+      // override, so the capture is unambiguous) and every per-entry
+      // partition already threads the injection seam; per-entry QUERIES
+      // evaluate on STORED docs before injection — exactly the
+      // find-land residual discipline, unchanged by the absorb. The
+      // one genuine ambiguity — a per-entry key/sort override naming a
+      // new bin — refuses name-by-name in [[absorb]].
 
   /** The graft relation (either transport — the file arm evaluates the
     * SAME stored-value arithmetic at its injection seam) under a chain
@@ -140,6 +145,17 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
         names.exists(n => prior.exists(_.out == n)) ||
         names.exists(existing.valuesIterator.toSet.contains))
       return None
+    // multi-collection scans (r18): a per-entry key/sort OVERRIDE naming
+    // a new bin would plan splits / cursor-sort on a field that exists
+    // only post-injection — refuse the capture (malformed collections
+    // JSON refuses conservatively; the scan will fail loud on it anyway)
+    Option(rel.options.get("collections")).foreach { json =>
+      val overrides: Set[String] =
+        try graft.source.MultiCollections.parse(json)
+          .flatMap(c => c.key.toSeq ++ c.sort.toSeq).toSet
+        catch { case _: Exception => return None }
+      if (names.exists(overrides.contains)) return None
+    }
     val computed = bins.map { case (name, _, b) =>
       ComputedCol(name, b.fn, existing.getOrElse(b.src.name, b.src.name), b.n,
         b.dataType match {

@@ -249,8 +249,10 @@ object ResidualJoinHoist extends Rule[LogicalPlan] with PredicateHelper {
             (j.left.outputSet.contains(xa) && j.right.outputSet.contains(ya)) ||
               (j.right.outputSet.contains(xa) && j.left.outputSet.contains(ya))
           cross &&
-            ownerOptions(j, xa).exists(o => rangeTypeSafe(x.dataType, o)) &&
-            ownerOptions(j, ya).exists(o => rangeTypeSafe(y.dataType, o))
+            ownerOptions(j, xa).exists(o =>
+              rangeTypeSafe(x.dataType, o, docFieldOf(o, x))) &&
+            ownerOptions(j, ya).exists(o =>
+              rangeTypeSafe(y.dataType, o, docFieldOf(o, y)))
         case _ => false
       }
     c match {
@@ -262,12 +264,32 @@ object ResidualJoinHoist extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def rangeTypeSafe(dt: DataType, opts: Map[String, String]): Boolean = {
+  /** The DOC field a BARE-attribute range operand reads (through the
+    * relation's column_mapping) — the name the `ascii_columns`
+    * declaration uses; nested extractions stay None (strings refuse). */
+  private def docFieldOf(opts: Map[String, String],
+      x: Expression): Option[String] = x match {
+    case a: Attribute =>
+      val mapping = opts.get("column_mapping")
+        .map(graft.source.ColumnMapping.parse).getOrElse(Map.empty[String, String])
+      Some(mapping.getOrElse(a.name, a.name))
+    case _ => None
+  }
+
+  private def rangeTypeSafe(dt: DataType, opts: Map[String, String],
+      docField: Option[String] = None): Boolean = {
     import org.apache.spark.sql.types._
     val ordered = Set[DataType](IntegerType, LongType, DoubleType,
       TimestampType, DateType)
-    ordered.contains(dt) &&
-      opts.get("assume_uniform_storage").exists(_.toBoolean)
+    val uniform = opts.get("assume_uniform_storage").exists(_.toBoolean)
+    // STRING range operands (r18): admitted only under the side's
+    // ascii_columns declaration — mirror of rangeKeySafe's reasoning
+    // (ASCII makes UTF-8-byte, UTF-16-unit, and server-binary orders
+    // coincide; the sandbox evaluator fails loud on violations)
+    if (dt == StringType)
+      uniform && docField.exists(f =>
+        graft.server.GraftServerScanBuilder.asciiCols(opts).contains(f))
+    else ordered.contains(dt) && uniform
   }
 
   /** The base attribute of a join-key expression: a bare column or a

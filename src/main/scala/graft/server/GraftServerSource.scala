@@ -932,20 +932,42 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     * comparison agrees with Spark's typed comparison only when both
     * operands stay inside ONE bracket where BSON order = read order —
     * uniform-stored numerics (value order), timestamps/dates (millis
-    * order; dates store canonical midnight). Strings stay refused
-    * (binary UTF-8 order vs the matcher's UTF-16 compare diverges off
-    * the ASCII plane — the TopN order-key gate's reasoning). Unlike
-    * equality (where cross-bracket `$eq` and Spark both say false),
-    * Int/Double need the uniform opt-in TOO: a cross-bracket `$gt` is
-    * TRUE half the time where Spark's null comparison drops the row.
+    * order; dates store canonical midnight). Unlike equality (where
+    * cross-bracket `$eq` and Spark both say false), Int/Double need the
+    * uniform opt-in TOO: a cross-bracket `$gt` is TRUE half the time
+    * where Spark's null comparison drops the row.
+    *
+    * STRINGS (r18): admitted only when the operand's DOC FIELD is
+    * declared in its side's `ascii_columns` option (comma-separated doc
+    * paths the caller asserts hold ASCII-only stored strings). The r14
+    * classifier's reasoning, column-vs-column: Spark orders strings by
+    * UTF-8 BYTES (code points) — exactly a real server's binary
+    * collation, so the LIVE wire is always Spark-exact — but the
+    * ENGINE matcher (fake transport, residual re-checks) compares
+    * UTF-16 units, which diverges from both exactly when a
+    * supplementary character meets [U+E000, U+FFFF]. With every value
+    * of ONE side ASCII, the first deciding position pits an ASCII unit
+    * against anything — identical under all three orders — so the
+    * comparison is exact; the declaration asserts it for BOTH sides
+    * and the sandbox evaluator FAILS LOUD on a non-ASCII operand
+    * ([[LookupJoin.rangeMatches]]) rather than silently diverging (a
+    * live server cannot check, but there the binary order is exact
+    * regardless, so a wrong declaration never corrupts live results).
+    * `docField` None = the caller cannot resolve the operand's origin
+    * doc field (chained-stage left operands) — strings refuse there
+    * and the r14 hoist re-checks them Spark-side.
     */
   private def rangeKeySafe(dt: org.apache.spark.sql.types.DataType,
-      opts: Map[String, String]): Boolean = {
+      opts: Map[String, String],
+      docField: Option[String] = None): Boolean = {
     import org.apache.spark.sql.types._
     val ordered = Set[DataType](IntegerType, LongType, DoubleType,
       TimestampType, DateType)
-    ordered.contains(dt) &&
-      opts.get("assume_uniform_storage").exists(_.toBoolean)
+    val uniform = opts.get("assume_uniform_storage").exists(_.toBoolean)
+    if (dt == StringType)
+      uniform && docField.exists(f =>
+        GraftServerScanBuilder.asciiCols(opts).contains(f))
+    else ordered.contains(dt) && uniform
   }
 
   override def pushDownJoin(other: SupportsPushDownJoin,
@@ -1004,8 +1026,12 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
               joinKeySafe(l.dataType, options) &&
                 joinKeySafe(r.dataType, o.joinOptions) } &&
               rngRefs.forall { case (l, _, r) =>
-                rangeKeySafe(l.dataType, options) &&
-                  rangeKeySafe(r.dataType, o.joinOptions) } =>
+                // string admission needs the operand's DOC field (the
+                // ascii_columns declaration names stored paths)
+                rangeKeySafe(l.dataType, options, scala.util.Try(
+                  LookupJoin.fieldOf(lp.map(p => (p._1, p._2)), l.name)).toOption) &&
+                  rangeKeySafe(r.dataType, o.joinOptions, scala.util.Try(
+                    LookupJoin.fieldOf(rp.map(p => (p._1, p._2)), r.name)).toOption) } =>
             // carried TABLESAMPLEs: re-key onto the joined OUTPUT names
             // where keyed sampling commutes with the $lookup; the
             // LOOKUP side's sample cannot commute under an outer join
@@ -1672,6 +1698,14 @@ object GraftServerScanBuilder {
     always.contains(dt) || (uniform.contains(dt) &&
       options.get("assume_uniform_storage").exists(_.toBoolean))
   }
+
+  /** Doc field paths the caller asserts hold ASCII-only stored strings
+    * (the `ascii_columns` option, comma-separated) — the r18 string
+    * range-join admission; see the rangeKeySafe scaladoc for why ASCII
+    * makes UTF-8-byte, UTF-16-unit, and server-binary orders coincide. */
+  def asciiCols(opts: Map[String, String]): Set[String] =
+    opts.get("ascii_columns").map(_.split(',').iterator
+      .map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
   /** SUM inputs: exact numerics; LongType only under uniform storage (a
     * BDate-backed long reads as its millis but `$sum` would SKIP it). */

@@ -309,6 +309,21 @@ object LookupJoin {
   def rangeMatches(op: String, left: Option[BsonValue],
       right: Option[BsonValue]): Boolean = (left, right) match {
     case (Some(l), Some(r)) if l != BNull && r != BNull =>
+      // r18 string range keys ride the `ascii_columns` declaration —
+      // the sandbox evaluator's UTF-16 compare is only exact over
+      // ASCII, so a non-ASCII operand here is a CONTRACT VIOLATION:
+      // fail loud instead of silently diverging from Spark/live binary
+      // order (a live server compares UTF-8 bytes = Spark's order, so
+      // the declaration can never corrupt live results)
+      def asciiGuard(v: BsonValue): Unit = v match {
+        case BString(s) if !s.forall(_ < 0x80) =>
+          throw new IllegalArgumentException(
+            s"ascii_columns contract violated: non-ASCII string range " +
+              s"operand '$s' (the sandbox order is only Spark-exact over " +
+              "ASCII; remove the column from ascii_columns or clean the data)")
+        case _ => ()
+      }
+      asciiGuard(l); asciiGuard(r)
       def nan(v: BsonValue): Boolean = v match {
         case BDouble(x) => x.isNaN
         case _ => false

@@ -380,6 +380,63 @@ class ComputedKeySpec extends SparkSpec {
     assert(nn.count() > 0)
   }
 
+  test("MULTI-COLLECTION scans admit computed bins (r18); per-entry key/sort overrides refuse") {
+    import spark.implicits._
+    val d1 = freshDir(); val d2 = freshDir()
+    def writeColl(dir: String, off: Int): Unit =
+      graft.files.BsonFiles.write(s"$dir/data.bson",
+        (0 until 50).iterator.map { i =>
+          import graft.bson._
+          if ((i + off) % 13 == 0) BDoc("_id" -> BInt64((off + i).toLong))
+          else BDoc("_id" -> BInt64((off + i).toLong),
+            "v" -> BInt64(((i + off) * 37L) - 600L))
+        })
+    writeColl(d1, 0); writeColl(d2, 1000)
+    def mc(json: String) = spark.read.format("graftbson")
+      .option("assume_uniform_storage", "true")
+      .option("collections", json)
+      .schema("_id LONG, v LONG").load()
+    val plain = mc(s"""[{"path": "$d1"}, {"path": "$d2"}]""")
+    val le = localCopy(plain)
+    // entries share the scan-level schema/mapping — the capture is
+    // unambiguous, the per-entry partitions inject the derived value
+    val q = plain.withColumn("bkt", pmod($"v", lit(7L)))
+      .filter($"bkt".isNotNull)
+      .select($"_id", $"bkt")
+    assert(planOf(q).contains("PushedComputed: [bkt = pmod(v, 7)]"), planOf(q))
+    val exp = le.withColumn("bkt", pmod($"v", lit(7L)))
+      .filter($"bkt".isNotNull).select($"_id", $"bkt")
+    assert(sortedRows(q) == sortedRows(exp))
+    assert(q.count() > 0)
+    // per-entry QUERIES evaluate on STORED docs before injection (the
+    // find-land residual discipline) — composition stays exact
+    val qq = mc(s"""[{"path": "$d1", "query": {"v": {"$$gte": 0}}},
+        {"path": "$d2"}]""")
+      .withColumn("bkt", pmod($"v", lit(7L)))
+      .groupBy($"bkt").agg(count(lit(1)).as("n"))
+    val lq1 = localCopy(mc(s"""[{"path": "$d1", "query": {"v": {"$$gte": 0}}},
+        {"path": "$d2"}]"""))
+    assert(planOf(qq).contains("PushedComputed"), planOf(qq))
+    assert(sortedRows(qq) == sortedRows(
+      lq1.withColumn("bkt", pmod($"v", lit(7L)))
+        .groupBy($"bkt").agg(count(lit(1)).as("n"))))
+    // a per-entry sort/key OVERRIDE naming the bin would cursor-sort /
+    // split-plan on a field that exists only post-injection — refuse
+    // the capture, rows stay exact in Spark
+    val sk = mc(s"""[{"path": "$d1", "sort": "bkt"}, {"path": "$d2"}]""")
+      .withColumn("bkt", pmod($"v", lit(7L)))
+      .select($"_id", $"bkt")
+    assert(!planOf(sk).contains("PushedComputed"), planOf(sk))
+    assert(sortedRows(sk) == sortedRows(
+      le.withColumn("bkt", pmod($"v", lit(7L))).select($"_id", $"bkt")))
+    val kk = mc(s"""[{"path": "$d1"}, {"path": "$d2", "key": "h"}]""")
+      .withColumn("h", pmod($"v", lit(5L)))
+      .select($"_id", $"h")
+    assert(!planOf(kk).contains("PushedComputed"), planOf(kk))
+    assert(sortedRows(kk) == sortedRows(
+      le.withColumn("h", pmod($"v", lit(5L))).select($"_id", $"h")))
+  }
+
   test("refusal matrix: TopN/min-max/sample/split keys, non-uniform, floor-div, explode") {
     import spark.implicits._
     val dir = freshDir()

@@ -326,6 +326,96 @@ class RangeJoinPushdownSpec extends SparkSpec {
       "NaN < hi must be TRUE under the server's NaN-low order")
   }
 
+  test("ASCII-bounded STRING range keys (r18): ascii_columns admits; refusal + fail-loud corners") {
+    import spark.implicits._
+    val dir = freshDir()
+    // docs: bkt + an ASCII string key; dim: per-bkt string brackets
+    (0 until 60).map { i =>
+      val lang: String = if (i % 11 == 0) null else s"${('a' + i % 20).toChar}x"
+      (i.toLong, (i % 3).toLong, lang)
+    }.toDF("_id", "bkt", "lang")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.sd"))
+      .option("id_column", "_id").mode("append").save()
+    (0 until 6).map(i =>
+        (i.toLong, (i % 3).toLong, s"${('a' + (i % 2) * 8).toChar}", s"${('f' + (i % 2) * 8).toChar}"))
+      .toDF("_id", "bkt", "s_lo", "s_hi")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.sb"))
+      .option("id_column", "_id").mode("append").save()
+    def docs(extra: (String, String)*) = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.sd",
+        "assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, bkt LONG, lang STRING").load()
+    def dim(extra: (String, String)*) = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.sb",
+        "assume_uniform_storage" -> "true") ++ extra)
+      .schema("_id LONG, bkt LONG, s_lo STRING, s_hi STRING").load()
+    val sd = docs("ascii_columns" -> "lang")
+    val sb = dim("ascii_columns" -> "s_lo,s_hi")
+    val q = sd.join(sb, sd("bkt") === sb("bkt") &&
+        sd("lang") >= sb("s_lo") && sd("lang") < sb("s_hi"))
+      .select(sd("_id").as("dkey"), sb("_id").as("bkey"), sd("lang"))
+    val plan = planOf(q)
+    assert(plan.contains("PushedJoin: INNER db.sb") &&
+      plan.contains("lang >= s_lo") && plan.contains("lang < s_hi") &&
+      !plan.contains("Join ") && !plan.contains("recheck("), plan)
+    val ld = localCopy(docs()); val lb = localCopy(dim())
+    val exp = ld.join(lb, ld("bkt") === lb("bkt") &&
+        ld("lang") >= lb("s_lo") && ld("lang") < lb("s_hi"))
+      .select(ld("_id").as("dkey"), lb("_id").as("bkey"), ld("lang"))
+    assert(sortedRows(q) == sortedRows(exp))
+    assert(q.count() > 0, "the admitted string range join must match rows")
+    // null string operands never match (INNER drops) — fixture has them
+    assert(ld.filter($"lang".isNull).count() > 0)
+
+    // LEFT OUTER: null/unmatched lang rows null-extend exactly
+    val lo = sd.join(sb, sd("bkt") === sb("bkt") &&
+        sd("lang") >= sb("s_lo") && sd("lang") < sb("s_hi"), "left_outer")
+      .select(sd("_id").as("dkey"), sb("_id").as("bkey"))
+    val loExp = ld.join(lb, ld("bkt") === lb("bkt") &&
+        ld("lang") >= lb("s_lo") && ld("lang") < lb("s_hi"), "left_outer")
+      .select(ld("_id").as("dkey"), lb("_id").as("bkey"))
+    assert(sortedRows(lo) == sortedRows(loExp))
+    assert(lo.filter($"bkey".isNull).count() > 0)
+
+    // ONE side undeclared -> the string conjunct never enters the
+    // pipeline (the r14 hoist may re-check it above the equi join);
+    // rows stay exact either way
+    val hd = dim()
+    val hq = sd.join(hd, sd("bkt") === hd("bkt") &&
+        sd("lang") >= hd("s_lo"))
+      .select(sd("_id").as("dkey"), hd("_id").as("bkey"))
+    val hPlan = planOf(hq)
+    assert(!hPlan.contains("lang >= s_lo"), hPlan)
+    val hExp = ld.join(lb, ld("bkt") === lb("bkt") &&
+        ld("lang") >= lb("s_lo"))
+      .select(ld("_id").as("dkey"), lb("_id").as("bkey"))
+    assert(sortedRows(hq) == sortedRows(hExp))
+
+    // declared but VIOLATED: non-ASCII stored strings fail loud in the
+    // sandbox evaluator (a live server's binary order is Spark-exact
+    // regardless — the throw protects sandbox/Spark agreement)
+    (0 until 10).map(i => (i.toLong, (i % 3).toLong,
+        if (i == 7) "café" else "ok"))
+      .toDF("_id", "bkt", "lang")
+      .write.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.sv"))
+      .option("id_column", "_id").mode("append").save()
+    val sv = spark.read.format("graftserver")
+      .options(Map("server_dir" -> dir, "ns" -> "db.sv",
+        "assume_uniform_storage" -> "true", "ascii_columns" -> "lang"))
+      .schema("_id LONG, bkt LONG, lang STRING").load()
+    val vq = sv.join(sb, sv("bkt") === sb("bkt") &&
+        sv("lang") >= sb("s_lo") && sv("lang") < sb("s_hi"))
+    assert(planOf(vq).contains("lang >= s_lo"), planOf(vq))
+    val err = intercept[Exception] { vq.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m != null && m.contains("ascii_columns contract violated")), err)
+  }
+
   test("CHAINED range stage pushes (r18): 3-way star with an interval edge stays ONE pipeline") {
     import spark.implicits._
     val dir = freshDir()

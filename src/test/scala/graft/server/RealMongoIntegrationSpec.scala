@@ -1283,4 +1283,45 @@ class RealMongoIntegrationSpec extends SparkSpec {
       .sorted.toSeq ==
       Seq((1L, "g10", 100L), (2L, "g10", 101L), (3L, "g20", 102L)))
   }
+
+  test("live: STRING range keys — binary collation IS Spark's UTF-8 order (r18 ascii gate)") {
+    live()
+    import spark.implicits._
+    val od = opts("sro"); val ob = opts("srb")
+    // the ascii_columns admission rests on: a real server's simple
+    // (binary) collation compares UTF-8 bytes = Spark's UTF8String
+    // order. Pin it with ASCII brackets AND with values straddling the
+    // ASCII boundary — the LIVE wire must match Spark even off the
+    // ASCII plane (the sandbox refuses those; live is exact regardless,
+    // which is why a wrong declaration can never corrupt live results)
+    Seq((1L, 0L, "apple"), (2L, 0L, "fig"), (3L, 0L, "zebra"),
+        (4L, 0L, "Ápple"), (5L, 0L, null.asInstanceOf[String]))
+      .toDF("k", "bkt", "s")
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    Seq((10L, 0L, "a", "g"), (11L, 0L, "g", "{"))
+      .toDF("k", "bkt", "s_lo", "s_hi")
+      .write.format("graftserver").options(ob)
+      .option("id_column", "k").mode("append").save()
+    val e0 = spark.read.format("graftserver")
+      .options(od + ("assume_uniform_storage" -> "true",
+        "ascii_columns" -> "s"))
+      .schema("_id LONG, bkt LONG, s STRING").load()
+    val b0 = spark.read.format("graftserver")
+      .options(ob + ("assume_uniform_storage" -> "true",
+        "ascii_columns" -> "s_lo,s_hi"))
+      .schema("_id LONG, bkt LONG, s_lo STRING, s_hi STRING").load()
+    val q = e0.join(b0, e0("bkt") === b0("bkt") &&
+        e0("s") >= b0("s_lo") && e0("s") < b0("s_hi"))
+      .select(e0("_id").as("k"), b0("_id").as("bk"))
+    assert(q.queryExecution.executedPlan.toString.contains("s >= s_lo"))
+    // apple/fig -> [a,g); zebra -> [g,{); Ápple (U+00C1 > 'z' in UTF-8
+    // AND UTF-16 alike — but < '{'? No: '{' is 0x7B < 0xC1, so Ápple
+    // matches NEITHER bracket in BOTH orders); null s drops.
+    // NOTE: the 'Ápple' row violates the ascii declaration — on a LIVE
+    // server the comparison is still Spark-exact (binary collation);
+    // this shape PROVES that, which is why only the sandbox throws.
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 10L), (2L, 10L), (3L, 11L)))
+  }
 }
