@@ -1232,6 +1232,10 @@ class RealMongoIntegrationSpec extends SparkSpec {
       if (r.isNullAt(0)) -1L
       else r.getTimestamp(0).getTime).sorted.toSeq
     assert(wMs.contains(1640563200000L) && wMs.contains(951696000000L), wMs)
+    // PRE-EPOCH $dateTrunc: binSize 1 truncates to the NATURAL unit
+    // boundary on both sides of the 2000-01-01 reference grid —
+    // 1969-12-31 (a Wednesday) week-truncates to Monday 1969-12-29
+    assert(wMs.contains(-259200000L), wMs)
     // month/dayofmonth over the leap day; $dateTrunc quarter of the
     // Saturday row lands on 2022-01-01 itself (951782400000 stays for
     // the leap day's quarter start 2000-01-01 = 946684800000)

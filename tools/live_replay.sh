@@ -35,7 +35,9 @@ SMOKE_QUERIES="q19_dedup_exact q24_text_tokens q81_quality_gate \
 q83_split_assign q39_semi_join q07_count_per_key q87_skew_report \
 q88_chunk_docs q170_server_interval_join q171_server_asof_join \
 q172_server_map_join_topn \
-q173_server_computed_bin_join q174_file_computed_bin"
+q173_server_computed_bin_join q174_file_computed_bin \
+q175_server_year_bin_group q176_file_date_trunc_bin \
+q177_server_chained_range_join q178_server_string_range_join"
 
 if [ "${1:-}" = "--sandbox-smoke" ]; then
   SF=${2:-/root/testdata/sf0.001}
