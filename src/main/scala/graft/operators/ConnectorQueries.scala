@@ -2630,6 +2630,99 @@ object ConnectorQueries {
         |      FROM (VALUES (0), (1), (2), (3), (4), (5)) t(k)) b
         |  ON d.bkt = b.bkt AND d.lang >= b.s_lo AND d.lang < b.s_hi
         |GROUP BY 1 ORDER BY b.s_lo ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // ASCII-declared STRING order keys (r18): `ORDER BY lang LIMIT n`
+    // over a served collection runs as a per-split CURSOR SORT + LIMIT
+    // (PushedTopN) instead of shipping every row into a Spark sort —
+    // admitted by the same ascii_columns declaration as the range keys,
+    // with the returned key values VERIFIED against the contract
+    // (AsciiOrderSpec pins the soundness argument and the fail-loud arm).
+    CatalogQuery(
+      "q179_server_string_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.sto"))
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.sto",
+            "assume_uniform_storage" -> "true",
+            "ascii_columns" -> "lang,source"))
+          .schema("_id LONG, lang STRING, source STRING, n_chars LONG")
+          .load()
+          .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first,
+            $"_id".asc)
+          .limit(15)
+          .select($"_id", $"lang", $"source", $"n_chars")
+      },
+      Some("""
+        |SELECT doc_id AS _id, lang, source, n_chars FROM documents
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, doc_id ASC
+        |LIMIT 15
+        |""".stripMargin)),
+
+    // FILE-transport string TopN (r18): the bounded heap's CODE-POINT
+    // comparator is exactly Spark's UTF-8-byte order, so `ORDER BY text`
+    // pushes for ARBITRARY strings under uniform storage — no ascii
+    // declaration; the unicode twin (multibyte text) exercises the
+    // comparator against DuckDB's binary collation directly.
+    CatalogQuery(
+      "q180_file_string_topn",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"text", $"n_chars")
+          .write.format("graftbson").option("id_column", "doc_id")
+          .mode("append").save(dir)
+        s.read.format("graftbson")
+          .option("assume_uniform_storage", "true")
+          .schema("_id LONG, text STRING, n_chars LONG")
+          .load(dir)
+          .orderBy($"text".desc_nulls_last, $"_id".desc)
+          .limit(10)
+          .select($"_id", $"n_chars")
+      },
+      Some("""
+        |SELECT doc_id AS _id, n_chars FROM documents
+        |ORDER BY text DESC NULLS LAST, doc_id DESC LIMIT 10
+        |""".stripMargin)),
+
+    // Grouped string MIN/MAX through the $group pipeline (r18),
+    // COMPOSED with a derived bin key: `$match`+`$set{pmod}`+
+    // `$group{$min,$max}` — one pipeline per split, extrema verified
+    // ASCII at the reader.
+    CatalogQuery(
+      "q181_server_string_minmax_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.smm"))
+          .option("id_column", "doc_id").mode("append").save()
+        s.read.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.smm",
+            "assume_uniform_storage" -> "true",
+            "ascii_columns" -> "lang,source"))
+          .schema("_id LONG, lang STRING, source STRING, n_chars LONG")
+          .load()
+          .withColumn("bkt", pmod($"n_chars", lit(5L)))
+          .groupBy($"bkt")
+          .agg(min($"lang").as("lo_lang"), max($"lang").as("hi_lang"),
+            max($"source").as("hi_src"), count(lit(1)).as("n"))
+          .orderBy($"bkt".asc_nulls_first)
+      },
+      Some("""
+        |SELECT CAST(n_chars % 5 AS BIGINT) AS bkt,
+        |  min(lang) AS lo_lang, max(lang) AS hi_lang,
+        |  max(source) AS hi_src, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY bkt ASC NULLS FIRST
         |""".stripMargin))
   )
 }

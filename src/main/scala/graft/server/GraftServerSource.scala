@@ -540,7 +540,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     val spec: Seq[Option[(String, Boolean)]] = orders.toSeq.map { o =>
       import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
       graft.source.FieldResolve.resolve(tableSchema, o.expression, mapping).flatMap { r =>
-        val typeOk = GraftServerScanBuilder.cursorOrderSafe(r.dataType, options)
+        val typeOk = GraftServerScanBuilder.cursorOrderSafe(r.dataType, options,
+          Some(r.docPath))
         val desc = o.direction == SortDirection.DESCENDING
         val nullsOk =
           if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
@@ -655,7 +656,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     def named(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[(String, org.apache.spark.sql.types.DataType)] =
       FieldResolve.resolve(tableSchema, e, mapping)
-        .filter(r => GraftServerScanBuilder.aggValueSafe(r.dataType, options))
+        .filter(r => GraftServerScanBuilder.aggValueSafe(r.dataType, options,
+          Some(r.docPath)))
         // a COMPUTED column has no stored field the sorted limit-1
         // probe could walk (r17) — the grouped pipeline path (with its
         // $set) handles aggregates over derived fields instead
@@ -712,7 +714,8 @@ final class GraftServerScanBuilder(tableSchema: StructType, options: Map[String,
     GroupAggParse.parse(aggregation,
       e => graft.source.FieldResolve.resolve(tableSchema, e, mapping),
       r => GraftServerScanBuilder.GroupKeyTypes.contains(r.dataType),
-      r => GraftServerScanBuilder.aggValueSafe(r.dataType, options),
+      r => GraftServerScanBuilder.aggValueSafe(r.dataType, options,
+        Some(r.docPath)),
       r => GraftServerScanBuilder.sumValueSafe(r.dataType, options)) match {
       case Some(p) =>
         groupedAgg = Some(ServerGroupedAgg(
@@ -1690,14 +1693,54 @@ object GraftServerScanBuilder {
     * latent mixed-storage divergence). Int/Double/Boolean/Date are
     * single-bracket (or single-order) reads and always safe.
     */
+  /** MIN/MAX input gate. STRINGS (r18): admitted when the column's DOC
+    * field is declared in `ascii_columns` (plus uniform storage) — the
+    * server folds `$min`/`$max` in BSON order (live: binary = Spark's
+    * UTF-8 order for ANY strings; sandbox: UTF-16, exact over ASCII),
+    * and the reader VERIFIES the returned extremum is ASCII
+    * ([[asciiCheck]]): a fold result that differs between the orders
+    * must itself be non-ASCII (every comparison against an ASCII value
+    * agrees in both orders, so an ASCII winner beat every contender
+    * correctly) — the check is therefore sound, not just a heuristic. */
   def aggValueSafe(dt: org.apache.spark.sql.types.DataType,
-      options: Map[String, String]): Boolean = {
+      options: Map[String, String],
+      docField: Option[String] = None): Boolean = {
     import org.apache.spark.sql.types._
     val always = Set[DataType](IntegerType, DoubleType, BooleanType, DateType)
     val uniform = Set[DataType](LongType, TimestampType)
-    always.contains(dt) || (uniform.contains(dt) &&
-      options.get("assume_uniform_storage").exists(_.toBoolean))
+    val uniformOk = options.get("assume_uniform_storage").exists(_.toBoolean)
+    if (dt == StringType)
+      uniformOk && docField.exists(f => asciiCols(options).contains(f))
+    else always.contains(dt) || (uniform.contains(dt) && uniformOk)
   }
+
+  /** Fail-loud arm of the `ascii_columns` contract on ORDERED pushdown
+    * RESULTS (r18): a returned min/max/top-n key value that is
+    * non-ASCII proves the declaration false AND is exactly the case
+    * where the value could be wrong — throw instead of silently
+    * diverging. (All-ASCII results are provably correct: the UTF-16 and
+    * UTF-8 orders agree on every comparison involving an ASCII operand,
+    * so an ASCII winner/top-n member won each of its comparisons under
+    * BOTH orders. A live server's binary order is Spark-exact anyway —
+    * there the throw only surfaces the false declaration.) */
+  def asciiCheck(v: graft.bson.BsonValue, field: String): Unit = v match {
+    case graft.bson.BString(s) if !s.forall(_ < 0x80) =>
+      throw new IllegalArgumentException(
+        s"ascii_columns contract violated: non-ASCII value '$s' returned " +
+          s"for ordered pushdown on '$field' (ordering on a declared " +
+          "string column is only exact over ASCII; remove the column " +
+          "from ascii_columns or clean the data)")
+    case _ => ()
+  }
+
+  /** Verify declared-ASCII fields on a RESULT doc stream (bounded: the
+    * streams this wraps are top-n/limit/#groups-sized). */
+  def asciiVerifyDocs(docs: Iterator[BDoc],
+      fields: Seq[String]): Iterator[BDoc] =
+    if (fields.isEmpty) docs
+    else docs.map { d =>
+      fields.foreach(f => d.getPath(f).foreach(asciiCheck(_, f))); d
+    }
 
   /** Doc field paths the caller asserts hold ASCII-only stored strings
     * (the `ascii_columns` option, comma-separated) — the r18 string
@@ -1747,15 +1790,28 @@ object GraftServerScanBuilder {
     * Timestamp→date, always).
     */
   def cursorOrderSafe(dt: org.apache.spark.sql.types.DataType,
-      options: Map[String, String]): Boolean = {
+      options: Map[String, String],
+      /** r18: a STRING order key admits when its DOC field is declared
+        * in `ascii_columns` (plus uniform storage) — the cursor order is
+        * the server's binary/BSON order (live: Spark-exact for any
+        * strings; sandbox: UTF-16, exact over ASCII), and the reader
+        * verifies the RETURNED key values are ASCII ([[asciiCheck]] —
+        * sound: a wrongly-included top-n member must have won a
+        * comparison the orders disagree on, which requires BOTH
+        * operands non-ASCII, so an all-ASCII result set is correct).
+        * None (callers without doc-field resolution) keeps strings
+        * refused. */
+      docField: Option[String] = None): Boolean = {
     import org.apache.spark.sql.types._
     // DateType: single-bracket storage whose read (epoch-day floor) is
     // monotone over the cursor order — always safe (read-value ties are
     // LIMIT's inherent nondeterminism, same as Spark's own TakeOrdered)
     val always = Set[DataType](IntegerType, DoubleType, BooleanType, DateType)
     val uniform = Set[DataType](LongType, TimestampType)
-    always.contains(dt) || (uniform.contains(dt) &&
-      options.get("assume_uniform_storage").exists(_.toBoolean))
+    val uniformOk = options.get("assume_uniform_storage").exists(_.toBoolean)
+    if (dt == StringType)
+      uniformOk && docField.exists(f => asciiCols(options).contains(f))
+    else always.contains(dt) || (uniform.contains(dt) && uniformOk)
   }
 }
 
@@ -2060,12 +2116,26 @@ final class ServerGroupedAggReader(options: Map[String, String],
     extends PartitionReader[InternalRow] {
 
   private val client = GraftServerSource.factory(options).create(options)
+
+  /** r18: MIN/MAX aliases over declared-ASCII string columns — the
+    * returned extrema verify against the contract (sound: an ASCII
+    * winner won every comparison under both orders). */
+  private val asciiAggAliases: Seq[String] = {
+    val declared = GraftServerScanBuilder.asciiCols(options)
+    grouped.items.collect {
+      case (GroupAgg.MinOf(c, a), _) if declared.contains(c) => a
+      case (GroupAgg.MaxOf(c, a), _) if declared.contains(c) => a
+    }
+  }
+
   private val it: Iterator[InternalRow] = {
     val base: Iterator[InternalRow] =
-      client.groupAggregate(ns, query,
+      GraftServerScanBuilder.asciiVerifyDocs(
+        client.groupAggregate(ns, query,
           grouped.groupCols.map(_._1), grouped.items.map(_._1), unwind,
           unwindPost,
-          computed = graft.query.ComputedCol.fromOptions(options))
+          computed = graft.query.ComputedCol.fromOptions(options)),
+        asciiAggAliases)
         .map(d => RowCodec.toRow(GraftServerSource.narrowPos(d), grouped.schema))
     if (grouped.groupCols.nonEmpty || base.hasNext) base
     else {
@@ -2129,14 +2199,18 @@ final class ServerAggReader(options: Map[String, String],
       .orNull
   }
 
-  /** Spark-order comparison over the read values of the AggTypes set
+  /** Spark-order comparison over the read values of the admitted types
     * (each column's probes share one Spark type, so no cross-type arms).
-    */
+    * Strings (r18, ascii-declared columns) compare as UTF8String —
+    * Spark's own UTF-8-byte order — for the cross-namespace fold of the
+    * per-ns probe results. */
   private def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Int, y: Int) => x < y
     case (x: Long, y: Long) => x < y
     case (x: Double, y: Double) => x < y
     case (x: Boolean, y: Boolean) => !x && y
+    case (x: org.apache.spark.unsafe.types.UTF8String,
+          y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y) < 0
     case _ => false
   }
 
@@ -2146,15 +2220,30 @@ final class ServerAggReader(options: Map[String, String],
     else present.reduce((a, b) => if (keepLeft(a, b)) a else b)
   }
 
+  // r18: a declared-ASCII string probe result verifies against the
+  // contract (sound — an ASCII extremum is provably correct)
+  private def asciiVerified(c: String, v: Any): Any = {
+    v match {
+      case s: org.apache.spark.unsafe.types.UTF8String
+          if GraftServerScanBuilder.asciiCols(options).contains(c) =>
+        GraftServerScanBuilder.asciiCheck(graft.bson.BString(s.toString), c)
+      case _ => ()
+    }
+    v
+  }
+
   override def next(): Boolean =
     if (done) false
     else {
       val values: Array[Any] = items.map {
         case AggPush.RowCount => nss.map(n => client.collStats(n).count).sum: Any
         case AggPush.MinOf(c, t) =>
-          fold(nss.map(n => probeEdge(n, c, t, descending = false)), lt)
+          asciiVerified(c,
+            fold(nss.map(n => probeEdge(n, c, t, descending = false)), lt))
         case AggPush.MaxOf(c, t) =>
-          fold(nss.map(n => probeEdge(n, c, t, descending = true)), (a, b) => lt(b, a))
+          asciiVerified(c,
+            fold(nss.map(n => probeEdge(n, c, t, descending = true)),
+              (a, b) => lt(b, a)))
       }.toArray
       row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       done = true
@@ -2246,7 +2335,16 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
       .filter(c => decodeSchema.fieldNames.contains(c.out))
 
   private val client = GraftServerSource.factory(options).create(options)
-  private val rawCursor: Iterator[BDoc] = if (pipelineMode)
+
+  /** Declared-ASCII string TOP-N order keys (r18): their returned
+    * values verify against the `ascii_columns` contract (sound — see
+    * [[GraftServerScanBuilder.asciiCheck]]); the cursor projection must
+    * carry them even when Spark pruned the column. */
+  private val asciiOrderFields: Seq[String] = topN.map(_._1.map(_._1))
+    .getOrElse(Nil)
+    .filter(GraftServerScanBuilder.asciiCols(options).contains)
+
+  private val rawCursor0: Iterator[BDoc] = if (pipelineMode)
     // unwound ROW pipeline: $match + $unwind + $match(post) + the
     // pushed $sort/$skip/$limit tail, all server-side — per-element
     // docs cross the wire, already post-matched and tail-bounded.
@@ -2263,7 +2361,8 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
         // refuses a surviving map column)
         (if (unwind.exists(_.mapKv)) Seq(graft.plans.UnwindRelocate.KvDocField)
          else unwind.map(_.path).toSeq) ++
-        (if (posIdx >= 0) unwind.get.posField else None))))
+        (if (posIdx >= 0) unwind.get.posField else None) ++
+        asciiOrderFields)))
       .map(GraftServerSource.narrowPos)
   else
     client.find(p.ns,
@@ -2287,7 +2386,8 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
           BQuery.fieldPaths(unwindPost).toSeq.sorted.filterNot(fp =>
             unwind.exists(u => fp == u.path || fp.startsWith(u.path + ".") ||
               fp == graft.plans.UnwindRelocate.PosDocField)) ++
-          sample.map(_.key))
+          sample.map(_.key) ++
+          asciiOrderFields)
           // the synthetic kv entry of a MAP unwind is injected
           // reader-side — never a stored field a find() could project.
           // Gated on mapKv: under an ARRAY unwind a stored field that
@@ -2305,6 +2405,11 @@ final class GraftServerPartitionReader(p: GraftServerPartition,
           .orElse(limit.map(_.toLong)).getOrElse(-1L),
         sortDescending = topN.exists(_._1.head._2),
         thenBy = topN.map(_._1.tail).getOrElse(Nil)))
+
+  // r18: the `ascii_columns` contract verifies on the RETURNED top-n
+  // keys (a bounded stream — the cursor carries the pushed $limit)
+  private val rawCursor: Iterator[BDoc] =
+    GraftServerScanBuilder.asciiVerifyDocs(rawCursor0, asciiOrderFields)
 
   // deterministic sample window, applied client-side over the cursor's
   // documents (MQL cannot express the md5 predicate); computed fields

@@ -612,8 +612,21 @@ final class GraftScanBuilder(tableSchema: StructType, options: Map[String, Strin
         val nullsOk =
           if (desc) o.nullOrdering == NullOrdering.NULLS_LAST
           else o.nullOrdering == NullOrdering.NULLS_FIRST
+        // STRING order keys (r18): admitted under uniform storage alone
+        // — the reader's bounded heap compares READ values itself, and
+        // its string comparator is CODE-POINT order (exactly Spark's
+        // UTF8String/UTF-8-byte order, GraftPartitionReader.cmpStrings),
+        // so the selection is Spark-exact for ANY strings — no
+        // ascii_columns declaration needed on this transport (unlike
+        // the server arm, where the CURSOR owns the order). Uniform
+        // storage is still required: a non-uniform string read spans
+        // four storage brackets the heap's BString-only key read
+        // rejects.
+        val stringOk =
+          options.get("assume_uniform_storage").exists(_.toBoolean)
         FieldResolve.resolve(tableSchema, o.expression, mapping)
-          .filter(r => nullsOk && TopNTypes.contains(r.dataType))
+          .filter(r => nullsOk && (TopNTypes.contains(r.dataType) ||
+            (r.dataType == org.apache.spark.sql.types.StringType && stringOk)))
           // a COMPUTED order key refuses (r17): the bounded heap reads
           // STORED docs before injection — mirrors the server gate
           .filterNot(r => computedOuts.contains(r.docPath.split('.').head))
@@ -2039,6 +2052,40 @@ object GraftPartitionReader {
       case other => throw new IllegalArgumentException(
         s"cannot read BSON $other as Spark type $dt")
     }
+    case StringType => v match {
+      // uniform storage (the string-key admission gate): engine writes
+      // store strings as BString only — any other bracket fails loud
+      case BString(s) => s
+      case other => throw new IllegalArgumentException(
+        s"cannot read BSON $other as Spark type $dt")
+    }
+  }
+
+  /** CODE-POINT string comparison — exactly Spark's UTF8String (UTF-8
+    * byte) order, NOT Java's UTF-16 unit order: the two differ when a
+    * supplementary character (a surrogate pair, units 0xD800–0xDFFF)
+    * meets a char in [0xE000, 0xFFFF]. At the first differing unit,
+    * when both units are ≥ 0xD800 the standard rank fix (surrogates
+    * +0x2000, [0xE000,0xFFFF] −0x800) restores code-point order; any
+    * other pair already agrees. Makes the file transport's pushed
+    * string TOP-N Spark-exact for ARBITRARY strings — no ASCII bound.
+    */
+  private[source] def cmpStrings(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      var a = x.charAt(i).toInt
+      var b = y.charAt(i).toInt
+      if (a != b) {
+        if (a >= 0xD800 && b >= 0xD800) {
+          a = if (a >= 0xE000) a - 0x800 else a + 0x2000
+          b = if (b >= 0xE000) b - 0x800 else b + 0x2000
+        }
+        return a - b
+      }
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def cmpKeys(dt: DataType, a: Option[Any], b: Option[Any]): Int = (a, b) match {
@@ -2048,6 +2095,8 @@ object GraftPartitionReader {
     case (Some(x), Some(y)) =>
       if (dt == DoubleType)
         java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double])
+      else if (dt == StringType)
+        cmpStrings(x.asInstanceOf[String], y.asInstanceOf[String])
       else java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
   }
 

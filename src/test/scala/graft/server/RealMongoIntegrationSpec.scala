@@ -1328,4 +1328,34 @@ class RealMongoIntegrationSpec extends SparkSpec {
     assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
       Seq((1L, 10L), (2L, 10L), (3L, 11L)))
   }
+
+  test("live: STRING order surfaces — cursor sort + $min/$max binary order (r18 ascii gate)") {
+    live()
+    import spark.implicits._
+    val od = opts("sos")
+    // cursor sorts and $min/$max on a real server use the binary
+    // collation (= Spark's UTF-8 order); the ascii admission's returned-
+    // value verification must pass on clean ASCII data end-to-end
+    Seq((1L, "pear", 0L), (2L, "apple", 0L), (3L, "fig", 1L),
+        (4L, null.asInstanceOf[String], 1L), (5L, "apple", 1L))
+      .toDF("k", "name", "g")
+      .write.format("graftserver").options(od)
+      .option("id_column", "k").mode("append").save()
+    val e0 = spark.read.format("graftserver")
+      .options(od + ("assume_uniform_storage" -> "true",
+        "ascii_columns" -> "name"))
+      .schema("_id LONG, name STRING, g LONG").load()
+    val t = e0.orderBy($"name".asc_nulls_first, $"_id".asc).limit(3)
+      .select($"_id", $"name")
+    assert(t.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(t.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "-" else r.getString(1))).toSeq ==
+      Seq((4L, "-"), (2L, "apple"), (5L, "apple")))
+    val mm = e0.groupBy($"g")
+      .agg(min($"name").as("lo"), max($"name").as("hi"))
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("PushedGroupedAggregate"))
+    assert(mm.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq == Seq((0L, "apple", "pear"), (1L, "apple", "fig")))
+  }
 }
