@@ -2723,6 +2723,38 @@ object ConnectorQueries {
         |  min(lang) AS lo_lang, max(lang) AS hi_lang,
         |  max(source) AS hi_src, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY bkt ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // The telemetry-canonical TIME-OF-DAY bin (r18 second wave):
+    // `groupBy(hour(ts), dayofweek(ts))` over a SERVED events stream
+    // folds as `$match`+`$set{$hour,$dayOfWeek}`+`$group` per split —
+    // `$dayOfWeek` numbers Sunday 1..Saturday 7 exactly like Spark's
+    // dayofweek (DuckDB's dayofweek is Sunday 0, hence the +1 in the
+    // oracle spelling).
+    CatalogQuery(
+      "q182_server_hour_dow_bin_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.events(s, d)
+          .select($"event_id", $"ts", $"user_id")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.hdw"))
+          .option("id_column", "event_id").mode("append").save()
+        s.read.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.hdw",
+            "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, ts TIMESTAMP, user_id LONG").load()
+          .groupBy(hour($"ts").as("h"), dayofweek($"ts").as("dw"))
+          .agg(count(lit(1)).as("n"), sum($"user_id").as("users"))
+          .orderBy($"h".asc_nulls_first, $"dw".asc_nulls_first)
+      },
+      Some("""
+        |SELECT CAST(hour(ts) AS INT) AS h,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dw,
+        |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1, 2
+        |ORDER BY h ASC NULLS FIRST, dw ASC NULLS FIRST
         |""".stripMargin))
   )
 }

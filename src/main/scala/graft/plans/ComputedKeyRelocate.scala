@@ -352,6 +352,22 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
       case m: Month => dateSrc(m.child, rel).map(Bin("month", _, 0L, IntegerType))
       case d: DayOfMonth =>
         dateSrc(d.child, rel).map(Bin("dayofmonth", _, 0L, IntegerType))
+      case d: DayOfYear =>
+        dateSrc(d.child, rel).map(Bin("dayofyear", _, 0L, IntegerType))
+      // $dayOfWeek numbers Sunday 1..Saturday 7 — Spark's dayofweek rule
+      case d: DayOfWeek =>
+        dateSrc(d.child, rel).map(Bin("dayofweek", _, 0L, IntegerType))
+      // $isoWeek == Spark's weekofyear (both ISO 8601); mongo's $week
+      // (US rule) deliberately has no Spark counterpart here
+      case w: WeekOfYear =>
+        dateSrc(w.child, rel).map(Bin("weekofyear", _, 0L, IntegerType))
+      // time-of-day fields carry their own zone — UTC-resolved only
+      case h: Hour if isUtc(h.timeZoneId) =>
+        tsSrc(h.child, rel).map(Bin("hour", _, 0L, IntegerType))
+      case m: Minute if isUtc(m.timeZoneId) =>
+        tsSrc(m.child, rel).map(Bin("minute", _, 0L, IntegerType))
+      case s: Second if isUtc(s.timeZoneId) =>
+        tsSrc(s.child, rel).map(Bin("second", _, 0L, IntegerType))
       case t: TruncTimestamp if isUtc(t.timeZoneId) =>
         val unit = t.format match {
           case Literal(u: org.apache.spark.unsafe.types.UTF8String, _)

@@ -97,7 +97,7 @@ final case class ComputedCol(out: String, fn: String, field: String,
       s"computed date_trunc unit must be one of ${ComputedCol.TruncUnits}, got '$unit'")
     require(outType == "timestamp",
       s"computed date_trunc outType must be timestamp, got $outType")
-  } else { // year / month / dayofmonth
+  } else { // calendar-field extraction (year/month/…/weekofyear)
     require(outType == "int", s"computed $fn outType must be int, got $outType")
   }
 
@@ -131,10 +131,22 @@ final case class ComputedCol(out: String, fn: String, field: String,
           s"computed $fn($field): non-date stored value $other " +
             "(a live server's date operators error identically)")
       }
+      lazy val z = ComputedCol.utc(ms)
       fn match {
-        case "year" => Some(BInt32(ComputedCol.utc(ms).getYear))
-        case "month" => Some(BInt32(ComputedCol.utc(ms).getMonthValue))
-        case "dayofmonth" => Some(BInt32(ComputedCol.utc(ms).getDayOfMonth))
+        case "year" => Some(BInt32(z.getYear))
+        case "month" => Some(BInt32(z.getMonthValue))
+        case "dayofmonth" => Some(BInt32(z.getDayOfMonth))
+        case "hour" => Some(BInt32(z.getHour))
+        case "minute" => Some(BInt32(z.getMinute))
+        case "second" => Some(BInt32(z.getSecond))
+        case "dayofyear" => Some(BInt32(z.getDayOfYear))
+        // mongo $dayOfWeek AND Spark dayofweek: 1 = Sunday .. 7 =
+        // Saturday (java.time: 1 = Monday .. 7 = Sunday — remap)
+        case "dayofweek" =>
+          Some(BInt32((z.getDayOfWeek.getValue % 7) + 1))
+        // mongo $isoWeek AND Spark weekofyear: ISO 8601 week number
+        case "weekofyear" => Some(BInt32(
+          z.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR)))
         case "date_trunc" => Some(BDate(ComputedCol.truncUtcMillis(ms, unit)))
       }
   }
@@ -162,15 +174,10 @@ final case class ComputedCol(out: String, fn: String, field: String,
       val base = mod(BString("$" + field))
       if (fn == "mod") base
       else mod(BDoc("$add" -> BArray(Vector(base, lit))))
-    case "year" | "month" | "dayofmonth" =>
-      val op = fn match {
-        case "year" => "$year"
-        case "month" => "$month"
-        case "dayofmonth" => "$dayOfMonth"
-      }
+    case f if ComputedCol.FieldOps.contains(f) =>
       // explicit timezone (UTC is mongo's default, but the engine's
       // whole calendar contract hangs on it — render it, don't imply it)
-      BDoc(op -> BDoc(
+      BDoc(ComputedCol.FieldOps(f) -> BDoc(
         "date" -> BString("$" + field),
         "timezone" -> BString("UTC")))
     case "date_trunc" =>
@@ -195,7 +202,20 @@ final case class ComputedCol(out: String, fn: String, field: String,
 
 object ComputedCol {
   val ModFns: Set[String] = Set("pmod", "mod")
-  val DateFns: Set[String] = Set("year", "month", "dayofmonth", "date_trunc")
+
+  /** Calendar-FIELD extractions (int32 out) and their aggregation
+    * operators. Parity notes: `$dayOfWeek` and Spark's `dayofweek` both
+    * number Sunday 1 .. Saturday 7; `$isoWeek` and Spark's `weekofyear`
+    * are both the ISO 8601 week number (mongo's `$week` — the US rule —
+    * deliberately has NO capture); quarter extraction has no mongo
+    * operator (use `date_trunc(quarter)`). */
+  val FieldOps: Map[String, String] = Map(
+    "year" -> "$year", "month" -> "$month", "dayofmonth" -> "$dayOfMonth",
+    "hour" -> "$hour", "minute" -> "$minute", "second" -> "$second",
+    "dayofyear" -> "$dayOfYear", "dayofweek" -> "$dayOfWeek",
+    "weekofyear" -> "$isoWeek")
+
+  val DateFns: Set[String] = FieldOps.keySet + "date_trunc"
   val Fns: Set[String] = ModFns ++ DateFns
 
   /** Admitted `$dateTrunc` units (mongo spelling; Spark's MICROSECOND

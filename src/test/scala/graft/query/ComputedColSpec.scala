@@ -105,6 +105,9 @@ class ComputedColSpec extends SparkSpec {
     val df = millis.toDF("ms")
       .select($"ms",
         year(tsm).as("y"), month(tsm).as("m"), dayofmonth(tsm).as("d"),
+        hour(tsm).as("hh"), minute(tsm).as("mi"), second(tsm).as("ss"),
+        dayofyear(tsm).as("doy"), dayofweek(tsm).as("dow"),
+        weekofyear(tsm).as("woy"),
         unix_millis(date_trunc("year", tsm)).as("ty"),
         unix_millis(date_trunc("quarter", tsm)).as("tq"),
         unix_millis(date_trunc("month", tsm)).as("tm"),
@@ -122,8 +125,15 @@ class ComputedColSpec extends SparkSpec {
       assert(f("year") == Some(BInt32(r.getInt(1))), s"year($ms)")
       assert(f("month") == Some(BInt32(r.getInt(2))), s"month($ms)")
       assert(f("dayofmonth") == Some(BInt32(r.getInt(3))), s"dom($ms)")
-      Seq(("year", 4), ("quarter", 5), ("month", 6), ("week", 7),
-        ("day", 8), ("hour", 9), ("minute", 10), ("second", 11))
+      // r18 second wave: time-of-day + day/week numbering fields —
+      // $dayOfWeek is Sunday-1 like Spark's dayofweek; $isoWeek is the
+      // ISO 8601 week like Spark's weekofyear (pre-1582 included)
+      Seq(("hour", 4), ("minute", 5), ("second", 6), ("dayofyear", 7),
+        ("dayofweek", 8), ("weekofyear", 9)).foreach { case (fn, i) =>
+        assert(f(fn) == Some(BInt32(r.getInt(i))), s"$fn($ms)")
+      }
+      Seq(("year", 10), ("quarter", 11), ("month", 12), ("week", 13),
+        ("day", 14), ("hour", 15), ("minute", 16), ("second", 17))
         .foreach { case (u, i) =>
           assert(f("date_trunc", u, "timestamp") ==
             Some(BDate(r.getLong(i))), s"date_trunc($u, $ms)")

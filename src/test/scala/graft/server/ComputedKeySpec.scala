@@ -378,6 +378,19 @@ class ComputedKeySpec extends SparkSpec {
     assert(sortedRows(nn) == sortedRows(
       le.withColumn("y", year($"ts")).filter($"y".isNotNull).select($"_id")))
     assert(nn.count() > 0)
+    // r18 second wave: hour/dayofweek/weekofyear capture and fold too
+    // ($hour/$dayOfWeek/$isoWeek — Sunday-1 and ISO-week parity pinned
+    // in ComputedColSpec)
+    val hw = f().groupBy(hour($"ts").as("h"), dayofweek($"ts").as("dw"),
+        weekofyear($"ts").as("wk"))
+      .agg(count(lit(1)).as("n"))
+    val hwPlan = planOf(hw)
+    assert(hwPlan.contains("= hour(ts)") && hwPlan.contains("= dayofweek(ts)") &&
+      hwPlan.contains("= weekofyear(ts)") &&
+      hwPlan.contains("PushedGroupedAggregate"), hwPlan)
+    assert(sortedRows(hw) == sortedRows(
+      le.groupBy(hour($"ts").as("h"), dayofweek($"ts").as("dw"),
+        weekofyear($"ts").as("wk")).agg(count(lit(1)).as("n"))))
   }
 
   test("MULTI-COLLECTION scans admit computed bins (r18); per-entry key/sort overrides refuse") {

@@ -1246,6 +1246,19 @@ class RealMongoIntegrationSpec extends SparkSpec {
     val r0 = md.collect().head
     assert(r0.getInt(0) == 2 && r0.getInt(1) == 29 &&
       r0.getTimestamp(2).getTime == 946684800000L, r0)
+    // r18 second wave: $dayOfWeek is Sunday-1 (2022-01-01 is a Saturday
+    // -> 7), $isoWeek is ISO 8601 (2022-01-01 belongs to 2021-W52 ->
+    // 52), $dayOfYear of the leap day -> 60 — all pinned blind against
+    // java.time, verified here on the real wire
+    val dw = ee.filter($"_id" === 4L)
+      .groupBy(dayofweek($"ts").as("dw"), weekofyear($"ts").as("wk"),
+        hour($"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val rw = dw.collect().head
+    assert(rw.getInt(0) == 7 && rw.getInt(1) == 52 && rw.getInt(2) == 0, rw)
+    val dy = ee.filter($"_id" === 3L)
+      .groupBy(dayofyear($"ts").as("doy")).agg(count(lit(1)).as("n"))
+    assert(dy.collect().head.getInt(0) == 60)
   }
 
   test("live: CHAINED range stage — per-stage $expr inequality + guards on a real server (r18)") {
