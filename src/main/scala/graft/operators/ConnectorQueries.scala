@@ -2755,6 +2755,33 @@ object ConnectorQueries {
         |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS users
         |FROM events GROUP BY 1, 2
         |ORDER BY h ASC NULLS FIRST, dw ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // DateType-OUT truncation (r18): `trunc(date, 'month')` — the
+    // month-cohort key — folds via the same `$dateTrunc` wire form; the
+    // truncated midnight decodes as epoch days (DATE on both engines).
+    CatalogQuery(
+      "q183_server_trunc_month_group",
+      (s, d) => {
+        import s.implicits._
+        val dir = freshDir()
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.trm"))
+          .option("id_column", "o_orderkey").mode("append").save()
+        s.read.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.trm",
+            "assume_uniform_storage" -> "true"))
+          .schema("_id LONG, o_custkey LONG, o_orderdate TIMESTAMP").load()
+          .groupBy(trunc($"o_orderdate", "month").as("mo"))
+          .agg(count(lit(1)).as("n"), max($"o_custkey").as("hi_cust"))
+          .orderBy($"mo".asc_nulls_first)
+      },
+      Some("""
+        |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |  count(*) AS n, max(o_custkey) AS hi_cust
+        |FROM orders GROUP BY 1 ORDER BY mo ASC NULLS FIRST
         |""".stripMargin))
   )
 }

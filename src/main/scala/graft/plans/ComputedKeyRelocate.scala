@@ -161,6 +161,7 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
         b.dataType match {
           case IntegerType => "int"
           case TimestampType => "timestamp"
+          case DateType => "date"
           case _ => "long"
         }, b.unit)
     }
@@ -378,6 +379,22 @@ object ComputedKeyRelocate extends Rule[LogicalPlan] {
           u <- unit
           a <- tsSrc(t.timestamp, rel)
         } yield Bin("date_trunc", a, 0L, TimestampType, u)
+      // `trunc(date, fmt)` — the DateType-out truncation (year/quarter/
+      // month/week only; Spark returns NULL for other formats, which
+      // never capture): the truncated BSON datetime is a canonical
+      // midnight, so the DateType decode (epoch-day floor) is exact
+      case t: TruncDate =>
+        val unit = t.format match {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, _)
+              if u != null => TruncUnitOf.get(u.toString.toUpperCase)
+                .filter(x => graft.query.ComputedCol.DayOrCoarser.contains(x) &&
+                  x != "day") // Spark's trunc has no DAY level
+          case _ => None
+        }
+        for {
+          u <- unit
+          a <- dateSrc(t.date, rel)
+        } yield Bin("date_trunc", a, 0L, DateType, u)
       case _ => None
     }
 

@@ -80,8 +80,9 @@ final case class ComputedCol(out: String, fn: String, field: String,
     /** `date_trunc` unit (mongo `$dateTrunc` spelling); "" otherwise. */
     unit: String = "") {
   require(ComputedCol.Fns.contains(fn), s"unknown computed fn $fn")
-  require(outType == "int" || outType == "long" || outType == "timestamp",
-    s"computed outType must be int|long|timestamp, got $outType")
+  require(outType == "int" || outType == "long" || outType == "timestamp" ||
+    outType == "date",
+    s"computed outType must be int|long|timestamp|date, got $outType")
   if (ComputedCol.ModFns.contains(fn)) {
     require(n > 0, s"computed $fn divisor must be positive, got $n")
     // the pmod WIRE form is `$add[$mod(a,n), n]` then `$mod` again — for
@@ -95,8 +96,13 @@ final case class ComputedCol(out: String, fn: String, field: String,
   } else if (fn == "date_trunc") {
     require(ComputedCol.TruncUnits.contains(unit),
       s"computed date_trunc unit must be one of ${ComputedCol.TruncUnits}, got '$unit'")
-    require(outType == "timestamp",
-      s"computed date_trunc outType must be timestamp, got $outType")
+    // "date" out (r18, Spark's `trunc(date, fmt)`): the truncated BSON
+    // datetime is a canonical midnight at unit ≥ day, so the DateType
+    // decode (epoch-day floor) is exact — gated to the day-or-coarser
+    // units Spark's trunc accepts
+    require(outType == "timestamp" || (outType == "date" &&
+        ComputedCol.DayOrCoarser.contains(unit)),
+      s"computed date_trunc outType/unit mismatch: $outType/$unit")
   } else { // calendar-field extraction (year/month/…/weekofyear)
     require(outType == "int", s"computed $fn outType must be int, got $outType")
   }
@@ -222,6 +228,10 @@ object ComputedCol {
     * level is refused at capture — no mongo unit below millisecond). */
   val TruncUnits: Set[String] = Set("year", "quarter", "month", "week",
     "day", "hour", "minute", "second", "millisecond")
+
+  /** Units whose truncated instant is a canonical midnight — the legal
+    * `outType = "date"` units (Spark's `trunc(date, fmt)` surface). */
+  val DayOrCoarser: Set[String] = Set("year", "quarter", "month", "week", "day")
 
   /** Largest pmod divisor whose wire form `$add[$mod(a,n), n]` stays
     * inside int64 for every int64 input: |a % n| < n, so the sum is

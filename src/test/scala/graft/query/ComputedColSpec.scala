@@ -141,6 +141,27 @@ class ComputedColSpec extends SparkSpec {
       // millisecond: the finest stored boundary — identity on BSON millis
       assert(f("date_trunc", "millisecond", "timestamp") == Some(BDate(ms)))
     }
+    // DATE-out truncation (Spark's trunc(date, fmt)): the truncated
+    // instant is a canonical midnight, so epoch-day decode is exact —
+    // pinned against Spark's own trunc over the same edge instants
+    val td = millis.toDF("ms")
+      .select($"ms",
+        unix_date(trunc(timestamp_millis($"ms").cast("date"), "year")).as("ty"),
+        unix_date(trunc(timestamp_millis($"ms").cast("date"), "quarter")).as("tq"),
+        unix_date(trunc(timestamp_millis($"ms").cast("date"), "month")).as("tm"),
+        unix_date(trunc(timestamp_millis($"ms").cast("date"), "week")).as("tw"))
+    td.collect().foreach { r =>
+      val ms = r.getLong(0)
+      // the stored DateType value is the canonical midnight of the day
+      val dayMs = Math.floorDiv(ms, 86400000L) * 86400000L
+      val doc = BDoc("d" -> BDate(dayMs))
+      Seq(("year", 1), ("quarter", 2), ("month", 3), ("week", 4))
+        .foreach { case (u, i) =>
+          val got = ComputedCol("o", "date_trunc", "d", 0L, "date", u).eval(doc)
+          assert(got == Some(BDate(r.getInt(i).toLong * 86400000L)),
+            s"trunc($u, $ms)")
+        }
+    }
     // null / missing -> null (mongo's date-operator rule); non-date
     // storage fails loud (a live server's $year errors identically);
     // a BSON TIMESTAMP feeds its seconds (mongo accepts it)

@@ -309,6 +309,15 @@ class ComputedKeySpec extends SparkSpec {
     assert(sortedRows(tw) == sortedRows(
       le.groupBy(date_trunc("week", $"d").as("w"))
         .agg(count(lit(1)).as("n"))))
+    // trunc(date, fmt) — the DateType-OUT truncation — captures too
+    // (same $dateTrunc wire form; the midnight decodes as epoch days)
+    val tr = ee.groupBy(trunc($"d", "month").as("mo"))
+      .agg(count(lit(1)).as("n"))
+    assert(planOf(tr).contains("= date_trunc(month, d)") &&
+      planOf(tr).contains("PushedGroupedAggregate"), planOf(tr))
+    assert(sortedRows(tr) == sortedRows(
+      le.groupBy(trunc($"d", "month").as("mo")).agg(count(lit(1)).as("n"))))
+    assert(tr.schema("mo").dataType == org.apache.spark.sql.types.DateType)
     // a date-bin JOIN key keeps the pushed $lookup: year(d) is INT, the
     // dim key seeds as int32 so the equality is attribute-vs-attribute
     // on both sides (same server_dir — one connection)

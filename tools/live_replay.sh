@@ -39,7 +39,7 @@ q173_server_computed_bin_join q174_file_computed_bin \
 q175_server_year_bin_group q176_file_date_trunc_bin \
 q177_server_chained_range_join q178_server_string_range_join \
 q179_server_string_topn q180_file_string_topn \
-q181_server_string_minmax_group q182_server_hour_dow_bin_group"
+q181_server_string_minmax_group q182_server_hour_dow_bin_group q183_server_trunc_month_group"
 
 if [ "${1:-}" = "--sandbox-smoke" ]; then
   SF=${2:-/root/testdata/sf0.001}
