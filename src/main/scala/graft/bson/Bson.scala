@@ -63,7 +63,10 @@ final case class BDoc(fields: ListMap[String, BsonValue]) extends BsonValue {
     * core/.../util/MongoPathRetriever.java:11-23).
     */
   def getPath(path: String): Option[BsonValue] = {
-    path.split('.').foldLeft(Option[BsonValue](this)) {
+    // fast path: undotted names skip the split() allocation — this is
+    // the per-doc-per-field call of every matcher/extractor hot loop
+    if (path.indexOf('.') < 0) fields.get(path)
+    else path.split('.').foldLeft(Option[BsonValue](this)) {
       case (Some(BDoc(f)), seg) => f.get(seg)
       case _ => None
     }
@@ -168,67 +171,118 @@ object BsonCodec {
   private val TMinKey: Byte = 0xff.toByte
   private val TMaxKey: Byte = 0x7f
 
+  /** Growable little-endian byte sink with int32 backpatching: the whole
+    * document (all nesting levels) encodes into ONE buffer — subdocument
+    * lengths are patched in place after their body is written — instead
+    * of one builder + copy per nesting level and a fresh 4/8-byte array
+    * per numeric value (the encoder is the per-row cost of every store
+    * write and every seeded server collection).
+    */
+  private final class ByteSink(initial: Int = 256) {
+    private var arr = new Array[Byte](initial)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length) {
+        var cap = arr.length << 1
+        while (cap < len + n) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    def size: Int = len
+    def putByte(b: Byte): Unit = { ensure(1); arr(len) = b; len += 1 }
+    def putBytes(bs: Array[Byte]): Unit = {
+      ensure(bs.length)
+      System.arraycopy(bs, 0, arr, len, bs.length)
+      len += bs.length
+    }
+    def putInt(v: Int): Unit = {
+      ensure(4)
+      arr(len) = v.toByte
+      arr(len + 1) = (v >>> 8).toByte
+      arr(len + 2) = (v >>> 16).toByte
+      arr(len + 3) = (v >>> 24).toByte
+      len += 4
+    }
+    def putLong(v: Long): Unit = {
+      ensure(8)
+      var i = 0
+      while (i < 8) { arr(len + i) = (v >>> (8 * i)).toByte; i += 1 }
+      len += 8
+    }
+    def patchInt(pos: Int, v: Int): Unit = {
+      arr(pos) = v.toByte
+      arr(pos + 1) = (v >>> 8).toByte
+      arr(pos + 2) = (v >>> 16).toByte
+      arr(pos + 3) = (v >>> 24).toByte
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
   def encode(doc: BDoc): Array[Byte] = {
-    val out = new mutable.ArrayBuilder.ofByte
+    val out = new ByteSink()
     writeDoc(out, doc)
     out.result()
   }
 
-  private def writeDoc(out: mutable.ArrayBuilder.ofByte, doc: BDoc): Unit = {
-    val body = new mutable.ArrayBuilder.ofByte
-    doc.fields.foreach { case (name, v) => writeElement(body, name, v) }
-    val bodyBytes = body.result()
-    val total = 4 + bodyBytes.length + 1
-    out ++= int32(total)
-    out ++= bodyBytes
-    out += 0x00
+  private def writeDoc(out: ByteSink, doc: BDoc): Unit = {
+    val start = out.size
+    out.putInt(0) // length backpatched below
+    doc.fields.foreach { case (name, v) => writeElement(out, name, v) }
+    out.putByte(0x00)
+    out.patchInt(start, out.size - start)
   }
 
-  private def writeElement(out: mutable.ArrayBuilder.ofByte, name: String, v: BsonValue): Unit = {
+  private def writeElement(out: ByteSink, name: String, v: BsonValue): Unit = {
     def header(tag: Byte): Unit = {
-      out += tag
-      out ++= name.getBytes(StandardCharsets.UTF_8)
-      out += 0x00
+      out.putByte(tag)
+      out.putBytes(name.getBytes(StandardCharsets.UTF_8))
+      out.putByte(0x00)
     }
     v match {
-      case BDouble(x) => header(TDouble); out ++= int64(java.lang.Double.doubleToLongBits(x))
+      case BDouble(x) => header(TDouble); out.putLong(java.lang.Double.doubleToLongBits(x))
       case BString(x) => header(TString); writeString(out, x)
       case BSymbol(x) => header(TSymbol); writeString(out, x)
       case d: BDoc => header(TDoc); writeDoc(out, d)
       case BArray(items) =>
+        // array = embedded doc keyed "0","1",...: write it directly with
+        // length backpatching (no intermediate ListMap per array)
         header(TArray)
-        writeDoc(out, BDoc(ListMap(items.zipWithIndex.map { case (it, i) => i.toString -> it }: _*)))
+        val start = out.size
+        out.putInt(0)
+        var i = 0
+        items.foreach { it => writeElement(out, Integer.toString(i), it); i += 1 }
+        out.putByte(0x00)
+        out.patchInt(start, out.size - start)
       case BBinary(bytes) =>
-        header(TBinary); out ++= int32(bytes.length); out += 0x00; out ++= bytes
+        header(TBinary); out.putInt(bytes.length); out.putByte(0x00); out.putBytes(bytes)
       case BObjectId(hex) =>
         header(TObjectId)
-        out ++= hex.sliding(2, 2).map(h => Integer.parseInt(h, 16).toByte).toArray
-      case BBool(x) => header(TBool); out += (if (x) 1 else 0).toByte
-      case BDate(ms) => header(TDate); out ++= int64(ms)
+        var i = 0
+        while (i < 24) {
+          out.putByte(((Character.digit(hex.charAt(i), 16) << 4) |
+            Character.digit(hex.charAt(i + 1), 16)).toByte)
+          i += 2
+        }
+      case BBool(x) => header(TBool); out.putByte((if (x) 1 else 0).toByte)
+      case BDate(ms) => header(TDate); out.putLong(ms)
       case BNull => header(TNull)
       case BRegex(p, o) =>
         header(TRegex)
-        out ++= p.getBytes(StandardCharsets.UTF_8); out += 0x00
-        out ++= o.getBytes(StandardCharsets.UTF_8); out += 0x00
-      case BInt32(x) => header(TInt32); out ++= int32(x)
-      case BTimestamp(s, ord) => header(TTimestamp); out ++= int32(ord); out ++= int32(s)
-      case BInt64(x) => header(TInt64); out ++= int64(x)
+        out.putBytes(p.getBytes(StandardCharsets.UTF_8)); out.putByte(0x00)
+        out.putBytes(o.getBytes(StandardCharsets.UTF_8)); out.putByte(0x00)
+      case BInt32(x) => header(TInt32); out.putInt(x)
+      case BTimestamp(s, ord) => header(TTimestamp); out.putInt(ord); out.putInt(s)
+      case BInt64(x) => header(TInt64); out.putLong(x)
       case BMinKey => header(TMinKey)
       case BMaxKey => header(TMaxKey)
     }
   }
 
-  private def writeString(out: mutable.ArrayBuilder.ofByte, s: String): Unit = {
+  private def writeString(out: ByteSink, s: String): Unit = {
     val b = s.getBytes(StandardCharsets.UTF_8)
-    out ++= int32(b.length + 1)
-    out ++= b
-    out += 0x00
+    out.putInt(b.length + 1)
+    out.putBytes(b)
+    out.putByte(0x00)
   }
-
-  private def int32(v: Int): Array[Byte] =
-    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
-  private def int64(v: Long): Array[Byte] =
-    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
 
   def decode(bytes: Array[Byte], offset: Int = 0): BDoc = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -372,7 +426,7 @@ object BsonCodec {
     case TObjectId =>
       val arr = new Array[Byte](12)
       buf.get(arr)
-      BObjectId(arr.map(b => f"${b & 0xff}%02x").mkString)
+      BObjectId(hex24(arr))
     case TBool => BBool(buf.get() != 0)
     case TDate => BDate(buf.getLong)
     case TNull => BNull
@@ -393,8 +447,7 @@ object BsonCodec {
       val ns = readString(buf)
       val arr = new Array[Byte](12)
       buf.get(arr)
-      BDoc("$ref" -> BString(ns),
-        "$id" -> BObjectId(arr.map(b => f"${b & 0xff}%02x").mkString))
+      BDoc("$ref" -> BString(ns), "$id" -> BObjectId(hex24(arr)))
     case TCode => BString(readString(buf))
     case TCodeWScope =>
       val start = buf.position()
@@ -431,16 +484,52 @@ object BsonCodec {
 
   private def readString(buf: ByteBuffer): String = {
     val len = buf.getInt
-    val arr = new Array[Byte](len - 1)
-    buf.get(arr)
-    buf.get() // trailing 0
-    new String(arr, StandardCharsets.UTF_8)
+    if (buf.hasArray) {
+      // decode straight from the backing array — no intermediate copy
+      val off = buf.arrayOffset() + buf.position()
+      val s = new String(buf.array(), off, len - 1, StandardCharsets.UTF_8)
+      buf.position(buf.position() + len)
+      s
+    } else {
+      val arr = new Array[Byte](len - 1)
+      buf.get(arr)
+      buf.get() // trailing 0
+      new String(arr, StandardCharsets.UTF_8)
+    }
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** 12 bytes → 24 lowercase hex chars (ObjectId), without the per-byte
+    * format-string allocation of `f"$b%02x"`. */
+  private def hex24(arr: Array[Byte]): String = {
+    val cs = new Array[Char](24)
+    var i = 0
+    while (i < 12) {
+      cs(2 * i) = HexDigits((arr(i) >> 4) & 0xf)
+      cs(2 * i + 1) = HexDigits(arr(i) & 0xf)
+      i += 1
+    }
+    new String(cs)
   }
 
   private def readCString(buf: ByteBuffer): String = {
-    val sb = new mutable.ArrayBuilder.ofByte
-    var b = buf.get()
-    while (b != 0) { sb += b; b = buf.get() }
-    new String(sb.result(), StandardCharsets.UTF_8)
+    if (buf.hasArray) {
+      // scan the backing array for the NUL, decode in one step (the
+      // per-byte builder was the decoder's hottest allocation site —
+      // one per field name per document)
+      val arr = buf.array()
+      val base = buf.arrayOffset() + buf.position()
+      var i = base
+      while (arr(i) != 0) i += 1
+      val s = new String(arr, base, i - base, StandardCharsets.UTF_8)
+      buf.position(buf.position() + (i - base) + 1)
+      s
+    } else {
+      val sb = new mutable.ArrayBuilder.ofByte
+      var b = buf.get()
+      while (b != 0) { sb += b; b = buf.get() }
+      new String(sb.result(), StandardCharsets.UTF_8)
+    }
   }
 }

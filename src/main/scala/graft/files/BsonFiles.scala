@@ -153,20 +153,26 @@ object BsonFiles {
   }
 
   private def walkToBoundary(path: String, from: Long, target: Long, fileLen: Long): Long = {
-    val raf = new RandomAccessFile(path, "r")
+    // buffered header skim (read 4-byte length, skip payload) — replaces
+    // the per-document seek+read walk
+    val fin = new java.io.FileInputStream(path)
     try {
+      fin.getChannel.position(from)
+      val in = new java.io.BufferedInputStream(fin, 1 << 20)
       var pos = from
       val lenBuf = new Array[Byte](4)
       while (pos < target) {
-        raf.seek(pos)
-        raf.readFully(lenBuf)
-        val len = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        if (in.readNBytes(lenBuf, 0, 4) < 4)
+          throw new IllegalStateException(s"corrupt BSON doc header at $pos in $path")
+        val len = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) |
+          ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
         require(len >= MinDocSize && len <= MaxDocSize && pos + len <= fileLen,
           s"corrupt BSON doc header at $pos in $path (len=$len)")
+        in.skipNBytes(len - 4)
         pos += len
       }
       pos
-    } finally raf.close()
+    } finally fin.close()
   }
 
   /** Doc iterator that owns an OS resource: callers that may stop early
@@ -194,23 +200,31 @@ object BsonFiles {
     val fileLen = Files.size(Paths.get(path))
     val begin = startingPosition(path, start)
     new CloseableDocIterator {
-      private val raf = new RandomAccessFile(path, "r")
+      // split reads are SEQUENTIAL: one positioned stream + a 1 MiB
+      // buffer replaces the former per-document seek+read pair on a
+      // RandomAccessFile (two syscalls per doc — the dominant cost of
+      // every store/dump scan at small doc sizes)
+      private val fin = new java.io.FileInputStream(path)
+      fin.getChannel.position(begin)
+      private val in = new java.io.BufferedInputStream(fin, 1 << 20)
+      private val lenBuf = new Array[Byte](4)
       private var closed = false
       private var pos = begin
-      override def close(): Unit = if (!closed) { raf.close(); closed = true }
+      override def close(): Unit = if (!closed) { in.close(); closed = true }
       override def hasNext: Boolean = {
         val more = !closed && pos < math.min(end, fileLen)
         if (!more) close()
         more
       }
       override def next(): BDoc = {
-        raf.seek(pos)
-        val lenBuf = new Array[Byte](4)
-        raf.readFully(lenBuf)
-        val len = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
+        if (in.readNBytes(lenBuf, 0, 4) < 4)
+          throw new java.io.EOFException(s"truncated BSON doc header at $pos in $path")
+        val len = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) |
+          ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
         val bytes = new Array[Byte](len)
-        raf.seek(pos)
-        raf.readFully(bytes)
+        System.arraycopy(lenBuf, 0, bytes, 0, 4)
+        if (in.readNBytes(bytes, 4, len - 4) < len - 4)
+          throw new java.io.EOFException(s"truncated BSON doc at $pos in $path")
         pos += len
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         proj match {
@@ -219,6 +233,33 @@ object BsonFiles {
         }
       }
     }
+  }
+
+  /** Number of documents in an uncompressed dump: ONE buffered header
+    * skim (read each 4-byte length, skip the payload) — no decode, no
+    * per-doc seeks. The stats source for collStats-style sizing.
+    */
+  def countDocs(path: String): Long = {
+    val len = Files.size(Paths.get(path))
+    val in = new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 20)
+    val lenBuf = new Array[Byte](4)
+    var n = 0L
+    var pos = 0L
+    try {
+      while (pos + 4 <= len) {
+        if (in.readNBytes(lenBuf, 0, 4) < 4)
+          throw new IllegalStateException(s"corrupt BSON doc header at $pos in $path")
+        val dlen = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) |
+          ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
+        require(dlen >= MinDocSize && dlen <= MaxDocSize && pos + dlen <= len,
+          s"corrupt BSON doc header at $pos in $path (len=$dlen)")
+        in.skipNBytes(dlen - 4)
+        pos += dlen
+        n += 1
+      }
+    } finally in.close()
+    n
   }
 
   def readAll(path: String): CloseableDocIterator =

@@ -529,10 +529,13 @@ final class FakeServerClient(rootDir: Option[String] = None)
 
   override def collStats(ns: String): ServerClient.CollStats = {
     tick("collStats")
-    val docs = coll(ns).readAll().toVector
-    val bytes = docs.map(d => BsonCodec.encode(d).length.toLong).sum
-    ServerClient.CollStats(docs.size.toLong,
-      if (docs.isEmpty) 0L else bytes / docs.size)
+    // count + avgObjSize from one header skim per shard: the file IS the
+    // concatenated encoded docs, so its size is the byte total — a real
+    // server answers collStats from metadata, not by re-serializing the
+    // collection (the former decode+re-encode pass was O(data) CPU on
+    // every split planning)
+    val (bytes, count) = coll(ns).sizeStats()
+    ServerClient.CollStats(count, if (count == 0) 0L else bytes / count)
   }
 
   override def find(ns: String, q: Find): Iterator[BDoc] = {
@@ -541,7 +544,14 @@ final class FakeServerClient(rootDir: Option[String] = None)
     // hold the collection in memory (the contract [[ServerClient.find]]
     // states), and a scan's per-split cursors would otherwise each
     // materialize the whole store
-    val matching = coll(ns).readAll().filter(q.query.matches)
+    //
+    // projected decode: when the cursor carries a projection, only the
+    // fields the projection/query/sort actually touch are decoded — every
+    // other field's bytes are skipped (a real server reads full docs but
+    // ships only the projection; the stand-in's analog saves the decode)
+    val needed: Option[Set[String]] = q.projection.map(p =>
+      p.toSet ++ BQuery.fieldPaths(q.query) ++ q.sortSpec.map(_._1))
+    val matching = coll(ns).readAll(needed).filter(q.query.matches)
     val docs: Iterator[BDoc] = q.sortSpec match {
       case Seq() => matching
       case spec =>
@@ -558,7 +568,16 @@ final class FakeServerClient(rootDir: Option[String] = None)
           }
           r
         }
-        matching.toVector.sorted(cmp).iterator
+        // a bounded cursor (skip+limit) keeps only that many docs in a
+        // heap instead of sorting the whole store — the index-walk cost
+        // shape of a real server's sort-with-limit; stability (file
+        // order on ties) matches the full stable sort exactly
+        val bound =
+          if (q.limit >= 0) q.skip + q.limit
+          else -1L
+        if (bound >= 0 && bound < Int.MaxValue)
+          FakeServerClient.stableTopK(matching, cmp, bound.toInt)
+        else matching.toVector.sorted(cmp).iterator
     }
     var it: Iterator[BDoc] = docs.drop(
       math.min(q.skip, Int.MaxValue.toLong).toInt)
@@ -573,7 +592,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
 
   override def sampleKeys(ns: String, key: String, n: Int): Seq[BsonValue] = {
     tick("sampleKeys")
-    val keys = coll(ns).readAll().flatMap(_.getPath(key)).toVector
+    val keys = coll(ns).readAll(Some(Set(key))).flatMap(_.getPath(key)).toVector
       .sorted(BsonOrdering)
     if (keys.isEmpty || n <= 0) Seq.empty
     else {
@@ -635,9 +654,20 @@ final class FakeServerClient(rootDir: Option[String] = None)
       require(computed.isEmpty || unwind.isEmpty,
         "computed columns never combine with an unwind (capture rule)")
     }
+    // projected decode: only the fields the pipeline touches — queries,
+    // group keys, aggregate inputs, the unwind path, computed sources —
+    // are materialized; everything else is byte-skipped
+    val needed: Set[String] =
+      BQuery.fieldPaths(query) ++ BQuery.fieldPaths(postQuery) ++
+        groupKeys ++ aggs.collect {
+          case GroupAgg.CountCol(c, _) => c
+          case GroupAgg.MinOf(c, _) => c
+          case GroupAgg.MaxOf(c, _) => c
+          case GroupAgg.SumOf(c, _) => c
+        } ++ unwind.map(_.path) ++ computed.map(_.field)
     // computed `$set` runs after the pre-$match (which never references
     // the derived fields), mirroring the wire stage order
-    val matched = coll(ns).readAll().filter(query.matches)
+    val matched = coll(ns).readAll(Some(needed)).filter(query.matches)
       .map(d => graft.query.ComputedCol.injectAll(computed, d))
     val rows = unwind match {
       case Some(u) => matched.flatMap(d => FakeServerClient.unwindDocs(d, u))
@@ -664,7 +694,12 @@ final class FakeServerClient(rootDir: Option[String] = None)
         post.isExact && post.keyBounds.isEmpty,
         s"unwoundRead queries not fully server-renderable: $query / $postQuery")
     }
-    val unwound = coll(ns).readAll().filter(query.matches)
+    // projected decode over the needed fields only (query/unwind/post/
+    // sort/projection); a None projection needs the whole doc
+    val needed: Option[Set[String]] = projection.map(p =>
+      p.toSet ++ BQuery.fieldPaths(query) ++ BQuery.fieldPaths(postQuery) +
+        u.path ++ sortSpec.map(_._1))
+    val unwound = coll(ns).readAll(needed).filter(query.matches)
       .flatMap(d => FakeServerClient.unwindDocs(d, u))
     val post =
       if (postQuery == BQuery.True) unwound
@@ -683,7 +718,11 @@ final class FakeServerClient(rootDir: Option[String] = None)
           }
           r
         }
-        post.toVector.sorted(cmp).iterator
+        // bounded tail: keep skip+limit rows in a heap, not the full set
+        val bound = if (limit >= 0) skip + limit else -1L
+        if (bound >= 0 && bound < Int.MaxValue)
+          FakeServerClient.stableTopK(post, cmp, bound.toInt)
+        else post.toVector.sorted(cmp).iterator
     }
     var it: Iterator[BDoc] = sorted.drop(
       math.min(skip, Int.MaxValue.toLong).toInt)
@@ -730,7 +769,15 @@ final class FakeServerClient(rootDir: Option[String] = None)
     // pipeline renders ($match → $unwind → $match(post) → $project →
     // $lookup), so element rows feed the join; computed columns
     // materialize after the pre-match, mirroring the $set position
-    val matched = coll(ns).readAll().filter(j.leftQuery.matches)
+    //
+    // projected decode: only the query/projection/unwind/computed fields
+    // materialize (output names landing in the trie are harmless — they
+    // never match stored fields)
+    val leftNeeded: Set[String] =
+      BQuery.fieldPaths(j.leftQuery) ++ BQuery.fieldPaths(j.unwindPost) ++
+        j.leftProject.map(_._1) ++ j.unwind.map(_.path) ++
+        j.leftComputed.map(_.field)
+    val matched = coll(ns).readAll(Some(leftNeeded)).filter(j.leftQuery.matches)
       .map(d => graft.query.ComputedCol.injectAll(j.leftComputed, d))
     val driving = j.unwind match {
       case Some(u) =>
@@ -758,7 +805,8 @@ final class FakeServerClient(rootDir: Option[String] = None)
         rows.take(math.min(n, Int.MaxValue.toLong).toInt)
       case (_, _, Some((spec, n))) =>
         // $sort over the joined output names (missing right side of a
-        // left-outer row sorts as null), then the partial $limit
+        // left-outer row sorts as null), then the partial $limit — kept
+        // bounded: only n rows live in the heap, not the full join
         val cmp: Ordering[BDoc] = (a, b) => {
           var r = 0
           val it = spec.iterator
@@ -770,7 +818,9 @@ final class FakeServerClient(rootDir: Option[String] = None)
           }
           r
         }
-        rows.toVector.sorted(cmp).iterator
+        if (n < Int.MaxValue)
+          FakeServerClient.stableTopK(rows, cmp, math.max(0L, n).toInt)
+        else rows.toVector.sorted(cmp).iterator
           .take(math.min(n, Int.MaxValue.toLong).toInt)
       case _ => rows
     }
@@ -810,8 +860,15 @@ final class FakeServerClient(rootDir: Option[String] = None)
     // key outputs may be NESTED under a projected struct column
     val rightKeyFields = keys.map { case (_, ro) =>
       LookupJoin.fieldOf(rightProject, ro) }
+    // projected decode of the lookup side: query/projection/key/range/
+    // computed fields only
+    val rightNeeded: Set[String] =
+      BQuery.fieldPaths(rightQuery) ++ rightProject.map(_._1) ++
+        rightKeyFields ++
+        ranges.map(r => LookupJoin.fieldOf(rightProject, r.rightOut)) ++
+        rightComputed.map(_.field)
     val index: Map[Seq[Any], Vector[BDoc]] =
-      coll(rightNs).readAll()
+      coll(rightNs).readAll(Some(rightNeeded))
         .map(d => graft.query.ComputedCol.injectAll(rightComputed, d))
         .filter(rightQuery.matches)
         .filter(d => rightKeyFields.forall(f => d.getPath(f).exists(_ != BNull)))
@@ -859,18 +916,25 @@ final class FakeServerClient(rootDir: Option[String] = None)
   override def bulkWrite(ns: String, models: Iterator[WriteModel], ordered: Boolean): BulkResult = {
     tick("bulkWrite")
     val c = coll(ns)
-    FakeServerClient.lockFor(c.dir).synchronized {
-      val batch = models.toVector
-      if (c.shardCount == 1 && batch.forall(_.isInstanceOf[InsertOne]))
-        appendInserts(c, batch.asInstanceOf[Vector[InsertOne]], ordered)
-      else {
-        FakeServerClient.knownIds.remove(c.dir)
-        c.bulkWrite(batch.iterator, ordered)
+    val batch = models.toVector
+    if (c.shardCount == 1 && batch.forall(_.isInstanceOf[InsertOne])) {
+      // encode OUTSIDE the per-collection lock: concurrent writer tasks
+      // otherwise serialize their whole CPU cost (Row→BSON bytes) through
+      // one lock, leaving only one core busy during a parallel seed write.
+      // The lock then covers only the id-uniqueness check and the append.
+      val inserts = batch.asInstanceOf[Vector[InsertOne]]
+      val encoded = inserts.map(m => (m.doc.get("_id"), BsonCodec.encode(m.doc)))
+      FakeServerClient.lockFor(c.dir).synchronized {
+        appendInserts(c, encoded, ordered)
       }
+    } else FakeServerClient.lockFor(c.dir).synchronized {
+      FakeServerClient.knownIds.remove(c.dir)
+      c.bulkWrite(batch.iterator, ordered)
     }
   }
 
-  private def appendInserts(c: BsonCollection, inserts: Vector[InsertOne],
+  private def appendInserts(c: BsonCollection,
+      encoded: Vector[(Option[BsonValue], Array[Byte])],
       ordered: Boolean): BulkResult = {
     import java.nio.file.{Files => F}
     val dataPath = BsonCollection.shardPath(c.dir, 1, 0)
@@ -886,14 +950,14 @@ final class FakeServerClient(rootDir: Option[String] = None)
     var inserted = 0L
     val errors = Seq.newBuilder[String]
     try {
-      inserts.foreach { case InsertOne(doc) =>
-        doc.get("_id") match {
+      encoded.foreach { case (idOpt, bytes) =>
+        idOpt match {
           case Some(id) if ids.contains(id) =>
             if (ordered)
               throw new IllegalStateException(s"duplicate key _id=$id on insert")
             else errors += s"duplicate key _id=$id"
-          case idOpt =>
-            out.write(BsonCodec.encode(doc))
+          case _ =>
+            out.write(bytes)
             idOpt.foreach(ids += _)
             inserted += 1
         }
@@ -910,6 +974,36 @@ final class FakeServerClient(rootDir: Option[String] = None)
 }
 
 object FakeServerClient {
+  /** The first `k` docs of a STABLE sort under `cmp`, computed with a
+    * bounded heap (O(n log k) and k live docs) instead of materializing
+    * and sorting the whole input — the cost shape of a real server's
+    * index-walk sort-with-limit. Ties keep input order (the sequence
+    * number joins the heap key), so the result is element-for-element
+    * identical to `input.toVector.sorted(cmp).take(k)`.
+    */
+  private[server] def stableTopK(docs: Iterator[BDoc], cmp: Ordering[BDoc],
+      k: Int): Iterator[BDoc] = {
+    if (k <= 0) return Iterator.empty
+    val ord = new java.util.Comparator[(BDoc, Long)] {
+      override def compare(a: (BDoc, Long), b: (BDoc, Long)): Int = {
+        val c = cmp.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    // max-heap of the k smallest (cmp, seq) pairs
+    val heap = new java.util.PriorityQueue[(BDoc, Long)](k + 1, ord.reversed())
+    var seq = 0L
+    docs.foreach { d =>
+      heap.add((d, seq))
+      seq += 1
+      if (heap.size > k) heap.poll()
+    }
+    val arr = new Array[BDoc](heap.size)
+    var i = heap.size - 1
+    while (i >= 0) { arr(i) = heap.poll()._1; i -= 1 }
+    arr.iterator
+  }
+
   /** What a real server computes from a `$group` stage over `docs` —
     * shared by [[FakeServerClient.groupAggregate]] and the grouped arm
     * of [[FakeServerClient.lookupJoin]]. Zero group keys = the

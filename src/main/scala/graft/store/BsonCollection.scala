@@ -73,6 +73,30 @@ final class BsonCollection(val dir: String) {
     shardPaths.iterator.filter(Files.exists(_))
       .flatMap(p => BsonFiles.readAll(p.toString))
 
+  /** Projected read: only the listed (dotted) paths are decoded, every
+    * other field's bytes are skipped ([[BsonFiles.readRange]] `fields`) —
+    * the store-side analog of the file scan's projected decode. None =
+    * full decode.
+    */
+  def readAll(fields: Option[Set[String]]): Iterator[BDoc] =
+    if (fields.isEmpty) readAll()
+    else shardPaths.iterator.filter(Files.exists(_))
+      .flatMap(p => BsonFiles.readRange(p.toString, 0L,
+        Files.size(p), fields))
+
+  /** Total stored bytes + doc count from ONE header skim per shard (file
+    * size IS the sum of encoded doc lengths) — no decode, no re-encode.
+    */
+  def sizeStats(): (Long, Long) = {
+    var bytes = 0L
+    var count = 0L
+    shardPaths.filter(Files.exists(_)).foreach { p =>
+      bytes += Files.size(p)
+      count += BsonFiles.countDocs(p.toString)
+    }
+    (bytes, count)
+  }
+
   def count(): Long = readAll().size.toLong
 
   /** Delete all data and the shard layout; index declarations survive
