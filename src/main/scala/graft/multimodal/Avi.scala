@@ -32,6 +32,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * ('00dc', biCompression fourcc 'MJPG') are standalone JPEG streams.
   */
 object Avi {
+  // in-memory MJPEG frames must not round-trip ImageIO's disk-backed
+  // stream cache (a temp file per frame) — see the Multimodal init note
+  javax.imageio.ImageIO.setUseCache(false)
+
 
   private[multimodal] def fourcc(s: String): Int =
     (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) | ((s(3) & 0xff) << 24)

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write of an
+  // in-memory image creates (and deletes) a temp file. The payloads here
+  // are small byte arrays already in memory, so the file round-trip is
+  // pure overhead — tens of thousands of temp files per multimodal query.
+  // Process-wide and results-neutral (memory cache, same codec output).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
 
