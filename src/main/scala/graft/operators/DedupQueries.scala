@@ -1107,7 +1107,11 @@ object DedupQueries {
       "q111_cluster_split",
       (s, d) => {
         import s.implicits._
+        // cache: the bounded pair graph feeds BOTH the component probe
+        // (a collect) and the leak-audit join below — uncached, the whole
+        // signature+band+self-join pipeline evaluated twice per run
         val pairs = lshPairs(sigRows(s, d), None).select($"doc_a", $"doc_b")
+          .cache()
         val labels = connectedComponents(pairs)
         val assigned = Tables.documents(s, d).select($"doc_id")
           .join(labels, Seq("doc_id"), "left")

@@ -675,7 +675,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     }
     val post =
       if (postQuery == BQuery.True) rows else rows.filter(postQuery.matches)
-    FakeServerClient.groupFold(post.toVector, groupKeys, aggs)
+    FakeServerClient.groupFold(post, groupKeys, aggs)
   }
 
   /** The unwound ROW pipeline, evaluated over the store with the same
@@ -800,7 +800,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     j.skip.foreach(n => rows = rows.drop(math.min(n, Int.MaxValue.toLong).toInt))
     (j.group, j.limit, j.topN) match {
       case (Some((keys, aggs)), _, _) =>
-        FakeServerClient.groupFold(rows.toVector, keys, aggs)
+        FakeServerClient.groupFold(rows, keys, aggs)
       case (_, Some(n), _) =>
         rows.take(math.min(n, Int.MaxValue.toLong).toInt)
       case (_, _, Some((spec, n))) =>
@@ -1012,37 +1012,89 @@ object FakeServerClient {
     * min/max/sum (mongo semantics); an empty aggregate is BNull; sum
     * stays integral while every addend is integral ($sum promotion).
     */
-  private[server] def groupFold(matched: Vector[BDoc], groupKeys: Seq[String],
+  /** Streaming SUM state mirroring the Vector spelling exactly: the long
+    * sum wraps like `Vector[Long].sum`; once any non-int value appears
+    * the result is the DOUBLE left-fold over every value in encounter
+    * order — so the double accumulator runs from the first value (its
+    * additions are the identical IEEE sequence the materialized
+    * `vs.map(toDouble).sum` performed). */
+  private final class SumState {
+    var any = false
+    var allInt = true
+    var lsum = 0L
+    var dsum = 0.0
+    def add(v: BsonValue): Unit = v match {
+      case BInt32(x) => any = true; lsum += x.toLong; dsum += x.toDouble
+      case BInt64(x) => any = true; lsum += x; dsum += x.toDouble
+      case BDouble(x) => any = true; allInt = false; dsum += x
+      case _ => any = true; allInt = false; dsum += 0.0
+    }
+    def result: BsonValue =
+      if (!any) BNull else if (allInt) BInt64(lsum) else BDouble(dsum)
+  }
+
+  private[server] def groupFold(matched: IterableOnce[BDoc], groupKeys: Seq[String],
       aggs: Seq[GroupAgg]): Iterator[BDoc] = {
-    val groups =
-      if (matched.isEmpty) Map.empty[Seq[BsonValue], Vector[BDoc]]
-      else matched.groupBy(d => groupKeys.map(k => d.getPath(k).getOrElse(BNull)))
-    def present(docs: Vector[BDoc], col: String): Vector[BsonValue] =
-      docs.flatMap(_.getPath(col)).filter(_ != BNull)
-    groups.iterator.map { case (gvs, docs) =>
-      val fields = aggs.map {
-        case GroupAgg.CountAll(a) => a -> BInt64(docs.size.toLong)
-        case GroupAgg.CountCol(c, a) =>
-          a -> BInt64(docs.count(_.getPath(c).exists(_ != BNull)).toLong)
-        case GroupAgg.MinOf(c, a) =>
-          a -> present(docs, c).minOption(BsonOrdering).getOrElse(BNull)
-        case GroupAgg.MaxOf(c, a) =>
-          a -> present(docs, c).maxOption(BsonOrdering).getOrElse(BNull)
-        case GroupAgg.SumOf(c, a) =>
-          val vs = present(docs, c)
-          a -> (if (vs.isEmpty) BNull
-          else if (vs.forall(v => v.isInstanceOf[BInt32] || v.isInstanceOf[BInt64]))
-            BInt64(vs.map {
-              case BInt32(x) => x.toLong
-              case BInt64(x) => x
-              case _ => 0L
-            }.sum)
-          else BDouble(vs.map {
-            case BInt32(x) => x.toDouble
-            case BInt64(x) => x.toDouble
-            case BDouble(x) => x
-            case _ => 0.0
-          }.sum))
+    // ONE streaming pass: per-group constant-size aggregate states instead
+    // of materializing every row into per-group vectors and re-walking
+    // them once per aggregate — the $group memory shape a real server has
+    // (O(#groups), not O(#rows))
+    val aggsArr = aggs.toArray
+    val groups = new java.util.LinkedHashMap[Seq[BsonValue], Array[Any]]()
+    val it = matched.iterator
+    while (it.hasNext) {
+      val d = it.next()
+      val key = groupKeys.map(k => d.getPath(k).getOrElse(BNull))
+      var st = groups.get(key)
+      if (st == null) { st = new Array[Any](aggsArr.length); groups.put(key, st) }
+      var i = 0
+      while (i < aggsArr.length) {
+        aggsArr(i) match {
+          case GroupAgg.CountAll(_) =>
+            st(i) = (if (st(i) == null) 0L else st(i).asInstanceOf[Long]) + 1L
+          case GroupAgg.CountCol(c, _) =>
+            val prev = if (st(i) == null) 0L else st(i).asInstanceOf[Long]
+            st(i) = prev + (if (d.getPath(c).exists(_ != BNull)) 1L else 0L)
+          case GroupAgg.MinOf(c, _) =>
+            d.getPath(c) match {
+              case Some(v) if v != BNull =>
+                val p = st(i).asInstanceOf[BsonValue]
+                if (p == null || BsonOrdering.compare(v, p) < 0) st(i) = v
+              case _ => ()
+            }
+          case GroupAgg.MaxOf(c, _) =>
+            d.getPath(c) match {
+              case Some(v) if v != BNull =>
+                val p = st(i).asInstanceOf[BsonValue]
+                if (p == null || BsonOrdering.compare(v, p) > 0) st(i) = v
+              case _ => ()
+            }
+          case GroupAgg.SumOf(c, _) =>
+            d.getPath(c) match {
+              case Some(v) if v != BNull =>
+                var s = st(i).asInstanceOf[SumState]
+                if (s == null) { s = new SumState; st(i) = s }
+                s.add(v)
+              case _ => ()
+            }
+        }
+        i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      val (gvs, st) = (e.getKey, e.getValue)
+      val fields = aggsArr.toSeq.zipWithIndex.map {
+        case (GroupAgg.CountAll(a), i) =>
+          a -> BInt64(if (st(i) == null) 0L else st(i).asInstanceOf[Long])
+        case (GroupAgg.CountCol(_, a), i) =>
+          a -> BInt64(if (st(i) == null) 0L else st(i).asInstanceOf[Long])
+        case (GroupAgg.MinOf(_, a), i) =>
+          a -> (if (st(i) == null) BNull else st(i).asInstanceOf[BsonValue])
+        case (GroupAgg.MaxOf(_, a), i) =>
+          a -> (if (st(i) == null) BNull else st(i).asInstanceOf[BsonValue])
+        case (GroupAgg.SumOf(_, a), i) =>
+          a -> (if (st(i) == null) BNull else st(i).asInstanceOf[SumState].result)
       }
       BDoc(ListMap(groupKeys.zip(gvs) ++ fields: _*))
     }
