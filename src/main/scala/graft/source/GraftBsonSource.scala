@@ -1502,53 +1502,64 @@ final class FileStats(path: String, key: String) extends Planners.CollectionStat
       case _ => (1, headerWalk(0L, Long.MaxValue))
     }
 
-  /** Number of docs in [from, to) by header walk (4 bytes per doc). */
+  /** Number of docs in [from, to) by header walk (4 bytes per doc).
+    * Buffered skim (read 4-byte length, skip payload) — the former
+    * per-document seek+read pair cost two syscalls per doc; the
+    * `_bytesTouched` accounting (4 logical bytes per header) is
+    * unchanged, so planning-IO gates still see the same number. */
   private def countDocsBetween(from: Long, to: Long): Int = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val fin = new java.io.FileInputStream(path)
     try {
+      fin.getChannel.position(from)
+      val in = new java.io.BufferedInputStream(fin, 1 << 20)
       val lenBuf = new Array[Byte](4)
       var pos = from
       var n = 0
       while (pos < to) {
-        raf.seek(pos)
-        raf.readFully(lenBuf)
+        if (in.readNBytes(lenBuf, 0, 4) < 4)
+          throw new IllegalStateException(s"corrupt BSON doc header at $pos in $path")
         _bytesTouched += 4
-        val len = java.nio.ByteBuffer.wrap(lenBuf)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val len = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) |
+          ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
         require(len >= BsonFiles.MinDocSize && len <= BsonFiles.MaxDocSize &&
           pos + len <= fileLen,
           s"corrupt BSON doc header at $pos in $path (len=$len)")
+        in.skipNBytes(len - 4)
         pos += len
         n += 1
       }
       n
-    } finally raf.close()
+    } finally fin.close()
   }
 
-  /** Doc-start offsets from `from`, reading ONLY the 4-byte length headers. */
+  /** Doc-start offsets from `from`, reading ONLY the 4-byte length
+    * headers — buffered skim like [[countDocsBetween]]. */
   private def headerWalk(from: Long, maxDocs: Long): Vector[Long] = {
     val out = Vector.newBuilder[Long]
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val fin = new java.io.FileInputStream(path)
     try {
+      fin.getChannel.position(from)
+      val in = new java.io.BufferedInputStream(fin, 1 << 20)
       val lenBuf = new Array[Byte](4)
       var pos = from
       var n = 0L
       while (pos < fileLen && n < maxDocs) {
-        raf.seek(pos)
-        raf.readFully(lenBuf)
+        if (in.readNBytes(lenBuf, 0, 4) < 4)
+          throw new IllegalStateException(s"corrupt BSON doc header at $pos in $path")
         _bytesTouched += 4
         out += pos
-        val len = java.nio.ByteBuffer.wrap(lenBuf)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        val len = (lenBuf(0) & 0xff) | ((lenBuf(1) & 0xff) << 8) |
+          ((lenBuf(2) & 0xff) << 16) | ((lenBuf(3) & 0xff) << 24)
         // same validation as BsonFiles.walkToBoundary — a stale side file
         // landing mid-document must fail, not hang on len == 0
         require(len >= BsonFiles.MinDocSize && len <= BsonFiles.MaxDocSize &&
           pos + len <= fileLen,
           s"corrupt BSON doc header at $pos in $path (len=$len)")
+        in.skipNBytes(len - 4)
         pos += len
         n += 1
       }
-    } finally raf.close()
+    } finally fin.close()
     out.result()
   }
 
