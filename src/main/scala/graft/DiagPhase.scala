@@ -40,6 +40,22 @@ object DiagPhase {
           .options(Map("server_dir" -> dir, "ns" -> "db.jorders"))
           .option("id_column", "o_orderkey").mode("append").save()
       }
+      time("write orders coalesce(1)") {
+        Tables.orders(spark, sf)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .coalesce(1)
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.jorders1"))
+          .option("id_column", "o_orderkey").mode("append").save()
+      }
+      time("write orders coalesce(4)") {
+        Tables.orders(spark, sf)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .coalesce(4)
+          .write.format("graftserver")
+          .options(Map("server_dir" -> dir, "ns" -> "db.jorders4"))
+          .option("id_column", "o_orderkey").mode("append").save()
+      }
       time("write customer (graftserver)") {
         Tables.customer(spark, sf)
           .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
