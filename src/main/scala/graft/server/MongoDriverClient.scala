@@ -92,7 +92,7 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       val base = Rf.cursor(it)
       q.projection match {
         case Some(fields) if fields.isEmpty =>
-          base.map(QueryDocs.projectClient(_, fields))
+          base.map(QueryDocs.projector(fields))
         case _ => base
       }
     } else {
@@ -119,7 +119,7 @@ final class MongoDriverClient(uri: String, allowDiskUse: Boolean = false)
       out = out.drop(clampInt(q.skip))
       if (q.limit >= 0) out = out.take(clampInt(q.limit))
       q.projection match {
-        case Some(fields) => out.map(QueryDocs.projectClient(_, fields))
+        case Some(fields) => out.map(QueryDocs.projector(fields))
         case None => out
       }
     }

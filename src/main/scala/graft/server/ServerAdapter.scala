@@ -585,7 +585,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
     q.projection match {
       // dotted paths re-NEST, exactly like a real server's {"a.b": 1}
       // projection (consumers read projected values by path)
-      case Some(fields) => it.map(d => QueryDocs.projectClient(d, fields))
+      case Some(fields) => it.map(QueryDocs.projector(fields))
       case None => it
     }
   }
@@ -728,7 +728,7 @@ final class FakeServerClient(rootDir: Option[String] = None)
       math.min(skip, Int.MaxValue.toLong).toInt)
     if (limit >= 0) it = it.take(math.min(limit, Int.MaxValue.toLong).toInt)
     projection match {
-      case Some(fields) => it.map(d => QueryDocs.projectClient(d, fields))
+      case Some(fields) => it.map(QueryDocs.projector(fields))
       case None => it
     }
   }
